@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish tables (see TESTDATA.md).
+  *
+  * Plain `spark.read.parquet` so Catalyst keeps full pushdown freedom:
+  * column pruning and predicate pushdown reach the parquet scan of whatever
+  * query is built on top. No caching here — callers decide (a 100 TB
+  * lineitem does not fit in memory; hot small dims can be broadcast by AQE).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String)    = table(s, d, "region")
+  def nation(s: SparkSession, d: String)    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = table(s, d, "part")
+  def orders(s: SparkSession, d: String)    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String)    = table(s, d, "events")
+  def documents(s: SparkSession, d: String) = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+}
