@@ -1,24 +1,61 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+import scala.util.control.NonFatal
+
+/** Benchmark harness (driver-run, per-round → BENCH_r{N}.json).
+  *
+  * Discipline (round-1 verdict fixes):
+  *  - warmup pass at sf0.001 first, so the first timed query no longer
+  *    absorbs JVM/JIT/Spark-codegen/parquet cold start;
+  *  - failures are NOT swallowed: a failed query records a sentinel -1
+  *    timing, prints the error to stderr, and the process exits nonzero;
+  *  - the result JSON is printed as the last stdout line AND written to
+  *    bench_out.json so the driver can parse it out of sbt log noise;
+  *  - deterministic query order (sorted by name).
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(master = s"local[$cpus]", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // warmup on the smallest SF: exercises every query's codepath (codegen,
+    // parquet readers, GraphX) without contributing to timings
+    val warmDir = {
+      val w = Paths.get(sfDir).getParent
+      val cand = if (w == null) sfDir else w.resolve("sf0.001").toString
+      if (Files.isDirectory(Paths.get(cand))) cand else sfDir
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case NonFatal(e) => System.err.println(s"[bench/warmup] $name: ${e.getMessage}") }
+    }
+
+    var failed = List.empty[String]
+    val results = names.map { name =>
+      val t0 = System.nanoTime()
+      val t =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            failed ::= name
+            -1.0
+        }
+      name -> t
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    println(json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -44,10 +44,10 @@ object SparkEntry {
       Traversals.multiSourceBfs(DerivedGraphs.big(s, dir), Seq(0L, 1L, 2L), maxDepth = 12)),
     "g5_triangle_counts" -> ((s, dir) =>
       Analytics.triangleCounts(DerivedGraphs.small(s, dir))),
-    "g6_degrees" -> ((s, dir) =>
-      Analytics.degrees(DerivedGraphs.big(s, dir)).orderBy("vertex")),
-    "g7_pagerank" -> ((s, dir) => // float-iterative: rows-only check (no oracle)
-      Analytics.pageRank(DerivedGraphs.small(s, dir), numIter = 10).orderBy("vertex")),
+    "g6_degrees" -> ((s, dir) => // DerivedGraphs output is already distinct
+      Analytics.degrees(DerivedGraphs.big(s, dir), dedup = false).orderBy("vertex")),
+    "g7_pagerank" -> ((s, dir) =>
+      Analytics.pageRank(DerivedGraphs.small(s, dir), numIter = 10)),
     "g8_dfs_preorder" -> ((s, dir) => // sequential by nature: rows-only check
       Traversals.dfsPreorder(DerivedGraphs.small(s, dir), start = 0L)),
 
@@ -135,6 +135,7 @@ object SparkEntry {
          |SELECT COALESCE(o.vertex, i.vertex) AS vertex,
          |       COALESCE(out_degree, 0) AS out_degree, COALESCE(in_degree, 0) AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
+    "g7_pagerank" -> Analytics.pageRankSql(DerivedGraphs.smallSql, numIter = 10),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph => XGraph}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -13,11 +13,12 @@ import org.apache.spark.storage.StorageLevel
   * same edge-list model, per the project north star (GraphX + Pregel).
   *
   * Implementation split:
-  *  - connectedComponents / pageRank: GraphX built-ins (Pregel BSP — the same
+  *  - connectedComponents: GraphX built-in (Pregel BSP — the same
   *    level-synchronous structure the reference hand-rolls with threads at
   *    `secondaryServer.c:150-161`).
-  *  - degrees / triangles: plain DataFrame plans — they are joins/aggs, so
-  *    Catalyst + AQE (broadcast, skew splitting) serve better than RDDs.
+  *  - degrees / triangles / pageRank: plain DataFrame plans — joins/aggs, so
+  *    Catalyst + AQE (broadcast, skew splitting) serve better than RDDs, and
+  *    the semantics are exactly SQL-expressible for the DuckDB oracle.
   */
 object Analytics {
 
@@ -28,13 +29,17 @@ object Analytics {
     s.union(d).distinct()
   }
 
-  /** Per-vertex in/out degree over distinct edges:
-    * `(vertex BIGINT, out_degree BIGINT, in_degree BIGINT)`.
-    * One shuffle per side + one join; vertices with no in (resp. out) edges
-    * get 0, matching the SQL oracle's FULL OUTER + COALESCE shape.
+  /** Per-vertex in/out degree: `(vertex BIGINT, out_degree BIGINT,
+    * in_degree BIGINT)`. One shuffle per side + one join; vertices with no in
+    * (resp. out) edges get 0, matching the SQL oracle's FULL OUTER + COALESCE
+    * shape.
+    *
+    * @param dedup count distinct edges (extra shuffle); pass false when the
+    *              input is already duplicate-free (e.g. DerivedGraphs output).
     */
-  def degrees(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")).distinct()
+  def degrees(edges: DataFrame, dedup: Boolean = true): DataFrame = {
+    val cast = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val e = if (dedup) cast.distinct() else cast
     val out = e.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("out_degree"))
     val in = e.groupBy(col("dst").as("vertex")).agg(count(lit(1)).as("in_degree"))
     out.join(in, Seq("vertex"), "full_outer")
@@ -56,37 +61,95 @@ object Analytics {
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val g = XGraph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
-    val cc = g.connectedComponents().vertices.map { case (v, c) => (v, c) }
-    val out = cc.toDF("vertex", "component")
-    g.unpersist(blocking = false)
+    val cc = g.connectedComponents()
+    // materialize before unpersisting BOTH graphs — connectedComponents()
+    // returns an internally-cached graph that would otherwise leak across
+    // repeated queries in one session
+    val out = cc.vertices.map { case (v, c) => (v, c) }.toDF("vertex", "component")
+      .localCheckpoint(true)
+    cc.unpersistVertices(blocking = false)
+    cc.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
     out
   }
 
-  /** Static PageRank (GraphX, `numIter` fixed iterations, reset 0.15).
-    * `(vertex BIGINT, rank DOUBLE)`. Float iteration ⇒ no SQL oracle; checked
-    * by rows-only + property tests (rank sums ≈ |V|).
+  /** Static PageRank, `numIter` fixed iterations, damping 0.85:
+    * `(vertex BIGINT, pr DOUBLE)` with pr rounded to 1e-6 so the fixed-point
+    * DuckDB oracle ([[pageRankSql]]) hash-matches despite double-summation
+    * order (accumulated fp error after 10 iterations is ~1e-13, far below the
+    * rounding grain).
+    *
+    * Exact semantics (mirrored verbatim by the oracle):
+    *   r_0(v) = 1.0 for every vertex;
+    *   r_{t+1}(v) = 0.15 + 0.85 * Σ_{u→v} r_t(u) / outdeg(u)
+    * over the distinct edge set; dangling-vertex mass is dropped (the GraphX
+    * convention).
+    *
+    * Scale shape: edges are deduped, pre-partitioned by `src` and persisted
+    * once; each iteration joins the (vertex-sized) rank table against that
+    * fixed partitioning — only ranks shuffle per iteration, never the edge
+    * relation. `localCheckpoint` truncates the iterative-join lineage.
     */
-  def pageRank(edges: DataFrame, numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
+  def pageRank(edges: DataFrame, numIter: Int = 10): DataFrame = {
     val spark = edges.sparkSession
-    import spark.implicits._
-    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
-    val g = XGraph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
-    val pr = g.staticPageRank(numIter, resetProb).vertices.map { case (v, r) => (v, r) }
-    val out = pr.toDF("vertex", "rank")
-    g.unpersist(blocking = false)
-    out
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = vertices(e).localCheckpoint(true)
+      val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      // contribution weight per edge is rank-independent: precompute 1/outdeg
+      val weighted = e.join(outdeg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        var ranks = v.withColumn("pr", lit(1.0)).localCheckpoint(true)
+        for (_ <- 1 to numIter) {
+          val inbound = weighted.join(ranks, weighted("src") === ranks("vertex"))
+            .groupBy(col("dst").as("vertex"))
+            .agg(sum(col("pr") * col("w")).as("m"))
+          ranks = v.join(inbound, Seq("vertex"), "left_outer")
+            .select(col("vertex"), (lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
+            .localCheckpoint(true)
+        }
+        ranks.select(col("vertex"), round(col("pr"), 6).as("pr")).orderBy("vertex")
+      } finally weighted.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[pageRank]]: the same fixed-iteration recurrence
+    * unrolled as chained CTEs (recursive CTEs can't aggregate in the
+    * recursive term), rounded to the same 1e-6 grain.
+    */
+  def pageRankSql(edgeSql: String, numIter: Int = 10): String = {
+    val b = new StringBuilder
+    b ++= s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t),\n"
+    b ++= "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),\n"
+    b ++= "w AS (SELECT src, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS w FROM e),\n"
+    b ++= "r0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) AS pr FROM v)"
+    for (i <- 1 to numIter) {
+      b ++= s",\nr$i AS (SELECT v.vertex, 0.15 + 0.85 * COALESCE(s.m, 0) AS pr FROM v " +
+        s"LEFT JOIN (SELECT w.dst AS vertex, SUM(r.pr * w.w) AS m FROM w " +
+        s"JOIN r${i - 1} r ON r.vertex = w.src GROUP BY w.dst) s ON s.vertex = v.vertex)"
+    }
+    b ++= s"\nSELECT vertex, ROUND(pr, 6) AS pr FROM r$numIter ORDER BY vertex"
+    b.toString
   }
 
   /** Per-vertex triangle count over the underlying undirected simple graph
     * (self-loops dropped, edges canonicalized to a<b, deduped):
     * `(vertex BIGINT, triangles BIGINT)`; only vertices in ≥1 triangle appear.
     *
-    * Pure DataFrame plan: wedge join (e1 ⋈ e2 on shared low endpoint) then
-    * closing-edge semi-check — the standard distributed triangle enumeration.
-    * AQE handles the skew on high-degree vertices; at 100 TB add degree-based
-    * vertex ordering (orient edges low-degree→high-degree) — noted, not needed
-    * at test scale.
+    * Degree-oriented wedge enumeration: every undirected edge is oriented
+    * from its lower-(degree, id) endpoint to its higher one, wedges are built
+    * only at each edge's low endpoint, and the closing edge is looked up in
+    * the same orientation. Each triangle is found exactly once, and the wedge
+    * count per vertex is bounded by its *oriented* out-degree (≤ O(√m) on any
+    * graph) — a high-degree hub no longer makes the join quadratic in its
+    * degree, which is the standard skew-killer at 100 TB.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
@@ -94,10 +157,25 @@ object Analytics {
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
       .distinct()
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      .join(und.as("e3"), col("y") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient a—b from the lexicographically lower (deg, id) endpoint; carry
+    // the head's (deg, id) so wedges can be canonicalized without re-joining
+    val lowFirst = struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b"))
+    val oriented = und
+      .join(deg.as("da"), col("a") === col("da.v"))
+      .join(deg.as("db"), col("b") === col("db.v"))
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("w"),
+        when(lowFirst, col("db.deg")).otherwise(col("da.deg")).as("wdeg"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.wdeg"), col("e1.w")) < struct(col("e2.wdeg"), col("e2.w")))
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+      // rank(y) < rank(z), so the closing edge — if present — is oriented y→z
+      .join(oriented.as("e3"), col("y") === col("e3.u") && col("z") === col("e3.w"), "left_semi")
     tri.select(col("x").as("vertex"))
       .union(tri.select(col("y").as("vertex")))
       .union(tri.select(col("z").as("vertex")))

@@ -103,7 +103,9 @@ class GraphCatalog(spark: SparkSession, root: String) {
   }
 
   private def requireVertex(edges: DataFrame, v: Long): Unit = {
-    val found = edges.filter(col("src") === v || col("dst") === v).limit(1).count() > 0
+    // isEmpty = take(1) under the hood — stops at the first matching row
+    // instead of counting the whole scan
+    val found = !edges.filter(col("src") === v || col("dst") === v).isEmpty
     if (!found) throw new IllegalArgumentException(s"start vertex $v not present in graph")
   }
 }

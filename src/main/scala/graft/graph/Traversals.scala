@@ -1,6 +1,7 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.graphx.{Edge, EdgeDirection, Graph => XGraph, Pregel}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -20,17 +21,18 @@ import org.apache.spark.storage.StorageLevel
   *    (`dfsLeaves`).
   *
   * Scale notes:
-  *  - `bfs` / `shortestPathsFrom` are frontier-iterative DataFrame jobs: each
-  *    superstep is one shuffle-join of the frontier against the edge table,
-  *    with `localCheckpoint` truncating lineage (the classic iterative-join
-  *    blowup fix — GraphX's Pregel does the same internally). The edge table is
-  *    persisted once and reused across supersteps, so a 100 TB edge list is
-  *    scanned from parquet once, not per level.
+  *  - `bfs` / `multiSourceBfs` run on GraphX Pregel: the edge relation is
+  *    partitioned ONCE and stays resident; each superstep ships only frontier
+  *    messages (changed vertices), not the edge table. This replaces the
+  *    round-1 DataFrame loop that re-shuffled the full edge relation per level
+  *    — at 100 TB x diameter-D that was D full-data shuffles; Pregel is
+  *    D message-sized exchanges. Supersteps ≡ the reference's recursion levels
+  *    (`secondaryServer.c:154-161`).
   *  - DFS is inherently sequential (each step depends on the full visited set),
-  *    so `dfsPreorder` is explicitly scoped to graphs whose adjacency fits on
-  *    the driver — faithful to the reference, whose graphs cap at 30 vertices
-  *    (`utils.h:26`). For reachability at scale, use `bfs` (same visited set,
-  *    level order instead of preorder).
+  *    so `dfsPreorder` is explicitly scoped to graphs whose *reachable
+  *    subgraph* fits on the driver — faithful to the reference, whose graphs
+  *    cap at 30 vertices (`utils.h:26`). For reachability at scale, use
+  *    [[bfs]] (same visited set, level order instead of preorder).
   */
 object Traversals {
 
@@ -46,38 +48,44 @@ object Traversals {
   def bfs(edges: DataFrame, start: Long, maxDepth: Int = Int.MaxValue): DataFrame =
     multiSourceBfs(edges, Seq(start), maxDepth)
 
-  /** Multi-source BFS: level = min hops from any source. Same contract as
-    * [[bfs]]; sources all sit at level 0.
+  /** Multi-source BFS: level = min hops from any source; sources sit at level
+    * 0. Pregel BSP — see scale notes above.
     */
   def multiSourceBfs(edges: DataFrame, sources: Seq[Long], maxDepth: Int = Int.MaxValue): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     require(sources.nonEmpty, "BFS requires at least one start vertex")
 
-    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var frontier = sources.distinct.toDF("vertex").localCheckpoint(true)
-      var visited = frontier.withColumn("level", lit(0)).localCheckpoint(true)
-      var level = 0
-      var done = false
-      while (!done && level < maxDepth) {
-        // expand frontier one hop; anti-join drops already-visited vertices
-        val next = frontier
-          .join(e, frontier("vertex") === e("src"))
-          .select(e("dst").as("vertex"))
-          .distinct()
-          .join(visited, Seq("vertex"), "left_anti")
-          .localCheckpoint(true) // materialize: truncates lineage per superstep
-        if (next.isEmpty) done = true
-        else {
-          level += 1
-          visited = visited.union(next.withColumn("level", lit(level))).localCheckpoint(true)
-          frontier = next
-        }
-      }
-      visited.select($"vertex", $"level".cast("int").as("level")).orderBy("level", "vertex")
-    } finally e.unpersist(blocking = false)
+    val srcSet = sources.distinct.toSet
+    val INF = Int.MaxValue
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    // Sources are seeded as explicit vertices so an isolated source still
+    // reports (source, 0) — the reference records the start unconditionally
+    // (`secondaryServer.c:380`). Other vertices materialize from the edges.
+    val seedRdd = spark.sparkContext.parallelize(srcSet.toSeq.map(v => (v, ())))
+    val g = XGraph(seedRdd, edgeRdd, (),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (srcSet(id)) 0 else INF)
+    val res = Pregel(g, initialMsg = INF, maxIterations = maxDepth,
+      activeDirection = EdgeDirection.Out)(
+      vprog = (_, attr, msg) => math.min(attr, msg),
+      sendMsg = t =>
+        if (t.srcAttr != INF && t.srcAttr + 1 < t.dstAttr) Iterator((t.dstId, t.srcAttr + 1))
+        else Iterator.empty,
+      mergeMsg = math.min)
+    val out = res.vertices.filter(_._2 != INF)
+      .map { case (v, l) => (v, l) }
+      .toDF("vertex", "level")
+      .select($"vertex", $"level".cast("int").as("level"))
+      .orderBy("level", "vertex")
+      .localCheckpoint(true) // materialize so the cached graphs can be freed
+    res.unpersistVertices(blocking = false)
+    res.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    out
   }
 
   /** Vertices reachable from `start` (BFS visited set) as `(vertex BIGINT)`. */
@@ -118,6 +126,10 @@ object Traversals {
     * was already visited at the moment of the visit — excluding the start
     * vertex (`secondaryServer.c:290`). Deterministic lowest-id-first schedule.
     * Returns `(vertex BIGINT)` ordered by id.
+    *
+    * Iterative (explicit frame stack with per-frame spawned-child count), so a
+    * path graph of millions of vertices cannot overflow the JVM stack — same
+    * discipline as [[dfsPreorder]].
     */
   def dfsLeaves(edges: DataFrame, start: Long): DataFrame = {
     val spark = edges.sparkSession
@@ -125,15 +137,30 @@ object Traversals {
     val adj = collectAdjacency(edges, start)
     val seen = scala.collection.mutable.HashSet.empty[Long]
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def visit(v: Long): Unit = {
-      seen += v
-      var spawned = 0
-      adj.getOrElse(v, Array.empty[Long]).foreach { n =>
-        if (!seen(n)) { spawned += 1; visit(n) }
+    // frame = (vertex, neighbor iterator, children spawned so far); a child is
+    // "spawned" when the neighbor was unvisited at the moment we advance past
+    // it — exactly the recursive reference semantics, sans recursion.
+    final class Frame(val v: Long, val it: Iterator[Long]) { var spawned = 0 }
+    def frame(v: Long) = new Frame(v, adj.getOrElse(v, Array.empty[Long]).iterator)
+    seen += start
+    val stack = scala.collection.mutable.Stack(frame(start))
+    while (stack.nonEmpty) {
+      val f = stack.top
+      var pushed = false
+      while (!pushed && f.it.hasNext) {
+        val n = f.it.next()
+        if (!seen(n)) {
+          seen += n
+          f.spawned += 1
+          stack.push(frame(n))
+          pushed = true
+        }
       }
-      if (spawned == 0 && v != start) leaves += v
+      if (!pushed) {
+        stack.pop()
+        if (f.spawned == 0 && f.v != start) leaves += f.v
+      }
     }
-    visit(start)
     leaves.toSeq.sorted.map(Tuple1(_)).toDF("vertex")
   }
 

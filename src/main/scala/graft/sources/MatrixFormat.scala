@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,19 +14,33 @@ import org.apache.spark.sql.functions._
   * }}}
   *
   * `aij == 1` ⇒ edge i→j; ids are 1-based externally (`secondaryServer.c:292`).
-  * The reader converts dense matrix → sparse 1-based edge list as a single
-  * declarative plan: number lines, split, posexplode, filter on cell==1 —
-  * fully distributed, no driver loop, so a matrix far beyond the reference's
-  * 30-vertex cap (`utils.h:26`) still streams through executors.
+  * The dense-matrix format is inherently single-file and driver-sized (the
+  * reference caps n at 30, `utils.h:26`); both directions here enforce that
+  * contract explicitly. The scalable path for graph IO is GraphCatalog's
+  * parquet edge lists — this format exists for golden-file parity with the
+  * reference only.
   */
 object MatrixFormat {
 
-  /** Read a matrix text file → edges `(src LONG, dst LONG)`, 1-based ids. */
+  /** Read a matrix text file → edges `(src LONG, dst LONG)`, 1-based ids.
+    *
+    * Single-file contract (enforced): line numbers are semantic in this
+    * format, so a directory or multi-file glob — where Spark's text source
+    * gives no cross-file ordering — is rejected rather than silently
+    * mis-numbered.
+    */
   def readEdges(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = fs.globStatus(p)
+    require(matches != null && matches.length == 1 && matches.head.isFile,
+      s"matrix format is a single text file; '$path' resolves to " +
+        s"${if (matches == null) 0 else matches.length} entries")
     val lines = spark.read.text(path)
       .select(monotonically_increasing_id().as("fileRow"), col("value"))
     // monotonically_increasing_id is ordered within a partition but not dense
-    // across partitions; re-rank to a dense 0-based line number.
+    // across partitions; re-rank to a dense 0-based line number. The single
+    // Window partition is fine: one file ⇒ driver-sized input by contract.
     import org.apache.spark.sql.expressions.Window
     val numbered = lines.withColumn("lineNo",
       row_number().over(Window.orderBy("fileRow")) - 1)
@@ -37,20 +52,42 @@ object MatrixFormat {
       .select(col("src").cast("long"), (col("colIdx") + 1).cast("long").as("dst"))
   }
 
+  /** Read just the header line (declared vertex count) of a matrix file. */
+  def readVertexCount(spark: SparkSession, path: String): Int = {
+    val first = spark.read.text(path).limit(1).collect()
+    require(first.nonEmpty, s"empty matrix file: $path")
+    first.head.getString(0).trim.toInt
+  }
+
   /** Write edges `(src, dst)` (1-based) as the reference's dense text format.
-    * Dense n×n output is inherently driver-sized (the reference caps n at 30,
-    * `utils.h:26`); guarded accordingly.
+    *
+    * @param vertexCount explicit n for the header; defaults to the max edge
+    *                    endpoint — pass it to round-trip graphs with trailing
+    *                    isolated vertices (the header is the format's true
+    *                    vertex count, `primaryServer.c:43`).
+    *
+    * Ids are validated to be ≥ 1 (the format is 1-based,
+    * `secondaryServer.c:292`); dense n×n output is inherently driver-sized,
+    * guarded by `maxVertices`.
     */
-  def writeMatrix(spark: SparkSession, edges: DataFrame, path: String, maxVertices: Int = 10000): Unit = {
+  def writeMatrix(spark: SparkSession, edges: DataFrame, path: String,
+                  vertexCount: Option[Int] = None, maxVertices: Int = 10000): Unit = {
     import spark.implicits._
     val pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
-    val n = if (pairs.isEmpty) 0 else pairs.flatMap(p => Seq(p._1, p._2)).max.toInt
+    pairs.foreach { case (s, d) =>
+      require(s >= 1 && d >= 1,
+        s"matrix format ids are 1-based; got edge ($s, $d) — shift ids before writing")
+    }
+    val maxId = if (pairs.isEmpty) 0 else pairs.iterator.flatMap(p => Iterator(p._1, p._2)).max.toInt
+    val n = math.max(maxId, vertexCount.getOrElse(0))
+    require(vertexCount.forall(_ >= maxId),
+      s"vertexCount ${vertexCount.get} < max edge endpoint $maxId")
     require(n <= maxVertices, s"dense matrix output capped at $maxVertices vertices, got $n")
     val m = Array.fill(n, n)(0)
     pairs.foreach { case (s, d) => m(s.toInt - 1)(d.toInt - 1) = 1 }
     val text = (Seq(n.toString) ++ m.map(_.mkString(" "))).mkString("\n") + "\n"
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
