@@ -1,8 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.graph.{Analytics, DerivedGraphs, Traversals}
+import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, Traversals}
+import graft.llm.{Dedup, MediaOps, Similarity, TextOps}
+import graft.sources.MatrixFormat
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,10 +16,11 @@ import graft.graph.{Analytics, DerivedGraphs, Traversals}
   * ORDER BY are kept identical on both sides (the driver sorts columns by name
   * and hash-compares values).
   *
-  * Float discipline: every oracle-checked money aggregate is computed in
-  * exact DECIMAL arithmetic and cast to DOUBLE only at the end, so Spark's
-  * partial-aggregation order cannot perturb the result (double summation is
-  * order-sensitive; decimal summation is exact).
+  * Float discipline: oracle-checked money aggregates are computed in exact
+  * DECIMAL and cast to DOUBLE at the end (partial-aggregation order cannot
+  * perturb them); iterative float results (PageRank, cosine) are rounded to a
+  * grain (1e-6) far above the accumulated fp error; every other oracle column
+  * is integer/string/exact.
   */
 object SparkEntry {
 
@@ -48,8 +53,27 @@ object SparkEntry {
       Analytics.degrees(DerivedGraphs.big(s, dir), dedup = false).orderBy("vertex")),
     "g7_pagerank" -> ((s, dir) =>
       Analytics.pageRank(DerivedGraphs.small(s, dir), numIter = 10)),
-    "g8_dfs_preorder" -> ((s, dir) => // sequential by nature: rows-only check
+    "g8_dfs_preorder" -> ((s, dir) => // sequential by nature: rows-only here,
+      // preorder ≡ sequential oracle is property-checked in TraversalProps
       Traversals.dfsPreorder(DerivedGraphs.small(s, dir), start = 0L)),
+    "g9_dfs_leaves" -> ((s, dir) => // reference op-3 leaf-set semantics
+      // (secondaryServer.c:93-97); oracle-checked in-suite (TraversalProps)
+      Traversals.dfsLeaves(DerivedGraphs.small(s, dir), start = 0L)),
+    "g10_matrix_roundtrip" -> ((s, dir) => {
+      // the reference's full write path (op 1, primaryServer.c:40-63):
+      // catalog add -> dense-matrix text file -> re-ingest -> analytics;
+      // oracle computes the same degrees straight from the source table
+      val root = java.nio.file.Files.createTempDirectory("graft-rt")
+      val cat = new GraphCatalog(s, root.resolve("graphs").toString)
+      val oneBased = DerivedGraphs.small(s, dir)
+        .select((col("src") + 1).as("src"), (col("dst") + 1).as("dst"))
+      cat.addGraph("rt", oneBased)
+      val mtx = root.resolve("rt.txt").toString
+      MatrixFormat.writeMatrix(s, cat.graph("rt"), mtx)
+      val back = MatrixFormat.readEdges(s, mtx)
+        .select((col("src") - 1).as("src"), (col("dst") - 1).as("dst"))
+      Analytics.degrees(back, dedup = false).orderBy("vertex")
+    }),
 
     // ---- relational: aggregation ----
     "q1_pricing_summary" -> ((s, dir) =>
@@ -70,6 +94,15 @@ object SparkEntry {
           col("l_shipdate") < expr("TIMESTAMP'1997-01-01 00:00:00'") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(dec12("l_extendedprice") * dec4("l_discount")).cast("double").as("revenue"))),
+    "q7_rollup_revenue" -> ((s, dir) => // grouping-sets surface: rollup with
+      // GROUPING disambiguators; integer-exact measures
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec12("l_quantity")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
 
     // ---- relational: joins ----
     "q3_top_revenue" -> ((s, dir) => {
@@ -84,6 +117,112 @@ object SparkEntry {
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     }),
+    "q4_semi_join" -> ((s, dir) => { // orders with >=1 returned lineitem
+      val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      Tables.orders(s, dir)
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    "q5_anti_join" -> ((s, dir) => // customers with no big-ticket orders
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    // ---- events: json / window functions / set ops / as-of / range ----
+    "e1_json_stats" -> ((s, dir) =>
+      EventStreams.normalized(Tables.events(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+    "e2_first_events" -> ((s, dir) => { // window fns: first 3 events per user
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      EventStreams.normalized(Tables.events(s, dir))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn").cast("long").as("rn"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+        .orderBy("user_id", "rn")
+    }),
+    "e3_intersect_users" -> ((s, dir) => { // set op: INTERSECT
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "e4_except_users" -> ((s, dir) => { // set op: EXCEPT on (user, payload)
+      // pairs — selective enough to be non-vacuous on dense event data
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+      ev.filter(col("event_type") === "view").select("user_id", "k")
+        .except(ev.filter(col("event_type") === "click").select("user_id", "k"))
+        .orderBy("user_id", "k")
+    }),
+    "e6_asof_attribution" -> ((s, dir) => {
+      // as-of join: each purchase attributed to the user's latest view at or
+      // before it (union + last(ignoreNulls) over an ordered window — the
+      // shuffle-once distributed as-of; DuckDB mirrors with ASOF-equivalent
+      // window SQL in microseconds so tie semantics match exactly)
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+      val tagged = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), lit(0).as("kind"), col("event_id"))
+        .unionAll(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), lit(1).as("kind"), col("event_id")))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("view_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("view_id"))
+        .orderBy("purchase_id")
+    }),
+    "e7_range_pairs" -> ((s, dir) => {
+      // range join: clicks within 1 h after a view by the same user.
+      // Bucketed to 1 h grains so the join is equi on (user, bucket) with
+      // only a 2-bucket fan-out — no quadratic range explosion at scale.
+      val B = 3600000000L
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("v_us"))
+        .withColumn("jb", explode(array(expr(s"v_us div $B"), expr(s"v_us div $B + 1"))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_us"), expr(s"ts_us div $B").as("cb"))
+      views.join(clicks, views("user_id") === clicks("user_id") &&
+          col("jb") === col("cb") &&
+          col("c_us") >= col("v_us") && col("c_us") - col("v_us") <= B)
+        .groupBy(views("user_id").as("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // ---- streaming surface (same plans run under readStream; see
+    //      EventStreams + StreamingSpec for the MemoryStream equivalence) ----
+    "st1_tumbling_hourly" -> ((s, dir) =>
+      EventStreams.tumblingCounts(Tables.events(s, dir)).orderBy("window_start_us", "event_type")),
+    "st2_sliding_counts" -> ((s, dir) =>
+      EventStreams.slidingCounts(Tables.events(s, dir)).orderBy("window_start_us", "event_type")),
+    "st3_session_windows" -> ((s, dir) =>
+      EventStreams.sessionCounts(Tables.events(s, dir)).orderBy("user_id", "session_start_us")),
+
+    // ---- LLM-pipeline: dedup ----
+    "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "d2_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
+    "d3_minhash_pairs" -> ((s, dir) => Dedup.minHashLshPairs(Tables.documents(s, dir))),
+    "d4_simhash_pairs" -> ((s, dir) => Dedup.simHashPairs(Tables.documents(s, dir))),
+
+    // ---- LLM-pipeline: similarity search ----
+    "s1_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    "s2_ann_lsh" -> ((s, dir) => // approximate by construction: rows-only
+      // here; recall vs exact top-k is asserted in SimilaritySpec
+      Similarity.lshTopK(Tables.embeddings(s, dir))),
+
+    // ---- LLM-pipeline: text analysis + multimodal ----
+    "t1_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
+    "t2_language_id" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
+    "t3_quality" -> ((s, dir) => TextOps.qualityBuckets(Tables.documents(s, dir))),
+    "t4_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
+    "t5_token_freq" -> ((s, dir) => TextOps.tokenFrequency(Tables.documents(s, dir))),
+    "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -136,6 +275,13 @@ object SparkEntry {
          |       COALESCE(out_degree, 0) AS out_degree, COALESCE(in_degree, 0) AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
     "g7_pagerank" -> Analytics.pageRankSql(DerivedGraphs.smallSql, numIter = 10),
+    "g10_matrix_roundtrip" ->
+      s"""WITH e AS (${DerivedGraphs.smallSql}),
+         |o AS (SELECT src AS vertex, COUNT(*) AS out_degree FROM e GROUP BY 1),
+         |i AS (SELECT dst AS vertex, COUNT(*) AS in_degree FROM e GROUP BY 1)
+         |SELECT COALESCE(o.vertex, i.vertex) AS vertex,
+         |       COALESCE(out_degree, 0) AS out_degree, COALESCE(in_degree, 0) AS in_degree
+         |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -150,6 +296,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
@@ -158,5 +310,64 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "e1_json_stats" -> // SUM(BIGINT) is HUGEINT in DuckDB: cast back so the
+      // dtype matches Spark's LONG
+      """SELECT event_type, COUNT(*) AS n, SUM((props ->> 'k')::BIGINT)::BIGINT AS sum_k,
+        |       MIN((props ->> 'k')::BIGINT) AS min_k, MAX((props ->> 'k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e2_first_events" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS e,
+        |                  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+        |                  epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |           FROM events)
+        |SELECT user_id, event_id, rn::BIGINT AS rn, gap_us FROM o WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "e3_intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "e4_except_users" ->
+      """SELECT user_id, (props ->> 'k')::BIGINT AS k FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id, (props ->> 'k')::BIGINT AS k FROM events WHERE event_type = 'click'
+        |ORDER BY user_id, k""".stripMargin,
+    "e6_asof_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 0 AS kind, event_id FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS kind, event_id FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT *, last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id
+        |      FROM t)
+        |SELECT event_id AS purchase_id, user_id, view_id FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin,
+    "e7_range_pairs" ->
+      """SELECT v.user_id, COUNT(*) AS n_pairs
+        |FROM (SELECT user_id, epoch_us(ts) AS v_us FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND c.c_us >= v.v_us AND c.c_us - v.v_us <= 3600000000
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "st1_tumbling_hourly" -> EventStreams.tumblingCountsSql(),
+    "st2_sliding_counts" -> EventStreams.slidingCountsSql(),
+    "st3_session_windows" -> EventStreams.sessionCountsSql(),
+    "d1_exact_dedup" -> Dedup.exactDedupSql,
+    "d2_jaccard_pairs" -> Dedup.jaccardPairsSql(),
+    "d3_minhash_pairs" -> Dedup.jaccardPairsSql(), // LSH+verify ≡ exact join
+    "d4_simhash_pairs" -> Dedup.simHashPairsSql(),
+    "s1_cosine_topk" -> Similarity.cosineTopKSql(),
+    "t1_text_stats" -> TextOps.textStatsSql,
+    "t2_language_id" -> TextOps.languageIdSql,
+    "t3_quality" -> TextOps.qualityBucketsSql,
+    "t4_fingerprints" -> TextOps.fingerprintsSql,
+    "t5_token_freq" -> TextOps.tokenFrequencySql(),
+    "m1_media_meta" -> MediaOps.mediaMetaSql,
   )
 }

@@ -20,7 +20,17 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = table(s, d, "events")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
+    * outright; read it as a long (legacy conf) and surface a proper
+    * microsecond TIMESTAMP column — the same floor(ns/1000) DuckDB's
+    * `epoch_us` applies, so oracle comparisons stay exact.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 }

@@ -164,22 +164,26 @@ object Traversals {
     leaves.toSeq.sorted.map(Tuple1(_)).toDF("vertex")
   }
 
-  /** Collect the reachable subgraph's adjacency to the driver, neighbors
-    * sorted ascending. Restricting to the reachable set (computed
-    * distributively first) bounds driver memory by the traversal's actual
-    * footprint, not the full graph.
+  /** Max edges a DFS will collect to the driver before failing loudly. */
+  val MaxDfsEdges: Long = 5000000L
+
+  /** Collect the graph's adjacency to the driver, neighbors sorted
+    * ascending, guarded by [[MaxDfsEdges]]. DFS is sequential by nature
+    * (SURVEY §2.2(1)) so the driver holds the adjacency; the traversal
+    * itself only ever touches the reachable part. For larger graphs,
+    * pre-filter the edge set or use [[bfs]].
     */
   private def collectAdjacency(edges: DataFrame, start: Long): Map[Long, Array[Long]] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val reach = bfs(edges, start).select("vertex")
-    edges
-      .join(reach, edges("src") === reach("vertex"), "left_semi")
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct()
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
+      .limit(MaxDfsEdges.toInt + 1)
       .as[(Long, Long)]
       .collect()
-      .groupBy(_._1)
+    require(e.length <= MaxDfsEdges,
+      s"DFS collects adjacency to the driver and is capped at $MaxDfsEdges edges; " +
+        "pre-filter the edge set or use bfs() for reachability at scale")
+    e.groupBy(_._1)
       .map { case (s, arr) => s -> arr.map(_._2).sorted }
   }
 }

@@ -1,0 +1,233 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Document deduplication for the training-data pipeline surface: exact,
+  * shingle-Jaccard (exact similarity join), MinHash+LSH (the probabilistic
+  * scale path), and SimHash with pigeonhole banding.
+  *
+  * Scale design: none of these ever materializes the all-pairs cross
+  * product.
+  *  - exact: one hash-shuffle, O(n).
+  *  - jaccardPairs: prefix-filtered similarity join (Bayardo et al.'s
+  *    AllPairs): each doc indexes only its |s| - ⌈τ|s|⌉ + 1 globally-rarest
+  *    shingles; any pair with J ≥ τ provably shares an indexed shingle, so
+  *    candidate generation joins only on RARE shingles — the frequent-token
+  *    quadratic blowup of a naive inverted-index join never happens. Exact,
+  *    not probabilistic.
+  *  - minHashLsh: banded signature buckets (64 hashes, 32 bands × 2);
+  *    signatures are built as 64 flat codegen'd min-aggregates with map-side
+  *    partial aggregation, so the shuffle carries one 64-long row per doc
+  *    per partition, not 64 rows per shingle.
+  *  - simHashPairs: hamming-ball lookup via the pigeonhole split — distance
+  *    ≤ k implies at least one of k+1 chunks equal, so bucketing by chunk
+  *    value has exact recall (not probabilistic).
+  */
+object Dedup {
+
+  /** Exact dedup: every doc mapped to the keeper (min doc_id) of its
+    * identical-text group. `(doc_id, keeper, n_copies)` — `doc_id == keeper`
+    * iff the doc is the group representative.
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val groups = keyed.groupBy("h")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+    keyed.join(groups, "h").select("doc_id", "keeper", "n_copies").orderBy("doc_id")
+  }
+
+  val exactDedupSql: String =
+    """SELECT d.doc_id, g.keeper, g.n_copies
+      |FROM documents d
+      |JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |      FROM documents GROUP BY 1) g ON md5(d.text) = g.h
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** One row per (doc_id, distinct 3-gram shingle), materialized once per
+    * query (several downstream consumers). The input is re-spread across all
+    * cores first: a single-row-group parquet file would otherwise run the
+    * (CPU-heavy) tokenize+shingle explode on one thread.
+    */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .select(col("doc_id"),
+        explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("shingle"))
+      .localCheckpoint(true)
+  }
+
+  /** Exact Jaccard for the given candidate pairs: expand each pair by doc_a's
+    * shingles, probe doc_b's (doc, shingle) index, count matches. Cost is
+    * |candidates| × avg-set-size — independent of corpus-wide shingle
+    * frequencies.
+    */
+  private def verifiedPairs(sh: DataFrame, sizes: DataFrame, candidates: DataFrame,
+                            thresholdMille: Int): DataFrame =
+    candidates
+      .join(sh.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(sh.as("B"), col("doc_b") === col("B.doc_id") && col("A.shingle") === col("B.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa.sz") + col("sb.sz") - col("inter")).as("union_sz"))
+      .filter(col("inter") * 1000L >= lit(thresholdMille.toLong) * col("union_sz"))
+      .withColumn("jaccard_1000", expr("inter * 1000 div union_sz"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact near-dup pairs by 3-gram-shingle Jaccard ≥ threshold (in
+    * thousandths, so the cut is integer-exact in both engines):
+    * `(doc_a, doc_b, inter, union_sz, jaccard_1000)`.
+    *
+    * Prefix filtering (see object doc): docs are matched only through their
+    * `sz - ceil(τ·sz) + 1` rarest shingles (global (df, shingle) order). A
+    * pair with overlap ≥ ⌈τ·sz⌉ cannot hide entirely outside a prefix of
+    * that length (pigeonhole), so recall is exactly 1; the verify join then
+    * applies the precise Jaccard cut.
+    */
+  def jaccardPairs(docs: DataFrame, thresholdMille: Int = 500): DataFrame = {
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      // ceil(τ·sz) in pure integers: (sz·t + 999) div 1000
+      .filter(col("rk") <= col("sz") - expr(s"(sz * $thresholdMille + 999) div 1000") + 1)
+      .select("doc_id", "shingle", "sz")
+    val t = thresholdMille.toLong
+    val candidates = prefix.as("x")
+      .join(prefix.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+        // length filter: J ≥ τ needs τ·|x| ≤ |y| and τ·|y| ≤ |x|
+        col("y.sz") * 1000L >= lit(t) * col("x.sz") && col("x.sz") * 1000L >= lit(t) * col("y.sz"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(sh, sizes, candidates, thresholdMille)
+  }
+
+  def jaccardPairsSql(thresholdMille: Int = 500): String =
+    s"""WITH ${TextOps.shinglesSql()},
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz,
+       |       inter * 1000 // (sa.sz + sb.sz - inter) AS jaccard_1000
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE inter * 1000 >= $thresholdMille * (sa.sz + sb.sz - inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash+LSH near-dup pairs: 64 minhashes per doc, banded 32×2; bucket
+    * collisions become candidates; candidates are verified with the exact
+    * Jaccard cut. Output schema/semantics identical to [[jaccardPairs]] —
+    * LSH recall at J ≥ 0.5 with r=2,b=32 is 1 - (1-J²)³² ≈ 0.9999+, so the
+    * verified output equals the exact join (checked by the same oracle), at
+    * a fraction of the candidate-pair cost on a large corpus.
+    */
+  def minHashLshPairs(docs: DataFrame, thresholdMille: Int = 500,
+                      numHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    require(rowsPerBand == 2, "banding below assumes r=2 (two sig entries per band)")
+    val P = Hashing.MinHashP
+    val params = Hashing.minHashParams(numHashes)
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // one codegen'd min-aggregate per hash function: the signature shuffles
+    // as 64 flat long columns with map-side partial aggregation (an
+    // interpreted higher-order `transform` or a 64x explode is 30-100x
+    // slower here — measured)
+    val hashCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % P).as(s"m$i")
+    }
+    val sigs = sh
+      .select(col("doc_id"), (Hashing.hash60(col("shingle")) % P).as("x"))
+      .groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .localCheckpoint(true)
+    val bandArr = array((0 until numHashes / rowsPerBand).map(j => lit(j)): _*)
+    val bands = sigs.select(col("doc_id"), explode(bandArr).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        element_at(col("sig"), col("band") * 2 + 1).as("h0"),
+        element_at(col("sig"), col("band") * 2 + 2).as("h1"))
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h0") === col("y.h0") &&
+          col("x.h1") === col("y.h1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(sh, sizes, candidates, thresholdMille)
+  }
+
+  /** 60-bit SimHash per doc over distinct tokens: bit i of the signature is
+    * set iff Σ_tokens (2·bit_i(hash60(token)) - 1) > 0. `(doc_id, simhash)`.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // one codegen'd sum per bit (same flat-column trick as the MinHash
+    // signature): 60 narrow aggregates beat a 60x explode by a wide margin
+    val bitSums = (0 until 60).map(i =>
+      sum((shiftright(col("h"), i) % 2) * 2 - 1).as(s"s$i"))
+    val packed = (0 until 60).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    docs.repartition(par)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SQL mirror of [[simHash]] as a CTE named `sim`. */
+  private def simHashSqlCte: String =
+    s"""tok AS (SELECT DISTINCT doc_id, t AS tok
+       |        FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t FROM documents)),
+       |bits AS (SELECT doc_id, bit, 1::BIGINT << bit AS pw,
+       |                ((${Hashing.hash60Sql("tok")} // (1::BIGINT << bit)) % 2) * 2 - 1 AS sign
+       |         FROM tok, UNNEST(range(0, 60)) AS u(bit)),
+       |sums AS (SELECT doc_id, bit, pw, SUM(sign) AS s FROM bits GROUP BY 1, 2, 3),
+       |sim AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN pw ELSE 0 END)::BIGINT AS simhash FROM sums GROUP BY 1)""".stripMargin
+
+  /** Near-dup pairs with SimHash hamming distance ≤ `maxHamming`:
+    * `(doc_a, doc_b, hamming)`.
+    *
+    * The signature is split into `maxHamming + 1` chunks; by pigeonhole any
+    * pair within the distance bound agrees on ≥ 1 whole chunk, so bucketing
+    * by (chunk index, chunk value) has exact recall — the verification xor
+    * then drops false positives. No all-pairs product at any point.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = (60 + chunks - 1) / chunks
+    val sim = simHash(docs).localCheckpoint(true) // small: one long per doc
+    val chunkArr = array((0 until chunks).map(c =>
+      struct(lit(c).as("c"), lit(c * width).as("off"))): _*)
+    val buckets = sim.select(col("doc_id"), col("simhash"), explode(chunkArr).as("k"))
+      .select(col("doc_id"), col("simhash"), col("k.c").as("c"),
+        expr(s"(simhash div shiftleft(1L, k.off)) % ${1L << width}").as("v"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[simHashPairs]]: all-pairs xor popcount (fine at
+    * oracle scale; the Spark side is the one that must scale).
+    */
+  def simHashPairsSql(maxHamming: Int = 3): String =
+    s"""WITH $simHashSqlCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers, per the builder brief:
+  *  - [[cosineTopK]] — brute-force exact top-k: the oracle-checkable
+  *    baseline. O(|queries| × |corpus|); the query side is broadcast, so the
+  *    corpus is scanned once with no shuffle. Fine when |queries| is small —
+  *    this IS the production shape for "find neighbors of these N items".
+  *  - [[lshTopK]] — random-hyperplane LSH bucketing: the all-pairs scale
+  *    path. Each vector lands in one signature bucket; candidates are
+  *    same-bucket only, then exact re-rank. Approximate (a true neighbor can
+  *    land across a hyperplane), so it is NOT oracle-checked — recall is
+  *    property-tested against [[cosineTopK]] in the unit suite.
+  *
+  * All arithmetic is double-precision ordered folds (`zip_with` +
+  * `aggregate`, left-to-right), matching DuckDB's `list_dot_product` order,
+  * so scores cross-check bit-for-bit before the defensive 1e-6 rounding.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact cosine top-k: for each query vector (`vec_id < numQueries`), the
+    * `k` nearest corpus vectors (self excluded) by cosine similarity.
+    * `(query_id, neighbor_id, rank, cos_1e6)` — cosine scaled to integer
+    * millionths (floor) so the oracle compare is float-safe.
+    */
+  def cosineTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .filter(col("query_id") < numQueries)
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  def cosineTopKSql(numQueries: Int = 20, k: Int = 5): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |             list_dot_product(c.e, q.e) / (c.nrm * q.nrm) AS cos
+       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id < $numQueries),
+       |r AS (SELECT query_id, neighbor_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+       |             cos
+       |      FROM s)
+       |SELECT query_id, neighbor_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */
+  private def planes(numPlanes: Int, dim: Int, seed: Long = 7L): IndexedSeq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    IndexedSeq.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Signature-bucketed approximate top-k over ALL vectors: bucket by the
+    * sign pattern of `numPlanes` random-hyperplane projections, exact
+    * re-rank inside each bucket. `(query_id, neighbor_id, rank, cos_1e6)`
+    * for every vector with ≥ 1 bucket-mate.
+    *
+    * With p planes the corpus splits into ~2^p buckets: candidate pairs drop
+    * by ~2^p versus brute force while same-direction vectors mostly collide
+    * — the standard cosine-LSH trade. Recall is tested, not assumed.
+    */
+  def lshTopK(emb: DataFrame, k: Int = 5, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val pl = planes(numPlanes, dim)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val sig = pl.zipWithIndex.foldLeft(v) { case (df, (p, i)) =>
+      val planeLit = array(p.map(lit(_)): _*)
+      df.withColumn(s"b$i", when(dot(col("e"), planeLit) > 0, 1L << i).otherwise(0L))
+    }.withColumn("sig", (0 until numPlanes).map(i => col(s"b$i")).reduce(_ + _))
+      .select("vec_id", "e", "nrm", "sig")
+    val scored = sig.as("x")
+      .join(sig.as("y"), col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"),
+        (dot(col("x.e"), col("y.e")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+}

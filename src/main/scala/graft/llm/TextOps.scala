@@ -1,0 +1,177 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (builder brief; absent from the reference, which has no string processing
+  * at all — its only "text" is the ≤256-char reply buffer, `utils.h:5`).
+  *
+  * All declared-query paths are pure built-in expressions (codegen'd, no
+  * UDFs) and use integer arithmetic for every ratio (scaled by 1000), so the
+  * DuckDB oracle matches bit-exactly with no float discipline needed.
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens, empties dropped. Mirrors DuckDB
+    * `list_filter(string_split_regex(lower(x), '[^a-z0-9]+'), t -> t <> '')`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct word 3-gram shingles of a token array (the unit of near-dup
+    * detection); empty for docs with < 3 tokens.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB fragment: one row per (doc_id, distinct 3-gram shingle). */
+  def shinglesSql(docsTable: String = "documents"): String =
+    s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws FROM $docsTable),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM toks, UNNEST(range(1, len(ws) - 1)) AS u(i))""".stripMargin
+
+  /** Per-document stats: token/char counts and a type-token ratio in
+    * thousandths — the length/diversity signals a quality filter reads.
+    * `(doc_id, n_tokens, n_distinct_tokens, sum_token_chars, len_text,
+    * ttr_1000)`.
+    */
+  def textStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_token_chars"),
+      length(col("text")).cast("long").as("len_text"))
+      // `div` = integral division (Spark `/` on longs yields DOUBLE)
+      .withColumn("ttr_1000",
+        when(col("n_tokens") > 0, expr("n_distinct_tokens * 1000 div n_tokens")).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  len(ws)::BIGINT AS n_tokens,
+      |  len(list_distinct(ws))::BIGINT AS n_distinct_tokens,
+      |  COALESCE(list_sum(list_transform(ws, t -> len(t))), 0)::BIGINT AS sum_token_chars,
+      |  len(text)::BIGINT AS len_text,
+      |  (CASE WHEN len(ws) > 0 THEN len(list_distinct(ws)) * 1000 // len(ws) ELSE 0 END)::BIGINT AS ttr_1000
+      |FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws
+      |      FROM documents) ORDER BY doc_id""".stripMargin
+
+  /** Deterministic quality bucket from integer signals: the shape of a
+    * training-data quality filter (thresholds are illustrative; the operator
+    * is the point). `(doc_id, quality)`.
+    */
+  def qualityBuckets(docs: DataFrame): DataFrame =
+    textStats(docs).select(
+      col("doc_id"),
+      when(col("n_tokens") < 20, "too_short")
+        .when(col("ttr_1000") < 250, "repetitive")
+        .when(expr("sum_token_chars * 1000 div greatest(n_tokens, 1)") < 3000L, "short_tokens")
+        .otherwise("ok").as("quality"))
+      .orderBy("doc_id")
+
+  val qualityBucketsSql: String =
+    s"""WITH s AS ($textStatsSql)
+       |SELECT doc_id,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN ttr_1000 < 250 THEN 'repetitive'
+       |       WHEN sum_token_chars * 1000 // greatest(n_tokens, 1) < 3000 THEN 'short_tokens'
+       |       ELSE 'ok' END AS quality
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Marker words per language for the n-gram(1) language-ID heuristic.
+    * Declared `val` so tests and the SQL mirror stay in lock-step.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "los", "las", "de", "que", "es", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une"))
+
+  /** Language-ID via marker-word counts: predicted = language with the most
+    * marker hits; ties break to the lexicographically first language;
+    * zero hits ⇒ 'und' (BCP-47 undetermined). `(doc_id, pred_lang)`.
+    *
+    * A real n-gram language model needs corpus statistics this container
+    * doesn't ship; marker-word scoring is the standard cheap fallback and is
+    * exercised against genuinely multilingual sentences in the unit suite.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val counts = langMarkers.map { case (lang, ms) =>
+      size(filter(toks, t => t.isin(ms: _*))).cast("long").as(s"c_$lang")
+    }
+    val withCounts = docs.select(col("doc_id") +: counts: _*)
+    // argmax with lexicographic tie-break = first lang whose count equals the
+    // max and is positive
+    val maxC = greatest(langMarkers.map { case (l, _) => col(s"c_$l") }: _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), els) =>
+      when(col(s"c_$l") === maxC && maxC > 0, lit(l)).otherwise(els)
+    }
+    // foldRight keeps declaration order precedence (de checked first)
+    withCounts.select(col("doc_id"), pred.as("pred_lang")).orderBy("doc_id")
+  }
+
+  val languageIdSql: String = {
+    val countCols = langMarkers.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(ws, t -> t IN ($set))) AS c_$lang"
+    }.mkString(",\n  ")
+    val maxExpr = s"greatest(${langMarkers.map { case (l, _) => s"c_$l" }.mkString(", ")})"
+    val caseArms = langMarkers.map { case (l, _) =>
+      s"WHEN c_$l = $maxExpr AND $maxExpr > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws FROM documents),
+       |c AS (SELECT doc_id,
+       |  $countCols
+       |FROM t)
+       |SELECT doc_id, CASE $caseArms ELSE 'und' END AS pred_lang FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprints: md5 of the normalized token stream (exact-dup
+    * key robust to whitespace/punctuation noise) + the minimum 60-bit shingle
+    * hash (a 1-function MinHash — the cheapest similarity sketch).
+    * `(doc_id, fp_md5 STRING(16), min_shingle_hash BIGINT nullable)`.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      substring(md5(concat_ws(" ", toks)), 1, 16).as("fp_md5"),
+      array_min(transform(shingles3(toks), s => Hashing.hash60(s))).as("min_shingle_hash"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintsSql: String =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws FROM documents),
+       |s AS (SELECT doc_id, ws,
+       |        CASE WHEN len(ws) >= 3
+       |             THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)])
+       |             ELSE [] END AS sh
+       |      FROM t)
+       |SELECT doc_id,
+       |  substr(md5(list_aggregate(ws, 'string_agg', ' ')), 1, 16) AS fp_md5,
+       |  list_min(list_transform(sh, x -> ${Hashing.hash60Sql("x")})) AS min_shingle_hash
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Global token frequency (the canonical distributed word count):
+    * `(token, n)`, top `k` by count desc then token.
+    */
+  def tokenFrequency(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  def tokenFrequencySql(k: Int = 20): String =
+    s"""SELECT token, count(*) AS n
+       |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token FROM documents)
+       |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
+}

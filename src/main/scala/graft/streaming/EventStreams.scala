@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table — the streaming
+  * analogue of the reference's request loop (SURVEY §7 step 8; the reference
+  * itself has no streaming, `loadBalancer.c` is a blocking msgq poll).
+  *
+  * Every transform here is expressed once and runs in BOTH batch and
+  * streaming mode (same DataFrame code path — Spark's unified model), which
+  * is how the driver's batch oracle can check streaming semantics: the
+  * declared queries run the batch plan; `StreamingSpec` replays the same
+  * rows through a MemoryStream with watermarks and asserts the outputs
+  * agree.
+  *
+  * Scale notes: tumbling/sliding aggregations are partial-aggregated before
+  * the shuffle (hash agg per partition, merge after); session windows and
+  * the custom stateful op keep per-key state bounded and expire it on
+  * watermark/timeout, so state size tracks active keys, not history.
+  */
+object EventStreams {
+
+  /** Normalized event projection: micros-since-epoch `ts_us` plus the JSON
+    * payload int `k` — integer-exact columns the oracles can match.
+    */
+  def normalized(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("user_id"), col("event_type"), col("ts"),
+      unix_micros(col("ts")).as("ts_us"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Tumbling-window counts per event_type:
+    * `(window_start_us, event_type, n, sum_k)`. Batch and streaming. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     withWatermarkCol: Boolean = false): DataFrame = {
+    val base = normalized(events)
+    val src = if (withWatermarkCol) base.withWatermark("ts", "2 hours") else base
+    src.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"),
+        col("n"), col("sum_k"))
+  }
+
+  def tumblingCountsSql(widthSql: String = "1 hour"): String =
+    s"""SELECT epoch_us(time_bucket(INTERVAL '$widthSql', ts)) AS window_start_us, event_type,
+       |       COUNT(*) AS n, SUM((props ->> 'k')::BIGINT)::BIGINT AS sum_k
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sliding-window event counts (width/slide), per event_type. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    normalized(events)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
+
+  /** Sliding windows = union of per-slide tumbling assignments; DuckDB
+    * mirror enumerates the (width/slide) offsets explicitly.
+    */
+  def slidingCountsSql(widthUs: Long = 3600000000L, slideUs: Long = 1800000000L): String = {
+    val n = (widthUs / slideUs).toInt
+    s"""SELECT window_start_us, event_type, COUNT(*) AS n
+       |FROM (SELECT (epoch_us(ts) - epoch_us(ts) % $slideUs) - u.i * $slideUs AS window_start_us,
+       |             event_type, epoch_us(ts) AS e
+       |      FROM events, UNNEST(range(0, $n)) AS u(i))
+       |WHERE e >= window_start_us AND e < window_start_us + $widthUs
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Gap-based session windows per user (Spark `session_window`):
+    * `(user_id, session_start_us, n)`. Batch and streaming (streaming needs
+    * the watermark).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    withWatermarkCol: Boolean = false): DataFrame = {
+    val base = normalized(events)
+    val src = if (withWatermarkCol) base.withWatermark("ts", "2 hours") else base
+    src.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"), col("n"))
+  }
+
+  /** DuckDB mirror: classic lag/flag/cumsum sessionization — a new session
+    * starts when the gap from the previous event strictly exceeds `gapUs`
+    * (Spark's session_window closes at start + gap exclusive).
+    */
+  def sessionCountsSql(gapUs: Long = 1800000000L): String =
+    s"""WITH o AS (SELECT user_id, epoch_us(ts) AS e,
+       |                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= $gapUs
+       |                       THEN 1 ELSE 0 END AS brk
+       |           FROM events),
+       |s AS (SELECT user_id, e, SUM(brk) OVER (PARTITION BY user_id ORDER BY e) AS sid FROM o)
+       |SELECT user_id, MIN(e) AS session_start_us, COUNT(*) AS n
+       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
+
+  // ---- custom stateful operator: per-user running counter with timeout ----
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class UserRunning(user_id: Long, n_events: Long, last_type: String)
+
+  /** `mapGroupsWithState` running per-user aggregate — the custom-state
+    * escape hatch for logic windowed aggs can't express. State is one small
+    * case class per active user; `ProcessingTimeTimeout` expires idle users
+    * so state never grows monotonically.
+    */
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, ""))
+          val next = sorted.foldLeft(prev)((acc, e) => UserRunning(uid, acc.n_events + 1, e.event_type))
+          state.update(next)
+          state.setTimeoutDuration("1 hour")
+          next
+      }
+  }
+}

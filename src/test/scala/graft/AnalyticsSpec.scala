@@ -1,0 +1,64 @@
+package graft
+
+import graft.graph.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  private val k4 = // complete graph on {0,1,2,3}, one direction per pair
+    Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+
+  test("degrees: counts in/out with zero-fill") {
+    val d = Analytics.degrees(edgesDF(Seq((0L, 1L), (0L, 2L), (2L, 0L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d === Set((0L, 2L, 1L), (1L, 0L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("degrees: dedup=true collapses duplicate edges; dedup=false counts them") {
+    val dup = edgesDF(Seq((0L, 1L), (0L, 1L)))
+    val deduped = Analytics.degrees(dup).filter("vertex = 0").head.getLong(1)
+    val raw = Analytics.degrees(dup, dedup = false).filter("vertex = 0").head.getLong(1)
+    assert(deduped === 1L && raw === 2L)
+  }
+
+  test("connectedComponents: undirected, labeled by min vertex id") {
+    val cc = Analytics.connectedComponents(edgesDF(Seq((1L, 0L), (1L, 2L), (5L, 6L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cc === Set((0L, 0L), (1L, 0L), (2L, 0L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("triangleCounts: single triangle credits all three vertices") {
+    val t = Analytics.triangleCounts(edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 0L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t === Set((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("triangleCounts: K4 gives 3 per vertex; duplicate/reversed/self edges ignored") {
+    val noisy = k4 ++ Seq((1L, 0L), (2L, 2L), (0L, 1L))
+    val t = Analytics.triangleCounts(edgesDF(noisy))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t === Set((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+  }
+
+  test("triangleCounts: square has no triangles") {
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(Analytics.triangleCounts(edgesDF(sq)).count() === 0L)
+  }
+
+  test("pageRank matches the sequential fixed-iteration oracle") {
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (0L, 2L))
+    val got = Analytics.pageRank(edgesDF(g), numIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = SequentialOracles.pageRank(g, numIter = 10)
+    assert(got.keySet === want.keySet)
+    // engine output is rounded to 1e-6; allow the half-grain
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 6e-7, s"vertex $v") }
+  }
+
+  test("pageRank: dangling mass is dropped (GraphX convention), floor is 0.15") {
+    val got = Analytics.pageRank(edgesDF(Seq((0L, 1L))), numIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 0 never receives: stays at 0.15 after iter 1; 1 receives 0.85*r(0)
+    assert(got(0L) === 0.15)
+    assert(math.abs(got(1L) - (0.15 + 0.85 * 0.15)) < 1e-9)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.MatrixFormat
+
+/** Round-trip and contract tests for the reference's dense text format
+  * (`primaryServer.c:43-49` / `secondaryServer.c:208-228`).
+  */
+class MatrixFormatSpec extends SparkSpec {
+
+  private def tmpFile(name: String): String =
+    Files.createTempDirectory("graft-mtx").resolve(name).toString
+
+  private val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+
+  test("write then read round-trips the edge set") {
+    val p = tmpFile("g.txt")
+    MatrixFormat.writeMatrix(spark, edgesDF(edges), p)
+    assert(MatrixFormat.readEdges(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === edges.toSet)
+    assert(MatrixFormat.readVertexCount(spark, p) === 3)
+  }
+
+  test("explicit vertexCount preserves trailing isolated vertices") {
+    val p = tmpFile("g.txt")
+    MatrixFormat.writeMatrix(spark, edgesDF(Seq((1L, 2L))), p, vertexCount = Some(5))
+    assert(MatrixFormat.readVertexCount(spark, p) === 5)
+    // matrix body is 5x5: re-writing what we read with the header n keeps n=5
+    val p2 = tmpFile("g2.txt")
+    val back = MatrixFormat.readEdges(spark, p)
+    MatrixFormat.writeMatrix(spark, back, p2,
+      vertexCount = Some(MatrixFormat.readVertexCount(spark, p)))
+    assert(MatrixFormat.readVertexCount(spark, p2) === 5)
+  }
+
+  test("0- or negative ids are rejected with a clear error (format is 1-based)") {
+    val p = tmpFile("g.txt")
+    val e = intercept[IllegalArgumentException](
+      MatrixFormat.writeMatrix(spark, edgesDF(Seq((0L, 1L))), p))
+    assert(e.getMessage.contains("1-based"))
+  }
+
+  test("vertexCount below the max edge endpoint is rejected") {
+    val p = tmpFile("g.txt")
+    intercept[IllegalArgumentException](
+      MatrixFormat.writeMatrix(spark, edgesDF(edges), p, vertexCount = Some(2)))
+  }
+
+  test("writeMatrix enforces the dense-size guard") {
+    val p = tmpFile("g.txt")
+    intercept[IllegalArgumentException](
+      MatrixFormat.writeMatrix(spark, edgesDF(Seq((1L, 99999L))), p))
+  }
+
+  test("readEdges rejects directories and multi-file globs (line order is semantic)") {
+    val dir = Files.createTempDirectory("graft-mtx-multi")
+    Files.writeString(dir.resolve("a.txt"), "1\n0\n")
+    Files.writeString(dir.resolve("b.txt"), "1\n0\n")
+    intercept[IllegalArgumentException](MatrixFormat.readEdges(spark, dir.toString))
+    intercept[IllegalArgumentException](MatrixFormat.readEdges(spark, s"$dir/*.txt"))
+    // single concrete file via glob is fine
+    assert(MatrixFormat.readEdges(spark, s"$dir/a.txt").count() === 0L)
+  }
+
+  test("reference golden: hand-written matrix parses to the expected edges") {
+    // the exact shape primaryServer.c:43-49 emits for a 3-vertex graph
+    val p = tmpFile("golden.txt")
+    Files.writeString(java.nio.file.Paths.get(p), "3\n0 1 0\n0 0 1\n1 0 0\n")
+    assert(MatrixFormat.readEdges(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L), (2L, 3L), (3L, 1L)))
+  }
+}

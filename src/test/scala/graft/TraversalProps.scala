@@ -1,0 +1,63 @@
+package graft
+
+import graft.graph.Traversals
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck properties of SURVEY §5.2: random digraphs in the reference's
+  * domain (≤30 nodes, `utils.h:26`), distributed traversals vs the
+  * sequential oracles.
+  *
+  * Each trial runs real Spark jobs, so the trial count is kept small; graphs
+  * are capped at 14 vertices to bound Pregel superstep counts.
+  */
+object TraversalProps extends Properties("Traversals") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12).withMaxDiscardRatio(10)
+
+  private def spark = TestSpark.spark
+
+  private val genGraph: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 14)
+    m <- Gen.choose(0, 3 * n)
+    edges <- Gen.listOfN(m, for {
+      s <- Gen.choose(0, n - 1)
+      d <- Gen.choose(0, n - 1)
+    } yield (s.toLong, d.toLong))
+  } yield edges
+
+  private def df(edges: List[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    // an edgeless DataFrame still needs the schema
+    if (edges.isEmpty) List((0L, 0L)).toDF("src", "dst").limit(0)
+    else edges.toDF("src", "dst")
+  }
+
+  property("bfs levels == sequential level-synchronous oracle") =
+    Prop.forAll(genGraph) { edges =>
+      val got = Traversals.bfs(df(edges), 0L).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got == SequentialOracles.bfs(edges, Seq(0L))
+    }
+
+  property("dfs preorder == sequential lowest-id-first oracle; visits each reachable vertex once") =
+    Prop.forAll(genGraph) { edges =>
+      val got = Traversals.dfsPreorder(df(edges), 0L).collect()
+        .sortBy(_.getInt(1)).map(_.getLong(0)).toSeq
+      got == SequentialOracles.dfsPreorder(edges, 0L) && got.distinct == got
+    }
+
+  property("reachable(BFS) == reachable(DFS)") =
+    Prop.forAll(genGraph) { edges =>
+      val viaBfs = Traversals.bfs(df(edges), 0L).collect().map(_.getLong(0)).toSet
+      val viaDfs = Traversals.dfsPreorder(df(edges), 0L).collect().map(_.getLong(0)).toSet
+      viaBfs == viaDfs
+    }
+
+  property("dfsLeaves == recursive reference-semantics oracle") =
+    Prop.forAll(genGraph) { edges =>
+      val got = Traversals.dfsLeaves(df(edges), 0L).collect().map(_.getLong(0)).toSeq
+      got == SequentialOracles.dfsLeaves(edges, 0L)
+    }
+}

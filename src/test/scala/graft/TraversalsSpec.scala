@@ -1,0 +1,108 @@
+package graft
+
+import graft.graph.Traversals
+
+/** Golden BFS/DFS tests on the canonical small graphs of SURVEY §5.1:
+  * chain, star, cycle, disconnected, self-loop, single vertex — hand-derived
+  * from the reference's semantics (`secondaryServer.c:56-179`, SURVEY §2.2).
+  */
+class TraversalsSpec extends SparkSpec {
+
+  private val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+  private val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+  private val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+  private val disconnected = Seq((0L, 1L), (5L, 6L))
+  private val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+
+  test("bfs: chain gives one vertex per level") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(chain), 0L)) ===
+      Seq((0L, 0), (1L, 1), (2L, 2), (3L, 3), (4L, 4)))
+  }
+
+  test("bfs: star from hub reaches all leaves at level 1") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(star), 0L)) ===
+      Seq((0L, 0), (1L, 1), (2L, 1), (3L, 1), (4L, 1)))
+  }
+
+  test("bfs: star from a leaf reaches nothing (directed)") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(star), 3L)) === Seq((3L, 0)))
+  }
+
+  test("bfs: cycle terminates and assigns min levels") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(cycle), 1L)) ===
+      Seq((0L, 2), (1L, 0), (2L, 1)))
+  }
+
+  test("bfs: disconnected component is not reached") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(disconnected), 0L)) ===
+      Seq((0L, 0), (1L, 1)))
+  }
+
+  test("bfs: self-loop does not revisit") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(Seq((0L, 0L), (0L, 1L))), 0L)) ===
+      Seq((0L, 0), (1L, 1)))
+  }
+
+  test("bfs: isolated start vertex reports (start, 0) — reference records start unconditionally") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(chain), 42L)) === Seq((42L, 0)))
+  }
+
+  test("bfs: diamond takes min level on reconvergence") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(diamond), 0L)) ===
+      Seq((0L, 0), (1L, 1), (2L, 1), (3L, 2)))
+  }
+
+  test("bfs: maxDepth truncates the traversal") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(chain), 0L, maxDepth = 2)) ===
+      Seq((0L, 0), (1L, 1), (2L, 2)))
+  }
+
+  test("multiSourceBfs: level is min over sources") {
+    assert(vertexLevels(Traversals.multiSourceBfs(edgesDF(chain), Seq(0L, 3L))) ===
+      Seq((0L, 0), (1L, 1), (2L, 2), (3L, 0), (4L, 1)))
+  }
+
+  test("bfs: output is sorted by (level, vertex)") {
+    val rows = Traversals.bfs(edgesDF(diamond), 0L).collect()
+      .map(r => (r.getInt(1), r.getLong(0))).toSeq
+    assert(rows === rows.sorted)
+  }
+
+  test("dfsPreorder: lowest-id neighbor first") {
+    // from 0: 0, then 1 (lowest), its child 3, backtrack, then 2
+    assert(Traversals.dfsPreorder(edgesDF(diamond), 0L).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((0L, 0), (1L, 1), (3L, 2), (2L, 3)))
+  }
+
+  test("dfsPreorder: cycle visits each vertex once") {
+    assert(Traversals.dfsPreorder(edgesDF(cycle), 0L).collect()
+      .map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("dfsLeaves: chain's only traversal-tree leaf is the end") {
+    assert(vertexSet(Traversals.dfsLeaves(edgesDF(chain), 0L)) === Set(4L))
+  }
+
+  test("dfsLeaves: star from hub — every leaf spawned nothing") {
+    assert(vertexSet(Traversals.dfsLeaves(edgesDF(star), 0L)) === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("dfsLeaves: start excluded even when it is a leaf (cycle back to start)") {
+    // 0->1->2->0: 2 spawns nothing (0 already seen) => leaf {2}; start never a leaf
+    assert(vertexSet(Traversals.dfsLeaves(edgesDF(cycle), 0L)) === Set(2L))
+  }
+
+  test("dfsLeaves: deep path does not overflow the JVM stack") {
+    val n = 20000L
+    val path = (0L until n).map(i => (i, i + 1))
+    assert(vertexSet(Traversals.dfsLeaves(edgesDF(path), 0L)) === Set(n))
+  }
+
+  test("bfs matches sequential oracle on a hand-made tangle") {
+    val g = Seq((0L, 3L), (3L, 1L), (1L, 0L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 0L), (5L, 6L), (6L, 6L), (7L, 8L))
+    val expected = SequentialOracles.bfs(g, Seq(0L)).toSeq.map { case (v, l) => (v, l) }.sorted
+    assert(vertexLevels(Traversals.bfs(edgesDF(g), 0L)) === expected)
+  }
+}
