@@ -102,20 +102,21 @@ object EventStreams {
 
   /** `mapGroupsWithState` running per-user aggregate — the custom-state
     * escape hatch for logic windowed aggs can't express. State is one small
-    * case class per active user; `ProcessingTimeTimeout` expires idle users
-    * so state never grows monotonically.
+    * case class per active user. A production deployment bounds state growth
+    * with `GroupStateTimeout.EventTimeTimeout` + a watermark (idle keys
+    * expire); kept timeout-free here so the operator's semantics stay
+    * trigger-independent.
     */
   def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
           val prev = state.getOption.getOrElse(UserRunning(uid, 0L, ""))
           val next = sorted.foldLeft(prev)((acc, e) => UserRunning(uid, acc.n_events + 1, e.event_type))
           state.update(next)
-          state.setTimeoutDuration("1 hour")
           next
       }
   }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.llm.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val fixture = docsDF(Seq(
+    1L -> "a b c d e f",
+    2L -> "a b c d e g", // 3-of-5 shingle overlap with doc 1 => J = 0.6
+    3L -> "x y z w v u",
+    4L -> "a b c d e f", // exact dup of doc 1
+    5L -> "zz"))         // < 3 tokens: no shingles
+
+  test("exactDedup groups identical texts under the min doc_id") {
+    val m = Dedup.exactDedup(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) === (1L, 2L) && m(4L) === (1L, 2L))
+    assert(m(2L) === (2L, 1L) && m(3L) === (3L, 1L) && m(5L) === (5L, 1L))
+  }
+
+  test("jaccardPairs finds exactly the overlapping pairs with exact counts") {
+    val rows = Dedup.jaccardPairs(fixture, thresholdMille = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // (1,2): inter 3, union 5, J=0.6; (1,4)/(2,4): dup pair mirrors; 3,5 isolated
+    assert(rows === Set((1L, 2L, 3L, 5L, 600L), (1L, 4L, 4L, 4L, 1000L), (2L, 4L, 3L, 5L, 600L)))
+  }
+
+  test("minHashLshPairs output equals the exact similarity join on the fixture") {
+    val exact = Dedup.jaccardPairs(fixture).collect().map(_.toSeq).toSet
+    val lsh = Dedup.minHashLshPairs(fixture).collect().map(_.toSeq).toSet
+    assert(lsh === exact)
+  }
+
+  test("prefix filtering loses no pairs vs a brute-force Scala oracle on random docs") {
+    // small vocab forces heavy shingle sharing — the hostile case for
+    // prefix filtering
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 24L).map(i => i -> Seq.fill(6 + rng.nextInt(10))(vocab(rng.nextInt(5))).mkString(" "))
+    def shingles(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      inter = (sa & sb).size; un = (sa | sb).size
+      if un > 0 && inter * 1000 >= 500 * un
+    } yield (ia, ib, inter.toLong, un.toLong, inter * 1000L / un)).toSet
+    val got = Dedup.jaccardPairs(docsDF(docs), 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+  }
+
+  test("simHashPairs: identical docs at hamming 0; banding finds what all-pairs finds") {
+    val docs = docsDF(Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "totally different words here now"))
+    val got = Dedup.simHashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.contains((1L, 2L, 0L)))
+    // all-pairs oracle over the same simhashes
+    val sims = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got.toSet === expected)
+  }
+}

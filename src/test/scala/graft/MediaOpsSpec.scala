@@ -1,0 +1,48 @@
+package graft
+
+import graft.llm.MediaOps
+
+class MediaOpsSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val docs = docsDF(Seq(0L -> "abcdefgh", 1L -> "ijklmnop", 2L -> "qrstuvwx"))
+
+  test("syntheticMedia: modality cycles by id, payload is the raw bytes") {
+    val m = MediaOps.syntheticMedia(docs).collect().map(r => r.media_id -> r).toMap
+    assert(m(0L).modality === "image" && m(1L).modality === "audio" && m(2L).modality === "video")
+    assert(new String(m(0L).content, "UTF-8") === "abcdefgh")
+    assert(m(1L).sample_rate === 16000)
+  }
+
+  test("decodeStub: deterministic fixed-width features, byte counts preserved") {
+    val f = MediaOps.decodeStub(MediaOps.syntheticMedia(docs), featureDim = 4)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(f.values.forall(_.feature.length === 4))
+    assert(f(0L).n_bytes === 8L)
+    // histogram of byte buckets sums to 1 (all bytes accounted for)
+    assert(math.abs(f(0L).feature.sum - 1.0f) < 1e-6)
+    // deterministic: same input, same features
+    val again = MediaOps.decodeStub(MediaOps.syntheticMedia(docs), featureDim = 4)
+      .collect().map(r => r.media_id -> r.feature.toSeq).toMap
+    assert(again(2L) === f(2L).feature.toSeq)
+  }
+
+  test("sampleFrames: stride-samples the declared frame count, frames tile the payload") {
+    // doc 2 is video (id % 3 == 2): n_frames = 2 % 30 + 1 = 3, len 8 -> frame_len 2
+    val frames = MediaOps.sampleFrames(MediaOps.syntheticMedia(docs), stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    assert(frames.toSeq === Seq((2L, 0, "qr"), (2L, 2, "uv")))
+  }
+
+  test("mediaMeta: integer-exact binary metadata") {
+    val r = MediaOps.mediaMeta(docs).filter("media_id = 0").head
+    assert(r.getLong(2) === 8L)
+    // magic = big-endian int of "abcd" = 0x61626364
+    assert(r.getLong(4) === 0x61626364L)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.llm.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embDF(rows: Seq[(Long, Array[Float])]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+  }
+
+  test("cosineTopK ranks by exact cosine, self excluded") {
+    val e = embDF(Seq(
+      0L -> Array(1f, 0f, 0f),
+      1L -> Array(0.9f, 0.1f, 0f), // nearest to 0
+      2L -> Array(0.5f, 0.5f, 0f),
+      3L -> Array(0f, 0f, 1f)))    // orthogonal to 0
+    val rows = Similarity.cosineTopK(e, numQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
+  }
+
+  test("cosine score is exact for a hand-checkable pair") {
+    val e = embDF(Seq(0L -> Array(1f, 0f), 1L -> Array(1f, 1f)))
+    val cos = Similarity.cosineTopK(e, numQueries = 1, k = 1).head.getLong(3)
+    // cos = 1/sqrt(2) = 0.70710678... -> floor(1e6 * cos) = 707106
+    assert(cos === 707106L)
+  }
+
+  test("lshTopK recalls clustered neighbors (tight clusters collide in buckets)") {
+    val rng = new scala.util.Random(3)
+    val dim = 16
+    val centers = Seq.fill(3)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val vecs = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 8
+    } yield (ci * 8L + j, c.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    val exact = Similarity.cosineTopK(embDF(vecs), numQueries = 24, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(embDF(vecs), k = 3, numPlanes = 6, dim = dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      lsh.get(q).map(found => (found & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"mean recall ${recalls.sum / recalls.size} below 0.8")
+  }
+}

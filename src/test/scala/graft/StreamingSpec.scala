@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming ≡ batch: the same EventStreams plans, replayed through a
+  * MemoryStream with watermarks, must produce the batch answer once all
+  * input is processed (SURVEY §7 step 8 — the correctness contract that lets
+  * the driver's batch oracle stand in for streaming semantics).
+  */
+/** Top-level so Spark can derive an Encoder (inner classes can't). */
+case class Ev(event_id: Long, user_id: Long, event_type: String,
+              ts: Timestamp, props: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private def mkEvents: Seq[Ev] = {
+    val rng = new scala.util.Random(11)
+    val base = 1700000000000L
+    (1 to 300).map { i =>
+      Ev(i.toLong, rng.nextInt(5).toLong, Seq("view", "click", "purchase")(rng.nextInt(3)),
+        new Timestamp(base + rng.nextInt(6 * 3600) * 1000L), s"""{"k": ${rng.nextInt(100)}}""")
+    }
+  }
+
+  private def runToCompletion(stream: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling-window aggregate: streaming (watermarked) == batch") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents
+    val mem = MemoryStream[Ev](s)
+    mem.addData(events)
+    val got = runToCompletion(
+      EventStreams.tumblingCounts(mem.toDF(), withWatermarkCol = true), "t_tumble", OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = EventStreams.tumblingCounts(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want && want.nonEmpty)
+  }
+
+  test("session windows: streaming (watermarked, split feed) == batch") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents
+    val mem = MemoryStream[Ev](s)
+    // two micro-batches: sessions must merge across them via state
+    val (first, second) = events.splitAt(150)
+    mem.addData(first)
+    mem.addData(second)
+    val got = runToCompletion(
+      EventStreams.sessionCounts(mem.toDF(), withWatermarkCol = true), "t_sess", OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventStreams.sessionCounts(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want && want.nonEmpty)
+  }
+
+  test("mapGroupsWithState running counts reach the batch totals") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents
+    val mem = MemoryStream[EventStreams.UserEvent](s)
+    mem.addData(events.map(e => EventStreams.UserEvent(e.user_id, e.ts, e.event_type)))
+    val got = runToCompletion(
+      EventStreams.runningUserCounts(mem.toDS()).toDF(), "t_state", OutputMode.Update())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = events.groupBy(_.user_id).map { case (u, es) => (u, es.size.toLong) }.toSet
+    assert(got === want)
+  }
+}

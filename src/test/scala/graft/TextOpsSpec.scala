@@ -1,0 +1,65 @@
+package graft
+
+import graft.llm.TextOps
+
+class TextOpsSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("textStats: token/char counts and TTR on a known text") {
+    val r = TextOps.textStats(docsDF(Seq(1L -> "Hello, hello world!  42"))).head
+    // tokens: hello, hello, world, 42
+    assert(r.getLong(1) === 4L)  // n_tokens
+    assert(r.getLong(2) === 3L)  // n_distinct_tokens
+    assert(r.getLong(3) === 17L) // 5+5+5+2
+    assert(r.getLong(4) === 23L) // len_text
+    assert(r.getLong(5) === 750L) // 3000/4
+  }
+
+  test("textStats: empty text yields zeros, not errors") {
+    val r = TextOps.textStats(docsDF(Seq(1L -> "!!!"))).head
+    assert(r.getLong(1) === 0L && r.getLong(5) === 0L)
+  }
+
+  test("languageId detects real multilingual sentences via marker words") {
+    val got = TextOps.languageId(docsDF(Seq(
+      1L -> "the cat and the dog sat in that house",
+      2L -> "der hund und die katze das ist nicht ein problem",
+      3L -> "le chat et la maison les oiseaux est une merveille",
+      4L -> "los perros y las casas el gato es una maravilla por ahora",
+      5L -> "xyzzy plugh quux"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("qualityBuckets applies thresholds in order") {
+    val many = Seq.fill(30)("word").mkString(" ")              // ttr 33 -> repetitive
+    val short = "only three words"                             // too_short
+    val ok = (1 to 30).map(i => s"token$i").mkString(" ")      // distinct, long tokens
+    val got = TextOps.qualityBuckets(docsDF(Seq(1L -> short, 2L -> many, 3L -> ok)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "too_short", 2L -> "repetitive", 3L -> "ok"))
+  }
+
+  test("fingerprints: normalization-insensitive md5; min shingle hash null under 3 tokens") {
+    val rows = TextOps.fingerprints(docsDF(Seq(
+      1L -> "Alpha  beta, GAMMA delta",
+      2L -> "alpha beta gamma delta",
+      3L -> "two tokens"))).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) === byId(2L).getString(1))
+    assert(byId(1L).getLong(2) === byId(2L).getLong(2))
+    assert(byId(3L).isNullAt(2))
+  }
+
+  test("tokenFrequency: counts and deterministic ordering") {
+    val got = TextOps.tokenFrequency(docsDF(Seq(
+      1L -> "b b b a a c", 2L -> "a c")), k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+}
