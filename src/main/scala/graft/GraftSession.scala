@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProduct
 
 /** Session factory for the graft engine.
   *
@@ -9,12 +12,26 @@ import org.apache.spark.sql.SparkSession
   * 1000-executor cluster needs), shuffle partitions sized to cores locally
   * (on a real cluster this is overridden per deployment), UTC session time
   * so results hash-match the DuckDB oracle.
+  *
+  * The engine's custom Catalyst expressions are registered through the
+  * public `SparkSessionExtensions` hook, so `spark.sql("... dot_product(a,
+  * b) ...")` works alongside the Column API
+  * ([[graft.functions.VectorExpressions]]).
   */
 object GraftSession {
   def builder(master: String = "local[*]", cores: String = "32"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions { ext =>
+        ext.injectFunction((
+          FunctionIdentifier("dot_product"),
+          new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+          (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(args.length == 2, "dot_product(a, b) takes exactly 2 arguments")
+            DotProduct(args.head, args(1))
+          }))
+      }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -104,6 +104,15 @@ object SparkEntry {
           grouping(col("l_linestatus")).cast("long").as("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
 
+    "q8_distinct_agg" -> ((s, dir) => // distinct aggregation (two distinct
+      // columns in one agg forces Spark's expand-based distinct plan)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // ---- relational: joins ----
     "q3_top_revenue" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -302,6 +311,10 @@ object SparkEntry {
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q8_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,

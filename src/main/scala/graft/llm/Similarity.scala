@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two double-array columns. */
+  /** Dot product of two double-array columns: a native codegen'd
+    * `Expression` (see [[graft.functions.DotProduct]]) with the same strict
+    * left-to-right summation as the interpreted `aggregate(zip_with(...))`
+    * fold it replaced — oracle results are unchanged, the inner loop is
+    * generated primitive code instead of interpreter dispatch.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def vecsDF(rows: Seq[(Long, Seq[Double], Seq[Double])]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "a", "b")
+  }
+
+  test("dotProduct: exact value, both codegen and interpreted paths") {
+    val df = vecsDF(Seq((1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))))
+      .select(VectorExpressions.dotProduct(col("a"), col("b")).as("d"))
+    assert(df.head.getDouble(0) === 32.0)
+    // force the interpreted path too (wholeStage off)
+    val s = spark
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(df.head.getDouble(0) === 32.0)
+    finally s.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("dotProduct: equals the higher-order-function fold it replaced") {
+    val rng = new scala.util.Random(5)
+    val rows = (1L to 50L).map(i =>
+      (i, Seq.fill(16)(rng.nextDouble()), Seq.fill(16)(rng.nextDouble())))
+    val df = vecsDF(rows)
+    val native = df.select(col("id"), VectorExpressions.dotProduct(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = df.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bit-for-bit: same summation order
+    rows.foreach { case (i, _, _) => assert(native(i) === hof(i)) }
+  }
+
+  test("dot_product is callable from SQL (SparkSessionExtensions registration)") {
+    vecsDF(Seq((1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))).createOrReplaceTempView("vx")
+    assert(spark.sql("SELECT dot_product(a, b) AS d FROM vx").head.getDouble(0) === 32.0)
+  }
+
+  test("dotProduct: null array -> null; shorter array wins; null elements skipped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0), Seq(3.0))).toDF("id", "a", "b")
+    assert(df.select(VectorExpressions.dotProduct(col("a"), col("b"))).head.getDouble(0) === 3.0)
+    val withNull = df.select(VectorExpressions.dotProduct(col("a"), lit(null).cast("array<double>")).as("d"))
+    assert(withNull.head.isNullAt(0))
+  }
+}
