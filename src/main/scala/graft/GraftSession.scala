@@ -37,6 +37,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // managed (bucketed) tables land in tmp, never in the repo cwd
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = builder().getOrCreate()

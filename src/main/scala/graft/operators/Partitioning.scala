@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for the 100 TB design point: bucketed
+  * co-located joins (kill the shuffle entirely for repeated joins on the
+  * same key) and key salting (spread a pathologically hot key across
+  * reducers when AQE's skew splitting isn't available — e.g. aggregations,
+  * or pre-AQE engines).
+  *
+  * At scale the cheapest shuffle is the one that never happens: a fact
+  * table bucketed by its join key is shuffled once at write time and then
+  * every subsequent join/aggregation on that key is exchange-free.
+  */
+object Partitioning {
+
+  /** Write `df` as a bucketed+sorted managed table. Joins between two
+    * tables bucketed on the same key with the same bucket count plan
+    * without any Exchange (asserted in PartitioningSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Salted equi-join for skewed keys: the big side gets a deterministic
+    * salt in [0, salts) derived from its full row, the small side is
+    * replicated `salts` times, and the join key becomes (key, salt) — a hot
+    * key now lands on `salts` reducers instead of one. Result is identical
+    * to `big.join(small, key)`; cost is `salts`× replication of the small
+    * side, so size it to the skew, not the cluster.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltCol = pmod(hash(struct(big.columns.map(col): _*)), lit(salts))
+    val saltedBig = big.withColumn("__salt", saltCol)
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

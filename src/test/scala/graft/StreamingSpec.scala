@@ -63,6 +63,22 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && want.nonEmpty)
   }
 
+  test("file-source readStream over parquet == batch for the tumbling aggregate") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val events = mkEvents
+    events.toDF().write.mode("overwrite").parquet(dir)
+    val schema = events.toDF().schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = runToCompletion(
+      EventStreams.tumblingCounts(stream, withWatermarkCol = true), "t_file", OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = EventStreams.tumblingCounts(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want && want.nonEmpty)
+  }
+
   test("mapGroupsWithState running counts reach the batch totals") {
     val s = spark
     import s.implicits._
