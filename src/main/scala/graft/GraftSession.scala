@@ -37,9 +37,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // managed (bucketed) tables land in tmp, never in the repo cwd
+      // managed (bucketed) tables land in tmp, never in the repo cwd;
+      // per-process dir so a fresh JVM (fresh in-memory catalog) never
+      // collides with a previous run's table locations
       .config("spark.sql.warehouse.dir",
-        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = builder().getOrCreate()

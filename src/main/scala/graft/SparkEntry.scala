@@ -94,6 +94,13 @@ object SparkEntry {
           col("l_shipdate") < expr("TIMESTAMP'1997-01-01 00:00:00'") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(dec12("l_extendedprice") * dec4("l_discount")).cast("double").as("revenue"))),
+    "q9_cube_counts" -> ((s, dir) => // full cube (all grouping combinations)
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
     "q7_rollup_revenue" -> ((s, dir) => // grouping-sets surface: rollup with
       // GROUPING disambiguators; integer-exact measures
       Tables.lineitem(s, dir)
@@ -125,6 +132,27 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
+    }),
+    "q5_local_volume" -> ((s, dir) => {
+      // TPC-H Q5 shape: six-table join; local-supplier revenue per nation in
+      // one region/year. Dims (region/nation/supplier/customer) broadcast;
+      // only the orders⋈lineitem fact join shuffles.
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir).join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP'1997-01-01 00:00:00'"))
+      val l = Tables.lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey")) // "local supplier"
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec12("l_extendedprice") * (lit(1) - dec4("l_discount"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }),
     "q4_semi_join" -> ((s, dir) => { // orders with >=1 returned lineitem
       val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
@@ -224,6 +252,8 @@ object SparkEntry {
     "s2_ann_lsh" -> ((s, dir) => // approximate by construction: rows-only
       // here; recall vs exact top-k is asserted in SimilaritySpec
       Similarity.lshTopK(Tables.embeddings(s, dir))),
+    "s3_ann_ivf" -> ((s, dir) => // IVF scale path (same rows-only rationale)
+      Similarity.ivfTopK(Tables.embeddings(s, dir))),
 
     // ---- LLM-pipeline: text analysis + multimodal ----
     "t1_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
@@ -310,6 +340,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN supplier ON s_nationkey = n_nationkey
+        |  JOIN lineitem ON l_suppkey = s_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q9_cube_counts" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
     "q8_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,

@@ -46,6 +46,16 @@ object Dedup {
       |      FROM documents GROUP BY 1) g ON md5(d.text) = g.h
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Streaming exact dedup: first-seen doc per content hash survives,
+    * later copies are dropped — works identically on batch and streaming
+    * DataFrames (state-store-backed on streams). On an unbounded stream
+    * pair it with `withWatermark` + `dropDuplicatesWithinWatermark` when
+    * re-emission after the horizon is acceptable; kept watermark-free here
+    * because dedup keys for training corpora must hold forever.
+    */
+  def streamingExactDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("h", md5(col("text"))).dropDuplicates("h").drop("h")
+
   /** One row per (doc_id, distinct 3-gram shingle), materialized once per
     * query (several downstream consumers). The input is re-spread across all
     * cores first: a single-row-group parquet file would otherwise run the

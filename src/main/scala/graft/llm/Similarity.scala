@@ -69,6 +69,87 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** IVF (inverted-file) approximate top-k: k-means-lite centroids, each
+    * vector assigned to its nearest centroid (the "inverted list"); a query
+    * probes only the `nprobe` nearest lists and exact-re-ranks inside them.
+    * `(query_id, neighbor_id, rank, cos_1e6)` for `vec_id < numQueries`.
+    *
+    * Scale shape: centroids are nlist × dim — driver-small BY DESIGN (that
+    * is the IVF contract; FAISS does the same) — so centroid scoring is
+    * `nlist` codegen'd dot-product columns against literal arrays, no
+    * shuffle; the only shuffles are the tiny centroid-update aggregations
+    * and the final probe join. Corpus scan cost per query drops by
+    * ~nlist/nprobe versus brute force.
+    */
+  def ivfTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 1, dim: Int = 64): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .localCheckpoint(true)
+
+    // ---- k-means-lite: deterministic seed = lowest vec_ids ----
+    var centroids: Array[Array[Double]] = v.orderBy("vec_id").limit(nlist)
+      .select("e").collect().map(_.getSeq[Double](0).toArray)
+    // the centroid matrix is ONE nested-array literal (not nlist × dim
+    // CreateArray nodes): per-element lits balloon the expression tree and
+    // janino recompilation dominates wall time — measured 41 s -> ~3 s here
+    def centroidScores = {
+      val cmat = typedLit(centroids.map(_.toSeq).toSeq)
+      val norms = typedLit(centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toSeq)
+      centroids.indices.map(i =>
+        (dot(col("e"), element_at(cmat, i + 1)) /
+          (col("nrm") * element_at(norms, i + 1))).as(s"c$i"))
+    }
+    def assignCol = {
+      // argmax over nlist cosine columns via max-of-structs ordering
+      val scored = (0 until centroids.length).map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
+      array_max(array(scored: _*)).getField("cid")
+    }
+    for (_ <- 1 to iters) {
+      val assigned = v.select(col("vec_id") +: col("e") +: centroidScores: _*)
+        .withColumn("cid", assignCol)
+      // per-dimension mean as dim flat codegen'd aggregates
+      val dimAggs = (0 until dim).map(j => avg(element_at(col("e"), j + 1)).as(s"d$j"))
+      val updated = assigned.groupBy("cid").agg(dimAggs.head, dimAggs.tail: _*)
+        .orderBy("cid").collect()
+        .map(r => (0 until dim).map(j => r.getDouble(j + 1)).toArray)
+      if (updated.nonEmpty) centroids = updated
+    }
+
+    // deterministic plan, reused twice below — recomputing the 16 scored
+    // columns is cheaper than another materialization barrier
+    val assignments = v.select(col("vec_id") +: col("e") +: col("nrm") +: centroidScores: _*)
+      .withColumn("cid", assignCol)
+      .select("vec_id", "e", "nrm", "cid")
+
+    // ---- probe: each query fans out to its nprobe best lists ----
+    val sortedCids = {
+      // array_sort on (score, cid) structs ascending; take the top slice
+      val scored = (0 until centroids.length).map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
+      slice(reverse(array_sort(array(scored: _*))), 1, nprobe).getField("cid")
+    }
+    val queries = assignments.filter(col("vec_id") < numQueries)
+      .select(Seq(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")) ++
+        centroidScores: _*)
+      .withColumn("probe_cid", explode(sortedCids))
+      .select("query_id", "qe", "qn", "probe_cid")
+    // materialize the (bounded: numQueries × nprobe × N/nlist) candidate
+    // set once — the window sort below would otherwise re-plan the join
+    // subtree through every AQE stage
+    val scoredPairs = broadcast(queries).join(assignments, col("probe_cid") === col("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+      .select("query_id", "vec_id", "cos")
+      .localCheckpoint(true)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scoredPairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */
   private def planes(numPlanes: Int, dim: Int, seed: Long = 7L): IndexedSeq[Array[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -28,6 +28,25 @@ class SimilaritySpec extends SparkSpec {
     assert(cos === 707106L)
   }
 
+  test("ivfTopK recalls clustered neighbors (probed lists contain the cluster)") {
+    val rng = new scala.util.Random(9)
+    val dim = 16
+    val centers = Seq.fill(4)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val vecs = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 8
+    } yield (ci * 8L + j, c.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    val exact = Similarity.cosineTopK(embDF(vecs), numQueries = 32, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(embDF(vecs), numQueries = 32, k = 3,
+      nlist = 8, nprobe = 3, iters = 2, dim = dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      ivf.get(q).map(found => (found & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("lshTopK recalls clustered neighbors (tight clusters collide in buckets)") {
     val rng = new scala.util.Random(3)
     val dim = 16

@@ -79,6 +79,19 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && want.nonEmpty)
   }
 
+  test("streaming exact dedup: one survivor per content hash across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[(Long, String)](s)
+    mem.addData(Seq(1L -> "alpha", 2L -> "beta"))
+    mem.addData(Seq(3L -> "alpha", 4L -> "gamma", 5L -> "beta")) // cross-batch dups
+    val out = runToCompletion(
+      graft.llm.Dedup.streamingExactDedup(mem.toDF().toDF("doc_id", "text")),
+      "t_dedup", OutputMode.Append())
+      .collect().map(_.getString(1)).toSeq
+    assert(out.sorted === Seq("alpha", "beta", "gamma"))
+  }
+
   test("mapGroupsWithState running counts reach the batch totals") {
     val s = spark
     import s.implicits._
