@@ -69,21 +69,20 @@ object Dedup {
       .localCheckpoint(true)
   }
 
-  /** Exact Jaccard for the given candidate pairs: expand each pair by doc_a's
-    * shingles, probe doc_b's (doc, shingle) index, count matches. Cost is
-    * |candidates| × avg-set-size — independent of corpus-wide shingle
-    * frequencies.
+  /** Exact Jaccard for the given candidate pairs (`doc_a, doc_b, sza, szb`):
+    * expand each pair by doc_a's shingles, probe doc_b's (doc, shingle)
+    * index, count matches. Set sizes ride along as group keys (functionally
+    * determined by the ids), so no extra size joins. Cost is |candidates| ×
+    * avg-set-size — independent of corpus-wide shingle frequencies.
     */
-  private def verifiedPairs(sh: DataFrame, sizes: DataFrame, candidates: DataFrame,
+  private def verifiedPairs(sh: DataFrame, candidates: DataFrame,
                             thresholdMille: Int): DataFrame =
     candidates
       .join(sh.as("A"), col("doc_a") === col("A.doc_id"))
       .join(sh.as("B"), col("doc_b") === col("B.doc_id") && col("A.shingle") === col("B.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .groupBy("doc_a", "doc_b", "sza", "szb").agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("sa.sz") + col("sb.sz") - col("inter")).as("union_sz"))
+        (col("sza") + col("szb") - col("inter")).as("union_sz"))
       .filter(col("inter") * 1000L >= lit(thresholdMille.toLong) * col("union_sz"))
       .withColumn("jaccard_1000", expr("inter * 1000 div union_sz"))
       .orderBy("doc_a", "doc_b")
@@ -100,12 +99,12 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, thresholdMille: Int = 500): DataFrame = {
     val sh = shingleRows(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // rank and set size in ONE window exchange (same partition key)
     val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     val prefix = sh.join(dfreq, "shingle")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(w))
-      .join(sizes, "doc_id")
       // ceil(τ·sz) in pure integers: (sz·t + 999) div 1000
       .filter(col("rk") <= col("sz") - expr(s"(sz * $thresholdMille + 999) div 1000") + 1)
       .select("doc_id", "shingle", "sz")
@@ -114,9 +113,10 @@ object Dedup {
       .join(prefix.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
         // length filter: J ≥ τ needs τ·|x| ≤ |y| and τ·|y| ≤ |x|
         col("y.sz") * 1000L >= lit(t) * col("x.sz") && col("x.sz") * 1000L >= lit(t) * col("y.sz"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
       .distinct()
-    verifiedPairs(sh, sizes, candidates, thresholdMille)
+    verifiedPairs(sh, candidates, thresholdMille)
   }
 
   def jaccardPairsSql(thresholdMille: Int = 500): String =
@@ -169,7 +169,10 @@ object Dedup {
           col("x.h1") === col("y.h1") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifiedPairs(sh, sizes, candidates, thresholdMille)
+      // candidate count is tiny post-LSH; attach sizes for the verify pass
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+    verifiedPairs(sh, candidates, thresholdMille)
   }
 
   /** 60-bit SimHash per doc over distinct tokens: bit i of the signature is
