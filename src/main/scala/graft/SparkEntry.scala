@@ -154,6 +154,24 @@ object SparkEntry {
         .agg(sum(dec12("l_extendedprice") * (lit(1) - dec4("l_discount"))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    "q10_promo_share" -> ((s, dir) => {
+      // TPC-H Q14 shape: promo revenue share per month. Part is broadcast;
+      // the conditional aggregation is decimal-exact, the final ratio is
+      // one double division of two exact sums (order-insensitive).
+      val l = Tables.lineitem(s, dir).filter(
+        col("l_shipdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP'1997-01-01 00:00:00'"))
+      val p = Tables.part(s, dir)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", dec12("l_extendedprice") * (lit(1) - dec4("l_discount")))
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("promo_revenue"),
+          sum(dec12("l_extendedprice") * (lit(1) - dec4("l_discount"))).cast("double").as("total_revenue"))
+        .withColumn("promo_share_1e6",
+          floor(col("promo_revenue") / col("total_revenue") * 1e6).cast("long"))
+        .orderBy("month")
+    }),
     "q4_semi_join" -> ((s, dir) => { // orders with >=1 returned lineitem
       val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
       Tables.orders(s, dir)
@@ -369,6 +387,19 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q10_promo_share" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+        |  CAST(floor(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) * 1e6) AS BIGINT) AS promo_share_1e6
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q4_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
