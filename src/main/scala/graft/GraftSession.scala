@@ -36,6 +36,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // declared here (not only as Tables.events' defensive runtime set):
+      // nanos-timestamp parquet (events.ts) reads as LONG ns
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // managed (bucketed) tables land in tmp, never in the repo cwd;
       // per-process dir so a fresh JVM (fresh in-memory catalog) never

@@ -62,9 +62,16 @@ object SparkEntry {
     "g10_matrix_roundtrip" -> ((s, dir) => {
       // the reference's full write path (op 1, primaryServer.c:40-63):
       // catalog add -> dense-matrix text file -> re-ingest -> analytics;
-      // oracle computes the same degrees straight from the source table
-      val root = java.nio.file.Files.createTempDirectory("graft-rt")
+      // oracle computes the same degrees straight from the source table.
+      // Fixed per-process dir (re-runs drop + overwrite) so repeated
+      // bench/verify invocations don't accumulate temp garbage.
+      val root = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-rt-${ProcessHandle.current().pid()}")
+      java.nio.file.Files.createDirectories(root)
+      root.toFile.deleteOnExit()
       val cat = new GraphCatalog(s, root.resolve("graphs").toString)
+      cat.dropGraph("rt")
       val oneBased = DerivedGraphs.small(s, dir)
         .select((col("src") + 1).as("src"), (col("dst") + 1).as("dst"))
       cat.addGraph("rt", oneBased)
@@ -450,7 +457,12 @@ object SparkEntry {
     "st3_session_windows" -> EventStreams.sessionCountsSql(),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d2_jaccard_pairs" -> Dedup.jaccardPairsSql(),
-    "d3_minhash_pairs" -> Dedup.jaccardPairsSql(), // LSH+verify ≡ exact join
+    // LSH+verify matches the exact join ASSUMING full LSH recall — true
+    // here (miss prob ≤ (1-J²)³² ≈ 1e-4 per pair at the J=0.5 cut, and
+    // deterministic per fixed seed+corpus: verified green on this data),
+    // but a regenerated corpus with a pair exactly at threshold could
+    // legitimately diverge. The probabilistic trade IS the operator.
+    "d3_minhash_pairs" -> Dedup.jaccardPairsSql(),
     "d4_simhash_pairs" -> Dedup.simHashPairsSql(),
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
     "t1_text_stats" -> TextOps.textStatsSql,

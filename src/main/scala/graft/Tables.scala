@@ -24,6 +24,11 @@ object Tables {
     * outright; read it as a long (legacy conf) and surface a proper
     * microsecond TIMESTAMP column — the same floor(ns/1000) DuckDB's
     * `epoch_us` applies, so oracle comparisons stay exact.
+    *
+    * The conf is declared in GraftSession.builder; the runtime set here is
+    * a defensive idempotent fallback for driver-provided sessions. Note it
+    * is session-global: after this call, other nanos-ts parquet reads in
+    * the same session also surface LONG (no other such table exists here).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -57,6 +57,12 @@ object Traversals {
     require(sources.nonEmpty, "BFS requires at least one start vertex")
 
     val srcSet = sources.distinct.toSet
+    // maxDepth = 0 short-circuit: sources at level 0, nothing else (Pregel
+    // itself requires maxIterations > 0)
+    if (maxDepth <= 0) {
+      return srcSet.toSeq.sorted.map(v => (v, 0)).toDF("vertex", "level")
+        .select(col("vertex"), col("level").cast("int").as("level"))
+    }
     val INF = Int.MaxValue
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
@@ -95,9 +101,10 @@ object Traversals {
   /** Deterministic sequential DFS preorder from `start`; lowest-id neighbor
     * first. Returns `(vertex BIGINT, pos INT)` with pos = 0-based visit order.
     *
-    * Driver-side by design (see scale notes above): collects the adjacency of
-    * the *reachable subgraph only* — for huge graphs call with a pre-filtered
-    * edge set or use [[bfs]].
+    * Driver-side by design (see scale notes above): collects the FULL
+    * distinct edge set to the driver, guarded by [[MaxDfsEdges]] — for
+    * graphs beyond the cap, pre-filter the edge set (e.g. to a known
+    * reachable region) or use [[bfs]] for reachability.
     */
   def dfsPreorder(edges: DataFrame, start: Long): DataFrame = {
     val spark = edges.sparkSession

@@ -117,6 +117,7 @@ object MediaOps {
       |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
       |  octet_length(text::BLOB)::BIGINT AS n_bytes,
       |  substr(md5(text), 1, 8) AS md5_8,
-      |  ('0x' || substr(hex(text::BLOB), 1, 8))::BIGINT AS magic
+      |  CASE WHEN octet_length(text::BLOB) = 0 THEN NULL
+      |       ELSE ('0x' || substr(hex(text::BLOB), 1, 8))::BIGINT END AS magic
       |FROM documents ORDER BY media_id""".stripMargin
 }

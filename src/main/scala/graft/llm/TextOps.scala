@@ -157,7 +157,7 @@ object TextOps {
        |             ELSE [] END AS sh
        |      FROM t)
        |SELECT doc_id,
-       |  substr(md5(list_aggregate(ws, 'string_agg', ' ')), 1, 16) AS fp_md5,
+       |  substr(md5(COALESCE(list_aggregate(ws, 'string_agg', ' '), '')), 1, 16) AS fp_md5,
        |  list_min(list_transform(sh, x -> ${Hashing.hash60Sql("x")})) AS min_shingle_hash
        |FROM s ORDER BY doc_id""".stripMargin
 

@@ -83,8 +83,9 @@ object EventStreams {
   }
 
   /** DuckDB mirror: classic lag/flag/cumsum sessionization — a new session
-    * starts when the gap from the previous event strictly exceeds `gapUs`
-    * (Spark's session_window closes at start + gap exclusive).
+    * starts when the gap from the previous event is ≥ `gapUs` (Spark's
+    * session_window is [start, last + gap) — the end bound is EXCLUSIVE, so
+    * an event exactly `gap` after the previous one opens a new session).
     */
   def sessionCountsSql(gapUs: Long = 1800000000L): String =
     s"""WITH o AS (SELECT user_id, epoch_us(ts) AS e,

@@ -52,6 +52,12 @@ class TraversalsSpec extends SparkSpec {
       Seq((0L, 0), (1L, 1), (2L, 1), (3L, 2)))
   }
 
+  test("bfs: maxDepth = 0 returns just the sources at level 0") {
+    assert(vertexLevels(Traversals.bfs(edgesDF(chain), 0L, maxDepth = 0)) === Seq((0L, 0)))
+    assert(vertexLevels(Traversals.multiSourceBfs(edgesDF(chain), Seq(0L, 2L), maxDepth = 0)) ===
+      Seq((0L, 0), (2L, 0)))
+  }
+
   test("bfs: maxDepth truncates the traversal") {
     assert(vertexLevels(Traversals.bfs(edgesDF(chain), 0L, maxDepth = 2)) ===
       Seq((0L, 0), (1L, 1), (2L, 2)))
