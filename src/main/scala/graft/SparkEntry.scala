@@ -286,6 +286,8 @@ object SparkEntry {
     "t3_quality" -> ((s, dir) => TextOps.qualityBuckets(Tables.documents(s, dir))),
     "t4_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
     "t5_token_freq" -> ((s, dir) => TextOps.tokenFrequency(Tables.documents(s, dir))),
+    "t6_bpe_tokens" -> ((s, dir) => TextOps.bpeTokenCounts(Tables.documents(s, dir))),
+    "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
     "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
   )
 
@@ -470,6 +472,8 @@ object SparkEntry {
     "t3_quality" -> TextOps.qualityBucketsSql,
     "t4_fingerprints" -> TextOps.fingerprintsSql,
     "t5_token_freq" -> TextOps.tokenFrequencySql(),
+    "t6_bpe_tokens" -> TextOps.bpeTokenCountsSql,
+    "d5_cosine_dup_pairs" -> Similarity.cosineDupPairsSql(),
     "m1_media_meta" -> MediaOps.mediaMetaSql,
   )
 }

@@ -150,6 +150,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs: every unordered pair with cosine ≥
+    * threshold (millionths). `(vec_a, vec_b, cos_1e6)`.
+    *
+    * Exact by construction (self-join with `vec_a < vec_b`), which is what
+    * makes it oracle-checkable; the quadratic candidate space is the price
+    * of exactness — at corpus scale run [[lshTopK]]/[[ivfTopK]] to
+    * pre-bucket and reserve this for within-bucket verification.
+    */
+  def cosineDupPairs(emb: DataFrame, thresholdE6: Long = 450000L): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+      .filter(floor(col("cos") * 1e6) >= thresholdE6)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def cosineDupPairsSql(thresholdE6: Long = 450000L): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6)::BIGINT AS cos_1e6
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6) >= $thresholdE6
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */
   private def planes(numPlanes: Int, dim: Int, seed: Long = 7L): IndexedSeq[Array[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -161,6 +161,31 @@ object TextOps {
        |  list_min(list_transform(sh, x -> ${Hashing.hash60Sql("x")})) AS min_shingle_hash
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2 family shape, minus lookaheads so
+    * it runs identically on Java regex and DuckDB's RE2): contraction
+    * suffixes, letter runs, digit runs, punctuation runs.
+    */
+  val BpePattern: String = """'(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"""
+
+  /** Subword-style token counts per doc — the sizing signal an LLM data
+    * pipeline budgets by: `(doc_id, n_bpe_tokens, n_ws_tokens)`.
+    */
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      // Column-based call (not expr()): SQL string literals would mangle
+      // the pattern's backslashes
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  val bpeTokenCountsSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}'))::BIGINT AS n_bpe_tokens,
+       |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_ws_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Global token frequency (the canonical distributed word count):
     * `(token, n)`, top `k` by count desc then token.
     */

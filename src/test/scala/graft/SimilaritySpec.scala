@@ -28,6 +28,17 @@ class SimilaritySpec extends SparkSpec {
     assert(cos === 707106L)
   }
 
+  test("cosineDupPairs finds exactly the above-threshold pairs") {
+    val e = embDF(Seq(
+      0L -> Array(1f, 0f),
+      1L -> Array(1f, 0.1f),  // cos(0,1) ≈ 0.995
+      2L -> Array(0f, 1f),    // orthogonal to 0
+      3L -> Array(1f, 0f)))   // identical to 0
+    val got = Similarity.cosineDupPairs(e, thresholdE6 = 900000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
   test("ivfTopK recalls clustered neighbors (probed lists contain the cluster)") {
     val rng = new scala.util.Random(9)
     val dim = 16

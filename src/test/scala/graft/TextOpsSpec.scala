@@ -56,6 +56,14 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(3L).isNullAt(2))
   }
 
+  test("bpeTokenCounts: contractions, digit runs and punctuation split like a BPE pre-tokenizer") {
+    val r = TextOps.bpeTokenCounts(docsDF(Seq(1L -> "don't stop... it's 42km!!"))).head
+    // don | 't | stop | ... | it | 's | 42 | km | !! -> 9 BPE-ish tokens
+    assert(r.getLong(1) === 9L)
+    // whitespace-alnum tokens: don, t, stop, it, s, 42km -> 6
+    assert(r.getLong(2) === 6L)
+  }
+
   test("tokenFrequency: counts and deterministic ordering") {
     val got = TextOps.tokenFrequency(docsDF(Seq(
       1L -> "b b b a a c", 2L -> "a c")), k = 3).collect()
