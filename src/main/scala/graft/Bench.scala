@@ -31,9 +31,16 @@ object Bench {
       val cand = if (w == null) sfDir else w.resolve("sf0.001").toString
       if (Files.isDirectory(Paths.get(cand))) cand else sfDir
     }
+    // queries localCheckpoint intermediates; those blocks are pinned
+    // (truncated lineage can't recompute), so free them between queries or
+    // storage grows across the run and squeezes execution memory
+    def dropCachedBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case NonFatal(e) => System.err.println(s"[bench/warmup] $name: ${e.getMessage}") }
+      finally dropCachedBlocks()
     }
 
     var failed = List.empty[String]
@@ -47,6 +54,7 @@ object Bench {
             failed ::= name
             -1.0
         }
+        finally dropCachedBlocks()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

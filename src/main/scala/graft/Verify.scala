@@ -19,7 +19,9 @@ object Verify {
       catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name FAILED: $e")
-      }
+      } finally
+        // free pinned localCheckpoint blocks between queries
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
