@@ -287,6 +287,9 @@ object SparkEntry {
     "t4_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
     "t5_token_freq" -> ((s, dir) => TextOps.tokenFrequency(Tables.documents(s, dir))),
     "t6_bpe_tokens" -> ((s, dir) => TextOps.bpeTokenCounts(Tables.documents(s, dir))),
+    "t7_winnowing" -> ((s, dir) => // per-char rolling hash: not
+      // SQL-mirrorable, rows-only; algorithm unit-tested vs the paper
+      TextOps.winnowingFingerprints(Tables.documents(s, dir))),
     "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
     "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
   )

@@ -98,6 +98,32 @@ object MediaOps {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Resize for "image" rows — nearest-neighbor subsampling over the fake
+    * pixel buffer (the byte payload), preserving the metadata contract:
+    * real plumbing (schema, per-row transform, new dims), stubbed codec.
+    * Output rows carry the target dims and the subsampled payload.
+    */
+  def resizeStub(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      if (r.modality != "image" || r.content.isEmpty) r
+      else {
+        // nearest-neighbor over a w×h grid flattened into the byte buffer
+        val src = r.content
+        val out = new Array[Byte](outW * outH)
+        var i = 0
+        while (i < out.length) {
+          val sy = ((i / outW).toLong * r.height / outH).toInt
+          val sx = ((i % outW).toLong * r.width / outW).toInt
+          out(i) = src(((sy.toLong * r.width + sx) % src.length).toInt)
+          i += 1
+        }
+        r.copy(content = out, width = outW, height = outH)
+      }
+    }
+  }
+
   /** Declared-query surface: binary metadata extraction with integer-exact
     * outputs — byte length, md5 prefix, first 4 payload bytes as a
     * big-endian int (the shape of a magic-number/codec sniff).

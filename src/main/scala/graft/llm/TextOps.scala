@@ -186,6 +186,57 @@ object TextOps {
        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_ws_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): Rabin-Karp
+    * rolling hash over character k-grams, then the minimum hash of each
+    * sliding window of `w` consecutive k-gram hashes (rightmost-min rule).
+    * Guarantees every match of length ≥ w+k-1 between two docs shares a
+    * fingerprint — the standard plagiarism/near-dup fingerprint family.
+    *
+    * Pure per-row computation (executor-side `map`, no state, no shuffle):
+    * embarrassingly parallel at any corpus size. Not SQL-mirrorable
+    * (per-character loop), so the declared query is rows-only and the
+    * algorithm is unit-tested against the published definition.
+    * `(doc_id, fingerprints ARRAY<BIGINT> sorted distinct)`.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, winnow(text.toLowerCase, k, w)) }
+      .toDF("doc_id", "fingerprints")
+      .orderBy("doc_id")
+  }
+
+  /** Driver-free winnowing core (shared with the unit oracle). */
+  private[graft] def winnow(s: String, k: Int, w: Int): Array[Long] = {
+    if (s.length < k) return Array.empty
+    val B = 1000003L
+    // Mersenne 2^31-1: keeps every product below 2^52, no Long overflow
+    val M = (1L << 31) - 1
+    // rolling k-gram hashes: h_i = s[i]*B^(k-1) + ... + s[i+k-1], mod M
+    var pow = 1L
+    for (_ <- 1 until k) pow = pow * B % M
+    val n = s.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    for (i <- 0 until k) h = (h * B + s.charAt(i)) % M
+    hs(0) = h
+    for (i <- 1 until n) {
+      h = ((h - s.charAt(i - 1) * pow % M + M) % M * B + s.charAt(i + k - 1)) % M
+      hs(i) = h
+    }
+    if (n <= w) return Array(hs.min)
+    // sliding-window minima, rightmost-min tie rule (the paper's robust
+    // variant picks rightmost among equal minima)
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    for (start <- 0 to n - w) {
+      var best = start
+      for (j <- start until start + w) if (hs(j) <= hs(best)) best = j
+      out += hs(best)
+    }
+    out.toArray
+  }
+
   /** Global token frequency (the canonical distributed word count):
     * `(token, n)`, top `k` by count desc then token.
     */

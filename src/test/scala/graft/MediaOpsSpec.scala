@@ -39,6 +39,20 @@ class MediaOpsSpec extends SparkSpec {
     assert(frames.toSeq === Seq((2L, 0, "qr"), (2L, 2, "uv")))
   }
 
+  test("resizeStub: images get the target dims and payload size; other modalities untouched") {
+    val resized = MediaOps.resizeStub(MediaOps.syntheticMedia(docs), outW = 2, outH = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    // doc 0 is the image (0 % 3 == 0)
+    assert(resized(0L).width === 2 && resized(0L).height === 2)
+    assert(resized(0L).content.length === 4)
+    // audio/video rows pass through unchanged
+    assert(new String(resized(1L).content, "UTF-8") === "ijklmnop")
+    // deterministic
+    val again = MediaOps.resizeStub(MediaOps.syntheticMedia(docs), 2, 2)
+      .collect().map(r => r.media_id -> r.content.toSeq).toMap
+    assert(again(0L) === resized(0L).content.toSeq)
+  }
+
   test("mediaMeta: integer-exact binary metadata") {
     val r = MediaOps.mediaMeta(docs).filter("media_id = 0").head
     assert(r.getLong(2) === 8L)

