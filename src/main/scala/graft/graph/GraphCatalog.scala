@@ -4,7 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Catalog of named directed graphs, stored as sparse edge-list Parquet.
+/** Catalog of named directed graphs, stored as sparse edge-list Parquet with
+  * an explicit vertex set.
   *
   * Reference model: a "database" is a directory of graph files whose file
   * name is the graph's identity (`utils.h:35`, `client.c:47-51`); op 1 adds a
@@ -12,16 +13,25 @@ import org.apache.spark.sql.functions._
   * §2.2(4) we tighten to DB semantics: `add` fails if the graph exists,
   * `modify` requires existence — capability parity with saner errors.
   *
-  * Layout: `<root>/<name>/edges` Parquet with schema `(src LONG, dst LONG)`.
-  * Parquet replaces the reference's uncompressed text matrices
-  * (`primaryServer.c:43-49`), which were re-parsed on every read query
-  * (`secondaryServer.c:208-228`); here the columnar footer carries the schema
-  * and readers prune/push down. A 100 TB graph is just a bigger directory —
-  * writes go through the normal distributed `DataFrameWriter` path.
+  * Layout: `<root>/<name>/edges` Parquet `(src LONG, dst LONG)` plus
+  * `<root>/<name>/vertices` Parquet `(id LONG)`. The vertex table matters
+  * for parity: the reference's dense matrix carries its vertex count in the
+  * header (`primaryServer.c:43`), so a graph may contain ISOLATED vertices
+  * (all-zero rows/columns) that an edge list alone cannot represent — and
+  * traversing from one is legal (BFS from an isolated vertex returns just
+  * that vertex, `secondaryServer.c:380`). When no vertex set is supplied,
+  * it is derived from the edge endpoints.
+  *
+  * Parquet replaces the reference's uncompressed text matrices, which were
+  * re-parsed on every read query (`secondaryServer.c:208-228`); here the
+  * columnar footer carries the schema and readers prune/push down. A 100 TB
+  * graph is just a bigger directory — writes go through the normal
+  * distributed `DataFrameWriter` path.
   */
 class GraphCatalog(spark: SparkSession, root: String) {
 
   private def edgesPath(name: String) = s"$root/$name/edges"
+  private def verticesPath(name: String) = s"$root/$name/vertices"
 
   private def validateName(name: String): Unit =
     require(name.nonEmpty && name.matches("[A-Za-z0-9_.-]+"), s"invalid graph name: '$name'")
@@ -36,25 +46,43 @@ class GraphCatalog(spark: SparkSession, root: String) {
   private def normalized(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
 
+  private def vertexSetOf(edges: DataFrame, explicit: Option[DataFrame]): DataFrame =
+    explicit match {
+      case Some(v) => v.select(col(v.columns.head).cast("long").as("id")).distinct()
+      case None => edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+    }
+
+  private def write(name: String, edges: DataFrame, vertices: Option[DataFrame], mode: String): Unit = {
+    val e = normalized(edges)
+    e.write.mode(mode).parquet(edgesPath(name))
+    vertexSetOf(e, vertices).write.mode("overwrite").parquet(verticesPath(name))
+  }
+
   /** Op 1 (`client.c:77-94`, `primaryServer.c:59-60`): create a named graph.
     * Fails if it already exists (SURVEY §2.2(4)).
+    *
+    * @param vertices optional explicit vertex set (first column, cast to
+    *                 long) — pass it to preserve isolated vertices, e.g.
+    *                 `1..n` from a matrix header; defaults to the edge
+    *                 endpoints.
     */
-  def addGraph(name: String, edges: DataFrame): Unit = {
+  def addGraph(name: String, edges: DataFrame, vertices: Option[DataFrame] = None): Unit = {
     validateName(name)
     if (exists(name)) throw new AnalysisException(
       errorClass = "TABLE_OR_VIEW_ALREADY_EXISTS", messageParameters = Map("relationName" -> name))
-    normalized(edges).write.mode("errorifexists").parquet(edgesPath(name))
+    write(name, edges, vertices, "errorifexists")
   }
 
   /** Op 2 (`primaryServer.c:40-63`): full overwrite — last-writer-wins, no
     * merge, matching the reference's `fopen(..., "w")` truncate. Requires the
     * graph to exist (SURVEY §2.2(4)).
     */
-  def modifyGraph(name: String, edges: DataFrame): Unit = {
+  def modifyGraph(name: String, edges: DataFrame, vertices: Option[DataFrame] = None): Unit = {
     validateName(name)
     if (!exists(name)) throw new AnalysisException(
       errorClass = "TABLE_OR_VIEW_NOT_FOUND", messageParameters = Map("relationName" -> s"`$name`"))
-    normalized(edges).write.mode("overwrite").parquet(edgesPath(name))
+    write(name, edges, vertices, "overwrite")
   }
 
   /** Read a graph's edge list. */
@@ -63,6 +91,18 @@ class GraphCatalog(spark: SparkSession, root: String) {
     if (!exists(name)) throw new AnalysisException(
       errorClass = "TABLE_OR_VIEW_NOT_FOUND", messageParameters = Map("relationName" -> s"`$name`"))
     spark.read.parquet(edgesPath(name))
+  }
+
+  /** Read a graph's vertex set `(id LONG)` — includes isolated vertices when
+    * the graph was written with an explicit set. Graphs written by older
+    * layouts (no vertices dir) fall back to edge endpoints.
+    */
+  def vertices(name: String): DataFrame = {
+    validateName(name)
+    if (!exists(name)) throw new AnalysisException(
+      errorClass = "TABLE_OR_VIEW_NOT_FOUND", messageParameters = Map("relationName" -> s"`$name`"))
+    if (fs.exists(new Path(verticesPath(name)))) spark.read.parquet(verticesPath(name))
+    else vertexSetOf(normalized(graph(name)), None)
   }
 
   def dropGraph(name: String): Boolean = {
@@ -79,33 +119,30 @@ class GraphCatalog(spark: SparkSession, root: String) {
   // ----- traversal / analytics API over named graphs (the reference's ops) --
 
   /** Op 4 (`secondaryServer.c:313-400`): BFS levels from a 1-based-id world;
-    * validates the start vertex exists (SURVEY §2.2(3) — the reference never
-    * checks and underflows on 0).
+    * validates the start vertex exists in the vertex set (SURVEY §2.2(3) —
+    * the reference never checks and underflows on 0). BFS from an isolated
+    * vertex legitimately returns just `(start, 0)`.
     */
   def bfs(name: String, start: Long, maxDepth: Int = Int.MaxValue): DataFrame = {
-    val e = graph(name)
-    requireVertex(e, start)
-    Traversals.bfs(e, start, maxDepth)
+    requireVertex(name, start)
+    Traversals.bfs(graph(name), start, maxDepth)
   }
 
   /** Op 3 (`secondaryServer.c:237-311`): canonical deterministic DFS preorder. */
   def dfs(name: String, start: Long): DataFrame = {
-    val e = graph(name)
-    requireVertex(e, start)
-    Traversals.dfsPreorder(e, start)
+    requireVertex(name, start)
+    Traversals.dfsPreorder(graph(name), start)
   }
 
   /** Op 3, reference leaf-set semantics (`secondaryServer.c:93-97`). */
   def dfsLeaves(name: String, start: Long): DataFrame = {
-    val e = graph(name)
-    requireVertex(e, start)
-    Traversals.dfsLeaves(e, start)
+    requireVertex(name, start)
+    Traversals.dfsLeaves(graph(name), start)
   }
 
-  private def requireVertex(edges: DataFrame, v: Long): Unit = {
+  private def requireVertex(name: String, v: Long): Unit = {
     // isEmpty = take(1) under the hood — stops at the first matching row
-    // instead of counting the whole scan
-    val found = !edges.filter(col("src") === v || col("dst") === v).isEmpty
+    val found = !vertices(name).filter(col("id") === v).isEmpty
     if (!found) throw new IllegalArgumentException(s"start vertex $v not present in graph")
   }
 }

@@ -52,6 +52,17 @@ object MatrixFormat {
       .select(col("src").cast("long"), (col("colIdx") + 1).cast("long").as("dst"))
   }
 
+  /** Read a matrix file as (edges, vertex set 1..n from the header) — the
+    * ingest shape GraphCatalog.addGraph takes to preserve isolated vertices
+    * (an all-zero row/column is a legal vertex in the reference format,
+    * `primaryServer.c:43`).
+    */
+  def readGraph(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val n = readVertexCount(spark, path)
+    val vertices = spark.range(1, n + 1).toDF("id")
+    (readEdges(spark, path), vertices)
+  }
+
   /** Read just the header line (declared vertex count) of a matrix file. */
   def readVertexCount(spark: SparkSession, path: String): Int = {
     val first = spark.read.text(path).limit(1).collect()

@@ -59,6 +59,20 @@ class GraphCatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.graph("a/b"))
   }
 
+  test("explicit vertex set preserves isolated vertices; BFS from one returns itself") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    cat.addGraph("g", edgesDF(Seq((1L, 2L))), vertices = Some(Seq(1L, 2L, 3L).toDF("id")))
+    assert(vertexSet(cat.vertices("g"), "id") === Set(1L, 2L, 3L))
+    // vertex 3 is isolated but queryable — the reference's matrix header
+    // makes such graphs legal (an all-zero row), secondaryServer.c:380
+    assert(vertexLevels(cat.bfs("g", 3L)) === Seq((3L, 0)))
+    // derived set when no explicit vertices are given
+    cat.addGraph("h", edgesDF(Seq((7L, 8L))))
+    assert(vertexSet(cat.vertices("h"), "id") === Set(7L, 8L))
+  }
+
   test("bfs/dfs validate the start vertex instead of underflowing") {
     val cat = freshCatalog()
     cat.addGraph("g", edgesDF(triangle))

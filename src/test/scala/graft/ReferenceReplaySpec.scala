@@ -58,5 +58,14 @@ class ReferenceReplaySpec extends SparkSpec {
 
     // validation the reference lacks (§2.2(3)): bad start vertex errors
     intercept[IllegalArgumentException](cat.bfs("g1", 0L))
+
+    // -- isolated vertices survive the full ingest path: a matrix with an
+    //    all-zero last row/column is legal (header n is the truth) ---------
+    val mtx3 = root.resolve("g2.txt")
+    Files.writeString(mtx3, "3\n0 1 0\n0 0 0\n0 0 0\n")
+    val (e2, v2) = MatrixFormat.readGraph(spark, mtx3.toString)
+    cat.addGraph("g2", e2, Some(v2))
+    assert(vertexLevels(cat.bfs("g2", 3L)) === Seq((3L, 0))) // isolated start
+    assert(vertexSet(cat.vertices("g2"), "id") === Set(1L, 2L, 3L))
   }
 }
