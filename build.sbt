@@ -13,6 +13,10 @@ Test / fork := true
 // suites share one SparkSession in the forked JVM; run them serially
 Test / parallelExecution := false
 run / fork := true
+// forked run output passes through UNPREFIXED: the driver parses Bench's
+// final JSON line from stdout, and sbt's default logger would wrap it in
+// "[info] " (BENCH_r01/r02 both came back "parsed": null because of that)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,6 +18,26 @@ import graft.functions.DotProduct
   * b) ...")` works alongside the Column API
   * ([[graft.functions.VectorExpressions]]).
   */
+/** Process-temp directories (per-PID warehouse, g10's round-trip dir) are
+  * deleted on JVM exit by a shutdown hook — `File.deleteOnExit` can't remove
+  * non-empty directories, so without this every bench/verify run would leave
+  * its garbage in /tmp.
+  */
+object TempDirs {
+  private val registered = scala.collection.mutable.Set.empty[String]
+  def deleteOnExit(dir: java.nio.file.Path): java.nio.file.Path = synchronized {
+    if (registered.add(dir.toAbsolutePath.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    dir
+  }
+  def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+    }
+}
+
 object GraftSession {
   def builder(master: String = "local[*]", cores: String = "32"): SparkSession.Builder =
     SparkSession.builder()
@@ -42,9 +62,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // managed (bucketed) tables land in tmp, never in the repo cwd;
       // per-process dir so a fresh JVM (fresh in-memory catalog) never
-      // collides with a previous run's table locations
+      // collides with a previous run's table locations; removed on exit
       .config("spark.sql.warehouse.dir",
-        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse-${ProcessHandle.current().pid()}")
+        TempDirs.deleteOnExit(java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-warehouse-${ProcessHandle.current().pid()}")).toString)
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = builder().getOrCreate()

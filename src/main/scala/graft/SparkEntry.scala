@@ -63,13 +63,13 @@ object SparkEntry {
       // the reference's full write path (op 1, primaryServer.c:40-63):
       // catalog add -> dense-matrix text file -> re-ingest -> analytics;
       // oracle computes the same degrees straight from the source table.
-      // Fixed per-process dir (re-runs drop + overwrite) so repeated
-      // bench/verify invocations don't accumulate temp garbage.
-      val root = java.nio.file.Paths.get(
+      // Fixed per-process dir (re-runs drop + overwrite), recursively
+      // deleted by a shutdown hook (deleteOnExit can't remove non-empty
+      // dirs) so repeated bench/verify runs don't accumulate temp garbage.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-rt-${ProcessHandle.current().pid()}")
+        s"graft-rt-${ProcessHandle.current().pid()}"))
       java.nio.file.Files.createDirectories(root)
-      root.toFile.deleteOnExit()
       val cat = new GraphCatalog(s, root.resolve("graphs").toString)
       cat.dropGraph("rt")
       val oneBased = DerivedGraphs.small(s, dir)

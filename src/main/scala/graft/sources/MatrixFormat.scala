@@ -44,6 +44,17 @@ object MatrixFormat {
     import org.apache.spark.sql.expressions.Window
     val numbered = lines.withColumn("lineNo",
       row_number().over(Window.orderBy("fileRow")) - 1)
+    // line numbers are vertex ids in this format, so an INTERIOR blank line
+    // would silently shift every later row's id by one — reject it instead
+    // (only trailing blanks are tolerated; the reference writer emits none)
+    val blankCheck = numbered
+      .agg(
+        max(when(trim(col("value")) =!= "", col("lineNo"))).as("lastData"),
+        min(when(trim(col("value")) === "" && col("lineNo") >= 1, col("lineNo"))).as("firstBlank"))
+      .collect().head
+    require(blankCheck.isNullAt(1) || blankCheck.getInt(1) > blankCheck.getInt(0),
+      s"malformed matrix file '$path': blank line ${blankCheck.getInt(1)} inside the data block " +
+        "(line numbers are semantic — a blank interior line would shift every later vertex id)")
     numbered
       .filter(col("lineNo") >= 1 && trim(col("value")) =!= "")
       .select((col("lineNo")).as("src"), // row i of the matrix = vertex i (1-based)

@@ -62,6 +62,20 @@ class MatrixFormatSpec extends SparkSpec {
     assert(MatrixFormat.readEdges(spark, s"$dir/a.txt").count() === 0L)
   }
 
+  test("interior blank line fails loudly instead of shifting vertex ids") {
+    // line numbers are semantic: silently skipping the blank would off-by-one
+    // every row below it (round-2 ADVICE)
+    val p = tmpFile("blank.txt")
+    Files.writeString(java.nio.file.Paths.get(p), "3\n0 1 0\n\n1 0 0\n")
+    val e = intercept[IllegalArgumentException](MatrixFormat.readEdges(spark, p).collect())
+    assert(e.getMessage.contains("blank line"))
+    // trailing blank lines are tolerated (common editor artifact)
+    val p2 = tmpFile("trail.txt")
+    Files.writeString(java.nio.file.Paths.get(p2), "2\n0 1\n0 0\n\n\n")
+    assert(MatrixFormat.readEdges(spark, p2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
   test("reference golden: hand-written matrix parses to the expected edges") {
     // the exact shape primaryServer.c:43-49 emits for a 3-vertex graph
     val p = tmpFile("golden.txt")

@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 
 class PartitioningSpec extends SparkSpec {
 
+  // structural, not string, match: ShuffleExchangeExec renders as "Exchange
+  // hashpartitioning(...)" in plan strings, so substring-matching the class
+  // name would be vacuously true-negative (round-2 ADVICE). AQE wraps the
+  // plan, so walk the final adaptive plan if present.
+  private def shuffleExchanges(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }
+  }
+
   test("bucketed tables join with zero exchanges (co-located)") {
     val s = spark
     import s.implicits._
@@ -14,15 +28,32 @@ class PartitioningSpec extends SparkSpec {
     Partitioning.writeBucketed(dims, "b_dims", "k", buckets = 8)
     val joined = Partitioning.readTable(s, "b_facts")
       .join(Partitioning.readTable(s, "b_dims"), "k")
+      // pin the co-located sort-merge plan: a broadcast join of the small
+      // dim side would be exchange-free for the wrong reason
+      .hint("merge")
     assert(joined.count() === 10000L)
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"), s"expected exchange-free plan, got:\n$plan")
+    val ex = shuffleExchanges(joined)
+    assert(ex.isEmpty,
+      s"expected exchange-free co-located join, found ${ex.size}:\n${joined.queryExecution.executedPlan}")
   }
 
   test("bucketed aggregation on the bucket key is exchange-free") {
     val agg = Partitioning.readTable(spark, "b_facts").groupBy("k").agg(sum("v"))
     agg.collect()
-    assert(!agg.queryExecution.executedPlan.toString.contains("ShuffleExchange"))
+    val ex = shuffleExchanges(agg)
+    assert(ex.isEmpty,
+      s"expected exchange-free bucketed agg, found ${ex.size}:\n${agg.queryExecution.executedPlan}")
+  }
+
+  test("unbucketed control: the same join DOES shuffle (detector is live)") {
+    val s = spark
+    import s.implicits._
+    val a = (1L to 1000L).map(i => (i % 97, i)).toDF("k", "id")
+    val b = (0L until 97L).map(i => (i, s"d$i")).toDF("k", "name")
+    val joined = a.join(b.hint("merge"), "k")
+    joined.count()
+    assert(shuffleExchanges(joined).nonEmpty,
+      "control failed: plain sort-merge join should contain shuffle exchanges")
   }
 
   test("saltedJoin returns exactly the plain join result on skewed data") {
