@@ -274,11 +274,15 @@ object SparkEntry {
 
     // ---- LLM-pipeline: similarity search ----
     "s1_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
-    "s2_ann_lsh" -> ((s, dir) => // approximate by construction: rows-only
-      // here; recall vs exact top-k is asserted in SimilaritySpec
+    "s2_ann_lsh" -> ((s, dir) => // approximate vs EXACT top-k, but fully
+      // deterministic given the seeded hyperplanes — so the oracle mirrors
+      // the LSH pipeline itself; recall vs exact is asserted in
+      // SimilaritySpec
       Similarity.lshTopK(Tables.embeddings(s, dir))),
-    "s3_ann_ivf" -> ((s, dir) => // IVF scale path (same rows-only rationale)
-      Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "s3_ann_ivf" -> ((s, dir) => // iters=0: seed centroids (lowest ids) make
+      // the declared query deterministic + SQL-mirrorable; the k-means
+      // refinement path (iters>0) is recall-tested in SimilaritySpec
+      Similarity.ivfTopK(Tables.embeddings(s, dir), iters = 0)),
 
     // ---- LLM-pipeline: text analysis + multimodal ----
     "t1_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
@@ -287,8 +291,8 @@ object SparkEntry {
     "t4_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
     "t5_token_freq" -> ((s, dir) => TextOps.tokenFrequency(Tables.documents(s, dir))),
     "t6_bpe_tokens" -> ((s, dir) => TextOps.bpeTokenCounts(Tables.documents(s, dir))),
-    "t7_winnowing" -> ((s, dir) => // per-char rolling hash: not
-      // SQL-mirrorable, rows-only; algorithm unit-tested vs the paper
+    "t7_winnowing" -> ((s, dir) => // rolling hash unrolled to a k-term
+      // polynomial in the SQL mirror — fully oracle-checked
       TextOps.winnowingFingerprints(Tables.documents(s, dir))),
     "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
     "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
@@ -462,20 +466,22 @@ object SparkEntry {
     "st3_session_windows" -> EventStreams.sessionCountsSql(),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d2_jaccard_pairs" -> Dedup.jaccardPairsSql(),
-    // LSH+verify matches the exact join ASSUMING full LSH recall — true
-    // here (miss prob ≤ (1-J²)³² ≈ 1e-4 per pair at the J=0.5 cut, and
-    // deterministic per fixed seed+corpus: verified green on this data),
-    // but a regenerated corpus with a pair exactly at threshold could
-    // legitimately diverge. The probabilistic trade IS the operator.
-    "d3_minhash_pairs" -> Dedup.jaccardPairsSql(),
+    // the oracle mirrors the full MinHash+LSH pipeline (same seeded hash
+    // family, banding, and verify), so the gate is deterministic equality —
+    // not the was-recall-perfect coin flip of comparing against the exact
+    // join (round-2 ADVICE); recall vs exact IS still covered, in DedupSpec
+    "d3_minhash_pairs" -> Dedup.minHashLshPairsSql(),
     "d4_simhash_pairs" -> Dedup.simHashPairsSql(),
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
+    "s2_ann_lsh" -> Similarity.lshTopKSql(),
+    "s3_ann_ivf" -> Similarity.ivfTopKSql(),
     "t1_text_stats" -> TextOps.textStatsSql,
     "t2_language_id" -> TextOps.languageIdSql,
     "t3_quality" -> TextOps.qualityBucketsSql,
     "t4_fingerprints" -> TextOps.fingerprintsSql,
     "t5_token_freq" -> TextOps.tokenFrequencySql(),
     "t6_bpe_tokens" -> TextOps.bpeTokenCountsSql,
+    "t7_winnowing" -> TextOps.winnowingSql(),
     "d5_cosine_dup_pairs" -> Similarity.cosineDupPairsSql(),
     "m1_media_meta" -> MediaOps.mediaMetaSql,
   )

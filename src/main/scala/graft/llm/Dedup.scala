@@ -175,6 +175,47 @@ object Dedup {
     verifiedPairs(sh, candidates, thresholdMille)
   }
 
+  /** DuckDB mirror of [[minHashLshPairs]] — the ENTIRE pipeline (same seeded
+    * universal-hash params, same 60-bit shingle hash, same banding, same
+    * exact-Jaccard verify), not the exact similarity join it approximates.
+    * Gating d3 against the exact join assumed perfect LSH recall, which a
+    * regenerated corpus with a pair at the threshold could nondeterministically
+    * break (round-2 ADVICE); this oracle is deterministic equality by
+    * construction, so the gate now tests the operator's real semantics.
+    */
+  def minHashLshPairsSql(thresholdMille: Int = 500, numHashes: Int = 64,
+                         rowsPerBand: Int = 2): String = {
+    require(rowsPerBand == 2, "banding below assumes r=2, like the operator")
+    val P = Hashing.MinHashP
+    val params = Hashing.minHashParams(numHashes)
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $P) AS m$i"
+    }.mkString(",\n|               ")
+    val bandStructs = (0 until numHashes / rowsPerBand).map(j =>
+      s"{'band': $j, 'h0': m${2 * j}, 'h1': m${2 * j + 1}}").mkString(", ")
+    s"""WITH ${TextOps.shinglesSql()},
+       |hx AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % $P AS x FROM sh),
+       |sigs AS (SELECT doc_id,
+       |               $minCols
+       |        FROM hx GROUP BY doc_id),
+       |bands AS (SELECT doc_id, u['band'] AS band, u['h0'] AS h0, u['h1'] AS h1
+       |          FROM sigs, UNNEST([$bandStructs]) AS t(u)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.h0 = y.h0 AND x.h1 = y.h1 AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |          FROM cand c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz,
+       |       inter * 1000 // (sa.sz + sb.sz - inter) AS jaccard_1000
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE inter * 1000 >= $thresholdMille * (sa.sz + sb.sz - inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** 60-bit SimHash per doc over distinct tokens: bit i of the signature is
     * set iff Σ_tokens (2·bit_i(hash60(token)) - 1) > 0. `(doc_id, simhash)`.
     */

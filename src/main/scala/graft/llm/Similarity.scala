@@ -184,6 +184,72 @@ object Similarity {
     IndexedSeq.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** A double array as a DuckDB DOUBLE[] literal. `Double.toString` is the
+    * shortest round-trip representation, so DuckDB's parse recovers the
+    * exact same binary64 — the SQL mirrors stay bit-identical to the Spark
+    * plan's literals.
+    */
+  private def sqlVec(xs: Array[Double]): String =
+    xs.mkString("[", ", ", "]::DOUBLE[]")
+
+  /** DuckDB mirror of [[lshTopK]]: same seeded hyperplanes (inlined as
+    * round-trip double literals), same sign-pattern bucketing, same
+    * within-bucket exact re-rank — deterministic equality, so the "ANN"
+    * path is oracle-checked end-to-end rather than rows-only.
+    */
+  def lshTopKSql(k: Int = 5, numPlanes: Int = 8, dim: Int = 64): String = {
+    val pl = planes(numPlanes, dim)
+    val sigExpr = pl.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(e, ${sqlVec(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n|         + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |sig AS (SELECT vec_id, e, nrm,
+       |           $sigExpr AS sig
+       |        FROM n),
+       |s AS (SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+       |             list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS cos
+       |      FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+       |             cos
+       |      FROM s)
+       |SELECT query_id, neighbor_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ivfTopK]] with `iters = 0` (centroids = the
+    * `nlist` lowest-id vectors — the declared query's deterministic
+    * configuration): same assignment rule (max cosine, ties to the HIGHER
+    * centroid id, matching Spark's max-of-structs ordering), same nprobe
+    * probe-list selection, same exact re-rank.
+    */
+  def ivfTopKSql(numQueries: Int = 20, k: Int = 5,
+                 nlist: Int = 16, nprobe: Int = 4): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
+       |                sqrt(list_dot_product(e, e)) AS cn
+       |         FROM (SELECT * FROM v ORDER BY vec_id LIMIT $nlist)),
+       |scores AS (SELECT n.vec_id, n.e, n.nrm, cent.cid,
+       |                  list_dot_product(n.e, cent.ce) / (n.nrm * cent.cn) AS s
+       |           FROM n CROSS JOIN cent),
+       |assign AS (SELECT vec_id, e, nrm, cid FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+       |             FROM scores) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS probe_cid FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+       |             FROM scores WHERE vec_id < $numQueries) WHERE rn <= $nprobe),
+       |pairs AS (SELECT p.query_id, a.vec_id,
+       |                 list_dot_product(a.e, p.qe) / (a.nrm * p.qn) AS cos
+       |          FROM probes p JOIN assign a ON a.cid = p.probe_cid AND a.vec_id <> p.query_id),
+       |r AS (SELECT query_id, vec_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+       |             cos
+       |      FROM pairs)
+       |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Signature-bucketed approximate top-k over ALL vectors: bucket by the
     * sign pattern of `numPlanes` random-hyperplane projections, exact
     * re-rank inside each bucket. `(query_id, neighbor_id, rank, cos_1e6)`

@@ -192,19 +192,58 @@ object TextOps {
     * Guarantees every match of length ≥ w+k-1 between two docs shares a
     * fingerprint — the standard plagiarism/near-dup fingerprint family.
     *
-    * Pure per-row computation (executor-side `map`, no state, no shuffle):
-    * embarrassingly parallel at any corpus size. Not SQL-mirrorable
-    * (per-character loop), so the declared query is rows-only and the
-    * algorithm is unit-tested against the published definition.
-    * `(doc_id, fingerprints ARRAY<BIGINT> sorted distinct)`.
+    * Pure per-row computation (executor-side `flatMap`, no state, no
+    * shuffle before the final sort): embarrassingly parallel at any corpus
+    * size. One scalar row per (doc, distinct fingerprint) — scalar because
+    * the driver's oracle compare hashes column values and cannot sort an
+    * array column. The k-char rolling hash IS SQL-mirrorable when k is a
+    * small constant (unrolled polynomial over `ord(substr(...))` — see
+    * [[winnowingSql]]), so the declared query is fully oracle-checked.
+    * `(doc_id, fingerprint BIGINT)`.
     */
   def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, winnow(text.toLowerCase, k, w)) }
-      .toDF("doc_id", "fingerprints")
-      .orderBy("doc_id")
+    val par = spark.sparkContext.defaultParallelism
+    docs.repartition(par) // single-file parquet input = 1 partition otherwise
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        winnow(text.toLowerCase(java.util.Locale.ROOT), k, w).map(f => (id, f))
+      }
+      .toDF("doc_id", "fingerprint")
+      .orderBy("doc_id", "fingerprint")
+  }
+
+  /** DuckDB mirror of [[winnowingFingerprints]]: the k-gram hash is the
+    * unrolled polynomial `((c_1·B + c_2) mod M ...)·B + c_k mod M` (exactly
+    * the Scala loop's `h = (h·B + c) % M` step order, so values are
+    * bit-identical), and the rightmost-min window rule is a windowed
+    * `min(h·2^32 + (2^32-1-i))` — minimal hash first, larger position wins
+    * ties. Valid for ASCII/BMP text (Scala charAt = UTF-16 unit vs DuckDB
+    * ord = code point; the test corpus is ASCII).
+    */
+  def winnowingSql(k: Int = 5, w: Int = 4): String = {
+    val B = 1000003L
+    val M = (1L << 31) - 1
+    // h_k with a mod after every step: (((c1)*B + c2) % M ... ) % M
+    val poly = (2 to k).foldLeft(s"ord(substr(t, i, 1))::BIGINT") { (acc, j) =>
+      s"(($acc) * $B + ord(substr(t, i + ${j - 1}, 1))) % $M"
+    }
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= $k),
+       |pos AS (SELECT doc_id, unnest(range(1, len(t) - $k + 2)) AS i, t FROM d),
+       |hs AS (SELECT doc_id, i, $poly AS h FROM pos),
+       |-- pack (h asc, i desc) into one BIGINT so a windowed min applies the
+       |-- paper's rightmost-min tie rule; frame truncation at the partition
+       |-- end makes the n <= w case (single global min) fall out for free
+       |sel AS (SELECT doc_id, i,
+       |               min(h * 4294967296 + (4294967295 - i))
+       |                 OVER (PARTITION BY doc_id ORDER BY i
+       |                       ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS p,
+       |               count(*) OVER (PARTITION BY doc_id) AS n
+       |        FROM hs)
+       |SELECT DISTINCT doc_id, p // 4294967296 AS fingerprint
+       |FROM sel WHERE i <= greatest(1, n - $w + 1)
+       |ORDER BY doc_id, fingerprint""".stripMargin
   }
 
   /** Driver-free winnowing core (shared with the unit oracle). */

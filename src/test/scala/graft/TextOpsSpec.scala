@@ -68,12 +68,13 @@ class TextOpsSpec extends SparkSpec {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "completely different start but jumps over the lazy dog near the end here"
     val rows = TextOps.winnowingFingerprints(docsDF(Seq(1L -> a, 2L -> b)), k = 5, w = 4)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupMap(_._1)(_._2).map { case (id, fs) => id -> fs.toSet }
     // both contain "jumps over the lazy dog near" (28 chars >= w+k-1 = 8)
     assert((rows(1L) & rows(2L)).nonEmpty)
     // disjoint text shares nothing
     val c = TextOps.winnowingFingerprints(docsDF(Seq(3L -> "zzz yyy xxx www vvv uuu")), k = 5, w = 4)
-      .head.getSeq[Long](1).toSet
+      .collect().map(_.getLong(1)).toSet
     assert((rows(1L) & c).isEmpty)
   }
 
