@@ -32,5 +32,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads churn through an 8g heap fast enough that full GCs
+  // dominate bench variance (d3 measured 8s..41s across runs); 16g on the
+  // 128 GiB harness keeps timings stable
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

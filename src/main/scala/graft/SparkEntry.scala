@@ -127,6 +127,43 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    "q11_topk_udaf" -> ((s, dir) => { // typed Aggregator UDAF: bounded O(k)
+      // per-group state through the partial/merge path — the scale-safe
+      // form of top-N-per-group (no full per-group sort/materialization)
+      import graft.functions.Aggregators
+      val topk = udaf(new Aggregators.TopKByScore(3))
+      EventStreams.normalized(Tables.events(s, dir))
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(topk(col("n"), col("user_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.score").as("n_events"), col("t.id").as("user_id"))
+        .orderBy("event_type", "rank")
+    }),
+    "q12_percentiles" -> ((s, dir) => { // exact interpolated percentiles —
+      // sort-based agg; values are small integers so the (n-1)p linear
+      // interpolation is dyadic-exact in both engines
+      val pcts = expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(pcts.as("p"))
+        .select(col("l_returnflag"),
+          element_at(col("p"), 1).as("p25"),
+          element_at(col("p"), 2).as("p50"),
+          element_at(col("p"), 3).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+    "q13_pivot" -> ((s, dir) => // pivot with explicit values (no extra
+      // distinct-scan job, deterministic column order); empty cells stay
+      // NULL on both sides (SUM over no rows)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .orderBy("l_returnflag")),
+
     // ---- relational: joins ----
     "q3_top_revenue" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -296,6 +333,7 @@ object SparkEntry {
       TextOps.winnowingFingerprints(Tables.documents(s, dir))),
     "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
     "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
+    "m2_frame_sample" -> ((s, dir) => MediaOps.frameSample(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -416,6 +454,25 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_topk_udaf" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
+        |      FROM c)
+        |SELECT event_type, rank::BIGINT AS rank, n AS n_events, user_id
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "q12_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN 1 END)::BIGINT AS n_f,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN 1 END)::BIGINT AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "m2_frame_sample" -> MediaOps.frameSampleSql(),
     "q4_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')

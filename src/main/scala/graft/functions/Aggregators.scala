@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAFs (`Aggregator`) — the custom-aggregation surface of the
+  * engine (SURVEY §2.3 "UDF/UDAF/UDTF" row; the scalar-function slot is
+  * filled by the native codegen'd [[DotProduct]] expression, which beats a
+  * `udf()` wrapper).
+  *
+  * [[TopKByScore]] is the canonical bounded-state example: top-k rows per
+  * group by (score desc, id asc) with O(k) state per group — at 100 TB a
+  * full per-group sort materializes the whole group per key, while this
+  * carries at most k entries through the partial/merge path (classic
+  * bounded-heap aggregation; Spark's own `TakeOrderedAndProject` does the
+  * same trick for global top-k, but not per-group).
+  */
+object Aggregators {
+
+  /** One scored row: the aggregation input and output element. */
+  final case class ScoredId(score: Long, id: Long)
+
+  /** Top-k by (score desc, id asc): deterministic under ties. The buffer is
+    * a sorted Seq capped at k — small enough that Seq insertion beats heap
+    * bookkeeping for the k this is meant for (top-N-per-group, N ≲ 100).
+    */
+  final class TopKByScore(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    require(k > 0, "k must be positive")
+
+    private def better(a: ScoredId, b: ScoredId): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    private def insert(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
+      if (buf.length == k && better(buf.last, x)) buf
+      else ((buf :+ x).sortWith(better)).take(k)
+
+    def zero: Seq[ScoredId] = Vector.empty
+    def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] = insert(buf, x)
+    def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+      b.foldLeft(a)(insert)
+    def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
+    // array<struct<score,id>> on the wire: structured (not kryo-opaque) so
+    // the query can posexplode the finished value
+    def bufferEncoder: Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+    def outputEncoder: Encoder[Seq[ScoredId]] = bufferEncoder
+  }
+}

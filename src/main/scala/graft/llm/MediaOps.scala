@@ -138,6 +138,40 @@ object MediaOps {
       conv(hex(expr("substring(content, 1, 4)")), 16, 10).cast("long").as("magic"))
       .orderBy("media_id")
 
+  /** Declared-query surface over [[sampleFrames]]: every 2nd frame of each
+    * "video" payload, reduced to integer-exact columns (md5 prefix + byte
+    * count) so the binary frames oracle-check without shipping blobs
+    * through the compare. `(media_id, frame_idx, frame_md5_8,
+    * n_frame_bytes)`.
+    */
+  def frameSample(docs: DataFrame, stride: Int = 2): DataFrame =
+    sampleFrames(syntheticMedia(docs), stride).select(
+      col("media_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      substring(md5(col("frame")), 1, 8).as("frame_md5_8"),
+      length(col("frame")).cast("long").as("n_frame_bytes"))
+      .orderBy("media_id", "frame_idx")
+
+  /** DuckDB mirror of [[frameSample]]: the payload is the UTF-8 text bytes
+    * and the corpus is ASCII, so byte offsets == character offsets and the
+    * frame slices can be taken on the VARCHAR directly (DuckDB has no BLOB
+    * substr).
+    */
+  def frameSampleSql(stride: Int = 2): String =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |                  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+       |                  text, (doc_id % 30 + 1)::INT AS n_frames
+       |           FROM documents),
+       |v AS (SELECT media_id, text, n_frames, greatest(len(text) // n_frames, 1) AS frame_len
+       |      FROM m WHERE modality = 'video' AND n_frames > 0),
+       |f AS (SELECT media_id, u.i AS frame_idx,
+       |             substr(text, (u.i * frame_len + 1)::INT, frame_len::INT) AS fr
+       |      FROM v, UNNEST(range(0, n_frames)) AS u(i)
+       |      WHERE u.i % $stride = 0)
+       |SELECT media_id, frame_idx::BIGINT AS frame_idx,
+       |       substr(md5(fr), 1, 8) AS frame_md5_8, len(fr)::BIGINT AS n_frame_bytes
+       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   val mediaMetaSql: String =
     """SELECT doc_id AS media_id,
       |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,

@@ -96,6 +96,28 @@ object EventStreams {
        |SELECT user_id, MIN(e) AS session_start_us, COUNT(*) AS n
        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Stream-stream inner join: clicks within 1 h after a view by the same
+    * user — `(view_id, click_id, user_id)`. Works identically in batch;
+    * under `readStream` the two watermarks plus the time-range condition
+    * bound each side's join state (rows older than watermark + range are
+    * evicted), which is what makes an unbounded two-stream join feasible —
+    * the batch analogue is the bucketed range join `e7_range_pairs`.
+    */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                    withWatermarks: Boolean = false): DataFrame = {
+    val v0 = normalized(views).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val c0 = normalized(clicks).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val (v, c) =
+      if (withWatermarks) (v0.withWatermark("v_ts", "2 hours"), c0.withWatermark("c_ts", "2 hours"))
+      else (v0, c0)
+    v.join(c, col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+  }
+
   // ---- custom stateful operator: per-user running counter with timeout ----
 
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)

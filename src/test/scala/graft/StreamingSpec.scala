@@ -92,6 +92,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted === Seq("alpha", "beta", "gamma"))
   }
 
+  test("stream-stream join (watermarked, time-bounded) == batch join") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents
+    val views = MemoryStream[Ev](s)
+    val clicks = MemoryStream[Ev](s)
+    // interleave feeds so join state must hold rows across micro-batches
+    val (e1, e2) = events.splitAt(150)
+    views.addData(e1); clicks.addData(e2)
+    views.addData(e2); clicks.addData(e1)
+    val got = runToCompletion(
+      EventStreams.viewClickJoin(views.toDF(), clicks.toDF(), withWatermarks = true),
+      "t_ssjoin", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventStreams.viewClickJoin(events.toDF(), events.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want && want.nonEmpty)
+  }
+
   test("mapGroupsWithState running counts reach the batch totals") {
     val s = spark
     import s.implicits._
