@@ -31,10 +31,20 @@ object TempDirs {
     dir
   }
   def deleteRecursively(dir: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+    // Spark's own shutdown hooks may be deleting the same tree concurrently:
+    // close the walk stream deterministically and absorb mid-walk
+    // NoSuchFile/UncheckedIO failures so this hook thread never dies noisily
+    try {
+      if (java.nio.file.Files.exists(dir)) {
+        val stream = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.toSeq.reverseIterator
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+        } finally stream.close()
+      }
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
     }
 }
 

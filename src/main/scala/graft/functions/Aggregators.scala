@@ -32,7 +32,14 @@ object Aggregators {
 
     private def insert(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
       if (buf.length == k && better(buf.last, x)) buf
-      else ((buf :+ x).sortWith(better)).take(k)
+      else {
+        // buf stays sorted by `better`, so a positional splice is O(k) per
+        // row — no per-row re-sort (round-3 verdict)
+        val i = buf.indexWhere(e => better(x, e))
+        val at = if (i < 0) buf.length else i
+        val (pre, post) = buf.splitAt(at)
+        ((pre :+ x) ++ post).take(k)
+      }
 
     def zero: Seq[ScoredId] = Vector.empty
     def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] = insert(buf, x)

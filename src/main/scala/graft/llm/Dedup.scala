@@ -107,12 +107,23 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       // ceil(τ·sz) in pure integers: (sz·t + 999) div 1000
       .filter(col("rk") <= col("sz") - expr(s"(sz * $thresholdMille + 999) div 1000") + 1)
-      .select("doc_id", "shingle", "sz")
+      .select("doc_id", "shingle", "sz", "rk")
     val t = thresholdMille.toLong
+    // PPJoin positional filter (Xiao et al.): a shared prefix shingle at
+    // (1-based) global-order positions rka/rkb caps the overlap reachable
+    // through it at 1 + min(sza-rka, szb-rkb); J ≥ τ needs overlap ≥
+    // ceil(t·(sza+szb)/(1000+t)). Applied per shared-shingle row BEFORE the
+    // distinct: exact, because for a qualifying pair the FIRST shared prefix
+    // shingle has no common shingles before it on either side, so its bound
+    // is ≥ the true overlap and that row always survives. Cuts verify volume
+    // on corpora where even "rare" shingles are frequent (tiny vocabularies).
+    val posBound = (lit(1L) + least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))) *
+      lit(1000L + t) >= lit(t) * (col("x.sz") + col("y.sz"))
     val candidates = prefix.as("x")
       .join(prefix.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
         // length filter: J ≥ τ needs τ·|x| ≤ |y| and τ·|y| ≤ |x|
-        col("y.sz") * 1000L >= lit(t) * col("x.sz") && col("x.sz") * 1000L >= lit(t) * col("y.sz"))
+        col("y.sz") * 1000L >= lit(t) * col("x.sz") && col("x.sz") * 1000L >= lit(t) * col("y.sz") &&
+        posBound)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sz").as("sza"), col("y.sz").as("szb"))
       .distinct()

@@ -85,18 +85,21 @@ object MediaOps {
     * chunks, every `stride`-th chunk kept. Pure expression plan (codegen'd):
     * `(media_id, frame_idx, frame BINARY)`.
     */
-  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2): DataFrame = {
-    val m = media.toDF()
-    m.filter(col("modality") === "video" && col("n_frames") > 0)
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2): DataFrame =
+    // content rides through the explode (it is duplicated per frame row
+    // either way), so there is no re-join — the plan is a single
+    // scan → generate → project, no shuffle (round-3 verdict). The kept
+    // indices are filtered INSIDE the array before exploding, so dropped
+    // strides never become rows at all.
+    media.toDF()
+      .filter(col("modality") === "video" && col("n_frames") > 0)
       .withColumn("frame_len", expr("greatest(length(content) div n_frames, 1)").cast("int"))
-      .select(col("media_id"), col("frame_len"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
-      .filter(col("frame_idx") % stride === 0)
-      .join(m.select(col("media_id"), col("content")), "media_id")
+      .select(col("media_id"), col("frame_len"), col("content"),
+        explode(filter(sequence(lit(0), col("n_frames") - 1),
+          i => i % stride === 0)).as("frame_idx"))
       .select(col("media_id"), col("frame_idx"),
         expr("substring(content, frame_idx * frame_len + 1, frame_len)").as("frame"))
       .orderBy("media_id", "frame_idx")
-  }
 
   /** Resize for "image" rows — nearest-neighbor subsampling over the fake
     * pixel buffer (the byte payload), preserving the metadata contract:
@@ -160,7 +163,10 @@ object MediaOps {
   def frameSampleSql(stride: Int = 2): String =
     s"""WITH m AS (SELECT doc_id AS media_id,
        |                  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
-       |                  text, (doc_id % 30 + 1)::INT AS n_frames
+       |                  CASE WHEN octet_length(encode(text)) <> len(text)
+       |                       THEN error('non-ASCII corpus: byte offsets != char offsets in frame oracle')
+       |                       ELSE text END AS text,
+       |                  (doc_id % 30 + 1)::INT AS n_frames
        |           FROM documents),
        |v AS (SELECT media_id, text, n_frames, greatest(len(text) // n_frames, 1) AS frame_len
        |      FROM m WHERE modality = 'video' AND n_frames > 0),

@@ -52,7 +52,10 @@ object MatrixFormat {
         max(when(trim(col("value")) =!= "", col("lineNo"))).as("lastData"),
         min(when(trim(col("value")) === "" && col("lineNo") >= 1, col("lineNo"))).as("firstBlank"))
       .collect().head
-    require(blankCheck.isNullAt(1) || blankCheck.getInt(1) > blankCheck.getInt(0),
+    // a degenerate all-blank file leaves lastData null — reject it loudly
+    // (was an NPE from getInt on null) while still tolerating trailing blanks
+    val lastData = if (blankCheck.isNullAt(0)) -1 else blankCheck.getInt(0)
+    require(blankCheck.isNullAt(1) || (lastData >= 0 && blankCheck.getInt(1) > lastData),
       s"malformed matrix file '$path': blank line ${blankCheck.getInt(1)} inside the data block " +
         "(line numbers are semantic — a blank interior line would shift every later vertex id)")
     numbered
@@ -95,17 +98,24 @@ object MatrixFormat {
   def writeMatrix(spark: SparkSession, edges: DataFrame, path: String,
                   vertexCount: Option[Int] = None, maxVertices: Int = 10000): Unit = {
     import spark.implicits._
-    val pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
-    pairs.foreach { case (s, d) =>
-      require(s >= 1 && d >= 1,
-        s"matrix format ids are 1-based; got edge ($s, $d) — shift ids before writing")
-    }
-    val maxId = if (pairs.isEmpty) 0 else pairs.iterator.flatMap(p => Iterator(p._1, p._2)).max.toInt
-    val n = math.max(maxId, vertexCount.getOrElse(0))
+    val typed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // guard BEFORE collecting: id bounds come from a distributed aggregate,
+    // so an oversized edge set fails with the cap message instead of OOMing
+    // the driver on collect
+    val bounds = typed
+      .agg(max(greatest(col("src"), col("dst"))).as("maxId"),
+        min(least(col("src"), col("dst"))).as("minId"))
+      .collect().head
+    val maxId = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
+    val minId = if (bounds.isNullAt(1)) 1L else bounds.getLong(1)
+    require(minId >= 1,
+      s"matrix format ids are 1-based; min edge endpoint is $minId — shift ids before writing")
     require(vertexCount.forall(_ >= maxId),
       s"vertexCount ${vertexCount.get} < max edge endpoint $maxId")
-    require(n <= maxVertices, s"dense matrix output capped at $maxVertices vertices, got $n")
+    val nL = math.max(maxId, vertexCount.getOrElse(0).toLong)
+    require(nL <= maxVertices, s"dense matrix output capped at $maxVertices vertices, got $nL")
+    val n = nL.toInt
+    val pairs = typed.as[(Long, Long)].collect()
     val m = Array.fill(n, n)(0)
     pairs.foreach { case (s, d) => m(s.toInt - 1)(d.toInt - 1) = 1 }
     val text = (Seq(n.toString) ++ m.map(_.mkString(" "))).mkString("\n") + "\n"

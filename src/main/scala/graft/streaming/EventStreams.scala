@@ -143,4 +143,40 @@ object EventStreams {
           next
       }
   }
+
+  /** The production variant of [[runningUserCounts]]: per-user state expires
+    * after `idle` of event-time inactivity (`EventTimeTimeout` driven by the
+    * watermark), so state size tracks ACTIVE users — on an unbounded stream
+    * the timeout-free variant's state grows with every user ever seen, which
+    * at 100 TB of events is the difference between a bounded state store and
+    * an OOM. The trade is explicit: an evicted user's counter restarts from
+    * zero if they return after `idle` (eviction is asserted in
+    * `StreamingSpec`).
+    */
+  def runningUserCountsBounded(events: Dataset[UserEvent],
+                               watermarkDelay: String = "1 hour",
+                               idleMs: Long = 2 * 3600 * 1000L): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: drop the counter, free the state slot
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, ""))
+            val next = sorted.foldLeft(prev)((acc, e) => UserRunning(uid, acc.n_events + 1, e.event_type))
+            state.update(next)
+            // expire `idle` past this batch's newest event for the key; the
+            // timestamp must sit above the current watermark or Spark rejects it
+            val maxTs = sorted.last.ts.getTime
+            state.setTimeoutTimestamp(math.max(maxTs + idleMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(next)
+          }
+      }
+  }
 }

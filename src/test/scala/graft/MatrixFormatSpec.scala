@@ -52,6 +52,27 @@ class MatrixFormatSpec extends SparkSpec {
       MatrixFormat.writeMatrix(spark, edgesDF(Seq((1L, 99999L))), p))
   }
 
+  test("dense-size guard fires before the edge set is collected to the driver") {
+    // an edge set far past the cap must fail with the cap message, not OOM
+    // the driver on collect (round-3 verdict): 10M synthetic edges, never
+    // materialized driver-side because the aggregate bound check runs first
+    import org.apache.spark.sql.functions._
+    val big = spark.range(1, 10000001)
+      .select((col("id") % 5000000 + 1).as("src"), (col("id") % 4000000 + 2).as("dst"))
+    val e = intercept[IllegalArgumentException](
+      MatrixFormat.writeMatrix(spark, big, tmpFile("big.txt"), maxVertices = 100))
+    assert(e.getMessage.contains("capped"))
+  }
+
+  test("all-blank file fails with the blank-line message, not an NPE") {
+    // no non-blank line at all → lastData aggregate is null; must reject,
+    // not NPE in the guard itself (round-3 ADVICE)
+    val p = tmpFile("allblank.txt")
+    Files.writeString(java.nio.file.Paths.get(p), "\n\n\n")
+    val e = intercept[IllegalArgumentException](MatrixFormat.readEdges(spark, p).collect())
+    assert(e.getMessage.contains("blank line"))
+  }
+
   test("readEdges rejects directories and multi-file globs (line order is semantic)") {
     val dir = Files.createTempDirectory("graft-mtx-multi")
     Files.writeString(dir.resolve("a.txt"), "1\n0\n")

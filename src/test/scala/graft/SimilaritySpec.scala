@@ -28,15 +28,36 @@ class SimilaritySpec extends SparkSpec {
     assert(cos === 707106L)
   }
 
-  test("cosineDupPairs finds exactly the above-threshold pairs") {
+  test("cosineDupPairsExact finds exactly the above-threshold pairs") {
     val e = embDF(Seq(
       0L -> Array(1f, 0f),
       1L -> Array(1f, 0.1f),  // cos(0,1) ≈ 0.995
       2L -> Array(0f, 1f),    // orthogonal to 0
       3L -> Array(1f, 0f)))   // identical to 0
-    val got = Similarity.cosineDupPairs(e, thresholdE6 = 900000L).collect()
+    val got = Similarity.cosineDupPairsExact(e, thresholdE6 = 900000L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("banded cosineDupPairs: no false positives, high recall vs the exact tier") {
+    // the declared d5 plan is bucket-equi LSH + exact verify. Precision is
+    // 1.0 by construction (the verify cut is the exact cosine threshold);
+    // recall is probabilistic — the driver gate checks the banded plan
+    // against a mirrored-pipeline oracle (cosineDupPairsSql), and THIS test
+    // pins the semantic quality: every reported pair is a true pair, and
+    // the banding recovers most of them on the gate corpus (θ≈63° sits at
+    // the random-noise tail edge here, so perfect recall is not expected).
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val banded = Similarity.cosineDupPairs(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.cosineDupPairsExact(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty) // corpus has planted above-threshold pairs
+    assert(banded.subsetOf(exact), "banded plan must never invent a pair")
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below floor (banded ${banded.size} of ${exact.size})")
   }
 
   test("ivfTopK recalls clustered neighbors (probed lists contain the cluster)") {

@@ -32,6 +32,18 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  /** Start the query FIRST, then run `feed` (which should alternate addData
+    * with `q.processAllAvailable()`) — the only way to guarantee each feed
+    * lands in its own micro-batch, so cross-batch state/watermark paths are
+    * genuinely exercised (data queued before start() is served as ONE batch).
+    */
+  private def runIncremental(stream: DataFrame, name: String, mode: OutputMode)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { feed(q); q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
   test("tumbling-window aggregate: streaming (watermarked) == batch") {
     val s = spark
     import s.implicits._
@@ -98,17 +110,61 @@ class StreamingSpec extends SparkSpec {
     val events = mkEvents
     val views = MemoryStream[Ev](s)
     val clicks = MemoryStream[Ev](s)
-    // interleave feeds so join state must hold rows across micro-batches
-    val (e1, e2) = events.splitAt(150)
-    views.addData(e1); clicks.addData(e2)
-    views.addData(e2); clicks.addData(e1)
-    val got = runToCompletion(
+    // feed in SEPARATE micro-batches (addData between processAllAvailable
+    // calls on a started query) so join state really must hold each side's
+    // rows across batches (round-3 ADVICE: queueing everything before
+    // start() collapses to a single batch). Batches are split by EVENT TIME
+    // (older half first): cross-batch pairs straddle the cut — batch-1 views
+    // wait in state for batch-2 clicks — while nothing arrives behind the
+    // advanced watermark (a random split would silently drop late rows,
+    // which is correct streaming semantics but not this test's subject).
+    val cut = events.map(_.ts.getTime).sorted.apply(events.size / 2)
+    val (e1, e2) = events.partition(_.ts.getTime < cut)
+    val got = runIncremental(
       EventStreams.viewClickJoin(views.toDF(), clicks.toDF(), withWatermarks = true),
-      "t_ssjoin", OutputMode.Append())
+      "t_ssjoin", OutputMode.Append()) { q =>
+        views.addData(e1); clicks.addData(e1); q.processAllAvailable()
+        views.addData(e2); clicks.addData(e2); q.processAllAvailable()
+      }
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val want = EventStreams.viewClickJoin(events.toDF(), events.toDF())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === want && want.nonEmpty)
+    // prove the cross-batch state path actually fired: at least one result
+    // pairs a batch-1 view with a batch-2 click
+    val ts = events.map(e => e.event_id -> e.ts.getTime).toMap
+    assert(got.exists { case (vid, cid, _) => ts(vid) < cut && ts(cid) >= cut },
+      "no cross-batch join pair — the state path wasn't exercised")
+  }
+
+  test("bounded running counts: idle keys are evicted on event-time timeout") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000L
+    def ev(uid: Long, offsetMs: Long) =
+      EventStreams.UserEvent(uid, new Timestamp(base + offsetMs), "view")
+    val H = 3600 * 1000L
+    val mem = MemoryStream[EventStreams.UserEvent](s)
+    // watermark delay 1h, idle timeout 2h: user 1's state (last event t0)
+    // must be evicted once the watermark passes t0+2h, so their return at
+    // t0+21h restarts the counter at 1 — the observable proof the state
+    // store sheds idle keys instead of growing with every user ever seen
+    val rows = runIncremental(
+      EventStreams.runningUserCountsBounded(mem.toDS()).toDF(),
+      "t_evict", OutputMode.Update()) { q =>
+        mem.addData(Seq(ev(1L, 0L))); q.processAllAvailable()
+        // push the watermark to t0+9h (>> t0+2h timeout)
+        mem.addData(Seq(ev(2L, 10 * H))); q.processAllAvailable()
+        // next batch fires user 1's timeout (state removed, nothing emitted)
+        mem.addData(Seq(ev(2L, 20 * H))); q.processAllAvailable()
+        // user 1 returns: a fresh counter proves the old state is gone
+        mem.addData(Seq(ev(1L, 21 * H))); q.processAllAvailable()
+      }
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val user1Counts = rows.filter(_._1 == 1L).map(_._2)
+    assert(user1Counts === Seq(1L, 1L), // NOT 1 then 2: state was evicted
+      s"expected user 1 to restart at 1 after eviction, got $rows")
+    assert(rows.filter(_._1 == 2L).map(_._2).sorted === Seq(1L, 2L))
   }
 
   test("mapGroupsWithState running counts reach the batch totals") {
