@@ -58,22 +58,23 @@ object Bench {
     val loadBefore = loadAvg1m()
     var failed = List.empty[String]
     val results = names.map { name =>
-      // min over reps: co-tenant interference only ever ADDS time, so the
-      // minimum is the least-contaminated estimate of the plan's true cost
-      val t = (1 to reps).foldLeft(Double.MaxValue) { (best, _) =>
+      // min over successful reps: co-tenant interference only ever ADDS
+      // time, so the minimum is the least-contaminated estimate of the
+      // plan's true cost; a query is failed only if EVERY rep failed (one
+      // good run is a valid measurement regardless of transient errors)
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        val run =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch {
-            case NonFatal(e) =>
-              System.err.println(s"[bench] $name FAILED: $e")
-              if (!failed.contains(name)) failed ::= name
-              -1.0
-          }
-          finally dropCachedBlocks()
-        if (run < 0) run else math.min(best, run)
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            None
+        } finally dropCachedBlocks()
       }
-      name -> t
+      if (times.isEmpty) { failed ::= name; name -> -1.0 }
+      else name -> times.min
     }
     val loadAfter = loadAvg1m()
     val maxHeapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, Traversals}
+import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Traversals}
 import graft.llm.{Dedup, MediaOps, Similarity, TextOps}
-import graft.sources.MatrixFormat
+import graft.operators.Partitioning
+import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -152,6 +153,47 @@ object SparkEntry {
           element_at(col("p"), 1).as("p25"),
           element_at(col("p"), 2).as("p50"),
           element_at(col("p"), 3).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+    "q14_bucketed_join" -> ((s, dir) => {
+      // physical-layout surface bound to the gate: both sides bucketed on
+      // the join key at write time, so the join itself plans with ZERO
+      // Exchange (the structural no-shuffle assertion lives in
+      // PartitioningSpec; this entry pins result correctness). At 100 TB
+      // this is the write-once-join-many pattern: the bucketed write is the
+      // only shuffle the key ever pays.
+      Partitioning.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders", "o_orderkey")
+      Partitioning.writeBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), dec12("l_quantity").as("qty")),
+        "graft_bkt_lineitem", "l_orderkey")
+      Partitioning.readTable(s, "graft_bkt_lineitem")
+        .join(Partitioning.readTable(s, "graft_bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+    "f1_jsonl_roundtrip" -> ((s, dir) => {
+      // interchange-format surface bound to the gate: a lineitem slice is
+      // exported as JSONL, re-read schema-first (FAILFAST), and aggregated;
+      // the DuckDB oracle reads the SAME files with read_json_auto, so both
+      // the writer and the reader are checked. Integer-exact columns only
+      // (scaled-cent quantities) — no float round-trip ambiguity. The
+      // output path is sf-tagged and NOT deleted at JVM exit: the oracle
+      // runs after this process ends.
+      val slice = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          (dec12("l_quantity") * 100).cast("long").as("qty_c"), col("l_returnflag"))
+      TableFormats.writeJsonl(slice, jsonlRoundtripPath(dir))
+      TableFormats.readJsonl(s, jsonlRoundtripPath(dir),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey LONG, line_no LONG, qty_c LONG, l_returnflag STRING"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty_c").as("sum_qty_c"),
+          sum("l_orderkey").as("sum_okey"), max("line_no").as("max_line"))
         .orderBy("l_returnflag")
     }),
     "q13_pivot" -> ((s, dir) => // pivot with explicit values (no extra
@@ -472,6 +514,13 @@ object SparkEntry {
         |  SUM(CASE WHEN l_linestatus = 'F' THEN 1 END)::BIGINT AS n_f,
         |  SUM(CASE WHEN l_linestatus = 'O' THEN 1 END)::BIGINT AS n_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_bucketed_join" -> // the oracle sees only the SEMANTICS (plain join
+      // + agg over the source tables); the bucketed layout is the plan
+      // property under test in PartitioningSpec
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "m2_frame_sample" -> MediaOps.frameSampleSql(),
     "q4_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
@@ -542,4 +591,45 @@ object SparkEntry {
     "d5_cosine_dup_pairs" -> Similarity.cosineDupPairsSql(),
     "m1_media_meta" -> MediaOps.mediaMetaSql,
   )
+
+  /** Where `f1_jsonl_roundtrip` lands its JSONL export for the given sf dir
+    * — sf-tagged so a later run at another scale (e.g. Bench at sf0.1 after
+    * Verify at sf0.01) cannot overwrite the files the oracle is about to
+    * read; deliberately NOT registered for delete-on-exit for the same
+    * reason.
+    */
+  def jsonlRoundtripPath(sfDir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-jsonl-" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Oracles only computable against the data (not sf-independent SQL),
+    * merged into `oracle_sql.json` by Verify:
+    *  - `g8`/`g9`: DFS preorder / leaf set are not SQL-expressible (a
+    *    recursive CTE cannot carry the visited set), so the expected rows
+    *    are computed by [[graft.graph.SequentialModel]] — plain in-memory
+    *    recursion sharing no code with the Spark path, the same
+    *    independent-model discipline `TraversalProps` uses — and emitted as
+    *    a `VALUES` literal for DuckDB.
+    *  - `f1`: the JSONL round-trip oracle reads the sf-tagged export path.
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val edges = DerivedGraphs.small(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pre = SequentialModel.dfsPreorder(edges, start = 0L)
+    val leaves = SequentialModel.dfsLeaves(edges, start = 0L)
+    val preVals = pre.zipWithIndex.map { case (v, i) => s"($v, $i)" }.mkString(", ")
+    Map(
+      "g8_dfs_preorder" ->
+        s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(p AS INT) AS pos
+           |FROM (VALUES $preVals) AS t(v, p) ORDER BY pos""".stripMargin,
+      "g9_dfs_leaves" -> (
+        if (leaves.isEmpty) "SELECT CAST(NULL AS BIGINT) AS vertex WHERE 1 = 0"
+        else s"""SELECT CAST(v AS BIGINT) AS vertex
+                |FROM (VALUES ${leaves.map(v => s"($v)").mkString(", ")}) AS t(v) ORDER BY vertex""".stripMargin),
+      "f1_jsonl_roundtrip" ->
+        s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
+           |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line
+           |FROM read_json_auto('${jsonlRoundtripPath(sfDir)}/*.json')
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
 }

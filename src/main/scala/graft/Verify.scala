@@ -35,7 +35,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static SQL plus the data-dependent oracles (DFS VALUES literals,
+    // sf-tagged JSONL path) — computed against the same sfDir the queries
+    // just ran on, so the driver's DuckDB compare sees a complete map
+    val json = (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // the full declared-query list, so the checker can flag queries that

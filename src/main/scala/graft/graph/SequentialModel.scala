@@ -1,0 +1,48 @@
+package graft.graph
+
+/** Driver-side sequential reference models of the DFS semantics
+  * (`secondaryServer.c:56-108`, leaf record at `secondaryServer.c:93-97`,
+  * start filtered at `secondaryServer.c:290`) with the engine's canonical
+  * lowest-id-first schedule (SURVEY §2.2(1)).
+  *
+  * Purpose: generating the driver gate's `VALUES`-literal oracles for
+  * `g8_dfs_preorder` / `g9_dfs_leaves` — DFS preorder is not expressible in
+  * SQL (a recursive CTE cannot carry the visited set), so Verify computes
+  * the expected rows HERE, with plain in-memory recursion that shares no
+  * code with [[Traversals]]' Spark path (mirroring the independent model
+  * that `TraversalProps` property-checks the same operators against).
+  */
+object SequentialModel {
+
+  def adjacency(edges: Seq[(Long, Long)]): Map[Long, Seq[Long]] =
+    edges.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted }
+
+  /** DFS preorder, lowest-id neighbor first. */
+  def dfsPreorder(edges: Seq[(Long, Long)], start: Long): Seq[Long] = {
+    val adj = adjacency(edges)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    def go(v: Long): Unit = {
+      seen += v
+      adj.getOrElse(v, Nil).foreach(n => if (!seen(n)) go(n))
+    }
+    go(start)
+    seen.toSeq
+  }
+
+  /** Reference leaf-set DFS: vertices whose visit spawned zero recursive
+    * calls, excluding the start; sorted ascending.
+    */
+  def dfsLeaves(edges: Seq[(Long, Long)], start: Long): Seq[Long] = {
+    val adj = adjacency(edges)
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def go(v: Long): Unit = {
+      seen += v
+      var spawned = 0
+      adj.getOrElse(v, Nil).foreach(n => if (!seen(n)) { spawned += 1; go(n) })
+      if (spawned == 0 && v != start) leaves += v
+    }
+    go(start)
+    leaves.toSeq.sorted
+  }
+}

@@ -60,4 +60,13 @@ object TraversalProps extends Properties("Traversals") {
       val got = Traversals.dfsLeaves(df(edges), 0L).collect().map(_.getLong(0)).toSeq
       got == SequentialOracles.dfsLeaves(edges, 0L)
     }
+
+  property("main-scope SequentialModel (the g8/g9 VALUES-oracle generator) == test oracle") =
+    // no Spark involved: pins the driver-gate oracle generator to this
+    // suite's independent model, closing the three-way loop (Spark path ==
+    // test model == gate generator)
+    Prop.forAll(genGraph) { edges =>
+      graft.graph.SequentialModel.dfsPreorder(edges, 0L) == SequentialOracles.dfsPreorder(edges, 0L) &&
+        graft.graph.SequentialModel.dfsLeaves(edges, 0L) == SequentialOracles.dfsLeaves(edges, 0L)
+    }
 }
