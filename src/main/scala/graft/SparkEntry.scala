@@ -196,6 +196,23 @@ object SparkEntry {
           sum("l_orderkey").as("sum_okey"), max("line_no").as("max_line"))
         .orderBy("l_returnflag")
     }),
+    "f2_csv_roundtrip" -> ((s, dir) => {
+      // CSV sibling of f1: export a customer slice with header, re-read
+      // schema-first (FAILFAST), aggregate; oracle reads the same files
+      // with read_csv. Integer/string columns only (doubles don't survive
+      // text round-trips bit-exactly across engines).
+      val slice = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 8 === 0)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment"))
+      TableFormats.writeCsv(slice, csvRoundtripPath(dir))
+      TableFormats.readCsv(s, csvRoundtripPath(dir),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "c_custkey LONG, nation LONG, c_mktsegment STRING"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"), max("nation").as("max_nation"))
+        .orderBy("c_mktsegment")
+    }),
     "q13_pivot" -> ((s, dir) => // pivot with explicit values (no extra
       // distinct-scan job, deterministic column order); empty cells stay
       // NULL on both sides (SUM over no rows)
@@ -602,6 +619,11 @@ object SparkEntry {
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-jsonl-" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** CSV sibling of [[jsonlRoundtripPath]] for `f2_csv_roundtrip`. */
+  def csvRoundtripPath(sfDir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-csv-" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** Oracles only computable against the data (not sf-independent SQL),
     * merged into `oracle_sql.json` by Verify:
     *  - `g8`/`g9`: DFS preorder / leaf set are not SQL-expressible (a
@@ -630,6 +652,12 @@ object SparkEntry {
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line
            |FROM read_json_auto('${jsonlRoundtripPath(sfDir)}/*.json')
-           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "f2_csv_roundtrip" ->
+        s"""SELECT c_mktsegment, COUNT(*) AS n, SUM(c_custkey)::BIGINT AS sum_key,
+           |       MAX(nation) AS max_nation
+           |FROM read_csv('${csvRoundtripPath(sfDir)}/*.csv', header = true,
+           |              columns = {'c_custkey': 'BIGINT', 'nation': 'BIGINT', 'c_mktsegment': 'VARCHAR'})
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 }
