@@ -110,10 +110,15 @@ object Similarity {
         .withColumn("cid", assignCol)
       // per-dimension mean as dim flat codegen'd aggregates
       val dimAggs = (0 until dim).map(j => avg(element_at(col("e"), j + 1)).as(s"d$j"))
+      // keyed by cid, NOT row position: an empty cluster (possible when a
+      // duplicate seed vector ties away all of a centroid's members) must
+      // keep its previous centroid — positional indexing would silently
+      // shift every later centroid's identity
       val updated = assigned.groupBy("cid").agg(dimAggs.head, dimAggs.tail: _*)
-        .orderBy("cid").collect()
-        .map(r => (0 until dim).map(j => r.getDouble(j + 1)).toArray)
-      if (updated.nonEmpty) centroids = updated
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(j => r.getDouble(j + 1)).toArray)
+        .toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
 
     // deterministic plan, reused twice below — recomputing the 16 scored

@@ -79,6 +79,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("ivfTopK refinement survives an empty cluster (duplicate seed vectors)") {
+    // seeds are the lowest-id vectors; make vec 0 and vec 1 IDENTICAL so
+    // the max-of-structs tie rule (higher cid wins) assigns both to
+    // centroid 1 and cluster 0 comes out of the update EMPTY. The refine
+    // step must keep empty clusters' previous centroids keyed by cid —
+    // positional reindexing used to shift every later centroid's identity
+    val rng = new scala.util.Random(21)
+    val dim = 8
+    val centers = Seq.fill(4)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val base = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 6
+    } yield (ci * 6L + j, c.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    // vec 1 := vec 0 (exact duplicate); both are k-means seeds at nlist=4
+    val vecs = base.map { case (id, v) => if (id == 1L) (id, base.head._2.clone()) else (id, v) }
+    val exact = Similarity.cosineTopK(embDF(vecs), numQueries = 24, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(embDF(vecs), numQueries = 24, k = 3,
+      nlist = 4, nprobe = 2, iters = 2, dim = dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      ivf.get(q).map(found => (found & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("lshTopK recalls clustered neighbors (tight clusters collide in buckets)") {
     val rng = new scala.util.Random(3)
     val dim = 16
