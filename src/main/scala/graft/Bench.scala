@@ -14,8 +14,12 @@ import scala.util.control.NonFatal
   *    (BENCH_r03 recorded a phantom 2.7x "regression" from host contention);
   *  - the JSON carries /proc/loadavg (sampled before and after) plus the JVM
   *    max heap, so a contaminated run is self-identifying;
-  *  - failures are NOT swallowed: a failed query records a sentinel -1
-  *    timing, prints the error to stderr, and the process exits nonzero;
+  *  - a query is failed (sentinel -1 timing, nonzero exit) only when EVERY
+  *    rep fails; one good run is a valid measurement. Reps that fail while
+  *    another succeeds are still visible: each prints to stderr and the
+  *    total is recorded as "rep_failures" in the JSON, so an
+  *    every-other-run breakage is self-identifying rather than silently
+  *    reported as healthy;
   *  - the result JSON is printed as the last stdout line AND written to
   *    bench_out.json so the driver can parse it out of sbt log noise;
   *  - deterministic query order (sorted by name).
@@ -57,6 +61,7 @@ object Bench {
 
     val loadBefore = loadAvg1m()
     var failed = List.empty[String]
+    var repFailures = 0
     val results = names.map { name =>
       // min over successful reps: co-tenant interference only ever ADDS
       // time, so the minimum is the least-contaminated estimate of the
@@ -70,6 +75,7 @@ object Bench {
         } catch {
           case NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: $e")
+            repFailures += 1
             None
         } finally dropCachedBlocks()
       }
@@ -82,8 +88,8 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""failed":${failed.size},"reps":$reps,"loadavg_before":$loadBefore,""" +
-        s""""loadavg_after":$loadAfter,"max_heap_mb":$maxHeapMb}"""
+        s""""failed":${failed.size},"reps":$reps,"rep_failures":$repFailures,""" +
+        s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"max_heap_mb":$maxHeapMb}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)
     spark.stop()

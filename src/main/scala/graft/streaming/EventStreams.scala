@@ -122,6 +122,12 @@ object EventStreams {
 
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class UserRunning(user_id: Long, n_events: Long, last_type: String)
+  /** State for [[runningUserCountsBounded]]: the running aggregate plus the
+    * max event time ever seen for the key — the timeout deadline must be
+    * computed from this, not from the current batch alone, or a late-but-
+    * accepted older event would move the eviction deadline BACKWARD.
+    */
+  final case class BoundedState(running: UserRunning, max_ts: Long)
 
   /** `mapGroupsWithState` running per-user aggregate — the custom-state
     * escape hatch for logic windowed aggs can't express. State is one small
@@ -160,20 +166,21 @@ object EventStreams {
     import spark.implicits._
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserRunning, UserRunning](
+      .flatMapGroupsWithState[BoundedState, UserRunning](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[BoundedState]) =>
           if (state.hasTimedOut) {
             state.remove() // idle key: drop the counter, free the state slot
             Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
-            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, ""))
-            val next = sorted.foldLeft(prev)((acc, e) => UserRunning(uid, acc.n_events + 1, e.event_type))
-            state.update(next)
-            // expire `idle` past this batch's newest event for the key; the
-            // timestamp must sit above the current watermark or Spark rejects it
-            val maxTs = sorted.last.ts.getTime
+            val prev = state.getOption.getOrElse(BoundedState(UserRunning(uid, 0L, ""), Long.MinValue))
+            val next = sorted.foldLeft(prev.running)((acc, e) => UserRunning(uid, acc.n_events + 1, e.event_type))
+            // deadline = idle past the newest event EVER seen for the key
+            // (late-but-accepted older events must not pull it backward);
+            // clamped above the watermark or Spark rejects the timestamp
+            val maxTs = math.max(prev.max_ts, sorted.last.ts.getTime)
+            state.update(BoundedState(next, maxTs))
             state.setTimeoutTimestamp(math.max(maxTs + idleMs, state.getCurrentWatermarkMs() + 1))
             Iterator.single(next)
           }

@@ -167,6 +167,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(_._1 == 2L).map(_._2).sorted === Seq(1L, 2L))
   }
 
+  test("bounded running counts: a late event does not pull the eviction deadline backward") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000L
+    def ev(uid: Long, offsetMs: Long) =
+      EventStreams.UserEvent(uid, new Timestamp(base + offsetMs), "view")
+    val H = 3600 * 1000L
+    val mem = MemoryStream[EventStreams.UserEvent](s)
+    // user 1's newest event is at 10h (deadline 12h). An out-of-order
+    // event at 9.5h — above the 9h watermark, so NOT dropped — is counted,
+    // but must not re-arm the deadline backward to 11.5h: when user 2's
+    // events push the watermark to 11.8-11.9h, user 1 must SURVIVE (12h
+    // deadline not yet passed), so their return at 12.5h continues the
+    // count at 3. A deadline computed from the current batch alone would
+    // have evicted them at wm 11.8h and restarted the count at 1.
+    val rows = runIncremental(
+      EventStreams.runningUserCountsBounded(mem.toDS()).toDF(),
+      "t_late", OutputMode.Update()) { q =>
+        mem.addData(Seq(ev(1L, 10 * H))); q.processAllAvailable() // wm -> 9h
+        mem.addData(Seq(ev(1L, (9.5 * H).toLong))); q.processAllAvailable() // out-of-order, counted
+        mem.addData(Seq(ev(2L, (12.8 * H).toLong))); q.processAllAvailable() // wm -> 11.8h
+        mem.addData(Seq(ev(2L, (12.9 * H).toLong))); q.processAllAvailable() // u1 idle-checked at 11.8h
+        mem.addData(Seq(ev(1L, (12.5 * H).toLong))); q.processAllAvailable()
+      }
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.filter(_._1 == 1L).map(_._2) === Seq(1L, 2L, 3L),
+      s"user 1 should survive to n=3 (deadline anchored at newest-ever event), got $rows")
+  }
+
   test("mapGroupsWithState running counts reach the batch totals") {
     val s = spark
     import s.implicits._
