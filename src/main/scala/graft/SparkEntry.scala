@@ -175,6 +175,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("sum_qty"))
         .orderBy("o_orderpriority")
     }),
+    "q15_salted_join" -> ((s, dir) => {
+      // the skew-mitigation surface bound to the gate: the salted join must
+      // return EXACTLY what the plain join returns (salting only respreads
+      // hot keys across reducers), so the oracle is the unsalted SQL join
+      val big = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), dec12("l_quantity").as("qty"))
+      val small = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      Partitioning.saltedJoin(big, small, "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
     "f1_jsonl_roundtrip" -> ((s, dir) => {
       // interchange-format surface bound to the gate: a lineitem slice is
       // exported as JSONL, re-read schema-first (FAILFAST), and aggregated;
@@ -534,6 +546,12 @@ object SparkEntry {
     "q14_bucketed_join" -> // the oracle sees only the SEMANTICS (plain join
       // + agg over the source tables); the bucketed layout is the plan
       // property under test in PartitioningSpec
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q15_salted_join" -> // salting must be result-invariant: same oracle
+      // shape as the plain join
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
