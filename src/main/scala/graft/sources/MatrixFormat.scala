@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,69 +21,95 @@ import org.apache.spark.sql.functions._
   * contract explicitly. The scalable path for graph IO is GraphCatalog's
   * parquet edge lists — this format exists for golden-file parity with the
   * reference only.
+  *
+  * Because the format is driver-sized BY CONTRACT, the read path parses the
+  * file on the driver in one pass (Hadoop `fs.open`, so any FileSystem URI
+  * still works) instead of paying distributed-plan overhead: the previous
+  * implementation launched ~4 Spark jobs per read (text scan, a
+  * single-partition global Window to number lines, a blank-line-check
+  * aggregate, the edge collect) — pure scheduling cost for a file that is
+  * capped smaller than one task's input split. A size guard rejects files
+  * past the dense cap BEFORE buffering them driver-side.
   */
 object MatrixFormat {
 
-  /** Read a matrix text file → edges `(src LONG, dst LONG)`, 1-based ids.
-    *
-    * Single-file contract (enforced): line numbers are semantic in this
-    * format, so a directory or multi-file glob — where Spark's text source
-    * gives no cross-file ordering — is rejected rather than silently
-    * mis-numbered.
+  /** Hard cap on matrix file bytes buffered driver-side: a 10k-vertex dense
+    * matrix ("0 "-cells) is ~200 MB, so 512 MB covers the format's own cap
+    * with headroom while refusing an accidental huge input loudly.
     */
-  def readEdges(spark: SparkSession, path: String): DataFrame = {
+  private val MaxFileBytes: Long = 512L * 1024 * 1024
+
+  /** Resolve the single-file contract and read all lines on the driver.
+    *
+    * Line numbers are semantic in this format, so a directory or multi-file
+    * glob — where no cross-file ordering exists — is rejected rather than
+    * silently mis-numbered.
+    */
+  private def readLines(spark: SparkSession, path: String): IndexedSeq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matches = fs.globStatus(p)
     require(matches != null && matches.length == 1 && matches.head.isFile,
       s"matrix format is a single text file; '$path' resolves to " +
         s"${if (matches == null) 0 else matches.length} entries")
-    val lines = spark.read.text(path)
-      .select(monotonically_increasing_id().as("fileRow"), col("value"))
-    // monotonically_increasing_id is ordered within a partition but not dense
-    // across partitions; re-rank to a dense 0-based line number. The single
-    // Window partition is fine: one file ⇒ driver-sized input by contract.
-    import org.apache.spark.sql.expressions.Window
-    val numbered = lines.withColumn("lineNo",
-      row_number().over(Window.orderBy("fileRow")) - 1)
-    // line numbers are vertex ids in this format, so an INTERIOR blank line
-    // would silently shift every later row's id by one — reject it instead
-    // (only trailing blanks are tolerated; the reference writer emits none)
-    val blankCheck = numbered
-      .agg(
-        max(when(trim(col("value")) =!= "", col("lineNo"))).as("lastData"),
-        min(when(trim(col("value")) === "" && col("lineNo") >= 1, col("lineNo"))).as("firstBlank"))
-      .collect().head
-    // a degenerate all-blank file leaves lastData null — reject it loudly
-    // (was an NPE from getInt on null) while still tolerating trailing blanks
-    val lastData = if (blankCheck.isNullAt(0)) -1 else blankCheck.getInt(0)
-    require(blankCheck.isNullAt(1) || (lastData >= 0 && blankCheck.getInt(1) > lastData),
-      s"malformed matrix file '$path': blank line ${blankCheck.getInt(1)} inside the data block " +
-        "(line numbers are semantic — a blank interior line would shift every later vertex id)")
-    numbered
-      .filter(col("lineNo") >= 1 && trim(col("value")) =!= "")
-      .select((col("lineNo")).as("src"), // row i of the matrix = vertex i (1-based)
-        posexplode(split(trim(col("value")), "\\s+")).as(Seq("colIdx", "cell")))
-      .filter(col("cell") === "1")
-      .select(col("src").cast("long"), (col("colIdx") + 1).cast("long").as("dst"))
+    require(matches.head.getLen <= MaxFileBytes,
+      s"matrix file '$path' is ${matches.head.getLen} bytes — past the " +
+        s"driver-sized cap of $MaxFileBytes (the dense format tops out ~200 MB at 10k vertices)")
+    val in = new BufferedReader(
+      new InputStreamReader(fs.open(matches.head.getPath), StandardCharsets.UTF_8))
+    try {
+      val buf = IndexedSeq.newBuilder[String]
+      var line = in.readLine()
+      while (line != null) { buf += line; line = in.readLine() }
+      buf.result()
+    } finally in.close()
   }
+
+  /** Validate blank-line structure and parse the matrix body to edges.
+    * Line i (1-based) of the body is vertex i's adjacency row; an INTERIOR
+    * blank line would silently shift every later row's id by one — reject it
+    * (only trailing blanks are tolerated; the reference writer emits none).
+    */
+  private def parseEdges(path: String, lines: IndexedSeq[String]): Seq[(Long, Long)] = {
+    val lastData = lines.lastIndexWhere(_.trim.nonEmpty)
+    val firstBlank = lines.indexWhere(_.trim.isEmpty, 1)
+    require(firstBlank == -1 || (lastData >= 0 && firstBlank > lastData),
+      s"malformed matrix file '$path': blank line $firstBlank inside the data block " +
+        "(line numbers are semantic — a blank interior line would shift every later vertex id)")
+    for {
+      i <- 1 to lastData
+      (cell, j) <- lines(i).trim.split("\\s+").zipWithIndex
+      if cell == "1"
+    } yield (i.toLong, (j + 1).toLong)
+  }
+
+  private def edgesDF(spark: SparkSession, pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  /** Read a matrix text file → edges `(src LONG, dst LONG)`, 1-based ids. */
+  def readEdges(spark: SparkSession, path: String): DataFrame =
+    edgesDF(spark, parseEdges(path, readLines(spark, path)))
 
   /** Read a matrix file as (edges, vertex set 1..n from the header) — the
     * ingest shape GraphCatalog.addGraph takes to preserve isolated vertices
     * (an all-zero row/column is a legal vertex in the reference format,
-    * `primaryServer.c:43`).
+    * `primaryServer.c:43`). One file read serves both outputs.
     */
   def readGraph(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val n = readVertexCount(spark, path)
+    val lines = readLines(spark, path)
+    require(lines.nonEmpty, s"empty matrix file: $path")
+    val n = lines.head.trim.toInt
     val vertices = spark.range(1, n + 1).toDF("id")
-    (readEdges(spark, path), vertices)
+    (edgesDF(spark, parseEdges(path, lines)), vertices)
   }
 
   /** Read just the header line (declared vertex count) of a matrix file. */
   def readVertexCount(spark: SparkSession, path: String): Int = {
-    val first = spark.read.text(path).limit(1).collect()
-    require(first.nonEmpty, s"empty matrix file: $path")
-    first.head.getString(0).trim.toInt
+    val lines = readLines(spark, path)
+    require(lines.nonEmpty, s"empty matrix file: $path")
+    lines.head.trim.toInt
   }
 
   /** Write edges `(src, dst)` (1-based) as the reference's dense text format.
