@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Traversals}
 import graft.llm.{Dedup, MediaOps, Similarity, TextOps}
-import graft.operators.Partitioning
+import graft.operators.{Partitioning, TemporalJoins}
 import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.EventStreams
 
@@ -37,12 +37,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Traversals.bfs(DerivedGraphs.big(spark, "/root/testdata/sf0.001"), start = 0L, maxDepth = 12)
 
+  /** The g1/g2 BFS plan, shared so the two queries stay one definition. */
+  private def bigBfs(s: SparkSession, dir: String): DataFrame =
+    Traversals.bfs(DerivedGraphs.big(s, dir), start = 0L, maxDepth = 12)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- graph operators (reference surface + analytics extensions) ----
-    "g1_bfs_levels" -> ((s, dir) =>
-      Traversals.bfs(DerivedGraphs.big(s, dir), start = 0L, maxDepth = 12)),
-    "g2_reachable_stats" -> ((s, dir) =>
-      Traversals.bfs(DerivedGraphs.big(s, dir), start = 0L, maxDepth = 12)
+    "g1_bfs_levels" -> ((s, dir) => bigBfs(s, dir)),
+    "g2_reachable_stats" -> ((s, dir) => // same BFS plan as g1, reduced
+      bigBfs(s, dir)
         .agg(count(lit(1)).as("n_reachable"), max("level").cast("int").as("max_level"))),
     "g3_connected_components" -> ((s, dir) =>
       Analytics.connectedComponents(DerivedGraphs.small(s, dir)).orderBy("vertex")),
@@ -331,37 +334,35 @@ object SparkEntry {
     }),
     "e6_asof_attribution" -> ((s, dir) => {
       // as-of join: each purchase attributed to the user's latest view at or
-      // before it (union + last(ignoreNulls) over an ordered window — the
-      // shuffle-once distributed as-of; DuckDB mirrors with ASOF-equivalent
-      // window SQL in microseconds so tie semantics match exactly)
+      // before it — through the shared TemporalJoins.asofJoin operator
+      // (union + last(ignoreNulls) over an ordered window, shuffle-once;
+      // DuckDB mirrors with ASOF-equivalent window SQL in microseconds so
+      // tie semantics match exactly)
       val ev = EventStreams.normalized(Tables.events(s, dir))
-      val tagged = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts_us"), lit(0).as("kind"), col("event_id"))
-        .unionAll(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us"), lit(1).as("kind"), col("event_id")))
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("view_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
-        .select(col("event_id").as("purchase_id"), col("user_id"), col("view_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      TemporalJoins.asofJoin(purchases, views, key = "user_id",
+          leftTime = "ts_us", rightTime = "ts_us",
+          rightValues = Seq("event_id" -> "view_id"), rightTieBreak = Seq("event_id"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"))
         .orderBy("purchase_id")
     }),
     "e7_range_pairs" -> ((s, dir) => {
-      // range join: clicks within 1 h after a view by the same user.
-      // Bucketed to 1 h grains so the join is equi on (user, bucket) with
-      // only a 2-bucket fan-out — no quadratic range explosion at scale.
+      // range join: clicks within 1 h after a view by the same user —
+      // through the shared TemporalJoins.rangeJoin operator (1 h bucket
+      // grains ⇒ equi join on (user, bucket) with a 2-bucket fan-out, no
+      // quadratic range explosion at scale)
       val B = 3600000000L
       val ev = EventStreams.normalized(Tables.events(s, dir))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts_us").as("v_us"))
-        .withColumn("jb", explode(array(expr(s"v_us div $B"), expr(s"v_us div $B + 1"))))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us").as("c_us"), expr(s"ts_us div $B").as("cb"))
-      views.join(clicks, views("user_id") === clicks("user_id") &&
-          col("jb") === col("cb") &&
-          col("c_us") >= col("v_us") && col("c_us") - col("v_us") <= B)
-        .groupBy(views("user_id").as("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .select(col("user_id"), col("ts_us").as("c_us"))
+      TemporalJoins.rangeJoin(views, clicks, key = "user_id",
+          leftTime = "v_us", rightTime = "c_us", window = B)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
 
@@ -373,6 +374,25 @@ object SparkEntry {
       EventStreams.slidingCounts(Tables.events(s, dir)).orderBy("window_start_us", "event_type")),
     "st3_session_windows" -> ((s, dir) =>
       EventStreams.sessionCounts(Tables.events(s, dir)).orderBy("user_id", "session_start_us")),
+    "st4_running_counts" -> ((s, dir) => {
+      // the custom-state operator itself (mapGroupsWithState), run in batch
+      // mode — Spark's unified model folds each group once from empty
+      // state, so the driver's DuckDB oracle checks the EXACT code path the
+      // streaming variant runs per micro-batch (incrementality itself is
+      // asserted in StreamingSpec over split MemoryStream feeds)
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[EventStreams.UserEvent]
+      EventStreams.runningUserCounts(ev).toDF().orderBy("user_id")
+    }),
+    "st5_stream_join" -> ((s, dir) => {
+      // the stream-stream join plan in batch mode: same viewClickJoin code
+      // the watermarked streaming test replays; emits the raw pair rows
+      // (e7 is the bucketed aggregate cousin)
+      val ev = Tables.events(s, dir)
+      EventStreams.viewClickJoin(ev, ev).orderBy("view_id", "click_id")
+    }),
 
     // ---- LLM-pipeline: dedup ----
     "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
@@ -605,6 +625,8 @@ object SparkEntry {
     "st1_tumbling_hourly" -> EventStreams.tumblingCountsSql(),
     "st2_sliding_counts" -> EventStreams.slidingCountsSql(),
     "st3_session_windows" -> EventStreams.sessionCountsSql(),
+    "st4_running_counts" -> EventStreams.runningUserCountsSql(),
+    "st5_stream_join" -> EventStreams.viewClickJoinSql(),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d2_jaccard_pairs" -> Dedup.jaccardPairsSql(),
     // the oracle mirrors the full MinHash+LSH pipeline (same seeded hash

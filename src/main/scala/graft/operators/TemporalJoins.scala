@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators — the engine-surface API behind the `e6` (as-of)
+  * and `e7` (range) declared queries. The reference has no temporal joins;
+  * these are north-star engine surface (SURVEY §2.3) expressed in the two
+  * shapes that survive 100 TB:
+  *
+  *  - [[asofJoin]] — one shuffle on the key, then a single ordered window
+  *    pass. Never builds the (left × right-history) product an inequality
+  *    join would: the union is linear in |left| + |right| and the window
+  *    state is one row per value column.
+  *  - [[rangeJoin]] — time-bucketed equi join: each left row fans out to
+  *    exactly 2 buckets, so the join is equi on (key, bucket) with a bounded
+  *    2× blow-up instead of a quadratic range explosion, and the exact range
+  *    predicate is applied after the equi match.
+  */
+object TemporalJoins {
+
+  /** As-of join: each left row picks up, per `rightValues` column, the value
+    * from the LATEST right row with the same `key` and
+    * `right(rightTime) <= left(leftTime)` (ties at the same instant DO
+    * match — "at or before"). Output = all left columns plus one column per
+    * `(rightCol, outName)` in `rightValues` (null when no right row
+    * precedes).
+    *
+    * Plan: tag both sides, union, and take `last(..., ignoreNulls)` over a
+    * key-partitioned window ordered by `(time, side, rightTieBreak…)` —
+    * right rows sort before left rows at the same instant so same-time
+    * matches are visible. One shuffle (the window partition), no range
+    * join, no per-left scan of right history.
+    *
+    * Determinism: when several right rows share a timestamp, the one
+    * greatest under `rightTieBreak` ascending order wins — pass a unique
+    * column (e.g. an event id) for a deterministic result.
+    *
+    * Null caveat: a right row whose value column is null is skipped by
+    * `ignoreNulls` (an earlier non-null value wins) — use a non-null
+    * payload column (ids) or coalesce a sentinel beforehand.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightValues: Seq[(String, String)],
+               rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(rightValues.nonEmpty, "asofJoin needs at least one right value column")
+    val leftCols = left.columns.toSeq
+    val rightValueTypes = rightValues.map { case (c, _) => c -> right.schema(c).dataType }
+    val tieTypes = rightTieBreak.map(c => c -> right.schema(c).dataType)
+    def nullAs(name: String, dt: org.apache.spark.sql.types.DataType) =
+      lit(null).cast(dt).as(name)
+    // internal slot names never collide with user columns
+    val vSlots = rightValues.indices.map(i => s"__gv$i")
+    val tSlots = rightTieBreak.indices.map(i => s"__gt$i")
+    val lSlots = leftCols.indices.map(i => s"__gl$i")
+    val rightSide = right.select(
+      Seq(col(key).as("__gkey"), col(rightTime).cast("long").as("__gtime"), lit(0).as("__gside")) ++
+        tieTypes.zip(tSlots).map { case ((c, _), s) => col(c).as(s) } ++
+        rightValueTypes.zip(vSlots).map { case ((c, _), s) => col(c).as(s) } ++
+        leftCols.zip(lSlots).map { case (c, s) => nullAs(s, left.schema(c).dataType) }: _*)
+    val leftSide = left.select(
+      Seq(col(key).as("__gkey"), col(leftTime).cast("long").as("__gtime"), lit(1).as("__gside")) ++
+        tieTypes.zip(tSlots).map { case ((_, dt), s) => nullAs(s, dt) } ++
+        rightValueTypes.zip(vSlots).map { case ((_, dt), s) => nullAs(s, dt) } ++
+        leftCols.zip(lSlots).map { case (c, s) => col(c).as(s) }: _*)
+    val w = Window.partitionBy("__gkey")
+      .orderBy(col("__gtime") +: col("__gside") +: tSlots.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rightSide.unionByName(leftSide)
+      .select(
+        (lSlots.map(col) :+ col("__gside")) ++
+          vSlots.zip(rightValues).map { case (s, (_, out)) =>
+            last(when(col("__gside") === 0, col(s)), ignoreNulls = true).over(w).as(out)
+          }: _*)
+      .filter(col("__gside") === 1)
+    matched.select(lSlots.zip(leftCols).map { case (s, c) => col(s).as(c) } ++
+      rightValues.map { case (_, out) => col(out) }: _*)
+  }
+
+  /** Range join: all pairs with equal `key` and
+    * `left(leftTime) <= right(rightTime) <= left(leftTime) + window`
+    * (both bounds INCLUSIVE). Output = left columns plus right's non-key
+    * columns — callers keep the two sides' names disjoint (rename before
+    * joining). Time columns are integral (e.g. epoch micros), non-negative;
+    * `window` is in the same unit.
+    *
+    * Plan: bucket width = `window`, left rows explode to (b, b+1), right
+    * rows keep b — every qualifying pair shares exactly one bucket, so the
+    * join is EQUI on (key, bucket) with the precise range predicate applied
+    * post-match. Candidate volume is bounded at 2·|left| rows joined
+    * against per-bucket right partitions: no quadratic per-key fan-out even
+    * when a key's history is long, and skewed keys still split across
+    * buckets (time spreads them).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTime: String, rightTime: String, window: Long): DataFrame = {
+    require(window > 0, s"range window must be positive, got $window")
+    // `div` (exact integer division), not `/` + cast: float division of
+    // epoch-micros-sized longs can land one ulp under an integer boundary
+    // and truncate into the wrong bucket
+    val lb = expr(s"CAST($leftTime AS BIGINT) div $window")
+    val l = left.withColumn("__gb", explode(array(lb, lb + 1)))
+    val r = right.withColumn("__gb2", expr(s"CAST($rightTime AS BIGINT) div $window"))
+    val rightKeep = right.columns.filterNot(_ == key).toSeq
+    l.join(r, l(key) === r(key) && col("__gb") === col("__gb2") &&
+        r(rightTime).cast("long") >= l(leftTime).cast("long") &&
+        r(rightTime).cast("long") - l(leftTime).cast("long") <= window)
+      .select(left.columns.toSeq.map(l(_)) ++ rightKeep.map(r(_)): _*)
+  }
+}

@@ -118,10 +118,44 @@ object EventStreams {
       .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
   }
 
+  /** DuckDB mirror of [[viewClickJoin]]'s batch semantics: the plain
+    * time-bounded join (micros arithmetic — Spark's `INTERVAL 1 HOUR`
+    * timestamp add is exact micros).
+    */
+  def viewClickJoinSql(windowUs: Long = 3600000000L): String =
+    s"""SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+       |FROM (SELECT * FROM events WHERE event_type = 'view') v
+       |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON v.user_id = c.user_id AND epoch_us(c.ts) >= epoch_us(v.ts)
+       | AND epoch_us(c.ts) - epoch_us(v.ts) <= $windowUs
+       |ORDER BY view_id, click_id""".stripMargin
+
+  /** DuckDB mirror of [[runningUserCounts]]' final state on a batch input:
+    * per-user event count plus the event type of the maximal
+    * `(epoch micros, event_type)` — exactly the fold order the stateful
+    * operator applies.
+    */
+  def runningUserCountsSql(): String =
+    """WITH o AS (SELECT user_id, event_type,
+      |                 row_number() OVER (PARTITION BY user_id
+      |                                    ORDER BY epoch_us(ts) DESC, event_type DESC) AS rn,
+      |                 COUNT(*) OVER (PARTITION BY user_id) AS n
+      |          FROM events)
+      |SELECT user_id, n::BIGINT AS n_events, event_type AS last_type
+      |FROM o WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // ---- custom stateful operator: per-user running counter with timeout ----
 
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class UserRunning(user_id: Long, n_events: Long, last_type: String)
+
+  /** Full-precision epoch micros of a Timestamp — `getTime` alone is millis,
+    * which would make the within-group fold order (and so `last_type`)
+    * nondeterministic for events inside the same millisecond; the events
+    * table is micros-precision.
+    */
+  private def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   /** State for [[runningUserCountsBounded]]: the running aggregate plus the
     * max event time ever seen for the key — the timeout deadline must be
     * computed from this, not from the current batch alone, or a late-but-
@@ -135,6 +169,12 @@ object EventStreams {
     * with `GroupStateTimeout.EventTimeTimeout` + a watermark (idle keys
     * expire); kept timeout-free here so the operator's semantics stay
     * trigger-independent.
+    *
+    * Runs in BOTH modes (Spark's unified model): under `readStream` it is
+    * incremental per micro-batch; on a batch Dataset each group is folded
+    * once from empty state — which is how the `st4_running_counts` declared
+    * query binds this exact code path to the driver's DuckDB oracle (final
+    * state ≡ per-user count + event-type of the max `(ts, event_type)`).
     */
   def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserRunning] = {
     val spark = events.sparkSession
@@ -142,7 +182,7 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_type))
           val prev = state.getOption.getOrElse(UserRunning(uid, 0L, ""))
           val next = sorted.foldLeft(prev)((acc, e) => UserRunning(uid, acc.n_events + 1, e.event_type))
           state.update(next)
@@ -173,7 +213,7 @@ object EventStreams {
             state.remove() // idle key: drop the counter, free the state slot
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_type))
             val prev = state.getOption.getOrElse(BoundedState(UserRunning(uid, 0L, ""), Long.MinValue))
             val next = sorted.foldLeft(prev.running)((acc, e) => UserRunning(uid, acc.n_events + 1, e.event_type))
             // deadline = idle past the newest event EVER seen for the key

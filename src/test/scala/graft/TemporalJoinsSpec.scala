@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.DataFrame
+
+/** Edge-case tests for the temporal join operators behind `e6`/`e7`. */
+class TemporalJoinsSpec extends SparkSpec {
+
+  // (key, time, id)-shaped frames
+  private def df3(rows: Seq[(Long, Long, Long)], tCol: String, idCol: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", tCol, idCol)
+  }
+
+  private def asof(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) =
+    TemporalJoins.asofJoin(
+      df3(left, "ts", "left_id"), df3(right, "ts", "event_id"),
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      rightValues = Seq("event_id" -> "matched_id"), rightTieBreak = Seq("event_id"))
+      .select("left_id", "matched_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("asofJoin picks the latest right row at or before each left row") {
+    val got = asof(
+      left = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 50L, 20L)),
+      right = Seq((1L, 90L, 1L), (1L, 200L, 2L), (1L, 300L, 3L), (2L, 60L, 4L)))
+    // left 10 @100 -> right 1 @90; left 11 @250 -> right 2 @200 (not 3 @300);
+    // left 20 @50 -> nothing precedes -> null
+    assert(got === Map(10L -> Some(1L), 11L -> Some(2L), 20L -> None))
+  }
+
+  test("asofJoin matches a right row at EXACTLY the left timestamp (at-or-before)") {
+    val got = asof(left = Seq((1L, 100L, 10L)), right = Seq((1L, 100L, 7L)))
+    assert(got === Map(10L -> Some(7L)))
+  }
+
+  test("asofJoin breaks same-instant right ties by the tie-break column (last wins)") {
+    val got = asof(
+      left = Seq((1L, 100L, 10L)),
+      right = Seq((1L, 90L, 5L), (1L, 90L, 9L), (1L, 90L, 7L)))
+    assert(got === Map(10L -> Some(9L)))
+  }
+
+  test("asofJoin with an empty right side yields all-null matches; empty left yields no rows") {
+    val got = asof(left = Seq((1L, 100L, 10L)), right = Seq.empty)
+    assert(got === Map(10L -> None))
+    assert(asof(left = Seq.empty, right = Seq((1L, 90L, 1L))).isEmpty)
+  }
+
+  test("asofJoin keys do not leak across users") {
+    val got = asof(
+      left = Seq((1L, 100L, 10L), (2L, 100L, 20L)),
+      right = Seq((1L, 90L, 1L))) // user 2 has no views
+    assert(got === Map(10L -> Some(1L), 20L -> None))
+  }
+
+  private def range(left: Seq[(Long, Long)], right: Seq[(Long, Long)], w: Long) = {
+    val s = spark
+    import s.implicits._
+    TemporalJoins.rangeJoin(
+      left.toDF("user_id", "l_ts"), right.toDF("user_id", "r_ts"),
+      key = "user_id", leftTime = "l_ts", rightTime = "r_ts", window = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  test("rangeJoin bounds are inclusive on both ends and pairs appear exactly once") {
+    // window 100: right at l_ts (0 gap), l_ts+100 (== window) match; +101 doesn't
+    val got = range(
+      left = Seq((1L, 1000L)),
+      right = Seq((1L, 1000L), (1L, 1100L), (1L, 1101L), (1L, 999L)), w = 100L)
+    assert(got.sorted === Seq((1L, 1000L, 1000L), (1L, 1000L, 1100L)))
+  }
+
+  test("rangeJoin finds cross-bucket pairs (right lands in the next time bucket)") {
+    // bucket width = window = 100; left at 95 (bucket 0), right at 130
+    // (bucket 1): only reachable through the 2-bucket fan-out
+    val got = range(left = Seq((1L, 95L)), right = Seq((1L, 130L)), w = 100L)
+    assert(got === Seq((1L, 95L, 130L)))
+  }
+
+  test("rangeJoin respects keys and tolerates empty sides") {
+    assert(range(left = Seq((1L, 100L)), right = Seq((2L, 150L)), w = 100L).isEmpty)
+    assert(range(left = Seq.empty, right = Seq((1L, 100L)), w = 100L).isEmpty)
+    assert(range(left = Seq((1L, 100L)), right = Seq.empty, w = 100L).isEmpty)
+  }
+
+  test("rangeJoin rejects a non-positive window") {
+    intercept[IllegalArgumentException](range(Seq((1L, 1L)), Seq((1L, 1L)), 0L))
+  }
+}
