@@ -186,10 +186,13 @@ object Similarity {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
       .localCheckpoint(true) // scanned 3x: banding + both verify probes
+    // the plane matrix is ONE nested-array literal indexed with element_at,
+    // not bands×rows×dim per-element lit() nodes — the same janino codegen
+    // blowup ivfTopK's centroid matrix hit (measured 41 s -> ~3 s there)
+    val pmat = typedLit(pl.map(_.toSeq))
     val sigCols = (0 until bands).map { j =>
       (0 until rowsPerBand).map { i =>
-        val p = pl(j * rowsPerBand + i)
-        when(dot(col("e"), array(p.map(lit(_)): _*)) > 0, 1L << i).otherwise(0L)
+        when(dot(col("e"), element_at(pmat, j * rowsPerBand + i + 1)) > 0, 1L << i).otherwise(0L)
       }.reduce(_ + _).as(s"sig$j")
     }
     val bandArr = array((0 until bands).map(j =>
@@ -275,22 +278,35 @@ object Similarity {
 
   /** DuckDB mirror of [[lshTopK]]: same seeded hyperplanes (inlined as
     * round-trip double literals), same sign-pattern bucketing, same
-    * within-bucket exact re-rank — deterministic equality, so the "ANN"
-    * path is oracle-checked end-to-end rather than rows-only.
+    * lowest-|margin| flip probe, same within-bucket exact re-rank —
+    * deterministic equality, so the "ANN" path is oracle-checked
+    * end-to-end rather than rows-only.
     */
   def lshTopKSql(k: Int = 5, numPlanes: Int = 8, dim: Int = 64): String = {
     val pl = planes(numPlanes, dim)
-    val sigExpr = pl.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_dot_product(e, ${sqlVec(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString("\n|         + ")
+    val dotCols = pl.zipWithIndex.map { case (p, i) =>
+      s"list_dot_product(e, ${sqlVec(p)}) AS d$i"
+    }.mkString(",\n|         ")
+    val sigExpr = (0 until numPlanes).map(i =>
+      s"(CASE WHEN d$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val minExpr = (0 until numPlanes).map(i => s"abs(d$i)").mkString("LEAST(", ", ", ")")
+    val flipExpr = "CASE " + (0 until numPlanes).map(i =>
+      s"WHEN abs(d$i) = minabs THEN $i").mkString(" ") + " END"
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-       |sig AS (SELECT vec_id, e, nrm,
-       |           $sigExpr AS sig
-       |        FROM n),
+       |d AS (SELECT vec_id, e, nrm,
+       |         $dotCols
+       |      FROM n),
+       |sig AS (SELECT vec_id, e, nrm, $sigExpr AS sig, $minExpr AS minabs,
+       |               ${(0 until numPlanes).map(i => s"d$i").mkString(", ")}
+       |        FROM d),
+       |f AS (SELECT vec_id, e, nrm, sig, $flipExpr AS flip FROM sig),
+       |p AS (SELECT vec_id, e, nrm, sig AS probe FROM f
+       |      UNION ALL
+       |      SELECT vec_id, e, nrm, xor(sig, 1 << flip) FROM f),
        |s AS (SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
        |             list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS cos
-       |      FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+       |      FROM p x JOIN f y ON x.probe = y.sig AND x.vec_id <> y.vec_id),
        |r AS (SELECT query_id, neighbor_id,
        |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
        |             cos
@@ -333,24 +349,55 @@ object Similarity {
 
   /** Signature-bucketed approximate top-k over ALL vectors: bucket by the
     * sign pattern of `numPlanes` random-hyperplane projections, exact
-    * re-rank inside each bucket. `(query_id, neighbor_id, rank, cos_1e6)`
-    * for every vector with ≥ 1 bucket-mate.
+    * re-rank inside the probed buckets. `(query_id, neighbor_id, rank,
+    * cos_1e6)` for every vector with ≥ 1 probed-bucket-mate.
     *
-    * With p planes the corpus splits into ~2^p buckets: candidate pairs drop
-    * by ~2^p versus brute force while same-direction vectors mostly collide
-    * — the standard cosine-LSH trade. Recall is tested, not assumed.
+    * MULTI-PROBE: each query probes its own bucket AND the bucket with its
+    * lowest-|margin| sign bit flipped — the plane the vector sits closest
+    * to is exactly the one a true neighbor most likely lands across, so one
+    * extra probe recovers most split-cluster misses (recall floor asserted
+    * ≥ 0.95 in SimilaritySpec, up from 0.8 single-probe) at 2× candidate
+    * cost instead of the 2^p cost of halving the plane count. The corpus
+    * side stays single-bucket: probing is a query-side fan-out, so the
+    * candidate join is still EQUI on the signature.
+    *
+    * With p planes the corpus splits into ~2^p buckets: candidate pairs
+    * drop by ~2^p/2 versus brute force while same-direction vectors mostly
+    * collide — the standard cosine-LSH trade. Recall is tested, not
+    * assumed. Fully deterministic given the seeded planes, so the oracle
+    * ([[lshTopKSql]]) mirrors the identical pipeline including the flip
+    * choice (first index reaching the minimum |margin|, ties included).
     */
   def lshTopK(emb: DataFrame, k: Int = 5, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val pl = planes(numPlanes, dim)
+    // one nested literal, element_at-indexed (janino-safe; see cosineDupPairs)
+    val pmat = typedLit(pl.map(_.toSeq))
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-    val sig = pl.zipWithIndex.foldLeft(v) { case (df, (p, i)) =>
-      val planeLit = array(p.map(lit(_)): _*)
-      df.withColumn(s"b$i", when(dot(col("e"), planeLit) > 0, 1L << i).otherwise(0L))
-    }.withColumn("sig", (0 until numPlanes).map(i => col(s"b$i")).reduce(_ + _))
-      .select("vec_id", "e", "nrm", "sig")
-    val scored = sig.as("x")
-      .join(sig.as("y"), col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
+    val withDots = (0 until numPlanes).foldLeft(v) { (df, i) =>
+      df.withColumn(s"d$i", dot(col("e"), element_at(pmat, i + 1)))
+    }
+    val sigCol = (0 until numPlanes).map(i =>
+      when(col(s"d$i") > 0, 1L << i).otherwise(0L)).reduce(_ + _)
+    val minAbs = least((0 until numPlanes).map(i => abs(col(s"d$i"))): _*)
+    // first plane index attaining the minimum |dot| — both engines compute
+    // the identical doubles, so the equality-based argmin agrees exactly
+    val flipCol = (1 until numPlanes).foldLeft(
+      when(abs(col("d0")) === col("__minabs"), 0)) { (acc, i) =>
+      acc.when(abs(col(s"d$i")) === col("__minabs"), i)
+    }
+    val sig = withDots
+      .withColumn("__minabs", minAbs)
+      .withColumn("sig", sigCol)
+      .withColumn("flip", flipCol)
+      .withColumn("sig2", expr("sig ^ shiftleft(CAST(1 AS BIGINT), flip)"))
+    val corpus = sig.select("vec_id", "e", "nrm", "sig")
+    // sig2 != sig always (exactly one bit differs), so the two probes are
+    // disjoint buckets and no candidate pair is generated twice
+    val queries = sig.select(col("vec_id"), col("e"), col("nrm"),
+      explode(array(col("sig"), col("sig2"))).as("probe"))
+    val scored = queries.as("x")
+      .join(corpus.as("y"), col("probe") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"),
         (dot(col("x.e"), col("y.e")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))

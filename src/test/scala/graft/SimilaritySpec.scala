@@ -105,7 +105,7 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
   }
 
-  test("lshTopK recalls clustered neighbors (tight clusters collide in buckets)") {
+  test("lshTopK recalls clustered neighbors (multi-probe covers split clusters)") {
     val rng = new scala.util.Random(3)
     val dim = 16
     val centers = Seq.fill(3)(Array.fill(dim)(rng.nextGaussian().toFloat))
@@ -120,7 +120,10 @@ class SimilaritySpec extends SparkSpec {
     val recalls = exact.map { case (q, truth) =>
       lsh.get(q).map(found => (found & truth).size.toDouble / truth.size).getOrElse(0.0)
     }
-    assert(recalls.sum / recalls.size >= 0.8,
-      s"mean recall ${recalls.sum / recalls.size} below 0.8")
+    // multi-probe (own bucket + lowest-margin flip) floor: a cluster split
+    // by one hyperplane is recovered by the flip probe, so the floor is
+    // 0.95 — single-probe plateaued at 0.8 on this corpus
+    assert(recalls.sum / recalls.size >= 0.95,
+      s"mean recall ${recalls.sum / recalls.size} below 0.95")
   }
 }
