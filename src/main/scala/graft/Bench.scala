@@ -8,18 +8,22 @@ import scala.util.control.NonFatal
   * Discipline (round-1 + round-3 verdict fixes):
   *  - warmup pass at sf0.001 first, so the first timed query no longer
   *    absorbs JVM/JIT/Spark-codegen/parquet cold start;
-  *  - each query runs SPARK_GRAFT_REPS times (default 2) and reports the
-  *    MINIMUM: on a shared host, min-of-N is the only statistic that
+  *  - each query runs SPARK_GRAFT_REPS times (default 3 — round-4 verdict:
+  *    min-of-2 let a loaded rep through as e4's phantom 3.5s) and reports
+  *    the MINIMUM: on a shared host, min-of-N is the only statistic that
   *    converges to the query's true cost rather than the co-tenant's
   *    (BENCH_r03 recorded a phantom 2.7x "regression" from host contention);
   *  - the JSON carries /proc/loadavg (sampled before and after) plus the JVM
-  *    max heap, so a contaminated run is self-identifying;
+  *    max heap, AND a per-query "loadavg_q" map with the 1-minute loadavg
+  *    sampled at the start of the rep whose time was reported — so any
+  *    individual suspicious number is attributable to contention without
+  *    re-running;
   *  - a query is failed (sentinel -1 timing, nonzero exit) only when EVERY
   *    rep fails; one good run is a valid measurement. Reps that fail while
   *    another succeeds are still visible: each prints to stderr and the
-  *    total is recorded as "rep_failures" in the JSON, so an
-  *    every-other-run breakage is self-identifying rather than silently
-  *    reported as healthy;
+  *    total is recorded as "rep_failures" in the JSON — and
+  *    SPARK_GRAFT_STRICT_REPS=1 escalates ANY rep failure to a nonzero
+  *    exit, so an every-other-run breakage can be made fatal;
   *  - the result JSON is printed as the last stdout line AND written to
   *    bench_out.json so the driver can parse it out of sbt log noise;
   *  - deterministic query order (sorted by name).
@@ -34,7 +38,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val strictReps = sys.env.get("SPARK_GRAFT_STRICT_REPS").contains("1")
     val spark = GraftSession.builder(master = s"local[$cpus]", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -68,10 +73,11 @@ object Bench {
       // plan's true cost; a query is failed only if EVERY rep failed (one
       // good run is a valid measurement regardless of transient errors)
       val times = (1 to reps).flatMap { _ =>
+        val load = loadAvg1m()
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(((System.nanoTime() - t0) / 1e9, load))
         } catch {
           case NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: $e")
@@ -79,20 +85,23 @@ object Bench {
             None
         } finally dropCachedBlocks()
       }
-      if (times.isEmpty) { failed ::= name; name -> -1.0 }
-      else name -> times.min
+      if (times.isEmpty) { failed ::= name; name -> (-1.0, -1.0) }
+      else name -> times.minBy(_._1)
     }
     val loadAfter = loadAvg1m()
     val maxHeapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = results.map { case (k, (t, _)) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+    // loadavg at the start of the reported (min-time) rep, per query
+    val qLoads = results.map { case (k, (_, l)) => "\"" + k + "\":" + l }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (t, _)) if t >= 0 => t }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""failed":${failed.size},"reps":$reps,"rep_failures":$repFailures,""" +
-        s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"max_heap_mb":$maxHeapMb}"""
+        s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+        s""""loadavg_q":$qLoads,"max_heap_mb":$maxHeapMb}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || (strictReps && repFailures > 0)) sys.exit(1)
   }
 }

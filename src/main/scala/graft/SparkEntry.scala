@@ -649,6 +649,16 @@ object SparkEntry {
     "m1_media_meta" -> MediaOps.mediaMetaSql,
   )
 
+  /** Root for the f1/f2 round-trip exports. Verify points this at its own
+    * output directory (`-Dgraft.export.dir` equivalent, set in its main) so
+    * the files DuckDB later reads are private to that run — a fixed
+    * world-writable /tmp path could be replaced by a concurrent run between
+    * Verify's JVM exit and the driver's oracle read. Standalone/bench runs
+    * (no property) fall back to tmp.
+    */
+  private def exportRoot: String =
+    sys.props.getOrElse("graft.export.dir", sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+
   /** Where `f1_jsonl_roundtrip` lands its JSONL export for the given sf dir
     * — sf-tagged so a later run at another scale (e.g. Bench at sf0.1 after
     * Verify at sf0.01) cannot overwrite the files the oracle is about to
@@ -656,13 +666,11 @@ object SparkEntry {
     * reason.
     */
   def jsonlRoundtripPath(sfDir: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-jsonl-" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    exportRoot + "/graft-jsonl-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** CSV sibling of [[jsonlRoundtripPath]] for `f2_csv_roundtrip`. */
   def csvRoundtripPath(sfDir: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-csv-" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    exportRoot + "/graft-csv-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Oracles only computable against the data (not sf-independent SQL),
     * merged into `oracle_sql.json` by Verify:

@@ -8,6 +8,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // f1/f2 exports (and the oracle SQL that reads them back) land under
+    // this run's own outDir instead of a shared world-writable /tmp path
+    sys.props("graft.export.dir") = outDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(master = s"local[$cpus]", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -110,6 +110,78 @@ class GraphCatalog(spark: SparkSession, root: String) {
     fs.delete(new Path(s"$root/$name"), true)
   }
 
+  // ----- single-partitioned-table layout (SURVEY §4.2) ---------------------
+  //
+  // All graphs' edges live in ONE table partitioned by graph_name
+  // (`<root>/_edges_by_graph/graph_name=<n>/…`), the many-small-graphs shape:
+  // a read for one graph partition-prunes to its directory for free (the
+  // filter on the partition column never touches other graphs' files), while
+  // cross-graph analytics can scan the whole table in a single pass — neither
+  // is expressible over the per-directory layout without driver-side looping.
+  // Writes overwrite ONLY the written graph's partition (dynamic partition
+  // overwrite), so graphs stay independently replaceable.
+
+  private val partEdgesTable = s"$root/_edges_by_graph"
+  private val partVerticesTable = s"$root/_vertices_by_graph"
+  private def partDir(table: String, name: String) = new Path(s"$table/graph_name=$name")
+
+  def existsPartitioned(name: String): Boolean = {
+    validateName(name)
+    fs.exists(partDir(partEdgesTable, name)) || fs.exists(partDir(partVerticesTable, name))
+  }
+
+  private def writePartitioned(name: String, edges: DataFrame, vertices: Option[DataFrame]): Unit = {
+    val e = normalized(edges)
+    def out(df: DataFrame, table: String): Unit =
+      df.withColumn("graph_name", lit(name))
+        .write.partitionBy("graph_name")
+        // replace only the partitions present in the data = this graph
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(table)
+    out(e, partEdgesTable)
+    out(vertexSetOf(e, vertices), partVerticesTable)
+  }
+
+  /** [[addGraph]] semantics over the partitioned-table layout. An edge-free
+    * graph still registers (its vertex partition is written), so `exists`
+    * semantics match the per-directory layout.
+    */
+  def addGraphPartitioned(name: String, edges: DataFrame, vertices: Option[DataFrame] = None): Unit = {
+    validateName(name)
+    if (existsPartitioned(name)) throw new AnalysisException(
+      errorClass = "TABLE_OR_VIEW_ALREADY_EXISTS", messageParameters = Map("relationName" -> name))
+    writePartitioned(name, edges, vertices)
+  }
+
+  /** [[modifyGraph]] semantics over the partitioned-table layout: replaces
+    * exactly this graph's partition, other graphs' files untouched.
+    */
+  def modifyGraphPartitioned(name: String, edges: DataFrame, vertices: Option[DataFrame] = None): Unit = {
+    validateName(name)
+    if (!existsPartitioned(name)) throw new AnalysisException(
+      errorClass = "TABLE_OR_VIEW_NOT_FOUND", messageParameters = Map("relationName" -> s"`$name`"))
+    writePartitioned(name, edges, vertices)
+  }
+
+  /** One graph's edge list from the partitioned table. The `graph_name`
+    * equality lands in the scan's PartitionFilters (asserted structurally in
+    * `GraphCatalogSpec`): only this graph's files are listed or read.
+    */
+  def graphPartitioned(name: String): DataFrame = {
+    validateName(name)
+    if (!existsPartitioned(name)) throw new AnalysisException(
+      errorClass = "TABLE_OR_VIEW_NOT_FOUND", messageParameters = Map("relationName" -> s"`$name`"))
+    spark.read.parquet(partEdgesTable)
+      .filter(col("graph_name") === name).select("src", "dst")
+  }
+
+  /** All graphs' edges as one DataFrame `(graph_name, src, dst)` — the
+    * cross-graph analytics entry the per-directory layout cannot express in
+    * a single scan.
+    */
+  def allGraphsPartitioned(): DataFrame =
+    spark.read.parquet(partEdgesTable).select("graph_name", "src", "dst")
+
   def listGraphs(): Seq[String] = {
     val p = new Path(root)
     if (!fs.exists(p)) Seq.empty

@@ -73,6 +73,53 @@ class GraphCatalogSpec extends SparkSpec {
     assert(vertexSet(cat.vertices("h"), "id") === Set(7L, 8L))
   }
 
+  test("partitioned-table layout: add/modify/read semantics match, other graphs untouched") {
+    val cat = freshCatalog()
+    cat.addGraphPartitioned("pa", edgesDF(triangle))
+    cat.addGraphPartitioned("pb", edgesDF(Seq((7L, 8L))))
+    intercept[AnalysisException](cat.addGraphPartitioned("pa", edgesDF(triangle)))
+    intercept[AnalysisException](cat.modifyGraphPartitioned("nope", edgesDF(triangle)))
+    assert(cat.graphPartitioned("pa").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === triangle.toSet)
+    // replacing pa's partition must not disturb pb's
+    cat.modifyGraphPartitioned("pa", edgesDF(Seq((9L, 10L))))
+    assert(cat.graphPartitioned("pa").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((9L, 10L)))
+    assert(cat.graphPartitioned("pb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((7L, 8L)))
+    // cross-graph single-scan entry sees every graph tagged by name
+    assert(cat.allGraphsPartitioned().select("graph_name").distinct()
+      .collect().map(_.getString(0)).toSet === Set("pa", "pb"))
+  }
+
+  test("partitioned-table read prunes to ONE graph's partition (structural)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val cat = freshCatalog()
+    cat.addGraphPartitioned("pa", edgesDF(triangle))
+    cat.addGraphPartitioned("pb", edgesDF(Seq((7L, 8L))))
+    val df = cat.graphPartitioned("pa")
+    df.collect() // execute so scan metrics (numFiles) are populated
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"no file scan in\n$plan")
+    val scan = scans.head
+    // the graph_name equality must be a PARTITION filter (pruned at file
+    // listing), not a post-scan data filter
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "graph_name")),
+      s"graph_name not in partition filters: ${scan.partitionFilters}")
+    // and pruning must actually bite: only pa's files are read, fewer than
+    // the table holds across both graphs
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(cat.allGraphsPartitioned().inputFiles.head
+      .replaceAll("/graph_name=[^/]*/.*$", "")).inputFiles.length
+    assert(filesRead < totalFiles,
+      s"scan read $filesRead of $totalFiles files — partition pruning did not bite")
+  }
+
   test("bfs/dfs validate the start vertex instead of underflowing") {
     val cat = freshCatalog()
     cat.addGraph("g", edgesDF(triangle))
