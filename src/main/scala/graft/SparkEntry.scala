@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Traversals}
-import graft.llm.{Dedup, MediaOps, Similarity, TextOps}
+import graft.llm.{Dedup, MediaOps, Sampling, Similarity, TextOps}
 import graft.operators.{Partitioning, TemporalJoins}
 import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.EventStreams
@@ -422,6 +422,21 @@ object SparkEntry {
     "t7_winnowing" -> ((s, dir) => // rolling hash unrolled to a k-term
       // polynomial in the SQL mirror — fully oracle-checked
       TextOps.winnowingFingerprints(Tables.documents(s, dir))),
+    "t8_train_split" -> ((s, dir) =>
+      // content-addressed train/val/test assignment (md5 buckets — stable
+      // under reruns, retries, and corpus growth, unlike rand(seed));
+      // gate checks the per-split memberships via integer aggregates
+      Sampling.assignSplits(Tables.documents(s, dir), keyCol = "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"), sum("n_chars").as("sum_chars"))
+        .orderBy("split")),
+    "t9_corpus_sample" -> ((s, dir) =>
+      // seeded deterministic shuffle + top-k = reproducible fixed-size
+      // eval slice; plans as TakeOrderedAndProject (per-partition top-k,
+      // no global sort materialization)
+      Sampling.deterministicSample(Tables.documents(s, dir), keyCol = "doc_id", k = 50, seed = 7L)
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key", "doc_id")),
     "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
     "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
     "m2_frame_sample" -> ((s, dir) => MediaOps.frameSample(Tables.documents(s, dir))),
@@ -645,6 +660,13 @@ object SparkEntry {
     "t5_token_freq" -> TextOps.tokenFrequencySql(),
     "t6_bpe_tokens" -> TextOps.bpeTokenCountsSql,
     "t7_winnowing" -> TextOps.winnowingSql(),
+    "t8_train_split" ->
+      s"""SELECT ${Sampling.assignSplitsSql("doc_id")} AS split,
+         |       COUNT(*) AS n, SUM(doc_id)::BIGINT AS sum_ids, SUM(n_chars)::BIGINT AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t9_corpus_sample" ->
+      s"""SELECT doc_id, ${Sampling.shuffleKeySql("doc_id", 7L)} AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
     "d5_cosine_dup_pairs" -> Similarity.cosineDupPairsSql(),
     "m1_media_meta" -> MediaOps.mediaMetaSql,
   )

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deterministic sampling / split operators for training-data pipelines.
+  *
+  * Both operators are CONTENT-ADDRESSED (md5-derived, no `rand()`): a row's
+  * split or shuffle position depends only on its key (+ seed), never on
+  * partitioning, task retries, or row order. That is the property a corpus
+  * pipeline actually needs — a document must never migrate from val to train
+  * because the cluster re-ran a stage, and adding new rows must never
+  * reassign existing ones. `rand(seed)`-based sampling has neither property
+  * under retries/repartitioning.
+  *
+  * Everything is codegen'd built-ins over [[Hashing.hash60]], the md5-derived
+  * hash both Spark and DuckDB compute identically — so the declared queries
+  * (`t8`, `t9`) are hash-exact against the oracle, not rows-only.
+  */
+object Sampling {
+
+  /** Per-row hash bucket in `[0, buckets)` for the given key column. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    Hashing.hash60(key.cast("string")) % buckets
+
+  /** Assign each row a named split by hash bucket: `splits` are
+    * `(name, weight)` pairs; a row lands in split i when its bucket (mod the
+    * weight total) falls in i's cumulative weight range. Appends a `split`
+    * column.
+    *
+    * Stability guarantees (from content addressing): per-key assignment is
+    * reproducible across runs/engines, independent of row order, and
+    * invariant under corpus growth. Split SIZES are only approximately
+    * proportional to weights (hash uniformity), exactly like hash-mod
+    * sharding.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive weights, got $splits")
+    val total = splits.map(_._2).sum
+    val b = hashBucket(col(keyCol), total)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    // CASE b < cut1 THEN name1 WHEN b < cut2 THEN name2 … (last arm = ELSE)
+    val caseCol = splits.init.zip(cuts.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        Some(acc.fold(when(b < cut, name))(_.when(b < cut, name)))
+    }.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", caseCol)
+  }
+
+  /** DuckDB fragment computing the same split name over key expression `x`. */
+  def assignSplitsSql(x: String,
+                      splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): String = {
+    val total = splits.map(_._2).sum
+    val b = s"${Hashing.hash60Sql(s"($x)::VARCHAR")} % $total"
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    "CASE " + splits.init.zip(cuts.init).map { case ((name, _), cut) =>
+      s"WHEN $b < $cut THEN '$name'"
+    }.mkString(" ") + s" ELSE '${splits.last._1}' END"
+  }
+
+  /** Seeded deterministic shuffle key: uniform pseudo-random order derived
+    * from the key + seed. `orderBy(shuffleKey(...), key)` is a reproducible
+    * epoch shuffle — same order on every run, new seed = fresh order.
+    */
+  def shuffleKey(key: Column, seed: Long): Column =
+    Hashing.hash60(concat(key.cast("string"), lit(s"#$seed")))
+
+  /** Deterministic uniform sample of `k` rows: the first `k` under the
+    * seeded shuffle order. Plans as TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver, no global sort materialization,
+    * so it scales like any top-k (the 100 TB way to cut a fixed-size
+    * evaluation slice).
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, k: Int, seed: Long): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(col(keyCol), seed))
+      .orderBy(col("shuffle_key"), col(keyCol))
+      .limit(k)
+
+  /** DuckDB fragment for [[shuffleKey]] over key expression `x`. */
+  def shuffleKeySql(x: String, seed: Long): String =
+    Hashing.hash60Sql(s"($x)::VARCHAR || '#$seed'")
+}
