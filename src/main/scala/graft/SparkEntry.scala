@@ -63,6 +63,18 @@ object SparkEntry {
     "g9_dfs_leaves" -> ((s, dir) => // reference op-3 leaf-set semantics
       // (secondaryServer.c:93-97); oracle-checked in-suite (TraversalProps)
       Traversals.dfsLeaves(DerivedGraphs.small(s, dir), start = 0L)),
+    "g11_scc" -> ((s, dir) =>
+      // strongly connected components (directed), GraphX peeling to
+      // convergence; oracle = mutual-reachability closure min-id
+      Analytics.stronglyConnectedComponents(DerivedGraphs.small(s, dir)).orderBy("vertex")),
+    "g12_weighted_sssp" -> ((s, dir) =>
+      // hop-bounded weighted SSSP (BSP Bellman-Ford); weights derived
+      // deterministically so the recursive-CTE oracle computes the same
+      // relaxation: w = (src + dst) % 10 + 1
+      Traversals.weightedSssp(
+        DerivedGraphs.small(s, dir)
+          .withColumn("w", (col("src") + col("dst")) % 10 + 1),
+        start = 0L, maxHops = 12)),
     "g10_matrix_roundtrip" -> ((s, dir) => {
       // the reference's full write path (op 1, primaryServer.c:40-63):
       // catalog add -> dense-matrix text file -> re-ingest -> analytics;
@@ -492,6 +504,26 @@ object SparkEntry {
          |       COALESCE(out_degree, 0) AS out_degree, COALESCE(in_degree, 0) AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
     "g7_pagerank" -> Analytics.pageRankSql(DerivedGraphs.smallSql, numIter = 10),
+    "g11_scc" -> // SCC = mutual reachability; closure is reflexive (base
+      // row (v,v)), so singleton vertices label themselves
+      s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),
+         |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+         |r(a, b) AS (
+         |  SELECT vertex, vertex FROM v
+         |  UNION
+         |  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b)
+         |SELECT f.a AS vertex, MIN(f.b) AS component
+         |FROM r f JOIN r g ON g.a = f.b AND g.b = f.a
+         |GROUP BY f.a ORDER BY vertex""".stripMargin,
+    "g12_weighted_sssp" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT src, dst, (src + dst) % 10 + 1 AS w FROM (${DerivedGraphs.smallSql}) t),
+         |walk(vertex, cost, hops) AS (
+         |  SELECT CAST(0 AS BIGINT) AS vertex, CAST(0 AS BIGINT) AS cost, 0 AS hops
+         |  UNION
+         |  SELECT e.dst, walk.cost + e.w, walk.hops + 1
+         |  FROM walk JOIN e ON e.src = walk.vertex WHERE walk.hops < 12)
+         |SELECT vertex, MIN(cost) AS cost FROM walk GROUP BY vertex ORDER BY vertex""".stripMargin,
     "g10_matrix_roundtrip" ->
       s"""WITH e AS (${DerivedGraphs.smallSql}),
          |o AS (SELECT src AS vertex, COUNT(*) AS out_degree FROM e GROUP BY 1),

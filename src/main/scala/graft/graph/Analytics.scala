@@ -74,6 +74,34 @@ object Analytics {
     out
   }
 
+  /** Strongly connected components of the DIRECTED graph: `(vertex BIGINT,
+    * component BIGINT)` with component = min vertex id in the SCC (the
+    * GraphX labeling — also what the mutual-reachability oracle computes).
+    * Runs GraphX's SCC (iterative peeling: each round trims final vertices
+    * and colors one layer of SCCs via forward/backward Pregel fixpoints) to
+    * convergence.
+    *
+    * Scale shape: same Pregel residency argument as BFS — the edge relation
+    * partitions once; each peeling round exchanges vertex-sized color
+    * messages only.
+    */
+  def stronglyConnectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val g = XGraph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val scc = g.stronglyConnectedComponents(Int.MaxValue)
+    val out = scc.vertices.map { case (v, c) => (v, c) }.toDF("vertex", "component")
+      .orderBy("vertex")
+      .localCheckpoint(true)
+    scc.unpersistVertices(blocking = false)
+    scc.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    out
+  }
+
   /** Static PageRank, `numIter` fixed iterations, damping 0.85:
     * `(vertex BIGINT, pr DOUBLE)` with pr rounded to 1e-6 so the fixed-point
     * DuckDB oracle ([[pageRankSql]]) hash-matches despite double-summation

@@ -94,6 +94,52 @@ object Traversals {
     out
   }
 
+  /** Hop-bounded weighted single-source shortest paths (BSP Bellman-Ford):
+    * `(vertex BIGINT, cost BIGINT)` = minimum total edge weight over paths
+    * of at most `maxHops` edges from `start`, including `(start, 0)`.
+    * Input `edges(src, dst, w)` with positive integral weights.
+    *
+    * Pregel with `maxIterations = maxHops` computes exactly the ≤maxHops-hop
+    * minimum (superstep k relaxes paths of k edges — the synchronous
+    * Bellman-Ford invariant), which is also what a hop-bounded recursive-CTE
+    * oracle can express; pass `Int.MaxValue` for the full fixpoint (positive
+    * weights ⇒ termination). Same scale shape as [[bfs]]: edges partitioned
+    * once, supersteps exchange only improved-cost messages.
+    */
+  def weightedSssp(edges: DataFrame, start: Long, maxHops: Int = Int.MaxValue): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val INF = Long.MaxValue
+    if (maxHops <= 0) return Seq((start, 0L)).toDF("vertex", "cost")
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"), col("w").cast("long"))
+      .as[(Long, Long, Long)].rdd.map { case (s, d, w) =>
+        require(w > 0, s"weighted SSSP requires positive weights, got $w on $s->$d")
+        Edge(s, d, w)
+      }
+    val seedRdd = spark.sparkContext.parallelize(Seq((start, ())))
+    val g = XGraph(seedRdd, edgeRdd, (),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (id == start) 0L else INF)
+    val res = Pregel(g, initialMsg = INF, maxIterations = maxHops,
+      activeDirection = EdgeDirection.Out)(
+      vprog = (_, attr, msg) => math.min(attr, msg),
+      sendMsg = t =>
+        if (t.srcAttr != INF && t.srcAttr + t.attr < t.dstAttr) Iterator((t.dstId, t.srcAttr + t.attr))
+        else Iterator.empty,
+      mergeMsg = math.min)
+    val out = res.vertices.filter(_._2 != INF)
+      .map { case (v, c) => (v, c) }
+      .toDF("vertex", "cost")
+      .orderBy("vertex")
+      .localCheckpoint(true)
+    res.unpersistVertices(blocking = false)
+    res.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    out
+  }
+
   /** Vertices reachable from `start` (BFS visited set) as `(vertex BIGINT)`. */
   def reachable(edges: DataFrame, start: Long, maxDepth: Int = Int.MaxValue): DataFrame =
     bfs(edges, start, maxDepth).select("vertex")

@@ -73,6 +73,14 @@ object AnalyticsProps extends Properties("Analytics") {
       got == tri.toSet
     }
 
+  property("stronglyConnectedComponents == brute-force mutual-reachability labels") =
+    Prop.forAll(genGraph) { edges =>
+      val got = Analytics.stronglyConnectedComponents(df(edges)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = SequentialOracles.scc(edges)
+      Prop(got == want) :| s"got $got want $want"
+    }
+
   property("pageRank == sequential oracle (rounded grain)") =
     Prop.forAll(genGraph) { edges =>
       val want = SequentialOracles.pageRank(edges, numIter = 5)

@@ -61,4 +61,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(0L) === 0.15)
     assert(math.abs(got(1L) - (0.15 + 0.85 * 0.15)) < 1e-9)
   }
+
+  test("stronglyConnectedComponents labels each SCC by its min vertex id") {
+    // cycle {1,2,3} --bridge--> cycle {4,5}; bridges do NOT merge SCCs
+    // (that is what distinguishes SCC from undirected CC)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L))
+    val got = Analytics.stronglyConnectedComponents(edgesDF(g)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // sanity: undirected CC would merge everything into one component
+    val cc = Analytics.connectedComponents(edgesDF(g)).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(cc === Set(1L))
+  }
 }

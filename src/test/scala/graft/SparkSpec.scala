@@ -84,6 +84,37 @@ object SequentialOracles {
     leaves.toSeq.sorted
   }
 
+  /** SCC labels via brute-force mutual reachability: component = min id of
+    * the mutually-reachable set (reachability is reflexive).
+    */
+  def scc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val vs = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    def reach(v: Long): Set[Long] = {
+      val adj = adjacency(edges)
+      var seen = Set(v)
+      var frontier = Seq(v)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil)).distinct.filterNot(seen)
+        seen ++= frontier
+      }
+      seen
+    }
+    val fwd = vs.map(v => v -> reach(v)).toMap
+    vs.map(v => v -> fwd(v).filter(w => fwd(w).contains(v)).min).toMap
+  }
+
+  /** Hop-bounded Bellman-Ford: min cost over paths of ≤ maxHops edges. */
+  def weightedSssp(edges: Seq[(Long, Long, Long)], start: Long, maxHops: Int): Map[Long, Long] = {
+    var best = Map(start -> 0L)
+    for (_ <- 1 to maxHops) {
+      val relaxed = edges.flatMap { case (s, d, w) => best.get(s).map(c => d -> (c + w)) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).min }
+      best = (best.keySet ++ relaxed.keySet).map(v =>
+        v -> math.min(best.getOrElse(v, Long.MaxValue), relaxed.getOrElse(v, Long.MaxValue))).toMap
+    }
+    best
+  }
+
   /** Fixed-iteration PageRank with the exact semantics of Analytics.pageRank. */
   def pageRank(edges: Seq[(Long, Long)], numIter: Int = 10): Map[Long, Double] = {
     val e = edges.distinct

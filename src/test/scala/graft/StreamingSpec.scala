@@ -137,6 +137,25 @@ class StreamingSpec extends SparkSpec {
       "no cross-batch join pair — the state path wasn't exercised")
   }
 
+  test("stream-static broadcast join == batch join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val events = mkEvents
+    // static dimension joined into a stream — the enrichment shape; the dim
+    // is broadcast so each micro-batch joins map-side, no stream-side state
+    val dims = (0L until 5L).map(i => (i, s"user-$i")).toDF("user_id", "name")
+    val mem = MemoryStream[Ev](s)
+    mem.addData(events)
+    val got = runToCompletion(
+      mem.toDF().join(broadcast(dims), "user_id").select("event_id", "name"),
+      "t_enrich", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = events.toDF().join(dims, "user_id").select("event_id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want && want.nonEmpty)
+  }
+
   test("bounded running counts: idle keys are evicted on event-time timeout") {
     val s = spark
     import s.implicits._

@@ -61,6 +61,20 @@ object TraversalProps extends Properties("Traversals") {
       got == SequentialOracles.dfsLeaves(edges, 0L)
     }
 
+  property("weightedSssp == hop-bounded Bellman-Ford oracle") =
+    Prop.forAll(genGraph, Gen.choose(1, 6)) { (edges, hops) =>
+      val s = spark
+      import s.implicits._
+      val weighted = edges.map { case (a, b) => (a, b, (a + b) % 5 + 1) }
+      val wdf =
+        if (weighted.isEmpty) List((0L, 0L, 1L)).toDF("src", "dst", "w").limit(0)
+        else weighted.toDF("src", "dst", "w")
+      val got = Traversals.weightedSssp(wdf, 0L, hops).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = SequentialOracles.weightedSssp(weighted, 0L, hops)
+      Prop(got == want) :| s"hops=$hops got $got want $want"
+    }
+
   property("main-scope SequentialModel (the g8/g9 VALUES-oracle generator) == test oracle") =
     // no Spark involved: pins the driver-gate oracle generator to this
     // suite's independent model, closing the three-way loop (Spark path ==

@@ -111,4 +111,19 @@ class TraversalsSpec extends SparkSpec {
     val expected = SequentialOracles.bfs(g, Seq(0L)).toSeq.map { case (v, l) => (v, l) }.sorted
     assert(vertexLevels(Traversals.bfs(edgesDF(g), 0L)) === expected)
   }
+
+  test("weightedSssp: the hop bound trades path length for cost") {
+    val s = spark
+    import s.implicits._
+    // direct hop 0->1 costs 10; the 2-hop detour through 2 costs 2
+    val w = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    def costs(hops: Int) = Traversals.weightedSssp(w, 0L, hops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(costs(1) === Map(0L -> 0L, 1L -> 10L, 2L -> 1L))
+    assert(costs(2) === Map(0L -> 0L, 1L -> 2L, 2L -> 1L))
+    // non-positive weights are rejected (cost monotonicity is the contract)
+    val bad = Seq((0L, 1L, 0L)).toDF("src", "dst", "w")
+    intercept[org.apache.spark.SparkException](
+      Traversals.weightedSssp(bad, 0L, 2).collect())
+  }
 }
