@@ -315,6 +315,24 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
+    "q16_outer_join" -> ((s, dir) => // outer-join family: unmatched left
+      // rows survive with nulls; COUNT(col) vs COUNT(*) separates them
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_matched"))
+        .orderBy("c_mktsegment")),
+    "q17_unpivot" -> ((s, dir) => // unpivot/melt (Spark Expand plan):
+      // wide measure columns to (metric, value) rows, decimal-exact sums
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), dec12("l_quantity").as("qty"),
+          dec12("l_extendedprice").as("price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+          "metric", "value")
+        .groupBy("l_returnflag", "metric")
+        .agg(count(lit(1)).as("n"), sum("value").cast("double").as("sum_value"))
+        .orderBy("l_returnflag", "metric")),
 
     // ---- events: json / window functions / set ops / as-of / range ----
     "e1_json_stats" -> ((s, dir) =>
@@ -330,6 +348,16 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("rn").cast("long").as("rn"),
           (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
         .orderBy("user_id", "rn")
+    }),
+    "e8_running_total" -> ((s, dir) => { // window FRAMES: per-customer
+      // cumulative spend (rows between unbounded preceding and current);
+      // decimal-exact inside the frame, cast once at the end
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec12("o_totalprice")).over(w).cast("double").as("cum_spend"))
+        .orderBy("o_custkey", "o_orderkey")
     }),
     "e3_intersect_users" -> ((s, dir) => { // set op: INTERSECT
       val ev = Tables.events(s, dir)
@@ -632,6 +660,24 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q16_outer_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_matched
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000.0) o
+        |  ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q17_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'qty' AS metric, CAST(l_quantity AS DECIMAL(12,2)) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price' AS metric, CAST(l_extendedprice AS DECIMAL(12,2)) AS value FROM lineitem)
+        |SELECT l_returnflag, metric, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS sum_value
+        |FROM u GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""".stripMargin,
+    "e8_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "e1_json_stats" -> // SUM(BIGINT) is HUGEINT in DuckDB: cast back so the
       // dtype matches Spark's LONG
       """SELECT event_type, COUNT(*) AS n, SUM((props ->> 'k')::BIGINT)::BIGINT AS sum_k,
