@@ -439,6 +439,10 @@ object SparkEntry {
     "d2_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
     "d3_minhash_pairs" -> ((s, dir) => Dedup.minHashLshPairs(Tables.documents(s, dir))),
     "d4_simhash_pairs" -> ((s, dir) => Dedup.simHashPairs(Tables.documents(s, dir))),
+    "d6_dup_clusters" -> ((s, dir) => // near-dup RESOLUTION: CC over the
+      // LSH pair graph -> (doc, keeper); closure handles non-transitive
+      // near-dup chains
+      Dedup.nearDupClusters(Tables.documents(s, dir))),
 
     // ---- LLM-pipeline: similarity search ----
     "s1_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
@@ -728,6 +732,7 @@ object SparkEntry {
     // join (round-2 ADVICE); recall vs exact IS still covered, in DedupSpec
     "d3_minhash_pairs" -> Dedup.minHashLshPairsSql(),
     "d4_simhash_pairs" -> Dedup.simHashPairsSql(),
+    "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
     "s2_ann_lsh" -> Similarity.lshTopKSql(),
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),

@@ -227,6 +227,42 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Near-dup RESOLUTION: the pair detectors say which docs match; this says
+    * what to keep. Connected components over the MinHash+LSH near-dup pair
+    * graph label every clustered doc with its cluster's min doc_id as the
+    * keeper — transitive closure matters because near-dup is not transitive
+    * (A≈B, B≈C may hold while A≉C, yet one representative should survive
+    * for the whole chain). `(doc_id, keeper)` for docs in ≥1 pair; docs with
+    * no near-dup are implicitly their own keeper.
+    *
+    * Scale shape: the pair graph is tiny relative to the corpus (it IS the
+    * dup set), so the GraphX CC runs on edges already reduced by LSH — the
+    * corpus-sized work all happened in the banded candidate join.
+    */
+  def nearDupClusters(docs: DataFrame, thresholdMille: Int = 500): DataFrame = {
+    val pairs = minHashLshPairs(docs, thresholdMille)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.graph.Analytics.connectedComponents(pairs)
+      .select(col("vertex").as("doc_id"), col("component").as("keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[nearDupClusters]]: the full seeded LSH pair pipeline
+    * nested as a CTE, then a reachability closure labeling each doc with the
+    * min reachable id (≡ undirected CC min-id).
+    */
+  def nearDupClustersSql(thresholdMille: Int = 500): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minHashLshPairsSql(thresholdMille)}
+       |),
+       |ue AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |v AS (SELECT a AS vertex FROM ue UNION SELECT b AS vertex FROM ue),
+       |r(vertex, reach) AS (
+       |  SELECT vertex, vertex FROM v
+       |  UNION
+       |  SELECT r.vertex, ue.b FROM r JOIN ue ON ue.a = r.reach)
+       |SELECT vertex AS doc_id, MIN(reach) AS keeper FROM r GROUP BY vertex ORDER BY doc_id""".stripMargin
+
   /** 60-bit SimHash per doc over distinct tokens: bit i of the signature is
     * set iff Σ_tokens (2·bit_i(hash60(token)) - 1) > 0. `(doc_id, simhash)`.
     */

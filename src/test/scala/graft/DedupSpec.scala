@@ -37,6 +37,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("nearDupClusters merges non-transitive chains under the min doc_id") {
+    // fixture pairs: (1,2) J=0.6, (1,4) dup, (2,4) J=0.6 — one cluster
+    // {1,2,4} with keeper 1; docs 3 and 5 have no pairs and stay out
+    val got = Dedup.nearDupClusters(fixture).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    // chain case: 10~11 (J=3/4) and 11~12 (J=3/5) but 10≁12 (J=2/5 < τ).
+    // Near-dup is NOT transitive; resolution must be — the closure puts
+    // all three in one cluster anyway
+    val chain = docsDF(Seq(
+      10L -> "a b c d e",   // shingles {abc,bcd,cde}
+      11L -> "a b c d e f", // {abc,bcd,cde,def}
+      12L -> "b c d e f g"))// {bcd,cde,def,efg}
+    val pairs = Dedup.minHashLshPairs(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L), (11L, 12L)), s"chain precondition broke: $pairs")
+    val gotChain = Dedup.nearDupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("prefix filtering loses no pairs vs a brute-force Scala oracle on random docs") {
     // small vocab forces heavy shingle sharing — the hostile case for
     // prefix filtering
