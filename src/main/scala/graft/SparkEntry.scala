@@ -482,6 +482,21 @@ object SparkEntry {
         .select("doc_id", "shuffle_key")
         .orderBy("shuffle_key", "doc_id")),
     "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
+    "p1_curation_pipeline" -> ((s, dir) => {
+      // the operators composed as a user would: quality-filter the corpus,
+      // exact-dedup among the survivors (keeper = min surviving id per
+      // content hash), assign content-addressed splits, report per-split
+      // stats — one declared query proving the pieces compose end-to-end
+      val docs = Tables.documents(s, dir)
+      val ok = TextOps.qualityBuckets(docs).filter(col("quality") === "ok").select("doc_id")
+      val okDocs = docs.join(ok, "doc_id")
+      val keepers = Dedup.exactDedup(okDocs)
+        .filter(col("doc_id") === col("keeper")).select("doc_id")
+      Sampling.assignSplits(okDocs.join(keepers, "doc_id"), keyCol = "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"), sum("n_chars").as("sum_chars"))
+        .orderBy("split")
+    }),
     "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
     "m2_frame_sample" -> ((s, dir) => MediaOps.frameSample(Tables.documents(s, dir))),
   )
@@ -751,6 +766,17 @@ object SparkEntry {
       s"""SELECT doc_id, ${Sampling.shuffleKeySql("doc_id", 7L)} AS shuffle_key
          |FROM documents ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
     "d5_cosine_dup_pairs" -> Similarity.cosineDupPairsSql(),
+    "p1_curation_pipeline" ->
+      s"""WITH q AS (
+         |${TextOps.qualityBucketsSql}
+         |),
+         |ok AS (SELECT d.doc_id, d.text, d.n_chars
+         |       FROM documents d JOIN q ON q.doc_id = d.doc_id WHERE q.quality = 'ok'),
+         |k AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)),
+         |kept AS (SELECT ok.doc_id, ok.n_chars FROM ok JOIN k ON k.doc_id = ok.doc_id)
+         |SELECT ${graft.llm.Sampling.assignSplitsSql("doc_id")} AS split,
+         |       COUNT(*) AS n, SUM(doc_id)::BIGINT AS sum_ids, SUM(n_chars)::BIGINT AS sum_chars
+         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_media_meta" -> MediaOps.mediaMetaSql,
   )
 
