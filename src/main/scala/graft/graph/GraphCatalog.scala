@@ -182,6 +182,38 @@ class GraphCatalog(spark: SparkSession, root: String) {
   def allGraphsPartitioned(): DataFrame =
     spark.read.parquet(partEdgesTable).select("graph_name", "src", "dst")
 
+  /** One graph's vertex set from the partitioned layout (explicit set when
+    * written, else derived from edge endpoints — same fallback as
+    * [[vertices]]).
+    */
+  def verticesPartitioned(name: String): DataFrame = {
+    validateName(name)
+    if (!existsPartitioned(name)) throw new AnalysisException(
+      errorClass = "TABLE_OR_VIEW_NOT_FOUND", messageParameters = Map("relationName" -> s"`$name`"))
+    if (fs.exists(partDir(partVerticesTable, name)))
+      spark.read.parquet(partVerticesTable).filter(col("graph_name") === name).select("id")
+    else vertexSetOf(graphPartitioned(name), None)
+  }
+
+  /** Traversal API over the partitioned layout — same semantics (and the
+    * same start-vertex validation) as the per-directory [[bfs]]/[[dfs]];
+    * the edge scan partition-prunes to the named graph.
+    */
+  def bfsPartitioned(name: String, start: Long, maxDepth: Int = Int.MaxValue): DataFrame = {
+    requireVertexPartitioned(name, start)
+    Traversals.bfs(graphPartitioned(name), start, maxDepth)
+  }
+
+  def dfsPartitioned(name: String, start: Long): DataFrame = {
+    requireVertexPartitioned(name, start)
+    Traversals.dfsPreorder(graphPartitioned(name), start)
+  }
+
+  private def requireVertexPartitioned(name: String, v: Long): Unit = {
+    val found = !verticesPartitioned(name).filter(col("id") === v).isEmpty
+    if (!found) throw new IllegalArgumentException(s"start vertex $v not present in graph")
+  }
+
   def listGraphs(): Seq[String] = {
     val p = new Path(root)
     if (!fs.exists(p)) Seq.empty

@@ -37,8 +37,7 @@ object Sampling {
     */
   def assignSplits(df: DataFrame, keyCol: String,
                    splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
-    require(splits.nonEmpty && splits.forall(_._2 > 0),
-      s"splits need positive weights, got $splits")
+    validateSplits(splits)
     val total = splits.map(_._2).sum
     val b = hashBucket(col(keyCol), total)
     val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
@@ -50,9 +49,24 @@ object Sampling {
     df.withColumn("split", caseCol)
   }
 
+  /** Shared contract for `splits`: non-empty, positive weights, and
+    * distinct identifier-like names (the names are embedded into the SQL
+    * mirror as string literals, so they are restricted up front rather
+    * than escaped).
+    */
+  private def validateSplits(splits: Seq[(String, Int)]): Unit = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive weights, got $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct, got ${splits.map(_._1)}")
+    require(splits.forall(_._1.matches("[A-Za-z0-9_.-]+")),
+      s"split names must be identifier-like, got ${splits.map(_._1)}")
+  }
+
   /** DuckDB fragment computing the same split name over key expression `x`. */
   def assignSplitsSql(x: String,
                       splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): String = {
+    validateSplits(splits)
     val total = splits.map(_._2).sum
     val b = s"${Hashing.hash60Sql(s"($x)::VARCHAR")} % $total"
     val cuts = splits.scanLeft(0)(_ + _._2).tail

@@ -90,6 +90,11 @@ class GraphCatalogSpec extends SparkSpec {
     // cross-graph single-scan entry sees every graph tagged by name
     assert(cat.allGraphsPartitioned().select("graph_name").distinct()
       .collect().map(_.getString(0)).toSet === Set("pa", "pb"))
+    // traversal API works over the partitioned layout with the same
+    // start-vertex validation as the per-directory one
+    assert(vertexLevels(cat.bfsPartitioned("pb", 7L)) === Seq((7L, 0), (8L, 1)))
+    assert(cat.dfsPartitioned("pb", 7L).collect().map(_.getLong(0)).toSeq === Seq(7L, 8L))
+    intercept[IllegalArgumentException](cat.bfsPartitioned("pb", 99L))
   }
 
   test("partitioned-table read prunes to ONE graph's partition (structural)") {

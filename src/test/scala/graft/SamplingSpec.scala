@@ -43,6 +43,10 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplits(docs(Seq(1L)), "doc_id", splits = Seq.empty))
     intercept[IllegalArgumentException](
       Sampling.assignSplits(docs(Seq(1L)), "doc_id", splits = Seq("a" -> 0)))
+    intercept[IllegalArgumentException]( // duplicate names
+      Sampling.assignSplits(docs(Seq(1L)), "doc_id", splits = Seq("a" -> 1, "a" -> 1)))
+    intercept[IllegalArgumentException]( // names land in SQL literals
+      Sampling.assignSplits(docs(Seq(1L)), "doc_id", splits = Seq("a'b" -> 1)))
   }
 
   test("deterministicSample: fixed size, reproducible, seed-sensitive") {
