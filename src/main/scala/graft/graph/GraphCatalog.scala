@@ -132,6 +132,13 @@ class GraphCatalog(spark: SparkSession, root: String) {
 
   private def writePartitioned(name: String, edges: DataFrame, vertices: Option[DataFrame]): Unit = {
     val e = normalized(edges)
+    // drop this graph's partitions up front: dynamic partition overwrite
+    // only replaces partitions PRESENT in the written data, so modifying a
+    // graph down to an EMPTY edge set would otherwise leave the old edges
+    // partition silently in place (truncate-then-write matches the
+    // reference's fopen("w") semantics, primaryServer.c:40-63)
+    fs.delete(partDir(partEdgesTable, name), true)
+    fs.delete(partDir(partVerticesTable, name), true)
     def out(df: DataFrame, table: String): Unit =
       df.withColumn("graph_name", lit(name))
         .write.partitionBy("graph_name")
@@ -143,8 +150,9 @@ class GraphCatalog(spark: SparkSession, root: String) {
   }
 
   /** [[addGraph]] semantics over the partitioned-table layout. An edge-free
-    * graph still registers (its vertex partition is written), so `exists`
-    * semantics match the per-directory layout.
+    * graph still registers when it carries an explicit vertex set (its
+    * vertex partition is written); with neither edges nor vertices there is
+    * no partition to write and the graph does not register.
     */
   def addGraphPartitioned(name: String, edges: DataFrame, vertices: Option[DataFrame] = None): Unit = {
     validateName(name)

@@ -39,7 +39,10 @@ object TemporalJoins {
     *
     * Null caveat: a right row whose value column is null is skipped by
     * `ignoreNulls` (an earlier non-null value wins) — use a non-null
-    * payload column (ids) or coalesce a sentinel beforehand.
+    * payload column (ids) or coalesce a sentinel beforehand. Time columns
+    * are integral (e.g. epoch micros) like [[rangeJoin]]'s — a TIMESTAMP
+    * would cast to epoch seconds and silently coarsen tie semantics;
+    * convert with `unix_micros` first.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,

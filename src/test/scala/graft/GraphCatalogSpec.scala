@@ -95,6 +95,15 @@ class GraphCatalogSpec extends SparkSpec {
     assert(vertexLevels(cat.bfsPartitioned("pb", 7L)) === Seq((7L, 0), (8L, 1)))
     assert(cat.dfsPartitioned("pb", 7L).collect().map(_.getLong(0)).toSeq === Seq(7L, 8L))
     intercept[IllegalArgumentException](cat.bfsPartitioned("pb", 99L))
+    // modifying down to an EMPTY edge set must not leave stale edges behind
+    // (dynamic partition overwrite alone would: no partition in the data,
+    // nothing replaced)
+    val s = spark
+    import s.implicits._
+    cat.modifyGraphPartitioned("pa", edgesDF(Seq.empty),
+      vertices = Some(Seq(9L).toDF("id")))
+    assert(cat.graphPartitioned("pa").count() === 0L, "stale edges survived the empty modify")
+    assert(vertexSet(cat.verticesPartitioned("pa"), "id") === Set(9L))
   }
 
   test("partitioned-table read prunes to ONE graph's partition (structural)") {
