@@ -35,10 +35,24 @@ object TextOps {
        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
        |       FROM toks, UNNEST(range(1, len(ws) - 1)) AS u(i))""".stripMargin
 
-  /** Per-document stats: token/char counts and a type-token ratio in
-    * thousandths — the length/diversity signals a quality filter reads.
-    * `(doc_id, n_tokens, n_distinct_tokens, sum_token_chars, len_text,
-    * ttr_1000)`.
+  /** Common-English stopword list for the stopword-ratio quality signal —
+    * declared `val` so the SQL mirror and tests stay in lock-step.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "is", "in", "that", "it", "a", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are")
+
+  /** Non-token character class shared by the punctuation ratio on both
+    * engines. Spelled out (no `\s`) because Java and RE2 disagree on `\s`'s
+    * exact membership (vertical tab) — an explicit class is hash-safe.
+    */
+  private val PunctClass = "[^A-Za-z0-9 \\t\\r\\n]"
+
+  /** Per-document stats: token/char counts, a type-token ratio, plus the
+    * punctuation-density and stopword-ratio signals (all in thousandths,
+    * integer-exact) — the length/diversity/punct/stopword signals a quality
+    * filter reads. `(doc_id, n_tokens, n_distinct_tokens, sum_token_chars,
+    * len_text, ttr_1000, punct_1000, stop_1000)`.
     */
   def textStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
@@ -47,22 +61,34 @@ object TextOps {
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_token_chars"),
-      length(col("text")).cast("long").as("len_text"))
+      length(col("text")).cast("long").as("len_text"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), PunctClass, ""))).cast("long").as("n_punct"),
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("long").as("n_stop"))
       // `div` = integral division (Spark `/` on longs yields DOUBLE)
       .withColumn("ttr_1000",
         when(col("n_tokens") > 0, expr("n_distinct_tokens * 1000 div n_tokens")).otherwise(lit(0L)))
+      .withColumn("punct_1000", expr("n_punct * 1000 div greatest(len_text, 1)"))
+      .withColumn("stop_1000", expr("n_stop * 1000 div greatest(n_tokens, 1)"))
+      .drop("n_punct", "n_stop")
       .orderBy("doc_id")
   }
 
-  val textStatsSql: String =
-    """SELECT doc_id,
+  val textStatsSql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
       |  len(ws)::BIGINT AS n_tokens,
       |  len(list_distinct(ws))::BIGINT AS n_distinct_tokens,
       |  COALESCE(list_sum(list_transform(ws, t -> len(t))), 0)::BIGINT AS sum_token_chars,
       |  len(text)::BIGINT AS len_text,
-      |  (CASE WHEN len(ws) > 0 THEN len(list_distinct(ws)) * 1000 // len(ws) ELSE 0 END)::BIGINT AS ttr_1000
+      |  (CASE WHEN len(ws) > 0 THEN len(list_distinct(ws)) * 1000 // len(ws) ELSE 0 END)::BIGINT AS ttr_1000,
+      |  ((len(text) - len(regexp_replace(text, '[^A-Za-z0-9 \\t\\r\\n]', '', 'g'))) * 1000
+      |     // greatest(len(text), 1))::BIGINT AS punct_1000,
+      |  (len(list_filter(ws, t -> t IN ($stopList))) * 1000
+      |     // greatest(len(ws), 1))::BIGINT AS stop_1000
       |FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws
       |      FROM documents) ORDER BY doc_id""".stripMargin
+  }
 
   /** Deterministic quality bucket from integer signals: the shape of a
     * training-data quality filter (thresholds are illustrative; the operator

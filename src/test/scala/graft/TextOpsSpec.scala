@@ -10,14 +10,18 @@ class TextOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
-  test("textStats: token/char counts and TTR on a known text") {
+  test("textStats: token/char counts, TTR, punct and stopword ratios on a known text") {
     val r = TextOps.textStats(docsDF(Seq(1L -> "Hello, hello world!  42"))).head
     // tokens: hello, hello, world, 42
     assert(r.getLong(1) === 4L)  // n_tokens
     assert(r.getLong(2) === 3L)  // n_distinct_tokens
     assert(r.getLong(3) === 17L) // 5+5+5+2
     assert(r.getLong(4) === 23L) // len_text
-    assert(r.getLong(5) === 750L) // 3000/4
+    assert(r.getLong(5) === 750L) // ttr: 3000/4
+    assert(r.getLong(6) === 86L)  // punct: ',' and '!' -> 2000 div 23
+    assert(r.getLong(7) === 0L)   // no stopwords
+    val s = TextOps.textStats(docsDF(Seq(1L -> "the cat is here"))).head
+    assert(s.getLong(7) === 500L) // stopwords: the, is -> 2000 div 4
   }
 
   test("textStats: empty text yields zeros, not errors") {
