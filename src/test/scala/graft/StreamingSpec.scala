@@ -91,6 +91,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && want.nonEmpty)
   }
 
+  test("parquet file sink (append + checkpoint): finalized windows match batch") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    val mem = MemoryStream[Ev](s)
+    // two micro-batches so the watermark advances between them and closes
+    // the early windows — append mode emits a window only once it is FINAL
+    val (e1, e2) = events.sortBy(_.ts.getTime).splitAt(150)
+    val q = EventStreams.tumblingCounts(mem.toDF(), withWatermarkCol = true)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(e1); q.processAllAvailable()
+      mem.addData(e2); q.processAllAvailable()
+    } finally q.stop()
+    val got = s.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = EventStreams.tumblingCounts(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // append emits only watermark-finalized windows: a NON-EMPTY SUBSET of
+    // the batch answer, and every emitted row must be exactly right
+    assert(got.nonEmpty, "no finalized windows reached the file sink")
+    assert(got.subsetOf(want), s"sink rows diverge from batch: ${got -- want}")
+  }
+
   test("streaming exact dedup: one survivor per content hash across micro-batches") {
     val s = spark
     import s.implicits._
