@@ -75,6 +75,29 @@ object SparkEntry {
         DerivedGraphs.small(s, dir)
           .withColumn("w", (col("src") + col("dst")) % 10 + 1),
         start = 0L, maxHops = 12)),
+    "g13_partitioned_catalog" -> ((s, dir) => {
+      // the single-partitioned-table catalog layout bound to the gate:
+      // write two graphs into ONE graph_name-partitioned table, then run
+      // the cross-graph single-scan analytics the per-directory layout
+      // cannot express; the oracle computes the same per-graph aggregates
+      // straight from the source derivation. Fixed per-process dir (reps
+      // take the modify path), shutdown-hook cleaned like g10's.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-pcat-${ProcessHandle.current().pid()}"))
+      java.nio.file.Files.createDirectories(root)
+      val cat = new GraphCatalog(s, root.resolve("pgraphs").toString)
+      val e = DerivedGraphs.small(s, dir)
+      def put(name: String, df: DataFrame): Unit =
+        if (cat.existsPartitioned(name)) cat.modifyGraphPartitioned(name, df)
+        else cat.addGraphPartitioned(name, df)
+      put("even", e.filter(col("src") % 2 === 0))
+      put("odd", e.filter(col("src") % 2 === 1))
+      cat.allGraphsPartitioned()
+        .groupBy("graph_name")
+        .agg(count(lit(1)).as("n_edges"), sum(col("src") + col("dst")).as("sum_ids"))
+        .orderBy("graph_name")
+    }),
     "g10_matrix_roundtrip" -> ((s, dir) => {
       // the reference's full write path (op 1, primaryServer.c:40-63):
       // catalog add -> dense-matrix text file -> re-ingest -> analytics;
@@ -562,6 +585,13 @@ object SparkEntry {
          |SELECT f.a AS vertex, MIN(f.b) AS component
          |FROM r f JOIN r g ON g.a = f.b AND g.b = f.a
          |GROUP BY f.a ORDER BY vertex""".stripMargin,
+    "g13_partitioned_catalog" -> // round-trip through the partitioned
+      // catalog is semantics-preserving, so the oracle derives the same
+      // per-graph aggregates directly from the edge derivation
+      s"""WITH e AS (${DerivedGraphs.smallSql})
+         |SELECT CASE WHEN src % 2 = 0 THEN 'even' ELSE 'odd' END AS graph_name,
+         |       COUNT(*) AS n_edges, SUM(src + dst)::BIGINT AS sum_ids
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "g12_weighted_sssp" ->
       s"""WITH RECURSIVE e AS (
          |  SELECT src, dst, (src + dst) % 10 + 1 AS w FROM (${DerivedGraphs.smallSql}) t),
