@@ -50,6 +50,12 @@ object TemporalJoins {
                rightTieBreak: Seq[String] = Nil): DataFrame = {
     require(rightValues.nonEmpty, "asofJoin needs at least one right value column")
     val leftCols = left.columns.toSeq
+    // output = left.* + value columns: a value output name shadowing a left
+    // column would produce duplicate column names downstream — reject it
+    rightValues.foreach { case (_, out) =>
+      require(!leftCols.contains(out),
+        s"asofJoin output column '$out' collides with a left column — rename one side")
+    }
     val rightValueTypes = rightValues.map { case (c, _) => c -> right.schema(c).dataType }
     val tieTypes = rightTieBreak.map(c => c -> right.schema(c).dataType)
     def nullAs(name: String, dt: org.apache.spark.sql.types.DataType) =
@@ -100,6 +106,11 @@ object TemporalJoins {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 leftTime: String, rightTime: String, window: Long): DataFrame = {
     require(window > 0, s"range window must be positive, got $window")
+    // output = left.* + right's non-key columns: overlapping names (beyond
+    // the join key) would be ambiguous — callers rename before joining
+    val overlap = right.columns.filterNot(_ == key).toSet & left.columns.toSet
+    require(overlap.isEmpty,
+      s"rangeJoin sides share non-key column names $overlap — rename before joining")
     // `div` (exact integer division), not `/` + cast: float division of
     // epoch-micros-sized longs can land one ulp under an integer boundary
     // and truncate into the wrong bucket

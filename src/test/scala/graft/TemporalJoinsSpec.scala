@@ -88,4 +88,16 @@ class TemporalJoinsSpec extends SparkSpec {
   test("rangeJoin rejects a non-positive window") {
     intercept[IllegalArgumentException](range(Seq((1L, 1L)), Seq((1L, 1L)), 0L))
   }
+
+  test("name collisions are rejected up front, not emitted as duplicate columns") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 1L, 1L)).toDF("user_id", "ts", "event_id")
+    intercept[IllegalArgumentException]( // value output shadows a left column
+      TemporalJoins.asofJoin(l, l, key = "user_id", leftTime = "ts", rightTime = "ts",
+        rightValues = Seq("event_id" -> "event_id")))
+    intercept[IllegalArgumentException]( // non-key overlap between sides
+      TemporalJoins.rangeJoin(l, l, key = "user_id",
+        leftTime = "ts", rightTime = "ts", window = 10L))
+  }
 }
