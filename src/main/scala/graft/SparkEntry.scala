@@ -522,6 +522,10 @@ object SparkEntry {
     }),
     "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
     "m2_frame_sample" -> ((s, dir) => MediaOps.frameSample(Tables.documents(s, dir))),
+    "m3_decode_features" -> ((s, dir) => // the mapPartitions decode path
+      // itself (batched-codec contract), reduced to integer-exact bucket
+      // counts for the oracle
+      MediaOps.decodeFeatures(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -808,6 +812,7 @@ object SparkEntry {
          |       COUNT(*) AS n, SUM(doc_id)::BIGINT AS sum_ids, SUM(n_chars)::BIGINT AS sum_chars
          |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_media_meta" -> MediaOps.mediaMetaSql,
+    "m3_decode_features" -> MediaOps.decodeFeaturesSql(),
   )
 
   /** Root for the f1/f2 round-trip exports. Verify points this at its own

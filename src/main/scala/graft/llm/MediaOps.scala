@@ -178,6 +178,46 @@ object MediaOps {
        |       substr(md5(fr), 1, 8) AS frame_md5_8, len(fr)::BIGINT AS n_frame_bytes
        |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Declared-query surface over [[decodeStub]] — binds the partition-batched
+    * decode path (the `mapInPandas` analogue) to the oracle gate. The stub's
+    * feature is a normalized byte histogram, so the exact integer bucket
+    * counts are recoverable as `round(f_i * n_bytes)`: with n ≤ a few KB the
+    * float32 normalization error is ≪ 0.5, making the recovery exact.
+    * `(media_id, modality, n_bytes, f0..f7)` — all integer columns.
+    */
+  def decodeFeatures(docs: DataFrame, dim: Int = 8): DataFrame = {
+    val feats = decodeStub(syntheticMedia(docs), dim).toDF()
+    val counts = (0 until dim).map(i =>
+      round(element_at(col("feature"), i + 1) * col("n_bytes")).cast("long").as(s"f$i"))
+    feats.select(Seq(col("media_id"), col("modality"), col("n_bytes")) ++ counts: _*)
+      .orderBy("media_id")
+  }
+
+  /** DuckDB mirror of [[decodeFeatures]]: per-character ascii codes bucketed
+    * mod dim (the corpus is ASCII, guarded like [[frameSampleSql]], so byte
+    * values == character codes); empty texts keep all-zero buckets via the
+    * left join.
+    */
+  def decodeFeaturesSql(dim: Int = 8): String = {
+    val bucketCols = (0 until dim).map(i =>
+      s"COALESCE(SUM(CASE WHEN b = $i THEN 1 END), 0)::BIGINT AS f$i").mkString(",\n|         ")
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |                  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+       |                  CASE WHEN octet_length(encode(text)) <> len(text)
+       |                       THEN error('non-ASCII corpus: ascii(char) != byte in decode oracle')
+       |                       ELSE text END AS text
+       |           FROM documents),
+       |c AS (SELECT media_id, ascii(substr(text, u.i::INT, 1)) % $dim AS b
+       |      FROM m, UNNEST(range(1, len(text) + 1)) AS u(i)),
+       |h AS (SELECT media_id,
+       |         $bucketCols
+       |      FROM c GROUP BY media_id)
+       |SELECT m.media_id AS media_id, m.modality, len(m.text)::BIGINT AS n_bytes,
+       |       ${(0 until dim).map(i => s"COALESCE(h.f$i, 0) AS f$i").mkString(", ")}
+       |FROM m LEFT JOIN h ON h.media_id = m.media_id
+       |ORDER BY m.media_id""".stripMargin
+  }
+
   val mediaMetaSql: String =
     """SELECT doc_id AS media_id,
       |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,

@@ -59,4 +59,15 @@ class MediaOpsSpec extends SparkSpec {
     // magic = big-endian int of "abcd" = 0x61626364
     assert(r.getLong(4) === 0x61626364L)
   }
+
+  test("decodeFeatures: recovered bucket counts partition the payload bytes") {
+    val rows = MediaOps.decodeFeatures(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      val counts = (3 until 11).map(r.getLong)
+      assert(counts.sum === n, s"media ${r.getLong(0)}: buckets ${counts.sum} != n_bytes $n")
+      assert(counts.forall(_ >= 0))
+    }
+  }
 }
