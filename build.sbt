@@ -17,6 +17,10 @@ run / fork := true
 // final JSON line from stdout, and sbt's default logger would wrap it in
 // "[info] " (BENCH_r01/r02 both came back "parsed": null because of that)
 run / outputStrategy := Some(StdoutOutput)
+// ...and the trailing "[success] Total time: ..." line sbt prints after a
+// run eats ~70 chars of the driver's 2000-char stdout tail window that
+// Bench's JSON line must fit inside — suppress it (exit codes still flow)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,18 +90,47 @@ object Bench {
     }
     val loadAfter = loadAvg1m()
     val maxHeapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    val qs = results.map { case (k, (t, _)) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
-    // loadavg at the start of the reported (min-time) rep, per query
-    val qLoads = results.map { case (k, (_, l)) => "\"" + k + "\":" + l }.mkString("{", ",", "}")
     val total = results.collect { case (_, (t, _)) if t >= 0 => t }.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""failed":${failed.size},"reps":$reps,"rep_failures":$repFailures,""" +
+
+    // Two renditions of the result:
+    //  - bench_out.json gets everything (full-precision times, per-query
+    //    loadavg) for offline analysis;
+    //  - stdout gets a COMPACT single line. The driver keeps only the last
+    //    ~2000 chars of stdout, and BENCH_r05 came back "parsed": null
+    //    because the full-precision line plus the 66-entry loadavg_q map
+    //    grew past that window and pushed `{"metric"` out of it. Millisecond
+    //    precision is ample for the judge's per-query comparison; if the
+    //    query set grows enough that even 3 decimals overflows the budget,
+    //    degrade (2 decimals, then drop the diagnostic keys) rather than
+    //    ever printing an unparseable line.
+    def num(t: Double, dec: Int): String = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, t)
+    def qs(dec: Int): String =
+      results.map { case (k, (t, _)) => "\"" + k + "\":" + num(t, dec) }.mkString("{", ",", "}")
+    val qLoads = results.map { case (k, (_, l)) => "\"" + k + "\":" + l }.mkString("{", ",", "}")
+    def line(dec: Int, diagnostics: Boolean): String = {
+      val diag =
+        if (diagnostics)
+          s""","reps":$reps,"rep_failures":$repFailures,""" +
+            s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"max_heap_mb":$maxHeapMb"""
+        else ""
+      s"""{"metric":"total","value":${num(total, dec)},"unit":"sec","queries":${qs(dec)},""" +
+        s""""sf":"$sfDir","failed":${failed.size}$diag}"""
+    }
+    val budget = 1900 // driver tail window is 2000 chars; leave slack for a trailing log line
+    val stdoutLine = Seq(line(3, true), line(2, true), line(2, false))
+      .find(_.length <= budget).getOrElse(line(2, false))
+
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        results.map { case (k, (t, _)) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+      },"sf":"$sfDir","failed":${failed.size},"reps":$reps,"rep_failures":$repFailures,""" +
         s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
         s""""loadavg_q":$qLoads,"max_heap_mb":$maxHeapMb}"""
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
-    println(json)
+    Files.writeString(Paths.get("bench_out.json"), fullJson + "\n")
+    // stop Spark BEFORE the println: shutdown warnings land above the JSON
+    // line instead of after it, keeping it inside the driver's tail window
     spark.stop()
+    println(stdoutLine)
     if (failed.nonEmpty || (strictReps && repFailures > 0)) sys.exit(1)
   }
 }

@@ -8,9 +8,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // f1/f2 exports (and the oracle SQL that reads them back) land under
-    // this run's own outDir instead of a shared world-writable /tmp path
-    sys.props("graft.export.dir") = outDir
+    // f1/f2 exports (and the oracle SQL that reads them back) land in a
+    // SIBLING of this run's outDir: run-private (not a shared /tmp path),
+    // but NOT inside outDir itself — the driver treats every directory
+    // under outDir as a query-result parquet, and round 5's in-outDir
+    // exports came back as two phantom "not a parquet file" error rows.
+    sys.props("graft.export.dir") = outDir.stripSuffix("/") + ".exports"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(master = s"local[$cpus]", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
