@@ -1,8 +1,9 @@
 package graft.graph
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Catalog of named directed graphs, stored as sparse edge-list Parquet with
   * an explicit vertex set.
@@ -125,6 +126,24 @@ class GraphCatalog(spark: SparkSession, root: String) {
   private val partVerticesTable = s"$root/_vertices_by_graph"
   private def partDir(table: String, name: String) = new Path(s"$table/graph_name=$name")
 
+  private val partEdgesSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("graph_name", StringType)))
+  private val partVerticesSchema = StructType(Seq(
+    StructField("id", LongType), StructField("graph_name", StringType)))
+
+  /** Read a partitioned table under an EXPLICIT schema. An empty-edge-set
+    * graph's partition write leaves no parquet data files (just _SUCCESS),
+    * so if every registered graph is edge-free the table has nothing to
+    * infer a schema from and a bare `read.parquet` fails even though
+    * [[existsPartitioned]] is true. The schema is fixed by the writer
+    * anyway; an absent table reads as empty. Partition pruning on
+    * `graph_name` is unaffected (asserted in `GraphCatalogSpec`).
+    */
+  private def readPart(table: String, schema: StructType): DataFrame =
+    if (fs.exists(new Path(table))) spark.read.schema(schema).parquet(table)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
   def existsPartitioned(name: String): Boolean = {
     validateName(name)
     fs.exists(partDir(partEdgesTable, name)) || fs.exists(partDir(partVerticesTable, name))
@@ -179,7 +198,7 @@ class GraphCatalog(spark: SparkSession, root: String) {
     validateName(name)
     if (!existsPartitioned(name)) throw new AnalysisException(
       errorClass = "TABLE_OR_VIEW_NOT_FOUND", messageParameters = Map("relationName" -> s"`$name`"))
-    spark.read.parquet(partEdgesTable)
+    readPart(partEdgesTable, partEdgesSchema)
       .filter(col("graph_name") === name).select("src", "dst")
   }
 
@@ -188,7 +207,7 @@ class GraphCatalog(spark: SparkSession, root: String) {
     * a single scan.
     */
   def allGraphsPartitioned(): DataFrame =
-    spark.read.parquet(partEdgesTable).select("graph_name", "src", "dst")
+    readPart(partEdgesTable, partEdgesSchema).select("graph_name", "src", "dst")
 
   /** One graph's vertex set from the partitioned layout (explicit set when
     * written, else derived from edge endpoints — same fallback as
@@ -199,7 +218,8 @@ class GraphCatalog(spark: SparkSession, root: String) {
     if (!existsPartitioned(name)) throw new AnalysisException(
       errorClass = "TABLE_OR_VIEW_NOT_FOUND", messageParameters = Map("relationName" -> s"`$name`"))
     if (fs.exists(partDir(partVerticesTable, name)))
-      spark.read.parquet(partVerticesTable).filter(col("graph_name") === name).select("id")
+      readPart(partVerticesTable, partVerticesSchema)
+        .filter(col("graph_name") === name).select("id")
     else vertexSetOf(graphPartitioned(name), None)
   }
 

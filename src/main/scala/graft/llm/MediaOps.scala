@@ -187,8 +187,18 @@ object MediaOps {
     */
   def decodeFeatures(docs: DataFrame, dim: Int = 8): DataFrame = {
     val feats = decodeStub(syntheticMedia(docs), dim).toDF()
+    // round(f_i·n) recovers the exact bucket count only while the float32
+    // relative error n·2⁻²⁴ stays under 0.5, i.e. n < 2²³ bytes (~8 MB);
+    // past that the recovery could silently diverge from the integer-exact
+    // oracle — fail loudly instead (same discipline as frameSampleSql's
+    // ASCII guard)
+    val exactBound = 1L << 23
+    val nGuarded = when(col("n_bytes") < exactBound, col("n_bytes"))
+      .otherwise(raise_error(format_string(
+        s"decodeFeatures: %d-byte payload exceeds the float32 exact-recovery bound of $exactBound bytes",
+        col("n_bytes"))).cast("long"))
     val counts = (0 until dim).map(i =>
-      round(element_at(col("feature"), i + 1) * col("n_bytes")).cast("long").as(s"f$i"))
+      round(element_at(col("feature"), i + 1) * nGuarded).cast("long").as(s"f$i"))
     feats.select(Seq(col("media_id"), col("modality"), col("n_bytes")) ++ counts: _*)
       .orderBy("media_id")
   }

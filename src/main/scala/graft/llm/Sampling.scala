@@ -38,6 +38,7 @@ object Sampling {
   def assignSplits(df: DataFrame, keyCol: String,
                    splits: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
     validateSplits(splits)
+    requireFreshColumn(df, "split", "assignSplits")
     val total = splits.map(_._2).sum
     val b = hashBucket(col(keyCol), total)
     val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
@@ -88,10 +89,21 @@ object Sampling {
     * so it scales like any top-k (the 100 TB way to cut a fixed-size
     * evaluation slice).
     */
-  def deterministicSample(df: DataFrame, keyCol: String, k: Int, seed: Long): DataFrame =
+  def deterministicSample(df: DataFrame, keyCol: String, k: Int, seed: Long): DataFrame = {
+    requireFreshColumn(df, "shuffle_key", "deterministicSample")
     df.withColumn("shuffle_key", shuffleKey(col(keyCol), seed))
       .orderBy(col("shuffle_key"), col(keyCol))
       .limit(k)
+  }
+
+  /** `withColumn` silently REPLACES an existing column of the same name —
+    * reject appended-name collisions up front (same contract as
+    * `TemporalJoins.asofJoin`'s output-name check) instead of quietly
+    * clobbering caller data.
+    */
+  private def requireFreshColumn(df: DataFrame, name: String, op: String): Unit =
+    require(!df.columns.contains(name),
+      s"$op appends a '$name' column but the input already has one — rename it first")
 
   /** DuckDB fragment for [[shuffleKey]] over key expression `x`. */
   def shuffleKeySql(x: String, seed: Long): String =

@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Time columns must already be integral (e.g. epoch micros). Enforced,
+    * not just documented: the internal `.cast("long")` would coarsen a
+    * TIMESTAMP to epoch SECONDS, silently changing at-or-before tie
+    * semantics for a caller who passed `ts` instead of `ts_us`.
+    */
+  private def requireIntegralTime(df: DataFrame, c: String, what: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$what time column '$c' must be integral (e.g. epoch micros), got $dt — " +
+          "convert first (unix_micros for timestamps) so tie semantics stay exact")
+    }
+  }
+
   /** As-of join: each left row picks up, per `rightValues` column, the value
     * from the LATEST right row with the same `key` and
     * `right(rightTime) <= left(leftTime)` (ties at the same instant DO
@@ -49,6 +64,8 @@ object TemporalJoins {
                rightValues: Seq[(String, String)],
                rightTieBreak: Seq[String] = Nil): DataFrame = {
     require(rightValues.nonEmpty, "asofJoin needs at least one right value column")
+    requireIntegralTime(left, leftTime, "asofJoin left")
+    requireIntegralTime(right, rightTime, "asofJoin right")
     val leftCols = left.columns.toSeq
     // output = left.* + value columns: a value output name shadowing a left
     // column would produce duplicate column names downstream — reject it
@@ -92,8 +109,8 @@ object TemporalJoins {
     * `left(leftTime) <= right(rightTime) <= left(leftTime) + window`
     * (both bounds INCLUSIVE). Output = left columns plus right's non-key
     * columns — callers keep the two sides' names disjoint (rename before
-    * joining). Time columns are integral (e.g. epoch micros), non-negative;
-    * `window` is in the same unit.
+    * joining). Time columns are integral (e.g. epoch micros; enforced) and
+    * may be negative (pre-1970); `window` is in the same unit.
     *
     * Plan: bucket width = `window`, left rows explode to (b, b+1), right
     * rows keep b — every qualifying pair shares exactly one bucket, so the
@@ -106,17 +123,27 @@ object TemporalJoins {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 leftTime: String, rightTime: String, window: Long): DataFrame = {
     require(window > 0, s"range window must be positive, got $window")
+    requireIntegralTime(left, leftTime, "rangeJoin left")
+    requireIntegralTime(right, rightTime, "rangeJoin right")
     // output = left.* + right's non-key columns: overlapping names (beyond
     // the join key) would be ambiguous — callers rename before joining
     val overlap = right.columns.filterNot(_ == key).toSet & left.columns.toSet
     require(overlap.isEmpty,
       s"rangeJoin sides share non-key column names $overlap — rename before joining")
-    // `div` (exact integer division), not `/` + cast: float division of
-    // epoch-micros-sized longs can land one ulp under an integer boundary
-    // and truncate into the wrong bucket
-    val lb = expr(s"CAST($leftTime AS BIGINT) div $window")
+    // Exact integer FLOOR division, not `/` + cast (float division of
+    // epoch-micros-sized longs can land one ulp under an integer boundary)
+    // and not bare `div` (which truncates toward zero, so pre-1970 negative
+    // times would mis-bucket: left=-50 and right=40 with window=100 belong
+    // to adjacent buckets -1 and 0, but `div` puts both in 0 ... while
+    // left=-150 lands in -1 instead of -2 and silently loses its matches).
+    // `(t - pmod(t, w)) div w` is floor division in pure int arithmetic:
+    // pmod is the non-negative remainder, so the numerator is the largest
+    // multiple of w at or below t.
+    def floorDiv(t: String) =
+      expr(s"(CAST($t AS BIGINT) - pmod(CAST($t AS BIGINT), $window)) div $window")
+    val lb = floorDiv(leftTime)
     val l = left.withColumn("__gb", explode(array(lb, lb + 1)))
-    val r = right.withColumn("__gb2", expr(s"CAST($rightTime AS BIGINT) div $window"))
+    val r = right.withColumn("__gb2", floorDiv(rightTime))
     val rightKeep = right.columns.filterNot(_ == key).toSeq
     l.join(r, l(key) === r(key) && col("__gb") === col("__gb2") &&
         r(rightTime).cast("long") >= l(leftTime).cast("long") &&

@@ -106,6 +106,22 @@ class GraphCatalogSpec extends SparkSpec {
     assert(vertexSet(cat.verticesPartitioned("pa"), "id") === Set(9L))
   }
 
+  test("partitioned-table reads survive a table whose ONLY graphs are edge-free") {
+    // an empty-edge-set write leaves no parquet data files (just _SUCCESS),
+    // so schema inference has nothing to work with — the explicit-schema
+    // read must still serve the registered graph
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    cat.addGraphPartitioned("lonely", edgesDF(Seq.empty),
+      vertices = Some(Seq(1L, 2L).toDF("id")))
+    assert(cat.existsPartitioned("lonely"))
+    assert(cat.graphPartitioned("lonely").count() === 0L)
+    assert(cat.allGraphsPartitioned().count() === 0L)
+    assert(vertexSet(cat.verticesPartitioned("lonely"), "id") === Set(1L, 2L))
+    assert(vertexLevels(cat.bfsPartitioned("lonely", 2L)) === Seq((2L, 0)))
+  }
+
   test("partitioned-table read prunes to ONE graph's partition (structural)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

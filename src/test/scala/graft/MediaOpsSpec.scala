@@ -70,4 +70,18 @@ class MediaOpsSpec extends SparkSpec {
       assert(counts.forall(_ >= 0))
     }
   }
+
+  test("decodeFeatures fails loudly past the float32 exact-recovery bound (~8 MB)") {
+    // n·2⁻²⁴ ≥ 0.5 at n = 2²³: round(f_i·n) could silently drift off the
+    // integer-exact oracle, so the guard must raise instead
+    val big = docsDF(Seq(0L -> "x" * (1 << 23)))
+    val e = intercept[Exception](MediaOps.decodeFeatures(big).collect())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("exact-recovery bound")), s"unexpected failure: $e")
+    // and a payload just under the bound still works
+    val ok = docsDF(Seq(0L -> "x" * ((1 << 23) - 1)))
+    val r = MediaOps.decodeFeatures(ok).collect().head
+    assert((3 until 11).map(r.getLong).sum === (1L << 23) - 1)
+  }
 }

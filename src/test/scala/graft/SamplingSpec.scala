@@ -49,6 +49,16 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplits(docs(Seq(1L)), "doc_id", splits = Seq("a'b" -> 1)))
   }
 
+  test("appended-column name collisions are rejected, not silently clobbered") {
+    val s = spark
+    import s.implicits._
+    val hasSplit = Seq((1L, "x")).toDF("doc_id", "split")
+    intercept[IllegalArgumentException](Sampling.assignSplits(hasSplit, "doc_id"))
+    val hasKey = Seq((1L, 9L)).toDF("doc_id", "shuffle_key")
+    intercept[IllegalArgumentException](
+      Sampling.deterministicSample(hasKey, "doc_id", k = 1, seed = 7L))
+  }
+
   test("deterministicSample: fixed size, reproducible, seed-sensitive") {
     val d = docs(1L to 500L)
     def sample(seed: Long) =

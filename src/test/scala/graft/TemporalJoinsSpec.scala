@@ -89,6 +89,31 @@ class TemporalJoinsSpec extends SparkSpec {
     intercept[IllegalArgumentException](range(Seq((1L, 1L)), Seq((1L, 1L)), 0L))
   }
 
+  test("rangeJoin buckets negative (pre-1970) times correctly — floor, not truncate-toward-zero") {
+    // truncating `div` would put left=-50 and right=40 both in bucket 0 (ok by
+    // luck) but left=-150/right=-60 in buckets -1/0 vs floor's -2/-1 and drop
+    // the pair; cover a spread straddling zero
+    val got = range(
+      left = Seq((1L, -50L), (1L, -150L), (1L, -250L)),
+      right = Seq((1L, 40L), (1L, -60L), (1L, -245L), (1L, -355L)), w = 100L)
+    assert(got.sorted === Seq((1L, -250L, -245L), (1L, -150L, -60L), (1L, -50L, 40L)))
+  }
+
+  test("TIMESTAMP time columns are rejected (silent cast would coarsen to seconds)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L, 10L)).toDF("user_id", "ts_us", "left_id")
+    val tsL = l.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
+      .select("user_id", "ts", "left_id")
+    val r = Seq((1L, 90L, 1L)).toDF("user_id", "r_ts", "event_id")
+    intercept[IllegalArgumentException](
+      TemporalJoins.asofJoin(tsL, r, key = "user_id", leftTime = "ts", rightTime = "r_ts",
+        rightValues = Seq("event_id" -> "matched_id")))
+    intercept[IllegalArgumentException](
+      TemporalJoins.rangeJoin(tsL, r, key = "user_id",
+        leftTime = "ts", rightTime = "r_ts", window = 10L))
+  }
+
   test("name collisions are rejected up front, not emitted as duplicate columns") {
     val s = spark
     import s.implicits._
