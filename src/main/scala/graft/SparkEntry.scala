@@ -489,6 +489,9 @@ object SparkEntry {
     "t7_winnowing" -> ((s, dir) => // rolling hash unrolled to a k-term
       // polynomial in the SQL mirror — fully oracle-checked
       TextOps.winnowingFingerprints(Tables.documents(s, dir))),
+    "t10_tfidf" -> ((s, dir) => // per-doc top terms by integer-exact
+      // raw-idf TF-IDF (log-free so the oracle matches bit-for-bit)
+      TextOps.tfidfTopTerms(Tables.documents(s, dir))),
     "t8_train_split" -> ((s, dir) =>
       // content-addressed train/val/test assignment (md5 buckets — stable
       // under reruns, retries, and corpus growth, unlike rand(seed));
@@ -792,6 +795,7 @@ object SparkEntry {
     "t5_token_freq" -> TextOps.tokenFrequencySql(),
     "t6_bpe_tokens" -> TextOps.bpeTokenCountsSql,
     "t7_winnowing" -> TextOps.winnowingSql(),
+    "t10_tfidf" -> TextOps.tfidfTopTermsSql(),
     "t8_train_split" ->
       s"""SELECT ${Sampling.assignSplitsSql("doc_id")} AS split,
          |       COUNT(*) AS n, SUM(doc_id)::BIGINT AS sum_ids, SUM(n_chars)::BIGINT AS sum_chars

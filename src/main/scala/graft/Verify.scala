@@ -18,8 +18,12 @@ object Verify {
     val spark = GraftSession.builder(master = s"local[$cpus]", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dev-loop subset (comma-separated query names); the driver never sets
+    // this, so gate runs always cover the full map
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -50,7 +54,7 @@ object Verify {
     // the full declared-query list, so the checker can flag queries that
     // threw (no output dir) instead of silently skipping them
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[verify] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")

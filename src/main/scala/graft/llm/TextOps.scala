@@ -302,6 +302,53 @@ object TextOps {
     out.toArray
   }
 
+  /** TF-IDF top-`k` terms per document: `(doc_id, rank, term, tf, df,
+    * tfidf_1000)` — the classic "what is this document about" signal a
+    * curation pipeline uses for topic balancing and keyword indexing.
+    *
+    * Integer-exact scoring: idf is the RAW inverse document frequency
+    * `n_docs / df` (the log-free variant), so the score
+    * `tf · n_docs · 1000 div df` stays in exact long arithmetic and the
+    * DuckDB oracle matches bit-for-bit — no float log discipline needed.
+    * Within a document log-idf and raw idf rank identically whenever df
+    * ties break the same way (ties break by term, deterministically).
+    *
+    * Scale shape: explode → one hash-shuffle for tf (map-side partial agg),
+    * a small df aggregate joined back on term, and the corpus size joined
+    * as a broadcast scalar; the per-doc top-k window partitions by doc_id —
+    * no skew (a document has bounded distinct terms). No driver loops.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val tok = docs.repartition(par) // single-file parquet = 1 partition
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term), so df = row count per term
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf_1000").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      // long-exact throughout: tf ≤ doc tokens, so tf·n_docs·1000 fits a
+      // long until n_docs ~ 1e12
+      .withColumn("tfidf_1000", expr("tf * n_docs * 1000 div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf_1000")
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfTopTermsSql(k: Int = 3): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |s AS (SELECT doc_id, term, tf, df, tf * n_docs * 1000 // df AS tfidf_1000,
+       |             row_number() OVER (PARTITION BY doc_id ORDER BY tf * n_docs * 1000 // df DESC, term) AS rank
+       |      FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, rank::BIGINT AS rank, term, tf, df, tfidf_1000
+       |FROM s WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   /** Global token frequency (the canonical distributed word count):
     * `(token, n)`, top `k` by count desc then token.
     */

@@ -100,4 +100,41 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
+
+  test("tfidfTopTerms: hand-computed scores, rank order, corpus-wide terms demoted") {
+    // 3 docs; "the" in all (df=3), "cat"/"dog" in one each (df=1)
+    val got = TextOps.tfidfTopTerms(docsDF(Seq(
+      1L -> "the cat cat cat",
+      2L -> "the dog",
+      3L -> "the the the fish")), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+    assert(got === Seq(
+      // doc 1: cat tf=3 df=1 -> 3*3*1000/1 = 9000; the tf=1 df=3 -> 1000
+      (1L, 1L, "cat", 9000L), (1L, 2L, "the", 1000L),
+      // doc 2: dog 1*3000/1 = 3000; the 1000
+      (2L, 1L, "dog", 3000L), (2L, 2L, "the", 1000L),
+      // doc 3: fish 3000; the tf=3 df=3 -> 3000 — tie breaks alphabetically
+      (3L, 1L, "fish", 3000L), (3L, 2L, "the", 3000L)))
+  }
+
+  test("tfidfTopTerms matches a brute-force model on a larger corpus") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "common")
+    val docs = (1L to 40L).map { i =>
+      i -> (0 until 12).map(j => words(((i * 7 + j * j) % 5).toInt)).mkString(" ")
+    }
+    val byDoc = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = docs.size.toLong
+    val dfm = byDoc.flatMap(_._2.distinct).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val expected = byDoc.flatMap { case (id, toks) =>
+      toks.groupBy(identity).toSeq
+        .map { case (w, xs) => (w, xs.size.toLong) }
+        .map { case (w, tf) => (w, tf, tf * n * 1000 / dfm(w)) }
+        .sortBy { case (w, _, s) => (-s, w) }
+        .take(2).zipWithIndex
+        .map { case ((w, tf, s), i) => (id, i + 1L, w, tf, dfm(w), s) }
+    }
+    val got = TextOps.tfidfTopTerms(docsDF(docs), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected)
+  }
 }
