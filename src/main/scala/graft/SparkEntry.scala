@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Traversals}
 import graft.llm.{Dedup, MediaOps, Sampling, Similarity, TextOps}
-import graft.operators.{Partitioning, TemporalJoins}
+import graft.operators.{Partitioning, Sessionization, TemporalJoins}
 import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.EventStreams
 
@@ -428,6 +428,16 @@ object SparkEntry {
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
+    "e9_sessionized" -> ((s, dir) => {
+      // row-level sessionization (gaps-and-islands): every event stamped
+      // with its per-user session number — the enrichment form feature
+      // pipelines join on (st3 is the aggregate session_window cousin)
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+        .select("user_id", "ts_us", "event_id")
+      Sessionization.assignSessions(ev, key = "user_id", time = "ts_us",
+          gapUs = 1800000000L, tieBreak = Seq("event_id"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
 
     // ---- streaming surface (same plans run under readStream; see
     //      EventStreams + StreamingSpec for the MemoryStream equivalence) ----
@@ -771,6 +781,16 @@ object SparkEntry {
         |JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND c.c_us >= v.v_us AND c.c_us - v.v_us <= 3600000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "e9_sessionized" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |                         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS opens
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, ts_us, event_id,
+        |       SUM(opens) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+        |FROM o ORDER BY user_id, ts_us, event_id""".stripMargin,
     "st1_tumbling_hourly" -> EventStreams.tumblingCountsSql(),
     "st2_sliding_counts" -> EventStreams.slidingCountsSql(),
     "st3_session_windows" -> EventStreams.sessionCountsSql(),
