@@ -157,6 +157,17 @@ object SparkEntry {
           grouping(col("l_linestatus")).cast("long").as("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
 
+    "q18_grouping_sets" -> ((s, dir) => // arbitrary GROUPING SETS — the
+      // non-hierarchical combination {(flag), (status)} that neither
+      // rollup (q7) nor cube (q9) expresses; one Expand, one shuffle
+      Tables.lineitem(s, dir)
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec12("l_quantity")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")),
     "q8_distinct_agg" -> ((s, dir) => // distinct aggregation (two distinct
       // columns in one agg forces Spark's expand-based distinct plan)
       Tables.lineitem(s, dir)
@@ -660,6 +671,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q18_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
     "q8_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
