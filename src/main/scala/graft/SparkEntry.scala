@@ -483,6 +483,10 @@ object SparkEntry {
     "d2_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
     "d3_minhash_pairs" -> ((s, dir) => Dedup.minHashLshPairs(Tables.documents(s, dir))),
     "d4_simhash_pairs" -> ((s, dir) => Dedup.simHashPairs(Tables.documents(s, dir))),
+    "d7_ngram_jaccard" -> ((s, dir) => // tokenizer-free char-5-gram Jaccard
+      // (same AllPairs+PPJoin engine as d2; naive-join DuckDB oracle stays
+      // independent of the prefix machinery)
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "d6_dup_clusters" -> ((s, dir) => // near-dup RESOLUTION: CC over the
       // LSH pair graph -> (doc, keeper); closure handles non-transitive
       // near-dup chains
@@ -821,6 +825,7 @@ object SparkEntry {
     // join (round-2 ADVICE); recall vs exact IS still covered, in DedupSpec
     "d3_minhash_pairs" -> Dedup.minHashLshPairsSql(),
     "d4_simhash_pairs" -> Dedup.simHashPairsSql(),
+    "d7_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
     "s2_ann_lsh" -> Similarity.lshTopKSql(),

@@ -97,8 +97,29 @@ object Dedup {
     * that length (pigeonhole), so recall is exactly 1; the verify join then
     * applies the precise Jaccard cut.
     */
-  def jaccardPairs(docs: DataFrame, thresholdMille: Int = 500): DataFrame = {
-    val sh = shingleRows(docs)
+  def jaccardPairs(docs: DataFrame, thresholdMille: Int = 500): DataFrame =
+    prefixFilteredPairs(shingleRows(docs), thresholdMille)
+
+  /** Exact near-dup pairs by character `n`-gram Jaccard — the
+    * tokenizer-free sibling of [[jaccardPairs]]: robust to scripts without
+    * word boundaries and to whitespace/punctuation obfuscation, at a higher
+    * natural threshold (char-grams of unrelated text overlap more than word
+    * shingles do). Same schema, same AllPairs + PPJoin machinery — only the
+    * shingle unit changes.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 5, thresholdMille: Int = 700): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
+      .select(col("doc_id"), explode(TextOps.charNgrams(col("text"), n)).as("shingle"))
+      .localCheckpoint(true)
+    prefixFilteredPairs(sh, thresholdMille)
+  }
+
+  /** AllPairs prefix filter + PPJoin positional filter + exact verify over
+    * any `(doc_id, shingle)` set — the shared engine behind [[jaccardPairs]]
+    * and [[ngramJaccardPairs]] (see the object doc for the algorithm).
+    */
+  private def prefixFilteredPairs(sh: DataFrame, thresholdMille: Int): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // rank and set size in ONE window exchange (same partition key)
     val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -132,7 +153,19 @@ object Dedup {
 
   def jaccardPairsSql(thresholdMille: Int = 500): String =
     s"""WITH ${TextOps.shinglesSql()},
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |${jaccardVerifySql(thresholdMille)}""".stripMargin
+
+  /** DuckDB oracle for [[ngramJaccardPairs]] — deliberately the NAIVE
+    * all-pairs inverted-index join (no prefix/positional filters), so the
+    * oracle stays independent of the AllPairs machinery it checks.
+    */
+  def ngramJaccardPairsSql(n: Int = 5, thresholdMille: Int = 700): String =
+    s"""WITH ${TextOps.charNgramsSql(n)},
+       |${jaccardVerifySql(thresholdMille)}""".stripMargin
+
+  /** Shared size/intersect/threshold tail over a `sh(doc_id, shingle)` CTE. */
+  private def jaccardVerifySql(thresholdMille: Int): String =
+    s"""sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)

@@ -29,6 +29,28 @@ object TextOps {
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct character n-grams of the lowercased text (the tokenizer-free
+    * near-dup unit — works on scripts with no word boundaries); empty for
+    * texts shorter than `n`. Character (not byte) positions on both
+    * engines; equality across engines assumes the corpus stays in ASCII/BMP
+    * like [[winnowingSql]] does.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n > 0, s"n-gram length must be positive, got $n")
+    val t = lower(text)
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB fragment: one row per (doc_id, distinct char n-gram), named
+    * `sh` to slot into the same verify tail as [[shinglesSql]].
+    */
+  def charNgramsSql(n: Int, docsTable: String = "documents"): String =
+    s"""sh AS (SELECT DISTINCT doc_id, substr(lower(text), i, $n) AS shingle
+       |       FROM $docsTable, UNNEST(range(1, len(text) - $n + 2)) AS u(i)
+       |       WHERE len(text) >= $n)""".stripMargin
+
   /** DuckDB fragment: one row per (doc_id, distinct 3-gram shingle). */
   def shinglesSql(docsTable: String = "documents"): String =
     s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws FROM $docsTable),

@@ -76,6 +76,34 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ngramJaccardPairs matches a brute-force char-gram oracle; short texts drop out") {
+    val rng = new scala.util.Random(11)
+    val alpha = "abcd "
+    val docs = (1L to 20L).map(i =>
+      i -> Seq.fill(8 + rng.nextInt(20))(alpha(rng.nextInt(alpha.length))).mkString) ++
+      Seq(21L -> "abc", 22L -> "") // below n=5: no shingles, never paired
+    def grams(t: String) = t.toLowerCase.sliding(5).filter(_.length == 5).toSet
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = grams(ta); sb = grams(tb)
+      inter = (sa & sb).size; un = (sa | sb).size
+      if un > 0 && inter * 1000 >= 600 * un
+    } yield (ia, ib, inter.toLong, un.toLong, inter * 1000L / un)).toSet
+    val got = Dedup.ngramJaccardPairs(docsDF(docs), n = 5, thresholdMille = 600).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    assert(!got.exists(p => p._1 >= 21L || p._2 >= 21L))
+  }
+
+  test("ngramJaccardPairs: case-insensitive, near-identical docs pair at tau=0.7") {
+    val got = Dedup.ngramJaccardPairs(docsDF(Seq(
+      1L -> "The quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog!",
+      3L -> "completely unrelated content with nothing shared")), n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
   test("simHashPairs: identical docs at hamming 0; banding finds what all-pairs finds") {
     val docs = docsDF(Seq(
       1L -> "alpha beta gamma delta epsilon",
