@@ -274,6 +274,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"), max("nation").as("max_nation"))
         .orderBy("c_mktsegment")
     }),
+    "f3_range_layout" -> ((s, dir) => {
+      // range-partitioned + sorted-within-file parquet layout: pay one
+      // range exchange at write, then date filters skip whole files/row
+      // groups via parquet min/max stats (disjointness asserted in
+      // PartitioningSpec); the oracle computes the same aggregate straight
+      // from the source table, proving the layout is semantics-preserving
+      val out = rangeLayoutPath(dir)
+      Partitioning.writeRangeSorted(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        out, sortCol = "o_orderdate", numFiles = 8)
+      s.read.parquet(out)
+        .filter(col("o_orderdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP'1997-01-01 00:00:00'"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"), sum(dec12("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("month")
+    }),
     "q13_pivot" -> ((s, dir) => // pivot with explicit values (no extra
       // distinct-scan job, deterministic column order); empty cells stay
       // NULL on both sides (SUM over no rows)
@@ -676,6 +693,12 @@ object SparkEntry {
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "f3_range_layout" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -883,6 +906,13 @@ object SparkEntry {
   /** CSV sibling of [[jsonlRoundtripPath]] for `f2_csv_roundtrip`. */
   def csvRoundtripPath(sfDir: String): String =
     exportRoot + "/graft-csv-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Range-sorted parquet layout for `f3_range_layout` (DuckDB never reads
+    * it — the oracle uses the source table — but the path keeps the same
+    * run-private, sf-tagged discipline as the other exports).
+    */
+  def rangeLayoutPath(sfDir: String): String =
+    exportRoot + "/graft-range-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Oracles only computable against the data (not sf-independent SQL),
     * merged into `oracle_sql.json` by Verify:

@@ -28,6 +28,24 @@ object Partitioning {
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Write `df` as range-partitioned parquet, sorted within each file by
+    * `sortCol`: file N holds a contiguous, disjoint slice of the key space
+    * (asserted structurally in PartitioningSpec). Pay ONE sampling-based
+    * range exchange at write time; afterwards every range/point filter on
+    * `sortCol` skips whole files and row groups via parquet min/max stats,
+    * and ordered consumers (merge joins, time-range scans) read
+    * already-sorted runs. This is the "sort your fact table by its hottest
+    * filter column" layout rule at 100 TB — `repartitionByRange` samples
+    * boundaries, so skewed keys still split evenly across files.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String,
+                       numFiles: Int = 32): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Salted equi-join for skewed keys: the big side gets a deterministic
     * salt in [0, salts) derived from its full row, the small side is
     * replicated `salts` times, and the join key becomes (key, salt) — a hot

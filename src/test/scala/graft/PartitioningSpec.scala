@@ -66,4 +66,34 @@ class PartitioningSpec extends SparkSpec {
     val salted = Partitioning.saltedJoin(big, small, "k", salts = 8).collect().map(_.toSeq).toSet
     assert(salted === plain && plain.nonEmpty)
   }
+
+  test("writeRangeSorted: files hold disjoint sorted key slices; content survives") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
+    // skewed keys: repartitionByRange's sampling must still split evenly
+    val rows = (1L to 20000L).map(i => (if (i % 5 == 0) i else i % 100, i)).toDF("k", "id")
+    Partitioning.writeRangeSorted(rows, s"$dir/t", "k", numFiles = 8)
+    val back = s.read.parquet(s"$dir/t")
+    assert(back.count() === 20000L)
+    // per-file (min, max) of the sort column must be pairwise disjoint and,
+    // ordered by min, non-overlapping — the property file/row-group
+    // pruning relies on
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ranges.size > 1, "expected multiple files")
+    ranges.sliding(2).foreach { case Array((_, hi1, _), (lo2, _, _)) =>
+      assert(hi1 <= lo2, s"file ranges overlap: $ranges")
+    }
+    // and within each file the rows are a sorted run (single-file read
+    // preserves row order)
+    val files = back.select(input_file_name()).distinct().collect().map(_.getString(0))
+    files.foreach { f =>
+      val ks = s.read.parquet(f).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"rows not sorted within $f")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
