@@ -494,6 +494,14 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       EventStreams.viewClickJoin(ev, ev).orderBy("view_id", "click_id")
     }),
+    "st6_stream_left_join" -> ((s, dir) => {
+      // LEFT OUTER stream-stream join in batch mode: views that never
+      // converted emit with null click_id; the streaming half (null rows
+      // deferred until the watermark closes the window, then state freed)
+      // is asserted in StreamingSpec with split feeds + sentinels
+      val ev = Tables.events(s, dir)
+      EventStreams.viewClickLeftJoin(ev, ev).orderBy("view_id", "click_id")
+    }),
 
     // ---- LLM-pipeline: dedup ----
     "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
@@ -840,6 +848,7 @@ object SparkEntry {
     "st3_session_windows" -> EventStreams.sessionCountsSql(),
     "st4_running_counts" -> EventStreams.runningUserCountsSql(),
     "st5_stream_join" -> EventStreams.viewClickJoinSql(),
+    "st6_stream_left_join" -> EventStreams.viewClickLeftJoinSql(),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d2_jaccard_pairs" -> Dedup.jaccardPairsSql(),
     // the oracle mirrors the full MinHash+LSH pipeline (same seeded hash

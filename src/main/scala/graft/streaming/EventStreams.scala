@@ -130,6 +130,39 @@ object EventStreams {
        | AND epoch_us(c.ts) - epoch_us(v.ts) <= $windowUs
        |ORDER BY view_id, click_id""".stripMargin
 
+  /** LEFT OUTER stream-stream join: like [[viewClickJoin]], but views with
+    * NO click inside the window still emit, with a null `click_id` — the
+    * "which impressions never converted" question, answerable on an
+    * unbounded stream only because watermarks bound how long a view may
+    * wait: once the combined watermark passes `v_ts + window`, Spark knows
+    * no matching click can still arrive, emits the null-padded row, and
+    * frees the state. Batch mode is a plain left outer join (the driver's
+    * gate, `st6`); the watermark-deferred null emission is asserted against
+    * split MemoryStream feeds in StreamingSpec.
+    */
+  def viewClickLeftJoin(views: DataFrame, clicks: DataFrame,
+                        withWatermarks: Boolean = false): DataFrame = {
+    val v0 = normalized(views).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val c0 = normalized(clicks).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val (v, c) =
+      if (withWatermarks) (v0.withWatermark("v_ts", "2 hours"), c0.withWatermark("c_ts", "2 hours"))
+      else (v0, c0)
+    v.join(c, col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+  }
+
+  def viewClickLeftJoinSql(windowUs: Long = 3600000000L): String =
+    s"""SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+       |FROM (SELECT * FROM events WHERE event_type = 'view') v
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON v.user_id = c.user_id AND epoch_us(c.ts) >= epoch_us(v.ts)
+       | AND epoch_us(c.ts) - epoch_us(v.ts) <= $windowUs
+       |ORDER BY view_id, click_id NULLS FIRST""".stripMargin
+
   /** DuckDB mirror of [[runningUserCounts]]' final state on a batch input:
     * per-user event count plus the event type of the maximal
     * `(epoch micros, event_type)` — exactly the fold order the stateful

@@ -165,6 +165,41 @@ class StreamingSpec extends SparkSpec {
       "no cross-batch join pair — the state path wasn't exercised")
   }
 
+  test("stream-stream LEFT OUTER join: null rows emit once the watermark closes the window") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents
+    val views = MemoryStream[Ev](s)
+    val clicks = MemoryStream[Ev](s)
+    val cut = events.map(_.ts.getTime).sorted.apply(events.size / 2)
+    val (e1, e2) = events.partition(_.ts.getTime < cut)
+    // far-future sentinels on BOTH sides: the combined watermark must pass
+    // v_ts + window + delay before an unmatched view may emit its null row
+    // — without them the final views would sit in state forever (correct
+    // streaming semantics, but then the test could never observe the
+    // outer-join path). Same user on both so they pair with each other,
+    // filtered out below by id.
+    val far = events.map(_.ts.getTime).max + 10L * 24 * 3600 * 1000
+    val sentinels = Seq(
+      Ev(901L, 900L, "view", new Timestamp(far), "{}"),
+      Ev(902L, 900L, "click", new Timestamp(far), "{}"))
+    val table = runIncremental(
+      EventStreams.viewClickLeftJoin(views.toDF(), clicks.toDF(), withWatermarks = true),
+      "t_ssleft", OutputMode.Append()) { q =>
+        views.addData(e1); clicks.addData(e1); q.processAllAvailable()
+        views.addData(e2); clicks.addData(e2); q.processAllAvailable()
+        views.addData(sentinels); clicks.addData(sentinels); q.processAllAvailable()
+      }
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      .filter(_._1 < 900L).toSet
+    val got = rows(table)
+    val want = rows(EventStreams.viewClickLeftJoin(events.toDF(), events.toDF()))
+    assert(got === want && want.nonEmpty)
+    assert(got.exists(_._2.isEmpty), "no never-converted view emitted — outer path not exercised")
+    assert(got.exists(_._2.nonEmpty), "no matched pair — inner path not exercised")
+  }
+
   test("stream-static broadcast join == batch join") {
     val s = spark
     import s.implicits._
