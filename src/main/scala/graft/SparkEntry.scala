@@ -75,6 +75,10 @@ object SparkEntry {
         DerivedGraphs.small(s, dir)
           .withColumn("w", (col("src") + col("dst")) % 10 + 1),
         start = 0L, maxHops = 12)),
+    "g14_kcore" -> ((s, dir) => // k-core (k=3): deletion-fixpoint wave
+      // peeling — not CTE-expressible, so the gate uses a VALUES oracle
+      // from SequentialModel's independent queue-based peeling
+      Analytics.kCore(DerivedGraphs.small(s, dir), k = 3)),
     "g13_partitioned_catalog" -> ((s, dir) => {
       // the single-partitioned-table catalog layout bound to the gate:
       // write two graphs into ONE graph_name-partitioned table, then run
@@ -938,8 +942,16 @@ object SparkEntry {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val pre = SequentialModel.dfsPreorder(edges, start = 0L)
     val leaves = SequentialModel.dfsLeaves(edges, start = 0L)
+    val core = SequentialModel.kCore(edges, k = 3).toSeq.sorted
     val preVals = pre.zipWithIndex.map { case (v, i) => s"($v, $i)" }.mkString(", ")
     Map(
+      "g14_kcore" -> (
+        if (core.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS core_degree WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(d AS BIGINT) AS core_degree
+             |FROM (VALUES ${core.map { case (v, d) => s"($v, $d)" }.mkString(", ")}) AS t(v, d)
+             |ORDER BY vertex""".stripMargin),
       "g8_dfs_preorder" ->
         s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(p AS INT) AS pos
            |FROM (VALUES $preVals) AS t(v, p) ORDER BY pos""".stripMargin,

@@ -179,6 +179,54 @@ object Analytics {
     * graph) — a high-degree hub no longer makes the join quadratic in its
     * degree, which is the standard skew-killer at 100 TB.
     */
+  /** k-core: the maximal subgraph of the UNDIRECTED graph (self-loops
+    * dropped, edges deduped) in which every vertex keeps degree ≥ k.
+    * Returns `(vertex BIGINT, core_degree BIGINT)` — the surviving vertices
+    * with their within-core degree.
+    *
+    * Wave peeling: each round computes degrees (one shuffle), drops every
+    * vertex below k at once (two semi joins), and repeats until no edge is
+    * removed — a deletion fixpoint, which is why there is no SQL/recursive-
+    * CTE oracle (a CTE can only accumulate rows); the driver gate uses a
+    * `VALUES` literal from [[SequentialModel.kCore]]'s independent
+    * queue-based peeling instead, the g8/g9 discipline.
+    *
+    * Scale: rounds = peeling depth (typically ≪ |V|, each wave removes
+    * every sub-k vertex simultaneously); per round one agg + two semi
+    * joins on the shrinking edge set, checkpointed so lineage and the
+    * fixpoint `count()` stay O(round). Same shape as iterative CC.
+    */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    // symmetric orientation: one row per (endpoint, neighbor), so degree
+    // is a plain count per endpoint and both semi joins hit column "a"/"b"
+    var sym = und.union(und.select(col("b"), col("a")).toDF("a", "b"))
+      .localCheckpoint(true)
+    var nEdges = sym.count()
+    var converged = nEdges == 0
+    while (!converged) {
+      val keep = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("a")
+      val pruned = sym
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val m = pruned.count()
+      converged = m == nEdges
+      sym = pruned
+      nEdges = m
+    }
+    sym.groupBy("a").agg(count(lit(1)).as("core_degree"))
+      .select(col("a").as("vertex"), col("core_degree"))
+      .orderBy("vertex")
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))

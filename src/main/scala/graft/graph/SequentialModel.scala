@@ -29,6 +29,38 @@ object SequentialModel {
     seen.toSeq
   }
 
+  /** k-core by the classic QUEUE-based peeling (Matula–Beck shape): remove
+    * one sub-k vertex at a time, decrementing neighbors and enqueueing any
+    * that fall below k. Deliberately a different algorithm family from
+    * [[Analytics.kCore]]'s simultaneous wave peeling — both provably reach
+    * the same unique maximal subgraph, so this is an independent oracle for
+    * the `g14` VALUES gate, not a mirror. Returns surviving vertex →
+    * within-core degree.
+    */
+  def kCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+    }
+    val queue = scala.collection.mutable.Queue.empty[Long]
+    adj.keys.foreach(v => if (adj(v).size < k) queue += v)
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      adj.get(v).foreach { ns =>
+        ns.foreach { n =>
+          val nn = adj(n)
+          nn -= v
+          if (nn.size == k - 1) queue += n // just dropped below k
+        }
+        adj -= v
+      }
+    }
+    adj.iterator.map { case (v, ns) => v -> ns.size }.toMap
+  }
+
   /** Reference leaf-set DFS: vertices whose visit spawned zero recursive
     * calls, excluding the start; sorted ascending.
     */

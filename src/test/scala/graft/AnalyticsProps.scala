@@ -90,6 +90,14 @@ object AnalyticsProps extends Properties("Analytics") {
         got.forall { case (v, r) => math.abs(r - want(v)) < 6e-7 }
     }
 
+  property("kCore wave peeling == queue-based Matula-Beck model") =
+    Prop.forAll(genGraph, Gen.choose(1, 4)) { (edges, k) =>
+      val got = Analytics.kCore(df(edges), k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      val want = graft.graph.SequentialModel.kCore(edges, k)
+      Prop(got == want) :| s"k=$k got $got want $want"
+    }
+
   property("matrix write/read round-trips any 1-based graph") =
     Prop.forAll(genGraph) { edges =>
       val oneBased = edges.map(p => (p._1 + 1, p._2 + 1)).distinct

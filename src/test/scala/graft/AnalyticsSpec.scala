@@ -74,4 +74,26 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.getLong(1)).toSet
     assert(cc === Set(1L))
   }
+
+  test("kCore: clique survives with its degree, pendant tail peels off transitively") {
+    // K4 on 0-3 plus a chain 3-4-5: removing 5 (deg 1) drops 4 to deg 1,
+    // which drops too — the fixpoint, not single-pass, behavior
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L))
+    val got = Analytics.kCore(edgesDF(g), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+    // k=3: same core; k=4: nothing qualifies
+    assert(Analytics.kCore(edgesDF(g), k = 3).count() === 4L)
+    assert(Analytics.kCore(edgesDF(g), k = 4).count() === 0L)
+  }
+
+  test("kCore: duplicate/reversed/self edges don't inflate degrees") {
+    val noisy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (0L, 0L), (1L, 1L))
+    // true undirected degree is 1 each — no 2-core
+    assert(Analytics.kCore(edgesDF(noisy), k = 2).count() === 0L)
+    val got = Analytics.kCore(edgesDF(noisy), k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L), (1L, 1L)))
+  }
 }
