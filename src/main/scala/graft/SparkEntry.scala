@@ -512,9 +512,12 @@ object SparkEntry {
     "d2_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
     "d3_minhash_pairs" -> ((s, dir) => Dedup.minHashLshPairs(Tables.documents(s, dir))),
     "d4_simhash_pairs" -> ((s, dir) => Dedup.simHashPairs(Tables.documents(s, dir))),
-    "d7_ngram_jaccard" -> ((s, dir) => // tokenizer-free char-5-gram Jaccard
+    "d7_ngram_jaccard" -> ((s, dir) => // tokenizer-free char-9-gram Jaccard
       // (same AllPairs+PPJoin engine as d2; naive-join DuckDB oracle stays
-      // independent of the prefix machinery)
+      // independent of the prefix machinery). n=9 because short char-grams
+      // of templated text are shared so widely that no exact filter can
+      // prune candidates (measured: n=5 -> 3M candidate pairs at sf0.1 for
+      // 256 true pairs; n=9 -> 286k; the true pair set is IDENTICAL)
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "d6_dup_clusters" -> ((s, dir) => // near-dup RESOLUTION: CC over the
       // LSH pair graph -> (doc, keeper); closure handles non-transitive

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -68,8 +68,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED `ARRAY<BIGINT>` columns: a codegen'd
+  * two-pointer merge — O(n+m) primitive long comparisons, no per-row hash
+  * set. `array_intersect` is interpreted and hash-based; on the similarity
+  * verify path (hundreds of thousands of candidate pairs × ~300-element
+  * signature arrays) the merge is the difference between the verify stage
+  * being free and being the bottleneck.
+  *
+  * Contract: both inputs ascending-sorted, null-free, duplicate-free (the
+  * shape `sort_array(collect_list(...))` over distinct values produces).
+  * Unsorted input silently undercounts — callers own the invariant, it is
+  * not re-checked per row.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count requires (array<bigint>, array<bigint>), got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var (i, j) = (0, 0)
+    var c = 0L
+    while (i < n && j < m) {
+      val u = x.getLong(i)
+      val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $u = $a.getLong($i);
+         |  long $v = $b.getLong($j);
+         |  if ($u == $v) { $c++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `ARRAY<DOUBLE>` columns. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd merge-intersection count of two sorted `ARRAY<BIGINT>`s. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -100,26 +100,62 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, thresholdMille: Int = 500): DataFrame =
     prefixFilteredPairs(shingleRows(docs), thresholdMille)
 
-  /** Exact near-dup pairs by character `n`-gram Jaccard — the
-    * tokenizer-free sibling of [[jaccardPairs]]: robust to scripts without
-    * word boundaries and to whitespace/punctuation obfuscation, at a higher
-    * natural threshold (char-grams of unrelated text overlap more than word
-    * shingles do). Same schema, same AllPairs + PPJoin machinery — only the
-    * shingle unit changes.
+  /** Near-dup pairs by character `n`-gram Jaccard — the tokenizer-free
+    * sibling of [[jaccardPairs]]: robust to scripts without word boundaries
+    * and to whitespace/punctuation obfuscation, at a higher natural
+    * threshold (char-grams of unrelated text overlap more than word
+    * shingles do). Same output schema and the same AllPairs + PPJoin
+    * candidate machinery; two deliberate differences, both driven by
+    * char-grams being 10-100× more widely shared than word shingles
+    * (measured on the templated test corpus: n=5 leaves 3M candidate pairs
+    * at sf0.1 for 256 true pairs — no exact filter can prune what every
+    * document shares):
+    *  - shingles are 60-bit hashes of the n-grams (Broder's hashed-shingle
+    *    convention, same [[Hashing.hash60]] as MinHash/fingerprints): every
+    *    downstream exchange carries 8-byte longs, and the DuckDB oracle
+    *    mirrors the hash so cross-engine equality is deterministic even in
+    *    the (astronomically unlikely) event of a collision;
+    *  - candidates are verified by sorted-signature `array_intersect`, one
+    *    row per candidate PAIR, instead of the per-shared-shingle join —
+    *    |candidates| × avg-set-size row explosion never happens, and at
+    *    scale the signature arrays shuffle only for candidate docs.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 5, thresholdMille: Int = 700): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 9, thresholdMille: Int = 700): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // charNgrams is already per-doc distinct, so the hashed rows are too
+    // (up to in-doc hash collisions, which would break the oracle's
+    // identically-deduped mirror the same way — no extra shuffle for them)
     val sh = docs.repartition(par)
-      .select(col("doc_id"), explode(TextOps.charNgrams(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), explode(TextOps.charNgrams(col("text"), n)).as("g"))
+      .select(col("doc_id"), Hashing.hash60(col("g")).as("shingle"))
       .localCheckpoint(true)
-    prefixFilteredPairs(sh, thresholdMille)
+    val sigs = sh.groupBy("doc_id").agg(sort_array(collect_list(col("shingle"))).as("sig"))
+    val t = thresholdMille.toLong
+    prefixCandidates(sh, thresholdMille)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(col("siga"), col("sigb")))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("union_sz"))
+      .filter(col("inter") * 1000L >= lit(t) * col("union_sz"))
+      .withColumn("jaccard_1000", expr("inter * 1000 div union_sz"))
+      .orderBy("doc_a", "doc_b")
   }
 
-  /** AllPairs prefix filter + PPJoin positional filter + exact verify over
-    * any `(doc_id, shingle)` set — the shared engine behind [[jaccardPairs]]
-    * and [[ngramJaccardPairs]] (see the object doc for the algorithm).
+  /** AllPairs prefix filter + PPJoin positional filter + exact
+    * join-explosion verify (see the object doc for the algorithm) —
+    * [[jaccardPairs]]' engine.
     */
-  private def prefixFilteredPairs(sh: DataFrame, thresholdMille: Int): DataFrame = {
+  private def prefixFilteredPairs(sh: DataFrame, thresholdMille: Int): DataFrame =
+    verifiedPairs(sh, prefixCandidates(sh, thresholdMille), thresholdMille)
+
+  /** Candidate generation shared by [[jaccardPairs]] and
+    * [[ngramJaccardPairs]]: AllPairs prefix + length + PPJoin positional
+    * filters over any `(doc_id, shingle)` set (string or hashed shingles) —
+    * returns `(doc_a, doc_b, sza, szb)` with exact recall at J ≥ τ.
+    */
+  private def prefixCandidates(sh: DataFrame, thresholdMille: Int): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // rank and set size in ONE window exchange (same partition key)
     val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -148,7 +184,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sz").as("sza"), col("y.sz").as("szb"))
       .distinct()
-    verifiedPairs(sh, candidates, thresholdMille)
+    candidates
   }
 
   def jaccardPairsSql(thresholdMille: Int = 500): String =
@@ -156,11 +192,14 @@ object Dedup {
        |${jaccardVerifySql(thresholdMille)}""".stripMargin
 
   /** DuckDB oracle for [[ngramJaccardPairs]] — deliberately the NAIVE
-    * all-pairs inverted-index join (no prefix/positional filters), so the
-    * oracle stays independent of the AllPairs machinery it checks.
+    * all-pairs inverted-index join (no prefix/positional filters, no
+    * signature arrays), so the oracle stays independent of the candidate
+    * and verify machinery it checks; only the 60-bit shingle hash is
+    * mirrored (it defines the operator's set universe).
     */
-  def ngramJaccardPairsSql(n: Int = 5, thresholdMille: Int = 700): String =
-    s"""WITH ${TextOps.charNgramsSql(n)},
+  def ngramJaccardPairsSql(n: Int = 9, thresholdMille: Int = 700): String =
+    s"""WITH ${TextOps.charNgramsSql(n, cte = "rawsh")},
+       |sh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle FROM rawsh),
        |${jaccardVerifySql(thresholdMille)}""".stripMargin
 
   /** Shared size/intersect/threshold tail over a `sh(doc_id, shingle)` CTE. */

@@ -43,11 +43,11 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** DuckDB fragment: one row per (doc_id, distinct char n-gram), named
-    * `sh` to slot into the same verify tail as [[shinglesSql]].
+  /** DuckDB fragment: one row per (doc_id, distinct char n-gram); CTE name
+    * defaults to `sh` to slot into the same verify tail as [[shinglesSql]].
     */
-  def charNgramsSql(n: Int, docsTable: String = "documents"): String =
-    s"""sh AS (SELECT DISTINCT doc_id, substr(lower(text), i, $n) AS shingle
+  def charNgramsSql(n: Int, docsTable: String = "documents", cte: String = "sh"): String =
+    s"""$cte AS (SELECT DISTINCT doc_id, substr(lower(text), i, $n) AS shingle
        |       FROM $docsTable, UNNEST(range(1, len(text) - $n + 2)) AS u(i)
        |       WHERE len(text) >= $n)""".stripMargin
 

@@ -41,6 +41,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT dot_product(a, b) AS d FROM vx").head.getDouble(0) === 32.0)
   }
 
+  test("sortedIntersectCount: merge result == array_intersect size, codegen and interpreted") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = (1L to 60L).map { i =>
+      val a = Seq.fill(40)(rng.nextInt(80).toLong).distinct.sorted
+      val b = Seq.fill(40)(rng.nextInt(80).toLong).distinct.sorted
+      (i, a, b)
+    } ++ Seq((61L, Seq.empty[Long], Seq(1L, 2L)), (62L, Seq(5L), Seq(5L)))
+    val df = rows.toDF("id", "a", "b")
+    def got = df.select(col("id"),
+        VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.select(col("id"), size(array_intersect(col("a"), col("b"))).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(got === want)
+    finally s.conf.set("spark.sql.codegen.wholeStage", "true")
+    // null propagates
+    val n = df.limit(1).select(
+      VectorExpressions.sortedIntersectCount(col("a"), lit(null).cast("array<bigint>")).as("c"))
+    assert(n.head.isNullAt(0))
+  }
+
   test("dotProduct: null array -> null; shorter array wins; null elements skipped") {
     val s = spark
     import s.implicits._
