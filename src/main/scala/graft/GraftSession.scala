@@ -61,6 +61,14 @@ object GraftSession {
             require(args.length == 2, "dot_product(a, b) takes exactly 2 arguments")
             DotProduct(args.head, args(1))
           }))
+        ext.injectFunction((
+          FunctionIdentifier("sorted_intersect_count"),
+          new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
+            "sorted_intersect_count"),
+          (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(args.length == 2, "sorted_intersect_count(a, b) takes exactly 2 arguments")
+            graft.functions.SortedIntersectCount(args.head, args(1))
+          }))
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Traversals}
-import graft.llm.{Dedup, MediaOps, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, MediaOps, Packing, Sampling, Similarity, TextOps}
 import graft.operators.{Partitioning, Sessionization, TemporalJoins}
 import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.EventStreams
@@ -549,6 +549,16 @@ object SparkEntry {
     "t10_tfidf" -> ((s, dir) => // per-doc top terms by integer-exact
       // raw-idf TF-IDF (log-free so the oracle matches bit-for-bit)
       TextOps.tfidfTopTerms(Tables.documents(s, dir))),
+    "t11_pack_chunks" -> ((s, dir) => { // GPT-style concat-and-chunk batch
+      // packing: per-SOURCE token streams cut into 256-token context
+      // windows; per-shard windows, never a global cumsum
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      Packing.packChunks(toks, groupCol = "source", orderCol = "doc_id",
+          tokensCol = "n_tokens", chunkTokens = 256L)
+        .orderBy("doc_id")
+    }),
     "t8_train_split" -> ((s, dir) =>
       // content-addressed train/val/test assignment (md5 buckets — stable
       // under reruns, retries, and corpus growth, unlike rand(seed));
@@ -877,6 +887,21 @@ object SparkEntry {
     "t6_bpe_tokens" -> TextOps.bpeTokenCountsSql,
     "t7_winnowing" -> TextOps.winnowingSql(),
     "t10_tfidf" -> TextOps.tfidfTopTermsSql(),
+    "t11_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS end_offset
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, end_offset,
+        |       end_offset - n_tokens AS start_offset,
+        |       (end_offset - n_tokens) // 256 AS chunk_first,
+        |       greatest(end_offset - 1, end_offset - n_tokens) // 256 AS chunk_last,
+        |       greatest(end_offset - 1, end_offset - n_tokens) // 256
+        |         - (end_offset - n_tokens) // 256 + 1 AS n_chunks
+        |FROM o ORDER BY doc_id""".stripMargin,
     "t8_train_split" ->
       s"""SELECT ${Sampling.assignSplitsSql("doc_id")} AS split,
          |       COUNT(*) AS n, SUM(doc_id)::BIGINT AS sum_ids, SUM(n_chars)::BIGINT AS sum_chars

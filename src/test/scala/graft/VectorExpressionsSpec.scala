@@ -41,6 +41,13 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT dot_product(a, b) AS d FROM vx").head.getDouble(0) === 32.0)
   }
 
+  test("sorted_intersect_count is callable from SQL") {
+    val s = spark
+    import s.implicits._
+    Seq((Seq(1L, 3L, 5L), Seq(2L, 3L, 5L, 9L))).toDF("a", "b").createOrReplaceTempView("ix")
+    assert(spark.sql("SELECT sorted_intersect_count(a, b) AS c FROM ix").head.getLong(0) === 2L)
+  }
+
   test("sortedIntersectCount: merge result == array_intersect size, codegen and interpreted") {
     val s = spark
     import s.implicits._
