@@ -79,6 +79,10 @@ object SparkEntry {
       // peeling — not CTE-expressible, so the gate uses a VALUES oracle
       // from SequentialModel's independent queue-based peeling
       Analytics.kCore(DerivedGraphs.small(s, dir), k = 3)),
+    "g15_label_propagation" -> ((s, dir) => // deterministic synchronous LPA
+      // (5 rounds, min-label ties); VALUES oracle from the sequential
+      // mirror — fixed-iteration semantics, like the PageRank oracle
+      Analytics.labelPropagation(DerivedGraphs.small(s, dir), numIter = 5)),
     "g13_partitioned_catalog" -> ((s, dir) => {
       // the single-partitioned-table catalog layout bound to the gate:
       // write two graphs into ONE graph_name-partitioned table, then run
@@ -460,6 +464,15 @@ object SparkEntry {
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
+    "e10_ship_latency" -> ((s, dir) => // date arithmetic surface: per-year
+      // order-to-ship latency histogram (datediff + extract), portable
+      // day-grained semantics on both engines
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat_days"))
+        .groupBy("yr", "lat_days").agg(count(lit(1)).as("n"))
+        .orderBy("yr", "lat_days")),
     "e9_sessionized" -> ((s, dir) => {
       // row-level sessionization (gaps-and-islands): every event stamped
       // with its per-user session number — the enrichment form feature
@@ -850,6 +863,12 @@ object SparkEntry {
         |JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND c.c_us >= v.v_us AND c.c_us - v.v_us <= 3600000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "e10_ship_latency" ->
+      """SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+        |       datediff('day', o_orderdate::DATE, l_shipdate::DATE)::BIGINT AS lat_days,
+        |       COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e9_sessionized" ->
       """WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
@@ -971,8 +990,16 @@ object SparkEntry {
     val pre = SequentialModel.dfsPreorder(edges, start = 0L)
     val leaves = SequentialModel.dfsLeaves(edges, start = 0L)
     val core = SequentialModel.kCore(edges, k = 3).toSeq.sorted
+    val lpa = SequentialModel.labelPropagation(edges, numIter = 5).toSeq.sorted
     val preVals = pre.zipWithIndex.map { case (v, i) => s"($v, $i)" }.mkString(", ")
     Map(
+      "g15_label_propagation" -> (
+        if (lpa.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS label WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
+             |FROM (VALUES ${lpa.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
+             |ORDER BY vertex""".stripMargin),
       "g14_kcore" -> (
         if (core.isEmpty)
           "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS core_degree WHERE 1 = 0"

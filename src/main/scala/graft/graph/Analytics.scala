@@ -227,6 +227,48 @@ object Analytics {
       .orderBy("vertex")
   }
 
+  /** Synchronous label propagation (community detection), `numIter` rounds:
+    * every vertex starts labeled with its own id; each round it adopts the
+    * most frequent label among its undirected neighbors, ties broken by the
+    * SMALLEST label (GraphX's built-in breaks ties by hash-map iteration
+    * order — not reproducible, so we define the deterministic variant and
+    * oracle-check it). `(vertex, label)` after the final round.
+    *
+    * Fixed iteration count, not convergence: synchronous LPA can oscillate
+    * between two labelings, so "run k rounds" IS the operator's semantics —
+    * the same contract PageRank's fixed-iteration form uses, and what makes
+    * the sequential mirror an exact oracle.
+    *
+    * Scale: per round one join of the label table into the symmetric edge
+    * list (shuffle on vertex id), a (vertex, label) count aggregate and an
+    * argmax window per vertex — all key-partitioned, no driver state; the
+    * label table is checkpointed per round to keep lineage flat.
+    */
+  def labelPropagation(edges: DataFrame, numIter: Int = 5): DataFrame = {
+    require(numIter >= 0, s"numIter must be >= 0, got $numIter")
+    val und0 = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val sym = und0.union(und0.select(col("b"), col("a")).toDF("a", "b"))
+      .localCheckpoint(true)
+    val verts = sym.select(col("a").as("vertex")).distinct()
+    var labels = verts.withColumn("label", col("vertex")).localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("n").desc, col("label").asc)
+    for (_ <- 1 to numIter) {
+      labels = sym
+        .join(labels.withColumnRenamed("vertex", "b"), "b")
+        .groupBy("a", "label").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("a").as("vertex"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels.orderBy("vertex")
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))

@@ -61,6 +61,29 @@ object SequentialModel {
     adj.iterator.map { case (v, ns) => v -> ns.size }.toMap
   }
 
+  /** Synchronous label propagation mirror for the `g15` oracle: same
+    * deterministic semantics as [[Analytics.labelPropagation]] (most
+    * frequent undirected-neighbor label, ties to the smallest, all
+    * vertices updated simultaneously for `numIter` rounds) computed with
+    * plain in-memory maps. Like the PageRank oracle, LPA's fixed-iteration
+    * contract makes a sequential mirror exact — the operator's semantics
+    * IS the iteration.
+    */
+  def labelPropagation(edges: Seq[(Long, Long)], numIter: Int): Map[Long, Long] = {
+    val und = edges.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to numIter) {
+      labels = adj.map { case (v, ns) =>
+        val freq = ns.groupBy(labels).map { case (l, xs) => l -> xs.size }
+        val best = freq.toSeq.minBy { case (l, n) => (-n, l) }._1
+        v -> best
+      }
+    }
+    labels
+  }
+
   /** Reference leaf-set DFS: vertices whose visit spawned zero recursive
     * calls, excluding the start; sorted ascending.
     */

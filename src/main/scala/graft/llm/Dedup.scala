@@ -56,6 +56,22 @@ object Dedup {
   def streamingExactDedup(docs: DataFrame): DataFrame =
     docs.withColumn("h", md5(col("text"))).dropDuplicates("h").drop("h")
 
+  /** The horizon-bounded streaming dedup variant: duplicates are dropped
+    * only while the first occurrence is younger than the watermark delay —
+    * after that the key's state is EVICTED and a late copy would re-emit.
+    * The right trade when state must stay bounded on an unbounded stream
+    * and the upstream guarantees duplicates arrive close together (e.g.
+    * at-least-once delivery retries); [[streamingExactDedup]] remains the
+    * keep-keys-forever variant training corpora need. Cross-micro-batch
+    * behavior asserted in `StreamingSpec`.
+    */
+  def streamingDedupWithinWatermark(docs: DataFrame, tsCol: String,
+                                    delay: String): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("h")
+      .drop("h")
+
   /** One row per (doc_id, distinct 3-gram shingle), materialized once per
     * query (several downstream consumers). The input is re-spread across all
     * cores first: a single-row-group parquet file would otherwise run the

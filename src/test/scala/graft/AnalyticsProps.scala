@@ -98,6 +98,14 @@ object AnalyticsProps extends Properties("Analytics") {
       Prop(got == want) :| s"k=$k got $got want $want"
     }
 
+  property("labelPropagation == sequential synchronous mirror") =
+    Prop.forAll(genGraph, Gen.choose(0, 4)) { (edges, iters) =>
+      val got = Analytics.labelPropagation(df(edges), iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.graph.SequentialModel.labelPropagation(edges, iters)
+      Prop(got == want) :| s"iters=$iters got $got want $want"
+    }
+
   property("matrix write/read round-trips any 1-based graph") =
     Prop.forAll(genGraph) { edges =>
       val oneBased = edges.map(p => (p._1 + 1, p._2 + 1)).distinct

@@ -88,6 +88,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.kCore(edgesDF(g), k = 4).count() === 0L)
   }
 
+  test("labelPropagation: two cliques with a bridge settle into two communities") {
+    // K4 on 0-3 and K4 on 10-13 joined by one bridge 3-10: after a few
+    // rounds each clique agrees on its min id; the bridge endpoints stay
+    // with their own clique (3 of 4 neighbors inside)
+    val k4a = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val k4b = for (i <- 10L to 13L; j <- i + 1 to 13L) yield (i, j)
+    val g = k4a ++ k4b ++ Seq((3L, 10L))
+    val got = Analytics.labelPropagation(edgesDF(g), numIter = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(got(_) == 0L), s"left clique: $got")
+    assert((10L to 13L).forall(got(_) == 10L), s"right clique: $got")
+  }
+
+  test("labelPropagation: numIter=0 returns self-labels; matches the sequential mirror") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+    val zero = Analytics.labelPropagation(edgesDF(g), numIter = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    val got = Analytics.labelPropagation(edgesDF(g), numIter = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === graft.graph.SequentialModel.labelPropagation(g, numIter = 3))
+  }
+
   test("kCore: duplicate/reversed/self edges don't inflate degrees") {
     val noisy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (0L, 0L), (1L, 1L))
     // true undirected degree is 1 each — no 2-core

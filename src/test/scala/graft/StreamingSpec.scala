@@ -132,6 +132,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted === Seq("alpha", "beta", "gamma"))
   }
 
+  test("dropDuplicatesWithinWatermark: in-horizon duplicates dropped, expired keys re-emit") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000L
+    val hour = 3600 * 1000L
+    val mem = MemoryStream[(Long, String, Timestamp)](s)
+    val got = runIncremental(
+      graft.llm.Dedup.streamingDedupWithinWatermark(
+        mem.toDF().toDF("doc_id", "text", "ts"), tsCol = "ts", delay = "1 hour"),
+      "t_dedup_wm", OutputMode.Append()) { q =>
+        mem.addData(Seq((1L, "alpha", new Timestamp(base)))); q.processAllAvailable()
+        // in-horizon duplicate (same hour): dropped
+        mem.addData(Seq((2L, "alpha", new Timestamp(base + 10 * 60 * 1000)))); q.processAllAvailable()
+        // push the watermark far past alpha's horizon, then repeat it:
+        // its state was evicted, so the copy RE-EMITS — the documented
+        // trade vs the keep-forever variant
+        mem.addData(Seq((3L, "beta", new Timestamp(base + 10 * hour)))); q.processAllAvailable()
+        mem.addData(Seq((4L, "alpha", new Timestamp(base + 10 * hour)))); q.processAllAvailable()
+      }
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "alpha"), (3L, "beta"), (4L, "alpha")),
+      s"expected horizon-bounded dedup semantics, got $got")
+  }
+
   test("stream-stream join (watermarked, time-bounded) == batch join") {
     val s = spark
     import s.implicits._
