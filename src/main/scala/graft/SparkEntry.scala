@@ -165,6 +165,20 @@ object SparkEntry {
           grouping(col("l_linestatus")).cast("long").as("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
 
+    "q19_correlated" -> ((s, dir) => { // the spark.sql() entry path itself
+      // plus a correlated scalar subquery (Catalyst rewrites it to an
+      // aggregate + join — no per-row re-execution); ties on the max all
+      // count, same as the oracle
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_top,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_top
+          |FROM customer_v c JOIN orders_v o ON o.o_custkey = c.c_custkey
+          |WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+          |                        FROM orders_v o2 WHERE o2.o_custkey = c.c_custkey)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
     "q18_grouping_sets" -> ((s, dir) => // arbitrary GROUPING SETS — the
       // non-hierarchical combination {(flag), (status)} that neither
       // rollup (q7) nor cube (q9) expresses; one Expand, one shuffle
@@ -737,6 +751,13 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_correlated" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_top,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_top
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |                        FROM orders o2 WHERE o2.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q18_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

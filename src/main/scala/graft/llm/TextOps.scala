@@ -345,7 +345,11 @@ object TextOps {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val tok = docs.repartition(par) // single-file parquet = 1 partition
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // materialized once: tf feeds BOTH the df aggregate and the score join
+    // — without it Catalyst plans two full tokenize+aggregate scans of the
+    // corpus (no automatic subplan sharing)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // tf rows are distinct (doc, term), so df = row count per term
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
