@@ -562,6 +562,10 @@ object SparkEntry {
       // the declared query deterministic + SQL-mirrorable; the k-means
       // refinement path (iters>0) is recall-tested in SimilaritySpec
       Similarity.ivfTopK(Tables.embeddings(s, dir), iters = 0)),
+    "s4_label_centroids" -> ((s, dir) => // per-label element-wise embedding
+      // mean: posexplode -> one (label, pos) shuffle with partial sums; a
+      // group's vectors are never materialized together
+      Similarity.labelCentroids(Tables.embeddings(s, dir))),
 
     // ---- LLM-pipeline: text analysis + multimodal ----
     "t1_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
@@ -576,6 +580,10 @@ object SparkEntry {
     "t10_tfidf" -> ((s, dir) => // per-doc top terms by integer-exact
       // raw-idf TF-IDF (log-free so the oracle matches bit-for-bit)
       TextOps.tfidfTopTerms(Tables.documents(s, dir))),
+    "t12_chunk_text" -> ((s, dir) => // RAG-style overlapping token chunking
+      // (k=30, stride=20): per-row expression work only, no shuffle before
+      // the output sort; t11 is the placement-only pretraining cousin
+      TextOps.chunkTokens(Tables.documents(s, dir))),
     "t11_pack_chunks" -> ((s, dir) => { // GPT-style concat-and-chunk batch
       // packing: per-SOURCE token streams cut into 256-token context
       // windows; per-shard windows, never a global cumsum
@@ -919,6 +927,7 @@ object SparkEntry {
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
     "s2_ann_lsh" -> Similarity.lshTopKSql(),
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),
+    "s4_label_centroids" -> Similarity.labelCentroidsSql,
     "t1_text_stats" -> TextOps.textStatsSql,
     "t2_language_id" -> TextOps.languageIdSql,
     "t3_quality" -> TextOps.qualityBucketsSql,
@@ -927,6 +936,7 @@ object SparkEntry {
     "t6_bpe_tokens" -> TextOps.bpeTokenCountsSql,
     "t7_winnowing" -> TextOps.winnowingSql(),
     "t10_tfidf" -> TextOps.tfidfTopTermsSql(),
+    "t12_chunk_text" -> TextOps.chunkTokensSql(),
     "t11_pack_chunks" ->
       """WITH t AS (SELECT doc_id, source,
         |                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens

@@ -34,6 +34,35 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Per-label element-wise centroid of the embedding column — the vector
+    * aggregate a clustering/labeling pipeline recomputes constantly.
+    * `(label, pos 1-based, centroid_1e6)`, the mean scaled to integer
+    * millionths (the established float discipline: reordering error of the
+    * double partial sums is ~1e-13, far below the 1e-6 grain).
+    *
+    * Shape: `posexplode` → one hash-shuffle on (label, pos) with map-side
+    * partial sums — dimensions aggregate independently, so parallelism is
+    * labels × dims and no executor ever holds more than a running (sum, n)
+    * per key. The whole-array-as-one-key alternative (collect vectors,
+    * average on one reducer) dies at scale; this never materializes a
+    * group.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label").cast("long").as("label"),
+        posexplode(asDouble(col("embedding"))))
+      .groupBy("label", "pos")
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("s") / col("n") * 1e6).cast("long").as("centroid_1e6"))
+      .orderBy("label", "pos")
+
+  def labelCentroidsSql: String =
+    """SELECT label::BIGINT AS label, pos::BIGINT AS pos,
+      |       round(SUM(x::DOUBLE) / COUNT(*) * 1e6)::BIGINT AS centroid_1e6
+      |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+      |      FROM embeddings)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Exact cosine top-k: for each query vector (`vec_id < numQueries`), the
     * `k` nearest corpus vectors (self excluded) by cosine similarity.
     * `(query_id, neighbor_id, rank, cos_1e6)` — cosine scaled to integer

@@ -375,6 +375,50 @@ object TextOps {
        |SELECT doc_id, rank::BIGINT AS rank, term, tf, df, tfidf_1000
        |FROM s WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  /** RAG-style overlapping token chunking: each document's token stream is
+    * cut into windows of `k` tokens starting every `stride` tokens (overlap
+    * `k - stride`), the unit retrieval pipelines embed and index. Window
+    * starts are `0, stride, 2·stride, …` up to the first start covering the
+    * tail; docs shorter than `k` yield one chunk; empty docs yield none.
+    * `(doc_id, chunk_id, n_chunk_tokens, chunk_text)`.
+    *
+    * Pure per-row expression work (explode of a bounded sequence — no
+    * shuffle before the output sort): embarrassingly parallel at any corpus
+    * size, the same shape as winnowing. The placement-only cousin for
+    * pretraining is [[Packing.packChunks]].
+    */
+  def chunkTokens(docs: DataFrame, k: Int = 30, stride: Int = 20): DataFrame = {
+    require(k > 0 && stride > 0 && stride <= k,
+      s"need 0 < stride <= k, got k=$k stride=$stride")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = tokens(col("text"))
+    docs.repartition(par)
+      .select(col("doc_id"), toks.as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .filter(col("n") > 0)
+      // number of starts: ceil(max(n-k, 0) / stride) + 1, integer-exact
+      .withColumn("n_chunks",
+        expr(s"(greatest(n - $k, 0L) + $stride - 1) div $stride + 1"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("chunk", expr(s"slice(ws, chunk_id * $stride + 1, $k)"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def chunkTokensSql(k: Int = 30, stride: Int = 20): String =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws FROM documents),
+       |b AS (SELECT doc_id, ws, len(ws)::BIGINT AS n,
+       |             (greatest(len(ws) - $k, 0) + $stride - 1) // $stride + 1 AS n_chunks
+       |      FROM t WHERE len(ws) > 0),
+       |c AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id FROM b)
+       |SELECT doc_id, chunk_id,
+       |       len(ws[chunk_id * $stride + 1 : chunk_id * $stride + $k])::BIGINT AS n_chunk_tokens,
+       |       COALESCE(list_aggregate(ws[chunk_id * $stride + 1 : chunk_id * $stride + $k], 'string_agg', ' '), '') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Global token frequency (the canonical distributed word count):
     * `(token, n)`, top `k` by count desc then token.
     */

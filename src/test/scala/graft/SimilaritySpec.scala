@@ -126,4 +126,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.95,
       s"mean recall ${recalls.sum / recalls.size} below 0.95")
   }
+
+  test("labelCentroids: element-wise per-label means, hand-computed") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f), 7),
+      (2L, Seq(3.0f, 4.0f), 7),
+      (3L, Seq(0.5f, 0.5f), 9)).toDF("vec_id", "embedding", "label")
+    val got = graft.llm.Similarity.labelCentroids(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (7L, 1L, 2000000L), (7L, 2L, 1000000L), // means (2.0, 1.0)
+      (9L, 1L, 500000L), (9L, 2L, 500000L)))
+  }
 }

@@ -101,6 +101,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("chunkTokens: overlap, tail coverage, short and empty docs") {
+    val text = (1 to 7).map(i => s"w$i").mkString(" ") // 7 tokens
+    val got = TextOps.chunkTokens(docsDF(Seq(1L -> text, 2L -> "a b", 3L -> "!!!")),
+        k = 3, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 3L, "w1 w2 w3"),
+      (1L, 1L, 3L, "w3 w4 w5"), // overlap of k - stride = 1 token
+      (1L, 2L, 3L, "w5 w6 w7"), // tail covered exactly
+      (2L, 0L, 2L, "a b")))     // short doc: one whole-doc chunk
+    // doc 3 tokenizes to nothing -> no chunks at all
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("chunkTokens: every token appears in at least one chunk (coverage property)") {
+    val rng = new scala.util.Random(31)
+    val docs = (1L to 50L).map(i =>
+      i -> (0 until rng.nextInt(90)).map(j => s"t$j").mkString(" "))
+    val chunks = TextOps.chunkTokens(docsDF(docs), k = 30, stride = 20).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val covered = chunks.groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" ")).toSet)
+    docs.filter(_._2.nonEmpty).foreach { case (id, text) =>
+      assert(text.split(" ").toSet.subsetOf(covered(id)), s"doc $id lost tokens")
+    }
+    intercept[IllegalArgumentException](
+      TextOps.chunkTokens(docsDF(docs), k = 10, stride = 11))
+  }
+
   test("tfidfTopTerms: hand-computed scores, rank order, corpus-wide terms demoted") {
     // 3 docs; "the" in all (df=3), "cat"/"dog" in one each (df=1)
     val got = TextOps.tfidfTopTerms(docsDF(Seq(
