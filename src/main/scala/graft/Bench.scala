@@ -99,10 +99,10 @@ object Bench {
     //    ~2000 chars of stdout, and BENCH_r05 came back "parsed": null
     //    because the full-precision line plus the 66-entry loadavg_q map
     //    grew past that window and pushed `{"metric"` out of it. Millisecond
-    //    precision is ample for the judge's per-query comparison; if the
-    //    query set grows enough that even 3 decimals overflows the budget,
-    //    degrade (2 decimals, then drop the diagnostic keys) rather than
-    //    ever printing an unparseable line.
+    //    precision is ample for the judge's per-query comparison; as the
+    //    query set grows, degrade — diagnostics first, then decimals down
+    //    to 1 (79 queries × ~24 chars already overflows at 2 decimals) —
+    //    rather than ever printing an unparseable line.
     def num(t: Double, dec: Int): String = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, t)
     def qs(dec: Int): String =
       results.map { case (k, (t, _)) => "\"" + k + "\":" + num(t, dec) }.mkString("{", ",", "}")
@@ -117,8 +117,8 @@ object Bench {
         s""""sf":"$sfDir","failed":${failed.size}$diag}"""
     }
     val budget = 1900 // driver tail window is 2000 chars; leave slack for a trailing log line
-    val stdoutLine = Seq(line(3, true), line(2, true), line(2, false))
-      .find(_.length <= budget).getOrElse(line(2, false))
+    val stdoutLine = Seq(line(3, true), line(3, false), line(2, false), line(1, false))
+      .find(_.length <= budget).getOrElse(line(1, false))
 
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
