@@ -478,6 +478,26 @@ object SparkEntry {
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
+    "e11_spend_quartiles" -> ((s, dir) => { // ranking-window surface:
+      // ntile + percent_rank + dense_rank over per-customer spend, ranked
+      // WITHIN market segment — a partitioned window (an unpartitioned
+      // global ranking would funnel every row through one task; if a truly
+      // global rank is ever needed, the scale form is range-partition +
+      // per-partition counts + offset add, not Window.orderBy). Exact
+      // DECIMAL totals; percent_rank is the same (rank-1)/(n-1) double on
+      // both engines.
+      val spend = Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(sum(dec12("o_totalprice")).as("spend"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("spend").desc, col("o_custkey"))
+      spend.select(col("o_custkey"), col("c_mktsegment"),
+          col("spend").cast("double").as("spend"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          dense_rank().over(w).cast("long").as("drank"),
+          round(percent_rank().over(w) * 1e6).cast("long").as("prank_1e6"))
+        .orderBy("o_custkey")
+    }),
     "e10_ship_latency" -> ((s, dir) => // date arithmetic surface: per-year
       // order-to-ship latency histogram (datediff + extract), portable
       // day-grained semantics on both engines
@@ -892,6 +912,17 @@ object SparkEntry {
         |JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND c.c_us >= v.v_us AND c.c_us - v.v_us <= 3600000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "e11_spend_quartiles" ->
+      """WITH s AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+        |           FROM orders GROUP BY 1),
+        |j AS (SELECT o_custkey, c_mktsegment, spend
+        |      FROM s JOIN customer ON c_custkey = o_custkey)
+        |SELECT o_custkey, c_mktsegment, CAST(spend AS DOUBLE) AS spend,
+        |       ntile(4) OVER w::BIGINT AS quartile,
+        |       dense_rank() OVER w::BIGINT AS drank,
+        |       round(percent_rank() OVER w * 1e6)::BIGINT AS prank_1e6
+        |FROM j WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
     "e10_ship_latency" ->
       """SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
         |       datediff('day', o_orderdate::DATE, l_shipdate::DATE)::BIGINT AS lat_days,
