@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+
+/** Structural plan-quality guards over the declared queries themselves —
+  * the properties the 100 TB design leans on (filter pushdown, column
+  * pruning, broadcast of dim sides) asserted on the REAL query plans, so a
+  * refactor that silently loses one fails a test instead of a benchmark.
+  * AQE is disabled per-assert (its query stages hide the static operators;
+  * same pattern as SessionizationSpec).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def staticPlan[T](df: => DataFrame)(f: org.apache.spark.sql.execution.SparkPlan => T): T = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f(df.queryExecution.executedPlan)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q6: filters reach the parquet scan; only needed columns are read") {
+    staticPlan(SparkEntry.queries("q6_forecast_revenue")(spark, sf)) { plan =>
+      val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"no parquet scan found:\n$plan")
+      val li = scans.find(_.metadata("Location").contains("lineitem")).get
+      // shipdate/discount/quantity predicates must be pushed
+      assert(li.metadata("PushedFilters").contains("l_shipdate"),
+        s"no pushed shipdate filter: ${li.metadata("PushedFilters")}")
+      // q6 touches 4 columns; reading more means pruning broke
+      assert(li.schema.fieldNames.toSet ===
+        Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+        s"column pruning lost: ${li.schema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("q3: the customer dim side is broadcast, not shuffled") {
+    staticPlan(SparkEntry.queries("q3_top_revenue")(spark, sf)) { plan =>
+      val bc = plan.collectWithSubqueries { case b: BroadcastExchangeLike => b }
+      assert(bc.nonEmpty, s"expected a broadcast exchange in q3:\n$plan")
+      assert(bc.exists(_.toString.contains("c_custkey")),
+        "customer side is not the broadcast one")
+    }
+  }
+
+  test("t10: per-doc top-k is computed via WindowGroupLimit (partial before the shuffle)") {
+    staticPlan(graft.llm.TextOps.tfidfTopTerms(Tables.documents(spark, sf))) { plan =>
+      val s = plan.toString
+      assert(s.contains("WindowGroupLimit"),
+        s"rank<=k not pushed into a group-limit:\n$s")
+    }
+  }
+
+  test("d7: verification uses the native merge expression, not a per-shingle join") {
+    staticPlan(graft.llm.Dedup.ngramJaccardPairs(Tables.documents(spark, sf))) { plan =>
+      val s = plan.toString
+      assert(s.contains("sorted_intersect_count"),
+        s"native SortedIntersectCount missing from the verify stage:\n$s")
+    }
+  }
+}
