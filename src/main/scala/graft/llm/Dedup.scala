@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
@@ -85,11 +85,59 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** One row per (doc_id, distinct 60-bit hashed shingle) for any
+    * shingle-array expression — the shared shingle universe of
+    * [[jaccardPairs]] (word 3-grams) and [[ngramJaccardPairs]] (char
+    * n-grams). Hashing to longs (Broder's hashed-shingle convention,
+    * [[Hashing.hash60]] — the same hash MinHash and the fingerprints use)
+    * means every downstream exchange carries 8-byte longs instead of
+    * strings; `array_distinct` AFTER the hash makes the per-doc set
+    * identical to the oracle's `SELECT DISTINCT doc_id, hash`, so even an
+    * (astronomically improbable) in-doc hash collision merges to one
+    * element on BOTH engines — no divergence mode, and no extra shuffle
+    * (the dedup is per-row). The input is re-spread across all cores
+    * first: a single-row-group parquet file would otherwise run the
+    * CPU-heavy shingle+md5 work on one thread.
+    */
+  private def hashedShingleRows(docs: DataFrame, shingleArr: Column): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shingleArr, g => Hashing.hash60(g)))).as("shingle"))
+      .localCheckpoint(true)
+  }
+
+  /** Candidate verification shared by [[jaccardPairs]] and
+    * [[ngramJaccardPairs]]: sorted signature arrays per doc + the codegen'd
+    * [[graft.functions.SortedIntersectCount]] two-pointer merge — ONE row
+    * per candidate PAIR. The alternative (expand each pair by doc_a's
+    * shingles and probe doc_b's index) costs |candidates| × avg-set-size
+    * rows, which on corpora where even "rare" shingles are frequent is the
+    * scale bottleneck; here the signature arrays shuffle only for docs that
+    * actually appear in a candidate pair.
+    */
+  private def signatureVerifiedPairs(sh: DataFrame, thresholdMille: Int): DataFrame = {
+    val sigs = sh.groupBy("doc_id").agg(sort_array(collect_list(col("shingle"))).as("sig"))
+    val t = thresholdMille.toLong
+    prefixCandidates(sh, thresholdMille)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(col("siga"), col("sigb")))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("union_sz"))
+      .filter(col("inter") * 1000L >= lit(t) * col("union_sz"))
+      .withColumn("jaccard_1000", expr("inter * 1000 div union_sz"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact Jaccard for the given candidate pairs (`doc_a, doc_b, sza, szb`):
     * expand each pair by doc_a's shingles, probe doc_b's (doc, shingle)
     * index, count matches. Set sizes ride along as group keys (functionally
     * determined by the ids), so no extra size joins. Cost is |candidates| ×
-    * avg-set-size — independent of corpus-wide shingle frequencies.
+    * avg-set-size — acceptable ONLY on a post-LSH candidate set (tiny by
+    * construction: it is the near-dup set itself); the AllPairs-candidate
+    * paths verify through [[signatureVerifiedPairs]] instead.
     */
   private def verifiedPairs(sh: DataFrame, candidates: DataFrame,
                             thresholdMille: Int): DataFrame =
@@ -110,61 +158,31 @@ object Dedup {
     * Prefix filtering (see object doc): docs are matched only through their
     * `sz - ceil(τ·sz) + 1` rarest shingles (global (df, shingle) order). A
     * pair with overlap ≥ ⌈τ·sz⌉ cannot hide entirely outside a prefix of
-    * that length (pigeonhole), so recall is exactly 1; the verify join then
-    * applies the precise Jaccard cut.
+    * that length (pigeonhole), so recall is exactly 1; candidates are then
+    * verified by the per-PAIR sorted-signature merge (hashed shingles, see
+    * [[hashedShingleRows]]/[[signatureVerifiedPairs]] — the round-6 verdict
+    * retired the per-shared-shingle expansion join this path used before).
+    * The DuckDB oracle mirrors only the shingle hash (it defines the set
+    * universe) and stays the naive inverted-index join otherwise.
     */
   def jaccardPairs(docs: DataFrame, thresholdMille: Int = 500): DataFrame =
-    prefixFilteredPairs(shingleRows(docs), thresholdMille)
+    signatureVerifiedPairs(
+      hashedShingleRows(docs, TextOps.shingles3(TextOps.tokens(col("text")))), thresholdMille)
 
   /** Near-dup pairs by character `n`-gram Jaccard — the tokenizer-free
     * sibling of [[jaccardPairs]]: robust to scripts without word boundaries
     * and to whitespace/punctuation obfuscation, at a higher natural
     * threshold (char-grams of unrelated text overlap more than word
-    * shingles do). Same output schema and the same AllPairs + PPJoin
-    * candidate machinery; two deliberate differences, both driven by
-    * char-grams being 10-100× more widely shared than word shingles
-    * (measured on the templated test corpus: n=5 leaves 3M candidate pairs
-    * at sf0.1 for 256 true pairs — no exact filter can prune what every
-    * document shares):
-    *  - shingles are 60-bit hashes of the n-grams (Broder's hashed-shingle
-    *    convention, same [[Hashing.hash60]] as MinHash/fingerprints): every
-    *    downstream exchange carries 8-byte longs, and the DuckDB oracle
-    *    mirrors the hash so cross-engine equality is deterministic even in
-    *    the (astronomically unlikely) event of a collision;
-    *  - candidates are verified by sorted-signature `array_intersect`, one
-    *    row per candidate PAIR, instead of the per-shared-shingle join —
-    *    |candidates| × avg-set-size row explosion never happens, and at
-    *    scale the signature arrays shuffle only for candidate docs.
+    * shingles do). Same output schema and the same hashed-shingle AllPairs
+    * + PPJoin + sorted-signature-merge machinery; n defaults high because
+    * short char-grams of templated text are shared so widely that no exact
+    * filter can prune candidates (measured on the test corpus: n=5 leaves
+    * 3M candidate pairs at sf0.1 for 256 true pairs; n=9 → 286k, identical
+    * true-pair set).
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 9, thresholdMille: Int = 700): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    // charNgrams is already per-doc distinct, so the hashed rows are too
-    // (up to in-doc hash collisions, which would break the oracle's
-    // identically-deduped mirror the same way — no extra shuffle for them)
-    val sh = docs.repartition(par)
-      .select(col("doc_id"), explode(TextOps.charNgrams(col("text"), n)).as("g"))
-      .select(col("doc_id"), Hashing.hash60(col("g")).as("shingle"))
-      .localCheckpoint(true)
-    val sigs = sh.groupBy("doc_id").agg(sort_array(collect_list(col("shingle"))).as("sig"))
-    val t = thresholdMille.toLong
-    prefixCandidates(sh, thresholdMille)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
-      .withColumn("inter",
-        graft.functions.VectorExpressions.sortedIntersectCount(col("siga"), col("sigb")))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("sza") + col("szb") - col("inter")).as("union_sz"))
-      .filter(col("inter") * 1000L >= lit(t) * col("union_sz"))
-      .withColumn("jaccard_1000", expr("inter * 1000 div union_sz"))
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** AllPairs prefix filter + PPJoin positional filter + exact
-    * join-explosion verify (see the object doc for the algorithm) —
-    * [[jaccardPairs]]' engine.
-    */
-  private def prefixFilteredPairs(sh: DataFrame, thresholdMille: Int): DataFrame =
-    verifiedPairs(sh, prefixCandidates(sh, thresholdMille), thresholdMille)
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 9, thresholdMille: Int = 700): DataFrame =
+    signatureVerifiedPairs(
+      hashedShingleRows(docs, TextOps.charNgrams(col("text"), n)), thresholdMille)
 
   /** Candidate generation shared by [[jaccardPairs]] and
     * [[ngramJaccardPairs]]: AllPairs prefix + length + PPJoin positional
@@ -203,19 +221,24 @@ object Dedup {
     candidates
   }
 
+  /** DuckDB oracle for [[jaccardPairs]] — deliberately the NAIVE all-pairs
+    * inverted-index join (no prefix/positional filters, no signature
+    * arrays), so the oracle stays independent of the candidate and verify
+    * machinery it checks; only the 60-bit shingle hash (+ the post-hash
+    * DISTINCT, mirroring [[hashedShingleRows]]' `array_distinct`) is
+    * shared, because it defines the operator's set universe.
+    */
   def jaccardPairsSql(thresholdMille: Int = 500): String =
-    s"""WITH ${TextOps.shinglesSql()},
+    s"""WITH ${TextOps.shinglesSql(cte = "rawsh")},
+       |sh AS (SELECT DISTINCT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle FROM rawsh),
        |${jaccardVerifySql(thresholdMille)}""".stripMargin
 
-  /** DuckDB oracle for [[ngramJaccardPairs]] — deliberately the NAIVE
-    * all-pairs inverted-index join (no prefix/positional filters, no
-    * signature arrays), so the oracle stays independent of the candidate
-    * and verify machinery it checks; only the 60-bit shingle hash is
-    * mirrored (it defines the operator's set universe).
+  /** DuckDB oracle for [[ngramJaccardPairs]] — same naive-join discipline
+    * as [[jaccardPairsSql]], over hashed char n-grams.
     */
   def ngramJaccardPairsSql(n: Int = 9, thresholdMille: Int = 700): String =
     s"""WITH ${TextOps.charNgramsSql(n, cte = "rawsh")},
-       |sh AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle FROM rawsh),
+       |sh AS (SELECT DISTINCT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle FROM rawsh),
        |${jaccardVerifySql(thresholdMille)}""".stripMargin
 
   /** Shared size/intersect/threshold tail over a `sh(doc_id, shingle)` CTE. */

@@ -51,10 +51,13 @@ object TextOps {
        |       FROM $docsTable, UNNEST(range(1, len(text) - $n + 2)) AS u(i)
        |       WHERE len(text) >= $n)""".stripMargin
 
-  /** DuckDB fragment: one row per (doc_id, distinct 3-gram shingle). */
-  def shinglesSql(docsTable: String = "documents"): String =
+  /** DuckDB fragment: one row per (doc_id, distinct 3-gram shingle); CTE
+    * name parameterized so callers can post-process (e.g. hash) into the
+    * `sh` slot the shared verify tail expects.
+    */
+  def shinglesSql(docsTable: String = "documents", cte: String = "sh"): String =
     s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws FROM $docsTable),
-       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |$cte AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
        |       FROM toks, UNNEST(range(1, len(ws) - 1)) AS u(i))""".stripMargin
 
   /** Common-English stopword list for the stopword-ratio quality signal —

@@ -61,4 +61,12 @@ class PlanAuditSpec extends SparkSpec {
         s"native SortedIntersectCount missing from the verify stage:\n$s")
     }
   }
+
+  test("d2: word-shingle verify also uses the native merge, not the expansion join") {
+    staticPlan(graft.llm.Dedup.jaccardPairs(Tables.documents(spark, sf))) { plan =>
+      val s = plan.toString
+      assert(s.contains("sorted_intersect_count"),
+        s"native SortedIntersectCount missing from d2's verify stage:\n$s")
+    }
+  }
 }
