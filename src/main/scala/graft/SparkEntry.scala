@@ -106,6 +106,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_edges"), sum(col("src") + col("dst")).as("sum_ids"))
         .orderBy("graph_name")
     }),
+    "g16_partitioned_bfs" -> ((s, dir) => {
+      // a traversal THROUGH the partitioned-catalog layout (g13 gates only
+      // the cross-graph aggregates): BFS over one of two graphs stored in
+      // the same graph_name-partitioned table — the traversal's edge scan
+      // partition-prunes to the named graph (asserted structurally in
+      // GraphCatalogSpec); the oracle runs the same recursive CTE over the
+      // identically-filtered derivation
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-pbfs-${ProcessHandle.current().pid()}"))
+      java.nio.file.Files.createDirectories(root)
+      val cat = new GraphCatalog(s, root.resolve("pgraphs").toString)
+      val e = DerivedGraphs.small(s, dir)
+      def put(name: String, df: DataFrame): Unit =
+        if (cat.existsPartitioned(name)) cat.modifyGraphPartitioned(name, df)
+        else cat.addGraphPartitioned(name, df)
+      put("even", e.filter(col("src") % 2 === 0))
+      put("odd", e.filter(col("src") % 2 === 1))
+      cat.bfsPartitioned("even", start = 0L, maxDepth = 12)
+    }),
     "g10_matrix_roundtrip" -> ((s, dir) => {
       // the reference's full write path (op 1, primaryServer.c:40-63):
       // catalog add -> dense-matrix text file -> re-ingest -> analytics;
@@ -507,6 +527,21 @@ object SparkEntry {
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat_days"))
         .groupBy("yr", "lat_days").agg(count(lit(1)).as("n"))
         .orderBy("yr", "lat_days")),
+    "e12_trailing_spend" -> ((s, dir) => {
+      // RANGE window frame — the value-based frame code path (e8 covers
+      // ROWS frames): per-customer spend over the trailing 90 days, keyed
+      // by an integral day offset. RANGE includes all order-column peers in
+      // the frame, so same-day orders see the same sum and the result is
+      // tie-deterministic by construction; decimal-exact inside the frame.
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-89, 0)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("day"),
+          dec12("o_totalprice").as("p"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day").cast("long").as("day"),
+          sum(col("p")).over(w).cast("double").as("spend_90d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "e9_sessionized" -> ((s, dir) => {
       // row-level sessionization (gaps-and-islands): every event stamped
       // with its per-user session number — the enrichment form feature
@@ -554,8 +589,33 @@ object SparkEntry {
       EventStreams.viewClickLeftJoin(ev, ev).orderBy("view_id", "click_id")
     }),
 
+    "st7_bounded_counts" -> ((s, dir) => {
+      // the EventTimeTimeout stateful variant (the production state-bounded
+      // form of st4) in batch mode: each group folds once from empty state
+      // and no timeout fires, so the within-horizon final state is the same
+      // per-user fold st4 gates — this row binds the
+      // flatMapGroupsWithState + EventTimeTimeout code path to the gate;
+      // the eviction half (idle-key state removal, counter restart) is
+      // streaming-only behavior asserted in StreamingSpec
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[EventStreams.UserEvent]
+      EventStreams.runningUserCountsBounded(ev).toDF().orderBy("user_id")
+    }),
+
     // ---- LLM-pipeline: dedup ----
     "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "d8_stream_dedup" -> ((s, dir) =>
+      // streamingExactDedup's batch analogue: WHICH copy survives is
+      // arrival-order-dependent (dropDuplicates keeps an arbitrary row in
+      // batch — on a stream it is first-seen), but the surviving CONTENT
+      // set is deterministic, so the gate binds the content-determined
+      // projection; cross-micro-batch first-seen semantics are asserted in
+      // StreamingSpec
+      Dedup.streamingExactDedup(Tables.documents(s, dir))
+        .select(md5(col("text")).as("h"), length(col("text")).cast("long").as("len"))
+        .orderBy("h")),
     "d2_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
     "d3_minhash_pairs" -> ((s, dir) => Dedup.minHashLshPairs(Tables.documents(s, dir))),
     "d4_simhash_pairs" -> ((s, dir) => Dedup.simHashPairs(Tables.documents(s, dir))),
@@ -939,6 +999,26 @@ object SparkEntry {
         |       SUM(opens) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
         |FROM o ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "e12_trailing_spend" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey,
+        |                  datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS day,
+        |                  CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey, day,
+        |       CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY day
+        |                         RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+        |FROM t ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "g16_partitioned_bfs" ->
+      s"""WITH RECURSIVE e AS (SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 2 = 0),
+         |walk(vertex, level) AS (
+         |  SELECT CAST(0 AS BIGINT) AS vertex, 0 AS level
+         |  UNION
+         |  SELECT e.dst, walk.level + 1 FROM walk JOIN e ON e.src = walk.vertex WHERE walk.level < 12)
+         |SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex ORDER BY level, vertex""".stripMargin,
+    "d8_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS h, len(text)::BIGINT AS len
+        |FROM documents ORDER BY h""".stripMargin,
+    "st7_bounded_counts" -> EventStreams.runningUserCountsSql(),
     "st1_tumbling_hourly" -> EventStreams.tumblingCountsSql(),
     "st2_sliding_counts" -> EventStreams.slidingCountsSql(),
     "st3_session_windows" -> EventStreams.sessionCountsSql(),

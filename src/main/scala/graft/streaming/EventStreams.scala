@@ -237,6 +237,11 @@ object EventStreams {
                                idleMs: Long = 2 * 3600 * 1000L): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // captured OUTSIDE the closure: on a batch Dataset the watermark node is
+    // eliminated (batch plans have no event-time watermark) and
+    // getCurrentWatermarkMs throws — and no timeout can ever fire anyway,
+    // so the deadline registration is a streaming-only step
+    val isStreaming = events.isStreaming
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[BoundedState, UserRunning](
@@ -254,7 +259,8 @@ object EventStreams {
             // clamped above the watermark or Spark rejects the timestamp
             val maxTs = math.max(prev.max_ts, sorted.last.ts.getTime)
             state.update(BoundedState(next, maxTs))
-            state.setTimeoutTimestamp(math.max(maxTs + idleMs, state.getCurrentWatermarkMs() + 1))
+            if (isStreaming)
+              state.setTimeoutTimestamp(math.max(maxTs + idleMs, state.getCurrentWatermarkMs() + 1))
             Iterator.single(next)
           }
       }

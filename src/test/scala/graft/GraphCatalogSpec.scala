@@ -150,6 +150,28 @@ class GraphCatalogSpec extends SparkSpec {
       s"scan read $filesRead of $totalFiles files — partition pruning did not bite")
   }
 
+  test("bfsPartitioned traverses only the named graph, through a pruned scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val cat = freshCatalog()
+    // disjoint id ranges: any leakage of "other" edges into the traversal
+    // would surface as extra reachable vertices
+    cat.addGraphPartitioned("even2", edgesDF(Seq((0L, 2L), (2L, 4L))))
+    cat.addGraphPartitioned("odd2", edgesDF(Seq((0L, 1L), (1L, 3L))))
+    assert(vertexLevels(cat.bfsPartitioned("even2", 0L)) === Seq((0L, 0), (2L, 1), (4L, 2)))
+    // the traversal consumes exactly graphPartitioned(name)'s DataFrame —
+    // assert the graph_name equality lands in its PARTITION filters (file
+    // listing prunes to one graph before any traversal superstep runs)
+    val plan = cat.graphPartitioned("even2").queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"no file scan in\n$plan")
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "graph_name")),
+      s"graph_name not in partition filters on the traversal path: ${scans.head.partitionFilters}")
+  }
+
   test("bfs/dfs validate the start vertex instead of underflowing") {
     val cat = freshCatalog()
     cat.addGraph("g", edgesDF(triangle))
