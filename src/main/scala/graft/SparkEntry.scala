@@ -638,10 +638,13 @@ object SparkEntry {
       // the LSH pipeline itself; recall vs exact is asserted in
       // SimilaritySpec
       Similarity.lshTopK(Tables.embeddings(s, dir))),
-    "s3_ann_ivf" -> ((s, dir) => // iters=0: seed centroids (lowest ids) make
-      // the declared query deterministic + SQL-mirrorable; the k-means
-      // refinement path (iters>0) is recall-tested in SimilaritySpec
-      Similarity.ivfTopK(Tables.embeddings(s, dir), iters = 0)),
+    "s3_ann_ivf" -> ((s, dir) => // iters=1: seed centroids (lowest ids) plus
+      // ONE k-means refinement step — the refinement path itself is now
+      // gated (round-6 verdict): the per-dimension means are quantized to a
+      // 1e-6 grain so the refined centroids are deterministic and the
+      // oracle mirrors the full step; deeper refinement (iters=2) stays
+      // recall-tested in SimilaritySpec
+      Similarity.ivfTopK(Tables.embeddings(s, dir), iters = 1)),
     "s4_label_centroids" -> ((s, dir) => // per-label element-wise embedding
       // mean: posexplode -> one (label, pos) shuffle with partial sums; a
       // group's vectors are never materialized together

@@ -145,7 +145,16 @@ object Similarity {
       // shift every later centroid's identity
       val updated = assigned.groupBy("cid").agg(dimAggs.head, dimAggs.tail: _*)
         .collect()
-        .map(r => r.getInt(0) -> (0 until dim).map(j => r.getDouble(j + 1)).toArray)
+        // updated means are QUANTIZED to a 1e-6 grain: the avg is a
+        // cross-row double sum (partial-aggregation order perturbs the last
+        // ulps), so the raw mean is not bit-reproducible across engines —
+        // flooring at a grain ~1e6 coarser than the accumulated error makes
+        // the refined centroids deterministic and SQL-mirrorable (the same
+        // discipline the PageRank oracle uses). Empty clusters keep their
+        // RAW seed vector (exactly reproducible), matching the oracle's
+        // COALESCE against the unquantized seed.
+        .map(r => r.getInt(0) ->
+          (0 until dim).map(j => math.floor(r.getDouble(j + 1) * 1e6) / 1e6).toArray)
         .toMap
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
@@ -344,19 +353,35 @@ object Similarity {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB mirror of [[ivfTopK]] with `iters = 0` (centroids = the
-    * `nlist` lowest-id vectors — the declared query's deterministic
-    * configuration): same assignment rule (max cosine, ties to the HIGHER
-    * centroid id, matching Spark's max-of-structs ordering), same nprobe
-    * probe-list selection, same exact re-rank.
+  /** DuckDB mirror of [[ivfTopK]] with `iters = 1` (the declared query's
+    * configuration — seed centroids are the `nlist` lowest-id vectors, then
+    * ONE k-means refinement step): same assignment rule (max cosine, ties
+    * to the HIGHER centroid id, matching Spark's max-of-structs ordering),
+    * same per-dimension-mean update floored to the 1e-6 grain the operator
+    * quantizes at, same empty-cluster keep-raw-seed rule (COALESCE), same
+    * nprobe probe-list selection, same exact re-rank.
     */
   def ivfTopKSql(numQueries: Int = 20, k: Int = 5,
-                 nlist: Int = 16, nprobe: Int = 4): String =
+                 nlist: Int = 16, nprobe: Int = 4, dim: Int = 64): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
-       |                sqrt(list_dot_product(e, e)) AS cn
-       |         FROM (SELECT * FROM v ORDER BY vec_id LIMIT $nlist)),
+       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
+       |                 sqrt(list_dot_product(e, e)) AS cn
+       |          FROM (SELECT * FROM v ORDER BY vec_id LIMIT $nlist)),
+       |scores0 AS (SELECT n.vec_id, n.e, n.nrm, cent0.cid,
+       |                   list_dot_product(n.e, cent0.ce) / (n.nrm * cent0.cn) AS s
+       |            FROM n CROSS JOIN cent0),
+       |assign0 AS (SELECT vec_id, e, cid FROM (
+       |              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+       |              FROM scores0) WHERE rn = 1),
+       |means AS (SELECT cid, list(m ORDER BY i) AS ce FROM (
+       |            SELECT a.cid, u.i, floor(AVG(a.e[u.i]) * 1e6) / 1e6 AS m
+       |            FROM assign0 a, UNNEST(range(1, $dim + 1)) AS u(i)
+       |            GROUP BY a.cid, u.i)
+       |          GROUP BY cid),
+       |cent AS (SELECT c0.cid, COALESCE(m.ce, c0.ce) AS ce,
+       |                sqrt(list_dot_product(COALESCE(m.ce, c0.ce), COALESCE(m.ce, c0.ce))) AS cn
+       |         FROM cent0 c0 LEFT JOIN means m ON m.cid = c0.cid),
        |scores AS (SELECT n.vec_id, n.e, n.nrm, cent.cid,
        |                  list_dot_product(n.e, cent.ce) / (n.nrm * cent.cn) AS s
        |           FROM n CROSS JOIN cent),
