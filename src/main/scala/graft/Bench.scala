@@ -117,8 +117,15 @@ object Bench {
         s""""sf":"$sfDir","failed":${failed.size}$diag}"""
     }
     val budget = 1900 // driver tail window is 2000 chars; leave slack for a trailing log line
-    val stdoutLine = Seq(line(3, true), line(3, false), line(2, false), line(1, false))
-      .find(_.length <= budget).getOrElse(line(1, false))
+    // final degradation step: once the query set outgrows even 1-decimal
+    // per-query times (~85 queries), drop the per-query map entirely —
+    // headline metrics only, but always a parseable line (the full map is
+    // still in bench_out.json)
+    val lineNoQueries: String =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir",""" +
+        s""""failed":${failed.size},"reps":$reps,"rep_failures":$repFailures}"""
+    val stdoutLine = Seq(line(3, true), line(3, false), line(2, false), line(1, false), lineNoQueries)
+      .find(_.length <= budget).getOrElse(lineNoQueries)
 
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${

@@ -19,8 +19,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-loop subset (comma-separated query names); the driver never sets
-    // this, so gate runs always cover the full map
+    // this, so gate runs always cover the full map. Unknown names fail
+    // FAST: a typo'd filter would otherwise select nothing (or a partial
+    // set) and exit 0 — a vacuously-passing dev loop.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     var failed = List.empty[String]
     val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
     selected.foreach { case (name, fn) =>

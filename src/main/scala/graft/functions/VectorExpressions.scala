@@ -84,9 +84,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    // containsNull=true is REJECTED at analysis time: the merge loop reads
+    // elements with getLong (a null slot would silently read as 0 on unsafe
+    // arrays), so the documented null-free contract must fail loudly here
+    // rather than miscount at run time. sort_array(collect_list(...)) —
+    // the shape callers use — declares containsNull=false.
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count requires (array<bigint>, array<bigint>), got (${left.dataType.sql}, ${right.dataType.sql})")
+      s"sorted_intersect_count requires null-free (array<bigint>, array<bigint>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"

@@ -67,10 +67,27 @@ class VectorExpressionsSpec extends SparkSpec {
     s.conf.set("spark.sql.codegen.wholeStage", "false")
     try assert(got === want)
     finally s.conf.set("spark.sql.codegen.wholeStage", "true")
-    // null propagates
+    // a null ARRAY propagates null (the element-level null-free contract
+    // is about slots inside the array, not the column being nullable)
+    val nullFree = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
     val n = df.limit(1).select(
-      VectorExpressions.sortedIntersectCount(col("a"), lit(null).cast("array<bigint>")).as("c"))
+      VectorExpressions.sortedIntersectCount(col("a"), lit(null).cast(nullFree)).as("c"))
     assert(n.head.isNullAt(0))
+  }
+
+  test("sortedIntersectCount rejects null-bearing array types at analysis time") {
+    // getLong on a null slot would silently read 0 and miscount — the
+    // documented null-free contract is enforced in checkInputDataTypes
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(1L, 2L), Seq(2L, 3L))).toDF("id", "a", "b")
+    val nullable = df.select(col("id"),
+      col("a").cast("array<bigint>").as("a"), col("b").as("b")) // cast -> containsNull=true
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      nullable.select(VectorExpressions.sortedIntersectCount(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("sorted_intersect_count"))
   }
 
   test("dotProduct: null array -> null; shorter array wins; null elements skipped") {
