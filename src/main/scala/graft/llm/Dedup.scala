@@ -131,25 +131,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact Jaccard for the given candidate pairs (`doc_a, doc_b, sza, szb`):
-    * expand each pair by doc_a's shingles, probe doc_b's (doc, shingle)
-    * index, count matches. Set sizes ride along as group keys (functionally
-    * determined by the ids), so no extra size joins. Cost is |candidates| ×
-    * avg-set-size — acceptable ONLY on a post-LSH candidate set (tiny by
-    * construction: it is the near-dup set itself); the AllPairs-candidate
-    * paths verify through [[signatureVerifiedPairs]] instead.
+  /** Verify arbitrary candidate pairs (`doc_a, doc_b`) against the hashed
+    * distinct shingle universe of `sh(doc_id, shingle: LONG)`: sorted
+    * signature arrays + the codegen'd merge, set sizes read off the
+    * signature lengths — same per-PAIR cost shape as
+    * [[signatureVerifiedPairs]], for callers whose candidates don't come
+    * from the AllPairs prefix machinery (MinHash+LSH).
     */
-  private def verifiedPairs(sh: DataFrame, candidates: DataFrame,
-                            thresholdMille: Int): DataFrame =
+  private def verifyCandidatesBySignature(sh: DataFrame, candidates: DataFrame,
+                                          thresholdMille: Int): DataFrame = {
+    val sigs = sh.groupBy("doc_id").agg(sort_array(collect_set(col("shingle"))).as("sig"))
+    val t = thresholdMille.toLong
     candidates
-      .join(sh.as("A"), col("doc_a") === col("A.doc_id"))
-      .join(sh.as("B"), col("doc_b") === col("B.doc_id") && col("A.shingle") === col("B.shingle"))
-      .groupBy("doc_a", "doc_b", "sza", "szb").agg(count(lit(1)).as("inter"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(col("siga"), col("sigb")))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("sza") + col("szb") - col("inter")).as("union_sz"))
-      .filter(col("inter") * 1000L >= lit(thresholdMille.toLong) * col("union_sz"))
+        (size(col("siga")) + size(col("sigb")) - col("inter")).cast("long").as("union_sz"))
+      .filter(col("inter") * 1000L >= lit(t) * col("union_sz"))
       .withColumn("jaccard_1000", expr("inter * 1000 div union_sz"))
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Exact near-dup pairs by 3-gram-shingle Jaccard ≥ threshold (in
     * thousandths, so the cut is integer-exact in both engines):
@@ -267,7 +270,6 @@ object Dedup {
     val P = Hashing.MinHashP
     val params = Hashing.minHashParams(numHashes)
     val sh = shingleRows(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // one codegen'd min-aggregate per hash function: the signature shuffles
     // as 64 flat long columns with map-side partial aggregation (an
     // interpreted higher-order `transform` or a 64x explode is 30-100x
@@ -291,10 +293,13 @@ object Dedup {
           col("x.h1") === col("y.h1") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      // candidate count is tiny post-LSH; attach sizes for the verify pass
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
-    verifiedPairs(sh, candidates, thresholdMille)
+    // verify on the 60-bit hashed distinct shingle universe (same merge
+    // verify the AllPairs paths use; the per-shared-shingle expansion join
+    // is gone from the repo entirely) — the MinHash signatures above keep
+    // their own string->hash60%P universe unchanged
+    verifyCandidatesBySignature(
+      sh.select(col("doc_id"), Hashing.hash60(col("shingle")).as("shingle")),
+      candidates, thresholdMille)
   }
 
   /** DuckDB mirror of [[minHashLshPairs]] — the ENTIRE pipeline (same seeded
@@ -325,11 +330,12 @@ object Dedup {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.h0 = y.h0 AND x.h1 = y.h1 AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |hsh AS (SELECT DISTINCT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hsh GROUP BY 1),
        |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
        |          FROM cand c
-       |          JOIN sh a ON a.doc_id = c.doc_a
-       |          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |          JOIN hsh a ON a.doc_id = c.doc_a
+       |          JOIN hsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
        |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz,
        |       inter * 1000 // (sa.sz + sb.sz - inter) AS jaccard_1000
