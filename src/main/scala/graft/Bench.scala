@@ -117,14 +117,25 @@ object Bench {
         s""""sf":"$sfDir","failed":${failed.size}$diag}"""
     }
     val budget = 1900 // driver tail window is 2000 chars; leave slack for a trailing log line
-    // final degradation step: once the query set outgrows even 1-decimal
-    // per-query times (~85 queries), drop the per-query map entirely —
-    // headline metrics only, but always a parseable line (the full map is
-    // still in bench_out.json)
+    // once the query set outgrows even 1-decimal per-query times (~85
+    // queries), degrade by OMITTING the sub-threshold tail instead of the
+    // whole map: the slow queries are what the per-round comparison needs,
+    // and the omission is explicit (count + omitted seconds — no silent
+    // truncation). Failed queries (-1 sentinel) always stay in the map.
+    def lineThresh(minSec: Double): String = {
+      val (big, small) = results.partition { case (_, (t, _)) => t >= minSec || t < 0 }
+      val qsB = big.map { case (k, (t, _)) => "\"" + k + "\":" + num(t, 1) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qsB,""" +
+        s""""queries_omitted":${small.size},"omitted_total":${num(small.map(_._2._1).sum, 2)},""" +
+        s""""sf":"$sfDir","failed":${failed.size}}"""
+    }
+    // last resort: headline metrics only — always a parseable line (the
+    // full map is still in bench_out.json)
     val lineNoQueries: String =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir",""" +
         s""""failed":${failed.size},"reps":$reps,"rep_failures":$repFailures}"""
-    val stdoutLine = Seq(line(3, true), line(3, false), line(2, false), line(1, false), lineNoQueries)
+    val stdoutLine = (Seq(line(3, true), line(3, false), line(2, false), line(1, false)) ++
+      Seq(0.1, 0.3, 1.0).map(lineThresh) :+ lineNoQueries)
       .find(_.length <= budget).getOrElse(lineNoQueries)
 
     val fullJson =

@@ -542,6 +542,27 @@ object SparkEntry {
           sum(col("p")).over(w).cast("double").as("spend_90d"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    "e13_gap_fill" -> ((s, dir) => {
+      // time-series RESAMPLE / gap-fill — the densify step feature
+      // pipelines need before rolling statistics: per-customer daily order
+      // counts with MISSING days materialized at 0. Each customer's
+      // sequence+explode spans only that customer's own [min, max] day
+      // range (never a global calendar cross join), so fill cost is
+      // per-key-span, embarrassingly parallel after one count shuffle;
+      // bounded to one year here to keep the gate output proportionate.
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= expr("TIMESTAMP'1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP'1997-01-01 00:00:00'"))
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("day"))
+      val counts = o.groupBy("o_custkey", "day").agg(count(lit(1)).as("n"))
+      val spans = counts.groupBy("o_custkey").agg(min("day").as("d0"), max("day").as("d1"))
+      spans.select(col("o_custkey"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(counts, Seq("o_custkey", "day"), "left_outer")
+        .select(col("o_custkey"), col("day").cast("long").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("o_custkey", "day")
+    }),
     "e9_sessionized" -> ((s, dir) => {
       // row-level sessionization (gaps-and-islands): every event stamped
       // with its per-user session number — the enrichment form feature
@@ -1011,6 +1032,16 @@ object SparkEntry {
         |       CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY day
         |                         RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
         |FROM t ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e13_gap_fill" ->
+      """WITH o AS (SELECT o_custkey, datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS day
+        |           FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |c AS (SELECT o_custkey, day, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        |s AS (SELECT o_custkey, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY 1),
+        |g AS (SELECT o_custkey, UNNEST(range(d0, d1 + 1)) AS day FROM s)
+        |SELECT g.o_custkey, g.day::BIGINT AS day, COALESCE(c.n, 0)::BIGINT AS n
+        |FROM g LEFT JOIN c ON c.o_custkey = g.o_custkey AND c.day = g.day
+        |ORDER BY g.o_custkey, g.day""".stripMargin,
     "g16_partitioned_bfs" ->
       s"""WITH RECURSIVE e AS (SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 2 = 0),
          |walk(vertex, level) AS (

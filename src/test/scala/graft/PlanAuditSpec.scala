@@ -69,4 +69,20 @@ class PlanAuditSpec extends SparkSpec {
         s"native SortedIntersectCount missing from d2's verify stage:\n$s")
     }
   }
+
+  test("d3: the LSH candidate verify uses the native merge too") {
+    staticPlan(graft.llm.Dedup.minHashLshPairs(Tables.documents(spark, sf))) { plan =>
+      val s = plan.toString
+      assert(s.contains("sorted_intersect_count"),
+        s"native SortedIntersectCount missing from d3's verify stage:\n$s")
+    }
+  }
+
+  test("e12: the trailing-spend window frame is RANGE, not ROWS") {
+    staticPlan(SparkEntry.queries("e12_trailing_spend")(spark, sf)) { plan =>
+      val s = plan.toString
+      assert(s.contains("RangeFrame"),
+        s"expected a RANGE frame in e12's window spec:\n$s")
+    }
+  }
 }
