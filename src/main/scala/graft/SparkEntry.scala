@@ -278,6 +278,62 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("sum_qty"))
         .orderBy("o_orderpriority")
     }),
+    "q20_merge_upsert" -> ((s, dir) => {
+      // MERGE INTO (SCD-1 upsert) through the MergeInto operator: a
+      // deterministic change-set derived from orders itself — updates
+      // (k%10=0 gets +1000), inserts (k%7=3 re-keyed past the key space),
+      // deletes (k%13=5, minus the update overlap so the source stays
+      // key-unique) — applied in ONE full-outer shuffle join; the oracle
+      // mirrors the same merge relationally. At 100 TB the change-set side
+      // broadcasts and the target never shuffles (see MergeInto doc).
+      val target = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        dec12("o_totalprice").as("price"), col("o_orderpriority").as("prio"))
+      val updates = target.filter(col("k") % 10 === 0)
+        .withColumn("price", (col("price") + lit(1000)).cast("decimal(12,2)"))
+        .withColumn("del", lit(false))
+      val inserts = target.filter(col("k") % 7 === 3)
+        .select((col("k") + 10000000L).as("k"), col("price"), col("prio"), lit(false).as("del"))
+      val deletes = target.filter(col("k") % 13 === 5 && col("k") % 10 =!= 0)
+        .withColumn("del", lit(true))
+      operators.MergeInto.merge(target,
+          updates.unionByName(inserts).unionByName(deletes), Seq("k"), deleteCol = Some("del"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("price").cast("double").as("sum_price"))
+        .orderBy("prio")
+    }),
+    "q21_incremental_rollup" -> ((s, dir) => {
+      // incremental-maintenance surface: per-(month, flag) PARTIAL
+      // aggregates merged into the final per-flag rollup — the
+      // materialized-view pattern where each day's 100 TB increment is
+      // aggregated once and the rollup is maintained by merging partial
+      // states (count/sum re-add, min/max re-compare), never by rescanning
+      // history. The oracle computes the same rollup directly from the
+      // base table, proving partial-merge ≡ direct aggregation.
+      val partials = Tables.lineitem(s, dir)
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(dec12("l_quantity")).as("sq"),
+          min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+      partials.groupBy("l_returnflag")
+        .agg(sum("n").as("n"), sum("sq").cast("double").as("sum_qty"),
+          min("mn").as("min_qty"), max("mx").as("max_qty"))
+        .orderBy("l_returnflag")
+    }),
+    "f4_orc_roundtrip" -> ((s, dir) => {
+      // ORC sibling of f3's layout queries: export orders as ORC, re-read,
+      // aggregate; the oracle computes the same aggregate straight from the
+      // source parquet, proving the ORC writer+reader are
+      // semantics-preserving (DuckDB has no ORC reader, so the source-table
+      // oracle is the strongest independent check available).
+      val out = orcRoundtripPath(dir)
+      TableFormats.writeOrc(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        out)
+      TableFormats.readOrc(s, out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"),
+          sum(dec12("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "f1_jsonl_roundtrip" -> ((s, dir) => {
       // interchange-format surface bound to the gate: a lineitem slice is
       // exported as JSONL, re-read schema-first (FAILFAST), and aggregated;
@@ -857,6 +913,37 @@ object SparkEntry {
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q20_merge_upsert" -> // relational mirror of MergeInto.merge over the
+      // same derived change-set: source-wins CASE on match, delete-flag
+      // filter, full-outer join
+      """WITH tgt AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |                    o_orderpriority AS prio FROM orders),
+        |src AS (
+        |  SELECT k, CAST(price + 1000 AS DECIMAL(12,2)) AS price, prio, FALSE AS del
+        |  FROM tgt WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + 10000000, price, prio, FALSE FROM tgt WHERE k % 7 = 3
+        |  UNION ALL
+        |  SELECT k, price, prio, TRUE FROM tgt WHERE k % 13 = 5 AND k % 10 <> 0),
+        |merged AS (
+        |  SELECT COALESCE(s.k, t.k) AS k,
+        |         CASE WHEN s.k IS NOT NULL THEN s.price ELSE t.price END AS price,
+        |         CASE WHEN s.k IS NOT NULL THEN s.prio ELSE t.prio END AS prio
+        |  FROM tgt t FULL OUTER JOIN src s ON s.k = t.k
+        |  WHERE NOT (s.k IS NOT NULL AND COALESCE(s.del, FALSE)))
+        |SELECT prio, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "q21_incremental_rollup" -> // direct aggregation — the check that the
+      // partial-merge plan is equivalent to rescanning the base table
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "f4_orc_roundtrip" -> // source-table oracle: the ORC round-trip must
+      // preserve exactly what parquet holds
+      """SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_key,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "f3_range_layout" ->
       """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
@@ -1149,6 +1236,13 @@ object SparkEntry {
     */
   def rangeLayoutPath(sfDir: String): String =
     exportRoot + "/graft-range-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** ORC export for `f4_orc_roundtrip` (DuckDB never reads it — the oracle
+    * uses the source table — but the path keeps the same run-private,
+    * sf-tagged discipline as the other exports).
+    */
+  def orcRoundtripPath(sfDir: String): String =
+    exportRoot + "/graft-orc-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Oracles only computable against the data (not sf-independent SQL),
     * merged into `oracle_sql.json` by Verify:

@@ -49,6 +49,20 @@ object TableFormats {
       .json(path)
   }
 
+  /** Columnar ORC sink — the interchange format for Hive/Trino-adjacent
+    * stacks. Spark's native `orc` datasource: vectorized reads, predicate
+    * pushdown and column pruning all work exactly as for parquet, so an
+    * ORC-resident table costs no plan quality (f4 gates the round-trip).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** ORC source. Schema comes from the ORC footer (self-describing, like
+    * parquet) — no inference scan, so schema-first discipline holds.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Edge-list CSV → `(src LONG, dst LONG)`: the interchange form of the
     * reference's graph ingest (its dense matrix format stays in
     * MatrixFormat; real edge dumps ship as CSV).
