@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Traversals}
-import graft.llm.{Dedup, MediaOps, Packing, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, MediaOps, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.operators.{Partitioning, Sessionization, TemporalJoins}
 import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.EventStreams
@@ -737,6 +737,15 @@ object SparkEntry {
     "t7_winnowing" -> ((s, dir) => // rolling hash unrolled to a k-term
       // polynomial in the SQL mirror — fully oracle-checked
       TextOps.winnowingFingerprints(Tables.documents(s, dir))),
+    "t13_repetition" -> ((s, dir) => // Gopher-style repetition quality
+      // signals (top-token/top-bigram share, duplicate-bigram fraction):
+      // per-row HOF work only — no shuffle for a per-document statistic
+      TextOps.repetitionStats(Tables.documents(s, dir))),
+    "t14_kmv_distinct" -> ((s, dir) => // mergeable KMV distinct sketch
+      // (O(k) state per group through the typed-Aggregator partial/merge
+      // path) vs the exact distinct count it estimates — the incremental
+      // COUNT(DISTINCT) surface exact aggregation can't maintain at 100 TB
+      Sketches.kmvDistinctShingles(Tables.documents(s, dir))),
     "t10_tfidf" -> ((s, dir) => // per-doc top terms by integer-exact
       // raw-idf TF-IDF (log-free so the oracle matches bit-for-bit)
       TextOps.tfidfTopTerms(Tables.documents(s, dir))),
@@ -1169,6 +1178,8 @@ object SparkEntry {
     "t7_winnowing" -> TextOps.winnowingSql(),
     "t10_tfidf" -> TextOps.tfidfTopTermsSql(),
     "t12_chunk_text" -> TextOps.chunkTokensSql(),
+    "t13_repetition" -> TextOps.repetitionStatsSql,
+    "t14_kmv_distinct" -> Sketches.kmvDistinctShinglesSql(),
     "t11_pack_chunks" ->
       """WITH t AS (SELECT doc_id, source,
         |                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens

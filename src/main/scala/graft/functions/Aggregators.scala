@@ -52,4 +52,38 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
     def outputEncoder: Encoder[Seq[ScoredId]] = bufferEncoder
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch state: the k smallest
+    * DISTINCT values seen, kept sorted ascending. O(k) bounded state through
+    * the partial/merge path, and union-mergeable — min-k of two sketches'
+    * union IS the sketch of the combined input — so per-partition partials
+    * combine associatively, and sketches of disjoint corpora (yesterday's
+    * shard, today's shard) merge without re-reading either. That
+    * mergeability is what an exact `COUNT(DISTINCT)` can never give you at
+    * 100 TB: exact distinct must shuffle every distinct value; this carries
+    * k longs per group. Estimate: (k-1) * 2^60 / kth_min for 60-bit uniform
+    * hashes ([[graft.functions.Hashing.hash60]]), exact when fewer than k
+    * values were seen (see [[graft.llm.Sketches]]).
+    */
+  final class MinKLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0, "k must be positive")
+
+    private def insert(buf: Seq[Long], x: Long): Seq[Long] =
+      if (buf.length == k && x >= buf.last) buf
+      else if (buf.contains(x)) buf // distinctness: a re-seen value is a no-op
+      else {
+        val i = buf.indexWhere(_ > x)
+        val at = if (i < 0) buf.length else i
+        val (pre, post) = buf.splitAt(at)
+        ((pre :+ x) ++ post).take(k)
+      }
+
+    def zero: Seq[Long] = Vector.empty
+    def reduce(buf: Seq[Long], x: Long): Seq[Long] = insert(buf, x)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+    def finish(buf: Seq[Long]): Seq[Long] = buf
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+  }
 }

@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Aggregators, Hashing}
+
+/** Mergeable sketch operators for corpus statistics at 100 TB.
+  *
+  * The reference computes no statistics at all; a training-data pipeline
+  * lives on them ("how many distinct n-grams does this crawl slice add?"),
+  * and at corpus scale the exact answers are the expensive part: exact
+  * `COUNT(DISTINCT)` shuffles every distinct value. A KMV sketch
+  * ([[Aggregators.MinKLongs]]) carries k longs per group through the
+  * partial/merge path instead, and two sketches union-merge — so daily
+  * increments maintain the corpus-wide estimate without rescans (the same
+  * incremental-maintenance story as q21's rollup, but for DISTINCT, which
+  * plain partial aggregation cannot re-add).
+  *
+  * Estimator (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+  * stream"): with values uniform in [0, 2^60) (md5-derived
+  * [[Hashing.hash60]]), the k-th smallest value m_k estimates the distinct
+  * count as (k-1) * 2^60 / m_k; when fewer than k distinct values exist the
+  * sketch holds all of them and the count is exact. The arithmetic is kept
+  * in DECIMAL(38,0) with integral division so the DuckDB oracle matches
+  * bit-for-bit (HUGEINT floor division on the same operands).
+  */
+object Sketches {
+
+  /** Per-language distinct word-3-gram estimate vs exact:
+    * `(lang, m, kth_min, est_distinct, exact_distinct)` where m = sketch
+    * fill (min(k, exact)). The exact column exists so the gate itself
+    * witnesses the estimate's error — at production scale you would drop it
+    * and keep only the O(k)-state sketch path.
+    */
+  def kmvDistinctShingles(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k > 1, s"KMV needs k > 1 (the estimator uses k-1), got $k")
+    val kmv = udaf(new Aggregators.MinKLongs(k))
+    val pow60 = "CAST(1152921504606846976 AS DECIMAL(38,0))" // 2^60
+    docs
+      .select(col("lang"), explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("shingle"))
+      .select(col("lang"), Hashing.hash60(col("shingle")).as("h"))
+      .groupBy("lang")
+      .agg(kmv(col("h")).as("mins"), countDistinct(col("h")).as("exact_distinct"))
+      .select(col("lang"),
+        size(col("mins")).cast("long").as("m"),
+        element_at(col("mins"), size(col("mins"))).as("kth_min"),
+        col("exact_distinct"))
+      .withColumn("est_distinct",
+        when(col("m") < k, col("m")).otherwise(
+          expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * $pow60 div kth_min")))
+      .select("lang", "m", "kth_min", "est_distinct", "exact_distinct")
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[kmvDistinctShingles]]: min-k per group via a ranked
+    * window (the oracle may afford the full distinct set; the Spark side is
+    * the O(k)-state path being checked).
+    */
+  def kmvDistinctShinglesSql(k: Int = 64): String =
+    s"""WITH t AS (SELECT lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+       |           FROM documents),
+       |sh AS (SELECT DISTINCT lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM t, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+       |h AS (SELECT DISTINCT lang, ${Hashing.hash60Sql("shingle")} AS h FROM sh),
+       |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+       |a AS (SELECT lang, COUNT(*) AS exact_distinct,
+       |             MAX(CASE WHEN rn <= $k THEN rn END) AS m,
+       |             MAX(CASE WHEN rn <= $k THEN h END) AS kth_min
+       |      FROM r GROUP BY lang)
+       |SELECT lang, m::BIGINT AS m, kth_min,
+       |  (CASE WHEN m < $k THEN m
+       |        ELSE ((${k - 1}::HUGEINT * 1152921504606846976::HUGEINT) // kth_min) END)::BIGINT AS est_distinct,
+       |  exact_distinct::BIGINT AS exact_distinct
+       |FROM a ORDER BY lang""".stripMargin
+}

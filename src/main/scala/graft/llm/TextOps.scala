@@ -137,6 +137,55 @@ object TextOps {
        |       ELSE 'ok' END AS quality
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 reads duplicate
+    * line/paragraph and top-n-gram fractions; this corpus is single-line, so
+    * the token-level family): most-frequent-token share, most-frequent-
+    * bigram share, and duplicate-bigram fraction, all in thousandths,
+    * integer-exact. `(doc_id, n_tokens, n_bigrams, top_token_1000,
+    * top_bigram_1000, dup_bigram_1000)`.
+    *
+    * Deliberately per-ROW higher-order-function work (the in-row frequency
+    * scan is O(distinct × n) on ≲10³-token docs): the alternative —
+    * explode + groupBy(doc, token) — would shuffle the whole corpus'
+    * token stream to compute a per-document statistic. Embarrassingly
+    * parallel, no exchange before the output sort.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def topShare(arr: String, n: String) = expr(
+      s"coalesce(array_max(transform(array_distinct($arr), u -> size(filter($arr, x -> x = u)))), 0)" +
+        s" * 1000 div greatest($n, 1)")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .withColumn("bg",
+        when(size(col("ws")) >= 2, // guard: Spark sequence(1, 0) DESCENDS
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("n_bigrams", size(col("bg")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+        topShare("ws", "n_tokens").as("top_token_1000"),
+        topShare("bg", "n_bigrams").as("top_bigram_1000"),
+        expr("(n_bigrams - size(array_distinct(bg))) * 1000 div greatest(n_bigrams, 1)")
+          .as("dup_bigram_1000"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String = {
+    def topShare(arr: String, n: String) =
+      s"COALESCE(list_max(list_transform(list_distinct($arr), u -> len(list_filter($arr, x -> x = u)))), 0)" +
+        s" * 1000 // greatest($n, 1)"
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+       |b AS (SELECT doc_id, ws, list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg FROM t)
+       |SELECT doc_id,
+       |  len(ws)::BIGINT AS n_tokens,
+       |  len(bg)::BIGINT AS n_bigrams,
+       |  (${topShare("ws", "len(ws)")})::BIGINT AS top_token_1000,
+       |  (${topShare("bg", "len(bg)")})::BIGINT AS top_bigram_1000,
+       |  ((len(bg) - len(list_distinct(bg))) * 1000 // greatest(len(bg), 1))::BIGINT AS dup_bigram_1000
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   /** Marker words per language for the n-gram(1) language-ID heuristic.
     * Declared `val` so tests and the SQL mirror stay in lock-step.
     */

@@ -165,4 +165,23 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(got.toSeq === expected)
   }
+
+  test("repetitionStats: known shares on hand-checked texts") {
+    val got = TextOps.repetitionStats(docsDF(Seq(
+      1L -> "a a a b",        // tokens 4; top tok a=3; bigrams: "a a","a a","a b" -> top 2, dup 1
+      2L -> "x y x y x",      // tokens 5; top 3; bigrams: xy yx xy yx -> top 2, dup 2
+      3L -> "one",            // single token: no bigrams
+      4L -> "!!!"))).collect() // no tokens at all
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 3L, 750L, 666L, 333L),
+      (2L, 5L, 4L, 600L, 500L, 500L),
+      (3L, 1L, 0L, 1000L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("repetitionStats: a fully repeated doc maxes every signal") {
+    val r = TextOps.repetitionStats(docsDF(Seq(1L -> "spam spam spam spam"))).head
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((1000L, 1000L, 666L)))
+  }
 }
