@@ -722,6 +722,11 @@ object SparkEntry {
       // oracle mirrors the full step; deeper refinement (iters=2) stays
       // recall-tested in SimilaritySpec
       Similarity.ivfTopK(Tables.embeddings(s, dir), iters = 1)),
+    "s5_sq8_rerank" -> ((s, dir) => // int8 scalar-quantized candidate scan
+      // + exact re-rank: the quantized-memory ANN tier (8× narrower scan
+      // than s1's float64 pass); deterministic end-to-end, so the oracle
+      // mirrors the full quantize→int-rank→refine pipeline
+      Similarity.sq8TopK(Tables.embeddings(s, dir))),
     "s4_label_centroids" -> ((s, dir) => // per-label element-wise embedding
       // mean: posexplode -> one (label, pos) shuffle with partial sums; a
       // group's vectors are never materialized together
@@ -1169,6 +1174,7 @@ object SparkEntry {
     "s2_ann_lsh" -> Similarity.lshTopKSql(),
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),
     "s4_label_centroids" -> Similarity.labelCentroidsSql,
+    "s5_sq8_rerank" -> Similarity.sq8TopKSql(),
     "t1_text_stats" -> TextOps.textStatsSql,
     "t2_language_id" -> TextOps.languageIdSql,
     "t3_quality" -> TextOps.qualityBucketsSql,

@@ -98,6 +98,79 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Int8 scalar-quantized top-k with exact re-rank (the FAISS `SQ8` /
+    * vector-DB "quantized scan + refine" pattern): embeddings are quantized
+    * to integers in [-127, 127] with one global scale
+    * (`floor(x / max|x| * 127 + 0.5)`, round-half-up in both engines), the
+    * candidate scan ranks by the INTEGER quantized dot product (exact in
+    * doubles — every term and sum is ≪ 2^53, so cross-engine order is
+    * irrelevant), and only the top `k·candFactor` candidates per query pay
+    * the exact cosine. `(query_id, neighbor_id, rank, cos_1e6)`.
+    *
+    * Why this is the 100 TB shape: the scan is memory-bandwidth-bound, and
+    * int8 vectors are 8× smaller than the float64 the exact path reads —
+    * the corpus pass streams at cache-friendly width, exact math touches
+    * only Q × (k·candFactor) rows. Quantization is a plain projection
+    * (re-quantizing a new shard needs no global rebuild besides the scale,
+    * itself one MAX aggregate). Fully deterministic given the data, so the
+    * oracle mirrors the whole pipeline; recall vs the exact baseline is
+    * property-tested in SimilaritySpec.
+    */
+  def sq8TopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5,
+              candFactor: Int = 3): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val scale = v.agg(max(array_max(transform(col("e"), x => abs(x)))).as("mx"))
+    val qv = v.crossJoin(broadcast(scale))
+      .withColumn("qe", transform(col("e"),
+        x => floor(x / col("mx") * 127 + lit(0.5)).cast("double")))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = qv.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("e").as("q_e"), col("nrm").as("q_nrm"))
+    val cw = Window.partitionBy("query_id").orderBy(col("qd").desc, col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    qv.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("qd", dot(col("qe"), col("q_qe")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= k * candFactor)
+      .withColumn("cos", dot(col("e"), col("q_e")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of the full [[sq8TopK]] pipeline (same scale, same
+    * round-half-up quantization, same integer candidate ranking, same exact
+    * re-rank).
+    */
+  def sq8TopKSql(numQueries: Int = 20, k: Int = 5, candFactor: Int = 3): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |s AS (SELECT MAX(list_max(list_transform(e, x -> abs(x)))) AS mx FROM v),
+       |qv AS (SELECT vec_id, e,
+       |              list_transform(e, x -> floor(x / mx * 127 + 0.5)) AS qe,
+       |              sqrt(list_dot_product(e, e)) AS nrm
+       |       FROM v, s),
+       |c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |             list_dot_product(n.qe, q.qe) AS qd
+       |      FROM qv q JOIN qv n ON n.vec_id <> q.vec_id
+       |      WHERE q.vec_id < $numQueries),
+       |r AS (SELECT query_id, neighbor_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY qd DESC, neighbor_id) AS crank
+       |      FROM c),
+       |x AS (SELECT r.query_id, r.neighbor_id,
+       |             list_dot_product(n.e, q.e) / (n.nrm * q.nrm) AS cos
+       |      FROM r JOIN qv q ON q.vec_id = r.query_id
+       |             JOIN qv n ON n.vec_id = r.neighbor_id
+       |      WHERE r.crank <= ${k * candFactor}),
+       |f AS (SELECT query_id, neighbor_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+       |             cos
+       |      FROM x)
+       |SELECT query_id, neighbor_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM f WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** IVF (inverted-file) approximate top-k: k-means-lite centroids, each
     * vector assigned to its nearest centroid (the "inverted list"); a query
     * probes only the `nprobe` nearest lists and exact-re-ranks inside them.

@@ -127,6 +127,35 @@ class SimilaritySpec extends SparkSpec {
       s"mean recall ${recalls.sum / recalls.size} below 0.95")
   }
 
+  test("sq8TopK with a corpus-covering candidate pool equals the exact baseline") {
+    // candFactor large enough that every vector is a candidate -> the
+    // re-rank IS the exact top-k, so quantization must not change results
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => i -> Array.fill(16)(rng.nextGaussian().toFloat))
+    val exact = Similarity.cosineTopK(embDF(vecs), numQueries = 8, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val sq8 = Similarity.sq8TopK(embDF(vecs), numQueries = 8, k = 4, candFactor = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(sq8 === exact)
+  }
+
+  test("sq8TopK recall vs exact at the default narrow candidate pool") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.cosineTopK(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq8 = Similarity.sq8TopK(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      sq8.get(q).map(found => (found & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    // int8 quantization of 64-dim unit-ish vectors perturbs cosine by ~1e-2;
+    // with a 3k candidate pool the true top-k is practically always inside
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"mean recall ${recalls.sum / recalls.size} below 0.9")
+  }
+
   test("labelCentroids: element-wise per-label means, hand-computed") {
     val s = spark
     import s.implicits._
