@@ -784,6 +784,10 @@ object SparkEntry {
         .select("doc_id", "shuffle_key")
         .orderBy("shuffle_key", "doc_id")),
     "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
+    "d9_semantic_dedup" -> ((s, dir) => // SemDeDup-style resolution: CC over
+      // the embedding-cosine pair graph (d5's banded-LSH path) -> one
+      // keeper per semantic-dup chain; d6's text-space cousin
+      Similarity.semanticDupClusters(Tables.embeddings(s, dir))),
     "p1_curation_pipeline" -> ((s, dir) => {
       // the operators composed as a user would: quality-filter the corpus,
       // exact-dedup among the survivors (keeper = min surviving id per
@@ -1170,6 +1174,7 @@ object SparkEntry {
     "d4_simhash_pairs" -> Dedup.simHashPairsSql(),
     "d7_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
+    "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
     "s2_ann_lsh" -> Similarity.lshTopKSql(),
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),

@@ -373,6 +373,43 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** SemDeDup-style semantic near-dup resolution (Abbas et al. 2023 keep
+    * one representative per embedding-space duplicate group): connected
+    * components over the [[cosineDupPairs]] graph, labeling every vector in
+    * a semantic-dup chain with its cluster keeper (min id). `(vec_id,
+    * keeper)` for vectors in ≥1 pair; singletons are implicitly their own
+    * keeper. The transitive closure matters for the same reason d6's text
+    * clusters need it: near-dup is not transitive, but one representative
+    * should survive per chain.
+    *
+    * Scale shape: corpus-sized work all happens inside the banded LSH
+    * candidate join (ids-only shuffle); the CC runs on the pair graph,
+    * which IS the dup set — tiny relative to the corpus.
+    */
+  def semanticDupClusters(emb: DataFrame, thresholdE6: Long = 450000L): DataFrame = {
+    val pairs = cosineDupPairs(emb, thresholdE6)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    graft.graph.Analytics.connectedComponents(pairs)
+      .select(col("vertex").as("vec_id"), col("component").as("keeper"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[semanticDupClusters]]: the full seeded banded-LSH
+    * pair pipeline nested as a CTE, then the same reachability closure
+    * d6's oracle uses (min reachable id ≡ undirected CC min-id).
+    */
+  def semanticDupClustersSql(thresholdE6: Long = 450000L): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${cosineDupPairsSql(thresholdE6)}
+       |),
+       |ue AS (SELECT vec_a AS a, vec_b AS b FROM pairs UNION SELECT vec_b, vec_a FROM pairs),
+       |vts AS (SELECT a AS vertex FROM ue UNION SELECT b AS vertex FROM ue),
+       |r(vertex, reach) AS (
+       |  SELECT vertex, vertex FROM vts
+       |  UNION
+       |  SELECT r.vertex, ue.b FROM r JOIN ue ON ue.a = r.reach)
+       |SELECT vertex AS vec_id, MIN(reach) AS keeper FROM r GROUP BY vertex ORDER BY vec_id""".stripMargin
+
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */
   private def planes(numPlanes: Int, dim: Int, seed: Long = 7L): IndexedSeq[Array[Double]] = {
     val rng = new scala.util.Random(seed)

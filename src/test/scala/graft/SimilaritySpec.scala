@@ -156,6 +156,21 @@ class SimilaritySpec extends SparkSpec {
       s"mean recall ${recalls.sum / recalls.size} below 0.9")
   }
 
+  test("semanticDupClusters chains non-transitive near-dups to one keeper") {
+    // 0≈1 and 1≈2 by construction while cos(0,2) is lower; 3 is far away.
+    // A chain must collapse to keeper 0 even though 0-2 alone may miss the
+    // cut. Vectors padded to the operator's 64-dim plane width.
+    def v64(xs: Float*) = (xs ++ Seq.fill(64 - xs.length)(0f)).toArray
+    val e = embDF(Seq(
+      0L -> v64(1f),
+      1L -> v64(0.95f, 0.3122499f),  // unit-ish, cos(0,1) ≈ 0.95
+      2L -> v64(0.81f, 0.5864306f),  // cos(1,2) ≈ 0.95, cos(0,2) ≈ 0.81
+      3L -> v64(0f, 0f, 0f, 1f)))
+    val got = Similarity.semanticDupClusters(e, thresholdE6 = 900000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("labelCentroids: element-wise per-label means, hand-computed") {
     val s = spark
     import s.implicits._
