@@ -83,6 +83,11 @@ object SparkEntry {
       // (5 rounds, min-label ties); VALUES oracle from the sequential
       // mirror — fixed-iteration semantics, like the PageRank oracle
       Analytics.labelPropagation(DerivedGraphs.small(s, dir), numIter = 5)),
+    "g17_common_neighbors" -> ((s, dir) => // link prediction: non-adjacent
+      // pairs sharing >=2 neighbors via center-out wedge enumeration; the
+      // super-hub degree cap is set BELOW this graph's max degree (16) so
+      // the gate exercises the capped path, not a vacuous guard
+      Analytics.commonNeighbors(DerivedGraphs.small(s, dir), minCommon = 2, maxDegree = 12)),
     "g13_partitioned_catalog" -> ((s, dir) => {
       // the single-partitioned-table catalog layout bound to the gate:
       // write two graphs into ONE graph_name-partitioned table, then run
@@ -861,6 +866,8 @@ object SparkEntry {
          |       COALESCE(out_degree, 0) AS out_degree, COALESCE(in_degree, 0) AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
     "g7_pagerank" -> Analytics.pageRankSql(DerivedGraphs.smallSql, numIter = 10),
+    "g17_common_neighbors" ->
+      Analytics.commonNeighborsSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
     "g11_scc" -> // SCC = mutual reachability; closure is reflexive (base
       // row (v,v)), so singleton vertices label themselves
       s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),

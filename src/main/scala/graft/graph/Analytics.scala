@@ -300,4 +300,53 @@ object Analytics {
       .groupBy("vertex").agg(count(lit(1)).as("triangles"))
       .orderBy("vertex")
   }
+
+  /** Common-neighbor link prediction over the simple undirected graph:
+    * non-adjacent pairs sharing ≥ `minCommon` neighbors, with the count —
+    * the classic "people you may know" / missing-edge score (the base
+    * feature under Adamic-Adar and friends). `(a, b, n_common)`, a < b.
+    *
+    * Scale shape: wedges are enumerated center-out (`adj ⋈ adj` on the
+    * shared neighbor), so cost is Σ_c deg(c)² — quadratic in HUB degree,
+    * which is why `maxDegree` excludes super-hub CENTERS outright (the
+    * standard cut in the triangle/CN literature: a celebrity's followers
+    * sharing that one neighbor is signal-free and would dominate the whole
+    * job; the same pruning triangleCounts gets from its degree
+    * orientation). The wedge shuffle carries only id pairs; the anti-join
+    * against the edge list removes already-connected pairs.
+    */
+  def commonNeighbors(edges: DataFrame, minCommon: Int = 3, maxDegree: Int = 64): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("c"), col("b").as("leaf"))
+      .union(und.select(col("b").as("c"), col("a").as("leaf")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+    val ctr = adj.join(deg.filter(col("d") <= maxDegree), "c")
+    ctr.as("x")
+      .join(ctr.as("y"), col("x.c") === col("y.c") && col("x.leaf") < col("y.leaf"))
+      .select(col("x.leaf").as("a"), col("y.leaf").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .join(und, Seq("a", "b"), "left_anti")
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB mirror of [[commonNeighbors]] over the edge derivation
+    * `edgeSql` — same degree cap, same wedge enumeration, same anti-join.
+    */
+  def commonNeighborsSql(edgeSql: String, minCommon: Int = 3, maxDegree: Int = 64): String =
+    s"""WITH e AS ($edgeSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+       |adj AS (SELECT a AS c, b AS leaf FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
+       |ctr AS (SELECT adj.c, adj.leaf FROM adj JOIN deg ON deg.c = adj.c WHERE deg.d <= $maxDegree),
+       |p AS (SELECT x.leaf AS a, y.leaf AS b, COUNT(*) AS n_common
+       |      FROM ctr x JOIN ctr y ON x.c = y.c AND x.leaf < y.leaf
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon)
+       |SELECT p.a, p.b, p.n_common FROM p
+       |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.a AND und.b = p.b)
+       |ORDER BY a, b""".stripMargin
 }

@@ -119,4 +119,36 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 1L), (1L, 1L)))
   }
+
+  test("commonNeighbors: non-adjacent pair found, adjacent pair suppressed") {
+    // 0 and 1 share neighbors {2,3,4} and are NOT adjacent -> reported (so
+    // are 3,4 via {0,1,2}). 0 and 2 share {3,4} but 0-2 IS an edge ->
+    // suppressed even at minCommon=2.
+    val e = Seq((0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val got3 = Analytics.commonNeighbors(edgesDF(e), minCommon = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got3 === Seq((0L, 1L, 3L), (3L, 4L, 3L)))
+    val got2 = Analytics.commonNeighbors(edgesDF(e), minCommon = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got2.contains((0L, 2L)) && got2.contains((0L, 1L)))
+  }
+
+  test("commonNeighbors matches a brute-force model, degree cap honored") {
+    val rng = new scala.util.Random(13)
+    val edges = Seq.fill(120)((rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+    val maxDeg = 6
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val allowed = nbrs.filter(_._2.size <= maxDeg).keySet // centers under the cap
+    val vs = nbrs.keySet.toSeq.sorted
+    val expected = (for {
+      a <- vs; b <- vs if a < b && !und.contains((a, b))
+      common = (nbrs(a) & nbrs(b)) & allowed
+      if common.size >= 2
+    } yield (a, b, common.size.toLong)).toSet
+    val got = Analytics.commonNeighbors(edgesDF(edges), minCommon = 2, maxDegree = maxDeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
 }
