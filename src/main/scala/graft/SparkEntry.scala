@@ -283,6 +283,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("sum_qty"))
         .orderBy("o_orderpriority")
     }),
+    "q22_null_safe_join" -> ((s, dir) => {
+      // null-safe equality join (<=>, a distinct Catalyst code path from
+      // plain = : EqualNullSafe matches NULL with NULL) over derived
+      // nullable keys, FULL OUTER so unmatched key domains survive; the
+      // oracle mirrors with IS NOT DISTINCT FROM. Sort order pins NULL
+      // placement explicitly (Spark defaults NULLS FIRST asc, DuckDB LAST).
+      val c = Tables.customer(s, dir)
+        .select(expr("nullif(c_custkey % 5, 2)").as("ck"))
+        .groupBy("ck").agg(count(lit(1)).as("n_cust"))
+      val sup = Tables.supplier(s, dir)
+        .select(expr("nullif(s_suppkey % 7, 3)").as("sk"))
+        .groupBy("sk").agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("ck") <=> col("sk"), "full_outer")
+        .select(col("ck"), col("sk"), col("n_cust"), col("n_supp"))
+        .orderBy(col("ck").asc_nulls_first, col("sk").asc_nulls_first)
+    }),
     "q20_merge_upsert" -> ((s, dir) => {
       // MERGE INTO (SCD-1 upsert) through the MergeInto operator: a
       // deterministic change-set derived from orders itself — updates
@@ -808,6 +824,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"), sum("n_chars").as("sum_chars"))
         .orderBy("split")
     }),
+    "p2_semantic_curation" -> ((s, dir) => {
+      // the embedding-side composition (p1's cousin): semantic-dedup the
+      // vector corpus (d9 keepers), then per-label survivor stats — the
+      // SemDeDup curation loop end-to-end through the operator APIs
+      val emb = Tables.embeddings(s, dir)
+      val drops = Similarity.semanticDupClusters(emb)
+        .filter(col("vec_id") =!= col("keeper")).select("vec_id")
+      emb.join(drops, Seq("vec_id"), "left_anti")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_ids"))
+        .orderBy("label")
+    }),
     "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
     "m2_frame_sample" -> ((s, dir) => MediaOps.frameSample(Tables.documents(s, dir))),
     "m3_decode_features" -> ((s, dir) => // the mapPartitions decode path
@@ -938,6 +966,14 @@ object SparkEntry {
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q22_null_safe_join" ->
+      """WITH c AS (SELECT nullif(c_custkey % 5, 2) AS ck, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT nullif(s_suppkey % 7, 3) AS sk, COUNT(*) AS n_supp
+        |      FROM supplier GROUP BY 1)
+        |SELECT ck, sk, n_cust, n_supp
+        |FROM c FULL OUTER JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+        |ORDER BY ck NULLS FIRST, sk NULLS FIRST""".stripMargin,
     "q20_merge_upsert" -> // relational mirror of MergeInto.merge over the
       // same derived change-set: source-wins CASE on match, delete-flag
       // filter, full-outer join
@@ -1182,6 +1218,14 @@ object SparkEntry {
     "d7_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
+    "p2_semantic_curation" -> // the d9 clusters query nested as a derived
+      // table; survivors = vectors that are not a non-keeper cluster member
+      s"""SELECT e.label::BIGINT AS label, COUNT(*) AS n, SUM(e.vec_id)::BIGINT AS sum_ids
+         |FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM (
+         |${Similarity.semanticDupClustersSql()}
+         |) c WHERE c.vec_id = e.vec_id AND c.keeper <> c.vec_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
     "s2_ann_lsh" -> Similarity.lshTopKSql(),
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),

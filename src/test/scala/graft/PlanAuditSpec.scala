@@ -85,4 +85,33 @@ class PlanAuditSpec extends SparkSpec {
         s"expected a RANGE frame in e12's window spec:\n$s")
     }
   }
+
+  test("runtime bloom filter injects on a selective shuffle join (the 100 TB runtime-filter knob)") {
+    // At cluster scale a selective dim filter should prune the fact scan
+    // BEFORE the shuffle — Catalyst's InjectRuntimeFilter does that with a
+    // bloom filter built from the creation side. Local tables sit under the
+    // default size thresholds, so lower them to prove the engine's plans
+    // are eligible and the knob works; broadcast is disabled because the
+    // bloom filter targets shuffle joins (broadcast joins prune via DPP).
+    import org.apache.spark.sql.functions.col
+    val tweaks = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tweaks.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tweaks.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val q = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").count()
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
