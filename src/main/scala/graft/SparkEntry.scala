@@ -687,6 +687,13 @@ object SparkEntry {
       EventStreams.viewClickLeftJoin(ev, ev).orderBy("view_id", "click_id")
     }),
 
+    "st8_stream_static" -> ((s, dir) => {
+      // stream-static enrichment (the zero-state third join mode): batch
+      // semantics gated here; the MemoryStream half is in StreamingSpec
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      EventStreams.enrichPurchases(Tables.events(s, dir), dim).orderBy("event_id")
+    }),
     "st7_bounded_counts" -> ((s, dir) => {
       // the EventTimeTimeout stateful variant (the production state-bounded
       // form of st4) in batch mode: each group folds once from empty state
@@ -1207,6 +1214,7 @@ object SparkEntry {
     "st4_running_counts" -> EventStreams.runningUserCountsSql(),
     "st5_stream_join" -> EventStreams.viewClickJoinSql(),
     "st6_stream_left_join" -> EventStreams.viewClickLeftJoinSql(),
+    "st8_stream_static" -> EventStreams.enrichPurchasesSql(),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d2_jaccard_pairs" -> Dedup.jaccardPairsSql(),
     // the oracle mirrors the full MinHash+LSH pipeline (same seeded hash

@@ -130,6 +130,29 @@ object EventStreams {
        | AND epoch_us(c.ts) - epoch_us(v.ts) <= $windowUs
        |ORDER BY view_id, click_id""".stripMargin
 
+  /** Stream-static enrichment join — the third join mode next to
+    * stream-stream (st5/st6) and static-static: purchases enriched against
+    * a STATIC dimension. The static side carries no watermark and no join
+    * state; it is broadcast and re-resolved per micro-batch, so an
+    * unbounded stream joins map-side forever with zero state growth — the
+    * canonical "stamp each event with its user/product attributes" shape.
+    * Identical semantics in batch (the driver's gate, `st8`); the
+    * per-micro-batch streaming half is asserted in StreamingSpec over a
+    * MemoryStream feed. `(user_id, event_id, <dim columns>)`.
+    */
+  def enrichPurchases(events: DataFrame, dim: DataFrame): DataFrame =
+    normalized(events).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+      .join(broadcast(dim), Seq("user_id"))
+
+  /** DuckDB mirror of [[enrichPurchases]]'s batch semantics over the
+    * customer-derived segment dimension the gate uses.
+    */
+  def enrichPurchasesSql(): String =
+    """SELECT e.user_id, e.event_id, c.c_mktsegment AS segment
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin
+
   /** LEFT OUTER stream-stream join: like [[viewClickJoin]], but views with
     * NO click inside the window still emit, with a null `click_id` — the
     * "which impressions never converted" question, answerable on an

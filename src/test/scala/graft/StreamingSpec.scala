@@ -227,19 +227,19 @@ class StreamingSpec extends SparkSpec {
   test("stream-static broadcast join == batch join") {
     val s = spark
     import s.implicits._
-    import org.apache.spark.sql.functions.broadcast
     val events = mkEvents
-    // static dimension joined into a stream — the enrichment shape; the dim
-    // is broadcast so each micro-batch joins map-side, no stream-side state
-    val dims = (0L until 5L).map(i => (i, s"user-$i")).toDF("user_id", "name")
+    // static dimension joined into a stream through the SHARED operator the
+    // st8 gate binds — the dim is broadcast so each micro-batch joins
+    // map-side, no stream-side state
+    val dims = (0L until 5L).map(i => (i, s"user-$i")).toDF("user_id", "segment")
     val mem = MemoryStream[Ev](s)
     mem.addData(events)
     val got = runToCompletion(
-      mem.toDF().join(broadcast(dims), "user_id").select("event_id", "name"),
+      EventStreams.enrichPurchases(mem.toDF(), dims),
       "t_enrich", OutputMode.Append())
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val want = events.toDF().join(dims, "user_id").select("event_id", "name")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = EventStreams.enrichPurchases(events.toDF(), dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got === want && want.nonEmpty)
   }
 
