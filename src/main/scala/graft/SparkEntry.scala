@@ -779,6 +779,11 @@ object SparkEntry {
       // path) vs the exact distinct count it estimates — the incremental
       // COUNT(DISTINCT) surface exact aggregation can't maintain at 100 TB
       Sketches.kmvDistinctShingles(Tables.documents(s, dir))),
+    "t15_histogram_quantiles" -> ((s, dir) => // mergeable fixed-bin
+      // quantile sketch: re-addable bin counts -> p50/p90 edges; the
+      // incremental-percentile surface q12's exact sort-based path can't
+      // maintain (bins merge by summing; history never rescanned)
+      Sketches.histogramQuantiles(Tables.orders(s, dir))),
     "t10_tfidf" -> ((s, dir) => // per-doc top terms by integer-exact
       // raw-idf TF-IDF (log-free so the oracle matches bit-for-bit)
       TextOps.tfidfTopTerms(Tables.documents(s, dir))),
@@ -1250,6 +1255,7 @@ object SparkEntry {
     "t12_chunk_text" -> TextOps.chunkTokensSql(),
     "t13_repetition" -> TextOps.repetitionStatsSql,
     "t14_kmv_distinct" -> Sketches.kmvDistinctShinglesSql(),
+    "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
     "t11_pack_chunks" ->
       """WITH t AS (SELECT doc_id, source,
         |                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens

@@ -52,6 +52,63 @@ object Sketches {
       .orderBy("lang")
   }
 
+  /** Mergeable quantile estimation via a fixed-width integer histogram: per
+    * group, the p50/p90 bin lower edges plus the row count.
+    * `(prio, n_rows, p50_edge, p90_edge)` — all integer-exact.
+    *
+    * The histogram state (bin → count) is plain re-addable partial
+    * aggregation, so — like q21's rollup and t14's KMV — yesterday's bins
+    * merge with today's by summing, and quantiles re-derive from the merged
+    * counts without touching history. That is the property exact
+    * percentiles (q12's sort-based path) fundamentally lack. Error is
+    * bounded by the bin width by construction. Production sketches
+    * (t-digest/KLL) trade the fixed grid for adaptive accuracy but have
+    * merge-order-dependent internals — not oracle-checkable bit-for-bit —
+    * so the gate binds the deterministic fixed-grid form and the estimator
+    * tolerance is property-tested in SketchesSpec.
+    *
+    * Rank targets use ceiling integer math (`ceil(q·n) = (q·n + d-1) div d`)
+    * and the pick is "smallest bin whose cumulative count reaches the
+    * rank" — identical integer semantics in both engines.
+    */
+  def histogramQuantiles(orders: DataFrame, binWidth: Long = 16384L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    import org.apache.spark.sql.expressions.Window
+    val binned = orders
+      .select(col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") / binWidth).cast("long").as("bin"))
+      .groupBy("prio", "bin").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("prio").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("prio")
+    binned
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+      .groupBy("prio")
+      .agg(max("n").as("n_rows"),
+        (min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))) * binWidth)
+          .cast("long").as("p50_edge"),
+        (min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("bin"))) * binWidth)
+          .cast("long").as("p90_edge"))
+      .orderBy("prio")
+  }
+
+  /** DuckDB mirror of [[histogramQuantiles]] — same bins, same ceiling
+    * ranks, same smallest-qualifying-bin pick.
+    */
+  def histogramQuantilesSql(binWidth: Long = 16384L): String =
+    s"""WITH b AS (SELECT o_orderpriority AS prio,
+       |                  CAST(floor(o_totalprice / $binWidth) AS BIGINT) AS bin, COUNT(*) AS c
+       |           FROM orders GROUP BY 1, 2),
+       |cum AS (SELECT prio, bin,
+       |               SUM(c) OVER (PARTITION BY prio ORDER BY bin) AS cum,
+       |               SUM(c) OVER (PARTITION BY prio) AS n
+       |        FROM b)
+       |SELECT prio, MAX(n)::BIGINT AS n_rows,
+       |  (MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * $binWidth)::BIGINT AS p50_edge,
+       |  (MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END) * $binWidth)::BIGINT AS p90_edge
+       |FROM cum GROUP BY prio ORDER BY prio""".stripMargin
+
   /** DuckDB mirror of [[kmvDistinctShingles]]: min-k per group via a ranked
     * window (the oracle may afford the full distinct set; the Spark side is
     * the O(k)-state path being checked).

