@@ -640,6 +640,23 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("o_custkey", "day")
     }),
+    "e14_cumulative_users" -> ((s, dir) => {
+      // running DISTINCT count (cumulative unique users per day) — the
+      // growth-accounting query. The naive form (COUNT(DISTINCT) OVER an
+      // expanding window) re-scans every prior row per day and carries the
+      // full value set as window state; the scale form computed here is
+      // dedup-then-cumsum: each user's FIRST day (one hash shuffle), daily
+      // first-timer counts, then a cumulative sum over the tiny per-day
+      // series. Same answer, O(users) state nowhere, window over days only.
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("day"))
+      val daily = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("day"), col("n_new"),
+          sum("n_new").over(w).as("cum_users"))
+        .orderBy("day")
+    }),
     "e9_sessionized" -> ((s, dir) => {
       // row-level sessionization (gaps-and-islands): every event stamped
       // with its per-user session number — the enrichment form feature
@@ -779,6 +796,10 @@ object SparkEntry {
       // path) vs the exact distinct count it estimates — the incremental
       // COUNT(DISTINCT) surface exact aggregation can't maintain at 100 TB
       Sketches.kmvDistinctShingles(Tables.documents(s, dir))),
+    "t16_token_rarity" -> ((s, dir) => // corpus-relative quality signal:
+      // mean corpus frequency of each doc's tokens (vocabulary-sized
+      // frequency table joined back — broadcast shape at corpus scale)
+      TextOps.tokenRarity(Tables.documents(s, dir))),
     "t15_histogram_quantiles" -> ((s, dir) => // mergeable fixed-bin
       // quantile sketch: re-addable bin counts -> p50/p90 edges; the
       // incremental-percentile surface q12's exact sort-based path can't
@@ -1202,6 +1223,14 @@ object SparkEntry {
         |SELECT g.o_custkey, g.day::BIGINT AS day, COALESCE(c.n, 0)::BIGINT AS n
         |FROM g LEFT JOIN c ON c.o_custkey = g.o_custkey AND c.day = g.day
         |ORDER BY g.o_custkey, g.day""".stripMargin,
+    "e14_cumulative_users" -> // dedup-then-cumsum mirror: first day per
+      // user, daily first-timer counts, running sum over the day series
+      """WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY day)
+        |SELECT day::BIGINT AS day, n_new, SUM(n_new) OVER (
+        |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
     "g16_partitioned_bfs" ->
       s"""WITH RECURSIVE e AS (SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 2 = 0),
          |walk(vertex, level) AS (
@@ -1256,6 +1285,7 @@ object SparkEntry {
     "t13_repetition" -> TextOps.repetitionStatsSql,
     "t14_kmv_distinct" -> Sketches.kmvDistinctShinglesSql(),
     "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
+    "t16_token_rarity" -> TextOps.tokenRaritySql,
     "t11_pack_chunks" ->
       """WITH t AS (SELECT doc_id, source,
         |                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens

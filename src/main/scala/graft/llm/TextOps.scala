@@ -186,6 +186,33 @@ object TextOps {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-doc mean corpus frequency of its tokens (integer division):
+    * `(doc_id, n_tokens, mean_cf)` for docs with ≥1 token. A
+    * rare-token-heavy doc (low mean_cf) is the OCR-noise/gibberish
+    * candidate; an extreme common-token mean flags boilerplate — the
+    * corpus-relative quality signal t3's per-row ratios can't see.
+    *
+    * Scale shape: one token-level shuffle builds the frequency table; the
+    * join back is against a VOCABULARY-sized table (broadcast at corpus
+    * scale — natural-language vocabularies are millions of rows, not
+    * corpus-sized), then one per-doc aggregation.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    toks.join(cf, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), expr("sum(cf) div count(1)").as("mean_cf"))
+      .orderBy("doc_id")
+  }
+
+  val tokenRaritySql: String =
+    """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      |           FROM documents),
+      |cf AS (SELECT tok, COUNT(*) AS cf FROM t GROUP BY tok)
+      |SELECT doc_id, COUNT(*) AS n_tokens, (SUM(cf.cf) // COUNT(*))::BIGINT AS mean_cf
+      |FROM t JOIN cf USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Marker words per language for the n-gram(1) language-ID heuristic.
     * Declared `val` so tests and the SQL mirror stay in lock-step.
     */

@@ -180,6 +180,15 @@ class TextOpsSpec extends SparkSpec {
       (4L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("tokenRarity: mean corpus frequency per doc, integer division") {
+    // cf: a=3, b=1, c=1. doc1 mean = (3+1) div 2 = 2; doc2 = (3+3+1) div 3 = 2;
+    // doc3 (only rare tokens) = 1 — the low-mean gibberish signal
+    val got = TextOps.tokenRarity(docsDF(Seq(
+      1L -> "a b", 2L -> "a a c", 3L -> "zzz"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 1L, 1L)))
+  }
+
   test("repetitionStats: a fully repeated doc maxes every signal") {
     val r = TextOps.repetitionStats(docsDF(Seq(1L -> "spam spam spam spam"))).head
     assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((1000L, 1000L, 666L)))
