@@ -410,6 +410,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(dec12("o_totalprice")).cast("double").as("sum_price"))
         .orderBy("month")
     }),
+    "f5_hive_partitioned" -> ((s, dir) => {
+      // hive-partitioned layout (f3's directory-pruning sibling): orders
+      // written under o_year=YYYY dirs, read back with a partition-column
+      // filter that prunes at PLANNING time from the listing (asserted in
+      // PartitioningSpec); oracle computes the same aggregate from the
+      // source table with the same year filter
+      val out = hivePartitionedPath(dir)
+      Partitioning.writeHivePartitioned(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"), year(col("o_orderdate")).as("o_year")),
+        out, partCol = "o_year")
+      s.read.parquet(out)
+        .filter(col("o_year") === 1996)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(dec12("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "q13_pivot" -> ((s, dir) => // pivot with explicit values (no extra
       // distinct-scan job, deterministic column order); empty cells stay
       // NULL on both sides (SUM over no rows)
@@ -767,6 +784,12 @@ object SparkEntry {
       // oracle mirrors the full step; deeper refinement (iters=2) stays
       // recall-tested in SimilaritySpec
       Similarity.ivfTopK(Tables.embeddings(s, dir), iters = 1)),
+    "s6_gram_matrix" -> ((s, dir) => // distributed Gram/covariance matrix
+      // (the PCA/whitening Σ): per-row upper-triangle outer products, ONE
+      // (i,j) shuffle with map-side partial sums — shuffle volume is
+      // partitions × dim², independent of corpus size; result driver-small
+      // by contract (dim×dim), like IVF's centroids
+      Similarity.gramMatrix(Tables.embeddings(s, dir))),
     "s5_sq8_rerank" -> ((s, dir) => // int8 scalar-quantized candidate scan
       // + exact re-rank: the quantized-memory ANN tier (8× narrower scan
       // than s1's float64 pass); deterministic end-to-end, so the oracle
@@ -1273,6 +1296,12 @@ object SparkEntry {
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),
     "s4_label_centroids" -> Similarity.labelCentroidsSql,
     "s5_sq8_rerank" -> Similarity.sq8TopKSql(),
+    "s6_gram_matrix" -> Similarity.gramMatrixSql(),
+    "f5_hive_partitioned" -> // source-table oracle with the same year cut
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "t1_text_stats" -> TextOps.textStatsSql,
     "t2_language_id" -> TextOps.languageIdSql,
     "t3_quality" -> TextOps.qualityBucketsSql,
@@ -1360,6 +1389,10 @@ object SparkEntry {
     */
   def orcRoundtripPath(sfDir: String): String =
     exportRoot + "/graft-orc-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Hive-partitioned export for `f5_hive_partitioned` (same discipline). */
+  def hivePartitionedPath(sfDir: String): String =
+    exportRoot + "/graft-hive-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Oracles only computable against the data (not sf-independent SQL),
     * merged into `oracle_sql.json` by Verify:

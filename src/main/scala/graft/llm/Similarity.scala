@@ -373,6 +373,45 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Distributed Gram matrix (uncentered covariance) of the embedding
+    * column: `(i, j, gram_1e6)` for 1 ≤ i ≤ j ≤ dim, `gram = mean(x_i·x_j)`
+    * scaled to integer millionths — the Σ every PCA / whitening / linear
+    * probe step starts from.
+    *
+    * Scale shape: each row emits its upper-triangle outer product as
+    * dim·(dim+1)/2 narrow (i, j, product) tuples, then ONE hash shuffle on
+    * (i, j) with map-side partial aggregation — shuffle volume is
+    * partitions × dim², independent of row count (same partial-sum shape as
+    * [[labelCentroids]]). The result is dim × dim = driver-small by the
+    * same contract as IVF's centroids; the eigendecomposition step of PCA
+    * is a dense dim² problem that belongs on the driver, not in a shuffle.
+    * Float discipline: double partial-sum reorder error (~1e-12 relative)
+    * sits far below the 1e-6 grain, the established s4/g7 argument.
+    */
+  def gramMatrix(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val pairs = flatten(transform(sequence(lit(1), lit(dim)), i =>
+      transform(sequence(i, lit(dim)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("e"), i) * element_at(col("e"), j)).as("v")))))
+    emb.select(asDouble(col("embedding")).as("e"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"), col("p.v").as("v"))
+      .groupBy("i", "j")
+      .agg(round(avg("v") * 1e6).cast("long").as("gram_1e6"))
+      .orderBy("i", "j")
+  }
+
+  /** DuckDB mirror of [[gramMatrix]] (the oracle affords the plain double
+    * unnest; the Spark side is the partial-aggregated shuffle being
+    * checked).
+    */
+  def gramMatrixSql(dim: Int = 64): String =
+    s"""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings)
+       |SELECT i::BIGINT AS i, j::BIGINT AS j, round(AVG(e[i] * e[j]) * 1e6)::BIGINT AS gram_1e6
+       |FROM v, UNNEST(range(1, ${dim + 1})) t1(i), UNNEST(range(1, ${dim + 1})) t2(j)
+       |WHERE i <= j
+       |GROUP BY i, j ORDER BY i, j""".stripMargin
+
   /** SemDeDup-style semantic near-dup resolution (Abbas et al. 2023 keep
     * one representative per embedding-space duplicate group): connected
     * components over the [[cosineDupPairs]] graph, labeling every vector in

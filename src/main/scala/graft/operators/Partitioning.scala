@@ -46,6 +46,20 @@ object Partitioning {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `partCol` (`path/partCol=v/...`). Queries filtering on the partition
+    * column never OPEN the other directories — partition pruning happens at
+    * planning time from the directory listing, before any file IO, which at
+    * 100 TB is the difference between listing a year and scanning a decade.
+    * The partition column must be low-cardinality (days/regions/years, not
+    * keys): each value is a directory and a write-side shuffle target.
+    * Pruning is asserted structurally in PartitioningSpec; `f5` gates the
+    * round-trip semantics.
+    */
+  def writeHivePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.repartition(col(partCol)) // one shuffle -> one file per partition dir
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
   /** Salted equi-join for skewed keys: the big side gets a deterministic
     * salt in [0, salts) derived from its full row, the small side is
     * replicated `salts` times, and the join key becomes (key, salt) — a hot

@@ -96,4 +96,31 @@ class PartitioningSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("writeHivePartitioned: partition-column filters prune at the listing, and bite") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hive-spec").toString
+    val df = (1 to 300).map(i => (i.toLong, 1994 + i % 4)).toDF("k", "yr")
+    Partitioning.writeHivePartitioned(df, dir, partCol = "yr")
+    val q = s.read.parquet(dir).filter(col("yr") === 1996)
+    q.collect() // execute so scan metrics (numFiles) populate
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectWithSubqueries { case f: FileSourceScanExec => f }.head
+    // the year equality must be a PARTITION filter (pruned from the
+    // directory listing), not a post-scan data filter
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "yr")),
+      s"yr not in partition filters: ${scan.partitionFilters}")
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = s.read.parquet(dir).inputFiles.length
+    assert(filesRead < totalFiles,
+      s"scan read $filesRead of $totalFiles files — pruning did not bite")
+    assert(q.count() === 75)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

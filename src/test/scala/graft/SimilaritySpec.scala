@@ -171,6 +171,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
 
+  test("gramMatrix: upper-triangle means, hand-computed") {
+    // vectors (1,2), (3,4): E[x1x1]=(1+9)/2=5, E[x1x2]=(2+12)/2=7, E[x2x2]=(4+16)/2=10
+    val got = Similarity.gramMatrix(embDF(Seq(
+      0L -> Array(1f, 2f), 1L -> Array(3f, 4f))), dim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 5000000L), (1L, 2L, 7000000L), (2L, 2L, 10000000L)))
+  }
+
   test("labelCentroids: element-wise per-label means, hand-computed") {
     val s = spark
     import s.implicits._
