@@ -83,6 +83,10 @@ object SparkEntry {
       // (5 rounds, min-label ties); VALUES oracle from the sequential
       // mirror — fixed-iteration semantics, like the PageRank oracle
       Analytics.labelPropagation(DerivedGraphs.small(s, dir), numIter = 5)),
+    "g18_personalized_pagerank" -> ((s, dir) => // source-restart PageRank:
+      // rank as proximity to vertex 0 (the recommendation form of g7);
+      // same fixed-iteration deterministic contract and unrolled-CTE mirror
+      Analytics.personalizedPageRank(DerivedGraphs.small(s, dir), source = 0L, numIter = 10)),
     "g17_common_neighbors" -> ((s, dir) => // link prediction: non-adjacent
       // pairs sharing >=2 neighbors via center-out wedge enumeration; the
       // super-hub degree cap is set BELOW this graph's max degree (16) so
@@ -952,6 +956,8 @@ object SparkEntry {
     "g7_pagerank" -> Analytics.pageRankSql(DerivedGraphs.smallSql, numIter = 10),
     "g17_common_neighbors" ->
       Analytics.commonNeighborsSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
+    "g18_personalized_pagerank" ->
+      Analytics.personalizedPageRankSql(DerivedGraphs.smallSql, source = 0L, numIter = 10),
     "g11_scc" -> // SCC = mutual reachability; closure is reflexive (base
       // row (v,v)), so singleton vertices label themselves
       s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),

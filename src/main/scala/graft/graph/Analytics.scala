@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph => XGraph}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -119,8 +119,26 @@ object Analytics {
     * fixed partitioning — only ranks shuffle per iteration, never the edge
     * relation. `localCheckpoint` truncates the iterative-join lineage.
     */
-  def pageRank(edges: DataFrame, numIter: Int = 10): DataFrame = {
-    val spark = edges.sparkSession
+  def pageRank(edges: DataFrame, numIter: Int = 10): DataFrame =
+    prLoop(edges, numIter, init = lit(1.0), base = lit(0.15))
+
+  /** Personalized PageRank: the restart mass returns to `source` instead of
+    * spreading uniformly — rank becomes proximity TO the source (the
+    * recommendation / local-relevance form of g7). Same fixed-iteration
+    * deterministic contract as [[pageRank]], so the oracle is the same
+    * unrolled-CTE mirror with the source-restart base.
+    */
+  def personalizedPageRank(edges: DataFrame, source: Long, numIter: Int = 10): DataFrame =
+    prLoop(edges, numIter,
+      init = when(col("vertex") === source, lit(1.0)).otherwise(lit(0.0)),
+      base = when(col("vertex") === source, lit(0.15)).otherwise(lit(0.0)))
+
+  /** Shared power-iteration loop: rank' = base + 0.85 · Σ inbound rank/deg.
+    * Edges deduped, repartitioned by src once and persisted — each
+    * iteration shuffles only the vertex-sized rank table;
+    * `localCheckpoint` truncates the iterative lineage.
+    */
+  private def prLoop(edges: DataFrame, numIter: Int, init: Column, base: Column): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
@@ -134,13 +152,13 @@ object Analytics {
         .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        var ranks = v.withColumn("pr", lit(1.0)).localCheckpoint(true)
+        var ranks = v.withColumn("pr", init).localCheckpoint(true)
         for (_ <- 1 to numIter) {
           val inbound = weighted.join(ranks, weighted("src") === ranks("vertex"))
             .groupBy(col("dst").as("vertex"))
             .agg(sum(col("pr") * col("w")).as("m"))
           ranks = v.join(inbound, Seq("vertex"), "left_outer")
-            .select(col("vertex"), (lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
+            .select(col("vertex"), (base + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
             .localCheckpoint(true)
         }
         ranks.select(col("vertex"), round(col("pr"), 6).as("pr")).orderBy("vertex")
@@ -152,14 +170,25 @@ object Analytics {
     * unrolled as chained CTEs (recursive CTEs can't aggregate in the
     * recursive term), rounded to the same 1e-6 grain.
     */
-  def pageRankSql(edgeSql: String, numIter: Int = 10): String = {
+  def pageRankSql(edgeSql: String, numIter: Int = 10): String =
+    prLoopSql(edgeSql, numIter, initSql = "CAST(1.0 AS DOUBLE)", baseSql = "0.15")
+
+  /** DuckDB oracle for [[personalizedPageRank]]: same unrolled CTEs with
+    * the source-restart init/base.
+    */
+  def personalizedPageRankSql(edgeSql: String, source: Long, numIter: Int = 10): String =
+    prLoopSql(edgeSql, numIter,
+      initSql = s"CAST(CASE WHEN vertex = $source THEN 1.0 ELSE 0.0 END AS DOUBLE)",
+      baseSql = s"CASE WHEN v.vertex = $source THEN 0.15 ELSE 0.0 END")
+
+  private def prLoopSql(edgeSql: String, numIter: Int, initSql: String, baseSql: String): String = {
     val b = new StringBuilder
     b ++= s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t),\n"
     b ++= "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),\n"
     b ++= "w AS (SELECT src, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS w FROM e),\n"
-    b ++= "r0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) AS pr FROM v)"
+    b ++= s"r0 AS (SELECT vertex, $initSql AS pr FROM v)"
     for (i <- 1 to numIter) {
-      b ++= s",\nr$i AS (SELECT v.vertex, 0.15 + 0.85 * COALESCE(s.m, 0) AS pr FROM v " +
+      b ++= s",\nr$i AS (SELECT v.vertex, $baseSql + 0.85 * COALESCE(s.m, 0) AS pr FROM v " +
         s"LEFT JOIN (SELECT w.dst AS vertex, SUM(r.pr * w.w) AS m FROM w " +
         s"JOIN r${i - 1} r ON r.vertex = w.src GROUP BY w.dst) s ON s.vertex = v.vertex)"
     }

@@ -120,6 +120,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Set((0L, 1L), (1L, 1L)))
   }
 
+  test("personalizedPageRank: mass concentrates at the source; off-component is zero") {
+    // two components: 0->1->2 (cycle back 2->0) and 10->11. Restarting at 0
+    // keeps all mass in the first component; 10/11 must be exactly 0.
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L))
+    val got = Analytics.personalizedPageRank(edgesDF(e), source = 0L, numIter = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(10L) === 0.0 && got(11L) === 0.0)
+    // fixed-iteration PPR is NOT the stationary vector — in a 3-cycle mass
+    // oscillates, so rank ordering is iteration-dependent; the contract is
+    // the recurrence itself, checked against the sequential mirror below
+    assert(got(0L) > 0.15) // the source keeps its restart mass plus the cycle's return
+    // sequential mirror: same recurrence in plain Scala
+    val vs = Seq(0L, 1L, 2L, 10L, 11L)
+    val out = Map(0L -> Seq(1L), 1L -> Seq(2L), 2L -> Seq(0L), 10L -> Seq(11L))
+    var r = vs.map(v => v -> (if (v == 0L) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 10) {
+      val in = vs.map(v => v -> out.filter(_._2.contains(v)).keys.map(u => r(u) / out(u).size).sum).toMap
+      r = vs.map(v => v -> ((if (v == 0L) 0.15 else 0.0) + 0.85 * in(v))).toMap
+    }
+    vs.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-6, s"vertex $v: ${got(v)} vs ${r(v)}"))
+  }
+
   test("commonNeighbors: non-adjacent pair found, adjacent pair suppressed") {
     // 0 and 1 share neighbors {2,3,4} and are NOT adjacent -> reported (so
     // are 3,4 via {0,1,2}). 0 and 2 share {3,4} but 0-2 IS an edge ->
