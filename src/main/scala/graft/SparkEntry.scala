@@ -661,6 +661,36 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("o_custkey", "day")
     }),
+    "e15_funnel" -> ((s, dir) => {
+      // ordered funnel analysis (view -> click within 24 h -> purchase
+      // within 24 h of the click): per-user earliest qualifying time per
+      // stage, then depth counts — the product-analytics sequence query.
+      // Each stage is one narrow (user, min-ts) aggregate joined forward;
+      // strict microsecond inequalities + an integral window, identical in
+      // the mirror. Depth counts include users who never viewed (depth 0).
+      val W = 86400000000L // 24 h in µs
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val users = ev.select("user_id").distinct()
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + W)
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + W)
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      users
+        .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left_outer")
+        .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left_outer")
+        .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left_outer")
+        .select((coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+          coalesce(col("s3"), lit(0))).cast("long").as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n_users"))
+        .orderBy("depth")
+    }),
     "e14_cumulative_users" -> ((s, dir) => {
       // running DISTINCT count (cumulative unique users per day) — the
       // growth-accounting query. The naive form (COUNT(DISTINCT) OVER an
@@ -823,6 +853,14 @@ object SparkEntry {
       // path) vs the exact distinct count it estimates — the incremental
       // COUNT(DISTINCT) surface exact aggregation can't maintain at 100 TB
       Sketches.kmvDistinctShingles(Tables.documents(s, dir))),
+    "t17_dup_coverage" -> ((s, dir) => // corpus-level contamination: share
+      // of each doc's shingles appearing ANYWHERE else — the stitched-
+      // from-fragments signal pairwise dedup never surfaces
+      TextOps.dupCoverage(Tables.documents(s, dir))),
+    "t18_decontaminate" -> ((s, dir) => // benchmark decontamination: train
+      // docs overlapping the (deterministic stand-in) eval slice's shingle
+      // universe; eval set broadcast, corpus-side is a semi probe
+      TextOps.decontaminate(Tables.documents(s, dir), col("doc_id") % 7 === 0)),
     "t16_token_rarity" -> ((s, dir) => // corpus-relative quality signal:
       // mean corpus frequency of each doc's tokens (vocabulary-sized
       // frequency table joined back — broadcast shape at corpus scale)
@@ -1252,6 +1290,23 @@ object SparkEntry {
         |SELECT g.o_custkey, g.day::BIGINT AS day, COALESCE(c.n, 0)::BIGINT AS n
         |FROM g LEFT JOIN c ON c.o_custkey = g.o_custkey AND c.day = g.day
         |ORDER BY g.o_custkey, g.day""".stripMargin,
+    "e15_funnel" -> // same stagewise min-time construction, relationally
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |v AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.t1
+        |        AND e.ts_us <= v.t1 + 86400000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t2
+        |        AND e.ts_us <= c.t2 + 86400000000 GROUP BY e.user_id)
+        |SELECT depth, COUNT(*) AS n_users FROM (
+        |  SELECT (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END +
+        |          CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END +
+        |          CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS depth
+        |  FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |         LEFT JOIN p USING (user_id))
+        |GROUP BY depth ORDER BY depth""".stripMargin,
     "e14_cumulative_users" -> // dedup-then-cumsum mirror: first day per
       // user, daily first-timer counts, running sum over the day series
       """WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
@@ -1321,6 +1376,8 @@ object SparkEntry {
     "t14_kmv_distinct" -> Sketches.kmvDistinctShinglesSql(),
     "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
     "t16_token_rarity" -> TextOps.tokenRaritySql,
+    "t17_dup_coverage" -> TextOps.dupCoverageSql,
+    "t18_decontaminate" -> TextOps.decontaminateSql(evalMod = 7),
     "t11_pack_chunks" ->
       """WITH t AS (SELECT doc_id, source,
         |                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens

@@ -213,6 +213,86 @@ object TextOps {
       |SELECT doc_id, COUNT(*) AS n_tokens, (SUM(cf.cf) // COUNT(*))::BIGINT AS mean_cf
       |FROM t JOIN cf USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Cross-document duplicate-shingle coverage: per doc (with ≥1 shingle),
+    * how much of it appears ANYWHERE else in the corpus —
+    * `(doc_id, n_shingles, n_shared, shared_1000)` where `n_shared` counts
+    * the doc's distinct shingles with document frequency > 1. The
+    * corpus-level contamination signal that pairwise dedup (d2/d3) never
+    * surfaces: a doc stitched from fragments of MANY documents has no
+    * single high-Jaccard partner but near-total shared coverage.
+    *
+    * Scale shape: one distinct (doc, shingle-hash) projection, one
+    * vocabulary-keyed df aggregation, one join back on the hash — the df
+    * table is shingle-vocabulary-sized, and every exchanged row is
+    * (long, long).
+    */
+  def dupCoverage(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
+      .select(col("doc_id"), Hashing.hash60(col("shingle")).as("h"))
+      .distinct()
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_1000", expr("n_shared * 1000 div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val dupCoverageSql: String =
+    s"""WITH ${shinglesSql()},
+       |hs AS (SELECT DISTINCT doc_id, ${Hashing.hash60Sql("shingle")} AS h FROM sh),
+       |df AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       |  (SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*))::BIGINT AS shared_1000
+       |FROM hs JOIN df USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: overlap of each TRAIN doc's shingles with
+    * a held-out EVAL set's shingle universe — the pre-training hygiene step
+    * (an eval question leaked into training data invalidates the
+    * benchmark). Returns train docs with ≥1 overlapping shingle:
+    * `(doc_id, n_shingles, n_overlap, overlap_1000)`.
+    *
+    * `evalPred` marks the eval slice. Scale shape: the eval shingle
+    * universe is BENCHMARK-sized (thousands of docs, not the corpus), so
+    * its distinct hash set broadcasts and the corpus-side check is a
+    * broadcast LEFT SEMI probe per shingle — the corpus shuffles nothing.
+    */
+  def decontaminate(docs: DataFrame, evalPred: Column): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), evalPred.as("is_eval"),
+        explode(shingles3(tokens(col("text")))).as("shingle"))
+      .select(col("doc_id"), col("is_eval"), Hashing.hash60(col("shingle")).as("h"))
+      .distinct()
+    val evalSh = sh.filter(col("is_eval")).select("h").distinct()
+    val train = sh.filter(!col("is_eval"))
+    val hits = train.join(broadcast(evalSh), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, "doc_id")
+      .withColumn("overlap_1000", expr("n_overlap * 1000 div n_shingles"))
+      .select("doc_id", "n_shingles", "n_overlap", "overlap_1000")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[decontaminate]] for the gate's eval predicate
+    * (`doc_id % evalMod = 0`, a deterministic stand-in benchmark slice).
+    */
+  def decontaminateSql(evalMod: Int): String =
+    s"""WITH ${shinglesSql()},
+       |hs AS (SELECT DISTINCT doc_id, doc_id % $evalMod = 0 AS is_eval,
+       |              ${Hashing.hash60Sql("shingle")} AS h FROM sh),
+       |ev AS (SELECT DISTINCT h FROM hs WHERE is_eval),
+       |tr AS (SELECT doc_id, h FROM hs WHERE NOT is_eval),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_overlap FROM tr
+       |         WHERE h IN (SELECT h FROM ev) GROUP BY doc_id),
+       |alltr AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_overlap,
+       |       (n_overlap * 1000 // n_shingles)::BIGINT AS overlap_1000
+       |FROM alltr JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Marker words per language for the n-gram(1) language-ID heuristic.
     * Declared `val` so tests and the SQL mirror stay in lock-step.
     */
