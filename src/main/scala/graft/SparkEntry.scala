@@ -563,6 +563,23 @@ object SparkEntry {
         .except(ev.filter(col("event_type") === "click").select("user_id", "k"))
         .orderBy("user_id", "k")
     }),
+    "e16_multiset_ops" -> ((s, dir) => {
+      // EXCEPT ALL / INTERSECT ALL — the MULTISET set-ops (duplicate
+      // multiplicities preserved: m-n and min(m,n) copies respectively), a
+      // different physical plan from e3/e4's distinct-semantics set ops
+      // (Spark rewrites them to a signed-count aggregate + generate, not a
+      // dedup join). Reduced to counts so the gate output stays small;
+      // the multiset nodes are what this query binds.
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+      val v = ev.filter(col("event_type") === "view").select("user_id", "k")
+      val c = ev.filter(col("event_type") === "click").select("user_id", "k")
+      v.exceptAll(c).agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("n"))
+        .unionByName(
+          v.intersectAll(c).agg(count(lit(1)).as("n"))
+            .select(lit("intersect_all").as("op"), col("n")))
+        .orderBy("op")
+    }),
     "e6_asof_attribution" -> ((s, dir) => {
       // as-of join: each purchase attributed to the user's latest view at or
       // before it — through the shared TemporalJoins.asofJoin operator
@@ -1290,6 +1307,15 @@ object SparkEntry {
         |SELECT g.o_custkey, g.day::BIGINT AS day, COALESCE(c.n, 0)::BIGINT AS n
         |FROM g LEFT JOIN c ON c.o_custkey = g.o_custkey AND c.day = g.day
         |ORDER BY g.o_custkey, g.day""".stripMargin,
+    "e16_multiset_ops" ->
+      """WITH v AS (SELECT user_id, (props ->> 'k')::BIGINT AS k FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, (props ->> 'k')::BIGINT AS k FROM events WHERE event_type = 'click'),
+        |ea AS (SELECT * FROM v EXCEPT ALL SELECT * FROM c),
+        |ia AS (SELECT * FROM v INTERSECT ALL SELECT * FROM c)
+        |SELECT 'except_all' AS op, (SELECT COUNT(*) FROM ea)::BIGINT AS n
+        |UNION ALL
+        |SELECT 'intersect_all', (SELECT COUNT(*) FROM ia)::BIGINT
+        |ORDER BY op""".stripMargin,
     "e15_funnel" -> // same stagewise min-time construction, relationally
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |u AS (SELECT DISTINCT user_id FROM ev),
