@@ -303,6 +303,24 @@ object SparkEntry {
         .select(col("ck"), col("sk"), col("n_cust"), col("n_supp"))
         .orderBy(col("ck").asc_nulls_first, col("sk").asc_nulls_first)
     }),
+    "q23_lateral_topn" -> ((s, dir) => {
+      // LATERAL correlated subquery with its own ORDER BY/LIMIT — per-region
+      // top-2 nations by customer count, the "top-N per outer row" shape
+      // q19's scalar subquery can't express; Catalyst decorrelates the
+      // lateral into a ranked join (no per-row re-execution)
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT r.r_name, t.n_name, t.n_cust
+          |FROM region_v r, LATERAL (
+          |  SELECT n.n_name, COUNT(*) AS n_cust
+          |  FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  GROUP BY n.n_name
+          |  ORDER BY n_cust DESC, n_name LIMIT 2) t
+          |ORDER BY r.r_name, t.n_cust DESC, t.n_name""".stripMargin)
+    }),
     "q20_merge_upsert" -> ((s, dir) => {
       // MERGE INTO (SCD-1 upsert) through the MergeInto operator: a
       // deterministic change-set derived from orders itself — updates
@@ -912,6 +930,14 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"), sum("n_chars").as("sum_chars"))
         .orderBy("split")),
+    "t19_stratified_sample" -> ((s, dir) =>
+      // per-stratum deterministic top-k under the seeded shuffle order: the
+      // balanced per-language mix (uniform sampling mirrors corpus skew);
+      // WindowGroupLimit keeps the k-cut below the stratum shuffle
+      Sampling.stratifiedSample(Tables.documents(s, dir),
+          strataCol = "lang", keyCol = "doc_id", k = 10, seed = 11L)
+        .select("lang", "stratum_rank", "doc_id", "shuffle_key")
+        .orderBy("lang", "stratum_rank")),
     "t9_corpus_sample" -> ((s, dir) =>
       // seeded deterministic shuffle + top-k = reproducible fixed-size
       // eval slice; plans as TakeOrderedAndProject (per-partition top-k,
@@ -1083,6 +1109,15 @@ object SparkEntry {
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q23_lateral_topn" ->
+      """SELECT r.r_name, t.n_name, t.n_cust
+        |FROM region r, LATERAL (
+        |  SELECT n.n_name, COUNT(*)::BIGINT AS n_cust
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_cust DESC, n_name LIMIT 2) t
+        |ORDER BY r.r_name, t.n_cust DESC, t.n_name""".stripMargin,
     "q22_null_safe_join" ->
       """WITH c AS (SELECT nullif(c_custkey % 5, 2) AS ck, COUNT(*) AS n_cust
         |           FROM customer GROUP BY 1),
@@ -1426,6 +1461,14 @@ object SparkEntry {
     "t9_corpus_sample" ->
       s"""SELECT doc_id, ${Sampling.shuffleKeySql("doc_id", 7L)} AS shuffle_key
          |FROM documents ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
+    "t19_stratified_sample" ->
+      s"""WITH s AS (SELECT lang, doc_id, ${Sampling.shuffleKeySql("doc_id", 11L)} AS shuffle_key
+         |           FROM documents),
+         |r AS (SELECT lang, doc_id, shuffle_key,
+         |             row_number() OVER (PARTITION BY lang ORDER BY shuffle_key, doc_id) AS stratum_rank
+         |      FROM s)
+         |SELECT lang, stratum_rank::BIGINT AS stratum_rank, doc_id, shuffle_key
+         |FROM r WHERE stratum_rank <= 10 ORDER BY lang, stratum_rank""".stripMargin,
     "d5_cosine_dup_pairs" -> Similarity.cosineDupPairsSql(),
     "p1_curation_pipeline" ->
       s"""WITH q AS (

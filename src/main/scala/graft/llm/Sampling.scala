@@ -96,6 +96,27 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic STRATIFIED sample: the first `k` rows per stratum under
+    * the seeded shuffle order — the balanced-mix cut (k docs per language /
+    * source / domain) a multilingual training pipeline needs, where a
+    * uniform global sample would mirror the corpus' skew. Same
+    * content-addressing guarantees as [[deterministicSample]]; plans as one
+    * hash exchange on the stratum + per-group sort with a rank cutoff
+    * (WindowGroupLimit pushes the k-cut below the shuffle, so no stratum is
+    * ever fully materialized).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    requireFreshColumn(df, "shuffle_key", "stratifiedSample")
+    requireFreshColumn(df, "stratum_rank", "stratifiedSample")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("shuffle_key"), col(keyCol))
+    df.withColumn("shuffle_key", shuffleKey(col(keyCol), seed))
+      .withColumn("stratum_rank", row_number().over(w).cast("long"))
+      .filter(col("stratum_rank") <= k)
+  }
+
   /** `withColumn` silently REPLACES an existing column of the same name —
     * reject appended-name collisions up front (same contract as
     * `TemporalJoins.asofJoin`'s output-name check) instead of quietly

@@ -69,4 +69,18 @@ class SamplingSpec extends SparkSpec {
     assert(sample(7L) === s7, "same seed must reproduce the same ordered sample")
     assert(sample(8L) !== s7, "a different seed should draw a different sample")
   }
+
+  test("stratifiedSample: exactly k per stratum regardless of stratum skew; reproducible") {
+    val s = spark
+    import s.implicits._
+    // heavily skewed strata: 300 'en', 30 'de', 4 'fr' (< k -> take all 4)
+    val d = ((1L to 300L).map(i => (i, "en")) ++ (301L to 330L).map(i => (i, "de")) ++
+      (331L to 334L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+    def run() = Sampling.stratifiedSample(d, "lang", "doc_id", k = 10, seed = 3L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+    val got = run()
+    val byLang = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byLang === Map("en" -> 10, "de" -> 10, "fr" -> 4))
+    assert(run() === got, "content-addressed: identical across runs")
+  }
 }
