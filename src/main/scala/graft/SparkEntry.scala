@@ -303,6 +303,26 @@ object SparkEntry {
         .select(col("ck"), col("sk"), col("n_cust"), col("n_supp"))
         .orderBy(col("ck").asc_nulls_first, col("sk").asc_nulls_first)
     }),
+    "q24_null_aware_anti" -> ((s, dir) => {
+      // NOT IN over a NULL-bearing subquery — the null-aware anti join
+      // (Spark's NullAwareAntiJoin, a different operator from q5's plain
+      // left_anti): one NULL in the set makes NOT IN vacuously empty,
+      // while the null-filtered variant behaves like the anti join. The
+      // query contrasts both semantics so the gate pins the trap itself.
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """WITH keys AS (SELECT nullif(o_custkey % 1000, 7) AS k FROM orders_v),
+          |with_null AS (
+          |  SELECT COUNT(*) AS n FROM customer_v
+          |  WHERE c_custkey % 1000 NOT IN (SELECT k FROM keys)),
+          |no_null AS (
+          |  SELECT COUNT(*) AS n FROM customer_v
+          |  WHERE c_custkey % 1000 NOT IN (SELECT k FROM keys WHERE k IS NOT NULL))
+          |SELECT 'with_null' AS variant, n FROM with_null
+          |UNION ALL SELECT 'no_null', n FROM no_null
+          |ORDER BY variant""".stripMargin)
+    }),
     "q23_lateral_topn" -> ((s, dir) => {
       // LATERAL correlated subquery with its own ORDER BY/LIMIT — per-region
       // top-2 nations by customer count, the "top-N per outer row" shape
@@ -834,6 +854,10 @@ object SparkEntry {
       // prune candidates (measured: n=5 -> 3M candidate pairs at sf0.1 for
       // 256 true pairs; n=9 -> 286k; the true pair set is IDENTICAL)
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    "d10_edit_distance" -> ((s, dir) => // fuzzy-join recipe: O(m·n)
+      // Levenshtein runs ONLY on the LSH-pruned pair set, on fixed-width
+      // prefixes — char-level drift signal on top of set-based Jaccard
+      Dedup.lshEditDistances(Tables.documents(s, dir))),
     "d6_dup_clusters" -> ((s, dir) => // near-dup RESOLUTION: CC over the
       // LSH pair graph -> (doc, keeper); closure handles non-transitive
       // near-dup chains
@@ -1109,6 +1133,17 @@ object SparkEntry {
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q24_null_aware_anti" ->
+      """WITH keys AS (SELECT nullif(o_custkey % 1000, 7) AS k FROM orders),
+        |with_null AS (
+        |  SELECT COUNT(*) AS n FROM customer
+        |  WHERE c_custkey % 1000 NOT IN (SELECT k FROM keys)),
+        |no_null AS (
+        |  SELECT COUNT(*) AS n FROM customer
+        |  WHERE c_custkey % 1000 NOT IN (SELECT k FROM keys WHERE k IS NOT NULL))
+        |SELECT 'with_null' AS variant, n FROM with_null
+        |UNION ALL SELECT 'no_null', n FROM no_null
+        |ORDER BY variant""".stripMargin,
     "q23_lateral_topn" ->
       """SELECT r.r_name, t.n_name, t.n_cust
         |FROM region r, LATERAL (
@@ -1405,6 +1440,7 @@ object SparkEntry {
     "d7_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
+    "d10_edit_distance" -> Dedup.lshEditDistancesSql(),
     "p2_semantic_curation" -> // the d9 clusters query nested as a derived
       // table; survivors = vectors that are not a non-keeper cluster member
       s"""SELECT e.label::BIGINT AS label, COUNT(*) AS n, SUM(e.vec_id)::BIGINT AS sum_ids

@@ -263,6 +263,42 @@ object Dedup {
     * verified output equals the exact join (checked by the same oracle), at
     * a fraction of the candidate-pair cost on a large corpus.
     */
+  /** Edit-distance enrichment of the MinHash+LSH near-dup pairs: each pair
+    * stamped with the Levenshtein distance between the two docs'
+    * lowercased 40-char prefixes — the char-level confirmation signal
+    * set-based Jaccard can't give (token reorder vs real character drift).
+    * `(doc_a, doc_b, lev40)`.
+    *
+    * Scale shape: the quadratic-looking scalar (Levenshtein is O(m·n) per
+    * pair) runs only on the LSH-pruned PAIR set, never corpus-wide, and
+    * only on fixed-width prefixes — the standard fuzzy-join recipe:
+    * cheap banded candidates, expensive exact scalar on candidates only.
+    * Both engines implement the same classic DP, so the distances are
+    * deterministic integers.
+    */
+  def lshEditDistances(docs: DataFrame, prefixLen: Int = 40,
+                       thresholdMille: Int = 500): DataFrame = {
+    val pre = docs.select(col("doc_id"), substring(lower(col("text")), 1, prefixLen).as("pre"))
+    minHashLshPairs(docs, thresholdMille)
+      .select("doc_a", "doc_b")
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pa")), "doc_a")
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), levenshtein(col("pa"), col("pb")).cast("long").as("lev40"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB mirror of [[lshEditDistances]]: the full seeded LSH pipeline
+    * nested as a CTE, then the same prefix Levenshtein.
+    */
+  def lshEditDistancesSql(prefixLen: Int = 40, thresholdMille: Int = 500): String =
+    s"""WITH pairs AS (
+       |${minHashLshPairsSql(thresholdMille)}
+       |),
+       |pre AS (SELECT doc_id, substr(lower(text), 1, $prefixLen) AS pre FROM documents)
+       |SELECT p.doc_a, p.doc_b, levenshtein(a.pre, b.pre)::BIGINT AS lev40
+       |FROM pairs p JOIN pre a ON a.doc_id = p.doc_a JOIN pre b ON b.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   def minHashLshPairs(docs: DataFrame, thresholdMille: Int = 500,
                       numHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
