@@ -221,16 +221,23 @@ object TextOps {
     * surfaces: a doc stitched from fragments of MANY documents has no
     * single high-Jaccard partner but near-total shared coverage.
     *
-    * Scale shape: one distinct (doc, shingle-hash) projection, one
-    * vocabulary-keyed df aggregation, one join back on the hash — the df
-    * table is shingle-vocabulary-sized, and every exchanged row is
-    * (long, long).
+    * Scale shape: the (doc, shingle-hash) projection dedups PER DOC with
+    * `array_distinct` after the hash (identical to the oracle's
+    * `SELECT DISTINCT doc_id, hash` — see [[graft.llm.Dedup]]'s hashed-
+    * shingle convention) so no corpus-wide distinct shuffle exists; the
+    * CPU-heavy tokenize+md5 pass is re-spread across all cores and
+    * materialized ONCE (`localCheckpoint`) because two consumers (the df
+    * aggregation and the join-back probe) would otherwise each recompute
+    * it. After that: one vocabulary-keyed df aggregation, one join back on
+    * the hash — every exchanged row is (long, long).
     */
   def dupCoverage(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
-      .select(col("doc_id"), Hashing.hash60(col("shingle")).as("h"))
-      .distinct()
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shingles3(tokens(col("text"))),
+          s => Hashing.hash60(s)))).as("h"))
+      .localCheckpoint(true)
     val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
     sh.join(df, "h")
       .groupBy("doc_id")
@@ -255,23 +262,29 @@ object TextOps {
     * benchmark). Returns train docs with ≥1 overlapping shingle:
     * `(doc_id, n_shingles, n_overlap, overlap_1000)`.
     *
-    * `evalPred` marks the eval slice. Scale shape: the eval shingle
-    * universe is BENCHMARK-sized (thousands of docs, not the corpus), so
-    * its distinct hash set broadcasts and the corpus-side check is a
-    * broadcast LEFT SEMI probe per shingle — the corpus shuffles nothing.
+    * `evalPred` marks the eval slice. Scale shape: per-doc `array_distinct`
+    * after the hash (≡ the oracle's `SELECT DISTINCT doc_id, hash`, no
+    * corpus-wide distinct shuffle), the tokenize+md5 pass re-spread across
+    * all cores and materialized once for its two consumers. The eval
+    * shingle universe is BENCHMARK-sized (thousands of docs, not the
+    * corpus), so its hash set broadcasts; the train side then pays a
+    * SINGLE pass — broadcast left join to flag overlaps + one per-doc
+    * aggregation — and shuffles only the doc-sized partial-agg output.
     */
   def decontaminate(docs: DataFrame, evalPred: Column): DataFrame = {
-    val sh = docs
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
       .select(col("doc_id"), evalPred.as("is_eval"),
-        explode(shingles3(tokens(col("text")))).as("shingle"))
-      .select(col("doc_id"), col("is_eval"), Hashing.hash60(col("shingle")).as("h"))
-      .distinct()
+        explode(array_distinct(transform(shingles3(tokens(col("text"))),
+          s => Hashing.hash60(s)))).as("h"))
+      .localCheckpoint(true)
     val evalSh = sh.filter(col("is_eval")).select("h").distinct()
     val train = sh.filter(!col("is_eval"))
-    val hits = train.join(broadcast(evalSh), Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      .join(hits, "doc_id")
+    train.join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
       .withColumn("overlap_1000", expr("n_overlap * 1000 div n_shingles"))
       .select("doc_id", "n_shingles", "n_overlap", "overlap_1000")
       .orderBy("doc_id")
