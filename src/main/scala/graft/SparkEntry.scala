@@ -831,6 +831,20 @@ object SparkEntry {
         .as[EventStreams.UserEvent]
       EventStreams.runningUserCountsBounded(ev).toDF().orderBy("user_id")
     }),
+    "st9_closed_sessions" -> ((s, dir) => {
+      // Append-mode custom-state sessionization: one final row per CLOSED
+      // session (the append-only-sink contract; st4/st7 cover the
+      // always-emit and Update-mode shapes). Batch mode folds each group
+      // once in event-time order and closes the trailing session at
+      // end-of-input; the streaming half (incremental close on gap,
+      // timeout flush at the watermark) is asserted in StreamingSpec
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[EventStreams.UserEvent]
+      EventStreams.sessionizeStateful(ev).toDF()
+        .orderBy("user_id", "session_start_us")
+    }),
 
     // ---- LLM-pipeline: dedup ----
     "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
@@ -1422,6 +1436,7 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS h, len(text)::BIGINT AS len
         |FROM documents ORDER BY h""".stripMargin,
     "st7_bounded_counts" -> EventStreams.runningUserCountsSql(),
+    "st9_closed_sessions" -> EventStreams.sessionizeStatefulSql(),
     "st1_tumbling_hourly" -> EventStreams.tumblingCountsSql(),
     "st2_sliding_counts" -> EventStreams.slidingCountsSql(),
     "st3_session_windows" -> EventStreams.sessionCountsSql(),

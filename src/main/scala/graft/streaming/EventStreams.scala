@@ -246,6 +246,97 @@ object EventStreams {
       }
   }
 
+  /** One emitted row per CLOSED session for [[sessionizeStateful]]. */
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n: Long)
+  /** State for [[sessionizeStateful]]: the key's currently-open session. */
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+  /** Append-mode custom-state sessionization: emits one row per COMPLETED
+    * session `(user_id, session_start_us, session_end_us, n)` — nothing is
+    * emitted while a session is still open. The third stateful output
+    * contract next to st4's always-emit (`mapGroupsWithState`) and st7's
+    * Update-mode stream: Append + `EventTimeTimeout`, the shape a
+    * downstream append-only sink (parquet, Kafka) requires, where a row
+    * must be final the moment it is written.
+    *
+    * Session semantics match `session_window` (st3): a gap ≥ `gapUs`
+    * closes the session (end bound exclusive). Under `readStream`, a
+    * session closes when a later event of the same key arrives past the
+    * gap, or when the watermark passes the open session's deadline
+    * (timeout fires → the trailing session flushes and its state frees —
+    * state tracks OPEN sessions only). On a batch Dataset each group folds
+    * once in event-time order and every session (trailing included) emits,
+    * which is what the `st9_closed_sessions` gate row checks; incremental
+    * close + timeout flush are asserted in StreamingSpec.
+    */
+  def sessionizeStateful(events: Dataset[UserEvent], gapUs: Long = 1800000000L,
+                         watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val isStreaming = events.isStreaming // see runningUserCountsBounded
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's deadline: flush + free
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start_us, s.last_us, s.n))
+          } else {
+            val ts = rows.map(e => tsMicros(e.ts)).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t - s.last_us < gapUs =>
+                  // min/max span bounds: a within-watermark out-of-order
+                  // arrival (t < last_us across micro-batches) merges into
+                  // the open session without dragging its bounds backward
+                  open = Some(OpenSession(math.min(s.start_us, t),
+                    math.max(s.last_us, t), s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start_us, s.last_us, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            if (isStreaming) {
+              open.foreach { s =>
+                state.update(s)
+                // deadline = gap past the session's newest event, clamped
+                // above the watermark or Spark rejects the timestamp
+                state.setTimeoutTimestamp(
+                  math.max(s.last_us / 1000L + gapUs / 1000L,
+                    state.getCurrentWatermarkMs() + 1))
+              }
+              closed.result().iterator
+            } else {
+              // batch: the group is complete, so the trailing open session
+              // is closed by end-of-input
+              (closed.result() ++
+                open.map(s => SessionOut(uid, s.start_us, s.last_us, s.n))).iterator
+            }
+          }
+      }
+  }
+
+  /** DuckDB mirror of [[sessionizeStateful]]'s batch semantics: the
+    * lag/flag/cumsum sessionization of [[sessionCountsSql]] extended with
+    * the session end bound.
+    */
+  def sessionizeStatefulSql(gapUs: Long = 1800000000L): String =
+    s"""WITH o AS (SELECT user_id, epoch_us(ts) AS e,
+       |                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= $gapUs
+       |                       THEN 1 ELSE 0 END AS brk
+       |           FROM events),
+       |s AS (SELECT user_id, e, SUM(brk) OVER (PARTITION BY user_id ORDER BY e) AS sid FROM o)
+       |SELECT user_id, MIN(e) AS session_start_us, MAX(e) AS session_end_us, COUNT(*) AS n
+       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
+
   /** The production variant of [[runningUserCounts]]: per-user state expires
     * after `idle` of event-time inactivity (`EventTimeTimeout` driven by the
     * watermark), so state size tracks ACTIVE users — on an unbounded stream

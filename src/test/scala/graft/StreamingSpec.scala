@@ -273,6 +273,69 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(_._1 == 2L).map(_._2).sorted === Seq(1L, 2L))
   }
 
+  test("append-mode sessionization: sessions close on gap, trailing session flushes on timeout") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000L
+    def ev(uid: Long, offMin: Long) =
+      EventStreams.UserEvent(uid, new Timestamp(base + offMin * 60000L), "view")
+    def us(offMin: Long) = base * 1000L + offMin * 60000000L
+    val mem = MemoryStream[EventStreams.UserEvent](s)
+    val rows = runIncremental(
+      EventStreams.sessionizeStateful(mem.toDS()).toDF(),
+      "t_sess_close", OutputMode.Append()) { q =>
+        mem.addData(Seq(ev(1L, 0L), ev(1L, 10L))); q.processAllAvailable()
+        // session still open: Append mode emits nothing yet
+        assert(spark.table("t_sess_close").isEmpty,
+          "open session must not emit in Append mode")
+        mem.addData(Seq(ev(1L, 60L))); q.processAllAvailable()
+        // the 50-min gap (≥ 30 min) closed the first session — emitted NOW,
+        // before any watermark/timeout machinery runs
+        val mid = spark.table("t_sess_close").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        assert(mid === Seq((1L, us(0L), us(10L), 2L)), s"gap close: $mid")
+        // sentinel pushes the watermark past 60min + gap (delay 2h):
+        // wm -> 8h, then the NEXT batch fires the trailing session's timeout
+        mem.addData(Seq(ev(99L, 600L))); q.processAllAvailable()
+        mem.addData(Seq(ev(99L, 601L))); q.processAllAvailable()
+      }
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows === Set((1L, us(0L), us(10L), 2L), (1L, us(60L), us(60L), 1L)),
+      s"timeout flush: $rows")
+  }
+
+  test("append-mode sessionization: streaming (split ordered feed + watermark flush) == batch") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents.map(e => EventStreams.UserEvent(e.user_id, e.ts, e.event_type))
+      .sortBy(_.ts.getTime)
+    // time-ordered split: each half is its own micro-batch (append-only
+    // sessionization is order-sensitive by contract — late arrivals merge
+    // into the OPEN session only)
+    val (first, second) = events.splitAt(events.size / 2)
+    val maxTs = events.map(_.ts.getTime).max
+    val sentinel = EventStreams.UserEvent(999L,
+      new Timestamp(maxTs + 24 * 3600 * 1000L), "view")
+    val mem = MemoryStream[EventStreams.UserEvent](s)
+    val got = runIncremental(
+      EventStreams.sessionizeStateful(mem.toDS()).toDF(),
+      "t_sess_eq", OutputMode.Append()) { q =>
+        mem.addData(first); q.processAllAvailable()
+        mem.addData(second); q.processAllAvailable()
+        // sentinel advances the watermark past every real session's
+        // deadline; one more batch delivers the timeouts (flush)
+        mem.addData(Seq(sentinel)); q.processAllAvailable()
+        mem.addData(Seq(EventStreams.UserEvent(999L,
+          new Timestamp(maxTs + 25 * 3600 * 1000L), "view")))
+        q.processAllAvailable()
+      }
+      .filter("user_id <> 999")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = EventStreams.sessionizeStateful(events.toDS())
+      .collect().map(o => (o.user_id, o.session_start_us, o.session_end_us, o.n)).toSet
+    assert(got === want && want.nonEmpty, s"streaming=$got batch=$want")
+  }
+
   test("bounded running counts: a late event does not pull the eviction deadline backward") {
     val s = spark
     import s.implicits._
