@@ -651,6 +651,31 @@ object SparkEntry {
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
+    "e17_interval_overlaps" -> ((s, dir) => {
+      // interval-overlap join (intervals × intervals, vs e7's points ×
+      // points): pairs of same-supplier lineitems whose order-fulfillment
+      // windows [o_orderdate, l_shipdate] overlap — concurrent open-order
+      // load per supplier. Through TemporalJoins.intervalOverlapSelfJoin:
+      // explode to covered 128-day buckets (synthetic spans run to ~2500
+      // days ⇒ fan-out ≤ 20, inside the guard), equi join on (supplier,
+      // bucket), one attribution bucket per pair — never the per-supplier
+      // quadratic product. Inverted intervals (this generator ships before
+      // the order ~half the time) drop per the operator contract — the
+      // oracle mirrors the filter. Epoch-day ints end to end.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("line_id"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("start_d"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("end_d"))
+      TemporalJoins.intervalOverlapSelfJoin(li, key = "l_suppkey",
+          id = "line_id", start = "start_d", end = "end_d", bucket = 128L)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_pairs"), sum("overlap").as("sum_overlap_days"))
+        .orderBy("l_suppkey")
+    }),
     "e11_spend_quartiles" -> ((s, dir) => { // ranking-window surface:
       // ntile + percent_rank + dense_rank over per-customer spend, ranked
       // WITHIN market segment — a partitioned window (an unpartitioned
@@ -1345,6 +1370,18 @@ object SparkEntry {
         |JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND c.c_us >= v.v_us AND c.c_us - v.v_us <= 3600000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "e17_interval_overlaps" ->
+      """WITH li AS (SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS line_id,
+        |                   (o_orderdate::DATE - DATE '1970-01-01') AS s_d,
+        |                   (l_shipdate::DATE - DATE '1970-01-01') AS e_d
+        |            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |            WHERE o_orderdate::DATE <= l_shipdate::DATE)
+        |SELECT a.l_suppkey, COUNT(*)::BIGINT AS n_pairs,
+        |       SUM(LEAST(a.e_d, b.e_d) - GREATEST(a.s_d, b.s_d) + 1)::BIGINT AS sum_overlap_days
+        |FROM li a JOIN li b
+        |  ON a.l_suppkey = b.l_suppkey AND a.line_id < b.line_id
+        | AND a.s_d <= b.e_d AND b.s_d <= a.e_d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e11_spend_quartiles" ->
       """WITH s AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
         |           FROM orders GROUP BY 1),
@@ -1587,16 +1624,24 @@ object SparkEntry {
     *    a `VALUES` literal for DuckDB.
     *  - `f1`: the JSONL round-trip oracle reads the sf-tagged export path.
     */
-  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
-    val edges = DerivedGraphs.small(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val pre = SequentialModel.dfsPreorder(edges, start = 0L)
-    val leaves = SequentialModel.dfsLeaves(edges, start = 0L)
-    val core = SequentialModel.kCore(edges, k = 3).toSeq.sorted
-    val lpa = SequentialModel.labelPropagation(edges, numIter = 5).toSeq.sorted
-    val preVals = pre.zipWithIndex.map { case (v, i) => s"($v, $i)" }.mkString(", ")
-    Map(
-      "g15_label_propagation" -> (
+  def dynamicOracleSql(spark: SparkSession, sfDir: String,
+                       selected: Option[Set[String]] = None): Map[String, String] = {
+    def want(k: String) = selected.forall(_.contains(k))
+    val graphKeys =
+      Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation")
+    // the sequential models walk the whole derived graph — skip them when a
+    // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
+    // driver's gate runs unfiltered, so this never narrows the real gate)
+    val graphOracles: Map[String, String] = if (!graphKeys.exists(want)) Map.empty else {
+      val edges = DerivedGraphs.small(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val pre = SequentialModel.dfsPreorder(edges, start = 0L)
+      val leaves = SequentialModel.dfsLeaves(edges, start = 0L)
+      val core = SequentialModel.kCore(edges, k = 3).toSeq.sorted
+      val lpa = SequentialModel.labelPropagation(edges, numIter = 5).toSeq.sorted
+      val preVals = pre.zipWithIndex.map { case (v, i) => s"($v, $i)" }.mkString(", ")
+      Map(
+        "g15_label_propagation" -> (
         if (lpa.isEmpty)
           "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS label WHERE 1 = 0"
         else
@@ -1613,10 +1658,12 @@ object SparkEntry {
       "g8_dfs_preorder" ->
         s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(p AS INT) AS pos
            |FROM (VALUES $preVals) AS t(v, p) ORDER BY pos""".stripMargin,
-      "g9_dfs_leaves" -> (
-        if (leaves.isEmpty) "SELECT CAST(NULL AS BIGINT) AS vertex WHERE 1 = 0"
-        else s"""SELECT CAST(v AS BIGINT) AS vertex
-                |FROM (VALUES ${leaves.map(v => s"($v)").mkString(", ")}) AS t(v) ORDER BY vertex""".stripMargin),
+        "g9_dfs_leaves" -> (
+          if (leaves.isEmpty) "SELECT CAST(NULL AS BIGINT) AS vertex WHERE 1 = 0"
+          else s"""SELECT CAST(v AS BIGINT) AS vertex
+                  |FROM (VALUES ${leaves.map(v => s"($v)").mkString(", ")}) AS t(v) ORDER BY vertex""".stripMargin))
+    }
+    (graphOracles ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line
@@ -1627,6 +1674,7 @@ object SparkEntry {
            |       MAX(nation) AS max_nation
            |FROM read_csv('${csvRoundtripPath(sfDir)}/*.csv', header = true,
            |              columns = {'c_custkey': 'BIGINT', 'nation': 'BIGINT', 'c_mktsegment': 'VARCHAR'})
-           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+      .filter { case (k, _) => want(k) }
   }
 }

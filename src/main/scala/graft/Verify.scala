@@ -55,7 +55,7 @@ object Verify {
     // static SQL plus the data-dependent oracles (DFS VALUES literals,
     // sf-tagged JSONL path) — computed against the same sfDir the queries
     // just ran on, so the driver's DuckDB compare sees a complete map
-    val json = (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir))
+    val json = (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir, only))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // the full declared-query list, so the checker can flag queries that

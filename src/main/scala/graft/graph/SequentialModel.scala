@@ -17,15 +17,26 @@ object SequentialModel {
   def adjacency(edges: Seq[(Long, Long)]): Map[Long, Seq[Long]] =
     edges.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted }
 
-  /** DFS preorder, lowest-id neighbor first. */
+  /** DFS preorder, lowest-id neighbor first. Explicit stack (not JVM
+    * recursion): the model must hold at any sf, and a path-shaped region of
+    * the sf0.1 derived graph is deeper than the default JVM stack.
+    */
   def dfsPreorder(edges: Seq[(Long, Long)], start: Long): Seq[Long] = {
     val adj = adjacency(edges)
     val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
-    def go(v: Long): Unit = {
-      seen += v
-      adj.getOrElse(v, Nil).foreach(n => if (!seen(n)) go(n))
+    val stack = scala.collection.mutable.Stack.empty[Iterator[Long]]
+    seen += start
+    stack.push(adj.getOrElse(start, Nil).iterator)
+    while (stack.nonEmpty) {
+      val it = stack.top
+      if (it.hasNext) {
+        val n = it.next()
+        if (!seen(n)) {
+          seen += n
+          stack.push(adj.getOrElse(n, Nil).iterator)
+        }
+      } else stack.pop()
     }
-    go(start)
     seen.toSeq
   }
 
@@ -85,19 +96,33 @@ object SequentialModel {
   }
 
   /** Reference leaf-set DFS: vertices whose visit spawned zero recursive
-    * calls, excluding the start; sorted ascending.
+    * calls, excluding the start; sorted ascending. Explicit frames (not JVM
+    * recursion) for the same depth reason as [[dfsPreorder]] — each frame
+    * carries its spawn count, closed out on pop (the recursion's
+    * post-order), so semantics are bit-identical to the recursive form.
     */
   def dfsLeaves(edges: Seq[(Long, Long)], start: Long): Seq[Long] = {
     val adj = adjacency(edges)
+    final class Frame(val v: Long, val it: Iterator[Long]) { var spawned = 0 }
     val seen = scala.collection.mutable.HashSet.empty[Long]
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def go(v: Long): Unit = {
-      seen += v
-      var spawned = 0
-      adj.getOrElse(v, Nil).foreach(n => if (!seen(n)) { spawned += 1; go(n) })
-      if (spawned == 0 && v != start) leaves += v
+    val stack = scala.collection.mutable.Stack.empty[Frame]
+    seen += start
+    stack.push(new Frame(start, adj.getOrElse(start, Nil).iterator))
+    while (stack.nonEmpty) {
+      val f = stack.top
+      if (f.it.hasNext) {
+        val n = f.it.next()
+        if (!seen(n)) {
+          f.spawned += 1
+          seen += n
+          stack.push(new Frame(n, adj.getOrElse(n, Nil).iterator))
+        }
+      } else {
+        stack.pop()
+        if (f.spawned == 0 && f.v != start) leaves += f.v
+      }
     }
-    go(start)
     leaves.toSeq.sorted
   }
 }

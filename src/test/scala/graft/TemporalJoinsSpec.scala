@@ -125,4 +125,51 @@ class TemporalJoinsSpec extends SparkSpec {
       TemporalJoins.rangeJoin(l, l, key = "user_id",
         leftTime = "ts", rightTime = "ts", window = 10L))
   }
+
+  // ---- intervalOverlapSelfJoin ----
+
+  private def intervals(rows: Seq[(Long, Long, Long, Long)], bucket: Long,
+                        maxFanout: Int = 64): Set[(Long, Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    TemporalJoins.intervalOverlapSelfJoin(
+        rows.toDF("k", "id", "s", "e"), key = "k", id = "id",
+        start = "s", end = "e", bucket = bucket, maxFanout = maxFanout)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+  }
+
+  /** Brute-force model: all id_a < id_b same-key pairs with closed-interval
+    * overlap, tagged with the inclusive intersection length. */
+  private def bruteOverlaps(rows: Seq[(Long, Long, Long, Long)]): Set[(Long, Long, Long, Long)] =
+    (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 < b._2 && a._3 <= a._4 && b._3 <= b._4
+      if a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._2, math.min(a._4, b._4) - math.max(a._3, b._3) + 1)).toSet
+
+  test("intervalOverlapSelfJoin == brute force on random intervals (incl. cross-bucket spans)") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 120).map { i =>
+      val s0 = rng.nextInt(400).toLong - 100 // negative starts too
+      (rng.nextInt(4).toLong, i.toLong, s0, s0 + rng.nextInt(60))
+    }
+    val got = intervals(rows, bucket = 32L)
+    assert(got === bruteOverlaps(rows) && got.nonEmpty)
+  }
+
+  test("intervalOverlapSelfJoin: touching endpoints overlap (closed), gap of 1 does not; pairs unique") {
+    val rows = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 10L, 20L),  // touch at 10 -> overlap 1
+      (1L, 3L, 21L, 30L),                     // gap of 1 after id 2 -> no pair
+      (2L, 4L, 0L, 100L), (2L, 5L, 0L, 100L)) // identical long spans: once
+    assert(intervals(rows, bucket = 8L) === Set(
+      (1L, 1L, 2L, 1L), (2L, 4L, 5L, 101L)))
+  }
+
+  test("intervalOverlapSelfJoin: invalid intervals drop; fan-out guard trips loudly") {
+    assert(intervals(Seq((1L, 1L, 50L, 40L), (1L, 2L, 0L, 100L)), bucket = 16L).isEmpty)
+    val e = intercept[Exception]( // raise_error surfaces as SparkRuntimeException
+      intervals(Seq((1L, 1L, 0L, 10000L), (1L, 2L, 5L, 6L)), bucket = 16L, maxFanout = 8))
+    assert(e.getMessage.contains("spans more than"), e.getMessage)
+  }
 }
