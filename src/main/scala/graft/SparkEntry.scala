@@ -87,6 +87,12 @@ object SparkEntry {
       // rank as proximity to vertex 0 (the recommendation form of g7);
       // same fixed-iteration deterministic contract and unrolled-CTE mirror
       Analytics.personalizedPageRank(DerivedGraphs.small(s, dir), source = 0L, numIter = 10)),
+    "g19_hits" -> ((s, dir) => // HITS hubs & authorities (Kleinberg
+      // sequential update, 5 L1-normalized iterations): the directed
+      // centrality pair PageRank's single score can't express — a vertex
+      // can be a pure hub (links out to good authorities) with zero
+      // authority; unrolled-CTE mirror like g7/g18
+      Analytics.hits(DerivedGraphs.small(s, dir), numIter = 5)),
     "g17_common_neighbors" -> ((s, dir) => // link prediction: non-adjacent
       // pairs sharing >=2 neighbors via center-out wedge enumeration; the
       // super-hub degree cap is set BELOW this graph's max degree (16) so
@@ -302,6 +308,22 @@ object SparkEntry {
       c.join(sup, col("ck") <=> col("sk"), "full_outer")
         .select(col("ck"), col("sk"), col("n_cust"), col("n_supp"))
         .orderBy(col("ck").asc_nulls_first, col("sk").asc_nulls_first)
+    }),
+    "q25_arg_extremes" -> ((s, dir) => {
+      // max_by/min_by arg-extremum aggregates (Catalyst MaxBy/MinBy — a
+      // different aggregate path from max/min: the ordering value and the
+      // returned value are different columns, no join-back or window
+      // needed). Ties made impossible by folding the tie-break into ONE
+      // integer ordering scalar (balance cents ⊕ custkey — exact, and
+      // identical arithmetic on both engines).
+      val c = Tables.customer(s, dir).select(col("c_nationkey"), col("c_custkey"),
+          (dec12("c_acctbal") * 100).cast("long").as("bal_c"))
+        .withColumn("v", col("bal_c") * 10000000L + col("c_custkey"))
+      c.groupBy("c_nationkey")
+        .agg(max_by(col("c_custkey"), col("v")).as("richest"),
+          min_by(col("c_custkey"), col("v")).as("poorest"),
+          max(col("bal_c")).as("max_bal_c"))
+        .orderBy("c_nationkey")
     }),
     "q24_null_aware_anti" -> ((s, dir) => {
       // NOT IN over a NULL-bearing subquery — the null-aware anti join
@@ -675,6 +697,24 @@ object SparkEntry {
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_pairs"), sum("overlap").as("sum_overlap_days"))
         .orderBy("l_suppkey")
+    }),
+    "e18_order_milestones" -> ((s, dir) => {
+      // first_value / nth_value / last_value over an UNBOUNDED-both-ways
+      // frame (the offset window family; e2's lag/lead walk relative rows,
+      // these address absolute frame positions — nth_value is its own
+      // Catalyst expression with null-when-absent semantics for customers
+      // with < 3 orders). One row per customer via row_number on the same
+      // window spec: Spark plans ONE Window operator for all four.
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(col("o_custkey"),
+          first(col("o_orderkey")).over(wf).as("first_key"),
+          nth_value(col("o_orderkey"), 3).over(wf).as("third_key"),
+          last(col("o_orderkey")).over(wf).as("last_key"),
+          count(lit(1)).over(wf).as("n_orders"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("o_custkey")
     }),
     "e11_spend_quartiles" -> ((s, dir) => { // ranking-window surface:
       // ntile + percent_rank + dense_rank over per-customer spend, ranked
@@ -1102,6 +1142,7 @@ object SparkEntry {
       Analytics.commonNeighborsSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
     "g18_personalized_pagerank" ->
       Analytics.personalizedPageRankSql(DerivedGraphs.smallSql, source = 0L, numIter = 10),
+    "g19_hits" -> Analytics.hitsSql(DerivedGraphs.smallSql, numIter = 5),
     "g11_scc" -> // SCC = mutual reachability; closure is reflexive (base
       // row (v,v)), so singleton vertices label themselves
       s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),
@@ -1172,6 +1213,14 @@ object SparkEntry {
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q25_arg_extremes" ->
+      """WITH c AS (SELECT c_nationkey, c_custkey,
+        |                  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
+        |           FROM customer),
+        |v AS (SELECT *, bal_c * 10000000 + c_custkey AS v FROM c)
+        |SELECT c_nationkey, arg_max(c_custkey, v) AS richest,
+        |       arg_min(c_custkey, v) AS poorest, MAX(bal_c) AS max_bal_c
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_null_aware_anti" ->
       """WITH keys AS (SELECT nullif(o_custkey % 1000, 7) AS k FROM orders),
         |with_null AS (
@@ -1382,6 +1431,18 @@ object SparkEntry {
         |  ON a.l_suppkey = b.l_suppkey AND a.line_id < b.line_id
         | AND a.s_d <= b.e_d AND b.s_d <= a.e_d
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e18_order_milestones" ->
+      """WITH w AS (SELECT o_custkey,
+        |  first_value(o_orderkey) OVER win AS first_key,
+        |  nth_value(o_orderkey, 3) OVER win AS third_key,
+        |  last_value(o_orderkey) OVER win AS last_key,
+        |  COUNT(*) OVER win AS n_orders,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey, first_key, third_key, last_key, n_orders
+        |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "e11_spend_quartiles" ->
       """WITH s AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
         |           FROM orders GROUP BY 1),

@@ -196,6 +196,85 @@ object Analytics {
     b.toString
   }
 
+  /** HITS hubs & authorities, `numIter` fixed iterations with L1
+    * normalization: `(vertex BIGINT, auth DOUBLE, hub DOUBLE)` rounded to
+    * 1e-6 (same fp-error-below-rounding-grain contract as [[pageRank]]).
+    *
+    * Exact semantics (mirrored verbatim by [[hitsSql]]), the classic
+    * Kleinberg sequential update over the distinct edge set:
+    *   auth_{t}(v) = Σ_{u→v} hub_{t-1}(u), then auth_t /= Σ_v auth_t(v);
+    *   hub_{t}(v)  = Σ_{v→w} auth_t(w),   then hub_t  /= Σ_v hub_t(v);
+    * from auth_0 = hub_0 = 1. Vertices with no in-edges (resp. out-edges)
+    * carry auth (hub) 0.
+    *
+    * Scale shape: the edge relation is persisted TWICE, partitioned by src
+    * and by dst — the auth step joins hubs on src, the hub step joins auths
+    * on dst, and paying each partitioning once up front beats re-shuffling
+    * the (corpus-sized) edge set every iteration; per iteration only the
+    * vertex-sized score tables shuffle. The L1 total is a 1-row broadcast.
+    * `localCheckpoint` truncates the iterative lineage.
+    */
+  def hits(edges: DataFrame, numIter: Int = 5): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    val eBySrc = e0.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e0.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = vertices(eBySrc).localCheckpoint(true)
+      var hubs = v.withColumn("hub", lit(1.0)).localCheckpoint(true)
+      var auths = v.withColumn("auth", lit(1.0))
+      for (_ <- 1 to numIter) {
+        val aRaw = v.join(
+            eBySrc.join(hubs, eBySrc("src") === hubs("vertex"))
+              .groupBy(eBySrc("dst").as("vertex")).agg(sum(col("hub")).as("m")),
+            Seq("vertex"), "left_outer")
+          .select(col("vertex"), coalesce(col("m"), lit(0.0)).as("m"))
+        auths = aRaw.crossJoin(broadcast(aRaw.agg(sum("m").as("t"))))
+          .select(col("vertex"), (col("m") / col("t")).as("auth"))
+          .localCheckpoint(true)
+        val hRaw = v.join(
+            eByDst.join(auths, eByDst("dst") === auths("vertex"))
+              .groupBy(eByDst("src").as("vertex")).agg(sum(col("auth")).as("m")),
+            Seq("vertex"), "left_outer")
+          .select(col("vertex"), coalesce(col("m"), lit(0.0)).as("m"))
+        hubs = hRaw.crossJoin(broadcast(hRaw.agg(sum("m").as("t"))))
+          .select(col("vertex"), (col("m") / col("t")).as("hub"))
+          .localCheckpoint(true)
+      }
+      auths.join(hubs, "vertex")
+        .select(col("vertex"), round(col("auth"), 6).as("auth"), round(col("hub"), 6).as("hub"))
+        .orderBy("vertex")
+    } finally {
+      eBySrc.unpersist(blocking = false)
+      eByDst.unpersist(blocking = false)
+    }
+  }
+
+  /** DuckDB oracle for [[hits]]: the same fixed-iteration sequential update
+    * unrolled as chained CTEs, rounded to the same 1e-6 grain. The L1
+    * normalizer is `SUM(m) OVER ()`, not a scalar subquery — a scalar
+    * subquery would reference each per-iteration CTE twice, and DuckDB
+    * inlines CTEs, so the unrolled plan would blow up exponentially in
+    * `numIter`; the window form keeps every CTE referenced exactly once.
+    */
+  def hitsSql(edgeSql: String, numIter: Int = 5): String = {
+    val b = new StringBuilder
+    b ++= s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t),\n"
+    b ++= "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),\n"
+    b ++= "h0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) AS hub FROM v)"
+    for (i <- 1 to numIter) {
+      b ++= s",\na$i AS (SELECT v.vertex, COALESCE(x.m, 0) / SUM(COALESCE(x.m, 0)) OVER () AS auth FROM v " +
+        s"LEFT JOIN (SELECT e.dst AS vertex, SUM(h.hub) AS m FROM e " +
+        s"JOIN h${i - 1} h ON h.vertex = e.src GROUP BY e.dst) x ON x.vertex = v.vertex)"
+      b ++= s",\nh$i AS (SELECT v.vertex, COALESCE(x.m, 0) / SUM(COALESCE(x.m, 0)) OVER () AS hub FROM v " +
+        s"LEFT JOIN (SELECT e.src AS vertex, SUM(a.auth) AS m FROM e " +
+        s"JOIN a$i a ON a.vertex = e.dst GROUP BY e.src) x ON x.vertex = v.vertex)"
+    }
+    b ++= s"\nSELECT a.vertex, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub " +
+      s"FROM a$numIter a JOIN h$numIter h ON h.vertex = a.vertex ORDER BY a.vertex"
+    b.toString
+  }
+
   /** Per-vertex triangle count over the underlying undirected simple graph
     * (self-loops dropped, edges canonicalized to a<b, deduped):
     * `(vertex BIGINT, triangles BIGINT)`; only vertices in ≥1 triangle appear.

@@ -142,6 +142,41 @@ class AnalyticsSpec extends SparkSpec {
     vs.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-6, s"vertex $v: ${got(v)} vs ${r(v)}"))
   }
 
+  test("hits: pure hub / pure authority structure; matches the sequential mirror") {
+    // star: 0,1,2 all link to 3 and 4. 0-2 are pure hubs (auth 0),
+    // 3-4 pure authorities (hub 0), symmetric within each group.
+    val e = Seq((0L, 3L), (0L, 4L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val got = Analytics.hits(edgesDF(e), numIter = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList
+    val byV = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(Seq(0L, 1L, 2L).map(byV(_)._1).forall(_ == 0.0)) // hubs: no in-edges
+    assert(Seq(3L, 4L).map(byV(_)._2).forall(_ == 0.0))     // auths: no out-edges
+    assert(byV(0L) === byV(1L) && byV(1L) === byV(2L) && byV(3L) === byV(4L))
+
+    // sequential mirror of the exact recurrence on an asymmetric graph
+    val e2 = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+    val got2 = Analytics.hits(edgesDF(e2), numIter = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val vs = Seq(0L, 1L, 2L, 3L)
+    val out = Map(0L -> Seq(1L, 2L), 1L -> Seq(2L), 2L -> Seq(0L), 3L -> Seq(2L))
+    var hub = vs.map(_ -> 1.0).toMap
+    var auth = vs.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      // .keys.toSeq before mapping: a Set.map would collapse TIED hub
+      // scores (vertices 1 and 3 tie here) and silently drop mass
+      val aRaw = vs.map(v => v -> out.filter(_._2.contains(v)).keys.toSeq.map(hub).sum).toMap
+      val at = aRaw.values.sum
+      auth = aRaw.map { case (v, m) => v -> m / at }
+      val hRaw = vs.map(v => v -> out.getOrElse(v, Nil).map(auth).sum).toMap
+      val ht = hRaw.values.sum
+      hub = hRaw.map { case (v, m) => v -> m / ht }
+    }
+    vs.foreach { v =>
+      assert(math.abs(got2(v)._1 - auth(v)) < 6e-7, s"auth $v")
+      assert(math.abs(got2(v)._2 - hub(v)) < 6e-7, s"hub $v")
+    }
+  }
+
   test("commonNeighbors: non-adjacent pair found, adjacent pair suppressed") {
     // 0 and 1 share neighbors {2,3,4} and are NOT adjacent -> reported (so
     // are 3,4 via {0,1,2}). 0 and 2 share {3,4} but 0-2 IS an edge ->
