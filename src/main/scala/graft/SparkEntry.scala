@@ -962,6 +962,12 @@ object SparkEntry {
       // partitions × dim², independent of corpus size; result driver-small
       // by contract (dim×dim), like IVF's centroids
       Similarity.gramMatrix(Tables.embeddings(s, dir))),
+    "s7_pq_rerank" -> ((s, dir) => // product-quantized ADC scan + exact
+      // re-rank (the FAISS IVFPQ memory path): m one-byte codes per vector
+      // (64x narrower than the float64 scan), query-side integer LUT, the
+      // corpus pass sums m table entries and never touches the floats;
+      // deterministic seed codebooks so the oracle mirrors the pipeline
+      Similarity.pqTopK(Tables.embeddings(s, dir))),
     "s5_sq8_rerank" -> ((s, dir) => // int8 scalar-quantized candidate scan
       // + exact re-rank: the quantized-memory ANN tier (8× narrower scan
       // than s1's float64 pass); deterministic end-to-end, so the oracle
@@ -1567,6 +1573,7 @@ object SparkEntry {
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),
     "s4_label_centroids" -> Similarity.labelCentroidsSql,
     "s5_sq8_rerank" -> Similarity.sq8TopKSql(),
+    "s7_pq_rerank" -> Similarity.pqTopKSql(),
     "s6_gram_matrix" -> Similarity.gramMatrixSql(),
     "f5_hive_partitioned" -> // source-table oracle with the same year cut
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -171,6 +171,127 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
        |FROM f WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Product-quantized (PQ) top-k via asymmetric distance computation (ADC)
+    * with exact re-rank — the FAISS `PQ`/`IVFPQ` memory path: each vector
+    * is compressed to `m` one-byte codes (nearest codebook centroid per
+    * `dim/m`-dim subspace), a query builds an m × ksub lookup table of
+    * partial inner products ONCE, and the corpus scan scores each vector by
+    * summing m table entries — it never touches the floats. Top
+    * `k·candFactor` ADC candidates per query then pay the exact cosine.
+    * `(query_id, neighbor_id, rank, cos_1e6)` for `vec_id < numQueries`.
+    *
+    * Why this is the 100 TB shape: PQ codes are m bytes per vector vs
+    * 8·dim for doubles (64× smaller at the defaults) — the corpus scan
+    * streams codes at cache width, exact math touches only
+    * Q × (k·candFactor) rows, and encoding is a per-row projection against
+    * a driver-small codebook literal (re-encoding a new shard needs no
+    * global rebuild). Codebooks are the sub-vectors of the `ksub` lowest
+    * vec_ids — the deterministic iters=0 analogue of [[ivfTopK]]'s
+    * k-means-lite seeds (the refinement step is s3's gated concern; PQ's
+    * own content is the code/ADC path). LUT entries are FLOORED TO INTEGER
+    * MILLIONTHS so the m-term ADC sum is an exact integer — immune to
+    * summation order, hence exactly mirrorable — while each underlying dot
+    * product is an ordered fold, bit-identical across engines.
+    */
+  def pqTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5,
+             m: Int = 8, ksub: Int = 16, candFactor: Int = 3, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val dsub = dim / m
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .localCheckpoint(true) // scanned 3x: seeds, encoding, re-rank
+    val seeds: Array[Array[Double]] = v.orderBy("vec_id").limit(ksub)
+      .select("e").collect().map(_.getSeq[Double](0).toArray)
+    val cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+
+    def subv(c: Column, j: Int) = slice(c, j * dsub + 1, dsub)
+    // encode: argmin_c ||sub − cb_c||² ≡ argmin_c (||cb_c||² − 2·sub·cb_c)
+    // (the ||sub||² term is constant per row); ||cb_c||² is summed on the
+    // driver left-to-right — the same fold order the oracle's
+    // list_dot_product(cb, cb) uses, so d is bit-identical, and ties break
+    // to the lowest code on both engines via the (d, cid) struct ordering
+    val codeCols = (0 until m).map { j =>
+      val cmat = typedLit(cb(j).map(_.toSeq).toSeq)
+      val cn2 = typedLit(cb(j).map(c => c.map(x => x * x).sum).toSeq)
+      val scored = (0 until ksub).map(c => struct(
+        (element_at(cn2, c + 1) - lit(2.0) * dot(subv(col("e"), j), element_at(cmat, c + 1))).as("d"),
+        lit(c).as("cid")))
+      array_min(array(scored: _*)).getField("cid").as(s"code$j")
+    }
+    val codes = v.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"), array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
+    val lutCol = array((0 until m).map { j =>
+      val cmat = typedLit(cb(j).map(_.toSeq).toSeq)
+      array((0 until ksub).map(c =>
+        floor(dot(subv(col("qe"), j), element_at(cmat, c + 1)) * 1e6).cast("long")): _*)
+    }: _*)
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .withColumn("lut", lutCol)
+    val adcCol = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val cw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    val cand = codes.join(broadcast(q.select("query_id", "lut")), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adcCol)
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= k * candFactor)
+      .select("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.join(v, "vec_id")
+      .join(broadcast(q.select("query_id", "qe", "qn")), "query_id")
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of the full [[pqTopK]] pipeline: same seed codebooks,
+    * same argmin encoding (lowest-code ties via list comparison), same
+    * integer-millionth LUT + exact integer ADC sum, same exact re-rank.
+    */
+  def pqTopKSql(numQueries: Int = 20, k: Int = 5,
+                m: Int = 8, ksub: Int = 16, candFactor: Int = 3, dim: Int = 64): String = {
+    val dsub = dim / m
+    def sub(e: String) = s"list_slice($e, j.j * $dsub + 1, j.j * $dsub + $dsub)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e
+       |          FROM v ORDER BY vec_id LIMIT $ksub),
+       |codes AS (
+       |  SELECT vec_id, j, c AS code FROM (
+       |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+       |    FROM (SELECT v.vec_id, j.j AS j, s.c AS c,
+       |            list_dot_product(${sub("s.e")}, ${sub("s.e")})
+       |            - 2 * list_dot_product(${sub("v.e")}, ${sub("s.e")}) AS d
+       |          FROM v, range(0, $m) AS j(j), seeds s))
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, j.j AS j, s.c AS c,
+       |          floor(list_dot_product(${sub("q.e")}, ${sub("s.e")}) * 1e6)::BIGINT AS p
+       |        FROM v q, range(0, $m) AS j(j), seeds s WHERE q.vec_id < $numQueries),
+       |adc AS (SELECT l.query_id, c.vec_id, SUM(l.p)::BIGINT AS adc
+       |        FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code
+       |        WHERE c.vec_id <> l.query_id
+       |        GROUP BY 1, 2),
+       |cr AS (SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS crank
+       |       FROM adc),
+       |x AS (SELECT cr.query_id, cr.vec_id,
+       |        list_dot_product(cv.e, qv.e) / (cv.nrm * qv.nrm) AS cos
+       |      FROM cr JOIN n cv ON cv.vec_id = cr.vec_id
+       |             JOIN n qv ON qv.vec_id = cr.query_id
+       |      WHERE cr.crank <= ${k * candFactor}),
+       |f AS (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM x)
+       |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+       |       floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM f WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF (inverted-file) approximate top-k: k-means-lite centroids, each
     * vector assigned to its nearest centroid (the "inverted list"); a query
     * probes only the `nprobe` nearest lists and exact-re-ranks inside them.

@@ -156,6 +156,38 @@ class SimilaritySpec extends SparkSpec {
       s"mean recall ${recalls.sum / recalls.size} below 0.9")
   }
 
+  test("pqTopK with a corpus-covering candidate pool equals the exact baseline") {
+    // candFactor large enough that every vector survives the ADC cut ->
+    // the re-rank IS the exact top-k, so PQ compression must not change
+    // the output (the same contract sq8TopK pins)
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 40L).map(i => i -> Array.fill(16)(rng.nextGaussian().toFloat))
+    val exact = Similarity.cosineTopK(embDF(vecs), numQueries = 8, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val pq = Similarity.pqTopK(embDF(vecs), numQueries = 8, k = 4,
+      m = 4, ksub = 8, candFactor = 10, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(pq === exact)
+  }
+
+  test("pqTopK recall vs exact at the default narrow candidate pool") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.cosineTopK(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.pqTopK(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      pq.get(q).map(found => (found & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    // 16 seed codebooks (no refinement) compress 64 dims to 8 codes: ADC
+    // is a coarse rank, but the 3k-strong candidate pool catches most of
+    // the true top-5 on this clustered corpus
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"mean recall ${recalls.sum / recalls.size} below 0.5")
+  }
+
   test("semanticDupClusters chains non-transitive near-dups to one keeper") {
     // 0≈1 and 1≈2 by construction while cos(0,2) is lower; 3 is far away.
     // A chain must collapse to keeper 0 even though 0-2 alone may miss the
