@@ -325,6 +325,27 @@ object SparkEntry {
           max(col("bal_c")).as("max_bal_c"))
         .orderBy("c_nationkey")
     }),
+    "q26_recursive_cte" -> ((s, dir) => {
+      // WITH RECURSIVE through Spark's UnionLoop (new in Spark 4.x) — the
+      // SQL-surface route to iterative computation the DataFrame loops
+      // (g1/g7) hand-roll. Spark supports UNION ALL recursion only, so the
+      // domain is ACYCLIC by construction: walk every customer up the
+      // implicit binary tree (parent = key div 2 — the org-chart /
+      // category-hierarchy shape), emitting depth and the path-sum of
+      // ancestor keys; each step strictly decreases the node, so UNION ALL
+      // is exact and the loop terminates without a hop guard
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql(
+        """WITH RECURSIVE up(c_custkey, node, steps, path_sum) AS (
+          |  SELECT c_custkey, c_custkey AS node, CAST(0 AS BIGINT) AS steps,
+          |         c_custkey AS path_sum
+          |  FROM customer_v
+          |  UNION ALL
+          |  SELECT c_custkey, node DIV 2, steps + 1, path_sum + node DIV 2
+          |  FROM up WHERE node > 1)
+          |SELECT c_custkey, steps AS depth, path_sum
+          |FROM up WHERE node = 1 ORDER BY c_custkey""".stripMargin)
+    }),
     "q24_null_aware_anti" -> ((s, dir) => {
       // NOT IN over a NULL-bearing subquery — the null-aware anti join
       // (Spark's NullAwareAntiJoin, a different operator from q5's plain
@@ -1219,6 +1240,16 @@ object SparkEntry {
         |  GROUPING(l_returnflag)::BIGINT AS g_rf, GROUPING(l_linestatus)::BIGINT AS g_ls
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q26_recursive_cte" ->
+      """WITH RECURSIVE up(c_custkey, node, steps, path_sum) AS (
+        |  SELECT c_custkey, c_custkey AS node, CAST(0 AS BIGINT) AS steps,
+        |         c_custkey AS path_sum
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, node // 2, steps + 1, path_sum + node // 2
+        |  FROM up WHERE node > 1)
+        |SELECT c_custkey, steps AS depth, path_sum
+        |FROM up WHERE node = 1 ORDER BY c_custkey""".stripMargin,
     "q25_arg_extremes" ->
       """WITH c AS (SELECT c_nationkey, c_custkey,
         |                  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
