@@ -86,6 +86,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("e17: the interval join plans as an EQUI join on (key, bucket), never a nested loop") {
+    // the whole point of the bucketing: a naive overlap predicate would
+    // plan BroadcastNestedLoopJoin / CartesianProduct — quadratic per key
+    staticPlan(SparkEntry.queries("e17_interval_overlaps")(spark, sf)) { plan =>
+      val s = plan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"interval join degenerated to a nested loop:\n$s")
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+        s.contains("BroadcastHashJoin"),
+        s"no equi join found in e17's plan:\n$s")
+    }
+  }
+
+  test("s7: the ADC candidate scan reads codes only — the float vectors stay out of the probe") {
+    // PQ's memory claim: the corpus-wide scan touches m bytes of codes per
+    // vector; the e/nrm doubles may appear only in the bounded re-rank and
+    // broadcast query sides, never in the corpus-side probe projection
+    staticPlan(graft.llm.Similarity.pqTopK(Tables.embeddings(spark, sf))) { plan =>
+      import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+      // the candidate ranking window (over adc) is the probe's consumer:
+      // its input schema is the ADC scan's width
+      val wins = plan.collectWithSubqueries {
+        case w: WindowExec => w
+        case w: WindowGroupLimitExec => w
+      }
+      assert(wins.nonEmpty, s"no window operators in s7's plan:\n$plan")
+      val adcWin = wins.filter(_.toString.contains("adc"))
+      assert(adcWin.nonEmpty, s"no adc ranking window found:\n$plan")
+      adcWin.foreach { w =>
+        val cols = w.children.head.output.map(_.name).toSet
+        assert(!cols.contains("e") && !cols.contains("nrm"),
+          s"float vectors leaked into the ADC probe: $cols")
+      }
+    }
+  }
+
   test("runtime bloom filter injects on a selective shuffle join (the 100 TB runtime-filter knob)") {
     // At cluster scale a selective dim filter should prune the fact scan
     // BEFORE the shuffle — Catalyst's InjectRuntimeFilter does that with a
