@@ -495,6 +495,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(dec12("o_totalprice")).cast("double").as("sum_price"))
         .orderBy("month")
     }),
+    "f6_schema_evolution" -> ((s, dir) => {
+      // schema evolution across parquet batches (the every-real-lake
+      // problem: a column added mid-history): batch 1 lacks the priority
+      // column, batch 2 has it; a mergeSchema read unions the schemas and
+      // null-fills the old files — by-NAME resolution, not by position.
+      // The oracle derives the same union from the source table, so the
+      // write, the merged read, and the null-fill are all checked.
+      val root = schemaEvolutionPath(dir)
+      Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(root + "/b1")
+      Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(root + "/b2")
+      s.read.option("mergeSchema", "true").parquet(root + "/b1", root + "/b2")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_okey"))
+        .orderBy("o_orderpriority")
+    }),
     "f5_hive_partitioned" -> ((s, dir) => {
       // hive-partitioned layout (f3's directory-pruning sibling): orders
       // written under o_year=YYYY dirs, read back with a partition-column
@@ -693,6 +712,27 @@ object SparkEntry {
           leftTime = "v_us", rightTime = "c_us", window = B)
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
+    }),
+    "e19_asof_tolerance" -> ((s, dir) => {
+      // as-of join WITH TOLERANCE (pandas merge_asof(tolerance=...) /
+      // kdb wj semantics): the latest at-or-before view matches only if
+      // within 2h of the purchase — staler matches null out. Composed on
+      // the shared asofJoin by also carrying the right row's timestamp;
+      // correctness rests on monotonicity (if the LATEST prior view is too
+      // stale, every earlier one is staler), so no second pass is needed
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      TemporalJoins.asofJoin(purchases, views, key = "user_id",
+          leftTime = "ts_us", rightTime = "ts_us",
+          rightValues = Seq("event_id" -> "view_id", "ts_us" -> "view_ts_us"),
+          rightTieBreak = Seq("event_id"))
+        .select(col("purchase_id"), col("user_id"),
+          when(col("ts_us") - col("view_ts_us") <= 7200000000L, col("view_id"))
+            .as("view_id"))
+        .orderBy("purchase_id")
     }),
     "e17_interval_overlaps" -> ((s, dir) => {
       // interval-overlap join (intervals × intervals, vs e7's points ×
@@ -958,6 +998,12 @@ object SparkEntry {
       // Levenshtein runs ONLY on the LSH-pruned pair set, on fixed-width
       // prefixes — char-level drift signal on top of set-based Jaccard
       Dedup.lshEditDistances(Tables.documents(s, dir))),
+    "d11_containment" -> ((s, dir) => // ASYMMETRIC containment over
+      // winnowing fingerprints (MOSS shape): a small doc quoted wholesale
+      // by a large one scores ~1000 on its own side while the pair's
+      // Jaccard stays low — the quote-plagiarism signal d2/d3/d7's
+      // symmetric thresholds miss; df-capped inverted index bounds the join
+      Dedup.containmentPairs(Tables.documents(s, dir))),
     "d6_dup_clusters" -> ((s, dir) => // near-dup RESOLUTION: CC over the
       // LSH pair graph -> (doc, keeper); closure handles non-transitive
       // near-dup chains
@@ -1456,6 +1502,20 @@ object SparkEntry {
         |JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND c.c_us >= v.v_us AND c.c_us - v.v_us <= 3600000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "e19_asof_tolerance" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 0 AS kind, event_id FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS kind, event_id FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |        last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER win AS view_id,
+        |        last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER win AS view_ts_us
+        |      FROM t
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id,
+        |       CASE WHEN ts_us - view_ts_us <= 7200000000 THEN view_id END AS view_id
+        |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin,
     "e17_interval_overlaps" ->
       """WITH li AS (SELECT l_suppkey, l_orderkey * 8 + l_linenumber AS line_id,
         |                   (o_orderdate::DATE - DATE '1970-01-01') AS s_d,
@@ -1591,6 +1651,7 @@ object SparkEntry {
     "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
     "d10_edit_distance" -> Dedup.lshEditDistancesSql(),
+    "d11_containment" -> Dedup.containmentPairsSql(),
     "p2_semantic_curation" -> // the d9 clusters query nested as a derived
       // table; survivors = vectors that are not a non-keeper cluster member
       s"""SELECT e.label::BIGINT AS label, COUNT(*) AS n, SUM(e.vec_id)::BIGINT AS sum_ids
@@ -1606,6 +1667,15 @@ object SparkEntry {
     "s5_sq8_rerank" -> Similarity.sq8TopKSql(),
     "s7_pq_rerank" -> Similarity.pqTopKSql(),
     "s6_gram_matrix" -> Similarity.gramMatrixSql(),
+    "f6_schema_evolution" -> // source-table union mirror of the two batches
+      """WITH u AS (
+        |  SELECT o_orderkey, o_custkey, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 4 = 1)
+        |SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_okey
+        |FROM u GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "f5_hive_partitioned" -> // source-table oracle with the same year cut
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
@@ -1712,6 +1782,10 @@ object SparkEntry {
   /** Hive-partitioned export for `f5_hive_partitioned` (same discipline). */
   def hivePartitionedPath(sfDir: String): String =
     exportRoot + "/graft-hive-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Two-batch export for `f6_schema_evolution` (same discipline). */
+  def schemaEvolutionPath(sfDir: String): String =
+    exportRoot + "/graft-evolve-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Oracles only computable against the data (not sf-independent SQL),
     * merged into `oracle_sql.json` by Verify:

@@ -484,4 +484,68 @@ object Dedup {
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** ASYMMETRIC containment pairs over winnowing fingerprints (the
+    * MOSS-shaped "doc A is mostly inside doc B" detector): for each doc
+    * pair sharing fingerprints, `cont_a_1000 = |F_a ∩ F_b| · 1000 / |F_a|`
+    * and symmetrically for b — a SMALL doc quoted wholesale by a large one
+    * scores near 1000 on its own side while the pair's Jaccard (what
+    * d2/d3/d7 threshold on) stays low, which is exactly why near-dup
+    * filtering misses quote-plagiarism and why this is a separate operator.
+    * Emits pairs with `greatest(cont_a, cont_b) >= minCont1000`:
+    * `(doc_a, doc_b, shared, cont_a_1000, cont_b_1000)`.
+    *
+    * Fingerprints with document frequency > `maxDf` are dropped from BOTH
+    * numerator and denominator (mirrored by the oracle): a fingerprint
+    * shared by half the corpus carries no containment signal, and the cap
+    * is what bounds the inverted-index join — candidate volume is
+    * Σ_f df(f)² ≤ maxDf · |kept rows|, linear in the corpus, never the
+    * all-pairs product. The winnowed fingerprint set is already a
+    * sublinear sample of each doc (that is winnowing's point), so `kept`
+    * is corpus-sized × small constant.
+    */
+  def containmentPairs(docs: DataFrame, maxDf: Int = 20,
+                       minCont1000: Long = 500L): DataFrame = {
+    val fp = TextOps.winnowingFingerprints(docs)
+      .localCheckpoint(true) // consumed by the df filter AND the pair join
+    val keep = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fingerprint")
+    val kept = fp.join(keep, Seq("fingerprint"), "left_semi")
+      .localCheckpoint(true) // consumed by sizes and both join sides
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = kept.select(col("fingerprint"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fingerprint"), col("doc_id").as("doc_b")), "fingerprint")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("cont_a_1000", expr("shared * 1000 div n_a"))
+      .withColumn("cont_b_1000", expr("shared * 1000 div n_b"))
+      .filter(greatest(col("cont_a_1000"), col("cont_b_1000")) >= minCont1000)
+      .select("doc_a", "doc_b", "shared", "cont_a_1000", "cont_b_1000")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB mirror of [[containmentPairs]] over the same winnowing
+    * derivation ([[TextOps.winnowingSql]]), df cap and integer-thousandths
+    * containment included.
+    */
+  def containmentPairsSql(maxDf: Int = 20, minCont1000: Long = 500L): String =
+    s"""WITH fp AS (SELECT doc_id, fingerprint FROM (${TextOps.winnowingSql()})),
+       |keep AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= $maxDf),
+       |kept AS (SELECT doc_id, fingerprint FROM fp
+       |         WHERE fingerprint IN (SELECT fingerprint FROM keep)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared
+       |           FROM kept a JOIN kept b
+       |             ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared,
+       |       (shared * 1000 // na.n)::BIGINT AS cont_a_1000,
+       |       (shared * 1000 // nb.n)::BIGINT AS cont_b_1000
+       |FROM shared JOIN sizes na ON na.doc_id = doc_a
+       |            JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE greatest(shared * 1000 // na.n, shared * 1000 // nb.n) >= $minCont1000
+       |ORDER BY doc_a, doc_b""".stripMargin
 }
