@@ -202,6 +202,10 @@ object Similarity {
       .localCheckpoint(true) // scanned 3x: seeds, encoding, re-rank
     val seeds: Array[Array[Double]] = v.orderBy("vec_id").limit(ksub)
       .select("e").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "pqTopK needs a non-empty embedding corpus")
+    // a corpus smaller than ksub simply yields a smaller codebook — the
+    // oracle's LIMIT ksub sees the same rows, so the codes still agree
+    val kEff = seeds.length
     val cb: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
 
@@ -219,7 +223,7 @@ object Similarity {
     val codeCols = (0 until m).map { j =>
       val cmat = typedLit(cb(j).map(_.toSeq).toSeq)
       val cn2 = typedLit(cb(j).map(c => c.map(x => x * x).sum).toSeq)
-      val scored = (0 until ksub).map(c => struct(
+      val scored = (0 until kEff).map(c => struct(
         (element_at(cn2, c + 1) - lit(2.0) * dot(col(s"sub$j"), element_at(cmat, c + 1))).as("d"),
         lit(c).as("cid")))
       array_min(array(scored: _*)).getField("cid").as(s"code$j")
@@ -231,7 +235,7 @@ object Similarity {
       .localCheckpoint(true)
     val lutCol = array((0 until m).map { j =>
       val cmat = typedLit(cb(j).map(_.toSeq).toSeq)
-      array((0 until ksub).map(c =>
+      array((0 until kEff).map(c =>
         floor(dot(subv(col("qe"), j), element_at(cmat, c + 1)) * 1e6).cast("long")): _*)
     }: _*)
     val q = v.filter(col("vec_id") < numQueries)
