@@ -78,6 +78,12 @@ object GraftSession {
       // nanos-timestamp parquet (events.ts) reads as LONG ns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // transformWithState (st10) needs a provider with column families —
+      // only RocksDB has them; it is also the production state-store choice
+      // for every other stateful operator (incremental checkpoints, no JVM
+      // heap pressure from state), so it is the engine-wide default
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // managed (bucketed) tables land in tmp, never in the repo cwd;
       // per-process dir so a fresh JVM (fresh in-memory catalog) never
       // collides with a previous run's table locations; removed on exit

@@ -957,6 +957,17 @@ object SparkEntry {
         .as[EventStreams.UserEvent]
       EventStreams.runningUserCountsBounded(ev).toDF().orderBy("user_id")
     }),
+    "st10_tws_counts" -> ((s, dir) => {
+      // the transformWithState API (Spark 4.x's typed-state successor to
+      // mapGroupsWithState) bound to the gate: same per-user fold as st4,
+      // run in batch mode — one init + one handleInputRows per group from
+      // absent state; the RocksDB-backed incremental half is StreamingSpec's
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[EventStreams.UserEvent]
+      EventStreams.runningUserCountsTws(ev).toDF().orderBy("user_id")
+    }),
     "st9_closed_sessions" -> ((s, dir) => {
       // Append-mode custom-state sessionization: one final row per CLOSED
       // session (the append-only-sink contract; st4/st7 cover the
@@ -1632,6 +1643,7 @@ object SparkEntry {
         |FROM documents ORDER BY h""".stripMargin,
     "st7_bounded_counts" -> EventStreams.runningUserCountsSql(),
     "st9_closed_sessions" -> EventStreams.sessionizeStatefulSql(),
+    "st10_tws_counts" -> EventStreams.runningUserCountsSql(),
     "st1_tumbling_hourly" -> EventStreams.tumblingCountsSql(),
     "st2_sliding_counts" -> EventStreams.slidingCountsSql(),
     "st3_session_windows" -> EventStreams.sessionCountsSql(),

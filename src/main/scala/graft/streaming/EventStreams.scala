@@ -3,7 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured-Streaming surface over the `events` table — the streaming
   * analogue of the reference's request loop (SURVEY §7 step 8; the reference
@@ -244,6 +245,47 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+
+  /** [[runningUserCounts]] on the `transformWithState` API (Spark 4.x's
+    * successor to `mapGroupsWithState`): typed `ValueState` obtained from
+    * the processor handle at init, explicit `TimeMode`/`TTLConfig`, and a
+    * composable `StatefulProcessor` object instead of a closure. Same fold
+    * semantics as st4, so the same DuckDB oracle gates this code path
+    * (`st10_tws_counts`); the per-micro-batch increment (which requires the
+    * RocksDB state store provider) is asserted in StreamingSpec.
+    */
+  private class RunningCountsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("running",
+        Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_type))
+      val prev = if (state.exists()) state.get() else UserRunning(key, 0L, "")
+      val next = sorted.foldLeft(prev)((acc, e) =>
+        UserRunning(key, acc.n_events + 1, e.event_type))
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** See [[RunningCountsProcessor]]. Batch mode folds each group once from
+    * absent state — the unified-model contract the gate checks, same as st4.
+    */
+  def runningUserCountsTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // BATCH transformWithState still loads a state store per task, and the
+    // executors resolve the driver's StateStoreCoordinator RPC endpoint —
+    // which only a STREAMING query start normally creates. In a fresh
+    // session a batch-first run would die with RpcEndpointNotFound, so
+    // materialize the coordinator up front (private[sql] → graftbridge).
+    org.apache.spark.sql.graftbridge.Bridge.ensureStateStoreCoordinator(spark)
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** One emitted row per CLOSED session for [[sessionizeStateful]]. */

@@ -243,6 +243,47 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && want.nonEmpty)
   }
 
+  test("transformWithState running counts: per-micro-batch increment (RocksDB state store)") {
+    val s = spark
+    import s.implicits._
+    // transformWithState requires the RocksDB provider in streaming mode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = 1700000000000L
+      def ev(uid: Long, offsetMs: Long, tpe: String) =
+        EventStreams.UserEvent(uid, new Timestamp(base + offsetMs), tpe)
+      val mem = MemoryStream[EventStreams.UserEvent](s)
+      val rows = runIncremental(
+        EventStreams.runningUserCountsTws(mem.toDS()).toDF(),
+        "t_tws", OutputMode.Update()) { q =>
+          mem.addData(Seq(ev(1L, 0L, "view"), ev(1L, 1000L, "click"))); q.processAllAvailable()
+          mem.addData(Seq(ev(1L, 2000L, "purchase"), ev(2L, 0L, "view"))); q.processAllAvailable()
+        }
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // batch 1 emits user 1 at n=2; batch 2 continues FROM STORED STATE
+      // to n=3 (not 1) — the cross-micro-batch proof — and user 2 starts at 1
+      assert(rows === Set((1L, 2L, "click"), (1L, 3L, "purchase"), (2L, 1L, "view")),
+        s"got $rows")
+    } finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  test("transformWithState running counts: batch fold equals the mapGroupsWithState operator") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents.map(e => EventStreams.UserEvent(e.user_id, e.ts, e.event_type))
+    val tws = EventStreams.runningUserCountsTws(events.toDS())
+      .collect().map(r => (r.user_id, r.n_events, r.last_type)).toSet
+    val mgws = EventStreams.runningUserCounts(events.toDS())
+      .collect().map(r => (r.user_id, r.n_events, r.last_type)).toSet
+    assert(tws === mgws && tws.nonEmpty)
+  }
+
   test("bounded running counts: idle keys are evicted on event-time timeout") {
     val s = spark
     import s.implicits._
