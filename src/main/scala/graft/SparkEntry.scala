@@ -495,6 +495,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(dec12("o_totalprice")).cast("double").as("sum_price"))
         .orderBy("month")
     }),
+    "f7_dsv2_matrix" -> ((s, dir) => {
+      // the DataSourceV2 connector for the reference matrix format bound to
+      // the gate: derive the small graph, write it as the dense text format
+      // (1-based, so ids shift +1), read it back through
+      // spark.read.format(MatrixSourceV2), and aggregate out-degrees. The
+      // oracle computes the same degrees from the source derivation — the
+      // writer, the V2 scan, and the parse are all checked.
+      val path = dsv2MatrixPath(dir)
+      val edges1 = DerivedGraphs.small(s, dir)
+        .select((col("src") + 1).as("src"), (col("dst") + 1).as("dst"))
+      val n = 1 + DerivedGraphs.SmallMod.toInt // ids 1..SmallMod after shift
+      MatrixFormat.writeMatrix(s, edges1, path, vertexCount = Some(n))
+      s.read.format("graft.sources.MatrixSourceV2").load(path)
+        .groupBy("src").agg(count(lit(1)).as("outdeg"), sum("dst").as("sum_dst"))
+        .orderBy("src")
+    }),
     "f6_schema_evolution" -> ((s, dir) => {
       // schema evolution across parquet batches (the every-real-lake
       // problem: a column added mid-history): batch 1 lacks the priority
@@ -1679,6 +1695,11 @@ object SparkEntry {
     "s5_sq8_rerank" -> Similarity.sq8TopKSql(),
     "s7_pq_rerank" -> Similarity.pqTopKSql(),
     "s6_gram_matrix" -> Similarity.gramMatrixSql(),
+    "f7_dsv2_matrix" -> // same degrees from the source derivation (+1 shift)
+      s"""WITH e AS (${DerivedGraphs.smallSql})
+         |SELECT src + 1 AS src, COUNT(*)::BIGINT AS outdeg,
+         |       SUM(dst + 1)::BIGINT AS sum_dst
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "f6_schema_evolution" -> // source-table union mirror of the two batches
       """WITH u AS (
         |  SELECT o_orderkey, o_custkey, NULL AS o_orderpriority
@@ -1798,6 +1819,10 @@ object SparkEntry {
   /** Two-batch export for `f6_schema_evolution` (same discipline). */
   def schemaEvolutionPath(sfDir: String): String =
     exportRoot + "/graft-evolve-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Matrix-file export for `f7_dsv2_matrix` (same discipline). */
+  def dsv2MatrixPath(sfDir: String): String =
+    exportRoot + "/graft-dsv2-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + ".txt"
 
   /** Oracles only computable against the data (not sf-independent SQL),
     * merged into `oracle_sql.json` by Verify:

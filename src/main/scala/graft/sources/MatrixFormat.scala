@@ -45,9 +45,13 @@ object MatrixFormat {
     * glob — where no cross-file ordering exists — is rejected rather than
     * silently mis-numbered.
     */
-  private def readLines(spark: SparkSession, path: String): IndexedSeq[String] = {
+  private def readLines(spark: SparkSession, path: String): IndexedSeq[String] =
+    readLinesConf(spark.sparkContext.hadoopConfiguration, path)
+
+  private[sources] def readLinesConf(conf: org.apache.hadoop.conf.Configuration,
+                                     path: String): IndexedSeq[String] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val matches = fs.globStatus(p)
     require(matches != null && matches.length == 1 && matches.head.isFile,
       s"matrix format is a single text file; '$path' resolves to " +
@@ -70,6 +74,14 @@ object MatrixFormat {
     * blank line would silently shift every later row's id by one — reject it
     * (only trailing blanks are tolerated; the reference writer emits none).
     */
+  /** One-call parse for the DSv2 reader ([[MatrixSourceV2]]), which runs on
+    * an EXECUTOR and so carries a Hadoop `Configuration` instead of a
+    * session. Same guards as the driver path.
+    */
+  private[sources] def parseEdgesConf(conf: org.apache.hadoop.conf.Configuration,
+                                      path: String): Seq[(Long, Long)] =
+    parseEdges(path, readLinesConf(conf, path))
+
   private def parseEdges(path: String, lines: IndexedSeq[String]): Seq[(Long, Long)] = {
     val lastData = lines.lastIndexWhere(_.trim.nonEmpty)
     val firstBlank = lines.indexWhere(_.trim.isEmpty, 1)

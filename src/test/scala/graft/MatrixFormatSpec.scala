@@ -104,4 +104,26 @@ class MatrixFormatSpec extends SparkSpec {
     assert(MatrixFormat.readEdges(spark, p).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L), (2L, 3L), (3L, 1L)))
   }
+
+  test("DSv2 connector reads the same edges as the imperative parser, composes with operators") {
+    val p = tmpFile("dsv2.txt")
+    Files.writeString(java.nio.file.Paths.get(p), "3\n0 1 1\n0 0 1\n0 0 0\n")
+    val v2 = spark.read.format("graft.sources.MatrixSourceV2").load(p)
+    assert(v2.schema.fieldNames.toSeq === Seq("src", "dst"))
+    val got = v2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val classic = MatrixFormat.readEdges(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === classic && got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the scan composes with the relational surface like any table
+    val outdeg = v2.groupBy("src").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(outdeg === Map(1L -> 2L, 2L -> 1L))
+    // malformed input fails with the SAME guard as the imperative path
+    val bad = tmpFile("dsv2bad.txt")
+    Files.writeString(java.nio.file.Paths.get(bad), "3\n0 1 0\n\n1 0 0\n")
+    val e = intercept[Exception](
+      spark.read.format("graft.sources.MatrixSourceV2").load(bad).collect())
+    assert(e.getMessage.contains("blank line") ||
+      Option(e.getCause).exists(_.getMessage.contains("blank line")))
+  }
 }
