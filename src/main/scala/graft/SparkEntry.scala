@@ -315,10 +315,12 @@ object SparkEntry {
       // returned value are different columns, no join-back or window
       // needed). Ties made impossible by folding the tie-break into ONE
       // integer ordering scalar (balance cents ⊕ custkey — exact, and
-      // identical arithmetic on both engines).
+      // identical arithmetic on both engines). The custkey slot is 10^10
+      // wide: TPC-H custkey = 150k·sf, so it holds to sf≈66000, and
+      // |bal_c|·10^10 ≤ ~10^16 stays well inside Long.
       val c = Tables.customer(s, dir).select(col("c_nationkey"), col("c_custkey"),
           (dec12("c_acctbal") * 100).cast("long").as("bal_c"))
-        .withColumn("v", col("bal_c") * 10000000L + col("c_custkey"))
+        .withColumn("v", col("bal_c") * 10000000000L + col("c_custkey"))
       c.groupBy("c_nationkey")
         .agg(max_by(col("c_custkey"), col("v")).as("richest"),
           min_by(col("c_custkey"), col("v")).as("poorest"),
@@ -1327,7 +1329,7 @@ object SparkEntry {
       """WITH c AS (SELECT c_nationkey, c_custkey,
         |                  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
         |           FROM customer),
-        |v AS (SELECT *, bal_c * 10000000 + c_custkey AS v FROM c)
+        |v AS (SELECT *, bal_c * 10000000000 + c_custkey AS v FROM c)
         |SELECT c_nationkey, arg_max(c_custkey, v) AS richest,
         |       arg_min(c_custkey, v) AS poorest, MAX(bal_c) AS max_bal_c
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -215,6 +215,7 @@ object Analytics {
     * `localCheckpoint` truncates the iterative lineage.
     */
   def hits(edges: DataFrame, numIter: Int = 5): DataFrame = {
+    require(numIter >= 1, s"hits needs numIter >= 1, got $numIter")
     val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
     val eBySrc = e0.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -258,6 +259,7 @@ object Analytics {
     * `numIter`; the window form keeps every CTE referenced exactly once.
     */
   def hitsSql(edgeSql: String, numIter: Int = 5): String = {
+    require(numIter >= 1, s"hitsSql needs numIter >= 1, got $numIter")
     val b = new StringBuilder
     b ++= s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t),\n"
     b ++= "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),\n"

@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *   - MATCHED rows take the source's values (update — source wins even when
   *     a source data column is NULL, per ANSI MERGE `UPDATE SET *`),
   *   - MATCHED rows whose source delete flag is true are dropped (delete),
-  *   - NOT MATCHED source rows are appended (insert),
+  *   - NOT MATCHED source rows are appended (insert) — unless their delete
+  *     flag is true, in which case the row is a no-op (deleting an absent
+  *     key deletes nothing, the same outcome ANSI MERGE reaches by having
+  *     no WHEN NOT MATCHED THEN DELETE clause),
   *   - NOT MATCHED BY SOURCE target rows pass through unchanged.
   *
   * Spark-first shape: ONE full-outer shuffle join on the merge keys — no

@@ -6,8 +6,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSourceV2 connector for the reference's dense matrix text format
   * (`primaryServer.c:43-49` / `secondaryServer.c:210-228`) — the PLUGGABLE
@@ -55,26 +57,34 @@ private[sources] class MatrixV2Table(path: String) extends Table with SupportsRe
 }
 
 private[sources] class MatrixV2Scan(path: String) extends Scan with Batch {
+  // Captured at plan time on the driver so the executor-side reader sees the
+  // session's spark.hadoop.* settings (credentials, custom filesystems) —
+  // a fresh executor-side `new Configuration()` would silently drop them.
+  private val hadoopConf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
   override def readSchema(): StructType = MatrixSourceV2.Schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(MatrixV2Partition(path))
-  override def createReaderFactory(): PartitionReaderFactory = new MatrixV2ReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MatrixV2ReaderFactory(hadoopConf)
 }
 
 private[sources] case class MatrixV2Partition(path: String) extends InputPartition
 
-private[sources] class MatrixV2ReaderFactory extends PartitionReaderFactory {
+private[sources] class MatrixV2ReaderFactory(hadoopConf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MatrixV2Reader(partition.asInstanceOf[MatrixV2Partition].path)
+    new MatrixV2Reader(hadoopConf.value, partition.asInstanceOf[MatrixV2Partition].path)
 }
 
-/** Executor-side reader: a fresh Hadoop `Configuration` resolves file:// and
-  * any default-configured FileSystem — the single-partition scan means one
-  * open per query, the same IO profile as the driver parse.
+/** Executor-side reader over the driver's shipped Hadoop configuration — the
+  * single-partition scan means one open per query, the same IO profile as
+  * the driver parse.
   */
-private[sources] class MatrixV2Reader(path: String) extends PartitionReader[InternalRow] {
-  private val edges = MatrixFormat.parseEdgesConf(new Configuration(), path).iterator
+private[sources] class MatrixV2Reader(conf: Configuration, path: String)
+    extends PartitionReader[InternalRow] {
+  private val edges = MatrixFormat.parseEdgesConf(conf, path).iterator
   private var cur: (Long, Long) = _
   override def next(): Boolean = {
     val has = edges.hasNext

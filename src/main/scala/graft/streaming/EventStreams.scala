@@ -328,22 +328,33 @@ object EventStreams {
             state.remove()
             Iterator.single(SessionOut(uid, s.start_us, s.last_us, s.n))
           } else {
-            val ts = rows.map(e => tsMicros(e.ts)).toArray.sorted
-            var open = state.getOption
+            // Interval merge, not a last_us-only fold: the state's open
+            // session joins the batch's events as one interval, everything
+            // sorts by start, and adjacent intervals merge only when the
+            // true gap between them (next.start - cur.last) is < gapUs.
+            // This keeps session_window semantics under out-of-order
+            // arrival — an event more than gapUs BEFORE the open session's
+            // start becomes its own (earlier) session instead of merging,
+            // and a within-watermark straggler between two bounds merges
+            // without dragging bounds backward. Bounds-only state is the
+            // one documented approximation: an event landing strictly
+            // inside the open span merges regardless of the span's
+            // internal gap structure.
+            val items = (state.getOption.toSeq ++
+              rows.map(e => { val t = tsMicros(e.ts); OpenSession(t, t, 1) }))
+              .sortBy(s => (s.start_us, s.last_us)).iterator
+            var open: Option[OpenSession] = None
             val closed = Seq.newBuilder[SessionOut]
-            ts.foreach { t =>
+            items.foreach { nxt =>
               open match {
-                case Some(s) if t - s.last_us < gapUs =>
-                  // min/max span bounds: a within-watermark out-of-order
-                  // arrival (t < last_us across micro-batches) merges into
-                  // the open session without dragging its bounds backward
-                  open = Some(OpenSession(math.min(s.start_us, t),
-                    math.max(s.last_us, t), s.n + 1))
+                case Some(s) if nxt.start_us - s.last_us < gapUs =>
+                  open = Some(OpenSession(s.start_us,
+                    math.max(s.last_us, nxt.last_us), s.n + nxt.n))
                 case Some(s) =>
                   closed += SessionOut(uid, s.start_us, s.last_us, s.n)
-                  open = Some(OpenSession(t, t, 1))
+                  open = Some(nxt)
                 case None =>
-                  open = Some(OpenSession(t, t, 1))
+                  open = Some(nxt)
               }
             }
             if (isStreaming) {

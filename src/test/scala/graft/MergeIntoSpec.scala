@@ -41,6 +41,16 @@ class MergeIntoSpec extends SparkSpec {
     assert(out === Set((1L, "a", 10L), (2L, "B", 99L), (5L, "e", 50L)))
   }
 
+  test("merge: delete of an absent key is a no-op, not an insert") {
+    val source = df(Seq((4L, "d", 40L), (9L, "ghost", 0L)), ("k", "v", "w"))
+      .withColumn("del", col("k") === 9)
+    val out = MergeInto.merge(target, source, Seq("k"), deleteCol = Some("del"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // key 9 never existed in the target and its delete flag is set: it must
+    // neither be inserted nor affect anything else
+    assert(out === Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
   test("merge: composite keys match on all key columns") {
     val s = spark
     import s.implicits._
