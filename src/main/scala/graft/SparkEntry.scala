@@ -98,6 +98,17 @@ object SparkEntry {
       // super-hub degree cap is set BELOW this graph's max degree (16) so
       // the gate exercises the capped path, not a vacuous guard
       Analytics.commonNeighbors(DerivedGraphs.small(s, dir), minCommon = 2, maxDegree = 12)),
+    "g20_adamic_adar" -> ((s, dir) => // g17's counts weighted by center
+      // rarity (1/ln deg — the Adamic-Adar index): a neighbor shared
+      // through a 3-degree vertex outweighs one shared through a hub;
+      // same wedge machinery and capped-path-exercising maxDegree as g17
+      Analytics.adamicAdar(DerivedGraphs.small(s, dir), minCommon = 2, maxDegree = 12)),
+    "g21_random_walks" -> ((s, dir) => // node2vec/DeepWalk sampling
+      // primitive: per-start deterministic walks whose next-hop is an
+      // md5-derived function of (start, step, vertex) — reproducible
+      // across engines, so the unrolled-CTE oracle replays the exact
+      // walks; ranked adjacency built once, each step joins walkers only
+      Traversals.randomWalks(DerivedGraphs.big(s, dir), numSteps = 4, startMod = 100L)),
     "g13_partitioned_catalog" -> ((s, dir) => {
       // the single-partitioned-table catalog layout bound to the gate:
       // write two graphs into ONE graph_name-partitioned table, then run
@@ -348,6 +359,31 @@ object SparkEntry {
           |SELECT c_custkey, steps AS depth, path_sum
           |FROM up WHERE node = 1 ORDER BY c_custkey""".stripMargin)
     }),
+    "q27_bloom_join" -> ((s, dir) => {
+      // runtime bloom-filter join pruning: build a bloom filter over the
+      // selective dim side's join keys (spark-sketch BloomFilter — the
+      // same mergeable structure Spark's own InjectRuntimeFilter plants,
+      // built here explicitly; ~1.2 MB for 1M keys at 1% fpp), broadcast
+      // it, and prune the fact side BEFORE its shuffle — only ~fpp of
+      // non-matching rows survive to the exchange, which at 100 TB is the
+      // difference between shuffling the full fact table and shuffling
+      // the matching slice. The equi-join then re-checks exactly, so the
+      // result is identical to the unpruned join — which is precisely
+      // what the plain-join oracle checks (false positives caught).
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bf = urgent.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      Tables.lineitem(s, dir)
+        .filter(mightContain(col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec12("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "q24_null_aware_anti" -> ((s, dir) => {
       // NOT IN over a NULL-bearing subquery — the null-aware anti join
       // (Spark's NullAwareAntiJoin, a different operator from q5's plain
@@ -512,6 +548,23 @@ object SparkEntry {
       s.read.format("graft.sources.MatrixSourceV2").load(path)
         .groupBy("src").agg(count(lit(1)).as("outdeg"), sum("dst").as("sum_dst"))
         .orderBy("src")
+    }),
+    "f8_zorder_cells" -> ((s, dir) => {
+      // Z-order clustering bound to the gate: the Morton-code arithmetic
+      // (ONE expression string, evaluated verbatim by both engines) plus
+      // the property that makes it a layout win — grouping by a curve
+      // prefix yields cells that are tight RECTANGLES in BOTH dimensions,
+      // so min/max file skipping works on either filter column. The
+      // physical writer (Partitioning.writeZOrdered) is asserted
+      // structurally in PartitioningSpec; this query gates the code math.
+      Tables.orders(s, dir)
+        .select((col("o_custkey") % 1024).as("cx"), (col("o_orderkey") % 1024).as("cy"))
+        .withColumn("z", expr(Partitioning.zorderExpr("cx", "cy", 10)))
+        .groupBy(expr("z div 16384").as("cell")) // top 6 curve bits: 64 cells
+        .agg(count(lit(1)).as("n"),
+          min("cx").as("min_cx"), max("cx").as("max_cx"),
+          min("cy").as("min_cy"), max("cy").as("max_cy"))
+        .orderBy("cell")
     }),
     "f6_schema_evolution" -> ((s, dir) => {
       // schema evolution across parquet batches (the every-real-lake
@@ -1037,6 +1090,11 @@ object SparkEntry {
       // LSH pair graph -> (doc, keeper); closure handles non-transitive
       // near-dup chains
       Dedup.nearDupClusters(Tables.documents(s, dir))),
+    "d12_block_dedup" -> ((s, dir) => // sub-document boilerplate removal
+      // (ExactSubstr's scalable block approximation): consecutive 10-token
+      // blocks, corpus-wide first occurrence survives; min-struct keeper
+      // keeps hot boilerplate blocks skew-proof via map-side combine
+      Dedup.blockDedup(Tables.documents(s, dir))),
 
     // ---- LLM-pipeline: similarity search ----
     "s1_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
@@ -1110,6 +1168,12 @@ object SparkEntry {
       // incremental-percentile surface q12's exact sort-based path can't
       // maintain (bins merge by summing; history never rescanned)
       Sketches.histogramQuantiles(Tables.orders(s, dir))),
+    "t20_countmin_hh" -> ((s, dir) => // Count-Min point-frequency sketch
+      // (deterministic universal hashes, so the oracle rebuilds the exact
+      // grid): 2 KB of re-addable state estimates any token's count from
+      // above; gate readout pairs est with exact on the top-20 tokens —
+      // the t14/t15 mergeable-sketch family completed
+      Sketches.countMinHeavyHitters(Tables.documents(s, dir))),
     "t10_tfidf" -> ((s, dir) => // per-doc top terms by integer-exact
       // raw-idf TF-IDF (log-free so the oracle matches bit-for-bit)
       TextOps.tfidfTopTerms(Tables.documents(s, dir))),
@@ -1245,6 +1309,10 @@ object SparkEntry {
     "g18_personalized_pagerank" ->
       Analytics.personalizedPageRankSql(DerivedGraphs.smallSql, source = 0L, numIter = 10),
     "g19_hits" -> Analytics.hitsSql(DerivedGraphs.smallSql, numIter = 5),
+    "g20_adamic_adar" ->
+      Analytics.adamicAdarSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
+    "g21_random_walks" ->
+      Traversals.randomWalksSql(DerivedGraphs.bigSql, numSteps = 4, startMod = 100L),
     "g11_scc" -> // SCC = mutual reachability; closure is reflexive (base
       // row (v,v)), so singleton vertices label themselves
       s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),
@@ -1333,6 +1401,13 @@ object SparkEntry {
         |SELECT c_nationkey, arg_max(c_custkey, v) AS richest,
         |       arg_min(c_custkey, v) AS poorest, MAX(bal_c) AS max_bal_c
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_bloom_join" -> // bloom pruning is semantics-preserving: the plain
+      // join IS the oracle, so a false-negative-producing filter would fail
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_null_aware_anti" ->
       """WITH keys AS (SELECT nullif(o_custkey % 1000, 7) AS k FROM orders),
         |with_null AS (
@@ -1682,6 +1757,7 @@ object SparkEntry {
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
     "d10_edit_distance" -> Dedup.lshEditDistancesSql(),
     "d11_containment" -> Dedup.containmentPairsSql(),
+    "d12_block_dedup" -> Dedup.blockDedupSql(),
     "p2_semantic_curation" -> // the d9 clusters query nested as a derived
       // table; survivors = vectors that are not a non-keeper cluster member
       s"""SELECT e.label::BIGINT AS label, COUNT(*) AS n, SUM(e.vec_id)::BIGINT AS sum_ids
@@ -1702,6 +1778,13 @@ object SparkEntry {
          |SELECT src + 1 AS src, COUNT(*)::BIGINT AS outdeg,
          |       SUM(dst + 1)::BIGINT AS sum_dst
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f8_zorder_cells" -> // the SAME zorderExpr string evaluated by DuckDB
+      s"""WITH d AS (SELECT o_custkey % 1024 AS cx, o_orderkey % 1024 AS cy FROM orders),
+         |z AS (SELECT cx, cy, ${Partitioning.zorderExpr("cx", "cy", 10)} AS z FROM d)
+         |SELECT z // 16384 AS cell, COUNT(*) AS n,
+         |       MIN(cx) AS min_cx, MAX(cx) AS max_cx,
+         |       MIN(cy) AS min_cy, MAX(cy) AS max_cy
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "f6_schema_evolution" -> // source-table union mirror of the two batches
       """WITH u AS (
         |  SELECT o_orderkey, o_custkey, NULL AS o_orderpriority
@@ -1728,6 +1811,7 @@ object SparkEntry {
     "t13_repetition" -> TextOps.repetitionStatsSql,
     "t14_kmv_distinct" -> Sketches.kmvDistinctShinglesSql(),
     "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
+    "t20_countmin_hh" -> Sketches.countMinHeavyHittersSql(),
     "t16_token_rarity" -> TextOps.tokenRaritySql,
     "t17_dup_coverage" -> TextOps.dupCoverageSql,
     "t18_decontaminate" -> TextOps.decontaminateSql(evalMod = 7),

@@ -444,6 +444,59 @@ object Analytics {
       .orderBy("a", "b")
   }
 
+  /** Adamic-Adar link prediction over the simple undirected graph: the
+    * common-neighbor count of [[commonNeighbors]] weighted by center
+    * rarity — each shared neighbor z contributes 1/ln(deg(z)), so a
+    * neighbor shared through a 3-degree vertex says far more than one
+    * shared through a hub (Adamic & Adar 2003, "Friends and neighbors on
+    * the Web"). `(a, b, n_common, aa_6)` for non-adjacent pairs with
+    * ≥ `minCommon` shared neighbors, a < b, score rounded to 1e-6 (the
+    * fp-error-below-rounding-grain contract of [[pageRank]]/[[hits]]).
+    *
+    * Same center-out wedge shape and super-hub center cap as
+    * [[commonNeighbors]] — the cap here is not only a cost guard: an
+    * excluded center would contribute at most 1/ln(maxDegree) anyway, the
+    * term the estimator weights least. Every wedge carries the center's
+    * degree with it, so the score needs no extra join.
+    */
+  def adamicAdar(edges: DataFrame, minCommon: Int = 2, maxDegree: Int = 64): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("c"), col("b").as("leaf"))
+      .union(und.select(col("b").as("c"), col("a").as("leaf")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+    val ctr = adj.join(deg.filter(col("d") <= maxDegree), "c")
+    ctr.as("x")
+      .join(ctr.as("y"), col("x.c") === col("y.c") && col("x.leaf") < col("y.leaf"))
+      // a center forming a wedge has >= 2 distinct leaves, so d >= 2 and
+      // ln(d) >= ln 2 > 0 — the weight is always finite
+      .select(col("x.leaf").as("a"), col("y.leaf").as("b"),
+        (lit(1.0) / log(col("x.d").cast("double"))).as("w"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"), sum(col("w")).as("aa"))
+      .filter(col("n_common") >= minCommon)
+      .join(und, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("n_common"), round(col("aa"), 6).as("aa_6"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB mirror of [[adamicAdar]] — same wedge enumeration, weights, cap. */
+  def adamicAdarSql(edgeSql: String, minCommon: Int = 2, maxDegree: Int = 64): String =
+    s"""WITH e AS ($edgeSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+       |adj AS (SELECT a AS c, b AS leaf FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
+       |ctr AS (SELECT adj.c, adj.leaf, deg.d FROM adj JOIN deg ON deg.c = adj.c WHERE deg.d <= $maxDegree),
+       |p AS (SELECT x.leaf AS a, y.leaf AS b, COUNT(*) AS n_common,
+       |             SUM(1.0 / ln(CAST(x.d AS DOUBLE))) AS aa
+       |      FROM ctr x JOIN ctr y ON x.c = y.c AND x.leaf < y.leaf
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon)
+       |SELECT p.a, p.b, p.n_common, ROUND(p.aa, 6) AS aa_6 FROM p
+       |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.a AND und.b = p.b)
+       |ORDER BY p.a, p.b""".stripMargin
+
   /** DuckDB mirror of [[commonNeighbors]] over the edge derivation
     * `edgeSql` — same degree cap, same wedge enumeration, same anti-join.
     */

@@ -217,6 +217,81 @@ object Traversals {
     leaves.toSeq.sorted.map(Tuple1(_)).toDF("vertex")
   }
 
+  /** Deterministic seeded random walks over `edges(src, dst)` — the
+    * node2vec/DeepWalk sampling primitive (corpus → walk corpus →
+    * skip-gram embeddings) and a graph-sampling workhorse. One walk per
+    * start vertex (every distinct src with `src % startMod == 0`),
+    * `numSteps` steps; at each step the walker at v moves to the
+    * `r`-th of v's out-neighbors (sorted ascending), where
+    * `r = 1 + hash60(start ⊕ step ⊕ v) mod outdeg(v)` — md5-derived
+    * ([[graft.functions.Hashing.hash60]]), so the "randomness" is a pure
+    * function of (start, step, v): reproducible across sessions, engines,
+    * and partitionings, which is what makes the walk corpus cacheable and
+    * the query oracle-checkable (true PRNG walks never cross-check). A
+    * walker reaching a sink (no out-edges) stops early.
+    *
+    * Returns `(start, step, vertex)`, step 0 = the start itself.
+    *
+    * Scale shape: the ranked adjacency (`rn` within src, outdeg) is built
+    * with ONE shuffle and persisted across steps; each step is then an
+    * equi-join of the (walker-count-sized) frontier against it on
+    * `(vertex, r)` — per step the exchange carries walkers, not edges.
+    * All walks advance together (one join per step, not per walk), the
+    * same BSP shape as [[bfs]].
+    */
+  def randomWalks(edges: DataFrame, numSteps: Int = 4, startMod: Long = 20L): DataFrame = {
+    require(numSteps >= 1, s"randomWalks needs numSteps >= 1, got $numSteps")
+    require(startMod >= 1, s"startMod must be positive, got $startMod")
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val ranked = e.select(col("src"), col("dst"),
+        row_number().over(bySrc.orderBy("dst")).as("rn"),
+        count(lit(1)).over(bySrc).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = ranked.select(col("src").as("start")).distinct()
+        .filter(col("start") % startMod === 0)
+        .select(col("start"), lit(0L).as("step"), col("start").as("vertex"))
+        .localCheckpoint(true)
+      val steps = scala.collection.mutable.ArrayBuffer(cur)
+      for (t <- 1 to numSteps) {
+        val pick = graft.functions.Hashing.hash60(concat(
+          col("start").cast("string"), lit("_"), lit(t.toString), lit("_"),
+          col("vertex").cast("string")))
+        cur = cur.join(ranked, cur("vertex") === ranked("src") &&
+            ranked("rn") === pick % ranked("deg") + 1)
+          .select(col("start"), lit(t.toLong).as("step"), col("dst").as("vertex"))
+          .localCheckpoint(true) // truncate the per-step lineage
+        steps += cur
+      }
+      steps.reduce(_ union _).orderBy("start", "step")
+    } finally ranked.unpersist(blocking = false)
+  }
+
+  /** DuckDB mirror of [[randomWalks]]: the step loop unrolled as chained
+    * CTEs over the identical ranked adjacency and md5 hash.
+    */
+  def randomWalksSql(edgeSql: String, numSteps: Int = 4, startMod: Long = 20L): String = {
+    require(numSteps >= 1 && startMod >= 1)
+    val b = new StringBuilder
+    b ++= s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t),\n"
+    b ++= "ranked AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,\n"
+    b ++= "                  COUNT(*) OVER (PARTITION BY src) AS deg FROM e),\n"
+    b ++= s"w0 AS (SELECT DISTINCT src AS start, CAST(0 AS BIGINT) AS step, src AS vertex\n"
+    b ++= s"       FROM e WHERE src % $startMod = 0)"
+    for (t <- 1 to numSteps) {
+      val h = graft.functions.Hashing.hash60Sql(
+        s"w.start::VARCHAR || '_${t}_' || w.vertex::VARCHAR")
+      b ++= s",\nw$t AS (SELECT w.start, CAST($t AS BIGINT) AS step, r.dst AS vertex\n"
+      b ++= s"       FROM w${t - 1} w JOIN ranked r ON r.src = w.vertex AND r.rn = ($h) % r.deg + 1)"
+    }
+    b ++= "\nSELECT start, step, vertex FROM ("
+    b ++= (0 to numSteps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
+    b ++= ") u ORDER BY start, step"
+    b.toString
+  }
+
   /** Max edges a DFS will collect to the driver before failing loudly. */
   val MaxDfsEdges: Long = 5000000L
 

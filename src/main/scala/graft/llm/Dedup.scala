@@ -531,6 +531,66 @@ object Dedup {
     * derivation ([[TextOps.winnowingSql]]), df cap and integer-thousandths
     * containment included.
     */
+  /** Block-level exact dedup — the sub-document flavor the doc-level
+    * operators above cannot see: boilerplate (headers, license text,
+    * navigation chrome) repeats ACROSS otherwise-distinct documents, and
+    * the ExactSubstr result (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better") is that removing such repeats beats
+    * doc-level dedup alone. Full suffix-array ExactSubstr is
+    * sequence-global; the scalable block approximation used here tiles
+    * each doc into consecutive `blockLen`-token blocks (trailing partial
+    * block dropped) and keeps only each distinct block's FIRST occurrence
+    * in corpus order (doc_id, block index) — intra-doc repeats beyond the
+    * first count as duplicates too.
+    *
+    * Returns per-doc retention (docs with ≥1 full block):
+    * `(doc_id, n_blocks, n_kept, kept_1000)`.
+    *
+    * Scale shape: first-occurrence is `min(struct(doc_id, bi))` per block
+    * hash — an ALGEBRAIC aggregate, so map-side partial aggregation
+    * collapses a block repeated millions of times (the boilerplate case —
+    * exactly where a row_number-over-hash window would sort one giant
+    * skewed group) to one row per partition before the shuffle; the
+    * per-doc rollup then shuffles doc-sized partials. Two hash exchanges
+    * total, no windows, no driver state.
+    */
+  def blockDedup(docs: DataFrame, blockLen: Int = 10): DataFrame = {
+    require(blockLen >= 1, s"blockLen must be positive, got $blockLen")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val nb = (size(col("ws")) / blockLen).cast("int")
+    val blk = docs.repartition(par)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      // guard: sequence(0, -1) would DESCEND, not return empty
+      .withColumn("bis", when(nb >= 1, sequence(lit(0), nb - 1))
+        .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"), posexplode(transform(col("bis"), i =>
+        Hashing.hash60(concat_ws(" ", slice(col("ws"), i * blockLen + 1, lit(blockLen)))))))
+      .select(col("doc_id"), col("pos").cast("int").as("bi"), col("col").as("h"))
+    val first = blk.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("bi"))).as("f"))
+    blk.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(struct(col("doc_id"), col("bi")) === col("f"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_1000", expr("n_kept * 1000 div n_blocks"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[blockDedup]]: same tiling, same first-occurrence
+    * rule (row_number over corpus order stands in for the min-struct).
+    */
+  def blockDedupSql(blockLen: Int = 10): String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws FROM documents),
+       |blk AS (SELECT doc_id, i AS bi,
+       |               ${Hashing.hash60Sql(s"array_to_string(ws[(i*$blockLen+1):(i*$blockLen+$blockLen)], ' ')")} AS h
+       |        FROM toks, UNNEST(range(0, len(ws) // $blockLen)) AS u(i)),
+       |fst AS (SELECT doc_id, bi,
+       |               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, bi) AS rn FROM blk)
+       |SELECT doc_id, COUNT(*) AS n_blocks,
+       |       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |       (SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*))::BIGINT AS kept_1000
+       |FROM fst GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def containmentPairsSql(maxDf: Int = 20, minCont1000: Long = 500L): String =
     s"""WITH fp AS (SELECT doc_id, fingerprint FROM (${TextOps.winnowingSql()})),
        |keep AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= $maxDf),

@@ -118,6 +118,56 @@ object Sketches {
        |  (MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END) * $binWidth)::BIGINT AS p90_edge
        |FROM cum GROUP BY prio ORDER BY prio""".stripMargin
 
+  /** Count-Min sketch frequency estimation (Cormode & Muthukrishnan 2005)
+    * with heavy-hitter readout: a depth×width counter grid where row i
+    * buckets each token by universal hash `((a_i·fp + b_i) mod P) mod
+    * width` (fp = md5-derived fingerprint, P = 2³¹−1, fixed seed — fully
+    * deterministic, so the DuckDB oracle reproduces the grid exactly), and
+    * a token's estimate is the MIN of its depth counters: always ≥ the
+    * true count, over only by hash-collision mass. The grid is plain
+    * re-addable partial aggregation — O(depth·width) state that merges
+    * across partitions, days, and corpora by cell-wise SUM, the
+    * point-frequency sibling of t14's KMV (distinct counts) and t15's
+    * histogram (quantiles): at 100 TB the exact per-token table is
+    * corpus-vocabulary-sized, the sketch is 2 KB.
+    *
+    * Gate readout: the `topN` exact-top tokens (ties broken by token) with
+    * exact and estimated counts side by side, so the gate itself witnesses
+    * `est ≥ exact`: `(token, exact_cnt, cms_est)`.
+    */
+  def countMinHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 512,
+                           topN: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2 && topN >= 1,
+      s"bad CMS shape: depth=$depth width=$width topN=$topN")
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val P = Hashing.MinHashP
+    val prm = spark.createDataFrame(
+      Hashing.minHashParams(depth).zipWithIndex.map { case ((a, b), i) => (i, a, b) })
+      .toDF("d", "a", "b")
+    // token counts are the additive input: building the grid from them is
+    // cell-for-cell identical to folding the raw stream (CMS is additive),
+    // and this gate query needs the exact counts anyway for the
+    // est-vs-exact readout; the sketch-only production path feeds raw
+    // tokens straight into the grid's partial aggregation
+    val cnt = docs.repartition(par)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("fp", Hashing.hash60(col("token")) % P)
+      .localCheckpoint(true) // two consumers: grid + top-N
+    val bucket = ((col("a") * col("fp") + col("b")) % P) % width
+    val grid = cnt.crossJoin(broadcast(prm))
+      .groupBy(col("d"), bucket.as("bucket")).agg(sum("cnt").as("c"))
+    cnt.orderBy(col("cnt").desc, col("token")).limit(topN)
+      .crossJoin(broadcast(prm))
+      .select(col("token"), col("cnt"), col("d"), bucket.as("bucket"))
+      .join(broadcast(grid), Seq("d", "bucket"))
+      .groupBy("token", "cnt")
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("token"), col("cnt").as("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
   /** DuckDB mirror of [[kmvDistinctShingles]]: min-k per group via a ranked
     * window (the oracle may afford the full distinct set; the Spark side is
     * the O(k)-state path being checked).
@@ -138,4 +188,24 @@ object Sketches {
        |        ELSE ((${k - 1}::HUGEINT * 1152921504606846976::HUGEINT) // kth_min) END)::BIGINT AS est_distinct,
        |  exact_distinct::BIGINT AS exact_distinct
        |FROM a ORDER BY lang""".stripMargin
+
+  /** DuckDB mirror of [[countMinHeavyHitters]]: the identical grid (same
+    * (a,b) parameters inlined as VALUES) and min-of-counters readout.
+    */
+  def countMinHeavyHittersSql(depth: Int = 4, width: Int = 512, topN: Int = 20): String = {
+    val P = Hashing.MinHashP
+    val values = Hashing.minHashParams(depth).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws FROM documents),
+       |cnt AS (SELECT token, COUNT(*) AS cnt, ${Hashing.hash60Sql("token")} % $P AS fp
+       |        FROM (SELECT u.t AS token FROM toks, UNNEST(ws) AS u(t)) GROUP BY token),
+       |prm(d, a, b) AS (VALUES $values),
+       |grid AS (SELECT d, ((a * fp + b) % $P) % $width AS bucket, SUM(cnt)::BIGINT AS c
+       |         FROM cnt, prm GROUP BY 1, 2),
+       |top AS (SELECT token, cnt, fp FROM cnt ORDER BY cnt DESC, token LIMIT $topN)
+       |SELECT top.token, top.cnt AS exact_cnt, MIN(grid.c)::BIGINT AS cms_est
+       |FROM top CROSS JOIN prm
+       |JOIN grid ON grid.d = prm.d AND grid.bucket = ((prm.a * top.fp + prm.b) % $P) % $width
+       |GROUP BY 1, 2 ORDER BY exact_cnt DESC, token""".stripMargin
+  }
 }

@@ -60,6 +60,39 @@ object Partitioning {
     df.repartition(col(partCol)) // one shuffle -> one file per partition dir
       .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
 
+  /** SQL expression interleaving the low `bits` bits of two non-negative
+    * integer expressions into a Morton (Z-order) code — pure `>> & <<`
+    * arithmetic on disjoint bit positions, valid verbatim in both Spark SQL
+    * and DuckDB (which is how the f8 gate oracle-checks it).
+    */
+  def zorderExpr(xCol: String, yCol: String, bits: Int = 10): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map(b =>
+      s"((($xCol >> $b) & 1) << ${2 * b}) + ((($yCol >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+  }
+
+  /** Z-order (Morton) clustered layout over TWO filter dimensions — the
+    * multi-column generalization of [[writeRangeSorted]]: a linear sort
+    * gives perfect file-level min/max skipping on ONE column and none on
+    * the second; the Z-curve interleaves both keys' bits so every file
+    * covers a small RECTANGLE of the (x, y) key space and range filters on
+    * EITHER dimension (or both) skip files via parquet min/max stats. The
+    * layout rule behind Delta/Iceberg `ZORDER BY` clustering, here as a
+    * plain write-path operator: one sampling range exchange on the code,
+    * nothing driver-sized. Bounding-box tightness is asserted structurally
+    * in PartitioningSpec; `f8` gates the code arithmetic cross-engine.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    bits: Int = 10, numFiles: Int = 32): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.withColumn("__z", expr(zorderExpr(xCol, yCol, bits)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Salted equi-join for skewed keys: the big side gets a deterministic
     * salt in [0, salts) derived from its full row, the small side is
     * replicated `salts` times, and the join key becomes (key, salt) — a hot

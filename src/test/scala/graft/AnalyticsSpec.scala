@@ -190,6 +190,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(!got2.contains((0L, 2L)) && got2.contains((0L, 1L)))
   }
 
+  test("adamicAdar: hand-computed weights, adjacency suppression, rare centers weigh more") {
+    // undirected: 1-3, 2-3, 1-4, 2-4, 4-5. Degrees: 1:2, 2:2, 3:2, 4:3, 5:1.
+    // pair (1,2): common {3 (deg 2), 4 (deg 3)} -> aa = 1/ln2 + 1/ln3
+    // pair (3,4): common {1 (deg 2), 2 (deg 2)} -> aa = 2/ln2 (rarer centers,
+    // HIGHER score than (1,2) despite equal common-neighbor count)
+    val e = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (4L, 5L))
+    val got = Analytics.adamicAdar(edgesDF(e), minCommon = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === Seq((1L, 2L, 2L), (3L, 4L, 2L)))
+    val aa12 = 1.0 / math.log(2) + 1.0 / math.log(3)
+    val aa34 = 2.0 / math.log(2)
+    assert(math.abs(got(0)._4 - aa12) < 1e-6 && math.abs(got(1)._4 - aa34) < 1e-6)
+    assert(got(1)._4 > got(0)._4)
+  }
+
   test("commonNeighbors matches a brute-force model, degree cap honored") {
     val rng = new scala.util.Random(13)
     val edges = Seq.fill(120)((rng.nextInt(25).toLong, rng.nextInt(25).toLong))

@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("blockDedup keeps first occurrences only, intra-doc repeats included") {
+    val docs = docsDF(Seq(
+      1L -> "a b c d e f",     // blocks: [a b c] [d e f]
+      2L -> "a b c x y z",     // [a b c] repeats doc 1's first block
+      3L -> "p q r p q r",     // intra-doc repeat: second [p q r] is a dup
+      4L -> "s t"))            // < blockLen tokens: no full block, excluded
+    val m = Dedup.blockDedup(docs, blockLen = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m === Map(
+      1L -> (2L, 2L, 1000L),
+      2L -> (2L, 1L, 500L),
+      3L -> (2L, 1L, 500L)))
+  }
+
   test("nearDupClusters merges non-transitive chains under the min doc_id") {
     // fixture pairs: (1,2) J=0.6, (1,4) dup, (2,4) J=0.6 — one cluster
     // {1,2,4} with keeper 1; docs 3 and 5 have no pairs and stay out

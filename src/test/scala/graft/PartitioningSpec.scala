@@ -173,4 +173,46 @@ class PartitioningSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dimDir))
   }
+
+  test("zorderExpr interleaves bits (known Morton codes)") {
+    val s = spark
+    def z(x: Int, y: Int): Long =
+      s.sql(s"SELECT CAST(${Partitioning.zorderExpr(x.toString, y.toString, 8)} AS BIGINT) AS z")
+        .collect()(0).getLong(0)
+    // x bits land on even positions, y bits on odd
+    assert(z(0, 0) === 0L && z(1, 0) === 1L && z(0, 1) === 2L && z(1, 1) === 3L)
+    assert(z(2, 1) === 6L && z(3, 3) === 15L && z(255, 0) === 0x5555L && z(0, 255) === 0xAAAAL)
+  }
+
+  test("writeZOrdered: files hold disjoint z-ranges and tight 2-D bounding boxes") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-spec").toString
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 20000).map(_ => (rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+      .toDF("cx", "cy")
+    Partitioning.writeZOrdered(rows, dir, "cx", "cy", bits = 10, numFiles = 16)
+    val back = s.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .withColumn("z", expr(Partitioning.zorderExpr("cx", "cy", 10)))
+    assert(back.count() === 20000)
+    val stats = back.groupBy("f")
+      .agg(min("z").as("zmin"), max("z").as("zmax"),
+        (max("cx") - min("cx")).as("wx"), (max("cy") - min("cy")).as("wy"))
+      .collect()
+    // disjoint z-ranges across files (range partitioning on the code)
+    val ranges = stats.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "file z-ranges overlap")
+      case _ => ()
+    }
+    // tightness: a LINEAR sort on cx would leave cy spans at ~full width
+    // (~1023) in every file; the curve must bound the AVERAGE box well
+    // below that in BOTH dims (files straddling a coarse curve boundary
+    // can individually be wide — that's inherent to Z-ordering)
+    val avgWx = stats.map(_.getLong(3)).sum.toDouble / stats.length
+    val avgWy = stats.map(_.getLong(4)).sum.toDouble / stats.length
+    assert(avgWx < 700 && avgWy < 700, s"bounding boxes too wide: $avgWx x $avgWy")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

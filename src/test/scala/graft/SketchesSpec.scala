@@ -87,4 +87,40 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(estBg.toDouble / exactBg - 1.0) < 4 * rse,
       s"est=$estBg exact=$exactBg outside 4·RSE")
   }
+
+  test("countMinHeavyHitters matches a sequential grid replay; est dominates exact") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    // Zipf-ish: token w<j> appears with frequency ~ 1/(j+1)
+    val docs = (0 until 80).map { i =>
+      val words = Seq.fill(20)(s"w${(rng.nextInt(1000) % (rng.nextInt(30) + 1))}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val depth = 4; val width = 64; val topN = 10
+    val got = Sketches.countMinHeavyHitters(docs, depth, width, topN).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // sequential mirror: same fingerprints, same (a,b) grid, same min readout
+    val P = graft.functions.Hashing.MinHashP
+    val prm = graft.functions.Hashing.minHashParams(depth)
+    val counts = docs.collect().flatMap(_.getString(1).split(" ")).toSeq
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val grid = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    for ((t, c) <- counts; d <- 0 until depth) {
+      val fp = SequentialOracles.hash60(t) % P
+      val b = ((prm(d)._1 * fp + prm(d)._2) % P) % width
+      grid((d, b)) += c
+    }
+    def est(t: String): Long = {
+      val fp = SequentialOracles.hash60(t) % P
+      (0 until depth).map(d => grid((d, ((prm(d)._1 * fp + prm(d)._2) % P) % width))).min
+    }
+    val expTop = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(topN)
+    assert(got.map(r => (r._1, r._2)).toSeq === expTop)
+    got.foreach { case (t, exact, cms) =>
+      assert(cms === est(t), s"grid mismatch for $t")
+      assert(cms >= exact, s"CMS must never underestimate ($t: $cms < $exact)")
+    }
+  }
 }

@@ -115,6 +115,15 @@ object SequentialOracles {
     best
   }
 
+  /** JVM mirror of graft.functions.Hashing.hash60 (first 15 md5 hex digits,
+    * base-16) — lets sequential oracles replay hash-driven operators.
+    */
+  def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Fixed-iteration PageRank with the exact semantics of Analytics.pageRank. */
   def pageRank(edges: Seq[(Long, Long)], numIter: Int = 10): Map[Long, Double] = {
     val e = edges.distinct

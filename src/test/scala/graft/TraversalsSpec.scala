@@ -112,6 +112,48 @@ class TraversalsSpec extends SparkSpec {
     assert(vertexLevels(Traversals.bfs(edgesDF(g), 0L)) === expected)
   }
 
+  /** Sequential replay of randomWalks' next-hop rule (same md5 hash). */
+  private def replayWalks(edges: Seq[(Long, Long)], numSteps: Int,
+                          startMod: Long): Set[(Long, Long, Long)] = {
+    val adj = SequentialOracles.adjacency(edges)
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (start <- adj.keySet.filter(_ % startMod == 0).toSeq.sorted) {
+      var v = start
+      out += ((start, 0L, v))
+      var t = 1
+      var alive = true
+      while (t <= numSteps && alive) {
+        adj.get(v) match {
+          case Some(ns) if ns.nonEmpty =>
+            v = ns(((SequentialOracles.hash60(s"${start}_${t}_$v") % ns.size).toInt))
+            out += ((start, t.toLong, v))
+          case _ => alive = false // sink: walk ends early
+        }
+        t += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("randomWalks replays the deterministic next-hop rule; sinks end walks") {
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (2L, 4L), (3L, 1L),
+      (4L, 0L), (4L, 5L), (6L, 5L), (2L, 6L)) // 5 is a sink
+    val got = Traversals.randomWalks(edgesDF(g), numSteps = 5, startMod = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === replayWalks(g, numSteps = 5, startMod = 2L))
+    // starts are exactly the even srcs; every start contributes its step-0 row
+    assert(got.filter(_._2 == 0L).map(_._1) === Set(0L, 2L, 4L, 6L))
+    // edge-validity: every consecutive hop is a real edge
+    val adj = SequentialOracles.adjacency(g)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byStep = rows.toSeq.sortBy(_._2).map(_._3)
+      byStep.sliding(2).foreach {
+        case Seq(a, b) => assert(adj(a).contains(b), s"$a -> $b is not an edge")
+        case _ => ()
+      }
+    }
+  }
+
   test("weightedSssp: the hop bound trades path length for cost") {
     val s = spark
     import s.implicits._
