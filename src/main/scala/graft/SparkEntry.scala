@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Traversals}
 import graft.llm.{Dedup, MediaOps, Packing, Sampling, Similarity, Sketches, TextOps}
-import graft.operators.{Partitioning, Sessionization, TemporalJoins}
+import graft.operators.{Partitioning, Sessionization, SnapshotDiff, TemporalJoins, Validation}
 import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.EventStreams
 
@@ -383,6 +383,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(dec12("l_quantity")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+    "q28_snapshot_diff" -> ((s, dir) => {
+      // CDC between two derived snapshot versions of orders (old drops
+      // keys ≡0 mod 5; new drops ≡0 mod 7 and bumps price on ≡0 mod 3),
+      // so all four change classes occur. The diff itself is ONE
+      // full-outer key join (SnapshotDiff — merge's inverse: q20 APPLIES
+      // a change-set, q28 RECOVERS one); the gate rolls it up per class.
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), dec12("o_totalprice").as("price"))
+      val vOld = o.filter(col("o_orderkey") % 5 =!= 0)
+      val vNew = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + 1).otherwise(col("price")))
+      SnapshotDiff.diff(vOld, vNew, Seq("o_orderkey"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_keys"), sum("o_orderkey").as("sum_keys"))
+        .orderBy("change")
+    }),
+    "p3_validation_report" -> ((s, dir) => {
+      // Deequ-style admission gate: four row rules fused into ONE scan
+      // (conditional sums), a key-uniqueness aggregation, and a broadcast
+      // anti-join FK probe — the data-quality report a 100 TB ingest runs
+      // before data joins the corpus. Mixes passing and failing rules so
+      // the gate pins both outcomes (r3's cutoff intentionally bites).
+      val li = Tables.lineitem(s, dir)
+      Validation.report(Seq(
+        Validation.rowChecks(li, Seq(
+          Validation.RowRule("r1_qty_domain",
+            col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          Validation.RowRule("r2_price_positive", col("l_extendedprice") > 0),
+          Validation.RowRule("r3_ship_after_1995",
+            col("l_shipdate") >= lit("1995-01-01").cast("timestamp")),
+          Validation.RowRule("r4_flag_domain",
+            col("l_returnflag").isin("A", "N", "R")))),
+        Validation.unique(li, Seq("l_orderkey", "l_linenumber"), "r5_line_unique"),
+        Validation.refIntegrity(li, "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", "r6_orders_fk")))
     }),
     "q24_null_aware_anti" -> ((s, dir) => {
       // NOT IN over a NULL-bearing subquery — the null-aware anti join
@@ -1168,6 +1205,11 @@ object SparkEntry {
       // incremental-percentile surface q12's exact sort-based path can't
       // maintain (bins merge by summing; history never rescanned)
       Sketches.histogramQuantiles(Tables.orders(s, dir))),
+    "t21_bigram_logprob" -> ((s, dir) => // corpus-relative statistical LM
+      // quality (CCNet shape): mean ln P(w2|w1) under the corpus's own
+      // bigram counts — scores token ORDER where t16 scores token choice;
+      // count tables are vocab-bounded (broadcast-sized next to a corpus)
+      TextOps.bigramLogProb(Tables.documents(s, dir))),
     "t20_countmin_hh" -> ((s, dir) => // Count-Min point-frequency sketch
       // (deterministic universal hashes, so the oracle rebuilds the exact
       // grid): 2 KB of re-addable state estimates any token's count from
@@ -1408,6 +1450,42 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |v_old AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
+        |v_new AS (SELECT o_orderkey, o_custkey,
+        |                 CASE WHEN o_orderkey % 3 = 0 THEN price + 1 ELSE price END AS price
+        |          FROM o WHERE o_orderkey % 7 <> 0),
+        |d AS (SELECT COALESCE(n.o_orderkey, v.o_orderkey) AS k,
+        |             CASE WHEN v.o_orderkey IS NULL THEN 'insert'
+        |                  WHEN n.o_orderkey IS NULL THEN 'delete'
+        |                  WHEN v.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |                   AND v.price IS NOT DISTINCT FROM n.price THEN 'unchanged'
+        |                  ELSE 'update' END AS change
+        |      FROM v_old v FULL OUTER JOIN v_new n ON v.o_orderkey = n.o_orderkey)
+        |SELECT change, COUNT(*) AS n_keys, SUM(k)::BIGINT AS sum_keys
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p3_validation_report" ->
+      """WITH rowagg AS (SELECT
+        |  SUM(CASE WHEN NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, FALSE) THEN 1 ELSE 0 END) AS r1,
+        |  SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS r2,
+        |  SUM(CASE WHEN NOT COALESCE(l_shipdate >= TIMESTAMP '1995-01-01', FALSE) THEN 1 ELSE 0 END) AS r3,
+        |  SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS r4
+        |  FROM lineitem),
+        |uniq AS (SELECT COALESCE(SUM(c - 1), 0) AS v FROM
+        |  (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) t),
+        |ref AS (SELECT COUNT(*) AS v FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |u AS (
+        |  SELECT 'r1_qty_domain' AS "check", r1::BIGINT AS n_violations FROM rowagg
+        |  UNION ALL SELECT 'r2_price_positive', r2::BIGINT FROM rowagg
+        |  UNION ALL SELECT 'r3_ship_after_1995', r3::BIGINT FROM rowagg
+        |  UNION ALL SELECT 'r4_flag_domain', r4::BIGINT FROM rowagg
+        |  UNION ALL SELECT 'r5_line_unique', v::BIGINT FROM uniq
+        |  UNION ALL SELECT 'r6_orders_fk', v::BIGINT FROM ref)
+        |SELECT "check", n_violations, n_violations = 0 AS pass
+        |FROM u ORDER BY "check"""".stripMargin,
     "q24_null_aware_anti" ->
       """WITH keys AS (SELECT nullif(o_custkey % 1000, 7) AS k FROM orders),
         |with_null AS (
@@ -1812,6 +1890,7 @@ object SparkEntry {
     "t14_kmv_distinct" -> Sketches.kmvDistinctShinglesSql(),
     "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
     "t20_countmin_hh" -> Sketches.countMinHeavyHittersSql(),
+    "t21_bigram_logprob" -> TextOps.bigramLogProbSql,
     "t16_token_rarity" -> TextOps.tokenRaritySql,
     "t17_dup_coverage" -> TextOps.dupCoverageSql,
     "t18_decontaminate" -> TextOps.decontaminateSql(evalMod = 7),

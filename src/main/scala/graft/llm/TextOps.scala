@@ -213,6 +213,60 @@ object TextOps {
       |SELECT doc_id, COUNT(*) AS n_tokens, (SUM(cf.cf) // COUNT(*))::BIGINT AS mean_cf
       |FROM t JOIN cf USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus-bigram log-probability scoring — the CCNet-style statistical
+    * LM quality signal: score each doc by the mean log conditional
+    * probability `ln(c(w₁w₂) / c(w₁·))` of its consecutive token bigrams
+    * under the corpus's own bigram counts (`c(w₁·)` = occurrences of w₁
+    * as a bigram PREFIX, so probabilities per prefix sum to exactly 1 and
+    * every score is ≤ 0). Gibberish and word-salad sit far below fluent
+    * text; unlike the per-doc signals (t3/t13) this one is
+    * corpus-relative, and unlike t16's mean frequency it scores token
+    * ORDER, not token choice. `(doc_id, n_bigrams, avg_lp_6)` for docs
+    * with ≥ 2 tokens, rounded to 1e-6 (sums of ≤ doc-length ln terms —
+    * fp error far below the grain).
+    *
+    * Scale shape: the bigram table is corpus-VOCABULARY² bounded (in
+    * practice ~vocab×avg-branching), built by one hash aggregation with
+    * map-side combine; the prefix table is a second, smaller one. Docs
+    * join their bigrams back against those tables — at 100 TB both are
+    * broadcast-sized next to the corpus, so the join adds no corpus
+    * shuffle beyond the bigram extraction itself.
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val bg = docs.repartition(par)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1)))).as("bg"))
+      .localCheckpoint(true) // three consumers: c2, c1, and the probe
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 6).as("avg_lp_6"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[bigramLogProb]] — same bigram derivation, same
+    * prefix normalizer, same ln/avg/round arithmetic.
+    */
+  val bigramLogProbSql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws FROM documents),
+      |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, ws[i] AS w1
+      |       FROM toks, UNNEST(range(1, len(ws))) AS u(i)
+      |       WHERE len(ws) >= 2),
+      |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       ROUND(AVG(ln(c2.c2::DOUBLE / c1.c1::DOUBLE)), 6) AS avg_lp_6
+      |FROM bg JOIN c2 USING (bg) JOIN c1 USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Cross-document duplicate-shingle coverage: per doc (with ≥1 shingle),
     * how much of it appears ANYWHERE else in the corpus —
     * `(doc_id, n_shingles, n_shared, shared_1000)` where `n_shared` counts

@@ -193,4 +193,20 @@ class TextOpsSpec extends SparkSpec {
     val r = TextOps.repetitionStats(docsDF(Seq(1L -> "spam spam spam spam"))).head
     assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((1000L, 1000L, 666L)))
   }
+
+  test("bigramLogProb: hand-computed conditional probabilities; fluent beats word salad") {
+    // corpus bigrams: doc1 "a b a b" -> (a b),(b a),(a b); doc2 "a b c" ->
+    // (a b),(b c); doc3 "c a" -> (c a); doc4 "z" -> no bigrams (excluded).
+    // c2: (a b)=3, (b a)=1, (b c)=1, (c a)=1; c1 prefixes: a=3, b=2, c=1.
+    // doc1 avg = (ln(3/3)+ln(1/2)+ln(3/3))/3 = ln(1/2)/3
+    // doc2 avg = (ln(3/3)+ln(1/2))/2 = ln(1/2)/2 ; doc3 avg = ln(1/1) = 0
+    val got = TextOps.bigramLogProb(docsDF(Seq(
+      1L -> "a b a b", 2L -> "a b c", 3L -> "c a", 4L -> "z"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    val exp = Seq(math.log(0.5) / 3, math.log(0.5) / 2, 0.0)
+    got.map(_._3).zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+    // the doc whose bigrams are all common scores above the rarer sequence
+    assert(got(0)._3 > got(1)._3)
+  }
 }
