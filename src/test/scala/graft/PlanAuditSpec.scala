@@ -150,4 +150,42 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q27: the bloom prune filters the fact side BELOW the join (pre-shuffle)") {
+    // the operator's whole claim: non-matching fact rows die before the
+    // exchange. Structurally: a Filter evaluating the mightContain UDF
+    // sits on the lineitem branch with NO join beneath it.
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    staticPlan(SparkEntry.queries("q27_bloom_join")(spark, sf)) { plan =>
+      val bloomFilters = plan.collectWithSubqueries {
+        case f: FilterExec if f.condition.toString.toLowerCase.contains("udf") => f
+      }
+      assert(bloomFilters.nonEmpty, s"no bloom-UDF filter in q27's plan:\n$plan")
+      // InferFiltersFromConstraints also copies the UDF predicate to the
+      // dim side (a bonus prune) — the claim under test is that at least
+      // one UDF filter guards the FACT scan with no join beneath it
+      val factSide = bloomFilters.filter { f =>
+        f.collect { case j: BaseJoinExec => j }.isEmpty &&
+          f.collect { case s: FileSourceScanExec => s }
+            .exists(_.metadata("Location").contains("lineitem"))
+      }
+      assert(factSide.nonEmpty,
+        s"no pre-join bloom prune on the fact-side scan:\n$plan")
+    }
+  }
+
+  test("d12: first-occurrence keeper is aggregate-based — no window over the block-hash") {
+    // the skew claim: a boilerplate block repeated millions of times must
+    // partial-aggregate map-side, not sort as one giant row_number group
+    import org.apache.spark.sql.execution.window.WindowExec
+    staticPlan(SparkEntry.queries("d12_block_dedup")(spark, sf)) { plan =>
+      val wins = plan.collectWithSubqueries { case w: WindowExec => w }
+      assert(wins.isEmpty, s"d12 plans a window (skew-prone):\n$plan")
+      val aggs = plan.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      assert(aggs.exists(_.aggregateExpressions.exists(_.toString.contains("min"))),
+        s"no min-struct keeper aggregate found:\n$plan")
+    }
+  }
 }
