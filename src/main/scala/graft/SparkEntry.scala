@@ -109,6 +109,11 @@ object SparkEntry {
       // across engines, so the unrolled-CTE oracle replays the exact
       // walks; ranked adjacency built once, each step joins walkers only
       Traversals.randomWalks(DerivedGraphs.big(s, dir), numSteps = 4, startMod = 100L)),
+    "g22_bipartite" -> ((s, dir) => // 2-colorability per component via
+      // parity-BFS fixpoint: a vertex reachable from its component root
+      // with both parities witnesses an odd cycle; state bounded at 2|V|
+      // (vertex, parity) rows, vertex-sized exchanges per superstep
+      Analytics.bipartiteCheck(DerivedGraphs.small(s, dir))),
     "g13_partitioned_catalog" -> ((s, dir) => {
       // the single-partitioned-table catalog layout bound to the gate:
       // write two graphs into ONE graph_name-partitioned table, then run
@@ -1355,6 +1360,7 @@ object SparkEntry {
       Analytics.adamicAdarSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
     "g21_random_walks" ->
       Traversals.randomWalksSql(DerivedGraphs.bigSql, numSteps = 4, startMod = 100L),
+    "g22_bipartite" -> Analytics.bipartiteCheckSql(DerivedGraphs.smallSql),
     "g11_scc" -> // SCC = mutual reachability; closure is reflexive (base
       // row (v,v)), so singleton vertices label themselves
       s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),

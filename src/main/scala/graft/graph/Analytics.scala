@@ -444,6 +444,86 @@ object Analytics {
       .orderBy("a", "b")
   }
 
+  /** Bipartiteness check (2-colorability) per connected component of the
+    * simple undirected graph: `(component, n_vertices, is_bipartite)` —
+    * the structural test behind user×item modeling (a co-interaction
+    * graph that is NOT bipartite signals contaminated roles) and
+    * odd-cycle detection generally.
+    *
+    * Algorithm: components from GraphX [[connectedComponents]] (label =
+    * min vertex id); then a parity-BFS FIXPOINT from each component's
+    * root — state is the distinct `(vertex, parity)` pairs reachable from
+    * the root, grown one BSP superstep per driver-loop round until no new
+    * pair appears (≤ 2·diameter+1 rounds; convergence-checked like
+    * [[kCore]]'s peeling, no hop cap to tune). A vertex reachable with
+    * BOTH parities witnesses an odd closed walk ⇒ an odd cycle ⇒ its
+    * component is not bipartite; if no such vertex exists the parity
+    * classes ARE a proper 2-coloring.
+    *
+    * Scale shape: per round, one join of the (≤ 2|V|-row) parity table
+    * into the symmetric edge list + a distinct — vertex-sized exchanges
+    * against a once-checkpointed edge relation, the BFS residency story;
+    * state is bounded at 2|V| rows total, not frontier-history.
+    */
+  def bipartiteCheck(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b"), col("a")).toDF("a", "b"))
+      .localCheckpoint(true)
+    val comp = connectedComponents(und.select(col("a").as("src"), col("b").as("dst")))
+      .localCheckpoint(true)
+    var reach = comp.filter(col("vertex") === col("component"))
+      .select(col("vertex"), lit(0).as("p")).localCheckpoint(true)
+    var n = reach.count()
+    var grew = n > 0
+    while (grew) {
+      val next = reach.join(sym, reach("vertex") === sym("a"))
+        .select(sym("b").as("vertex"), (lit(1) - col("p")).as("p"))
+      val merged = reach.union(next).distinct().localCheckpoint(true)
+      val m = merged.count()
+      grew = m > n
+      reach = merged
+      n = m
+    }
+    val odd = reach.groupBy("vertex").agg(count(lit(1)).as("np"))
+      .filter(col("np") === 2).select("vertex")
+    val bad = comp.join(odd, Seq("vertex"), "left_semi")
+      .select("component").distinct().withColumn("has_odd", lit(true))
+    comp.groupBy("component").agg(count(lit(1)).as("n_vertices"))
+      .join(bad, Seq("component"), "left_outer")
+      .select(col("component"), col("n_vertices"),
+        (!coalesce(col("has_odd"), lit(false))).as("is_bipartite"))
+      .orderBy("component")
+  }
+
+  /** DuckDB mirror of [[bipartiteCheck]]: undirected reachability closure
+    * for components (min-id label, as GraphX computes), recursive
+    * parity reach from the roots, odd vertex = both parities.
+    */
+  def bipartiteCheckSql(edgeSql: String): String =
+    s"""WITH RECURSIVE e AS ($edgeSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+       |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |r(v, w) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+       |  UNION
+       |  SELECT r.v, sym.b FROM r JOIN sym ON sym.a = r.w),
+       |comp AS (SELECT v AS vertex, MIN(w) AS component FROM r GROUP BY v),
+       |pr(vertex, p) AS (
+       |  SELECT component, 0 FROM (SELECT DISTINCT component FROM comp) c
+       |  UNION
+       |  SELECT sym.b, 1 - pr.p FROM pr JOIN sym ON sym.a = pr.vertex),
+       |odd AS (SELECT vertex FROM pr GROUP BY vertex HAVING COUNT(*) = 2),
+       |bad AS (SELECT DISTINCT comp.component FROM comp JOIN odd ON odd.vertex = comp.vertex)
+       |SELECT comp.component, COUNT(*) AS n_vertices,
+       |       (bad.component IS NULL) AS is_bipartite
+       |FROM comp LEFT JOIN bad ON bad.component = comp.component
+       |GROUP BY comp.component, bad.component
+       |ORDER BY comp.component""".stripMargin
+
   /** Adamic-Adar link prediction over the simple undirected graph: the
     * common-neighbor count of [[commonNeighbors]] weighted by center
     * rarity — each shared neighbor z contributes 1/ln(deg(z)), so a

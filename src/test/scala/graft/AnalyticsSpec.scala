@@ -223,4 +223,62 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
   }
+
+  test("bipartiteCheck: even cycle yes, odd cycle no, per-component verdicts") {
+    // component 0: square 0-1-2-3-0 (even cycle -> bipartite)
+    // component 10: triangle 10-11-12 (odd cycle -> not)
+    // component 20: single edge (trivially bipartite)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+    val got = Analytics.bipartiteCheck(edgesDF(e)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((0L, 4L, true), (10L, 3L, false), (20L, 2L, true)))
+  }
+
+  test("bipartiteCheck: odd cycle found through a long bipartite limb; dups/self-loops ignored") {
+    // pentagon 0..4 (odd) with a path 4-5-6-7 hanging off it: the whole
+    // component is non-bipartite even though the limb alone is 2-colorable
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L),
+      (4L, 5L), (5L, 6L), (6L, 7L),
+      (1L, 0L), (0L, 1L), (5L, 5L)) // reversed dup, dup, self-loop
+    val got = Analytics.bipartiteCheck(edgesDF(e)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((0L, 8L, false)))
+  }
+
+  test("bipartiteCheck matches a brute-force 2-coloring model on a random graph") {
+    val rng = new scala.util.Random(29)
+    val edges = Seq.fill(60)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }.withDefaultValue(Set.empty[Long])
+    // sequential BFS 2-coloring per component
+    var color = Map.empty[Long, Int]
+    var comp = Map.empty[Long, Long]
+    var nonBip = Set.empty[Long]
+    nbrs.keySet.toSeq.sorted.foreach { s =>
+      if (!comp.contains(s)) {
+        var frontier = Set(s); color += s -> 0
+        var members = Set(s)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap { v =>
+            nbrs(v).flatMap { w =>
+              if (!color.contains(w)) { color += w -> (1 - color(v)); members += w; Some(w) }
+              else { if (color(w) == color(v)) nonBip += s; None }
+            }
+          }
+        }
+        members.foreach(m => comp += m -> members.min)
+      }
+    }
+    val roots = comp.values.toSet
+    val expected = roots.map { r =>
+      val members = comp.collect { case (v, c) if c == r => v }
+      (r, members.size.toLong, !nonBip.exists(s => comp(s) == r))
+    }
+    val got = Analytics.bipartiteCheck(edgesDF(edges)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === expected)
+  }
 }
