@@ -126,4 +126,30 @@ class MatrixFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("blank line") ||
       Option(e.getCause).exists(_.getMessage.contains("blank line")))
   }
+
+  test("DSv2 connector prunes columns: single-endpoint projection reaches the scan") {
+    val p = tmpFile("dsv2prune.txt")
+    Files.writeString(java.nio.file.Paths.get(p), "3\n0 1 1\n0 0 1\n0 0 0\n")
+    val v2 = spark.read.format("graft.sources.MatrixSourceV2").load(p)
+
+    // dst-only projection: the optimized scan's output schema must be (dst)
+    val dstOnly = v2.select("dst")
+    val scans = dstOnly.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a BatchScanExec in the physical plan")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("dst"),
+      s"scan should read only dst, got ${scans.head.scan.readSchema()}")
+    assert(dstOnly.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 3L))
+
+    // reversed projection order is honored by the pruned reader
+    val rev = v2.select("dst", "src").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rev === Set((2L, 1L), (3L, 1L), (3L, 2L)))
+
+    // in-degree over the pruned single column matches the full-schema answer
+    val indeg = dstOnly.groupBy("dst").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(indeg === Map(2L -> 1L, 3L -> 2L))
+  }
 }
