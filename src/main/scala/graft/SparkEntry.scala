@@ -157,6 +157,27 @@ object SparkEntry {
       put("odd", e.filter(col("src") % 2 === 1))
       cat.bfsPartitioned("even", start = 0L, maxDepth = 12)
     }),
+    "g23_partitioned_dfs" -> ((s, dir) => {
+      // DFS through the same partitioned layout (closes the g16 gap: BFS was
+      // the only traversal gated over the graph_name-partitioned table).
+      // Preorder is not SQL-expressible, so the oracle is SequentialModel's
+      // independent recursion over the identically-filtered edge set,
+      // emitted as VALUES (the g8 discipline); the traversal's edge scan
+      // partition-prunes to the named graph (GraphCatalogSpec structural
+      // assert on dfsPartitioned's scan)
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-pdfs-${ProcessHandle.current().pid()}"))
+      java.nio.file.Files.createDirectories(root)
+      val cat = new GraphCatalog(s, root.resolve("pgraphs").toString)
+      val e = DerivedGraphs.small(s, dir)
+      def put(name: String, df: DataFrame): Unit =
+        if (cat.existsPartitioned(name)) cat.modifyGraphPartitioned(name, df)
+        else cat.addGraphPartitioned(name, df)
+      put("even", e.filter(col("src") % 2 === 0))
+      put("odd", e.filter(col("src") % 2 === 1))
+      cat.dfsPartitioned("even", start = 0L)
+    }),
     "g10_matrix_roundtrip" -> ((s, dir) => {
       // the reference's full write path (op 1, primaryServer.c:40-63):
       // catalog add -> dense-matrix text file -> re-ingest -> analytics;
@@ -2009,7 +2030,8 @@ object SparkEntry {
                        selected: Option[Set[String]] = None): Map[String, String] = {
     def want(k: String) = selected.forall(_.contains(k))
     val graphKeys =
-      Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation")
+      Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
+        "g23_partitioned_dfs")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -2039,6 +2061,16 @@ object SparkEntry {
       "g8_dfs_preorder" ->
         s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(p AS INT) AS pos
            |FROM (VALUES $preVals) AS t(v, p) ORDER BY pos""".stripMargin,
+      "g23_partitioned_dfs" -> {
+        // same independent recursion, over the even-src subset g23 stores in
+        // the partitioned catalog (start vertex 0 is always present: seen
+        // includes the start, so the preorder is never empty)
+        val preEven = SequentialModel.dfsPreorder(
+          edges.filter(_._1 % 2 == 0), start = 0L)
+        val vals = preEven.zipWithIndex.map { case (v, i) => s"($v, $i)" }.mkString(", ")
+        s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(p AS INT) AS pos
+           |FROM (VALUES $vals) AS t(v, p) ORDER BY pos""".stripMargin
+      },
         "g9_dfs_leaves" -> (
           if (leaves.isEmpty) "SELECT CAST(NULL AS BIGINT) AS vertex WHERE 1 = 0"
           else s"""SELECT CAST(v AS BIGINT) AS vertex

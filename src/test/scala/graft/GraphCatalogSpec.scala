@@ -172,6 +172,29 @@ class GraphCatalogSpec extends SparkSpec {
       s"graph_name not in partition filters on the traversal path: ${scans.head.partitionFilters}")
   }
 
+  test("dfsPartitioned traverses only the named graph, through a pruned scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val cat = freshCatalog()
+    // disjoint id ranges again: leakage would add vertices to the preorder
+    cat.addGraphPartitioned("deven", edgesDF(Seq((0L, 2L), (2L, 4L), (0L, 6L))))
+    cat.addGraphPartitioned("dodd", edgesDF(Seq((0L, 1L), (1L, 3L))))
+    // preorder: 0, then lowest-id child first (2 -> 4), then 6
+    assert(cat.dfsPartitioned("deven", 0L).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((0L, 0), (2L, 1), (4L, 2), (6L, 3)))
+    // the adjacency collect consumes graphPartitioned(name) — graph_name
+    // must land in the scan's PARTITION filters (file-listing pruning)
+    val plan = cat.graphPartitioned("deven").queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"no file scan in\n$plan")
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "graph_name")),
+      s"graph_name not in partition filters on the DFS path: ${scans.head.partitionFilters}")
+  }
+
   test("bfs/dfs validate the start vertex instead of underflowing") {
     val cat = freshCatalog()
     cat.addGraph("g", edgesDF(triangle))
