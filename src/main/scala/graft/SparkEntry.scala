@@ -7,7 +7,7 @@ import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Tra
 import graft.llm.{Dedup, MediaOps, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.operators.{Partitioning, Sessionization, SnapshotDiff, TemporalJoins, Validation}
 import graft.sources.{MatrixFormat, TableFormats}
-import graft.streaming.EventStreams
+import graft.streaming.{BoundedReplay, EventStreams}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1038,6 +1038,20 @@ object SparkEntry {
     //      EventStreams + StreamingSpec for the MemoryStream equivalence) ----
     "st1_tumbling_hourly" -> ((s, dir) =>
       EventStreams.tumblingCounts(Tables.events(s, dir)).orderBy("window_start_us", "event_type")),
+    "st11_stream_smoke" -> ((s, dir) =>
+      // st1's aggregation executed by an ACTUAL streaming query (verdict-#8
+      // smoke row): file source -> StreamExecution micro-batches -> complete
+      // -mode memory sink, one source file per trigger so the windowed
+      // aggregate's state is built up across FOUR micro-batches rather than
+      // one batch pass. Complete mode means the sink's final contents are
+      // the full aggregate — byte-identical semantics to st1's batch path
+      // and the same DuckDB mirror.
+      BoundedReplay.runFileStream(
+        Tables.events(s, dir),
+        name = "st11_sink",
+        transform = stream => EventStreams.tumblingCounts(stream),
+        outputMode = "complete")
+        .orderBy("window_start_us", "event_type")),
     "st2_sliding_counts" -> ((s, dir) =>
       EventStreams.slidingCounts(Tables.events(s, dir)).orderBy("window_start_us", "event_type")),
     "st3_session_windows" -> ((s, dir) =>
@@ -1128,6 +1142,33 @@ object SparkEntry {
       // StreamingSpec
       Dedup.streamingExactDedup(Tables.documents(s, dir))
         .select(md5(col("text")).as("h"), length(col("text")).cast("long").as("len"))
+        .orderBy("h")),
+    "d13_watermark_dedup" -> ((s, dir) =>
+      // streamingDedupWithinWatermark bound to the gate through a REAL
+      // StreamExecution (dropDuplicatesWithinWatermark has no batch mode):
+      // BoundedReplay feeds the documents table through the file streaming
+      // source one file per micro-batch, so the state store carries
+      // first-seen keys ACROSS micro-batches. Arrival time derives from
+      // doc_id MOD 1s (micro-batch order is file-order, not id-order, so an
+      // unbounded id-derived time could strand early ids behind the
+      // watermark as late data) — the whole table spans <1s, far inside the
+      // 10-minute delay, so every copy is in-horizon and the surviving
+      // CONTENT set is exactly DISTINCT (the d8 discipline; WHICH copy
+      // survives is arrival-order-dependent, so the gate binds the
+      // content-determined projection). The eviction/re-emit half past the
+      // horizon is asserted in StreamingSpec.
+      BoundedReplay.runFileStream(
+        Tables.documents(s, dir)
+          // offset: event time 0 equals the zero-floored watermark and
+          // would be discarded as late — keep min event time above delay
+          .withColumn("arrival_ts",
+            timestamp_micros(col("doc_id") % 1000000L + 3600000000L)),
+        name = "d13_sink",
+        transform = stream =>
+          Dedup.streamingDedupWithinWatermark(stream, tsCol = "arrival_ts",
+              delay = "10 minutes")
+            .select(md5(col("text")).as("h"),
+              length(col("text")).cast("long").as("len")))
         .orderBy("h")),
     "d2_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir))),
     "d3_minhash_pairs" -> ((s, dir) => Dedup.minHashLshPairs(Tables.documents(s, dir))),
@@ -1839,10 +1880,14 @@ object SparkEntry {
     "d8_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS h, len(text)::BIGINT AS len
         |FROM documents ORDER BY h""".stripMargin,
+    "d13_watermark_dedup" ->
+      """SELECT DISTINCT md5(text) AS h, len(text)::BIGINT AS len
+        |FROM documents ORDER BY h""".stripMargin,
     "st7_bounded_counts" -> EventStreams.runningUserCountsSql(),
     "st9_closed_sessions" -> EventStreams.sessionizeStatefulSql(),
     "st10_tws_counts" -> EventStreams.runningUserCountsSql(),
     "st1_tumbling_hourly" -> EventStreams.tumblingCountsSql(),
+    "st11_stream_smoke" -> EventStreams.tumblingCountsSql(),
     "st2_sliding_counts" -> EventStreams.slidingCountsSql(),
     "st3_session_windows" -> EventStreams.sessionCountsSql(),
     "st4_running_counts" -> EventStreams.runningUserCountsSql(),

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.TempDirs
+import org.apache.spark.sql.DataFrame
+
+/** Replay a bounded batch table through a REAL streaming execution.
+  *
+  * The st-family gate rows run the unified-model batch path (same logical
+  * plan, batch physical execution); the streaming halves are
+  * MemoryStream-asserted in `StreamingSpec`. What neither binds to the gate
+  * is an actual `StreamExecution` — micro-batch planning, state-store
+  * commits, watermark advancement — which is exactly the machinery a
+  * production deployment runs. This helper closes that gap for BOUNDED
+  * inputs: export the batch rows to parquet, re-read them with the file
+  * streaming source (one file per micro-batch, so cross-batch state is
+  * genuinely exercised), run the user's transform under the streaming
+  * engine into a memory sink, and hand the sink's contents back as a
+  * DataFrame for the oracle compare.
+  *
+  * The memory sink is deliberate harness plumbing, not the production
+  * path: gate results are driver-small by contract (the same contract
+  * every gate row's final collect relies on). A production run swaps it
+  * for `format("parquet")` + checkpoint — the transform, source, and
+  * state machinery are identical.
+  */
+object BoundedReplay {
+
+  /** Run `transform(stream)` over `batch` replayed as a file-source stream;
+    * returns the memory sink's contents. `sourceFiles` controls how many
+    * micro-batches the replay takes (one file per trigger).
+    */
+  def runFileStream(batch: DataFrame, name: String,
+                    transform: DataFrame => DataFrame,
+                    outputMode: String = "append",
+                    sourceFiles: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val dir = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-replay-$name-${ProcessHandle.current().pid()}"))
+    batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = transform(src).writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
