@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Traversals}
 import graft.llm.{Dedup, MediaOps, Packing, Sampling, Similarity, Sketches, TextOps}
-import graft.operators.{Partitioning, Sessionization, SnapshotDiff, TemporalJoins, Validation}
+import graft.operators.{MergeInto, Partitioning, Sessionization, SnapshotDiff, TemporalJoins, Validation}
 import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.{BoundedReplay, EventStreams}
 
@@ -409,6 +409,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(dec12("l_quantity")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+    "q29_cow_merge" -> ((s, dir) => {
+      // copy-on-write MERGE gate (round-7 verdict #2): write a fresh
+      // hive-partitioned target (f5's layout), apply a deterministic
+      // change-set — updates (+100.00 on keys ≡0 mod 97), deletes (≡0 mod
+      // 131), inserts (key+1e9 into the brand-new partition 2099 for keys
+      // ≡0 mod 203) — through mergeCow, which rewrites ONLY the touched
+      // partition directories (byte-stability of the rest is
+      // MergeCowSpec's half), then re-read the table and roll it up per
+      // partition; the mirror computes the same merged state in SQL
+      val out = cowMergePath(dir)
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        dec12("o_totalprice").as("price"),
+        col("o_orderpriority"),
+        year(col("o_orderdate")).as("o_year"))
+      Partitioning.writeHivePartitioned(base, out, "o_year")
+      val upd = base
+        .filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 131 =!= 0)
+        .withColumn("price", (col("price") + lit(100)).cast("decimal(12,2)"))
+        .withColumn("is_delete", lit(false))
+      val del = base.filter(col("o_orderkey") % 131 === 0)
+        .withColumn("is_delete", lit(true))
+      val ins = base.filter(col("o_orderkey") % 203 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          lit("1.00").cast("decimal(12,2)").as("price"),
+          lit("1-URGENT").as("o_orderpriority"),
+          lit(2099).as("o_year"),
+          lit(false).as("is_delete"))
+      MergeInto.mergeCow(s, out, upd.unionByName(del).unionByName(ins),
+        keys = Seq("o_orderkey"), partCol = "o_year",
+        deleteCol = Some("is_delete"))
+      s.read.parquet(out)
+        .groupBy(col("o_year").cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n"), sum("price").cast("double").as("sum_price"))
+        .orderBy("o_year")
     }),
     "q28_snapshot_diff" -> ((s, dir) => {
       // CDC between two derived snapshot versions of orders (old drops
@@ -1518,6 +1554,24 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_cow_merge" ->
+      """WITH base AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |                     o_orderpriority, EXTRACT(year FROM o_orderdate) AS o_year
+        |              FROM orders),
+        |upd AS (SELECT o_orderkey, CAST(price + 100 AS DECIMAL(12,2)) AS price,
+        |               o_orderpriority, o_year
+        |        FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey % 131 <> 0),
+        |ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |               CAST(1.00 AS DECIMAL(12,2)) AS price,
+        |               '1-URGENT' AS o_orderpriority, 2099 AS o_year
+        |        FROM base WHERE o_orderkey % 203 = 0),
+        |merged AS (
+        |  SELECT * FROM base WHERE o_orderkey % 131 <> 0 AND o_orderkey % 97 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT CAST(o_year AS BIGINT) AS o_year, COUNT(*) AS n,
+        |       CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q28_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |                  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
@@ -2052,6 +2106,11 @@ object SparkEntry {
   /** Hive-partitioned export for `f5_hive_partitioned` (same discipline). */
   def hivePartitionedPath(sfDir: String): String =
     exportRoot + "/graft-hive-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Copy-on-write merge target for `q29_cow_merge` (rewritten from the
+    * source table at the start of every run, so re-runs are idempotent). */
+  def cowMergePath(sfDir: String): String =
+    exportRoot + "/graft-cow-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Two-batch export for `f6_schema_evolution` (same discipline). */
   def schemaEvolutionPath(sfDir: String): String =

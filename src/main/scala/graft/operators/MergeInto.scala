@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MERGE INTO (SCD-1 upsert) as a relational operator.
@@ -61,5 +62,79 @@ object MergeInto {
       .select(
         keys.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k)) ++
           dataCols.map(c => when(hasSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
+  /** Copy-on-write MERGE into a hive-partitioned parquet table
+    * ([[Partitioning.writeHivePartitioned]]'s layout): rewrite ONLY the
+    * partitions the change-set touches, leave every other partition's files
+    * untouched on disk (byte-identical, same mtimes — asserted in
+    * `MergeCowSpec`). At 100 TB this is the difference between an upsert
+    * proportional to the change-set and one proportional to the table.
+    *
+    * Touched-partition discovery:
+    *   - partitions the source writes into (its own `partCol` values), plus
+    *   - partitions currently holding a matched key — because an update may
+    *     MOVE a row across partitions and a delete must erase it where it
+    *     lives. This leg needs a key+partition scan of the target (the same
+    *     discovery join Delta/Iceberg/Hudi run against their file stats);
+    *     it is column-pruned to `keys :+ partCol` and skipped entirely when
+    *     `partCol` is itself a merge key (partition-stable keys — the
+    *     common date-partitioned-fact case — make discovery free).
+    *
+    * The merge itself runs [[merge]] on the touched SLICE only (the read
+    * partition-prunes), is materialized via `localCheckpoint` (bounded by
+    * the touched partitions — Spark cannot lazily overwrite a path it is
+    * reading), and is written back with dynamic partition overwrite so
+    * untouched directories are never listed, read, or replaced. A partition
+    * whose rows are all deleted is removed explicitly (dynamic overwrite
+    * only replaces partitions present in the output).
+    *
+    * Durability note: a real table format makes the swap atomic with a
+    * manifest/snapshot commit; this operator inherits the filesystem's
+    * rename semantics, the honest non-transactional baseline.
+    *
+    * Contract: [[merge]]'s, plus `partCol` is a target column with
+    * path-safe, low-cardinality values (the hive-layout contract).
+    * Returns the touched partition values as strings, sorted — the
+    * observable the spec and callers audit.
+    */
+  def mergeCow(spark: SparkSession, path: String, source: DataFrame,
+               keys: Seq[String], partCol: String,
+               deleteCol: Option[String] = None): Seq[String] = {
+    val target = spark.read.parquet(path)
+    require(target.columns.contains(partCol), s"$partCol is not a target column")
+
+    val srcParts = source.select(col(partCol)).distinct()
+    val touchedDf =
+      if (keys.contains(partCol)) srcParts
+      else {
+        val matchedParts = target
+          .select((keys :+ partCol).map(col): _*) // column-pruned discovery scan
+          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select(col(partCol)).distinct()
+        srcParts.union(matchedParts).distinct()
+      }
+    val touched = touchedDf.collect().map(_.get(0))
+    require(touched.length <= 100000,
+      s"${touched.length} touched partitions — partCol is not low-cardinality; " +
+        "use a coarser partition column or a plain merge+rewrite")
+    if (touched.isEmpty) return Seq.empty
+
+    val slice = target.filter(col(partCol).isin(touched: _*))
+    val merged = merge(slice, source, keys, deleteCol).localCheckpoint(true)
+    try {
+      val present = merged.select(col(partCol)).distinct().collect().map(_.get(0)).toSet
+      merged.repartition(col(partCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+      // deletes may empty a partition: dynamic overwrite never saw it, so
+      // drop its directory explicitly
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(present).foreach { v =>
+        fs.delete(new Path(path, s"$partCol=$v"), true): Unit
+      }
+    } finally merged.unpersist()
+    touched.map(String.valueOf).sorted.toSeq
   }
 }
