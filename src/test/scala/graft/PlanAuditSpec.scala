@@ -188,4 +188,63 @@ class PlanAuditSpec extends SparkSpec {
         s"no min-struct keeper aggregate found:\n$plan")
     }
   }
+
+  test("AQE splits a skewed shuffle join at runtime (the third 100 TB skew knob)") {
+    // q15's manual salting is one answer to join skew; the runtime answer is
+    // AQE's OptimizeSkewedJoin, which splits oversized shuffle partitions
+    // and replicates the matching slice of the other side — salting without
+    // the rewrite. Local partitions sit far under the 256 MB default
+    // threshold, so lower it (same discipline as the bloom-filter test) to
+    // prove the engine's plans are ELIGIBLE: a skewed sort-merge join must
+    // come back with isSkewJoin = true and the same rows as the salted
+    // rewrite. Manual salting remains the right tool where AQE cannot
+    // reach: skewed AGGREGATIONS (OptimizeSkewedJoin only rewrites joins),
+    // fixed-partitioning sinks, and streaming joins (no runtime re-plan) —
+    // that boundary is the documented contract of Partitioning.saltedJoin.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val tweaks = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tweaks.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tweaks.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key holding ~90% of the fact rows, plus a long uniform tail
+      val big = (1L to 60000L).map(i => (if (i % 10 != 0) 0L else i % 97, i))
+        .toDF("k", "v")
+      val dim = (0L until 97L).map(i => (i, s"dim$i")).toDF("k", "name")
+      val joined = big.join(dim, "k").select(col("k"), col("v"), col("name"))
+      val n = joined.collect().length.toLong // execute THIS plan so AQE finalizes it
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // Spark 4 materializes the finished plan as nested QueryStageExec
+      // nodes, which are leaves to collect() — walk through them
+      def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case q: QueryStageExec => all(q.plan)
+        case _ => p.children.flatMap(all)
+      })
+      val smjs = all(finalPlan).collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$finalPlan")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the skewed join (isSkewJoin=false):\n$finalPlan")
+      // the runtime split returns exactly the rows the manual rewrite does
+      val salted = graft.operators.Partitioning.saltedJoin(big, dim, "k", salts = 8)
+        .select(col("k"), col("v"), col("name"))
+      assert(n === salted.count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
