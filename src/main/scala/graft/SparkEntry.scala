@@ -904,6 +904,41 @@ object SparkEntry {
             .as("view_id"))
         .orderBy("purchase_id")
     }),
+    "e20_value_deciles" -> ((s, dir) => {
+      // per-type decile profile of the value distribution (feature
+      // normalization for training pipelines): decile assignment is pure
+      // INTEGER math over a unique total order — (rn-1)*10 div n on
+      // row_number ordered by (value, event_id) — so the bucket boundary
+      // is bit-exact on both engines (a percent_rank float compare would
+      // not be); only the per-bucket mean needs the round(·,6) discipline.
+      // Shape: one window sort per event_type, then a tiny (type, bucket)
+      // rollup — at scale the sort is the shuffle that rank stats always
+      // cost, with nothing corpus-sized in the rollup.
+      val wN = Window.partitionBy("event_type")
+      val wR = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("n", count(lit(1)).over(wN))
+        .groupBy(col("event_type"), expr("(rn - 1) * 10 div n").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("event_type", "bucket")
+    }),
+    "e21_retention_cohorts" -> ((s, dir) => {
+      // cohort retention triangle: cohort = a user's first active day,
+      // n_users = users of that cohort active again `offset_days` later.
+      // Scale form mirrors e14: distinct (user, day) first (one hash
+      // shuffle), min-day cohort per user, then a (cohort, offset) rollup
+      // whose cardinality is days² at most — no expanding windows, no
+      // per-user state beyond the aggregates.
+      val days = EventStreams.normalized(Tables.events(s, dir))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day")).distinct()
+      val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+      days.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+        .agg(count(lit(1)).as("n_users")) // (user, day) distinct -> count = distinct users
+        .orderBy("cohort_day", "offset_days")
+    }),
     "e17_interval_overlaps" -> ((s, dir) => {
       // interval-overlap join (intervals × intervals, vs e7's points ×
       // points): pairs of same-supplier lineitems whose order-fulfillment
@@ -1256,6 +1291,10 @@ object SparkEntry {
       // partitions × dim², independent of corpus size; result driver-small
       // by contract (dim×dim), like IVF's centroids
       Similarity.gramMatrix(Tables.embeddings(s, dir))),
+    "s8_knn_classify" -> ((s, dir) => // kNN majority-vote classification
+      // over the exact top-k neighbors: integer vote on top of s1's float
+      // discipline, ties toward the smaller label on both engines
+      Similarity.knnClassify(Tables.embeddings(s, dir))),
     "s7_pq_rerank" -> ((s, dir) => // product-quantized ADC scan + exact
       // re-rank (the FAISS IVFPQ memory path): m one-byte codes per vector
       // (64x narrower than the float64 scan), query-side integer LUT, the
@@ -1319,6 +1358,18 @@ object SparkEntry {
       // above; gate readout pairs est with exact on the top-20 tokens —
       // the t14/t15 mergeable-sketch family completed
       Sketches.countMinHeavyHitters(Tables.documents(s, dir))),
+    "t22_pii_scrub" -> ((s, dir) => // email/phone detection + redaction
+      // (deterministically planted PII — the synthetic corpus has none);
+      // per-row regex expressions only, codegen'd, shuffle-free
+      TextOps.piiScrub(Tables.documents(s, dir))),
+    "t23_url_domains" -> ((s, dir) => // URL -> domain inventory (the
+      // domain-filtering half of crawl curation); one scan + one
+      // low-cardinality hash shuffle
+      TextOps.urlDomains(Tables.documents(s, dir))),
+    "t24_shingle_novelty" -> ((s, dir) => // per-doc first-occurrence
+      // shingle contribution — dedup-aware curation's ranking signal;
+      // two shuffles, both on 8-byte hashed shingles
+      TextOps.shingleNovelty(Tables.documents(s, dir))),
     "t10_tfidf" -> ((s, dir) => // per-doc top terms by integer-exact
       // raw-idf TF-IDF (log-free so the oracle matches bit-for-bit)
       TextOps.tfidfTopTerms(Tables.documents(s, dir))),
@@ -1806,6 +1857,25 @@ object SparkEntry {
         |JOIN (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND c.c_us >= v.v_us AND c.c_us - v.v_us <= 3600000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "e20_value_deciles" -> // integer-exact decile binning via row_number
+      // over the unique (value, event_id) order; only avg needs round(·,6)
+      """WITH r AS (SELECT event_type, value,
+        |                 row_number() OVER (PARTITION BY event_type
+        |                                    ORDER BY value, event_id) AS rn,
+        |                 COUNT(*) OVER (PARTITION BY event_type) AS n
+        |          FROM events)
+        |SELECT event_type, ((rn - 1) * 10 // n)::BIGINT AS bucket,
+        |       COUNT(*) AS n_events, round(AVG(value), 6) AS avg_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e21_retention_cohorts" -> // dedup-then-rollup mirror of e14's shape
+      """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT c.cohort_day::BIGINT AS cohort_day,
+        |       (d.day - c.cohort_day)::BIGINT AS offset_days,
+        |       COUNT(*) AS n_users
+        |FROM days d JOIN c ON d.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e19_asof_tolerance" ->
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, 0 AS kind, event_id FROM events WHERE event_type = 'view'
@@ -1976,6 +2046,7 @@ object SparkEntry {
     "s4_label_centroids" -> Similarity.labelCentroidsSql,
     "s5_sq8_rerank" -> Similarity.sq8TopKSql(),
     "s7_pq_rerank" -> Similarity.pqTopKSql(),
+    "s8_knn_classify" -> Similarity.knnClassifySql(),
     "s6_gram_matrix" -> Similarity.gramMatrixSql(),
     "f7_dsv2_matrix" -> // same degrees from the source derivation (+1 shift)
       s"""WITH e AS (${DerivedGraphs.smallSql})
@@ -2017,6 +2088,9 @@ object SparkEntry {
     "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
     "t20_countmin_hh" -> Sketches.countMinHeavyHittersSql(),
     "t21_bigram_logprob" -> TextOps.bigramLogProbSql,
+    "t22_pii_scrub" -> TextOps.piiScrubSql,
+    "t23_url_domains" -> TextOps.urlDomainsSql,
+    "t24_shingle_novelty" -> TextOps.shingleNoveltySql,
     "t16_token_rarity" -> TextOps.tokenRaritySql,
     "t17_dup_coverage" -> TextOps.dupCoverageSql,
     "t18_decontaminate" -> TextOps.decontaminateSql(evalMod = 7),

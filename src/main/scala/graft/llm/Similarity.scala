@@ -743,4 +743,41 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
       .orderBy("query_id", "rank")
   }
+
+  /** kNN classification by majority vote over [[cosineTopK]]'s exact
+    * neighbors: each query takes the label most common among its `k`
+    * nearest (ties broken toward the smaller label — both engines order by
+    * `(votes DESC, label)`). The vote is pure integer arithmetic on top of
+    * the top-k machinery, so the only float discipline needed is the one
+    * cosineTopK already enforces. `(query_id, pred_label, votes)`.
+    *
+    * 100 TB shape: inherits cosineTopK's (queries broadcast, corpus
+    * scanned once); the vote itself groups k·|queries| rows — negligible.
+    */
+  def knnClassify(emb: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val labels = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("label"))
+    // broadcast the k·|queries|-row top-k side; labels stay corpus-sized
+    labels.join(broadcast(cosineTopK(emb, numQueries, k)), "neighbor_id")
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+      // argmax by (votes, -label): max struct = most votes, then least label
+      .groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("label")).as("nl"), col("label"))).as("m"))
+      .select(col("query_id"), col("m.label").as("pred_label"),
+        col("m.votes").as("votes"))
+      .orderBy("query_id")
+  }
+
+  def knnClassifySql(numQueries: Int = 20, k: Int = 5): String =
+    s"""WITH topk AS (${cosineTopKSql(numQueries, k)}),
+       |votes AS (SELECT t.query_id, e.label::BIGINT AS label, COUNT(*) AS votes
+       |          FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+       |          GROUP BY 1, 2),
+       |r AS (SELECT query_id, label, votes,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY votes DESC, label) AS rn
+       |      FROM votes)
+       |SELECT query_id, label AS pred_label, votes
+       |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin
 }

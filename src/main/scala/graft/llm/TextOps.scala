@@ -658,4 +658,129 @@ object TextOps {
     s"""SELECT token, count(*) AS n
        |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token FROM documents)
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
+
+  // ----- PII scrubbing (t22) -------------------------------------------
+
+  /** Email/phone patterns shared by both engines. Java regex and RE2 agree
+    * on every construct used here (explicit classes, `{m,n}`, `\b`); `\s`
+    * and friends are avoided per the [[PunctClass]] discipline.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** The synthetic corpus carries no natural PII, so the gate plants some
+    * deterministically — docs ≡0 mod 7 gain an email, ≡0 mod 11 a phone
+    * number (both derived from doc_id; the SQL mirror plants the exact
+    * same bytes). What the OPERATOR gates is the scrub itself:
+    * detection counts and the redacted length per document.
+    */
+  def piiAugmented(docs: DataFrame): Column =
+    concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact u"), col("doc_id"), lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+
+  /** PII scrub: per-doc email/phone detection counts and the post-redaction
+    * length. Per-row expressions only — codegen'd, shuffle-free, the shape
+    * a 100 TB scrub pass needs (the scan is the cost; nothing else moves).
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), piiAugmented(docs).as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(PhonePattern)).cast("long").as("n_phones"),
+        length(regexp_replace(regexp_replace(col("aug"), EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]")).cast("long").as("clean_len"))
+      .orderBy("doc_id")
+
+  def piiScrubSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         text
+       |         || CASE WHEN doc_id % 7 = 0
+       |                 THEN ' contact u' || doc_id || '@example.com now' ELSE '' END
+       |         || CASE WHEN doc_id % 11 = 0
+       |                 THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(aug, '$EmailPattern'))::BIGINT AS n_emails,
+       |       len(regexp_extract_all(aug, '$PhonePattern'))::BIGINT AS n_phones,
+       |       len(regexp_replace(regexp_replace(aug, '$EmailPattern', '[EMAIL]', 'g'),
+       |                          '$PhonePattern', '[PHONE]', 'g'))::BIGINT AS clean_len
+       |FROM aug ORDER BY doc_id""".stripMargin
+
+  // ----- URL/domain extraction (t23) -----------------------------------
+
+  val UrlDomainPattern = "https?://([a-z0-9.-]+)/"
+
+  /** Domain inventory for URL-bearing docs (the domain-filtering half of a
+    * crawl-curation pipeline). URLs are planted deterministically (docs ≡0
+    * mod 5, domain keyed by doc_id mod 23) for the same reason as
+    * [[piiAugmented]]; the operator is the extraction + per-domain rollup:
+    * one scan, one hash shuffle on the (low-cardinality) domain.
+    */
+  def urlDomains(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_extract(
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" see https://site"), col("doc_id") % 23,
+              lit(".example.org/p/"), col("doc_id"))).otherwise(col("text")),
+          UrlDomainPattern, 1).as("domain"))
+      .filter(col("domain") =!= "")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+      .orderBy("domain")
+
+  def urlDomainsSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0
+       |              THEN text || ' see https://site' || (doc_id % 23) || '.example.org/p/' || doc_id
+       |              ELSE text END AS aug
+       |  FROM documents),
+       |d AS (SELECT doc_id, regexp_extract(aug, '$UrlDomainPattern', 1) AS domain FROM aug)
+       |SELECT domain, COUNT(*) AS n_docs, SUM(doc_id)::BIGINT AS sum_ids
+       |FROM d WHERE domain <> '' GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ----- shingle novelty (t24) -----------------------------------------
+
+  /** Per-doc novelty: how many of a doc's distinct word-3-gram shingles
+    * appear for the FIRST time (min doc_id over the corpus) in that doc —
+    * the contribution score dedup-aware curation ranks by. Docs with < 3
+    * tokens have no shingles and no row (same domain as the d2 family).
+    *
+    * Shape: the shingle relation is one scan + explode; first-occurrence
+    * is a min-aggregate on the shingle key (map-side partial), and the
+    * novelty rollup joins on the same key — two shuffles total, both on
+    * the 8-byte hashed shingle, never on text.
+    */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
+      .select(col("doc_id"),
+        // array_distinct AFTER the hash: an in-doc hash collision merges to
+        // one element on both engines (the hashedShingleRows discipline)
+        explode(array_distinct(transform(shingles3(tokens(col("text"))),
+          g => graft.functions.Hashing.hash60(g)))).as("shingle"))
+      .localCheckpoint(true)
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .orderBy("doc_id")
+  }
+
+  def shingleNoveltySql: String =
+    s"""WITH ${shinglesSql(cte = "rawsh")},
+       |sh AS (SELECT DISTINCT doc_id,
+       |              ${graft.functions.Hashing.hash60Sql("shingle")} AS shingle
+       |       FROM rawsh),
+       |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |       SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+       |FROM sh s JOIN f ON s.shingle = f.shingle
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 }

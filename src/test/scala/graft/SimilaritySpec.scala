@@ -224,4 +224,25 @@ class SimilaritySpec extends SparkSpec {
       (7L, 1L, 2000000L), (7L, 2L, 1000000L), // means (2.0, 1.0)
       (9L, 1L, 500000L), (9L, 2L, 500000L)))
   }
+
+  test("knnClassify: majority label wins; vote ties break toward the smaller label") {
+    val s = spark
+    import s.implicits._
+    // query 0; neighbors engineered so top-4 = two of label 9, two of label 2
+    val e = Seq(
+      (0L, Seq(1f, 0f), 5),
+      (1L, Seq(0.99f, 0.01f), 9),
+      (2L, Seq(0.98f, 0.02f), 9),
+      (3L, Seq(0.97f, 0.03f), 2),
+      (4L, Seq(0.96f, 0.04f), 2),
+      (5L, Seq(0f, 1f), 7)) // orthogonal — outside the top-4
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(e, numQueries = 1, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 2L, 2L))) // tie 2-2 -> smaller label 2
+    // clear majority with k=3: labels 9,9,2 -> 9
+    val maj = Similarity.knnClassify(e, numQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(maj.toSeq === Seq((0L, 9L, 2L)))
+  }
 }

@@ -209,4 +209,38 @@ class TextOpsSpec extends SparkSpec {
     // the doc whose bigrams are all common scores above the rarer sequence
     assert(got(0)._3 > got(1)._3)
   }
+
+  test("piiScrub: planted email+phone detected and redacted; clean docs untouched") {
+    // doc 77: %7==0 -> email planted; also %11==0 -> phone planted
+    // doc 3: neither
+    val rows = TextOps.piiScrub(docsDF(Seq(77L -> "hello world", 3L -> "plain text")))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val by = rows.map(t => t._1 -> t).toMap
+    assert(by(77L)._2 === 1L && by(77L)._3 === 1L) // one email, one phone
+    assert(by(3L)._2 === 0L && by(3L)._3 === 0L)
+    // redaction really shrank/replaced: augmented text for 77 is
+    // "hello world contact u77@example.com now call 555-0077" ->
+    // "hello world contact [EMAIL] now call [PHONE]"
+    assert(by(77L)._4 === "hello world contact [EMAIL] now call [PHONE]".length.toLong)
+    assert(by(3L)._4 === "plain text".length.toLong)
+  }
+
+  test("urlDomains: planted URLs roll up per domain; docs without URLs drop out") {
+    // docs 5 and 28 get URLs (%5==0... 28 is not; pick 5, 10: domains site5, site10)
+    val got = TextOps.urlDomains(docsDF(Seq(
+        5L -> "a", 10L -> "b", 28L -> "no url here",
+        3L -> "https ://not.a.url")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("site10.example.org", 1L, 10L), ("site5.example.org", 1L, 5L)))
+  }
+
+  test("shingleNovelty: first doc owns shared shingles; later duplicate contributes none") {
+    val got = TextOps.shingleNovelty(docsDF(Seq(
+        1L -> "a b c d",     // shingles: "a b c", "b c d" — both novel
+        2L -> "a b c d",     // same shingles, first seen in doc 1 -> 0 novel
+        3L -> "x y z a b c", // "x y z", "y z a", "z a b" novel; "a b c" not
+        4L -> "t u")))       // < 3 tokens -> no row
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 2L, 0L), (3L, 4L, 3L)))
+  }
 }
