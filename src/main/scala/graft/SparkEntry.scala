@@ -157,6 +157,12 @@ object SparkEntry {
       put("odd", e.filter(col("src") % 2 === 1))
       cat.bfsPartitioned("even", start = 0L, maxDepth = 12)
     }),
+    "g24_closeness" -> ((s, dir) =>
+      // seed-sampled closeness profile: integer (n_reached, sum_dist) per
+      // seed, one Pregel BFS each over the shared edge relation; the ratio
+      // stays with the caller so the compare is integer-exact
+      Analytics.closenessProfile(DerivedGraphs.small(s, dir),
+        seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12)),
     "g23_partitioned_dfs" -> ((s, dir) => {
       // DFS through the same partitioned layout (closes the g16 gap: BFS was
       // the only traversal gated over the graph_name-partitioned table).
@@ -559,6 +565,20 @@ object SparkEntry {
       partials.groupBy("l_returnflag")
         .agg(sum("n").as("n"), sum("sq").cast("double").as("sum_qty"),
           min("mn").as("min_qty"), max("mx").as("max_qty"))
+        .orderBy("l_returnflag")
+    }),
+    "f9_zstd_roundtrip" -> ((s, dir) => {
+      // codec surface: the same round-trip discipline as f4, through
+      // zstd-compressed parquet (the 100 TB default codec choice — zstd
+      // trades ~10% CPU for ~30% smaller scans vs snappy); oracle reads
+      // the uncompressed source, so the codec must be lossless end-to-end
+      val out = zstdRoundtripPath(dir)
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").option("compression", "zstd").parquet(out)
+      s.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+          sum(dec12("l_quantity")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     }),
     "f4_orc_roundtrip" -> ((s, dir) => {
@@ -1109,6 +1129,17 @@ object SparkEntry {
     //      EventStreams + StreamingSpec for the MemoryStream equivalence) ----
     "st1_tumbling_hourly" -> ((s, dir) =>
       EventStreams.tumblingCounts(Tables.events(s, dir)).orderBy("window_start_us", "event_type")),
+    "st12_stream_sessions" -> ((s, dir) =>
+      // the stateful half of the real-streaming smoke family: st3's
+      // session_window aggregate under an ACTUAL StreamExecution
+      // (file-source micro-batches; session state merges across them),
+      // complete-mode memory sink, same DuckDB lag/flag/cumsum mirror
+      BoundedReplay.runFileStream(
+        Tables.events(s, dir),
+        name = "st12_sink",
+        transform = stream => EventStreams.sessionCounts(stream),
+        outputMode = "complete")
+        .orderBy("user_id", "session_start_us")),
     "st11_stream_smoke" -> ((s, dir) =>
       // st1's aggregation executed by an ACTUAL streaming query (verdict-#8
       // smoke row): file source -> StreamExecution micro-batches -> complete
@@ -1358,6 +1389,10 @@ object SparkEntry {
       // above; gate readout pairs est with exact on the top-20 tokens —
       // the t14/t15 mergeable-sketch family completed
       Sketches.countMinHeavyHitters(Tables.documents(s, dir))),
+    "t25_html_strip" -> ((s, dir) => // markup stripping (boilerplate
+      // removal before quality scoring); deterministically planted tags,
+      // per-row regexes, whitespace re-collapsed
+      TextOps.htmlStrip(Tables.documents(s, dir))),
     "t22_pii_scrub" -> ((s, dir) => // email/phone detection + redaction
       // (deterministically planted PII — the synthetic corpus has none);
       // per-row regex expressions only, codegen'd, shuffle-free
@@ -1444,6 +1479,10 @@ object SparkEntry {
     }),
     "m1_media_meta" -> ((s, dir) => MediaOps.mediaMeta(Tables.documents(s, dir))),
     "m2_frame_sample" -> ((s, dir) => MediaOps.frameSample(Tables.documents(s, dir))),
+    "m4_media_dedup" -> ((s, dir) => // binary-payload dedup by header
+      // fingerprint + size bucket — the pre-decode dup collapse; one
+      // shuffle on a 12-byte key over the BINARY column
+      MediaOps.mediaDedup(Tables.documents(s, dir))),
     "m3_decode_features" -> ((s, dir) => // the mapPartitions decode path
       // itself (batched-codec contract), reduced to integer-exact bucket
       // counts for the oracle
@@ -1500,6 +1539,8 @@ object SparkEntry {
          |       COALESCE(out_degree, 0) AS out_degree, COALESCE(in_degree, 0) AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
     "g7_pagerank" -> Analytics.pageRankSql(DerivedGraphs.smallSql, numIter = 10),
+    "g24_closeness" -> Analytics.closenessProfileSql(DerivedGraphs.smallSql,
+      seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12),
     "g17_common_neighbors" ->
       Analytics.commonNeighborsSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
     "g18_personalized_pagerank" ->
@@ -1713,6 +1754,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "f9_zstd_roundtrip" -> // source-table oracle: zstd must be lossless
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_orderkey)::BIGINT AS sum_key,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "m4_media_dedup" -> MediaOps.mediaDedupSql(),
+    "t25_html_strip" -> TextOps.htmlStripSql,
+    "st12_stream_sessions" -> EventStreams.sessionCountsSql(),
     "f4_orc_roundtrip" -> // source-table oracle: the ORC round-trip must
       // preserve exactly what parquet holds
       """SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_key,
@@ -2174,6 +2222,10 @@ object SparkEntry {
     * uses the source table — but the path keeps the same run-private,
     * sf-tagged discipline as the other exports).
     */
+  /** zstd parquet export for `f9_zstd_roundtrip` (same discipline). */
+  def zstdRoundtripPath(sfDir: String): String =
+    exportRoot + "/graft-zstd-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   def orcRoundtripPath(sfDir: String): String =
     exportRoot + "/graft-orc-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 

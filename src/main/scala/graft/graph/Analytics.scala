@@ -592,4 +592,47 @@ object Analytics {
        |SELECT p.a, p.b, p.n_common FROM p
        |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.a AND und.b = p.b)
        |ORDER BY a, b""".stripMargin
+
+  /** Sampled closeness-centrality profile: one hop-bounded BFS per seed,
+    * reporting the INTEGER pair `(n_reached, sum_dist)` per seed (seed
+    * itself excluded) — the closeness ratio `(n-1)/sum_dist` is the
+    * caller's one division away, kept out of the result so the oracle
+    * compare stays integer-exact. Seed-sampled closeness is the standard
+    * scale shape (exact closeness is all-pairs BFS); each seed costs one
+    * Pregel run over the shared, once-partitioned edge relation, and the
+    * union is seeds × vertex-sized rows rolled up immediately.
+    */
+  def closenessProfile(edges: DataFrame, seeds: Seq[Long],
+                       maxDepth: Int = 12): DataFrame = {
+    require(seeds.nonEmpty, "closeness needs at least one seed")
+    seeds.distinct.sorted
+      .map { s0 =>
+        Traversals.bfs(edges, s0, maxDepth)
+          .select(lit(s0).as("seed"), col("vertex"), col("level"))
+      }
+      .reduce(_ unionByName _)
+      .filter(col("vertex") =!= col("seed"))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("level")).cast("long").as("sum_dist"))
+      .orderBy("seed")
+  }
+
+  /** DuckDB mirror: one recursive walk carrying the seed, min level per
+    * (seed, vertex), integer rollup.
+    */
+  def closenessProfileSql(edgeSql: String, seeds: Seq[Long],
+                          maxDepth: Int = 12): String = {
+    val seedVals = seeds.distinct.sorted.map(s => s"($s)").mkString(", ")
+    s"""WITH RECURSIVE e AS ($edgeSql),
+       |walk(seed, vertex, level) AS (
+       |  SELECT CAST(s.s AS BIGINT) AS seed, CAST(s.s AS BIGINT) AS vertex, 0 AS level
+       |  FROM (VALUES $seedVals) s(s)
+       |  UNION
+       |  SELECT walk.seed, e.dst, walk.level + 1
+       |  FROM walk JOIN e ON e.src = walk.vertex WHERE walk.level < $maxDepth),
+       |m AS (SELECT seed, vertex, MIN(level) AS level FROM walk GROUP BY seed, vertex)
+       |SELECT seed, COUNT(*) AS n_reached, SUM(level)::BIGINT AS sum_dist
+       |FROM m WHERE vertex <> seed GROUP BY seed ORDER BY seed""".stripMargin
+  }
 }

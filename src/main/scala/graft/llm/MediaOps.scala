@@ -236,4 +236,28 @@ object MediaOps {
       |  CASE WHEN octet_length(text::BLOB) = 0 THEN NULL
       |       ELSE ('0x' || substr(hex(text::BLOB), 1, 8))::BIGINT END AS magic
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Binary-level media dedup (m4): group payloads by a HEADER fingerprint
+    * (hex of the first `headerBytes` bytes) plus a size bucket — the cheap
+    * first pass a media pipeline runs before any decode (exact-byte dup
+    * and truncation families collapse on it). Works entirely on the BINARY
+    * column: one scan computing an 8/12-byte key, one hash shuffle on the
+    * key, keeper = min media_id (the d1 discipline over blobs instead of
+    * strings).
+    */
+  def mediaDedup(docs: DataFrame, headerBytes: Int = 12): DataFrame =
+    syntheticMedia(docs).toDF()
+      .select(col("media_id"),
+        hex(expr(s"substring(content, 1, $headerBytes)")).as("header_fp"),
+        expr("length(content) div 64").cast("long").as("size_bucket"))
+      .groupBy("header_fp", "size_bucket")
+      .agg(count(lit(1)).as("n_items"), min("media_id").as("keeper"))
+      .orderBy("header_fp", "size_bucket")
+
+  def mediaDedupSql(headerBytes: Int = 12): String =
+    s"""SELECT substr(hex(text::BLOB), 1, ${2 * headerBytes}) AS header_fp,
+       |       (octet_length(text::BLOB) // 64)::BIGINT AS size_bucket,
+       |       COUNT(*) AS n_items, MIN(doc_id) AS keeper
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -773,6 +773,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ----- HTML/markup stripping (t25) -----------------------------------
+
+  val TagPattern = "<[^>]+>"
+
+  /** Markup stripping (the boilerplate-removal step every crawl pipeline
+    * runs before quality scoring): per-doc tag count and post-strip
+    * length, with whitespace re-collapsed. Tags are planted
+    * deterministically (docs ≡0 mod 3 get a <p>…</p><br/> wrap, ≡0 mod 13
+    * a <div class="x">…</div> wrap) — same bytes in the mirror; per-row
+    * regex expressions, shuffle-free.
+    */
+  def htmlStrip(docs: DataFrame): DataFrame = {
+    val aug = concat(
+      when(col("doc_id") % 13 === 0, lit("<div class=\"x\">")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, concat(lit("<p>"), col("text"), lit("</p><br/>")))
+        .otherwise(col("text")),
+      when(col("doc_id") % 13 === 0, lit("</div>")).otherwise(lit("")))
+    docs.select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(TagPattern)).cast("long").as("n_tags"),
+        length(regexp_replace(regexp_replace(col("aug"), TagPattern, " "),
+          "[ ]+", " ")).cast("long").as("clean_len"))
+      .orderBy("doc_id")
+  }
+
+  def htmlStripSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 13 = 0 THEN '<div class="x">' ELSE '' END
+       |         || CASE WHEN doc_id % 3 = 0 THEN '<p>' || text || '</p><br/>' ELSE text END
+       |         || CASE WHEN doc_id % 13 = 0 THEN '</div>' ELSE '' END AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(aug, '$TagPattern'))::BIGINT AS n_tags,
+       |       len(regexp_replace(regexp_replace(aug, '$TagPattern', ' ', 'g'),
+       |                          '[ ]+', ' ', 'g'))::BIGINT AS clean_len
+       |FROM aug ORDER BY doc_id""".stripMargin
+
   def shingleNoveltySql: String =
     s"""WITH ${shinglesSql(cte = "rawsh")},
        |sh AS (SELECT DISTINCT doc_id,

@@ -281,4 +281,22 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got === expected)
   }
+
+  test("closenessProfile matches the sequential BFS oracle per seed") {
+    // path 0->1->2->3 plus a branch 1->4; seed 9 isolated (no row beyond itself)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L))
+    val seeds = Seq(0L, 1L, 9L)
+    val expected = seeds.flatMap { s0 =>
+      val lv = SequentialOracles.bfs(edges, Seq(s0), maxDepth = 12) - s0
+      if (lv.isEmpty) None
+      else Some((s0, lv.size.toLong, lv.values.map(_.toLong).sum))
+    }.toSet
+    // seed 9 is absent from the edge set -> bfs from it must not blow up;
+    // it reaches nothing, so it contributes no row
+    val got = Analytics.closenessProfile(edgesDF(edges), seeds, maxDepth = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // sanity on the known shape: from 0 -> reaches {1,2,3,4} at depths 1,2,3,2
+    assert(got.contains((0L, 4L, 8L)))
+  }
 }

@@ -84,4 +84,25 @@ class MediaOpsSpec extends SparkSpec {
     val r = MediaOps.decodeFeatures(ok).collect().head
     assert((3 until 11).map(r.getLong).sum === (1L << 23) - 1)
   }
+
+  test("mediaDedup groups identical headers+size, keeper is min id") {
+    // docs 1 and 3 share the first 12 bytes AND the size bucket; doc 2
+    // differs in byte 1; doc 4 shares header with 1/3 but is much longer
+    val base = "HEADERBYTES!" // exactly 12 chars
+    val rows = Seq(
+      1L -> (base + "tail-a"),
+      3L -> (base + "tail-b"),
+      2L -> ("XEADERBYTES!" + "tail-a"),
+      4L -> (base + ("y" * 200)))
+    val got = MediaOps.mediaDedup(docsDF(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fp = got.map(_._1).distinct
+    assert(fp.length === 2) // two distinct headers
+    // the shared-header short docs collapse to one group with keeper 1
+    assert(got.exists { case (_, bucket, n, keeper) => bucket === 0L && n === 2L && keeper === 1L })
+    // the long doc lands in its own size bucket despite the same header
+    assert(got.exists { case (_, bucket, n, keeper) => bucket === (212 / 64).toLong && n === 1L && keeper === 4L })
+    // the different-header doc is its own group
+    assert(got.exists { case (_, _, n, keeper) => n === 1L && keeper === 2L })
+  }
 }

@@ -234,6 +234,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("site10.example.org", 1L, 10L), ("site5.example.org", 1L, 5L)))
   }
 
+  test("htmlStrip: planted tags counted and stripped; whitespace collapsed") {
+    // doc 39: %3==0 and %13==0 -> <div class="x"><p>hello world</p><br/></div>
+    // doc 1: untouched
+    val got = TextOps.htmlStrip(docsDF(Seq(39L -> "hello world", 1L -> "plain")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(39L)._1 === 5L) // div, p, /p, br, /div
+    // tags -> single spaces, runs collapsed: " hello world " = 13 chars
+    assert(got(39L)._2 === 13L)
+    assert(got(1L) === ((0L, 5L)))
+  }
+
   test("shingleNovelty: first doc owns shared shingles; later duplicate contributes none") {
     val got = TextOps.shingleNovelty(docsDF(Seq(
         1L -> "a b c d",     // shingles: "a b c", "b c d" — both novel
