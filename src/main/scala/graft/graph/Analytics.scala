@@ -598,19 +598,15 @@ object Analytics {
     * itself excluded) — the closeness ratio `(n-1)/sum_dist` is the
     * caller's one division away, kept out of the result so the oracle
     * compare stays integer-exact. Seed-sampled closeness is the standard
-    * scale shape (exact closeness is all-pairs BFS); each seed costs one
-    * Pregel run over the shared, once-partitioned edge relation, and the
-    * union is seeds × vertex-sized rows rolled up immediately.
+    * scale shape (exact closeness is all-pairs BFS); the WHOLE seed set
+    * costs one [[Traversals.landmarkBfs]] Pregel run — vertex state is a
+    * seed→level map, the edge relation is traversed once — and the
+    * per-seed rollup is seeds × vertex-sized rows aggregated immediately.
     */
   def closenessProfile(edges: DataFrame, seeds: Seq[Long],
                        maxDepth: Int = 12): DataFrame = {
     require(seeds.nonEmpty, "closeness needs at least one seed")
-    seeds.distinct.sorted
-      .map { s0 =>
-        Traversals.bfs(edges, s0, maxDepth)
-          .select(lit(s0).as("seed"), col("vertex"), col("level"))
-      }
-      .reduce(_ unionByName _)
+    Traversals.landmarkBfs(edges, seeds, maxDepth)
       .filter(col("vertex") =!= col("seed"))
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"),

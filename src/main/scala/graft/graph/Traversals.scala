@@ -94,6 +94,61 @@ object Traversals {
     out
   }
 
+  /** Per-seed BFS levels for ALL seeds in ONE Pregel run (the GraphX
+    * `ShortestPaths` landmark pattern, hop-bounded): vertex state is a
+    * seed→level map, messages carry only IMPROVED entries, so a vertex's
+    * state is at most |seeds| ints and the edge relation is traversed
+    * once for the whole seed set — |seeds|× cheaper than one [[bfs]] per
+    * seed, which is the difference that matters when closeness samples
+    * dozens of landmarks over a 100 TB edge set. Output
+    * `(seed, vertex, level)`, levels ≤ `maxDepth`, seeds report
+    * themselves at level 0 (even isolated ones, matching [[bfs]]).
+    */
+  def landmarkBfs(edges: DataFrame, seeds: Seq[Long],
+                  maxDepth: Int = Int.MaxValue): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(seeds.nonEmpty, "landmark BFS requires at least one seed")
+    val seedSet = seeds.distinct.toSet
+    type SPMap = Map[Long, Int]
+    def merge(a: SPMap, b: SPMap): SPMap =
+      (a.keySet ++ b.keySet).iterator.map(k =>
+        k -> math.min(a.getOrElse(k, Int.MaxValue), b.getOrElse(k, Int.MaxValue))).toMap
+    if (maxDepth <= 0) {
+      return seedSet.toSeq.sorted.map(v => (v, v, 0)).toDF("seed", "vertex", "level")
+        .select($"seed", $"vertex", $"level".cast("int").as("level"))
+    }
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val seedRdd = spark.sparkContext.parallelize(seedSet.toSeq.map(v => (v, ())))
+    val g = XGraph(seedRdd, edgeRdd, (),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) =>
+        if (seedSet(id)) Map(id -> 0) else Map.empty[Long, Int])
+    val res = Pregel(g, initialMsg = Map.empty[Long, Int],
+      maxIterations = maxDepth, activeDirection = EdgeDirection.Out)(
+      vprog = (_, attr, msg) => merge(attr, msg),
+      sendMsg = t => {
+        val improved = t.srcAttr.iterator
+          .map { case (s, d) => s -> (d + 1) }
+          .filter { case (s, d) => d < t.dstAttr.getOrElse(s, Int.MaxValue) }
+          .toMap
+        if (improved.nonEmpty) Iterator((t.dstId, improved)) else Iterator.empty
+      },
+      mergeMsg = merge)
+    val out = res.vertices
+      .flatMap { case (v, m) => m.iterator.map { case (s, d) => (s, v, d) } }
+      .toDF("seed", "vertex", "level")
+      .select($"seed", $"vertex", $"level".cast("int").as("level"))
+      .localCheckpoint(true)
+    res.unpersistVertices(blocking = false)
+    res.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    out
+  }
+
   /** Hop-bounded weighted single-source shortest paths (BSP Bellman-Ford):
     * `(vertex BIGINT, cost BIGINT)` = minimum total edge weight over paths
     * of at most `maxHops` edges from `start`, including `(start, 0)`.

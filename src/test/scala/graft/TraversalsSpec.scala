@@ -168,4 +168,21 @@ class TraversalsSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException](
       Traversals.weightedSssp(bad, 0L, 2).collect())
   }
+
+  test("landmarkBfs == one bfs per seed, in one traversal") {
+    // branching + a cycle + an unreachable island (7 -> 8)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 3L), (3L, 4L), (7L, 8L))
+    val seeds = Seq(0L, 3L, 7L, 42L) // 42 absent from the graph
+    val got = Traversals.landmarkBfs(edgesDF(edges), seeds, maxDepth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = seeds.flatMap { s0 =>
+      Traversals.bfs(edgesDF(edges), s0, maxDepth = 10).collect()
+        .map(r => (s0, r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(got === expected)
+    // hop bound binds identically
+    val bounded = Traversals.landmarkBfs(edgesDF(edges), Seq(0L), maxDepth = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(bounded === Set((0L, 0), (1L, 1)))
+  }
 }
