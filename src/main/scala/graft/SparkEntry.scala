@@ -157,6 +157,10 @@ object SparkEntry {
       put("odd", e.filter(col("src") % 2 === 1))
       cat.bfsPartitioned("even", start = 0L, maxDepth = 12)
     }),
+    "g25_clustering_coeff" -> ((s, dir) =>
+      // local clustering coefficient in integer millionths (pure integer
+      // division over triangle and degree counts — no float anywhere)
+      Analytics.clusteringCoefficient(DerivedGraphs.small(s, dir))),
     "g24_closeness" -> ((s, dir) =>
       // seed-sampled closeness profile: integer (n_reached, sum_dist) per
       // seed, one Pregel BFS each over the shared edge relation; the ratio
@@ -291,6 +295,22 @@ object SparkEntry {
           col("t.score").as("n_events"), col("t.id").as("user_id"))
         .orderBy("event_type", "rank")
     }),
+    "q30_percentile_disc" -> ((s, dir) =>
+      // the DISCrete percentile family (q12 is the interpolated CONT one):
+      // percentile_disc returns an EXISTING value (first whose cumulative
+      // share >= p, the ANSI definition both engines implement), so the
+      // result is exact with no interpolation arithmetic at all
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+            .cast("double").as("p25_disc"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+            .cast("double").as("p50_disc"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)")
+            .cast("double").as("p75_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
     "q12_percentiles" -> ((s, dir) => { // exact interpolated percentiles —
       // sort-based agg; values are small integers so the (n-1)p linear
       // interpolation is dyadic-exact in both engines
@@ -468,6 +488,32 @@ object SparkEntry {
         .groupBy("change")
         .agg(count(lit(1)).as("n_keys"), sum("o_orderkey").as("sum_keys"))
         .orderBy("change")
+    }),
+    "p4_incremental_refresh" -> ((s, dir) => {
+      // CDC-driven incremental refresh composed end-to-end (the
+      // maintenance loop a 100 TB corpus actually runs): old snapshot
+      // hive-partitioned on disk → SnapshotDiff.changeSet recovers the
+      // minimal applyable delta → mergeCow applies it rewriting ONLY the
+      // touched partitions → the refreshed table must EQUAL the new
+      // snapshot, so the oracle aggregates vNew directly (round-trip
+      // identity, not a mirrored pipeline)
+      val out = incrRefreshPath(dir)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        dec12("o_totalprice").as("price"),
+        year(col("o_orderdate")).as("o_year"))
+      val vOld = o.filter(col("o_orderkey") % 5 =!= 0)
+      val vNew = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + 1).otherwise(col("price"))
+            .cast("decimal(12,2)"))
+      Partitioning.writeHivePartitioned(vOld, out, "o_year")
+      val delta = SnapshotDiff.changeSet(vOld, vNew, keys = Seq("o_orderkey"))
+      MergeInto.mergeCow(s, out, delta, keys = Seq("o_orderkey"),
+        partCol = "o_year", deleteCol = Some("is_delete"))
+      s.read.parquet(out)
+        .groupBy(col("o_year").cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n"), sum("price").cast("double").as("sum_price"))
+        .orderBy("o_year")
     }),
     "p3_validation_report" -> ((s, dir) => {
       // Deequ-style admission gate: four row rules fused into ONE scan
@@ -1389,6 +1435,10 @@ object SparkEntry {
       // above; gate readout pairs est with exact on the top-20 tokens —
       // the t14/t15 mergeable-sketch family completed
       Sketches.countMinHeavyHitters(Tables.documents(s, dir))),
+    "t26_adaptive_stopwords" -> ((s, dir) => // df-driven stopword
+      // discovery (corpus-adaptive noise list; the fixed-list t1/t3
+      // signals can't see domain noise); vocabulary-sized result
+      TextOps.adaptiveStopwords(Tables.documents(s, dir))),
     "t25_html_strip" -> ((s, dir) => // markup stripping (boilerplate
       // removal before quality scoring); deterministically planted tags,
       // per-row regexes, whitespace re-collapsed
@@ -1541,6 +1591,8 @@ object SparkEntry {
     "g7_pagerank" -> Analytics.pageRankSql(DerivedGraphs.smallSql, numIter = 10),
     "g24_closeness" -> Analytics.closenessProfileSql(DerivedGraphs.smallSql,
       seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12),
+    "g25_clustering_coeff" ->
+      Analytics.clusteringCoefficientSql(DerivedGraphs.smallSql),
     "g17_common_neighbors" ->
       Analytics.commonNeighborsSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
     "g18_personalized_pagerank" ->
@@ -1680,6 +1732,18 @@ object SparkEntry {
         |      FROM v_old v FULL OUTER JOIN v_new n ON v.o_orderkey = n.o_orderkey)
         |SELECT change, COUNT(*) AS n_keys, SUM(k)::BIGINT AS sum_keys
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p4_incremental_refresh" -> // round-trip identity: refreshed table ==
+      // the new snapshot, so the oracle IS vNew's rollup
+      """WITH v_new AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1 AS DECIMAL(12,2))
+        |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price,
+        |         EXTRACT(year FROM o_orderdate) AS o_year
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT CAST(o_year AS BIGINT) AS o_year, COUNT(*) AS n,
+        |       CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM v_new GROUP BY o_year ORDER BY o_year""".stripMargin,
     "p3_validation_report" ->
       """WITH rowagg AS (SELECT
         |  SUM(CASE WHEN NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, FALSE) THEN 1 ELSE 0 END) AS r1,
@@ -1760,6 +1824,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "m4_media_dedup" -> MediaOps.mediaDedupSql(),
     "t25_html_strip" -> TextOps.htmlStripSql,
+    "t26_adaptive_stopwords" -> TextOps.adaptiveStopwordsSql(),
     "st12_stream_sessions" -> EventStreams.sessionCountsSql(),
     "f4_orc_roundtrip" -> // source-table oracle: the ORC round-trip must
       // preserve exactly what parquet holds
@@ -1817,6 +1882,13 @@ object SparkEntry {
         |      FROM c)
         |SELECT event_type, rank::BIGINT AS rank, n AS n_events, user_id
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "q30_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS p25_disc,
+        |  CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS p50_disc,
+        |  CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) AS p75_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q12_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,
@@ -2237,6 +2309,11 @@ object SparkEntry {
     * source table at the start of every run, so re-runs are idempotent). */
   def cowMergePath(sfDir: String): String =
     exportRoot + "/graft-cow-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Incremental-refresh target for `p4_incremental_refresh` (same
+    * rewrite-at-start discipline). */
+  def incrRefreshPath(sfDir: String): String =
+    exportRoot + "/graft-incr-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Two-batch export for `f6_schema_evolution` (same discipline). */
   def schemaEvolutionPath(sfDir: String): String =

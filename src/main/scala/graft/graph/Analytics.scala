@@ -411,6 +411,53 @@ object Analytics {
       .orderBy("vertex")
   }
 
+  /** Per-vertex local clustering profile over the simple undirected graph:
+    * `(vertex, deg, n_tri, coeff_1e6)` for vertices with `deg ≥ 2`, where
+    * `coeff_1e6 = (2·n_tri·10^6) div (deg·(deg−1))` — the local clustering
+    * coefficient in integer millionths via PURE integer division (tri and
+    * deg are counts), so the compare is exact on both engines. Composes
+    * [[triangleCounts]] (degree-oriented enumeration — its Σ deg² bound is
+    * the cost) with the same undirected degree relation; the final join is
+    * vertex-sized on both sides.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(edges), col("v") === col("vertex"), "left")
+      .select(col("v").as("vertex"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("n_tri"),
+        expr("(2 * coalesce(triangles, 0) * 1000000) div (deg * (deg - 1))")
+          .as("coeff_1e6"))
+      .orderBy("vertex")
+  }
+
+  /** DuckDB mirror — g5's triangle derivation + the undirected degrees,
+    * same integer-millionths division.
+    */
+  def clusteringCoefficientSql(edgeSql: String): String =
+    s"""WITH e AS ($edgeSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+       |  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.b AND e3.b = e2.b)),
+       |tc AS (SELECT vertex, COUNT(*) AS triangles FROM (
+       |         SELECT x AS vertex FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |       GROUP BY vertex),
+       |deg AS (SELECT vertex, COUNT(*) AS deg FROM (
+       |          SELECT a AS vertex FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY vertex)
+       |SELECT d.vertex, d.deg, COALESCE(tc.triangles, 0) AS n_tri,
+       |       (2 * COALESCE(tc.triangles, 0) * 1000000) // (d.deg * (d.deg - 1)) AS coeff_1e6
+       |FROM deg d LEFT JOIN tc ON tc.vertex = d.vertex
+       |WHERE d.deg >= 2 ORDER BY d.vertex""".stripMargin
+
   /** Common-neighbor link prediction over the simple undirected graph:
     * non-adjacent pairs sharing ≥ `minCommon` neighbors, with the count —
     * the classic "people you may know" / missing-edge score (the base

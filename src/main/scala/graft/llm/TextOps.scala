@@ -773,6 +773,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ----- corpus-adaptive stopwords (t26) --------------------------------
+
+  /** Corpus-adaptive stopword discovery: tokens present in ≥
+    * `minDfPermille`/1000 of documents (document frequency, not raw
+    * count). The fixed English list ([[stopwords]]) misses domain noise
+    * ("the" of a code corpus is `return`); df-driven discovery finds it.
+    * Integer permille division keeps the threshold exact on both engines.
+    * Shape: one doc-distinct explode + one token-key shuffle; the result
+    * is vocabulary-sized (broadcastable back over the corpus as a filter).
+    */
+  def adaptiveStopwords(docs: DataFrame, minDfPermille: Int = 600): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .withColumn("df_permille", expr("df * 1000 div n_docs"))
+      .filter(col("df_permille") >= minDfPermille)
+      .select("token", "df", "df_permille")
+      .orderBy("token")
+
+  def adaptiveStopwordsSql(minDfPermille: Int = 600): String =
+    s"""WITH d AS (SELECT DISTINCT doc_id, token FROM (
+       |       SELECT doc_id,
+       |              unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |       FROM documents)),
+       |f AS (SELECT token, COUNT(*) AS df FROM d GROUP BY token),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT token, df, df * 1000 // n_docs AS df_permille
+       |FROM f CROSS JOIN n
+       |WHERE df * 1000 // n_docs >= $minDfPermille ORDER BY token""".stripMargin
+
   // ----- HTML/markup stripping (t25) -----------------------------------
 
   val TagPattern = "<[^>]+>"

@@ -51,4 +51,34 @@ object SnapshotDiff {
             .when(same, lit("unchanged"))
             .otherwise(lit("update")).as("change"): _*)
   }
+
+  /** The APPLYABLE half of CDC: the minimal change-set that, merged into
+    * the old snapshot ([[MergeInto.merge]] / [[MergeInto.mergeCow]] with
+    * `deleteCol = Some("is_delete")`), reproduces the new snapshot
+    * exactly. Inserts and updates carry the NEW data values
+    * (`is_delete = false`), deletes carry the old values with
+    * `is_delete = true`, unchanged keys are omitted — so downstream work
+    * (and a partition-pruned merge's rewrite) is proportional to what
+    * actually changed. Same single full-outer join as [[diff]].
+    */
+  def changeSet(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changeSet needs at least one key column")
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"snapshot schemas differ: ${oldDf.columns.sorted.mkString(",")} vs " +
+        newDf.columns.sorted.mkString(","))
+    val dataCols = oldDf.columns.filterNot(keys.contains)
+    val o = oldDf.as("o")
+    val n = newDf.as("n")
+    val cond = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val inOld = keys.map(k => col(s"o.$k").isNotNull).reduce(_ && _)
+    val inNew = keys.map(k => col(s"n.$k").isNotNull).reduce(_ && _)
+    val same = dataCols.map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, cond, "full_outer")
+      .filter(!(inOld && inNew && same)) // drop unchanged
+      .select(
+        keys.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
+          dataCols.map(c => when(inNew, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)) :+
+          (!inNew).as("is_delete"): _*)
+  }
 }

@@ -282,6 +282,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("clusteringCoefficient: hand-computed triangle/degree profile") {
+    // K3 on {0,1,2} plus a pendant 2-3: coeff(0)=coeff(1)=1,
+    // coeff(2)=2*1e6/(3*2)=333333, 3 has deg 1 (excluded)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L))
+    val got = Analytics.clusteringCoefficient(edgesDF(edges)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (0L, 2L, 1L, 1000000L),
+      (1L, 2L, 1L, 1000000L),
+      (2L, 3L, 1L, 333333L)))
+  }
+
   test("closenessProfile matches the sequential BFS oracle per seed") {
     // path 0->1->2->3 plus a branch 1->4; seed 9 isolated (no row beyond itself)
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L))

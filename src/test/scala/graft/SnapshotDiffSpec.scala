@@ -51,4 +51,27 @@ class SnapshotDiffSpec extends SparkSpec {
     val neu = Seq((1L, "a", 2L)).toDF("k", "v", "extra")
     assertThrows[IllegalArgumentException](SnapshotDiff.diff(old, neu, Seq("k")))
   }
+
+  test("changeSet: merge(old, changeSet(old, new)) == new (round-trip identity)") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "v", "x")
+    val neu = Seq((1L, "a", 10.0),                       // unchanged
+        (2L, "B", 20.0),                                  // update
+        (4L, "d", 41.0),                                  // update (double col)
+        (5L, "e", 50.0))                                  // insert; 3 deleted
+      .toDF("k", "v", "x")
+    val delta = SnapshotDiff.changeSet(old, neu, Seq("k"))
+    // minimal: unchanged key 1 is absent
+    val deltaKeys = delta.select("k", "is_delete").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(deltaKeys === Map(2L -> false, 3L -> true, 4L -> false, 5L -> false))
+    // applying it to old reproduces new exactly
+    val merged = graft.operators.MergeInto.merge(old, delta, Seq("k"),
+        deleteCol = Some("is_delete"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expected = neu.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(merged === expected)
+  }
 }
