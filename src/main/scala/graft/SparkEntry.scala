@@ -1291,6 +1291,12 @@ object SparkEntry {
       Dedup.streamingExactDedup(Tables.documents(s, dir))
         .select(md5(col("text")).as("h"), length(col("text")).cast("long").as("len"))
         .orderBy("h")),
+    "d14_fuzzy_decontaminate" -> ((s, dir) =>
+      // near-dup (MinHash-banded) train-vs-eval contamination: catches the
+      // paraphrased leakage t18's exact shingle overlap misses; candidates
+      // come from TRAIN buckets joined against the benchmark-sized EVAL
+      // buckets only — never train×train
+      Dedup.fuzzyDecontaminate(Tables.documents(s, dir))),
     "d13_watermark_dedup" -> ((s, dir) =>
       // streamingDedupWithinWatermark bound to the gate through a REAL
       // StreamExecution (dropDuplicatesWithinWatermark has no batch mode):
@@ -2127,6 +2133,7 @@ object SparkEntry {
     "d13_watermark_dedup" ->
       """SELECT DISTINCT md5(text) AS h, len(text)::BIGINT AS len
         |FROM documents ORDER BY h""".stripMargin,
+    "d14_fuzzy_decontaminate" -> Dedup.fuzzyDecontaminateSql(),
     "st7_bounded_counts" -> EventStreams.runningUserCountsSql(),
     "st9_closed_sessions" -> EventStreams.sessionizeStatefulSql(),
     "st10_tws_counts" -> EventStreams.runningUserCountsSql(),

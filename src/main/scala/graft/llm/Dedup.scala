@@ -299,8 +299,13 @@ object Dedup {
        |FROM pairs p JOIN pre a ON a.doc_id = p.doc_a JOIN pre b ON b.doc_id = p.doc_b
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
-  def minHashLshPairs(docs: DataFrame, thresholdMille: Int = 500,
-                      numHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+  /** Banded MinHash signatures over the word-3-gram shingle universe,
+    * shared by [[minHashLshPairs]] (self-join dedup) and
+    * [[fuzzyDecontaminate]] (train×eval cross join): returns the shingle
+    * relation and the per-(doc, band) bucket keys.
+    */
+  private def minHashBands(docs: DataFrame, numHashes: Int,
+                           rowsPerBand: Int): (DataFrame, DataFrame) = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     require(rowsPerBand == 2, "banding below assumes r=2 (two sig entries per band)")
     val P = Hashing.MinHashP
@@ -323,6 +328,12 @@ object Dedup {
       .select(col("doc_id"), col("band"),
         element_at(col("sig"), col("band") * 2 + 1).as("h0"),
         element_at(col("sig"), col("band") * 2 + 2).as("h1"))
+    (sh, bands)
+  }
+
+  def minHashLshPairs(docs: DataFrame, thresholdMille: Int = 500,
+                      numHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val (sh, bands) = minHashBands(docs, numHashes, rowsPerBand)
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h0") === col("y.h0") &&
@@ -378,6 +389,75 @@ object Dedup {
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE inter * 1000 >= $thresholdMille * (sa.sz + sb.sz - inter)
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** FUZZY benchmark decontamination (the near-dup sibling of
+    * `TextOps.decontaminate`'s shingle-overlap form): train docs whose
+    * Jaccard similarity to ANY eval doc reaches the threshold, found by
+    * joining the TRAIN side's banded MinHash buckets against the EVAL
+    * side's only — never train×train. At 100 TB the eval slice is
+    * benchmark-sized, so its bucket relation is tiny and the candidate
+    * join is train-pass-shaped; the paraphrased/lightly-edited leakage
+    * exact n-gram overlap misses is exactly what this catches.
+    * `(train_doc, eval_doc, jaccard_1000)`; eval membership = doc_id ≡ 0
+    * mod `evalMod` (deterministic, like t18).
+    */
+  def fuzzyDecontaminate(docs: DataFrame, evalMod: Int = 29,
+                         thresholdMille: Int = 500, numHashes: Int = 64,
+                         rowsPerBand: Int = 2): DataFrame = {
+    val (sh, bands) = minHashBands(docs, numHashes, rowsPerBand)
+    val train = bands.filter(col("doc_id") % evalMod =!= 0)
+    val eval = bands.filter(col("doc_id") % evalMod === 0)
+    val candidates = train.as("x")
+      .join(eval.as("y"),
+        col("x.band") === col("y.band") && col("x.h0") === col("y.h0") &&
+          col("x.h1") === col("y.h1"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyCandidatesBySignature(
+      sh.select(col("doc_id"), Hashing.hash60(col("shingle")).as("shingle")),
+      candidates, thresholdMille)
+      .select(col("doc_a").as("train_doc"), col("doc_b").as("eval_doc"),
+        col("jaccard_1000"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  /** DuckDB mirror of [[fuzzyDecontaminate]] — the full seeded pipeline
+    * with the train×eval candidate join.
+    */
+  def fuzzyDecontaminateSql(evalMod: Int = 29, thresholdMille: Int = 500,
+                            numHashes: Int = 64, rowsPerBand: Int = 2): String = {
+    require(rowsPerBand == 2, "banding below assumes r=2, like the operator")
+    val P = Hashing.MinHashP
+    val params = Hashing.minHashParams(numHashes)
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $P) AS m$i"
+    }.mkString(",\n|               ")
+    val bandStructs = (0 until numHashes / rowsPerBand).map(j =>
+      s"{'band': $j, 'h0': m${2 * j}, 'h1': m${2 * j + 1}}").mkString(", ")
+    s"""WITH ${TextOps.shinglesSql()},
+       |hx AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % $P AS x FROM sh),
+       |sigs AS (SELECT doc_id,
+       |               $minCols
+       |        FROM hx GROUP BY doc_id),
+       |bands AS (SELECT doc_id, u['band'] AS band, u['h0'] AS h0, u['h1'] AS h1
+       |          FROM sigs, UNNEST([$bandStructs]) AS t(u)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.h0 = y.h0 AND x.h1 = y.h1
+       |         WHERE x.doc_id % $evalMod <> 0 AND y.doc_id % $evalMod = 0),
+       |hsh AS (SELECT DISTINCT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hsh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |          FROM cand c
+       |          JOIN hsh a ON a.doc_id = c.doc_a
+       |          JOIN hsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |          GROUP BY 1, 2)
+       |SELECT doc_a AS train_doc, doc_b AS eval_doc,
+       |       inter * 1000 // (sa.sz + sb.sz - inter) AS jaccard_1000
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE inter * 1000 >= $thresholdMille * (sa.sz + sb.sz - inter)
+       |ORDER BY train_doc, eval_doc""".stripMargin
   }
 
   /** Near-dup RESOLUTION: the pair detectors say which docs match; this says

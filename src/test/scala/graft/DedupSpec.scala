@@ -134,4 +134,23 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, h.toLong)).toSet
     assert(got.toSet === expected)
   }
+
+  test("fuzzyDecontaminate: only train-vs-eval pairs; near-identical leakage caught") {
+    // eval doc = id % 29 == 0. Doc 29 is eval; doc 1 is a light paraphrase
+    // of it (one word changed), doc 2 identical to doc 1 (train-train pair
+    // must NOT appear), doc 3 unrelated.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = docsDF(Seq(
+      29L -> base,
+      1L -> base.replace("kappa", "lambda"),
+      2L -> base.replace("kappa", "lambda"),
+      3L -> "one two three four five six seven eight nine ten"))
+    val got = Dedup.fuzzyDecontaminate(docs, evalMod = 29, thresholdMille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 29L), (2L, 29L)))
+    // exact-dup train pair (1, 2) correctly absent: this operator reports
+    // CONTAMINATION, not dedup — and the identical eval doc itself never
+    // shows up on the train side
+    assert(!got.exists { case (t, e) => e % 29 != 0 || t % 29 == 0 })
+  }
 }
