@@ -436,6 +436,27 @@ object SparkEntry {
           sum(dec12("l_quantity")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "q32_asof_version" -> ((s, dir) => {
+      // point-in-time read over a versioned history (SCD-2 / table-format
+      // AS OF): keys ≡0 mod 3 carry a v2 price bump; the same history read
+      // AS OF 1 and AS OF 2 must show the un-bumped and bumped states
+      // respectively — both rollups gated in one tagged result
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority"), dec12("o_totalprice").as("price"))
+      val hist = o.withColumn("version", lit(1L))
+        .unionByName(o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("price", (col("price") + 10).cast("decimal(12,2)"))
+          .withColumn("version", lit(2L)))
+      def rollup(v: Long) =
+        SnapshotDiff.asOfVersion(hist, keys = Seq("o_orderkey"),
+            versionCol = "version", v = v)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("price").cast("double").as("sum_price"))
+          .withColumn("asof", lit(v))
+      rollup(1L).unionByName(rollup(2L))
+        .select("asof", "o_orderpriority", "n", "sum_price")
+        .orderBy("asof", "o_orderpriority")
+    }),
     "q29_cow_merge" -> ((s, dir) => {
       // copy-on-write MERGE gate (round-7 verdict #2): write a fresh
       // hive-partitioned target (f5's layout), apply a deterministic
@@ -612,6 +633,24 @@ object SparkEntry {
         .agg(sum("n").as("n"), sum("sq").cast("double").as("sum_qty"),
           min("mn").as("min_qty"), max("mx").as("max_qty"))
         .orderBy("l_returnflag")
+    }),
+    "f10_manifest_scan" -> ((s, dir) => {
+      // external min/max stats manifest (the Iceberg/Delta data-skipping
+      // shape): write range-sorted files + a per-file stats table, read a
+      // key range back through the manifest so non-intersecting files are
+      // never even LISTED as inputs (file-count pruning is spec-asserted;
+      // the residual filter covers boundary files); oracle = the same
+      // range aggregate straight from the source table
+      val out = manifestScanPath(dir)
+      Partitioning.writeWithManifest(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"),
+          dec12("o_totalprice").as("price")),
+        out, statsCol = "o_orderkey", numFiles = 16)
+      Partitioning.readManifestPruned(s, out, "o_orderkey",
+          lo = 1000L, hi = 9000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
     }),
     "f9_zstd_roundtrip" -> ((s, dir) => {
       // codec surface: the same round-trip discipline as f4, through
@@ -969,6 +1008,40 @@ object SparkEntry {
           when(col("ts_us") - col("view_ts_us") <= 7200000000L, col("view_id"))
             .as("view_id"))
         .orderBy("purchase_id")
+    }),
+    "e22_attribution" -> ((s, dir) => {
+      // position-based multi-touch attribution (the marketing 40/20/40
+      // rule): each purchase's credit splits over its qualifying prior
+      // views (same user, ≤24h before): 1 view → 1000‰; 2 → 500/500;
+      // n≥3 → last 400, middles 200 div (n−2) each, first 400 + the
+      // division remainder — ALL integer permille, summing to exactly
+      // 1000 per purchase on both engines (no float weights). Shape: one
+      // user-key join, one per-purchase window — the window groups are
+      // per-purchase qualifying views, bounded by the 24h horizon.
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("v_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("p_us"))
+      val touches = purchases.join(views, Seq("user_id"))
+        .filter(col("v_us") <= col("p_us") &&
+          col("p_us") - col("v_us") <= 86400000000L)
+      val w = Window.partitionBy("purchase_id").orderBy(col("v_us"), col("view_id"))
+      val wn = Window.partitionBy("purchase_id")
+      touches
+        .withColumn("pos", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("credit_permille",
+          when(col("n") === 1, lit(1000L))
+            .when(col("n") === 2, lit(500L))
+            .when(col("pos") === 1,
+              lit(400L) + lit(200L) - expr("200 div (n - 2)") * (col("n") - 2))
+            .when(col("pos") === col("n"), lit(400L))
+            .otherwise(expr("200 div (n - 2)")))
+        .select(col("purchase_id"), col("view_id"),
+          col("pos").cast("long").as("pos"),
+          col("credit_permille").cast("long").as("credit_permille"))
+        .orderBy("purchase_id", "pos")
     }),
     "e20_value_deciles" -> ((s, dir) => {
       // per-type decile profile of the value distribution (feature
@@ -1824,6 +1897,46 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "f10_manifest_scan" -> // range aggregate straight from the source
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 9000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q32_asof_version" -> // ranked history read at both versions
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |                  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |hist AS (
+        |  SELECT o_orderkey, o_orderpriority, price, 1 AS version FROM o
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(price + 10 AS DECIMAL(12,2)), 2 FROM o WHERE o_orderkey % 3 = 0),
+        |ranked AS (
+        |  SELECT a.av, h.o_orderpriority, h.price,
+        |         row_number() OVER (PARTITION BY a.av, h.o_orderkey
+        |                            ORDER BY h.version DESC) AS rn
+        |  FROM (VALUES (1), (2)) a(av) JOIN hist h ON h.version <= a.av)
+        |SELECT CAST(av AS BIGINT) AS "asof", o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM ranked WHERE rn = 1
+        |GROUP BY av, o_orderpriority ORDER BY av, o_orderpriority""".stripMargin,
+    "e22_attribution" -> // same join + windows + integer credit split
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT p.purchase_id, v.view_id, v.v_us
+        |      FROM p JOIN v ON v.user_id = p.user_id
+        |       AND v.v_us <= p.p_us AND p.p_us - v.v_us <= 86400000000),
+        |r AS (SELECT purchase_id, view_id,
+        |             row_number() OVER (PARTITION BY purchase_id ORDER BY v_us, view_id) AS pos,
+        |             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+        |      FROM t)
+        |SELECT purchase_id, view_id, pos::BIGINT AS pos,
+        |       (CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
+        |             WHEN pos = 1 THEN 400 + 200 - (200 // (n - 2)) * (n - 2)
+        |             WHEN pos = n THEN 400
+        |             ELSE 200 // (n - 2) END)::BIGINT AS credit_permille
+        |FROM r ORDER BY purchase_id, pos""".stripMargin,
     "f9_zstd_roundtrip" -> // source-table oracle: zstd must be lossless
       """SELECT l_returnflag, COUNT(*) AS n, SUM(l_orderkey)::BIGINT AS sum_key,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -2304,6 +2417,10 @@ object SparkEntry {
   /** zstd parquet export for `f9_zstd_roundtrip` (same discipline). */
   def zstdRoundtripPath(sfDir: String): String =
     exportRoot + "/graft-zstd-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Manifest-scan export for `f10_manifest_scan` (same discipline). */
+  def manifestScanPath(sfDir: String): String =
+    exportRoot + "/graft-manifest-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   def orcRoundtripPath(sfDir: String): String =
     exportRoot + "/graft-orc-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")

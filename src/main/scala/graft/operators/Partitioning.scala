@@ -100,6 +100,44 @@ object Partitioning {
     * to `big.join(small, key)`; cost is `salts`× replication of the small
     * side, so size it to the skew, not the cluster.
     */
+  /** Write `df` range-sorted on `statsCol` PLUS an external min/max stats
+    * manifest — the table-format file-skipping pattern (Iceberg/Delta data
+    * skipping) as a plain operator pair with [[readManifestPruned]]. f3's
+    * layout already gives parquet FOOTER min/max; the manifest moves the
+    * stats OUT of the data files, so planning a selective read lists one
+    * tiny manifest instead of opening N footers — at 100 TB (millions of
+    * files) footer-probing is itself a job, and this is why every table
+    * format keeps stats in metadata. Manifest rows: `(file, lo, hi, n)`.
+    */
+  def writeWithManifest(df: DataFrame, path: String, statsCol: String,
+                        numFiles: Int = 32): Unit = {
+    writeRangeSorted(df, path, statsCol, numFiles)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(statsCol).as("lo"), max(statsCol).as("hi"), count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "_manifest")
+  }
+
+  /** Range read through the manifest: only files whose [lo, hi] intersects
+    * `[lo, hi]` are handed to the reader (the rest are never LISTED as
+    * inputs, let alone opened); the residual predicate still applies
+    * because boundary files straddle the cut. Returns the filtered rows;
+    * the pruned file count is observable via `.inputFiles` (spec-asserted).
+    */
+  def readManifestPruned(spark: SparkSession, path: String, statsCol: String,
+                         lo: Long, hi: Long): DataFrame = {
+    val files = spark.read.parquet(path + "_manifest")
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .select("file").collect().map(_.getString(0)) // manifest-sized: one row per FILE
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(lit(false)) // schema-preserving empty
+    else
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltCol = pmod(hash(struct(big.columns.map(col): _*)), lit(salts))

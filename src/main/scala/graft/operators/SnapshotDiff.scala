@@ -81,4 +81,26 @@ object SnapshotDiff {
           dataCols.map(c => when(inNew, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)) :+
           (!inNew).as("is_delete"): _*)
   }
+
+  /** Point-in-time (time-travel) read over a versioned history table: each
+    * key's LATEST row with `versionCol ≤ v` — the AS OF read every
+    * SCD-2 / table-format history supports. Aggregate-based (`max_by` of
+    * the data struct by version — one hash shuffle with map-side partials,
+    * no per-key window sort), so a hot key's versions reduce map-side.
+    * Contract: `versionCol` is unique per key (ties would make `max_by`
+    * arbitrary); keys absent at version `v` (first version > v) have no
+    * row, matching "did not exist yet".
+    */
+  def asOfVersion(history: DataFrame, keys: Seq[String], versionCol: String,
+                  v: Long): DataFrame = {
+    require(keys.nonEmpty, "asOfVersion needs at least one key column")
+    require(history.columns.contains(versionCol), s"$versionCol not in history")
+    val dataCols = history.columns.filterNot(c => keys.contains(c) || c == versionCol)
+    history.filter(col(versionCol) <= v)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), col(versionCol)).as("__r"),
+        max(col(versionCol)).as(versionCol))
+      .select(keys.map(col) ++
+        dataCols.map(c => col(s"__r.$c").as(c)) :+ col(versionCol): _*)
+  }
 }

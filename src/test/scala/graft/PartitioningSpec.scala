@@ -215,4 +215,26 @@ class PartitioningSpec extends SparkSpec {
     assert(avgWx < 700 && avgWy < 700, s"bounding boxes too wide: $avgWx x $avgWy")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("manifest scan: non-intersecting files are never inputs; result exact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString + "/t"
+    val df = (1L to 10000L).map(i => (i, i * 2.0)).toDF("k", "v")
+    Partitioning.writeWithManifest(df, dir, "k", numFiles = 10)
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(total === 10)
+    // a narrow range should touch only 1-2 of the 10 range-disjoint files
+    val pruned = Partitioning.readManifestPruned(s, dir, "k", lo = 2000, hi = 2500)
+    assert(pruned.inputFiles.length <= 2,
+      s"expected <=2 files, read ${pruned.inputFiles.length} of $total")
+    // and the rows are exactly the filter's (residual predicate applies)
+    assert(pruned.agg(count(lit(1)), sum("k")).collect().head match {
+      case r => r.getLong(0) === 501L && r.getLong(1) === (2000L to 2500L).sum
+    })
+    // empty intersection: zero files, empty result, schema preserved
+    val none = Partitioning.readManifestPruned(s, dir, "k", lo = 999999, hi = 1000000)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("k", "v"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir).getParentFile)
+  }
 }

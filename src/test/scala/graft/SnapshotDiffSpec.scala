@@ -74,4 +74,19 @@ class SnapshotDiffSpec extends SparkSpec {
     val expected = neu.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(merged === expected)
   }
+
+  test("asOfVersion: latest version <= v wins; unborn keys absent") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq(
+      (1L, "a1", 1L), (1L, "a3", 3L),       // key 1: versions 1, 3
+      (2L, "b2", 2L),                       // key 2: born at version 2
+      (3L, "c1", 1L), (3L, "c2", 2L), (3L, "c3", 3L))
+      .toDF("k", "v", "version")
+    def read(v: Long) = SnapshotDiff.asOfVersion(hist, Seq("k"), "version", v)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(read(1L) === Set((1L, "a1", 1L), (3L, "c1", 1L)))       // key 2 unborn
+    assert(read(2L) === Set((1L, "a1", 1L), (2L, "b2", 2L), (3L, "c2", 2L)))
+    assert(read(3L) === Set((1L, "a3", 3L), (2L, "b2", 2L), (3L, "c3", 3L)))
+  }
 }
