@@ -103,6 +103,22 @@ object SparkEntry {
       // through a 3-degree vertex outweighs one shared through a hub;
       // same wedge machinery and capped-path-exercising maxDegree as g17
       Analytics.adamicAdar(DerivedGraphs.small(s, dir), minCommon = 2, maxDegree = 12)),
+    "g27_ktruss" -> ((s, dir) => // edge-strength community core: the
+      // maximal subgraph where every EDGE closes >= k-2 in-subgraph
+      // triangles — kCore's peeling refined from vertex degrees to edge
+      // supports (prunes community-spanning bridges kCore keeps); wave
+      // fixpoint over the degree-oriented wedge enumeration, VALUES
+      // oracle from SequentialModel.kTruss per the g8/g14 discipline.
+      // k=3 (every edge in a triangle): this derived graph's triangle
+      // density is thin enough that k=4 empties it — k=3 keeps the gate
+      // row non-vacuous while still exercising cascading waves
+      Analytics.kTruss(DerivedGraphs.small(s, dir), k = 3)),
+    "g26_neighbor_jaccard" -> ((s, dir) => // g17's counts normalized by
+      // the neighborhood UNION (|N∩|/|N∪|, integer permille): de-biases
+      // link prediction toward low-degree pairs — ten shared neighbors
+      // between 12-degree vertices is near-certain linkage, between hubs
+      // it's noise; same capped wedge machinery, full-degree denominator
+      Analytics.neighborJaccard(DerivedGraphs.small(s, dir), minCommon = 2, maxDegree = 12)),
     "g21_random_walks" -> ((s, dir) => // node2vec/DeepWalk sampling
       // primitive: per-start deterministic walks whose next-hop is an
       // md5-derived function of (start, step, vertex) — reproducible
@@ -294,6 +310,29 @@ object SparkEntry {
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
           col("t.score").as("n_events"), col("t.id").as("user_id"))
         .orderBy("event_type", "rank")
+    }),
+    "q31_scd2_history" -> ((s, dir) => {
+      // SCD Type-2 historization (the warehouse dimension-build): each
+      // customer's order-priority CHANGE LOG compressed to validity
+      // ranges [valid_from, valid_to) — consecutive repeats collapse
+      // (lag-compare), valid_to = the next change's date, NULL marks the
+      // current row. Epoch-day ints; (date, orderkey) totally orders each
+      // key's history so the compression is deterministic. The lag and
+      // the post-filter lead need two window passes (the second runs on
+      // the compressed rows), but both share one Exchange on custkey and
+      // the second sort is over already-clustered rows.
+      val w = Window.partitionBy("o_custkey").orderBy(col("eff_d"), col("o_orderkey"))
+      val w2 = Window.partitionBy("o_custkey").orderBy(col("eff_d"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("eff_d"))
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        .withColumn("valid_to_d", lead(col("eff_d"), 1).over(w2))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("eff_d").as("valid_from_d"), col("valid_to_d"),
+          col("valid_to_d").isNull.as("is_current"))
+        .orderBy("o_custkey", "valid_from_d")
     }),
     "q30_percentile_disc" -> ((s, dir) =>
       // the DISCrete percentile family (q12 is the interpolated CONT one):
@@ -556,6 +595,34 @@ object SparkEntry {
         Validation.refIntegrity(li, "l_orderkey",
           Tables.orders(s, dir), "o_orderkey", "r6_orders_fk")))
     }),
+    "p5_corpus_report" -> ((s, dir) => {
+      // dataset-card summary (the stats block every corpus release
+      // ships): one token-counting scan feeds a global aggregate and an
+      // exact-dup hash rollup, stacked into long-format (metric, value)
+      // rows — all INTEGER metrics (mean via div), so the card is
+      // bit-stable across engines. Scale: the md5 rollup is d1's one
+      // hash shuffle; everything else is a single-row aggregate.
+      val stats = Tables.documents(s, dir).select(
+        col("lang"), col("source"), md5(col("text")).as("h"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val base = stats.agg(
+        count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        countDistinct("lang").as("n_langs"), countDistinct("source").as("n_sources"),
+        max("n_toks").as("max_toks"))
+      val dups = stats.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(coalesce(sum("c"), lit(0L)).as("dup_docs"))
+      base.crossJoin(dups).selectExpr(
+        """stack(7,
+          |  'n_docs', n_docs,
+          |  'n_tokens', n_tokens,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources,
+          |  'max_doc_tokens', max_toks,
+          |  'mean_doc_tokens', n_tokens div n_docs,
+          |  'exact_dup_docs', dup_docs) AS (metric, value)""".stripMargin)
+        .orderBy("metric")
+    }),
     "q24_null_aware_anti" -> ((s, dir) => {
       // NOT IN over a NULL-bearing subquery — the null-aware anti join
       // (Spark's NullAwareAntiJoin, a different operator from q5's plain
@@ -650,6 +717,23 @@ object SparkEntry {
           lo = 1000L, hi = 9000L)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum("price").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    "f11_compacted_roundtrip" -> ((s, dir) => {
+      // small-file compaction bound to the gate: orders deliberately
+      // shattered into 64 small files, rewritten by Partitioning.compact
+      // into 4 row-balanced ones (round-robin repartition — coalesce
+      // would glue adjacent files and let skew survive), re-read and
+      // aggregated; the oracle computes the same aggregate from the
+      // source table, so the rewrite must be content-preserving. The
+      // file-count and row-balance claims are PartitioningSpec-asserted.
+      val root = compactionPath(dir)
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderpriority")
+        .repartition(64).write.mode("overwrite").parquet(root + "/small")
+      Partitioning.compact(s, root + "/small", root + "/compacted", targetFiles = 4)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"),
+          sum("o_custkey").as("sum_cust"))
         .orderBy("o_orderpriority")
     }),
     "f9_zstd_roundtrip" -> ((s, dir) => {
@@ -1103,6 +1187,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"), sum("overlap").as("sum_overlap_days"))
         .orderBy("l_suppkey")
     }),
+    "e24_twap" -> ((s, dir) => {
+      // time-weighted average value per user (the TWAP/utilization shape:
+      // a reading holds until the next one, so its weight is its holding
+      // time — the plain mean over-counts burst periods). INTEGER end to
+      // end: value in exact permille (round(v*1000), identical half-up on
+      // both engines for positive doubles), holding time in millis, twap
+      // = Σ v·dt div Σ dt — no float partial-sum order to diverge. One
+      // window sort per user then a per-user rollup; the last event has
+      // no successor and drops (no horizon assumption), zero-span users
+      // guard the division with greatest(span, 1).
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          round(col("value") * 1000).cast("long").as("v1000"))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dt_ms", expr("(next_us - ts_us) div 1000"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_holds"), sum("dt_ms").as("span_ms"),
+          expr("sum(v1000 * dt_ms) div greatest(sum(dt_ms), 1)").as("twap_1000"))
+        .orderBy("user_id")
+    }),
+    "e23_merged_intervals" -> ((s, dir) => {
+      // gaps-and-islands over e17's supplier fulfillment intervals: where
+      // e17 scores PAIRWISE overlap, this collapses each supplier's
+      // [orderdate, shipdate] spans into maximal busy islands — one
+      // Exchange + one shared Sort + a hash aggregate (the linear form;
+      // the naive overlap-pairs formulation is quadratic per key).
+      // Inverted spans (ship before order, ~half this generator) are
+      // filtered, NOT dropped silently — mergeIntervals raises on them by
+      // contract, and the oracle mirrors the filter. Epoch-day ints.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("line_id"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("start_d"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("end_d"))
+        .filter(col("start_d") <= col("end_d"))
+      Sessionization.mergeIntervals(li, key = "l_suppkey",
+          start = "start_d", end = "end_d", tieBreak = Seq("line_id"))
+        .orderBy("l_suppkey", "island_seq")
+    }),
     "e18_order_milestones" -> ((s, dir) => {
       // first_value / nth_value / last_value over an UNBOUNDED-both-ways
       // frame (the offset window family; e2's lag/lead walk relative rows,
@@ -1305,6 +1433,16 @@ object SparkEntry {
       EventStreams.viewClickLeftJoin(ev, ev).orderBy("view_id", "click_id")
     }),
 
+    "st13_stream_full_join" -> ((s, dir) => {
+      // FULL OUTER stream-stream join in batch mode (the fourth join mode
+      // after st5/st6/st8): unmatched views AND unmatched clicks both
+      // emit null-padded — streamable because each side's watermark
+      // bounds the other side's state; the two-sided deferred emission is
+      // asserted in StreamingSpec with split feeds
+      val ev = Tables.events(s, dir)
+      EventStreams.viewClickFullJoin(ev, ev)
+        .orderBy(col("view_id").asc_nulls_last, col("click_id").asc_nulls_first)
+    }),
     "st8_stream_static" -> ((s, dir) => {
       // stream-static enrichment (the zero-state third join mode): batch
       // semantics gated here; the MemoryStream half is in StreamingSpec
@@ -1494,6 +1632,12 @@ object SparkEntry {
       // docs overlapping the (deterministic stand-in) eval slice's shingle
       // universe; eval set broadcast, corpus-side is a semi probe
       TextOps.decontaminate(Tables.documents(s, dir), col("doc_id") % 7 === 0)),
+    "t27_token_entropy" -> ((s, dir) => // token-distribution Shannon
+      // entropy per doc (nats, 1e-6): the whole-shape information-density
+      // signal next to t13's head-share ratios; counts are SORTED before
+      // the fold so both engines sum identical doubles in identical order
+      // — bit-reproducible before the round. Per-row HOF, no exchange.
+      TextOps.tokenEntropy(Tables.documents(s, dir))),
     "t16_token_rarity" -> ((s, dir) => // corpus-relative quality signal:
       // mean corpus frequency of each doc's tokens (vocabulary-sized
       // frequency table joined back — broadcast shape at corpus scale)
@@ -1674,6 +1818,8 @@ object SparkEntry {
       Analytics.clusteringCoefficientSql(DerivedGraphs.smallSql),
     "g17_common_neighbors" ->
       Analytics.commonNeighborsSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
+    "g26_neighbor_jaccard" ->
+      Analytics.neighborJaccardSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
     "g18_personalized_pagerank" ->
       Analytics.personalizedPageRankSql(DerivedGraphs.smallSql, source = 0L, numIter = 10),
     "g19_hits" -> Analytics.hitsSql(DerivedGraphs.smallSql, numIter = 5),
@@ -1945,6 +2091,11 @@ object SparkEntry {
     "t25_html_strip" -> TextOps.htmlStripSql,
     "t26_adaptive_stopwords" -> TextOps.adaptiveStopwordsSql(),
     "st12_stream_sessions" -> EventStreams.sessionCountsSql(),
+    "f11_compacted_roundtrip" -> // source-table oracle: the shatter +
+      // round-robin compaction rewrite must be content-preserving
+      """SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_key,
+        |  SUM(o_custkey)::BIGINT AS sum_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "f4_orc_roundtrip" -> // source-table oracle: the ORC round-trip must
       // preserve exactly what parquet holds
       """SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_key,
@@ -2141,6 +2292,59 @@ object SparkEntry {
         |  ON a.l_suppkey = b.l_suppkey AND a.line_id < b.line_id
         | AND a.s_d <= b.e_d AND b.s_d <= a.e_d
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e24_twap" -> // same permille/millis integer discipline
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  round(value * 1000)::BIGINT AS v1000 FROM events),
+        |h AS (SELECT user_id, v1000,
+        |             (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |              - ts_us) // 1000 AS dt_ms
+        |      FROM b)
+        |SELECT user_id, COUNT(*) AS n_holds, SUM(dt_ms)::BIGINT AS span_ms,
+        |       (SUM(v1000 * dt_ms) // GREATEST(SUM(dt_ms), 1))::BIGINT AS twap_1000
+        |FROM h WHERE dt_ms IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q31_scd2_history" -> // lag-compress then lead for validity ranges
+      """WITH h AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+        |                  (o_orderdate::DATE - DATE '1970-01-01') AS eff_d,
+        |                  lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                    ORDER BY (o_orderdate::DATE - DATE '1970-01-01'), o_orderkey) AS prev
+        |           FROM orders),
+        |c AS (SELECT o_custkey, o_orderkey, o_orderpriority, eff_d FROM h
+        |      WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, eff_d::BIGINT AS valid_from_d,
+        |       (lead(eff_d) OVER (PARTITION BY o_custkey ORDER BY eff_d, o_orderkey))::BIGINT AS valid_to_d,
+        |       (lead(eff_d) OVER (PARTITION BY o_custkey ORDER BY eff_d, o_orderkey)) IS NULL AS is_current
+        |FROM c ORDER BY o_custkey, valid_from_d""".stripMargin,
+    "p5_corpus_report" -> // same tokenization + md5 rollup, stacked long
+      """WITH t AS (SELECT lang, source, md5(text) AS h,
+        |                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                                  x -> x <> ''))::BIGINT AS n_toks
+        |           FROM documents),
+        |b AS (SELECT COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+        |             COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources,
+        |             MAX(n_toks) AS max_toks FROM t),
+        |d AS (SELECT COALESCE(SUM(c), 0) AS dup_docs
+        |      FROM (SELECT COUNT(*) AS c FROM t GROUP BY h HAVING COUNT(*) > 1)),
+        |u AS (SELECT 'n_docs' AS metric, n_docs::BIGINT AS value FROM b
+        |      UNION ALL SELECT 'n_tokens', n_tokens::BIGINT FROM b
+        |      UNION ALL SELECT 'n_langs', n_langs::BIGINT FROM b
+        |      UNION ALL SELECT 'n_sources', n_sources::BIGINT FROM b
+        |      UNION ALL SELECT 'max_doc_tokens', max_toks::BIGINT FROM b
+        |      UNION ALL SELECT 'mean_doc_tokens', (n_tokens // n_docs)::BIGINT FROM b
+        |      UNION ALL SELECT 'exact_dup_docs', dup_docs::BIGINT FROM d)
+        |SELECT metric, value FROM u ORDER BY metric""".stripMargin,
+    "e23_merged_intervals" -> // the same interval derivation as e17's
+      // oracle (inverted spans filtered), through the gaps-and-islands
+      // mirror — running-max open test, closed-interval touch rule
+      s"""SELECT k AS l_suppkey, island_seq, island_start, island_end, n_intervals
+         |FROM (${Sessionization.mergeIntervalsSql(
+              """SELECT l_suppkey AS k,
+                |       (o_orderdate::DATE - DATE '1970-01-01') AS s,
+                |       (l_shipdate::DATE - DATE '1970-01-01') AS e,
+                |       l_orderkey * 8 + l_linenumber AS tb
+                |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                |WHERE o_orderdate::DATE <= l_shipdate::DATE""".stripMargin)})
+         |ORDER BY 1, 2""".stripMargin,
     "e18_order_milestones" ->
       """WITH w AS (SELECT o_custkey,
         |  first_value(o_orderkey) OVER win AS first_key,
@@ -2257,6 +2461,7 @@ object SparkEntry {
     "st4_running_counts" -> EventStreams.runningUserCountsSql(),
     "st5_stream_join" -> EventStreams.viewClickJoinSql(),
     "st6_stream_left_join" -> EventStreams.viewClickLeftJoinSql(),
+    "st13_stream_full_join" -> EventStreams.viewClickFullJoinSql(),
     "st8_stream_static" -> EventStreams.enrichPurchasesSql(),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d2_jaccard_pairs" -> Dedup.jaccardPairsSql(),
@@ -2324,6 +2529,7 @@ object SparkEntry {
     "t10_tfidf" -> TextOps.tfidfTopTermsSql(),
     "t12_chunk_text" -> TextOps.chunkTokensSql(),
     "t13_repetition" -> TextOps.repetitionStatsSql,
+    "t27_token_entropy" -> TextOps.tokenEntropySql,
     "t14_kmv_distinct" -> Sketches.kmvDistinctShinglesSql(),
     "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
     "t20_countmin_hh" -> Sketches.countMinHeavyHittersSql(),
@@ -2422,6 +2628,11 @@ object SparkEntry {
   def manifestScanPath(sfDir: String): String =
     exportRoot + "/graft-manifest-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Compaction root for `f11_compacted_roundtrip` (same discipline):
+    * `/small` holds the shattered input, `/compacted` the rewrite. */
+  def compactionPath(sfDir: String): String =
+    exportRoot + "/graft-compact-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   def orcRoundtripPath(sfDir: String): String =
     exportRoot + "/graft-orc-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
@@ -2462,7 +2673,7 @@ object SparkEntry {
     def want(k: String) = selected.forall(_.contains(k))
     val graphKeys =
       Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
-        "g23_partitioned_dfs")
+        "g23_partitioned_dfs", "g27_ktruss")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -2482,6 +2693,16 @@ object SparkEntry {
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
              |FROM (VALUES ${lpa.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
              |ORDER BY vertex""".stripMargin),
+      "g27_ktruss" -> {
+        val truss = SequentialModel.kTruss(edges, k = 3).toSeq
+          .map { case ((a, b), sp) => (a, b, sp) }.sorted
+        if (truss.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS support WHERE 1 = 0"
+        else
+          s"""SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(sp AS BIGINT) AS support
+             |FROM (VALUES ${truss.map { case (a, b, sp) => s"($a, $b, $sp)" }.mkString(", ")}) AS t(a, b, sp)
+             |ORDER BY a, b""".stripMargin
+      },
       "g14_kcore" -> (
         if (core.isEmpty)
           "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS core_degree WHERE 1 = 0"

@@ -337,6 +337,80 @@ object Analytics {
       .orderBy("vertex")
   }
 
+  /** k-truss (k ≥ 3): the maximal subgraph in which every EDGE closes at
+    * least `k−2` triangles within the subgraph — the edge-strength
+    * refinement of [[kCore]]'s vertex-degree peeling (a k-truss is always
+    * inside the (k−1)-core, but prunes "bridge" edges whose endpoints are
+    * individually well-connected while the edge itself spans communities;
+    * Cohen 2008, the standard community-core definition). Output one row
+    * per surviving edge: `(a, b, support)`, a < b, support = its triangle
+    * count within the truss.
+    *
+    * Deletion fixpoint like [[kCore]]: each wave recomputes per-edge
+    * triangle support on the SURVIVING edge set via the same
+    * degree-oriented wedge enumeration as [[triangleCounts]] (each
+    * triangle found exactly once from its lowest-rank vertex, wedge cost
+    * Σ deg_oriented² — the orientation caps oriented out-degree at O(√m),
+    * which is what makes triangle work feasible at scale), drops every
+    * edge below `k−2`, and repeats until no edge falls. Convergence is
+    * checked by edge count; at the fixpoint the last wave's supports ARE
+    * the in-truss supports, so no extra pass is needed.
+    *
+    * Like kCore this is fundamentally iterative — no recursive-CTE oracle
+    * (a CTE only accumulates rows, it cannot delete); the gate uses a
+    * `VALUES` literal from [[SequentialModel.kTruss]]'s independent
+    * sequential peeling, the g8/g14 discipline.
+    *
+    * Scale: rounds = peeling depth; per round one degree aggregate, the
+    * oriented wedge join, a 3×-triangle edge-support aggregate and a semi
+    * join — all key-partitioned exchanges on the shrinking edge relation,
+    * checkpointed per wave so lineage and the fixpoint `count()` stay
+    * O(round).
+    */
+  def kTruss(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = und.count()
+    var supported = und.withColumn("support", lit(0L)) // empty-graph shape
+    var converged = nEdges == 0
+    while (!converged) {
+      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val lowFirst = struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b"))
+      val oriented = und
+        .join(deg.as("da"), col("a") === col("da.v"))
+        .join(deg.as("db"), col("b") === col("db.v"))
+        .select(
+          when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("w"),
+          when(lowFirst, col("db.deg")).otherwise(col("da.deg")).as("wdeg"))
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") &&
+            struct(col("e1.wdeg"), col("e1.w")) < struct(col("e2.wdeg"), col("e2.w")))
+        .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+        .join(oriented.as("e3"), col("y") === col("e3.u") && col("z") === col("e3.w"), "left_semi")
+      val perEdge = tri.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .union(tri.select(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")))
+        .union(tri.select(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      supported = und.join(perEdge, Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+        .localCheckpoint(true)
+      val keep = supported.filter(col("support") >= k - 2).select("a", "b").localCheckpoint(true)
+      val m = keep.count()
+      converged = m == nEdges
+      und = keep
+      nEdges = m
+    }
+    supported.filter(col("support") >= k - 2).orderBy("a", "b")
+  }
+
   /** Synchronous label propagation (community detection), `numIter` rounds:
     * every vertex starts labeled with its own id; each round it adopts the
     * most frequent label among its undirected neighbors, ties broken by the
@@ -621,6 +695,64 @@ object Analytics {
        |      FROM ctr x JOIN ctr y ON x.c = y.c AND x.leaf < y.leaf
        |      GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon)
        |SELECT p.a, p.b, p.n_common, ROUND(p.aa, 6) AS aa_6 FROM p
+       |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.a AND und.b = p.b)
+       |ORDER BY p.a, p.b""".stripMargin
+
+  /** Neighborhood-Jaccard link prediction over the simple undirected
+    * graph: [[commonNeighbors]]'s count normalized by the UNION of the two
+    * endpoints' neighborhoods — `|N(a)∩N(b)| / |N(a)∪N(b)|`, the
+    * third member of the classic link-prediction trio (count / Adamic-Adar
+    * / Jaccard; Liben-Nowell & Kleinberg 2003). Normalizing by union size
+    * de-biases toward low-degree pairs: ten shared neighbors between two
+    * 12-degree vertices is near-certain linkage, between two hubs it is
+    * noise. `(a, b, n_common, jaccard_1000)` for non-adjacent pairs, a < b,
+    * score in integer permille (`n_common·1000 div (deg_a+deg_b−n_common)`)
+    * so the compare is integer-exact.
+    *
+    * Same center-out wedge enumeration and super-hub CENTER cap as
+    * [[commonNeighbors]] (the cap prunes wedge centers, bounding cost at
+    * Σ_c deg(c)²); the union denominator uses the endpoints' FULL degrees
+    * — uncapped, from the vertex-sized degree relation joined twice
+    * (broadcast-scale at any corpus size: |V| rows of (id, int)).
+    */
+  def neighborJaccard(edges: DataFrame, minCommon: Int = 3, maxDegree: Int = 64): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("c"), col("b").as("leaf"))
+      .union(und.select(col("b").as("c"), col("a").as("leaf")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+    val ctr = adj.join(deg.filter(col("d") <= maxDegree), "c")
+    ctr.as("x")
+      .join(ctr.as("y"), col("x.c") === col("y.c") && col("x.leaf") < col("y.leaf"))
+      .select(col("x.leaf").as("a"), col("y.leaf").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .join(und, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("c").as("a"), col("d").as("deg_a")), "a")
+      .join(deg.select(col("c").as("b"), col("d").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        expr("n_common * 1000 div (deg_a + deg_b - n_common)").as("jaccard_1000"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB mirror of [[neighborJaccard]] — same cap, wedges, anti-join,
+    * and full-degree union denominator.
+    */
+  def neighborJaccardSql(edgeSql: String, minCommon: Int = 3, maxDegree: Int = 64): String =
+    s"""WITH e AS ($edgeSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+       |adj AS (SELECT a AS c, b AS leaf FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
+       |ctr AS (SELECT adj.c, adj.leaf FROM adj JOIN deg ON deg.c = adj.c WHERE deg.d <= $maxDegree),
+       |p AS (SELECT x.leaf AS a, y.leaf AS b, COUNT(*) AS n_common
+       |      FROM ctr x JOIN ctr y ON x.c = y.c AND x.leaf < y.leaf
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon)
+       |SELECT p.a, p.b, p.n_common,
+       |       (p.n_common * 1000 // (da.d + db.d - p.n_common))::BIGINT AS jaccard_1000
+       |FROM p JOIN deg da ON da.c = p.a JOIN deg db ON db.c = p.b
        |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.a AND und.b = p.b)
        |ORDER BY p.a, p.b""".stripMargin
 

@@ -80,6 +80,32 @@ object SequentialModel {
     * contract makes a sequential mirror exact — the operator's semantics
     * IS the iteration.
     */
+  /** k-truss fixpoint by whole-wave peeling: recompute per-edge triangle
+    * support (|N(a) ∩ N(b)| over the surviving undirected simple graph),
+    * drop every edge below k−2, repeat until stable. Peeling ORDER does
+    * not affect the fixpoint (the k-truss is unique — it is the maximal
+    * subgraph with the property), so this wave model is an exact oracle
+    * for `Analytics.kTruss`'s distributed waves while sharing none of its
+    * enumeration machinery. Returns surviving canonical edges with their
+    * in-truss supports.
+    */
+  def kTruss(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Int] = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    var supp = Map.empty[(Long, Long), Int]
+    var changed = und.nonEmpty
+    while (changed) {
+      val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      supp = und.iterator.map { case (a, b) => (a, b) -> (nbrs(a) & nbrs(b)).size }.toMap
+      val keep = supp.filter(_._2 >= k - 2).keySet
+      changed = keep.size != und.size
+      und = keep
+    }
+    supp.filter(_._2 >= k - 2)
+  }
+
   def labelPropagation(edges: Seq[(Long, Long)], numIter: Int): Map[Long, Long] = {
     val und = edges.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
     val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }

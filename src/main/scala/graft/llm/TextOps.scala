@@ -841,6 +841,59 @@ object TextOps {
        |                          '[ ]+', ' ', 'g'))::BIGINT AS clean_len
        |FROM aug ORDER BY doc_id""".stripMargin
 
+  /** Per-doc token-distribution Shannon entropy (nats, rounded 1e-6):
+    * `(doc_id, n_tokens, n_distinct, entropy_6)` — the information-density
+    * quality signal under perplexity-style corpus filters: near-zero
+    * entropy flags degenerate repetition (a doc of one token), entropy at
+    * `ln(n_distinct)` flags uniform word-soup; natural text sits between.
+    * Complements t13's top-share ratios (those read the distribution's
+    * head; entropy reads its whole shape).
+    *
+    * Computed as `ln(n) − Σ c·ln(c) / n` over per-token counts — one pass
+    * over the counts instead of per-term `p·ln p`. The counts are SORTED
+    * before the fold: both engines then sum identical doubles in identical
+    * order, so the value is bit-reproducible cross-engine BEFORE the 1e-6
+    * round (an unordered float sum would differ in the last ulps and
+    * occasionally straddle a rounding boundary).
+    *
+    * Scale shape: embarrassingly parallel per-row HOF work (O(distinct·n)
+    * in-row frequency scan on ≲10³-token docs, the [[repetitionStats]]
+    * trade: exploding to a (doc, token) shuffle would move the corpus'
+    * whole token stream to compute a per-document number); no exchange
+    * before the output sort.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .withColumn("cnts", array_sort(
+        transform(array_distinct(col("ws")), u => size(filter(col("ws"), x => x === u)))))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        size(col("cnts")).cast("long").as("n_distinct"),
+        when(col("n") === 0, lit(0.0)).otherwise(round(
+          log(col("n").cast("double")) -
+            aggregate(col("cnts"), lit(0.0),
+              (acc, c) => acc + c.cast("double") * log(c.cast("double"))) / col("n"),
+          6)).as("entropy_6"))
+      .orderBy("doc_id")
+
+  /** DuckDB mirror of [[tokenEntropy]] — same tokenization, same sorted
+    * count fold (list_reduce in list order), same round.
+    */
+  val tokenEntropySql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+       |           FROM documents),
+       |c AS (SELECT doc_id, len(ws)::BIGINT AS n,
+       |             list_sort(list_transform(list_distinct(ws), u -> len(list_filter(ws, x -> x = u)))) AS cnts
+       |      FROM t)
+       |SELECT doc_id, n AS n_tokens, len(cnts)::BIGINT AS n_distinct,
+       |       CASE WHEN n = 0 THEN 0.0 ELSE ROUND(
+       |         ln(n::DOUBLE) -
+       |           list_reduce(list_prepend(0.0, list_transform(cnts, c -> c::DOUBLE * ln(c::DOUBLE))),
+       |                       (a, b) -> a + b) / n, 6) END AS entropy_6
+       |FROM c ORDER BY doc_id""".stripMargin
+
   def shingleNoveltySql: String =
     s"""WITH ${shinglesSql(cte = "rawsh")},
        |sh AS (SELECT DISTINCT doc_id,

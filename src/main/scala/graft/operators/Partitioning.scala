@@ -138,6 +138,34 @@ object Partitioning {
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
+  /** Small-file compaction: rewrite a directory of many small parquet
+    * files into `targetFiles` row-balanced ones — the maintenance operator
+    * every long-lived table needs (streaming sinks, per-micro-batch and
+    * per-partition writers all accrete kilobyte files; at 100 TB the
+    * resulting millions of files make LISTING the table a job of its own,
+    * and every scan pays a task per file). Content is preserved exactly;
+    * only the physical layout changes.
+    *
+    * `repartition(n)` (round-robin) rather than coalesce: coalesce glues
+    * ADJACENT input files, so one oversized input file stays oversized and
+    * skew survives; the round-robin exchange rebalances rows evenly, which
+    * is the point of compacting. The write lands in a fresh directory —
+    * swap-on-success (rename/pointer flip) beats in-place overwrite, which
+    * has a window where the table is half-deleted.
+    *
+    * Gate (`f11`) checks content equality through the rewrite; the
+    * file-count and row-balance claims are asserted in PartitioningSpec.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFiles: Int = 4): DataFrame = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(outPath != inPath, "compact writes a fresh directory — in-place overwrite would race the read")
+    spark.read.parquet(inPath)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltCol = pmod(hash(struct(big.columns.map(col): _*)), lit(salts))

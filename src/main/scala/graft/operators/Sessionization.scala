@@ -50,6 +50,71 @@ object Sessionization {
       .drop("__open")
   }
 
+  /** Interval islands (merge overlapping/touching intervals): collapse each
+    * key's `[start, end]` intervals into maximal connected spans — the
+    * interval cousin of [[assignSessions]] (points + gap there, explicit
+    * extents here) and the classic gaps-and-islands operator: coverage
+    * spans from bookings, outage windows from overlapping incidents,
+    * contiguous validity ranges from versioned rows.
+    *
+    * An interval joins the current island when its start is ≤ the running
+    * max END seen so far (touching counts as connected — closed-interval
+    * semantics); otherwise it opens a new island. Output one row per
+    * island: `(key, island_seq, island_start, island_end, n_intervals)`,
+    * with `island_end` the max end (an early long interval may cover later
+    * ones — running max, not last end).
+    *
+    * Inverted intervals (`end < start`) are rejected — a silent drop or
+    * clamp would hide upstream data bugs; filter first (e.g. e17's
+    * ship-before-order halves) if the domain produces them.
+    *
+    * Scale shape: identical to [[assignSessions]] — the lag-max and the
+    * running island sum share one hash exchange on `key` and one sort
+    * (same partitioning + ordering ⇒ Catalyst plans a single
+    * Exchange + Sort), then a per-(key, island) hash aggregate. Nothing
+    * driver-side, no self-join: linear in rows where the naive
+    * overlap-pairs formulation is quadratic per key.
+    */
+  def mergeIntervals(df: DataFrame, key: String, start: String, end: String,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    requireIntegralTime(df, start, "mergeIntervals")
+    requireIntegralTime(df, end, "mergeIntervals")
+    val order = (col(start) +: col(end) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // first interval of a key has no prior -> null max -> opens island 1
+    df.withColumn("__open",
+        when(col(end) < col(start),
+          raise_error(format_string(
+            s"mergeIntervals: inverted interval [%d, %d] (end < start) — filter or fix upstream",
+            col(start), col(end))).cast("boolean"))
+          .otherwise(coalesce(col(start) > max(col(end)).over(prior), lit(true)))
+          .cast("int"))
+      .withColumn("island_seq", sum(col("__open")).over(run).cast("long"))
+      .groupBy(col(key), col("island_seq"))
+      .agg(min(col(start)).as("island_start"), max(col(end)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** DuckDB mirror of [[mergeIntervals]] over an interval derivation
+    * `intervalSql` producing `(k, s, e, tb)` columns — same running-max
+    * open test, same closed-interval touch rule, same aggregate.
+    */
+  def mergeIntervalsSql(intervalSql: String): String =
+    s"""WITH iv AS ($intervalSql),
+       |fl AS (SELECT k, s, e, tb,
+       |              COALESCE(s > MAX(e) OVER (PARTITION BY k ORDER BY s, e, tb
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)::INT AS op
+       |       FROM iv),
+       |isl AS (SELECT k, s, e,
+       |               SUM(op) OVER (PARTITION BY k ORDER BY s, e, tb
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_seq
+       |        FROM fl)
+       |SELECT k, island_seq::BIGINT AS island_seq, MIN(s)::BIGINT AS island_start,
+       |       MAX(e)::BIGINT AS island_end, COUNT(*)::BIGINT AS n_intervals
+       |FROM isl GROUP BY k, island_seq""".stripMargin
+
   /** Time columns must already be integral (epoch micros) — a silent
     * timestamp comparison in a mixed-unit gap would be wrong. Same
     * enforcement as `TemporalJoins.requireIntegralTime`.

@@ -187,6 +187,47 @@ object EventStreams {
        | AND epoch_us(c.ts) - epoch_us(v.ts) <= $windowUs
        |ORDER BY view_id, click_id NULLS FIRST""".stripMargin
 
+  /** FULL OUTER stream-stream join — the last of the four outer-join modes
+    * over unbounded sides (st5 inner, st6 left): unmatched VIEWS emit with
+    * a null click AND unmatched CLICKS emit with a null view — impressions
+    * that never converted and conversions with no attributable impression,
+    * in one operator. Streamable for the same reason as st6, on both sides
+    * at once: each side's watermark bounds how long the OTHER side's rows
+    * must be retained; when the combined watermark passes a row's join
+    * horizon its null-padded row emits and its state frees. Spark requires
+    * watermarks on both inputs for this mode (left outer needs only the
+    * preserved side's). Batch mode is a plain full outer join (the
+    * driver's gate, `st13`); the deferred two-sided null emission is
+    * asserted over split MemoryStream feeds in StreamingSpec.
+    *
+    * Both ids are nullable in the output, so the user key is taken from
+    * whichever side matched (`coalesce`).
+    */
+  def viewClickFullJoin(views: DataFrame, clicks: DataFrame,
+                        withWatermarks: Boolean = false): DataFrame = {
+    val v0 = normalized(views).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val c0 = normalized(clicks).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val (v, c) =
+      if (withWatermarks) (v0.withWatermark("v_ts", "2 hours"), c0.withWatermark("c_ts", "2 hours"))
+      else (v0, c0)
+    v.join(c, col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"), "full_outer")
+      .select(col("view_id"), col("click_id"),
+        coalesce(col("v_user"), col("c_user")).as("user_id"))
+  }
+
+  def viewClickFullJoinSql(windowUs: Long = 3600000000L): String =
+    s"""SELECT v.event_id AS view_id, c.event_id AS click_id,
+       |       COALESCE(v.user_id, c.user_id) AS user_id
+       |FROM (SELECT * FROM events WHERE event_type = 'view') v
+       |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON v.user_id = c.user_id AND epoch_us(c.ts) >= epoch_us(v.ts)
+       | AND epoch_us(c.ts) - epoch_us(v.ts) <= $windowUs
+       |ORDER BY view_id NULLS LAST, click_id NULLS FIRST""".stripMargin
+
   /** DuckDB mirror of [[runningUserCounts]]' final state on a batch input:
     * per-user event count plus the event type of the maximal
     * `(epoch micros, event_type)` — exactly the fold order the stateful

@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.Analytics
+import graft.graph.{Analytics, SequentialModel}
 
 class AnalyticsSpec extends SparkSpec {
 
@@ -205,6 +205,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(1)._4 > got(0)._4)
   }
 
+  test("neighborJaccard: hand-computed permille, full degrees in the union denominator") {
+    // same fixture as commonNeighbors: 0 and 1 share {2,3,4}, not adjacent.
+    // deg(0)=3, deg(1)=3 -> union = 3+3-3 = 3 -> jaccard = 1000.
+    // 3 and 4 share {0,1,2}, deg(3)=3, deg(4)=3 -> 1000 as well.
+    val e = Seq((0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val got = Analytics.neighborJaccard(edgesDF(e), minCommon = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 1L, 3L, 1000L), (3L, 4L, 3L, 1000L)))
+    // partial overlap: star center 10 links 11..14; 11 and 12 also link 15.
+    // pair (11,12): common {10,15}=2, deg(11)=deg(12)=2 -> union 2 -> 1000;
+    // add edge 11-16: deg(11)=3, union = 3+2-2 = 3 -> 2000/3 -> 666.
+    val e2 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L), (11L, 15L), (12L, 15L), (11L, 16L))
+    val got2 = Analytics.neighborJaccard(edgesDF(e2), minCommon = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got2.contains((11L, 12L, 2L, 666L)), s"got $got2")
+  }
+
+  test("neighborJaccard matches a brute-force model (cap on centers, full degrees in unions)") {
+    val rng = new scala.util.Random(29)
+    val edges = Seq.fill(120)((rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+    val maxDeg = 6
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val allowed = nbrs.filter(_._2.size <= maxDeg).keySet
+    val vs = nbrs.keySet.toSeq.sorted
+    val expected = (for {
+      a <- vs; b <- vs if a < b && !und.contains((a, b))
+      common = (nbrs(a) & nbrs(b)) & allowed
+      if common.size >= 2
+    } yield (a, b, common.size.toLong,
+      common.size.toLong * 1000 / (nbrs(a).size + nbrs(b).size - common.size))).toSet
+    val got = Analytics.neighborJaccard(edgesDF(edges), minCommon = 2, maxDegree = maxDeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("commonNeighbors matches a brute-force model, degree cap honored") {
     val rng = new scala.util.Random(13)
     val edges = Seq.fill(120)((rng.nextInt(25).toLong, rng.nextInt(25).toLong))
@@ -222,6 +259,39 @@ class AnalyticsSpec extends SparkSpec {
     val got = Analytics.commonNeighbors(edgesDF(edges), minCommon = 2, maxDegree = maxDeg)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
+  }
+
+  test("kTruss: K4 survives at k=4, a pendant triangle survives only at k=3, bridges never") {
+    // K4 on {0,1,2,3} (every edge closes 2 triangles), a pendant triangle
+    // {3,4,5} (support 1 each), and a bridge 5-6 (support 0)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (5L, 6L))
+    val got4 = Analytics.kTruss(edgesDF(e), k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got4 === Seq((0L, 1L, 2L), (0L, 2L, 2L), (0L, 3L, 2L),
+      (1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L)))
+    val got3 = Analytics.kTruss(edgesDF(e), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3.size === 9 && !got3.contains((5L, 6L)), s"k=3 truss wrong: $got3")
+  }
+
+  test("kTruss: peeling cascades — a triangle strip dissolves entirely at k=4") {
+    val strip = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // (1,2) and (2,3) start at support 2, but dropping the support-1 edges
+    // leaves them triangle-less -> second wave empties the graph
+    assert(Analytics.kTruss(edgesDF(strip), k = 4).collect().isEmpty)
+  }
+
+  test("kTruss matches the independent sequential model on random graphs") {
+    for (seed <- Seq(3, 17)) {
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(160)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      val expected = SequentialModel.kTruss(edges, k = 4).toSeq
+        .map { case ((a, b), sp) => (a, b, sp.toLong) }.sorted
+      val got = Analytics.kTruss(edgesDF(edges), k = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === expected, s"seed $seed")
+    }
   }
 
   test("bipartiteCheck: even cycle yes, odd cycle no, per-component verdicts") {

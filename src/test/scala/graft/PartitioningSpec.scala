@@ -216,6 +216,31 @@ class PartitioningSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("compact: file count hits the target, rows balance, content is exactly preserved") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
+    // skewed shatter: 40 tiny files plus one big one — the coalesce
+    // counterexample (gluing adjacent files keeps the big one big)
+    val small = (1L to 4000L).map(i => (i, i % 7, s"row$i")).toDF("id", "k", "payload")
+    small.filter($"id" <= 3000).repartition(1).write.parquet(root + "/in")
+    small.filter($"id" > 3000).repartition(40).write.mode("append").parquet(root + "/in")
+    assert(s.read.parquet(root + "/in").inputFiles.length >= 41)
+    val out = Partitioning.compact(s, root + "/in", root + "/out", targetFiles = 4)
+    val files = out.inputFiles
+    assert(files.length === 4, s"expected 4 compacted files, got ${files.length}")
+    // round-robin balance: no residual skew — every file within 2x of even
+    val perFile = out.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.forall(n => n > 500 && n < 2000), s"unbalanced: ${perFile.mkString(",")}")
+    // content preserved exactly (multiset equality via sorted pull)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val want = small.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got === want)
+    // contract: in-place compaction is refused
+    intercept[IllegalArgumentException](
+      Partitioning.compact(s, root + "/in", root + "/in", targetFiles = 4))
+  }
+
   test("manifest scan: non-intersecting files are never inputs; result exact") {
     val s = spark
     import s.implicits._

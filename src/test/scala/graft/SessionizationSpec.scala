@@ -73,6 +73,83 @@ class SessionizationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  private def ivDF(rows: Seq[(Long, Long, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "s", "e", "id")
+  }
+
+  private def islands(rows: Seq[(Long, Long, Long, Long)]): Seq[(Long, Long, Long, Long, Long)] =
+    Sessionization.mergeIntervals(ivDF(rows), key = "k", start = "s", end = "e",
+        tieBreak = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted // (k, island_seq, start, end, n)
+
+  test("mergeIntervals: overlap and touch merge, a gap of one opens a new island") {
+    val got = islands(Seq(
+      (1L, 0L, 10L, 1L),   // island 1
+      (1L, 5L, 12L, 2L),   //   overlaps
+      (1L, 12L, 20L, 3L),  //   touches (closed intervals) -> still island 1
+      (1L, 22L, 25L, 4L),  // gap of 1 day -> island 2
+      (2L, 0L, 1L, 5L)))   // other key: its own island 1
+    assert(got === Seq((1L, 1L, 0L, 20L, 3L), (1L, 2L, 22L, 25L, 1L), (2L, 1L, 0L, 1L, 1L)))
+  }
+
+  test("mergeIntervals: an early long interval swallows later short ones (running max, not last end)") {
+    val got = islands(Seq(
+      (1L, 0L, 100L, 1L),  // covers everything below
+      (1L, 10L, 20L, 2L),
+      (1L, 50L, 60L, 3L),
+      (1L, 101L, 102L, 4L))) // 101 > running max 100 -> new island
+    assert(got === Seq((1L, 1L, 0L, 100L, 3L), (1L, 2L, 101L, 102L, 1L)))
+  }
+
+  test("mergeIntervals matches a brute-force sequential model") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i % 9, s, s + rnd.nextInt(300), i)
+    }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, ivs) =>
+      val sorted = ivs.sortBy(v => (v._2, v._3, v._4))
+      var seq = 0L; var maxE = Long.MinValue
+      val tagged = sorted.map { case (_, s, e, _) =>
+        if (maxE == Long.MinValue || s > maxE) seq += 1
+        maxE = math.max(maxE, e)
+        (seq, s, e)
+      }
+      tagged.groupBy(_._1).map { case (isl, g) =>
+        (k, isl, g.map(_._2).min, g.map(_._3).max, g.size.toLong)
+      }
+    }.sorted
+    assert(islands(rows) === expected)
+  }
+
+  test("mergeIntervals: inverted intervals raise instead of silently merging") {
+    val ex = intercept[Exception] {
+      Sessionization.mergeIntervals(ivDF(Seq((1L, 10L, 5L, 1L))),
+        key = "k", start = "s", end = "e", tieBreak = Seq("id")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("mergeIntervals: both window passes and the aggregate share ONE exchange and ONE sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Sessionization.mergeIntervals(
+        ivDF((1L to 1000L).map(i => (i % 13, i * 37 % 10000, i * 37 % 10000 + i % 100, i))),
+        key = "k", start = "s", end = "e", tieBreak = Seq("id"))
+      val plan = df.queryExecution.executedPlan
+      val ex = plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }
+      val sorts = plan.collectWithSubqueries { case so: SortExec => so }
+      assert(ex.size === 1, s"expected a single shared exchange, found ${ex.size}:\n$plan")
+      assert(sorts.size === 1, s"expected a single shared sort, found ${sorts.size}:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("contract violations are rejected up front") {
     val df = evDF(Seq((1L, 0L, 1L)))
     intercept[IllegalArgumentException](

@@ -224,6 +224,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._2.nonEmpty), "no matched pair — inner path not exercised")
   }
 
+  test("stream-stream FULL OUTER join: both sides' null rows emit after the watermark") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents
+    val views = MemoryStream[Ev](s)
+    val clicks = MemoryStream[Ev](s)
+    val cut = events.map(_.ts.getTime).sorted.apply(events.size / 2)
+    val (e1, e2) = events.partition(_.ts.getTime < cut)
+    // far-future sentinels on BOTH sides (st6's discipline): full outer
+    // retains state on both inputs, so both watermarks must advance past
+    // the horizon before either side's null-padded rows may flush
+    val far = events.map(_.ts.getTime).max + 10L * 24 * 3600 * 1000
+    val sentinels = Seq(
+      Ev(901L, 900L, "view", new Timestamp(far), "{}"),
+      Ev(902L, 900L, "click", new Timestamp(far), "{}"))
+    val table = runIncremental(
+      EventStreams.viewClickFullJoin(views.toDF(), clicks.toDF(), withWatermarks = true),
+      "t_ssfull", OutputMode.Append()) { q =>
+        views.addData(e1); clicks.addData(e1); q.processAllAvailable()
+        views.addData(e2); clicks.addData(e2); q.processAllAvailable()
+        views.addData(sentinels); clicks.addData(sentinels); q.processAllAvailable()
+      }
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      .filter(_._3 < 900L).toSet // user key is never null in this schema
+    val got = rows(table)
+    val want = rows(EventStreams.viewClickFullJoin(events.toDF(), events.toDF()))
+    assert(got === want && want.nonEmpty)
+    assert(got.exists(t => t._1.nonEmpty && t._2.isEmpty),
+      "no never-converted view emitted — left outer path not exercised")
+    assert(got.exists(t => t._1.isEmpty && t._2.nonEmpty),
+      "no unattributed click emitted — right outer path not exercised")
+    assert(got.exists(t => t._1.nonEmpty && t._2.nonEmpty),
+      "no matched pair — inner path not exercised")
+  }
+
   test("stream-static broadcast join == batch join") {
     val s = spark
     import s.implicits._

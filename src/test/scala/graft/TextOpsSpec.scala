@@ -180,6 +180,33 @@ class TextOpsSpec extends SparkSpec {
       (4L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("tokenEntropy: hand-checked values — uniform hits ln(k), degenerate hits 0") {
+    val rows = TextOps.tokenEntropy(docsDF(Seq(
+      1L -> "a b c d",       // uniform over 4 -> ln 4
+      2L -> "a a a a",       // single token -> 0
+      3L -> "a a b",         // H = ln 3 - (2 ln 2)/3
+      4L -> "!!!")))         // no tokens -> 0 by guard
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    def rnd6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(rows(0) === ((1L, 4L, 4L, rnd6(math.log(4)))))
+    assert(rows(1) === ((2L, 4L, 1L, 0.0)))
+    assert(rows(2) === ((3L, 3L, 2L, rnd6(math.log(3) - 2 * math.log(2) / 3))))
+    assert(rows(3) === ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("tokenEntropy is bounded by ln(n_distinct) and monotone under flattening") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (1L to 50L).map(i =>
+      i -> Seq.fill(20 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val rows = TextOps.tokenEntropy(docsDF(docs)).collect()
+    rows.foreach { r =>
+      val (nd, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-9,
+        s"doc ${r.getLong(0)}: H=$h outside [0, ln($nd)]")
+    }
+  }
+
   test("tokenRarity: mean corpus frequency per doc, integer division") {
     // cf: a=3, b=1, c=1. doc1 mean = (3+1) div 2 = 2; doc2 = (3+3+1) div 3 = 2;
     // doc3 (only rare tokens) = 1 — the low-mean gibberish signal
