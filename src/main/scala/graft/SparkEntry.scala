@@ -1187,6 +1187,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"), sum("overlap").as("sum_overlap_days"))
         .orderBy("l_suppkey")
     }),
+    "e25_asof_nearest" -> ((s, dir) => {
+      // nearest-direction as-of (pandas merge_asof direction='nearest'):
+      // each purchase matched to its CLOSEST view either side within 2h,
+      // equidistant ties resolving backward — two linear asof passes
+      // (backward + mirrored-time forward), never an inequality-join
+      // product; complements e6 (backward) and e19 (backward+tolerance)
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+      TemporalJoins.asofJoinNearest(purchases, views, key = "user_id",
+          leftTime = "ts_us", rightTime = "ts_us",
+          rightValues = Seq("event_id" -> "view_id"), tolerance = 7200000000L,
+          rightTieBreak = Seq("event_id"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"))
+        .orderBy("purchase_id")
+    }),
     "e24_twap" -> ((s, dir) => {
       // time-weighted average value per user (the TWAP/utilization shape:
       // a reading holds until the next one, so its weight is its holding
@@ -1632,6 +1650,22 @@ object SparkEntry {
       // docs overlapping the (deterministic stand-in) eval slice's shingle
       // universe; eval set broadcast, corpus-side is a semi probe
       TextOps.decontaminate(Tables.documents(s, dir), col("doc_id") % 7 === 0)),
+    "t28_weighted_sample" -> ((s, dir) => {
+      // Efraimidis-Spirakis A-ES weighted sampling bound to the gate:
+      // per-language top-10 by priority u^(1/w), w = token count (longer
+      // docs proportionally likelier — the quality/length-weighted corpus
+      // cut). Content-addressed u and a 1e-9-quantized integer priority
+      // make the one float step (pow) engine-portable; ranks and the
+      // sampled ids are what the oracle hash-checks.
+      val docs = Tables.documents(s, dir).select(
+        col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("w"))
+        .filter(col("w") >= 1)
+      Sampling.weightedSample(docs, strataCol = "lang", keyCol = "doc_id",
+          weightCol = "w", k = 10, seed = 7L)
+        .select(col("lang"), col("doc_id"), col("w"), col("priority_q"), col("stratum_rank"))
+        .orderBy("lang", "stratum_rank")
+    }),
     "t27_token_entropy" -> ((s, dir) => // token-distribution Shannon
       // entropy per doc (nats, 1e-6): the whole-shape information-density
       // signal next to t13's head-share ratios; counts are SORTED before
@@ -2292,6 +2326,34 @@ object SparkEntry {
         |  ON a.l_suppkey = b.l_suppkey AND a.line_id < b.line_id
         | AND a.s_d <= b.e_d AND b.s_d <= a.e_d
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t28_weighted_sample" -> // same A-ES priority math via the shared
+      // hash60 + pow + 1e-9 quantization fragment
+      s"""WITH t AS (SELECT lang, doc_id,
+         |                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                                  x -> x <> ''))::BIGINT AS w
+         |           FROM documents),
+         |p AS (SELECT lang, doc_id, w,
+         |             ${Sampling.weightedPrioritySql("doc_id", "w", seed = 7L)} AS priority_q
+         |      FROM t WHERE w >= 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |                  ORDER BY priority_q DESC, doc_id) AS stratum_rank FROM p)
+         |SELECT lang, doc_id, w, priority_q, stratum_rank::BIGINT AS stratum_rank
+         |FROM r WHERE stratum_rank <= 10 ORDER BY lang, stratum_rank""".stripMargin,
+    "e25_asof_nearest" -> // candidate rank mirror: distance ASC, backward
+      // wins ties (is_bk DESC), same-instant ties to the max view id
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vt, event_id AS view_id
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt
+        |      FROM events WHERE event_type = 'purchase'),
+        |cand AS (SELECT p.purchase_id, p.user_id, v.view_id,
+        |                abs(v.vt - p.pt) AS dist, (v.vt <= p.pt)::INT AS is_bk
+        |         FROM p JOIN v USING (user_id)
+        |         WHERE abs(v.vt - p.pt) <= 7200000000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |                 ORDER BY dist, is_bk DESC, view_id DESC) AS rn FROM cand)
+        |SELECT p.purchase_id, p.user_id, r.view_id
+        |FROM p LEFT JOIN r ON r.purchase_id = p.purchase_id AND r.rn = 1
+        |ORDER BY p.purchase_id""".stripMargin,
     "e24_twap" -> // same permille/millis integer discipline
       """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  round(value * 1000)::BIGINT AS v1000 FROM events),

@@ -117,6 +117,55 @@ object Sampling {
       .filter(col("stratum_rank") <= k)
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * "A-ES"): each row gets priority `u^(1/w)` with `u` uniform in (0, 1],
+    * and the top-`k` by priority IS a weighted sample — inclusion
+    * probability proportional to weight, no sequential reservoir needed,
+    * so the classic streaming algorithm becomes a per-stratum top-k (the
+    * quality-weighted corpus cut: sample documents proportional to length
+    * / quality score / dedup-cluster mass).
+    *
+    * Deterministic + engine-portable, same discipline as [[shuffleKey]]:
+    * `u = (hash60(key#seed) + 1) / 2^60` (content-addressed — retries and
+    * repartitioning cannot change the sample), and the priority is
+    * QUANTIZED to a 1e-9 grain `BIGINT` (`priority_q`) before ranking: the
+    * one float step (`pow`) is not bit-identical across libm
+    * implementations, and the coarse integer grain absorbs last-ulp
+    * differences (a flip needs `pow` results ~1e-16 apart from a rounding
+    * boundary — ~1e-7 probability per row — while quantized ties just fall
+    * to the `key` tie-break). Weights must be positive; rejected row-wise
+    * (`raise_error`), since a zero weight would make `1/w` infinite.
+    *
+    * Scale: one window sort per stratum with the rank cutoff pushed below
+    * the shuffle (WindowGroupLimit) — [[stratifiedSample]]'s plan with a
+    * computed ordering column; nothing corpus-sized survives the cut.
+    */
+  def weightedSample(df: DataFrame, strataCol: String, keyCol: String,
+                     weightCol: String, k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    requireFreshColumn(df, "priority_q", "weightedSample")
+    requireFreshColumn(df, "stratum_rank", "weightedSample")
+    val u = (Hashing.hash60(concat(col(keyCol).cast("string"), lit(s"#$seed"))) + 1)
+      .cast("double") / lit(math.pow(2, 60))
+    val wOk = when(col(weightCol) <= 0,
+        raise_error(format_string(
+          "weightedSample: weight must be positive, got %s", col(weightCol).cast("string"))))
+      .otherwise(col(weightCol).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("priority_q").desc, col(keyCol))
+    df.withColumn("priority_q", round(pow(u, lit(1.0) / wOk) * 1e9).cast("long"))
+      .withColumn("stratum_rank", row_number().over(w).cast("long"))
+      .filter(col("stratum_rank") <= k)
+  }
+
+  /** DuckDB fragment for [[weightedSample]]'s `priority_q` over key
+    * expression `x` and weight expression `wx` — same hash, same 2^60
+    * scale, same 1e-9 quantization.
+    */
+  def weightedPrioritySql(x: String, wx: String, seed: Long): String =
+    s"round(pow((${Hashing.hash60Sql(s"($x)::VARCHAR || '#$seed'")} + 1)::DOUBLE / 1152921504606846976.0, " +
+      s"1.0 / ($wx)::DOUBLE) * 1e9)::BIGINT"
+
   /** `withColumn` silently REPLACES an existing column of the same name —
     * reject appended-name collisions up front (same contract as
     * `TemporalJoins.asofJoin`'s output-name check) instead of quietly

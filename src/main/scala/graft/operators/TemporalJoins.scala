@@ -105,6 +105,56 @@ object TemporalJoins {
       rightValues.map { case (_, out) => col(out) }: _*)
   }
 
+  /** Nearest-direction as-of join (pandas `merge_asof(direction='nearest')`
+    * / polars `strategy='nearest'`): each left row picks up the right row
+    * with the same key whose time is CLOSEST in either direction, within
+    * `tolerance` (inclusive); equidistant candidates resolve BACKWARD
+    * (the at-or-before side — matching the convention that past data is
+    * the safer default for feature joins). Output = left.* plus one column
+    * per `rightValues` entry, null when no right row is in tolerance.
+    *
+    * Composition, not new machinery: one [[asofJoin]] backward pass plus
+    * one on the NEGATED time axis (forward = backward in mirrored time,
+    * with the same max-tie-break-at-equal-instant rule), then a per-row
+    * arbitration on the two carried match times. Two key shuffles total —
+    * still linear in |left| + |right|, never the inequality-join product;
+    * the per-direction semantics (latest-at-or-before / earliest-at-or-
+    * after, ties by `rightTieBreak` maximum) are inherited verbatim, which
+    * is what makes the SQL mirror exact.
+    *
+    * Same null caveat as [[asofJoin]]: null right VALUE columns are
+    * skipped by the underlying `last(ignoreNulls)` — use non-null payloads.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      rightValues: Seq[(String, String)], tolerance: Long,
+                      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(tolerance > 0, s"tolerance must be positive, got $tolerance")
+    require(rightValues.nonEmpty, "asofJoinNearest needs at least one right value column")
+    val reserved = Seq("__bk_t", "__fw_t", "__neg_lt", "__neg_rt")
+    (reserved ++ rightValues.flatMap { case (_, out) => Seq(out + "__bk", out + "__fw") })
+      .foreach(n => require(!left.columns.contains(n),
+        s"asofJoinNearest uses internal column '$n' — rename the colliding left column"))
+    val withB = asofJoin(left, right, key, leftTime, rightTime,
+      rightValues.map { case (c, out) => (c, out + "__bk") } :+ (rightTime -> "__bk_t"),
+      rightTieBreak)
+    val negL = withB.withColumn("__neg_lt", -col(leftTime))
+    val negR = right.withColumn("__neg_rt", -col(rightTime))
+    val withF = asofJoin(negL, negR, key, "__neg_lt", "__neg_rt",
+      rightValues.map { case (c, out) => (c, out + "__fw") } :+ (rightTime -> "__fw_t"),
+      rightTieBreak)
+    val bd = col(leftTime) - col("__bk_t")
+    val fd = col("__fw_t") - col(leftTime)
+    val bOk = col("__bk_t").isNotNull && bd <= tolerance
+    val fOk = col("__fw_t").isNotNull && fd <= tolerance
+    val useB = bOk && (!fOk || bd <= fd) // tie -> backward
+    val outs = rightValues.map { case (_, out) =>
+      when(useB, col(out + "__bk"))
+        .when(fOk, col(out + "__fw")).as(out)
+    }
+    withF.select(left.columns.toSeq.map(col) ++ outs: _*)
+  }
+
   /** Range join: all pairs with equal `key` and
     * `left(leftTime) <= right(rightTime) <= left(leftTime) + window`
     * (both bounds INCLUSIVE). Output = left columns plus right's non-key

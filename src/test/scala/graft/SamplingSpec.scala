@@ -49,6 +49,64 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplits(docs(Seq(1L)), "doc_id", splits = Seq("a'b" -> 1)))
   }
 
+  private def wdocs(rows: Seq[(Long, String, Long)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "lang", "w")
+  }
+
+  test("weightedSample: exactly k per stratum, ranks follow the quantized priorities, reproducible") {
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de", 1L + i % 17))
+    val got = Sampling.weightedSample(wdocs(rows), "lang", "doc_id", "w", k = 7, seed = 3L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.groupBy(_._1).forall(_._2.length === 7))
+    got.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to 7L),
+        "ranks must be dense 1..k")
+      assert(byRank.map(_._3).toSeq === byRank.map(_._3).toSeq.sorted.reverse,
+        "priority must be non-increasing in rank")
+    }
+    val again = Sampling.weightedSample(wdocs(rows), "lang", "doc_id", "w", k = 7, seed = 3L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq.sorted === again.toSeq.sorted)
+  }
+
+  test("weightedSample: inclusion probability grows with weight (A-ES property, across seeds)") {
+    // one heavy doc (w=40) among 40 light docs (w=1): under A-ES its
+    // inclusion probability in a k=5 sample is ~1 - C(40,5)/C(44,5)-ish
+    // (far above the uniform 5/41); count hits across seeds
+    val rows = (1L to 41L).map(i => (i, "en", if (i == 7L) 40L else 1L))
+    val hits = (1L to 30L).count { seed =>
+      Sampling.weightedSample(wdocs(rows), "lang", "doc_id", "w", k = 5, seed = seed)
+        .collect().exists(_.getLong(0) == 7L)
+    }
+    // uniform would hit ~30*5/41 ≈ 3.7; weighted expectation is ~25+
+    assert(hits >= 20, s"heavy doc sampled only $hits/30 times — weighting not effective")
+  }
+
+  test("weightedSample: adding rows never changes an existing row's priority (content-addressed)") {
+    val base = wdocs((1L to 50L).map(i => (i, "en", 3L)))
+    val grown = wdocs((1L to 80L).map(i => (i, "en", 3L)))
+    def prios(df: DataFrame) =
+      Sampling.weightedSample(df, "lang", "doc_id", "w", k = 1000, seed = 9L)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val (p1, p2) = (prios(base), prios(grown))
+    assert(p1.forall { case (id, p) => p2(id) == p })
+  }
+
+  test("weightedSample: non-positive weights raise; column collisions rejected") {
+    intercept[Exception] {
+      Sampling.weightedSample(wdocs(Seq((1L, "en", 0L))), "lang", "doc_id", "w",
+        k = 1, seed = 1L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(
+        wdocs(Seq((1L, "en", 1L))).withColumn("priority_q", org.apache.spark.sql.functions.lit(1L)),
+        "lang", "doc_id", "w", k = 1, seed = 1L)
+    }
+  }
+
   test("appended-column name collisions are rejected, not silently clobbered") {
     val s = spark
     import s.implicits._

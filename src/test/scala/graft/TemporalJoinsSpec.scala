@@ -55,6 +55,63 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got === Map(10L -> Some(1L), 20L -> None))
   }
 
+  private def nearest(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+                      tol: Long) =
+    TemporalJoins.asofJoinNearest(
+      df3(left, "ts", "left_id"), df3(right, "ts", "event_id"),
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      rightValues = Seq("event_id" -> "matched_id"), tolerance = tol,
+      rightTieBreak = Seq("event_id"))
+      .select("left_id", "matched_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("asofJoinNearest picks the closer side; equidistant resolves backward") {
+    val got = nearest(
+      left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 310L, 12L)),
+      right = Seq((1L, 90L, 1L), (1L, 105L, 2L), (1L, 195L, 3L), (1L, 205L, 4L), (1L, 320L, 5L)),
+      tol = 50L)
+    // 10 @100: back 1 @90 (d10) vs fwd 2 @105 (d5) -> forward 2
+    // 11 @200: back 3 @195 (d5) vs fwd 4 @205 (d5) -> tie -> backward 3
+    // 12 @310: back 4 @205 (d105, out) vs fwd 5 @320 (d10) -> forward 5
+    assert(got === Map(10L -> Some(2L), 11L -> Some(3L), 12L -> Some(5L)))
+  }
+
+  test("asofJoinNearest: tolerance is inclusive and binds both directions") {
+    val got = nearest(
+      left = Seq((1L, 100L, 10L), (1L, 300L, 11L)),
+      right = Seq((1L, 50L, 1L), (1L, 360L, 2L)),
+      tol = 50L)
+    // 10 @100: back 1 @50 exactly at tolerance -> matches; fwd 2 @360 far
+    // 11 @300: back 1 @50 (d250) and fwd 2 @360 (d60) both out -> null
+    assert(got === Map(10L -> Some(1L), 11L -> None))
+  }
+
+  test("asofJoinNearest: exact-instant right row wins as backward; same-instant ties -> max id") {
+    val got = nearest(
+      left = Seq((1L, 100L, 10L)),
+      right = Seq((1L, 100L, 3L), (1L, 100L, 8L), (1L, 101L, 9L)),
+      tol = 10L)
+    assert(got === Map(10L -> Some(8L)))
+  }
+
+  test("asofJoinNearest matches a brute-force nearest model on random data") {
+    val rnd = new scala.util.Random(31)
+    val left = (1L to 120L).map(i => (i % 5, rnd.nextInt(2000).toLong, 1000L + i))
+    val right = (1L to 150L).map(i => (i % 5, rnd.nextInt(2000).toLong, i))
+    val tol = 60L
+    val expected = left.map { case (u, lt, lid) =>
+      val cands = right.filter(r => r._1 == u && math.abs(r._2 - lt) <= tol)
+      lid -> (if (cands.isEmpty) None else {
+        // min distance; tie -> backward; same (dist, side) -> max id
+        val best = cands.minBy { case (_, rt, id) =>
+          (math.abs(rt - lt), if (rt <= lt) 0 else 1, -id)
+        }
+        Some(best._3)
+      })
+    }.toMap
+    assert(nearest(left, right, tol) === expected)
+  }
+
   private def range(left: Seq[(Long, Long)], right: Seq[(Long, Long)], w: Long) = {
     val s = spark
     import s.implicits._
