@@ -122,6 +122,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t28: the weighted-sample k-cut is a WindowGroupLimit (partial before the shuffle)") {
+    staticPlan(SparkEntry.queries("t28_weighted_sample")(spark, sf)) { plan =>
+      val s = plan.toString
+      assert(s.contains("WindowGroupLimit"),
+        s"weighted-sample rank<=k not pushed into a group-limit:\n$s")
+    }
+  }
+
+  // the gate queries end in a presentation orderBy (one RANGE exchange);
+  // the claim is about HASH exchanges — the window partitioning must also
+  // serve the downstream aggregate / second window without re-shuffling
+  private def hashExchanges(plan: org.apache.spark.sql.execution.SparkPlan) = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    plan.collectWithSubqueries {
+      case e: ShuffleExchangeLike if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+  }
+
+  test("e24: the TWAP window and the per-user rollup share ONE hash exchange") {
+    staticPlan(SparkEntry.queries("e24_twap")(spark, sf)) { plan =>
+      val ex = hashExchanges(plan)
+      assert(ex.size === 1,
+        s"expected the user_id window partitioning to also serve the aggregate, found ${ex.size} hash exchanges:\n$plan")
+    }
+  }
+
+  test("q31: both SCD2 window passes (lag-compress, lead) share ONE hash exchange") {
+    staticPlan(SparkEntry.queries("q31_scd2_history")(spark, sf)) { plan =>
+      val ex = hashExchanges(plan)
+      assert(ex.size === 1,
+        s"expected one custkey exchange serving both windows, found ${ex.size}:\n$plan")
+    }
+  }
+
   test("runtime bloom filter injects on a selective shuffle join (the 100 TB runtime-filter knob)") {
     // At cluster scale a selective dim filter should prune the fact scan
     // BEFORE the shuffle — Catalyst's InjectRuntimeFilter does that with a
