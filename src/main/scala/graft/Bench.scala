@@ -43,7 +43,17 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev-loop subset, Verify's SPARK_GRAFT_ONLY discipline (the driver
+    // never sets it, so round benches always time the full map); unknown
+    // names fail fast — a typo'd filter timing nothing would "pass"
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     // warmup on the smallest SF: exercises every query's codepath (codegen,
     // parquet readers, GraphX) without contributing to timings
