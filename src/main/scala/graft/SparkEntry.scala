@@ -103,6 +103,15 @@ object SparkEntry {
       // through a 3-degree vertex outweighs one shared through a hub;
       // same wedge machinery and capped-path-exercising maxDegree as g17
       Analytics.adamicAdar(DerivedGraphs.small(s, dir), minCommon = 2, maxDegree = 12)),
+    "g28_topo_layers" -> ((s, dir) => // critical-path schedule depth of a
+      // dependency DAG (longest path ending at each vertex, sources = 0):
+      // iterative max-DP fixpoint, vertex-sized state per round, loud
+      // cycle cap; the DAG is the id-oriented (src < dst) derivation —
+      // acyclic by construction; VALUES oracle from the independent
+      // memoized-DP sequential model (path enumeration in a CTE would be
+      // exponential)
+      Analytics.topoLayers(
+        DerivedGraphs.small(s, dir).filter(col("src") < col("dst")))),
     "g27_ktruss" -> ((s, dir) => // edge-strength community core: the
       // maximal subgraph where every EDGE closes >= k-2 in-subgraph
       // triangles — kCore's peeling refined from vertex degrees to edge
@@ -1186,6 +1195,33 @@ object SparkEntry {
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_pairs"), sum("overlap").as("sum_overlap_days"))
         .orderBy("l_suppkey")
+    }),
+    "e26_ewma" -> ((s, dir) => {
+      // exponentially weighted moving average per user (α = 1/2, seeded
+      // at the first value): the standard feature-smoothing recurrence
+      // s ← (s + v)/2, evaluated as a SEQUENTIAL FOLD over each user's
+      // time-ordered value list — both engines then execute the identical
+      // IEEE add/divide sequence, so the result is bit-reproducible
+      // WITHOUT integer tricks (the fold-order discipline of t27, applied
+      // to a recurrence that has no closed aggregate form). Scale trade,
+      // documented: collect_list makes per-user memory O(events-per-key)
+      // — the honest shape for an order-dependent recurrence (the
+      // alternative, pow-weighted window sums, reintroduces cross-engine
+      // pow and float-sum-order divergence); this corpus holds ≤10³
+      // events/user, and a 100 TB deployment shards the fold by
+      // (user, epoch) exactly like t11's per-shard packing.
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+            col("value").as("v")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("seq"))
+        .select(col("user_id"), size(col("seq")).cast("long").as("n_events"),
+          round(expr(
+            "aggregate(slice(seq, 2, size(seq) - 1), " +
+              "CAST(element_at(seq, 1).v AS DOUBLE), (acc, x) -> (acc + x.v) / 2)"),
+            6).as("ewma_6"))
+        .orderBy("user_id")
     }),
     "e25_asof_nearest" -> ((s, dir) => {
       // nearest-direction as-of (pandas merge_asof direction='nearest'):
@@ -2354,6 +2390,14 @@ object SparkEntry {
         |SELECT p.purchase_id, p.user_id, r.view_id
         |FROM p LEFT JOIN r ON r.purchase_id = p.purchase_id AND r.rn = 1
         |ORDER BY p.purchase_id""".stripMargin,
+    "e26_ewma" -> // same ordered fold: list(... ORDER BY t, i) then
+      // list_reduce seeds with the first element — identical op sequence
+      """WITH l AS (SELECT user_id,
+        |                  list(value ORDER BY epoch_us(ts), event_id) AS vs
+        |           FROM events GROUP BY user_id)
+        |SELECT user_id, len(vs)::BIGINT AS n_events,
+        |       ROUND(list_reduce(vs, (a, b) -> (a + b) / 2), 6) AS ewma_6
+        |FROM l ORDER BY user_id""".stripMargin,
     "e24_twap" -> // same permille/millis integer discipline
       """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  round(value * 1000)::BIGINT AS v1000 FROM events),
@@ -2735,7 +2779,7 @@ object SparkEntry {
     def want(k: String) = selected.forall(_.contains(k))
     val graphKeys =
       Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
-        "g23_partitioned_dfs", "g27_ktruss")
+        "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -2755,6 +2799,16 @@ object SparkEntry {
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
              |FROM (VALUES ${lpa.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
              |ORDER BY vertex""".stripMargin),
+      "g28_topo_layers" -> {
+        val layers = SequentialModel.topoLayers(edges.filter(e => e._1 < e._2))
+          .toSeq.sorted
+        if (layers.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS layer WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS layer
+             |FROM (VALUES ${layers.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
+             |ORDER BY vertex""".stripMargin
+      },
       "g27_ktruss" -> {
         val truss = SequentialModel.kTruss(edges, k = 3).toSeq
           .map { case ((a, b), sp) => (a, b, sp) }.sorted

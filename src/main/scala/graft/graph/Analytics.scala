@@ -337,6 +337,58 @@ object Analytics {
       .orderBy("vertex")
   }
 
+  /** Topological layering of a DAG: `layer(v)` = length of the LONGEST
+    * directed path ending at `v` (sources = 0) — the critical-path
+    * schedule depth of a dependency graph (build systems, lineage DAGs,
+    * pipeline stages): everything in layer L can run once layers < L are
+    * done, and `max(layer)` is the critical-path length. `(vertex, layer)`.
+    *
+    * Iterative max-DP fixpoint (BSP, like [[kCore]]'s waves): per round
+    * each vertex raises its layer to `1 + max(layer(pred))`; converges in
+    * `depth` rounds on a DAG. The input must BE a DAG — acyclicity is the
+    * caller's contract (at scale verifying it is its own computation);
+    * on a cycle the recurrence would climb forever, so the loop is capped
+    * at `maxRounds` and FAILS LOUDLY there instead of spinning — the cap
+    * is a cycle detector of last resort, not a tuning knob.
+    *
+    * Scale: per round one join of the vertex-sized layer relation into
+    * the edge list + a max-aggregate — the BFS/SSSP residency story
+    * (edges traversed once per round, only vertex-sized state exchanges),
+    * checkpointed so lineage stays flat. Not CTE-expressible without
+    * enumerating every path (exponential); the gate uses a VALUES oracle
+    * from [[SequentialModel.topoLayers]], the g8/g14 discipline.
+    */
+  def topoLayers(edges: DataFrame, maxRounds: Int = 200): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("vertex")).union(e.select(col("dst").as("vertex")))
+      .distinct()
+    var layers = verts.withColumn("layer", lit(0L)).localCheckpoint(true)
+    // Σ layer is monotone non-decreasing and bounded on a DAG -> fixpoint
+    var sig = 0L
+    var converged = layers.isEmpty
+    var round = 0
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds,
+        s"topoLayers did not converge in $maxRounds rounds — the input graph almost certainly has a cycle")
+      val cand = e.join(layers.withColumnRenamed("vertex", "src"), "src")
+        .groupBy(col("dst").as("vertex")).agg(max(col("layer") + 1).as("cand"))
+      layers = layers.join(cand, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          greatest(col("layer"), coalesce(col("cand"), lit(0L))).as("layer"))
+        .localCheckpoint(true)
+      val s = layers.agg(sum("layer")).head.getLong(0)
+      converged = s == sig
+      sig = s
+    }
+    layers.orderBy("vertex")
+  }
+
   /** k-truss (k ≥ 3): the maximal subgraph in which every EDGE closes at
     * least `k−2` triangles within the subgraph — the edge-strength
     * refinement of [[kCore]]'s vertex-degree peeling (a k-truss is always

@@ -106,6 +106,42 @@ object SequentialModel {
     supp.filter(_._2 >= k - 2)
   }
 
+  /** Longest-path topological layers of a DAG by memoized DP over
+    * predecessors (explicit stack — the sf0.1 DAG is deeper than the JVM
+    * default). Throws on a cycle (gray-node re-entry), mirroring
+    * `Analytics.topoLayers`' loud non-convergence contract.
+    */
+  def topoLayers(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.filter(e => e._1 != e._2).distinct
+    val preds = es.groupBy(_._2).map { case (v, l) => v -> l.map(_._1) }
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val memo = scala.collection.mutable.Map.empty[Long, Long]
+    val open = scala.collection.mutable.Set.empty[Long] // on stack, preds pending
+    for (v0 <- verts if !memo.contains(v0)) {
+      val stack = scala.collection.mutable.Stack(v0)
+      while (stack.nonEmpty) {
+        val v = stack.top
+        if (memo.contains(v)) { stack.pop(); open -= v }
+        else {
+          val ps = preds.getOrElse(v, Nil)
+          val missing = ps.filterNot(memo.contains)
+          if (missing.isEmpty) {
+            memo(v) = if (ps.isEmpty) 0L else ps.map(memo).max + 1L
+            open -= v
+            stack.pop()
+          } else {
+            // re-reaching an open vertex before its preds resolved = a
+            // predecessor chain loops back to it
+            require(!open.contains(v), "cycle detected in topoLayers input")
+            open += v
+            missing.foreach(stack.push)
+          }
+        }
+      }
+    }
+    memo.toMap
+  }
+
   def labelPropagation(edges: Seq[(Long, Long)], numIter: Int): Map[Long, Long] = {
     val und = edges.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
     val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }

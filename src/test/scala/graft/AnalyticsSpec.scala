@@ -261,6 +261,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("topoLayers: diamond + chain layers are longest-path depths; sources are 0") {
+    // diamond 0->{1,2}->3 plus a long chain 3->4->5: layer = longest path
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 5L)) // shortcut edge must NOT shorten 5's layer (longest, not shortest)
+    val got = Analytics.topoLayers(edgesDF(e)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 0L), (1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)))
+  }
+
+  test("topoLayers: a cycle trips the round cap loudly instead of spinning") {
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.topoLayers(edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 1L))), maxRounds = 10)
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
+  test("topoLayers matches the independent sequential model on random DAGs") {
+    for (seed <- Seq(5, 23)) {
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(200)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))) // orient -> DAG
+      val expected = SequentialModel.topoLayers(edges).toSeq.sorted
+      val got = Analytics.topoLayers(edgesDF(edges)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("kTruss: K4 survives at k=4, a pendant triangle survives only at k=3, bridges never") {
     // K4 on {0,1,2,3} (every edge closes 2 triangles), a pendant triangle
     // {3,4,5} (support 1 each), and a bridge 5-6 (support 0)
