@@ -1196,6 +1196,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"), sum("overlap").as("sum_overlap_days"))
         .orderBy("l_suppkey")
     }),
+    "e27_outliers" -> ((s, dir) => {
+      // 3-sigma anomaly counts per event type with EXACT integer
+      // arithmetic: |v − μ| > 3σ cross-multiplied to
+      // (v·n − S)² > 9·(n·Q − S²) over permille values — no sqrt, no
+      // float mean/variance, so the outlier DECISION is bit-identical on
+      // any engine and any partitioning (a float stddev differs in the
+      // last ulps by sum order, and a borderline event would flip).
+      // DECIMAL(38,0) covers the squared terms to ~1e38 — sufficient
+      // through sf100-scale row counts. Shape: one stats rollup (5 rows)
+      // broadcast back over one scan.
+      Tables.events(s, dir).createOrReplaceTempView("events_o")
+      s.sql(
+        """WITH b AS (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v
+          |           FROM events_o),
+          |st AS (SELECT event_type, COUNT(*) AS n,
+          |              SUM(CAST(v AS DECIMAL(38,0))) AS sv,
+          |              SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS q
+          |       FROM b GROUP BY event_type),
+          |j AS (SELECT b.event_type, b.v, st.n, st.sv, st.q,
+          |             CAST(b.v AS DECIMAL(38,0)) * st.n - st.sv AS d
+          |      FROM b JOIN st USING (event_type))
+          |SELECT event_type, MAX(n) AS n_events,
+          |       SUM(CASE WHEN d * d > 9 * (CAST(n AS DECIMAL(38,0)) * q - sv * sv)
+          |                THEN 1 ELSE 0 END) AS n_outliers,
+          |       SUM(CASE WHEN d * d > 9 * (CAST(n AS DECIMAL(38,0)) * q - sv * sv)
+          |                THEN v END) AS sum_outlier_v1000
+          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     "e26_ewma" -> ((s, dir) => {
       // exponentially weighted moving average per user (α = 1/2, seeded
       // at the first value): the standard feature-smoothing recurrence
@@ -2390,6 +2418,20 @@ object SparkEntry {
         |SELECT p.purchase_id, p.user_id, r.view_id
         |FROM p LEFT JOIN r ON r.purchase_id = p.purchase_id AND r.rn = 1
         |ORDER BY p.purchase_id""".stripMargin,
+    "e27_outliers" -> // same cross-multiplied integer test in HUGEINT
+      """WITH b AS (SELECT event_type, round(value * 1000)::BIGINT AS v FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n, SUM(v::HUGEINT) AS sv,
+        |              SUM(v::HUGEINT * v::HUGEINT) AS q
+        |       FROM b GROUP BY 1),
+        |j AS (SELECT b.event_type, b.v, st.n, st.sv, st.q,
+        |             b.v::HUGEINT * st.n - st.sv AS d
+        |      FROM b JOIN st USING (event_type))
+        |SELECT event_type, MAX(n)::BIGINT AS n_events,
+        |       SUM(CASE WHEN d * d > 9 * (n::HUGEINT * q - sv * sv)
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |       SUM(CASE WHEN d * d > 9 * (n::HUGEINT * q - sv * sv)
+        |                THEN v END)::BIGINT AS sum_outlier_v1000
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "e26_ewma" -> // same ordered fold: list(... ORDER BY t, i) then
       // list_reduce seeds with the first element — identical op sequence
       """WITH l AS (SELECT user_id,
