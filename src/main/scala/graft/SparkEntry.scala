@@ -35,7 +35,14 @@ object SparkEntry {
     * (`secondaryServer.c:313-400`) on the engine's edge-list model.
     */
   def entry(spark: SparkSession): DataFrame =
-    Traversals.bfs(DerivedGraphs.big(spark, "/root/testdata/sf0.001"), start = 0L, maxDepth = 12)
+    // driver smoke contract: flagship BFS at sf0.001. The path is
+    // overridable via -Dgraft.sf.dir (a system property, deliberately
+    // NOT the SPARK_GRAFT_SF_DIR env var — the driver exports that for
+    // Bench, and the smoke check must stay at smoke scale); the default
+    // matches the driver's environment.
+    Traversals.bfs(DerivedGraphs.big(spark,
+        sys.props.getOrElse("graft.sf.dir", "/root/testdata/sf0.001")),
+      start = 0L, maxDepth = 12)
 
   /** The g1/g2 BFS plan, shared so the two queries stay one definition. */
   private def bigBfs(s: SparkSession, dir: String): DataFrame =
