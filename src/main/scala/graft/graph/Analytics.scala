@@ -358,16 +358,39 @@ object Analytics {
     * enumerating every path (exponential); the gate uses a VALUES oracle
     * from [[SequentialModel.topoLayers]], the g8/g14 discipline.
     */
-  def topoLayers(edges: DataFrame, maxRounds: Int = 200): DataFrame = {
+  def topoLayers(edges: DataFrame, maxRounds: Int = 200,
+                 stepsPerRound: Int = 4): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(stepsPerRound >= 1, s"stepsPerRound must be >= 1, got $stepsPerRound")
+    // edge relation hash-partitioned by src ONCE; the layer relation is
+    // kept hash-partitioned by vertex through every round (localCheckpoint
+    // preserves outputPartitioning), so each DP step pays exactly ONE
+    // exchange — the unavoidable edge→dst message shuffle. The pred-join
+    // reuses e's layout and the merge-join reuses the groupBy's: the BFS
+    // residency discipline (partition the big relation once, ship only
+    // vertex-sized state) applied to a DP fixpoint.
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint(true)
     val verts = e.select(col("src").as("vertex")).union(e.select(col("dst").as("vertex")))
       .distinct()
-    var layers = verts.withColumn("layer", lit(0L)).localCheckpoint(true)
+    // one DP step: every vertex raises to 1 + max(layer(pred)); monotone,
+    // so composing it `stepsPerRound` times per MATERIALIZATION preserves
+    // the fixpoint while dividing the materialized-round count (each
+    // materialization is a fixed job-latency cost locally and a stage
+    // barrier + lineage cut on a cluster)
+    def step(ls: DataFrame): DataFrame = {
+      val cand = e.join(ls.withColumnRenamed("vertex", "src"), "src")
+        .groupBy(col("dst").as("vertex")).agg(max(col("layer") + 1).as("cand"))
+      ls.join(cand, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          greatest(col("layer"), coalesce(col("cand"), lit(0L))).as("layer"))
+    }
+    var layers = verts.withColumn("layer", lit(0L))
+      .repartition(col("vertex")).localCheckpoint(true)
     // Σ layer is monotone non-decreasing and bounded on a DAG -> fixpoint
     var sig = 0L
     var converged = layers.isEmpty
@@ -375,12 +398,9 @@ object Analytics {
     while (!converged) {
       round += 1
       require(round <= maxRounds,
-        s"topoLayers did not converge in $maxRounds rounds — the input graph almost certainly has a cycle")
-      val cand = e.join(layers.withColumnRenamed("vertex", "src"), "src")
-        .groupBy(col("dst").as("vertex")).agg(max(col("layer") + 1).as("cand"))
-      layers = layers.join(cand, Seq("vertex"), "left_outer")
-        .select(col("vertex"),
-          greatest(col("layer"), coalesce(col("cand"), lit(0L))).as("layer"))
+        s"topoLayers did not converge in $maxRounds rounds (× $stepsPerRound steps) — " +
+          "the input graph almost certainly has a cycle")
+      layers = Iterator.iterate(layers)(step).drop(stepsPerRound).next()
         .localCheckpoint(true)
       val s = layers.agg(sum("layer")).head.getLong(0)
       converged = s == sig
