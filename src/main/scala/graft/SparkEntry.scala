@@ -1522,6 +1522,20 @@ object SparkEntry {
       EventStreams.viewClickLeftJoin(ev, ev).orderBy("view_id", "click_id")
     }),
 
+    "st14_stream_upsert" -> ((s, dir) => {
+      // the foreachBatch CDC-apply pattern in batch mode: two
+      // deterministic "micro-batches" (event_id parity) folded into a
+      // totals table via delta-aggregate + combine + MERGE per round —
+      // the result must equal the one-shot aggregate (round-trip
+      // identity, p4's discipline), binding the per-batch merge path to
+      // the gate; the real writeStream.foreachBatch execution over split
+      // feeds is asserted in StreamingSpec
+      val ev = Tables.events(s, dir)
+      val t0 = EventStreams.emptyTotals(s)
+      val t1 = EventStreams.upsertTotalsBatch(t0, ev.filter(col("event_id") % 2 === 0))
+      EventStreams.upsertTotalsBatch(t1, ev.filter(col("event_id") % 2 =!= 0))
+        .orderBy("user_id")
+    }),
     "st13_stream_full_join" -> ((s, dir) => {
       // FULL OUTER stream-stream join in batch mode (the fourth join mode
       // after st5/st6/st8): unmatched views AND unmatched clicks both
@@ -2617,6 +2631,10 @@ object SparkEntry {
     "st5_stream_join" -> EventStreams.viewClickJoinSql(),
     "st6_stream_left_join" -> EventStreams.viewClickLeftJoinSql(),
     "st13_stream_full_join" -> EventStreams.viewClickFullJoinSql(),
+    "st14_stream_upsert" -> // round-trip identity: two merged batches
+      // must reproduce the one-shot aggregate
+      """SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_ts_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "st8_stream_static" -> EventStreams.enrichPurchasesSql(),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d2_jaccard_pairs" -> Dedup.jaccardPairsSql(),

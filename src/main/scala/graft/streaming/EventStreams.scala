@@ -431,6 +431,45 @@ object EventStreams {
        |SELECT user_id, MIN(e) AS session_start_us, MAX(e) AS session_end_us, COUNT(*) AS n
        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
 
+  /** One round of the foreachBatch CDC-apply pattern (the Delta/Iceberg
+    * "streaming MERGE" idiom): fold a micro-batch of raw events into a
+    * per-user totals TABLE `(user_id, n_events, last_ts_us)` by computing
+    * the batch's delta aggregate, combining it with the current target's
+    * row (so the change-set carries FINAL values — MERGE is overwrite
+    * semantics, not additive), and applying [[MergeInto.merge]]. The
+    * streaming driver is `writeStream.foreachBatch((b, _) => target =
+    * upsertTotalsBatch(target, b))`; batch mode folds the same function
+    * over deterministic batch splits (the driver's gate, `st14`), and the
+    * real foreachBatch execution over split MemoryStream feeds is
+    * asserted in StreamingSpec.
+    *
+    * Scale shape: the batch delta is micro-batch-sized; the combine join
+    * touches only keys ACTIVE in the batch (left join from the delta);
+    * the merge is MergeInto's one full-outer join, where AQE broadcasts
+    * the change-set side — per-batch cost tracks batch size, not table
+    * size (plus the rewrite, which [[graft.operators.MergeInto.mergeCow]]
+    * bounds to touched partitions on a partitioned target).
+    */
+  def upsertTotalsBatch(target: DataFrame, batch: DataFrame): DataFrame = {
+    val delta = normalized(batch).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("ts_us").as("last_ts_us"))
+    val changes = delta.as("d")
+      .join(target.as("t"), Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        (col("d.n_events") + coalesce(col("t.n_events"), lit(0L))).as("n_events"),
+        greatest(col("d.last_ts_us"), coalesce(col("t.last_ts_us"), lit(Long.MinValue)))
+          .as("last_ts_us"))
+    graft.operators.MergeInto.merge(target, changes, keys = Seq("user_id"))
+  }
+
+  /** Schema-correct empty totals table to bootstrap [[upsertTotalsBatch]]. */
+  def emptyTotals(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("user_id", LongType), StructField("n_events", LongType),
+        StructField("last_ts_us", LongType))))
+  }
+
   /** The production variant of [[runningUserCounts]]: per-user state expires
     * after `idle` of event-time inactivity (`EventTimeTimeout` driven by the
     * watermark), so state size tracks ACTIVE users — on an unbounded stream

@@ -261,6 +261,38 @@ class StreamingSpec extends SparkSpec {
       "no matched pair — inner path not exercised")
   }
 
+  test("foreachBatch streaming MERGE: per-micro-batch upsert table reaches the batch totals") {
+    val s = spark
+    import s.implicits._
+    val events = mkEvents
+    val cut = events.map(_.ts.getTime).sorted.apply(events.size / 2)
+    val (e1, e2) = events.partition(_.ts.getTime < cut)
+    val mem = MemoryStream[Ev](s)
+    // the CDC-apply idiom: each micro-batch folds into the target via
+    // delta + combine + MERGE; localCheckpoint cuts lineage so batch N's
+    // target does not recompute batch N-1's merge
+    var target = EventStreams.emptyTotals(s)
+    val q = mem.toDF().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        target = EventStreams.upsertTotalsBatch(target, b).localCheckpoint(true)
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(e1); q.processAllAvailable()
+      mem.addData(e2); q.processAllAvailable()
+    } finally q.stop()
+    val got = target.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventStreams.upsertTotalsBatch(EventStreams.emptyTotals(s), events.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want && want.nonEmpty)
+    // the per-batch path must actually have UPDATED existing keys (a user
+    // active in both halves), not just inserted
+    val users1 = e1.map(_.user_id).toSet
+    assert(e2.exists(e => users1.contains(e.user_id)),
+      "fixture regression: no user spans both micro-batches")
+  }
+
   test("stream-static broadcast join == batch join") {
     val s = spark
     import s.implicits._
