@@ -193,6 +193,13 @@ object SparkEntry {
       // local clustering coefficient in integer millionths (pure integer
       // division over triangle and degree counts — no float anywhere)
       Analytics.clusteringCoefficient(DerivedGraphs.small(s, dir))),
+    "g29_harmonic" -> ((s, dir) =>
+      // harmonic centrality (disconnection-robust closeness: unreachable
+      // vertices contribute 0 instead of poisoning the ratio), integer
+      // permille, same one-Pregel-run-for-all-seeds machinery as g24 on
+      // a disjoint seed set
+      Analytics.harmonicProfile(DerivedGraphs.small(s, dir),
+        seeds = Seq(10L, 11L, 12L, 13L), maxDepth = 12)),
     "g24_closeness" -> ((s, dir) =>
       // seed-sampled closeness profile: integer (n_reached, sum_dist) per
       // seed, one Pregel BFS each over the shared edge relation; the ratio
@@ -1931,6 +1938,8 @@ object SparkEntry {
          |       COALESCE(out_degree, 0) AS out_degree, COALESCE(in_degree, 0) AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
     "g7_pagerank" -> Analytics.pageRankSql(DerivedGraphs.smallSql, numIter = 10),
+    "g29_harmonic" -> Analytics.harmonicProfileSql(DerivedGraphs.smallSql,
+      seeds = Seq(10L, 11L, 12L, 13L), maxDepth = 12),
     "g24_closeness" -> Analytics.closenessProfileSql(DerivedGraphs.smallSql,
       seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12),
     "g25_clustering_coeff" ->

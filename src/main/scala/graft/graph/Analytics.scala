@@ -868,6 +868,45 @@ object Analytics {
   /** DuckDB mirror: one recursive walk carrying the seed, min level per
     * (seed, vertex), integer rollup.
     */
+  /** Harmonic-centrality profile (Boldi & Vigna 2014, "Axioms for
+    * centrality"): per seed, `Σ 1/d(seed, v)` over reached vertices — the
+    * disconnection-robust closeness ([[closenessProfile]]'s ratio is
+    * undefined/misleading when the graph is not strongly connected, while
+    * unreachable vertices here contribute exactly 0). Reported as the
+    * INTEGER `harmonic_1000 = Σ (1000 div d)` so the oracle compare is
+    * exact — the caller divides by (|V|−1) for the normalized form.
+    * Same one-[[Traversals.landmarkBfs]]-Pregel-run cost as g24: the
+    * whole seed set traverses the edge relation once.
+    */
+  def harmonicProfile(edges: DataFrame, seeds: Seq[Long],
+                      maxDepth: Int = 12): DataFrame = {
+    require(seeds.nonEmpty, "harmonic centrality needs at least one seed")
+    Traversals.landmarkBfs(edges, seeds, maxDepth)
+      .filter(col("vertex") =!= col("seed"))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000 div level")).cast("long").as("harmonic_1000"))
+      .orderBy("seed")
+  }
+
+  /** DuckDB mirror of [[harmonicProfile]] — same hop-bounded BFS closure,
+    * same integer permille sum.
+    */
+  def harmonicProfileSql(edgeSql: String, seeds: Seq[Long],
+                         maxDepth: Int = 12): String = {
+    val seedVals = seeds.distinct.sorted.map(s => s"($s)").mkString(", ")
+    s"""WITH RECURSIVE e AS ($edgeSql),
+       |walk(seed, vertex, level) AS (
+       |  SELECT CAST(s.s AS BIGINT) AS seed, CAST(s.s AS BIGINT) AS vertex, 0 AS level
+       |  FROM (VALUES $seedVals) s(s)
+       |  UNION
+       |  SELECT walk.seed, e.dst, walk.level + 1
+       |  FROM walk JOIN e ON e.src = walk.vertex WHERE walk.level < $maxDepth),
+       |m AS (SELECT seed, vertex, MIN(level) AS level FROM walk GROUP BY seed, vertex)
+       |SELECT seed, COUNT(*) AS n_reached, SUM(1000 // level)::BIGINT AS harmonic_1000
+       |FROM m WHERE vertex <> seed GROUP BY seed ORDER BY seed""".stripMargin
+  }
+
   def closenessProfileSql(edgeSql: String, seeds: Seq[Long],
                           maxDepth: Int = 12): String = {
     val seedVals = seeds.distinct.sorted.map(s => s"($s)").mkString(", ")

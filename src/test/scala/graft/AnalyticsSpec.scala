@@ -261,6 +261,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("harmonicProfile: hand-computed permilles on a path; unreached seeds emit no row") {
+    // 0 -> 1 -> 2: seed 0 reaches 1 at d=1 (1000) and 2 at d=2 (500);
+    // seed 2 reaches nothing -> no output row (harmonic sum over the
+    // empty set — the disconnection-robust convention)
+    val got = Analytics.harmonicProfile(edgesDF(Seq((0L, 1L), (1L, 2L))),
+        seeds = Seq(0L, 2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 2L, 1500L)))
+  }
+
   test("topoLayers: diamond + chain layers are longest-path depths; sources are 0") {
     // diamond 0->{1,2}->3 plus a long chain 3->4->5: layer = longest path
     val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
