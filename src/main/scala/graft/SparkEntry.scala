@@ -193,6 +193,15 @@ object SparkEntry {
       // local clustering coefficient in integer millionths (pure integer
       // division over triangle and degree counts — no float anywhere)
       Analytics.clusteringCoefficient(DerivedGraphs.small(s, dir))),
+    "g30_weighted_pagerank" -> ((s, dir) => // edge-weighted PageRank: the
+      // damped walk follows out-edges proportionally to INTEGER weights
+      // (derived (src+dst)%5+1 — deterministic, 1..5), so the transition
+      // matrix divides exact integers and is engine-identical; same
+      // fixed-iteration contract and unrolled-CTE mirror as g7
+      Analytics.weightedPageRank(
+        DerivedGraphs.small(s, dir)
+          .withColumn("ew0", expr("pmod(src + dst, 5) + 1")),
+        weightCol = "ew0", numIter = 10)),
     "g29_harmonic" -> ((s, dir) =>
       // harmonic centrality (disconnection-robust closeness: unreachable
       // vertices contribute 0 instead of poisoning the ratio), integer
@@ -1938,6 +1947,8 @@ object SparkEntry {
          |       COALESCE(out_degree, 0) AS out_degree, COALESCE(in_degree, 0) AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
     "g7_pagerank" -> Analytics.pageRankSql(DerivedGraphs.smallSql, numIter = 10),
+    "g30_weighted_pagerank" -> Analytics.weightedPageRankSql(DerivedGraphs.smallSql,
+      weightSql = "(src + dst) % 5 + 1", numIter = 10),
     "g29_harmonic" -> Analytics.harmonicProfileSql(DerivedGraphs.smallSql,
       seeds = Seq(10L, 11L, 12L, 13L), maxDepth = 12),
     "g24_closeness" -> Analytics.closenessProfileSql(DerivedGraphs.smallSql,

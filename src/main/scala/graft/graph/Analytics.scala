@@ -133,22 +133,57 @@ object Analytics {
       init = when(col("vertex") === source, lit(1.0)).otherwise(lit(0.0)),
       base = when(col("vertex") === source, lit(0.15)).otherwise(lit(0.0)))
 
-  /** Shared power-iteration loop: rank' = base + 0.85 · Σ inbound rank/deg.
-    * Edges deduped, repartitioned by src once and persisted — each
-    * iteration shuffles only the vertex-sized rank table;
+  /** Edge-weighted PageRank: the damped walk follows each out-edge with
+    * probability PROPORTIONAL TO ITS WEIGHT (`w_e / Σ_out w`) instead of
+    * uniformly — the link-analysis form for interaction graphs where edge
+    * multiplicity/strength matters (co-purchase counts, message volume).
+    * `weightCol` must be an INTEGRAL column on `edges` (enforced): integer
+    * weights make the per-vertex weight total exact, so both engines
+    * divide identical integers and the transition matrix is bit-identical
+    * — a float weight total would differ in final ulps by sum order.
+    * Same fixed-iteration deterministic contract, same plan shape
+    * (weights fold into the precomputed per-edge contribution).
+    */
+  def weightedPageRank(edges: DataFrame, weightCol: String, numIter: Int = 10): DataFrame = {
+    edges.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"weightedPageRank weight column '$weightCol' must be integral, got $dt — " +
+          "scale to integer units first so the transition matrix is engine-exact")
+    }
+    prLoop(edges, numIter, init = lit(1.0), base = lit(0.15), weightCol = Some(weightCol))
+  }
+
+  /** Shared power-iteration loop: rank' = base + 0.85 · Σ inbound rank·w,
+    * with per-edge contribution w = weight / Σ_out weight (uniform 1/deg
+    * when no weight column). Edges deduped, repartitioned by src once and
+    * persisted — each iteration shuffles only the vertex-sized rank table;
     * `localCheckpoint` truncates the iterative lineage.
     */
-  private def prLoop(edges: DataFrame, numIter: Int, init: Column, base: Column): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+  private def prLoop(edges: DataFrame, numIter: Int, init: Column, base: Column,
+                     weightCol: Option[String] = None): DataFrame = {
+    val e = edges.select(
+        Seq(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")) ++
+          weightCol.map(c => col(c).cast("long").as("ew")): _*)
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val v = vertices(e).localCheckpoint(true)
-      val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      // contribution weight per edge is rank-independent: precompute 1/outdeg
-      val weighted = e.join(outdeg, "src")
-        .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+      val v = vertices(e.select("src", "dst")).localCheckpoint(true)
+      // contribution weight per edge is rank-independent: precompute it.
+      // Both branches divide exact integers (count / integral-weight sum),
+      // so the transition matrix is identical on every engine.
+      val weighted = (weightCol match {
+        case None =>
+          val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+          e.join(outdeg, "src").select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+        case Some(_) =>
+          val outw = e.groupBy("src").agg(sum(col("ew")).as("d"))
+          e.join(outw, "src")
+            .select(col("src"), col("dst"),
+              (col("ew").cast("double") / col("d").cast("double")).as("w"))
+      })
         .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
@@ -181,11 +216,27 @@ object Analytics {
       initSql = s"CAST(CASE WHEN vertex = $source THEN 1.0 ELSE 0.0 END AS DOUBLE)",
       baseSql = s"CASE WHEN v.vertex = $source THEN 0.15 ELSE 0.0 END")
 
-  private def prLoopSql(edgeSql: String, numIter: Int, initSql: String, baseSql: String): String = {
+  /** DuckDB oracle for [[weightedPageRank]]: same unrolled CTEs with the
+    * weight-proportional transition matrix; `weightSql` is an integral
+    * expression over (src, dst).
+    */
+  def weightedPageRankSql(edgeSql: String, weightSql: String, numIter: Int = 10): String =
+    prLoopSql(edgeSql, numIter, initSql = "CAST(1.0 AS DOUBLE)", baseSql = "0.15",
+      weightSql = Some(weightSql))
+
+  private def prLoopSql(edgeSql: String, numIter: Int, initSql: String, baseSql: String,
+                        weightSql: Option[String] = None): String = {
     val b = new StringBuilder
-    b ++= s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t),\n"
-    b ++= "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),\n"
-    b ++= "w AS (SELECT src, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS w FROM e),\n"
+    weightSql match {
+      case None =>
+        b ++= s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t),\n"
+        b ++= "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),\n"
+        b ++= "w AS (SELECT src, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS w FROM e),\n"
+      case Some(we) =>
+        b ++= s"WITH e AS (SELECT DISTINCT src, dst, ($we)::BIGINT AS ew FROM ($edgeSql) t),\n"
+        b ++= "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),\n"
+        b ++= "w AS (SELECT src, dst, ew::DOUBLE / (SUM(ew) OVER (PARTITION BY src))::DOUBLE AS w FROM e),\n"
+    }
     b ++= s"r0 AS (SELECT vertex, $initSql AS pr FROM v)"
     for (i <- 1 to numIter) {
       b ++= s",\nr$i AS (SELECT v.vertex, $baseSql + 0.85 * COALESCE(s.m, 0) AS pr FROM v " +

@@ -261,6 +261,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("weightedPageRank: uniform weights reproduce pageRank bit-exactly; skew shifts mass; floats rejected") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val e = edgesDF(Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 0L)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // c/(c·n) divides to the same correctly-rounded double as 1/n, so a
+    // CONSTANT weight must reproduce the uniform walk exactly
+    val base = rows(Analytics.pageRank(e, numIter = 6))
+    val unif = rows(Analytics.weightedPageRank(e.withColumn("ew", lit(7L)), "ew", numIter = 6))
+    assert(unif === base)
+    // skew 0->1 heavily: vertex 1 must outrank vertex 2's share of 0's mass
+    val skewed = Analytics.weightedPageRank(
+      e.withColumn("ew", expr("CASE WHEN src = 0 AND dst = 1 THEN 100 ELSE 1 END")),
+      "ew", numIter = 6).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val even = base.toMap
+    assert(skewed(1L) > even(1L), s"skewed weight did not raise rank(1): $skewed vs $even")
+    intercept[IllegalArgumentException](
+      Analytics.weightedPageRank(e.withColumn("ew", lit(1.5)), "ew", numIter = 3))
+  }
+
   test("harmonicProfile: hand-computed permilles on a path; unreached seeds emit no row") {
     // 0 -> 1 -> 2: seed 0 reaches 1 at d=1 (1000) and 2 at d=2 (500);
     // seed 2 reaches nothing -> no output row (harmonic sum over the
