@@ -1678,6 +1678,11 @@ object SparkEntry {
       // LSH pair graph -> (doc, keeper); closure handles non-transitive
       // near-dup chains
       Dedup.nearDupClusters(Tables.documents(s, dir))),
+    "d15_quality_keepers" -> ((s, dir) => // d6's clusters resolved by the
+      // PRODUCTION keeper policy — most tokens, ties to smaller id —
+      // instead of min-id survivorship; the policy is one map-side argmax
+      // struct-aggregate on top of the cluster labeling
+      Dedup.qualityKeepers(Tables.documents(s, dir))),
     "d12_block_dedup" -> ((s, dir) => // sub-document boilerplate removal
       // (ExactSubstr's scalable block approximation): consecutive 10-token
       // blocks, corpus-wide first occurrence survives; min-struct keeper
@@ -2666,6 +2671,7 @@ object SparkEntry {
     "d4_simhash_pairs" -> Dedup.simHashPairsSql(),
     "d7_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
+    "d15_quality_keepers" -> Dedup.qualityKeepersSql(),
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
     "d10_edit_distance" -> Dedup.lshEditDistancesSql(),
     "d11_containment" -> Dedup.containmentPairsSql(),

@@ -496,6 +496,51 @@ object Dedup {
        |  SELECT r.vertex, ue.b FROM r JOIN ue ON ue.a = r.reach)
        |SELECT vertex AS doc_id, MIN(reach) AS keeper FROM r GROUP BY vertex ORDER BY doc_id""".stripMargin
 
+  /** Near-dup resolution with a QUALITY keeper policy: [[nearDupClusters]]
+    * labels each cluster, but min-id survivorship is an arbitrary choice —
+    * production curation keeps each cluster's BEST member. Policy here:
+    * most tokens, ties to the smaller id (swap in any score column the
+    * same way). One row per cluster:
+    * `(cluster, n_members, keeper_id, keeper_tokens)`.
+    *
+    * Scale shape: the cluster labeling is d6's machinery (corpus work
+    * stays in the banded LSH join, CC runs on the pair graph only); the
+    * policy itself is one argmax struct-aggregate over pair-graph-sized
+    * rows — `max(struct(score, -id, id))` folds map-side, no per-cluster
+    * window sort.
+    */
+  def qualityKeepers(docs: DataFrame, thresholdMille: Int = 500): DataFrame = {
+    val clusters = nearDupClusters(docs, thresholdMille)
+      .select(col("doc_id"), col("keeper").as("cluster"))
+    val toks = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    clusters.join(toks, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_toks"), (-col("doc_id")).as("nid"), col("doc_id").as("id"))).as("m"))
+      .select(col("cluster"), col("n_members"),
+        col("m.id").as("keeper_id"), col("m.n_toks").as("keeper_tokens"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB mirror of [[qualityKeepers]]: the d6 closure nested as a
+    * subquery, same tokenization, rank mirror of the argmax policy.
+    */
+  def qualityKeepersSql(thresholdMille: Int = 500): String =
+    s"""WITH c AS (SELECT doc_id, keeper AS cluster FROM (
+       |${nearDupClustersSql(thresholdMille)}
+       |)),
+       |t AS (SELECT doc_id,
+       |             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_toks
+       |      FROM documents),
+       |j AS (SELECT c.cluster, c.doc_id, t.n_toks FROM c JOIN t USING (doc_id)),
+       |r AS (SELECT cluster, doc_id, n_toks,
+       |             row_number() OVER (PARTITION BY cluster ORDER BY n_toks DESC, doc_id) AS rn,
+       |             COUNT(*) OVER (PARTITION BY cluster) AS n_members
+       |      FROM j)
+       |SELECT cluster, n_members::BIGINT AS n_members, doc_id AS keeper_id, n_toks AS keeper_tokens
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   /** 60-bit SimHash per doc over distinct tokens: bit i of the signature is
     * set iff Σ_tokens (2·bit_i(hash60(token)) - 1) > 0. `(doc_id, simhash)`.
     */

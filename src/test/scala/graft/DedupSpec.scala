@@ -72,6 +72,20 @@ class DedupSpec extends SparkSpec {
     assert(gotChain === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("qualityKeepers picks the LONGEST cluster member, not the min id") {
+    // the chain cluster {10,11,12}: min-id keeper is 10, but 11 and 12
+    // have 6 tokens vs 10's 5 — the quality policy must pick 11 (longest,
+    // tie to the smaller id)
+    val chain = docsDF(Seq(
+      10L -> "a b c d e",
+      11L -> "a b c d e f",
+      12L -> "b c d e f g"))
+    val got = Dedup.qualityKeepers(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((10L, 3L, 11L, 6L)),
+      s"expected cluster 10 with keeper 11 (6 tokens, tie-break beats 12): $got")
+  }
+
   test("prefix filtering loses no pairs vs a brute-force Scala oracle on random docs") {
     // small vocab forces heavy shingle sharing — the hostile case for
     // prefix filtering
