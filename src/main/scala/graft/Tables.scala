@@ -20,21 +20,34 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * outright; read it as a long (legacy conf) and surface a proper
-    * microsecond TIMESTAMP column — the same floor(ns/1000) DuckDB's
-    * `epoch_us` applies, so oracle comparisons stay exact.
+  /** `events.ts` arrives in driver-generation-dependent parquet flavors —
+    * INT64 TIMESTAMP(NANOS) (surfaced as LONG ns via the legacy conf, since
+    * Spark 4 refuses nanos outright) or TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ). Normalize every
+    * flavor to a proper microsecond TIMESTAMP column: under the session's
+    * UTC zone the NTZ→TIMESTAMP cast reinterprets the naive wall-clock as a
+    * UTC instant, which is exactly what DuckDB's `epoch_us` computes on the
+    * same naive value — so oracle comparisons stay micros-exact either way.
     *
-    * The conf is declared in GraftSession.builder; the runtime set here is
-    * a defensive idempotent fallback for driver-provided sessions. Note it
-    * is session-global: after this call, other nanos-ts parquet reads in
-    * the same session also surface LONG (no other such table exists here).
+    * The nanos conf is declared in GraftSession.builder; the runtime set
+    * here is a defensive idempotent fallback for driver-provided sessions.
+    * Note it is session-global: after this call, other nanos-ts parquet
+    * reads in the same session also surface LONG (no other such table
+    * exists here).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // INT64 nanos read as LONG: floor(ns/1000), as epoch_us does
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case dt => throw new IllegalArgumentException(
+        s"events.ts: unsupported parquet surface type $dt — expected LONG ns, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")

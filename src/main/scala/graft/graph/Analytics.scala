@@ -141,6 +141,11 @@ object Analytics {
     * weights make the per-vertex weight total exact, so both engines
     * divide identical integers and the transition matrix is bit-identical
     * — a float weight total would differ in final ulps by sum order.
+    * Weights must be POSITIVE (row-wise enforced — a zero out-weight total
+    * would silently NULL the division and corrupt ranks); parallel
+    * `(src, dst)` edges carrying DISTINCT weights are collapsed by summing
+    * them (multigraph semantics: two links of strength 2 and 3 behave as
+    * one of strength 5), while exact duplicate rows still count once.
     * Same fixed-iteration deterministic contract, same plan shape
     * (weights fold into the precomputed per-edge contribution).
     */
@@ -157,16 +162,29 @@ object Analytics {
 
   /** Shared power-iteration loop: rank' = base + 0.85 · Σ inbound rank·w,
     * with per-edge contribution w = weight / Σ_out weight (uniform 1/deg
-    * when no weight column). Edges deduped, repartitioned by src once and
-    * persisted — each iteration shuffles only the vertex-sized rank table;
-    * `localCheckpoint` truncates the iterative lineage.
+    * when no weight column). Edges deduped — in the weighted branch the
+    * distinct (src, dst, ew) triples are then summed per (src, dst), so the
+    * weight relation is functional in the pair and the docstring's
+    * "deduped" holds for multigraphs too; non-positive or null weights fail
+    * loudly row-wise. Repartitioned by src once and persisted — each
+    * iteration shuffles only the vertex-sized rank table; `localCheckpoint`
+    * truncates the iterative lineage.
     */
   private def prLoop(edges: DataFrame, numIter: Int, init: Column, base: Column,
                      weightCol: Option[String] = None): DataFrame = {
-    val e = edges.select(
+    val distinctRows = edges.select(
         Seq(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")) ++
           weightCol.map(c => col(c).cast("long").as("ew")): _*)
       .distinct()
+    val e = (weightCol match {
+        case None => distinctRows
+        case Some(c) => distinctRows
+          .withColumn("ew",
+            when(col("ew") > 0, col("ew")).otherwise(raise_error(format_string(
+              s"weightedPageRank: weight '$c' must be positive, got %s on edge (%s, %s)",
+              col("ew"), col("src"), col("dst")))))
+          .groupBy("src", "dst").agg(sum(col("ew")).as("ew"))
+      })
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -233,7 +251,8 @@ object Analytics {
         b ++= "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),\n"
         b ++= "w AS (SELECT src, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS w FROM e),\n"
       case Some(we) =>
-        b ++= s"WITH e AS (SELECT DISTINCT src, dst, ($we)::BIGINT AS ew FROM ($edgeSql) t),\n"
+        b ++= s"WITH e AS (SELECT src, dst, SUM(ew) AS ew FROM " +
+          s"(SELECT DISTINCT src, dst, ($we)::BIGINT AS ew FROM ($edgeSql) t) GROUP BY src, dst),\n"
         b ++= "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),\n"
         b ++= "w AS (SELECT src, dst, ew::DOUBLE / (SUM(ew) OVER (PARTITION BY src))::DOUBLE AS w FROM e),\n"
     }
@@ -916,9 +935,6 @@ object Analytics {
       .orderBy("seed")
   }
 
-  /** DuckDB mirror: one recursive walk carrying the seed, min level per
-    * (seed, vertex), integer rollup.
-    */
   /** Harmonic-centrality profile (Boldi & Vigna 2014, "Axioms for
     * centrality"): per seed, `Σ 1/d(seed, v)` over reached vertices — the
     * disconnection-robust closeness ([[closenessProfile]]'s ratio is
@@ -958,6 +974,9 @@ object Analytics {
        |FROM m WHERE vertex <> seed GROUP BY seed ORDER BY seed""".stripMargin
   }
 
+  /** DuckDB mirror of [[closenessProfile]]: one recursive walk carrying the
+    * seed, min level per (seed, vertex), integer rollup.
+    */
   def closenessProfileSql(edgeSql: String, seeds: Seq[Long],
                           maxDepth: Int = 12): String = {
     val seedVals = seeds.distinct.sorted.map(s => s"($s)").mkString(", ")

@@ -135,6 +135,11 @@ object TemporalJoins {
     (reserved ++ rightValues.flatMap { case (_, out) => Seq(out + "__bk", out + "__fw") })
       .foreach(n => require(!left.columns.contains(n),
         s"asofJoinNearest uses internal column '$n' — rename the colliding left column"))
+    // the right side gets its own internal column (the negated time axis);
+    // a pre-existing __neg_rt would be silently replaced by withColumn,
+    // changing the forward pass's join semantics without error
+    require(!right.columns.contains("__neg_rt"),
+      "asofJoinNearest uses internal column '__neg_rt' — rename the colliding right column")
     val withB = asofJoin(left, right, key, leftTime, rightTime,
       rightValues.map { case (c, out) => (c, out + "__bk") } :+ (rightTime -> "__bk_t"),
       rightTieBreak)

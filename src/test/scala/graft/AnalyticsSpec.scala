@@ -279,6 +279,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(skewed(1L) > even(1L), s"skewed weight did not raise rank(1): $skewed vs $even")
     intercept[IllegalArgumentException](
       Analytics.weightedPageRank(e.withColumn("ew", lit(1.5)), "ew", numIter = 3))
+    // non-positive weights fail loudly row-wise instead of silently
+    // NULLing the division (zero out-weight total)
+    val ex = intercept[RuntimeException](
+      Analytics.weightedPageRank(e.withColumn("ew", lit(0L)), "ew", numIter = 2).collect())
+    assert(ex.getMessage.contains("must be positive"))
+    // parallel (src, dst) edges with DISTINCT weights sum (multigraph):
+    // duplicating every edge with weight 2w on top of w must equal one
+    // edge of weight 3w — same transition matrix, bit-identical ranks
+    val tripled = rows(Analytics.weightedPageRank(
+      e.withColumn("ew", lit(7L)).union(e.withColumn("ew", lit(14L))), "ew", numIter = 6))
+    assert(tripled === unif)
   }
 
   test("harmonicProfile: hand-computed permilles on a path; unreached seeds emit no row") {

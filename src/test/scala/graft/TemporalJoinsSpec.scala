@@ -94,6 +94,16 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got === Map(10L -> Some(8L)))
   }
 
+  test("asofJoinNearest rejects a right side carrying the internal __neg_rt column") {
+    val r = df3(Seq((1L, 90L, 1L)), "ts", "event_id")
+      .withColumn("__neg_rt", org.apache.spark.sql.functions.lit(0L))
+    intercept[IllegalArgumentException](
+      TemporalJoins.asofJoinNearest(
+        df3(Seq((1L, 100L, 10L)), "ts", "left_id"), r,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        rightValues = Seq("event_id" -> "matched_id"), tolerance = 10L))
+  }
+
   test("asofJoinNearest matches a brute-force nearest model on random data") {
     val rnd = new scala.util.Random(31)
     val left = (1L to 120L).map(i => (i % 5, rnd.nextInt(2000).toLong, 1000L + i))
