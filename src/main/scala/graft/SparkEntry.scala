@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, SequentialModel, Traversals}
+import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, Motifs, SequentialModel, Traversals}
 import graft.llm.{Dedup, MediaOps, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.operators.{MergeInto, Partitioning, Sessionization, SnapshotDiff, TemporalJoins, Validation}
 import graft.sources.{MatrixFormat, TableFormats}
@@ -141,6 +141,16 @@ object SparkEntry {
       // across engines, so the unrolled-CTE oracle replays the exact
       // walks; ranked adjacency built once, each step joins walkers only
       Traversals.randomWalks(DerivedGraphs.big(s, dir), numSteps = 4, startMod = 100L)),
+    "g31_motif" -> ((s, dir) => // the graph-database pattern-query surface
+      // (GraphFrames-`find` shape): directed triangles via one equi-join
+      // per pattern edge over the deduped edge relation — the closing
+      // (both-endpoints-bound) term is an existence filter that cannot
+      // grow the intermediate; the rotation canonicalization (a = min) is
+      // a caller predicate Catalyst pushes INTO the join chain; DuckDB
+      // mirror is the same chain built from the same greedy join order
+      Motifs.find(DerivedGraphs.small(s, dir), "(a)-(b); (b)-(c); (c)-(a)")
+        .filter(col("a") < col("b") && col("a") < col("c"))
+        .orderBy("a", "b", "c")),
     "g22_bipartite" -> ((s, dir) => // 2-colorability per component via
       // parity-BFS fixpoint: a vertex reachable from its component root
       // with both parities witnesses an odd cycle; state bounded at 2|V|
@@ -1972,6 +1982,8 @@ object SparkEntry {
     "g21_random_walks" ->
       Traversals.randomWalksSql(DerivedGraphs.bigSql, numSteps = 4, startMod = 100L),
     "g22_bipartite" -> Analytics.bipartiteCheckSql(DerivedGraphs.smallSql),
+    "g31_motif" -> Motifs.findSql(DerivedGraphs.smallSql, "(a)-(b); (b)-(c); (c)-(a)",
+      extraWhere = "a < b AND a < c", orderBy = "a, b, c"),
     "g11_scc" -> // SCC = mutual reachability; closure is reflexive (base
       // row (v,v)), so singleton vertices label themselves
       s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),
