@@ -141,6 +141,15 @@ object SparkEntry {
       // across engines, so the unrolled-CTE oracle replays the exact
       // walks; ranked adjacency built once, each step joins walkers only
       Traversals.randomWalks(DerivedGraphs.big(s, dir), numSteps = 4, startMod = 100L)),
+    "g32_betweenness" -> ((s, dir) => // seed-sampled Brandes betweenness
+      // (the most-requested centrality after degree/PageRank): forward
+      // per-level BFS frontiers carrying exact BIGINT path counts, then
+      // dependency back-propagation over the same frontier tables in
+      // reverse — all exchanged state (seed × frontier)-sized; VALUES
+      // oracle from the independent sequential Brandes model (path
+      // counting is not CTE-expressible), same g24/g29 seed discipline
+      Analytics.betweennessProfile(DerivedGraphs.small(s, dir),
+        seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12)),
     "g31_motif" -> ((s, dir) => // the graph-database pattern-query surface
       // (GraphFrames-`find` shape): directed triangles via one equi-join
       // per pattern edge over the deduped edge relation — the closing
@@ -2884,7 +2893,7 @@ object SparkEntry {
     def want(k: String) = selected.forall(_.contains(k))
     val graphKeys =
       Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
-        "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers")
+        "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -2931,6 +2940,16 @@ object SparkEntry {
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(d AS BIGINT) AS core_degree
              |FROM (VALUES ${core.map { case (v, d) => s"($v, $d)" }.mkString(", ")}) AS t(v, d)
              |ORDER BY vertex""".stripMargin),
+      "g32_betweenness" -> {
+        val bc = SequentialModel.betweenness(edges, seeds = Seq(0L, 1L, 2L, 3L),
+          maxDepth = 12).toSeq.sorted
+        if (bc.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS DOUBLE) AS bc_6 WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(d AS DOUBLE) AS bc_6
+             |FROM (VALUES ${bc.map { case (v, d) => s"($v, $d)" }.mkString(", ")}) AS t(v, d)
+             |ORDER BY vertex""".stripMargin
+      },
       "g8_dfs_preorder" ->
         s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(p AS INT) AS pos
            |FROM (VALUES $preVals) AS t(v, p) ORDER BY pos""".stripMargin,

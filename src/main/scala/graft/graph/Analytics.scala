@@ -991,4 +991,93 @@ object Analytics {
        |SELECT seed, COUNT(*) AS n_reached, SUM(level)::BIGINT AS sum_dist
        |FROM m WHERE vertex <> seed GROUP BY seed ORDER BY seed""".stripMargin
   }
+
+  /** Seed-sampled betweenness centrality (Brandes 2001, "A faster algorithm
+    * for betweenness centrality") over the DIRECTED simple graph:
+    * `(vertex BIGINT, bc_6 DOUBLE)` — per-seed dependency accumulation
+    * `δ_s(v) = Σ_{w: v→w, d(w)=d(v)+1} (σ(v)/σ(w))·(1+δ(w))`, summed over
+    * `seeds` and rounded to 1e-6 (the [[pageRank]]
+    * fp-error-below-rounding-grain contract). Only vertices with positive
+    * accumulated dependency appear — the interesting rows, keeping output
+    * seed-set-sized rather than |V|-sized. Exact betweenness divides by the
+    * normalization and sums over ALL sources; seed sampling is the standard
+    * scale form (Brandes & Pich 2007), and the caller picks the seeds just
+    * as in [[closenessProfile]].
+    *
+    * BFS (and therefore the dependency) is hop-bounded at `maxDepth`:
+    * shortest paths longer than the bound contribute nothing, mirrored
+    * exactly by the sequential-model oracle.
+    *
+    * Scale shape: the edge relation is deduped, repartitioned by src and
+    * persisted ONCE; the forward pass grows one frontier per level (σ =
+    * sum of predecessor σ — a grouped aggregation keyed on the frontier
+    * join), the backward pass walks the SAME per-level frontier tables in
+    * reverse with one join + aggregation per level. All exchanged state is
+    * (seed × frontier)-sized; per-level `localCheckpoint` truncates the
+    * iterative lineage exactly like [[pageRank]]'s loop. Σ path counts are
+    * exact BIGINTs; only the final δ ratios are doubles.
+    */
+  def betweennessProfile(edges: DataFrame, seeds: Seq[Long],
+                         maxDepth: Int = 12): DataFrame = {
+    require(seeds.nonEmpty, "betweenness needs at least one seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // forward: per-level frontiers carrying exact shortest-path counts σ
+      var frontier = seeds.distinct.sorted.toDF("seed")
+        .select(col("seed"), col("seed").as("vertex"), lit(1L).as("sigma"))
+        .localCheckpoint(true)
+      var settled = frontier.select("seed", "vertex").localCheckpoint(true)
+      val levels = scala.collection.mutable.ArrayBuffer(frontier)
+      var level = 0
+      var frontierRows = frontier.count()
+      while (frontierRows > 0 && level < maxDepth) {
+        val next = frontier.join(e, frontier("vertex") === e("src"))
+          .groupBy(col("seed"), col("dst").as("vertex"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .join(settled, Seq("seed", "vertex"), "left_anti")
+          .localCheckpoint(true)
+        frontierRows = next.count()
+        if (frontierRows > 0) {
+          settled = settled.union(next.select("seed", "vertex")).localCheckpoint(true)
+          levels += next
+          frontier = next
+        }
+        level += 1
+      }
+      // backward: dependency δ per level, deepest first
+      var delta = levels.last.withColumn("delta", lit(0.0)).localCheckpoint(true)
+      val contributions = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      if (levels.size > 1) contributions += delta.select("seed", "vertex", "delta")
+      for (l <- (levels.size - 2) to 0 by -1) {
+        val succ = delta.select(col("seed"), col("vertex").as("w"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+        val contrib = levels(l).as("f")
+          .join(e, col("f.vertex") === e("src"))
+          .join(succ, col("f.seed") === succ("seed") && col("dst") === succ("w"))
+          .groupBy(col("f.seed").as("seed"), col("f.vertex").as("vertex"))
+          .agg(sum(col("f.sigma").cast("double") / col("sigma_w").cast("double") *
+            (lit(1.0) + col("delta_w"))).as("delta"))
+        delta = levels(l).join(contrib, Seq("seed", "vertex"), "left_outer")
+          .select(col("seed"), col("vertex"), col("sigma"),
+            coalesce(col("delta"), lit(0.0)).as("delta"))
+          .localCheckpoint(true)
+        // level 0 is the seeds themselves: Brandes sums δ(v) only for v ≠ s
+        if (l > 0) contributions += delta.select("seed", "vertex", "delta")
+      }
+      if (contributions.isEmpty)
+        spark.emptyDataset[(Long, Double)].toDF("vertex", "bc_6")
+      else
+        contributions.reduce(_ union _)
+          .groupBy("vertex").agg(round(sum(col("delta")), 6).as("bc_6"))
+          .filter(col("bc_6") > 0)
+          .orderBy("vertex")
+    } finally e.unpersist(blocking = false)
+  }
 }

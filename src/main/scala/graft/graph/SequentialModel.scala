@@ -142,6 +142,50 @@ object SequentialModel {
     memo.toMap
   }
 
+  /** Textbook sequential Brandes for the `g32` VALUES oracle: per seed, a
+    * plain queue BFS (hop-bounded like the distributed operator) counting
+    * shortest paths, then dependency back-propagation in strictly
+    * descending distance order. Shares nothing with
+    * `Analytics.betweennessProfile`'s level-table join plan — an
+    * independent model, not a mirror. Returns vertex → δ-sum rounded
+    * HALF_UP to 1e-6 (the same decimal grain Spark's `round(col, 6)`
+    * applies), positive entries only.
+    */
+  def betweenness(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                  maxDepth: Int): Map[Long, Double] = {
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).distinct.sorted }
+    val bc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- seeds.distinct.sorted) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L).withDefaultValue(0L)
+      val order = scala.collection.mutable.ArrayBuffer(s) // BFS settle order
+      val queue = scala.collection.mutable.Queue(s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        if (dist(v) < maxDepth) adj.getOrElse(v, Nil).foreach { w =>
+          if (!dist.contains(w)) {
+            dist(w) = dist(v) + 1
+            order += w
+            queue += w
+          }
+          if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+        }
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      order.reverseIterator.foreach { v =>
+        adj.getOrElse(v, Nil).foreach { w =>
+          if (dist.get(w).contains(dist(v) + 1))
+            delta(v) += sigma(v).toDouble / sigma(w).toDouble * (1.0 + delta(w))
+        }
+        if (v != s) bc(v) += delta(v)
+      }
+    }
+    bc.iterator.map { case (v, d) =>
+      v -> BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter(_._2 > 0).toMap
+  }
+
   def labelPropagation(edges: Seq[(Long, Long)], numIter: Int): Map[Long, Long] = {
     val und = edges.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
     val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }

@@ -292,6 +292,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(tripled === unif)
   }
 
+  test("betweennessProfile: path, star, and bridge hand-checks") {
+    def bc(edges: Seq[(Long, Long)], seeds: Seq[Long]) =
+      Analytics.betweennessProfile(edgesDF(edges), seeds)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // directed path 0->1->2->3, all seeds: δ from 0: v1 gets (1+δ2)=2, v2
+    // gets 1; from 1: v2 gets 1; from 2,3: nothing downstream of interior
+    assert(bc(Seq((0L, 1L), (1L, 2L), (2L, 3L)), Seq(0L, 1L, 2L, 3L))
+      === Map(1L -> 2.0, 2L -> 2.0))
+    // out-star from center 9: leaves are endpoints only — no betweenness
+    assert(bc(Seq((9L, 1L), (9L, 2L), (9L, 3L)), Seq(9L, 1L, 2L, 3L)) === Map.empty)
+    // diamond + tail 0->{1,2}->3->4: from seed 0, σ(3)=2 so
+    // δ(3)=(2/2)(1+0)=1 and each of 1,2 gets (1/2)(1+δ(3))=1;
+    // adding seed 1 contributes δ(3)=1 more via 1->3->4
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(bc(g, Seq(0L)) === Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    assert(bc(g, Seq(0L, 1L)) === Map(1L -> 1.0, 2L -> 1.0, 3L -> 2.0))
+  }
+
+  test("betweennessProfile: agrees with the sequential Brandes model on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val seeds = Seq(0L, 1L, 2L)
+      val got = Analytics.betweennessProfile(edgesDF(edges), seeds, maxDepth = 12)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val want = SequentialModel.betweenness(edges, seeds, maxDepth = 12)
+      assert(got === want, s"trial $trial diverged on edges $edges")
+    }
+  }
+
+  test("betweennessProfile: maxDepth truncates dependency beyond the bound") {
+    // path 0->1->2->3 with maxDepth=2: seed 0 reaches 1,2 only; δ(1)=2, δ(2)=0...
+    // model mirrors the same bound, so just cross-check
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = Analytics.betweennessProfile(edgesDF(e), Seq(0L), maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === SequentialModel.betweenness(e, Seq(0L), maxDepth = 2))
+    assert(got === Map(1L -> 1.0)) // 2 is reached but contributes only as endpoint
+  }
+
   test("harmonicProfile: hand-computed permilles on a path; unreached seeds emit no row") {
     // 0 -> 1 -> 2: seed 0 reaches 1 at d=1 (1000) and 2 at d=2 (500);
     // seed 2 reaches nothing -> no output row (harmonic sum over the
