@@ -102,14 +102,19 @@ object SparkEntry {
       Analytics.hits(DerivedGraphs.small(s, dir), numIter = 5)),
     "g17_common_neighbors" -> ((s, dir) => // link prediction: non-adjacent
       // pairs sharing >=2 neighbors via center-out wedge enumeration; the
-      // super-hub degree cap is set BELOW this graph's max degree (16) so
-      // the gate exercises the capped path, not a vacuous guard
-      Analytics.commonNeighbors(DerivedGraphs.small(s, dir), minCommon = 2, maxDegree = 12)),
+      // super-hub center cap is the p95 of the degree DISTRIBUTION — below
+      // the max degree at every sf (capped path exercised, not a vacuous
+      // guard) yet tracking density, so the rows stay non-vacuous on the
+      // 10x-denser sf0.1 graph where the old fixed cap excluded nearly
+      // every center
+      Analytics.commonNeighbors(DerivedGraphs.small(s, dir), minCommon = 2,
+        capPercentile = Some(95))),
     "g20_adamic_adar" -> ((s, dir) => // g17's counts weighted by center
       // rarity (1/ln deg — the Adamic-Adar index): a neighbor shared
       // through a 3-degree vertex outweighs one shared through a hub;
-      // same wedge machinery and capped-path-exercising maxDegree as g17
-      Analytics.adamicAdar(DerivedGraphs.small(s, dir), minCommon = 2, maxDegree = 12)),
+      // same wedge machinery and adaptive p95 center cap as g17
+      Analytics.adamicAdar(DerivedGraphs.small(s, dir), minCommon = 2,
+        capPercentile = Some(95))),
     "g28_topo_layers" -> ((s, dir) => // critical-path schedule depth of a
       // dependency DAG (longest path ending at each vertex, sources = 0):
       // iterative max-DP fixpoint, vertex-sized state per round, loud
@@ -134,7 +139,8 @@ object SparkEntry {
       // link prediction toward low-degree pairs — ten shared neighbors
       // between 12-degree vertices is near-certain linkage, between hubs
       // it's noise; same capped wedge machinery, full-degree denominator
-      Analytics.neighborJaccard(DerivedGraphs.small(s, dir), minCommon = 2, maxDegree = 12)),
+      Analytics.neighborJaccard(DerivedGraphs.small(s, dir), minCommon = 2,
+        capPercentile = Some(95))),
     "g21_random_walks" -> ((s, dir) => // node2vec/DeepWalk sampling
       // primitive: per-start deterministic walks whose next-hop is an
       // md5-derived function of (start, step, vertex) — reproducible
@@ -1980,14 +1986,17 @@ object SparkEntry {
     "g25_clustering_coeff" ->
       Analytics.clusteringCoefficientSql(DerivedGraphs.smallSql),
     "g17_common_neighbors" ->
-      Analytics.commonNeighborsSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
+      Analytics.commonNeighborsSql(DerivedGraphs.smallSql, minCommon = 2,
+        capPercentile = Some(95)),
     "g26_neighbor_jaccard" ->
-      Analytics.neighborJaccardSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
+      Analytics.neighborJaccardSql(DerivedGraphs.smallSql, minCommon = 2,
+        capPercentile = Some(95)),
     "g18_personalized_pagerank" ->
       Analytics.personalizedPageRankSql(DerivedGraphs.smallSql, source = 0L, numIter = 10),
     "g19_hits" -> Analytics.hitsSql(DerivedGraphs.smallSql, numIter = 5),
     "g20_adamic_adar" ->
-      Analytics.adamicAdarSql(DerivedGraphs.smallSql, minCommon = 2, maxDegree = 12),
+      Analytics.adamicAdarSql(DerivedGraphs.smallSql, minCommon = 2,
+        capPercentile = Some(95)),
     "g21_random_walks" ->
       Traversals.randomWalksSql(DerivedGraphs.bigSql, numSteps = 4, startMod = 100L),
     "g22_bipartite" -> Analytics.bipartiteCheckSql(DerivedGraphs.smallSql),

@@ -688,7 +688,43 @@ object Analytics {
     * orientation). The wedge shuffle carries only id pairs; the anti-join
     * against the edge list removes already-connected pairs.
     */
-  def commonNeighbors(edges: DataFrame, minCommon: Int = 3, maxDegree: Int = 64): DataFrame = {
+  /** The wedge-center degree cap, either fixed (`maxDegree`) or ADAPTIVE:
+    * `capPercentile = Some(p)` sizes the cap from the degree distribution —
+    * cap = min d such that (#vertices with degree ≤ d)·100 ≥ |V|·p — so the
+    * same gate parameters stay non-vacuous as the graph densifies (a fixed
+    * cap tuned at sf0.01 excludes almost every center of the 10×-denser
+    * sf0.1 graph). Pure integer arithmetic over the (≤ max-degree)-row
+    * distinct-degree table, mirrored verbatim in SQL; the single-partition
+    * window and the broadcast of the 1-row cap are bounded by the degree
+    * VALUE range, not |V|.
+    */
+  private def cappedCenters(deg: DataFrame, maxDegree: Int,
+                            capPercentile: Option[Int]): DataFrame =
+    capPercentile match {
+      case None => deg.filter(col("d") <= maxDegree)
+      case Some(p) =>
+        require(p >= 1 && p <= 100, s"capPercentile must be in 1..100, got $p")
+        val dd = deg.groupBy("d").agg(count(lit(1)).as("n"))
+        val cum = dd.withColumn("cum",
+          sum("n").over(org.apache.spark.sql.expressions.Window.orderBy("d")))
+        val tot = deg.agg(count(lit(1)).as("tot"))
+        val cap = cum.crossJoin(tot).filter(col("cum") * 100 >= col("tot") * p)
+          .agg(min(col("d")).as("cap"))
+        deg.crossJoin(broadcast(cap)).filter(col("d") <= col("cap"))
+          .select("c", "d")
+    }
+
+  /** SQL fragment mirroring [[cappedCenters]]'s adaptive cap: CTEs `dd`,
+    * `cum`, `cap` over an existing `deg(c, d)` CTE; the center filter is
+    * `deg.d <= (SELECT cap FROM cap)`.
+    */
+  private def capSql(p: Int): String =
+    s"""dd AS (SELECT d, COUNT(*) AS n FROM deg GROUP BY d),
+       |cum AS (SELECT d, SUM(n) OVER (ORDER BY d) AS cum_n, (SELECT COUNT(*) FROM deg) AS tot FROM dd),
+       |cap AS (SELECT MIN(d) AS cap FROM cum WHERE cum_n * 100 >= tot * $p)""".stripMargin
+
+  def commonNeighbors(edges: DataFrame, minCommon: Int = 3, maxDegree: Int = 64,
+                      capPercentile: Option[Int] = None): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -697,7 +733,7 @@ object Analytics {
     val adj = und.select(col("a").as("c"), col("b").as("leaf"))
       .union(und.select(col("b").as("c"), col("a").as("leaf")))
     val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
-    val ctr = adj.join(deg.filter(col("d") <= maxDegree), "c")
+    val ctr = adj.join(cappedCenters(deg, maxDegree, capPercentile), "c")
     ctr.as("x")
       .join(ctr.as("y"), col("x.c") === col("y.c") && col("x.leaf") < col("y.leaf"))
       .select(col("x.leaf").as("a"), col("y.leaf").as("b"))
@@ -802,7 +838,8 @@ object Analytics {
     * term the estimator weights least. Every wedge carries the center's
     * degree with it, so the score needs no extra join.
     */
-  def adamicAdar(edges: DataFrame, minCommon: Int = 2, maxDegree: Int = 64): DataFrame = {
+  def adamicAdar(edges: DataFrame, minCommon: Int = 2, maxDegree: Int = 64,
+                 capPercentile: Option[Int] = None): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -811,7 +848,7 @@ object Analytics {
     val adj = und.select(col("a").as("c"), col("b").as("leaf"))
       .union(und.select(col("b").as("c"), col("a").as("leaf")))
     val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
-    val ctr = adj.join(deg.filter(col("d") <= maxDegree), "c")
+    val ctr = adj.join(cappedCenters(deg, maxDegree, capPercentile), "c")
     ctr.as("x")
       .join(ctr.as("y"), col("x.c") === col("y.c") && col("x.leaf") < col("y.leaf"))
       // a center forming a wedge has >= 2 distinct leaves, so d >= 2 and
@@ -825,13 +862,16 @@ object Analytics {
       .orderBy("a", "b")
   }
 
-  /** DuckDB mirror of [[adamicAdar]] — same wedge enumeration, weights, cap. */
-  def adamicAdarSql(edgeSql: String, minCommon: Int = 2, maxDegree: Int = 64): String =
+  /** DuckDB mirror of [[adamicAdar]] — same wedge enumeration, weights, cap
+    * (fixed or adaptive-percentile, matching the DataFrame side).
+    */
+  def adamicAdarSql(edgeSql: String, minCommon: Int = 2, maxDegree: Int = 64,
+                    capPercentile: Option[Int] = None): String =
     s"""WITH e AS ($edgeSql),
        |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
        |adj AS (SELECT a AS c, b AS leaf FROM und UNION ALL SELECT b, a FROM und),
        |deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
-       |ctr AS (SELECT adj.c, adj.leaf, deg.d FROM adj JOIN deg ON deg.c = adj.c WHERE deg.d <= $maxDegree),
+       |${capPercentile.map(p => capSql(p) + ",\n").getOrElse("")}ctr AS (SELECT adj.c, adj.leaf, deg.d FROM adj JOIN deg ON deg.c = adj.c WHERE deg.d <= ${capPercentile.map(_ => "(SELECT cap FROM cap)").getOrElse(maxDegree.toString)}),
        |p AS (SELECT x.leaf AS a, y.leaf AS b, COUNT(*) AS n_common,
        |             SUM(1.0 / ln(CAST(x.d AS DOUBLE))) AS aa
        |      FROM ctr x JOIN ctr y ON x.c = y.c AND x.leaf < y.leaf
@@ -857,7 +897,8 @@ object Analytics {
     * — uncapped, from the vertex-sized degree relation joined twice
     * (broadcast-scale at any corpus size: |V| rows of (id, int)).
     */
-  def neighborJaccard(edges: DataFrame, minCommon: Int = 3, maxDegree: Int = 64): DataFrame = {
+  def neighborJaccard(edges: DataFrame, minCommon: Int = 3, maxDegree: Int = 64,
+                      capPercentile: Option[Int] = None): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -866,7 +907,7 @@ object Analytics {
     val adj = und.select(col("a").as("c"), col("b").as("leaf"))
       .union(und.select(col("b").as("c"), col("a").as("leaf")))
     val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
-    val ctr = adj.join(deg.filter(col("d") <= maxDegree), "c")
+    val ctr = adj.join(cappedCenters(deg, maxDegree, capPercentile), "c")
     ctr.as("x")
       .join(ctr.as("y"), col("x.c") === col("y.c") && col("x.leaf") < col("y.leaf"))
       .select(col("x.leaf").as("a"), col("y.leaf").as("b"))
@@ -883,12 +924,13 @@ object Analytics {
   /** DuckDB mirror of [[neighborJaccard]] — same cap, wedges, anti-join,
     * and full-degree union denominator.
     */
-  def neighborJaccardSql(edgeSql: String, minCommon: Int = 3, maxDegree: Int = 64): String =
+  def neighborJaccardSql(edgeSql: String, minCommon: Int = 3, maxDegree: Int = 64,
+                         capPercentile: Option[Int] = None): String =
     s"""WITH e AS ($edgeSql),
        |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
        |adj AS (SELECT a AS c, b AS leaf FROM und UNION ALL SELECT b, a FROM und),
        |deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
-       |ctr AS (SELECT adj.c, adj.leaf FROM adj JOIN deg ON deg.c = adj.c WHERE deg.d <= $maxDegree),
+       |${capPercentile.map(p => capSql(p) + ",\n").getOrElse("")}ctr AS (SELECT adj.c, adj.leaf FROM adj JOIN deg ON deg.c = adj.c WHERE deg.d <= ${capPercentile.map(_ => "(SELECT cap FROM cap)").getOrElse(maxDegree.toString)}),
        |p AS (SELECT x.leaf AS a, y.leaf AS b, COUNT(*) AS n_common
        |      FROM ctr x JOIN ctr y ON x.c = y.c AND x.leaf < y.leaf
        |      GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon)
@@ -901,12 +943,13 @@ object Analytics {
   /** DuckDB mirror of [[commonNeighbors]] over the edge derivation
     * `edgeSql` — same degree cap, same wedge enumeration, same anti-join.
     */
-  def commonNeighborsSql(edgeSql: String, minCommon: Int = 3, maxDegree: Int = 64): String =
+  def commonNeighborsSql(edgeSql: String, minCommon: Int = 3, maxDegree: Int = 64,
+                         capPercentile: Option[Int] = None): String =
     s"""WITH e AS ($edgeSql),
        |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
        |adj AS (SELECT a AS c, b AS leaf FROM und UNION ALL SELECT b, a FROM und),
        |deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
-       |ctr AS (SELECT adj.c, adj.leaf FROM adj JOIN deg ON deg.c = adj.c WHERE deg.d <= $maxDegree),
+       |${capPercentile.map(p => capSql(p) + ",\n").getOrElse("")}ctr AS (SELECT adj.c, adj.leaf FROM adj JOIN deg ON deg.c = adj.c WHERE deg.d <= ${capPercentile.map(_ => "(SELECT cap FROM cap)").getOrElse(maxDegree.toString)}),
        |p AS (SELECT x.leaf AS a, y.leaf AS b, COUNT(*) AS n_common
        |      FROM ctr x JOIN ctr y ON x.c = y.c AND x.leaf < y.leaf
        |      GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon)

@@ -292,6 +292,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(tripled === unif)
   }
 
+  test("commonNeighbors: adaptive percentile cap equals the fixed cap at the model-computed value") {
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(80)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    // model: undirected simple degrees, cap = min d with cum*100 >= tot*p
+    val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val degs = (und ++ und.map(_.swap)).groupBy(_._1).map(_._2.size).toSeq.sorted
+    val p = 80
+    val cap = degs.find(d => degs.count(_ <= d) * 100 >= degs.size * p).get
+    assert(cap < degs.max, "test graph too uniform — cap must exercise the capped path")
+    val adaptive = Analytics.commonNeighbors(edgesDF(edges), minCommon = 2,
+      capPercentile = Some(p)).collect().map(_.toSeq).toSeq
+    val fixed = Analytics.commonNeighbors(edgesDF(edges), minCommon = 2,
+      maxDegree = cap).collect().map(_.toSeq).toSeq
+    assert(adaptive === fixed)
+  }
+
   test("betweennessProfile: path, star, and bridge hand-checks") {
     def bc(edges: Seq[(Long, Long)], seeds: Seq[Long]) =
       Analytics.betweennessProfile(edgesDF(edges), seeds)
