@@ -214,6 +214,37 @@ object SparkEntry {
       put("odd", e.filter(col("src") % 2 === 1))
       cat.bfsPartitioned("even", start = 0L, maxDepth = 12)
     }),
+    "g33_edge_upsert" -> ((s, dir) => {
+      // edge-level graph mutation bound to the CoW MERGE: build the even
+      // graph, upsert a change-set (delete every dst%3==0 edge, insert a
+      // fresh 2-edge chain from the BFS root), then traverse the MUTATED
+      // graph — exercising mutate→read end to end. graph_name is both
+      // partition column and merge key, so only this graph's partition is
+      // rewritten (the sibling graph's bytes are asserted stable in
+      // GraphCatalogSpec). Oracle: recursive-CTE BFS over the identical
+      // delete/insert derivation. Fixed per-process dir; reps reset the
+      // graph through the modify path, so the mutation is idempotent.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-gups-${ProcessHandle.current().pid()}"))
+      java.nio.file.Files.createDirectories(root)
+      val cat = new GraphCatalog(s, root.resolve("pgraphs").toString)
+      val e = DerivedGraphs.small(s, dir)
+      def put(name: String, df: DataFrame): Unit =
+        if (cat.existsPartitioned(name)) cat.modifyGraphPartitioned(name, df)
+        else cat.addGraphPartitioned(name, df)
+      put("mut", e.filter(col("src") % 2 === 0))
+      put("other", e.filter(col("src") % 2 === 1))
+      val dels = e.filter(col("src") % 2 === 0 && col("dst") % 3 === 0)
+        .select(col("src"), col("dst"), lit(true).as("is_delete"))
+      val ins = s.createDataFrame(Seq((0L, 1498L, false), (1498L, 1496L, false)))
+        .toDF("src", "dst", "is_delete")
+        // keep the change-set key-unique: an inserted pair may already be a
+        // deleted pair's key in the derived graph
+        .join(dels.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      cat.upsertEdges("mut", dels.unionByName(ins), Some("is_delete"))
+      cat.bfsPartitioned("mut", start = 0L, maxDepth = 12)
+    }),
     "g25_clustering_coeff" -> ((s, dir) =>
       // local clustering coefficient in integer millionths (pure integer
       // division over triangle and degree counts — no float anywhere)
@@ -2663,6 +2694,18 @@ object SparkEntry {
         |FROM d ORDER BY day""".stripMargin,
     "g16_partitioned_bfs" ->
       s"""WITH RECURSIVE e AS (SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 2 = 0),
+         |walk(vertex, level) AS (
+         |  SELECT CAST(0 AS BIGINT) AS vertex, 0 AS level
+         |  UNION
+         |  SELECT e.dst, walk.level + 1 FROM walk JOIN e ON e.src = walk.vertex WHERE walk.level < 12)
+         |SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex ORDER BY level, vertex""".stripMargin,
+    "g33_edge_upsert" -> // the same delete/insert derivation applied in SQL:
+      // even graph minus dst%3==0 edges plus the literal 2-edge chain,
+      // then g16's recursive-CTE BFS from 0
+      s"""WITH RECURSIVE e AS (
+         |  SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 2 = 0 AND dst % 3 <> 0
+         |  UNION
+         |  SELECT CAST(v.s AS BIGINT), CAST(v.d AS BIGINT) FROM (VALUES (0, 1498), (1498, 1496)) v(s, d)),
          |walk(vertex, level) AS (
          |  SELECT CAST(0 AS BIGINT) AS vertex, 0 AS level
          |  UNION

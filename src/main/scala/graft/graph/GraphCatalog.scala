@@ -223,6 +223,51 @@ class GraphCatalog(spark: SparkSession, root: String) {
     else vertexSetOf(graphPartitioned(name), None)
   }
 
+  /** Edge-level mutation over the partitioned layout — the row-level upsert
+    * the reference's whole-graph overwrite (`primaryServer.c:40-63`) cannot
+    * express, bound to the engine's copy-on-write MERGE
+    * ([[graft.operators.MergeInto.mergeCow]]): `changes` is a change-set of
+    * `(src, dst)` edge rows, plus — when `deleteCol` is given — a BOOLEAN
+    * flag marking edges to remove. Insert-if-absent / delete-if-present /
+    * no-op otherwise; edges carry no data columns, so "matched update" is
+    * the identity.
+    *
+    * CoW shape: `graph_name` is both the partition column and a merge key,
+    * so mergeCow's touched-partition discovery is FREE (no target scan) and
+    * exactly ONE partition — this graph's — is read, merged, and rewritten;
+    * every other graph's files stay byte-identical on disk (asserted in
+    * `GraphCatalogSpec`). The graph's vertex partition is then refreshed to
+    * old set ∪ new edge endpoints (edge deletion never drops vertices —
+    * the standard property-graph convention; an explicitly-registered
+    * isolated vertex survives any mutation).
+    *
+    * Contract (inherited from mergeCow): `changes` is key-unique per
+    * (src, dst) with non-null endpoints.
+    */
+  def upsertEdges(name: String, changes: DataFrame,
+                  deleteCol: Option[String] = None): Unit = {
+    validateName(name)
+    if (!existsPartitioned(name)) throw new AnalysisException(
+      errorClass = "TABLE_OR_VIEW_NOT_FOUND", messageParameters = Map("relationName" -> s"`$name`"))
+    val source = changes.select(
+      Seq(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")) ++
+        deleteCol.map(d => col(d).cast("boolean").as(d)): _*)
+      .withColumn("graph_name", lit(name))
+    graft.operators.MergeInto.mergeCow(spark, partEdgesTable, source,
+      keys = Seq("src", "dst", "graph_name"), partCol = "graph_name", deleteCol)
+    // refresh the vertex partition: old set ∪ post-merge edge endpoints,
+    // materialized BEFORE the path it reads from is deleted/overwritten
+    val refreshed = verticesPartitioned(name)
+      .union(vertexSetOf(graphPartitioned(name), None))
+      .distinct()
+      .localCheckpoint(true)
+    fs.delete(partDir(partVerticesTable, name), true)
+    refreshed.withColumn("graph_name", lit(name))
+      .write.partitionBy("graph_name")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(partVerticesTable)
+  }
+
   /** Traversal API over the partitioned layout — same semantics (and the
     * same start-vertex validation) as the per-directory [[bfs]]/[[dfs]];
     * the edge scan partition-prunes to the named graph.

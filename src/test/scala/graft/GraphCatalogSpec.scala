@@ -106,6 +106,52 @@ class GraphCatalogSpec extends SparkSpec {
     assert(vertexSet(cat.verticesPartitioned("pa"), "id") === Set(9L))
   }
 
+  test("upsertEdges: insert/delete semantics; untouched graph's files byte-identical") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-cat-ups")
+    val cat = new GraphCatalog(spark, root.toString)
+    cat.addGraphPartitioned("mut", edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L))))
+    cat.addGraphPartitioned("bystander", edgesDF(Seq((7L, 8L), (8L, 9L))))
+    def snapshot(sub: String): Map[String, (Long, Long, String)] = {
+      val dir = root.resolve(sub)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val stream = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val bytes = Files.readAllBytes(p)
+            dir.relativize(p).toString ->
+              ((bytes.length.toLong, Files.getLastModifiedTime(p).toMillis,
+                md.digest(bytes).map("%02x".format(_)).mkString))
+          }.toMap
+      } finally stream.close()
+    }
+    val before = snapshot("_edges_by_graph/graph_name=bystander")
+    assert(before.nonEmpty)
+    // delete 2->3, insert 4->5 and a no-op re-insert of 1->2
+    val changes = Seq((2L, 3L, true), (4L, 5L, false), (1L, 2L, false))
+      .toDF("src", "dst", "is_delete")
+    cat.upsertEdges("mut", changes, Some("is_delete"))
+    assert(cat.graphPartitioned("mut").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L), (3L, 4L), (4L, 5L)))
+    // vertex set: old endpoints survive edge deletion; new endpoint joins
+    assert(vertexSet(cat.verticesPartitioned("mut"), "id") === Set(1L, 2L, 3L, 4L, 5L))
+    // the sibling graph's partition: same files, same bytes, same mtimes
+    assert(snapshot("_edges_by_graph/graph_name=bystander") === before,
+      "bystander graph files must survive the upsert byte-identical")
+    // traverse the mutated graph end to end
+    assert(vertexLevels(cat.bfsPartitioned("mut", 3L)) === Seq((3L, 0), (4L, 1), (5L, 2)))
+    // change-set without a delete column is pure insert
+    cat.upsertEdges("mut", Seq((9L, 1L)).toDF("src", "dst"))
+    assert(vertexLevels(cat.bfsPartitioned("mut", 9L))
+      === Seq((1L, 1), (2L, 2), (9L, 0)))
+    intercept[AnalysisException](cat.upsertEdges("nope", Seq((1L, 2L)).toDF("src", "dst")))
+  }
+
   test("partitioned-table reads survive a table whose ONLY graphs are edge-free") {
     // an empty-edge-set write leaves no parquet data files (just _SUCCESS),
     // so schema inference has nothing to work with — the explicit-schema
