@@ -245,6 +245,26 @@ object SparkEntry {
       cat.upsertEdges("mut", dels.unionByName(ins), Some("is_delete"))
       cat.bfsPartitioned("mut", start = 0L, maxDepth = 12)
     }),
+    "g34_property_bfs" -> ((s, dir) => {
+      // property-graph surface: edges stored WITH an attribute column in
+      // the catalog, then a traversal over the attribute-FILTERED subgraph
+      // ("BFS only over etype=0 edges") — the predicate is applied before
+      // the Pregel build and pushed down to the parquet edge scan
+      // (asserted structurally in GraphCatalogSpec); oracle = recursive
+      // CTE over the identically-filtered derivation. Fixed per-process
+      // dir; reps take the modify path like g13.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-pprop-${ProcessHandle.current().pid()}"))
+      java.nio.file.Files.createDirectories(root)
+      val cat = new GraphCatalog(s, root.resolve("graphs").toString)
+      val e = DerivedGraphs.small(s, dir)
+        .withColumn("etype", (col("src") + col("dst")) % 3)
+      if (cat.exists("props")) cat.modifyGraph("props", e)
+      else cat.addGraph("props", e)
+      cat.bfs("props", start = 0L, maxDepth = 12,
+        edgeFilter = Some(col("etype") === 0))
+    }),
     "g25_clustering_coeff" -> ((s, dir) =>
       // local clustering coefficient in integer millionths (pure integer
       // division over triangle and degree counts — no float anywhere)
@@ -2706,6 +2726,15 @@ object SparkEntry {
          |  SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 2 = 0 AND dst % 3 <> 0
          |  UNION
          |  SELECT CAST(v.s AS BIGINT), CAST(v.d AS BIGINT) FROM (VALUES (0, 1498), (1498, 1496)) v(s, d)),
+         |walk(vertex, level) AS (
+         |  SELECT CAST(0 AS BIGINT) AS vertex, 0 AS level
+         |  UNION
+         |  SELECT e.dst, walk.level + 1 FROM walk JOIN e ON e.src = walk.vertex WHERE walk.level < 12)
+         |SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex ORDER BY level, vertex""".stripMargin,
+    "g34_property_bfs" -> // BFS over the etype=0 subgraph: same filter on
+      // the same derivation, g16's recursive-CTE walk
+      s"""WITH RECURSIVE e AS (
+         |  SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE (src + dst) % 3 = 0),
          |walk(vertex, level) AS (
          |  SELECT CAST(0 AS BIGINT) AS vertex, 0 AS level
          |  UNION

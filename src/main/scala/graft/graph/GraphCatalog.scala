@@ -44,12 +44,24 @@ class GraphCatalog(spark: SparkSession, root: String) {
     fs.exists(new Path(edgesPath(name)))
   }
 
+  /** Endpoints normalized to LONG; every OTHER column rides along as an
+    * edge attribute (property-graph support — the reference's dense matrix
+    * cannot express attributes, `primaryServer.c:43`, but a graph engine
+    * needs "BFS only over edges where type='follows'").
+    */
   private def normalized(edges: DataFrame): DataFrame =
-    edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    edges.select(
+      Seq(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")) ++
+        edges.columns.filterNot(c => c == "src" || c == "dst").map(col).toSeq: _*)
 
+  /** Explicit vertex sets keep their attribute columns too (first column is
+    * the id, deduplicated on it); derived sets are bare endpoint ids.
+    */
   private def vertexSetOf(edges: DataFrame, explicit: Option[DataFrame]): DataFrame =
     explicit match {
-      case Some(v) => v.select(col(v.columns.head).cast("long").as("id")).distinct()
+      case Some(v) => v.select(
+          Seq(col(v.columns.head).cast("long").as("id")) ++ v.columns.tail.map(col).toSeq: _*)
+        .dropDuplicates("id")
       case None => edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id"))).distinct()
     }
@@ -150,7 +162,10 @@ class GraphCatalog(spark: SparkSession, root: String) {
   }
 
   private def writePartitioned(name: String, edges: DataFrame, vertices: Option[DataFrame]): Unit = {
-    val e = normalized(edges)
+    // the partitioned table has a FIXED schema across all graphs (explicit
+    // readPart schema, mergeCow upserts) — attributes live in the
+    // per-directory layout, whose schema is per-graph
+    val e = normalized(edges).select("src", "dst")
     // drop this graph's partitions up front: dynamic partition overwrite
     // only replaces partitions PRESENT in the written data, so modifying a
     // graph down to an EMPTY edge set would otherwise leave the old edges
@@ -165,7 +180,7 @@ class GraphCatalog(spark: SparkSession, root: String) {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(table)
     out(e, partEdgesTable)
-    out(vertexSetOf(e, vertices), partVerticesTable)
+    out(vertexSetOf(e, vertices).select("id"), partVerticesTable)
   }
 
   /** [[addGraph]] semantics over the partitioned-table layout. An edge-free
@@ -295,27 +310,57 @@ class GraphCatalog(spark: SparkSession, root: String) {
 
   // ----- traversal / analytics API over named graphs (the reference's ops) --
 
+  /** Edges of `name` with `edgeFilter` applied BEFORE any traversal builds
+    * its structures, then projected to endpoints: the predicate sits
+    * directly on the parquet scan, so Catalyst pushes it down (asserted
+    * structurally in `GraphCatalogSpec`) — the attribute-filtered subgraph
+    * never materializes unfiltered edges.
+    */
+  private def filteredEdges(name: String,
+                            edgeFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val g = graph(name)
+    edgeFilter.map(g.filter).getOrElse(g).select("src", "dst")
+  }
+
   /** Op 4 (`secondaryServer.c:313-400`): BFS levels from a 1-based-id world;
     * validates the start vertex exists in the vertex set (SURVEY §2.2(3) —
     * the reference never checks and underflows on 0). BFS from an isolated
     * vertex legitimately returns just `(start, 0)`.
+    *
+    * @param edgeFilter optional predicate over the graph's edge ATTRIBUTE
+    *                   columns ("traverse only type='follows' edges") —
+    *                   pushed down to the edge scan, see [[filteredEdges]].
     */
-  def bfs(name: String, start: Long, maxDepth: Int = Int.MaxValue): DataFrame = {
+  def bfs(name: String, start: Long, maxDepth: Int = Int.MaxValue,
+          edgeFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     requireVertex(name, start)
-    Traversals.bfs(graph(name), start, maxDepth)
+    Traversals.bfs(filteredEdges(name, edgeFilter), start, maxDepth)
   }
 
-  /** Op 3 (`secondaryServer.c:237-311`): canonical deterministic DFS preorder. */
-  def dfs(name: String, start: Long): DataFrame = {
+  /** Op 3 (`secondaryServer.c:237-311`): canonical deterministic DFS
+    * preorder; `edgeFilter` as in [[bfs]].
+    */
+  def dfs(name: String, start: Long,
+          edgeFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     requireVertex(name, start)
-    Traversals.dfsPreorder(graph(name), start)
+    Traversals.dfsPreorder(filteredEdges(name, edgeFilter), start)
   }
 
-  /** Op 3, reference leaf-set semantics (`secondaryServer.c:93-97`). */
-  def dfsLeaves(name: String, start: Long): DataFrame = {
+  /** Op 3, reference leaf-set semantics (`secondaryServer.c:93-97`);
+    * `edgeFilter` as in [[bfs]].
+    */
+  def dfsLeaves(name: String, start: Long,
+                edgeFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     requireVertex(name, start)
-    Traversals.dfsLeaves(graph(name), start)
+    Traversals.dfsLeaves(filteredEdges(name, edgeFilter), start)
   }
+
+  /** Per-vertex degrees of the (optionally attribute-filtered) subgraph —
+    * [[Analytics.degrees]] over [[filteredEdges]].
+    */
+  def degrees(name: String,
+              edgeFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    Analytics.degrees(filteredEdges(name, edgeFilter))
 
   private def requireVertex(name: String, v: Long): Unit = {
     // isEmpty = take(1) under the hood — stops at the first matching row

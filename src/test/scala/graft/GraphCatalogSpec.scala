@@ -152,6 +152,47 @@ class GraphCatalogSpec extends SparkSpec {
     intercept[AnalysisException](cat.upsertEdges("nope", Seq((1L, 2L)).toDF("src", "dst")))
   }
 
+  test("property graph: attributes round-trip; filtered bfs/dfs/degrees; predicate pushed to scan") {
+    val s = spark
+    import s.implicits._
+    val cat = freshCatalog()
+    // 0-[a]->1-[a]->2, 0-[b]->3, plus vertex attributes
+    val e = Seq((0L, 1L, "a"), (1L, 2L, "a"), (0L, 3L, "b"))
+      .toDF("src", "dst", "etype")
+    cat.addGraph("p", e, vertices = Some(
+      Seq((0L, "root"), (1L, "mid"), (2L, "leaf"), (3L, "leaf")).toDF("id", "role")))
+    // attributes survive the round-trip on both tables
+    assert(cat.graph("p").columns.toSeq === Seq("src", "dst", "etype"))
+    assert(cat.vertices("p").columns.toSeq === Seq("id", "role"))
+    assert(cat.vertices("p").where("role = 'leaf'").count() === 2L)
+    // filtered traversals see only the matching subgraph
+    import org.apache.spark.sql.functions.col
+    assert(vertexLevels(cat.bfs("p", 0L, edgeFilter = Some(col("etype") === "a")))
+      === Seq((0L, 0), (1L, 1), (2L, 2)))
+    assert(cat.dfs("p", 0L, edgeFilter = Some(col("etype") === "b"))
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 3L))
+    assert(cat.dfsLeaves("p", 0L, edgeFilter = Some(col("etype") === "a"))
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val deg = cat.degrees("p", Some(col("etype") === "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(deg === Set((0L, 1L, 0L), (1L, 1L, 1L), (2L, 0L, 1L)))
+    // unfiltered behavior unchanged
+    assert(vertexLevels(cat.bfs("p", 0L)) ===
+      Seq((0L, 0), (1L, 1), (2L, 2), (3L, 1)))
+    // the attribute predicate must reach the parquet scan as a pushed filter
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val filtered = cat.graph("p").filter(col("etype") === "a").select("src", "dst")
+    val plan = filtered.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collectWithSubqueries { case sc: FileSourceScanExec => sc }
+    assert(scans.nonEmpty, s"no file scan in\n$plan")
+    assert(scans.head.metadata("PushedFilters").contains("EqualTo(etype,a)"),
+      s"etype predicate not pushed: ${scans.head.metadata("PushedFilters")}")
+  }
+
   test("partitioned-table reads survive a table whose ONLY graphs are edge-free") {
     // an empty-edge-set write leaves no parquet data files (just _SUCCESS),
     // so schema inference has nothing to work with — the explicit-schema
