@@ -827,6 +827,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("price").cast("double").as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    "f12_commit_log" -> ((s, dir) => {
+      // the commit-log table layer unifying q28/q32/f10/f11: overwrite,
+      // append, and compaction each land as an atomic log commit (file
+      // list + per-file stats in ONE JSONL entry per version); every
+      // version is then read back THROUGH the log (asOf resolves exactly
+      // that commit's file list — version 2 reads the compacted rewrite,
+      // version 0 still resolves the original files). Oracle: the same
+      // three snapshots derived from the source table. Fresh per-process
+      // table each execution so version numbers are deterministic across
+      // reps; shutdown-hook cleaned.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-clog-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      t.overwrite(nat.filter(col("n_nationkey") < 10))
+      t.append(nat.filter(col("n_nationkey") >= 10))
+      t.compact(targetFiles = 2)
+      (0L to 2L).map { v =>
+        t.asOf(v).agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
     "f11_compacted_roundtrip" -> ((s, dir) => {
       // small-file compaction bound to the gate: orders deliberately
       // shattered into 64 small files, rewritten by Partitioning.compact
@@ -2316,6 +2343,14 @@ object SparkEntry {
     "t25_html_strip" -> TextOps.htmlStripSql,
     "t26_adaptive_stopwords" -> TextOps.adaptiveStopwordsSql(),
     "st12_stream_sessions" -> EventStreams.sessionCountsSql(),
+    "f12_commit_log" -> // three versioned snapshots derived straight from
+      // the source: v0 = the filtered overwrite, v1 = after append (full
+      // table), v2 = after compaction (content-preserving rewrite)
+      """SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |       SUM(n_nationkey)::BIGINT AS sum_key FROM nation WHERE n_nationkey < 10
+        |UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
+        |UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
+        |ORDER BY version""".stripMargin,
     "f11_compacted_roundtrip" -> // source-table oracle: the shatter +
       // round-robin compaction rewrite must be content-preserving
       """SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_key,

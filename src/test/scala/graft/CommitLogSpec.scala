@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.CommitTable
+
+class CommitLogSpec extends SparkSpec {
+
+  private def freshTable(): CommitTable =
+    new CommitTable(spark, Files.createTempDirectory("graft-clog").toString, "k")
+
+  private def kv(pairs: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("append/overwrite version the table; asOf resolves any committed version") {
+    val t = freshTable()
+    assert(t.versions().isEmpty && t.latestVersion().isEmpty)
+    assert(t.overwrite(kv(1L -> "a", 2L -> "b")) === 0L)
+    assert(t.append(kv(3L -> "c")) === 1L)
+    assert(t.overwrite(kv(9L -> "z")) === 2L)
+    assert(t.versions() === Seq(0L, 1L, 2L))
+    assert(rows(t.asOf(0L)) === Set(1L -> "a", 2L -> "b"))
+    assert(rows(t.asOf(1L)) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(rows(t.asOf(2L)) === Set(9L -> "z"))
+    assert(rows(t.read()) === Set(9L -> "z"))
+    intercept[IllegalArgumentException](t.asOf(7L))
+  }
+
+  test("compaction is a commit: content identical, fewer files, old versions still readable") {
+    val t = freshTable()
+    t.overwrite(kv((1L to 20L).map(i => i -> s"r$i"): _*).repartition(8))
+    t.append(kv((21L to 30L).map(i => i -> s"r$i"): _*).repartition(8))
+    val before = t.read().inputFiles.length
+    val v = t.compact(targetFiles = 2)
+    assert(v === 2L)
+    assert(t.read().inputFiles.length === 2)
+    assert(t.read().inputFiles.length < before)
+    assert(rows(t.read()) === (1L to 30L).map(i => i -> s"r$i").toSet)
+    // time travel across the rewrite: version 0's original files still resolve
+    assert(rows(t.asOf(0L)) === (1L to 20L).map(i => i -> s"r$i").toSet)
+  }
+
+  test("prunedRead plans from log stats: non-overlapping files never listed") {
+    val t = freshTable()
+    // three appends with disjoint key ranges -> disjoint per-file stats
+    t.overwrite(kv((1L to 10L).map(i => i -> "lo"): _*).coalesce(1))
+    t.append(kv((100L to 110L).map(i => i -> "mid"): _*).coalesce(1))
+    t.append(kv((1000L to 1010L).map(i => i -> "hi"): _*).coalesce(1))
+    val all = t.read().inputFiles.length
+    val pruned = t.prunedRead(100L, 120L)
+    assert(pruned.inputFiles.length < all,
+      s"pruning did not bite: ${pruned.inputFiles.length} of $all files")
+    assert(rows(pruned) === (100L to 110L).map(i => i -> "mid").toSet)
+    // empty intersection -> no files, schema preserved
+    assert(t.prunedRead(5000L, 6000L).collect().isEmpty)
+  }
+
+  test("concurrent writers: exactly one commit per version; loser's staging is removed") {
+    val dir = Files.createTempDirectory("graft-clog-race").toString
+    val t1 = new CommitTable(spark, dir, "k")
+    val t2 = new CommitTable(spark, dir, "k")
+    t1.overwrite(kv(1L -> "a"))
+    assert(t2.append(kv(2L -> "b")) === 1L)
+    // the race, injected deterministically: a writer that resolved its next
+    // version BEFORE t2's commit landed — its atomic create must lose
+    val stale = new CommitTable(spark, dir, "k") {
+      override protected def nextVersion(): Long = 1L // head is already 1
+    }
+    val ex = intercept[java.util.ConcurrentModificationException](stale.append(kv(4L -> "d")))
+    assert(ex.getMessage.contains("committed by another writer"))
+    // the loser's staged data directory was cleaned up
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("d1-"))
+    assert(staged.length === 1, // t2's winning v1 directory and nothing else
+      s"expected only the winner's d1- dir: ${staged.mkString(",")}")
+    // the table is untouched by the failed commit: winner's head intact
+    assert(new CommitTable(spark, dir, "k").latestVersion() === Some(1L))
+    assert(rows(new CommitTable(spark, dir, "k").read()) === Set(1L -> "a", 2L -> "b"))
+  }
+}
