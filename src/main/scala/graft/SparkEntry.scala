@@ -1999,10 +1999,12 @@ object SparkEntry {
       // fingerprint + size bucket — the pre-decode dup collapse; one
       // shuffle on a 12-byte key over the BINARY column
       MediaOps.mediaDedup(Tables.documents(s, dir))),
-    "m3_decode_features" -> ((s, dir) => // the mapPartitions decode path
-      // itself (batched-codec contract), reduced to integer-exact bucket
-      // counts for the oracle
-      MediaOps.decodeFeatures(Tables.documents(s, dir))),
+    "m3_decode_features" -> ((s, dir) => // REAL image decode: a synthetic
+      // binary-PPM corpus parsed byte-for-byte (tokenizing header,
+      // 8-bit RGB raster) in the mapPartitions batched-codec shape; the
+      // oracle computes the same per-channel pixel sums/means from the
+      // pixel-generating FORMULA, so any parse off-by-one diverges
+      MediaOps.ppmFeatures(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2919,7 +2921,7 @@ object SparkEntry {
          |       COUNT(*) AS n, SUM(doc_id)::BIGINT AS sum_ids, SUM(n_chars)::BIGINT AS sum_chars
          |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_media_meta" -> MediaOps.mediaMetaSql,
-    "m3_decode_features" -> MediaOps.decodeFeaturesSql(),
+    "m3_decode_features" -> MediaOps.ppmFeaturesSql,
   )
 
   /** Root for the f1/f2 round-trip exports. Verify points this at its own

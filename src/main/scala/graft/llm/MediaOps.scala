@@ -6,17 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `BINARY` columns
   * with typed metadata, per the builder brief.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake features from the raw
-  * bytes at the exact point a real decoder would run. Everything around it —
-  * schema, partition-batched iteration, feature shape, frame sampling — is
-  * real Spark and tested.
+  * The decode path is REAL for the Netpbm binary-PPM (P6) format —
+  * [[decodePpm]] is a full pure-JVM parser (tokenizing header with
+  * whitespace/comment handling per the spec, 8-bit RGB raster), and
+  * [[ppmFeatures]]/[[resizePpm]] operate on actually-decoded pixels.
+  * Heavier codecs (JPEG, WAV, H.264 — native libraries this container
+  * doesn't ship) would slot into the SAME partition-batched shape.
   *
   * Scale notes: `mapPartitions` over a `Dataset[MediaRecord]` is the Scala
-  * analogue of `mapInPandas` — the decode UDF sees an iterator over a whole
-  * partition, so per-batch setup (model load, codec init) amortizes across
-  * rows; binary payloads stream through Tungsten without driver collection.
-  * Partition sizing for ~MB-scale blobs is the caller's
+  * analogue of `mapInPandas` — the decode function sees an iterator over a
+  * whole partition, so per-batch setup (codec handles, model weights)
+  * amortizes across rows; binary payloads stream through Tungsten without
+  * driver collection. Partition sizing for ~MB-scale blobs is the caller's
   * `spark.sql.files.maxPartitionBytes` concern, documented here.
   */
 object MediaOps {
@@ -51,26 +52,26 @@ object MediaOps {
       .as[MediaRecord]
   }
 
-  /** Partition-batched "decode + featurize". The real decoder would replace
-    * the body of `fakeDecode`; the iterator shape (one pass over the
-    * partition, constant memory) is the contract a real codec needs.
+  /** Partition-batched byte featurization (a normalized byte histogram —
+    * the generic content-addressed feature a pipeline computes on ANY
+    * payload before/without decoding). The iterator shape (one pass over
+    * the partition, constant memory) is the same contract [[ppmFeatures]]'
+    * real decoder uses.
     */
-  def decodeStub(media: Dataset[MediaRecord], featureDim: Int = 8): Dataset[MediaFeatures] = {
+  def byteFeatures(media: Dataset[MediaRecord], featureDim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       // per-partition init would go here (codec handles, model weights)
       it.map { r =>
-        val feat = fakeDecode(r.content, featureDim)
+        val feat = byteHistogram(r.content, featureDim)
         MediaFeatures(r.media_id, r.modality, r.content.length.toLong, feat)
       }
     }
   }
 
-  /** STUB decoder: a deterministic byte-histogram "embedding" — stands in
-    * for image decode / audio spectrogram / video keyframe extraction.
-    */
-  private[llm] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** Normalized byte-bucket histogram of a payload. */
+  private[llm] def byteHistogram(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
@@ -80,6 +81,129 @@ object MediaOps {
     val n = math.max(bytes.length, 1).toFloat
     acc.map(_ / n)
   }
+
+  // ----- REAL image decode: Netpbm binary PPM (P6) -------------------------
+
+  /** Deterministic P6 PPM corpus derived from doc ids: REAL image payloads
+    * (valid header incl. a comment line, 8-bit RGB raster) whose pixel
+    * bytes follow a closed-form rule — `byte(i) = (doc_id·31 + i) % 256`
+    * over the raster — so an oracle can derive expected pixel statistics
+    * from the FORMULA while the engine must recover them by actually
+    * parsing the bytes. Dims cycle 2..9 × 2..7 by id.
+    */
+  def syntheticPpm(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 8 + 2).toInt
+      val h = (id % 6 + 2).toInt
+      val header = s"P6\n# graft synthetic image $id\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val raster = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < raster.length) {
+        raster(i) = ((id * 31 + i) % 256).toByte
+        i += 1
+      }
+      MediaRecord(id, "image", header ++ raster, w, h, 0, 0)
+    }
+  }
+
+  /** Decode a binary PPM (P6) payload: tokenizing header parse —
+    * whitespace-separated magic/width/height/maxval with `#` comments
+    * swallowed to end-of-line, exactly one whitespace byte before the
+    * raster, per the Netpbm spec — then the 8-bit RGB raster.
+    * Returns `(width, height, raster)`; malformed input fails loudly.
+    */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var pos = 0
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def token(): String = {
+      while (pos < bytes.length && (isWs(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else pos += 1
+      }
+      val start = pos
+      while (pos < bytes.length && !isWs(bytes(pos))) pos += 1
+      require(pos > start, "ppm: truncated header")
+      new String(bytes, start, pos - start, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    val magic = token()
+    require(magic == "P6", s"ppm: bad magic '$magic' — only binary P6 is supported")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(w > 0 && h > 0, s"ppm: bad dimensions ${w}x$h")
+    require(maxval == 255, s"ppm: only 8-bit rasters supported, maxval=$maxval")
+    require(pos < bytes.length && isWs(bytes(pos)), "ppm: missing raster separator")
+    pos += 1 // exactly ONE whitespace byte before the raster
+    val n = w * h * 3
+    require(bytes.length - pos >= n,
+      s"ppm: raster truncated — need $n bytes, have ${bytes.length - pos}")
+    (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+  }
+
+  /** Encode an 8-bit RGB raster as binary PPM (P6). */
+  def encodePpm(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    require(raster.length == w * h * 3,
+      s"raster length ${raster.length} != ${w}x$h x3")
+    s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ raster
+  }
+
+  /** Declared-query surface (m3): REAL decode of the synthetic PPM corpus
+    * in the partition-batched iterator shape, reduced to integer-exact
+    * per-channel pixel statistics — dims from the PARSED header, channel
+    * sums from the PARSED raster, means in integer permille
+    * (`sum·1000 div n_pixels`). The oracle derives the same numbers from
+    * the pixel-generating formula, so any off-by-one in header or raster
+    * parsing diverges. `(media_id, width, height, sum_r, sum_g, sum_b,
+    * mean_r_1e3, mean_g_1e3, mean_b_1e3)`.
+    */
+  def ppmFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticPpm(docs).mapPartitions { it =>
+      // per-partition init is where a heavier codec would allocate
+      it.map { r =>
+        val (w, h, px) = decodePpm(r.content)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var p = 0
+        while (p < w * h) {
+          sr += px(3 * p) & 0xff
+          sg += px(3 * p + 1) & 0xff
+          sb += px(3 * p + 2) & 0xff
+          p += 1
+        }
+        (r.media_id, w.toLong, h.toLong, sr, sg, sb)
+      }
+    }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .select(col("media_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        expr("sum_r * 1000 div (width * height)").as("mean_r_1e3"),
+        expr("sum_g * 1000 div (width * height)").as("mean_g_1e3"),
+        expr("sum_b * 1000 div (width * height)").as("mean_b_1e3"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB mirror of [[ppmFeatures]] — the pixel statistics from the
+    * GENERATING formula (`byte(i) = (doc_id·31 + i) % 256`, channel c of
+    * pixel p at i = 3p+c), never touching the byte stream: an independent
+    * check on the engine's actual encode→parse→sum path.
+    */
+  val ppmFeaturesSql: String =
+    """WITH d AS (SELECT doc_id, (doc_id % 8 + 2)::BIGINT AS w, (doc_id % 6 + 2)::BIGINT AS h
+      |           FROM documents),
+      |s AS (SELECT doc_id, w, h,
+      |             SUM((doc_id*31 + p.i*3 + 0) % 256)::BIGINT AS sum_r,
+      |             SUM((doc_id*31 + p.i*3 + 1) % 256)::BIGINT AS sum_g,
+      |             SUM((doc_id*31 + p.i*3 + 2) % 256)::BIGINT AS sum_b
+      |      FROM d, UNNEST(range(0, w*h)) AS p(i)
+      |      GROUP BY doc_id, w, h)
+      |SELECT doc_id AS media_id, w AS width, h AS height, sum_r, sum_g, sum_b,
+      |       (sum_r * 1000 // (w*h))::BIGINT AS mean_r_1e3,
+      |       (sum_g * 1000 // (w*h))::BIGINT AS mean_g_1e3,
+      |       (sum_b * 1000 // (w*h))::BIGINT AS mean_b_1e3
+      |FROM s ORDER BY media_id""".stripMargin
 
   /** Frame sampling for "video" rows: payload split into `n_frames` equal
     * chunks, every `stride`-th chunk kept. Pure expression plan (codegen'd):
@@ -101,28 +225,30 @@ object MediaOps {
         expr("substring(content, frame_idx * frame_len + 1, frame_len)").as("frame"))
       .orderBy("media_id", "frame_idx")
 
-  /** Resize for "image" rows — nearest-neighbor subsampling over the fake
-    * pixel buffer (the byte payload), preserving the metadata contract:
-    * real plumbing (schema, per-row transform, new dims), stubbed codec.
-    * Output rows carry the target dims and the subsampled payload.
+  /** REAL image resize for "image" rows carrying PPM payloads: decode the
+    * P6 raster, nearest-neighbor resample the ACTUAL RGB pixel grid, and
+    * re-encode as P6 with the target dims. Non-image rows pass through
+    * unchanged; a non-PPM image payload fails loudly (decodePpm's
+    * contract) rather than pretending.
     */
-  def resizeStub(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[MediaRecord] = {
+  def resizePpm(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[MediaRecord] = {
+    require(outW > 0 && outH > 0, s"bad target dims ${outW}x$outH")
     val spark = media.sparkSession
     import spark.implicits._
     media.map { r =>
-      if (r.modality != "image" || r.content.isEmpty) r
+      if (r.modality != "image") r
       else {
-        // nearest-neighbor over a w×h grid flattened into the byte buffer
-        val src = r.content
-        val out = new Array[Byte](outW * outH)
+        val (w, h, src) = decodePpm(r.content)
+        val out = new Array[Byte](outW * outH * 3)
         var i = 0
-        while (i < out.length) {
-          val sy = ((i / outW).toLong * r.height / outH).toInt
-          val sx = ((i % outW).toLong * r.width / outW).toInt
-          out(i) = src(((sy.toLong * r.width + sx) % src.length).toInt)
+        while (i < outW * outH) {
+          val sy = ((i / outW).toLong * h / outH).toInt
+          val sx = ((i % outW).toLong * w / outW).toInt
+          val s0 = (sy * w + sx) * 3
+          out(3 * i) = src(s0); out(3 * i + 1) = src(s0 + 1); out(3 * i + 2) = src(s0 + 2)
           i += 1
         }
-        r.copy(content = out, width = outW, height = outH)
+        r.copy(content = encodePpm(outW, outH, out), width = outW, height = outH)
       }
     }
   }
@@ -177,56 +303,6 @@ object MediaOps {
        |SELECT media_id, frame_idx::BIGINT AS frame_idx,
        |       substr(md5(fr), 1, 8) AS frame_md5_8, len(fr)::BIGINT AS n_frame_bytes
        |FROM f ORDER BY media_id, frame_idx""".stripMargin
-
-  /** Declared-query surface over [[decodeStub]] — binds the partition-batched
-    * decode path (the `mapInPandas` analogue) to the oracle gate. The stub's
-    * feature is a normalized byte histogram, so the exact integer bucket
-    * counts are recoverable as `round(f_i * n_bytes)`: with n ≤ a few KB the
-    * float32 normalization error is ≪ 0.5, making the recovery exact.
-    * `(media_id, modality, n_bytes, f0..f7)` — all integer columns.
-    */
-  def decodeFeatures(docs: DataFrame, dim: Int = 8): DataFrame = {
-    val feats = decodeStub(syntheticMedia(docs), dim).toDF()
-    // round(f_i·n) recovers the exact bucket count only while the float32
-    // relative error n·2⁻²⁴ stays under 0.5, i.e. n < 2²³ bytes (~8 MB);
-    // past that the recovery could silently diverge from the integer-exact
-    // oracle — fail loudly instead (same discipline as frameSampleSql's
-    // ASCII guard)
-    val exactBound = 1L << 23
-    val nGuarded = when(col("n_bytes") < exactBound, col("n_bytes"))
-      .otherwise(raise_error(format_string(
-        s"decodeFeatures: %d-byte payload exceeds the float32 exact-recovery bound of $exactBound bytes",
-        col("n_bytes"))).cast("long"))
-    val counts = (0 until dim).map(i =>
-      round(element_at(col("feature"), i + 1) * nGuarded).cast("long").as(s"f$i"))
-    feats.select(Seq(col("media_id"), col("modality"), col("n_bytes")) ++ counts: _*)
-      .orderBy("media_id")
-  }
-
-  /** DuckDB mirror of [[decodeFeatures]]: per-character ascii codes bucketed
-    * mod dim (the corpus is ASCII, guarded like [[frameSampleSql]], so byte
-    * values == character codes); empty texts keep all-zero buckets via the
-    * left join.
-    */
-  def decodeFeaturesSql(dim: Int = 8): String = {
-    val bucketCols = (0 until dim).map(i =>
-      s"COALESCE(SUM(CASE WHEN b = $i THEN 1 END), 0)::BIGINT AS f$i").mkString(",\n|         ")
-    s"""WITH m AS (SELECT doc_id AS media_id,
-       |                  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
-       |                  CASE WHEN octet_length(encode(text)) <> len(text)
-       |                       THEN error('non-ASCII corpus: ascii(char) != byte in decode oracle')
-       |                       ELSE text END AS text
-       |           FROM documents),
-       |c AS (SELECT media_id, ascii(substr(text, u.i::INT, 1)) % $dim AS b
-       |      FROM m, UNNEST(range(1, len(text) + 1)) AS u(i)),
-       |h AS (SELECT media_id,
-       |         $bucketCols
-       |      FROM c GROUP BY media_id)
-       |SELECT m.media_id AS media_id, m.modality, len(m.text)::BIGINT AS n_bytes,
-       |       ${(0 until dim).map(i => s"COALESCE(h.f$i, 0) AS f$i").mkString(", ")}
-       |FROM m LEFT JOIN h ON h.media_id = m.media_id
-       |ORDER BY m.media_id""".stripMargin
-  }
 
   val mediaMetaSql: String =
     """SELECT doc_id AS media_id,

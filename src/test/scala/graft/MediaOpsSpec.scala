@@ -19,17 +19,65 @@ class MediaOpsSpec extends SparkSpec {
     assert(m(1L).sample_rate === 16000)
   }
 
-  test("decodeStub: deterministic fixed-width features, byte counts preserved") {
-    val f = MediaOps.decodeStub(MediaOps.syntheticMedia(docs), featureDim = 4)
+  test("byteFeatures: deterministic fixed-width features, byte counts preserved") {
+    val f = MediaOps.byteFeatures(MediaOps.syntheticMedia(docs), featureDim = 4)
       .collect().map(r => r.media_id -> r).toMap
     assert(f.values.forall(_.feature.length === 4))
     assert(f(0L).n_bytes === 8L)
     // histogram of byte buckets sums to 1 (all bytes accounted for)
     assert(math.abs(f(0L).feature.sum - 1.0f) < 1e-6)
     // deterministic: same input, same features
-    val again = MediaOps.decodeStub(MediaOps.syntheticMedia(docs), featureDim = 4)
+    val again = MediaOps.byteFeatures(MediaOps.syntheticMedia(docs), featureDim = 4)
       .collect().map(r => r.media_id -> r.feature.toSeq).toMap
     assert(again(2L) === f(2L).feature.toSeq)
+  }
+
+  test("decodePpm: round-trips encodePpm; handles comments; rejects malformed input") {
+    val raster = Array.tabulate(2 * 3 * 3)(i => (i * 7 % 256).toByte)
+    val (w, h, px) = MediaOps.decodePpm(MediaOps.encodePpm(2, 3, raster))
+    assert(w === 2 && h === 3 && px.toSeq === raster.toSeq)
+    // header comments and mixed whitespace per the Netpbm spec
+    val commented = ("P6 # inline\n# full comment line\n 2\t3 \n255\n")
+      .getBytes("US-ASCII") ++ raster
+    val (w2, h2, px2) = MediaOps.decodePpm(commented)
+    assert(w2 === 2 && h2 === 3 && px2.toSeq === raster.toSeq)
+    // malformed inputs fail loudly
+    intercept[IllegalArgumentException](MediaOps.decodePpm("P5\n2 3\n255\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      MediaOps.decodePpm(MediaOps.encodePpm(2, 3, raster).dropRight(1))) // truncated raster
+    intercept[IllegalArgumentException](
+      MediaOps.decodePpm("P6\n2 3\n65535\n".getBytes("US-ASCII") ++ raster)) // 16-bit
+  }
+
+  test("ppmFeatures: decoded sums match the generating formula; parse is byte-exact") {
+    val ids = docsDF(Seq(0L -> "", 5L -> "", 11L -> ""))
+    val got = MediaOps.ppmFeatures(ids).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (id <- Seq(0L, 5L, 11L)) {
+      val w = id % 8 + 2; val h = id % 6 + 2
+      def chanSum(c: Int) = (0L until w * h).map(p => (id * 31 + p * 3 + c) % 256).sum
+      assert(got(id) === ((w, h, chanSum(0), chanSum(1), chanSum(2))), s"id $id")
+    }
+  }
+
+  test("resizePpm: real nearest-neighbor resample over decoded pixels, re-encoded as P6") {
+    val s = spark
+    import s.implicits._
+    // 2x1 image: left pixel (10,20,30), right pixel (40,50,60)
+    val raster = Array[Byte](10, 20, 30, 40, 50, 60)
+    val rec = MediaOps.MediaRecord(1L, "image", MediaOps.encodePpm(2, 1, raster), 2, 1, 0, 0)
+    val other = MediaOps.MediaRecord(2L, "audio", Array[Byte](1, 2, 3), 0, 0, 16000, 0)
+    val out = MediaOps.resizePpm(Seq(rec, other).toDS(), outW = 4, outH = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    val (w, h, px) = MediaOps.decodePpm(out(1L).content)
+    assert(w === 4 && h === 2 && out(1L).width === 4 && out(1L).height === 2)
+    // nearest-neighbor: output columns 0,1 sample source col 0; 2,3 sample col 1
+    val row = px.grouped(3).map(_.toSeq).toSeq
+    assert(row(0) === Seq[Byte](10, 20, 30) && row(1) === Seq[Byte](10, 20, 30))
+    assert(row(2) === Seq[Byte](40, 50, 60) && row(3) === Seq[Byte](40, 50, 60))
+    assert(row.take(4) === row.drop(4)) // both output rows sample the single source row
+    // non-image rows pass through untouched
+    assert(out(2L).content.toSeq === Seq[Byte](1, 2, 3))
   }
 
   test("sampleFrames: stride-samples the declared frame count, frames tile the payload") {
@@ -39,18 +87,15 @@ class MediaOpsSpec extends SparkSpec {
     assert(frames.toSeq === Seq((2L, 0, "qr"), (2L, 2, "uv")))
   }
 
-  test("resizeStub: images get the target dims and payload size; other modalities untouched") {
-    val resized = MediaOps.resizeStub(MediaOps.syntheticMedia(docs), outW = 2, outH = 2)
+  test("resizePpm over the synthetic PPM corpus: deterministic, dims and payload re-encoded") {
+    val ids = docsDF(Seq(3L -> "", 4L -> ""))
+    val resized = MediaOps.resizePpm(MediaOps.syntheticPpm(ids), outW = 3, outH = 2)
       .collect().map(r => r.media_id -> r).toMap
-    // doc 0 is the image (0 % 3 == 0)
-    assert(resized(0L).width === 2 && resized(0L).height === 2)
-    assert(resized(0L).content.length === 4)
-    // audio/video rows pass through unchanged
-    assert(new String(resized(1L).content, "UTF-8") === "ijklmnop")
-    // deterministic
-    val again = MediaOps.resizeStub(MediaOps.syntheticMedia(docs), 2, 2)
+    assert(resized.values.forall(r => r.width === 3 && r.height === 2))
+    assert(resized.values.forall(r => MediaOps.decodePpm(r.content)._3.length === 3 * 2 * 3))
+    val again = MediaOps.resizePpm(MediaOps.syntheticPpm(ids), 3, 2)
       .collect().map(r => r.media_id -> r.content.toSeq).toMap
-    assert(again(0L) === resized(0L).content.toSeq)
+    assert(again(3L) === resized(3L).content.toSeq)
   }
 
   test("mediaMeta: integer-exact binary metadata") {
@@ -58,31 +103,6 @@ class MediaOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 8L)
     // magic = big-endian int of "abcd" = 0x61626364
     assert(r.getLong(4) === 0x61626364L)
-  }
-
-  test("decodeFeatures: recovered bucket counts partition the payload bytes") {
-    val rows = MediaOps.decodeFeatures(docs).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val n = r.getLong(2)
-      val counts = (3 until 11).map(r.getLong)
-      assert(counts.sum === n, s"media ${r.getLong(0)}: buckets ${counts.sum} != n_bytes $n")
-      assert(counts.forall(_ >= 0))
-    }
-  }
-
-  test("decodeFeatures fails loudly past the float32 exact-recovery bound (~8 MB)") {
-    // n·2⁻²⁴ ≥ 0.5 at n = 2²³: round(f_i·n) could silently drift off the
-    // integer-exact oracle, so the guard must raise instead
-    val big = docsDF(Seq(0L -> "x" * (1 << 23)))
-    val e = intercept[Exception](MediaOps.decodeFeatures(big).collect())
-    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).toSeq
-    assert(msgs.exists(_.contains("exact-recovery bound")), s"unexpected failure: $e")
-    // and a payload just under the bound still works
-    val ok = docsDF(Seq(0L -> "x" * ((1 << 23) - 1)))
-    val r = MediaOps.decodeFeatures(ok).collect().head
-    assert((3 until 11).map(r.getLong).sum === (1L << 23) - 1)
   }
 
   test("mediaDedup groups identical headers+size, keeper is min id") {
