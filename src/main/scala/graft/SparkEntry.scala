@@ -166,6 +166,14 @@ object SparkEntry {
       Motifs.find(DerivedGraphs.small(s, dir), "(a)-(b); (b)-(c); (c)-(a)")
         .filter(col("a") < col("b") && col("a") < col("c"))
         .orderBy("a", "b", "c")),
+    "g35_motif_negated" -> ((s, dir) => // negated motif terms (GraphFrames
+      // !-edges): open wedges — 2-paths whose closing edge is ABSENT, the
+      // "recommend a→c" candidate shape; the negated term is a LEFT ANTI
+      // join on the fully-bound pair (a pure filter), and the a%20
+      // selectivity predicate pushes into the positive join chain
+      Motifs.find(DerivedGraphs.small(s, dir), "(a)-(b); (b)-(c); !(a)-(c)")
+        .filter(col("a") % 20 === 0)
+        .orderBy("a", "b", "c")),
     "g22_bipartite" -> ((s, dir) => // 2-colorability per component via
       // parity-BFS fixpoint: a vertex reachable from its component root
       // with both parities witnesses an odd cycle; state bounded at 2|V|
@@ -2082,6 +2090,8 @@ object SparkEntry {
     "g22_bipartite" -> Analytics.bipartiteCheckSql(DerivedGraphs.smallSql),
     "g31_motif" -> Motifs.findSql(DerivedGraphs.smallSql, "(a)-(b); (b)-(c); (c)-(a)",
       extraWhere = "a < b AND a < c", orderBy = "a, b, c"),
+    "g35_motif_negated" -> Motifs.findSql(DerivedGraphs.smallSql,
+      "(a)-(b); (b)-(c); !(a)-(c)", extraWhere = "a % 20 = 0", orderBy = "a, b, c"),
     "g11_scc" -> // SCC = mutual reachability; closure is reflexive (base
       // row (v,v)), so singleton vertices label themselves
       s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),

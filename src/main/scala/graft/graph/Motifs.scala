@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   * Pattern syntax: semicolon-separated DIRECTED edge terms `(x)-(y)`, e.g.
   * `"(a)-(b); (b)-(c); (c)-(a)"` (a directed triangle). Vertex variables are
   * identifiers; the same variable may appear in any number of terms, and a
-  * term `(x)-(x)` matches self-loops. The pattern graph must be CONNECTED
+  * term `(x)-(x)` matches self-loops. A term prefixed with `!` is NEGATED —
+  * `"(a)-(b); (b)-(c); !(a)-(c)"` finds open wedges (2-paths whose closing
+  * edge is ABSENT); negated terms may only use variables bound by positive
+  * terms (the GraphFrames restriction — an unbound negated variable has no
+  * finite interpretation). The POSITIVE pattern graph must be CONNECTED
   * (a disconnected pattern would force a cartesian product — rejected
   * loudly; run the components as separate finds and combine explicitly).
   *
@@ -37,26 +41,41 @@ import org.apache.spark.sql.functions._
   * therefore bounded by the true partial-match counts; for wedge-heavy
   * patterns on skewed graphs, pre-filter hub vertices (the
   * [[Analytics.commonNeighbors]] degree-cap argument) before calling.
+  * Negated terms become LEFT ANTI joins on the fully-bound pair — pure
+  * filters, applied after the positive chain.
   */
 object Motifs {
 
   private val Term =
-    """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*-\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+    """(!?)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*-\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
 
-  /** Parse a pattern into directed (srcVar, dstVar) terms. */
-  def parse(pattern: String): Seq[(String, String)] = {
+  /** One parsed edge term: direction src→dst, possibly negated. */
+  final case class EdgeTerm(src: String, dst: String, negated: Boolean)
+
+  /** Parse a pattern into directed, possibly-negated edge terms. */
+  def parse(pattern: String): Seq[EdgeTerm] = {
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "motif pattern needs at least one edge term")
-    terms.map {
-      case Term(a, b) => (a, b)
+    val parsed = terms.map {
+      case Term(neg, a, b) => EdgeTerm(a, b, neg == "!")
       case t => throw new IllegalArgumentException(
-        s"bad motif edge term '$t' — expected '(x)-(y)'")
+        s"bad motif edge term '$t' — expected '(x)-(y)' or '!(x)-(y)'")
     }
+    require(parsed.exists(!_.negated),
+      "motif pattern needs at least one positive edge term")
+    val boundVars = parsed.filter(!_.negated).flatMap(t => Seq(t.src, t.dst)).toSet
+    parsed.filter(_.negated).foreach { t =>
+      val unbound = Seq(t.src, t.dst).filterNot(boundVars)
+      require(unbound.isEmpty,
+        s"negated term !(${t.src})-(${t.dst}) uses variables ${unbound.mkString(", ")} " +
+          "not bound by any positive term")
+    }
+    parsed
   }
 
-  /** Output variables in order of first appearance. */
-  def outputVars(terms: Seq[(String, String)]): Seq[String] =
-    terms.flatMap { case (a, b) => Seq(a, b) }.distinct
+  /** Output variables in order of first appearance in POSITIVE terms. */
+  def outputVars(terms: Seq[EdgeTerm]): Seq[String] =
+    terms.filter(!_.negated).flatMap(t => Seq(t.src, t.dst)).distinct
 
   /** Connectivity-greedy processing order: start from the first term, then
     * repeatedly take the earliest remaining term sharing a variable with the
@@ -64,18 +83,18 @@ object Motifs {
     * SQL mirror built from the same order is the identical join chain.
     * Returns terms paired with their original index (used for aliasing).
     */
-  private def joinOrder(terms: Seq[(String, String)]): Seq[((String, String), Int)] = {
-    val remaining = terms.zipWithIndex.toBuffer
-    val ordered = Seq.newBuilder[((String, String), Int)]
+  private def joinOrder(terms: Seq[EdgeTerm]): Seq[(EdgeTerm, Int)] = {
+    val remaining = terms.zipWithIndex.filter(!_._1.negated).toBuffer
+    val ordered = Seq.newBuilder[(EdgeTerm, Int)]
     var bound = Set.empty[String]
     while (remaining.nonEmpty) {
       val idx =
         if (bound.isEmpty) 0
-        else remaining.indexWhere { case ((s, d), _) => bound(s) || bound(d) }
+        else remaining.indexWhere { case (t, _) => bound(t.src) || bound(t.dst) }
       require(idx >= 0,
         "motif pattern must be connected — an edge term shares no vertex with the rest")
       val t = remaining.remove(idx)
-      bound ++= Set(t._1._1, t._1._2)
+      bound ++= Set(t._1.src, t._1.dst)
       ordered += t
     }
     ordered.result()
@@ -92,7 +111,7 @@ object Motifs {
       .distinct()
     var bound = Vector.empty[String]
     var result: DataFrame = null
-    joinOrder(terms).foreach { case ((s, d), i) =>
+    joinOrder(terms).foreach { case (EdgeTerm(s, d, _), i) =>
       val ei = e.select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
       if (result == null) {
         result =
@@ -114,6 +133,13 @@ object Motifs {
         bound ++= newVars
       }
     }
+    // negated terms: both endpoints are bound, so each is a LEFT ANTI
+    // join on the full pair — a pure filter that cannot grow the result
+    terms.zipWithIndex.filter(_._1.negated).foreach { case (EdgeTerm(s, d, _), i) =>
+      val ei = e.select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
+      result = result.join(ei,
+        col(s) === col(s"__m${i}_s") && col(d) === col(s"__m${i}_d"), "left_anti")
+    }
     result.select(outputVars(terms).map(col): _*)
   }
 
@@ -130,7 +156,7 @@ object Motifs {
     // variable -> the "t<i>.src"/"t<i>.dst" expression that first binds it
     var binding = Map.empty[String, String]
     val conds = Seq.newBuilder[String]
-    ordered.foreach { case ((s, d), i) =>
+    ordered.foreach { case (EdgeTerm(s, d, _), i) =>
       if (s == d) {
         conds += s"t$i.src = t$i.dst"
         if (!binding.contains(s)) binding += s -> s"t$i.src"
@@ -144,6 +170,11 @@ object Motifs {
           case None => binding += d -> s"t$i.dst"
         }
       }
+    }
+    // negated terms mirror the anti joins as NOT EXISTS on the bound pair
+    terms.filter(_.negated).foreach { t =>
+      conds += s"NOT EXISTS (SELECT 1 FROM e ne WHERE ne.src = ${binding(t.src)} " +
+        s"AND ne.dst = ${binding(t.dst)})"
     }
     val from = ordered.map { case (_, i) => s"e t$i" }.mkString(", ")
     val where = conds.result().mkString(" AND ")

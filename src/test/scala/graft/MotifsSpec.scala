@@ -19,7 +19,8 @@ class MotifsSpec extends SparkSpec {
         case v +: rest => vs.iterator.flatMap(x => assign(rest, acc + (v -> x)))
       }
     assign(vars, Map.empty)
-      .filter(m => terms.forall { case (s, d) => es((m(s), m(d))) })
+      .filter(m => terms.forall(t =>
+        if (t.negated) !es((m(t.src), m(t.dst))) else es((m(t.src), m(t.dst)))))
       .map(m => vars.map(m))
       .toSet
   }
@@ -29,9 +30,26 @@ class MotifsSpec extends SparkSpec {
       .collect().map(_.toSeq.map(_.asInstanceOf[Long])).toSet
 
   test("parse: whitespace-robust; bad terms and empty patterns rejected") {
-    assert(Motifs.parse("( a )-( b );(b)-(c)") === Seq(("a", "b"), ("b", "c")))
+    assert(Motifs.parse("( a )-( b );(b)-(c)") ===
+      Seq(Motifs.EdgeTerm("a", "b", false), Motifs.EdgeTerm("b", "c", false)))
+    assert(Motifs.parse("(a)-(b); !(b)-(a)") ===
+      Seq(Motifs.EdgeTerm("a", "b", false), Motifs.EdgeTerm("b", "a", true)))
     intercept[IllegalArgumentException](Motifs.parse("(a)->(b)"))
     intercept[IllegalArgumentException](Motifs.parse("  ;  "))
+    // negation restrictions: unbound negated vars, all-negated patterns
+    intercept[IllegalArgumentException](Motifs.parse("(a)-(b); !(a)-(c)"))
+    intercept[IllegalArgumentException](Motifs.parse("!(a)-(b)"))
+  }
+
+  test("negated terms: open wedges and non-reciprocated edges agree with brute force") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(50)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+    for (p <- Seq("(a)-(b); (b)-(c); !(a)-(c)", "(a)-(b); !(b)-(a)"))
+      assert(run(edges, p) === bruteFind(edges, p), s"pattern $p diverged")
+    // hand check: 0->1->2 with 0->2 chord closes that wedge; 1->2->3 stays open
+    val open = run(Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)),
+      "(a)-(b); (b)-(c); !(a)-(c)")
+    assert(!open(Seq(0L, 1L, 2L)) && open(Seq(1L, 2L, 3L)))
   }
 
   test("single edge term is the deduped edge relation") {
