@@ -37,6 +37,10 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→TIMESTAMP cast below reinterprets the naive wall-clock under
+    // the SESSION zone; pin it to UTC here too (not only in GraftSession
+    // .builder) so a driver-provided non-UTC session cannot shift ts
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types._
     val raw = table(s, d, "events")

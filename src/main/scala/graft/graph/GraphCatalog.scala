@@ -271,12 +271,14 @@ class GraphCatalog(spark: SparkSession, root: String) {
     graft.operators.MergeInto.mergeCow(spark, partEdgesTable, source,
       keys = Seq("src", "dst", "graph_name"), partCol = "graph_name", deleteCol)
     // refresh the vertex partition: old set ∪ post-merge edge endpoints,
-    // materialized BEFORE the path it reads from is deleted/overwritten
+    // materialized BEFORE the path it reads from is overwritten. The
+    // refreshed set is never empty (it contains the old set), so dynamic
+    // partition overwrite alone replaces this graph's partition — no manual
+    // pre-delete, hence no crash window where the partition is gone
     val refreshed = verticesPartitioned(name)
       .union(vertexSetOf(graphPartitioned(name), None))
       .distinct()
       .localCheckpoint(true)
-    fs.delete(partDir(partVerticesTable, name), true)
     refreshed.withColumn("graph_name", lit(name))
       .write.partitionBy("graph_name")
       .option("partitionOverwriteMode", "dynamic")

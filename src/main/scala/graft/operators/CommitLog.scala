@@ -22,10 +22,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     readable (time travel) until a retention job removes unreferenced
   *     directories.
   *
-  * Atomicity & concurrency: a commit becomes visible when its log file is
-  * created with `overwrite=false` — an atomic create-if-absent on
-  * HDFS-semantics filesystems. Two writers racing to the same next version
-  * both stage data, but only one create succeeds; the loser gets a
+  * Atomicity & concurrency: the log content is fully written to an
+  * invisible `_log/.tmp-*` staging file, then published with a
+  * rename-without-overwrite onto the version name — an atomic
+  * create-if-absent on HDFS-semantics filesystems, and readers can never
+  * observe a partially-written head. Two writers racing to the same next
+  * version both stage data, but only one rename succeeds; the loser gets a
   * [[java.util.ConcurrentModificationException]] (its staged directory is
   * removed best-effort) and retries on the new head — classic optimistic
   * concurrency, the Delta protocol's core. (Object stores without atomic
@@ -52,11 +54,14 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
 
   private def logFile(v: Long) = new Path(logDir, f"$v%020d.json")
 
-  /** Committed versions, ascending (log-directory listing — version-count-sized). */
+  /** Committed versions, ascending (log-directory listing — version-count-sized).
+    * Strictly-numeric names only: in-flight `.tmp-*` staging files and any
+    * stray foreign `.json` artifact are invisible, never a parse failure.
+    */
   def versions(): Seq[Long] =
     if (!fs.exists(logDir)) Seq.empty
     else fs.listStatus(logDir).map(_.getPath.getName).toSeq
-      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).sorted
+      .filter(_.matches("\\d{20}\\.json")).map(_.stripSuffix(".json").toLong).sorted
 
   def latestVersion(): Option[Long] = versions().lastOption
 
@@ -157,8 +162,12 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   protected def nextVersion(): Long = latestVersion().map(_ + 1).getOrElse(0L)
 
   private def commitVersion(df: DataFrame, keepPrevious: Boolean, op: String): Long = {
-    val prev = latestVersion()
+    // resolve the head ONCE: the carried file list derives from version-1 of
+    // the version this writer attempts, so base snapshot and attempt are
+    // always consistent — a commit landing in between makes the publish
+    // rename fail (stale head), never a silently dropped file list
     val version = nextVersion()
+    val prev = if (version > 0 && fs.exists(logFile(version - 1))) Some(version - 1) else None
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"d$version-$nonce"
     val dataDir = new Path(path, rel)
@@ -182,15 +191,25 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
             s"""{"type": "add", "version": $version, "path": ${jsonStr(p)}, "lo": $lo, "hi": $hi, "n": $n}"""
           }
       fs.mkdirs(logDir)
-      // create-if-absent IS the commit: exactly one writer wins a version
-      val out =
-        try fs.create(logFile(version), false)
-        catch { case e: java.io.IOException =>
-          throw new java.util.ConcurrentModificationException(
-            s"version $version at $path was committed by another writer", e)
-        }
+      // publish = write the FULL content to an invisible temp name, then
+      // rename-without-overwrite onto the version file. The rename is the
+      // same atomic create-if-absent primitive (exactly one writer wins a
+      // version), but the version only ever becomes visible fully written —
+      // no reader can observe a zero-length/partial head, and a crash
+      // mid-write leaves only an inert .tmp-* file versions() ignores
+      val tmp = new Path(logDir, s".tmp-$nonce.json")
+      val out = fs.create(tmp, true)
       try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          logDir.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, logFile(version)) // default Rename.NONE: fails if dest exists
+      } catch { case e: java.io.IOException =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"version $version at $path was committed by another writer", e)
+      }
       version
     } catch {
       case e: Throwable =>

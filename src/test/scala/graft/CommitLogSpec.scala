@@ -60,6 +60,42 @@ class CommitLogSpec extends SparkSpec {
     assert(t.prunedRead(5000L, 6000L).collect().isEmpty)
   }
 
+  test("stray non-numeric log artifacts never brick the table") {
+    val dir = Files.createTempDirectory("graft-clog-stray").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a"))
+    // a leftover staging file and a foreign tool's artifact land in _log
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(dir, "_log")
+    Seq(".tmp-deadbeef.json", "notes.json", "00000000000000000001.json.crc").foreach { n =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(log, n), true)
+      out.write("not a commit".getBytes); out.close()
+    }
+    assert(t.versions() === Seq(0L)) // invisible, not a NumberFormatException
+    assert(rows(t.read()) === Set(1L -> "a"))
+    assert(t.append(kv(2L -> "b")) === 1L) // commits still land past the debris
+    assert(rows(t.read()) === Set(1L -> "a", 2L -> "b"))
+  }
+
+  test("a committed version is never observable partially written") {
+    val dir = Files.createTempDirectory("graft-clog-atomic").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every visible log file is fully written: carries a commit header AND
+    // at least one add action (publish is rename-after-full-write, so a
+    // zero-length head cannot exist even transiently)
+    val log = new org.apache.hadoop.fs.Path(dir, "_log")
+    fs.listStatus(log).filter(_.getPath.getName.matches("\\d{20}\\.json")).foreach { st =>
+      assert(st.getLen > 0, s"zero-length committed log file ${st.getPath}")
+      val in = fs.open(st.getPath)
+      val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      assert(content.contains("\"type\": \"commit\"") && content.contains("\"type\": \"add\""))
+    }
+  }
+
   test("concurrent writers: exactly one commit per version; loser's staging is removed") {
     val dir = Files.createTempDirectory("graft-clog-race").toString
     val t1 = new CommitTable(spark, dir, "k")
