@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, Motifs, SequentialModel, Traversals}
-import graft.llm.{Dedup, MediaOps, Packing, Sampling, Similarity, Sketches, TextOps}
+import graft.llm.{Dedup, MediaOps, Packing, Sampling, SequentialCorpus, Similarity, Sketches, TextOps}
 import graft.operators.{MergeInto, Partitioning, Sessionization, SnapshotDiff, TemporalJoins, Validation}
 import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.{BoundedReplay, EventStreams}
@@ -293,6 +293,30 @@ object SparkEntry {
       // a disjoint seed set
       Analytics.harmonicProfile(DerivedGraphs.small(s, dir),
         seeds = Seq(10L, 11L, 12L, 13L), maxDepth = 12)),
+    "g36_modularity" -> ((s, dir) => {
+      // Newman modularity of the g15 LPA communities: the quality score a
+      // community-detection loop optimizes, exposed as a standalone scorer
+      // for ANY labeling. Masses are exact integers; Q_c is two divisions
+      // on them (bit-identical cross-engine) rounded 1e-6. Oracle: the
+      // sequential-model LPA labels as VALUES (the g15 discipline) scored
+      // by the same SQL masses over the edge derivation
+      val e = DerivedGraphs.small(s, dir)
+      Analytics.modularity(e, Analytics.labelPropagation(e, numIter = 5))
+    }),
+    "g37_eccentricity" -> ((s, dir) =>
+      // per-seed eccentricity (max hop distance) + reach — the sampled
+      // diameter/radius profile; same one-landmarkBfs-run-for-all-seeds
+      // machinery as g24/g29, integer-exact compare
+      Analytics.eccentricityProfile(DerivedGraphs.small(s, dir),
+        seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12)),
+    "g38_shortest_path" -> ((s, dir) =>
+      // shortest-path RECONSTRUCTION: the actual hop sequence 0 → the
+      // highest-id reachable vertex, canonical min-id predecessor at each
+      // level so the recursive-CTE mirror derives the identical path;
+      // one BFS + one level-aligned min-parent join, then broadcast
+      // single-row walk-back joins in one lazy plan
+      Traversals.shortestPathTo(DerivedGraphs.small(s, dir), start = 0L,
+        maxDepth = 12)),
     "g24_closeness" -> ((s, dir) =>
       // seed-sampled closeness profile: integer (n_reached, sum_dist) per
       // seed, one Pregel BFS each over the shared edge relation; the ratio
@@ -861,6 +885,30 @@ object SparkEntry {
         t.asOf(v).agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
           .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
       }.reduce(_ unionByName _).orderBy("version")
+    }),
+    "f13_log_cdf" -> ((s, dir) => {
+      // change-data-feed THROUGH the commit log: three committed versions
+      // (v0 = keys < 15, v1 = + keys >= 15, v2 = overwrite keys >= 5), then
+      // changesBetween(0, 2) — multiset row diff of two real committed file
+      // lists — rolled up per change_type. Oracle derives the same
+      // insert/delete sets straight from the source table. Fresh
+      // per-process table per execution, shutdown-hook cleaned
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-cdf-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      t.overwrite(nat.filter(col("n_nationkey") < 15))
+      t.append(nat.filter(col("n_nationkey") >= 15))
+      t.overwrite(nat.filter(col("n_nationkey") >= 5))
+      t.changesBetween(0L, 2L)
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
+        .orderBy("change_type")
     }),
     "f11_compacted_roundtrip" -> ((s, dir) => {
       // small-file compaction bound to the gate: orders deliberately
@@ -1839,6 +1887,20 @@ object SparkEntry {
       // mean: posexplode -> one (label, pos) shuffle with partial sums; a
       // group's vectors are never materialized together
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
+    "s9_kmeans" -> ((s, dir) => // Lloyd k-means — THE curation clustering
+      // primitive (SemDeDup / domain balancing start here): deterministic
+      // seed/tie/quantization contract so the independent sequential-model
+      // VALUES oracle reproduces every assignment exactly; corpus scanned
+      // once per round against broadcast codebook literals, means via the
+      // (cluster, pos) partial-sum shuffle
+      Similarity.kMeans(Tables.embeddings(s, dir), k = 8, numIter = 5)),
+    "s10_mmr" -> ((s, dir) => // maximal-marginal-relevance diversified
+      // top-k: greedy λ·rel − (1−λ)·max-sim-to-selected over the relevance
+      // pool — the anti-near-dup retrieval answer; corpus-sized work is one
+      // broadcast-query relevance pass, greedy picks are k distributed
+      // argmax steps over the checkpointed pool
+      Similarity.mmrSelect(Tables.embeddings(s, dir), queryId = 0L, k = 10,
+        poolSize = 50, lambda = 0.7)),
 
     // ---- LLM-pipeline: text analysis + multimodal ----
     "t1_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
@@ -1847,6 +1909,12 @@ object SparkEntry {
     "t4_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
     "t5_token_freq" -> ((s, dir) => TextOps.tokenFrequency(Tables.documents(s, dir))),
     "t6_bpe_tokens" -> ((s, dir) => TextOps.bpeTokenCounts(Tables.documents(s, dir))),
+    "t29_bpe_train" -> ((s, dir) => // BPE merge TRAINING (t6 counts with a
+      // fixed regex; this LEARNS the merge table): corpus touched once for
+      // the word-type counts, every round is vocabulary-sized expression
+      // work + a 1-row argmax; not SQL-expressible (iterative argmax), so
+      // the oracle is the independent sequential model's VALUES
+      TextOps.bpeTrainMerges(Tables.documents(s, dir), numMerges = 10)),
     "t7_winnowing" -> ((s, dir) => // rolling hash unrolled to a k-term
       // polynomial in the SQL mirror — fully oracle-checked
       TextOps.winnowingFingerprints(Tables.documents(s, dir))),
@@ -2069,6 +2137,10 @@ object SparkEntry {
       weightSql = "(src + dst) % 5 + 1", numIter = 10),
     "g29_harmonic" -> Analytics.harmonicProfileSql(DerivedGraphs.smallSql,
       seeds = Seq(10L, 11L, 12L, 13L), maxDepth = 12),
+    "g37_eccentricity" -> Analytics.eccentricityProfileSql(DerivedGraphs.smallSql,
+      seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12),
+    "g38_shortest_path" -> Traversals.shortestPathToSql(DerivedGraphs.smallSql,
+      start = 0L, maxDepth = 12),
     "g24_closeness" -> Analytics.closenessProfileSql(DerivedGraphs.smallSql,
       seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12),
     "g25_clustering_coeff" ->
@@ -2363,6 +2435,14 @@ object SparkEntry {
         |UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
         |UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
         |ORDER BY version""".stripMargin,
+    "f13_log_cdf" -> // the insert/delete sets derived straight from the
+      // source: v0 = keys < 15, v2 = keys >= 5 — inserts are keys >= 15,
+      // deletes are keys < 5
+      """SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+        |       SUM(n_nationkey)::BIGINT AS sum_key FROM nation WHERE n_nationkey < 5
+        |UNION ALL SELECT 'insert', COUNT(*), SUM(n_nationkey)::BIGINT
+        |FROM nation WHERE n_nationkey >= 15
+        |ORDER BY change_type""".stripMargin,
     "f11_compacted_roundtrip" -> // source-table oracle: the shatter +
       // round-robin compaction rewrite must be content-preserving
       """SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_key,
@@ -3021,7 +3101,8 @@ object SparkEntry {
     def want(k: String) = selected.forall(_.contains(k))
     val graphKeys =
       Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
-        "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness")
+        "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness",
+        "g36_modularity")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -3041,6 +3122,16 @@ object SparkEntry {
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
              |FROM (VALUES ${lpa.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
              |ORDER BY vertex""".stripMargin),
+      "g36_modularity" -> {
+        // the g15 LPA labels as VALUES, scored by SQL modularity masses
+        // over the same edge derivation
+        val labelSql =
+          if (lpa.isEmpty) "SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS l WHERE 1 = 0"
+          else
+            s"""SELECT CAST(v AS BIGINT) AS v, CAST(l AS BIGINT) AS l
+               |FROM (VALUES ${lpa.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)""".stripMargin
+        Analytics.modularitySql(DerivedGraphs.smallSql, labelSql)
+      },
       "g28_topo_layers" -> {
         val layers = SequentialModel.topoLayers(edges.filter(e => e._1 < e._2))
           .toSeq.sorted
@@ -3096,7 +3187,48 @@ object SparkEntry {
           else s"""SELECT CAST(v AS BIGINT) AS vertex
                   |FROM (VALUES ${leaves.map(v => s"($v)").mkString(", ")}) AS t(v) ORDER BY vertex""".stripMargin))
     }
-    (graphOracles ++ Map(
+    // corpus/vector mirrors (same independent-model discipline): collected
+    // inputs are gate-scale by contract — embeddings are corpus samples
+    // (500×64 at sf0.01), documents a 500-row slice
+    val vecKeys = Seq("s9_kmeans", "s10_mmr")
+    val vecOracles: Map[String, String] = if (!vecKeys.exists(want)) Map.empty else {
+      val vecs = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+        .toSeq
+      val km = SequentialCorpus.kMeans(vecs, k = 8, numIter = 5)
+      val mm = SequentialCorpus.mmr(vecs, queryId = 0L, k = 10, poolSize = 50,
+        lambda = 0.7)
+      Map(
+        "s9_kmeans" -> (
+          if (km.isEmpty)
+            "SELECT CAST(NULL AS BIGINT) AS cluster, CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS inertia_6 WHERE 1 = 0"
+          else
+            s"""SELECT CAST(c AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n, CAST(i AS DOUBLE) AS inertia_6
+               |FROM (VALUES ${km.map { case (c, n, i) => s"($c, $n, $i)" }.mkString(", ")}) AS t(c, n, i)
+               |ORDER BY cluster""".stripMargin),
+        "s10_mmr" -> (
+          if (mm.isEmpty)
+            "SELECT CAST(NULL AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score_6 WHERE 1 = 0"
+          else
+            s"""SELECT CAST(p AS BIGINT) AS pos, CAST(v AS BIGINT) AS vec_id, CAST(sc AS DOUBLE) AS score_6
+               |FROM (VALUES ${mm.map { case (p, v, sc) => s"($p, $v, $sc)" }.mkString(", ")}) AS t(p, v, sc)
+               |ORDER BY pos""".stripMargin))
+    }
+    val bpeOracles: Map[String, String] = if (!want("t29_bpe_train")) Map.empty else {
+      val texts = graft.Tables.documents(spark, sfDir)
+        .select("text").collect().map(_.getString(0)).toSeq
+      val bpe = SequentialCorpus.bpeMerges(texts, numMerges = 10)
+      Map("t29_bpe_train" -> (
+        if (bpe.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs, CAST(NULL AS BIGINT) AS freq WHERE 1 = 0"
+        else
+          s"""SELECT CAST(r AS BIGINT) AS rank, CAST(l AS VARCHAR) AS lhs, CAST(rr AS VARCHAR) AS rhs, CAST(f AS BIGINT) AS freq
+             |FROM (VALUES ${bpe.map { case (r, l, rr, f) => s"($r, '$l', '$rr', $f)" }.mkString(", ")}) AS t(r, l, rr, f)
+             |ORDER BY rank""".stripMargin))
+    }
+    (graphOracles ++ vecOracles ++ bpeOracles ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line

@@ -1017,6 +1017,115 @@ object Analytics {
        |FROM m WHERE vertex <> seed GROUP BY seed ORDER BY seed""".stripMargin
   }
 
+  /** Sampled eccentricity profile: per seed, the INTEGER pair
+    * `(n_reached, ecc)` where `ecc = max hop distance` to any reached
+    * vertex — the per-seed ingredient of the diameter (max over seeds) and
+    * radius (min over seeds) estimates. Same one-[[Traversals.landmarkBfs]]
+    * -Pregel-run cost as [[closenessProfile]]: the whole seed set traverses
+    * the edge relation once, and the rollup is seeds × vertex-sized rows
+    * aggregated immediately. Hop-bounded at `maxDepth` (an eccentricity
+    * larger than the bound reports the bound — the standard sampled form;
+    * the oracle mirrors the same bound).
+    */
+  def eccentricityProfile(edges: DataFrame, seeds: Seq[Long],
+                          maxDepth: Int = 12): DataFrame = {
+    require(seeds.nonEmpty, "eccentricity needs at least one seed")
+    Traversals.landmarkBfs(edges, seeds, maxDepth)
+      .filter(col("vertex") =!= col("seed"))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        max(col("level")).cast("long").as("ecc"))
+      .orderBy("seed")
+  }
+
+  /** DuckDB mirror of [[eccentricityProfile]] — same hop-bounded BFS
+    * closure, same integer max.
+    */
+  def eccentricityProfileSql(edgeSql: String, seeds: Seq[Long],
+                             maxDepth: Int = 12): String = {
+    val seedVals = seeds.distinct.sorted.map(s => s"($s)").mkString(", ")
+    s"""WITH RECURSIVE e AS ($edgeSql),
+       |walk(seed, vertex, level) AS (
+       |  SELECT CAST(s.s AS BIGINT) AS seed, CAST(s.s AS BIGINT) AS vertex, 0 AS level
+       |  FROM (VALUES $seedVals) s(s)
+       |  UNION
+       |  SELECT walk.seed, e.dst, walk.level + 1
+       |  FROM walk JOIN e ON e.src = walk.vertex WHERE walk.level < $maxDepth),
+       |m AS (SELECT seed, vertex, MIN(level) AS level FROM walk GROUP BY seed, vertex)
+       |SELECT seed, COUNT(*) AS n_reached, MAX(level)::BIGINT AS ecc
+       |FROM m WHERE vertex <> seed GROUP BY seed ORDER BY seed""".stripMargin
+  }
+
+  /** Newman modularity of a community assignment, per community: for each
+    * label `c`, `Q_c = in_c/m − (d_c/(2m))²` over the UNDIRECTED simple
+    * graph (in_c = intra-community edges, d_c = degree mass, m = total
+    * edges); `Σ_c Q_c` is the textbook modularity Q. The quality score
+    * every community-detection loop (LPA here, Louvain in general)
+    * optimizes — exposed as its own operator so any labeling can be
+    * scored. `(label, n_vertices, in_edges, deg_sum, q_6)`.
+    *
+    * Exactness: in_c, d_c, m are exact BIGINTs; Q_c is two divisions and
+    * one multiply on those integers — bit-identical across engines — then
+    * rounded to 1e-6.
+    *
+    * Scale shape: two broadcast-sized joins of the edge relation against
+    * the vertex-sized label table, one label-keyed aggregation each;
+    * m rides along as a 1-row cross join (never a driver collect). No
+    * corpus-sized state beyond the edge pass.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("c")).union(und.select(col("b").as("c")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+    val lab = labels.select(col("vertex").cast("long").as("v"),
+      col("label").cast("long").as("label"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val inn = und
+      .join(lab.select(col("v").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("v").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("in_edges"))
+    val dc = deg.join(lab.select(col("v").as("c"), col("label")), "c")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("d")).cast("long").as("deg_sum"))
+    dc.join(inn, Seq("label"), "left_outer")
+      .na.fill(0L, Seq("in_edges"))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_vertices"), col("in_edges"), col("deg_sum"),
+        round(col("in_edges").cast("double") / col("m").cast("double")
+          - (col("deg_sum").cast("double") / (col("m").cast("double") * 2))
+          * (col("deg_sum").cast("double") / (col("m").cast("double") * 2)), 6).as("q_6"))
+      .orderBy("label")
+  }
+
+  /** DuckDB mirror of [[modularity]] over the edge derivation `edgeSql`,
+    * scoring the label assignment `labelSql` (columns `v, l`) — same
+    * undirected simple graph, same integer masses, same expression shape
+    * for Q_c.
+    */
+  def modularitySql(edgeSql: String, labelSql: String): String =
+    s"""WITH e AS ($edgeSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+       |adj AS (SELECT a AS c FROM und UNION ALL SELECT b FROM und),
+       |deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
+       |lab AS ($labelSql),
+       |m AS (SELECT COUNT(*) AS m FROM und),
+       |inn AS (SELECT la.l AS label, COUNT(*) AS in_edges
+       |        FROM und JOIN lab la ON la.v = und.a JOIN lab lb ON lb.v = und.b
+       |        WHERE la.l = lb.l GROUP BY 1),
+       |dc AS (SELECT lab.l AS label, COUNT(*) AS n_vertices, SUM(deg.d)::BIGINT AS deg_sum
+       |       FROM deg JOIN lab ON lab.v = deg.c GROUP BY 1)
+       |SELECT dc.label, dc.n_vertices, COALESCE(inn.in_edges, 0) AS in_edges, dc.deg_sum,
+       |       round(COALESCE(inn.in_edges, 0)::DOUBLE / m.m::DOUBLE
+       |             - (dc.deg_sum::DOUBLE / (m.m::DOUBLE * 2))
+       |             * (dc.deg_sum::DOUBLE / (m.m::DOUBLE * 2)), 6) AS q_6
+       |FROM dc CROSS JOIN m LEFT JOIN inn ON inn.label = dc.label
+       |ORDER BY dc.label""".stripMargin
+
   /** DuckDB mirror of [[closenessProfile]]: one recursive walk carrying the
     * seed, min level per (seed, vertex), integer rollup.
     */

@@ -369,4 +369,79 @@ object Traversals {
     e.groupBy(_._1)
       .map { case (s, arr) => s -> arr.map(_._2).sorted }
   }
+
+  /** Shortest-path RECONSTRUCTION: the actual vertex sequence of one
+    * shortest path from `start` to `target` — the graph-database ask
+    * [[bfs]]'s distance table alone can't answer. `(pos BIGINT, vertex
+    * BIGINT)` with pos 0 = start … pos L = target; empty when `target` is
+    * unreachable within `maxDepth`. `target = None` picks the highest-id
+    * reachable vertex (a deterministic, always-reachable default).
+    *
+    * Determinism: among equal-length paths, each hop takes the MINIMUM-id
+    * predecessor at the previous BFS level, so the reported path is the
+    * unique canonical one — the property that lets a recursive-CTE oracle
+    * derive the identical sequence.
+    *
+    * Scale shape: one [[bfs]] (Pregel, edges partitioned once) + ONE
+    * distributed join deriving the full min-parent table (level-aligned
+    * edge join, vertex-sized result, localCheckpoint'd), then ≤ maxDepth
+    * chained joins each probing the parent table against a BROADCAST
+    * single-row frontier — the whole walk-back is one lazy plan, no
+    * per-step driver materialization. The only driver-sized reads are two
+    * 1-row lookups (target pick, its level).
+    */
+  def shortestPathTo(edges: DataFrame, start: Long, target: Option[Long] = None,
+                     maxDepth: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lev = bfs(edges, start, maxDepth).select(col("vertex"), col("level").cast("long").as("level"))
+      .localCheckpoint(true)
+    val t = target.getOrElse {
+      lev.agg(max("vertex")).head.getLong(0) // 1-row driver read by design
+    }
+    val tLevel = lev.filter(col("vertex") === t).select("level").collect()
+    if (tLevel.isEmpty) return Seq.empty[(Long, Long)].toDF("pos", "vertex")
+    val hops = tLevel.head.getLong(0)
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // canonical min-id predecessor at the previous level, for every vertex
+    val parent = lev.as("v")
+      .join(e, col("v.vertex") === e("dst"))
+      .join(lev.select(col("vertex").as("u"), col("level").as("ul")).as("p"),
+        e("src") === col("p.u") && col("p.ul") === col("v.level") - 1)
+      .groupBy(col("v.vertex").as("vertex"))
+      .agg(min(col("p.u")).as("parent"))
+      .localCheckpoint(true)
+    var cur = Seq((hops, t)).toDF("pos", "vertex")
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
+    for (p <- hops - 1 to 0L by -1) {
+      cur = parent.join(broadcast(cur), "vertex")
+        .select(lit(p).as("pos"), col("parent").as("vertex"))
+      steps += cur
+    }
+    steps.reduce(_ unionByName _).orderBy("pos")
+  }
+
+  /** DuckDB mirror of [[shortestPathTo]] with the default highest-id
+    * target: hop-bounded BFS closure, min-parent per level, recursive
+    * walk-back from the target.
+    */
+  def shortestPathToSql(edgeSql: String, start: Long, maxDepth: Int = 12): String =
+    s"""WITH RECURSIVE e AS ($edgeSql),
+       |walk(vertex, level) AS (
+       |  SELECT CAST($start AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, walk.level + 1 FROM walk JOIN e ON e.src = walk.vertex
+       |  WHERE walk.level < $maxDepth),
+       |lev AS (SELECT vertex, MIN(level) AS level FROM walk GROUP BY vertex),
+       |tgt AS (SELECT MAX(vertex) AS t FROM lev),
+       |par AS (SELECT lv.vertex AS v, MIN(e.src) AS p
+       |        FROM lev lv JOIN e ON e.dst = lv.vertex
+       |        JOIN lev lu ON lu.vertex = e.src AND lu.level = lv.level - 1
+       |        GROUP BY lv.vertex),
+       |path(pos, vertex) AS (
+       |  SELECT lev.level, lev.vertex FROM lev JOIN tgt ON lev.vertex = tgt.t
+       |  UNION ALL
+       |  SELECT path.pos - 1, par.p FROM path JOIN par ON par.v = path.vertex
+       |  WHERE path.pos > 0)
+       |SELECT pos::BIGINT AS pos, vertex::BIGINT AS vertex FROM path ORDER BY pos""".stripMargin
 }

@@ -1,0 +1,160 @@
+package graft.llm
+
+/** Plain in-memory sequential mirrors for the corpus/vector operators whose
+  * semantics are not ANSI-SQL-expressible (iterative fixpoints with argmax
+  * steps) — the oracle discipline [[graft.graph.SequentialModel]] set for
+  * the graph family, applied to the LLM-pipeline family: straightforward
+  * loops sharing NO code with the distributed paths, emitted as `VALUES`
+  * literals by `SparkEntry.dynamicOracleSql`.
+  *
+  * Float discipline (matching the distributed contracts): every dot product
+  * is a strict left-to-right loop; k-means centroids are quantized to the
+  * 1e-6 grain each round (half-even, `math.rint`), so both engines iterate
+  * from EXACTLY equal centroids and every comparison agrees bit-for-bit;
+  * only order-insensitive final sums differ in the last bits, absorbed by
+  * the half-up 1e-6 output rounding.
+  */
+object SequentialCorpus {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Lloyd k-means; mirror of `Similarity.kMeans`'s deterministic contract.
+    * Returns `(cluster, n, inertia_6)` sorted by cluster.
+    */
+  def kMeans(vecs: Seq[(Long, IndexedSeq[Double])], k: Int,
+             numIter: Int): Seq[(Long, Long, Double)] = {
+    val sorted = vecs.sortBy(_._1)
+    var cents: IndexedSeq[IndexedSeq[Double]] =
+      sorted.take(k).map(_._2).toIndexedSeq
+    def sqDist(e: IndexedSeq[Double], c: IndexedSeq[Double]): Double = {
+      var c2 = 0.0
+      c.foreach(x => c2 += x * x)
+      dot(e, e) - 2.0 * dot(e, c) + c2
+    }
+    def assign(e: IndexedSeq[Double]): Int = {
+      var best = 0
+      var bestD = sqDist(e, cents(0))
+      var i = 1
+      while (i < cents.length) {
+        val d = sqDist(e, cents(i))
+        if (d < bestD) { best = i; bestD = d } // strict <: first minimum wins
+        i += 1
+      }
+      best
+    }
+    for (_ <- 1 to numIter) {
+      val members = sorted.groupBy { case (_, e) => assign(e) }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        members.get(i) match {
+          case Some(ms) =>
+            IndexedSeq.tabulate(old.length) { j =>
+              var s = 0.0
+              ms.foreach { case (_, e) => s += e(j) }
+              math.rint(s / ms.size * 1e6) / 1e6
+            }
+          case None => old
+        }
+      }
+    }
+    vecs.groupBy { case (_, e) => assign(e) }.toSeq
+      .map { case (c, ms) =>
+        var inertia = 0.0
+        ms.foreach { case (_, e) => inertia += sqDist(e, cents(c)) }
+        (c.toLong, ms.size.toLong, round6(inertia))
+      }
+      .sortBy(_._1)
+  }
+
+  /** Greedy MMR selection; mirror of `Similarity.mmrSelect`. Returns
+    * `(pos, vec_id, score_6)` in selection order (pos 1-based).
+    */
+  def mmr(vecs: Seq[(Long, IndexedSeq[Double])], queryId: Long, k: Int,
+          poolSize: Int, lambda: Double): Seq[(Long, Long, Double)] = {
+    val norms = vecs.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    val byId = vecs.toMap
+    val qe = byId(queryId)
+    val qn = norms(queryId)
+    val pool = vecs.filter(_._1 != queryId)
+      .map { case (id, e) => (id, e, norms(id), dot(e, qe) / (norms(id) * qn)) }
+      .sortWith((a, b) => a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+      .take(poolSize)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, IndexedSeq[Double], Double)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var pos = 1
+    while (pos <= k && selected.size < pool.size) {
+      var best: Option[(Long, IndexedSeq[Double], Double, Double)] = None
+      pool.foreach { case (id, e, n, rel) =>
+        if (!selected.exists(_._1 == id)) {
+          val penalty =
+            if (selected.isEmpty) 0.0
+            else selected.map { case (_, se, sn) => dot(e, se) / (n * sn) }.max
+          val score = lambda * rel - (1.0 - lambda) * penalty
+          if (best.forall(b => score > b._4 || (score == b._4 && id < b._1)))
+            best = Some((id, e, n, score))
+        }
+      }
+      best match {
+        case Some((id, e, n, score)) =>
+          out += ((pos.toLong, id, round6(score)))
+          selected += ((id, e, n))
+          pos += 1
+        case None => pos = k + 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** BPE merge training; mirror of `TextOps.bpeTrainMerges`. Returns
+    * `(rank, lhs, rhs, freq)` in merge order. Tokenization matches
+    * `TextOps.tokens`: lowercase, split on `[^a-z0-9]+`, empties dropped.
+    */
+  def bpeMerges(texts: Seq[String], numMerges: Int): Seq[(Long, String, String, Long)] = {
+    val freqs = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(t => t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .foreach(w => freqs(w) = freqs.getOrElse(w, 0L) + 1L))
+    var vocab: Seq[(Vector[String], Long)] =
+      freqs.toSeq.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), f) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank.toLong, l, r, f))
+        // greedy leftmost non-overlapping scan (independent of the
+        // distributed path's fold formulation; provably the same rewrite)
+        vocab = vocab.map { case (syms, wf) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), wf)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+}

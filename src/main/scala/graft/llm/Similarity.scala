@@ -780,4 +780,147 @@ object Similarity {
        |      FROM votes)
        |SELECT query_id, label AS pred_label, votes
        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin
+
+  /** Round a double to the 1e-6 grain, half-up — Spark's `round(col, 6)`
+    * semantics, shared by the k-means / MMR driver-side finalization and
+    * their sequential oracle mirrors.
+    */
+  private[llm] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Lloyd's k-means over the embedding column — THE curation clustering
+    * primitive (SemDeDup-style semantic dedup, domain balancing, and
+    * topic-stratified sampling all start from "k-means the corpus").
+    * Deterministic contract so the gate can oracle it: seeds are the `k`
+    * lowest-`vec_id` vectors, `numIter` fixed Lloyd rounds, assignment
+    * tie-breaks to the lowest cluster index, and each recomputed centroid
+    * is quantized to the 1e-6 grain — which makes the centroids (and hence
+    * every assignment) EXACTLY reproducible by the independent sequential
+    * mirror: partial-sum reordering perturbs a mean by ~1e-13, far below
+    * the quantum. Empty clusters keep their previous centroid.
+    * Output `(cluster, n, inertia_6)` — per-cluster size and summed squared
+    * distance to the final centroid, rounded to 1e-6.
+    *
+    * Scale shape: the corpus is scanned once per round with k codegen'd
+    * [[dot]] products against BROADCAST centroid literals (k·d doubles —
+    * bytes); the mean recompute is the [[labelCentroids]] (cluster, pos)
+    * partial-sum shuffle, and the only driver state is the k×d codebook —
+    * the same by-contract-tiny collect as the IVF/PQ codebooks. No
+    * iteration ever shuffles the embedding column itself.
+    */
+  def kMeans(emb: DataFrame, k: Int = 8, numIter: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(numIter >= 0, s"numIter must be >= 0, got $numIter")
+    val v = emb.select(col("vec_id").cast("long").as("vec_id"),
+        asDouble(col("embedding")).as("e"))
+      .localCheckpoint(true) // reused every round; truncate source lineage
+    var cents: IndexedSeq[IndexedSeq[Double]] = v.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(cents.nonEmpty, "kMeans needs a non-empty embedding table")
+    // squared distance to each centroid: |e|² − 2·e·c + |c|², every dot a
+    // strict left-to-right fold — bit-identical to the sequential mirror
+    def withAssign: DataFrame = {
+      val dcols = cents.map { c =>
+        val c2 = c.foldLeft(0.0)((s, x) => s + x * x)
+        dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), typedLit(c)) + lit(c2)
+      }
+      v.withColumn("dists", array(dcols: _*))
+        // array_position finds the FIRST minimum: ties to the lowest index
+        .withColumn("cluster",
+          (array_position(col("dists"), array_min(col("dists"))) - 1).cast("long"))
+    }
+    for (_ <- 1 to numIter) {
+      val sums = withAssign
+        .select(col("cluster"), posexplode(col("e")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect() // k×d codebook rows, by contract
+      val byCluster = sums.groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCluster.get(i.toLong) match {
+          case Some(rows) =>
+            val m = Array.tabulate(old.length)(j => old(j))
+            rows.foreach { r =>
+              // quantize to the 1e-6 grain (rint = half-even, mirrored)
+              m(r.getInt(1)) = math.rint(r.getDouble(2) / r.getLong(3) * 1e6) / 1e6
+            }
+            m.toIndexedSeq
+          case None => old
+        }
+      }
+    }
+    withAssign
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum(array_min(col("dists"))), 6).as("inertia_6"))
+      .orderBy("cluster")
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedy diversified top-`k` for the query vector `queryId` —
+    * `argmax_d λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` over a relevance
+    * `poolSize` pool. The retrieval-side answer to "my top-k are ten
+    * near-duplicates": relevance alone ranks them adjacent, the penalty
+    * term spreads the selection. `(pos, vec_id, score_6)`, pos 1-based
+    * selection order.
+    *
+    * Determinism: cosines are strict left-to-right folds, ties break to
+    * the lowest vec_id at both the pool cut and every greedy pick, and λ
+    * is the same double literal on both sides — the sequential mirror
+    * reproduces every comparison exactly.
+    *
+    * Scale shape: the corpus-sized work (relevance scan + top-pool cut) is
+    * one broadcast-query pass, like [[cosineTopK]]; the greedy loop runs k
+    * distributed argmax steps over the CHECKPOINTED pool relation (pool is
+    * bounded by contract — production pools are ~k·10²), each probing the
+    * pool against at most k broadcast selected vectors. Only 1-row picks
+    * ever reach the driver.
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+                poolSize: Int = 50, lambda: Double = 0.7): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id").cast("long").as("vec_id"),
+        asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = v.filter(col("vec_id") === queryId).select(col("e").as("qe"), col("nrm").as("qn"))
+    val pool = v.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+      .select("vec_id", "e", "nrm", "rel")
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolSize)
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Double)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val simCols = selected.toSeq.map { case (_, se, sn) =>
+        dot(col("e"), typedLit(se)) / (col("nrm") * lit(sn))
+      }
+      val penalty = simCols match {
+        case Seq() => lit(0.0)
+        case Seq(one) => one // greatest() needs >= 2 children
+        case many => greatest(many: _*)
+      }
+      val remaining =
+        if (selected.isEmpty) pool
+        else pool.filter(!col("vec_id").isInCollection(selected.map(_._1).toSeq))
+      val pick = remaining
+        .withColumn("score", lit(lambda) * col("rel") - lit(1.0 - lambda) * penalty)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select("vec_id", "e", "nrm", "score")
+        .collect() // exactly one row per greedy step
+      if (pick.isEmpty) exhausted = true
+      else {
+        val r = pick.head
+        picked += ((step.toLong, r.getLong(0), round6(r.getDouble(3))))
+        selected += ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        step += 1
+      }
+    }
+    picked.toSeq.toDF("pos", "vec_id", "score_6").orderBy("pos")
+  }
 }

@@ -894,6 +894,68 @@ object TextOps {
        |                       (a, b) -> a + b) / n, 6) END AS entropy_6
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Byte-pair-encoding MERGE TRAINING (Sennrich et al. 2016): learn the
+    * first `numMerges` BPE merges from the corpus — the tokenizer-training
+    * step every LLM data pipeline runs before tokenizing anything.
+    * Each round counts adjacent symbol pairs over the WORD-TYPE vocabulary
+    * weighted by corpus frequency, takes the most frequent pair (ties to
+    * the lexicographically least `(lhs, rhs)`), and rewrites the vocabulary
+    * with the merged symbol (greedy leftmost, non-overlapping). Words start
+    * as characters plus a terminal `</w>` marker. Returns
+    * `(rank, lhs, rhs, freq)` — the learned merge table in order; stops
+    * early if the vocabulary runs out of pairs.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: the
+    * corpus is touched exactly ONCE (the token-count groupBy, map-side
+    * combined); every merge round then operates on the WORD-TYPE table —
+    * vocabulary-sized (Heaps' law: ~10⁶ rows for a 10¹¹-token corpus),
+    * independent of corpus size. Rounds are pure built-in expressions
+    * (`transform` pair enumeration, `aggregate` fold for the rewrite) with
+    * one vocabulary-sized aggregation each; only the 1-row argmax reaches
+    * the driver per round. localCheckpoint truncates the per-round lineage.
+    */
+  def bpeTrainMerges(docs: DataFrame, numMerges: Int = 10): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("symbols",
+        expr("concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
+      .select("freq", "symbols")
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    var rank = 1
+    while (rank <= numMerges && !exhausted) {
+      val top = vocab
+        .select(col("freq"), explode(expr(
+          "transform(slice(symbols, 1, size(symbols) - 1), (s, i) -> struct(s AS lhs, element_at(symbols, i + 2) AS rhs))"))
+          .as("pair"))
+        .groupBy(col("pair.lhs").as("lhs"), col("pair.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("pfreq"))
+        .orderBy(col("pfreq").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect() // 1-row argmax per round
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((rank.toLong, l, r, f))
+        // greedy leftmost non-overlapping rewrite: a fold that merges the
+        // accumulator's last symbol with the current one on a pair match
+        // (symbols are [a-z0-9</>w]* — no quoting hazards in the literal)
+        vocab = vocab.withColumn("symbols", expr(
+          s"""aggregate(symbols, CAST(array() AS array<string>), (acc, s) ->
+             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r'
+             |       THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+             |       ELSE concat(acc, array(s)) END)""".stripMargin))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
+  }
+
   def shingleNoveltySql: String =
     s"""WITH ${shinglesSql(cte = "rawsh")},
        |sh AS (SELECT DISTINCT doc_id,

@@ -118,6 +118,29 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     }
   }
 
+  /** Change-data-feed between two committed versions, resolved THROUGH the
+    * log: multiset row diff of `asOf(from)` → `asOf(to)`, tagged
+    * `change_type` = 'insert' (rows present in `to` but not `from`) or
+    * 'delete' (the reverse). `exceptAll` keeps duplicate-row multiplicity —
+    * a row appearing twice in `to` and once in `from` yields exactly one
+    * insert. This is q28's snapshot-diff semantics bound to the commit log:
+    * the versions are real committed file lists, not a version column.
+    *
+    * Scale shape: one hash-repartition of each side (Spark plans exceptAll
+    * as an aggregate over the union, map-side combined); the diff never
+    * materializes either snapshot beyond the shuffle. Pruning note: a
+    * production CDF would first drop files the two commits SHARE (same
+    * path in both add lists touch nothing) — that file-list intersection
+    * is log-sized and free; rows here are diffed directly because
+    * compaction rewrites paths while preserving content.
+    */
+  def changesBetween(from: Long, to: Long): DataFrame = {
+    val before = asOf(from)
+    val after = asOf(to)
+    after.exceptAll(before).withColumn("change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
+  }
+
   /** Append `df` as a new version: previous file list + the new files. */
   def append(df: DataFrame): Long = commitVersion(df, keepPrevious = true, op = "append")
 

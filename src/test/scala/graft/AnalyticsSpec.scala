@@ -510,4 +510,42 @@ class AnalyticsSpec extends SparkSpec {
     // sanity on the known shape: from 0 -> reaches {1,2,3,4} at depths 1,2,3,2
     assert(got.contains((0L, 4L, 8L)))
   }
+
+  test("eccentricityProfile: max hop distance per seed on a known path") {
+    // path 0->1->2->3 plus branch 1->4; seed 2 reaches only 3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L))
+    val got = Analytics.eccentricityProfile(edgesDF(edges), Seq(0L, 2L), maxDepth = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 4L, 3L), (2L, 1L, 1L)))
+    // the hop bound caps the reported eccentricity
+    val bounded = Analytics.eccentricityProfile(edgesDF(edges), Seq(0L), maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bounded === Seq((0L, 3L, 2L)))
+  }
+
+  test("modularity: hand-computed two triangles joined by a bridge") {
+    // triangles {0,1,2} and {3,4,5}, bridge 2-3; communities = the triangles.
+    // m = 7, in_c = 3 each, d_c = 7 each:
+    // Q_c = 3/7 - (7/14)^2 = 0.17857142... -> 0.178571
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L))
+    val s = spark
+    import s.implicits._
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 3L))
+      .toDF("vertex", "label")
+    val got = Analytics.modularity(edgesDF(edges), labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === Seq((0L, 3L, 3L, 7L, 0.178571), (3L, 3L, 3L, 7L, 0.178571)))
+  }
+
+  test("modularity: one community scores exactly zero; direction/duplicates ignored") {
+    // duplicate + reversed edges collapse to the same undirected simple graph
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (1L, 2L))
+    val s = spark
+    import s.implicits._
+    val labels = Seq((0L, 9L), (1L, 9L), (2L, 9L)).toDF("vertex", "label")
+    val got = Analytics.modularity(edgesDF(edges), labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // m = 2, in = 2, deg_sum = 4: Q = 2/2 - (4/4)^2 = 0
+    assert(got === Seq((9L, 3L, 2L, 4L, 0.0)))
+  }
 }

@@ -60,6 +60,22 @@ class CommitLogSpec extends SparkSpec {
     assert(t.prunedRead(5000L, 6000L).collect().isEmpty)
   }
 
+  test("changesBetween: multiset CDF through the log") {
+    val t = freshTable()
+    t.overwrite(kv(1L -> "a", 2L -> "b", 2L -> "b")) // duplicate row x2
+    t.overwrite(kv(2L -> "b", 3L -> "c"))            // drops 1L and ONE 2L copy
+    val got = t.changesBetween(0L, 1L).collect()
+      .map(r => (r.getString(2), r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got === Seq(
+      ("delete", 1L, "a"),
+      ("delete", 2L, "b"), // exactly one copy: exceptAll keeps multiplicity
+      ("insert", 3L, "c")))
+    // a version diffed against itself is empty; compaction is content-neutral
+    assert(t.changesBetween(1L, 1L).collect().isEmpty)
+    t.compact(targetFiles = 1)
+    assert(t.changesBetween(1L, 2L).collect().isEmpty)
+  }
+
   test("stray non-numeric log artifacts never brick the table") {
     val dir = Files.createTempDirectory("graft-clog-stray").toString
     val t = new CommitTable(spark, dir, "k")

@@ -10,6 +10,54 @@ class SimilaritySpec extends SparkSpec {
     rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
   }
 
+  test("kMeans separates two obvious clusters with stable sizes") {
+    // seeds are the two lowest ids — one per true cluster by construction
+    val e = embDF(Seq(
+      0L -> Array(1f, 0f), 1L -> Array(0f, 1f),
+      2L -> Array(0.9f, 0.1f), 3L -> Array(0.1f, 0.9f),
+      4L -> Array(0.95f, 0.05f), 5L -> Array(0.05f, 0.95f)))
+    val got = Similarity.kMeans(e, k = 2, numIter = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 3L), (1L, 3L)))
+  }
+
+  test("kMeans matches the independent sequential mirror on a seeded corpus") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => i -> Array.fill(8)(rnd.nextFloat() - 0.5f))
+    val got = Similarity.kMeans(embDF(vecs), k = 4, numIter = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = graft.llm.SequentialCorpus.kMeans(
+      vecs.map { case (i, a) => (i, a.map(_.toDouble).toIndexedSeq) }, k = 4, numIter = 4)
+    assert(got === expected)
+  }
+
+  test("mmrSelect: first pick is max relevance; a near-duplicate of it is deferred") {
+    // query 0 at 45°; 1 and 2 near-identical at ~42° (2 marginally closer
+    // to the query), 3 at ~80° — ON THE OTHER SIDE of the query, so its
+    // similarity to the first pick (38° apart) is BELOW its relevance
+    // (35° apart). Pure relevance would pick (2, 1, 3); MMR at λ=0.5
+    // defers the duplicate: (2, 3, 1)
+    val e = embDF(Seq(
+      0L -> Array(1f, 1f),
+      1L -> Array(0.743f, 0.669f),
+      2L -> Array(0.743f, 0.670f),
+      3L -> Array(0.174f, 0.985f)))
+    val got = Similarity.mmrSelect(e, queryId = 0L, k = 3, poolSize = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+  }
+
+  test("mmrSelect matches the independent sequential mirror") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L).map(i => i -> Array.fill(6)(rnd.nextFloat() - 0.5f))
+    val got = Similarity.mmrSelect(embDF(vecs), queryId = 0L, k = 6, poolSize = 12, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = graft.llm.SequentialCorpus.mmr(
+      vecs.map { case (i, a) => (i, a.map(_.toDouble).toIndexedSeq) },
+      queryId = 0L, k = 6, poolSize = 12, lambda = 0.7)
+    assert(got === expected)
+  }
+
   test("cosineTopK ranks by exact cosine, self excluded") {
     val e = embDF(Seq(
       0L -> Array(1f, 0f, 0f),

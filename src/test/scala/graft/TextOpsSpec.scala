@@ -281,4 +281,32 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 2L, 0L), (3L, 4L, 3L)))
   }
+
+  test("bpeTrainMerges learns the hand-derivable merge table") {
+    // corpus: aa x3, ab x1 (word-type counts). Round by round:
+    //  1. pairs (a,a):3, (a,</w>):3, (a,b):1, (b,</w>):1 — tie at 3 broken
+    //     lexicographically: '<' < 'a', so (a, </w>) wins
+    //  2. aa = [a, a</w>] -> (a, a</w>):3 wins
+    //  3. only ab = [a, b, </w>] has pairs: (a,b):1 beats (b,</w>):1
+    //  4. (ab, </w>):1 — then no pairs remain, early stop at 4 of 10
+    val got = TextOps.bpeTrainMerges(
+        docsDF(Seq(1L -> "aa aa ab", 2L -> "aa")), numMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, "a", "</w>", 3L),
+      (2L, "a", "a</w>", 3L),
+      (3L, "a", "b", 1L),
+      (4L, "ab", "</w>", 1L)))
+  }
+
+  test("bpeTrainMerges matches the independent sequential mirror") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "alphabet", "beta", "bet", "abet", "tab", "lab")
+    val texts = (1L to 30L).map(i =>
+      i -> (1 to 6).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    val got = TextOps.bpeTrainMerges(docsDF(texts), numMerges = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val expected = graft.llm.SequentialCorpus.bpeMerges(texts.map(_._2), numMerges = 8)
+    assert(got === expected)
+  }
 }

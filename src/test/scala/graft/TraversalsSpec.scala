@@ -185,4 +185,34 @@ class TraversalsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
     assert(bounded === Set((0L, 0), (1L, 1)))
   }
+
+  test("shortestPathTo reconstructs the canonical min-parent path") {
+    // two equal-length routes to 3 (via 1 or 2): the canonical path takes
+    // the min-id predecessor, so 0 -> 1 -> 3 -> 4
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = Traversals.shortestPathTo(edgesDF(edges), start = 0L, target = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 0L), (1L, 1L), (2L, 3L), (3L, 4L)))
+  }
+
+  test("shortestPathTo: unreachable target empty, self target single row, default = max reachable") {
+    val edges = Seq((0L, 1L), (0L, 7L), (9L, 8L))
+    assert(Traversals.shortestPathTo(edgesDF(edges), 0L, Some(8L)).collect().isEmpty)
+    val self = Traversals.shortestPathTo(edgesDF(edges), 0L, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(self === Seq((0L, 0L)))
+    // default target: highest-id REACHABLE vertex (7, not 8/9)
+    val dflt = Traversals.shortestPathTo(edgesDF(edges), 0L, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dflt === Seq((0L, 0L), (1L, 7L)))
+  }
+
+  test("shortestPathTo respects the hop bound") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(Traversals.shortestPathTo(edgesDF(edges), 0L, Some(3L), maxDepth = 2)
+      .collect().isEmpty) // 3 is beyond the bound -> unreachable
+    val ok = Traversals.shortestPathTo(edgesDF(edges), 0L, Some(2L), maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ok === Seq((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
 }
