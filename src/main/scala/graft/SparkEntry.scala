@@ -303,6 +303,11 @@ object SparkEntry {
       val e = DerivedGraphs.small(s, dir)
       Analytics.modularity(e, Analytics.labelPropagation(e, numIter = 5))
     }),
+    "g39_neighbor_stats" -> ((s, dir) =>
+      // one-hop neighborhood feature aggregation (GraphSAGE-style mean
+      // step over out-degree features): one degree agg + one edge-vs-
+      // degree join + one src-keyed agg, all map-side combinable
+      Analytics.neighborStats(DerivedGraphs.small(s, dir))),
     "g37_eccentricity" -> ((s, dir) =>
       // per-seed eccentricity (max hop distance) + reach — the sampled
       // diameter/radius profile; same one-landmarkBfs-run-for-all-seeds
@@ -1894,6 +1899,12 @@ object SparkEntry {
       // once per round against broadcast codebook literals, means via the
       // (cluster, pos) partial-sum shuffle
       Similarity.kMeans(Tables.embeddings(s, dir), k = 8, numIter = 5)),
+    "s11_silhouette" -> ((s, dir) => // simplified (centroid-based)
+      // silhouette of the s9 clustering — the cluster-quality diagnostic
+      // that is linear where true silhouette is quadratic; zero extra
+      // passes on top of the shared Lloyd core (the final assignment frame
+      // already carries all k distances)
+      Similarity.kMeansSilhouette(Tables.embeddings(s, dir), k = 8, numIter = 5)),
     "s10_mmr" -> ((s, dir) => // maximal-marginal-relevance diversified
       // top-k: greedy λ·rel − (1−λ)·max-sim-to-selected over the relevance
       // pool — the anti-near-dup retrieval answer; corpus-sized work is one
@@ -1915,6 +1926,16 @@ object SparkEntry {
       // work + a 1-row argmax; not SQL-expressible (iterative argmax), so
       // the oracle is the independent sequential model's VALUES
       TextOps.bpeTrainMerges(Tables.documents(s, dir), numMerges = 10)),
+    "t30_bpe_encode" -> ((s, dir) => {
+      // the tokenizer ROUND TRIP: t29's learned merges applied back to the
+      // corpus (rank-order fold chain over the word-type table, ONE plan —
+      // encoding needs no per-merge argmax barrier), top subword counts;
+      // the collected merge table is merge-count-sized by contract
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.bpeTrainMerges(docs, numMerges = 10)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncodeTop(docs, merges, topN = 20)
+    }),
     "t7_winnowing" -> ((s, dir) => // rolling hash unrolled to a k-term
       // polynomial in the SQL mirror — fully oracle-checked
       TextOps.winnowingFingerprints(Tables.documents(s, dir))),
@@ -2139,6 +2160,7 @@ object SparkEntry {
       seeds = Seq(10L, 11L, 12L, 13L), maxDepth = 12),
     "g37_eccentricity" -> Analytics.eccentricityProfileSql(DerivedGraphs.smallSql,
       seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12),
+    "g39_neighbor_stats" -> Analytics.neighborStatsSql(DerivedGraphs.smallSql),
     "g38_shortest_path" -> Traversals.shortestPathToSql(DerivedGraphs.smallSql,
       start = 0L, maxDepth = 12),
     "g24_closeness" -> Analytics.closenessProfileSql(DerivedGraphs.smallSql,
@@ -3190,7 +3212,7 @@ object SparkEntry {
     // corpus/vector mirrors (same independent-model discipline): collected
     // inputs are gate-scale by contract — embeddings are corpus samples
     // (500×64 at sf0.01), documents a 500-row slice
-    val vecKeys = Seq("s9_kmeans", "s10_mmr")
+    val vecKeys = Seq("s9_kmeans", "s10_mmr", "s11_silhouette")
     val vecOracles: Map[String, String] = if (!vecKeys.exists(want)) Map.empty else {
       val vecs = graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id").cast("long"), col("embedding"))
@@ -3200,7 +3222,15 @@ object SparkEntry {
       val km = SequentialCorpus.kMeans(vecs, k = 8, numIter = 5)
       val mm = SequentialCorpus.mmr(vecs, queryId = 0L, k = 10, poolSize = 50,
         lambda = 0.7)
+      val sil = SequentialCorpus.kMeansSilhouette(vecs, k = 8, numIter = 5)
       Map(
+        "s11_silhouette" -> (
+          if (sil.isEmpty)
+            "SELECT CAST(NULL AS BIGINT) AS cluster, CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS silhouette_6 WHERE 1 = 0"
+          else
+            s"""SELECT CAST(c AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n, CAST(sl AS DOUBLE) AS silhouette_6
+               |FROM (VALUES ${sil.map { case (c, n, sl) => s"($c, $n, $sl)" }.mkString(", ")}) AS t(c, n, sl)
+               |ORDER BY cluster""".stripMargin),
         "s9_kmeans" -> (
           if (km.isEmpty)
             "SELECT CAST(NULL AS BIGINT) AS cluster, CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS inertia_6 WHERE 1 = 0"
@@ -3216,17 +3246,27 @@ object SparkEntry {
                |FROM (VALUES ${mm.map { case (p, v, sc) => s"($p, $v, $sc)" }.mkString(", ")}) AS t(p, v, sc)
                |ORDER BY pos""".stripMargin))
     }
-    val bpeOracles: Map[String, String] = if (!want("t29_bpe_train")) Map.empty else {
+    val bpeKeys = Seq("t29_bpe_train", "t30_bpe_encode")
+    val bpeOracles: Map[String, String] = if (!bpeKeys.exists(want)) Map.empty else {
       val texts = graft.Tables.documents(spark, sfDir)
         .select("text").collect().map(_.getString(0)).toSeq
       val bpe = SequentialCorpus.bpeMerges(texts, numMerges = 10)
-      Map("t29_bpe_train" -> (
+      val enc = SequentialCorpus.bpeEncodeTop(texts, numMerges = 10, topN = 20)
+      Map(
+        "t29_bpe_train" -> (
         if (bpe.isEmpty)
           "SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs, CAST(NULL AS BIGINT) AS freq WHERE 1 = 0"
         else
           s"""SELECT CAST(r AS BIGINT) AS rank, CAST(l AS VARCHAR) AS lhs, CAST(rr AS VARCHAR) AS rhs, CAST(f AS BIGINT) AS freq
              |FROM (VALUES ${bpe.map { case (r, l, rr, f) => s"($r, '$l', '$rr', $f)" }.mkString(", ")}) AS t(r, l, rr, f)
-             |ORDER BY rank""".stripMargin))
+             |ORDER BY rank""".stripMargin),
+        "t30_bpe_encode" -> (
+        if (enc.isEmpty)
+          "SELECT CAST(NULL AS VARCHAR) AS subword, CAST(NULL AS BIGINT) AS freq WHERE 1 = 0"
+        else
+          s"""SELECT CAST(s AS VARCHAR) AS subword, CAST(f AS BIGINT) AS freq
+             |FROM (VALUES ${enc.map { case (sw, f) => s"('$sw', $f)" }.mkString(", ")}) AS t(s, f)
+             |ORDER BY freq DESC, subword""".stripMargin))
     }
     (graphOracles ++ vecOracles ++ bpeOracles ++ Map(
       "f1_jsonl_roundtrip" ->

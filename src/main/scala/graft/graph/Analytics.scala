@@ -1126,6 +1126,49 @@ object Analytics {
        |FROM dc CROSS JOIN m LEFT JOIN inn ON inn.label = dc.label
        |ORDER BY dc.label""".stripMargin
 
+  /** One-hop neighborhood feature aggregation — the message-passing /
+    * feature-engineering primitive (a GraphSAGE-style mean-aggregate step,
+    * with out-degree as the node feature since the catalog's graphs carry
+    * none): per vertex, over its DISTINCT out-neighbors (self-loops
+    * dropped), the neighbor count, min/max neighbor id, and the mean
+    * neighbor out-degree as integer permille (`sum·1000 div n` — exact).
+    * `(vertex, n_out, min_nbr, max_nbr, nbr_deg_permille)`.
+    *
+    * Scale shape: one out-degree aggregation + one (dst = vertex) join of
+    * the edge relation against the vertex-sized degree table + one
+    * src-keyed aggregation — all map-side combinable, nothing bigger than
+    * the edge pass itself. Iterating this k times is k-hop message
+    * passing; each round exchanges only vertex-sized feature tables.
+    */
+  def neighborStats(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val outDeg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    e.join(outDeg.select(col("v").as("dst"), col("d")), Seq("dst"), "left_outer")
+      .na.fill(0L, Seq("d")) // sink neighbors have out-degree 0
+      .groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("n_out"), min(col("dst")).as("min_nbr"),
+        max(col("dst")).as("max_nbr"), sum(col("d")).cast("long").as("sd"))
+      .select(col("vertex"), col("n_out"), col("min_nbr"), col("max_nbr"),
+        expr("sd * 1000 div n_out").as("nbr_deg_permille"))
+      .orderBy("vertex")
+  }
+
+  /** DuckDB mirror of [[neighborStats]] — same simple-graph derivation,
+    * same integer permille.
+    */
+  def neighborStatsSql(edgeSql: String): String =
+    s"""WITH e0 AS ($edgeSql),
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1)
+       |SELECT e.src AS vertex, COUNT(*) AS n_out, MIN(e.dst) AS min_nbr,
+       |       MAX(e.dst) AS max_nbr,
+       |       (SUM(COALESCE(deg.d, 0)) * 1000 // COUNT(*))::BIGINT AS nbr_deg_permille
+       |FROM e LEFT JOIN deg ON deg.v = e.dst
+       |GROUP BY e.src ORDER BY vertex""".stripMargin
+
   /** DuckDB mirror of [[closenessProfile]]: one recursive walk carrying the
     * seed, min level per (seed, vertex), integer rollup.
     */

@@ -27,32 +27,23 @@ object SequentialCorpus {
     s
   }
 
-  /** Lloyd k-means; mirror of `Similarity.kMeans`'s deterministic contract.
-    * Returns `(cluster, n, inertia_6)` sorted by cluster.
+  private def sqDist(e: IndexedSeq[Double], c: IndexedSeq[Double]): Double = {
+    var c2 = 0.0
+    c.foreach(x => c2 += x * x)
+    dot(e, e) - 2.0 * dot(e, c) + c2
+  }
+
+  /** Shared Lloyd core: final centroids after `numIter` rounds (mirror of
+    * `Similarity.kMeansAssign`'s contract).
     */
-  def kMeans(vecs: Seq[(Long, IndexedSeq[Double])], k: Int,
-             numIter: Int): Seq[(Long, Long, Double)] = {
+  private def kMeansCentroids(vecs: Seq[(Long, IndexedSeq[Double])], k: Int,
+                              numIter: Int): IndexedSeq[IndexedSeq[Double]] = {
     val sorted = vecs.sortBy(_._1)
     var cents: IndexedSeq[IndexedSeq[Double]] =
       sorted.take(k).map(_._2).toIndexedSeq
-    def sqDist(e: IndexedSeq[Double], c: IndexedSeq[Double]): Double = {
-      var c2 = 0.0
-      c.foreach(x => c2 += x * x)
-      dot(e, e) - 2.0 * dot(e, c) + c2
-    }
-    def assign(e: IndexedSeq[Double]): Int = {
-      var best = 0
-      var bestD = sqDist(e, cents(0))
-      var i = 1
-      while (i < cents.length) {
-        val d = sqDist(e, cents(i))
-        if (d < bestD) { best = i; bestD = d } // strict <: first minimum wins
-        i += 1
-      }
-      best
-    }
     for (_ <- 1 to numIter) {
-      val members = sorted.groupBy { case (_, e) => assign(e) }
+      val cs = cents
+      val members = sorted.groupBy { case (_, e) => assignTo(cs, e) }
       cents = cents.zipWithIndex.map { case (old, i) =>
         members.get(i) match {
           case Some(ms) =>
@@ -65,11 +56,56 @@ object SequentialCorpus {
         }
       }
     }
-    vecs.groupBy { case (_, e) => assign(e) }.toSeq
+    cents
+  }
+
+  private def assignTo(cents: IndexedSeq[IndexedSeq[Double]],
+                       e: IndexedSeq[Double]): Int = {
+    var best = 0
+    var bestD = sqDist(e, cents(0))
+    var i = 1
+    while (i < cents.length) {
+      val d = sqDist(e, cents(i))
+      if (d < bestD) { best = i; bestD = d } // strict <: first minimum wins
+      i += 1
+    }
+    best
+  }
+
+  /** Lloyd k-means; mirror of `Similarity.kMeans`'s deterministic contract.
+    * Returns `(cluster, n, inertia_6)` sorted by cluster.
+    */
+  def kMeans(vecs: Seq[(Long, IndexedSeq[Double])], k: Int,
+             numIter: Int): Seq[(Long, Long, Double)] = {
+    val cents = kMeansCentroids(vecs, k, numIter)
+    vecs.groupBy { case (_, e) => assignTo(cents, e) }.toSeq
       .map { case (c, ms) =>
         var inertia = 0.0
         ms.foreach { case (_, e) => inertia += sqDist(e, cents(c)) }
         (c.toLong, ms.size.toLong, round6(inertia))
+      }
+      .sortBy(_._1)
+  }
+
+  /** Simplified silhouette; mirror of `Similarity.kMeansSilhouette`.
+    * Returns `(cluster, n, silhouette_6)` sorted by cluster.
+    */
+  def kMeansSilhouette(vecs: Seq[(Long, IndexedSeq[Double])], k: Int,
+                       numIter: Int): Seq[(Long, Long, Double)] = {
+    val cents = kMeansCentroids(vecs, k, numIter)
+    vecs.groupBy { case (_, e) => assignTo(cents, e) }.toSeq
+      .map { case (c, ms) =>
+        var sum = 0.0
+        ms.foreach { case (_, e) =>
+          val a = math.sqrt(sqDist(e, cents(c)))
+          var bMin = Double.PositiveInfinity
+          cents.indices.foreach { i =>
+            if (i != c) bMin = math.min(bMin, sqDist(e, cents(i)))
+          }
+          val b = math.sqrt(bMin)
+          sum += (b - a) / math.max(a, b)
+        }
+        (c.toLong, ms.size.toLong, round6(sum / ms.size))
       }
       .sortBy(_._1)
   }
@@ -111,6 +147,35 @@ object SequentialCorpus {
       }
     }
     out.toSeq
+  }
+
+  /** BPE encoding; mirror of `TextOps.bpeEncodeTop` — trains `numMerges`
+    * merges via [[bpeMerges]]'s logic, applies them in rank order, and
+    * returns the `topN` subword counts `(subword, freq)`, ties to the
+    * lexicographically smaller subword.
+    */
+  def bpeEncodeTop(texts: Seq[String], numMerges: Int,
+                   topN: Int): Seq[(String, Long)] = {
+    val merges = bpeMerges(texts, numMerges).map { case (_, l, r, _) => (l, r) }
+    val freqs = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(t => t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .foreach(w => freqs(w) = freqs.getOrElse(w, 0L) + 1L))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    freqs.foreach { case (w, f) =>
+      var syms: Vector[String] = w.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      syms.foreach(s => counts(s) = counts.getOrElse(s, 0L) + f)
+    }
+    counts.toSeq.sortBy { case (s, f) => (-f, s) }.take(topN)
   }
 
   /** BPE merge training; mirror of `TextOps.bpeTrainMerges`. Returns

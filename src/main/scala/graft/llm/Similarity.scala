@@ -808,7 +808,13 @@ object Similarity {
     * the same by-contract-tiny collect as the IVF/PQ codebooks. No
     * iteration ever shuffles the embedding column itself.
     */
-  def kMeans(emb: DataFrame, k: Int = 8, numIter: Int = 5): DataFrame = {
+  /** Shared Lloyd iteration core: runs `numIter` rounds and returns the
+    * per-vector assignment frame `(vec_id, e, dists, cluster)` under the
+    * FINAL centroids, plus the centroids themselves. See [[kMeans]] for the
+    * determinism contract and scale shape.
+    */
+  private def kMeansAssign(emb: DataFrame, k: Int,
+                           numIter: Int): (DataFrame, IndexedSeq[IndexedSeq[Double]]) = {
     require(k > 0, s"k must be positive, got $k")
     require(numIter >= 0, s"numIter must be >= 0, got $numIter")
     val v = emb.select(col("vec_id").cast("long").as("vec_id"),
@@ -849,10 +855,45 @@ object Similarity {
         }
       }
     }
-    withAssign
+    (withAssign, cents)
+  }
+
+  def kMeans(emb: DataFrame, k: Int = 8, numIter: Int = 5): DataFrame = {
+    val (assigned, _) = kMeansAssign(emb, k, numIter)
+    assigned
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
         round(sum(array_min(col("dists"))), 6).as("inertia_6"))
+      .orderBy("cluster")
+  }
+
+  /** Simplified (centroid-based) silhouette of the [[kMeans]] clustering —
+    * the standard cluster-quality diagnostic at corpus scale, where true
+    * silhouette's all-pairs distances are quadratic: per vector,
+    * `s = (b − a) / max(a, b)` with `a` = distance to the OWN final
+    * centroid and `b` = the nearest OTHER centroid's distance; reported per
+    * cluster as `(cluster, n, silhouette_6)` (mean s, rounded 1e-6).
+    * Well-separated clusters → s near 1; overlapping → near 0.
+    *
+    * Same determinism contract as kMeans (shared Lloyd core): a and b are
+    * square roots of the identical squared-distance doubles both engines
+    * compute, and only the order-insensitive final mean differs in the
+    * last bits — absorbed by the rounding. Cost on top of kMeans: zero
+    * extra passes (the final assignment frame already carries all k
+    * distances).
+    */
+  def kMeansSilhouette(emb: DataFrame, k: Int = 8, numIter: Int = 5): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val (assigned, _) = kMeansAssign(emb, k, numIter)
+    val a = sqrt(element_at(col("dists"), (col("cluster") + 1).cast("int")))
+    // nearest OTHER centroid: min over the dists array with the own slot
+    // masked to +inf (null would poison array_min)
+    val masked = expr("transform(dists, (d, i) -> CASE WHEN i = CAST(cluster AS INT) THEN CAST('Infinity' AS DOUBLE) ELSE d END)")
+    val b = sqrt(array_min(masked))
+    assigned
+      .withColumn("s", (b - a) / greatest(a, b))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(avg(col("s")), 6).as("silhouette_6"))
       .orderBy("cluster")
   }
 

@@ -943,17 +943,52 @@ object TextOps {
         merges += ((rank.toLong, l, r, f))
         // greedy leftmost non-overlapping rewrite: a fold that merges the
         // accumulator's last symbol with the current one on a pair match
-        // (symbols are [a-z0-9</>w]* — no quoting hazards in the literal)
-        vocab = vocab.withColumn("symbols", expr(
-          s"""aggregate(symbols, CAST(array() AS array<string>), (acc, s) ->
-             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r'
-             |       THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
-             |       ELSE concat(acc, array(s)) END)""".stripMargin))
+        vocab = vocab.withColumn("symbols", bpeMergeExpr(l, r))
           .localCheckpoint(true)
         rank += 1
       }
     }
     merges.toSeq.toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
+  }
+
+  /** The greedy leftmost non-overlapping pair-merge rewrite, as a fold
+    * expression (shared by [[bpeTrainMerges]]'s rounds and
+    * [[bpeEncodeTop]]'s apply phase). Symbols are `[a-z0-9</>w]*` — no
+    * quoting hazards in the literal.
+    */
+  private def bpeMergeExpr(l: String, r: String) = expr(
+    s"""aggregate(symbols, CAST(array() AS array<string>), (acc, s) ->
+       |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r'
+       |       THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+       |       ELSE concat(acc, array(s)) END)""".stripMargin)
+
+  /** BPE ENCODING — apply a learned merge table ([[bpeTrainMerges]]'s
+    * output shape) to the corpus and report the `topN` most frequent
+    * subword tokens `(subword, freq)`, ties to the lexicographically
+    * smaller subword. The train→apply round trip is the full tokenizer
+    * story: t29 learns the merges, this tokenizes with them — the
+    * vocabulary a data pipeline ships to training.
+    *
+    * Scale shape: same as training — the corpus is touched once for the
+    * word-type counts; the merge table is applied IN RANK ORDER as a chain
+    * of `merges.size` fold expressions over the vocabulary-sized word
+    * table in ONE plan (no per-merge materialization — encoding needs no
+    * argmax barrier, unlike training), then one vocabulary-sized
+    * aggregation for the subword counts.
+    */
+  def bpeEncodeTop(docs: DataFrame, merges: Seq[(String, String)],
+                   topN: Int = 20): DataFrame = {
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("symbols",
+        expr("concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
+    val encoded = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("symbols", bpeMergeExpr(l, r))
+    }
+    encoded.select(explode(col("symbols")).as("subword"), col("freq"))
+      .groupBy("subword").agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("subword"))
+      .limit(topN)
   }
 
   def shingleNoveltySql: String =

@@ -523,6 +523,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(bounded === Seq((0L, 3L, 2L)))
   }
 
+  test("neighborStats: hand-computed one-hop aggregates, sinks count as degree 0") {
+    // 0 -> {1, 2}, 1 -> {2}, 2 -> nothing (sink); self-loop and duplicate dropped
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 2L), (1L, 2L), (2L, 2L))
+    val got = Analytics.neighborStats(edgesDF(edges))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // 0: nbrs {1, 2} with out-degrees {1, 0} -> mean permille = 1*1000 div 2 = 500
+    // 1: nbr {2} out-degree 0 -> 0
+    assert(got === Seq((0L, 2L, 1L, 2L, 500L), (1L, 1L, 2L, 2L, 0L)))
+  }
+
   test("modularity: hand-computed two triangles joined by a bridge") {
     // triangles {0,1,2} and {3,4,5}, bridge 2-3; communities = the triangles.
     // m = 7, in_c = 3 each, d_c = 7 each:

@@ -31,6 +31,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("kMeansSilhouette: well-separated clusters score near 1 and match the mirror") {
+    val rnd = new scala.util.Random(19)
+    // two tight far-apart blobs -> silhouette close to 1 for both clusters
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      i -> Array.fill(4)(base + rnd.nextFloat() * 0.1f)
+    }
+    val got = Similarity.kMeansSilhouette(embDF(vecs), k = 2, numIter = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._2).sum === 20L)
+    assert(got.forall(_._3 > 0.9), s"expected near-1 silhouettes, got $got")
+    val expected = graft.llm.SequentialCorpus.kMeansSilhouette(
+      vecs.map { case (i, a) => (i, a.map(_.toDouble).toIndexedSeq) }, k = 2, numIter = 3)
+    assert(got === expected)
+  }
+
   test("mmrSelect: first pick is max relevance; a near-duplicate of it is deferred") {
     // query 0 at 45°; 1 and 2 near-identical at ~42° (2 marginally closer
     // to the query), 3 at ~80° — ON THE OTHER SIDE of the query, so its

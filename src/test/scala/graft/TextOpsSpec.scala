@@ -299,6 +299,30 @@ class TextOpsSpec extends SparkSpec {
       (4L, "ab", "</w>", 1L)))
   }
 
+  test("bpeEncodeTop applies merges in rank order; counts weighted by corpus frequency") {
+    // merges (a,b) then (ab,</w>): "ab" x2 -> single token "ab</w>";
+    // "abc" -> [ab, c, </w>] (second merge needs ab DIRECTLY before </w>)
+    val got = TextOps.bpeEncodeTop(
+        docsDF(Seq(1L -> "ab ab abc")),
+        merges = Seq(("a", "b"), ("ab", "</w>")), topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("ab</w>", 2L), ("</w>", 1L), ("ab", 1L), ("c", 1L)))
+  }
+
+  test("bpeEncodeTop round-trips the learned merges against the sequential mirror") {
+    val rnd = new scala.util.Random(23)
+    val words = Seq("tokenize", "token", "ken", "okay", "zen", "nize")
+    val texts = (1L to 25L).map(i =>
+      i -> (1 to 5).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    val merges = TextOps.bpeTrainMerges(docsDF(texts), numMerges = 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextOps.bpeEncodeTop(docsDF(texts), merges, topN = 15)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = graft.llm.SequentialCorpus.bpeEncodeTop(
+      texts.map(_._2), numMerges = 6, topN = 15)
+    assert(got === expected)
+  }
+
   test("bpeTrainMerges matches the independent sequential mirror") {
     val rnd = new scala.util.Random(11)
     val words = Seq("alpha", "alphabet", "beta", "bet", "abet", "tab", "lab")
