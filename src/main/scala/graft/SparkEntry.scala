@@ -303,6 +303,24 @@ object SparkEntry {
       val e = DerivedGraphs.small(s, dir)
       Analytics.modularity(e, Analytics.labelPropagation(e, numIter = 5))
     }),
+    "g41_louvain_sweep" -> ((s, dir) =>
+      // Louvain local-move phase, deterministic synchronous form: every
+      // vertex moves to the neighbor community with the best EXACT INTEGER
+      // move score (the ΔQ numerator cross-multiplied by 2m² — the e27
+      // trick), so the argmax needs no float discipline; optimizes the
+      // objective g36 scores, where g15's LPA only chases majorities;
+      // parity-alternating half-sweeps (4 rounds = 2 full alternations)
+      // break the simultaneous-move oscillation
+      Analytics.louvainSweep(DerivedGraphs.small(s, dir), rounds = 4)),
+    "g40_temporal_reach" -> ((s, dir) =>
+      // time-respecting earliest-arrival reachability: an edge is usable
+      // only at its timestamp t >= arrival(src) — static reachability
+      // answers this WRONG; deterministic derived edge times so the
+      // hop-bounded recursive-CTE oracle enumerates the same fixpoint
+      Traversals.temporalReachability(
+        DerivedGraphs.small(s, dir)
+          .withColumn("t", expr("(src * 3 + dst) % 16")),
+        start = 0L, startTime = 0L, maxHops = 12)),
     "g39_neighbor_stats" -> ((s, dir) =>
       // one-hop neighborhood feature aggregation (GraphSAGE-style mean
       // step over out-degree features): one degree agg + one edge-vs-
@@ -890,6 +908,35 @@ object SparkEntry {
         t.asOf(v).agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
           .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
       }.reduce(_ unionByName _).orderBy("version")
+    }),
+    "f14_log_merge" -> ((s, dir) => {
+      // MERGE INTO bound to the commit log: v0 = the full projection, v1 =
+      // one atomic merge commit applying updates (region bumped for keys
+      // < 5), deletes (keys >= 20), and an insert (key 99) in one
+      // change-set; the merged head is read back THROUGH the log and the
+      // pre-merge version stays readable (asserted in CommitLogSpec).
+      // Oracle derives the same merged snapshot from the source table
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-lmerge-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      t.overwrite(nat)
+      val changes = nat.filter(col("n_nationkey") < 5)
+          .withColumn("n_regionkey", col("n_regionkey") + 100)
+          .withColumn("del", lit(false))
+        .unionByName(nat.filter(col("n_nationkey") >= 20).withColumn("del", lit(true)))
+        .unionByName {
+          import s.implicits._
+          Seq((99L, "NEWLAND", 42L, false)).toDF("n_nationkey", "n_name", "n_regionkey", "del")
+        }
+      t.merge(changes, keys = Seq("n_nationkey"), deleteCol = Some("del"))
+      t.read().agg(count(lit(1)).as("n_rows"),
+        sum("n_nationkey").as("sum_key"), sum("n_regionkey").as("sum_region"))
     }),
     "f13_log_cdf" -> ((s, dir) => {
       // change-data-feed THROUGH the commit log: three committed versions
@@ -2161,6 +2208,9 @@ object SparkEntry {
     "g37_eccentricity" -> Analytics.eccentricityProfileSql(DerivedGraphs.smallSql,
       seeds = Seq(0L, 1L, 2L, 3L), maxDepth = 12),
     "g39_neighbor_stats" -> Analytics.neighborStatsSql(DerivedGraphs.smallSql),
+    "g40_temporal_reach" -> Traversals.temporalReachabilitySql(
+      s"SELECT src, dst, (src * 3 + dst) % 16 AS t FROM (${DerivedGraphs.smallSql})",
+      start = 0L, startTime = 0L, maxHops = 12),
     "g38_shortest_path" -> Traversals.shortestPathToSql(DerivedGraphs.smallSql,
       start = 0L, maxDepth = 12),
     "g24_closeness" -> Analytics.closenessProfileSql(DerivedGraphs.smallSql,
@@ -2457,6 +2507,14 @@ object SparkEntry {
         |UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
         |UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
         |ORDER BY version""".stripMargin,
+    "f14_log_merge" -> // the merged snapshot derived straight from the
+      // source: survivors are keys < 20 (region + 100 below key 5) plus
+      // the inserted (99, region 42)
+      """SELECT COUNT(*) AS n_rows, SUM(k)::BIGINT AS sum_key, SUM(r)::BIGINT AS sum_region
+        |FROM (SELECT n_nationkey AS k,
+        |             CASE WHEN n_nationkey < 5 THEN n_regionkey + 100 ELSE n_regionkey END AS r
+        |      FROM nation WHERE n_nationkey < 20
+        |      UNION ALL SELECT 99, 42)""".stripMargin,
     "f13_log_cdf" -> // the insert/delete sets derived straight from the
       // source: v0 = keys < 15, v2 = keys >= 5 — inserts are keys >= 15,
       // deletes are keys < 5
@@ -3124,7 +3182,7 @@ object SparkEntry {
     val graphKeys =
       Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
         "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness",
-        "g36_modularity")
+        "g36_modularity", "g41_louvain_sweep")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -3144,6 +3202,15 @@ object SparkEntry {
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
              |FROM (VALUES ${lpa.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
              |ORDER BY vertex""".stripMargin),
+      "g41_louvain_sweep" -> {
+        val lv = SequentialModel.louvainSweep(edges, rounds = 4).toSeq.sorted
+        if (lv.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS label WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
+             |FROM (VALUES ${lv.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
+             |ORDER BY vertex""".stripMargin
+      },
       "g36_modularity" -> {
         // the g15 LPA labels as VALUES, scored by SQL modularity masses
         // over the same edge derivation

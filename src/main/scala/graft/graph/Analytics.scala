@@ -1169,6 +1169,80 @@ object Analytics {
        |FROM e LEFT JOIN deg ON deg.v = e.dst
        |GROUP BY e.src ORDER BY vertex""".stripMargin
 
+  /** Louvain-style modularity sweep (the local-move phase of Blondel et
+    * al. 2008, in deterministic PARITY-ALTERNATING synchronous form): per
+    * round, the vertices of ONE id-parity class simultaneously move to
+    * the candidate community — their neighbors' current labels plus their
+    * own — maximizing the move gain; the other class holds still.
+    * Alternating classes is the distributed answer to Louvain's
+    * inherently sequential local moves: fully simultaneous moves OSCILLATE
+    * (two symmetric singletons adopt each other's labels forever — the
+    * classic synchronous two-coloring flip), while half-sweeps make every
+    * executed move a real modularity improvement against a fixed
+    * neighborhood. The gain comparison is the EXACT INTEGER score
+    * `2m·e_vc − deg(v)·dC(c)` (the ΔQ numerator with constant terms
+    * dropped, scaled by 2m² > 0; dC excludes v's own degree when c is its
+    * current community), so argmax and ties (smallest community label) are
+    * engine-exact with no float discipline at all — the same
+    * cross-multiplication trick as e27. Labels init to vertex ids;
+    * `(vertex, label)` after `rounds` half-sweeps. Where
+    * [[labelPropagation]] chases majority labels (resolution-blind), this
+    * sweep optimizes the actual modularity objective [[modularity]]
+    * scores.
+    *
+    * Scale shape per round: neighbor-community counts are one edge-pass
+    * aggregation keyed (v, c); community masses one vertex-sized
+    * aggregation; the move is a grouped integer argmax (max_by struct) —
+    * all map-side combinable, nothing exceeds the edge pass. Integer
+    * range: |score| ≤ 2m·deg — at 10¹² edges and 10⁶-degree hubs this
+    * brushes Long range; shift to DECIMAL(38,0) sums past that.
+    */
+  def louvainSweep(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // reused every round
+    val adj = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+    val mDf = broadcast(und.agg(count(lit(1)).as("m")))
+    var labels = deg.select(col("v").as("vertex"), col("v").as("label"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val mass = deg.join(labels, deg("v") === labels("vertex"))
+        .groupBy("label").agg(sum(col("deg")).cast("long").as("mass"))
+      // neighbor-community edge counts e_vc, plus the own community as a
+      // zero-count candidate (summed in so an own-community duplicate
+      // collapses instead of double-counting)
+      val nc = adj.join(labels, adj("u") === labels("vertex"))
+        .select(col("v"), col("label").as("c"), lit(1L).as("e"))
+        .union(labels.select(col("vertex").as("v"), col("label").as("c"), lit(0L).as("e")))
+        .groupBy("v", "c").agg(sum(col("e")).as("e"))
+      val own = labels.select(col("vertex").as("v"), col("label").as("own"))
+      val moved = nc
+        .join(own, "v")
+        .join(deg, "v")
+        .join(mass.select(col("label").as("c"), col("mass")), "c")
+        .crossJoin(mDf)
+        .withColumn("dc", col("mass") - when(col("c") === col("own"), col("deg")).otherwise(lit(0L)))
+        .withColumn("score", lit(2L) * col("m") * col("e") - col("deg") * col("dc"))
+        // integer argmax, ties to the SMALLEST community label
+        .groupBy(col("v").as("vertex"))
+        .agg(max(struct(col("score"), (-col("c")).as("nc"), col("c"))).as("mx"))
+        .select(col("vertex"), col("mx.c").as("moved"))
+      // only this round's parity class executes its move
+      labels = labels.join(moved, Seq("vertex"))
+        .select(col("vertex"),
+          when(pmod(col("vertex"), lit(2)) === lit(r % 2), col("moved"))
+            .otherwise(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.orderBy("vertex")
+  }
+
   /** DuckDB mirror of [[closenessProfile]]: one recursive walk carrying the
     * seed, min level per (seed, vertex), integer rollup.
     */

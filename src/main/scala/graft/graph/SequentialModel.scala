@@ -201,6 +201,48 @@ object SequentialModel {
     labels
   }
 
+  /** Louvain-style synchronous modularity sweep, mirror of
+    * `Analytics.louvainSweep`'s contract: per round, every vertex
+    * simultaneously moves to the candidate community (its neighbors'
+    * labels + its own) maximizing the EXACT INTEGER move score
+    * `2m·e_vc − deg(v)·dC(c)` (dC excludes v's own degree when c is its
+    * current community; ties to the smallest community label). Returns
+    * the labels after `rounds`.
+    */
+  def louvainSweep(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
+    val m = und.size.toLong
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    var labels: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (r <- 1 to rounds) {
+      val cur = labels
+      // .keys is a Set — map through an iterator so equal degree values
+      // don't collapse before summing
+      val mass = cur.groupBy(_._2).map { case (c, vs) =>
+        c -> vs.keys.iterator.map(deg).sum
+      }
+      labels = adj.map { case (v, ns) =>
+        val own = cur(v)
+        // parity-alternating: only one id-parity class moves per round
+        if (v % 2 != r % 2) v -> own
+        else {
+          val nc = ns.groupBy(cur).map { case (c, xs) => c -> xs.size.toLong }
+          val cands = (nc.keySet + own).toSeq
+          val best = cands.minBy { c =>
+            val e = nc.getOrElse(c, 0L)
+            val dc = mass(c) - (if (c == own) deg(v) else 0L)
+            val score = 2L * m * e - deg(v) * dc
+            (-score, c)
+          }
+          v -> best
+        }
+      }
+    }
+    labels
+  }
+
   /** Reference leaf-set DFS: vertices whose visit spawned zero recursive
     * calls, excluding the start; sorted ascending. Explicit frames (not JVM
     * recursion) for the same depth reason as [[dfsPreorder]] — each frame

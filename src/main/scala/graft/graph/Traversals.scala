@@ -421,6 +421,72 @@ object Traversals {
     steps.reduce(_ unionByName _).orderBy("pos")
   }
 
+  /** Temporal (time-respecting) reachability — EARLIEST ARRIVAL from
+    * `start` over `edges(src, dst, t)` where an edge can only be taken at
+    * its timestamp `t` if `t >= arrival(src)`, and traversing it lands at
+    * `t + 1` (unit travel time): the temporal-graph question ("who could
+    * information starting at v at time 0 have reached, and by when?")
+    * that static reachability answers WRONG — a path through an edge that
+    * departed before you arrived doesn't exist. `(vertex, arrival)`, min
+    * earliest arrival over time-respecting paths of ≤ `maxHops` edges,
+    * including `(start, startTime)`.
+    *
+    * Optimal substructure holds because a smaller arrival only ever
+    * enables MORE edges (`t >= arr` is monotone), so min-arrival Pregel
+    * relaxation (one superstep per hop, SSSP-shaped: edges partitioned
+    * once, only improved arrivals ship as messages) computes the same
+    * fixpoint the hop-bounded recursive-CTE oracle enumerates.
+    */
+  def temporalReachability(edges: DataFrame, start: Long, startTime: Long = 0L,
+                           maxHops: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val INF = Long.MaxValue
+    if (maxHops <= 0) return Seq((start, startTime)).toDF("vertex", "arrival")
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"), col("t").cast("long"))
+      .as[(Long, Long, Long)].rdd.map { case (s, d, t) => Edge(s, d, t) }
+    val seedRdd = spark.sparkContext.parallelize(Seq((start, ())))
+    val g = XGraph(seedRdd, edgeRdd, (),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (id == start) startTime else INF)
+    val res = Pregel(g, initialMsg = INF, maxIterations = maxHops,
+      activeDirection = EdgeDirection.Out)(
+      vprog = (_, attr, msg) => math.min(attr, msg),
+      sendMsg = t =>
+        if (t.srcAttr != INF && t.attr >= t.srcAttr && t.attr + 1 < t.dstAttr)
+          Iterator((t.dstId, t.attr + 1))
+        else Iterator.empty,
+      mergeMsg = math.min)
+    val out = res.vertices.filter(_._2 != INF)
+      .map { case (v, a) => (v, a) }
+      .toDF("vertex", "arrival")
+      .orderBy("vertex")
+      .localCheckpoint(true)
+    res.unpersistVertices(blocking = false)
+    res.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB mirror of [[temporalReachability]]: the hop-bounded walk
+    * carries `(vertex, arr, hops)` (UNION dedups states; arr values are
+    * edge-time-bounded so the state space stays |V| × time-range × hops),
+    * then MIN(arr) per vertex.
+    */
+  def temporalReachabilitySql(edgeSql: String, start: Long, startTime: Long = 0L,
+                              maxHops: Int = 12): String =
+    s"""WITH RECURSIVE e AS ($edgeSql),
+       |walk(vertex, arr, hops) AS (
+       |  SELECT CAST($start AS BIGINT), CAST($startTime AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, e.t + 1, walk.hops + 1
+       |  FROM walk JOIN e ON e.src = walk.vertex AND e.t >= walk.arr
+       |  WHERE walk.hops < $maxHops)
+       |SELECT vertex, MIN(arr)::BIGINT AS arrival FROM walk
+       |GROUP BY vertex ORDER BY vertex""".stripMargin
+
   /** DuckDB mirror of [[shortestPathTo]] with the default highest-id
     * target: hop-bounded BFS closure, min-parent per level, recursive
     * walk-back from the target.

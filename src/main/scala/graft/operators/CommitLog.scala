@@ -144,6 +144,26 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   /** Append `df` as a new version: previous file list + the new files. */
   def append(df: DataFrame): Long = commitVersion(df, keepPrevious = true, op = "append")
 
+  /** MERGE a change-set into the LATEST version and commit the result as a
+    * new version — `MERGE INTO table` bound to the log: the read side
+    * resolves through the current committed file list, the merged snapshot
+    * commits atomically (same optimistic concurrency as any commit), and
+    * every pre-merge version stays readable via [[asOf]] — so a bad
+    * upsert is one `asOf(v-1)` away from undone. Source contract is
+    * [[MergeInto.merge]]'s (key-unique change-set, non-null keys; the
+    * optional BOOLEAN `deleteCol` marks deletions).
+    *
+    * Scale note: the snapshot-complete log means this writes the full
+    * merged table (the simple shape); the partition-pruned rewrite is
+    * [[MergeInto.mergeCow]]'s job — a log-backed CoW would add only the
+    * UNTOUCHED files' add-entries to the new commit instead of rewriting
+    * them.
+    */
+  def merge(source: DataFrame, keys: Seq[String],
+            deleteCol: Option[String] = None): Long =
+    commitVersion(MergeInto.merge(read(), source, keys, deleteCol),
+      keepPrevious = false, op = "merge")
+
   /** Replace the table contents with `df` as a new version (old versions
     * stay readable via [[asOf]]).
     */

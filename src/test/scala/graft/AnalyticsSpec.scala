@@ -533,6 +533,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq((0L, 2L, 1L, 2L, 500L), (1L, 1L, 2L, 2L, 0L)))
   }
 
+  test("louvainSweep converges two triangles to two communities") {
+    // triangles {0,1,2} and {3,4,5}, bridge 2-3: the modularity optimum is
+    // one community per triangle; the parity-alternating sweep finds it
+    // from singleton init (simultaneous moves would oscillate 0<->1)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L))
+    val got = Analytics.louvainSweep(edgesDF(edges), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(Set(got(0L), got(1L), got(2L)).size === 1, s"triangle A split: $got")
+    assert(Set(got(3L), got(4L), got(5L)).size === 1, s"triangle B split: $got")
+    assert(got(0L) !== got(3L), s"triangles merged: $got")
+  }
+
+  test("louvainSweep matches the sequential mirror on a random graph") {
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Analytics.louvainSweep(edgesDF(edges), rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === SequentialModel.louvainSweep(edges, rounds = 5))
+  }
+
   test("modularity: hand-computed two triangles joined by a bridge") {
     // triangles {0,1,2} and {3,4,5}, bridge 2-3; communities = the triangles.
     // m = 7, in_c = 3 each, d_c = 7 each:

@@ -76,6 +76,23 @@ class CommitLogSpec extends SparkSpec {
     assert(t.changesBetween(1L, 2L).collect().isEmpty)
   }
 
+  test("merge commits an upsert as a new version; pre-merge history intact") {
+    val dir = Files.createTempDirectory("graft-clog-merge").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a", 2L -> "b", 3L -> "c"))
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      (2L, "B", false), // update
+      (3L, "c", true),  // delete
+      (9L, "z", false)) // insert
+      .toDF("k", "v", "del")
+    assert(t.merge(changes, keys = Seq("k"), deleteCol = Some("del")) === 1L)
+    assert(rows(t.read()) === Set(1L -> "a", 2L -> "B", 9L -> "z"))
+    // the bad-upsert escape hatch: the pre-merge snapshot still resolves
+    assert(rows(t.asOf(0L)) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("stray non-numeric log artifacts never brick the table") {
     val dir = Files.createTempDirectory("graft-clog-stray").toString
     val t = new CommitTable(spark, dir, "k")

@@ -207,6 +207,44 @@ class TraversalsSpec extends SparkSpec {
     assert(dflt === Seq((0L, 0L), (1L, 7L)))
   }
 
+  test("temporalReachability: time-respecting paths only, earliest arrival") {
+    val s = spark
+    import s.implicits._
+    // via the direct 0 -(t5)-> 1 edge, arrival(1) = 6 and the 1 -(t3)-> 2
+    // edge has already departed — but the 0 -(t1)-> 4 -(t2)-> 1 detour
+    // arrives at 1 at time 3, JUST in time for the t=3 edge (t >= arr
+    // inclusive) -> 2 reached at 4. The earlier arrival UNLOCKS an edge:
+    // exactly the effect a min-over-static-paths computation cannot see.
+    // 1 -(t7)-> 3 departs after every arrival at 1 -> reached at 8
+    val edges = Seq(
+      (0L, 1L, 5L), (1L, 2L, 3L), (1L, 3L, 7L), (0L, 4L, 1L), (4L, 1L, 2L))
+      .toDF("src", "dst", "t")
+    val got = Traversals.temporalReachability(edges, start = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 0L), (1L, 3L), (2L, 4L), (3L, 8L), (4L, 2L)))
+    // delaying the detour edge to t=9 removes the early arrival at 1 (now
+    // 6 via the direct edge) and 2 becomes temporally unreachable
+    val delayed = Seq(
+      (0L, 1L, 5L), (1L, 2L, 3L), (1L, 3L, 7L), (0L, 4L, 1L), (4L, 1L, 9L))
+      .toDF("src", "dst", "t")
+    val got2 = Traversals.temporalReachability(delayed, start = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 === Seq((0L, 0L), (1L, 6L), (3L, 8L), (4L, 2L)))
+  }
+
+  test("temporalReachability: hop bound and late start bind") {
+    val s = spark
+    import s.implicits._
+    val chain = Seq((0L, 1L, 1L), (1L, 2L, 3L), (2L, 3L, 5L)).toDF("src", "dst", "t")
+    val bounded = Traversals.temporalReachability(chain, 0L, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bounded === Seq((0L, 0L), (1L, 2L), (2L, 4L)))
+    // starting at time 2 makes the first edge (t=1) already departed
+    val late = Traversals.temporalReachability(chain, 0L, startTime = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(late === Seq((0L, 2L)))
+  }
+
   test("shortestPathTo respects the hop bound") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L))
     assert(Traversals.shortestPathTo(edgesDF(edges), 0L, Some(3L), maxDepth = 2)
