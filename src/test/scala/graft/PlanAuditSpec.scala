@@ -37,6 +37,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s9: the k-means assignment scan runs on the native dot kernel, not interpreted HOFs") {
+    // numIter = 0 isolates the assignment plan (no per-round jobs)
+    staticPlan(graft.llm.Similarity.kMeans(Tables.embeddings(spark, sf), k = 2, numIter = 0)) { plan =>
+      val s = plan.toString
+      assert(s.contains("dot_product"),
+        s"k-means distances are not on the codegen'd dot kernel:\n$s")
+      assert(!s.contains("CartesianProduct"), s"cartesian in k-means plan:\n$s")
+    }
+  }
+
+  test("g36: the edge-mass total rides as a 1-row broadcast, never a shuffle") {
+    val s = spark
+    import s.implicits._
+    val labels = Seq((0L, 0L), (1L, 0L)).toDF("vertex", "label")
+    staticPlan(graft.graph.Analytics.modularity(
+      graft.graph.DerivedGraphs.small(spark, sf), labels)) { plan =>
+      val bc = plan.collectWithSubqueries { case b: BroadcastExchangeLike => b }
+      assert(bc.nonEmpty, s"expected the 1-row m to broadcast:\n$plan")
+    }
+  }
+
+  test("g39: neighborhood aggregation plans as equi joins — no cartesian, no nested loop") {
+    staticPlan(graft.graph.Analytics.neighborStats(
+      graft.graph.DerivedGraphs.small(spark, sf))) { plan =>
+      val s = plan.toString
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"non-equi join shape in neighborStats:\n$s")
+    }
+  }
+
   test("q3: the customer dim side is broadcast, not shuffled") {
     staticPlan(SparkEntry.queries("q3_top_revenue")(spark, sf)) { plan =>
       val bc = plan.collectWithSubqueries { case b: BroadcastExchangeLike => b }
