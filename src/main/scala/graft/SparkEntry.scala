@@ -2149,6 +2149,12 @@ object SparkEntry {
       // oracle computes the same per-channel pixel sums/means from the
       // pixel-generating FORMULA, so any parse off-by-one diverges
       MediaOps.ppmFeatures(Tables.documents(s, dir))),
+    "m5_perceptual_dedup" -> ((s, dir) => // perceptual near-dup: REAL
+      // decode -> brightness-invariant gradient hash (dHash) -> one
+      // 16-byte-key shuffle; collapses shifted re-encodes whose bytes
+      // (and md5) all differ — m4's exact-byte pass cannot; oracle
+      // derives the hash bits from the pixel-generating formula
+      MediaOps.perceptualDedup(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2496,6 +2502,7 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "m4_media_dedup" -> MediaOps.mediaDedupSql(),
+    "m5_perceptual_dedup" -> MediaOps.perceptualDedupSql,
     "t25_html_strip" -> TextOps.htmlStripSql,
     "t26_adaptive_stopwords" -> TextOps.adaptiveStopwordsSql(),
     "st12_stream_sessions" -> EventStreams.sessionCountsSql(),

@@ -336,4 +336,123 @@ object MediaOps {
        |       COUNT(*) AS n_items, MIN(doc_id) AS keeper
        |FROM documents
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----- Perceptual near-dup: difference hash over DECODED pixels ----------
+
+  /** PPM corpus with NEAR-DUPLICATE families: ids sharing `doc_id % 40`
+    * render the same base image, brightened per id by a constant
+    * `delta = (doc_id div 40) % 50` added to every byte (base values stay
+    * below 200 and delta below 50, so the shift never wraps a byte at any
+    * corpus size). Family members differ in every raster byte — and in
+    * md5, so m4's exact-byte pass cannot group them — but a GRADIENT hash
+    * is brightness-invariant. Pixel formula (the oracle's closed form):
+    * `byte(i) = (base·31 + i) % 200 + delta`, dims
+    * `(base%8+2) × (base%6+2)`.
+    */
+  def syntheticPpmFamilies(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val base = id % 40
+      val delta = ((id / 40) % 50).toInt
+      val w = (base % 8 + 2).toInt
+      val h = (base % 6 + 2).toInt
+      val raster = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < raster.length) {
+        raster(i) = (((base * 31 + i) % 200).toInt + delta).toByte
+        i += 1
+      }
+      MediaRecord(id, "image", encodePpm(w, h, raster), w, h, 0, 0)
+    }
+  }
+
+  /** Difference hash (dHash) of a PPM payload over ACTUALLY DECODED
+    * pixels: nearest-neighbor sample a 9×8 integer-luma grid
+    * (`(299r + 587g + 114b) div 1000`), one bit per horizontal gradient
+    * (`luma(x,y) > luma(x+1,y)`), 64 bits returned as `(hi, lo)` 32-bit
+    * halves (BIGINT-safe in both engines). Brightness shifts preserve
+    * every gradient, so shifted near-dups collide; an edit that reorders
+    * any sampled gradient flips bits.
+    */
+  def dHash(bytes: Array[Byte]): (Long, Long) = {
+    val (w, h, px) = decodePpm(bytes)
+    def luma(x: Int, y: Int): Int = {
+      val sx = (x.toLong * w / 9).toInt
+      val sy = (y.toLong * h / 8).toInt
+      val s0 = (sy * w + sx) * 3
+      ((px(s0) & 0xff) * 299 + (px(s0 + 1) & 0xff) * 587 + (px(s0 + 2) & 0xff) * 114) / 1000
+    }
+    var hi = 0L
+    var lo = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x, y) > luma(x + 1, y)) {
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
+  /** Declared-query surface (m5): perceptual near-dup grouping — REAL
+    * decode → dHash → one hash shuffle on the 64-bit key, keeper = min id
+    * (the m4/d1 discipline, but on a DECODED-pixel signature that
+    * collapses brightness-shifted re-encodes exact-byte hashing cannot).
+    * `(dhash_hi, dhash_lo, n_items, keeper)`.
+    *
+    * Scale shape: the decode+hash is one partition-batched pass (the m3
+    * iterator contract — codec init amortizes per partition); everything
+    * after is an 16-byte-key aggregation. Hamming-near (not just equal)
+    * hashes band like d4's SimHash — same pigeonhole machinery.
+    */
+  def perceptualDedup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticPpmFamilies(docs).mapPartitions { it =>
+      it.map { r =>
+        val (hi, lo) = dHash(r.content)
+        (r.media_id, hi, lo)
+      }
+    }.toDF("media_id", "dhash_hi", "dhash_lo")
+      .groupBy("dhash_hi", "dhash_lo")
+      .agg(count(lit(1)).as("n_items"), min("media_id").as("keeper"))
+      .orderBy("dhash_hi", "dhash_lo")
+  }
+
+  /** DuckDB mirror of [[perceptualDedup]] — the dHash bits from the pixel
+    * GENERATING formula (never touching the byte stream), the same
+    * independent-derivation discipline as [[ppmFeaturesSql]]: if the
+    * engine's header parse, raster offsets, luma, or sampling drift by
+    * one, the hashes diverge.
+    */
+  val perceptualDedupSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 40 AS base, (doc_id // 40) % 50 AS delta,
+      |                  (doc_id % 40) % 8 + 2 AS w, (doc_id % 40) % 6 + 2 AS h
+      |           FROM documents),
+      |bits AS (
+      |  SELECT d.doc_id, b.i AS bit,
+      |         CASE WHEN
+      |           (((d.base*31 + (((b.i // 8) * d.h // 8) * d.w + ((b.i % 8) * d.w // 9)) * 3 + 0) % 200 + d.delta) * 299 +
+      |            ((d.base*31 + (((b.i // 8) * d.h // 8) * d.w + ((b.i % 8) * d.w // 9)) * 3 + 1) % 200 + d.delta) * 587 +
+      |            ((d.base*31 + (((b.i // 8) * d.h // 8) * d.w + ((b.i % 8) * d.w // 9)) * 3 + 2) % 200 + d.delta) * 114) // 1000
+      |           >
+      |           (((d.base*31 + (((b.i // 8) * d.h // 8) * d.w + (((b.i % 8) + 1) * d.w // 9)) * 3 + 0) % 200 + d.delta) * 299 +
+      |            ((d.base*31 + (((b.i // 8) * d.h // 8) * d.w + (((b.i % 8) + 1) * d.w // 9)) * 3 + 1) % 200 + d.delta) * 587 +
+      |            ((d.base*31 + (((b.i // 8) * d.h // 8) * d.w + (((b.i % 8) + 1) * d.w // 9)) * 3 + 2) % 200 + d.delta) * 114) // 1000
+      |           THEN 1::BIGINT ELSE 0::BIGINT END AS v
+      |  FROM d, UNNEST(range(0, 64)) AS b(i)),
+      |hashes AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN bit >= 32 THEN v * (2::BIGINT ^ (bit - 32))::BIGINT ELSE 0 END)::BIGINT AS dhash_hi,
+      |         SUM(CASE WHEN bit < 32 THEN v * (2::BIGINT ^ bit)::BIGINT ELSE 0 END)::BIGINT AS dhash_lo
+      |  FROM bits GROUP BY doc_id)
+      |SELECT dhash_hi, dhash_lo, COUNT(*) AS n_items, MIN(doc_id) AS keeper
+      |FROM hashes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -125,4 +125,36 @@ class MediaOpsSpec extends SparkSpec {
     // the different-header doc is its own group
     assert(got.exists { case (_, _, n, keeper) => n === 1L && keeper === 2L })
   }
+
+  test("dHash: brightness-shift invariant, gradient-edit sensitive") {
+    // a 6x4 gradient image; +40 on every byte preserves every gradient
+    val w = 6; val h = 4
+    val raster = Array.tabulate(w * h * 3)(i => ((i * 7) % 180).toByte)
+    val shifted = raster.map(b => ((b & 0xff) + 40).toByte)
+    val a = MediaOps.dHash(MediaOps.encodePpm(w, h, raster))
+    val b = MediaOps.dHash(MediaOps.encodePpm(w, h, shifted))
+    assert(a === b, "brightness shift must not change the dHash")
+    // reversing the raster reverses sampled gradients -> different hash
+    val edited = raster.reverse
+    val c = MediaOps.dHash(MediaOps.encodePpm(w, h, edited))
+    assert(a !== c, "a real edit must change the dHash")
+  }
+
+  test("perceptualDedup collapses brightness families m4's byte hashing cannot") {
+    // ids 1 and 41 are the same base image at different brightness: every
+    // raster byte differs, but the perceptual group is shared
+    val rows = Seq(1L -> "x", 41L -> "x", 2L -> "y")
+    val fams = MediaOps.syntheticPpmFamilies(docsDF(rows)).collect()
+    val p1 = fams.find(_.media_id == 1L).get.content
+    val p41 = fams.find(_.media_id == 41L).get.content
+    assert(!java.util.Arrays.equals(p1, p41), "family members must differ in bytes")
+    // 1 and 41 must land in ONE group (other bases may coincidentally
+    // share the hash on these tiny gradients — that group then just grows)
+    val got = MediaOps.perceptualDedup(docsDF(rows)).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSet // (n_items, keeper)
+    assert(got.exists { case (n, keeper) => keeper == 1L && n >= 2L },
+      s"family {1, 41} did not collapse: ${got.mkString(",")}")
+    val totalGrouped = got.toSeq.map(_._1).sum
+    assert(totalGrouped === 3L)
+  }
 }
