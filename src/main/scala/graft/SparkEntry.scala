@@ -303,6 +303,15 @@ object SparkEntry {
       val e = DerivedGraphs.small(s, dir)
       Analytics.modularity(e, Analytics.labelPropagation(e, numIter = 5))
     }),
+    "g42_spanning_forest" -> ((s, dir) =>
+      // minimum spanning forest (Borůvka — the parallel MST: every
+      // component picks its min outgoing edge per round, components
+      // halve, ≤ log|V| edge passes); unique derived weights make the
+      // forest unique, so the independent sequential-Kruskal VALUES
+      // oracle agrees edge-for-edge
+      Analytics.minimumSpanningForest(
+        DerivedGraphs.small(s, dir).withColumn("w",
+          expr("least(src, dst) * 1499 + greatest(src, dst)")))),
     "g41_louvain_sweep" -> ((s, dir) =>
       // Louvain local-move phase, deterministic synchronous form: every
       // vertex moves to the neighbor community with the best EXACT INTEGER
@@ -3189,7 +3198,7 @@ object SparkEntry {
     val graphKeys =
       Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
         "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness",
-        "g36_modularity", "g41_louvain_sweep")
+        "g36_modularity", "g41_louvain_sweep", "g42_spanning_forest")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -3209,6 +3218,18 @@ object SparkEntry {
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
              |FROM (VALUES ${lpa.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
              |ORDER BY vertex""".stripMargin),
+      "g42_spanning_forest" -> {
+        val weighted = edges.map { case (s, d) =>
+          (s, d, math.min(s, d) * 1499 + math.max(s, d)) }
+        val msf = SequentialModel.minimumSpanningForest(weighted)
+          .sortBy { case (a, b, _) => (a, b) }
+        if (msf.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w WHERE 1 = 0"
+        else
+          s"""SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(w AS BIGINT) AS w
+             |FROM (VALUES ${msf.map { case (a, b, w) => s"($a, $b, $w)" }.mkString(", ")}) AS t(a, b, w)
+             |ORDER BY a, b""".stripMargin
+      },
       "g41_louvain_sweep" -> {
         val lv = SequentialModel.louvainSweep(edges, rounds = 4).toSeq.sorted
         if (lv.isEmpty)

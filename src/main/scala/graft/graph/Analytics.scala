@@ -1243,6 +1243,66 @@ object Analytics {
     labels.orderBy("vertex")
   }
 
+  /** Minimum spanning forest — Borůvka rounds, the parallel MST algorithm
+    * (each round, EVERY component picks its minimum outgoing edge, so the
+    * component count at least halves → ≤ log₂|V| rounds of edge-pass
+    * work; Kruskal's global sort and Prim's sequential frontier don't
+    * parallelize). Input `edges(src, dst, w)`; parallel/reverse duplicates
+    * collapse to the canonical `(a < b)` pair with the MINIMUM weight, and
+    * weights must be UNIQUE per canonical edge (checked loudly) — unique
+    * weights make the forest unique, which is what lets the independent
+    * sequential-Kruskal oracle agree edge-for-edge. `(a, b, w)` rows of
+    * the forest, ordered.
+    *
+    * Scale shape per round: one GraphX CC over the CHOSEN forest (≤ |V|−1
+    * edges, not the input), one join of the full edge relation against
+    * the vertex-sized component table, one per-component min-struct
+    * aggregation (map-side combined — the d12 keeper trick). The full
+    * edge set is scanned once per round; rounds are logarithmic. The
+    * per-round `count` is a 1-long driver read (loop control).
+    */
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"),
+        col("w").cast("long").as("w"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"), col("w"))
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    val dupW = und.groupBy("w").count().filter(col("count") > 1).limit(1).count()
+    require(dupW == 0, "minimumSpanningForest requires unique edge weights " +
+      "(unique weights <=> unique forest); disambiguate, e.g. w' = w * |E| + rank")
+    val vertices = und.select(col("a").as("vertex"))
+      .union(und.select(col("b").as("vertex"))).distinct().localCheckpoint(true)
+    var chosen = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w").localCheckpoint(true)
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      // components of the forest chosen so far (isolated vertices = own id)
+      val cc = connectedComponents(
+        chosen.select(col("a").as("src"), col("b").as("dst")))
+      val comp = vertices.join(cc, Seq("vertex"), "left_outer")
+        .select(col("vertex"), coalesce(col("component"), col("vertex")).as("comp"))
+      // minimum outgoing edge per component, deterministic by unique w
+      val crossing = und
+        .join(comp.select(col("vertex").as("a"), col("comp").as("ca")), "a")
+        .join(comp.select(col("vertex").as("b"), col("comp").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+      val picks = crossing.select(col("ca").as("comp"), struct(col("w"), col("a"), col("b")).as("e"))
+        .union(crossing.select(col("cb").as("comp"), struct(col("w"), col("a"), col("b")).as("e")))
+        .groupBy("comp").agg(min(col("e")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+        .distinct() // both endpoints' components may pick the same edge
+      val added = picks.count() // loop control: 1-long driver read
+      if (added == 0) done = true
+      else chosen = chosen.union(picks).distinct().localCheckpoint(true)
+      round += 1
+    }
+    chosen.orderBy("a", "b")
+  }
+
   /** DuckDB mirror of [[closenessProfile]]: one recursive walk carrying the
     * seed, min level per (seed, vertex), integer rollup.
     */

@@ -243,6 +243,28 @@ object SequentialModel {
     labels
   }
 
+  /** Minimum spanning forest by Kruskal with union-find — the independent
+    * mirror of `Analytics.minimumSpanningForest`'s Borůvka (weights are
+    * unique by contract, so the forest is UNIQUE and any correct
+    * algorithm agrees). Returns `(a, b, w)` edges, unsorted.
+    */
+  def minimumSpanningForest(edges: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+    val und = edges.collect { case (s, d, w) if s != d => ((s min d, s max d), w) }
+      .groupBy(_._1).map { case (k, ws) => (k._1, k._2, ws.map(_._2).min) }.toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    und.sortBy { case (a, b, w) => (w, a, b) }.foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; out += ((a, b, w)) }
+    }
+    out.toSeq
+  }
+
   /** Reference leaf-set DFS: vertices whose visit spawned zero recursive
     * calls, excluding the start; sorted ascending. Explicit frames (not JVM
     * recursion) for the same depth reason as [[dfsPreorder]] — each frame

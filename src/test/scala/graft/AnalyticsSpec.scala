@@ -533,6 +533,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq((0L, 2L, 1L, 2L, 500L), (1L, 1L, 2L, 2L, 0L)))
   }
 
+  test("minimumSpanningForest: hand-computed MST; forest spans disconnected parts") {
+    val s = spark
+    import s.implicits._
+    // square 0-1-2-3 with a heavy diagonal, plus a separate component {8, 9}:
+    // MST of the square = the three lightest sides; diagonal and heavy side drop
+    val edges = Seq(
+      (0L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 0L, 9L), (0L, 2L, 8L),
+      (8L, 9L, 5L)).toDF("src", "dst", "w")
+    val got = Analytics.minimumSpanningForest(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 3L), (8L, 9L, 5L)))
+  }
+
+  test("minimumSpanningForest matches sequential Kruskal; duplicate weights rejected") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val pairs = (1 to 150).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val weighted = pairs.map { case (a, b) =>
+      (a, b, math.min(a, b) * 31 + math.max(a, b)) } // unique per canonical pair
+    val got = Analytics.minimumSpanningForest(weighted.toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = SequentialModel.minimumSpanningForest(weighted)
+      .sortBy { case (a, b, _) => (a, b) }
+    assert(got === expected)
+    // tree invariant: |forest| = |vertices| - |components|
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.size
+    assert(got.size < verts)
+    val dup = Seq((0L, 1L, 7L), (1L, 2L, 7L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException](Analytics.minimumSpanningForest(dup))
+    assert(ex.getMessage.contains("unique edge weights"))
+  }
+
   test("louvainSweep converges two triangles to two communities") {
     // triangles {0,1,2} and {3,4,5}, bridge 2-3: the modularity optimum is
     // one community per triangle; the parity-alternating sweep finds it
