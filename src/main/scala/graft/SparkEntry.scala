@@ -1758,6 +1758,29 @@ object SparkEntry {
       EventStreams.viewClickLeftJoin(ev, ev).orderBy("view_id", "click_id")
     }),
 
+    "st15_stream_log_sink" -> ((s, dir) => {
+      // streaming ingest INTO the commit-log table — the "streaming sink
+      // of a table format" deployment shape: a REAL StreamExecution
+      // (file-source micro-batches via BoundedReplay) lands EACH
+      // micro-batch as one atomic versioned commit through foreachBatch;
+      // the final head, read back THROUGH the log, must carry exactly the
+      // one-shot batch content, and the version count equals the
+      // micro-batch count. Fresh per-process table, shutdown-hook cleaned
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-slog-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "event_id")
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("event_type"))
+      BoundedReplay.runForeachBatch(ev, "st15_log_sink", b => { t.append(b); () })
+      t.read().agg(count(lit(1)).as("n_rows"),
+          sum("event_id").as("sum_event"), sum("user_id").as("sum_user"))
+        .select(lit(t.versions().length.toLong).as("n_versions"),
+          col("n_rows"), col("sum_event"), col("sum_user"))
+    }),
     "st14_stream_upsert" -> ((s, dir) => {
       // the foreachBatch CDC-apply pattern in batch mode: two
       // deterministic "micro-batches" (event_id parity) folded into a
@@ -2985,6 +3008,12 @@ object SparkEntry {
       // must reproduce the one-shot aggregate
       """SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_ts_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st15_stream_log_sink" -> // the streamed-in commit-log head must carry
+      // exactly the one-shot content; 4 micro-batches = 4 versions (the
+      // BoundedReplay one-file-per-trigger contract)
+      """SELECT 4::BIGINT AS n_versions, COUNT(*) AS n_rows,
+        |       SUM(event_id)::BIGINT AS sum_event, SUM(user_id)::BIGINT AS sum_user
+        |FROM events""".stripMargin,
     "st8_stream_static" -> EventStreams.enrichPurchasesSql(),
     "d1_exact_dedup" -> Dedup.exactDedupSql,
     "d2_jaccard_pairs" -> Dedup.jaccardPairsSql(),

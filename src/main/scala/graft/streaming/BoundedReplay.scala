@@ -45,4 +45,26 @@ object BoundedReplay {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Replay `batch` as a file-source stream into a `foreachBatch` sink:
+    * `apply` runs once per REAL micro-batch (streaming engine, state-store
+    * commits, sequential batch ids) — the shape of every "stream into a
+    * table format" deployment. One source file per trigger, so `apply`
+    * executes exactly `sourceFiles` times over a non-empty input.
+    */
+  def runForeachBatch(batch: DataFrame, name: String,
+                      apply: DataFrame => Unit,
+                      sourceFiles: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val dir = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-replayfb-$name-${ProcessHandle.current().pid()}"))
+    batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => apply(b) }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

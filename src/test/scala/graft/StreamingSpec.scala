@@ -487,4 +487,22 @@ class StreamingSpec extends SparkSpec {
     val want = events.groupBy(_.user_id).map { case (u, es) => (u, es.size.toLong) }.toSet
     assert(got === want)
   }
+
+  test("streaming commit-log sink: one atomic version per micro-batch, history monotone") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-clog")
+    val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "k")
+    val rows = (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+    graft.streaming.BoundedReplay.runForeachBatch(
+      rows, "spec_log_sink", b => { t.append(b); () }, sourceFiles = 4)
+    // one committed version per real micro-batch
+    assert(t.versions() === Seq(0L, 1L, 2L, 3L))
+    // history is monotone (each version extends the previous)...
+    val counts = t.versions().map(v => t.asOf(v).count())
+    assert(counts === counts.sorted && counts.last === 40L)
+    // ...and the final head carries exactly the batch content
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      (1L to 40L).map(i => (i, s"v$i")).toSet)
+  }
 }
