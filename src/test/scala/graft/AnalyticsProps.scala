@@ -106,6 +106,27 @@ object AnalyticsProps extends Properties("Analytics") {
       Prop(got == want) :| s"iters=$iters got $got want $want"
     }
 
+  property("minimumSpanningForest == sequential Kruskal on unique weights") =
+    Prop.forAll(genGraph) { edges =>
+      val s = spark
+      import s.implicits._
+      val weighted = edges.map { case (a, b) =>
+        (a, b, math.min(a, b) * 31 + math.max(a, b)) } // unique per canonical pair
+      val got = Analytics.minimumSpanningForest(weighted.toDF("src", "dst", "w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = graft.graph.SequentialModel.minimumSpanningForest(weighted)
+        .sortBy { case (a, b, _) => (a, b) }
+      Prop(got == want) :| s"got $got want $want"
+    }
+
+  property("louvainSweep == sequential parity-alternating mirror") =
+    Prop.forAll(genGraph, Gen.choose(0, 4)) { (edges, rounds) =>
+      val got = Analytics.louvainSweep(df(edges), rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.graph.SequentialModel.louvainSweep(edges, rounds)
+      Prop(got == want) :| s"rounds=$rounds got $got want $want"
+    }
+
   property("matrix write/read round-trips any 1-based graph") =
     Prop.forAll(genGraph) { edges =>
       val oneBased = edges.map(p => (p._1 + 1, p._2 + 1)).distinct

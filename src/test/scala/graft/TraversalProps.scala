@@ -75,6 +75,30 @@ object TraversalProps extends Properties("Traversals") {
       Prop(got == want) :| s"hops=$hops got $got want $want"
     }
 
+  property("temporalReachability == synchronous hop-bounded relaxation model") =
+    Prop.forAll(genGraph, Gen.choose(1, 6)) { (edges, hops) =>
+      val s = spark
+      import s.implicits._
+      val timed = edges.map { case (a, b) => (a, b, (a * 3 + b) % 8) }
+      val tdf =
+        if (timed.isEmpty) List((0L, 0L, 0L)).toDF("src", "dst", "t").limit(0)
+        else timed.toDF("src", "dst", "t")
+      val got = Traversals.temporalReachability(tdf, 0L, startTime = 0L, maxHops = hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent model: synchronous Bellman-Ford over arrivals — round
+      // h holds the min arrival over time-respecting paths of <= h edges
+      var cur = Map(0L -> 0L)
+      for (_ <- 1 to hops) {
+        val next = scala.collection.mutable.Map(cur.toSeq: _*)
+        for ((es, ed, t) <- timed; a <- cur.get(es) if t >= a)
+          if (t + 1 < next.getOrElse(ed, Long.MaxValue)) next(ed) = t + 1
+        cur = next.toMap
+      }
+      // time-respecting reach is a subset of static reach at every level
+      val staticReach = SequentialOracles.bfs(edges, Seq(0L), hops).keySet
+      Prop(got == cur && got.keySet.subsetOf(staticReach)) :| s"hops=$hops got $got want $cur"
+    }
+
   property("main-scope SequentialModel (the g8/g9 VALUES-oracle generator) == test oracle") =
     // no Spark involved: pins the driver-gate oracle generator to this
     // suite's independent model, closing the three-way loop (Spark path ==
