@@ -947,6 +947,28 @@ object SparkEntry {
       t.read().agg(count(lit(1)).as("n_rows"),
         sum("n_nationkey").as("sum_key"), sum("n_regionkey").as("sum_region"))
     }),
+    "f15_log_vacuum" -> ((s, dir) => {
+      // retention through the log: v0's overwrite directory becomes
+      // unreferenced once v1 overwrites, v2 appends; vacuum(keepLast=2)
+      // reclaims EXACTLY that one directory (reference-counted against
+      // the kept versions' full file lists) and the head keeps reading
+      // the complete content. Fresh per-process table, shutdown-cleaned
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-vac-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      t.overwrite(nat.filter(col("n_nationkey") < 5))
+      t.overwrite(nat.filter(col("n_nationkey") >= 5))
+      t.append(nat.filter(col("n_nationkey") < 5))
+      val removed = t.vacuum(keepLast = 2)
+      t.read().agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
+        .select(lit(removed).as("n_removed"), col("n_rows"), col("sum_key"))
+    }),
     "f13_log_cdf" -> ((s, dir) => {
       // change-data-feed THROUGH the commit log: three committed versions
       // (v0 = keys < 15, v1 = + keys >= 15, v2 = overwrite keys >= 5), then
@@ -2554,6 +2576,10 @@ object SparkEntry {
         |             CASE WHEN n_nationkey < 5 THEN n_regionkey + 100 ELSE n_regionkey END AS r
         |      FROM nation WHERE n_nationkey < 20
         |      UNION ALL SELECT 99, 42)""".stripMargin,
+    "f15_log_vacuum" -> // exactly ONE unreferenced directory reclaimed;
+      // the head still carries the full table
+      """SELECT 1::BIGINT AS n_removed, COUNT(*) AS n_rows,
+        |       SUM(n_nationkey)::BIGINT AS sum_key FROM nation""".stripMargin,
     "f13_log_cdf" -> // the insert/delete sets derived straight from the
       // source: v0 = keys < 15, v2 = keys >= 5 — inserts are keys >= 15,
       // deletes are keys < 5

@@ -144,6 +144,36 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   /** Append `df` as a new version: previous file list + the new files. */
   def append(df: DataFrame): Long = commitVersion(df, keepPrevious = true, op = "append")
 
+  /** Retention: delete data DIRECTORIES referenced by none of the last
+    * `keepLast` versions — the VACUUM half of the time-travel bargain
+    * (old versions stay readable UNTIL retention reclaims their files).
+    * Reference counting is against the kept versions' full file lists, so
+    * a file carried forward by appends survives even when the version
+    * that wrote it is vacuumed. Kept versions stay readable; older log
+    * entries remain as provenance but their reads fail once files are
+    * gone. Returns the number of directories removed.
+    *
+    * Scale shape: the referenced set is log-sized (kept versions × file
+    * lists), the candidate listing is one directory scan of the table
+    * root — never a data read.
+    */
+  def vacuum(keepLast: Int = 2): Long = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val keep = versions().takeRight(keepLast)
+    val referencedDirs = keep.flatMap { v =>
+      addsOf(v).select("path").collect().map { r =>
+        val rel = relativize(r.getString(0))
+        rel.substring(0, rel.indexOf('/') match { case -1 => rel.length; case i => i })
+      }
+    }.toSet
+    val doomed = fs.listStatus(new Path(path))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.matches("d\\d+-[0-9a-f]{8}") && !referencedDirs.contains(n))
+    doomed.foreach(d => fs.delete(new Path(path, d), true))
+    doomed.length.toLong
+  }
+
   /** MERGE a change-set into the LATEST version and commit the result as a
     * new version — `MERGE INTO table` bound to the log: the read side
     * resolves through the current committed file list, the merged snapshot

@@ -93,6 +93,25 @@ class CommitLogSpec extends SparkSpec {
     assert(rows(t.asOf(0L)) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("vacuum reclaims only unreferenced directories; carried files survive") {
+    val dir = Files.createTempDirectory("graft-clog-vac").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a"))       // v0 -> d0
+    t.append(kv(2L -> "b"))          // v1 -> d1, CARRIES d0's files
+    t.overwrite(kv(9L -> "z"))       // v2 -> d2
+    // keep v1+v2: v1 still references d0's files, so NOTHING is doomed
+    assert(t.vacuum(keepLast = 2) === 0L)
+    assert(rows(t.asOf(1L)) === Set(1L -> "a", 2L -> "b"))
+    // keep only the head: d0 and d1 are now unreferenced and reclaimed
+    assert(t.vacuum(keepLast = 1) === 2L)
+    assert(rows(t.read()) === Set(9L -> "z"))
+    assert(t.versions() === Seq(0L, 1L, 2L)) // provenance log entries remain
+    // the vacuumed version's read now fails at the filesystem, loudly
+    intercept[Exception](t.asOf(0L).collect())
+    // idempotent: nothing left to reclaim
+    assert(t.vacuum(keepLast = 1) === 0L)
+  }
+
   test("stray non-numeric log artifacts never brick the table") {
     val dir = Files.createTempDirectory("graft-clog-stray").toString
     val t = new CommitTable(spark, dir, "k")
