@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Num
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, Motifs, SequentialModel, Traversals}
 import graft.llm.{Dedup, MediaOps, Packing, Sampling, SequentialCorpus, Similarity, Sketches, TextOps}
 import graft.operators.{MergeInto, Partitioning, Sessionization, SnapshotDiff, TemporalJoins, Validation}
@@ -1417,7 +1418,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(wR))
         .withColumn("n", count(lit(1)).over(wN))
         .groupBy(col("event_type"), expr("(rn - 1) * 10 div n").as("bucket"))
-        .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"),
+        .agg(count(lit(1)).as("n_events"), Num.round6(avg("value")).as("avg_value"),
           min("value").as("min_value"), max("value").as("max_value"))
         .orderBy("event_type", "bucket")
     }),
@@ -1510,10 +1511,10 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(sort_array(collect_list(col("e"))).as("seq"))
         .select(col("user_id"), size(col("seq")).cast("long").as("n_events"),
-          round(expr(
+          Num.round6(expr(
             "aggregate(slice(seq, 2, size(seq) - 1), " +
-              "CAST(element_at(seq, 1).v AS DOUBLE), (acc, x) -> (acc + x.v) / 2)"),
-            6).as("ewma_6"))
+              "CAST(element_at(seq, 1).v AS DOUBLE), (acc, x) -> (acc + x.v) / 2)"))
+            .as("ewma_6"))
         .orderBy("user_id")
     }),
     "e25_asof_nearest" -> ((s, dir) => {
@@ -2752,7 +2753,7 @@ object SparkEntry {
         |                 COUNT(*) OVER (PARTITION BY event_type) AS n
         |          FROM events)
         |SELECT event_type, ((rn - 1) * 10 // n)::BIGINT AS bucket,
-        |       COUNT(*) AS n_events, round(AVG(value), 6) AS avg_value,
+        |       COUNT(*) AS n_events, round(AVG(value), 6) + 0.0 AS avg_value,
         |       MIN(value) AS min_value, MAX(value) AS max_value
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e21_retention_cohorts" -> // dedup-then-rollup mirror of e14's shape
@@ -2837,7 +2838,7 @@ object SparkEntry {
         |                  list(value ORDER BY epoch_us(ts), event_id) AS vs
         |           FROM events GROUP BY user_id)
         |SELECT user_id, len(vs)::BIGINT AS n_events,
-        |       ROUND(list_reduce(vs, (a, b) -> (a + b) / 2), 6) AS ewma_6
+        |       ROUND(list_reduce(vs, (a, b) -> (a + b) / 2), 6) + 0.0 AS ewma_6
         |FROM l ORDER BY user_id""".stripMargin,
     "e24_twap" -> // same permille/millis integer discipline
       """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
@@ -3035,8 +3036,10 @@ object SparkEntry {
       """SELECT user_id, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS last_ts_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "st15_stream_log_sink" -> // the streamed-in commit-log head must carry
-      // exactly the one-shot content; 4 micro-batches = 4 versions (the
-      // BoundedReplay one-file-per-trigger contract)
+      // exactly the one-shot content; 4 micro-batches = 4 versions — not
+      // assumed but ENFORCED: BoundedReplay asserts the staged file count
+      // equals sourceFiles, so an input too small to fill 4 partitions
+      // fails loudly instead of silently shifting this constant
       """SELECT 4::BIGINT AS n_versions, COUNT(*) AS n_rows,
         |       SUM(event_id)::BIGINT AS sum_event, SUM(user_id)::BIGINT AS sum_user
         |FROM events""".stripMargin,

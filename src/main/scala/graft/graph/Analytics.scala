@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.functions.Num
+
 /** Graph analytics beyond the reference's BFS/DFS surface (SURVEY §2.3):
   * degree stats, connected components, PageRank, triangle counting.
   *
@@ -214,7 +216,7 @@ object Analytics {
             .select(col("vertex"), (base + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
             .localCheckpoint(true)
         }
-        ranks.select(col("vertex"), round(col("pr"), 6).as("pr")).orderBy("vertex")
+        ranks.select(col("vertex"), Num.round6(col("pr")).as("pr")).orderBy("vertex")
       } finally weighted.unpersist(blocking = false)
     } finally e.unpersist(blocking = false)
   }
@@ -262,7 +264,7 @@ object Analytics {
         s"LEFT JOIN (SELECT w.dst AS vertex, SUM(r.pr * w.w) AS m FROM w " +
         s"JOIN r${i - 1} r ON r.vertex = w.src GROUP BY w.dst) s ON s.vertex = v.vertex)"
     }
-    b ++= s"\nSELECT vertex, ROUND(pr, 6) AS pr FROM r$numIter ORDER BY vertex"
+    b ++= s"\nSELECT vertex, ROUND(pr, 6) + 0.0 AS pr FROM r$numIter ORDER BY vertex"
     b.toString
   }
 
@@ -313,7 +315,7 @@ object Analytics {
           .localCheckpoint(true)
       }
       auths.join(hubs, "vertex")
-        .select(col("vertex"), round(col("auth"), 6).as("auth"), round(col("hub"), 6).as("hub"))
+        .select(col("vertex"), Num.round6(col("auth")).as("auth"), Num.round6(col("hub")).as("hub"))
         .orderBy("vertex")
     } finally {
       eBySrc.unpersist(blocking = false)
@@ -342,7 +344,7 @@ object Analytics {
         s"LEFT JOIN (SELECT e.src AS vertex, SUM(a.auth) AS m FROM e " +
         s"JOIN a$i a ON a.vertex = e.dst GROUP BY e.src) x ON x.vertex = v.vertex)"
     }
-    b ++= s"\nSELECT a.vertex, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub " +
+    b ++= s"\nSELECT a.vertex, ROUND(a.auth, 6) + 0.0 AS auth, ROUND(h.hub, 6) + 0.0 AS hub " +
       s"FROM a$numIter a JOIN h$numIter h ON h.vertex = a.vertex ORDER BY a.vertex"
     b.toString
   }
@@ -858,7 +860,7 @@ object Analytics {
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"), sum(col("w")).as("aa"))
       .filter(col("n_common") >= minCommon)
       .join(und, Seq("a", "b"), "left_anti")
-      .select(col("a"), col("b"), col("n_common"), round(col("aa"), 6).as("aa_6"))
+      .select(col("a"), col("b"), col("n_common"), Num.round6(col("aa")).as("aa_6"))
       .orderBy("a", "b")
   }
 
@@ -876,7 +878,7 @@ object Analytics {
        |             SUM(1.0 / ln(CAST(x.d AS DOUBLE))) AS aa
        |      FROM ctr x JOIN ctr y ON x.c = y.c AND x.leaf < y.leaf
        |      GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon)
-       |SELECT p.a, p.b, p.n_common, ROUND(p.aa, 6) AS aa_6 FROM p
+       |SELECT p.a, p.b, p.n_common, ROUND(p.aa, 6) + 0.0 AS aa_6 FROM p
        |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = p.a AND und.b = p.b)
        |ORDER BY p.a, p.b""".stripMargin
 
@@ -1096,9 +1098,9 @@ object Analytics {
       .na.fill(0L, Seq("in_edges"))
       .crossJoin(broadcast(m))
       .select(col("label"), col("n_vertices"), col("in_edges"), col("deg_sum"),
-        round(col("in_edges").cast("double") / col("m").cast("double")
+        Num.round6(col("in_edges").cast("double") / col("m").cast("double")
           - (col("deg_sum").cast("double") / (col("m").cast("double") * 2))
-          * (col("deg_sum").cast("double") / (col("m").cast("double") * 2)), 6).as("q_6"))
+          * (col("deg_sum").cast("double") / (col("m").cast("double") * 2))).as("q_6"))
       .orderBy("label")
   }
 
@@ -1122,7 +1124,7 @@ object Analytics {
        |SELECT dc.label, dc.n_vertices, COALESCE(inn.in_edges, 0) AS in_edges, dc.deg_sum,
        |       round(COALESCE(inn.in_edges, 0)::DOUBLE / m.m::DOUBLE
        |             - (dc.deg_sum::DOUBLE / (m.m::DOUBLE * 2))
-       |             * (dc.deg_sum::DOUBLE / (m.m::DOUBLE * 2)), 6) AS q_6
+       |             * (dc.deg_sum::DOUBLE / (m.m::DOUBLE * 2)), 6) + 0.0 AS q_6
        |FROM dc CROSS JOIN m LEFT JOIN inn ON inn.label = dc.label
        |ORDER BY dc.label""".stripMargin
 
@@ -1404,7 +1406,7 @@ object Analytics {
         spark.emptyDataset[(Long, Double)].toDF("vertex", "bc_6")
       else
         contributions.reduce(_ union _)
-          .groupBy("vertex").agg(round(sum(col("delta")), 6).as("bc_6"))
+          .groupBy("vertex").agg(Num.round6(sum(col("delta"))).as("bc_6"))
           .filter(col("bc_6") > 0)
           .orderBy("vertex")
     } finally e.unpersist(blocking = false)

@@ -8,16 +8,28 @@ package graft.llm
   * literals by `SparkEntry.dynamicOracleSql`.
   *
   * Float discipline (matching the distributed contracts): every dot product
-  * is a strict left-to-right loop; k-means centroids are quantized to the
-  * 1e-6 grain each round (half-even, `math.rint`), so both engines iterate
-  * from EXACTLY equal centroids and every comparison agrees bit-for-bit;
-  * only order-insensitive final sums differ in the last bits, absorbed by
-  * the half-up 1e-6 output rounding.
+  * is a strict left-to-right loop; per-row values entering any
+  * order-insensitive sum are first quantized to integer nano-units
+  * ([[nano]]) so the sums are EXACT longs on both engines; k-means
+  * centroids are then quantized to the 1e-6 grain each round (half-even,
+  * `math.rint`), so both engines iterate from EXACTLY equal centroids and
+  * every comparison agrees bit-for-bit — equality by construction, with no
+  * reliance on rounding absorbing last-bit drift.
   */
 object SequentialCorpus {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Half-up quantization to integer nano-units — the mirror of the
+    * distributed side's `round(col * 1e9).cast("long")` per-row
+    * quantization. Per-row inputs are identical doubles on both engines, so
+    * the longs agree; summing longs is exact and order-independent, which
+    * is what makes the cluster means / inertias / silhouettes engine-equal
+    * by construction rather than by last-bits luck.
+    */
+  private def nano(x: Double): Long =
+    BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   private def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
     val n = math.min(a.length, b.length)
@@ -48,9 +60,9 @@ object SequentialCorpus {
         members.get(i) match {
           case Some(ms) =>
             IndexedSeq.tabulate(old.length) { j =>
-              var s = 0.0
-              ms.foreach { case (_, e) => s += e(j) }
-              math.rint(s / ms.size * 1e6) / 1e6
+              var s = 0L
+              ms.foreach { case (_, e) => s += nano(e(j)) }
+              math.rint(s.toDouble / 1e9 / ms.size * 1e6) / 1e6
             }
           case None => old
         }
@@ -80,9 +92,9 @@ object SequentialCorpus {
     val cents = kMeansCentroids(vecs, k, numIter)
     vecs.groupBy { case (_, e) => assignTo(cents, e) }.toSeq
       .map { case (c, ms) =>
-        var inertia = 0.0
-        ms.foreach { case (_, e) => inertia += sqDist(e, cents(c)) }
-        (c.toLong, ms.size.toLong, round6(inertia))
+        var inertia = 0L
+        ms.foreach { case (_, e) => inertia += nano(sqDist(e, cents(c))) }
+        (c.toLong, ms.size.toLong, round6(inertia.toDouble / 1e9))
       }
       .sortBy(_._1)
   }
@@ -95,7 +107,7 @@ object SequentialCorpus {
     val cents = kMeansCentroids(vecs, k, numIter)
     vecs.groupBy { case (_, e) => assignTo(cents, e) }.toSeq
       .map { case (c, ms) =>
-        var sum = 0.0
+        var sum = 0L
         ms.foreach { case (_, e) =>
           val a = math.sqrt(sqDist(e, cents(c)))
           var bMin = Double.PositiveInfinity
@@ -103,9 +115,9 @@ object SequentialCorpus {
             if (i != c) bMin = math.min(bMin, sqDist(e, cents(i)))
           }
           val b = math.sqrt(bMin)
-          sum += (b - a) / math.max(a, b)
+          sum += nano((b - a) / math.max(a, b))
         }
-        (c.toLong, ms.size.toLong, round6(sum / ms.size))
+        (c.toLong, ms.size.toLong, round6(sum.toDouble / 1e9 / ms.size))
       }
       .sortBy(_._1)
   }

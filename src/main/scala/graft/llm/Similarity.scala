@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Num
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Two tiers, per the builder brief:
@@ -37,8 +39,10 @@ object Similarity {
   /** Per-label element-wise centroid of the embedding column — the vector
     * aggregate a clustering/labeling pipeline recomputes constantly.
     * `(label, pos 1-based, centroid_1e6)`, the mean scaled to integer
-    * millionths (the established float discipline: reordering error of the
-    * double partial sums is ~1e-13, far below the 1e-6 grain).
+    * millionths (nano-unit float discipline: per-row coordinates — identical
+    * doubles on both engines — are quantized to integer nanos before the
+    * sum, so the partial sums are exact longs and partition order cannot
+    * move the mean across a rounding boundary).
     *
     * Shape: `posexplode` → one hash-shuffle on (label, pos) with map-side
     * partial sums — dimensions aggregate independently, so parallelism is
@@ -51,14 +55,14 @@ object Similarity {
     emb.select(col("label").cast("long").as("label"),
         posexplode(asDouble(col("embedding"))))
       .groupBy("label", "pos")
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(round(col("col") * 1e9).cast("long")).as("s"), count(lit(1)).as("n"))
       .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
-        round(col("s") / col("n") * 1e6).cast("long").as("centroid_1e6"))
+        round(col("s").cast("double") / 1e9 / col("n") * 1e6).cast("long").as("centroid_1e6"))
       .orderBy("label", "pos")
 
   def labelCentroidsSql: String =
     """SELECT label::BIGINT AS label, pos::BIGINT AS pos,
-      |       round(SUM(x::DOUBLE) / COUNT(*) * 1e6)::BIGINT AS centroid_1e6
+      |       round(SUM(round(x::DOUBLE * 1e9)::BIGINT)::DOUBLE / 1e9 / COUNT(*) * 1e6)::BIGINT AS centroid_1e6
       |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
       |      FROM embeddings)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -518,8 +522,9 @@ object Similarity {
     * [[labelCentroids]]). The result is dim × dim = driver-small by the
     * same contract as IVF's centroids; the eigendecomposition step of PCA
     * is a dense dim² problem that belongs on the driver, not in a shuffle.
-    * Float discipline: double partial-sum reorder error (~1e-12 relative)
-    * sits far below the 1e-6 grain, the established s4/g7 argument.
+    * Float discipline: per-row products (identical doubles on both engines)
+    * are quantized to integer nanos before the sum — exact longs, so the
+    * mean is partition-order-independent by construction.
     */
   def gramMatrix(emb: DataFrame, dim: Int = 64): DataFrame = {
     val pairs = flatten(transform(sequence(lit(1), lit(dim)), i =>
@@ -530,7 +535,8 @@ object Similarity {
       .select(explode(pairs).as("p"))
       .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"), col("p.v").as("v"))
       .groupBy("i", "j")
-      .agg(round(avg("v") * 1e6).cast("long").as("gram_1e6"))
+      .agg(round(sum(round(col("v") * 1e9).cast("long")).cast("double") / 1e9
+        / count(lit(1)) * 1e6).cast("long").as("gram_1e6"))
       .orderBy("i", "j")
   }
 
@@ -540,7 +546,8 @@ object Similarity {
     */
   def gramMatrixSql(dim: Int = 64): String =
     s"""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings)
-       |SELECT i::BIGINT AS i, j::BIGINT AS j, round(AVG(e[i] * e[j]) * 1e6)::BIGINT AS gram_1e6
+       |SELECT i::BIGINT AS i, j::BIGINT AS j,
+       |       round(SUM(round(e[i] * e[j] * 1e9)::BIGINT)::DOUBLE / 1e9 / COUNT(*) * 1e6)::BIGINT AS gram_1e6
        |FROM v, UNNEST(range(1, ${dim + 1})) t1(i), UNNEST(range(1, ${dim + 1})) t2(j)
        |WHERE i <= j
        |GROUP BY i, j ORDER BY i, j""".stripMargin
@@ -796,8 +803,10 @@ object Similarity {
     * tie-breaks to the lowest cluster index, and each recomputed centroid
     * is quantized to the 1e-6 grain — which makes the centroids (and hence
     * every assignment) EXACTLY reproducible by the independent sequential
-    * mirror: partial-sum reordering perturbs a mean by ~1e-13, far below
-    * the quantum. Empty clusters keep their previous centroid.
+    * mirror: per-row coordinates are quantized to integer nano-units before
+    * the sum, so the partial sums are exact longs and partition order
+    * cannot perturb the mean at all (not even in the last bits). Empty
+    * clusters keep their previous centroid.
     * Output `(cluster, n, inertia_6)` — per-cluster size and summed squared
     * distance to the final centroid, rounded to 1e-6.
     *
@@ -836,10 +845,17 @@ object Similarity {
           (array_position(col("dists"), array_min(col("dists"))) - 1).cast("long"))
     }
     for (_ <- 1 to numIter) {
+      // Per-row coordinates are IDENTICAL doubles on both engines (strict
+      // per-row arithmetic), so quantizing each row to integer nano-units
+      // BEFORE the sum gives identical longs; the long sum is exact and
+      // order-independent, so the recomputed mean — and hence every later
+      // comparison — is bit-identical regardless of partition order. A raw
+      // double sum would differ in the last bits and could land a mean on a
+      // rint boundary (nondeterministic gate), per the round-10 advice.
       val sums = withAssign
         .select(col("cluster"), posexplode(col("e")))
         .groupBy("cluster", "pos")
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(round(col("col") * 1e9).cast("long")).as("s"), count(lit(1)).as("n"))
         .collect() // k×d codebook rows, by contract
       val byCluster = sums.groupBy(_.getLong(0))
       cents = cents.zipWithIndex.map { case (old, i) =>
@@ -848,7 +864,7 @@ object Similarity {
             val m = Array.tabulate(old.length)(j => old(j))
             rows.foreach { r =>
               // quantize to the 1e-6 grain (rint = half-even, mirrored)
-              m(r.getInt(1)) = math.rint(r.getDouble(2) / r.getLong(3) * 1e6) / 1e6
+              m(r.getInt(1)) = math.rint(r.getLong(2).toDouble / 1e9 / r.getLong(3) * 1e6) / 1e6
             }
             m.toIndexedSeq
           case None => old
@@ -862,8 +878,12 @@ object Similarity {
     val (assigned, _) = kMeansAssign(emb, k, numIter)
     assigned
       .groupBy("cluster")
+      // same nano-unit discipline as the centroid recompute: per-row
+      // distances are identical doubles on both engines; the long sum is
+      // exact, so inertia_6 is deterministic, not last-bits-lucky
       .agg(count(lit(1)).as("n"),
-        round(sum(array_min(col("dists"))), 6).as("inertia_6"))
+        Num.round6(sum(round(array_min(col("dists")) * 1e9).cast("long"))
+          .cast("double") / 1e9).as("inertia_6"))
       .orderBy("cluster")
   }
 
@@ -891,9 +911,13 @@ object Similarity {
     val masked = expr("transform(dists, (d, i) -> CASE WHEN i = CAST(cluster AS INT) THEN CAST('Infinity' AS DOUBLE) ELSE d END)")
     val b = sqrt(array_min(masked))
     assigned
-      .withColumn("s", (b - a) / greatest(a, b))
+      // nano-unit discipline (see kMeansAssign): per-row s is identical on
+      // both engines; summing quantized longs makes the mean exact
+      .withColumn("s_nano", round(((b - a) / greatest(a, b)) * 1e9).cast("long"))
       .groupBy("cluster")
-      .agg(count(lit(1)).as("n"), round(avg(col("s")), 6).as("silhouette_6"))
+      .agg(count(lit(1)).as("n"),
+        Num.round6(sum(col("s_nano")).cast("double") / 1e9 / count(lit(1)))
+          .as("silhouette_6"))
       .orderBy("cluster")
   }
 

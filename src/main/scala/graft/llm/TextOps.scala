@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Hashing
+import graft.functions.{Hashing, Num}
 
 /** Text-analysis operators for the training-data pipeline surface
   * (builder brief; absent from the reference, which has no string processing
@@ -248,7 +248,7 @@ object TextOps {
       .join(c1, "w1")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 6).as("avg_lp_6"))
+        Num.round6(avg(log(col("c2").cast("double") / col("c1").cast("double")))).as("avg_lp_6"))
       .orderBy("doc_id")
   }
 
@@ -263,7 +263,7 @@ object TextOps {
       |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |       ROUND(AVG(ln(c2.c2::DOUBLE / c1.c1::DOUBLE)), 6) AS avg_lp_6
+      |       ROUND(AVG(ln(c2.c2::DOUBLE / c1.c1::DOUBLE)), 6) + 0.0 AS avg_lp_6
       |FROM bg JOIN c2 USING (bg) JOIN c1 USING (w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -870,11 +870,11 @@ object TextOps {
       .withColumn("n", size(col("ws")).cast("long"))
       .select(col("doc_id"), col("n").as("n_tokens"),
         size(col("cnts")).cast("long").as("n_distinct"),
-        when(col("n") === 0, lit(0.0)).otherwise(round(
+        when(col("n") === 0, lit(0.0)).otherwise(Num.round6(
           log(col("n").cast("double")) -
             aggregate(col("cnts"), lit(0.0),
-              (acc, c) => acc + c.cast("double") * log(c.cast("double"))) / col("n"),
-          6)).as("entropy_6"))
+              (acc, c) => acc + c.cast("double") * log(c.cast("double"))) / col("n")))
+          .as("entropy_6"))
       .orderBy("doc_id")
 
   /** DuckDB mirror of [[tokenEntropy]] — same tokenization, same sorted
@@ -891,7 +891,7 @@ object TextOps {
        |       CASE WHEN n = 0 THEN 0.0 ELSE ROUND(
        |         ln(n::DOUBLE) -
        |           list_reduce(list_prepend(0.0, list_transform(cnts, c -> c::DOUBLE * ln(c::DOUBLE))),
-       |                       (a, b) -> a + b) / n, 6) END AS entropy_6
+       |                       (a, b) -> a + b) / n, 6) + 0.0 END AS entropy_6
        |FROM c ORDER BY doc_id""".stripMargin
 
   /** Byte-pair-encoding MERGE TRAINING (Sennrich et al. 2016): learn the

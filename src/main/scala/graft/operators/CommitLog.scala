@@ -153,23 +153,49 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     * entries remain as provenance but their reads fail once files are
     * gone. Returns the number of directories removed.
     *
+    * In-flight-writer safety: a writer STAGES its `d<ver>-<nonce>`
+    * directory before publishing its log entry, so an unreferenced
+    * directory is not necessarily garbage. Two guards close the race
+    * (Delta's VACUUM retention window, adapted to the version scheme):
+    *  - directories whose encoded version EXCEEDS the latest committed
+    *    version are never touched. A writer's staged version is
+    *    `head + 1 > head` for the whole window in which its publish can
+    *    still succeed (any interleaved commit makes its rename fail and
+    *    the writer reclaims its own staging), so every publishable staged
+    *    directory is protected by construction;
+    *  - directories younger than `retainMillis` (mtime) are skipped —
+    *    defense in depth for clock/listing races and foreign tooling.
+    *    Default 0 keeps reclamation immediate for single-writer
+    *    maintenance; run with a real window (Delta defaults to 7 days)
+    *    when concurrent writers are possible.
+    *
     * Scale shape: the referenced set is log-sized (kept versions × file
     * lists), the candidate listing is one directory scan of the table
     * root — never a data read.
     */
-  def vacuum(keepLast: Int = 2): Long = {
+  def vacuum(keepLast: Int = 2, retainMillis: Long = 0L): Long = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val keep = versions().takeRight(keepLast)
+    require(retainMillis >= 0, s"retainMillis must be >= 0, got $retainMillis")
+    val vs = versions()
+    val head = vs.lastOption.getOrElse(-1L)
+    val keep = vs.takeRight(keepLast)
     val referencedDirs = keep.flatMap { v =>
       addsOf(v).select("path").collect().map { r =>
         val rel = relativize(r.getString(0))
         rel.substring(0, rel.indexOf('/') match { case -1 => rel.length; case i => i })
       }
     }.toSet
+    val now = System.currentTimeMillis()
     val doomed = fs.listStatus(new Path(path))
       .filter(_.isDirectory)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.matches("d\\d+-[0-9a-f]{8}") &&
+          !referencedDirs.contains(n) &&
+          n.substring(1, n.indexOf('-')).toLong <= head &&
+          now - st.getModificationTime >= retainMillis
+      }
       .map(_.getPath.getName)
-      .filter(n => n.matches("d\\d+-[0-9a-f]{8}") && !referencedDirs.contains(n))
     doomed.foreach(d => fs.delete(new Path(path, d), true))
     doomed.length.toLong
   }
@@ -190,9 +216,16 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     * them.
     */
   def merge(source: DataFrame, keys: Seq[String],
-            deleteCol: Option[String] = None): Long =
-    commitVersion(MergeInto.merge(read(), source, keys, deleteCol),
-      keepPrevious = false, op = "merge")
+            deleteCol: Option[String] = None): Long = {
+    // capture the base the merge is computed AGAINST: read-modify-write is
+    // only optimistic-safe if the commit is rejected when the head moved in
+    // between — otherwise this rename lands cleanly at newHead+1 and the
+    // interleaved writer's changes are silently overwritten (lost update)
+    val base = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    commitVersion(MergeInto.merge(asOf(base), source, keys, deleteCol),
+      keepPrevious = false, op = "merge", expectedBase = Some(base))
+  }
 
   /** Replace the table contents with `df` as a new version (old versions
     * stay readable via [[asOf]]).
@@ -234,12 +267,22 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     */
   protected def nextVersion(): Long = latestVersion().map(_ + 1).getOrElse(0L)
 
-  private def commitVersion(df: DataFrame, keepPrevious: Boolean, op: String): Long = {
+  private def commitVersion(df: DataFrame, keepPrevious: Boolean, op: String,
+                            expectedBase: Option[Long] = None): Long = {
     // resolve the head ONCE: the carried file list derives from version-1 of
     // the version this writer attempts, so base snapshot and attempt are
     // always consistent — a commit landing in between makes the publish
     // rename fail (stale head), never a silently dropped file list
     val version = nextVersion()
+    // read-modify-write callers (merge) pass the version their snapshot was
+    // computed against; a head that moved since is a conflict NOW — the
+    // rename alone would only catch a race on the SAME version number,
+    // letting a later-resolved head publish a lost update
+    expectedBase.foreach { b =>
+      if (version != b + 1)
+        throw new java.util.ConcurrentModificationException(
+          s"table $path moved from version $b to ${version - 1} since the merge base was read")
+    }
     val prev = if (version > 0 && fs.exists(logFile(version - 1))) Some(version - 1) else None
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"d$version-$nonce"

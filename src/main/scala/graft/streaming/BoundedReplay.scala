@@ -25,6 +25,23 @@ import org.apache.spark.sql.DataFrame
   */
 object BoundedReplay {
 
+  /** The one-file-per-trigger contract is only as strong as the staged file
+    * count: `repartition(n)` yields n output FILES only while every
+    * partition is non-empty (Spark writes no file for an empty partition),
+    * so a small input — or a future scale/config change — would silently
+    * change the micro-batch count any oracle asserts on. Enforce it loudly
+    * at stage time instead of letting the gate drift with input size.
+    */
+  private def assertStagedFiles(dir: java.nio.file.Path, expected: Int): Unit = {
+    val staged = java.nio.file.Files.list(dir).toArray
+      .map(p => p.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .count(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    require(staged == expected,
+      s"bounded replay staged $staged parquet files at $dir but the " +
+        s"one-file-per-trigger contract requires exactly $expected — " +
+        "input too small for sourceFiles?")
+  }
+
   /** Run `transform(stream)` over `batch` replayed as a file-source stream;
     * returns the memory sink's contents. `sourceFiles` controls how many
     * micro-batches the replay takes (one file per trigger).
@@ -38,6 +55,7 @@ object BoundedReplay {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-replay-$name-${ProcessHandle.current().pid()}"))
     batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
+    assertStagedFiles(dir, sourceFiles)
     val src = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val q = transform(src).writeStream.format("memory").queryName(name)
@@ -60,6 +78,7 @@ object BoundedReplay {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-replayfb-$name-${ProcessHandle.current().pid()}"))
     batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
+    assertStagedFiles(dir, sourceFiles)
     val src = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val q = src.writeStream
