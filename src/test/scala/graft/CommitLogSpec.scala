@@ -112,6 +112,59 @@ class CommitLogSpec extends SparkSpec {
     assert(t.vacuum(keepLast = 1) === 0L)
   }
 
+  test("merge rejects a lost update: head moved between snapshot read and commit") {
+    val dir = Files.createTempDirectory("graft-clog-lostupd").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    val s = spark
+    import s.implicits._
+    // a merge whose base snapshot resolution is immediately followed by an
+    // interleaved commit: read() resolves v0, then another writer lands v1.
+    // Without the base-version check the merge would commit cleanly at v2,
+    // silently erasing the interleaved writer's 3L row (lost update).
+    val interloper = new CommitTable(spark, dir, "k")
+    val racing = new CommitTable(spark, dir, "k") {
+      override protected def nextVersion(): Long = {
+        // simulate the interleaving at the moment this merge commits
+        if (latestVersion().contains(0L)) interloper.append(kv(3L -> "c"))
+        super.nextVersion()
+      }
+    }
+    val ex = intercept[java.util.ConcurrentModificationException](
+      racing.merge(Seq((2L, "B", false)).toDF("k", "v", "del"),
+        keys = Seq("k"), deleteCol = Some("del")))
+    assert(ex.getMessage.contains("moved from version 0"))
+    // the interleaved writer's commit is intact, nothing was overwritten
+    assert(rows(new CommitTable(spark, dir, "k").read()) ===
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // a clean retry (stable head) succeeds at the next version
+    assert(new CommitTable(spark, dir, "k").merge(
+      Seq((2L, "B", false)).toDF("k", "v", "del"),
+      keys = Seq("k"), deleteCol = Some("del")) === 2L)
+    assert(rows(new CommitTable(spark, dir, "k").read()) ===
+      Set(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("vacuum never touches an in-flight writer's staged directory or a too-young one") {
+    val dir = Files.createTempDirectory("graft-clog-vacguard").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a"))   // v0
+    t.overwrite(kv(2L -> "b"))   // v1; d0 is now unreferenced under keepLast=1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an in-flight writer staged its data for the NEXT version but has not
+    // published its log entry yet — version 2 > committed head 1
+    val staged = new org.apache.hadoop.fs.Path(dir, "d2-deadbeef")
+    fs.mkdirs(staged)
+    // a huge retention window shields even the unreferenced committed dir
+    assert(t.vacuum(keepLast = 1, retainMillis = 24L * 3600 * 1000) === 0L)
+    // with no window, the unreferenced d0 goes — but the staged future
+    // version survives (version guard, not age, protects it)
+    assert(t.vacuum(keepLast = 1) === 1L)
+    assert(fs.exists(staged), "vacuum deleted an in-flight writer's staged directory")
+    assert(rows(t.read()) === Set(2L -> "b"))
+  }
+
   test("stray non-numeric log artifacts never brick the table") {
     val dir = Files.createTempDirectory("graft-clog-stray").toString
     val t = new CommitTable(spark, dir, "k")
