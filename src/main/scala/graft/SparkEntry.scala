@@ -175,6 +175,16 @@ object SparkEntry {
       Motifs.find(DerivedGraphs.small(s, dir), "(a)-(b); (b)-(c); !(a)-(c)")
         .filter(col("a") % 20 === 0)
         .orderBy("a", "b", "c")),
+    "g43_var_length_motif" -> ((s, dir) => // variable-length path term
+      // (the Cypher (a)-[*1..3]->(b) reachability-with-pattern query):
+      // shortest-distance-window closure as a derived relation in the
+      // same greedy join chain — "b within 3 hops of a, b points at c,
+      // and a does NOT point at c directly" (the multi-hop-only
+      // recommendation shape); closure built once (hi-1 checkpointed
+      // join rounds), selectivity predicate pushed into the chain
+      Motifs.find(DerivedGraphs.small(s, dir), "(a)-[1..3]-(b); (b)-(c); !(a)-(c)")
+        .filter(col("a") % 25 === 0)
+        .orderBy("a", "b", "c")),
     "g22_bipartite" -> ((s, dir) => // 2-colorability per component via
       // parity-BFS fixpoint: a vertex reachable from its component root
       // with both parities witnesses an odd cycle; state bounded at 2|V|
@@ -2297,6 +2307,8 @@ object SparkEntry {
       extraWhere = "a < b AND a < c", orderBy = "a, b, c"),
     "g35_motif_negated" -> Motifs.findSql(DerivedGraphs.smallSql,
       "(a)-(b); (b)-(c); !(a)-(c)", extraWhere = "a % 20 = 0", orderBy = "a, b, c"),
+    "g43_var_length_motif" -> Motifs.findSql(DerivedGraphs.smallSql,
+      "(a)-[1..3]-(b); (b)-(c); !(a)-(c)", extraWhere = "a % 25 = 0", orderBy = "a, b, c"),
     "g11_scc" -> // SCC = mutual reachability; closure is reflexive (base
       // row (v,v)), so singleton vertices label themselves
       s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),

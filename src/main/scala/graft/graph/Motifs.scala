@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   * (a disconnected pattern would force a cartesian product — rejected
   * loudly; run the components as separate finds and combine explicitly).
   *
+  * VARIABLE-LENGTH terms `(x)-[lo..hi]-(y)` (the Kleene-star reachability
+  * term every Cypher/GSQL user writes in week one) match when the SHORTEST
+  * directed hop distance from x's binding to y's binding lies in
+  * `[lo, hi]` (`1 <= lo <= hi`, hi capped loudly — each extra hop is one
+  * distributed join round). Shortest-DISTANCE window semantics, not
+  * Cypher's exists-a-trail-of-that-length: distance is what hop-bounded
+  * BFS computes, is unique per pair (so the term stays a relation, never a
+  * path multiplicity), and for the `[1..k]` existence question the two
+  * agree (a trail of length <= k exists iff distance <= k). Negated
+  * variable-length terms (`!(x)-[1..3]-(y)` — "no path within 3 hops")
+  * follow the same bound-variables rule.
+  *
   * Semantics: graph HOMOMORPHISMS over the DISTINCT directed edge set —
   * distinct variables may bind the same vertex (the GraphFrames convention).
   * Callers needing injective matches or canonical representatives add
@@ -43,23 +55,50 @@ import org.apache.spark.sql.functions._
   * [[Analytics.commonNeighbors]] degree-cap argument) before calling.
   * Negated terms become LEFT ANTI joins on the fully-bound pair — pure
   * filters, applied after the positive chain.
+  *
+  * A variable-length term joins against a DERIVED relation — the
+  * `[lo..hi]`-distance closure, computed once per distinct range and shared
+  * by every term using it: hi-1 rounds of (frontier join edges) with an
+  * anti-join against the seen set (so each pair keeps its FIRST = shortest
+  * level), frontier checkpointed per round. Pair count is bounded by the
+  * true reachable-within-hi set — the same iterated-closure shape as
+  * topo-layers, with the hop cap keeping rounds constant. In the chain the
+  * closure behaves exactly like an edge relation (distinct pairs,
+  * multiplicity ≤ 1 on the bound-pair case).
   */
 object Motifs {
 
   private val Term =
-    """(!?)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*-\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+    """(!?)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*-\s*(?:\[\s*(\d+)\s*\.\.\s*(\d+)\s*\]\s*-\s*)?\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
 
-  /** One parsed edge term: direction src→dst, possibly negated. */
-  final case class EdgeTerm(src: String, dst: String, negated: Boolean)
+  /** Hop cap for variable-length terms: each extra hop is one distributed
+    * join round of the closure build, so an unbounded range must be a loud
+    * decision, not a default.
+    */
+  val MaxVarLengthHops = 12
+
+  /** One parsed edge term: direction src→dst, possibly negated;
+    * `range = Some((lo, hi))` for a variable-length `[lo..hi]` term.
+    */
+  final case class EdgeTerm(src: String, dst: String, negated: Boolean,
+                            range: Option[(Int, Int)] = None)
 
   /** Parse a pattern into directed, possibly-negated edge terms. */
   def parse(pattern: String): Seq[EdgeTerm] = {
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "motif pattern needs at least one edge term")
     val parsed = terms.map {
-      case Term(neg, a, b) => EdgeTerm(a, b, neg == "!")
+      case Term(neg, a, null, null, b) => EdgeTerm(a, b, neg == "!")
+      case Term(neg, a, lo, hi, b) =>
+        val (l, h) = (lo.toInt, hi.toInt)
+        require(l >= 1 && l <= h,
+          s"bad variable-length range [$lo..$hi] in '($a)-[$lo..$hi]-($b)' — need 1 <= lo <= hi")
+        require(h <= MaxVarLengthHops,
+          s"variable-length range [$lo..$hi] exceeds the $MaxVarLengthHops-hop cap " +
+            "(each hop is one distributed join round of the closure build)")
+        EdgeTerm(a, b, neg == "!", Some((l, h)))
       case t => throw new IllegalArgumentException(
-        s"bad motif edge term '$t' — expected '(x)-(y)' or '!(x)-(y)'")
+        s"bad motif edge term '$t' — expected '(x)-(y)', '!(x)-(y)', or '(x)-[lo..hi]-(y)'")
     }
     require(parsed.exists(!_.negated),
       "motif pattern needs at least one positive edge term")
@@ -100,6 +139,37 @@ object Motifs {
     ordered.result()
   }
 
+  /** The `[lo..hi]` shortest-distance closure of the deduped edge relation
+    * `e`: distinct `(src, dst)` pairs whose shortest directed hop distance
+    * lies in the window. hi-1 rounds of frontier-join-edges; the anti-join
+    * against the seen set keeps each pair at its FIRST (= shortest) level,
+    * and the frontier is eagerly checkpointed so round L's plan never
+    * re-derives rounds 1..L-1. Early exit when a frontier drains.
+    */
+  private def distanceWindow(e: DataFrame, lo: Int, hi: Int): DataFrame = {
+    var seen = e.select(col("src").as("s"), col("dst").as("d"))
+      .withColumn("dist", lit(1)).localCheckpoint(true)
+    var frontier = seen.select("s", "d")
+    var l = 2
+    var drained = frontier.isEmpty
+    while (l <= hi && !drained) {
+      val next = frontier
+        .join(e.select(col("src").as("d"), col("dst").as("d2")), "d")
+        .select(col("s"), col("d2").as("d")).distinct()
+        .join(seen.select("s", "d"), Seq("s", "d"), "left_anti")
+        .withColumn("dist", lit(l))
+        .localCheckpoint(true)
+      drained = next.isEmpty
+      if (!drained) {
+        seen = seen.union(next)
+        frontier = next.select("s", "d")
+      }
+      l += 1
+    }
+    seen.filter(col("dist").between(lo, hi))
+      .select(col("s").as("src"), col("d").as("dst"))
+  }
+
   /** Match `pattern` against the directed edge relation `edges` (columns
     * `src`, `dst`; deduped internally). See object doc for semantics and
     * plan shape.
@@ -109,10 +179,16 @@ object Motifs {
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
+    // one closure per DISTINCT range, shared by every term that uses it
+    val closures = scala.collection.mutable.Map.empty[(Int, Int), DataFrame]
+    def relFor(t: EdgeTerm): DataFrame = t.range match {
+      case None => e
+      case Some((lo, hi)) => closures.getOrElseUpdate((lo, hi), distanceWindow(e, lo, hi))
+    }
     var bound = Vector.empty[String]
     var result: DataFrame = null
-    joinOrder(terms).foreach { case (EdgeTerm(s, d, _), i) =>
-      val ei = e.select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
+    joinOrder(terms).foreach { case (t @ EdgeTerm(s, d, _, _), i) =>
+      val ei = relFor(t).select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
       if (result == null) {
         result =
           if (s == d)
@@ -135,8 +211,9 @@ object Motifs {
     }
     // negated terms: both endpoints are bound, so each is a LEFT ANTI
     // join on the full pair — a pure filter that cannot grow the result
-    terms.zipWithIndex.filter(_._1.negated).foreach { case (EdgeTerm(s, d, _), i) =>
-      val ei = e.select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
+    // (against the closure for a negated variable-length term)
+    terms.zipWithIndex.filter(_._1.negated).foreach { case (t @ EdgeTerm(s, d, _, _), i) =>
+      val ei = relFor(t).select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
       result = result.join(ei,
         col(s) === col(s"__m${i}_s") && col(d) === col(s"__m${i}_d"), "left_anti")
     }
@@ -153,10 +230,20 @@ object Motifs {
               extraWhere: String = "", orderBy: String = ""): String = {
     val terms = parse(pattern)
     val ordered = joinOrder(terms)
+    // one shortest-distance-window CTE per distinct range (recursive walk
+    // bounded at hi, MIN(dist) = shortest distance — mirrors distanceWindow)
+    val ranges = terms.flatMap(_.range).distinct
+    def wName(r: (Int, Int)) = s"w${r._1}_${r._2}"
+    val closureCtes = ranges.map { case (lo, hi) =>
+      s"""r${lo}_$hi AS (SELECT src, dst, 1 AS dist FROM e
+         |  UNION SELECT r.src, e.dst, r.dist + 1 FROM r${lo}_$hi r JOIN e ON e.src = r.dst WHERE r.dist < $hi),
+         |${wName((lo, hi))} AS (SELECT src, dst FROM r${lo}_$hi GROUP BY src, dst HAVING MIN(dist) BETWEEN $lo AND $hi)""".stripMargin
+    }
+    def relName(t: EdgeTerm): String = t.range.map(wName).getOrElse("e")
     // variable -> the "t<i>.src"/"t<i>.dst" expression that first binds it
     var binding = Map.empty[String, String]
     val conds = Seq.newBuilder[String]
-    ordered.foreach { case (EdgeTerm(s, d, _), i) =>
+    ordered.foreach { case (EdgeTerm(s, d, _, _), i) =>
       if (s == d) {
         conds += s"t$i.src = t$i.dst"
         if (!binding.contains(s)) binding += s -> s"t$i.src"
@@ -172,18 +259,22 @@ object Motifs {
       }
     }
     // negated terms mirror the anti joins as NOT EXISTS on the bound pair
+    // (against the range's closure CTE for variable-length terms)
     terms.filter(_.negated).foreach { t =>
-      conds += s"NOT EXISTS (SELECT 1 FROM e ne WHERE ne.src = ${binding(t.src)} " +
+      conds += s"NOT EXISTS (SELECT 1 FROM ${relName(t)} ne WHERE ne.src = ${binding(t.src)} " +
         s"AND ne.dst = ${binding(t.dst)})"
     }
-    val from = ordered.map { case (_, i) => s"e t$i" }.mkString(", ")
+    val from = ordered.map { case (t, i) => s"${relName(t)} t$i" }.mkString(", ")
     val where = conds.result().mkString(" AND ")
     val sel = outputVars(terms).map(v => s"${binding(v)} AS $v").mkString(", ")
+    val withKw = if (ranges.nonEmpty) "WITH RECURSIVE" else "WITH"
+    val ctes = (s"e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t)" +: closureCtes)
+      .mkString(",\n")
     // extraWhere/orderBy reference the OUTPUT aliases, which SQL scoping
     // keeps out of the same SELECT's WHERE — wrap the chain in a subquery
     // (the optimizer pushes the predicate back down, as Catalyst does)
     val inner =
-      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t)
+      s"""$withKw $ctes
          |SELECT $sel FROM $from${if (where.nonEmpty) s" WHERE $where" else ""}""".stripMargin
     if (extraWhere.isEmpty && orderBy.isEmpty) inner
     else

@@ -6,21 +6,42 @@ class MotifsSpec extends SparkSpec {
 
   /** Brute-force homomorphism enumeration: assign every output variable
     * every vertex, keep assignments where every pattern edge is present in
-    * the distinct edge set.
+    * the distinct edge set — and every variable-length term's pair sits in
+    * its shortest-distance window (per-vertex queue BFS; a vertex reaches
+    * itself only via a cycle, distance >= 1, matching the operator's
+    * contract).
     */
   private def bruteFind(edges: Seq[(Long, Long)], pattern: String): Set[Seq[Long]] = {
     val terms = Motifs.parse(pattern)
     val vars = Motifs.outputVars(terms)
     val es = edges.distinct.toSet
     val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = edges.distinct.groupBy(_._1).map { case (s, e) => s -> e.map(_._2).distinct }
+    val dist: Map[(Long, Long), Int] = vs.flatMap { s =>
+      val d = scala.collection.mutable.Map.empty[Long, Int]
+      var frontier = Seq(s)
+      var l = 1
+      while (frontier.nonEmpty && l <= vs.size + 1) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil)).distinct
+          .filterNot(d.contains)
+        next.foreach(v => d(v) = l)
+        frontier = next
+        l += 1
+      }
+      d.map { case (v, dd) => (s, v) -> dd }
+    }.toMap
+    def holds(t: Motifs.EdgeTerm, m: Map[String, Long]): Boolean = t.range match {
+      case Some((lo, hi)) =>
+        dist.get((m(t.src), m(t.dst))).exists(d => d >= lo && d <= hi)
+      case None => es((m(t.src), m(t.dst)))
+    }
     def assign(rem: Seq[String], acc: Map[String, Long]): Iterator[Map[String, Long]] =
       rem match {
         case Nil => Iterator.single(acc)
         case v +: rest => vs.iterator.flatMap(x => assign(rest, acc + (v -> x)))
       }
     assign(vars, Map.empty)
-      .filter(m => terms.forall(t =>
-        if (t.negated) !es((m(t.src), m(t.dst))) else es((m(t.src), m(t.dst)))))
+      .filter(m => terms.forall(t => if (t.negated) !holds(t, m) else holds(t, m)))
       .map(m => vars.map(m))
       .toSet
   }
@@ -89,6 +110,48 @@ class MotifsSpec extends SparkSpec {
   test("disconnected patterns are rejected loudly") {
     intercept[IllegalArgumentException](
       Motifs.find(edgesDF(Seq((0L, 1L))), "(a)-(b); (c)-(d)"))
+  }
+
+  test("variable-length parse: ranges accepted, degenerate ranges rejected") {
+    assert(Motifs.parse("(a)-[2..4]-(b)") ===
+      Seq(Motifs.EdgeTerm("a", "b", false, Some((2, 4)))))
+    assert(Motifs.parse("(a)-[1..3]-(b); (b)-(c); !(a)-(c)").head.range === Some((1, 3)))
+    intercept[IllegalArgumentException](Motifs.parse("(a)-[0..2]-(b)"))  // lo >= 1
+    intercept[IllegalArgumentException](Motifs.parse("(a)-[3..2]-(b)"))  // lo <= hi
+    intercept[IllegalArgumentException](Motifs.parse("(a)-[1..99]-(b)")) // hop cap
+  }
+
+  test("variable-length term: distance window on a chain, hand-checked") {
+    // 0 -> 1 -> 2 -> 3 -> 4: distances are exactly the index gaps
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(run(chain, "(a)-[2..3]-(b)") ===
+      Set(Seq(0L, 2L), Seq(0L, 3L), Seq(1L, 3L), Seq(1L, 4L), Seq(2L, 4L)))
+  }
+
+  test("variable-length uses SHORTEST distance, not any-walk length") {
+    // 0->1 directly, plus the 2-step detour 0->2->1: dist(0,1) = 1, so a
+    // [2..2] term must NOT match (0,1) even though a 2-walk exists
+    val e = Seq((0L, 1L), (0L, 2L), (2L, 1L))
+    assert(run(e, "(x)-[2..2]-(y)") === Set.empty[Seq[Long]])
+    assert(run(e, "(x)-[1..2]-(y)") ===
+      Set(Seq(0L, 1L), Seq(0L, 2L), Seq(2L, 1L)))
+  }
+
+  test("variable-length reaches self only around a cycle") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L))
+    val got = run(e, "(x)-[3..3]-(x)")
+    assert(got === Set(Seq(0L), Seq(1L), Seq(2L))) // the 3-cycle, not 3/4
+  }
+
+  test("variable-length and negated variable-length agree with brute force on random graphs") {
+    val rnd = new scala.util.Random(43)
+    val edges = Seq.fill(55)((rnd.nextInt(11).toLong, rnd.nextInt(11).toLong))
+    for (p <- Seq(
+      "(a)-[1..3]-(b); (b)-(c); !(a)-(c)",
+      "(a)-[2..2]-(b)",
+      "(a)-(b); (b)-(c); !(a)-[1..2]-(c)",
+      "(a)-[1..2]-(b); (b)-[1..2]-(c)")) // shared-range closure reuse
+      assert(run(edges, p) === bruteFind(edges, p), s"pattern $p diverged")
   }
 
   test("findSql mirrors find on the triangle pattern via DuckDB-shaped SQL run in Spark") {
