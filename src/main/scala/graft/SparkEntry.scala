@@ -332,6 +332,15 @@ object SparkEntry {
       // parity-alternating half-sweeps (4 rounds = 2 full alternations)
       // break the simultaneous-move oscillation
       Analytics.louvainSweep(DerivedGraphs.small(s, dir), rounds = 4)),
+    "g44_louvain_full" -> ((s, dir) => // FULL two-phase Louvain: g41's
+      // sweep, then community CONTRACTION (inter-community weights sum,
+      // intra mass becomes the super-vertex self-loop) and a re-sweep of
+      // the coarse weighted graph — a level-2 move relocates an entire
+      // level-1 community at once, the multi-level refinement the sweep
+      // alone can't express; labels unfold through the level-1 assignment;
+      // exact-integer scores at both levels, vs an independent sequential
+      // mirror
+      Analytics.louvain(DerivedGraphs.small(s, dir), rounds = 4)),
     "g40_temporal_reach" -> ((s, dir) =>
       // time-respecting earliest-arrival reachability: an edge is usable
       // only at its timestamp t >= arrival(src) — static reachability
@@ -3268,7 +3277,8 @@ object SparkEntry {
     val graphKeys =
       Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
         "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness",
-        "g36_modularity", "g41_louvain_sweep", "g42_spanning_forest")
+        "g36_modularity", "g41_louvain_sweep", "g42_spanning_forest",
+        "g44_louvain_full")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -3302,6 +3312,15 @@ object SparkEntry {
       },
       "g41_louvain_sweep" -> {
         val lv = SequentialModel.louvainSweep(edges, rounds = 4).toSeq.sorted
+        if (lv.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS label WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
+             |FROM (VALUES ${lv.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
+             |ORDER BY vertex""".stripMargin
+      },
+      "g44_louvain_full" -> {
+        val lv = SequentialModel.louvain(edges, rounds = 4).toSeq.sorted
         if (lv.isEmpty)
           "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS label WHERE 1 = 0"
         else

@@ -1206,21 +1206,40 @@ object Analytics {
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
       .distinct()
-      .localCheckpoint(true) // reused every round
-    val adj = und.select(col("a").as("v"), col("b").as("u"))
-      .union(und.select(col("b").as("v"), col("a").as("u")))
-    val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
-    val mDf = broadcast(und.agg(count(lit(1)).as("m")))
+      .withColumn("w", lit(1L))
+    sweepWeighted(und, rounds).orderBy("vertex")
+  }
+
+  /** Weighted local-move core shared by [[louvainSweep]] (w ≡ 1) and
+    * [[louvain]]'s coarsened levels. Input: canonical undirected weighted
+    * edges `(a <= b, w > 0)`, self-loops allowed (a self-loop counts TWICE
+    * in its vertex's degree — the standard weighted-modularity convention —
+    * and is a constant across a vertex's move candidates, so it never
+    * enters the argmax). All masses are exact integers: W = Σw, k_v =
+    * Σ_{u≠v} w(v,u) + 2·w(v,v), e_vc = Σ_{u∈c, u≠v} w(v,u), and the move
+    * score is the cross-multiplied ΔQ numerator `2W·e_vc − k_v·dC(c)` —
+    * engine-exact, no float discipline. Parity-alternating half-sweeps as
+    * documented on [[louvainSweep]]. Returns `(vertex, label)` (unsorted).
+    */
+  private def sweepWeighted(und: DataFrame, rounds: Int): DataFrame = {
+    val u = und.localCheckpoint(true) // reused every round
+    val proper = u.filter(col("a") =!= col("b"))
+    val adj = proper.select(col("a").as("v"), col("b").as("u"), col("w"))
+      .union(proper.select(col("b").as("v"), col("a").as("u"), col("w")))
+    val deg = adj.select(col("v"), col("w").as("dw"))
+      .union(u.filter(col("a") === col("b")).select(col("a").as("v"), (col("w") * 2).as("dw")))
+      .groupBy("v").agg(sum(col("dw")).cast("long").as("deg"))
+    val mDf = broadcast(u.agg(sum(col("w")).cast("long").as("m")))
     var labels = deg.select(col("v").as("vertex"), col("v").as("label"))
       .localCheckpoint(true)
     for (r <- 1 to rounds) {
       val mass = deg.join(labels, deg("v") === labels("vertex"))
         .groupBy("label").agg(sum(col("deg")).cast("long").as("mass"))
-      // neighbor-community edge counts e_vc, plus the own community as a
-      // zero-count candidate (summed in so an own-community duplicate
+      // neighbor-community edge weights e_vc, plus the own community as a
+      // zero-weight candidate (summed in so an own-community duplicate
       // collapses instead of double-counting)
       val nc = adj.join(labels, adj("u") === labels("vertex"))
-        .select(col("v"), col("label").as("c"), lit(1L).as("e"))
+        .select(col("v"), col("label").as("c"), col("w").cast("long").as("e"))
         .union(labels.select(col("vertex").as("v"), col("label").as("c"), lit(0L).as("e")))
         .groupBy("v", "c").agg(sum(col("e")).as("e"))
       val own = labels.select(col("vertex").as("v"), col("label").as("own"))
@@ -1242,7 +1261,52 @@ object Analytics {
             .otherwise(col("label")).as("label"))
         .localCheckpoint(true)
     }
-    labels.orderBy("vertex")
+    labels
+  }
+
+  /** Full two-phase Louvain (Blondel et al. 2008): the local-move sweep,
+    * then COARSENING — every community contracts to one super-vertex
+    * (inter-community edge weights sum; intra-community mass becomes the
+    * super-vertex's self-loop), the coarsened WEIGHTED graph is re-swept,
+    * and the coarse labels unfold back through the level-1 assignment.
+    * This is what [[louvainSweep]] alone cannot do: a level-2 move
+    * relocates an ENTIRE level-1 community at once, the multi-level
+    * refinement that gives Louvain its quality. `levels = 2` (sweep →
+    * contract → sweep) is the standard depth at which most of the
+    * modularity gain lands; deeper hierarchies iterate the same pair.
+    * Deterministic end to end: both levels use the exact-integer move
+    * scores, and the coarse vertex ids ARE the level-1 community labels
+    * (vertex ids), so parity alternation is well-defined on both
+    * engines. `(vertex, label)` — label = the level-2 community of v's
+    * level-1 community.
+    *
+    * Scale shape: level 1 is [[sweepWeighted]] (edge-pass aggregations per
+    * round); the contraction is ONE map of the canonical edge relation
+    * through the vertex-sized label table (two joins) + one (a, b) sum —
+    * after which the level-2 graph is community-count-sized, typically
+    * orders of magnitude smaller; its sweep costs a fraction of level 1.
+    */
+  def louvain(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val und1 = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .withColumn("w", lit(1L))
+      .localCheckpoint(true) // reused: level-1 sweep AND the contraction
+    val l1 = sweepWeighted(und1, rounds).localCheckpoint(true)
+    val coarse = und1
+      .join(l1.select(col("vertex").as("a"), col("label").as("la")), "a")
+      .join(l1.select(col("vertex").as("b"), col("label").as("lb")), "b")
+      .select(least(col("la"), col("lb")).as("a"),
+        greatest(col("la"), col("lb")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum(col("w")).cast("long").as("w"))
+    val l2 = sweepWeighted(coarse, rounds)
+    l1.select(col("vertex"), col("label").as("c1"))
+      .join(l2.select(col("vertex").as("c1"), col("label")), "c1")
+      .select(col("vertex"), col("label"))
+      .orderBy("vertex")
   }
 
   /** Minimum spanning forest — Borůvka rounds, the parallel MST algorithm

@@ -209,26 +209,42 @@ object SequentialModel {
     * current community; ties to the smallest community label). Returns
     * the labels after `rounds`.
     */
-  def louvainSweep(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
-    val und = edges.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
-    val m = und.size.toLong
-    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
-      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
-    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
-    var labels: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+  def louvainSweep(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    sweepWeighted(
+      edges.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
+        .map { case (a, b) => (a, b, 1L) },
+      rounds)
+
+  /** Weighted local-move core (mirror of `Analytics.sweepWeighted`):
+    * canonical `(a <= b, w)` edges, self-loops allowed and counted twice in
+    * their vertex's degree; exact-integer move score `2W·e_vc − k_v·dC(c)`,
+    * ties to the smallest label, parity-alternating rounds.
+    */
+  private def sweepWeighted(und: Seq[(Long, Long, Long)],
+                            rounds: Int): Map[Long, Long] = {
+    val m = und.iterator.map(_._3).sum
+    val adj = und.collect { case (a, b, w) if a != b => Seq((a, b, w), (b, a, w)) }
+      .flatten.groupBy(_._1).map { case (v, es) => v -> es.map(e => (e._2, e._3)) }
+    val selfW = und.collect { case (a, b, w) if a == b => (a, w) }
+      .groupBy(_._1).map { case (v, ws) => v -> ws.iterator.map(_._2).sum }
+    val vs = (adj.keySet ++ selfW.keySet).toSeq
+    val deg = vs.map { v =>
+      v -> (adj.getOrElse(v, Nil).iterator.map(_._2).sum + 2L * selfW.getOrElse(v, 0L))
+    }.toMap
+    var labels: Map[Long, Long] = vs.map(v => v -> v).toMap
     for (r <- 1 to rounds) {
       val cur = labels
       // .keys is a Set — map through an iterator so equal degree values
       // don't collapse before summing
-      val mass = cur.groupBy(_._2).map { case (c, vs) =>
-        c -> vs.keys.iterator.map(deg).sum
+      val mass = cur.groupBy(_._2).map { case (c, vcs) =>
+        c -> vcs.keys.iterator.map(deg).sum
       }
-      labels = adj.map { case (v, ns) =>
-        val own = cur(v)
+      labels = cur.map { case (v, own) =>
         // parity-alternating: only one id-parity class moves per round
         if (v % 2 != r % 2) v -> own
         else {
-          val nc = ns.groupBy(cur).map { case (c, xs) => c -> xs.size.toLong }
+          val nc = adj.getOrElse(v, Nil).groupBy(e => cur(e._1))
+            .map { case (c, xs) => c -> xs.iterator.map(_._2).sum }
           val cands = (nc.keySet + own).toSeq
           val best = cands.minBy { c =>
             val e = nc.getOrElse(c, 0L)
@@ -241,6 +257,24 @@ object SequentialModel {
       }
     }
     labels
+  }
+
+  /** Full two-phase Louvain, mirror of `Analytics.louvain`: level-1 sweep,
+    * contraction (inter-community weights sum, intra mass → self-loop),
+    * level-2 sweep on the coarse weighted graph, labels unfolded.
+    */
+  def louvain(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und1 = edges.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
+    val l1 = sweepWeighted(und1.map { case (a, b) => (a, b, 1L) }, rounds)
+    val coarse = und1
+      .map { case (a, b) =>
+        val (la, lb) = (l1(a), l1(b))
+        ((la min lb, la max lb), 1L)
+      }
+      .groupBy(_._1).toSeq
+      .map { case ((a, b), ws) => (a, b, ws.iterator.map(_._2).sum) }
+    val l2 = sweepWeighted(coarse, rounds)
+    l1.map { case (v, c1) => v -> l2(c1) }
   }
 
   /** Minimum spanning forest by Kruskal with union-find — the independent

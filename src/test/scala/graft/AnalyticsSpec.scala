@@ -1,6 +1,7 @@
 package graft
 
 import graft.graph.{Analytics, SequentialModel}
+import org.apache.spark.sql.functions.{col, sum}
 
 class AnalyticsSpec extends SparkSpec {
 
@@ -587,6 +588,53 @@ class AnalyticsSpec extends SparkSpec {
     val got = Analytics.louvainSweep(edgesDF(edges), rounds = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === SequentialModel.louvainSweep(edges, rounds = 5))
+  }
+
+  test("louvain (full, with coarsening) matches the sequential mirror on random graphs") {
+    val rnd = new scala.util.Random(53)
+    for (seed <- 1 to 3) {
+      val edges = (1 to 100 + seed * 20)
+        .map(_ => (rnd.nextInt(22).toLong, rnd.nextInt(22).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Analytics.louvain(edgesDF(edges), rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === SequentialModel.louvain(edges, rounds = 4), s"seed $seed diverged")
+    }
+  }
+
+  test("louvain coarsening merges what the sweep leaves split: ring of cliques") {
+    // four 4-cliques in a ring, each pair bridged by ONE edge: the sweep
+    // finds the cliques; the level-2 sweep then considers merging whole
+    // cliques — and must at minimum not lose modularity on the way
+    def clique(base: Long) = for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (base + i, base + j)
+    val edges = (Seq(0L, 4L, 8L, 12L).flatMap(clique) ++
+      Seq((3L, 4L), (7L, 8L), (11L, 12L), (15L, 0L))).map { case (a, b) => (a, b) }
+    val l1 = Analytics.louvainSweep(edgesDF(edges), rounds = 4)
+    val full = Analytics.louvain(edgesDF(edges), rounds = 4)
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      Analytics.modularity(edgesDF(edges),
+          labels.select(col("vertex"), col("label")))
+        .agg(sum("q_6")).head.getDouble(0)
+    val (q1, qF) = (q(l1), q(full))
+    // modularity is non-decreasing across levels (level-2 moves relocate
+    // whole communities and only execute on positive exact-integer gain)
+    assert(qF >= q1 - 1e-9, s"coarsening lost modularity: sweep=$q1 full=$qF")
+    // and the full pass still assigns every vertex
+    assert(full.count() === 16L)
+  }
+
+  test("louvain modularity is non-decreasing across levels on the gate graph shape") {
+    val rnd = new scala.util.Random(61)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      Analytics.modularity(edgesDF(edges), labels.select(col("vertex"), col("label")))
+        .agg(sum("q_6")).head.getDouble(0)
+    val q1 = q(Analytics.louvainSweep(edgesDF(edges), rounds = 4))
+    val qF = q(Analytics.louvain(edgesDF(edges), rounds = 4))
+    assert(qF >= q1 - 1e-9, s"coarsening lost modularity: sweep=$q1 full=$qF")
   }
 
   test("modularity: hand-computed two triangles joined by a bridge") {
