@@ -83,6 +83,15 @@ object SparkEntry {
         DerivedGraphs.small(s, dir)
           .withColumn("w", (col("src") + col("dst")) % 10 + 1),
         start = 0L, maxHops = 12)),
+    "g45_sssp_fixpoint" -> ((s, dir) => // UNBOUNDED weighted SSSP: the
+      // Bellman-Ford fixpoint with convergence PROVEN by a final edge-pass
+      // (any still-relaxable edge throws instead of returning a silently
+      // hop-truncated cost); the long-haul graph's shortest paths take up
+      // to 24 hops — past g12's 12-hop contract — and its never-cheaper
+      // shortcut edges force rounds to supersede early expensive paths;
+      // oracle = independent sequential Dijkstra (greedy settle order vs
+      // synchronous relaxation — different family, must agree)
+      Traversals.weightedSsspFixpoint(DerivedGraphs.longHaul(s, dir), start = 0L)),
     "g14_kcore" -> ((s, dir) => // k-core (k=3): deletion-fixpoint wave
       // peeling — not CTE-expressible, so the gate uses a VALUES oracle
       // from SequentialModel's independent queue-based peeling
@@ -3452,7 +3461,15 @@ object SparkEntry {
              |FROM (VALUES ${enc.map { case (sw, f) => s"('$sw', $f)" }.mkString(", ")}) AS t(s, f)
              |ORDER BY freq DESC, subword""".stripMargin))
     }
-    (graphOracles ++ vecOracles ++ bpeOracles ++ Map(
+    val ssspOracle: Map[String, String] = if (!want("g45_sssp_fixpoint")) Map.empty else {
+      val d = SequentialModel
+        .dijkstra(DerivedGraphs.longHaulSeq(spark, sfDir), start = 0L).toSeq.sorted
+      Map("g45_sssp_fixpoint" ->
+        s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(c AS BIGINT) AS cost
+           |FROM (VALUES ${d.map { case (v, c) => s"($v, $c)" }.mkString(", ")}) AS t(v, c)
+           |ORDER BY vertex""".stripMargin)
+    }
+    (graphOracles ++ vecOracles ++ bpeOracles ++ ssspOracle ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line

@@ -39,4 +39,41 @@ object DerivedGraphs {
   val smallSql: String =
     s"SELECT DISTINCT (l_orderkey // 16) % $SmallMod AS src, (l_partkey*13+7) % $SmallMod AS dst " +
       "FROM lineitem WHERE l_orderkey % 16 = 0"
+
+  /** Long-haul weighted graph for the UNBOUNDED shortest-path gate: a
+    * 25-vertex chain over the nation keys (`k → k+1`, w = k%5+1) plus
+    * never-cheaper shortcut edges (`k → k+5+r`, w = 6·(5+r) — strictly
+    * above any chain segment it spans, since chain steps weigh ≤ 5).
+    * Shortest paths therefore follow the chain for up to 24 HOPS — far
+    * past g12's 12-hop bound — while the shortcuts give Bellman-Ford
+    * rounds genuine improvements to supersede (a cheap-looking early
+    * shortcut path must be beaten by the longer-hop cheaper chain, the
+    * exact case a silent hop cap gets wrong). `(src, dst, w)`.
+    */
+  def longHaul(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("k"),
+        col("n_regionkey").cast("long").as("r"))
+    val chain = n.filter(col("k") < 24)
+      .select(col("k").as("src"), (col("k") + 1).as("dst"),
+        (pmod(col("k"), lit(5)) + 1).as("w"))
+    val short = n.filter(col("k") + 5 + col("r") <= 24)
+      .select(col("k").as("src"), (col("k") + 5 + col("r")).as("dst"),
+        ((lit(5) + col("r")) * 6).as("w"))
+    chain.union(short)
+  }
+
+  /** Driver-side mirror of [[longHaul]] for VALUES oracles — same
+    * arithmetic over the collected nation rows (25 by table contract).
+    */
+  def longHaulSeq(spark: SparkSession, sfDir: String): Seq[(Long, Long, Long)] = {
+    val rows = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val chain = rows.collect { case (k, _) if k < 24 => (k, k + 1, k % 5 + 1) }
+    val short = rows.collect { case (k, r) if k + 5 + r <= 24 =>
+      (k, k + 5 + r, (5 + r) * 6)
+    }
+    chain ++ short
+  }
 }

@@ -277,6 +277,38 @@ object SequentialModel {
     l1.map { case (v, c1) => v -> l2(c1) }
   }
 
+  /** Textbook Dijkstra with a priority queue — the independent oracle for
+    * `Traversals.weightedSsspFixpoint` (a different algorithm family than
+    * the distributed Bellman-Ford: greedy settle order vs synchronous
+    * relaxation; positive weights make both exact, so they must agree).
+    * Returns vertex → minimum path cost from `start`, reached vertices
+    * only (including `start → 0`).
+    */
+  def dijkstra(edges: Seq[(Long, Long, Long)], start: Long): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    edges.foreach { case (s, d, w) =>
+      require(w > 0, s"dijkstra requires positive weights, got $w on $s->$d")
+    }
+    val dist = scala.collection.mutable.Map(start -> 0L)
+    val settled = scala.collection.mutable.Set.empty[Long]
+    val pq = scala.collection.mutable.PriorityQueue((0L, start))(
+      Ordering.by[(Long, Long), (Long, Long)](t => (-t._1, -t._2)))
+    while (pq.nonEmpty) {
+      val (c, v) = pq.dequeue()
+      if (!settled(v) && dist(v) == c) {
+        settled += v
+        adj.getOrElse(v, Nil).foreach { case (u, w) =>
+          if (c + w < dist.getOrElse(u, Long.MaxValue)) {
+            dist(u) = c + w
+            pq.enqueue((c + w, u))
+          }
+        }
+      }
+    }
+    dist.toMap
+  }
+
   /** Minimum spanning forest by Kruskal with union-find — the independent
     * mirror of `Analytics.minimumSpanningForest`'s Borůvka (weights are
     * unique by contract, so the forest is UNIQUE and any correct

@@ -195,6 +195,43 @@ object Traversals {
     out
   }
 
+  /** UNBOUNDED weighted SSSP: the Bellman-Ford fixpoint, with the
+    * convergence LOUDLY verified. [[weightedSssp]]'s hop bound answers the
+    * ≤maxHops-hop question exactly, but as an approximation of the
+    * unrestricted question it fails SILENTLY — a shortest path with more
+    * hops than the bound returns the best bounded cost (or ∞), not the
+    * true one. This variant runs the message-driven Pregel to its natural
+    * fixpoint (positive weights ⇒ termination; supersteps stop when no
+    * distance improves), capped at `maxRounds` as a runaway guard — and
+    * then PROVES convergence with one edge-pass check: any edge still
+    * relaxable (`cost(src) + w < cost(dst)`, unreached dst = ∞) means the
+    * cap bit before the fixpoint, and that throws instead of returning a
+    * wrong answer.
+    *
+    * Scale shape: [[weightedSssp]]'s (edges partitioned once, improved-cost
+    * messages only) + one broadcast-sized join of the edge relation against
+    * the result for the proof. `maxRounds` bounds supersteps = the hop
+    * count of the longest shortest path, the inherent depth of the problem.
+    */
+  def weightedSsspFixpoint(edges: DataFrame, start: Long,
+                           maxRounds: Int = 512): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val out = weightedSssp(edges, start, maxHops = maxRounds)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val violations = e
+      .join(out.select(col("vertex").as("src"), col("cost").as("cs")), "src")
+      .join(out.select(col("vertex").as("dst"), col("cost").as("cd")), Seq("dst"), "left_outer")
+      .filter(col("cs") + col("w") < coalesce(col("cd"), lit(Long.MaxValue)))
+      .limit(1).count()
+    if (violations > 0)
+      throw new IllegalStateException(
+        s"weighted SSSP did not converge within $maxRounds rounds — an edge is " +
+          "still relaxable; raise maxRounds (the graph has a shortest path with " +
+          "more hops than the cap)")
+    out
+  }
+
   /** Vertices reachable from `start` (BFS visited set) as `(vertex BIGINT)`. */
   def reachable(edges: DataFrame, start: Long, maxDepth: Int = Int.MaxValue): DataFrame =
     bfs(edges, start, maxDepth).select("vertex")

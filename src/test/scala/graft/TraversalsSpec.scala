@@ -169,6 +169,52 @@ class TraversalsSpec extends SparkSpec {
       Traversals.weightedSssp(bad, 0L, 2).collect())
   }
 
+  test("weightedSsspFixpoint: long-hop cheap path beats the bounded answer") {
+    val s = spark
+    import s.implicits._
+    // chain 0->1->...->5 of weight-1 edges (cost 5, 5 hops) plus a direct
+    // 0->5 shortcut of weight 20: a 3-hop bound silently answers 20; the
+    // fixpoint proves convergence and answers 5
+    val chain = (0L until 5L).map(i => (i, i + 1, 1L))
+    val w = (chain :+ ((0L, 5L, 20L))).toDF("src", "dst", "w")
+    val bounded = Traversals.weightedSssp(w, 0L, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded(5L) === 20L) // the silent hop-truncation this gate exists for
+    val fixed = Traversals.weightedSsspFixpoint(w, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("weightedSsspFixpoint: a cap below the fixpoint throws instead of lying") {
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 6L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalStateException](
+      Traversals.weightedSsspFixpoint(chain, 0L, maxRounds = 2))
+    assert(ex.getMessage.contains("did not converge"))
+    // and a sufficient cap converges cleanly on the same input
+    assert(Traversals.weightedSsspFixpoint(chain, 0L, maxRounds = 10)
+      .count() === 7L)
+  }
+
+  test("weightedSsspFixpoint matches sequential Dijkstra on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 80 + trial * 10).map(_ =>
+        (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong, rnd.nextInt(9).toLong + 1))
+        .filter { case (a, b, _) => a != b }
+        // one weight per directed pair (lowest wins, like the relaxation)
+        .groupBy(e => (e._1, e._2)).map { case ((a, b), ws) => (a, b, ws.map(_._3).min) }
+        .toSeq
+      val got = Traversals.weightedSsspFixpoint(edges.toDF("src", "dst", "w"), 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.graph.SequentialModel.dijkstra(edges, 0L)
+      assert(got === want, s"trial $trial diverged")
+    }
+  }
+
   test("landmarkBfs == one bfs per seed, in one traversal") {
     // branching + a cycle + an unreachable island (7 -> 8)
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 3L), (3L, 4L), (7L, 8L))
