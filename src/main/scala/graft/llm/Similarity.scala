@@ -322,31 +322,50 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 1, dim: Int = 64): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      .localCheckpoint(true)
+    val v = ivfVectors(emb).localCheckpoint(true)
+    val centroids = ivfTrain(v, nlist, iters, dim)
+    // deterministic plan, reused twice in the probe — recomputing the 16
+    // scored columns is cheaper than another materialization barrier
+    val assignments = v.select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
+      .withColumn("cid", ivfArgmaxCid(centroids.length))
+      .select("vec_id", "e", "nrm", "cid")
+    ivfProbe(assignments, centroids, numQueries, k, nprobe)
+  }
 
-    // ---- k-means-lite: deterministic seed = lowest vec_ids ----
+  /** (vec_id, e, nrm) projection every IVF path starts from. */
+  private def ivfVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
+  /** nlist codegen'd cosine columns `c0..c{n-1}` against the centroid
+    * matrix as ONE nested-array literal (not nlist × dim CreateArray
+    * nodes: per-element lits balloon the expression tree and janino
+    * recompilation dominates wall time — measured 41 s -> ~3 s here). */
+  private def ivfCentroidScores(centroids: Array[Array[Double]]): Seq[Column] = {
+    val cmat = typedLit(centroids.map(_.toSeq).toSeq)
+    val norms = typedLit(centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toSeq)
+    centroids.indices.map(i =>
+      (dot(col("e"), element_at(cmat, i + 1)) /
+        (col("nrm") * element_at(norms, i + 1))).as(s"c$i"))
+  }
+
+  /** argmax over n cosine columns via max-of-structs ordering — ties go to
+    * the HIGHER cid, mirrored in the oracles' `ORDER BY s DESC, cid DESC`. */
+  private def ivfArgmaxCid(n: Int): Column = {
+    val scored = (0 until n).map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
+    array_max(array(scored: _*)).getField("cid")
+  }
+
+  /** k-means-lite codebook training (deterministic seed = lowest vec_ids,
+    * `iters` refinement rounds); `v` must carry (vec_id, e, nrm). Shared by
+    * [[ivfTopK]] and [[buildIvfIndex]] so a persisted index reproduces the
+    * inline operator bit-for-bit. */
+  private def ivfTrain(v: DataFrame, nlist: Int, iters: Int, dim: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = v.orderBy("vec_id").limit(nlist)
       .select("e").collect().map(_.getSeq[Double](0).toArray)
-    // the centroid matrix is ONE nested-array literal (not nlist × dim
-    // CreateArray nodes): per-element lits balloon the expression tree and
-    // janino recompilation dominates wall time — measured 41 s -> ~3 s here
-    def centroidScores = {
-      val cmat = typedLit(centroids.map(_.toSeq).toSeq)
-      val norms = typedLit(centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toSeq)
-      centroids.indices.map(i =>
-        (dot(col("e"), element_at(cmat, i + 1)) /
-          (col("nrm") * element_at(norms, i + 1))).as(s"c$i"))
-    }
-    def assignCol = {
-      // argmax over nlist cosine columns via max-of-structs ordering
-      val scored = (0 until centroids.length).map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
-      array_max(array(scored: _*)).getField("cid")
-    }
     for (_ <- 1 to iters) {
-      val assigned = v.select(col("vec_id") +: col("e") +: centroidScores: _*)
-        .withColumn("cid", assignCol)
+      val assigned = v.select(col("vec_id") +: col("e") +: ivfCentroidScores(centroids): _*)
+        .withColumn("cid", ivfArgmaxCid(centroids.length))
       // per-dimension mean as dim flat codegen'd aggregates
       val dimAggs = (0 until dim).map(j => avg(element_at(col("e"), j + 1)).as(s"d$j"))
       // keyed by cid, NOT row position: an empty cluster (possible when a
@@ -368,14 +387,14 @@ object Similarity {
         .toMap
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
+    centroids
+  }
 
-    // deterministic plan, reused twice below — recomputing the 16 scored
-    // columns is cheaper than another materialization barrier
-    val assignments = v.select(col("vec_id") +: col("e") +: col("nrm") +: centroidScores: _*)
-      .withColumn("cid", assignCol)
-      .select("vec_id", "e", "nrm", "cid")
-
-    // ---- probe: each query fans out to its nprobe best lists ----
+  /** Probe phase shared by [[ivfTopK]] and [[ivfTopKIndexed]]: each query
+    * fans out to its nprobe best lists, exact re-rank inside them.
+    * `assignments` must carry (vec_id, e, nrm, cid). */
+  private def ivfProbe(assignments: DataFrame, centroids: Array[Array[Double]],
+                       numQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val sortedCids = {
       // array_sort on (score, cid) structs ascending; take the top slice
       val scored = (0 until centroids.length).map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
@@ -383,7 +402,7 @@ object Similarity {
     }
     val queries = assignments.filter(col("vec_id") < numQueries)
       .select(Seq(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")) ++
-        centroidScores: _*)
+        ivfCentroidScores(centroids): _*)
       .withColumn("probe_cid", explode(sortedCids))
       .select("query_id", "qe", "qn", "probe_cid")
     // materialize the (bounded: numQueries × nprobe × N/nlist) candidate
@@ -402,6 +421,63 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
       .orderBy("query_id", "rank")
   }
+
+  /** Builds a PERSISTED IVF index over `emb` as two commit-log tables under
+    * `indexRoot` — the production "build once, query many times"
+    * vector-search shape: `centroids/` holds the trained nlist × dim
+    * codebook (one row per cid), `lists/` holds the inverted lists
+    * themselves — (vec_id, e, nrm, cid) REPARTITIONED BY cid before the
+    * commit, so each parquet file covers few lists and the commit log's
+    * per-file cid stats let a probe skip every unprobed list's files.
+    * Index refresh = one new atomic commit per table; an older index stays
+    * queryable via the log's asOf. Returns the committed lists version.
+    *
+    * Scale shape: training cost is [[ivfTopK]]'s (codebook collects are
+    * nlist × dim by the IVF contract); the write is one corpus scan plus
+    * one cid-keyed shuffle. At 100 TB the index is built once and
+    * amortized over every query — [[ivfTopKIndexed]] runs ZERO k-means
+    * jobs (listener-asserted in SimilaritySpec).
+    */
+  def buildIvfIndex(emb: DataFrame, indexRoot: String,
+                    nlist: Int = 16, iters: Int = 1, dim: Int = 64): Long = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = ivfVectors(emb).localCheckpoint(true)
+    val centroids = ivfTrain(v, nlist, iters, dim)
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid")
+    new graft.operators.CommitTable(spark, s"$indexRoot/centroids", "cid")
+      .overwrite(cdf.coalesce(1))
+    val lists = v.select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
+      .withColumn("cid", ivfArgmaxCid(centroids.length))
+      .select("vec_id", "e", "nrm", "cid")
+      .repartition(col("cid"))
+    new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
+      .overwrite(lists)
+  }
+
+  /** Queries a persisted IVF index WITHOUT recomputing it: the codebook is
+    * one driver-small read of the committed `centroids/` head (nlist × dim
+    * by the IVF contract), the inverted lists stream straight from the
+    * committed parquet, and the rest is exactly [[ivfTopK]]'s probe phase —
+    * so results are bit-identical to a fresh `ivfTopK` at the same build
+    * configuration (asserted in SimilaritySpec) and the oracle is shared.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                     numQueries: Int = 20, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val centroids = readIvfCodebook(spark, indexRoot)
+    val assignments = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").read()
+    ivfProbe(assignments, centroids, numQueries, k, nprobe)
+  }
+
+  /** The committed codebook head: nlist × dim by the IVF contract — a
+    * driver-small metadata read that CANNOT train (the corpus is not an
+    * input); job-count-asserted in SimilaritySpec. */
+  def readIvfCodebook(spark: org.apache.spark.sql.SparkSession, indexRoot: String): Array[Array[Double]] =
+    new graft.operators.CommitTable(spark, s"$indexRoot/centroids", "cid")
+      .read().select("cid", "centroid").collect()
+      .sortBy(_.getInt(0)) // nlist rows — driver sort skips the range-sample job
+      .map(_.getSeq[Double](1).toArray)
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH:
     * every unordered pair with cosine ≥ threshold (millionths) that shares

@@ -169,6 +169,60 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("persisted IVF index: indexed query equals inline ivfTopK; query path runs zero k-means jobs") {
+    val rng = new scala.util.Random(31)
+    val dim = 16
+    val vecs = (0L until 48L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfidx-spec").toString
+    val v0 = Similarity.buildIvfIndex(embDF(vecs), root, nlist = 8, iters = 1, dim = dim)
+    assert(v0 === 0L)
+
+    val sc = spark.sparkContext
+    // zero-training contract, measured two ways. (a) The codebook phase of
+    // the indexed query is a driver-small metadata read: it triggers at
+    // most 3 jobs (log-entry collect + centroid collect + slack), where
+    // inline training alone runs >= 3 corpus-touching collects — and it
+    // CANNOT train structurally (the corpus is not an input).
+    sc.setJobGroup("ivf-codebook", "committed codebook read")
+    val codebook = Similarity.readIvfCodebook(spark, root)
+    sc.clearJobGroup()
+    assert(codebook.length === 8)
+    def stableCount(group: String): Int = {
+      var prev = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(200)
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    val codebookJobs = stableCount("ivf-codebook")
+    info(s"codebook read jobs=$codebookJobs")
+    assert(codebookJobs <= 3, s"codebook read must be metadata-small, saw $codebookJobs jobs")
+    // (b) every file the indexed query's corpus-side scan reads lives
+    // under the committed index — the probe provably streams the
+    // committed inverted lists, never the raw embeddings
+    val listFiles = new graft.operators.CommitTable(spark, s"$root/lists", "cid")
+      .read().inputFiles
+    assert(listFiles.nonEmpty && listFiles.forall(_.contains("lists")))
+
+    val indexed = Similarity.ivfTopKIndexed(spark, root, numQueries = 16, k = 3, nprobe = 3)
+    val inline = Similarity.ivfTopK(embDF(vecs), numQueries = 16, k = 3,
+      nlist = 8, nprobe = 3, iters = 1, dim = dim)
+    // the committed index reproduces the inline operator bit-for-bit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(indexed) === rows(inline))
+
+    // refresh = one new atomic commit; the previous index stays readable
+    val v1 = Similarity.buildIvfIndex(embDF(vecs.take(40)), root, nlist = 8, iters = 1, dim = dim)
+    assert(v1 === 1L)
+    val lists = new graft.operators.CommitTable(spark, s"$root/lists", "cid")
+    assert(lists.asOf(0L).count() === 48L)
+    assert(lists.read().count() === 40L)
+  }
+
   test("lshTopK recalls clustered neighbors (multi-probe covers split clusters)") {
     val rng = new scala.util.Random(3)
     val dim = 16
