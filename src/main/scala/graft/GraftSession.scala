@@ -69,6 +69,19 @@ object GraftSession {
             require(args.length == 2, "sorted_intersect_count(a, b) takes exactly 2 arguments")
             graft.functions.SortedIntersectCount(args.head, args(1))
           }))
+        // table-valued graph surface: SELECT * FROM graph_bfs(root, g, 0, 12)
+        // — see GraphTvfs for the analysis-time-execution contract
+        Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)](
+          "graph_bfs" -> graft.plans.GraphTvfs.bfs,
+          "graph_degrees" -> graft.plans.GraphTvfs.degrees,
+          "graph_pagerank" -> graft.plans.GraphTvfs.pagerank
+        ).foreach { case (name, builder) =>
+          ext.injectTableFunction((
+            FunctionIdentifier(name),
+            new ExpressionInfo(graft.plans.GraphTvfs.getClass.getName, name),
+            builder))
+        }
       }
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
