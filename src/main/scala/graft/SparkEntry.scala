@@ -2080,6 +2080,39 @@ object SparkEntry {
       Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
       Similarity.ivfTopKIndexed(s, idx)
     }),
+    "s13_pq_persisted" -> ((s, dir) => {
+      // persisted PQ: the CODES (m bytes/vector — the corpus-sized
+      // artifact s7 re-derives every call) land as a commit-log table
+      // next to the codebook; the query streams committed codes and
+      // never re-encodes — only the k·candFactor re-rank candidates
+      // touch raw floats. Same build configuration as s7, so the round
+      // trip is bit-identical and shares its oracle.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-pqidx-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      Similarity.buildPqIndex(Tables.embeddings(s, dir), idx)
+      Similarity.pqTopKIndexed(Tables.embeddings(s, dir), idx)
+    }),
+    "s14_ivf_append" -> ((s, dir) => {
+      // incremental index refresh (FAISS add-after-train): train on the
+      // first 250 vectors, append the rest as ONE atomic commit assigned
+      // against the FIXED committed codebook — no retraining pass, no
+      // touch of the existing lists; the oracle mirrors the same
+      // train-on-prefix/assign-all split via ivfTopKSql's trainFilter.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-ivfapp-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250), idx)
+      Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), idx)
+      Similarity.ivfTopKIndexed(s, idx)
+    }),
 
     // ---- LLM-pipeline: text analysis + multimodal ----
     "t1_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
@@ -3150,6 +3183,12 @@ object SparkEntry {
       // bit-for-bit (same training configuration, parquet round-trips
       // doubles exactly), so the persisted path shares s3's full mirror
       Similarity.ivfTopKSql(),
+    "s13_pq_persisted" -> // committed codes reproduce pqTopK bit-for-bit
+      Similarity.pqTopKSql(),
+    "s14_ivf_append" -> // train on the vec_id<250 prefix, assign ALL:
+      // the mirror restricts cent0's seeds and the refinement means to
+      // the training prefix while the final assignment covers the corpus
+      Similarity.ivfTopKSql(trainFilter = "vec_id < 250"),
     "s4_label_centroids" -> Similarity.labelCentroidsSql,
     "s5_sq8_rerank" -> Similarity.sq8TopKSql(),
     "s7_pq_rerank" -> Similarity.pqTopKSql(),

