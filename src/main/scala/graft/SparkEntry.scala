@@ -1992,6 +1992,13 @@ object SparkEntry {
       // LSH pair graph -> (doc, keeper); closure handles non-transitive
       // near-dup chains
       Dedup.nearDupClusters(Tables.documents(s, dir))),
+    "d16_neardup_keepers" -> ((s, dir) => // the ingestion-order near-dup
+      // KEEPER rule: keep a doc iff it claims >= 1 of its 32 MinHash band
+      // signatures (claim = per-band min doc_id) — the streaming-feasible
+      // relaxation of pair-based dedup: no candidate join at all, one
+      // band-keyed min shuffle; the stateful first-seen streaming half is
+      // asserted in StreamingSpec
+      Dedup.nearDupKeepers(Tables.documents(s, dir))),
     "d15_quality_keepers" -> ((s, dir) => // d6's clusters resolved by the
       // PRODUCTION keeper policy — most tokens, ties to smaller id —
       // instead of min-id survivorship; the policy is one map-side argmax
@@ -3164,6 +3171,7 @@ object SparkEntry {
     "d7_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
     "d15_quality_keepers" -> Dedup.qualityKeepersSql(),
+    "d16_neardup_keepers" -> Dedup.nearDupKeepersSql(),
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
     "d10_edit_distance" -> Dedup.lshEditDistancesSql(),
     "d11_containment" -> Dedup.containmentPairsSql(),

@@ -331,6 +331,99 @@ object Dedup {
     (sh, bands)
   }
 
+  /** Near-dup KEEPER rule over the MinHash band universe — the ingestion
+    * dedup shape pipelines run BEFORE training: a document is KEPT iff it
+    * CLAIMS at least one of its 32 band signatures (claim = first to
+    * present it; stream order here = ascending doc_id, so a band's
+    * claimant is its minimum doc_id). A document all of whose bands were
+    * already claimed contributes no novel signature — a near-dup of
+    * earlier content — and is dropped. This is the streaming-feasible
+    * relaxation of clustering dedup (d2/d3 need candidate PAIRS; the
+    * keeper rule needs one state lookup per band), and unlike a greedy
+    * "drop on any collision" scan it is ORDER-DETERMINISTIC: claims are
+    * per-band minima, so batch and an id-ordered stream converge to the
+    * same answer (cross-micro-batch half via [[streamingNearDupClaims]],
+    * asserted in StreamingSpec). `(doc_id, n_claimed)` for keepers.
+    *
+    * Scale shape: one corpus scan for signatures (64 flat min-aggs, map-
+    * side combined), one (band,h0,h1)-keyed min shuffle, one
+    * claimant-keyed count — no joins, no candidate blowup; streaming
+    * state = one long per distinct band signature.
+    */
+  def nearDupKeepers(docs: DataFrame): DataFrame = {
+    val (_, bands) = minHashBands(docs, 64, 2)
+    bands.groupBy("band", "h0", "h1").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_claimed"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[nearDupKeepers]]: the same seeded signature/band
+    * derivation as [[minHashLshPairsSql]], then per-band MIN claims rolled
+    * up per claimant. */
+  def nearDupKeepersSql(numHashes: Int = 64): String = {
+    val P = Hashing.MinHashP
+    val params = Hashing.minHashParams(numHashes)
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $P) AS m$i"
+    }.mkString(",\n|               ")
+    val bandStructs = (0 until numHashes / 2).map(j =>
+      s"{'band': $j, 'h0': m${2 * j}, 'h1': m${2 * j + 1}}").mkString(", ")
+    s"""WITH ${TextOps.shinglesSql()},
+       |hx AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % $P AS x FROM sh),
+       |sigs AS (SELECT doc_id,
+       |               $minCols
+       |        FROM hx GROUP BY doc_id),
+       |bands AS (SELECT doc_id, u['band'] AS band, u['h0'] AS h0, u['h1'] AS h1
+       |          FROM sigs, UNNEST([$bandStructs]) AS t(u)),
+       |claims AS (SELECT band, h0, h1, MIN(doc_id) AS doc_id FROM bands GROUP BY 1, 2, 3)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_claimed FROM claims GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** First-seen band claims as a STREAMING stateful operator: keyed by the
+    * band signature, state = the claiming doc_id. The first micro-batch to
+    * present a signature claims it with that batch's minimum doc_id, and
+    * the claim NEVER changes — so with arrival order aligned to doc_id
+    * (the ingest contract the batch tier assumes) the converged claim set
+    * equals [[nearDupKeepers]]'s per-band minima exactly (asserted in
+    * StreamingSpec, including that a later re-arrival cannot steal a
+    * claim). The signature is derived PER ROW (higher-order folds over the
+    * doc's own shingles instead of the batch path's 64 flat min-aggs over
+    * an explode) because streaming forbids an aggregation upstream of
+    * mapGroupsWithState — the computed minima are identical, only the plan
+    * shape differs.
+    */
+  def streamingNearDupClaims(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = Hashing.MinHashP
+    val numHashes = 64
+    val params = Hashing.minHashParams(numHashes)
+    val shCol = array_distinct(TextOps.shingles3(TextOps.tokens(col("text"))))
+    val hxCol = transform(shCol, s => Hashing.hash60(s) % P)
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hx"), x => (lit(a) * x + lit(b)) % P)).as(s"m$i")
+    }
+    val bandArr = array((0 until numHashes / 2).map(j => lit(j)): _*)
+    val bands = docs.withColumn("hx", hxCol).filter(size(col("hx")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("doc_id"), explode(bandArr).as("band"), col("sig"))
+      .select(col("band"),
+        element_at(col("sig"), col("band") * 2 + 1).as("h0"),
+        element_at(col("sig"), col("band") * 2 + 2).as("h1"),
+        col("doc_id"))
+    bands.as[(Int, Long, Long, Long)]
+      .groupByKey { case (b, h0, h1, _) => (b, h0, h1) }
+      .mapGroupsWithState[Long, (Int, Long, Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case ((b, h0, h1), rows, state) =>
+          val c = if (state.exists) state.get
+          else { val m = rows.map(_._4).min; state.update(m); m }
+          (b, h0, h1, c)
+      }
+      .toDF("band", "h0", "h1", "claimant")
+  }
+
   def minHashLshPairs(docs: DataFrame, thresholdMille: Int = 500,
                       numHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val (sh, bands) = minHashBands(docs, numHashes, rowsPerBand)

@@ -132,6 +132,42 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted === Seq("alpha", "beta", "gamma"))
   }
 
+  test("streaming near-dup band claims: id-ordered stream converges to the batch minima; claims are never stolen") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 3 share all shingles (identical text) — doc 3 claims
+    // nothing; doc 4 is novel. Batches arrive in ascending-id order (the
+    // ingest contract), split so claims must survive ACROSS micro-batches.
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "entirely different content about graph engines and spark plans",
+      3L -> "the quick brown fox jumps over the lazy dog again and again",
+      4L -> "novel third topic mentioning neither foxes nor query engines at all")
+    val mem = MemoryStream[(Long, String)](s)
+    val got = runIncremental(
+      graft.llm.Dedup.streamingNearDupClaims(mem.toDF().toDF("doc_id", "text")),
+      "t_neardup_claims", OutputMode.Update()) { q =>
+        mem.addData(docs.take(2)); q.processAllAvailable()
+        // doc 3 re-presents doc 1's bands in a LATER batch: every claim
+        // must stay with doc 1
+        mem.addData(docs.drop(2)); q.processAllAvailable()
+      }
+      // update mode re-emits a row per touched key; keep the LAST claim
+      // per band (they are all equal by the never-stolen contract below)
+      .collect().map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    // no band ever reported two different claimants across emissions
+    assert(got.values.forall(_.size == 1), s"a claim changed owners: $got")
+    val streaming = got.map { case (k, vs) => k -> vs.head }
+    val batch = graft.llm.Dedup.nearDupKeepers(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // batch keepers = docs claiming >= 1 band; the streaming claim multiset
+    // rolled up per claimant must agree exactly
+    val rolled = streaming.values.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    assert(rolled === batch, s"streaming claims $rolled diverge from batch keepers $batch")
+    assert(!rolled.contains(3L) && rolled.contains(4L))
+  }
+
   test("dropDuplicatesWithinWatermark: in-horizon duplicates dropped, expired keys re-emit") {
     val s = spark
     import s.implicits._
