@@ -2266,6 +2266,12 @@ object SparkEntry {
       Sampling.deterministicSample(Tables.documents(s, dir), keyCol = "doc_id", k = 50, seed = 7L)
         .select("doc_id", "shuffle_key")
         .orderBy("shuffle_key", "doc_id")),
+    "t31_token_mixture" -> ((s, dir) => // token-budget domain mixing: each
+      // source admits docs in seeded-shuffle order until its TOKEN budget
+      // fills — the skew-correcting corpus-mix primitive (doc-count caps
+      // ignore length; uniform samples mirror the skew); integer
+      // running-sum admission, content-addressed order
+      Sampling.tokenBudgetMixture(Tables.documents(s, dir))),
     "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
     "d9_semantic_dedup" -> ((s, dir) => // SemDeDup-style resolution: CC over
       // the embedding-cosine pair graph (d5's banded-LSH path) -> one
@@ -3271,6 +3277,7 @@ object SparkEntry {
     "t9_corpus_sample" ->
       s"""SELECT doc_id, ${Sampling.shuffleKeySql("doc_id", 7L)} AS shuffle_key
          |FROM documents ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
+    "t31_token_mixture" -> Sampling.tokenBudgetMixtureSql(),
     "t19_stratified_sample" ->
       s"""WITH s AS (SELECT lang, doc_id, ${Sampling.shuffleKeySql("doc_id", 11L)} AS shuffle_key
          |           FROM documents),

@@ -171,6 +171,52 @@ object Sampling {
     * `TemporalJoins.asofJoin`'s output-name check) instead of quietly
     * clobbering caller data.
     */
+  /** Token-budget domain mixture — the corpus-mixing primitive a training
+    * run needs when domains are skewed: each source contributes documents
+    * in seeded-shuffle order until its TOKEN budget is met, so the output
+    * mix hits the per-domain target no matter how lopsided the raw corpus
+    * is (a uniform sample would mirror the skew; a doc-count cap ignores
+    * document length). A document is admitted iff its cumulative token sum
+    * within the source stays ≤ budget — the boundary doc that would
+    * overflow is dropped, an exact integer rule both engines agree on.
+    * Same content-addressing as [[deterministicSample]]: retries and
+    * repartitioning cannot change the admitted set. `(source, n_docs,
+    * sum_tokens)` per source.
+    *
+    * Scale shape: one scan computing (source, priority, n_tokens), one
+    * source-keyed window (running integer sum), one rollup. The window
+    * sorts each source's rows once; the skewed giants are exactly the
+    * sources the budget truncates hardest, and nothing corpus-sized
+    * outlives the cut.
+    */
+  def tokenBudgetMixture(docs: DataFrame, budgetPerSource: Long = 2000L,
+                         seed: Long = 11L): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      shuffleKey(col("doc_id"), seed).as("pri"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("pri", "doc_id")
+    toks.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") <= budgetPerSource)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[tokenBudgetMixture]] — same tokenizer, same seeded
+    * priority, same integer running-sum admission. */
+  def tokenBudgetMixtureSql(budgetPerSource: Long = 2000L, seed: Long = 11L): String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens,
+       |       ${shuffleKeySql("doc_id", seed)} AS pri
+       |     FROM documents),
+       |c AS (SELECT source, n_tokens,
+       |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM toks)
+       |SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
+       |FROM c WHERE cum <= $budgetPerSource GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def requireFreshColumn(df: DataFrame, name: String, op: String): Unit =
     require(!df.columns.contains(name),
       s"$op appends a '$name' column but the input already has one — rename it first")

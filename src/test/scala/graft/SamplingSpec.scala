@@ -128,6 +128,26 @@ class SamplingSpec extends SparkSpec {
     assert(sample(8L) !== s7, "a different seed should draw a different sample")
   }
 
+  test("tokenBudgetMixture: budget enforced per source, boundary doc dropped, reproducible") {
+    val s = spark
+    import s.implicits._
+    // source A: 6 docs x 4 tokens; source B: 2 docs x 4 tokens (under
+    // budget -> all admitted). Budget 10 admits exactly 2 docs of A (the
+    // third would make cum 12 > 10) in seeded-shuffle order.
+    val d = ((1L to 6L).map(i => (i, "one two three four", "A")) ++
+      (7L to 8L).map(i => (i, "one two three four", "B")))
+      .toDF("doc_id", "text", "source")
+    def run() = Sampling.tokenBudgetMixture(d, budgetPerSource = 10L, seed = 11L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got === Seq(("A", 2L, 8L), ("B", 2L, 8L)), s"got $got")
+    assert(run() === got, "content-addressed: identical across runs")
+    // a larger budget admits more of A, never reorders B
+    val wide = Sampling.tokenBudgetMixture(d, budgetPerSource = 100L, seed = 11L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(wide === Seq(("A", 6L, 24L), ("B", 2L, 8L)))
+  }
+
   test("stratifiedSample: exactly k per stratum regardless of stratum skew; reproducible") {
     val s = spark
     import s.implicits._
