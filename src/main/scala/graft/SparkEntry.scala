@@ -293,6 +293,26 @@ object SparkEntry {
       cat.bfs("props", start = 0L, maxDepth = 12,
         edgeFilter = Some(col("etype") === 0))
     }),
+    "g46_incremental_degrees" -> ((s, dir) => {
+      // incremental VIEW MAINTENANCE off the commit log's CDF: the degree
+      // view is built once at v0 and advanced to the head purely through
+      // changesBetween — the shard-sized change set, never a re-scan of
+      // the edge table (the 100 TB "graph changed, refresh the analytics"
+      // answer). Three committed versions: v0 = dst%5!=0 edges, v1 =
+      // append the rest (inserts), v2 = overwrite dropping src%7==0
+      // (deletes). Oracle = full degree recompute over the final set.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-ideg-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("edges").toString, "src")
+      val e = DerivedGraphs.small(s, dir)
+      t.overwrite(e.filter(col("dst") % 5 =!= 0))
+      t.append(e.filter(col("dst") % 5 === 0))
+      t.overwrite(e.filter(col("src") % 7 =!= 0))
+      graft.graph.IncrementalViews.maintainedDegrees(t, 0L, 2L).orderBy("vertex")
+    }),
     "g25_clustering_coeff" -> ((s, dir) =>
       // local clustering coefficient in integer millionths (pure integer
       // division over triangle and degree counts — no float anywhere)
@@ -3126,6 +3146,15 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, walk.level + 1 FROM walk JOIN e ON e.src = walk.vertex WHERE walk.level < 12)
          |SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex ORDER BY level, vertex""".stripMargin,
+    "g46_incremental_degrees" -> // full recompute over the FINAL edge set —
+      // the maintained view must be indistinguishable from it
+      s"""WITH e AS (SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 7 <> 0),
+         |o AS (SELECT src AS vertex, COUNT(*)::BIGINT AS out_degree FROM e GROUP BY 1),
+         |i AS (SELECT dst AS vertex, COUNT(*)::BIGINT AS in_degree FROM e GROUP BY 1)
+         |SELECT COALESCE(o.vertex, i.vertex) AS vertex,
+         |       COALESCE(out_degree, 0)::BIGINT AS out_degree,
+         |       COALESCE(in_degree, 0)::BIGINT AS in_degree
+         |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
     "g34_property_bfs" -> // BFS over the etype=0 subgraph: same filter on
       // the same derivation, g16's recursive-CTE walk
       s"""WITH RECURSIVE e AS (

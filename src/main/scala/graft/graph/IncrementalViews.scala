@@ -1,0 +1,65 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.CommitTable
+
+/** Incremental maintenance of graph analytic views off the commit log's
+  * change-data feed — the 100 TB answer to "the graph changed, refresh the
+  * dashboard": a full recompute scans every edge, while the CDF between two
+  * committed versions is SHARD-SIZED (yesterday's ingest), and a
+  * decomposable view (per-vertex degree sums here) folds those deltas into
+  * the existing view with one vertex-keyed join. The maintained view is
+  * EXACTLY the view recomputed from the head — asserted in suite and gated
+  * against a full-recompute oracle (g46).
+  *
+  * Degree semantics are MULTISET (`Analytics.degrees(dedup = false)`):
+  * [[CommitTable.changesBetween]] is a multiset row diff, so +1/−1 deltas
+  * map one-to-one onto inserted/deleted edge rows. Tables that enforce
+  * distinct edges at write time (the graph-catalog convention) make the
+  * two semantics coincide.
+  */
+object IncrementalViews {
+
+  /** Per-vertex degree deltas of a CDF frame (`change_type` ∈
+    * insert/delete + edge columns): insert = +1, delete = −1, summed per
+    * endpoint — one groupBy over the shard-sized change set.
+    */
+  def degreeDeltas(changes: DataFrame): DataFrame = {
+    val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val dOut = changes.groupBy(col("src").cast("long").as("vertex"))
+      .agg(sum(sign).as("delta_out"))
+    val dIn = changes.groupBy(col("dst").cast("long").as("vertex"))
+      .agg(sum(sign).as("delta_in"))
+    dOut.join(dIn, Seq("vertex"), "full_outer")
+      .select(col("vertex"),
+        coalesce(col("delta_out"), lit(0L)).as("delta_out"),
+        coalesce(col("delta_in"), lit(0L)).as("delta_in"))
+  }
+
+  /** Folds [[degreeDeltas]] into an existing degree view: one vertex-keyed
+    * full-outer join (view is vertex-sized, deltas are shard-sized —
+    * nothing edge-sized moves); vertices whose degrees hit zero leave the
+    * view, newly-touched vertices enter it.
+    */
+  def applyDegreeDeltas(base: DataFrame, changes: DataFrame): DataFrame = {
+    val d = degreeDeltas(changes)
+    base.join(d, Seq("vertex"), "full_outer")
+      .select(col("vertex"),
+        (coalesce(col("out_degree"), lit(0L)) + coalesce(col("delta_out"), lit(0L))).as("out_degree"),
+        (coalesce(col("in_degree"), lit(0L)) + coalesce(col("delta_in"), lit(0L))).as("in_degree"))
+      .filter(col("out_degree") > 0 || col("in_degree") > 0)
+  }
+
+  /** The maintained degree view of a commit-log edge table: the view as of
+    * `fromVersion`, advanced to `toVersion` purely through the CDF — the
+    * base snapshot is scanned once (or, in steady state, is the previously
+    * maintained view and never rescanned), and each advance costs one
+    * change-shard pass.
+    */
+  def maintainedDegrees(t: CommitTable, fromVersion: Long, toVersion: Long): DataFrame = {
+    val base = Analytics.degrees(t.asOf(fromVersion), dedup = false)
+    applyDegreeDeltas(base, t.changesBetween(fromVersion, toVersion))
+  }
+}

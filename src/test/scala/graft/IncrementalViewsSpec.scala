@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.graph.{Analytics, IncrementalViews}
+import graft.operators.CommitTable
+
+/** The maintained degree view must be indistinguishable from a full
+  * recompute at the head — across inserts, deletes, vertices leaving the
+  * view entirely, and multi-version advances.
+  */
+class IncrementalViewsSpec extends SparkSpec {
+
+  private def degreesOf(df: org.apache.spark.sql.DataFrame) =
+    Analytics.degrees(df, dedup = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def maintained(t: CommitTable, from: Long, to: Long) =
+    IncrementalViews.maintainedDegrees(t, from, to)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("maintained degrees == full recompute across inserts, deletes, and vertex departure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iview-spec")
+    val t = new CommitTable(spark, dir.resolve("edges").toString, "src")
+    // v0: a chain + a hub; vertex 9 exists only via edge (9, 1)
+    val v0 = edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (9L, 1L)))
+    t.overwrite(v0)
+    // v1: insert two edges touching a NEW vertex 7
+    t.append(edgesDF(Seq((7L, 0L), (3L, 7L))))
+    // v2: delete (9,1) — vertex 9 must LEAVE the view — and (0,2)
+    val finalEdges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (7L, 0L), (3L, 7L))
+    t.overwrite(edgesDF(finalEdges))
+
+    assert(maintained(t, 0L, 2L) === degreesOf(edgesDF(finalEdges)))
+    // single-step advances agree too (v0 -> v1, then the v1 base -> v2)
+    assert(maintained(t, 0L, 1L) === degreesOf(t.asOf(1L)))
+    assert(maintained(t, 1L, 2L) === degreesOf(edgesDF(finalEdges)))
+    // vertex 9 is gone, vertex 7 is present
+    val head = maintained(t, 0L, 2L)
+    assert(!head.exists(_._1 == 9L) && head.exists(_._1 == 7L))
+  }
+
+  test("maintained degrees == full recompute on random version histories") {
+    val rnd = new scala.util.Random(17)
+    for (round <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-iview-rand$round")
+      val t = new CommitTable(spark, dir.resolve("edges").toString, "src")
+      def randomEdges(n: Int) =
+        Seq.fill(n)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)).distinct
+      val e0 = randomEdges(20)
+      t.overwrite(edgesDF(e0))
+      val extra = randomEdges(8).filterNot(e0.contains)
+      t.append(edgesDF(extra))
+      val finalSet = rnd.shuffle(e0 ++ extra).drop(5)
+      t.overwrite(edgesDF(finalSet))
+      assert(maintained(t, 0L, 2L) === degreesOf(edgesDF(finalSet)),
+        s"divergence in round $round")
+    }
+  }
+
+  test("degreeDeltas: inserts +1, deletes -1, summed per endpoint") {
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      (0L, 1L, "insert"), (0L, 2L, "insert"), (1L, 0L, "delete"))
+      .toDF("src", "dst", "change_type")
+    val got = IncrementalViews.degreeDeltas(changes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((0L, 2L, -1L), (1L, -1L, 1L), (2L, 0L, 1L)))
+  }
+}
