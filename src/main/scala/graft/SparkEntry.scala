@@ -313,6 +313,28 @@ object SparkEntry {
       t.overwrite(e.filter(col("src") % 7 =!= 0))
       graft.graph.IncrementalViews.maintainedDegrees(t, 0L, 2L).orderBy("vertex")
     }),
+    "g47_mis" -> ((s, dir) =>
+      // maximal independent set, deterministic-Luby rounds: (π, id)
+      // local minima join per round, then deactivate with their whole
+      // neighborhood — O(log n) expected edge passes; the fixpoint
+      // provably equals the sequential greedy in (π, id) order, which is
+      // the independent VALUES oracle (independence + maximality are
+      // additionally property-asserted in-suite)
+      Analytics.maximalIndependentSet(DerivedGraphs.small(s, dir))),
+    "g48_coloring" -> ((s, dir) =>
+      // greedy graph coloring via Jones–Plassmann scheduling: a vertex
+      // colors when all smaller-(π,id) neighbors are colored, taking the
+      // mex of their colors inside one fold-aggregate — result equals
+      // sequential greedy in priority order (the independent oracle);
+      // rounds = longest priority-decreasing path, O(log n) expected
+      Analytics.greedyColoring(DerivedGraphs.small(s, dir))),
+    "g49_densest" -> ((s, dir) =>
+      // densest-subgraph 2(1+ε)-approx by batch peeling (ε=1/10): each
+      // round drops every vertex with 10·deg·V ≤ 22·E (exact integers),
+      // keeping the best-density snapshot by cross-multiplied compare;
+      // O(log V) rounds, each one degree-agg + semi-join — the classic
+      // MapReduce densest-subgraph plan
+      Analytics.densestSubgraph(DerivedGraphs.small(s, dir))),
     "g25_clustering_coeff" -> ((s, dir) =>
       // local clustering coefficient in integer millionths (pure integer
       // division over triangle and degree counts — no float anywhere)
@@ -3420,7 +3442,7 @@ object SparkEntry {
       Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
         "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness",
         "g36_modularity", "g41_louvain_sweep", "g42_spanning_forest",
-        "g44_louvain_full")
+        "g44_louvain_full", "g47_mis", "g48_coloring", "g49_densest")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -3469,6 +3491,31 @@ object SparkEntry {
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
              |FROM (VALUES ${lv.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
              |ORDER BY vertex""".stripMargin
+      },
+      "g47_mis" -> {
+        // independent sequential greedy in (priority, id) order — the
+        // distributed Luby fixpoint provably coincides
+        val mis = SequentialModel.greedyMis(edges)
+        if (mis.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex
+             |FROM (VALUES ${mis.map(v => s"($v)").mkString(", ")}) AS t(v)
+             |ORDER BY vertex""".stripMargin
+      },
+      "g48_coloring" -> {
+        val cols = SequentialModel.greedyColoring(edges).toSeq.sorted
+        if (cols.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS color WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(c AS BIGINT) AS color
+             |FROM (VALUES ${cols.map { case (v, c) => s"($v, $c)" }.mkString(", ")}) AS t(v, c)
+             |ORDER BY vertex""".stripMargin
+      },
+      "g49_densest" -> {
+        val (r, nv, ne, d6) = SequentialModel.densestSubgraph(edges)
+        s"""SELECT CAST($r AS BIGINT) AS best_round, CAST($nv AS BIGINT) AS n_vertices,
+           |CAST($ne AS BIGINT) AS n_edges, CAST($d6 AS BIGINT) AS density_e6""".stripMargin
       },
       "g36_modularity" -> {
         // the g15 LPA labels as VALUES, scored by SQL modularity masses

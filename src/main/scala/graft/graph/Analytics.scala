@@ -1475,4 +1475,188 @@ object Analytics {
           .orderBy("vertex")
     } finally e.unpersist(blocking = false)
   }
+
+  /** Deterministic vertex priority shared by the MIS / coloring operators:
+    * an LCG over the id, `(v·1103515245 + 12345) mod 2147483647` — injective
+    * for v < 2³¹−1 (a·v+b mod p with a ≢ 0), so ordering by `(π(v), v)` is a
+    * strict total order that behaves like a random permutation. The constant
+    * is part of the operator CONTRACT (the sequential mirror restates it);
+    * products stay < 2⁶² so ANSI arithmetic never overflows.
+    */
+  private def priorityCol(v: Column): Column =
+    (v * lit(1103515245L) + lit(12345L)) % lit(2147483647L)
+
+  /** Symmetric simple undirected adjacency `(a, b)` — both directions, no
+    * self-loops, deduped — checkpointed once so every round of an iterative
+    * algorithm re-reads the materialized relation instead of re-deriving it.
+    */
+  private def symmetric(edges: DataFrame): DataFrame = {
+    val und0 = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    und0.union(und0.select(col("b"), col("a")).toDF("a", "b"))
+      .localCheckpoint(true)
+  }
+
+  /** Maximal independent set — the DETERMINISTIC Luby variant: per round,
+    * every still-active vertex that is a `(π, id)` local minimum among its
+    * active neighbors enters the set, then it and its neighbors deactivate.
+    * With injective priorities this converges to EXACTLY the sequential
+    * greedy MIS in `(π, id)` order (induction: v joins iff no smaller-priority
+    * neighbor joined), so the oracle is an independent sequential greedy —
+    * while the distributed form needs only O(log n) expected rounds, each a
+    * constant number of edge-pass joins against the once-checkpointed
+    * symmetric relation. Vertices that lose all neighbors become local
+    * minima vacuously and join. Returns `(vertex BIGINT)` sorted.
+    *
+    * At 100 TB: per round two joins + one anti-join over the active edge
+    * relation, all key-partitioned; active mass shrinks geometrically (each
+    * round removes the MIS batch plus its whole neighborhood), so total work
+    * is a small constant of one edge pass. No driver state beyond the round
+    * counter.
+    */
+  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 256): DataFrame = {
+    val sym = symmetric(edges)
+    var active = sym.select(col("a").as("vertex")).distinct()
+      .withColumn("pri", priorityCol(col("vertex")))
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var rounds = 0
+    var activeRows = active.count()
+    while (activeRows > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"maximalIndependentSet exceeded $maxRounds rounds — check the graph")
+      // an active edge a—b where b precedes a in (pri, id) blocks a this round
+      val actA = active
+      val actB = active.select(col("vertex").as("b"), col("pri").as("pri_b"))
+      val activeEdges = sym
+        .join(actA.select(col("vertex").as("a"), col("pri").as("pri_a")), "a")
+        .join(actB, "b")
+      val blocked = activeEdges
+        .filter(struct(col("pri_b"), col("b")) < struct(col("pri_a"), col("a")))
+        .select(col("a").as("vertex")).distinct()
+      val mis = actA.select("vertex").join(blocked, Seq("vertex"), "left_anti")
+        .localCheckpoint(true)
+      picked += mis
+      val killed = mis.union(
+        sym.join(mis.withColumnRenamed("vertex", "a"), "a").select(col("b").as("vertex")))
+        .distinct()
+      active = active.join(killed, Seq("vertex"), "left_anti").localCheckpoint(true)
+      activeRows = active.count()
+    }
+    if (picked.isEmpty) edges.sparkSession.range(0).select(col("id").as("vertex"))
+    else picked.reduce(_ union _).orderBy("vertex")
+  }
+
+  /** Greedy graph coloring — Jones–Plassmann scheduling of the SEQUENTIAL
+    * greedy: a vertex colors itself in the round where every smaller-`(π,id)`
+    * neighbor is already colored, taking the minimum excluded value (mex) of
+    * its colored neighbors' colors. Since a neighbor can only have colored
+    * earlier if its priority is smaller (a local-minimum argument identical
+    * to the MIS proof), the result is EXACTLY greedy coloring in `(π, id)`
+    * order — the oracle is an independent sequential greedy — while rounds
+    * equal the longest priority-decreasing path (O(log n) expected under
+    * random-like priorities). Returns `(vertex BIGINT, color BIGINT)` with
+    * colors ≤ max-degree by the greedy bound.
+    *
+    * The mex is computed inside one aggregate: sort the distinct neighbor
+    * colors and fold `acc → acc+1` on consecutive hits — no per-color loop,
+    * no driver participation. Per round: two joins + one aggregate over the
+    * still-uncolored edge frontier.
+    */
+  def greedyColoring(edges: DataFrame, maxRounds: Int = 256): DataFrame = {
+    val sym = symmetric(edges)
+    var uncolored = sym.select(col("a").as("vertex")).distinct()
+      .withColumn("pri", priorityCol(col("vertex")))
+      .localCheckpoint(true)
+    var colored = uncolored.sparkSession.range(0)
+      .select(col("id").as("vertex"), col("id").as("color"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var uncoloredRows = uncolored.count()
+    while (uncoloredRows > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"greedyColoring exceeded $maxRounds rounds — check the graph")
+      val uncA = uncolored.select(col("vertex").as("a"), col("pri").as("pri_a"))
+      val uncB = uncolored.select(col("vertex").as("b"), col("pri").as("pri_b"))
+      val blocked = sym.join(uncA, "a").join(uncB, "b")
+        .filter(struct(col("pri_b"), col("b")) < struct(col("pri_a"), col("a")))
+        .select(col("a").as("vertex")).distinct()
+      val ready = uncolored.select("vertex").join(blocked, Seq("vertex"), "left_anti")
+      val nbrColors = sym.join(ready.withColumnRenamed("vertex", "a"), "a")
+        .join(colored.select(col("vertex").as("b"), col("color")), "b")
+        .groupBy(col("a").as("vertex"))
+        .agg(expr("aggregate(array_sort(collect_set(color)), 0L, (acc, x) -> IF(x = acc, acc + 1, acc))")
+          .as("mex"))
+      val newly = ready.join(nbrColors, Seq("vertex"), "left_outer")
+        .select(col("vertex"), coalesce(col("mex"), lit(0L)).as("color"))
+        .localCheckpoint(true)
+      colored = colored.union(newly).localCheckpoint(true)
+      uncolored = uncolored.join(newly.select("vertex"), Seq("vertex"), "left_anti")
+        .localCheckpoint(true)
+      uncoloredRows = uncolored.count()
+    }
+    colored.orderBy("vertex")
+  }
+
+  /** Densest-subgraph 2(1+ε)-approximation by parallel peeling (the
+    * MapReduce-friendly batch form, ε = 1/10): per round drop EVERY vertex
+    * whose degree is ≤ 2(1+ε)·|E|/|V| — an EXACT integer test,
+    * `10·deg·|V| ≤ 22·|E|` — and remember the round whose snapshot had the
+    * best density E/V (compared by cross-multiplication, first round wins
+    * ties). Since vertices above the threshold number < |V|/(1+ε), each
+    * round removes a constant fraction → O(log|V|) rounds, each one
+    * degree-aggregate + one semi-join over the surviving edge relation.
+    * Fully integer arithmetic → bit-deterministic; the oracle is a
+    * sequential mirror of the same peeling. Returns ONE row
+    * `(best_round, n_vertices, n_edges, density_e6)` where
+    * `density_e6 = (10⁶·E) div V`.
+    *
+    * At 100 TB: the per-round |E|/|V| scalars are aggregates (no collect of
+    * data rows); the edge relation shrinks monotonically and is
+    * re-checkpointed per round so lineage stays flat.
+    */
+  def densestSubgraph(edges: DataFrame, maxRounds: Int = 128): DataFrame = {
+    val spark = edges.sparkSession
+    val und0 = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    var und = und0.localCheckpoint(true)
+    var verts = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .distinct().localCheckpoint(true)
+    var (bestRound, bestV, bestE) = (0L, 0L, 0L)
+    var round = 0L
+    var vCount = verts.count()
+    while (vCount > 0) {
+      require(round <= maxRounds,
+        s"densestSubgraph exceeded $maxRounds rounds — check the graph")
+      val eCount = und.count()
+      // density E/V beats best Eb/Vb iff E·Vb > Eb·V (first best kept on ties)
+      if (bestV == 0L || eCount * bestV > bestE * vCount) {
+        bestRound = round; bestV = vCount; bestE = eCount
+      }
+      round += 1
+      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val degAll = verts.join(deg, Seq("v"), "left_outer")
+        .select(col("v"), coalesce(col("deg"), lit(0L)).as("deg"))
+      val keep = degAll.filter(col("deg") * 10L * vCount > 22L * eCount)
+        .select("v").localCheckpoint(true)
+      und = und
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b").localCheckpoint(true)
+      verts = keep
+      vCount = verts.count()
+    }
+    import spark.implicits._
+    Seq((bestRound, bestV, bestE, if (bestV == 0L) 0L else bestE * 1000000L / bestV))
+      .toDF("best_round", "n_vertices", "n_edges", "density_e6")
+  }
 }

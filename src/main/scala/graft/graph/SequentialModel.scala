@@ -361,4 +361,72 @@ object SequentialModel {
     }
     leaves.toSeq.sorted
   }
+
+  /** Undirected simple adjacency (both directions, no self-loops). */
+  private def undirectedAdj(edges: Seq[(Long, Long)]): Map[Long, Set[Long]] = {
+    val und = edges.collect { case (s, d) if s != d =>
+      (math.min(s, d), math.max(s, d)) }.distinct
+    (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+  }
+
+  /** The deterministic vertex priority the MIS/coloring CONTRACT fixes
+    * (restated independently of the Spark path — see
+    * `Analytics.priorityCol`): an LCG, injective below 2³¹−1.
+    */
+  private def priority(v: Long): Long = (v * 1103515245L + 12345L) % 2147483647L
+
+  /** Sequential greedy MIS in `(priority, id)` order — the independent
+    * oracle for the distributed deterministic-Luby rounds (their fixpoint
+    * provably equals this greedy). Sorted ascending.
+    */
+  def greedyMis(edges: Seq[(Long, Long)]): Seq[Long] = {
+    val adj = undirectedAdj(edges)
+    val inSet = scala.collection.mutable.HashSet.empty[Long]
+    for (v <- adj.keys.toSeq.sortBy(v => (priority(v), v)))
+      if (!adj(v).exists(inSet)) inSet += v
+    inSet.toSeq.sorted
+  }
+
+  /** Sequential greedy coloring in `(priority, id)` order: each vertex takes
+    * the minimum excluded value of its already-colored neighbors' colors —
+    * the independent oracle for the Jones–Plassmann rounds.
+    */
+  def greedyColoring(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = undirectedAdj(edges)
+    val color = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (v <- adj.keys.toSeq.sortBy(v => (priority(v), v))) {
+      val used = adj(v).flatMap(color.get)
+      var c = 0L
+      while (used.contains(c)) c += 1
+      color(v) = c
+    }
+    color.toMap
+  }
+
+  /** Sequential mirror of the batch densest-subgraph peeling (ε = 1/10):
+    * per round drop every vertex with `10·deg·|V| ≤ 22·|E|`, track the best
+    * `E/V` snapshot by cross-multiplication (first round wins ties).
+    * Returns `(best_round, n_vertices, n_edges, density_e6)`.
+    */
+  def densestSubgraph(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    var und = edges.collect { case (s, d) if s != d =>
+      (math.min(s, d), math.max(s, d)) }.distinct
+    var verts: Set[Long] = und.flatMap(e => Seq(e._1, e._2)).toSet
+    var (bestRound, bestV, bestE) = (0L, 0L, 0L)
+    var round = 0L
+    while (verts.nonEmpty) {
+      val (vc, ec) = (verts.size.toLong, und.size.toLong)
+      if (bestV == 0L || ec * bestV > bestE * vc) {
+        bestRound = round; bestV = vc; bestE = ec
+      }
+      round += 1
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      und.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+      val keep = verts.filter(v => deg(v) * 10L * vc > 22L * ec)
+      und = und.filter { case (a, b) => keep(a) && keep(b) }
+      verts = keep
+    }
+    (bestRound, bestV, bestE, if (bestV == 0L) 0L else bestE * 1000000L / bestV)
+  }
 }

@@ -662,4 +662,84 @@ class AnalyticsSpec extends SparkSpec {
     // m = 2, in = 2, deg_sum = 4: Q = 2/2 - (4/4)^2 = 0
     assert(got === Seq((9L, 3L, 2L, 4L, 0.0)))
   }
+
+  test("maximalIndependentSet: independent, maximal, and equals sequential greedy on random graphs") {
+    val rnd = new scala.util.Random(71)
+    for (seed <- 1 to 4) {
+      val edges = (1 to 80 + seed * 30)
+        .map(_ => (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Analytics.maximalIndependentSet(edgesDF(edges))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === SequentialModel.greedyMis(edges), s"seed $seed diverged from greedy")
+      val mis = got.toSet
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // independence: no edge inside the set
+      assert(!und.exists { case (a, b) => mis(a) && mis(b) }, s"seed $seed: not independent")
+      // maximality: every non-member has a member neighbor
+      val verts = und.flatMap(e => Seq(e._1, e._2)).toSet
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      assert((verts -- mis).forall(v => adj(v).exists(mis)), s"seed $seed: not maximal")
+    }
+  }
+
+  test("maximalIndependentSet: isolated pair and triangle — hand-checked") {
+    // triangle 0-1-2 plus disjoint edge 3-4: MIS has one triangle vertex + one of the pair
+    val got = Analytics.maximalIndependentSet(edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L))))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.intersect(Set(0L, 1L, 2L)).size === 1)
+    assert(got.intersect(Set(3L, 4L)).size === 1)
+  }
+
+  test("greedyColoring: proper, equals sequential greedy, colors ≤ maxdeg+1 on random graphs") {
+    val rnd = new scala.util.Random(83)
+    for (seed <- 1 to 4) {
+      val edges = (1 to 80 + seed * 30)
+        .map(_ => (rnd.nextInt(22).toLong, rnd.nextInt(22).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Analytics.greedyColoring(edgesDF(edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === SequentialModel.greedyColoring(edges), s"seed $seed diverged from greedy")
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      assert(und.forall { case (a, b) => got(a) != got(b) }, s"seed $seed: improper coloring")
+      val maxDeg = (und ++ und.map(_.swap)).groupBy(_._1).values.map(_.size).max
+      assert(got.values.max <= maxDeg, s"seed $seed: exceeded greedy bound")
+    }
+  }
+
+  test("greedyColoring: odd cycle needs 3 colors, even cycle 2") {
+    val odd = Analytics.greedyColoring(edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))))
+      .collect().map(_.getLong(1)).toSet
+    assert(odd === Set(0L, 1L, 2L))
+    val even = Analytics.greedyColoring(edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))))
+      .collect().map(_.getLong(1)).toSet
+    assert(even === Set(0L, 1L))
+  }
+
+  test("densestSubgraph: clique + sparse tail — the peel isolates the clique") {
+    // K5 (density 10/5 = 2) with a long path attached (pulls density down)
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val tail = (4L to 14L).map(v => (v, v + 1))
+    val got = Analytics.densestSubgraph(edgesDF(k5 ++ tail)).collect().head
+    // best snapshot is exactly the K5: 5 vertices, 10 edges, density 2.0
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) === ((5L, 10L, 2000000L)))
+    assert(got === Analytics.densestSubgraph(edgesDF(scala.util.Random.shuffle(k5 ++ tail))).collect().head)
+  }
+
+  test("densestSubgraph matches the sequential peeling mirror on random graphs") {
+    val rnd = new scala.util.Random(97)
+    for (seed <- 1 to 4) {
+      val edges = (1 to 60 + seed * 40)
+        .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Analytics.densestSubgraph(edgesDF(edges)).collect().head
+      val want = SequentialModel.densestSubgraph(edges)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) === want,
+        s"seed $seed diverged")
+      // the reported density is never below the whole-graph density (round 0 is a candidate)
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val v0 = und.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+      assert(got.getLong(3) >= und.size.toLong * 1000000L / v0, s"seed $seed: worse than round 0")
+    }
+  }
 }
