@@ -2104,6 +2104,13 @@ object SparkEntry {
       // passes on top of the shared Lloyd core (the final assignment frame
       // already carries all k distances)
       Similarity.kMeansSilhouette(Tables.embeddings(s, dir), k = 8, numIter = 5)),
+    "s15_pca" -> ((s, dir) => // PCA spectrum of the corpus embeddings —
+      // the variance structure read before whitening / OPQ rotation /
+      // dimension reduction: ONE corpus pass into exact integer (S, P)
+      // sums (d²-sized exchange, codebook-collect discipline), driver
+      // Jacobi with per-sweep 1e-9 state quantization so the independent
+      // sequential mirror iterates from identical state every sweep
+      Similarity.pcaSpectrum(Tables.embeddings(s, dir))),
     "s10_mmr" -> ((s, dir) => // maximal-marginal-relevance diversified
       // top-k: greedy λ·rel − (1−λ)·max-sim-to-selected over the relevance
       // pool — the anti-near-dup retrieval answer; corpus-sized work is one
@@ -3585,7 +3592,7 @@ object SparkEntry {
     // corpus/vector mirrors (same independent-model discipline): collected
     // inputs are gate-scale by contract — embeddings are corpus samples
     // (500×64 at sf0.01), documents a 500-row slice
-    val vecKeys = Seq("s9_kmeans", "s10_mmr", "s11_silhouette")
+    val vecKeys = Seq("s9_kmeans", "s10_mmr", "s11_silhouette", "s15_pca")
     val vecOracles: Map[String, String] = if (!vecKeys.exists(want)) Map.empty else {
       val vecs = graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id").cast("long"), col("embedding"))
@@ -3596,7 +3603,15 @@ object SparkEntry {
       val mm = SequentialCorpus.mmr(vecs, queryId = 0L, k = 10, poolSize = 50,
         lambda = 0.7)
       val sil = SequentialCorpus.kMeansSilhouette(vecs, k = 8, numIter = 5)
+      val pc = if (want("s15_pca")) SequentialCorpus.pcaSpectrum(vecs) else Nil
       Map(
+        "s15_pca" -> (
+          if (pc.isEmpty)
+            "SELECT CAST(NULL AS BIGINT) AS component, CAST(NULL AS BIGINT) AS eigenvalue_e9, CAST(NULL AS BIGINT) AS evr_ppm WHERE 1 = 0"
+          else
+            s"""SELECT CAST(c AS BIGINT) AS component, CAST(e AS BIGINT) AS eigenvalue_e9, CAST(r AS BIGINT) AS evr_ppm
+               |FROM (VALUES ${pc.map { case (c, e, r) => s"($c, $e, $r)" }.mkString(", ")}) AS t(c, e, r)
+               |ORDER BY component""".stripMargin),
         "s11_silhouette" -> (
           if (sil.isEmpty)
             "SELECT CAST(NULL AS BIGINT) AS cluster, CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS silhouette_6 WHERE 1 = 0"

@@ -234,4 +234,79 @@ object SequentialCorpus {
     }
     out.toSeq
   }
+
+  /** Micro-quantization (half-up) — the mirror of the distributed side's
+    * per-coordinate `round(x * 1e6).cast("long")`.
+    */
+  private def micro(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def q9(x: Double): Double = math.rint(x * 1e9) / 1e9
+
+  /** PCA spectrum; mirror of `Similarity.pcaSpectrum`'s contract: exact
+    * integer (S, P) sums over micro-quantized coordinates, covariance in
+    * the contract's fixed op order, cyclic Jacobi with the whole state
+    * 1e-9-quantized after each sweep, eigenvalues ranked (desc, index).
+    * Returns `(component, eigenvalue_e9, evr_ppm)`.
+    */
+  def pcaSpectrum(vecs: Seq[(Long, IndexedSeq[Double])], topK: Int = 16,
+                  sweeps: Int = 10): Seq[(Long, Long, Long)] = {
+    require(vecs.nonEmpty, "pca mirror needs vectors")
+    val d = vecs.head._2.length
+    val n = vecs.size.toLong
+    val q = vecs.map { case (_, e) => e.map(micro) }
+    val sVec = Array.ofDim[Long](d)
+    val p = Array.ofDim[Long](d, d)
+    q.foreach { row =>
+      var j = 0
+      while (j < d) {
+        sVec(j) += row(j)
+        var k = j
+        while (k < d) { p(j)(k) += row(j) * row(k); k += 1 }
+        j += 1
+      }
+    }
+    for (j <- 0 until d; k <- (j + 1) until d) p(k)(j) = p(j)(k)
+    val a = Array.tabulate(d, d) { (j, k) =>
+      q9((p(j)(k).toDouble / n - (sVec(j).toDouble / n) * (sVec(k).toDouble / n)) / 1e12)
+    }
+    var trace = 0.0
+    for (i <- 0 until d) trace += a(i)(i)
+    for (_ <- 1 to sweeps) {
+      var pp = 0
+      while (pp < d) {
+        var qq = pp + 1
+        while (qq < d) {
+          val apq = a(pp)(qq)
+          if (apq != 0.0) {
+            val tau = (a(qq)(qq) - a(pp)(pp)) / (2.0 * apq)
+            val t = if (tau >= 0) 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+                    else 1.0 / (tau - math.sqrt(1.0 + tau * tau))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(pp); val aiq = a(i)(qq)
+              a(i)(pp) = c * aip - s * aiq
+              a(i)(qq) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(pp)(i); val aqi = a(qq)(i)
+              a(pp)(i) = c * api - s * aqi
+              a(qq)(i) = s * api + c * aqi
+              i += 1
+            }
+          }
+          qq += 1
+        }
+        pp += 1
+      }
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) = q9(a(i)(j))
+    }
+    (0 until d).sortBy(i => (-a(i)(i), i)).take(topK).zipWithIndex.map { case (i, rank) =>
+      (rank.toLong, math.rint(a(i)(i) * 1e9).toLong, math.rint(a(i)(i) / trace * 1e6).toLong)
+    }
+  }
 }

@@ -1154,4 +1154,139 @@ object Similarity {
     }
     picked.toSeq.toDF("pos", "vec_id", "score_6").orderBy("pos")
   }
+
+  /** Quantize a symmetric-matrix / eigenvector entry to the 1e-9 grain —
+    * the per-sweep Jacobi quantization both the distributed path and the
+    * sequential mirror apply, so two independently-written rotation loops
+    * iterate from EXACTLY equal state each sweep (intra-sweep float drift
+    * ~1e-14 is absorbed by the 0.5e-9 slack; the k-means 1e-6-centroid
+    * discipline, one grain finer).
+    */
+  private[llm] def q9(x: Double): Double = math.rint(x * 1e9) / 1e9
+
+  /** Shared PCA core: exact-integer covariance of the micro-quantized
+    * embeddings (distributed), then cyclic Jacobi on the driver. Returns
+    * (eigenvalues ranked desc, eigenvector COLUMNS in the same order, mean
+    * in micro-units, trace). See [[pcaSpectrum]] for the contract.
+    */
+  private[llm] def pcaEigen(emb: DataFrame, sweeps: Int): (IndexedSeq[Double], IndexedSeq[IndexedSeq[Double]], IndexedSeq[Long], Double, Long) = {
+    require(sweeps >= 1, s"sweeps must be >= 1, got $sweeps")
+    // per-row micro-quantization: identical doubles on both engines → the
+    // integer sums below are exact and partition-order-independent
+    val v = emb.select(
+      transform(asDouble(col("embedding")), x => round(x * 1e6).cast("long")).as("q"))
+    val d = v.select(size(col("q"))).head().getInt(0)
+    // S_j and P_jk (j ≤ k) in ONE pass: explode each row to its d(d+1)/2
+    // upper-triangle products (+ d linear terms as k = -1). Rows shuffle to
+    // d(d+1)/2 + d groups with map-side combine — the classic feature-Gram
+    // exchange, vocabulary(=d²)-sized, never corpus-sized.
+    val pairs = v.select(explode(flatten(transform(sequence(lit(0), lit(d - 1)), j =>
+      concat(
+        array(struct(j.as("j"), lit(-1).as("k"), element_at(col("q"), j + 1).as("p"))),
+        transform(sequence(j, lit(d - 1)), k =>
+          struct(j.as("j"), k.as("k"),
+            (element_at(col("q"), j + 1) * element_at(col("q"), k + 1)).as("p"))))))).as("t"))
+      .groupBy(col("t.j").as("j"), col("t.k").as("k"))
+      .agg(sum(col("t.p")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val n = emb.count()
+    require(n > 0, "pca needs a non-empty embedding table")
+    val sVec = Array.ofDim[Long](d)
+    val p = Array.ofDim[Long](d, d)
+    pairs.foreach { r =>
+      val (j, k) = (r.getInt(0), r.getInt(1))
+      if (k < 0) sVec(j) = r.getLong(2) else { p(j)(k) = r.getLong(2); p(k)(j) = r.getLong(2) }
+    }
+    // covariance from the exact integers — FIXED op order (contract, the
+    // mirror restates it verbatim), then 1e-9 quantization before any sweep
+    val a = Array.tabulate(d, d) { (j, k) =>
+      q9((p(j)(k).toDouble / n - (sVec(j).toDouble / n) * (sVec(k).toDouble / n)) / 1e12)
+    }
+    val vm = Array.tabulate(d, d)((j, k) => if (j == k) 1.0 else 0.0)
+    val trace = (0 until d).foldLeft(0.0)((s, i) => s + a(i)(i))
+    for (_ <- 1 to sweeps) {
+      for (pp <- 0 until d; qq <- (pp + 1) until d) {
+        val apq = a(pp)(qq)
+        if (apq != 0.0) {
+          // standard Jacobi rotation, smaller-angle root (contract order)
+          val tau = (a(qq)(qq) - a(pp)(pp)) / (2.0 * apq)
+          val t = if (tau >= 0) 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+                  else 1.0 / (tau - math.sqrt(1.0 + tau * tau))
+          val c = 1.0 / math.sqrt(1.0 + t * t)
+          val s = t * c
+          for (i <- 0 until d) {
+            val (aip, aiq) = (a(i)(pp), a(i)(qq))
+            a(i)(pp) = c * aip - s * aiq
+            a(i)(qq) = s * aip + c * aiq
+          }
+          for (i <- 0 until d) {
+            val (api, aqi) = (a(pp)(i), a(qq)(i))
+            a(pp)(i) = c * api - s * aqi
+            a(qq)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until d) {
+            val (vip, viq) = (vm(i)(pp), vm(i)(qq))
+            vm(i)(pp) = c * vip - s * viq
+            vm(i)(qq) = s * vip + c * viq
+          }
+        }
+      }
+      for (i <- 0 until d; j <- 0 until d) { a(i)(j) = q9(a(i)(j)); vm(i)(j) = q9(vm(i)(j)) }
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    (order.map(i => a(i)(i)).toIndexedSeq,
+      order.map(i => (0 until d).map(r => vm(r)(i)).toIndexedSeq).toIndexedSeq,
+      sVec.toIndexedSeq, trace, n)
+  }
+
+  /** PCA spectrum of the embedding column — the variance structure a
+    * curation pipeline reads before whitening, OPQ-style rotation, or
+    * dimension reduction (how many components carry the corpus). Exact
+    * contract, mirrored by the independent sequential model:
+    * per-row micro-quantization → EXACT integer (S, P) sums (distributed,
+    * one corpus pass, d²-sized exchange) → covariance assembled on the
+    * driver in a fixed op order → `sweeps` cyclic Jacobi sweeps with the
+    * whole state quantized to 1e-9 after each sweep (so two independent
+    * rotation-loop implementations cannot drift apart) → eigenvalues
+    * ranked (desc, index). Output one row per top component:
+    * `(component, eigenvalue_e9, evr_ppm)` — eigenvalue in nano-units and
+    * explained-variance ratio in parts-per-million of the (pre-rotation)
+    * trace.
+    *
+    * Scale shape: the corpus is touched ONCE; everything after is d²-sized
+    * (codebook-collect discipline — d=64 here; the d³ driver Jacobi holds
+    * to d ≈ 2k, beyond which a randomized/partial eigensolver replaces
+    * this step, same pipeline shape). Long products bound: |q| ≤ 2e6 ⇒
+    * |p| ≤ 4e12 ⇒ overflow at n ≈ 2.3e6 rows per (j,k) group — shift the
+    * sum to DECIMAL(38,0) past that corpus size.
+    */
+  def pcaSpectrum(emb: DataFrame, topK: Int = 16, sweeps: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (eig, _, _, trace, _) = pcaEigen(emb, sweeps)
+    require(trace > 0, s"pca needs positive total variance, got $trace")
+    eig.take(topK).zipWithIndex.map { case (l, i) =>
+      (i.toLong, math.rint(l * 1e9).toLong, math.rint(l / trace * 1e6).toLong)
+    }.toDF("component", "eigenvalue_e9", "evr_ppm").orderBy("component")
+  }
+
+  /** Project embeddings onto the top `p` principal components (centered):
+    * `(vec_id, proj ARRAY<DOUBLE>)`. One corpus pass against the broadcast
+    * (literal) eigenvector matrix — the dimension-reduction / whitening
+    * companion of [[pcaSpectrum]]; suite-verified (per-component projected
+    * variance ≈ the eigenvalue), not gate-compared (sign of an eigenvector
+    * is arbitrary, so cross-engine equality would need a sign contract the
+    * spectrum gate doesn't).
+    */
+  def pcaProject(emb: DataFrame, p: Int = 8, sweeps: Int = 10): DataFrame = {
+    require(p >= 1, s"p must be >= 1, got $p")
+    val (_, vecs, s, _, n) = pcaEigen(emb, sweeps)
+    val mean = s.map(x => x.toDouble / n / 1e6)
+    val comps = vecs.take(p)
+    val centered = transform(asDouble(col("embedding")), (x, i) =>
+      x - element_at(typedLit(mean), i + 1))
+    val projCols = comps.map(c => dot(centered, typedLit(c)))
+    emb.select(col("vec_id").cast("long").as("vec_id"), array(projCols: _*).as("proj"))
+  }
 }

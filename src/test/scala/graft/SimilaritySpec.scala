@@ -412,4 +412,56 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(maj.toSeq === Seq((0L, 9L, 2L)))
   }
+
+  test("pcaSpectrum: a dominant axis carries the variance; spectrum matches the mirror") {
+    // points spread along (1,1,0)/√2 with small noise on the other axes:
+    // the top eigenvalue must dominate and its evr be near 1e6 ppm
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map { i =>
+      val t = rnd.nextFloat() * 4f - 2f
+      i -> Array(t + rnd.nextFloat() * 0.01f, t + rnd.nextFloat() * 0.01f, rnd.nextFloat() * 0.01f)
+    }
+    val got = Similarity.pcaSpectrum(embDF(vecs), topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = graft.llm.SequentialCorpus.pcaSpectrum(
+      vecs.map { case (i, a) => (i, a.map(_.toDouble).toIndexedSeq) }, topK = 3)
+    assert(got === expected)
+    assert(got.head._3 > 990000L, s"dominant axis should carry >99% variance, got ${got.head._3} ppm")
+    // eigenvalues ranked descending and non-negative up to the quantization grain
+    assert(got.map(_._2) === got.map(_._2).sorted.reverse)
+    assert(got.forall(_._2 >= -1L))
+  }
+
+  test("pcaSpectrum matches the mirror on real embeddings; evr sums to ~1e6 ppm") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.pcaSpectrum(e, topK = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)).toSeq
+    assert(got === graft.llm.SequentialCorpus.pcaSpectrum(vecs, topK = 64))
+    // full spectrum: explained-variance ratios must account for the trace
+    val total = got.map(_._3).sum
+    assert(math.abs(total - 1000000L) < 100L, s"evr sum $total ppm")
+  }
+
+  test("pcaProject: per-component projected variance reproduces the eigenvalue") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 80L).map(i =>
+      i -> Array.fill(6)(rnd.nextFloat() * 2f - 1f))
+    val e = embDF(vecs)
+    val spec = Similarity.pcaSpectrum(e, topK = 4).collect()
+      .map(r => r.getLong(1).toDouble / 1e9)
+    val proj = Similarity.pcaProject(e, p = 4).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq)
+    val n = proj.length
+    for (c <- 0 until 4) {
+      val xs = proj.map(_(c))
+      val mean = xs.sum / n
+      val varC = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(varC - spec(c)) < 1e-3,
+        s"component $c: projected variance $varC vs eigenvalue ${spec(c)}")
+    }
+  }
 }
