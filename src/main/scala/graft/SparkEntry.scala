@@ -2321,6 +2321,14 @@ object SparkEntry {
       // ignore length; uniform samples mirror the skew); integer
       // running-sum admission, content-addressed order
       Sampling.tokenBudgetMixture(Tables.documents(s, dir))),
+    "t32_dsir" -> ((s, dir) => // DSIR importance weights: log-likelihood
+      // ratio of each doc's hashed bag-of-words under the target (lang=en)
+      // vs raw unigram models — the importance-resampling data-selection
+      // score. Bucket counts are exact integers (one corpus pass); the
+      // per-bucket log-ratios are driver-computed micro-quantized literals
+      // (s9's broadcast-codebook discipline), so doc scores are exact
+      // integer sums; oracle = fully independent sequential mirror
+      Sampling.dsirWeights(Tables.documents(s, dir))),
     "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
     "d9_semantic_dedup" -> ((s, dir) => // SemDeDup-style resolution: CC over
       // the embedding-cosine pair graph (d5's banded-LSH path) -> one
@@ -3656,6 +3664,19 @@ object SparkEntry {
              |FROM (VALUES ${enc.map { case (sw, f) => s"('$sw', $f)" }.mkString(", ")}) AS t(s, f)
              |ORDER BY freq DESC, subword""".stripMargin))
     }
+    val dsirOracle: Map[String, String] = if (!want("t32_dsir")) Map.empty else {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val w = SequentialCorpus.dsirWeights(docs)
+      Map("t32_dsir" -> (
+        if (w.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS dsir_e6 WHERE 1 = 0"
+        else
+          s"""SELECT CAST(d AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS dsir_e6
+             |FROM (VALUES ${w.map { case (d, s) => s"($d, $s)" }.mkString(", ")}) AS t(d, w)
+             |ORDER BY doc_id""".stripMargin))
+    }
     val ssspOracle: Map[String, String] = if (!want("g45_sssp_fixpoint")) Map.empty else {
       val d = SequentialModel
         .dijkstra(DerivedGraphs.longHaulSeq(spark, sfDir), start = 0L).toSeq.sorted
@@ -3664,7 +3685,7 @@ object SparkEntry {
            |FROM (VALUES ${d.map { case (v, c) => s"($v, $c)" }.mkString(", ")}) AS t(v, c)
            |ORDER BY vertex""".stripMargin)
     }
-    (graphOracles ++ vecOracles ++ bpeOracles ++ ssspOracle ++ Map(
+    (graphOracles ++ vecOracles ++ bpeOracles ++ dsirOracle ++ ssspOracle ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line

@@ -221,6 +221,64 @@ object Sampling {
     require(!df.columns.contains(name),
       s"$op appends a '$name' column but the input already has one — rename it first")
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection with
+    * Importance Resampling"): score every document by how much more likely
+    * its hashed bag-of-words is under a TARGET distribution (here: the
+    * `lang = targetLang` slice) than under the raw corpus — the
+    * data-selection primitive that upsamples target-like documents from a
+    * huge raw pool. `weight = Σ_tokens log p̂_target(bucket)/p̂_raw(bucket)`
+    * with Laplace-smoothed bucket unigram models over `buckets` hashed
+    * features.
+    *
+    * Determinism contract: bucket counts are EXACT integers (one corpus
+    * pass, bucket-sized aggregate); the per-bucket log-ratios are computed
+    * ONCE on the driver and quantized to integer micro-units (`lam_e6` —
+    * the s9 broadcast-codebook-literal discipline, so no distributed float
+    * sum exists anywhere); a document's score is then the exact integer
+    * `Σ count·lam_e6` — order-independent. The oracle is a fully
+    * independent sequential mirror (own tokenizer, own md5 hash, own
+    * counts, same contract formula). Returns `(doc_id, dsir_e6)`; docs
+    * with zero tokens are absent (they carry no evidence either way).
+    *
+    * Scale shape: two bucket-keyed aggregates over the exploded token
+    * stream (map-side combined to ≤ `buckets` and |docs|·buckets groups);
+    * the driver holds 2·buckets longs; scoring joins each doc's bucket
+    * counts against the broadcast λ table. Nothing corpus-sized is ever
+    * collected, and a 10¹² -token corpus only grows the two scans.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("b", Hashing.hash60(col("tok")) % buckets)
+      .localCheckpoint(true) // two aggregates read it; don't re-tokenize
+    val stats = toks.groupBy("b")
+      .agg(count(lit(1)).as("raw"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt"))
+      .collect() // ≤ buckets rows, by contract
+    val raw = Array.ofDim[Long](buckets)
+    val tgt = Array.ofDim[Long](buckets)
+    stats.foreach { r => raw(r.getLong(0).toInt) = r.getLong(1); tgt(r.getLong(0).toInt) = r.getLong(2) }
+    val rTot = raw.sum
+    val tTot = tgt.sum
+    require(tTot > 0, s"dsirWeights: no tokens in target slice lang=$targetLang")
+    // Laplace-smoothed log-ratio per bucket, micro-quantized ON THE DRIVER
+    // (contract formula, restated by the mirror)
+    val lam = (0 until buckets).map { b =>
+      (b.toLong, math.rint(1e6 * (math.log((tgt(b) + 1.0) / (tTot + buckets))
+        - math.log((raw(b) + 1.0) / (rTot + buckets)))).toLong)
+    }
+    val lamDf = lam.toDF("b", "lam_e6")
+    toks.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(lamDf), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lam_e6")).as("dsir_e6"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB fragment for [[shuffleKey]] over key expression `x`. */
   def shuffleKeySql(x: String, seed: Long): String =
     Hashing.hash60Sql(s"($x)::VARCHAR || '#$seed'")

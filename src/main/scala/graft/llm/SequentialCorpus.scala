@@ -309,4 +309,46 @@ object SequentialCorpus {
       (rank.toLong, math.rint(a(i)(i) * 1e9).toLong, math.rint(a(i)(i) / trace * 1e6).toLong)
     }
   }
+
+  /** Independent md5-derived 60-bit hash (the `Hashing.hash60` contract,
+    * restated with `MessageDigest` instead of Spark expressions).
+    */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private def tokenize(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
+  /** DSIR importance weights; mirror of `Sampling.dsirWeights` — own
+    * tokenizer, own md5 hash, own count maps, the contract's smoothed
+    * log-ratio formula micro-quantized, exact integer doc scores.
+    * `docs` rows are `(doc_id, text, lang)`; returns `(doc_id, dsir_e6)`
+    * sorted, zero-token docs absent.
+    */
+  def dsirWeights(docs: Seq[(Long, String, String)], targetLang: String = "en",
+                  buckets: Int = 256): Seq[(Long, Long)] = {
+    val raw = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val tgt = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val perDoc = docs.map { case (id, text, lang) =>
+      val bs = tokenize(text).map(t => (hash60(t) % buckets).toInt)
+      bs.foreach { b =>
+        raw(b) += 1
+        if (lang == targetLang) tgt(b) += 1
+      }
+      (id, bs)
+    }
+    val rTot = raw.values.sum
+    val tTot = tgt.values.sum
+    require(tTot > 0, s"dsir mirror: no tokens in target slice lang=$targetLang")
+    val lam = (0 until buckets).map { b =>
+      math.rint(1e6 * (math.log((tgt(b) + 1.0) / (tTot + buckets))
+        - math.log((raw(b) + 1.0) / (rTot + buckets)))).toLong
+    }
+    perDoc.collect { case (id, bs) if bs.nonEmpty =>
+      (id, bs.foldLeft(0L)((s, b) => s + lam(b)))
+    }.sortBy(_._1)
+  }
 }

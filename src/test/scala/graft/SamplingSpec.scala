@@ -161,4 +161,31 @@ class SamplingSpec extends SparkSpec {
     assert(byLang === Map("en" -> 10, "de" -> 10, "fr" -> 4))
     assert(run() === got, "content-addressed: identical across runs")
   }
+
+  test("dsirWeights: target-vocabulary docs outscore off-target; equals the independent mirror") {
+    val s = spark
+    import s.implicits._
+    val rows: Seq[(Long, String, String)] = Seq(
+      // target slice (en) speaks one vocabulary, the rest another
+      (0L, "alpha beta gamma alpha beta", "en"),
+      (1L, "beta gamma alpha gamma", "en"),
+      (2L, "zulu yankee xray zulu", "de"),
+      (3L, "xray zulu yankee", "fr"),
+      // candidates: one target-like, one off-target, one mixed, one empty
+      (4L, "alpha beta alpha", "de"),
+      (5L, "zulu xray zulu", "es"),
+      (6L, "alpha zulu", "es"),
+      (7L, "###", "es"))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val got = Sampling.dsirWeights(d, targetLang = "en", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === graft.llm.SequentialCorpus.dsirWeights(rows, targetLang = "en", buckets = 64))
+    val byId = got.toMap
+    assert(!byId.contains(7L), "zero-token doc must be absent")
+    assert(byId(4L) > byId(6L) && byId(6L) > byId(5L),
+      s"target-like > mixed > off-target, got $byId")
+    // absolute sign is smoothing-dependent on a tiny corpus (raw ⊇ target),
+    // but the off-target doc must score clearly negative
+    assert(byId(5L) < 0)
+  }
 }
