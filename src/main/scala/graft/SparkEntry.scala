@@ -2329,6 +2329,20 @@ object SparkEntry {
       // (s9's broadcast-codebook discipline), so doc scores are exact
       // integer sums; oracle = fully independent sequential mirror
       Sampling.dsirWeights(Tables.documents(s, dir))),
+    "t33_logreg_train" -> ((s, dir) => // trainable quality classifier
+      // (fastText/CCNet-style): full-batch logistic GD where each step is
+      // ONE aggregate of nano-quantized per-row gradients against
+      // broadcast weight literals (exact long sums, order-independent);
+      // weights re-quantized to 1e-9 per step so the independent
+      // sequential mirror iterates from identical state
+      graft.llm.Classifier.trainQualityLogReg(
+        Tables.documents(s, dir), labelCol = col("lang") === "en")),
+    "t34_quality_scores" -> ((s, dir) => // scoring pass with FIXED weights
+      // (the deploy side of t33): logit w·x over the contract features in
+      // micro-units — fully SQL-expressible, so the oracle is a static
+      // DuckDB mirror of the whole feature pipeline (not VALUES)
+      graft.llm.Classifier.scoreDocs(Tables.documents(s, dir),
+        weightsE9 = Seq(-2000000000L, 500000000L, 300000000L, -1000000000L))),
     "d5_cosine_dup_pairs" -> ((s, dir) => Similarity.cosineDupPairs(Tables.embeddings(s, dir))),
     "d9_semantic_dedup" -> ((s, dir) => // SemDeDup-style resolution: CC over
       // the embedding-cosine pair graph (d5's banded-LSH path) -> one
@@ -3344,6 +3358,8 @@ object SparkEntry {
       s"""SELECT doc_id, ${Sampling.shuffleKeySql("doc_id", 7L)} AS shuffle_key
          |FROM documents ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
     "t31_token_mixture" -> Sampling.tokenBudgetMixtureSql(),
+    "t34_quality_scores" -> graft.llm.Classifier.scoreDocsSql(
+      Seq(-2000000000L, 500000000L, 300000000L, -1000000000L)),
     "t19_stratified_sample" ->
       s"""WITH s AS (SELECT lang, doc_id, ${Sampling.shuffleKeySql("doc_id", 11L)} AS shuffle_key
          |           FROM documents),
@@ -3664,6 +3680,16 @@ object SparkEntry {
              |FROM (VALUES ${enc.map { case (sw, f) => s"('$sw', $f)" }.mkString(", ")}) AS t(s, f)
              |ORDER BY freq DESC, subword""".stripMargin))
     }
+    val logRegOracle: Map[String, String] = if (!want("t33_logreg_train")) Map.empty else {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("text"), col("lang"))
+        .collect().map(r => (r.getString(0), if (r.getString(1) == "en") 1.0 else 0.0)).toSeq
+      val (w0, w1, w2, w3, nc, n) = SequentialCorpus.logRegTrain(docs)
+      Map("t33_logreg_train" ->
+        s"""SELECT CAST($w0 AS BIGINT) AS w0_e9, CAST($w1 AS BIGINT) AS w1_e9,
+           |CAST($w2 AS BIGINT) AS w2_e9, CAST($w3 AS BIGINT) AS w3_e9,
+           |CAST($nc AS BIGINT) AS n_correct, CAST($n AS BIGINT) AS n_docs""".stripMargin)
+    }
     val dsirOracle: Map[String, String] = if (!want("t32_dsir")) Map.empty else {
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("long"), col("text"), col("lang"))
@@ -3685,7 +3711,7 @@ object SparkEntry {
            |FROM (VALUES ${d.map { case (v, c) => s"($v, $c)" }.mkString(", ")}) AS t(v, c)
            |ORDER BY vertex""".stripMargin)
     }
-    (graphOracles ++ vecOracles ++ bpeOracles ++ dsirOracle ++ ssspOracle ++ Map(
+    (graphOracles ++ vecOracles ++ bpeOracles ++ dsirOracle ++ logRegOracle ++ ssspOracle ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line

@@ -351,4 +351,48 @@ object SequentialCorpus {
       (id, bs.foldLeft(0L)((s, b) => s + lam(b)))
     }.sortBy(_._1)
   }
+
+  /** Logistic-regression training; mirror of
+    * `Classifier.trainQualityLogReg`'s contract — own tokenizer/features
+    * (the contract's 4-feature order and stopword list restated), per-row
+    * nano-quantized gradient contributions summed exactly, weights
+    * 1e-9-quantized after each step. `docs` rows are `(text, y)`; returns
+    * `(w0_e9, w1_e9, w2_e9, w3_e9, n_correct, n_docs)`.
+    */
+  def logRegTrain(docs: Seq[(String, Double)], iters: Int = 15,
+                  lr: Double = 1.0): (Long, Long, Long, Long, Long, Long) = {
+    val stop = Set("the", "a", "an", "of", "to", "and", "in", "is", "it",
+      "for", "on", "with", "as", "at", "by")
+    def nano(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def q9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    val fv = docs.flatMap { case (text, y) =>
+      val ts = tokenize(text)
+      if (ts.isEmpty) None
+      else {
+        val n = ts.size
+        var charSum = 0L
+        var stopCount = 0
+        ts.foreach { t => charSum += t.length; if (stop(t)) stopCount += 1 }
+        Some((IndexedSeq(1.0, math.min(n, 500).toDouble / 100.0,
+          charSum.toDouble / n.toDouble, stopCount.toDouble / n.toDouble), y))
+      }
+    }
+    require(fv.nonEmpty, "logReg mirror needs at least one tokenized doc")
+    var w = IndexedSeq(0.0, 0.0, 0.0, 0.0)
+    def z(f: IndexedSeq[Double]): Double =
+      w.indices.foldLeft(0.0)((s, j) => s + w(j) * f(j))
+    for (_ <- 1 to iters) {
+      val g = Array.ofDim[Long](4)
+      fv.foreach { case (f, y) =>
+        val p = 1.0 / (1.0 + math.exp(-z(f)))
+        for (j <- 0 until 4) g(j) += nano((p - y) * f(j))
+      }
+      w = w.indices.map(j => q9(w(j) - lr * (g(j).toDouble / 1e9) / fv.size))
+    }
+    val correct = fv.count { case (f, y) => (if (z(f) >= 0) 1.0 else 0.0) == y }
+    (math.rint(w(0) * 1e9).toLong, math.rint(w(1) * 1e9).toLong,
+      math.rint(w(2) * 1e9).toLong, math.rint(w(3) * 1e9).toLong,
+      correct.toLong, fv.size.toLong)
+  }
 }
