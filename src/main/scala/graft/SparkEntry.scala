@@ -1009,6 +1009,28 @@ object SparkEntry {
           .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
       }.reduce(_ unionByName _).orderBy("version")
     }),
+    "f16_log_restore" -> ((s, dir) => {
+      // RESTORE as a metadata-only commit: v0 = keys < 10, v1 = overwrite
+      // with the complement, v2 = restore(0) — the head re-references v0's
+      // files (no data rewrite; the restore commit is one log file), the
+      // "bad" v1 stays inspectable, and the restored head reads exactly
+      // v0's content THROUGH the log. Oracle: the same snapshot derived
+      // straight from the source.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-restore-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      t.overwrite(nat.filter(col("n_nationkey") < 10))
+      t.overwrite(nat.filter(col("n_nationkey") >= 10))
+      val head = t.restore(0L)
+      t.read().agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
+        .select(lit(head).as("version"), col("n_rows"), col("sum_key"))
+    }),
     "f14_log_merge" -> ((s, dir) => {
       // MERGE INTO bound to the commit log: v0 = the full projection, v1 =
       // one atomic merge commit applying updates (region bumped for keys
@@ -2754,6 +2776,10 @@ object SparkEntry {
         |UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
         |UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
         |ORDER BY version""".stripMargin,
+    "f16_log_restore" -> // the restored head (version 2) carries exactly
+      // v0's snapshot
+      """SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |       SUM(n_nationkey)::BIGINT AS sum_key FROM nation WHERE n_nationkey < 10""".stripMargin,
     "f14_log_merge" -> // the merged snapshot derived straight from the
       // source: survivors are keys < 20 (region + 100 below key 5) plus
       // the inserted (99, region 42)

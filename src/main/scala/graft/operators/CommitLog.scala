@@ -301,36 +301,64 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
           addsOf(prev.get).collect().map(r =>
             (relativize(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
         else Seq.empty
-      val lines =
-        s"""{"type": "commit", "version": $version, "op": ${jsonStr(op)}}""" +:
-          (carried ++ stats.toSeq).map { case (p, lo, hi, n) =>
-            s"""{"type": "add", "version": $version, "path": ${jsonStr(p)}, "lo": $lo, "hi": $hi, "n": $n}"""
-          }
-      fs.mkdirs(logDir)
-      // publish = write the FULL content to an invisible temp name, then
-      // rename-without-overwrite onto the version file. The rename is the
-      // same atomic create-if-absent primitive (exactly one writer wins a
-      // version), but the version only ever becomes visible fully written —
-      // no reader can observe a zero-length/partial head, and a crash
-      // mid-write leaves only an inert .tmp-* file versions() ignores
-      val tmp = new Path(logDir, s".tmp-$nonce.json")
-      val out = fs.create(tmp, true)
-      try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          logDir.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, logFile(version)) // default Rename.NONE: fails if dest exists
-      } catch { case e: java.io.IOException =>
-        fs.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"version $version at $path was committed by another writer", e)
-      }
-      version
+      publish(version, op, carried ++ stats.toSeq)
     } catch {
       case e: Throwable =>
         fs.delete(dataDir, true) // staged data of a failed commit is garbage
         throw e
     }
+  }
+
+  /** Publish a commit's log entry: write the FULL content to an invisible
+    * temp name, then rename-without-overwrite onto the version file. The
+    * rename is the same atomic create-if-absent primitive (exactly one
+    * writer wins a version), but the version only ever becomes visible
+    * fully written — no reader can observe a zero-length/partial head, and
+    * a crash mid-write leaves only an inert .tmp-* file versions() ignores.
+    */
+  private def publish(version: Long, op: String,
+                      adds: Seq[(String, Long, Long, Long)]): Long = {
+    val lines =
+      s"""{"type": "commit", "version": $version, "op": ${jsonStr(op)}}""" +:
+        adds.map { case (p, lo, hi, n) =>
+          s"""{"type": "add", "version": $version, "path": ${jsonStr(p)}, "lo": $lo, "hi": $hi, "n": $n}"""
+        }
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        logDir.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, logFile(version)) // default Rename.NONE: fails if dest exists
+    } catch { case e: java.io.IOException =>
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"version $version at $path was committed by another writer", e)
+    }
+    version
+  }
+
+  /** RESTORE the table to the content of `toVersion` as a NEW commit that
+    * RE-REFERENCES that version's files — metadata-only, like Delta's
+    * RESTORE: no data is rewritten (a 100 TB rollback costs one log file),
+    * history is preserved (the bad versions stay inspectable via [[asOf]];
+    * the restore is itself just the next version), and [[vacuum]]'s
+    * reference counting protects the re-referenced directories because
+    * they appear in the new head's file list. Fails loudly if any
+    * restored file was already vacuumed (the version is no longer
+    * restorable); concurrent commits race on the same atomic
+    * rename-publish as every commit.
+    */
+  def restore(toVersion: Long): Long = {
+    val version = nextVersion()
+    val adds = addsOf(toVersion).collect().map(r =>
+      (relativize(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    adds.foreach { case (p, _, _, _) =>
+      require(fs.exists(new Path(path, p)),
+        s"restore($toVersion) at $path: file $p was vacuumed — version no longer restorable")
+    }
+    publish(version, "restore", adds)
   }
 }

@@ -225,4 +225,41 @@ class CommitLogSpec extends SparkSpec {
     assert(new CommitTable(spark, dir, "k").latestVersion() === Some(1L))
     assert(rows(new CommitTable(spark, dir, "k").read()) === Set(1L -> "a", 2L -> "b"))
   }
+
+  test("restore is metadata-only: head re-references old files, no data rewrite, history intact") {
+    val t = freshTable()
+    val dir = java.nio.file.Files.createTempDirectory("graft-restore-spec").toString
+    val tt = new CommitTable(spark, dir, "k")
+    tt.overwrite(kv(1L -> "a", 2L -> "b"))
+    tt.overwrite(kv(9L -> "bad"))
+    def dataDirs() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("d")).map(_.getName).toSet
+    val before = dataDirs()
+    assert(tt.restore(0L) === 2L)
+    // METADATA-ONLY: not a single new data directory
+    assert(dataDirs() === before)
+    // restored head = v0's content; the bad version stays inspectable
+    assert(rows(tt.read()) === Set(1L -> "a", 2L -> "b"))
+    assert(rows(tt.asOf(1L)) === Set(9L -> "bad"))
+    // and the restore is itself an ordinary version: a later commit stacks on it
+    tt.append(kv(3L -> "c"))
+    assert(rows(tt.read()) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    val _ = t // silence unused fresh table
+  }
+
+  test("vacuum protects restore-re-referenced directories; vacuumed versions refuse to restore") {
+    val t = freshTable()
+    t.overwrite(kv(1L -> "a"))
+    t.overwrite(kv(2L -> "b"))
+    t.restore(0L) // head v2 references v0's directory
+    // keepLast = 1 keeps only the head — but the head's file list IS v0's
+    // directory, so reference counting must spare it (v1's dir is reclaimed)
+    assert(t.vacuum(keepLast = 1) === 1L)
+    assert(rows(t.read()) === Set(1L -> "a"))
+    // v1's files are gone: restoring to it must fail loudly, not commit an
+    // unreadable head
+    val e = intercept[IllegalArgumentException](t.restore(1L))
+    assert(e.getMessage.contains("vacuumed"))
+    assert(t.latestVersion() === Some(2L), "failed restore must not commit")
+  }
 }
