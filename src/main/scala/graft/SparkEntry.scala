@@ -1916,6 +1916,38 @@ object SparkEntry {
         .select(lit(t.versions().length.toLong).as("n_versions"),
           col("n_rows"), col("sum_event"), col("sum_user"))
     }),
+    "st16_stream_log_source" -> ((s, dir) => {
+      // streaming SOURCE over the commit log (st15's read half, Delta's
+      // streaming-source shape): three committed versions, then a REAL
+      // StreamExecution follows _log/ with the file streaming source —
+      // each discovered version file (atomic rename ⇒ never partial)
+      // yields that version's change feed through the log API. Output =
+      // per-version insert/delete counts, identical however discovery
+      // batches the files. Oracle: the same change sets derived straight
+      // from the source table.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-slogsrc-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      t.overwrite(nat.filter(col("n_nationkey") < 10))
+      t.append(nat.filter(col("n_nationkey") >= 10))
+      t.overwrite(nat.filter(col("n_nationkey") % 2 === 0))
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        val r = cdf.agg(
+          sum(when(col("change_type") === "insert", 1L).otherwise(0L)).as("i"),
+          sum(when(col("change_type") === "delete", 1L).otherwise(0L)).as("d")).head()
+        acc += ((v, r.getLong(0), r.getLong(1)))
+      })
+      import s.implicits._
+      acc.sortBy(_._1).toSeq.toDF("version", "n_inserts", "n_deletes")
+    }),
     "st14_stream_upsert" -> ((s, dir) => {
       // the foreachBatch CDC-apply pattern in batch mode: two
       // deterministic "micro-batches" (event_id parity) folded into a
@@ -2775,6 +2807,16 @@ object SparkEntry {
         |       SUM(n_nationkey)::BIGINT AS sum_key FROM nation WHERE n_nationkey < 10
         |UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
         |UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey)::BIGINT FROM nation
+        |ORDER BY version""".stripMargin,
+    "st16_stream_log_source" -> // the three change sets derived straight
+      // from the source: v0 = keys < 10 (initial inserts), v1 = append of
+      // the rest (inserts only), v2 = overwrite keeping evens (deletes =
+      // the odd keys present in v1)
+      """SELECT CAST(0 AS BIGINT) AS version,
+        |       (SELECT COUNT(*) FROM nation WHERE n_nationkey < 10) AS n_inserts,
+        |       CAST(0 AS BIGINT) AS n_deletes
+        |UNION ALL SELECT 1, (SELECT COUNT(*) FROM nation WHERE n_nationkey >= 10), 0
+        |UNION ALL SELECT 2, 0, (SELECT COUNT(*) FROM nation WHERE n_nationkey % 2 = 1)
         |ORDER BY version""".stripMargin,
     "f16_log_restore" -> // the restored head (version 2) carries exactly
       // v0's snapshot

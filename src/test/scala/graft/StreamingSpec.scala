@@ -541,4 +541,24 @@ class StreamingSpec extends SparkSpec {
     assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
       (1L to 40L).map(i => (i, s"v$i")).toSet)
   }
+
+  test("streaming commit-log source: one content-exact change feed per committed version") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-clogsrc")
+    val tp = root.resolve("tbl").toString
+    val t = new graft.operators.CommitTable(s, tp, "k")
+    def kv(pairs: (Long, String)*) = pairs.toDF("k", "v")
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    t.append(kv(3L -> "c"))
+    t.overwrite(kv(2L -> "b", 9L -> "z"))
+    val acc = scala.collection.mutable.Map.empty[Long, Set[(Long, String, String)]]
+    graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+      acc(v) = cdf.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    })
+    assert(acc.keySet === Set(0L, 1L, 2L))
+    assert(acc(0L) === Set((1L, "a", "insert"), (2L, "b", "insert")))
+    assert(acc(1L) === Set((3L, "c", "insert")))
+    assert(acc(2L) === Set((9L, "z", "insert"), (1L, "a", "delete"), (3L, "c", "delete")))
+  }
 }
