@@ -313,6 +313,19 @@ object SparkEntry {
       t.overwrite(e.filter(col("src") % 7 =!= 0))
       graft.graph.IncrementalViews.maintainedDegrees(t, 0L, 2L).orderBy("vertex")
     }),
+    "g50_matching" -> ((s, dir) =>
+      // maximal matching (MIS on the line graph), deterministic parallel
+      // greedy: per round the (π,a,b)-minimal active edge at BOTH
+      // endpoints matches, then its endpoints deactivate; equals
+      // sequential greedy in priority order (the independent oracle);
+      // matched endpoints = the classic 2-approx vertex cover
+      Analytics.maximalMatching(DerivedGraphs.small(s, dir))),
+    "g51_coreness" -> ((s, dir) =>
+      // FULL core decomposition (g14 answers one k): H-index fixpoint
+      // from c=deg — per round one edge pass + a vertex-keyed
+      // max(least(rank, c)) H-index aggregate, convergence-detected;
+      // oracle = independent Batagelj–Zaversnik min-degree peeling
+      Analytics.coreness(DerivedGraphs.small(s, dir))),
     "g47_mis" -> ((s, dir) =>
       // maximal independent set, deterministic-Luby rounds: (π, id)
       // local minima join per round, then deactivate with their whole
@@ -2158,6 +2171,13 @@ object SparkEntry {
       // passes on top of the shared Lloyd core (the final assignment frame
       // already carries all k distances)
       Similarity.kMeansSilhouette(Tables.embeddings(s, dir), k = 8, numIter = 5)),
+    "s16_jl_sketch" -> ((s, dir) => // Johnson–Lindenstrauss random
+      // projection: data-INdependent dimensionality reduction (planes from
+      // the seed alone — no corpus statistics, so it composes with
+      // streaming ingest, unlike PCA's two-pass fit); one scan against
+      // broadcast literal planes, micro-quantized codegen'd dots compared
+      // exactly against the same fold in DuckDB
+      Similarity.jlSketch(Tables.embeddings(s, dir))),
     "s15_pca" -> ((s, dir) => // PCA spectrum of the corpus embeddings —
       // the variance structure read before whitening / OPQ rotation /
       // dimension reduction: ONE corpus pass into exact integer (S, P)
@@ -2383,6 +2403,11 @@ object SparkEntry {
       // (s9's broadcast-codebook discipline), so doc scores are exact
       // integer sums; oracle = fully independent sequential mirror
       Sampling.dsirWeights(Tables.documents(s, dir))),
+    "t35_gopher_rules" -> ((s, dir) => // Gopher-style composite quality
+      // rules: word count, mean word length, stopword presence, top-word
+      // repetition ratio — all integer thousandths, composite keep
+      // verdict; one row-local pass + one (doc, token)-count exchange
+      graft.llm.TextOps.gopherQualityFlags(Tables.documents(s, dir))),
     "t33_logreg_train" -> ((s, dir) => // trainable quality classifier
       // (fastText/CCNet-style): full-batch logistic GD where each step is
       // ONE aggregate of nano-quantized per-row gradients against
@@ -3356,6 +3381,7 @@ object SparkEntry {
     "s7_pq_rerank" -> Similarity.pqTopKSql(),
     "s8_knn_classify" -> Similarity.knnClassifySql(),
     "s6_gram_matrix" -> Similarity.gramMatrixSql(),
+    "s16_jl_sketch" -> Similarity.jlSketchSql(),
     "f7_dsv2_matrix" -> // same degrees from the source derivation (+1 shift)
       s"""WITH e AS (${DerivedGraphs.smallSql})
          |SELECT src + 1 AS src, COUNT(*)::BIGINT AS outdeg,
@@ -3428,6 +3454,7 @@ object SparkEntry {
     "t31_token_mixture" -> Sampling.tokenBudgetMixtureSql(),
     "t34_quality_scores" -> graft.llm.Classifier.scoreDocsSql(
       Seq(-2000000000L, 500000000L, 300000000L, -1000000000L)),
+    "t35_gopher_rules" -> graft.llm.TextOps.gopherQualityFlagsSql(),
     "t19_stratified_sample" ->
       s"""WITH s AS (SELECT lang, doc_id, ${Sampling.shuffleKeySql("doc_id", 11L)} AS shuffle_key
          |           FROM documents),
@@ -3541,7 +3568,8 @@ object SparkEntry {
       Seq("g8_dfs_preorder", "g9_dfs_leaves", "g14_kcore", "g15_label_propagation",
         "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness",
         "g36_modularity", "g41_louvain_sweep", "g42_spanning_forest",
-        "g44_louvain_full", "g47_mis", "g48_coloring", "g49_densest")
+        "g44_louvain_full", "g47_mis", "g48_coloring", "g49_densest",
+        "g50_matching", "g51_coreness")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -3589,6 +3617,26 @@ object SparkEntry {
         else
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
              |FROM (VALUES ${lv.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
+             |ORDER BY vertex""".stripMargin
+      },
+      "g50_matching" -> {
+        val m = SequentialModel.greedyMatching(edges)
+        if (m.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE 1 = 0"
+        else
+          s"""SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+             |FROM (VALUES ${m.map { case (a, b) => s"($a, $b)" }.mkString(", ")}) AS t(a, b)
+             |ORDER BY a, b""".stripMargin
+      },
+      "g51_coreness" -> {
+        // independent Batagelj–Zaversnik peeling (different algorithm from
+        // the H-index fixpoint; both exact)
+        val cs = SequentialModel.coreness(edges).toSeq.sorted
+        if (cs.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS coreness WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(c AS BIGINT) AS coreness
+             |FROM (VALUES ${cs.map { case (v, c) => s"($v, $c)" }.mkString(", ")}) AS t(v, c)
              |ORDER BY vertex""".stripMargin
       },
       "g47_mis" -> {

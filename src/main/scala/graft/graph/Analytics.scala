@@ -1603,6 +1603,107 @@ object Analytics {
     colored.orderBy("vertex")
   }
 
+  /** Maximal matching — deterministic parallel greedy (the MIS construction
+    * on the LINE graph): per round, an active edge (both endpoints
+    * unmatched) enters the matching iff its `(π, a, b)` priority is minimal
+    * among active edges sharing either endpoint; matched endpoints then
+    * deactivate every incident edge. Equals the sequential greedy matching
+    * in priority order (the independent oracle), in O(log n) expected
+    * rounds. The matched endpoint set is the classic 2-approximate VERTEX
+    * COVER — exposed as the `in_cover` marker on both endpoints. Returns
+    * matched edges `(a, b)` sorted.
+    *
+    * Scale: each round is two joins against the vertex "unmatched" set +
+    * one self-join-free min-aggregate per endpoint (two edge-keyed
+    * aggregates), with the active edge relation shrinking geometrically.
+    */
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 256): DataFrame = {
+    val und0 = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    // edge priority: LCG over the packed pair — same family as priorityCol,
+    // tie-broken by (a, b) for a strict total order
+    var active = und0
+      .withColumn("pri", ((col("a") * 1000003L + col("b")) * 1103515245L + 12345L) % 2147483647L)
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var rounds = 0
+    var activeRows = active.count()
+    while (activeRows > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"maximalMatching exceeded $maxRounds rounds — check the graph")
+      // per endpoint: the minimum (pri, a, b) among its active edges; an
+      // edge wins iff it is the minimum at BOTH endpoints
+      val key = struct(col("pri"), col("a"), col("b"))
+      val perVertex = active.select(col("a").as("v"), key.as("k"))
+        .union(active.select(col("b").as("v"), key.as("k")))
+        .groupBy("v").agg(min(col("k")).as("mn"))
+      val winners = active
+        .join(perVertex.select(col("v").as("a"), col("mn").as("mna")), "a")
+        .join(perVertex.select(col("v").as("b"), col("mn").as("mnb")), "b")
+        .filter(key === col("mna") && key === col("mnb"))
+        .select("a", "b").localCheckpoint(true)
+      out += winners
+      val matched = winners.select(col("a").as("v"))
+        .union(winners.select(col("b").as("v"))).distinct()
+      active = active
+        .join(matched.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
+        .join(matched.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
+        .localCheckpoint(true)
+      activeRows = active.count()
+    }
+    if (out.isEmpty) edges.sparkSession.range(0)
+      .select(col("id").as("a"), col("id").as("b"))
+    else out.reduce(_ union _).orderBy("a", "b")
+  }
+
+  /** Core decomposition — the CORENESS of every vertex (the largest k such
+    * that v survives in the k-core; g14 answers one fixed k) via the
+    * H-index fixpoint (Lü et al. 2016): start at c(v) = deg(v), repeatedly
+    * set c(v) to the H-index of its neighbors' current values (the largest
+    * h with ≥ h neighbors at c ≥ h); values decrease monotonically and the
+    * fixpoint is EXACTLY the coreness. The sequential oracle is the
+    * independent Batagelj–Zaversnik min-degree peeling — a different
+    * algorithm entirely, agreeing only because both are exact.
+    * Returns `(vertex, coreness)` sorted; converges in a handful of rounds
+    * on real graphs (loud cap), each round one edge pass + one
+    * vertex-keyed H-index aggregate (`max(least(rank, c))` over the
+    * desc-sorted neighbor values — a window + aggregate, no iteration
+    * over h).
+    *
+    * Scale: the edge relation partitions once (checkpointed); per round
+    * only vertex-sized (v, c) tables shuffle. Convergence detection is one
+    * `count()` of changed vertices — rounds stop exactly at the fixpoint
+    * instead of a guessed iteration count.
+    */
+  def coreness(edges: DataFrame, maxRounds: Int = 128): DataFrame = {
+    val sym = symmetric(edges)
+    var c = sym.groupBy(col("a").as("vertex")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("nc").desc, col("b"))
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"coreness exceeded $maxRounds rounds — check the graph")
+      val next = sym
+        .join(c.select(col("vertex").as("b"), col("c").as("nc")), "b")
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("a").as("vertex"))
+        .agg(max(least(col("rn").cast("long"), col("nc"))).as("c"))
+        .localCheckpoint(true)
+      changed = next.join(c.withColumnRenamed("c", "c0"), "vertex")
+        .filter(col("c") =!= col("c0")).count()
+      c = next
+    }
+    c.select(col("vertex"), col("c").as("coreness")).orderBy("vertex")
+  }
+
   /** Densest-subgraph 2(1+ε)-approximation by parallel peeling (the
     * MapReduce-friendly batch form, ε = 1/10): per round drop EVERY vertex
     * whose degree is ≤ 2(1+ε)·|E|/|V| — an EXACT integer test,

@@ -404,6 +404,49 @@ object SequentialModel {
     color.toMap
   }
 
+  /** Sequential greedy maximal matching in edge-priority order — the
+    * independent oracle for the distributed parallel rounds (MIS on the
+    * line graph; the fixpoint provably equals this greedy). The edge
+    * priority LCG is part of the operator contract. Returns matched
+    * `(a, b)` pairs sorted.
+    */
+  def greedyMatching(edges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val und = edges.collect { case (s, d) if s != d =>
+      (math.min(s, d), math.max(s, d)) }.distinct
+    def pri(e: (Long, Long)): Long =
+      ((e._1 * 1000003L + e._2) * 1103515245L + 12345L) % 2147483647L
+    val matched = scala.collection.mutable.HashSet.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (e <- und.sortBy(e => (pri(e), e._1, e._2)))
+      if (!matched(e._1) && !matched(e._2)) {
+        matched += e._1; matched += e._2; out += e
+      }
+    out.toSeq.sorted
+  }
+
+  /** Exact coreness by Batagelj–Zaversnik min-degree peeling — an
+    * algorithm INDEPENDENT of the distributed H-index fixpoint (they agree
+    * because both are exact). Returns vertex → coreness.
+    */
+  def coreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = undirectedAdj(edges)
+    val deg = scala.collection.mutable.HashMap.empty[Long, Int]
+    adj.foreach { case (v, ns) => deg(v) = ns.size }
+    val core = scala.collection.mutable.HashMap.empty[Long, Long]
+    val remaining = scala.collection.mutable.HashSet.empty[Long] ++ adj.keys
+    var k = 0L
+    while (remaining.nonEmpty) {
+      val ready = remaining.filter(v => deg(v) <= k)
+      if (ready.isEmpty) k += 1
+      else ready.foreach { v =>
+        core(v) = k
+        remaining -= v
+        adj(v).foreach(u => if (remaining(u)) deg(u) -= 1)
+      }
+    }
+    core.toMap
+  }
+
   /** Sequential mirror of the batch densest-subgraph peeling (ε = 1/10):
     * per round drop every vertex with `10·deg·|V| ≤ 22·|E|`, track the best
     * `E/V` snapshot by cross-multiplication (first round wins ties).

@@ -1239,6 +1239,52 @@ object Similarity {
       sVec.toIndexedSeq, trace, n)
   }
 
+  /** Johnson–Lindenstrauss random-projection sketch: project every
+    * embedding onto `numPlanes` seeded Gaussian hyperplanes — the
+    * data-independent dimensionality reduction (Achlioptas/JL: pairwise
+    * distances are preserved within (1±ε) at k = O(log n / ε²) planes,
+    * estimated as sketch-distance²/k — the scaling applies at
+    * estimation time, the sketch stores raw projections). Where [[pcaProject]]
+    * learns directions from the corpus (two passes: moments + project), the
+    * JL sketch needs ZERO corpus statistics — one pass, planes derived from
+    * the seed alone, so it composes with streaming ingest and never needs
+    * refitting as the corpus grows. `(vec_id, plane, coord_e6)` — one row
+    * per projection, micro-quantized (the dot is the codegen'd
+    * left-to-right fold both engines compute bit-identically, so the gate
+    * compare is exact).
+    *
+    * Scale shape: one corpus scan against numPlanes×dim broadcast literal
+    * doubles; output is k rows per vector, no shuffle at all (the orderBy
+    * is gate-presentation, dropped in production).
+    */
+  def jlSketch(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64,
+               seed: Long = 7L): DataFrame = {
+    require(numPlanes >= 1, s"numPlanes must be >= 1, got $numPlanes")
+    val pl = planes(numPlanes, dim, seed)
+    val v = emb.select(col("vec_id").cast("long").as("vec_id"),
+      asDouble(col("embedding")).as("e"))
+    val cols = pl.zipWithIndex.map { case (p, i) =>
+      struct(lit(i.toLong).as("plane"),
+        round(dot(col("e"), typedLit(p.toIndexedSeq)) * 1e6).cast("long").as("coord_e6"))
+    }
+    v.select(col("vec_id"), explode(array(cols: _*)).as("s"))
+      .select(col("vec_id"), col("s.plane"), col("s.coord_e6"))
+      .orderBy("vec_id", "plane")
+  }
+
+  /** DuckDB mirror of [[jlSketch]] — same seeded planes as round-trip
+    * double literals, same fold, same micro rounding.
+    */
+  def jlSketchSql(numPlanes: Int = 8, dim: Int = 64, seed: Long = 7L): String = {
+    val pl = planes(numPlanes, dim, seed)
+    val arms = pl.zipWithIndex.map { case (p, i) =>
+      s"SELECT vec_id, CAST($i AS BIGINT) AS plane, round(list_dot_product(e, ${sqlVec(p)}) * 1e6)::BIGINT AS coord_e6 FROM v"
+    }.mkString("\n|UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+       |$arms
+       |ORDER BY vec_id, plane""".stripMargin
+  }
+
   /** PCA spectrum of the embedding column — the variance structure a
     * curation pipeline reads before whitening, OPQ-style rotation, or
     * dimension reduction (how many components carry the corpus). Exact

@@ -1008,4 +1008,82 @@ object TextOps {
        |       SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
        |FROM sh s JOIN f ON s.shingle = f.shingle
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** Gopher-style composite quality rules (Rae et al. 2021 §A1.1 adapted to
+    * the tokenizer): per document the rule signals — word count, mean word
+    * length (integer thousandths), distinct-stopword presence, and the
+    * top-word repetition ratio (integer thousandths — the "fraction of the
+    * doc that is one token" repetition signal) — plus the composite `keep`
+    * verdict under the threshold contract. ALL integer arithmetic
+    * (count·1000 div count), so the gate compares exactly; the oracle is a
+    * STATIC DuckDB mirror of the whole derivation.
+    * `(doc_id, n_words, mean_len_e3, distinct_stop, top_ratio_e3, keep)`;
+    * zero-token docs are absent (unscorable, a pipeline drops them
+    * upstream).
+    *
+    * Scale shape: one pass for the per-doc aggregates (row-local array
+    * expressions, no shuffle); the top-word count is the one exchange —
+    * explode → (doc, token) count with map-side combine → per-doc max.
+    * Everything exchanged is (long, long).
+    */
+  def gopherQualityFlags(docs: DataFrame,
+                         minWords: Int = 40, maxWords: Int = 100000,
+                         minMeanLenE3: Int = 3000, maxMeanLenE3: Int = 8000,
+                         minDistinctStop: Int = 2,
+                         maxTopRatioE3: Int = 120): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = typedLit(Classifier.Stopwords)
+    val base = docs.filter(size(toks) >= 1)
+      .select(col("doc_id").cast("long").as("doc_id"), toks.as("ws"))
+    val f = base.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n"),
+      aggregate(col("ws"), lit(0L), (acc, t) => acc + length(t)).as("char_sum"),
+      size(array_distinct(filter(col("ws"), t => array_contains(stop, t))))
+        .cast("long").as("distinct_stop"))
+    val topC = base.select(col("doc_id"), explode(col("ws")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"))
+    f.join(topC, "doc_id")
+      .select(col("doc_id"),
+        col("n").as("n_words"),
+        expr("char_sum * 1000 div n").as("mean_len_e3"),
+        col("distinct_stop"),
+        expr("top_c * 1000 div n").as("top_ratio_e3"))
+      .withColumn("keep",
+        when(col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_len_e3") >= minMeanLenE3 && col("mean_len_e3") <= maxMeanLenE3 &&
+          col("distinct_stop") >= minDistinctStop &&
+          col("top_ratio_e3") <= maxTopRatioE3, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[gopherQualityFlags]] — same tokenizer, stopword
+    * list, integer thousandths, and threshold contract.
+    */
+  def gopherQualityFlagsSql(minWords: Int = 40, maxWords: Int = 100000,
+                            minMeanLenE3: Int = 3000, maxMeanLenE3: Int = 8000,
+                            minDistinctStop: Int = 2,
+                            maxTopRatioE3: Int = 120): String = {
+    val stopList = Classifier.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, len(ws)::BIGINT AS n,
+       |         list_sum(list_transform(ws, t -> len(t)))::BIGINT AS char_sum,
+       |         len(list_distinct(list_filter(ws, t -> t IN ($stopList))))::BIGINT AS distinct_stop
+       |  FROM toks WHERE len(ws) >= 1),
+       |tc AS (
+       |  SELECT doc_id, MAX(c) AS top_c
+       |  FROM (SELECT doc_id, u.t, COUNT(*) AS c FROM toks, UNNEST(ws) AS u(t) GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT f.doc_id, n AS n_words, char_sum * 1000 // n AS mean_len_e3,
+       |       distinct_stop, top_c * 1000 // n AS top_ratio_e3,
+       |       CASE WHEN n >= $minWords AND n <= $maxWords
+       |             AND char_sum * 1000 // n BETWEEN $minMeanLenE3 AND $maxMeanLenE3
+       |             AND distinct_stop >= $minDistinctStop
+       |             AND top_c * 1000 // n <= $maxTopRatioE3
+       |            THEN 1 ELSE 0 END::BIGINT AS keep
+       |FROM f JOIN tc USING (doc_id) ORDER BY f.doc_id""".stripMargin
+  }
 }

@@ -726,6 +726,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Analytics.densestSubgraph(edgesDF(scala.util.Random.shuffle(k5 ++ tail))).collect().head)
   }
 
+  test("maximalMatching: valid, maximal, equals sequential greedy on random graphs") {
+    val rnd = new scala.util.Random(103)
+    for (seed <- 1 to 4) {
+      val edges = (1 to 70 + seed * 30)
+        .map(_ => (rnd.nextInt(26).toLong, rnd.nextInt(26).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Analytics.maximalMatching(edgesDF(edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === SequentialModel.greedyMatching(edges), s"seed $seed diverged from greedy")
+      // validity: no vertex matched twice
+      val vs = got.flatMap { case (a, b) => Seq(a, b) }
+      assert(vs.distinct.size === vs.size, s"seed $seed: vertex matched twice")
+      // maximality: every unmatched edge touches a matched vertex
+      val matched = vs.toSet
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      assert(und.forall { case (a, b) => matched(a) || matched(b) }, s"seed $seed: not maximal")
+      // matched endpoints form a vertex cover (the 2-approx guarantee's premise)
+      assert(und.forall { case (a, b) => matched(a) || matched(b) })
+    }
+  }
+
+  test("maximalMatching: path of four vertices matches one or two edges, never adjacent ones") {
+    val got = Analytics.maximalMatching(edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 3L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 1L), (2L, 3L)) || got === Seq((1L, 2L)))
+  }
+
+  test("coreness: H-index fixpoint equals Batagelj–Zaversnik peeling on random graphs") {
+    val rnd = new scala.util.Random(109)
+    for (seed <- 1 to 4) {
+      val edges = (1 to 90 + seed * 40)
+        .map(_ => (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Analytics.coreness(edgesDF(edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === SequentialModel.coreness(edges), s"seed $seed diverged from peeling")
+    }
+  }
+
+  test("coreness: clique vertices score k-1, pendant path scores 1") {
+    // K4 {0,1,2,3} with a path 3-4-5 hanging off
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val got = Analytics.coreness(edgesDF(k4 ++ Seq((3L, 4L), (4L, 5L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("densestSubgraph matches the sequential peeling mirror on random graphs") {
     val rnd = new scala.util.Random(97)
     for (seed <- 1 to 4) {

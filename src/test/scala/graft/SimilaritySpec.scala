@@ -413,6 +413,24 @@ class SimilaritySpec extends SparkSpec {
     assert(maj.toSeq === Seq((0L, 9L, 2L)))
   }
 
+  test("jlSketch: sketch-space distances track true distances (JL property, loose bound)") {
+    val rnd = new scala.util.Random(67)
+    val vecs = (0L until 40L).map(i => i -> Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val k = 16
+    val sk = Similarity.jlSketch(embDF(vecs), numPlanes = k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getLong(1)).map(_.getLong(2).toDouble / 1e6) }
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    def sd2(a: Iterable[Double], b: Iterable[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum / k
+    val pairs = for (i <- 0 until 20) yield (vecs(i), vecs(i + 20))
+    val ratios = pairs.map { case ((ia, va), (ib, vb)) => sd2(sk(ia), sk(ib)) / d2(va, vb) }
+    // Gaussian JL at k=16: each ratio concentrates around 1; allow wide slack
+    assert(ratios.forall(r => r > 0.2 && r < 5.0), s"ratios out of band: $ratios")
+    assert(math.abs(ratios.sum / ratios.size - 1.0) < 0.5, s"mean ratio ${ratios.sum / ratios.size}")
+  }
+
   test("pcaSpectrum: a dominant axis carries the variance; spectrum matches the mirror") {
     // points spread along (1,1,0)/√2 with small noise on the other axes:
     // the top eigenvalue must dominate and its evr be near 1e6 ppm

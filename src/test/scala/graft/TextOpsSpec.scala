@@ -333,4 +333,41 @@ class TextOpsSpec extends SparkSpec {
     val expected = graft.llm.SequentialCorpus.bpeMerges(texts.map(_._2), numMerges = 8)
     assert(got === expected)
   }
+
+  test("gopherQualityFlags: each rule trips independently; hand-computed signals") {
+    // doc 0: 12 stopword tokens (4 distinct, 3 each) + 48 unique = 60 words,
+    // top count 3 -> ratio 50, mean length ~5.1 chars: passes every rule
+    val longGood = (("the of and in " * 3) + Seq.tabulate(48)(i => s"word$i").mkString(" ")).trim
+    val rows = Seq(
+      (0L, longGood),                             // passes everything
+      (1L, "the of tiny doc"),                    // too short
+      (2L, ("the of " * 30).trim),                // top-word repetition trips
+      (3L, Seq.fill(60)("verylongtokenindeed").mkString(" ")), // mean len + stopwords trip
+      (4L, ""))                                   // unscorable -> absent
+    val got = TextOps.gopherQualityFlags(docsDF(rows), minWords = 40)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(!got.contains(4L))
+    assert(got(0L)._1 === 60L)
+    assert(got(0L)._5 === 1L, s"good doc must keep, got ${got(0L)}")
+    assert(got(1L)._5 === 0L, "short doc must fail")
+    assert(got(2L)._5 === 0L, "repetitive doc must fail")
+    assert(got(2L)._4 === 500L, "top-word ratio of alternating 2-word doc is exactly 1/2")
+    assert(got(3L)._5 === 0L, "stopword-free long-token doc must fail")
+    assert(got(3L)._2 === 19000L, "mean token length 19 chars")
+    assert(got(3L)._3 === 0L)
+  }
+
+  test("gopherQualityFlags keep verdict is the conjunction of its printed signals") {
+    val rnd = new scala.util.Random(59)
+    val words = Vector("the", "of", "data", "spark", "plan", "row", "very", "cost")
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.fill(30 + rnd.nextInt(40))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    TextOps.gopherQualityFlags(docsDF(rows)).collect().foreach { r =>
+      val expect = if (r.getLong(1) >= 40 && r.getLong(1) <= 100000 &&
+        r.getLong(2) >= 3000 && r.getLong(2) <= 8000 &&
+        r.getLong(3) >= 2 && r.getLong(4) <= 120) 1L else 0L
+      assert(r.getLong(5) === expect, s"doc ${r.getLong(0)} verdict mismatch")
+    }
+  }
 }
