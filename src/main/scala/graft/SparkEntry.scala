@@ -1044,6 +1044,30 @@ object SparkEntry {
       t.read().agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
         .select(lit(head).as("version"), col("n_rows"), col("sum_key"))
     }),
+    "f17_log_zorder" -> ((s, dir) => {
+      // OPTIMIZE ZORDER as a commit: v0 = scattered 2-D keyed rows, v1 =
+      // the Z-clustered rewrite — content byte-identical (both versions
+      // aggregated below), layout now skips files on either dimension
+      // (pruning bite suite-asserted in CommitLogSpec; f8 gates the code
+      // arithmetic itself). Fresh per-process table, shutdown-hook cleaned
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-zlog-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "x")
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") % 1024).cast("long").as("x"),
+        (col("l_partkey") % 1024).cast("long").as("y"),
+        col("l_quantity").cast("long").as("q"))
+      t.overwrite(li.repartition(4))
+      t.optimizeZorder("x", "y")
+      (0L to 1L).map { v =>
+        t.asOf(v).agg(count(lit(1)).as("n_rows"), sum("x").as("sum_x"),
+          sum("y").as("sum_y"), sum("q").as("sum_q"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_x"), col("sum_y"), col("sum_q"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
     "f14_log_merge" -> ((s, dir) => {
       // MERGE INTO bound to the commit log: v0 = the full projection, v1 =
       // one atomic merge commit applying updates (region bumped for keys
@@ -2842,6 +2866,14 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_deletes
         |UNION ALL SELECT 1, (SELECT COUNT(*) FROM nation WHERE n_nationkey >= 10), 0
         |UNION ALL SELECT 2, 0, (SELECT COUNT(*) FROM nation WHERE n_nationkey % 2 = 1)
+        |ORDER BY version""".stripMargin,
+    "f17_log_zorder" -> // both versions carry the identical derivation —
+      // the zorder commit is layout-only
+      """WITH d AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y,
+        |                  l_quantity::BIGINT AS q FROM lineitem)
+        |SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |       SUM(x)::BIGINT AS sum_x, SUM(y)::BIGINT AS sum_y, SUM(q)::BIGINT AS sum_q FROM d
+        |UNION ALL SELECT 1, COUNT(*), SUM(x)::BIGINT, SUM(y)::BIGINT, SUM(q)::BIGINT FROM d
         |ORDER BY version""".stripMargin,
     "f16_log_restore" -> // the restored head (version 2) carries exactly
       // v0's snapshot

@@ -243,6 +243,27 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     commitVersion(read().repartition(targetFiles), keepPrevious = false, op = "compact")
   }
 
+  /** OPTIMIZE ZORDER as a commit (the Delta `OPTIMIZE … ZORDER BY` shape):
+    * rewrite the current content Z-curve-clustered on `(xCol, yCol)` —
+    * every output file covers a small RECTANGLE of the key space, so
+    * range filters on EITHER dimension skip files via the log's per-file
+    * stats ([[prunedRead]] bites on `statsCol`; parquet min/max bite on
+    * both) — and commit the rewrite as the next version. Old versions
+    * stay readable; content is byte-identical (a layout maintenance
+    * commit, like [[compact]]). One sampling range exchange on the
+    * Z-code; nothing driver-sized.
+    */
+  def optimizeZorder(xCol: String, yCol: String, bits: Int = 10,
+                     targetFiles: Int = 8): Long = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val clustered = read()
+      .withColumn("__z", expr(Partitioning.zorderExpr(xCol, yCol, bits)))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commitVersion(clustered, keepPrevious = false, op = "zorder")
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

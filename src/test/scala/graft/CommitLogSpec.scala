@@ -247,6 +247,27 @@ class CommitLogSpec extends SparkSpec {
     val _ = t // silence unused fresh table
   }
 
+  test("optimizeZorder: content identical, stats pruning bites on the clustered layout") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-spec").toString
+    val t = new CommitTable(spark, dir, "x")
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 4000).map(_ => (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    // v0: scattered across 8 files — every file spans ~the whole x range
+    t.overwrite(rows.toDF("x", "y").repartition(8))
+    val before = t.prunedRead(0L, 63L).inputFiles.length
+    assert(before === 8, "scattered layout should defeat pruning")
+    assert(t.optimizeZorder("x", "y", targetFiles = 8) === 1L)
+    // content is byte-identical
+    assert(t.read().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === rows.sorted)
+    assert(t.asOf(0L).count() === 4000L)
+    // the Z-clustered layout prunes: a narrow x slice reads a strict subset
+    val after = t.prunedRead(0L, 63L).inputFiles.length
+    assert(after < 8, s"zorder layout should prune files, still reading $after of 8")
+  }
+
   test("vacuum protects restore-re-referenced directories; vacuumed versions refuse to restore") {
     val t = freshTable()
     t.overwrite(kv(1L -> "a"))
