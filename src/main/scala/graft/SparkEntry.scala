@@ -2484,6 +2484,12 @@ object SparkEntry {
       // fingerprint + size bucket — the pre-decode dup collapse; one
       // shuffle on a 12-byte key over the BINARY column
       MediaOps.mediaDedup(Tables.documents(s, dir))),
+    "m6_resize_features" -> ((s, dir) => // decode -> nearest-neighbor
+      // RESIZE over the actual pixel grid -> re-encode -> decode again,
+      // reduced to integer channel stats; the oracle replays the exact
+      // truncating-division resample map against the generating formula,
+      // so any off-by-one anywhere in the round trip diverges
+      MediaOps.resizedFeatures(Tables.documents(s, dir))),
     "m3_decode_features" -> ((s, dir) => // REAL image decode: a synthetic
       // binary-PPM corpus parsed byte-for-byte (tokenizing header,
       // 8-bit RGB raster) in the mapPartitions batched-codec shape; the
@@ -3509,6 +3515,7 @@ object SparkEntry {
          |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_media_meta" -> MediaOps.mediaMetaSql,
     "m3_decode_features" -> MediaOps.ppmFeaturesSql,
+    "m6_resize_features" -> MediaOps.resizedFeaturesSql(),
   )
 
   /** Root for the f1/f2 round-trip exports. Verify points this at its own

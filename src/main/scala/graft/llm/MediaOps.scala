@@ -159,10 +159,17 @@ object MediaOps {
     * parsing diverges. `(media_id, width, height, sum_r, sum_g, sum_b,
     * mean_r_1e3, mean_g_1e3, mean_b_1e3)`.
     */
-  def ppmFeatures(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def ppmFeatures(docs: DataFrame): DataFrame =
+    ppmStats(syntheticPpm(docs))
+
+  /** The decode→reduce core shared by [[ppmFeatures]] and
+    * [[resizedFeatures]]: REAL header/raster parse per row, integer-exact
+    * channel sums and permille means.
+    */
+  private def ppmStats(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    syntheticPpm(docs).mapPartitions { it =>
+    media.mapPartitions { it =>
       // per-partition init is where a heavier codec would allocate
       it.map { r =>
         val (w, h, px) = decodePpm(r.content)
@@ -184,6 +191,42 @@ object MediaOps {
         expr("sum_b * 1000 div (width * height)").as("mean_b_1e3"))
       .orderBy("media_id")
   }
+
+  /** Declared-query surface (m6): the full decode→RESIZE→re-encode→decode
+    * round trip reduced to pixel statistics — [[resizePpm]]'s
+    * nearest-neighbor resample over the ACTUAL decoded grid, re-encoded as
+    * P6, then parsed again by the stats core. The oracle replays the
+    * nearest-neighbor index arithmetic against the pixel-GENERATING
+    * formula in SQL, so any error in decode, the resample map, re-encode,
+    * or the second parse diverges. Same output schema as m3 at the target
+    * dims.
+    */
+  def resizedFeatures(docs: DataFrame, outW: Int = 4, outH: Int = 4): DataFrame =
+    ppmStats(resizePpm(syntheticPpm(docs), outW, outH))
+
+  /** DuckDB mirror of [[resizedFeatures]]: for output pixel index `oi`,
+    * the source pixel is `(sy, sx) = ((oi div outW)·h div outH,
+    * (oi mod outW)·w div outW)` — the exact truncating-division map the
+    * resampler computes — and its bytes come from the generating formula.
+    */
+  def resizedFeaturesSql(outW: Int = 4, outH: Int = 4): String =
+    s"""WITH d AS (SELECT doc_id, (doc_id % 8 + 2)::BIGINT AS w, (doc_id % 6 + 2)::BIGINT AS h
+       |           FROM documents),
+       |m AS (SELECT doc_id, w, h,
+       |             ((o.i // $outW) * h) // $outH AS sy,
+       |             ((o.i % $outW) * w) // $outW AS sx
+       |      FROM d, UNNEST(range(0, ${outW * outH})) AS o(i)),
+       |s AS (SELECT doc_id,
+       |             SUM((doc_id*31 + (sy*w + sx)*3 + 0) % 256)::BIGINT AS sum_r,
+       |             SUM((doc_id*31 + (sy*w + sx)*3 + 1) % 256)::BIGINT AS sum_g,
+       |             SUM((doc_id*31 + (sy*w + sx)*3 + 2) % 256)::BIGINT AS sum_b
+       |      FROM m GROUP BY doc_id)
+       |SELECT doc_id AS media_id, CAST($outW AS BIGINT) AS width, CAST($outH AS BIGINT) AS height,
+       |       sum_r, sum_g, sum_b,
+       |       (sum_r * 1000 // ${outW * outH})::BIGINT AS mean_r_1e3,
+       |       (sum_g * 1000 // ${outW * outH})::BIGINT AS mean_g_1e3,
+       |       (sum_b * 1000 // ${outW * outH})::BIGINT AS mean_b_1e3
+       |FROM s ORDER BY media_id""".stripMargin
 
   /** DuckDB mirror of [[ppmFeatures]] — the pixel statistics from the
     * GENERATING formula (`byte(i) = (doc_id·31 + i) % 256`, channel c of
