@@ -685,6 +685,39 @@ object SparkEntry {
           max(col("bal_c")).as("max_bal_c"))
         .orderBy("c_nationkey")
     }),
+    "e28_filtered_aggs" -> ((s, dir) => {
+      // the FILTER clause on aggregates (SQL:2003) — one scan, several
+      // differently-predicated aggregates per group, incl. FILTER on a
+      // DISTINCT aggregate; avg in integer permille so the compare is
+      // exact; exercised through the SQL surface (spark.sql), not the
+      // Column API
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag,
+          |       COUNT(*) AS n_all,
+          |       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+          |       CAST(SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS qty_discounted,
+          |       COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 40) AS n_heavy_suppliers,
+          |       CAST(SUM(l_quantity) FILTER (WHERE l_quantity > 25) AS BIGINT) * 1000
+          |         div COUNT(*) FILTER (WHERE l_quantity > 25) AS heavy_avg_1e3
+          |FROM lineitem_v
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+    "e29_rank_family" -> ((s, dir) => {
+      // the full relative-rank window family on ONE window spec:
+      // percent_rank ((rank-1)/(n-1): IEEE-exact on both engines),
+      // cume_dist, ntile(4) — tie-broken to a total order so ntile's
+      // row_number-based buckets are deterministic
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_orderpriority,
+          |       percent_rank() OVER w AS pr,
+          |       cume_dist() OVER w AS cd,
+          |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          |FROM orders_v WHERE o_custkey % 50 = 0
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin)
+    }),
     "q26_recursive_cte" -> ((s, dir) => {
       // WITH RECURSIVE through Spark's UnionLoop (new in Spark 4.x) — the
       // SQL-surface route to iterative computation the DataFrame loops
@@ -3267,6 +3300,24 @@ object SparkEntry {
         |SELECT g.o_custkey, g.day::BIGINT AS day, COALESCE(c.n, 0)::BIGINT AS n
         |FROM g LEFT JOIN c ON c.o_custkey = g.o_custkey AND c.day = g.day
         |ORDER BY g.o_custkey, g.day""".stripMargin,
+    "e28_filtered_aggs" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n_all,
+        |       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |       CAST(SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS qty_discounted,
+        |       COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 40) AS n_heavy_suppliers,
+        |       CAST(SUM(l_quantity) FILTER (WHERE l_quantity > 25) AS BIGINT) * 1000
+        |         // COUNT(*) FILTER (WHERE l_quantity > 25) AS heavy_avg_1e3
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e29_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
     "e16_multiset_ops" ->
       """WITH v AS (SELECT user_id, (props ->> 'k')::BIGINT AS k FROM events WHERE event_type = 'view'),
         |c AS (SELECT user_id, (props ->> 'k')::BIGINT AS k FROM events WHERE event_type = 'click'),
