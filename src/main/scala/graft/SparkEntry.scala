@@ -2484,6 +2484,24 @@ object SparkEntry {
       // the embedding-cosine pair graph (d5's banded-LSH path) -> one
       // keeper per semantic-dup chain; d6's text-space cousin
       Similarity.semanticDupClusters(Tables.embeddings(s, dir))),
+    "p6_r11_curation" -> ((s, dir) => {
+      // the round-11 curation loop composed as a user would: Gopher rule
+      // filter -> DSIR importance weights (model fit on the FULL corpus,
+      // like the published recipe) -> keep target-leaning survivors
+      // (dsir > 0) -> per-source report. One declared query proving the
+      // new operators compose; oracle = gopher static SQL ∘ DSIR mirror
+      // VALUES, composed the same way
+      val docs = Tables.documents(s, dir)
+      val keep = graft.llm.TextOps.gopherQualityFlags(docs)
+        .filter(col("keep") === 1).select("doc_id")
+      val w = Sampling.dsirWeights(docs)
+      docs.join(keep, "doc_id").join(w, "doc_id")
+        .filter(col("dsir_e6") > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"),
+          sum("dsir_e6").as("sum_dsir_e6"))
+        .orderBy("source")
+    }),
     "p1_curation_pipeline" -> ((s, dir) => {
       // the operators composed as a user would: quality-filter the corpus,
       // exact-dedup among the survivors (keeper = min surviving id per
@@ -3896,18 +3914,28 @@ object SparkEntry {
            |CAST($w2 AS BIGINT) AS w2_e9, CAST($w3 AS BIGINT) AS w3_e9,
            |CAST($nc AS BIGINT) AS n_correct, CAST($n AS BIGINT) AS n_docs""".stripMargin)
     }
-    val dsirOracle: Map[String, String] = if (!want("t32_dsir")) Map.empty else {
+    val dsirOracle: Map[String, String] = if (!(want("t32_dsir") || want("p6_r11_curation"))) Map.empty else {
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("long"), col("text"), col("lang"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
       val w = SequentialCorpus.dsirWeights(docs)
-      Map("t32_dsir" -> (
-        if (w.isEmpty)
-          "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS dsir_e6 WHERE 1 = 0"
-        else
-          s"""SELECT CAST(d AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS dsir_e6
-             |FROM (VALUES ${w.map { case (d, s) => s"($d, $s)" }.mkString(", ")}) AS t(d, w)
-             |ORDER BY doc_id""".stripMargin))
+      val wValues =
+        if (w.isEmpty) "SELECT CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS w WHERE 1 = 0"
+        else s"SELECT CAST(d AS BIGINT) AS d, CAST(w AS BIGINT) AS w FROM (VALUES ${
+          w.map { case (d, s) => s"($d, $s)" }.mkString(", ")}) AS t(d, w)"
+      Map(
+        "t32_dsir" ->
+          s"""SELECT d AS doc_id, w AS dsir_e6 FROM ($wValues) ORDER BY doc_id""",
+        "p6_r11_curation" ->
+          // the same composition as the Spark pipeline: gopher static SQL
+          // for the keep set, the independent-mirror VALUES for the weights
+          s"""WITH g AS (SELECT doc_id FROM (${graft.llm.TextOps.gopherQualityFlagsSql()}) WHERE keep = 1),
+             |dw AS ($wValues)
+             |SELECT d.source, COUNT(*) AS n, SUM(d.doc_id)::BIGINT AS sum_ids,
+             |       SUM(dw.w)::BIGINT AS sum_dsir_e6
+             |FROM documents d JOIN g USING (doc_id) JOIN dw ON dw.d = d.doc_id
+             |WHERE dw.w > 0
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)
     }
     val ssspOracle: Map[String, String] = if (!want("g45_sssp_fixpoint")) Map.empty else {
       val d = SequentialModel
