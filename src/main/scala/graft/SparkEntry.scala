@@ -313,6 +313,13 @@ object SparkEntry {
       t.overwrite(e.filter(col("src") % 7 =!= 0))
       graft.graph.IncrementalViews.maintainedDegrees(t, 0L, 2L).orderBy("vertex")
     }),
+    "g52_hyperball" -> ((s, dir) =>
+      // HyperBall: per-vertex 8-hop neighborhood size estimated by HLL
+      // registers propagated along out-edges (register-wise max merge) —
+      // the tractable reachability profile at 10¹² edges, where exact
+      // closures are quadratic; registers are pure-integer algebra, the
+      // estimate one fixed-form expression, mirrored exactly
+      Analytics.hyperBall(DerivedGraphs.small(s, dir), t = 8)),
     "g50_matching" -> ((s, dir) =>
       // maximal matching (MIS on the line graph), deterministic parallel
       // greedy: per round the (π,a,b)-minimal active edge at BOTH
@@ -3677,7 +3684,7 @@ object SparkEntry {
         "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness",
         "g36_modularity", "g41_louvain_sweep", "g42_spanning_forest",
         "g44_louvain_full", "g47_mis", "g48_coloring", "g49_densest",
-        "g50_matching", "g51_coreness")
+        "g50_matching", "g51_coreness", "g52_hyperball")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -3725,6 +3732,15 @@ object SparkEntry {
         else
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(l AS BIGINT) AS label
              |FROM (VALUES ${lv.map { case (v, l) => s"($v, $l)" }.mkString(", ")}) AS t(v, l)
+             |ORDER BY vertex""".stripMargin
+      },
+      "g52_hyperball" -> {
+        val hb = SequentialModel.hyperBall(edges, t = 8).toSeq.sorted
+        if (hb.isEmpty)
+          "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS ball_e3 WHERE 1 = 0"
+        else
+          s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(b AS BIGINT) AS ball_e3
+             |FROM (VALUES ${hb.map { case (v, b) => s"($v, $b)" }.mkString(", ")}) AS t(v, b)
              |ORDER BY vertex""".stripMargin
       },
       "g50_matching" -> {

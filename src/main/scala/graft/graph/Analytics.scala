@@ -1704,6 +1704,71 @@ object Analytics {
     c.select(col("vertex"), col("c").as("coreness")).orderBy("vertex")
   }
 
+  /** HyperBall (Boldi & Vigna 2013) — the approximate per-vertex
+    * neighborhood function: |ball(v, t)| estimated by a HyperLogLog
+    * counter per vertex, propagated t rounds along OUT-edges (register-wise
+    * max merge — the associative/idempotent merge is what makes giant-graph
+    * reachability profiles tractable where exact per-vertex BFS closures
+    * are quadratic). Deterministic contract: md5-derived item hash
+    * (`hash60` — the engine-wide cross-engine hash), m = 16 registers
+    * (index = h mod 16, rank = 1 + trailing zeros of h div 16, found by a
+    * pure-integer bit probe — no float log anywhere in the registers),
+    * fixed `t` rounds, standard HLL estimate with the small-range
+    * correction, reported in integer thousandths. The mirror replays the
+    * identical integer register algebra, so the gate compare is exact.
+    * Returns `(vertex, ball_e3)`.
+    *
+    * Scale shape: state is m bytes per vertex; each round is one edge-pass
+    * join + a register-wise max aggregate ((vertex, pos, max) — map-side
+    * combined, 16 rows per vertex), never a set materialization. At 10¹²
+    * edges this is THE practical way to ask "how far does influence
+    * reach" — exact closures are off the table.
+    */
+  def hyperBall(edges: DataFrame, t: Int = 8): DataFrame = {
+    require(t >= 0, s"t must be >= 0, got $t")
+    val m = 16
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+    // own-hash registers: index = h mod 16; rank = position of the first
+    // set bit of h div 16 (1-based), 41 if none — pure integer expressions
+    val h = graft.functions.Hashing.hash60(col("vertex").cast("string"))
+    val init = verts
+      .withColumn("h", h)
+      .withColumn("idx", (col("h") % m).cast("int"))
+      .withColumn("rest", expr(s"h div $m"))
+      .withColumn("rank",
+        expr("coalesce(cast(array_position(transform(sequence(0, 39), i -> shiftright(rest, i) & 1), 1) as int), 41)"))
+      .select(col("vertex"),
+        transform(sequence(lit(0), lit(m - 1)), i =>
+          when(i === col("idx"), col("rank")).otherwise(0)).as("regs"))
+    var state = init.localCheckpoint(true)
+    for (_ <- 1 to t) {
+      val fromNbrs = e.join(state.select(col("vertex").as("dst"), col("regs")), "dst")
+        .select(col("src").as("vertex"), col("regs"))
+      state = state.union(fromNbrs)
+        .select(col("vertex"), posexplode(col("regs")))
+        .groupBy("vertex", "pos").agg(max(col("col")).as("r"))
+        .groupBy("vertex")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("r")))),
+          s => s.getField("r")).as("regs"))
+        .localCheckpoint(true)
+    }
+    // standard HLL estimate, alpha_16 = 0.673, small-range correction —
+    // registers are exact integers on both engines, the estimate is one
+    // fixed-form float expression on them (contract order, mirrored)
+    val sumInv = expr("aggregate(regs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + pow(2.0, -x))")
+    val zeros = expr("size(filter(regs, x -> x = 0))")
+    val raw = lit(0.673 * m * m) / sumInv
+    val est = when(raw <= 2.5 * m && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(raw)
+    state.select(col("vertex"), round(est * 1000).cast("long").as("ball_e3"))
+      .orderBy("vertex")
+  }
+
   /** Densest-subgraph 2(1+ε)-approximation by parallel peeling (the
     * MapReduce-friendly batch form, ε = 1/10): per round drop EVERY vertex
     * whose degree is ≤ 2(1+ε)·|E|/|V| — an EXACT integer test,

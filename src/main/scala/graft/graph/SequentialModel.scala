@@ -447,6 +447,60 @@ object SequentialModel {
     core.toMap
   }
 
+  /** HyperBall mirror — the identical integer register algebra
+    * (independent md5 hash implementation, own loops) and the contract's
+    * fixed-form estimate. Returns vertex → ball_e3.
+    */
+  def hyperBall(edges: Seq[(Long, Long)], t: Int = 8): Map[Long, Long] = {
+    val m = 16
+    val e = edges.filter { case (s, d) => s != d }.distinct
+    val verts = e.flatMap(p => Seq(p._1, p._2)).distinct
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val regs = scala.collection.mutable.Map.empty[Long, Array[Int]]
+    verts.foreach { v =>
+      val h = hash60(v.toString)
+      val idx = (h % m).toInt
+      val rest = h / m
+      var rank = 41
+      var i = 0
+      while (i < 40 && rank == 41) { if (((rest >> i) & 1L) == 1L) rank = i + 1; i += 1 }
+      val a = Array.ofDim[Int](m)
+      a(idx) = rank
+      regs(v) = a
+    }
+    val out = e.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    for (_ <- 1 to t) {
+      val next = verts.map { v =>
+        val merged = regs(v).clone()
+        out.getOrElse(v, Nil).foreach { u =>
+          val ru = regs(u)
+          var j = 0
+          while (j < m) { if (ru(j) > merged(j)) merged(j) = ru(j); j += 1 }
+        }
+        v -> merged
+      }.toMap
+      next.foreach { case (v, a) => regs(v) = a }
+    }
+    verts.map { v =>
+      val a = regs(v)
+      var sumInv = 0.0
+      var j = 0
+      var zeros = 0
+      while (j < m) {
+        sumInv += math.pow(2.0, -a(j))
+        if (a(j) == 0) zeros += 1
+        j += 1
+      }
+      val raw = 0.673 * m * m / sumInv
+      val est = if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros) else raw
+      v -> BigDecimal(est * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+  }
+
   /** Sequential mirror of the batch densest-subgraph peeling (ε = 1/10):
     * per round drop every vertex with `10·deg·|V| ≤ 22·|E|`, track the best
     * `E/V` snapshot by cross-multiplication (first round wins ties).

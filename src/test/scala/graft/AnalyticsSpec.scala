@@ -716,6 +716,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(even === Set(0L, 1L))
   }
 
+  test("hyperBall matches the register-exact mirror; estimates track exact ball sizes") {
+    val rnd = new scala.util.Random(127)
+    val edges = (1 to 160).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Analytics.hyperBall(edgesDF(edges), t = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === SequentialModel.hyperBall(edges, t = 8))
+    // exact 8-hop out-ball per vertex for the accuracy check
+    val adj = edges.distinct.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).distinct }
+    def ball(v: Long): Int = {
+      var cur = Set(v)
+      for (_ <- 1 to 8) cur = cur ++ cur.flatMap(u => adj.getOrElse(u, Nil))
+      cur.size
+    }
+    val errs = got.map { case (v, e3) =>
+      val exact = ball(v).toDouble
+      math.abs(e3.toDouble / 1000 - exact) / exact
+    }
+    // m = 16 registers: typical rel. error ~26%; assert a loose band on the MEAN
+    val mean = errs.sum / errs.size
+    assert(mean < 0.5, s"mean relative error $mean too high for m=16")
+  }
+
+  test("hyperBall: t = 0 estimates singleton balls") {
+    val got = Analytics.hyperBall(edgesDF(Seq((0L, 1L), (1L, 2L))), t = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a single item in an HLL with 16 registers: small-range correction
+    // gives 16·ln(16/15) = 1.0328…, i.e. 1033 in thousandths
+    assert(got.values.toSet === Set(1033L))
+  }
+
   test("densestSubgraph: clique + sparse tail — the peel isolates the clique") {
     // K5 (density 10/5 = 2) with a long path attached (pulls density down)
     val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
