@@ -313,6 +313,24 @@ object SparkEntry {
       t.overwrite(e.filter(col("src") % 7 =!= 0))
       graft.graph.IncrementalViews.maintainedDegrees(t, 0L, 2L).orderBy("vertex")
     }),
+    "g53_incremental_triangles" -> ((s, dir) => {
+      // NONLINEAR incremental view maintenance: triangle counts advanced
+      // off the CDF — the delta probes N(a) ∩ N(b) around the changed
+      // pairs only (touching(new) − touching(old)), never recounting the
+      // graph; same three-version history as g46. Oracle = full triangle
+      // recompute over the final edge set.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-itri-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("edges").toString, "src")
+      val e = DerivedGraphs.small(s, dir)
+      t.overwrite(e.filter(col("dst") % 5 =!= 0))
+      t.append(e.filter(col("dst") % 5 === 0))
+      t.overwrite(e.filter(col("src") % 7 =!= 0))
+      graft.graph.IncrementalViews.maintainedTriangles(t, 0L, 2L).orderBy("vertex")
+    }),
     "g52_hyperball" -> ((s, dir) =>
       // HyperBall: per-vertex 8-hop neighborhood size estimated by HLL
       // registers propagated along out-edges (register-wise max merge) —
@@ -3413,6 +3431,18 @@ object SparkEntry {
          |       COALESCE(out_degree, 0)::BIGINT AS out_degree,
          |       COALESCE(in_degree, 0)::BIGINT AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
+    "g53_incremental_triangles" -> // full triangle recompute over the
+      // FINAL edge set (the id-oriented wedge derivation g5's family
+      // uses) — the maintained view must be indistinguishable from it
+      s"""WITH e AS (SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 7 <> 0),
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.b AND e3.b = e2.b))
+         |SELECT vertex, COUNT(*)::BIGINT AS triangles FROM (
+         |  SELECT x AS vertex FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |GROUP BY vertex ORDER BY vertex""".stripMargin,
     "g34_property_bfs" -> // BFS over the etype=0 subgraph: same filter on
       // the same derivation, g16's recursive-CTE walk
       s"""WITH RECURSIVE e AS (

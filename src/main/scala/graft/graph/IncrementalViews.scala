@@ -62,4 +62,61 @@ object IncrementalViews {
     val base = Analytics.degrees(t.asOf(fromVersion), dedup = false)
     applyDegreeDeltas(base, t.changesBetween(fromVersion, toVersion))
   }
+
+  /** Canonical simple undirected pairs of a directed edge frame. */
+  private def und(edges: DataFrame): DataFrame = edges
+    .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+    .filter(col("s") =!= col("d"))
+    .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+    .distinct()
+
+  /** Per-vertex counts of the DISTINCT triangles in `edges` that contain at
+    * least one `deltaPairs` pair. The probe is delta-proportional: each
+    * delta pair (a, b) looks up N(a) ∩ N(b) (two adjacency joins), checks
+    * (a, b) itself still exists (a deleted pair closes no triangle), and
+    * the sorted-triple distinct collapses triangles touched by several
+    * delta pairs. Nothing edge-set-sized is aggregated — only the delta's
+    * neighborhood moves.
+    */
+  private def triangleDeltaCounts(edges: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val u = und(edges)
+    val sym = u.union(u.select(col("b"), col("a")).toDF("a", "b"))
+    val s1 = sym.toDF("p", "n1")
+    val s2 = sym.toDF("q", "n2")
+    val tris = deltaPairs
+      .join(s1, col("a") === col("p"))
+      .join(s2, col("b") === col("q") && col("n1") === col("n2"))
+      .join(u.toDF("ea", "eb"), col("a") === col("ea") && col("b") === col("eb"), "left_semi")
+      .select(array_sort(array(col("a"), col("b"), col("n1"))).as("t"))
+      .distinct()
+    tris.select(explode(col("t")).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("n"))
+  }
+
+  /** Incrementally maintained per-vertex TRIANGLE counts — the nonlinear
+    * companion of [[maintainedDegrees]]: degrees fold linearly off the CDF,
+    * but a triangle count changes only for triangles CONTAINING a changed
+    * pair, so the delta is `touching(new) − touching(old)` probed around
+    * the change set (delta × degree work, never an edge-set rescan beyond
+    * the adjacency lookups the probe pushes down). The maintained view is
+    * EXACTLY `Analytics.triangleCounts(asOf(to))` — suite-asserted on
+    * random version histories and gated against a full-recompute oracle
+    * (g53). Table contract: distinct-edge semantics (the graph-catalog
+    * convention); non-changed pairs appearing in the CDF are harmless (the
+    * old/new probe difference is zero for them).
+    */
+  def maintainedTriangles(t: CommitTable, fromVersion: Long, toVersion: Long): DataFrame = {
+    val base = Analytics.triangleCounts(t.asOf(fromVersion))
+    val delta = und(t.changesBetween(fromVersion, toVersion).select("src", "dst"))
+    val dOld = triangleDeltaCounts(t.asOf(fromVersion), delta)
+      .select(col("vertex"), col("n").as("n_old"))
+    val dNew = triangleDeltaCounts(t.asOf(toVersion), delta)
+      .select(col("vertex"), col("n").as("n_new"))
+    base.join(dNew, Seq("vertex"), "full_outer")
+      .join(dOld, Seq("vertex"), "full_outer")
+      .select(col("vertex"),
+        (coalesce(col("triangles"), lit(0L)) + coalesce(col("n_new"), lit(0L))
+          - coalesce(col("n_old"), lit(0L))).as("triangles"))
+      .filter(col("triangles") > 0)
+  }
 }

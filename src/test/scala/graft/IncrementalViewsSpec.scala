@@ -68,4 +68,48 @@ class IncrementalViewsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((0L, 2L, -1L), (1L, -1L, 1L), (2L, 0L, 1L)))
   }
+
+  private def trianglesOf(df: org.apache.spark.sql.DataFrame) =
+    Analytics.triangleCounts(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def maintainedTri(t: CommitTable, from: Long, to: Long) =
+    IncrementalViews.maintainedTriangles(t, from, to)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("maintained triangles == full recompute: closing, breaking, and re-closing triangles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-itri-spec")
+    val t = new CommitTable(spark, dir.resolve("edges").toString, "src")
+    // v0: one triangle {0,1,2} + a wedge 2-3-4 one edge short of closing
+    t.overwrite(edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))))
+    // v1: close the wedge (insert 4-2) — triangle {2,3,4} appears
+    t.append(edgesDF(Seq((4L, 2L))))
+    // v2: break the original triangle (drop 1-2); {2,3,4} must survive
+    t.overwrite(edgesDF(Seq((0L, 1L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L))))
+    assert(maintainedTri(t, 0L, 1L) === trianglesOf(t.asOf(1L)))
+    assert(maintainedTri(t, 1L, 2L) === trianglesOf(t.asOf(2L)))
+    assert(maintainedTri(t, 0L, 2L) === trianglesOf(t.asOf(2L)))
+    assert(maintainedTri(t, 0L, 2L) === Set((2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("maintained triangles == full recompute on random version histories") {
+    val rnd = new scala.util.Random(29)
+    for (round <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-itri-rand$round")
+      val t = new CommitTable(spark, dir.resolve("edges").toString, "src")
+      def randomEdges(n: Int) =
+        Seq.fill(n)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+          .filter { case (a, b) => a != b }.distinct
+      val e0 = randomEdges(25)
+      t.overwrite(edgesDF(e0))
+      val extra = randomEdges(10).filterNot(e0.contains)
+      t.append(edgesDF(extra))
+      val finalSet = rnd.shuffle(e0 ++ extra).drop(7)
+      t.overwrite(edgesDF(finalSet))
+      assert(maintainedTri(t, 0L, 2L) === trianglesOf(edgesDF(finalSet)),
+        s"divergence in round $round")
+      assert(maintainedTri(t, 1L, 2L) === trianglesOf(edgesDF(finalSet)),
+        s"single-step divergence in round $round")
+    }
+  }
 }
