@@ -313,6 +313,25 @@ object SparkEntry {
       t.overwrite(e.filter(col("src") % 7 =!= 0))
       graft.graph.IncrementalViews.maintainedDegrees(t, 0L, 2L).orderBy("vertex")
     }),
+    "g54_distance_index" -> ((s, dir) => {
+      // persisted landmark distance index ("build once, query many" — the
+      // graph twin of the s12 IVF index): two landmarkBfs Pregel runs
+      // (forward + reversed edges) land as commit-log tables; every
+      // dist(u,v) query is then min_l d(u→l)+d(l→v) — two index joins,
+      // no traversal at query time (suite plan-asserts no RDD scan)
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-dix-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      graft.graph.DistanceIndex.build(DerivedGraphs.small(s, dir),
+        root.toString, landmarks = Seq(0L, 7L, 42L, 100L), maxDepth = 12)
+      val pairs = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("u"),
+        ((col("n_nationkey") * 53 + 11) % DerivedGraphs.SmallMod).as("v"))
+      graft.graph.DistanceIndex.queryUpperBounds(s, root.toString, pairs)
+        .orderBy("u", "v")
+    }),
     "g53_incremental_triangles" -> ((s, dir) => {
       // NONLINEAR incremental view maintenance: triangle counts advanced
       // off the CDF — the delta probes N(a) ∩ N(b) around the changed
@@ -709,6 +728,24 @@ object SparkEntry {
           min_by(col("c_custkey"), col("v")).as("poorest"),
           max(col("bal_c")).as("max_bal_c"))
         .orderBy("c_nationkey")
+    }),
+    "e30_higher_order" -> ((s, dir) => {
+      // higher-order array functions through the SQL surface: per order,
+      // the line quantities as a sorted array folded/filtered/mapped with
+      // lambda expressions (aggregate/filter/transform — the codegen'd
+      // array algebra the llm/ operators lean on, here exercised as
+      // user-facing SQL); scalar outputs so the gate compares exactly
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """WITH q AS (SELECT l_orderkey, array_sort(collect_list(CAST(l_quantity AS BIGINT))) AS qtys
+          |           FROM lineitem_v WHERE l_orderkey % 100 = 0
+          |           GROUP BY l_orderkey)
+          |SELECT l_orderkey,
+          |       CAST(size(qtys) AS BIGINT) AS n_items,
+          |       aggregate(qtys, CAST(0 AS BIGINT), (a, x) -> a + x) AS total_qty,
+          |       CAST(size(filter(qtys, x -> x > 30)) AS BIGINT) AS n_heavy,
+          |       element_at(transform(qtys, x -> x * 3 + 1), 1) AS min_mapped
+          |FROM q ORDER BY l_orderkey""".stripMargin)
     }),
     "e28_filtered_aggs" -> ((s, dir) => {
       // the FILTER clause on aggregates (SQL:2003) — one scan, several
@@ -3343,6 +3380,16 @@ object SparkEntry {
         |SELECT g.o_custkey, g.day::BIGINT AS day, COALESCE(c.n, 0)::BIGINT AS n
         |FROM g LEFT JOIN c ON c.o_custkey = g.o_custkey AND c.day = g.day
         |ORDER BY g.o_custkey, g.day""".stripMargin,
+    "e30_higher_order" ->
+      """WITH q AS (SELECT l_orderkey, list_sort(list_transform(list(l_quantity), x -> x::BIGINT)) AS qtys
+        |           FROM lineitem WHERE l_orderkey % 100 = 0
+        |           GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |       len(qtys)::BIGINT AS n_items,
+        |       list_sum(qtys)::BIGINT AS total_qty,
+        |       len(list_filter(qtys, x -> x > 30))::BIGINT AS n_heavy,
+        |       list_transform(qtys, x -> x * 3 + 1)[1]::BIGINT AS min_mapped
+        |FROM q ORDER BY l_orderkey""".stripMargin,
     "e28_filtered_aggs" ->
       """SELECT l_returnflag,
         |       COUNT(*) AS n_all,
@@ -3431,6 +3478,14 @@ object SparkEntry {
          |       COALESCE(out_degree, 0)::BIGINT AS out_degree,
          |       COALESCE(in_degree, 0)::BIGINT AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
+    "g54_distance_index" -> // same two hop-bounded BFS closures (forward
+      // + reversed recursive CTEs) and the identical min-plus bound over
+      // the identical nation-derived pair set
+      (graft.graph.DistanceIndex.queryUpperBoundsSql(
+        DerivedGraphs.smallSql, landmarks = Seq(0L, 7L, 42L, 100L),
+        pairsSql = s"SELECT n_nationkey::BIGINT AS u, " +
+          s"((n_nationkey * 53 + 11) % ${DerivedGraphs.SmallMod})::BIGINT AS v FROM nation",
+        maxDepth = 12) + " ORDER BY 1, 2"),
     "g53_incremental_triangles" -> // full triangle recompute over the
       // FINAL edge set (the id-oriented wedge derivation g5's family
       // uses) — the maintained view must be indistinguishable from it
