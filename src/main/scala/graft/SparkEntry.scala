@@ -313,6 +313,21 @@ object SparkEntry {
       t.overwrite(e.filter(col("src") % 7 =!= 0))
       graft.graph.IncrementalViews.maintainedDegrees(t, 0L, 2L).orderBy("vertex")
     }),
+    "g55_assortativity" -> ((s, dir) =>
+      // Newman degree assortativity: do hubs attach to hubs? Three exact
+      // BIGINT moments in one degree-joined edge pass; the correlation is
+      // cross-multiplied to two exact integers so the only float is the
+      // final 1-row division (round6-normalized)
+      Analytics.degreeAssortativity(DerivedGraphs.small(s, dir))),
+    "g56_reciprocity" -> ((s, dir) =>
+      // directed-edge reciprocity over small ∪ reversed(src%3=0): the
+      // overlay guarantees a non-trivial reciprocal subset; one distinct
+      // pass + one reversed-key self-semi-join
+      Analytics.reciprocity {
+        val e = DerivedGraphs.small(s, dir)
+        e.union(e.filter(col("src") % 3 === 0)
+          .select(col("dst").as("src"), col("src").as("dst")))
+      }),
     "g54_distance_index" -> ((s, dir) => {
       // persisted landmark distance index ("build once, query many" — the
       // graph twin of the s12 IVF index): two landmarkBfs Pregel runs
@@ -3478,6 +3493,13 @@ object SparkEntry {
          |       COALESCE(out_degree, 0)::BIGINT AS out_degree,
          |       COALESCE(in_degree, 0)::BIGINT AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
+    "g55_assortativity" -> // identical canonical undirected edge set,
+      // identical integer moments, identical cross-multiplied division
+      Analytics.degreeAssortativitySql(DerivedGraphs.smallSql),
+    "g56_reciprocity" -> // same derivation ∪ the same partial reverse
+      Analytics.reciprocitySql(
+        s"SELECT src, dst FROM (${DerivedGraphs.smallSql}) e0 UNION ALL " +
+        s"SELECT dst AS src, src AS dst FROM (${DerivedGraphs.smallSql}) e1 WHERE src % 3 = 0"),
     "g54_distance_index" -> // same two hop-bounded BFS closures (forward
       // + reversed recursive CTEs) and the identical min-plus bound over
       // the identical nation-derived pair set

@@ -1825,4 +1825,94 @@ object Analytics {
     Seq((bestRound, bestV, bestE, if (bestV == 0L) 0L else bestE * 1000000L / bestV))
       .toDF("best_round", "n_vertices", "n_edges", "density_e6")
   }
+
+  /** Degree assortativity (Newman 2002, eq. 4): the Pearson correlation of
+    * endpoint degrees over the undirected simple edge set — positive when
+    * hubs attach to hubs (social nets), negative when hubs attach to leaves
+    * (the internet). All three moments are exact BIGINT sums collected in
+    * ONE map-side-combinable edge pass over the degree-joined edges; the
+    * closed form is cross-multiplied to two exact integers
+    * `num = 4m·Σjk − (Σ(j+k))²`, `den = 2m·Σ(j²+k²) − (Σ(j+k))²`, so the
+    * only float anywhere is the final one-row division (round6-normalized).
+    * Returns 1 row `(m, sum_jk, sum_deg, sum_deg2, r_6)`.
+    *
+    * Scale shape: degree agg (one shuffle on vertex), two vertex-keyed
+    * joins of the edge pass against the degree table, one global agg —
+    * the same plan family as g36's modularity scorer; nothing holds more
+    * than a row of state.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    withDeg.agg(
+        count(lit(1)).as("m"),
+        sum(col("da") * col("db")).cast("long").as("sum_jk"),
+        sum(col("da") + col("db")).cast("long").as("sum_deg"),
+        sum(col("da") * col("da") + col("db") * col("db")).cast("long").as("sum_deg2"))
+      .select(col("m"), col("sum_jk"), col("sum_deg"), col("sum_deg2"),
+        Num.round6(
+          (lit(4L) * col("m") * col("sum_jk") - col("sum_deg") * col("sum_deg"))
+            .cast("double") /
+          (lit(2L) * col("m") * col("sum_deg2") - col("sum_deg") * col("sum_deg"))
+            .cast("double")).as("r_6"))
+  }
+
+  /** DuckDB mirror of [[degreeAssortativity]] — identical canonical edge
+    * set, identical integer moments, identical cross-multiplied division.
+    */
+  def degreeAssortativitySql(edgeSql: String): String =
+    s"""WITH e0 AS ($edgeSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |        FROM e0 WHERE src <> dst),
+       |deg AS (SELECT v, COUNT(*)::BIGINT AS deg FROM (
+       |          SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+       |j AS (SELECT da.deg AS da, db.deg AS db
+       |      FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+       |mo AS (SELECT COUNT(*)::BIGINT AS m, SUM(da*db)::BIGINT AS sum_jk,
+       |              SUM(da+db)::BIGINT AS sum_deg, SUM(da*da+db*db)::BIGINT AS sum_deg2
+       |       FROM j)
+       |SELECT m, sum_jk, sum_deg, sum_deg2,
+       |       ${Num.round6Sql("(4*m*sum_jk - sum_deg*sum_deg)::DOUBLE / " +
+                               "(2*m*sum_deg2 - sum_deg*sum_deg)::DOUBLE")} AS r_6
+       |FROM mo""".stripMargin
+
+  /** Edge reciprocity of a directed graph: the fraction of (distinct,
+    * non-loop) directed edges whose reverse edge also exists — 1.0 on a
+    * symmetric graph, ~0 on a DAG; the classic first diagnostic on any
+    * directed network. One distinct edge pass + one self-semi-join on the
+    * reversed key + one global count — no state beyond the join. Returns
+    * 1 row `(n_edges, n_recip, recip_6)`.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val dist = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .distinct()
+    val recip = dist.join(
+      dist.select(col("d").as("s"), col("s").as("d")), Seq("s", "d"), "left_semi")
+    dist.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+      .select(col("n_edges"), col("n_recip"),
+        Num.round6(col("n_recip").cast("double") / col("n_edges").cast("double"))
+          .as("recip_6"))
+  }
+
+  /** DuckDB mirror of [[reciprocity]]. */
+  def reciprocitySql(edgeSql: String): String =
+    s"""WITH e0 AS ($edgeSql),
+       |d AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |r AS (SELECT COUNT(*)::BIGINT AS n_recip FROM d
+       |      WHERE EXISTS (SELECT 1 FROM d r2 WHERE r2.src = d.dst AND r2.dst = d.src)),
+       |n AS (SELECT COUNT(*)::BIGINT AS n_edges FROM d)
+       |SELECT n_edges, n_recip,
+       |       ${Num.round6Sql("n_recip::DOUBLE / n_edges::DOUBLE")} AS recip_6
+       |FROM n, r""".stripMargin
 }

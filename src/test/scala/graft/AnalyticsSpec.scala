@@ -820,4 +820,38 @@ class AnalyticsSpec extends SparkSpec {
       assert(got.getLong(3) >= und.size.toLong * 1000000L / v0, s"seed $seed: worse than round 0")
     }
   }
+
+  test("degreeAssortativity matches hand-computed Newman r on star and path") {
+    // star K1,4: every edge joins the hub (deg 4) to a leaf (deg 1) —
+    // perfectly disassortative, r = -1
+    val star = Analytics.degreeAssortativity(
+      edgesDF(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L))).collect().head
+    assert(star.getLong(0) === 4L)
+    assert(star.getDouble(4) === -1.0)
+    // path P4 (0-1-2-3): m=3, Σjk=8, Σ(j+k)=10, Σ(j²+k²)=18
+    // → num = 4·3·8 − 100 = −4, den = 2·3·18 − 100 = 8, r = −0.5
+    val path = Analytics.degreeAssortativity(
+      edgesDF(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L))).collect().head
+    assert((path.getLong(0), path.getLong(1), path.getLong(2), path.getLong(3))
+      === ((3L, 8L, 10L, 18L)))
+    assert(path.getDouble(4) === -0.5)
+    // direction, duplicates, and self-loops don't change the undirected metric
+    val noisy = Analytics.degreeAssortativity(
+      edgesDF(Seq(1L -> 0L, 1L -> 2L, 2L -> 3L, 2L -> 1L, 3L -> 3L))).collect().head
+    assert(noisy.getDouble(4) === -0.5)
+  }
+
+  test("reciprocity counts mutual directed edges, ignoring loops and duplicates") {
+    // 0→1 and 1→0 are mutual; 1→2, 2→3 are not; 3→3 is a loop (dropped);
+    // duplicate 0→1 collapses — n_edges=4, n_recip=2, ratio=0.5
+    val got = Analytics.reciprocity(edgesDF(
+      Seq(0L -> 1L, 1L -> 0L, 0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 3L))).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2)) === ((4L, 2L, 0.5)))
+    // a DAG has zero reciprocity; a symmetric graph has 1.0
+    val dag = Analytics.reciprocity(edgesDF(Seq(0L -> 1L, 1L -> 2L, 0L -> 2L))).collect().head
+    assert((dag.getLong(1), dag.getDouble(2)) === ((0L, 0.0)))
+    val sym = Analytics.reciprocity(edgesDF(
+      Seq(0L -> 1L, 1L -> 0L, 1L -> 2L, 2L -> 1L))).collect().head
+    assert((sym.getLong(1), sym.getDouble(2)) === ((4L, 1.0)))
+  }
 }
