@@ -2630,6 +2630,12 @@ object SparkEntry {
       // (and md5) all differ — m4's exact-byte pass cannot; oracle
       // derives the hash bits from the pixel-generating formula
       MediaOps.perceptualDedup(Tables.documents(s, dir))),
+    "m7_audio_frames" -> ((s, dir) => // audio modality: REAL little-endian
+      // s16 PCM decoded back from the binary payload, then 16-sample
+      // frames reduced with codegen'd array algebra — energy, adjacent
+      // zero crossings, peak-based silence; oracle regenerates the PCM
+      // from the sample formula, so any codec off-by-one diverges
+      MediaOps.audioFrames(Tables.documents(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2980,6 +2986,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "m4_media_dedup" -> MediaOps.mediaDedupSql(),
     "m5_perceptual_dedup" -> MediaOps.perceptualDedupSql,
+    "m7_audio_frames" -> MediaOps.audioFramesSql(),
     "t25_html_strip" -> TextOps.htmlStripSql,
     "t26_adaptive_stopwords" -> TextOps.adaptiveStopwordsSql(),
     "st12_stream_sessions" -> EventStreams.sessionCountsSql(),

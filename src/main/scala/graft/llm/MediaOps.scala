@@ -498,4 +498,112 @@ object MediaOps {
       |  FROM bits GROUP BY doc_id)
       |SELECT dhash_hi, dhash_lo, COUNT(*) AS n_items, MIN(doc_id) AS keeper
       |FROM hashes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- audio
+
+  /** The deterministic synthetic PCM sample formula: interleaves loud
+    * sweep segments with near-silent ones (every 4th 16-sample frame),
+    * so energy/silence windows have both classes. Pure non-negative
+    * integer arithmetic — the oracle regenerates it verbatim in SQL.
+    */
+  private[llm] def pcmSample(id: Long, i: Int): Int = {
+    if ((i / 16) % 4 == 3) ((id + i) % 121).toInt - 60
+    else ((id * 31 + i.toLong * i * 17 + 7L * i) % 65536).toInt - 32768
+  }
+
+  /** Encode signed 16-bit samples as little-endian PCM (the WAV `data`
+    * chunk payload — the container header is metadata this synthetic
+    * corpus carries in `sample_rate`/`n_frames` instead).
+    */
+  def encodePcm(samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      require(s >= Short.MinValue && s <= Short.MaxValue, s"pcm: sample $s out of s16 range")
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode little-endian s16 PCM back to samples; odd payloads fail loudly. */
+  def decodePcm(bytes: Array[Byte]): Array[Int] = {
+    require(bytes.length % 2 == 0, s"pcm: odd payload length ${bytes.length}")
+    Array.tabulate(bytes.length / 2) { i =>
+      (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+    }
+  }
+
+  /** Synthetic audio corpus: one clip per document, 64 + doc_id%64
+    * samples of REAL little-endian s16 PCM binary at a nominal 16 kHz.
+    */
+  def syntheticPcm(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (64 + id % 64).toInt
+      val pcm = encodePcm(Array.tabulate(n)(i => pcmSample(id, i)))
+      MediaRecord(id, "audio", pcm, 0, 0, 16000, n)
+    }
+  }
+
+  /** Declared-query surface (m7): frame-level audio features over ACTUALLY
+    * DECODED PCM — the clip's binary payload is parsed back to samples
+    * ([[decodePcm]]), then 16-sample frames are carved and reduced with
+    * codegen'd higher-order array algebra (slice/aggregate/zip_with —
+    * never a per-sample shuffle): energy = Σs², zero crossings = adjacent
+    * sign flips, silence = peak |s| < 256. One row per (clip, frame):
+    * `(media_id, frame, n, energy, zero_cross, silent)`.
+    *
+    * Scale shape: decode is partition-local (mapPartitions-style Dataset
+    * map, codec state amortized per batch); the frame explode multiplies
+    * rows by clip_len/16 BEFORE the only aggregation, which is the
+    * already-framewise final projection — no shuffle touches raw samples.
+    * A 100 TB audio corpus streams partition-by-partition with payload
+    * sizing governed by `maxPartitionBytes`.
+    */
+  def audioFrames(docs: DataFrame, frameLen: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val decoded = syntheticPcm(docs)
+      .map(r => (r.media_id, decodePcm(r.content)))
+      .toDF("media_id", "samples")
+    val fl = frameLen
+    decoded
+      .select(col("media_id"), posexplode(expr(
+        s"transform(sequence(0, (size(samples) - 1) div $fl), f -> slice(samples, f * $fl + 1, $fl))"))
+        .as(Seq("frame", "fr")))
+      .select(
+        col("media_id"),
+        col("frame").cast("long").as("frame"),
+        expr("CAST(size(fr) AS BIGINT)").as("n"),
+        expr("aggregate(fr, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * CAST(x AS BIGINT))")
+          .as("energy"),
+        expr("CAST(size(filter(zip_with(slice(fr, 1, size(fr) - 1), slice(fr, 2, size(fr) - 1), " +
+          "(a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)), p -> p < 0)) AS BIGINT)")
+          .as("zero_cross"),
+        expr("array_max(transform(fr, x -> abs(x))) < 256").as("silent"))
+      .orderBy("media_id", "frame")
+  }
+
+  /** DuckDB mirror of [[audioFrames]]: regenerates the PCM from the
+    * sample formula (bypassing the binary codec — the encode/decode round
+    * trip is suite-asserted separately) and reduces the same frames with
+    * a LEAD window for adjacency.
+    */
+  def audioFramesSql(frameLen: Int = 16): String =
+    s"""WITH s AS (
+       |  SELECT d.doc_id AS media_id, i.i AS i,
+       |     CASE WHEN (i.i // $frameLen) % 4 = 3 THEN ((d.doc_id + i.i) % 121) - 60
+       |          ELSE ((d.doc_id*31 + i.i*i.i*17 + 7*i.i) % 65536) - 32768 END AS s
+       |  FROM documents d,
+       |       (SELECT unnest(generate_series(0, (64 + d.doc_id % 64)::INT - 1)) AS i) i),
+       |w AS (SELECT *, LEAD(s) OVER (PARTITION BY media_id, i // $frameLen ORDER BY i)::BIGINT AS nxt FROM s)
+       |SELECT media_id, (i // $frameLen)::BIGINT AS frame, COUNT(*)::BIGINT AS n,
+       |       SUM((s::BIGINT)*(s::BIGINT))::BIGINT AS energy,
+       |       SUM(CASE WHEN nxt IS NOT NULL AND s::BIGINT * nxt < 0 THEN 1 ELSE 0 END)::BIGINT AS zero_cross,
+       |       (MAX(ABS(s)) < 256) AS silent
+       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

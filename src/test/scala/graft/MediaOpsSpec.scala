@@ -157,4 +157,35 @@ class MediaOpsSpec extends SparkSpec {
     val totalGrouped = got.toSeq.map(_._1).sum
     assert(totalGrouped === 3L)
   }
+
+  test("s16 PCM codec round-trips, including range extremes; odd payloads fail") {
+    val samples = Array(0, 1, -1, 127, -128, 255, -256, 32767, -32768, 12345, -23456)
+    assert(MediaOps.decodePcm(MediaOps.encodePcm(samples)).toSeq === samples.toSeq)
+    // little-endian byte order pinned: 0x1234 → [0x34, 0x12]
+    assert(MediaOps.encodePcm(Array(0x1234)).toSeq === Seq(0x34.toByte, 0x12.toByte))
+    intercept[IllegalArgumentException](MediaOps.decodePcm(Array[Byte](1)))
+    intercept[IllegalArgumentException](MediaOps.encodePcm(Array(40000)))
+  }
+
+  test("audioFrames computes energy, zero crossings and silence on a known clip") {
+    // doc_id 0 → 64 samples, 4 frames; frame 3 is the quiet segment:
+    // samples (0+i)%121-60 for i=48..63 → |s| ≤ 60 < 256 → silent
+    val got = MediaOps.audioFrames(docsDF(Seq(0L -> "x"))).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.length === 4)
+    assert(got.forall(_._2 == 16L))
+    // mirror the formula sequentially
+    def sample(i: Int): Long =
+      if ((i / 16) % 4 == 3) (0L + i) % 121 - 60
+      else (0L * 31 + i.toLong * i * 17 + 7L * i) % 65536 - 32768
+    for (f <- 0 until 4) {
+      val fr = (f * 16 until (f + 1) * 16).map(sample)
+      val energy = fr.map(s => s * s).sum
+      val zc = fr.sliding(2).count(p => p.head * p.last < 0)
+      val silent = fr.map(math.abs).max < 256
+      assert(got(f) === ((f.toLong, 16L, energy, zc.toLong, silent)), s"frame $f")
+    }
+    assert(got(3)._5, "quiet segment must be silent")
+    assert(!got(0)._5)
+  }
 }
