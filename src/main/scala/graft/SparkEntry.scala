@@ -2235,6 +2235,11 @@ object SparkEntry {
       // LSH pair graph -> (doc, keeper); closure handles non-transitive
       // near-dup chains
       Dedup.nearDupClusters(Tables.documents(s, dir))),
+    "d17_span_dedup" -> ((s, dir) => // exact duplicated-SPAN detection
+      // (Lee et al. 2022): sliding k-token windows hashed corpus-wide,
+      // repeated windows mark their positions, overlaps merge to maximal
+      // spans — catches shifted duplicates d12's disjoint tiles miss
+      Dedup.spanDedup(Tables.documents(s, dir))),
     "d16_neardup_keepers" -> ((s, dir) => // the ingestion-order near-dup
       // KEEPER rule: keep a doc iff it claims >= 1 of its 32 MinHash band
       // signatures (claim = per-band min doc_id) — the streaming-feasible
@@ -3579,6 +3584,7 @@ object SparkEntry {
     "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
     "d15_quality_keepers" -> Dedup.qualityKeepersSql(),
     "d16_neardup_keepers" -> Dedup.nearDupKeepersSql(),
+    "d17_span_dedup" -> Dedup.spanDedupSql(),
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
     "d10_edit_distance" -> Dedup.lshEditDistancesSql(),
     "d11_containment" -> Dedup.containmentPairsSql(),

@@ -826,4 +826,81 @@ object Dedup {
        |            JOIN sizes nb ON nb.doc_id = doc_b
        |WHERE greatest(shared * 1000 // na.n, shared * 1000 // nb.n) >= $minCont1000
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact duplicated-SPAN detection: every k-token SLIDING window is
+    * hashed; a window whose hash repeats anywhere in the corpus (any doc,
+    * any alignment — including elsewhere in the same doc) marks its k
+    * covered token positions, and overlapping marked windows merge into
+    * maximal spans via gaps-and-islands. This is the span-granular exact
+    * substring dedup of the "Deduplicating Training Data Makes Language
+    * Models Better" pipeline (Lee et al. 2022), where [[blockDedup]]'s
+    * disjoint tiles miss any duplicate that straddles a tile boundary or
+    * sits at a shifted alignment. One row per doc with ≥ k tokens:
+    * `(doc_id, n_tokens, n_dup_windows, n_dup_tokens, n_spans)` — all
+    * exact integers (n_dup_tokens = union of covered positions, n_spans =
+    * maximal merged spans).
+    *
+    * Scale shape: the window relation is one row per token (same volume
+    * class as every shingle pass here); the repeated-hash filter is one
+    * 8-byte-key aggregate; coverage expansion multiplies only the
+    * DUPLICATED windows by k before a per-doc distinct+islands — on a
+    * mostly-clean corpus that's a small fraction of the token stream. The
+    * islands row_number partitions per doc (each partition one doc's
+    * duplicated positions — bounded by doc length, never corpus-sized).
+    */
+  def spanDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window length must be >= 2, got $k")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .localCheckpoint(true)
+    val win = toks
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - k),
+        i => Hashing.hash60(concat_ws(" ", slice(col("ws"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("s"), col("col").as("h"))
+      .localCheckpoint(true)
+    val dupH = win.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val dupStarts = win.join(dupH, Seq("h"), "left_semi")
+    val cov = dupStarts
+      .select(col("doc_id"), explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
+      .distinct()
+    val isl = cov.withColumn("grp",
+      col("p") - expr("row_number() OVER (PARTITION BY doc_id ORDER BY p)"))
+    val spans = isl.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_tokens"), countDistinct(col("grp")).as("n_spans"))
+    val nwin = dupStarts.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(nwin, Seq("doc_id"), "left_outer")
+      .join(spans, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_dup_windows", "n_dup_tokens", "n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[spanDedup]]: same tokenization, same sliding
+    * windows and hash, same repeated-hash rule, same islands merge.
+    */
+  def spanDedupSql(k: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws
+       |              FROM documents),
+       |base AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens, ws FROM toks WHERE len(ws) >= $k),
+       |win AS (SELECT doc_id, i AS s,
+       |               ${Hashing.hash60Sql(s"array_to_string(ws[(i+1):(i+$k)], ' ')")} AS h
+       |        FROM base, UNNEST(range(0, len(ws) - $k + 1)) AS u(i)),
+       |duph AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+       |ds AS (SELECT win.doc_id, win.s FROM win JOIN duph USING (h)),
+       |cov AS (SELECT DISTINCT doc_id, s + j AS p FROM ds, UNNEST(range(0, $k)) AS v(j)),
+       |isl AS (SELECT doc_id, p, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov),
+       |sp AS (SELECT doc_id, COUNT(*)::BIGINT AS n_dup_tokens, COUNT(DISTINCT grp)::BIGINT AS n_spans
+       |       FROM isl GROUP BY doc_id),
+       |nw AS (SELECT doc_id, COUNT(*)::BIGINT AS n_dup_windows FROM ds GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tokens,
+       |       COALESCE(nw.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       |       COALESCE(sp.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+       |       COALESCE(sp.n_spans, 0)::BIGINT AS n_spans
+       |FROM base b LEFT JOIN nw ON nw.doc_id = b.doc_id
+       |            LEFT JOIN sp ON sp.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 }

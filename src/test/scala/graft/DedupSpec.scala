@@ -167,4 +167,28 @@ class DedupSpec extends SparkSpec {
     // shows up on the train side
     assert(!got.exists { case (t, e) => e % 29 != 0 || t % 29 == 0 })
   }
+
+  test("spanDedup merges overlapping windows into maximal spans, counts positions once") {
+    val docs = docsDF(Seq(
+      // two separated 8-token spans, each duplicated elsewhere
+      1L -> "a1 a2 a3 a4 a5 a6 a7 a8 f1 f2 f3 b1 b2 b3 b4 b5 b6 b7 b8",
+      2L -> "a1 a2 a3 a4 a5 a6 a7 a8",
+      3L -> "b1 b2 b3 b4 b5 b6 b7 b8",
+      // 9-token doc fully duplicated: two OVERLAPPING windows merge to ONE
+      // 9-position span
+      4L -> "m1 m2 m3 m4 m5 m6 m7 m8 m9",
+      5L -> "m1 m2 m3 m4 m5 m6 m7 m8 m9",
+      // clean doc: all-zero row; short doc: excluded (< 8 tokens)
+      6L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+      7L -> "tiny doc"))
+    val got = Dedup.spanDedup(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((19L, 2L, 16L, 2L)), "two disjoint spans of 8, 2 dup windows")
+    assert(got(2L) === ((8L, 1L, 8L, 1L)))
+    assert(got(3L) === ((8L, 1L, 8L, 1L)))
+    assert(got(4L) === ((9L, 2L, 9L, 1L)), "overlapping windows merge; position 1..8 counted once")
+    assert(got(5L) === ((9L, 2L, 9L, 1L)))
+    assert(got(6L) === ((10L, 0L, 0L, 0L)), "clean doc zero-filled")
+    assert(!got.contains(7L), "docs under k tokens have no windows")
+  }
 }
