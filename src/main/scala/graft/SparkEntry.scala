@@ -1433,6 +1433,30 @@ object SparkEntry {
         .agg(count(lit(1)))
         .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
         .orderBy("l_returnflag")),
+    "q34_sql_pivot" -> ((s, dir) => {
+      // the SQL:2016 PIVOT clause through the parser (q13 is the
+      // DataFrame-API cousin): sum of quantities per return flag,
+      // statuses fanned to columns; empty cells stay NULL on both sides
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT * FROM (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q
+          |               FROM lineitem_v)
+          |PIVOT (SUM(q) FOR l_linestatus IN ('F' AS f, 'O' AS o))
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+    "q35_sql_unpivot" -> ((s, dir) => {
+      // PIVOT → UNPIVOT round trip through the parser: the wide table of
+      // q34 melted back to (flag, status, total) — UNPIVOT's default
+      // NULL-row drop is part of the contract the oracle mirrors
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, status, total FROM (
+          |  SELECT * FROM (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q
+          |                 FROM lineitem_v)
+          |  PIVOT (SUM(q) FOR l_linestatus IN ('F' AS f, 'O' AS o))
+          |) UNPIVOT (total FOR status IN (f, o))
+          |ORDER BY l_returnflag, status""".stripMargin)
+    }),
 
     // ---- relational: joins ----
     "q3_top_revenue" -> ((s, dir) => {
@@ -3124,6 +3148,22 @@ object SparkEntry {
         |  SUM(CASE WHEN l_linestatus = 'F' THEN 1 END)::BIGINT AS n_f,
         |  SUM(CASE WHEN l_linestatus = 'O' THEN 1 END)::BIGINT AS n_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q34_sql_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS f,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_sql_unpivot" -> // conditional-agg arms unioned back to long form;
+      // arms that summed no rows are dropped, mirroring UNPIVOT's default
+      """WITH w AS (SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS f,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS o
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, status, total FROM (
+        |  SELECT l_returnflag, 'f' AS status, f AS total FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'o' AS status, o AS total FROM w)
+        |WHERE total IS NOT NULL ORDER BY l_returnflag, status""".stripMargin,
     "q14_bucketed_join" -> // the oracle sees only the SEMANTICS (plain join
       // + agg over the source tables); the bucketed layout is the plan
       // property under test in PartitioningSpec
