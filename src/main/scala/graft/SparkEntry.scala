@@ -795,6 +795,61 @@ object SparkEntry {
           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
           |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin)
     }),
+    "e31_group_ols" -> ((s, dir) => {
+      // closed-form least squares per group (price-vs-quantity regression
+      // per return flag) from EXACT integer moments: quantities and price
+      // CENTS sum to BIGINTs in one map-side-combinable pass, the normal
+      // equations' cross products go through DECIMAL so the only floats
+      // are the final two divisions (and an IEEE-scalar r²) — no
+      // iterative solver, no partial-sum float drift. At 10¹² rows the
+      // moments need DECIMAL(38,0) accumulators (cents·rows overflows
+      // int64 around 1e18); the shape is unchanged.
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        s"""WITH m AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+           |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sy,
+           |         SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(25,0))) AS sxy,
+           |         SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(25,0))) AS sxx,
+           |         SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(25,0))) AS syy
+           |  FROM lineitem_v GROUP BY l_returnflag),
+           |d AS (
+           |  SELECT l_returnflag, n,
+           |         CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS num,
+           |         CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS den,
+           |         CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy AS inum,
+           |         CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS vary
+           |  FROM m)
+           |SELECT l_returnflag, n,
+           |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS slope_6,
+           |       round(CAST(inum AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS icept_6,
+           |       round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+           |             / (CAST(den AS DOUBLE) * CAST(vary AS DOUBLE)), 6) + 0.0 AS r2_6
+           |FROM d ORDER BY l_returnflag""".stripMargin)
+    }),
+    "e32_chi2_cells" -> ((s, dir) => {
+      // contingency-table independence profile (return flag × line
+      // status): per-cell Pearson χ² contribution from exact integer
+      // counts — diff = o·T − r·c stays in int64 at this scale, the term
+      // is ONE deterministic IEEE division per cell, so there is no
+      // cross-cell float summation to drift (the user sums term_6 for
+      // the χ² statistic). The profiling op behind "are these two
+      // metadata columns independent?" on a corpus card.
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """WITH o AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          |           FROM lineitem_v GROUP BY 1, 2),
+          |r AS (SELECT l_returnflag, SUM(n) AS rn FROM o GROUP BY 1),
+          |c AS (SELECT l_linestatus, SUM(n) AS cn FROM o GROUP BY 1),
+          |t AS (SELECT SUM(n) AS tn FROM o)
+          |SELECT o.l_returnflag, o.l_linestatus, o.n,
+          |       round(CAST((o.n * t.tn - r.rn * c.cn) AS DOUBLE)
+          |             * CAST((o.n * t.tn - r.rn * c.cn) AS DOUBLE)
+          |             / CAST(r.rn * c.cn * t.tn AS DOUBLE), 6) + 0.0 AS term_6
+          |FROM o JOIN r USING (l_returnflag) JOIN c USING (l_linestatus) CROSS JOIN t
+          |ORDER BY o.l_returnflag, o.l_linestatus""".stripMargin)
+    }),
     "q26_recursive_cte" -> ((s, dir) => {
       // WITH RECURSIVE through Spark's UnionLoop (new in Spark 4.x) — the
       // SQL-surface route to iterative computation the DataFrame loops
@@ -3148,6 +3203,41 @@ object SparkEntry {
         |  SUM(CASE WHEN l_linestatus = 'F' THEN 1 END)::BIGINT AS n_f,
         |  SUM(CASE WHEN l_linestatus = 'O' THEN 1 END)::BIGINT AS n_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e31_group_ols" -> // identical exact-integer moments (DuckDB sums
+      // BIGINT into HUGEINT — same exact values the DECIMAL accumulators
+      // carry on the Spark side), identical final divisions
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+        |         SUM((CAST(l_extendedprice AS DECIMAL(12,2)) * 100)::BIGINT) AS sy,
+        |         SUM(CAST(l_quantity AS BIGINT) * (CAST(l_extendedprice AS DECIMAL(12,2)) * 100)::BIGINT) AS sxy,
+        |         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |         SUM((CAST(l_extendedprice AS DECIMAL(12,2)) * 100)::BIGINT * (CAST(l_extendedprice AS DECIMAL(12,2)) * 100)::BIGINT) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |         n::HUGEINT * sxy - sx::HUGEINT * sy AS num,
+        |         n::HUGEINT * sxx - sx::HUGEINT * sx AS den,
+        |         sy::HUGEINT * sxx - sx::HUGEINT * sxy AS inum,
+        |         n::HUGEINT * syy - sy::HUGEINT * sy AS vary
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |       round(num::DOUBLE / den::DOUBLE, 6) + 0.0 AS slope_6,
+        |       round(inum::DOUBLE / den::DOUBLE, 6) + 0.0 AS icept_6,
+        |       round(num::DOUBLE * num::DOUBLE / (den::DOUBLE * vary::DOUBLE), 6) + 0.0 AS r2_6
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+    "e32_chi2_cells" ->
+      """WITH o AS (SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, SUM(n)::BIGINT AS rn FROM o GROUP BY 1),
+        |c AS (SELECT l_linestatus, SUM(n)::BIGINT AS cn FROM o GROUP BY 1),
+        |t AS (SELECT SUM(n)::BIGINT AS tn FROM o)
+        |SELECT o.l_returnflag, o.l_linestatus, o.n,
+        |       round((o.n * t.tn - r.rn * c.cn)::DOUBLE
+        |             * (o.n * t.tn - r.rn * c.cn)::DOUBLE
+        |             / (r.rn * c.cn * t.tn)::DOUBLE, 6) + 0.0 AS term_6
+        |FROM o JOIN r USING (l_returnflag) JOIN c USING (l_linestatus) CROSS JOIN t
+        |ORDER BY o.l_returnflag, o.l_linestatus""".stripMargin,
     "q34_sql_pivot" ->
       """SELECT l_returnflag,
         |  SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS f,
