@@ -2645,6 +2645,29 @@ object SparkEntry {
       // the embedding-cosine pair graph (d5's banded-LSH path) -> one
       // keeper per semantic-dup chain; d6's text-space cousin
       Similarity.semanticDupClusters(Tables.embeddings(s, dir))),
+    "p7_modality_card" -> ((s, dir) => {
+      // multimodal corpus card: the round's text and audio profiling ops
+      // composed per SOURCE — span-level duplication (d17) beside audio
+      // silence/energy coverage (m7), the two metadata columns a curation
+      // decision actually reads together; docs under the d17 window
+      // length are out of the text half by that operator's contract
+      val docs = Tables.documents(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      val txt = graft.llm.Dedup.spanDedup(docs).join(src, "doc_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("n_dup_tokens").as("n_dup_tokens"),
+          expr("sum(n_dup_tokens) * 1000 div sum(n_tokens)").as("dup_permille"))
+      val aud = graft.llm.MediaOps.audioFrames(docs)
+        .join(src.withColumnRenamed("doc_id", "media_id"), "media_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+          expr("sum(case when silent then 1 else 0 end) * 1000 div count(1)")
+            .as("silent_permille"))
+      txt.join(aud, "source").orderBy("source")
+    }),
     "p6_r11_curation" -> ((s, dir) => {
       // the round-11 curation loop composed as a user would: Gopher rule
       // filter -> DSIR importance weights (model fit on the FULL corpus,
@@ -3828,6 +3851,22 @@ object SparkEntry {
          |SELECT lang, stratum_rank::BIGINT AS stratum_rank, doc_id, shuffle_key
          |FROM r WHERE stratum_rank <= 10 ORDER BY lang, stratum_rank""".stripMargin,
     "d5_cosine_dup_pairs" -> Similarity.cosineDupPairsSql(),
+    "p7_modality_card" -> // the d17 and m7 mirrors composed the same way
+      s"""WITH sp AS (${graft.llm.Dedup.spanDedupSql()}),
+         |au AS (${graft.llm.MediaOps.audioFramesSql()}),
+         |src AS (SELECT doc_id, source FROM documents),
+         |t AS (SELECT source, COUNT(*)::BIGINT AS n_docs,
+         |             SUM(n_tokens)::BIGINT AS n_tokens,
+         |             SUM(n_dup_tokens)::BIGINT AS n_dup_tokens,
+         |             (SUM(n_dup_tokens) * 1000 // SUM(n_tokens))::BIGINT AS dup_permille
+         |      FROM sp JOIN src USING (doc_id) GROUP BY source),
+         |a AS (SELECT source, COUNT(*)::BIGINT AS n_frames,
+         |             SUM(CASE WHEN silent THEN 1 ELSE 0 END)::BIGINT AS n_silent,
+         |             (SUM(CASE WHEN silent THEN 1 ELSE 0 END) * 1000 // COUNT(*))::BIGINT AS silent_permille
+         |      FROM au JOIN src ON au.media_id = src.doc_id GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_dup_tokens, dup_permille,
+         |       n_frames, n_silent, silent_permille
+         |FROM t JOIN a USING (source) ORDER BY source""".stripMargin,
     "p1_curation_pipeline" ->
       s"""WITH q AS (
          |${TextOps.qualityBucketsSql}
