@@ -1187,6 +1187,43 @@ object SparkEntry {
           .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
       }.reduce(_ unionByName _).orderBy("version")
     }),
+    "f18_wap_publish" -> ((s, dir) => {
+      // write-audit-publish on the commit log (the Iceberg WAP shape):
+      // v0 = overwrite base, then an audited append of a CLEAN batch
+      // publishes (v1), and an audited append of a batch with planted
+      // negative values ABORTS — staged files deleted, head untouched,
+      // the violation count surfaced from the report. Output = the
+      // (metric, value) summary of the whole scenario; oracle derives
+      // every number from the same orders slices.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-wap-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      val rules = Seq(
+        graft.operators.Validation.RowRule("k_not_null", col("k").isNotNull),
+        graft.operators.Validation.RowRule("v_nonneg", col("v") >= 0L))
+      t.overwrite(ord.filter(col("k") % 7 === 0))
+      val published = t.appendAudited(ord.filter(col("k") % 7 === 1), rules)
+        .getOrElse(sys.error("clean batch must publish"))
+      val bad = ord.filter(col("k") % 7 === 2)
+        .withColumn("v", when(col("k") % 3 === 0, -col("v") - 1).otherwise(col("v")))
+      val aborted = t.appendAudited(bad, rules) match {
+        case Left(report) => report.map(_._2).sum
+        case Right(v) => sys.error(s"bad batch must not publish, got version $v")
+      }
+      import s.implicits._
+      Seq(
+        ("aborted_violations", aborted),
+        ("head_rows", t.read().count()),
+        ("n_versions", t.versions().size.toLong),
+        ("published_version", published)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
     "f16_log_restore" -> ((s, dir) => {
       // RESTORE as a metadata-only commit: v0 = keys < 10, v1 = overwrite
       // with the complement, v2 = restore(0) — the head re-references v0's
@@ -3123,6 +3160,16 @@ object SparkEntry {
         |       SUM(x)::BIGINT AS sum_x, SUM(y)::BIGINT AS sum_y, SUM(q)::BIGINT AS sum_q FROM d
         |UNION ALL SELECT 1, COUNT(*), SUM(x)::BIGINT, SUM(y)::BIGINT, SUM(q)::BIGINT FROM d
         |ORDER BY version""".stripMargin,
+    "f18_wap_publish" -> // every scenario number derived from the same
+      // orders slices: violations = the planted k%3=0 rows of the k%7=2
+      // batch, head = base ∪ clean batch, exactly two published versions
+      """SELECT 'aborted_violations' AS metric,
+        |       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 2 AND o_orderkey % 3 = 0)::BIGINT AS value
+        |UNION ALL SELECT 'head_rows',
+        |       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 IN (0, 1))::BIGINT
+        |UNION ALL SELECT 'n_versions', 2::BIGINT
+        |UNION ALL SELECT 'published_version', 1::BIGINT
+        |ORDER BY metric""".stripMargin,
     "f16_log_restore" -> // the restored head (version 2) carries exactly
       // v0's snapshot
       """SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,

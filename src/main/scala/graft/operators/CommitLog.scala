@@ -144,6 +144,30 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   /** Append `df` as a new version: previous file list + the new files. */
   def append(df: DataFrame): Long = commitVersion(df, keepPrevious = true, op = "append")
 
+  /** Write-audit-publish (the Iceberg WAP shape): stage the batch's data
+    * directory, AUDIT the rows as ACTUALLY WRITTEN (re-read from the
+    * staged parquet — a writer/codec bug the input DataFrame can't show is
+    * caught here), and only on a clean report publish the atomic log
+    * entry. A failed audit deletes the staging and leaves the head
+    * untouched — readers never see the bad batch at any version — and
+    * returns `Left(report)` (every rule with its violation count);
+    * success returns `Right(version)`.
+    *
+    * Scale shape: the audit is [[Validation.rowChecks]]'s fused ONE-scan
+    * conditional-sum pass over just the staged batch (never the table),
+    * and the collected report is rule-count-sized by contract.
+    */
+  def appendAudited(df: DataFrame,
+                    rules: Seq[Validation.RowRule]): Either[Seq[(String, Long)], Long] = {
+    require(rules.nonEmpty, "appendAudited needs at least one rule")
+    val auditFn: DataFrame => Seq[(String, Long)] = staged =>
+      Validation.rowChecks(staged, rules).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    try Right(commitVersion(df, keepPrevious = true, op = "append-audited",
+      audit = Some(auditFn)))
+    catch { case e: AuditFailedException => Left(e.report) }
+  }
+
   /** Retention: delete data DIRECTORIES referenced by none of the last
     * `keepLast` versions — the VACUUM half of the time-travel bargain
     * (old versions stay readable UNTIL retention reclaims their files).
@@ -289,7 +313,8 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   protected def nextVersion(): Long = latestVersion().map(_ + 1).getOrElse(0L)
 
   private def commitVersion(df: DataFrame, keepPrevious: Boolean, op: String,
-                            expectedBase: Option[Long] = None): Long = {
+                            expectedBase: Option[Long] = None,
+                            audit: Option[DataFrame => Seq[(String, Long)]] = None): Long = {
     // resolve the head ONCE: the carried file list derives from version-1 of
     // the version this writer attempts, so base snapshot and attempt are
     // always consistent — a commit landing in between makes the publish
@@ -310,6 +335,12 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     val dataDir = new Path(path, rel)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     try {
+      // WAP audit gate: run the rules against the STAGED files before any
+      // log entry exists; a violation aborts via the shared cleanup path
+      audit.foreach { a =>
+        val report = a(spark.read.parquet(dataDir.toString))
+        if (report.exists(_._2 > 0)) throw new AuditFailedException(report)
+      }
       // per-file stats for the log (one row per written FILE)
       val stats = spark.read.parquet(dataDir.toString)
         .groupBy(input_file_name().as("file"))
@@ -383,3 +414,10 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     publish(version, "restore", adds)
   }
 }
+
+/** Carries the failed WAP audit report through [[CommitTable]]'s shared
+  * staging-cleanup path; never escapes `appendAudited`.
+  */
+private final class AuditFailedException(val report: Seq[(String, Long)])
+  extends RuntimeException(s"WAP audit failed: " +
+    report.filter(_._2 > 0).map { case (n, c) => s"$n=$c" }.mkString(", "))

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.operators.CommitTable
+import graft.operators.{CommitTable, Validation}
 
 class CommitLogSpec extends SparkSpec {
 
@@ -282,5 +282,35 @@ class CommitLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](t.restore(1L))
     assert(e.getMessage.contains("vacuumed"))
     assert(t.latestVersion() === Some(2L), "failed restore must not commit")
+  }
+
+  test("write-audit-publish: clean batch publishes, dirty batch aborts with no trace") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    val rules = Seq(
+      Validation.RowRule("k_positive", col("k") > 0L),
+      Validation.RowRule("v_not_null", col("v").isNotNull))
+    // clean batch: audited against the STAGED files, then published
+    assert(t.appendAudited(kv(3L -> "c"), rules) === Right(1L))
+    assert(rows(t.read()) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // dirty batch: both rules reported, only the violated one counts;
+    // head and version history untouched, staging fully removed
+    val dirty = {
+      val s = spark; import s.implicits._
+      Seq((0L, "x"), (4L, null.asInstanceOf[String]), (5L, "e")).toDF("k", "v")
+    }
+    t.appendAudited(dirty, rules) match {
+      case Left(report) =>
+        assert(report.toMap === Map("k_positive" -> 1L, "v_not_null" -> 1L))
+      case Right(v) => fail(s"dirty batch published as version $v")
+    }
+    assert(t.versions() === Seq(0L, 1L), "aborted audit must not version the table")
+    assert(rows(t.read()) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val root = new java.io.File(t.read().inputFiles.head
+      .stripPrefix("file:").split("/d1-").head)
+    val staged = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("d2-"))
+    assert(staged.isEmpty, s"aborted staging left debris: ${staged.mkString(",")}")
   }
 }
