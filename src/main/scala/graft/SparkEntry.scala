@@ -2658,6 +2658,20 @@ object SparkEntry {
       // (s9's broadcast-codebook discipline), so doc scores are exact
       // integer sums; oracle = fully independent sequential mirror
       Sampling.dsirWeights(Tables.documents(s, dir))),
+    "t36_sentence_stats" -> ((s, dir) => // sentence segmentation stats
+      // ([.!?]+ splits, trimmed, empties dropped): discourse-shape
+      // quality signals the flat token ratios can't see; row-local array
+      // algebra, zero shuffles, all integer columns
+      graft.llm.TextOps.sentenceStats(Tables.documents(s, dir))),
+    "q36_group_by_all" -> ((s, dir) => {
+      // the GROUP BY ALL resolution rule (SQL-surface parity both engines
+      // ship): every non-aggregate select item becomes a grouping key
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+          |       SUM(o_custkey) AS sum_cust
+          |FROM orders_v GROUP BY ALL ORDER BY 1, 2""".stripMargin)
+    }),
     "t35_gopher_rules" -> ((s, dir) => // Gopher-style composite quality
       // rules: word count, mean word length, stopword presence, top-word
       // repetition ratio — all integer thousandths, composite keep
@@ -3889,6 +3903,11 @@ object SparkEntry {
     "t34_quality_scores" -> graft.llm.Classifier.scoreDocsSql(
       Seq(-2000000000L, 500000000L, 300000000L, -1000000000L)),
     "t35_gopher_rules" -> graft.llm.TextOps.gopherQualityFlagsSql(),
+    "t36_sentence_stats" -> graft.llm.TextOps.sentenceStatsSql,
+    "q36_group_by_all" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |       SUM(o_custkey)::BIGINT AS sum_cust
+        |FROM orders GROUP BY ALL ORDER BY 1, 2""".stripMargin,
     "t19_stratified_sample" ->
       s"""WITH s AS (SELECT lang, doc_id, ${Sampling.shuffleKeySql("doc_id", 11L)} AS shuffle_key
          |           FROM documents),

@@ -99,6 +99,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document sentence segmentation stats: segments split on `[.!?]+`
+    * runs, whitespace-trimmed, empties dropped — the discourse-shape
+    * quality signals (a doc of 400 one-word "sentences" is a list, not
+    * prose) the flat token ratios of [[textStats]] can't see. All
+    * integer: `(doc_id, n_sentences, sum_sent_chars, max_sent_chars,
+    * mean_chars_1000)`. Row-local array algebra — no shuffle at all.
+    */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"),
+        s => regexp_replace(s, "^\\s+|\\s+$", "")),
+      s => s =!= "")
+    docs.select(col("doc_id"), sents.as("sents"))
+      .select(
+        col("doc_id"),
+        size(col("sents")).cast("long").as("n_sentences"),
+        coalesce(aggregate(col("sents"), lit(0L), (a, s) => a + length(s)), lit(0L))
+          .as("sum_sent_chars"),
+        coalesce(array_max(transform(col("sents"), s => length(s).cast("long"))), lit(0L))
+          .as("max_sent_chars"))
+      .withColumn("mean_chars_1000",
+        when(col("n_sentences") > 0,
+          expr("sum_sent_chars * 1000 div n_sentences")).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[sentenceStats]]. */
+  val sentenceStatsSql: String =
+    s"""WITH s AS (SELECT doc_id,
+       |  list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+       |              x -> regexp_replace(x, '^\\s+|\\s+$$', '', 'g')), x -> x <> '') AS sents
+       |  FROM documents)
+       |SELECT doc_id, len(sents)::BIGINT AS n_sentences,
+       |  COALESCE(list_sum(list_transform(sents, x -> len(x))), 0)::BIGINT AS sum_sent_chars,
+       |  COALESCE(list_max(list_transform(sents, x -> len(x)::BIGINT)), 0)::BIGINT AS max_sent_chars,
+       |  CASE WHEN len(sents) > 0
+       |       THEN COALESCE(list_sum(list_transform(sents, x -> len(x))), 0)::BIGINT * 1000 // len(sents)
+       |       ELSE 0 END::BIGINT AS mean_chars_1000
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val textStatsSql: String = {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
     s"""SELECT doc_id,

@@ -370,4 +370,18 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getLong(5) === expect, s"doc ${r.getLong(0)} verdict mismatch")
     }
   }
+
+  test("sentenceStats: segmentation, trimming, empty-run collapse, zero-sentence docs") {
+    val got = TextOps.sentenceStats(docsDF(Seq(
+      1L -> "One two. Three!  Four five six?",  // "One two"(7), "Three"(5), "Four five six"(13)
+      2L -> "no terminator here",                // one 18-char segment
+      3L -> "!!! ... ?!",                        // only punctuation/whitespace: zero sentences
+      4L -> "a.b.c")))                           // three 1-char sentences
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((3L, 25L, 13L, 8333L)))
+    assert(got(2L) === ((1L, 18L, 18L, 18000L)))
+    assert(got(3L) === ((0L, 0L, 0L, 0L)))
+    assert(got(4L) === ((3L, 3L, 1L, 1000L)))
+  }
 }
