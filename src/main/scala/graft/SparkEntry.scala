@@ -49,6 +49,12 @@ object SparkEntry {
   private def bigBfs(s: SparkSession, dir: String): DataFrame =
     Traversals.bfs(DerivedGraphs.big(s, dir), start = 0L, maxDepth = 12)
 
+  /** t37's query — one rare term ("dup": ~5% df in the synthetic corpus)
+    * plus two common ones, so idf actually ranks; shared by the Spark
+    * query and the oracle builder so the two stay one definition.
+    */
+  private val Bm25QueryTerms: Seq[String] = Seq("dup", "spark", "merge")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- graph operators (reference surface + analytics extensions) ----
     "g1_bfs_levels" -> ((s, dir) => bigBfs(s, dir)),
@@ -372,6 +378,13 @@ object SparkEntry {
       // closures are quadratic; registers are pure-integer algebra, the
       // estimate one fixed-form expression, mirrored exactly
       Analytics.hyperBall(DerivedGraphs.small(s, dir), t = 8)),
+    "g57_distance_profile" -> ((s, dir) =>
+      // the graph's distance distribution via HyperBall: N(t) = Σ ball
+      // sizes for t = 0..8 + the effective-diameter flag (smallest t
+      // covering 90% of reachable pairs, by integer cross-multiply) —
+      // the Boldi–Vigna headline statistic; per round the added cost
+      // over g52 is ONE 1-row aggregate
+      Analytics.neighborhoodFunction(DerivedGraphs.small(s, dir), tMax = 8)),
     "g50_matching" -> ((s, dir) =>
       // maximal matching (MIS on the line graph), deterministic parallel
       // greedy: per round the (π,a,b)-minimal active edge at BOTH
@@ -1223,6 +1236,31 @@ object SparkEntry {
         ("n_versions", t.versions().size.toLong),
         ("published_version", published)
       ).toDF("metric", "value").orderBy("metric")
+    }),
+    "f19_ts_travel" -> ((s, dir) => {
+      // TIMESTAMP AS OF time travel (Delta's rule: newest version whose
+      // commit timestamp is at-or-before the asked instant): three
+      // commits at explicit logical timestamps 1000/2000/3000 — v0 keys
+      // < 10, v1 appends [10, 20), v2 overwrites with keys >= 20 — probed
+      // between, at, and after the commit instants. The monotonic
+      // timestamp adjustment and the too-early error are suite-tested.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-tstravel-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      t.overwrite(nat.filter(col("n_nationkey") < 10), tsMillis = Some(1000L))
+      t.append(nat.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20),
+        tsMillis = Some(2000L))
+      t.overwrite(nat.filter(col("n_nationkey") >= 20), tsMillis = Some(3000L))
+      Seq(1500L, 2000L, 2999L, 9999L).map { ts =>
+        t.asOfTimestamp(ts)
+          .agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
+          .select(lit(ts).as("ts_probe"), col("n_rows"), col("sum_key"))
+      }.reduce(_ unionByName _).orderBy("ts_probe")
     }),
     "f16_log_restore" -> ((s, dir) => {
       // RESTORE as a metadata-only commit: v0 = keys < 10, v1 = overwrite
@@ -2356,6 +2394,12 @@ object SparkEntry {
       // repeated windows mark their positions, overlaps merge to maximal
       // spans — catches shifted duplicates d12's disjoint tiles miss
       Dedup.spanDedup(Tables.documents(s, dir))),
+    "d18_span_scrub" -> ((s, dir) => // d17's SCRUB half — the CLEANED
+      // corpus the Lee et al. pipeline actually ships: the canonical
+      // (smallest (doc_id, start)) occurrence of each duplicated window
+      // keeps its text, every other occurrence's positions are cut, docs
+      // reassembled from surviving tokens in order
+      Dedup.spanScrub(Tables.documents(s, dir))),
     "d16_neardup_keepers" -> ((s, dir) => // the ingestion-order near-dup
       // KEEPER rule: keep a doc iff it claims >= 1 of its 32 MinHash band
       // signatures (claim = per-band min doc_id) — the streaming-feasible
@@ -2658,6 +2702,18 @@ object SparkEntry {
       // (s9's broadcast-codebook discipline), so doc scores are exact
       // integer sums; oracle = fully independent sequential mirror
       Sampling.dsirWeights(Tables.documents(s, dir))),
+    "t37_bm25" -> ((s, dir) => // BM25 keyword retrieval (the Lucene/RAG
+      // sparse scorer): exact integer df/dl/tf, driver-quantized idf
+      // literals, one truncating division per matched term — plans as
+      // TakeOrderedAndProject; oracle = static SQL + an INDEPENDENTLY
+      // derived idf VALUES table (SequentialCorpus.bm25Idf)
+      graft.llm.Retrieval.bm25TopK(Tables.documents(s, dir),
+        queryTerms = Bm25QueryTerms, k = 15)),
+    "t38_ccnet_ppl" -> ((s, dir) => // CCNet perplexity bucketing: hashed-
+      // unigram LM fit on the lang=en reference slice, per-token NLL in
+      // micro-nats, head/middle/tail split — the LM-quality filter stage;
+      // oracle = fully independent sequential mirror
+      graft.llm.Perplexity.ccnetScore(Tables.documents(s, dir))),
     "t36_sentence_stats" -> ((s, dir) => // sentence segmentation stats
       // ([.!?]+ splits, trimmed, empties dropped): discourse-shape
       // quality signals the flat token ratios can't see; row-local array
@@ -3184,6 +3240,15 @@ object SparkEntry {
         |UNION ALL SELECT 'n_versions', 2::BIGINT
         |UNION ALL SELECT 'published_version', 1::BIGINT
         |ORDER BY metric""".stripMargin,
+    "f19_ts_travel" -> // each probe's snapshot derived straight from the
+      // source: 1500 → v0 (keys < 10); 2000 and 2999 → v1 (keys < 20,
+      // the at-instant read is inclusive); 9999 → v2 (keys >= 20)
+      """SELECT ts_probe::BIGINT AS ts_probe, COUNT(*) AS n_rows,
+        |       SUM(n_nationkey)::BIGINT AS sum_key
+        |FROM nation, (VALUES (1500, 0, 9), (2000, 0, 19), (2999, 0, 19),
+        |              (9999, 20, 1000000)) AS p(ts_probe, lo, hi)
+        |WHERE n_nationkey BETWEEN lo AND hi
+        |GROUP BY p.ts_probe ORDER BY ts_probe""".stripMargin,
     "f16_log_restore" -> // the restored head (version 2) carries exactly
       // v0's snapshot
       """SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,
@@ -3799,6 +3864,7 @@ object SparkEntry {
     "d15_quality_keepers" -> Dedup.qualityKeepersSql(),
     "d16_neardup_keepers" -> Dedup.nearDupKeepersSql(),
     "d17_span_dedup" -> Dedup.spanDedupSql(),
+    "d18_span_scrub" -> Dedup.spanScrubSql(),
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
     "d10_edit_distance" -> Dedup.lshEditDistancesSql(),
     "d11_containment" -> Dedup.containmentPairsSql(),
@@ -4039,7 +4105,7 @@ object SparkEntry {
         "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness",
         "g36_modularity", "g41_louvain_sweep", "g42_spanning_forest",
         "g44_louvain_full", "g47_mis", "g48_coloring", "g49_densest",
-        "g50_matching", "g51_coreness", "g52_hyperball")
+        "g50_matching", "g51_coreness", "g52_hyperball", "g57_distance_profile")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -4097,6 +4163,13 @@ object SparkEntry {
           s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(b AS BIGINT) AS ball_e3
              |FROM (VALUES ${hb.map { case (v, b) => s"($v, $b)" }.mkString(", ")}) AS t(v, b)
              |ORDER BY vertex""".stripMargin
+      },
+      "g57_distance_profile" -> {
+        val nf = SequentialModel.neighborhoodFunction(edges, tMax = 8)
+        s"""SELECT CAST(t AS BIGINT) AS t, CAST(n AS BIGINT) AS npairs_e3,
+           |CAST(e AS BIGINT) AS is_eff
+           |FROM (VALUES ${nf.map { case (t, n, e) => s"($t, $n, $e)" }.mkString(", ")}) AS x(t, n, e)
+           |ORDER BY t""".stripMargin
       },
       "g50_matching" -> {
         val m = SequentialModel.greedyMatching(edges)
@@ -4308,6 +4381,28 @@ object SparkEntry {
              |WHERE dw.w > 0
              |GROUP BY d.source ORDER BY d.source""".stripMargin)
     }
+    val bm25Oracle: Map[String, String] = if (!want("t37_bm25")) Map.empty else {
+      val texts = graft.Tables.documents(spark, sfDir)
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+      Map("t37_bm25" ->
+        graft.llm.Retrieval.bm25TopKSql(
+          SequentialCorpus.bm25Idf(texts, Bm25QueryTerms), k = 15))
+    }
+    val ccnetOracle: Map[String, String] = if (!want("t38_ccnet_ppl")) Map.empty else {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val sc = SequentialCorpus.ccnetScores(docs)
+      Map("t38_ccnet_ppl" -> (
+        if (sc.isEmpty)
+          """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+            |CAST(NULL AS BIGINT) AS npt_e6, CAST(NULL AS VARCHAR) AS bucket WHERE 1 = 0""".stripMargin
+        else
+          s"""SELECT CAST(d AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |CAST(p AS BIGINT) AS npt_e6, CAST(bk AS VARCHAR) AS bucket
+             |FROM (VALUES ${sc.map { case (d, n, p, bk) => s"($d, $n, $p, '$bk')" }.mkString(", ")}) AS t(d, n, p, bk)
+             |ORDER BY doc_id""".stripMargin))
+    }
     val ssspOracle: Map[String, String] = if (!want("g45_sssp_fixpoint")) Map.empty else {
       val d = SequentialModel
         .dijkstra(DerivedGraphs.longHaulSeq(spark, sfDir), start = 0L).toSeq.sorted
@@ -4316,7 +4411,8 @@ object SparkEntry {
            |FROM (VALUES ${d.map { case (v, c) => s"($v, $c)" }.mkString(", ")}) AS t(v, c)
            |ORDER BY vertex""".stripMargin)
     }
-    (graphOracles ++ vecOracles ++ bpeOracles ++ dsirOracle ++ logRegOracle ++ ssspOracle ++ Map(
+    (graphOracles ++ vecOracles ++ bpeOracles ++ dsirOracle ++ logRegOracle ++ ssspOracle ++
+      bm25Oracle ++ ccnetOracle ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line

@@ -1724,19 +1724,15 @@ object Analytics {
     * edges this is THE practical way to ask "how far does influence
     * reach" — exact closures are off the table.
     */
-  def hyperBall(edges: DataFrame, t: Int = 8): DataFrame = {
-    require(t >= 0, s"t must be >= 0, got $t")
+  /** HyperBall's m = 16 single-set-bit register initialization — one row
+    * per vertex, `regs` = 16 ints (index = h mod 16, rank = first set bit
+    * of h div 16, 41 if none). Shared by [[hyperBall]] and
+    * [[neighborhoodFunction]] so the two stay one register contract.
+    */
+  private def hllInit(verts: DataFrame): DataFrame = {
     val m = 16
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
-    val verts = e.select(col("src").as("vertex"))
-      .union(e.select(col("dst").as("vertex"))).distinct()
-    // own-hash registers: index = h mod 16; rank = position of the first
-    // set bit of h div 16 (1-based), 41 if none — pure integer expressions
     val h = graft.functions.Hashing.hash60(col("vertex").cast("string"))
-    val init = verts
+    verts
       .withColumn("h", h)
       .withColumn("idx", (col("h") % m).cast("int"))
       .withColumn("rest", expr(s"h div $m"))
@@ -1745,28 +1741,95 @@ object Analytics {
       .select(col("vertex"),
         transform(sequence(lit(0), lit(m - 1)), i =>
           when(i === col("idx"), col("rank")).otherwise(0)).as("regs"))
-    var state = init.localCheckpoint(true)
-    for (_ <- 1 to t) {
-      val fromNbrs = e.join(state.select(col("vertex").as("dst"), col("regs")), "dst")
-        .select(col("src").as("vertex"), col("regs"))
-      state = state.union(fromNbrs)
-        .select(col("vertex"), posexplode(col("regs")))
-        .groupBy("vertex", "pos").agg(max(col("col")).as("r"))
-        .groupBy("vertex")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("r")))),
-          s => s.getField("r")).as("regs"))
-        .localCheckpoint(true)
-    }
-    // standard HLL estimate, alpha_16 = 0.673, small-range correction —
-    // registers are exact integers on both engines, the estimate is one
-    // fixed-form float expression on them (contract order, mirrored)
+  }
+
+  /** One HyperBall round: merge each vertex's registers with its
+    * out-neighbors' (register-wise max), returning the new state.
+    */
+  private def hllRound(e: DataFrame, state: DataFrame): DataFrame = {
+    val fromNbrs = e.join(state.select(col("vertex").as("dst"), col("regs")), "dst")
+      .select(col("src").as("vertex"), col("regs"))
+    state.union(fromNbrs)
+      .select(col("vertex"), posexplode(col("regs")))
+      .groupBy("vertex", "pos").agg(max(col("col")).as("r"))
+      .groupBy("vertex")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("r")))),
+        s => s.getField("r")).as("regs"))
+  }
+
+  /** Standard HLL estimate over `regs` (alpha_16 = 0.673, small-range
+    * correction) in integer thousandths — registers are exact integers on
+    * both engines, the estimate is one fixed-form float expression on
+    * them (contract order, mirrored).
+    */
+  private def hllEstimateE3: Column = {
+    val m = 16
     val sumInv = expr("aggregate(regs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + pow(2.0, -x))")
     val zeros = expr("size(filter(regs, x -> x = 0))")
     val raw = lit(0.673 * m * m) / sumInv
     val est = when(raw <= 2.5 * m && zeros > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(raw)
-    state.select(col("vertex"), round(est * 1000).cast("long").as("ball_e3"))
+    round(est * 1000).cast("long")
+  }
+
+  def hyperBall(edges: DataFrame, t: Int = 8): DataFrame = {
+    require(t >= 0, s"t must be >= 0, got $t")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+    var state = hllInit(verts).localCheckpoint(true)
+    for (_ <- 1 to t)
+      state = hllRound(e, state).localCheckpoint(true)
+    state.select(col("vertex"), hllEstimateE3.as("ball_e3"))
       .orderBy("vertex")
+  }
+
+  /** The graph's distance distribution via HyperBall — the neighborhood
+    * function `N(t) = Σ_v |ball(v, t)|` (≈ ordered vertex pairs within
+    * distance t, self-pairs included) for t = 0..tMax, plus the flag
+    * marking the EFFECTIVE DIAMETER: the smallest t whose N(t) reaches
+    * 90% of N(tMax) — the Boldi–Vigna headline statistic ("how many hops
+    * cover 90% of reachable pairs", famously ≈ 4 on social graphs).
+    * Returns `(t, npairs_e3, is_eff)`.
+    *
+    * Determinism: per-vertex estimates are the [[hyperBall]] integer-e3
+    * contract; N(t) is their EXACT long sum; the 90% test is the integer
+    * cross-multiplication `10·N(t) ≥ 9·N(tMax)`. The mirror replays the
+    * identical register algebra round by round.
+    *
+    * Scale shape: identical per-round cost to [[hyperBall]] (one edge
+    * join + register max-merge); the additional work per round is ONE
+    * 1-row aggregate (the sum), and the result is tMax+1 driver scalars —
+    * by contract, never data-sized. This is the whole point of the
+    * register form: the exact distance distribution is an all-pairs BFS
+    * (quadratic, off the table at 10¹² edges); the HLL profile costs
+    * tMax edge passes.
+    */
+  def neighborhoodFunction(edges: DataFrame, tMax: Int = 8): DataFrame = {
+    require(tMax >= 0, s"tMax must be >= 0, got $tMax")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+    var state = hllInit(verts).localCheckpoint(true)
+    def nE3(st: DataFrame): Long =
+      st.select(hllEstimateE3.as("b")).agg(coalesce(sum("b"), lit(0L))).head().getLong(0)
+    val sums = scala.collection.mutable.ArrayBuffer((0, nE3(state)))
+    for (t <- 1 to tMax) {
+      state = hllRound(e, state).localCheckpoint(true)
+      sums += ((t, nE3(state)))
+    }
+    val nFinal = sums.last._2
+    val effT = sums.find { case (_, n) => 10L * n >= 9L * nFinal }.get._1
+    sums.toSeq.map { case (t, n) => (t.toLong, n, if (t == effT) 1L else 0L) }
+      .toDF("t", "npairs_e3", "is_eff")
   }
 
   /** Densest-subgraph 2(1+ε)-approximation by parallel peeling (the

@@ -501,6 +501,18 @@ object SequentialModel {
     }.toMap
   }
 
+  /** Neighborhood-function mirror — replays [[hyperBall]]'s register
+    * algebra round by round and sums the per-vertex e3 estimates, then
+    * flags the effective diameter by the contract's integer 90% test.
+    * Returns `(t, npairs_e3, is_eff)` for t = 0..tMax.
+    */
+  def neighborhoodFunction(edges: Seq[(Long, Long)], tMax: Int = 8): Seq[(Long, Long, Long)] = {
+    val sums = (0 to tMax).map(t => hyperBall(edges, t).values.sum)
+    val nFinal = sums.last
+    val effT = sums.indexWhere(n => 10L * n >= 9L * nFinal)
+    (0 to tMax).map(t => (t.toLong, sums(t), if (t == effT) 1L else 0L))
+  }
+
   /** Sequential mirror of the batch densest-subgraph peeling (ε = 1/10):
     * per round drop every vertex with `10·deg·|V| ≤ 22·|E|`, track the best
     * `E/V` snapshot by cross-multiplication (first round wins ties).

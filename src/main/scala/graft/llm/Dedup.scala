@@ -903,4 +903,97 @@ object Dedup {
        |FROM base b LEFT JOIN nw ON nw.doc_id = b.doc_id
        |            LEFT JOIN sp ON sp.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
+
+  /** The SCRUB half of [[spanDedup]]: produce the CLEANED corpus. The
+    * canonical occurrence of each duplicated window — the one at the
+    * smallest `(doc_id, start)` corpus-wide — keeps its text; every OTHER
+    * occurrence's k covered positions are removed, and each document is
+    * reassembled from its surviving tokens in order. This is what the
+    * Lee et al. 2022 pipeline actually ships downstream (the duplicated
+    * text is cut, one copy survives); [[spanDedup]] is its profiling
+    * report. Removal rule on overlaps: a position covered by ANY
+    * non-canonical duplicated window is removed, even if a canonical
+    * window also covers it — deterministic and mirrored.
+    *
+    * Returns one row per tokenizable doc (ALL of them, not just the ≥ k
+    * ones — short docs pass through untouched): `(doc_id, n_tokens,
+    * n_removed, cleaned_text)`, where `cleaned_text` is the
+    * space-joined surviving TOKEN stream (the tokenizer's lowercased
+    * normalization, like every token-level op here).
+    *
+    * Scale shape: [[spanDedup]]'s exchanges plus one `(h)`-keyed
+    * window rank (the canonical pick), one anti-join of the token
+    * stream against the removed-position set, and a per-DOC ordered
+    * reassembly (array_sort over one doc's surviving tokens — doc-sized,
+    * never corpus-sized).
+    */
+  def spanScrub(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window length must be >= 2, got $k")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .localCheckpoint(true)
+    val win = toks.filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - k),
+        i => Hashing.hash60(concat_ws(" ", slice(col("ws"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("s"), col("col").as("h"))
+    val dupH = win.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val dupOcc = win.join(dupH, Seq("h"), "left_semi")
+    // canonical occurrence per hash = smallest (doc_id, s); the rest are cut
+    val cut = dupOcc.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id", "s")))
+      .filter(col("rn") > 1)
+    val removed = cut
+      .select(col("doc_id"), explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
+      .distinct()
+      .localCheckpoint(true) // read twice: the anti-join and the removal count
+    val nRem = removed.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "tok")))
+      .withColumn("p", col("p").cast("long"))
+      .join(removed, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok")), " ").as("cleaned_text"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(nRem, Seq("doc_id"), "left_outer")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_removed"))
+      .na.fill("", Seq("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[spanScrub]]: same windows/hash/canonical-rank
+    * rule, reassembly via position-ordered string_agg.
+    */
+  def spanScrubSql(k: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws
+       |              FROM documents),
+       |base AS (SELECT doc_id, ws, len(ws)::BIGINT AS n_tokens FROM toks WHERE len(ws) >= 1),
+       |win AS (SELECT doc_id, i AS s,
+       |               ${Hashing.hash60Sql(s"array_to_string(ws[(i+1):(i+$k)], ' ')")} AS h
+       |        FROM base, UNNEST(range(0, len(ws) - $k + 1)) AS u(i)
+       |        WHERE len(ws) >= $k),
+       |duph AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+       |occ AS (SELECT win.doc_id, win.s, win.h,
+       |               ROW_NUMBER() OVER (PARTITION BY win.h ORDER BY win.doc_id, win.s) AS rn
+       |        FROM win JOIN duph USING (h)),
+       |rem AS (SELECT DISTINCT doc_id, s + j AS p
+       |        FROM occ, UNNEST(range(0, $k)) AS v(j) WHERE rn > 1),
+       |nr AS (SELECT doc_id, COUNT(*)::BIGINT AS n_removed FROM rem GROUP BY doc_id),
+       |tok AS (SELECT doc_id, i AS p, ws[i+1] AS t
+       |        FROM base, UNNEST(range(0, len(ws))) AS u(i)),
+       |kept AS (SELECT tok.doc_id, string_agg(tok.t, ' ' ORDER BY tok.p) AS cleaned_text
+       |         FROM tok ANTI JOIN rem ON rem.doc_id = tok.doc_id AND rem.p = tok.p
+       |         GROUP BY tok.doc_id)
+       |SELECT b.doc_id, b.n_tokens,
+       |       COALESCE(nr.n_removed, 0)::BIGINT AS n_removed,
+       |       COALESCE(kept.cleaned_text, '') AS cleaned_text
+       |FROM base b LEFT JOIN nr ON nr.doc_id = b.doc_id
+       |            LEFT JOIN kept ON kept.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 }

@@ -395,4 +395,49 @@ object SequentialCorpus {
       math.rint(w(2) * 1e9).toLong, math.rint(w(3) * 1e9).toLong,
       correct.toLong, fv.size.toLong)
   }
+
+  /** Independent BM25 idf table; mirror of `Retrieval.bm25TopK`'s driver
+    * half — own tokenizer, own document-frequency counts over the raw
+    * texts, the shared `Retrieval.idfE6` contract formula. Returns one
+    * `(term, idf_e6)` row per query term (df = 0 terms included, matching
+    * the engine's literal table).
+    */
+  def bm25Idf(texts: Seq[String], queryTerms: Seq[String]): Seq[(String, Long)] = {
+    val tokenized = texts.map(tokenize).filter(_.nonEmpty)
+    val n = tokenized.size.toLong
+    require(n > 0, "bm25 mirror: corpus has no non-empty documents")
+    val q = queryTerms.toSet
+    val df = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    tokenized.foreach(ts => ts.toSet.intersect(q).foreach(t => df(t) += 1))
+    queryTerms.map(t => (t, graft.llm.Retrieval.idfE6(n, df(t))))
+  }
+
+  /** CCNet-style hashed-unigram perplexity scores; mirror of
+    * `Perplexity.ccnetScore` — own tokenizer, own md5 hash, own reference
+    * counts, the contract's Laplace-smoothed micro-quantized log-prob and
+    * integer thresholds restated. `docs` rows are `(doc_id, text, lang)`;
+    * returns `(doc_id, n_tokens, npt_e6, bucket)` sorted, zero-token docs
+    * absent.
+    */
+  def ccnetScores(docs: Seq[(Long, String, String)], refLang: String = "en",
+                  buckets: Int = 256, headE6: Long = 3419000L,
+                  tailE6: Long = 3427000L): Seq[(Long, Long, Long, String)] = {
+    val cnt = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val perDoc = docs.map { case (id, text, lang) =>
+      val bs = tokenize(text).map(t => (hash60(t) % buckets).toInt)
+      if (lang == refLang) bs.foreach(cnt(_) += 1)
+      (id, bs)
+    }
+    val tot = cnt.values.sum
+    require(tot > 0, s"ccnet mirror: no tokens in reference slice lang=$refLang")
+    val nlp = (0 until buckets).map { b =>
+      math.rint(-1e6 * math.log((cnt(b) + 1.0) / (tot + buckets))).toLong
+    }
+    perDoc.collect { case (id, bs) if bs.nonEmpty =>
+      val nll = bs.foldLeft(0L)((s, b) => s + nlp(b))
+      val npt = nll / bs.size
+      val bucket = if (npt < headE6) "head" else if (npt < tailE6) "middle" else "tail"
+      (id, bs.size.toLong, npt, bucket)
+    }.sortBy(_._1)
+  }
 }

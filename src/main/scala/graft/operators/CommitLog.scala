@@ -48,7 +48,8 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
 
   private val actionSchema = StructType(Seq(
     StructField("type", StringType), StructField("version", LongType),
-    StructField("op", StringType), StructField("path", StringType),
+    StructField("op", StringType), StructField("ts", LongType),
+    StructField("path", StringType),
     StructField("lo", LongType), StructField("hi", LongType),
     StructField("n", LongType)))
 
@@ -88,6 +89,38 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     val v = latestVersion().getOrElse(
       throw new IllegalStateException(s"no commits at $path"))
     asOf(v)
+  }
+
+  /** The commit timestamp (epoch millis) recorded in `version`'s header.
+    * Monotonically non-decreasing in version by the publish-time
+    * adjustment ([[publish]]); errors on versions from a pre-timestamp
+    * log rather than inventing one.
+    */
+  def commitTs(version: Long): Long = {
+    val f = logFile(version)
+    require(fs.exists(f), s"version $version is not committed at $path")
+    val row = spark.read.schema(actionSchema).json(f.toString)
+      .filter(col("type") === "commit").select("ts").head()
+    require(!row.isNullAt(0), s"version $version at $path has no commit timestamp")
+    row.getLong(0)
+  }
+
+  /** Read the table AS OF a timestamp — Delta's `TIMESTAMP AS OF`: the
+    * newest version whose (monotonically adjusted) commit timestamp is
+    * `<= tsMillis`. Errors if the timestamp precedes the first commit
+    * (there was no table content then), exactly like Delta. Resolution
+    * cost is log-sized: one header read per version, zero data reads
+    * beyond the selected snapshot.
+    */
+  def asOfTimestamp(tsMillis: Long): DataFrame = {
+    val vs = versions()
+    require(vs.nonEmpty, s"no commits at $path")
+    // adjusted timestamps are non-decreasing with version, so the newest
+    // qualifying version is the last one in version order
+    val sel = vs.filter(v => commitTs(v) <= tsMillis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the first commit (ts ${commitTs(vs.head)}) at $path"))
+    asOf(sel)
   }
 
   /** Stats-pruned read of the latest version: only files whose `[lo, hi]`
@@ -142,7 +175,8 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   }
 
   /** Append `df` as a new version: previous file list + the new files. */
-  def append(df: DataFrame): Long = commitVersion(df, keepPrevious = true, op = "append")
+  def append(df: DataFrame, tsMillis: Option[Long] = None): Long =
+    commitVersion(df, keepPrevious = true, op = "append", tsMillis = tsMillis)
 
   /** Write-audit-publish (the Iceberg WAP shape): stage the batch's data
     * directory, AUDIT the rows as ACTUALLY WRITTEN (re-read from the
@@ -254,7 +288,8 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   /** Replace the table contents with `df` as a new version (old versions
     * stay readable via [[asOf]]).
     */
-  def overwrite(df: DataFrame): Long = commitVersion(df, keepPrevious = false, op = "overwrite")
+  def overwrite(df: DataFrame, tsMillis: Option[Long] = None): Long =
+    commitVersion(df, keepPrevious = false, op = "overwrite", tsMillis = tsMillis)
 
   /** Compaction as a COMMIT: rewrite the current content into
     * `targetFiles` row-balanced files and commit the new list as the next
@@ -314,7 +349,8 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
 
   private def commitVersion(df: DataFrame, keepPrevious: Boolean, op: String,
                             expectedBase: Option[Long] = None,
-                            audit: Option[DataFrame => Seq[(String, Long)]] = None): Long = {
+                            audit: Option[DataFrame => Seq[(String, Long)]] = None,
+                            tsMillis: Option[Long] = None): Long = {
     // resolve the head ONCE: the carried file list derives from version-1 of
     // the version this writer attempts, so base snapshot and attempt are
     // always consistent — a commit landing in between makes the publish
@@ -353,7 +389,7 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
           addsOf(prev.get).collect().map(r =>
             (relativize(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
         else Seq.empty
-      publish(version, op, carried ++ stats.toSeq)
+      publish(version, op, carried ++ stats.toSeq, tsMillis)
     } catch {
       case e: Throwable =>
         fs.delete(dataDir, true) // staged data of a failed commit is garbage
@@ -369,9 +405,20 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     * a crash mid-write leaves only an inert .tmp-* file versions() ignores.
     */
   private def publish(version: Long, op: String,
-                      adds: Seq[(String, Long, Long, Long)]): Long = {
+                      adds: Seq[(String, Long, Long, Long)],
+                      tsMillis: Option[Long] = None): Long = {
+    // Delta's monotonicity rule: a commit whose clock reads at-or-before
+    // its predecessor is recorded as predecessor + 1 ms, so timestamp
+    // time travel always resolves versions in version order. Pre-timestamp
+    // predecessors (no ts header) impose no floor.
+    val prevTs: Option[Long] =
+      if (version > 0 && fs.exists(logFile(version - 1)))
+        scala.util.Try(commitTs(version - 1)).toOption
+      else None
+    val ts = math.max(tsMillis.getOrElse(System.currentTimeMillis()),
+      prevTs.map(_ + 1L).getOrElse(Long.MinValue))
     val lines =
-      s"""{"type": "commit", "version": $version, "op": ${jsonStr(op)}}""" +:
+      s"""{"type": "commit", "version": $version, "op": ${jsonStr(op)}, "ts": $ts}""" +:
         adds.map { case (p, lo, hi, n) =>
           s"""{"type": "add", "version": $version, "path": ${jsonStr(p)}, "lo": $lo, "hi": $hi, "n": $n}"""
         }

@@ -747,6 +747,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1033L))
   }
 
+  test("neighborhoodFunction matches the mirror; monotone N(t); one effective-diameter flag") {
+    val rnd = new scala.util.Random(51)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Analytics.neighborhoodFunction(edgesDF(edges), tMax = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got === SequentialModel.neighborhoodFunction(edges, tMax = 6))
+    assert(got.map(_._2) === got.map(_._2).sorted, "N(t) must be non-decreasing in t")
+    assert(got.map(_._3).sum === 1L, "exactly one effective-diameter row")
+    val effT = got.find(_._3 == 1L).get._1
+    assert(10L * got(effT.toInt)._2 >= 9L * got.last._2)
+    if (effT > 0) assert(10L * got(effT.toInt - 1)._2 < 9L * got.last._2,
+      "flagged t must be the SMALLEST qualifying t")
+  }
+
+  test("neighborhoodFunction: directed path saturates at its diameter") {
+    // 0→1→2→3: every t ≥ 3 reaches all pairs; N grows strictly until then
+    val got = Analytics.neighborhoodFunction(edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 3L))), tMax = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1).map(_._2)
+    assert(got(3) === got(4) && got(4) === got(5), "registers saturate at the diameter")
+    assert(got(0) < got(1) && got(1) < got(2) && got(2) < got(3))
+  }
+
   test("densestSubgraph: clique + sparse tail — the peel isolates the clique") {
     // K5 (density 10/5 = 2) with a long path attached (pulls density down)
     val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)

@@ -313,4 +313,33 @@ class CommitLogSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("d2-"))
     assert(staged.isEmpty, s"aborted staging left debris: ${staged.mkString(",")}")
   }
+
+  test("timestamp time travel resolves the newest at-or-before version; too-early errors") {
+    val t = freshTable()
+    t.overwrite(kv(1L -> "a"), tsMillis = Some(1000L))
+    t.append(kv(2L -> "b"), tsMillis = Some(2000L))
+    t.overwrite(kv(9L -> "z"), tsMillis = Some(3000L))
+    assert((0L to 2L).map(t.commitTs) === Seq(1000L, 2000L, 3000L))
+    assert(rows(t.asOfTimestamp(1000L)) === Set(1L -> "a"), "at-instant read is inclusive")
+    assert(rows(t.asOfTimestamp(1999L)) === Set(1L -> "a"))
+    assert(rows(t.asOfTimestamp(2000L)) === Set(1L -> "a", 2L -> "b"))
+    assert(rows(t.asOfTimestamp(Long.MaxValue)) === Set(9L -> "z"))
+    intercept[IllegalArgumentException](t.asOfTimestamp(999L))
+  }
+
+  test("commit timestamps are monotonically adjusted (Delta's rule); wall clock is the default") {
+    val t = freshTable()
+    t.overwrite(kv(1L -> "a"), tsMillis = Some(5000L))
+    // a clock reading BEFORE the predecessor is recorded as prev + 1
+    t.append(kv(2L -> "b"), tsMillis = Some(4000L))
+    assert(t.commitTs(1L) === 5001L)
+    // equal clock also bumps
+    t.append(kv(3L -> "c"), tsMillis = Some(5001L))
+    assert(t.commitTs(2L) === 5002L)
+    // and a default (wall-clock) commit still lands strictly after
+    t.append(kv(4L -> "d"))
+    assert(t.commitTs(3L) > t.commitTs(2L))
+    // so timestamp resolution stays version-ordered throughout
+    assert(rows(t.asOfTimestamp(5001L)) === Set(1L -> "a", 2L -> "b"))
+  }
 }

@@ -191,4 +191,38 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) === ((10L, 0L, 0L, 0L)), "clean doc zero-filled")
     assert(!got.contains(7L), "docs under k tokens have no windows")
   }
+
+  test("spanScrub keeps the canonical occurrence and reassembles the survivors") {
+    val docs = docsDF(Seq(
+      1L -> "a1 a2 a3 a4 a5 a6 a7 a8 f1 f2 f3 b1 b2 b3 b4 b5 b6 b7 b8",
+      2L -> "a1 a2 a3 a4 a5 a6 a7 a8",
+      3L -> "b1 b2 b3 b4 b5 b6 b7 b8",
+      4L -> "m1 m2 m3 m4 m5 m6 m7 m8 m9",
+      5L -> "m1 m2 m3 m4 m5 m6 m7 m8 m9",
+      6L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+      7L -> "tiny doc"))
+    val got = Dedup.spanScrub(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the canonical copies (smallest doc_id) — untouched
+    assert(got(1L) === ((19L, 0L, "a1 a2 a3 a4 a5 a6 a7 a8 f1 f2 f3 b1 b2 b3 b4 b5 b6 b7 b8")))
+    assert(got(2L) === ((8L, 8L, "")), "non-canonical copy fully cut")
+    assert(got(3L) === ((8L, 8L, "")))
+    assert(got(4L) === ((9L, 0L, "m1 m2 m3 m4 m5 m6 m7 m8 m9")))
+    assert(got(5L) === ((9L, 9L, "")), "two overlapping cut windows cover all 9 positions once")
+    assert(got(6L) === ((10L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")), "clean doc untouched")
+    assert(got(7L) === ((2L, 0L, "tiny doc")), "sub-k docs pass through (unlike the report)")
+    // conservation: survivors = n_tokens - n_removed, for every doc
+    got.values.foreach { case (n, rem, text) =>
+      val kept = if (text.isEmpty) 0 else text.split(" ").length
+      assert(kept === (n - rem))
+    }
+  }
+
+  test("spanScrub cuts SELF-duplicated spans, keeping the first occurrence") {
+    val docs = docsDF(Seq(
+      1L -> "x1 x2 x3 x4 x5 x6 x7 x8 z x1 x2 x3 x4 x5 x6 x7 x8"))
+    val got = Dedup.spanScrub(docs, k = 8).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(got === ((17L, 8L, "x1 x2 x3 x4 x5 x6 x7 x8 z")))
+  }
 }

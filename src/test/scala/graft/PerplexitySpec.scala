@@ -1,0 +1,63 @@
+package graft
+
+import graft.llm.{Perplexity, SequentialCorpus}
+import org.apache.spark.sql.DataFrame
+
+/** CCNet perplexity bucketing: mirror equality, likelihood ordering, and
+  * the threshold/guard contracts.
+  */
+class PerplexitySpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  private def run(rows: Seq[(Long, String, String)], headE6: Long = 3419000L,
+                  tailE6: Long = 3427000L): Seq[(Long, Long, Long, String)] =
+    Perplexity.ccnetScore(docs(rows), headE6 = headE6, tailE6 = tailE6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+  test("matches the independent sequential mirror row-for-row") {
+    val rows = (1L to 60L).map { i =>
+      val lang = Seq("en", "en", "en", "de", "fr")((i % 5).toInt)
+      val words = (0 until (4 + (i % 6).toInt)).map(j => s"tok${(i * 13 + j * 5) % 9}")
+      (i, words.mkString(" "), lang)
+    } :+ (61L, "", "en") // zero-token doc must be absent on both sides
+    assert(run(rows) === SequentialCorpus.ccnetScores(rows))
+    assert(!run(rows).exists(_._1 == 61L))
+  }
+
+  test("reference-like docs score lower per-token NLL than off-distribution docs") {
+    // heavy "aa bb" reference mass; doc 10 repeats it, doc 11 is all-unseen
+    val ref = (1L to 8L).map(i => (i, "aa bb aa bb aa bb", "en"))
+    val rows = ref ++ Seq((10L, "aa bb aa bb", "xx"), (11L, "qq rr ss tt", "xx"))
+    val byId = run(rows).map(r => r._1 -> r._3).toMap
+    assert(byId(10L) < byId(11L),
+      s"in-distribution doc must be more likely: ${byId(10L)} vs ${byId(11L)}")
+  }
+
+  test("thresholds cut head/middle/tail as declared") {
+    val ref = (1L to 8L).map(i => (i, "aa bb aa bb aa bb", "en"))
+    val rows = ref ++ Seq((10L, "aa bb aa bb", "xx"), (11L, "qq rr ss tt", "xx"))
+    val scores = run(rows).map(r => r._1 -> r._3).toMap
+    val (lo, hi) = (scores(10L), scores(11L))
+    assert(lo < hi)
+    // place the cuts around the two observed scores: 10 → head, 11 → tail,
+    // and with both cuts above hi everything is head
+    val cut = run(rows, headE6 = lo + 1, tailE6 = hi)
+    assert(cut.find(_._1 == 10L).get._4 === "head")
+    assert(cut.find(_._1 == 11L).get._4 === "tail")
+    val mid = run(rows, headE6 = lo, tailE6 = hi + 1)
+    assert(mid.find(_._1 == 10L).get._4 === "middle", "npt == head cut falls in middle")
+    assert(mid.find(_._1 == 11L).get._4 === "middle")
+  }
+
+  test("guards: empty reference slice and inverted thresholds are loud") {
+    intercept[IllegalArgumentException](
+      Perplexity.ccnetScore(docs(Seq((1L, "a b", "de"))), refLang = "en").collect())
+    intercept[IllegalArgumentException](
+      Perplexity.ccnetScore(docs(Seq((1L, "a b", "en"))), headE6 = 5L, tailE6 = 4L))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.llm.{Retrieval, SequentialCorpus}
+import org.apache.spark.sql.DataFrame
+
+/** BM25 retrieval: ranking semantics, the integer-arithmetic contract
+  * against an independent sequential restatement, and the input guards.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Independent sequential BM25 over the same contract: own tokenizer,
+    * own counts, the same integer unit discipline restated as plain loops
+    * (truncating Long division ≡ the engine's `div` on positive operands).
+    */
+  private def seqBm25(rows: Seq[(Long, String)], q: Seq[String], k: Int,
+                      k1E3: Long = 1200L, bE3: Long = 750L): Seq[(Long, Long)] = {
+    val toks = rows.map { case (id, t) =>
+      (id, t.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty))
+    }.filter(_._2.nonEmpty)
+    val n = toks.size.toLong
+    val sumDl = toks.map(_._2.size.toLong).sum
+    val idf = q.map(t => t -> Retrieval.idfE6(n, toks.count(_._2.contains(t)).toLong)).toMap
+    toks.map { case (id, ws) =>
+      val dl = ws.size.toLong
+      val normE3 = (1000L - bE3) + bE3 * dl * n / sumDl
+      val sE12 = q.map { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0) 0L
+        else idf(t) * (tf * (k1E3 + 1000L) * 1000000000L / (tf * 1000000L + k1E3 * normE3))
+      }.sum
+      (id, sE12 / 1000000L)
+    } // only docs containing ≥ 1 query term return (the engine's tf inner join)
+      .filter { case (id, _) => q.exists(t => toks.find(_._1 == id).get._2.contains(t)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k)
+  }
+
+  private def run(rows: Seq[(Long, String)], q: Seq[String], k: Int = 10,
+                  k1E3: Long = 1200L, bE3: Long = 750L): Seq[(Long, Long)] =
+    Retrieval.bm25TopK(docs(rows), q, k, k1E3, bE3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("rare term outranks common term; only matching docs return") {
+    val corpus = Seq(
+      (1L, "needle alpha beta gamma"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta delta epsilon"),
+      (4L, "zeta eta theta iota"))
+    // "alpha" appears in 3 of 4 docs, "needle" in 1 — doc 1 must win on idf
+    val got = run(corpus, Seq("needle", "alpha"))
+    assert(got.map(_._1) === Seq(1L, 2L, 3L), "doc 4 matches nothing and must be absent")
+    assert(got.head._2 > got(1)._2, "the needle doc must outscore common-term-only docs")
+    // docs 2 and 3 have identical tf/dl for "alpha" — equal scores, id tie-break
+    assert(got(1)._2 === got(2)._2)
+  }
+
+  test("higher tf wins at equal length; shorter doc wins at equal tf (b > 0)") {
+    val tf = run(Seq(
+      (1L, "x x x pad pad pad"),
+      (2L, "x pad pad pad pad pad")), Seq("x"))
+    assert(tf.map(_._1) === Seq(1L, 2L), "tf saturation must still rank 3 > 1 occurrences")
+    val len = run(Seq(
+      (1L, "x pad"),
+      (2L, "x pad pad pad pad pad pad pad")), Seq("x"))
+    assert(len.map(_._1) === Seq(1L, 2L), "length norm must favor the shorter doc")
+    // b = 0 disables length normalization: same tf ⇒ exact tie
+    val flat = run(Seq(
+      (1L, "x pad"),
+      (2L, "x pad pad pad pad pad pad pad")), Seq("x"), bE3 = 0L)
+    assert(flat.map(_._2).distinct.size === 1, "b=0 must ignore document length")
+  }
+
+  test("df=0 query terms change nothing; k caps the result") {
+    val corpus = (1L to 8L).map(i => (i, s"alpha common$i common$i"))
+    val base = run(corpus, Seq("alpha"), k = 5)
+    val extra = run(corpus, Seq("alpha", "absentterm"), k = 5)
+    assert(base === extra, "a term matching no document must not shift any score")
+    assert(base.size === 5)
+  }
+
+  test("matches the independent sequential restatement exactly (incl. ties and truncation)") {
+    val corpus = (1L to 40L).map { i =>
+      val words = (0 until (3 + (i % 7).toInt)).map(j => s"w${(i * 31 + j * 7) % 11}")
+      (i, (if (i % 5 == 0) "rare " else "") + words.mkString(" "))
+    }
+    val q = Seq("rare", "w0", "w3")
+    assert(run(corpus, q, k = 40) === seqBm25(corpus, q, k = 40))
+  }
+
+  test("idf table mirror agrees with the engine's driver half") {
+    val corpus = Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e"), (4L, ""))
+    val mirror = SequentialCorpus.bm25Idf(corpus.map(_._2), Seq("a", "c", "zz")).toMap
+    // n = 3 non-empty docs; df(a) = 1, df(c) = 3, df(zz) = 0
+    assert(mirror("a") === Retrieval.idfE6(3, 1))
+    assert(mirror("c") === Retrieval.idfE6(3, 3))
+    assert(mirror("zz") === Retrieval.idfE6(3, 0))
+    assert(mirror("a") > mirror("c"), "rarer term must carry larger idf")
+  }
+
+  test("input guards reject bad queries loudly") {
+    val d = docs(Seq((1L, "a b")))
+    intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq.empty))
+    intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq("a", "a")))
+    intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq("Bad Term")))
+    intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq("a"), k = 0))
+    intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq("a"), bE3 = 1001L))
+  }
+}
