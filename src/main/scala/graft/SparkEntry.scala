@@ -319,6 +319,24 @@ object SparkEntry {
       t.overwrite(e.filter(col("src") % 7 =!= 0))
       graft.graph.IncrementalViews.maintainedDegrees(t, 0L, 2L).orderBy("vertex")
     }),
+    "g58_incremental_cc" -> ((s, dir) => {
+      // insert-monotone incremental CONNECTED COMPONENTS off the CDF:
+      // inserted edges contract to their current labels, CC runs on that
+      // delta-sized super graph only, one broadcast relabel join — the
+      // edge table is never rescanned. v0 = dst%5!=0 edges, v1 = append
+      // the rest; view advanced 0 -> 1. Oracle = full recompute closure
+      // over the final edge set. (Deletions refuse loudly — suite.)
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-icc-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("edges").toString, "src")
+      val e = DerivedGraphs.small(s, dir)
+      t.overwrite(e.filter(col("dst") % 5 =!= 0))
+      t.append(e.filter(col("dst") % 5 === 0))
+      graft.graph.IncrementalViews.maintainedComponents(t, 0L, 1L).orderBy("vertex")
+    }),
     "g55_assortativity" -> ((s, dir) =>
       // Newman degree assortativity: do hubs attach to hubs? Three exact
       // BIGINT moments in one degree-joined edge pass; the correlation is
@@ -2420,6 +2438,25 @@ object SparkEntry {
 
     // ---- LLM-pipeline: similarity search ----
     "s1_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    "s17_hard_negatives" -> ((s, dir) => // contrastive hard-negative
+      // mining (DPR/SimCSE recipe): per query the top-k most-similar
+      // vectors with a DIFFERENT label — same scan/window plan as s1,
+      // one extra predicate in the broadcast join
+      Similarity.hardNegatives(Tables.embeddings(s, dir))),
+    "p8_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: t37's sparse BM25 list + a dense cosine list
+      // fused by reciprocal-rank fusion (exact integer micro-units) —
+      // the no-calibration sparse+dense merge every RAG stack ships;
+      // both inputs are k-sized result lists by their own contracts
+      val sparse = graft.llm.Retrieval.bm25TopK(
+          Tables.documents(s, dir), Bm25QueryTerms, k = 15)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("score_e6"), col("doc_id"))))
+        .select("doc_id", "rank")
+      val dense = Similarity.cosineTopK(Tables.embeddings(s, dir), numQueries = 1, k = 15)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.llm.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+    }),
     "s2_ann_lsh" -> ((s, dir) => // approximate vs EXACT top-k, but fully
       // deterministic given the seeded hyperplanes — so the oracle mirrors
       // the LSH pipeline itself; recall vs exact is asserted in
@@ -2727,6 +2764,14 @@ object SparkEntry {
         """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
           |       SUM(o_custkey) AS sum_cust
           |FROM orders_v GROUP BY ALL ORDER BY 1, 2""".stripMargin)
+    }),
+    "q37_order_by_all" -> ((s, dir) => {
+      // ORDER BY ALL (q36's companion resolution rule, both engines):
+      // sort by every select item left-to-right
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v37")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders_v37 GROUP BY ALL ORDER BY ALL""".stripMargin)
     }),
     "t35_gopher_rules" -> ((s, dir) => // Gopher-style composite quality
       // rules: word count, mean word length, stopword presence, top-word
@@ -3784,6 +3829,16 @@ object SparkEntry {
          |       COALESCE(out_degree, 0)::BIGINT AS out_degree,
          |       COALESCE(in_degree, 0)::BIGINT AS in_degree
          |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
+    "g58_incremental_cc" -> // full recompute closure over the FINAL edge
+      // set — the maintained (delta-merged) view must be indistinguishable
+      s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),
+         |ue AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |v AS (SELECT a AS vertex FROM ue UNION SELECT b AS vertex FROM ue),
+         |r(vertex, reach) AS (
+         |  SELECT vertex, vertex FROM v
+         |  UNION
+         |  SELECT r.vertex, ue.b FROM r JOIN ue ON ue.a = r.reach)
+         |SELECT vertex, MIN(reach) AS component FROM r GROUP BY vertex ORDER BY vertex""".stripMargin,
     "g55_assortativity" -> // identical canonical undirected edge set,
       // identical integer moments, identical cross-multiplied division
       Analytics.degreeAssortativitySql(DerivedGraphs.smallSql),
@@ -3878,6 +3933,7 @@ object SparkEntry {
          |) c WHERE c.vec_id = e.vec_id AND c.keeper <> c.vec_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
+    "s17_hard_negatives" -> Similarity.hardNegativesSql(),
     "s2_ann_lsh" -> Similarity.lshTopKSql(),
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),
     "s12_ivf_persisted" -> // the committed index reproduces ivfTopK
@@ -3974,6 +4030,9 @@ object SparkEntry {
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
         |       SUM(o_custkey)::BIGINT AS sum_cust
         |FROM orders GROUP BY ALL ORDER BY 1, 2""".stripMargin,
+    "q37_order_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
     "t19_stratified_sample" ->
       s"""WITH s AS (SELECT lang, doc_id, ${Sampling.shuffleKeySql("doc_id", 11L)} AS shuffle_key
          |           FROM documents),
@@ -4381,13 +4440,27 @@ object SparkEntry {
              |WHERE dw.w > 0
              |GROUP BY d.source ORDER BY d.source""".stripMargin)
     }
-    val bm25Oracle: Map[String, String] = if (!want("t37_bm25")) Map.empty else {
-      val texts = graft.Tables.documents(spark, sfDir)
-        .select(col("text")).collect().map(_.getString(0)).toSeq
-      Map("t37_bm25" ->
-        graft.llm.Retrieval.bm25TopKSql(
-          SequentialCorpus.bm25Idf(texts, Bm25QueryTerms), k = 15))
-    }
+    val bm25Oracle: Map[String, String] =
+      if (!(want("t37_bm25") || want("p8_hybrid_rrf"))) Map.empty else {
+        val texts = graft.Tables.documents(spark, sfDir)
+          .select(col("text")).collect().map(_.getString(0)).toSeq
+        val idf = SequentialCorpus.bm25Idf(texts, Bm25QueryTerms)
+        Map(
+          "t37_bm25" -> graft.llm.Retrieval.bm25TopKSql(idf, k = 15),
+          "p8_hybrid_rrf" ->
+            // the same two ranked lists (BM25 mirror + dense cosine
+            // mirror) fused with the identical integer RRF arithmetic
+            s"""WITH sp AS (SELECT doc_id,
+               |            row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+               |            FROM (${graft.llm.Retrieval.bm25TopKSql(idf, k = 15)}) bm),
+               |de AS (SELECT neighbor_id AS doc_id, rank
+               |       FROM (${Similarity.cosineTopKSql(numQueries = 1, k = 15)}) cs),
+               |u AS (SELECT doc_id, rank FROM sp UNION ALL SELECT doc_id, rank FROM de),
+               |f AS (SELECT doc_id, SUM(1000000 // (60 + rank))::BIGINT AS rrf_e6
+               |      FROM u GROUP BY doc_id)
+               |SELECT doc_id, rrf_e6 FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin)
+          .filter { case (kk, _) => want(kk) }
+      }
     val ccnetOracle: Map[String, String] = if (!want("t38_ccnet_ppl")) Map.empty else {
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("long"), col("text"), col("lang"))

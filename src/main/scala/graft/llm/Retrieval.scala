@@ -108,6 +108,35 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * merge a sparse (BM25) and a dense (embedding) candidate list into one
+    * hybrid ranking without score calibration: each list contributes
+    * `1/(rrfK + rank)` for every document it ranked, and documents on
+    * several lists accumulate. Carried in exact integer micro-units
+    * (`1e6 div (rrfK + rank)` per appearance, summed as longs), so the
+    * fused ordering is bit-deterministic and the oracle restates the same
+    * arithmetic. Inputs are `(doc_id, rank)` frames (rank 1-based);
+    * returns the top `k` as `(doc_id, rrf_e6)`, ordered score-desc then
+    * doc_id.
+    *
+    * Scale shape: the inputs are RESULT lists (top-k-sized by their
+    * producers' contracts, never corpus-sized), so the fusion is a union
+    * + one tiny aggregate — the expensive work lives in the retrievers,
+    * which scale independently ([[bm25TopK]]'s filtered scan, the ANN
+    * family's index paths).
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 10, rrfK: Long = 60L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    require(k > 0 && rrfK >= 0, s"rrfFuse: bad k=$k / rrfK=$rrfK")
+    lists.map(_.select(col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+      .select(col("doc_id"), expr(s"1000000 div ($rrfK + rank)").as("c_e6"))
+      .groupBy("doc_id").agg(sum(col("c_e6")).as("rrf_e6"))
+      .orderBy(desc("rrf_e6"), col("doc_id"))
+      .limit(k)
+  }
+
   /** DuckDB mirror of [[bm25TopK]]: static SQL over the same tokenizer and
     * integer arithmetic, with the idf table supplied as VALUES — derived
     * INDEPENDENTLY by [[SequentialCorpus.bm25Idf]] (own tokenizer, own df

@@ -88,6 +88,54 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive embedding training (the DPR /
+    * SimCSE / sentence-transformers recipe): for each query vector, the
+    * top-k most-similar vectors carrying a DIFFERENT label — the
+    * negatives that actually move a contrastive loss (random negatives
+    * are trivially separable; the hardest ones sit just across the
+    * decision boundary). Same float discipline as [[cosineTopK]] (exact
+    * ordered dots, floor-e6 score, total-order tie-break); the label
+    * constraint is one predicate in the broadcast join, so the plan —
+    * one corpus scan against Q broadcast queries + a per-query top-k
+    * window — is unchanged. `(query_id, negative_id, rank, cos_1e6)`.
+    */
+  def hardNegatives(emb: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = v.select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qn"))
+      .filter(col("query_id") < numQueries)
+    val scored = v.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("negative_id"),
+        col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of [[hardNegatives]] — [[cosineTopKSql]] plus the
+    * cross-label predicate.
+    */
+  def hardNegativesSql(numQueries: Int = 20, k: Int = 5): String =
+    s"""WITH v AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+       |             list_dot_product(c.e, q.e) / (c.nrm * q.nrm) AS cos
+       |      FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.label <> q.label
+       |      WHERE q.vec_id < $numQueries),
+       |r AS (SELECT query_id, negative_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, negative_id) AS rank,
+       |             cos
+       |      FROM s)
+       |SELECT query_id, negative_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   def cosineTopKSql(numQueries: Int = 20, k: Int = 5): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),

@@ -112,4 +112,55 @@ class IncrementalViewsSpec extends SparkSpec {
         s"single-step divergence in round $round")
     }
   }
+
+  private def ccOf(df: org.apache.spark.sql.DataFrame) =
+    Analytics.connectedComponents(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def maintainedCc(t: CommitTable, from: Long, to: Long) =
+    IncrementalViews.maintainedComponents(t, from, to)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("maintained components == full recompute: merges, new vertices, bridges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-icc-spec")
+    val t = new CommitTable(spark, dir.resolve("edges").toString, "src")
+    // v0: two separate components {0,1,2} and {5,6}
+    t.overwrite(edgesDF(Seq((0L, 1L), (1L, 2L), (5L, 6L))))
+    // v1: a bridge merging them + an edge introducing brand-new {8,9}
+    t.append(edgesDF(Seq((2L, 5L), (8L, 9L))))
+    val finalEdges = Seq((0L, 1L), (1L, 2L), (5L, 6L), (2L, 5L), (8L, 9L))
+    assert(maintainedCc(t, 0L, 1L) === ccOf(edgesDF(finalEdges)))
+    // everything merged under min-id 0 except the new pair under 8
+    assert(maintainedCc(t, 0L, 1L) ===
+      Set(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("maintained components == full recompute on random insert histories") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-icc-rand$round")
+      val t = new CommitTable(spark, dir.resolve("edges").toString, "src")
+      def randomEdges(n: Int) =
+        Seq.fill(n)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong)).distinct
+      val e0 = randomEdges(8)
+      t.overwrite(edgesDF(e0))
+      val e1 = randomEdges(6).filterNot(e0.contains)
+      t.append(edgesDF(e1))
+      val e2 = randomEdges(6).filterNot((e0 ++ e1).contains)
+      t.append(edgesDF(e2))
+      assert(maintainedCc(t, 0L, 2L) === ccOf(edgesDF(e0 ++ e1 ++ e2)),
+        s"divergence in round $round")
+      assert(maintainedCc(t, 1L, 2L) === ccOf(edgesDF(e0 ++ e1 ++ e2)),
+        s"single-step divergence in round $round")
+    }
+  }
+
+  test("maintained components refuse deletions loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-icc-del")
+    val t = new CommitTable(spark, dir.resolve("edges").toString, "src")
+    t.overwrite(edgesDF(Seq((0L, 1L), (1L, 2L))))
+    t.overwrite(edgesDF(Seq((0L, 1L)))) // (1,2) deleted — could split {0,1,2}
+    intercept[IllegalArgumentException](
+      IncrementalViews.maintainedComponents(t, 0L, 1L).collect())
+  }
 }

@@ -103,6 +103,30 @@ class RetrievalSpec extends SparkSpec {
     assert(mirror("a") > mirror("c"), "rarer term must carry larger idf")
   }
 
+  test("rrfFuse: exact integer arithmetic, cross-list accumulation wins, k bound") {
+    val s = spark
+    import s.implicits._
+    // list A ranks docs 1,2,3; list B ranks 2,4: doc 2 accumulates both
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def c(rank: Long) = 1000000L / (60L + rank)
+    assert(got === Seq(
+      (2L, c(2) + c(1)), // 16129 + 16393 = on both lists — first
+      (1L, c(1)),        // 16393
+      (4L, c(2)),        // 16129
+      (3L, c(3))))       // 15873
+    assert(Retrieval.rrfFuse(Seq(a, b), k = 2).count() === 2L)
+    // exact-tie doc_ids order ascending: two docs only on one list at equal rank
+    val t1 = Seq((5L, 1L)).toDF("doc_id", "rank")
+    val t2 = Seq((3L, 1L)).toDF("doc_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(t1, t2), k = 2).collect().map(_.getLong(0)).toSeq
+    assert(tied === Seq(3L, 5L))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), k = 0))
+  }
+
   test("input guards reject bad queries loudly") {
     val d = docs(Seq((1L, "a b")))
     intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq.empty))

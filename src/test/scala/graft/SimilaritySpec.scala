@@ -94,6 +94,35 @@ class SimilaritySpec extends SparkSpec {
     assert(cos === 707106L)
   }
 
+  test("hardNegatives: top similar with a DIFFERENT label only; same-label neighbors skipped") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f), 1),
+      (1L, Seq(0.9f, 0.1f, 0f), 1),  // nearest overall but SAME label — excluded
+      (2L, Seq(0.5f, 0.5f, 0f), 2),  // nearest cross-label
+      (3L, Seq(0f, 0f, 1f), 2))      // orthogonal cross-label
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.hardNegatives(e, numQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((0L, 2L, 1L), (0L, 3L, 2L)),
+      "same-label vec 1 must be excluded; ranks stay contiguous")
+  }
+
+  test("hardNegatives degenerates to cosineTopK when every label is unique") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Seq(1f, 0f), 10), (1L, Seq(0.9f, 0.2f), 11),
+      (2L, Seq(0.2f, 0.9f), 12), (3L, Seq(0f, 1f), 13))
+      .toDF("vec_id", "embedding", "label")
+    val hard = Similarity.hardNegatives(e, numQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val base = Similarity.cosineTopK(e, numQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(hard === base)
+  }
+
   test("cosineDupPairsExact finds exactly the above-threshold pairs") {
     val e = embDF(Seq(
       0L -> Array(1f, 0f),
