@@ -163,6 +163,13 @@ object SparkEntry {
       // across engines, so the unrolled-CTE oracle replays the exact
       // walks; ranked adjacency built once, each step joins walkers only
       Traversals.randomWalks(DerivedGraphs.big(s, dir), numSteps = 4, startMod = 100L)),
+    "g59_deepwalk_pairs" -> ((s, dir) => // DeepWalk skip-gram pair
+      // generation: g21's deterministic walks self-joined per walk within
+      // a ±2 step window -> (center, context, cnt) — the step that turns
+      // a graph into word2vec-shaped training data; one shuffle over the
+      // walk corpus, never the edge table
+      Traversals.deepWalkPairs(DerivedGraphs.big(s, dir), numSteps = 4,
+        startMod = 100L, window = 2)),
     "g32_betweenness" -> ((s, dir) => // seed-sampled Brandes betweenness
       // (the most-requested centrality after degree/PageRank): forward
       // per-level BFS frontiers carrying exact BIGINT path counts, then
@@ -1254,6 +1261,35 @@ object SparkEntry {
         ("n_versions", t.versions().size.toLong),
         ("published_version", published)
       ).toDF("metric", "value").orderBy("metric")
+    }),
+    "f20_shallow_clone" -> ((s, dir) => {
+      // SHALLOW CLONE: the clone's v0 re-references the source head's
+      // files absolutely (metadata-only — zero data copied), then evolves
+      // independently (a local append the source never sees). Output =
+      // aggregates of source head, clone head, and the pre-append clone
+      // snapshot; the clone-isolation and vacuum-boundary properties are
+      // suite-asserted.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-clone-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      val src = new graft.operators.CommitTable(s, root.resolve("src").toString, "n_nationkey")
+      src.overwrite(nat.filter(col("n_nationkey") < 10))
+      src.append(nat.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+      val cl = new graft.operators.CommitTable(s, root.resolve("clone").toString, "n_nationkey")
+      cl.shallowCloneFrom(root.resolve("src").toString)
+      cl.append(nat.filter(col("n_nationkey") >= 20))
+      Seq(
+        ("clone_head", cl.read()),
+        ("clone_v0", cl.asOf(0L)),
+        ("source_head", src.read())
+      ).map { case (tag, df) =>
+        df.agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
+          .select(lit(tag).as("snapshot"), col("n_rows"), col("sum_key"))
+      }.reduce(_ unionByName _).orderBy("snapshot")
     }),
     "f19_ts_travel" -> ((s, dir) => {
       // TIMESTAMP AS OF time travel (Delta's rule: newest version whose
@@ -2977,6 +3013,9 @@ object SparkEntry {
         capPercentile = Some(95)),
     "g21_random_walks" ->
       Traversals.randomWalksSql(DerivedGraphs.bigSql, numSteps = 4, startMod = 100L),
+    "g59_deepwalk_pairs" ->
+      Traversals.deepWalkPairsSql(DerivedGraphs.bigSql, numSteps = 4,
+        startMod = 100L, window = 2),
     "g22_bipartite" -> Analytics.bipartiteCheckSql(DerivedGraphs.smallSql),
     "g31_motif" -> Motifs.findSql(DerivedGraphs.smallSql, "(a)-(b); (b)-(c); (c)-(a)",
       extraWhere = "a < b AND a < c", orderBy = "a, b, c"),
@@ -3285,6 +3324,14 @@ object SparkEntry {
         |UNION ALL SELECT 'n_versions', 2::BIGINT
         |UNION ALL SELECT 'published_version', 1::BIGINT
         |ORDER BY metric""".stripMargin,
+    "f20_shallow_clone" -> // each snapshot derived straight from the
+      // source: clone_v0 = source head (keys < 20), clone_head adds the
+      // local append (all keys), source_head is untouched by the clone
+      """SELECT snapshot, COUNT(*) AS n_rows, SUM(n_nationkey)::BIGINT AS sum_key
+        |FROM nation, (VALUES ('clone_head', 0, 1000000), ('clone_v0', 0, 19),
+        |              ('source_head', 0, 19)) AS p(snapshot, lo, hi)
+        |WHERE n_nationkey BETWEEN lo AND hi
+        |GROUP BY snapshot ORDER BY snapshot""".stripMargin,
     "f19_ts_travel" -> // each probe's snapshot derived straight from the
       // source: 1500 → v0 (keys < 10); 2000 and 2999 → v1 (keys < 20,
       // the at-instant read is inclusive); 9999 → v2 (keys >= 20)

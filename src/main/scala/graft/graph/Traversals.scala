@@ -384,6 +384,46 @@ object Traversals {
     b.toString
   }
 
+  /** DeepWalk/node2vec TRAINING-PAIR generation (Perozzi et al. 2014):
+    * skip-gram (center, context) co-occurrence counts within a ±`window`
+    * step radius over [[randomWalks]]' deterministic seeded walks — the
+    * step that turns a graph into word2vec-shaped training data. A walk
+    * can revisit a vertex, so center = context pairs are legitimate
+    * co-occurrences and are kept (standard skip-gram behavior). Returns
+    * `(center, context, cnt)`, all exact integers.
+    *
+    * Scale shape: the walk relation is (starts × steps)-sized, keyed by
+    * its start vertex; the pair join is a self-join PER WALK (each side
+    * of a walk joins only its own ≤ numSteps+1 rows), then one
+    * (center, context)-keyed count with map-side combine. At 10¹² edges
+    * the walks — not the graph — are the training corpus, and this is
+    * one shuffle over them.
+    */
+  def deepWalkPairs(edges: DataFrame, numSteps: Int = 4, startMod: Long = 20L,
+                    window: Int = 2): DataFrame = {
+    require(window >= 1, s"deepWalkPairs needs window >= 1, got $window")
+    val walks = randomWalks(edges, numSteps, startMod)
+      .localCheckpoint(true) // both sides of the pair join read it
+    val a = walks.select(col("start"), col("step").as("i"), col("vertex").as("center"))
+    val b = walks.select(col("start").as("start2"), col("step").as("j"),
+      col("vertex").as("context"))
+    a.join(b, col("start") === col("start2") && col("i") =!= col("j") &&
+        abs(col("i") - col("j")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .orderBy("center", "context")
+  }
+
+  /** DuckDB mirror of [[deepWalkPairs]]: [[randomWalksSql]] self-joined
+    * with the identical window predicate.
+    */
+  def deepWalkPairsSql(edgeSql: String, numSteps: Int = 4, startMod: Long = 20L,
+                       window: Int = 2): String =
+    s"""WITH wk AS (SELECT * FROM (${randomWalksSql(edgeSql, numSteps, startMod)}) w)
+       |SELECT a.vertex AS center, b.vertex AS context, COUNT(*)::BIGINT AS cnt
+       |FROM wk a JOIN wk b
+       |  ON a.start = b.start AND a.step <> b.step AND abs(a.step - b.step) <= $window
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Max edges a DFS will collect to the driver before failing loudly. */
   val MaxDfsEdges: Long = 5000000L
 

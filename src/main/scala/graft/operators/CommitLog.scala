@@ -72,9 +72,13 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   private def addsOf(version: Long): DataFrame = {
     val f = logFile(version)
     require(fs.exists(f), s"version $version is not committed at $path")
+    // stored paths are table-relative, EXCEPT shallow-clone entries which
+    // reference another table's files absolutely (the Delta shallow-clone
+    // shape) and pass through unprefixed
     spark.read.schema(actionSchema).json(f.toString)
       .filter(col("type") === "add")
-      .select(concat(lit(path + "/"), col("path")).as("path"),
+      .select(when(col("path").startsWith("/"), col("path"))
+        .otherwise(concat(lit(path + "/"), col("path"))).as("path"),
         col("lo"), col("hi"), col("n"))
   }
 
@@ -238,9 +242,15 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     val head = vs.lastOption.getOrElse(-1L)
     val keep = vs.takeRight(keepLast)
     val referencedDirs = keep.flatMap { v =>
-      addsOf(v).select("path").collect().map { r =>
-        val rel = relativize(r.getString(0))
-        rel.substring(0, rel.indexOf('/') match { case -1 => rel.length; case i => i })
+      addsOf(v).select("path").collect().flatMap { r =>
+        // foreign (shallow-cloned) references live under ANOTHER table's
+        // root — they can never match a local d<ver>-<nonce> directory,
+        // and this table's vacuum must never reach across roots
+        storedForm(r.getString(0)) match {
+          case abs if abs.startsWith("/") => None
+          case rel => Some(rel.substring(0, rel.indexOf('/') match {
+            case -1 => rel.length; case i => i }))
+        }
       }
     }.toSet
     val now = System.currentTimeMillis()
@@ -339,6 +349,15 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
     p.substring(base.length)
   }
 
+  /** The form a resolved file path takes in the log: table-relative for
+    * own files, absolute for foreign (shallow-cloned) files.
+    */
+  private def storedForm(file: String): String = {
+    val p = new Path(file).toUri.getPath
+    val base = new Path(path).toUri.getPath + "/"
+    if (p.startsWith(base)) p.substring(base.length) else p
+  }
+
   /** The version this writer will attempt to commit next. Overridable so
     * conflict tests can inject a STALE head deterministically — in
     * production the stale read happens by timing (another writer commits
@@ -387,7 +406,7 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
       val carried: Seq[(String, Long, Long, Long)] =
         if (keepPrevious && prev.nonEmpty)
           addsOf(prev.get).collect().map(r =>
-            (relativize(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+            (storedForm(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
         else Seq.empty
       publish(version, op, carried ++ stats.toSeq, tsMillis)
     } catch {
@@ -453,12 +472,45 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   def restore(toVersion: Long): Long = {
     val version = nextVersion()
     val adds = addsOf(toVersion).collect().map(r =>
-      (relativize(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      (storedForm(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     adds.foreach { case (p, _, _, _) =>
-      require(fs.exists(new Path(path, p)),
+      require(fs.exists(resolveStored(p)),
         s"restore($toVersion) at $path: file $p was vacuumed — version no longer restorable")
     }
     publish(version, "restore", adds)
+  }
+
+  private def resolveStored(p: String): Path =
+    if (p.startsWith("/")) new Path(p) else new Path(path, p)
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): commit
+    * a version of THIS table that RE-REFERENCES the source table's head
+    * files absolutely — metadata-only, zero data copied (cloning a 100 TB
+    * table writes one log file). The clone then evolves independently:
+    * its own appends/overwrites stage local directories, the source never
+    * sees them, and the source's history is untouched. Stats ride along,
+    * so pruned reads work immediately.
+    *
+    * Caveat (Delta documents the same): the clone BORROWS the source's
+    * files — a `vacuum` on the SOURCE does not know about clones and can
+    * reclaim directories the clone still references (the clone's own
+    * vacuum, conversely, never reaches across roots). Cloning a table
+    * whose referenced files were already vacuumed fails loudly here.
+    */
+  def shallowCloneFrom(sourcePath: String, tsMillis: Option[Long] = None): Long = {
+    require(new Path(sourcePath).toUri.getPath != new Path(path).toUri.getPath,
+      s"cannot shallow-clone $path from itself")
+    val src = new CommitTable(spark, sourcePath, statsCol)
+    val v = src.latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $sourcePath to clone"))
+    val adds = src.addsOf(v).collect().map(r =>
+      (new Path(r.getString(0)).toUri.getPath, r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    adds.foreach { case (p, _, _, _) =>
+      require(fs.exists(new Path(p)),
+        s"shallowClone($sourcePath): file $p was vacuumed — source head not cloneable")
+    }
+    // absolute by construction; storedForm keeps them absolute downstream
+    publish(nextVersion(), "clone", adds, tsMillis)
   }
 }
 

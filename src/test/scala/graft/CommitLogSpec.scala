@@ -314,6 +314,58 @@ class CommitLogSpec extends SparkSpec {
     assert(staged.isEmpty, s"aborted staging left debris: ${staged.mkString(",")}")
   }
 
+  test("shallow clone is metadata-only, isolates both directions, and respects vacuum boundaries") {
+    val root = Files.createTempDirectory("graft-clone-spec")
+    val src = new CommitTable(spark, root.resolve("src").toString, "k")
+    src.overwrite(kv(1L -> "a", 2L -> "b"))
+    src.append(kv(3L -> "c"))
+    val srcVersionsBefore = src.versions()
+
+    val cl = new CommitTable(spark, root.resolve("clone").toString, "k")
+    assert(cl.shallowCloneFrom(root.resolve("src").toString) === 0L)
+    // clone reads the source head THROUGH borrowed files; no local data dirs
+    assert(rows(cl.read()) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    val localDirs = Option(root.resolve("clone").toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("d"))
+    assert(localDirs.isEmpty, "a shallow clone must copy zero data")
+
+    // clone evolves independently; the source never sees it
+    cl.append(kv(9L -> "z"))
+    assert(rows(cl.read()) === Set(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "z"))
+    assert(src.versions() === srcVersionsBefore)
+    assert(rows(src.read()) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // the clone's vacuum never reaches across roots: borrowed files survive
+    cl.overwrite(kv(5L -> "e")) // clone v2 drops the borrowed references
+    cl.vacuum(keepLast = 1)
+    assert(rows(src.read()) === Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "source files must survive the clone's vacuum")
+    assert(rows(cl.asOf(0L)) === Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "borrowed references still resolve after the clone's vacuum")
+
+    intercept[IllegalArgumentException](
+      cl.shallowCloneFrom(root.resolve("clone").toString)) // self-clone
+    intercept[IllegalStateException](
+      new CommitTable(spark, root.resolve("c2").toString, "k")
+        .shallowCloneFrom(root.resolve("empty").toString)) // no commits
+  }
+
+  test("shallow clone of a vacuumed source head fails loudly") {
+    val root = Files.createTempDirectory("graft-clone-vac")
+    val src = new CommitTable(spark, root.resolve("src").toString, "k")
+    src.overwrite(kv(1L -> "a"))
+    // simulate the source-side vacuum race Delta warns about: the head's
+    // data directory disappears under the would-be clone
+    Option(root.resolve("src").toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("d0-"))
+      .foreach { d =>
+        d.listFiles().foreach(_.delete()); assert(d.delete())
+      }
+    intercept[IllegalArgumentException](
+      new CommitTable(spark, root.resolve("clone").toString, "k")
+        .shallowCloneFrom(root.resolve("src").toString))
+  }
+
   test("timestamp time travel resolves the newest at-or-before version; too-early errors") {
     val t = freshTable()
     t.overwrite(kv(1L -> "a"), tsMillis = Some(1000L))

@@ -299,4 +299,32 @@ class TraversalsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(ok === Seq((0L, 0L), (1L, 1L), (2L, 2L)))
   }
+
+  test("deepWalkPairs: skip-gram window pairs over a forced single path") {
+    // out-degree 1 everywhere -> the walk from 0 is exactly 0,1,2,3
+    val got = Traversals.deepWalkPairs(
+      edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 3L))), numSteps = 3, window = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = Map(
+      (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L, (1L, 2L) -> 1L,
+      (1L, 3L) -> 1L, (2L, 0L) -> 1L, (2L, 1L) -> 1L, (2L, 3L) -> 1L,
+      (3L, 1L) -> 1L, (3L, 2L) -> 1L)
+    assert(got === expected)
+  }
+
+  test("deepWalkPairs: a revisiting walk produces center = context pairs") {
+    // 0 <-> 1 cycle: the walk oscillates, so steps 2 apart share a vertex
+    val got = Traversals.deepWalkPairs(
+      edgesDF(Seq((0L, 1L), (1L, 0L))), numSteps = 3, window = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keys.exists { case (c, x) => c == x },
+      "revisits must yield self co-occurrences (standard skip-gram)")
+    // window=1 never pairs identical vertices on this 2-cycle
+    val w1 = Traversals.deepWalkPairs(
+      edgesDF(Seq((0L, 1L), (1L, 0L))), numSteps = 3, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w1 === Set((0L, 1L), (1L, 0L)))
+    intercept[IllegalArgumentException](
+      Traversals.deepWalkPairs(edgesDF(Seq((0L, 1L))), window = 0))
+  }
 }
