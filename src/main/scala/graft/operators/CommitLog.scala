@@ -103,10 +103,17 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   def commitTs(version: Long): Long = {
     val f = logFile(version)
     require(fs.exists(f), s"version $version is not committed at $path")
-    val row = spark.read.schema(actionSchema).json(f.toString)
-      .filter(col("type") === "commit").select("ts").head()
-    require(!row.isNullAt(0), s"version $version at $path has no commit timestamp")
-    row.getLong(0)
+    // the header is the first line of a file this layer wrote itself —
+    // parsed on the driver (timestamp resolution is log-sized metadata
+    // work and must not launch cluster jobs; Delta reads log headers the
+    // same way)
+    val in = fs.open(f)
+    val first = try new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)).readLine()
+    finally in.close()
+    val m = """"ts": (-?\d+)""".r.findFirstMatchIn(Option(first).getOrElse(""))
+    require(m.isDefined, s"version $version at $path has no commit timestamp")
+    m.get.group(1).toLong
   }
 
   /** Read the table AS OF a timestamp — Delta's `TIMESTAMP AS OF`: the
