@@ -2907,6 +2907,12 @@ object SparkEntry {
       // fingerprint + size bucket — the pre-decode dup collapse; one
       // shuffle on a 12-byte key over the BINARY column
       MediaOps.mediaDedup(Tables.documents(s, dir))),
+    "m8_augment_features" -> ((s, dir) => // deterministic augmentation
+      // (horizontal flip then center crop) over ACTUAL pixels: decode ->
+      // transform -> re-encode -> decode again -> integer channel stats;
+      // the oracle replays the exact flip/crop index map against the
+      // pixel-generating formula
+      MediaOps.augmentedFeatures(Tables.documents(s, dir))),
     "m6_resize_features" -> ((s, dir) => // decode -> nearest-neighbor
       // RESIZE over the actual pixel grid -> re-encode -> decode again,
       // reduced to integer channel stats; the oracle replays the exact
@@ -4119,6 +4125,7 @@ object SparkEntry {
     "m1_media_meta" -> MediaOps.mediaMetaSql,
     "m3_decode_features" -> MediaOps.ppmFeaturesSql,
     "m6_resize_features" -> MediaOps.resizedFeaturesSql(),
+    "m8_augment_features" -> MediaOps.augmentedFeaturesSql(),
   )
 
   /** Root for the f1/f2 round-trip exports. Verify points this at its own

@@ -228,6 +228,80 @@ object MediaOps {
        |       (sum_b * 1000 // ${outW * outH})::BIGINT AS mean_b_1e3
        |FROM s ORDER BY media_id""".stripMargin
 
+  /** Deterministic training-data AUGMENTATION over the real pixel grid —
+    * the standard vision-pipeline pair: horizontal flip, then center crop
+    * to `cropW`×`cropH` (flip first, crop second — the order is part of
+    * the contract). Decode → transform actual pixels → re-encode P6, in
+    * the same partition-batched iterator shape as every codec pass here;
+    * images smaller than the crop fail loudly. A real pipeline would
+    * randomize flip/crop per epoch — here the transform is fixed so the
+    * oracle can replay the exact index arithmetic; a seeded hash on
+    * (media_id, epoch) slots into the same map.
+    */
+  def augmentPpm(media: Dataset[MediaRecord], cropW: Int, cropH: Int): Dataset[MediaRecord] = {
+    require(cropW >= 1 && cropH >= 1, s"bad crop ${cropW}x$cropH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, px) = decodePpm(r.content)
+        require(w >= cropW && h >= cropH,
+          s"media ${r.media_id}: ${w}x$h smaller than crop ${cropW}x$cropH")
+        val x0 = (w - cropW) / 2
+        val y0 = (h - cropH) / 2
+        val out = new Array[Byte](cropW * cropH * 3)
+        var oy = 0
+        while (oy < cropH) {
+          var ox = 0
+          while (ox < cropW) {
+            val sy = y0 + oy
+            val sx = w - 1 - (x0 + ox) // horizontal flip, then crop window
+            var c = 0
+            while (c < 3) {
+              out((oy * cropW + ox) * 3 + c) = px((sy * w + sx) * 3 + c)
+              c += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        r.copy(content = encodePpm(cropW, cropH, out), width = cropW, height = cropH)
+      }
+    }
+  }
+
+  /** Declared-query surface (m8): the augmentation round trip —
+    * decode → flip+center-crop over ACTUAL pixels → re-encode → decode
+    * again → integer channel stats. The oracle replays the exact flip/crop
+    * index map against the pixel-generating formula (the m6 discipline:
+    * any off-by-one anywhere in the chain diverges).
+    */
+  def augmentedFeatures(docs: DataFrame, cropW: Int = 2, cropH: Int = 2): DataFrame =
+    ppmStats(augmentPpm(syntheticPpm(docs), cropW, cropH))
+
+  /** DuckDB mirror of [[augmentedFeatures]]: output pixel `oi` reads
+    * source pixel `(sy, sx) = ((h−ch) div 2 + oi div cw,
+    * w−1−((w−cw) div 2 + oi mod cw))`.
+    */
+  def augmentedFeaturesSql(cropW: Int = 2, cropH: Int = 2): String =
+    s"""WITH d AS (SELECT doc_id, (doc_id % 8 + 2)::BIGINT AS w, (doc_id % 6 + 2)::BIGINT AS h
+       |           FROM documents),
+       |m AS (SELECT doc_id, w, h,
+       |             (h - $cropH) // 2 + (o.i // $cropW) AS sy,
+       |             w - 1 - ((w - $cropW) // 2 + (o.i % $cropW)) AS sx
+       |      FROM d, UNNEST(range(0, ${cropW * cropH})) AS o(i)),
+       |s AS (SELECT doc_id,
+       |             SUM((doc_id*31 + (sy*w + sx)*3 + 0) % 256)::BIGINT AS sum_r,
+       |             SUM((doc_id*31 + (sy*w + sx)*3 + 1) % 256)::BIGINT AS sum_g,
+       |             SUM((doc_id*31 + (sy*w + sx)*3 + 2) % 256)::BIGINT AS sum_b
+       |      FROM m GROUP BY doc_id)
+       |SELECT doc_id AS media_id, CAST($cropW AS BIGINT) AS width, CAST($cropH AS BIGINT) AS height,
+       |       sum_r, sum_g, sum_b,
+       |       (sum_r * 1000 // ${cropW * cropH})::BIGINT AS mean_r_1e3,
+       |       (sum_g * 1000 // ${cropW * cropH})::BIGINT AS mean_g_1e3,
+       |       (sum_b * 1000 // ${cropW * cropH})::BIGINT AS mean_b_1e3
+       |FROM s ORDER BY media_id""".stripMargin
+
   /** DuckDB mirror of [[ppmFeatures]] — the pixel statistics from the
     * GENERATING formula (`byte(i) = (doc_id·31 + i) % 256`, channel c of
     * pixel p at i = 3p+c), never touching the byte stream: an independent

@@ -80,6 +80,28 @@ class MediaOpsSpec extends SparkSpec {
     assert(out(2L).content.toSeq === Seq[Byte](1, 2, 3))
   }
 
+  test("augmentPpm: horizontal flip then center crop over real pixels") {
+    val s = spark
+    import s.implicits._
+    // 4x3 image with pixel (y, x) carrying bytes (10y+x, 100+10y+x, 200... keep
+    // it simple: channel c of pixel (y, x) = (y*4 + x)*3 + c, all < 127
+    val raster = Array.tabulate(4 * 3 * 3)(i => i.toByte)
+    val rec = MediaOps.MediaRecord(1L, "image", MediaOps.encodePpm(4, 3, raster), 4, 3, 0, 0)
+    val out = MediaOps.augmentPpm(Seq(rec).toDS(), cropW = 2, cropH = 2).collect().head
+    val (w, h, px) = MediaOps.decodePpm(out.content)
+    assert(w === 2 && h === 2)
+    // x0 = 1, y0 = 0; out(oy, ox) = src(oy, 4-1-(1+ox)) = src(oy, 2-ox)
+    def src(y: Int, x: Int, c: Int) = ((y * 4 + x) * 3 + c).toByte
+    for (oy <- 0 to 1; ox <- 0 to 1; c <- 0 to 2)
+      assert(px((oy * 2 + ox) * 3 + c) === src(oy, 2 - ox, c), s"($oy,$ox,$c)")
+    // too-small images fail loudly
+    val tiny = MediaOps.MediaRecord(2L, "image",
+      MediaOps.encodePpm(2, 2, Array.fill(12)(0.toByte)), 2, 2, 0, 0)
+    val ex = intercept[org.apache.spark.SparkException](
+      MediaOps.augmentPpm(Seq(tiny).toDS(), cropW = 3, cropH = 3).collect())
+    assert(ex.getMessage != null)
+  }
+
   test("sampleFrames: stride-samples the declared frame count, frames tile the payload") {
     // doc 2 is video (id % 3 == 2): n_frames = 2 % 30 + 1 = 3, len 8 -> frame_len 2
     val frames = MediaOps.sampleFrames(MediaOps.syntheticMedia(docs), stride = 2)
