@@ -2801,6 +2801,19 @@ object SparkEntry {
           |       SUM(o_custkey) AS sum_cust
           |FROM orders_v GROUP BY ALL ORDER BY 1, 2""".stripMargin)
     }),
+    "q38_variant_json" -> ((s, dir) => {
+      // the VARIANT semi-structured type (SQL:2023 / Spark 4): parse once
+      // into the binary variant encoding, then TYPED path extraction —
+      // the schema-on-read shape that replaces string re-parsing per
+      // access; a missing path under try_variant_get is NULL, counted
+      Tables.events(s, dir).createOrReplaceTempView("events_v38")
+      s.sql(
+        """SELECT event_type, COUNT(*) AS n,
+          |       SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k,
+          |       SUM(CASE WHEN try_variant_get(parse_json(props), '$.missing', 'bigint')
+          |                IS NULL THEN 1 ELSE 0 END) AS n_missing
+          |FROM events_v38 GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
     "q37_order_by_all" -> ((s, dir) => {
       // ORDER BY ALL (q36's companion resolution rule, both engines):
       // sort by every select item left-to-right
@@ -4086,6 +4099,12 @@ object SparkEntry {
     "q37_order_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "q38_variant_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |       SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "t19_stratified_sample" ->
       s"""WITH s AS (SELECT lang, doc_id, ${Sampling.shuffleKeySql("doc_id", 11L)} AS shuffle_key
          |           FROM documents),
