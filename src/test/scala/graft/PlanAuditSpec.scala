@@ -312,4 +312,31 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("t37: BM25 top-k plans as TakeOrderedAndProject; the idf table broadcasts") {
+    staticPlan(SparkEntry.queries("t37_bm25")(spark, sf)) { plan =>
+      val s = plan.toString
+      assert(s.contains("TakeOrderedAndProject"),
+        s"bm25 top-k materializes a global sort instead of per-partition heads:\n$s")
+      assert(plan.collectWithSubqueries { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"idf literal table is not broadcast:\n$s")
+      assert(!s.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$s")
+    }
+  }
+
+  test("s17: hard-negative mining broadcasts the query side, never shuffles the corpus twice") {
+    staticPlan(SparkEntry.queries("s17_hard_negatives")(spark, sf)) { plan =>
+      val s = plan.toString
+      assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+        s"query side is not broadcast:\n$s")
+      assert(!s.contains("CartesianProduct"), s"cartesian in hard-negative plan:\n$s")
+    }
+  }
+
+  test("t38: the ccnet scoring join broadcasts the nlp codebook") {
+    staticPlan(graft.llm.Perplexity.ccnetScore(Tables.documents(spark, sf))) { plan =>
+      assert(plan.collectWithSubqueries { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"nlp table is not broadcast:\n$plan")
+    }
+  }
 }
