@@ -2271,6 +2271,33 @@ object SparkEntry {
         .select(lit(t.versions().length.toLong).as("n_versions"),
           col("n_rows"), col("sum_event"), col("sum_user"))
     }),
+    "st17_streaming_view" -> ((s, dir) => {
+      // STREAMING MATERIALIZED VIEW: st16's commit-log change stream
+      // DRIVING g46's incremental degree maintenance — the end-to-end
+      // "table changed, view follows" loop: a real StreamExecution
+      // discovers each committed version, its CDF folds into the view
+      // state (checkpointed per version, exactly streaming-state shape),
+      // and the final view equals the full recompute at the head. Same
+      // version history as g46; oracle = recompute over the final set.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sview-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("edges").toString
+      val t = new graft.operators.CommitTable(s, tp, "src")
+      val e = DerivedGraphs.small(s, dir)
+      t.overwrite(e.filter(col("dst") % 5 =!= 0))
+      t.append(e.filter(col("dst") % 5 === 0))
+      t.overwrite(e.filter(col("src") % 7 =!= 0))
+      var view: DataFrame = null
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        view = (if (v == 0L) Analytics.degrees(t.asOf(0L), dedup = false)
+                else graft.graph.IncrementalViews.applyDegreeDeltas(view, cdf))
+          .localCheckpoint(true) // materialize the fold inside its micro-batch
+      })
+      view.orderBy("vertex")
+    }),
     "st16_stream_log_source" -> ((s, dir) => {
       // streaming SOURCE over the commit log (st15's read half, Delta's
       // streaming-source shape): three committed versions, then a REAL
@@ -2782,6 +2809,12 @@ object SparkEntry {
       // derived idf VALUES table (SequentialCorpus.bm25Idf)
       graft.llm.Retrieval.bm25TopK(Tables.documents(s, dir),
         queryTerms = Bm25QueryTerms, k = 15)),
+    "t40_lm_langid" -> ((s, dir) => // LM language-ID (fastText-langid
+      // shape, upgrading t2's marker-word heuristic): one hashed-unigram
+      // model per language from the labeled slices, arg-min NLL
+      // prediction with runner-up margin; one langs×buckets aggregate +
+      // one scoring pass vs the broadcast codebook
+      graft.llm.Perplexity.lmLangId(Tables.documents(s, dir))),
     "t38_ccnet_ppl" -> ((s, dir) => // CCNet perplexity bucketing: hashed-
       // unigram LM fit on the lang=en reference slice, per-token NLL in
       // micro-nats, head/middle/tail split — the LM-quality filter stage;
@@ -3886,6 +3919,15 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, walk.level + 1 FROM walk JOIN e ON e.src = walk.vertex WHERE walk.level < 12)
          |SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex ORDER BY level, vertex""".stripMargin,
+    "st17_streaming_view" -> // the stream-maintained view must equal the
+      // full recompute at the head (g46's oracle, streaming-driven)
+      s"""WITH e AS (SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 7 <> 0),
+         |o AS (SELECT src AS vertex, COUNT(*)::BIGINT AS out_degree FROM e GROUP BY 1),
+         |i AS (SELECT dst AS vertex, COUNT(*)::BIGINT AS in_degree FROM e GROUP BY 1)
+         |SELECT COALESCE(o.vertex, i.vertex) AS vertex,
+         |       COALESCE(out_degree, 0)::BIGINT AS out_degree,
+         |       COALESCE(in_degree, 0)::BIGINT AS in_degree
+         |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex""".stripMargin,
     "g46_incremental_degrees" -> // full recompute over the FINAL edge set —
       // the maintained view must be indistinguishable from it
       s"""WITH e AS (SELECT src, dst FROM (${DerivedGraphs.smallSql}) t WHERE src % 7 <> 0),
@@ -4534,12 +4576,24 @@ object SparkEntry {
                |SELECT doc_id, rrf_e6 FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin)
           .filter { case (kk, _) => want(kk) }
       }
-    val ccnetOracle: Map[String, String] = if (!want("t38_ccnet_ppl")) Map.empty else {
+    val ccnetOracle: Map[String, String] = if (!(want("t38_ccnet_ppl") || want("t40_lm_langid"))) Map.empty else {
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("long"), col("text"), col("lang"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-      val sc = SequentialCorpus.ccnetScores(docs)
-      Map("t38_ccnet_ppl" -> (
+      val li = if (!want("t40_lm_langid")) Map.empty[String, String] else {
+        val rows = SequentialCorpus.lmLangId(docs)
+        Map("t40_lm_langid" -> (
+          if (rows.isEmpty)
+            """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS pred_lang,
+              |CAST(NULL AS BIGINT) AS margin_e6, CAST(NULL AS BIGINT) AS is_correct WHERE 1 = 0""".stripMargin
+          else
+            s"""SELECT CAST(d AS BIGINT) AS doc_id, CAST(p AS VARCHAR) AS pred_lang,
+               |CAST(m AS BIGINT) AS margin_e6, CAST(c AS BIGINT) AS is_correct
+               |FROM (VALUES ${rows.map { case (d, p, m, c) => s"($d, '$p', $m, $c)" }.mkString(", ")}) AS t(d, p, m, c)
+               |ORDER BY doc_id""".stripMargin))
+      }
+      val sc = if (want("t38_ccnet_ppl")) SequentialCorpus.ccnetScores(docs) else Nil
+      li ++ Map("t38_ccnet_ppl" -> (
         if (sc.isEmpty)
           """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
             |CAST(NULL AS BIGINT) AS npt_e6, CAST(NULL AS VARCHAR) AS bucket WHERE 1 = 0""".stripMargin

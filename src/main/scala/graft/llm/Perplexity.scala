@@ -41,6 +41,67 @@ object Perplexity {
     * scans. The reference slice fits on no machine — only its BUCKET
     * COUNTS do, and those are aggregate-combined.
     */
+  /** LM-based language identification (the fastText-langid shape, built
+    * on this file's hashed-unigram machinery instead of t2's marker-word
+    * heuristic): fit one bucket model PER LANGUAGE from the labeled
+    * slices, score every document under all of them, and predict the
+    * arg-min NLL language with the runner-up margin as confidence.
+    * In-sample here (fit and scored on the same corpus — the gate's
+    * determinism contract); a production fit uses held-out labeled data
+    * through the identical plan. Returns `(doc_id, pred_lang,
+    * margin_e6, is_correct)` — margin = runner-up NLL − best NLL (0 on a
+    * tie, broken to the lexicographically smaller language); zero-token
+    * docs absent.
+    *
+    * Scale shape: ONE langs×buckets aggregate over the exploded token
+    * stream (map-side combined; driver holds langs·buckets longs), one
+    * scoring pass joining per-doc bucket counts against the broadcast
+    * (bucket, lang, nlp) table, and a doc-keyed 2-row-deep ranking
+    * window. Exact integer NLLs throughout (the dsir/s9 codebook
+    * discipline), so the independent sequential mirror matches
+    * bit-for-bit.
+    */
+  def lmLangId(docs: DataFrame, langs: Seq[String] = Seq("de", "en", "es", "fr", "zh"),
+               buckets: Int = 64): DataFrame = {
+    require(langs.nonEmpty && langs.distinct == langs && langs.sorted == langs,
+      s"lmLangId: langs must be distinct and sorted (the tie-break order), got $langs")
+    require(buckets > 0, s"lmLangId: buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("b", Hashing.hash60(col("tok")) % buckets)
+      .localCheckpoint(true) // the fits and the scoring pass read it
+    val cnt = scala.collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
+    toks.filter(col("lang").isin(langs: _*))
+      .groupBy("lang", "b").agg(count(lit(1)).as("c"))
+      .collect() // ≤ langs·buckets rows, by contract
+      .foreach(r => cnt((r.getString(0), r.getLong(1).toInt)) = r.getLong(2))
+    val tot = langs.map(l => l -> (0 until buckets).map(b => cnt((l, b))).sum).toMap
+    langs.foreach(l => require(tot(l) > 0, s"lmLangId: no tokens labeled lang=$l"))
+    val nlp = for (l <- langs; b <- 0 until buckets) yield
+      (l, b.toLong, math.rint(-1e6 * math.log((cnt((l, b)) + 1.0) / (tot(l) + buckets))).toLong)
+    val nlpDf = broadcast(nlp.toDF("cand", "b", "nlp_e6"))
+    val scoresPerLang = toks.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+      .join(nlpDf, "b")
+      .groupBy("doc_id", "lang", "cand")
+      .agg(sum(col("c") * col("nlp_e6")).as("nll_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("nll_e6").asc, col("cand").asc)
+    scoresPerLang
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("doc_id", "lang")
+      .agg(min(when(col("rk") === 1, col("cand"))).as("pred_lang"),
+        (max(when(col("rk") === 2, col("nll_e6")))
+          - max(when(col("rk") === 1, col("nll_e6")))).as("margin_e6"))
+      .select(col("doc_id"), col("pred_lang"),
+        coalesce(col("margin_e6"), lit(0L)).as("margin_e6"),
+        when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("is_correct"))
+      .orderBy("doc_id")
+  }
+
   def ccnetScore(docs: DataFrame, refLang: String = "en", buckets: Int = 256,
                  headE6: Long = 3419000L, tailE6: Long = 3427000L): DataFrame = {
     require(buckets > 0, s"ccnetScore: buckets must be positive, got $buckets")

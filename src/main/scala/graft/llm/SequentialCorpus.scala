@@ -440,4 +440,34 @@ object SequentialCorpus {
       (id, bs.size.toLong, npt, bucket)
     }.sortBy(_._1)
   }
+
+  /** LM language-ID mirror of `Perplexity.lmLangId` — own tokenizer, own
+    * md5 hash, own per-language count maps, the contract's smoothed
+    * micro-quantized NLLs, arg-min with lexicographic tie-break and
+    * runner-up margin. Returns `(doc_id, pred_lang, margin_e6,
+    * is_correct)` sorted; zero-token docs absent.
+    */
+  def lmLangId(docs: Seq[(Long, String, String)],
+               langs: Seq[String] = Seq("de", "en", "es", "fr", "zh"),
+               buckets: Int = 64): Seq[(Long, String, Long, Long)] = {
+    val cnt = scala.collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
+    val perDoc = docs.map { case (id, text, lang) =>
+      val bs = tokenize(text).map(t => (hash60(t) % buckets).toInt)
+      if (langs.contains(lang)) bs.foreach(b => cnt((lang, b)) += 1)
+      (id, lang, bs)
+    }
+    val tot = langs.map(l => l -> (0 until buckets).map(b => cnt((l, b))).sum).toMap
+    langs.foreach(l => require(tot(l) > 0, s"langid mirror: no tokens labeled lang=$l"))
+    val nlp = langs.map { l =>
+      l -> (0 until buckets).map(b =>
+        math.rint(-1e6 * math.log((cnt((l, b)) + 1.0) / (tot(l) + buckets))).toLong)
+    }.toMap
+    perDoc.collect { case (id, lang, bs) if bs.nonEmpty =>
+      val scored = langs.map(l => (l, bs.foldLeft(0L)((s, b) => s + nlp(l)(b))))
+        .sortBy { case (l, nll) => (nll, l) }
+      val (pred, best) = scored.head
+      val margin = if (scored.size > 1) scored(1)._2 - best else 0L
+      (id, pred, margin, if (pred == lang) 1L else 0L)
+    }.sortBy(_._1)
+  }
 }

@@ -54,6 +54,30 @@ class PerplexitySpec extends SparkSpec {
     assert(mid.find(_._1 == 11L).get._4 === "middle")
   }
 
+  test("lmLangId matches the independent mirror and separates disjoint vocabularies") {
+    // two languages with DISJOINT vocab: predictions must be exact
+    val rows = (1L to 10L).map(i => (i, "aa bb cc aa bb", "en")) ++
+      (11L to 20L).map(i => (i, "xx yy zz xx yy", "de")) :+
+      (21L, "", "en") // zero-token doc absent
+    val langs = Seq("de", "en")
+    val got = graft.llm.Perplexity.lmLangId(docs(rows), langs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === SequentialCorpus.lmLangId(rows, langs))
+    assert(got.forall(_._4 == 1L), "disjoint vocabularies must classify perfectly")
+    assert(got.forall(_._3 > 0L), "disjoint vocabularies must leave a positive margin")
+    assert(!got.exists(_._1 == 21L))
+  }
+
+  test("lmLangId: identical models tie with margin 0, lexicographic winner") {
+    // both langs see the same token stream -> identical NLLs everywhere
+    val rows = Seq((1L, "aa bb", "en"), (2L, "aa bb", "de"))
+    val got = graft.llm.Perplexity.lmLangId(docs(rows), Seq("de", "en"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "de", 0L), (2L, "de", 0L)))
+    intercept[IllegalArgumentException]( // unsorted langs break the tie contract
+      graft.llm.Perplexity.lmLangId(docs(rows), Seq("en", "de")))
+  }
+
   test("guards: empty reference slice and inverted thresholds are loud") {
     intercept[IllegalArgumentException](
       Perplexity.ccnetScore(docs(Seq((1L, "a b", "de"))), refLang = "en").collect())
