@@ -1568,39 +1568,61 @@ object Analytics {
     * still-uncolored edge frontier.
     */
   def greedyColoring(edges: DataFrame, maxRounds: Int = 256): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // The Jones–Plassmann round count is the priority-DAG depth (~100 on
+    // the gate graph) — far too many rounds for a DataFrame loop, whose
+    // per-round plan/checkpoint/count overhead dwarfs the data work (a
+    // lazily-chained variant is worse still: logical plans are trees, so
+    // round-over-round references multiply plan size exponentially).
+    // Pregel is the right substrate for deep fixpoints: per superstep one
+    // message exchange over RDDs, no Catalyst replanning. Vertex state =
+    // (color, colors-of-known-colored-neighbors): announcements ACCUMULATE
+    // (a release message alone need not carry every earlier neighbor
+    // color); a vertex colors with the mex of its accumulated set the
+    // first superstep no smaller-(pri, id) uncolored neighbor exists —
+    // exactly the sequential-greedy schedule, so colors (not round
+    // numbers) match the oracle.
     val sym = symmetric(edges)
-    var uncolored = sym.select(col("a").as("vertex")).distinct()
-      .withColumn("pri", priorityCol(col("vertex")))
+    val edgeRdd = sym.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val g = XGraph.fromEdges(edgeRdd, (-1L, Set.empty[Long]),
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483647L
+    def mex(cs: Set[Long]): Long = { var m = 0L; while (cs.contains(m)) m += 1; m }
+    // message: (min uncolored-neighbor pri, its id, colored-neighbor colors);
+    // pri = -2 marks Pregel's synthetic initial message (no information)
+    val initial = (-2L, -2L, Set.empty[Long])
+    val run = org.apache.spark.graphx.Pregel(
+      g, initial, maxIterations = maxRounds,
+      activeDirection = org.apache.spark.graphx.EdgeDirection.Either)(
+      vprog = (vid, attr, msg) => {
+        if (attr._1 >= 0L || msg._1 == -2L) attr
+        else {
+          val known = attr._2 ++ msg._3
+          val released = msg._1 == Long.MaxValue ||
+            msg._1 > pri(vid) || (msg._1 == pri(vid) && msg._2 > vid)
+          if (released) (mex(known), known) else (-1L, known)
+        }
+      },
+      sendMsg = t =>
+        if (t.dstAttr._1 >= 0L) Iterator.empty // dst done — nothing to say
+        else if (t.srcAttr._1 >= 0L)
+          Iterator((t.dstId, (Long.MaxValue, Long.MaxValue, Set(t.srcAttr._1))))
+        else Iterator((t.dstId, (pri(t.srcId), t.srcId, Set.empty[Long]))),
+      mergeMsg = (a, b) => {
+        val (p, i) = if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) (a._1, a._2) else (b._1, b._2)
+        (p, i, a._3 ++ b._3)
+      })
+    val out = run.vertices.map { case (v, (c, _)) => (v, c) }.toDF("vertex", "color")
       .localCheckpoint(true)
-    var colored = uncolored.sparkSession.range(0)
-      .select(col("id").as("vertex"), col("id").as("color"))
-      .localCheckpoint(true)
-    var rounds = 0
-    var uncoloredRows = uncolored.count()
-    while (uncoloredRows > 0) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"greedyColoring exceeded $maxRounds rounds — check the graph")
-      val uncA = uncolored.select(col("vertex").as("a"), col("pri").as("pri_a"))
-      val uncB = uncolored.select(col("vertex").as("b"), col("pri").as("pri_b"))
-      val blocked = sym.join(uncA, "a").join(uncB, "b")
-        .filter(struct(col("pri_b"), col("b")) < struct(col("pri_a"), col("a")))
-        .select(col("a").as("vertex")).distinct()
-      val ready = uncolored.select("vertex").join(blocked, Seq("vertex"), "left_anti")
-      val nbrColors = sym.join(ready.withColumnRenamed("vertex", "a"), "a")
-        .join(colored.select(col("vertex").as("b"), col("color")), "b")
-        .groupBy(col("a").as("vertex"))
-        .agg(expr("aggregate(array_sort(collect_set(color)), 0L, (acc, x) -> IF(x = acc, acc + 1, acc))")
-          .as("mex"))
-      val newly = ready.join(nbrColors, Seq("vertex"), "left_outer")
-        .select(col("vertex"), coalesce(col("mex"), lit(0L)).as("color"))
-        .localCheckpoint(true)
-      colored = colored.union(newly).localCheckpoint(true)
-      uncolored = uncolored.join(newly.select("vertex"), Seq("vertex"), "left_anti")
-        .localCheckpoint(true)
-      uncoloredRows = uncolored.count()
-    }
-    colored.orderBy("vertex")
+    run.unpersistVertices(blocking = false)
+    run.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    require(out.filter(col("color") < 0).isEmpty,
+      s"greedyColoring exceeded $maxRounds rounds — check the graph")
+    out.orderBy("vertex")
   }
 
   /** Maximal matching — deterministic parallel greedy (the MIS construction
