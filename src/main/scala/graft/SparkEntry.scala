@@ -2501,6 +2501,17 @@ object SparkEntry {
 
     // ---- LLM-pipeline: similarity search ----
     "s1_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    "s18_mrl_rerank" -> ((s, dir) => // Matryoshka coarse-to-fine ANN: the
+      // candidate scan ranks on the FIRST 8 dimensions only (MRL
+      // embeddings front-load information — the scan reads a fraction of
+      // the bytes), exact full-dim cosine re-rank on k·candFactor rows;
+      // SQ8's bandwidth argument on the dimension axis (they compose)
+      Similarity.mrlTopK(Tables.embeddings(s, dir))),
+    "g60_rich_club" -> ((s, dir) => // rich-club profile: density among
+      // vertices of degree > k for k = 1..16 — "do the hubs form a
+      // club?", the topology fingerprint next to g55's assortativity;
+      // one degree pass + one annotated edge pass, kMax-row aggregates
+      Analytics.richClub(DerivedGraphs.small(s, dir))),
     "s17_hard_negatives" -> ((s, dir) => // contrastive hard-negative
       // mining (DPR/SimCSE recipe): per query the top-k most-similar
       // vectors with a DIFFERENT label — same scan/window plan as s1,
@@ -4042,6 +4053,8 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
     "s17_hard_negatives" -> Similarity.hardNegativesSql(),
+    "s18_mrl_rerank" -> Similarity.mrlTopKSql(),
+    "g60_rich_club" -> Analytics.richClubSql(DerivedGraphs.smallSql),
     "s2_ann_lsh" -> Similarity.lshTopKSql(),
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),
     "s12_ivf_persisted" -> // the committed index reproduces ivfTopK

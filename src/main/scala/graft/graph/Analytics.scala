@@ -1746,6 +1746,67 @@ object Analytics {
     * edges this is THE practical way to ask "how far does influence
     * reach" — exact closures are off the table.
     */
+  /** Rich-club coefficient profile (Zhou & Mondragón 2004; Colizza et al.
+    * 2006 normalize it — the raw φ(k) here): for each degree threshold k,
+    * the density among vertices of degree > k —
+    * `φ(k) = 2·E_k / (n_k·(n_k−1))` with `n_k = |{v: deg(v) > k}|` and
+    * `E_k` the undirected edges with BOTH endpoints in that set. "Do the
+    * hubs form a club?" — a standard topology fingerprint next to
+    * assortativity (g55). Returns `(k, n_k, e_k, phi_e6)` for k = 1..kMax
+    * with `phi_e6 = 2·10⁶·E_k div (n_k·(n_k−1))` (exact integers; rows
+    * with n_k < 2 carry phi_e6 = 0).
+    *
+    * Scale shape: one degree aggregate, one degree-annotated edge pass;
+    * the k-profile is a conditional aggregation over a kMax-row explode of
+    * scalars (never of the edge set — each edge contributes to all k below
+    * `min(deg_a, deg_b)` via one integer comparison per k, map-side
+    * combined to kMax rows).
+    */
+  def richClub(edges: DataFrame, kMax: Int = 16): DataFrame = {
+    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // degree pass + annotated pass both read it
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val ks = (1 to kMax).map(_.toLong).toDF("k")
+    val nk = deg.crossJoin(broadcast(ks))
+      .groupBy("k").agg(sum(when(col("deg") > col("k"), 1L).otherwise(0L)).as("n_k"))
+    val ek = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(least(col("da"), col("db")).as("mindeg"))
+      .crossJoin(broadcast(ks))
+      .groupBy("k").agg(sum(when(col("mindeg") > col("k"), 1L).otherwise(0L)).as("e_k"))
+    nk.join(ek, "k")
+      .select(col("k"), col("n_k"), col("e_k"),
+        when(col("n_k") >= 2, expr("2000000 * e_k div (n_k * (n_k - 1))"))
+          .otherwise(0L).as("phi_e6"))
+      .orderBy("k")
+  }
+
+  /** DuckDB mirror of [[richClub]] over edge derivation `edgeSql`. */
+  def richClubSql(edgeSql: String, kMax: Int = 16): String =
+    s"""WITH e AS ($edgeSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |        FROM e WHERE src <> dst),
+       |deg AS (SELECT v, COUNT(*)::BIGINT AS deg
+       |        FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+       |ks AS (SELECT k::BIGINT AS k FROM UNNEST(range(1, ${kMax + 1})) AS t(k)),
+       |nk AS (SELECT k, SUM(CASE WHEN deg > k THEN 1 ELSE 0 END)::BIGINT AS n_k
+       |       FROM deg CROSS JOIN ks GROUP BY k),
+       |ek AS (SELECT k, SUM(CASE WHEN LEAST(da.deg, db.deg) > k THEN 1 ELSE 0 END)::BIGINT AS e_k
+       |       FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+       |       CROSS JOIN ks GROUP BY k)
+       |SELECT nk.k, n_k, e_k,
+       |       CASE WHEN n_k >= 2 THEN 2000000 * e_k // (n_k * (n_k - 1)) ELSE 0 END::BIGINT AS phi_e6
+       |FROM nk JOIN ek ON ek.k = nk.k ORDER BY nk.k""".stripMargin
+
   /** HyperBall's m = 16 single-set-bit register initialization — one row
     * per vertex, `regs` = 16 ints (index = h mod 16, rank = first set bit
     * of h div 16, 41 if none). Shared by [[hyperBall]] and

@@ -223,6 +223,76 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
        |FROM f WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Matryoshka-style coarse-to-fine top-k (Kusupati et al. 2022, the
+    * "MRL" trick every 2024-era embedding API ships): the candidate scan
+    * ranks by the inner product of the FIRST `prefixDims` dimensions only
+    * — an MRL-trained embedding front-loads information, so the prefix is
+    * a usable coarse score at a fraction of the bandwidth — and only the
+    * top `k·candFactor` prefix candidates per query pay the exact
+    * full-dimension cosine. `(query_id, neighbor_id, rank, cos_1e6)`.
+    *
+    * Same scale argument as [[sq8TopK]] with a different compression axis:
+    * SQ8 narrows the element type (8× fewer bytes per element), MRL
+    * truncates the dimension list (d/prefixDims× fewer elements) — on a
+    * memory-bandwidth-bound scan both make the corpus pass proportionally
+    * cheaper, and the two compose (a production MRL scan reads an int8
+    * prefix). Exact math touches only Q × (k·candFactor) rows. Recall vs
+    * the exact baseline is property-tested; the oracle mirrors the whole
+    * pipeline deterministically (prefix dots and exact dots are the same
+    * ordered folds on both engines).
+    */
+  def mrlTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 5,
+              prefixDims: Int = 8, candFactor: Int = 3): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(candFactor >= 1, s"candFactor must be >= 1, got $candFactor")
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("pe", slice(col("e"), 1, prefixDims))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("pe").as("q_pe"),
+        col("e").as("q_e"), col("nrm").as("q_nrm"))
+    val cw = Window.partitionBy("query_id").orderBy(col("pd").desc, col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("pd", dot(col("pe"), col("q_pe")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= k * candFactor)
+      .withColumn("cos", dot(col("e"), col("q_e")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of the full [[mrlTopK]] pipeline (same prefix slice,
+    * same candidate ranking, same exact re-rank).
+    */
+  def mrlTopKSql(numQueries: Int = 20, k: Int = 5,
+                 prefixDims: Int = 8, candFactor: Int = 3): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |qv AS (SELECT vec_id, e, e[1:$prefixDims] AS pe,
+       |              sqrt(list_dot_product(e, e)) AS nrm
+       |       FROM v),
+       |c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |             list_dot_product(n.pe, q.pe) AS pd
+       |      FROM qv q JOIN qv n ON n.vec_id <> q.vec_id
+       |      WHERE q.vec_id < $numQueries),
+       |r AS (SELECT query_id, neighbor_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY pd DESC, neighbor_id) AS crank
+       |      FROM c),
+       |x AS (SELECT r.query_id, r.neighbor_id,
+       |             list_dot_product(n.e, q.e) / (n.nrm * q.nrm) AS cos
+       |      FROM r JOIN qv q ON q.vec_id = r.query_id
+       |             JOIN qv n ON n.vec_id = r.neighbor_id
+       |      WHERE r.crank <= ${k * candFactor}),
+       |f AS (SELECT query_id, neighbor_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+       |             cos
+       |      FROM x)
+       |SELECT query_id, neighbor_id, rank::BIGINT AS rank, floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM f WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Product-quantized (PQ) top-k via asymmetric distance computation (ADC)
     * with exact re-rank — the FAISS `PQ`/`IVFPQ` memory path: each vector
     * is compressed to `m` one-byte codes (nearest codebook centroid per

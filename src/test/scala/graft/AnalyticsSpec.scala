@@ -770,6 +770,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(0) < got(1) && got(1) < got(2) && got(2) < got(3))
   }
 
+  test("richClub: K4 with a pendant — the club is the clique") {
+    // K4 on 0..3 (all deg 3; vertex 0 also holds the pendant -> deg 4), pendant 9
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val got = Analytics.richClub(edgesDF(k4 :+ (0L, 9L)), kMax = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((4L, 6L, 1000000L)), "deg>1 = the K4, fully connected: phi = 1")
+    assert(got(2L) === ((4L, 6L, 1000000L)))
+    assert(got(3L) === ((1L, 0L, 0L)), "only vertex 0 has deg > 3; n_k < 2 gives phi 0")
+    assert(got(4L) === ((0L, 0L, 0L)))
+    // direction/duplication invariance: reversing and duplicating edges changes nothing
+    val noisy = Analytics.richClub(edgesDF(k4 ++ k4.map(_.swap) :+ (0L, 9L)), kMax = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(noisy === got)
+    intercept[IllegalArgumentException](Analytics.richClub(edgesDF(k4), kMax = 0))
+  }
+
   test("densestSubgraph: clique + sparse tail — the peel isolates the clique") {
     // K5 (density 10/5 = 2) with a long path attached (pulls density down)
     val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)

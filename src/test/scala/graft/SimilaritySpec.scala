@@ -123,6 +123,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hard === base)
   }
 
+  test("mrlTopK: full-prefix run equals exact top-k; 8-dim prefix keeps recall high") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val e = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.3f).toSeq))
+      .toDF("vec_id", "embedding")
+    // prefix = full dimension and a candidate pool >= corpus: identical to exact
+    val full = Similarity.mrlTopK(e, numQueries = 5, k = 4, prefixDims = 16, candFactor = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val exact = Similarity.cosineTopK(e, numQueries = 5, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(full === exact)
+    // 8-of-16 prefix with 3x re-rank: a recall floor vs exact
+    val mrl = Similarity.mrlTopK(e, numQueries = 5, k = 4, prefixDims = 8, candFactor = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = exact.map(r => (r._1, r._2)).toSet
+    val recall = mrl.intersect(base).size.toDouble / base.size
+    assert(recall >= 0.5, s"mrl recall $recall collapsed — prefix scan broken")
+    intercept[IllegalArgumentException](Similarity.mrlTopK(e, prefixDims = 0))
+  }
+
   test("cosineDupPairsExact finds exactly the above-threshold pairs") {
     val e = embDF(Seq(
       0L -> Array(1f, 0f),
