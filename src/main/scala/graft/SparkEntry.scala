@@ -687,6 +687,40 @@ object SparkEntry {
           col("valid_to_d").isNull.as("is_current"))
         .orderBy("o_custkey", "valid_from_d")
     }),
+    "e33_mad_outliers" -> ((s, dir) => {
+      // robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+      // Hampel rule that survives what z-scores can't (the outliers
+      // themselves corrupt a mean/stddev; the median and MAD resist up
+      // to 50% contamination): per segment, median order price (cents),
+      // MAD, and the count of orders beyond the 3σ-equivalent fence
+      // |x − med| · 10000 > 44478 · MAD (3 · 1.4826 scale factor,
+      // cross-multiplied — integer-exact). percentile_disc keeps every
+      // quantile an EXISTING cents value on both engines.
+      val ord = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      ord.createOrReplaceTempView("ord_e33")
+      s.sql(
+        """WITH med AS (
+          |  SELECT c_mktsegment,
+          |         percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med_c
+          |  FROM ord_e33 GROUP BY c_mktsegment),
+          |dev AS (
+          |  SELECT o.c_mktsegment, o.cents, m.med_c, abs(o.cents - m.med_c) AS adev
+          |  FROM ord_e33 o JOIN med m ON m.c_mktsegment = o.c_mktsegment),
+          |mad AS (
+          |  SELECT c_mktsegment,
+          |         percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad_c
+          |  FROM dev GROUP BY c_mktsegment)
+          |SELECT d.c_mktsegment, COUNT(*) AS n,
+          |       CAST(MIN(d.med_c) AS BIGINT) AS median_c,
+          |       CAST(MIN(m.mad_c) AS BIGINT) AS mad_c,
+          |       SUM(CASE WHEN d.adev * 10000 > 44478 * m.mad_c THEN 1 ELSE 0 END) AS n_outliers
+          |FROM dev d JOIN mad m ON m.c_mktsegment = d.c_mktsegment
+          |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin)
+    }),
     "q30_percentile_disc" -> ((s, dir) =>
       // the DISCrete percentile family (q12 is the interpolated CONT one):
       // percentile_disc returns an EXISTING value (first whose cumulative
@@ -1261,6 +1295,29 @@ object SparkEntry {
         ("n_versions", t.versions().size.toLong),
         ("published_version", published)
       ).toDF("metric", "value").orderBy("metric")
+    }),
+    "f21_log_schema_evolution" -> ((s, dir) => {
+      // schema evolution on append (the Delta shape): v1's batch carries
+      // a column v0 never had; the merged read surfaces the union schema
+      // with NULLs where a file predates the column, while asOf(0) keeps
+      // the original 2-column shape. Output = head aggregates + v0's
+      // column count.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sevol-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("r_extra"))
+      t.overwrite(nat.filter(col("n_nationkey") < 10).drop("r_extra"))
+      t.append(nat.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20))
+      val v0cols = t.asOf(0L).columns.length.toLong
+      t.read().agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"),
+          count(col("r_extra")).as("n_extra"), sum("r_extra").as("sum_extra"))
+        .select(lit(v0cols).as("v0_cols"), col("n_rows"), col("sum_key"),
+          col("n_extra"), col("sum_extra"))
     }),
     "f20_shallow_clone" -> ((s, dir) => {
       // SHALLOW CLONE: the clone's v0 re-references the source head's
@@ -3387,6 +3444,13 @@ object SparkEntry {
         |UNION ALL SELECT 'n_versions', 2::BIGINT
         |UNION ALL SELECT 'published_version', 1::BIGINT
         |ORDER BY metric""".stripMargin,
+    "f21_log_schema_evolution" -> // head = keys < 20; only the appended
+      // batch (keys >= 10) carries the extra column; v0 kept 2 columns
+      """SELECT CAST(2 AS BIGINT) AS v0_cols, COUNT(*) AS n_rows,
+        |       SUM(n_nationkey)::BIGINT AS sum_key,
+        |       SUM(CASE WHEN n_nationkey >= 10 THEN 1 ELSE 0 END)::BIGINT AS n_extra,
+        |       SUM(CASE WHEN n_nationkey >= 10 THEN n_regionkey END)::BIGINT AS sum_extra
+        |FROM nation WHERE n_nationkey < 20""".stripMargin,
     "f20_shallow_clone" -> // each snapshot derived straight from the
       // source: clone_v0 = source head (keys < 20), clone_head adds the
       // local append (all keys), source_head is untouched by the clone
@@ -3489,6 +3553,22 @@ object SparkEntry {
         |      FROM c)
         |SELECT event_type, rank::BIGINT AS rank, n AS n_events, user_id
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "e33_mad_outliers" -> // same join, same cents, same discrete
+      // quantiles, same cross-multiplied Hampel fence
+      """WITH ord AS (
+        |  SELECT c_mktsegment, (o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |med AS (SELECT c_mktsegment, quantile_disc(cents, 0.5) AS med_c
+        |        FROM ord GROUP BY c_mktsegment),
+        |dev AS (SELECT o.c_mktsegment, o.cents, m.med_c, abs(o.cents - m.med_c) AS adev
+        |        FROM ord o JOIN med m USING (c_mktsegment)),
+        |mad AS (SELECT c_mktsegment, quantile_disc(adev, 0.5) AS mad_c
+        |        FROM dev GROUP BY c_mktsegment)
+        |SELECT d.c_mktsegment, COUNT(*) AS n,
+        |       MIN(d.med_c)::BIGINT AS median_c, MIN(m.mad_c)::BIGINT AS mad_c,
+        |       SUM(CASE WHEN d.adev * 10000 > 44478 * m.mad_c THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM dev d JOIN mad m USING (c_mktsegment)
+        |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin,
     "q30_percentile_disc" ->
       """SELECT l_returnflag,
         |  CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS p25_disc,

@@ -85,7 +85,14 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   /** Read the table AS OF `version`: exactly that commit's file list. */
   def asOf(version: Long): DataFrame = {
     val files = addsOf(version).select("path").collect().map(_.getString(0))
-    if (files.isEmpty) emptyLike() else spark.read.parquet(files.toIndexedSeq: _*)
+    // mergeSchema: a version's file list may span commits with EVOLVED
+    // schemas (an append that added a column — the Delta
+    // schema-evolution-on-append shape). The merged read surfaces the
+    // union schema with NULLs where a file predates a column; without it
+    // Spark plans from one sampled footer and silently DROPS columns the
+    // sample lacks. Cost is one footer read per file — log-sized.
+    if (files.isEmpty) emptyLike()
+    else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
   }
 
   /** Read the latest committed version. */

@@ -314,6 +314,26 @@ class CommitLogSpec extends SparkSpec {
     assert(staged.isEmpty, s"aborted staging left debris: ${staged.mkString(",")}")
   }
 
+  test("schema evolution on append: merged read surfaces the union schema, old versions keep theirs") {
+    val t = freshTable()
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    val widened = {
+      val s = spark; import s.implicits._
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "v", "extra")
+    }
+    t.append(widened)
+    val head = t.read()
+    assert(head.columns.toSet === Set("k", "v", "extra"))
+    val byK = head.collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byK === Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)),
+      "pre-evolution rows must read NULL in the new column")
+    assert(t.asOf(0L).columns.toSet === Set("k", "v"), "old versions keep their own schema")
+    // the narrow direction too: a later batch MISSING the column null-fills
+    t.append(kv(9L -> "z"))
+    val r9 = t.read().filter("k = 9").head()
+    assert(r9.isNullAt(r9.fieldIndex("extra")))
+  }
+
   test("shallow clone is metadata-only, isolates both directions, and respects vacuum boundaries") {
     val root = Files.createTempDirectory("graft-clone-spec")
     val src = new CommitTable(spark, root.resolve("src").toString, "k")
