@@ -3021,6 +3021,12 @@ object SparkEntry {
       // fingerprint + size bucket — the pre-decode dup collapse; one
       // shuffle on a 12-byte key over the BINARY column
       MediaOps.mediaDedup(Tables.documents(s, dir))),
+    "m9_shot_boundaries" -> ((s, dir) => // shot-boundary detection (the
+      // first stage of every video curation pipeline): consecutive-frame
+      // byte L1 distance per video, cut flagged by a cross-multiplied
+      // normalized threshold — partition-batched row-local work, raw
+      // payloads never shuffle
+      MediaOps.shotBoundaries(MediaOps.syntheticMedia(Tables.documents(s, dir)))),
     "m8_augment_features" -> ((s, dir) => // deterministic augmentation
       // (horizontal flip then center crop) over ACTUAL pixels: decode ->
       // transform -> re-encode -> decode again -> integer channel stats;
@@ -4280,6 +4286,7 @@ object SparkEntry {
     "m3_decode_features" -> MediaOps.ppmFeaturesSql,
     "m6_resize_features" -> MediaOps.resizedFeaturesSql(),
     "m8_augment_features" -> MediaOps.augmentedFeaturesSql(),
+    "m9_shot_boundaries" -> MediaOps.shotBoundariesSql(),
   )
 
   /** Root for the f1/f2 round-trip exports. Verify points this at its own

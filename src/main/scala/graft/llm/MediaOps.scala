@@ -322,6 +322,68 @@ object MediaOps {
       |       (sum_b * 1000 // (w*h))::BIGINT AS mean_b_1e3
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** SHOT-BOUNDARY detection for "video" rows — the classic
+    * frame-difference cut detector (the first stage of every video
+    * curation/keyframe pipeline): consecutive frames' byte-wise L1
+    * distance, with a cut flagged where the NORMALIZED difference clears
+    * `thrPermille` of the max possible (`diff·1000 > thr·255·frame_len`,
+    * cross-multiplied — integer-exact). Frames tile the payload exactly
+    * as [[sampleFrames]] declares them. One row per consecutive pair:
+    * `(media_id, frame_idx, diff, is_cut)` (frame_idx = the later frame).
+    *
+    * Scale shape: partition-batched row-local work (the codec iterator
+    * contract) — a row emits n_frames−1 small rows; raw payloads never
+    * shuffle. A real pipeline swaps the byte L1 for a decoded-luma or
+    * histogram distance in the same iterator.
+    */
+  def shotBoundaries(media: Dataset[MediaRecord], thrPermille: Long = 115L): DataFrame = {
+    require(thrPermille >= 0 && thrPermille <= 1000,
+      s"thrPermille must be in [0, 1000], got $thrPermille")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.n_frames
+        val flen = r.content.length / math.max(n, 1)
+        if (n < 2 || flen < 1) Iterator.empty
+        else (1 until n).iterator.map { f =>
+          var diff = 0L
+          var i = 0
+          while (i < flen) {
+            diff += math.abs((r.content(f * flen + i) & 0xff) -
+              (r.content((f - 1) * flen + i) & 0xff))
+            i += 1
+          }
+          val isCut = if (diff * 1000L > thrPermille * 255L * flen) 1L else 0L
+          (r.media_id, f.toLong, diff, isCut)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "diff", "is_cut")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** DuckDB mirror of [[shotBoundaries]] over the [[syntheticMedia]]
+    * derivation: same tiling, byte values recovered via `ascii` on the
+    * ASCII payload (the engine reads the UTF-8 bytes; equal by corpus
+    * contract), same cross-multiplied cut rule.
+    */
+  def shotBoundariesSql(thrPermille: Long = 115L): String =
+    s"""WITH v AS (SELECT doc_id AS media_id, text,
+       |                  (doc_id % 30 + 1)::BIGINT AS n_frames
+       |           FROM documents WHERE doc_id % 3 = 2),
+       |fv AS (SELECT media_id, text, n_frames,
+       |              length(text)::BIGINT // n_frames AS flen
+       |       FROM v WHERE n_frames >= 2 AND length(text)::BIGINT // n_frames >= 1),
+       |d AS (SELECT media_id, u.f AS frame_idx,
+       |             SUM(abs(ascii(substr(text, (u.f * flen + p.i + 1)::INT, 1))
+       |                   - ascii(substr(text, ((u.f - 1) * flen + p.i + 1)::INT, 1))))::BIGINT AS diff,
+       |             MIN(flen) AS flen
+       |      FROM fv, UNNEST(range(1, n_frames)) AS u(f), UNNEST(range(0, flen)) AS p(i)
+       |      GROUP BY media_id, u.f)
+       |SELECT media_id, frame_idx, diff,
+       |       CASE WHEN diff * 1000 > $thrPermille * 255 * flen THEN 1 ELSE 0 END::BIGINT AS is_cut
+       |FROM d ORDER BY media_id, frame_idx""".stripMargin
+
   /** Frame sampling for "video" rows: payload split into `n_frames` equal
     * chunks, every `stride`-th chunk kept. Pure expression plan (codegen'd):
     * `(media_id, frame_idx, frame BINARY)`.

@@ -102,6 +102,24 @@ class MediaOpsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("shotBoundaries: hand-computed frame diffs, threshold flags the jump cut") {
+    val s = spark
+    import s.implicits._
+    // 3 frames of 4 bytes: f0 = f1 (diff 0), f2 jumps on two bytes
+    val payload = Array[Byte](10, 20, 30, 40, 10, 20, 30, 40, 110, 120, 30, 40)
+    val rec = MediaOps.MediaRecord(1L, "video", payload, 0, 0, 0, 3)
+    val got = MediaOps.shotBoundaries(Seq(rec).toDS(), thrPermille = 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // diff(2) = 200; 200·1000 > 100·255·4 = 102000 → cut; diff(1) = 0 → not
+    assert(got === Seq((1L, 0L, 0L), (2L, 200L, 1L)))
+    // non-video rows and sub-2-frame rows are excluded
+    val audio = MediaOps.MediaRecord(2L, "audio", payload, 0, 0, 16000, 3)
+    val short = MediaOps.MediaRecord(3L, "video", payload, 0, 0, 0, 1)
+    assert(MediaOps.shotBoundaries(Seq(audio, short).toDS()).count() === 0L)
+    intercept[IllegalArgumentException](
+      MediaOps.shotBoundaries(Seq(rec).toDS(), thrPermille = 1001L))
+  }
+
   test("sampleFrames: stride-samples the declared frame count, frames tile the payload") {
     // doc 2 is video (id % 3 == 2): n_frames = 2 % 30 + 1 = 3, len 8 -> frame_len 2
     val frames = MediaOps.sampleFrames(MediaOps.syntheticMedia(docs), stride = 2)
