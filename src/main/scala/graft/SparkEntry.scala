@@ -2564,6 +2564,12 @@ object SparkEntry {
       // the bytes), exact full-dim cosine re-rank on k·candFactor rows;
       // SQ8's bandwidth argument on the dimension axis (they compose)
       Similarity.mrlTopK(Tables.embeddings(s, dir))),
+    "g61_local_community" -> ((s, dir) => // Andersen–Chung–Lang local
+      // community sweep: PPR/degree ranking from seed 0, prefix
+      // conductance profile with the best cut flagged — "find MY
+      // community without touching the rest of the graph"; integer
+      // window algebra after the g18-contract ranking
+      Analytics.localCommunitySweep(DerivedGraphs.small(s, dir), source = 0L)),
     "g60_rich_club" -> ((s, dir) => // rich-club profile: density among
       // vertices of degree > k for k = 1..16 — "do the hubs form a
       // club?", the topology fingerprint next to g55's assortativity;
@@ -4141,6 +4147,8 @@ object SparkEntry {
     "s17_hard_negatives" -> Similarity.hardNegativesSql(),
     "s18_mrl_rerank" -> Similarity.mrlTopKSql(),
     "g60_rich_club" -> Analytics.richClubSql(DerivedGraphs.smallSql),
+    "g61_local_community" ->
+      Analytics.localCommunitySweepSql(DerivedGraphs.smallSql, source = 0L),
     "s2_ann_lsh" -> Similarity.lshTopKSql(),
     "s3_ann_ivf" -> Similarity.ivfTopKSql(),
     "s12_ivf_persisted" -> // the committed index reproduces ivfTopK

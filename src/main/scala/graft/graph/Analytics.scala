@@ -1746,6 +1746,109 @@ object Analytics {
     * edges this is THE practical way to ask "how far does influence
     * reach" — exact closures are off the table.
     */
+  /** LOCAL community detection around a seed — the Andersen–Chung–Lang
+    * sweep (FOCS 2006), the standard "find this vertex's community
+    * without touching the rest of the graph" primitive: rank vertices by
+    * personalized-PageRank mass normalized by degree, then sweep prefixes
+    * S_1 ⊆ S_2 ⊆ … of that ranking and report each prefix's CONDUCTANCE
+    * `φ(S) = cut(S) / min(vol(S), vol(V∖S))`, flagging the best (lowest
+    * φ, smallest prefix on ties). Returns `(k, vertex, vol, cut, phi_e6,
+    * is_best)` for prefixes k = 1..sweepK over the undirected simple
+    * graph.
+    *
+    * Determinism: the PPR scores are g18's fixed-iteration 1e-6-rounded
+    * contract, so `score = pr·10⁶/deg` divides identical doubles by
+    * identical integers on both engines (total order with the vertex
+    * tie-break); everything after the ranking is exact integer window
+    * algebra — `vol` = cumulative degree, `cut_k = vol_k − 2·Σ e_in`
+    * (e_in = edges from the k-th vertex into the prefix), φ in integer
+    * micro-units by truncating division (prefix = whole graph reports
+    * 10⁶).
+    *
+    * Scale shape: one PPR run (edge passes × numIter), one degree
+    * aggregate, one prefix-membership edge join; the sweep windows run on
+    * a single partition of sweepK rows — by contract, the LOCAL part of
+    * the algorithm (ACL's whole point is that the community, not the
+    * graph, bounds the sweep).
+    */
+  def localCommunitySweep(edges: DataFrame, source: Long, sweepK: Int = 30,
+                          numIter: Int = 10): DataFrame = {
+    require(sweepK >= 1, s"sweepK must be >= 1, got $sweepK")
+    val sym = symmetric(edges)
+    val ppr = personalizedPageRank(
+      sym.select(col("a").as("src"), col("b").as("dst")), source, numIter)
+    val deg = sym.groupBy(col("a").as("vertex")).agg(count(lit(1)).as("deg"))
+    val volTotal = sym.count() // Σ deg = both directions of every edge
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("vertex"))
+    val ranked = ppr.join(deg, "vertex")
+      .filter(col("pr") > 0)
+      .withColumn("score", col("pr") * 1e6 / col("deg"))
+      .withColumn("k", row_number().over(rankW).cast("long"))
+      .filter(col("k") <= sweepK)
+      .localCheckpoint(true) // the membership join and the sweep reuse it
+    val eIn = sym
+      .join(ranked.select(col("vertex").as("a"), col("k").as("ka")), "a")
+      .join(ranked.select(col("vertex").as("b"), col("k").as("kb")), "b")
+      .filter(col("kb") < col("ka"))
+      .groupBy(col("a").as("vertex")).agg(count(lit(1)).as("e_in"))
+    val sweepW = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bestW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("phi_e6").asc, col("k").asc)
+    ranked.join(eIn, Seq("vertex"), "left_outer")
+      .na.fill(0L, Seq("e_in"))
+      .withColumn("vol", sum("deg").over(sweepW))
+      .withColumn("cut", col("vol") - lit(2L) * sum("e_in").over(sweepW))
+      .withColumn("phi_e6",
+        when(least(col("vol"), lit(volTotal) - col("vol")) > 0,
+          expr(s"1000000 * cut div least(vol, $volTotal - vol)"))
+          .otherwise(lit(1000000L)))
+      .withColumn("is_best", when(row_number().over(bestW) === 1, 1L).otherwise(0L))
+      .select("k", "vertex", "vol", "cut", "phi_e6", "is_best")
+      .orderBy("k")
+  }
+
+  /** DuckDB mirror of [[localCommunitySweep]]: the g18 unrolled-CTE PPR
+    * over the same symmetrized derivation, then identical window algebra.
+    */
+  def localCommunitySweepSql(edgeSql: String, source: Long, sweepK: Int = 30,
+                             numIter: Int = 10): String = {
+    val symSql =
+      s"""SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM ($edgeSql) q1 WHERE src <> dst
+         |UNION ALL
+         |SELECT GREATEST(src, dst), LEAST(src, dst) FROM ($edgeSql) q2 WHERE src <> dst""".stripMargin
+    s"""WITH ppr AS (SELECT * FROM (${personalizedPageRankSql(symSql, source, numIter)}) pq),
+       |sym AS (SELECT DISTINCT src AS a, dst AS b FROM ($symSql) sq WHERE src <> dst),
+       |deg AS (SELECT a AS vertex, COUNT(*)::BIGINT AS deg FROM sym GROUP BY a),
+       |vt AS (SELECT COUNT(*)::BIGINT AS vol_total FROM sym),
+       |ranked AS (
+       |  SELECT vertex, deg, pr * 1000000 / deg AS score,
+       |         row_number() OVER (ORDER BY pr * 1000000 / deg DESC, vertex) AS k
+       |  FROM ppr JOIN deg USING (vertex) WHERE pr > 0
+       |  QUALIFY k <= $sweepK),
+       |ein AS (
+       |  SELECT ra.vertex, COUNT(*)::BIGINT AS e_in
+       |  FROM sym JOIN ranked ra ON ra.vertex = sym.a
+       |           JOIN ranked rb ON rb.vertex = sym.b
+       |  WHERE rb.k < ra.k GROUP BY ra.vertex),
+       |sw AS (
+       |  SELECT r.k::BIGINT AS k, r.vertex,
+       |         SUM(r.deg) OVER (ORDER BY r.k) AS vol,
+       |         SUM(r.deg) OVER (ORDER BY r.k)
+       |           - 2 * SUM(COALESCE(e.e_in, 0)) OVER (ORDER BY r.k) AS cut
+       |  FROM ranked r LEFT JOIN ein e ON e.vertex = r.vertex),
+       |ph AS (
+       |  SELECT k, vertex, vol::BIGINT AS vol, cut::BIGINT AS cut,
+       |         CASE WHEN LEAST(vol, vol_total - vol) > 0
+       |              THEN 1000000 * cut // LEAST(vol, vol_total - vol)
+       |              ELSE 1000000 END::BIGINT AS phi_e6
+       |  FROM sw, vt)
+       |SELECT k, vertex, vol, cut, phi_e6,
+       |       CASE WHEN row_number() OVER (ORDER BY phi_e6, k) = 1 THEN 1 ELSE 0 END::BIGINT AS is_best
+       |FROM ph ORDER BY k""".stripMargin
+  }
+
   /** Rich-club coefficient profile (Zhou & Mondragón 2004; Colizza et al.
     * 2006 normalize it — the raw φ(k) here): for each degree threshold k,
     * the density among vertices of degree > k —

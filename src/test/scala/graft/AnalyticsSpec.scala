@@ -770,6 +770,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(0) < got(1) && got(1) < got(2) && got(2) < got(3))
   }
 
+  test("localCommunitySweep: two cliques with one bridge — the best cut is the seed's clique") {
+    // K4 on 0..3 bridged to K4 on 10..13: conductance bottoms exactly at
+    // the seed-side clique {0,1,2,3}
+    val c1 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val c2 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val got = Analytics.localCommunitySweep(edgesDF(c1 ++ c2 :+ (3L, 10L)), source = 0L, sweepK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(_._1)
+    val best = got.find(_._6 == 1L).get
+    assert(best._1 === 4L, s"best prefix must be the 4-vertex seed clique, got $got")
+    assert(got.take(4).map(_._2).toSet === Set(0L, 1L, 2L, 3L),
+      "the first four ranked vertices must be the seed clique")
+    // at the clique prefix: vol = 3+3+3+4 = 13, cut = the single bridge
+    assert(best._3 === 13L && best._4 === 1L)
+    assert(best._5 === (1000000L / 13L), "phi = cut/min(vol, total-vol) = 1/13")
+    // monotone prefix contract: vol strictly increases, exactly one best
+    assert(got.map(_._3) === got.map(_._3).sorted)
+    assert(got.count(_._6 == 1L) === 1)
+    intercept[IllegalArgumentException](
+      Analytics.localCommunitySweep(edgesDF(c1), 0L, sweepK = 0))
+  }
+
   test("richClub: K4 with a pendant — the club is the clique") {
     // K4 on 0..3 (all deg 3; vertex 0 also holds the pendant -> deg 4), pendant 9
     val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
