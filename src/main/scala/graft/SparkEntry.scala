@@ -2580,6 +2580,22 @@ object SparkEntry {
       // vectors with a DIFFERENT label — same scan/window plan as s1,
       // one extra predicate in the broadcast join
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
+    "p9_leakproof_split" -> ((s, dir) => {
+      // LEAKAGE-PROOF train/val/test split: near-duplicates of a training
+      // doc in the eval split are silent contamination, so the split key
+      // is the doc's near-dup CLUSTER (d6's keeper; singletons key on
+      // themselves) — every cluster lands whole in one split by
+      // construction (split = f(group key), the GroupShuffleSplit rule).
+      val docs = Tables.documents(s, dir)
+      val keyed = docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(Dedup.nearDupClusters(docs), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("gkey"))
+      Sampling.assignSplits(keyed, "gkey")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("gkey")).as("n_groups"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("split")
+    }),
     "p8_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: t37's sparse BM25 list + a dense cosine list
       // fused by reciprocal-rank fusion (exact integer micro-units) —
@@ -4127,6 +4143,15 @@ object SparkEntry {
     "d4_simhash_pairs" -> Dedup.simHashPairsSql(),
     "d7_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "d6_dup_clusters" -> Dedup.nearDupClustersSql(),
+    "p9_leakproof_split" -> // the same cluster derivation, the same
+      // group-keyed hash split, aggregated per split
+      s"""WITH cl AS (${Dedup.nearDupClustersSql()}),
+         |k AS (SELECT d.doc_id, COALESCE(cl.keeper, d.doc_id) AS gkey
+         |      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |sp AS (SELECT doc_id, gkey, ${Sampling.assignSplitsSql("gkey")} AS split FROM k)
+         |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT gkey)::BIGINT AS n_groups,
+         |       SUM(doc_id)::BIGINT AS sum_ids
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "d15_quality_keepers" -> Dedup.qualityKeepersSql(),
     "d16_neardup_keepers" -> Dedup.nearDupKeepersSql(),
     "d17_span_dedup" -> Dedup.spanDedupSql(),

@@ -2,6 +2,7 @@ package graft
 
 import graft.llm.Sampling
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{coalesce, col}
 
 /** Determinism/stability contracts of the content-addressed sampling ops. */
 class SamplingSpec extends SparkSpec {
@@ -187,5 +188,32 @@ class SamplingSpec extends SparkSpec {
     // absolute sign is smoothing-dependent on a tiny corpus (raw ⊇ target),
     // but the off-target doc must score clearly negative
     assert(byId(5L) < 0)
+  }
+
+  test("group-keyed splits keep every near-dup cluster whole (the p9 leak-proof rule)") {
+    val s = spark
+    import s.implicits._
+    // three exact-duplicate families (near-dup clusters by construction)
+    // plus singletons — shared sentence bases long enough to shingle
+    val fam = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten eleven",
+      "red orange yellow green blue indigo violet pink brown black")
+    val docs = (0L until 30L).map { i =>
+      val t = if (i < 9) fam((i % 3).toInt) else s"unique words for doc $i nothing shared here at all"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val keyed = docs.select(col("doc_id"))
+      .join(graft.llm.Dedup.nearDupClusters(docs), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("gkey"))
+    val split = Sampling.assignSplits(keyed, "gkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every group maps to exactly one split
+    val perGroup = split.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perGroup.values.forall(_.size == 1),
+      s"a near-dup cluster straddles splits: $perGroup")
+    // the three dup families really are 3 groups of 3
+    val famGroups = split.filter(_._1 < 9).groupBy(_._2)
+    assert(famGroups.size === 3 && famGroups.values.forall(_.length == 3))
   }
 }
