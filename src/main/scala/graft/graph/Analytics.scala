@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.graphx.{Edge, Graph => XGraph}
+import org.apache.spark.graphx.{Edge, Graph => XGraph, PartitionStrategy}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -63,6 +63,7 @@ object Analytics {
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val g = XGraph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
     val cc = g.connectedComponents()
     // materialize before unpersisting BOTH graphs — connectedComponents()
     // returns an internally-cached graph that would otherwise leak across
@@ -93,6 +94,7 @@ object Analytics {
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val g = XGraph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
     val scc = g.stronglyConnectedComponents(Int.MaxValue)
     val out = scc.vertices.map { case (v, c) => (v, c) }.toDF("vertex", "component")
       .orderBy("vertex")
@@ -1588,6 +1590,7 @@ object Analytics {
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val g = XGraph.fromEdges(edgeRdd, (-1L, Set.empty[Long]),
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
     def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483647L
     def mex(cs: Set[Long]): Long = { var m = 0L; while (cs.contains(m)) m += 1; m }
     // message: (min uncolored-neighbor pri, its id, colored-neighbor colors);

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.graphx.{Edge, EdgeDirection, Graph => XGraph, Pregel}
+import org.apache.spark.graphx.{Edge, EdgeDirection, Graph => XGraph, PartitionStrategy, Pregel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -73,6 +73,7 @@ object Traversals {
     val g = XGraph(seedRdd, edgeRdd, (),
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
       .mapVertices((id, _) => if (srcSet(id)) 0 else INF)
     val res = Pregel(g, initialMsg = INF, maxIterations = maxDepth,
       activeDirection = EdgeDirection.Out)(
@@ -124,6 +125,7 @@ object Traversals {
     val g = XGraph(seedRdd, edgeRdd, (),
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
       .mapVertices((id, _) =>
         if (seedSet(id)) Map(id -> 0) else Map.empty[Long, Int])
     val res = Pregel(g, initialMsg = Map.empty[Long, Int],
@@ -175,6 +177,7 @@ object Traversals {
     val g = XGraph(seedRdd, edgeRdd, (),
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
       .mapVertices((id, _) => if (id == start) 0L else INF)
     val res = Pregel(g, initialMsg = INF, maxIterations = maxHops,
       activeDirection = EdgeDirection.Out)(
@@ -526,6 +529,7 @@ object Traversals {
     val g = XGraph(seedRdd, edgeRdd, (),
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
       .mapVertices((id, _) => if (id == start) startTime else INF)
     val res = Pregel(g, initialMsg = INF, maxIterations = maxHops,
       activeDirection = EdgeDirection.Out)(
