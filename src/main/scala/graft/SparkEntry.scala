@@ -2732,6 +2732,28 @@ object SparkEntry {
       Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), idx)
       Similarity.ivfTopKIndexed(s, idx)
     }),
+    "s19_bm25_indexed" -> ((s, dir) => {
+      // persisted SPARSE-retrieval index (round-11 verdict gap #1 — the
+      // last per-query recompute in the index family): postings + corpus
+      // stats land as commit-log tables (postings term-clustered so the
+      // query's IN filter prunes files); the query derives df/idf from
+      // the pruned committed read and runs ZERO corpus-stats jobs — the
+      // raw documents table is not an input (inputFiles-asserted in
+      // RetrievalSpec). Built on a half/half build+append split to bind
+      // the incremental-refresh path to the gate; BM25 has no trained
+      // component, so the result is bit-identical to t37's inline
+      // operator and shares its oracle.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-bm25idx-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val docs = Tables.documents(s, dir)
+      graft.llm.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), idx)
+      graft.llm.Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 =!= 0), idx)
+      graft.llm.Retrieval.bm25TopKIndexed(s, idx, Bm25QueryTerms, k = 15)
+    }),
 
     // ---- LLM-pipeline: text analysis + multimodal ----
     "t1_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
@@ -4689,12 +4711,15 @@ object SparkEntry {
              |GROUP BY d.source ORDER BY d.source""".stripMargin)
     }
     val bm25Oracle: Map[String, String] =
-      if (!(want("t37_bm25") || want("p8_hybrid_rrf"))) Map.empty else {
+      if (!(want("t37_bm25") || want("p8_hybrid_rrf") || want("s19_bm25_indexed"))) Map.empty else {
         val texts = graft.Tables.documents(spark, sfDir)
           .select(col("text")).collect().map(_.getString(0)).toSeq
         val idf = SequentialCorpus.bm25Idf(texts, Bm25QueryTerms)
         Map(
           "t37_bm25" -> graft.llm.Retrieval.bm25TopKSql(idf, k = 15),
+          // the committed index is bit-identical to the inline operator
+          // (no trained component; shared scoring tail) — same oracle
+          "s19_bm25_indexed" -> graft.llm.Retrieval.bm25TopKSql(idf, k = 15),
           "p8_hybrid_rrf" ->
             // the same two ranked lists (BM25 mirror + dense cosine
             // mirror) fused with the identical integer RRF arithmetic

@@ -127,6 +127,60 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), k = 0))
   }
 
+  test("persisted BM25 index: indexed query is bit-identical, reads only the index, appends atomically") {
+    val corpus = (1L to 60L).map { i =>
+      val words = (0 until (3 + (i % 9).toInt)).map(j => s"w${(i * 17 + j * 5) % 13}")
+      (i, (if (i % 4 == 0) "rare " else "") + words.mkString(" "))
+    }
+    val q = Seq("rare", "w0", "w5")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25idx-spec").toString
+
+    val v0 = Retrieval.buildBm25Index(docs(corpus), root)
+    assert(v0 === 0L)
+    val indexed = Retrieval.bm25TopKIndexed(spark, root, q, k = 60)
+    val inline = Retrieval.bm25TopK(docs(corpus), q, k = 60)
+    def rows(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // bit-identical to the inline operator (shared scoring tail, same df)
+    assert(rows(indexed) === rows(inline))
+    // zero corpus jobs at query time: every file the indexed query reads
+    // lives under the committed index — the raw documents are NOT an input
+    val files = indexed.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("postings")),
+      s"indexed query must read committed postings only, saw ${files.mkString(", ")}")
+    // the driver-side stats read is commit-count-sized: ≤ 3 jobs (log
+    // collect + 1-row aggregate + slack) — the s12 job-count discipline
+    val sc = spark.sparkContext
+    sc.setJobGroup("bm25-stats", "committed stats read")
+    new graft.operators.CommitTable(spark, s"$root/stats", "n_docs")
+      .read().agg(org.apache.spark.sql.functions.sum("n_docs")).head()
+    sc.clearJobGroup()
+    var prev = -1
+    var cur = sc.statusTracker.getJobIdsForGroup("bm25-stats").length
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (cur != prev && System.nanoTime() < deadline) {
+      prev = cur; Thread.sleep(200)
+      cur = sc.statusTracker.getJobIdsForGroup("bm25-stats").length
+    }
+    // schema-inference + log collect + the 1-row aggregate (+ AQE slack);
+    // a corpus-stats recompute would add corpus-scan jobs on top
+    assert(cur <= 5, s"stats read must be metadata-small, saw $cur jobs")
+
+    // refresh: build on half, append the other half — BM25 has no trained
+    // component, so the refreshed index EQUALS a full rebuild, and both
+    // equal the inline operator over the union
+    val root2 = java.nio.file.Files.createTempDirectory("graft-bm25app-spec").toString
+    val (h1, h2) = corpus.partition(_._1 % 2 == 0)
+    Retrieval.buildBm25Index(docs(h1), root2)
+    val v1 = Retrieval.appendBm25Index(docs(h2), root2) // ONE atomic postings append
+    assert(v1 === 1L)
+    assert(rows(Retrieval.bm25TopKIndexed(spark, root2, q, k = 60)) === rows(inline))
+    // the pre-append index stays queryable via the log's asOf: stats sum at
+    // version 0 covers only the first half
+    val s0 = new graft.operators.CommitTable(spark, s"$root2/stats", "n_docs")
+      .asOf(0L).collect()
+    assert(s0.length === 1 && s0.head.getLong(0) === h1.size.toLong)
+  }
+
   test("input guards reject bad queries loudly") {
     val d = docs(Seq((1L, "a b")))
     intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq.empty))
