@@ -300,6 +300,67 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.count() === 40L)
   }
 
+  test("IVFPQ index: probe+ADC+re-rank recalls clustered neighbors, scans codes only") {
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Seq.fill(4)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val vecs = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 10
+    } yield (ci * 10L + j, c.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
+    val v0 = Similarity.buildIvfPqIndex(embDF(vecs), root,
+      nlist = 8, iters = 1, m = 4, ksub = 8, dim = dim)
+    assert(v0 === 0L)
+    val got = Similarity.ivfPqTopKIndexed(embDF(vecs), root,
+      numQueries = 40, k = 3, nprobe = 3, candFactor = 3, dim = dim)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // deterministic round trip
+    assert(rows(got) === rows(Similarity.ivfPqTopKIndexed(embDF(vecs), root,
+      numQueries = 40, k = 3, nprobe = 3, candFactor = 3, dim = dim)))
+    // the corpus-sized artifact holds ONLY (vec_id, cid, codes) — m bytes
+    // of code per vector, no floats
+    val lists = new graft.operators.CommitTable(spark, s"$root/lists", "cid").read()
+    assert(lists.columns.toSeq === Seq("vec_id", "cid", "codes"))
+    assert(lists.count() === 40L)
+    // recall floor vs the exact tier: probed lists + 8-bit codes must
+    // still surface most same-cluster neighbors
+    val exact = Similarity.cosineTopK(embDF(vecs), numQueries = 40, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = rows(got).map(r => (r._1, r._2)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"IVFPQ mean recall $mean below floor")
+    // the float table is never materialized (the s13 discipline)
+    val planStr = got.queryExecution.executedPlan.toString
+    assert(!planStr.contains("ExistingRDD"),
+      "ivfPqTopKIndexed must not checkpoint the raw vector table:\n" + planStr)
+  }
+
+  test("appendPqIndex: fixed-codebook encode lands as one atomic commit; round trip matches inline") {
+    val rng = new scala.util.Random(53)
+    val dim = 16
+    val all = (0L until 60L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    // the prefix holds the ksub lowest vec_ids, so the trained sub-codebooks
+    // equal a full-corpus build's — the appended index must reproduce the
+    // inline pqTopK over the union bit-for-bit
+    val (train, extra) = all.splitAt(36)
+    val root = java.nio.file.Files.createTempDirectory("graft-pqapp-spec").toString
+    Similarity.buildPqIndex(embDF(train), root, m = 4, ksub = 8, dim = dim)
+    val v1 = Similarity.appendPqIndex(embDF(extra), root, dim = dim)
+    assert(v1 === 1L) // ONE atomic append commit
+    val codes = new graft.operators.CommitTable(spark, s"$root/codes", "vec_id").read()
+    assert(codes.count() === 60L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val indexed = Similarity.pqTopKIndexed(embDF(all), root, numQueries = 12, k = 3, dim = dim)
+    val inline = Similarity.pqTopK(embDF(all), numQueries = 12, k = 3, m = 4, ksub = 8, dim = dim)
+    assert(rows(indexed) === rows(inline))
+  }
+
   test("appendIvfIndex: add-after-train equals a train-on-prefix ivfTopK over the union") {
     val rng = new scala.util.Random(43)
     val dim = 16
