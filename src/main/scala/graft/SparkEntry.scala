@@ -2965,6 +2965,14 @@ object SparkEntry {
       // micro-nats, head/middle/tail split — the LM-quality filter stage;
       // oracle = fully independent sequential mirror
       graft.llm.Perplexity.ccnetScore(Tables.documents(s, dir))),
+    "t41_ngram_ppl" -> ((s, dir) => // ORDER-3 CCNet scoring (round-11
+      // verdict gap #3): hashed trigram/bigram/unigram LM with stupid
+      // backoff — seen-gram NLL = exact integer difference of driver-
+      // quantized log counts, 0.4-penalty per backed-off level; the
+      // scoring pass is entirely row-local (codegen'd aggregate lambda
+      // vs 4 broadcast literal tables, zero shuffles); oracle = fully
+      // independent sequential mirror with its own backoff recursion
+      graft.llm.Perplexity.ngramScore(Tables.documents(s, dir))),
     "t36_sentence_stats" -> ((s, dir) => // sentence segmentation stats
       // ([.!?]+ splits, trimmed, empties dropped): discourse-shape
       // quality signals the flat token ratios can't see; row-local array
@@ -4776,7 +4784,7 @@ object SparkEntry {
                |SELECT doc_id, rrf_e6 FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin)
           .filter { case (kk, _) => want(kk) }
       }
-    val ccnetOracle: Map[String, String] = if (!(want("t38_ccnet_ppl") || want("t40_lm_langid"))) Map.empty else {
+    val ccnetOracle: Map[String, String] = if (!(want("t38_ccnet_ppl") || want("t40_lm_langid") || want("t41_ngram_ppl"))) Map.empty else {
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("long"), col("text"), col("lang"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
@@ -4792,16 +4800,21 @@ object SparkEntry {
                |FROM (VALUES ${rows.map { case (d, p, m, c) => s"($d, '$p', $m, $c)" }.mkString(", ")}) AS t(d, p, m, c)
                |ORDER BY doc_id""".stripMargin))
       }
-      val sc = if (want("t38_ccnet_ppl")) SequentialCorpus.ccnetScores(docs) else Nil
-      li ++ Map("t38_ccnet_ppl" -> (
-        if (sc.isEmpty)
+      def pplValues(rows: Seq[(Long, Long, Long, String)]): String =
+        if (rows.isEmpty)
           """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
             |CAST(NULL AS BIGINT) AS npt_e6, CAST(NULL AS VARCHAR) AS bucket WHERE 1 = 0""".stripMargin
         else
           s"""SELECT CAST(d AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
              |CAST(p AS BIGINT) AS npt_e6, CAST(bk AS VARCHAR) AS bucket
-             |FROM (VALUES ${sc.map { case (d, n, p, bk) => s"($d, $n, $p, '$bk')" }.mkString(", ")}) AS t(d, n, p, bk)
-             |ORDER BY doc_id""".stripMargin))
+             |FROM (VALUES ${rows.map { case (d, n, p, bk) => s"($d, $n, $p, '$bk')" }.mkString(", ")}) AS t(d, n, p, bk)
+             |ORDER BY doc_id""".stripMargin
+      val sc = if (want("t38_ccnet_ppl")) SequentialCorpus.ccnetScores(docs) else Nil
+      val ng = if (want("t41_ngram_ppl")) SequentialCorpus.ngramScores(docs) else Nil
+      li ++ Map(
+        "t38_ccnet_ppl" -> pplValues(sc),
+        // the ORDER-3 mirror: same output contract, independent backoff walk
+        "t41_ngram_ppl" -> pplValues(ng))
     }
     val ssspOracle: Map[String, String] = if (!want("g45_sssp_fixpoint")) Map.empty else {
       val d = SequentialModel

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 
@@ -99,6 +99,124 @@ object Perplexity {
       .select(col("doc_id"), col("pred_lang"),
         coalesce(col("margin_e6"), lit(0L)).as("margin_e6"),
         when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Backoff constant: `rint(-1e6·ln 0.4)` — stupid backoff's fixed 0.4
+    * penalty per backed-off level (Brants et al. 2007), micro-quantized
+    * once as the shared contract value. */
+  val StupidBackoffE6: Long = math.rint(-1e6 * math.log(0.4)).toLong
+
+  /** ORDER-3 CCNet scoring (round-11 verdict gap #3 — the published CCNet
+    * recipe scores with an n-gram KenLM, not a unigram table): a hashed
+    * trigram/bigram/unigram LM with STUPID BACKOFF (Brants et al. 2007 —
+    * the count-ratio backoff that, unlike Katz/Kneser–Ney, needs no
+    * discount mass and is therefore exactly distributable and exactly
+    * mirrorable):
+    *
+    *   S(w|w₋₂w₋₁) = c₃/c₂(ctx)        if the trigram was seen,
+    *               = 0.4 · S(w|w₋₁)    otherwise;
+    *   S(w|w₋₁)    = c₂/c₁(ctx)        if the bigram was seen,
+    *               = 0.4 · S(w)        otherwise;
+    *   S(w)        = Laplace unigram (t38's floor).
+    *
+    * All n-grams hash into `buckets` features per order (the t38 bucket
+    * discipline, so the three model tables stay driver-small by contract);
+    * a position with fewer than 2 predecessors starts at its highest
+    * available order penalty-free. Count logs are micro-quantized ON THE
+    * DRIVER (`rint(1e6·ln c)`), so a seen n-gram's NLL is the exact integer
+    * `lc(ctx) − lc(gram)` and every per-doc sum is order-independent —
+    * the independent sequential mirror ([[SequentialCorpus.ngramScores]]:
+    * own tokenizer, own hash, own counts, own backoff walk) reproduces
+    * every row bit-for-bit. Hash collisions can inflate a count (even make
+    * a ratio exceed 1): deterministic on both engines, vanishing as
+    * `buckets` grows — the standard hashed-LM trade.
+    *
+    * Returns `(doc_id, n_tokens, npt_e6, bucket)` like [[ccnetScore]];
+    * zero-token docs absent.
+    *
+    * Scale shape: ONE aggregate over the reference slice's per-position
+    * gram stream (map-side combined to ≤ 3·buckets groups), then one
+    * scoring pass that is entirely ROW-LOCAL — the per-token backoff walk
+    * runs inside a codegen'd `aggregate` lambda against 4 broadcast
+    * literal arrays, so scoring adds ZERO shuffles: the only exchange in
+    * the whole query is the fit's bucket-keyed combine.
+    */
+  def ngramScore(docs: DataFrame, refLang: String = "en", buckets: Int = 1024,
+                 headE6: Long = 760000L, tailE6: Long = 830000L): DataFrame = {
+    require(buckets > 0, s"ngramScore: buckets must be positive, got $buckets")
+    require(headE6 <= tailE6,
+      s"ngramScore: head threshold must be <= tail threshold, got $headE6 > $tailE6")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def h(c: Column): Column = Hashing.hash60(c) % buckets
+    // per-position view: token + its (up to) two predecessors
+    val posCol = transform(col("ws"), (w, i) => struct(
+      i.as("i"), w.as("w"),
+      when(i >= 1, element_at(col("ws"), i)).as("p1"),
+      when(i >= 2, element_at(col("ws"), i - 1)).as("p2")))
+    val withPos = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("ws"))
+      .withColumn("pos", posCol)
+      .localCheckpoint(true) // the fit and the scoring pass both read it
+
+    // FIT: one pass over the reference slice emitting (order, bucket) per
+    // position — ≤ 3·buckets groups by contract
+    val cnt = Array.fill(4)(Array.fill[Long](buckets)(0L))
+    withPos.filter(col("lang") === refLang)
+      .select(explode(col("pos")).as("p"))
+      .select(explode(array(
+        struct(lit(1).as("ord"), h(col("p.w")).as("b")),
+        struct(lit(2).as("ord"),
+          when(col("p.i") >= 1, h(concat_ws(" ", col("p.p1"), col("p.w")))).as("b")),
+        struct(lit(3).as("ord"),
+          when(col("p.i") >= 2, h(concat_ws(" ", col("p.p2"), col("p.p1"), col("p.w")))).as("b"))))
+        .as("g"))
+      .filter(col("g.b").isNotNull)
+      .groupBy(col("g.ord").as("ord"), col("g.b").as("b")).agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach(r => cnt(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val tot1 = cnt(1).sum
+    require(tot1 > 0, s"ngramScore: no tokens in reference slice lang=$refLang")
+
+    // driver-quantized model tables (−1 marks an unseen bucket: true log
+    // counts are ≥ 0, so the sentinel doubles as the seen-guard)
+    def lcArr(cs: Array[Long]): Seq[Long] =
+      cs.map(c => if (c > 0) math.rint(1e6 * math.log(c.toDouble)).toLong else -1L).toSeq
+    val lc1 = typedLit(lcArr(cnt(1)))
+    val lc2 = typedLit(lcArr(cnt(2)))
+    val lc3 = typedLit(lcArr(cnt(3)))
+    val nlp1 = typedLit(cnt(1).map(c =>
+      math.rint(-1e6 * math.log((c + 1.0) / (tot1 + buckets))).toLong).toSeq)
+    val B = StupidBackoffE6
+    def at(arr: Column, b: Column): Column = element_at(arr, (b + 1).cast("int"))
+    def tokNll(p: Column): Column = {
+      val i = p.getField("i")
+      val w = p.getField("w")
+      val p1 = p.getField("p1")
+      val p2 = p.getField("p2")
+      val lc3b = at(lc3, h(concat_ws(" ", p2, p1, w)))
+      val lc2bc = at(lc2, h(concat_ws(" ", p2, p1)))
+      val lc2b = at(lc2, h(concat_ws(" ", p1, w)))
+      val lc1bc = at(lc1, h(p1))
+      val nlp1b = at(nlp1, h(w))
+      val triOk = (i >= 2) && (lc3b >= 0) && (lc2bc >= 0)
+      val biOk = (i >= 1) && (lc2b >= 0) && (lc1bc >= 0)
+      when(triOk, lc2bc - lc3b)
+        .when(biOk, when(i >= 2, lit(B)).otherwise(lit(0L)) + lc1bc - lc2b)
+        .otherwise(
+          when(i >= 2, lit(2 * B)).when(i === 1, lit(B)).otherwise(lit(0L)) + nlp1b)
+    }
+    withPos
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        aggregate(col("pos"), lit(0L), (acc, p) => acc + tokNll(p)).as("nll_e6"))
+      .select(col("doc_id"), col("n_tokens"), expr("nll_e6 div n_tokens").as("npt_e6"))
+      .withColumn("bucket",
+        when(col("npt_e6") < headE6, "head")
+          .when(col("npt_e6") < tailE6, "middle")
+          .otherwise("tail"))
       .orderBy("doc_id")
   }
 

@@ -441,6 +441,57 @@ object SequentialCorpus {
     }.sortBy(_._1)
   }
 
+  /** Order-3 stupid-backoff mirror of `Perplexity.ngramScore` — own
+    * tokenizer, own md5 hash, own per-order count maps, own backoff walk
+    * (plain recursion over if/else, not a restatement of the engine's
+    * column expressions). `docs` rows are `(doc_id, text, lang)`; returns
+    * `(doc_id, n_tokens, npt_e6, bucket)` sorted, zero-token docs absent.
+    */
+  def ngramScores(docs: Seq[(Long, String, String)], refLang: String = "en",
+                  buckets: Int = 1024, headE6: Long = 760000L,
+                  tailE6: Long = 830000L): Seq[(Long, Long, Long, String)] = {
+    def h(s: String): Int = (hash60(s) % buckets).toInt
+    val c1 = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val c2 = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val c3 = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val perDoc = docs.map { case (id, text, lang) =>
+      val ws = tokenize(text)
+      if (lang == refLang) ws.indices.foreach { i =>
+        c1(h(ws(i))) += 1
+        if (i >= 1) c2(h(ws(i - 1) + " " + ws(i))) += 1
+        if (i >= 2) c3(h(ws(i - 2) + " " + ws(i - 1) + " " + ws(i))) += 1
+      }
+      (id, ws)
+    }
+    val tot1 = c1.values.sum
+    require(tot1 > 0, s"ngram mirror: no tokens in reference slice lang=$refLang")
+    val B = graft.llm.Perplexity.StupidBackoffE6
+    def lc(c: Long): Long = math.rint(1e6 * math.log(c.toDouble)).toLong
+    def nlp1(b: Int): Long = math.rint(-1e6 * math.log((c1(b) + 1.0) / (tot1 + buckets))).toLong
+    perDoc.collect { case (id, ws) if ws.nonEmpty =>
+      val nll = ws.indices.foldLeft(0L) { (acc, i) =>
+        val w = ws(i)
+        def uni = nlp1(h(w))
+        def biStep: Long = { // S(w|w-1) with the floor one level down
+          val cb = c2(h(ws(i - 1) + " " + w))
+          val cc = c1(h(ws(i - 1)))
+          if (cb > 0 && cc > 0) lc(cc) - lc(cb) else B + uni
+        }
+        val tok =
+          if (i >= 2) {
+            val ct = c3(h(ws(i - 2) + " " + ws(i - 1) + " " + w))
+            val cc = c2(h(ws(i - 2) + " " + ws(i - 1)))
+            if (ct > 0 && cc > 0) lc(cc) - lc(ct) else B + biStep
+          } else if (i == 1) biStep
+          else uni
+        acc + tok
+      }
+      val npt = nll / ws.size
+      val bucket = if (npt < headE6) "head" else if (npt < tailE6) "middle" else "tail"
+      (id, ws.size.toLong, npt, bucket)
+    }.sortBy(_._1)
+  }
+
   /** LM language-ID mirror of `Perplexity.lmLangId` — own tokenizer, own
     * md5 hash, own per-language count maps, the contract's smoothed
     * micro-quantized NLLs, arg-min with lexicographic tie-break and

@@ -78,6 +78,49 @@ class PerplexitySpec extends SparkSpec {
       graft.llm.Perplexity.lmLangId(docs(rows), Seq("en", "de")))
   }
 
+  private def runNgram(rows: Seq[(Long, String, String)]): Seq[(Long, Long, Long, String)] =
+    Perplexity.ngramScore(docs(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+  test("ngramScore matches the independent sequential backoff mirror row-for-row") {
+    val rows = (1L to 60L).map { i =>
+      val lang = Seq("en", "en", "en", "de", "fr")((i % 5).toInt)
+      val words = (0 until (4 + (i % 6).toInt)).map(j => s"tok${(i * 13 + j * 5) % 9}")
+      (i, words.mkString(" "), lang)
+    } :+ (61L, "", "en") // zero-token doc must be absent on both sides
+    assert(runNgram(rows) === SequentialCorpus.ngramScores(rows))
+    assert(!runNgram(rows).exists(_._1 == 61L))
+  }
+
+  test("ngramScore: seen trigrams beat backed-off and unseen text; order-3 beats unigram on word order") {
+    // reference corpus = repeated phrase; doc 10 repeats it in ORDER, doc
+    // 11 uses the same unigrams SHUFFLED (a unigram model cannot tell them
+    // apart — the trigram level must), doc 12 is fully unseen
+    val phrase = "the cat sat on the mat"
+    val ref = (1L to 8L).map(i => (i, phrase, "en"))
+    val rows = ref ++ Seq(
+      (10L, phrase, "xx"),
+      (11L, "mat the on sat cat the", "xx"),
+      (12L, "qq rr ss tt uu vv", "xx"))
+    val byId = runNgram(rows).map(r => r._1 -> r._3).toMap
+    assert(byId(10L) < byId(11L),
+      s"in-order text must beat shuffled same-unigram text: ${byId(10L)} vs ${byId(11L)}")
+    assert(byId(11L) < byId(12L),
+      s"seen-unigram text must beat fully unseen text: ${byId(11L)} vs ${byId(12L)}")
+    // the unigram model is blind to the reorder — same tokens, same npt
+    val uni = run(rows).map(r => r._1 -> r._3).toMap
+    assert(uni(10L) === uni(11L), "unigram control: shuffle must NOT change t38's score")
+  }
+
+  test("ngramScore guards: empty reference slice and inverted thresholds are loud") {
+    intercept[IllegalArgumentException](
+      Perplexity.ngramScore(docs(Seq((1L, "a b", "de"))), refLang = "en").collect())
+    intercept[IllegalArgumentException](
+      Perplexity.ngramScore(docs(Seq((1L, "a b", "en"))), headE6 = 10L, tailE6 = 5L))
+    intercept[IllegalArgumentException](
+      Perplexity.ngramScore(docs(Seq((1L, "a b", "en"))), buckets = 0))
+  }
+
   test("guards: empty reference slice and inverted thresholds are loud") {
     intercept[IllegalArgumentException](
       Perplexity.ccnetScore(docs(Seq((1L, "a b", "de"))), refLang = "en").collect())
