@@ -75,7 +75,10 @@ object GraftSession {
             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)](
           "graph_bfs" -> graft.plans.GraphTvfs.bfs,
           "graph_degrees" -> graft.plans.GraphTvfs.degrees,
-          "graph_pagerank" -> graft.plans.GraphTvfs.pagerank
+          "graph_pagerank" -> graft.plans.GraphTvfs.pagerank,
+          "graph_cc" -> graft.plans.GraphTvfs.cc,
+          "graph_shortest_path" -> graft.plans.GraphTvfs.shortestPath,
+          "graph_motif" -> graft.plans.GraphTvfs.motif
         ).foreach { case (name, builder) =>
           ext.injectTableFunction((
             FunctionIdentifier(name),

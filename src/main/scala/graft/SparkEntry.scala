@@ -46,6 +46,19 @@ object SparkEntry {
       start = 0L, maxDepth = 12)
 
   /** The g1/g2 BFS plan, shared so the two queries stay one definition. */
+  /** Catalog root holding the `sqlg` graph the SQL-TVF gates (q33, q39,
+    * q40, q41) query through `spark.sql` — idempotent per process. */
+  private def sqlTvfGraph(s: SparkSession, dir: String): String = {
+    val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-sqltvf-${ProcessHandle.current().pid()}"))
+    java.nio.file.Files.createDirectories(root)
+    val cat = new GraphCatalog(s, root.resolve("graphs").toString)
+    val e = DerivedGraphs.small(s, dir)
+    if (cat.exists("sqlg")) cat.modifyGraph("sqlg", e) else cat.addGraph("sqlg", e)
+    root.resolve("graphs").toString
+  }
+
   private def bigBfs(s: SparkSession, dir: String): DataFrame =
     Traversals.bfs(DerivedGraphs.big(s, dir), start = 0L, maxDepth = 12)
 
@@ -952,16 +965,37 @@ object SparkEntry {
       // GraphTvfs), the returned plan composes like any relation (the
       // outer query filters + re-orders it). Oracle = g16's recursive-CTE
       // walk over the unfiltered derivation.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-sqltvf-${ProcessHandle.current().pid()}"))
-      java.nio.file.Files.createDirectories(root)
-      val cat = new GraphCatalog(s, root.resolve("graphs").toString)
-      val e = DerivedGraphs.small(s, dir)
-      if (cat.exists("sqlg")) cat.modifyGraph("sqlg", e) else cat.addGraph("sqlg", e)
+      val root = sqlTvfGraph(s, dir)
       s.sql(
-        s"""SELECT vertex, level FROM graph_bfs('${root.resolve("graphs")}', 'sqlg', 0, 12)
+        s"""SELECT vertex, level FROM graph_bfs('$root', 'sqlg', 0, 12)
            |WHERE level >= 0 ORDER BY level, vertex""".stripMargin)
+    }),
+    "q39_sql_cc" -> ((s, dir) => {
+      // SQL TVF surface widened to connected components (round-11 verdict
+      // gap #5: SQL-only users could not reach CC): same catalog-stored
+      // graph, same analysis-time-execution contract as q33; oracle =
+      // g3's recursive reachability-closure mirror.
+      val root = sqlTvfGraph(s, dir)
+      s.sql(s"SELECT vertex, component FROM graph_cc('$root', 'sqlg') ORDER BY vertex")
+    }),
+    "q40_sql_path" -> ((s, dir) => {
+      // SQL TVF for shortest-path RECONSTRUCTION: the canonical
+      // min-predecessor hop sequence (g38's contract) selected and
+      // re-ordered through spark.sql; oracle = g38's recursive-CTE mirror.
+      val root = sqlTvfGraph(s, dir)
+      s.sql(
+        s"""SELECT pos, vertex FROM graph_shortest_path('$root', 'sqlg', 0, 12)
+           |ORDER BY pos""".stripMargin)
+    }),
+    "q41_sql_motif" -> ((s, dir) => {
+      // SQL TVF for motif search: g31's directed-triangle pattern run
+      // entirely through spark.sql, with the rotation-canonicalization
+      // predicate applied as an OUTER SQL filter that Catalyst pushes
+      // into the TVF's join chain; oracle = the same mirrored chain.
+      val root = sqlTvfGraph(s, dir)
+      s.sql(
+        s"""SELECT a, b, c FROM graph_motif('$root', 'sqlg', '(a)-(b); (b)-(c); (c)-(a)')
+           |WHERE a < b AND a < c ORDER BY a, b, c""".stripMargin)
     }),
     "q27_bloom_join" -> ((s, dir) => {
       // runtime bloom-filter join pruning: build a bloom filter over the
@@ -4081,6 +4115,21 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, walk.level + 1 FROM walk JOIN e ON e.src = walk.vertex WHERE walk.level < 12)
          |SELECT vertex, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY vertex ORDER BY level, vertex""".stripMargin,
+    "q39_sql_cc" -> // the TVF runs the same GraphX CC; oracle = g3's
+      // recursive reachability-closure mirror over the same derivation
+      s"""WITH RECURSIVE e AS (${DerivedGraphs.smallSql}),
+         |ue AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |v AS (SELECT a AS vertex FROM ue UNION SELECT b AS vertex FROM ue),
+         |r(vertex, reach) AS (
+         |  SELECT vertex, vertex FROM v
+         |  UNION
+         |  SELECT r.vertex, ue.b FROM r JOIN ue ON ue.a = r.reach)
+         |SELECT vertex, MIN(reach) AS component FROM r GROUP BY vertex ORDER BY vertex""".stripMargin,
+    "q40_sql_path" -> // same canonical walk as g38's mirror
+      Traversals.shortestPathToSql(DerivedGraphs.smallSql, start = 0L, maxDepth = 12),
+    "q41_sql_motif" -> // same mirrored join chain as g31, canonicalized
+      Motifs.findSql(DerivedGraphs.smallSql, "(a)-(b); (b)-(c); (c)-(a)",
+        extraWhere = "a < b AND a < c", orderBy = "a, b, c"),
     "q33_sql_bfs" -> // the TVF runs the same BFS the Scala API runs; oracle
       // = the recursive-CTE walk over the same (unfiltered) derivation
       s"""WITH RECURSIVE e AS (SELECT src, dst FROM (${DerivedGraphs.smallSql}) t),

@@ -80,4 +80,39 @@ object GraphTvfs {
         numIter = longArg(args, 2, "graph_pagerank").toInt)
       .queryExecution.analyzed
   }
+
+  /** `graph_cc(root, graph)` → `(vertex, component)` —
+    * [[Analytics.connectedComponents]]' min-id labeling over the catalog
+    * graph treated as undirected (the GraphX contract). */
+  def cc(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, "graph_cc(root, graph) takes 2 arguments")
+    val cat = new GraphCatalog(SparkSession.active, stringArg(args, 0, "graph_cc"))
+    Analytics.connectedComponents(cat.graph(stringArg(args, 1, "graph_cc")))
+      .orderBy("vertex").queryExecution.analyzed
+  }
+
+  /** `graph_shortest_path(root, graph, start, max_depth)` → `(pos, vertex)`
+    * — [[Traversals.shortestPathTo]]'s canonical min-predecessor hop
+    * sequence from `start` to the highest-id reachable vertex. */
+  def shortestPath(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      "graph_shortest_path(root, graph, start, max_depth) takes 4 arguments")
+    val cat = new GraphCatalog(SparkSession.active, stringArg(args, 0, "graph_shortest_path"))
+    Traversals.shortestPathTo(cat.graph(stringArg(args, 1, "graph_shortest_path")),
+        start = longArg(args, 2, "graph_shortest_path"),
+        maxDepth = longArg(args, 3, "graph_shortest_path").toInt)
+      .queryExecution.analyzed
+  }
+
+  /** `graph_motif(root, graph, pattern)` → one column per pattern variable
+    * — [[graft.graph.Motifs.find]]'s GraphFrames-`find`-shaped matcher
+    * (equi-join per edge term, negated and variable-length terms included)
+    * reachable from pure SQL. */
+  def motif(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3, "graph_motif(root, graph, pattern) takes 3 arguments")
+    val cat = new GraphCatalog(SparkSession.active, stringArg(args, 0, "graph_motif"))
+    graft.graph.Motifs.find(cat.graph(stringArg(args, 1, "graph_motif")),
+        stringArg(args, 2, "graph_motif"))
+      .queryExecution.analyzed
+  }
 }

@@ -43,6 +43,36 @@ class GraphTvfSpec extends SparkSpec {
     assert(viaSql.collect().toSeq === viaApi.collect().toSeq)
   }
 
+  test("graph_cc TVF equals the Scala API (disconnected component labeled apart)") {
+    val viaSql = spark.sql(s"SELECT * FROM graph_cc('$root', 't') ORDER BY vertex")
+    val viaApi = Analytics.connectedComponents(new GraphCatalog(spark, root).graph("t"))
+      .orderBy("vertex")
+    assert(viaSql.collect().toSeq === viaApi.collect().toSeq)
+    // 5-6 is its own component
+    val comps = viaSql.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(5L) === 5L && comps(6L) === 5L && comps(3L) === 0L)
+  }
+
+  test("graph_shortest_path TVF equals the Scala API hop sequence") {
+    val viaSql = spark.sql(
+      s"SELECT pos, vertex FROM graph_shortest_path('$root', 't', 0, 10) ORDER BY pos")
+    val viaApi = Traversals.shortestPathTo(new GraphCatalog(spark, root).graph("t"),
+      start = 0L, maxDepth = 10).orderBy("pos")
+    assert(viaSql.collect().toSeq === viaApi.collect().toSeq)
+    // target = highest-id reachable from 0 = 4... (4 > 3); path 0 -> 4
+    assert(viaSql.collect().map(_.getLong(1)).toSeq === Seq(0L, 4L))
+  }
+
+  test("graph_motif TVF equals the Scala API and takes outer predicates") {
+    val viaSql = spark.sql(
+      s"""SELECT a, b FROM graph_motif('$root', 't', '(a)-(b)') WHERE a >= 1 ORDER BY a, b""")
+    val viaApi = graft.graph.Motifs.find(new GraphCatalog(spark, root).graph("t"), "(a)-(b)")
+      .filter("a >= 1").orderBy("a", "b")
+    assert(viaSql.collect().toSeq === viaApi.collect().toSeq)
+    assert(viaSql.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+  }
+
   test("TVF argument validation: wrong arity and unknown graph fail loudly") {
     val e1 = intercept[Exception](spark.sql(s"SELECT * FROM graph_bfs('$root', 't')").collect())
     assert(e1.getMessage.contains("4 arguments"))
