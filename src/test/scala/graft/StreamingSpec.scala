@@ -561,4 +561,44 @@ class StreamingSpec extends SparkSpec {
     assert(acc(1L) === Set((3L, "c", "insert")))
     assert(acc(2L) === Set((9L, "z", "insert"), (1L, "a", "delete"), (3L, "c", "delete")))
   }
+
+  test("streaming IVF maintenance: one lists version per discovered commit, head equals one-shot append") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(71)
+    val dim = 16
+    val vecs = (0L until 60L).map(i => (i, Seq.fill(dim)(rng.nextGaussian().toFloat)))
+    def emb(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ivf")
+    val tp = root.resolve("emb").toString
+    val t = new graft.operators.CommitTable(s, tp, "vec_id")
+    t.overwrite(emb(vecs.filter(_._1 < 36)))
+    t.append(emb(vecs.filter(v => v._1 >= 36 && v._1 % 2 == 0)))
+    t.append(emb(vecs.filter(v => v._1 >= 36 && v._1 % 2 == 1)))
+    val idx = root.resolve("idx").toString
+    graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+      val batch = cdf.filter(org.apache.spark.sql.functions.col("change_type") === "insert")
+        .drop("change_type")
+      if (v == 0L) graft.llm.Similarity.buildIvfIndex(batch, idx, nlist = 8, dim = dim)
+      else graft.llm.Similarity.appendIvfIndex(batch, idx)
+    })
+    // one atomic lists version per discovered commit: build + 2 appends
+    val lists = new graft.operators.CommitTable(s, s"$idx/lists", "cid")
+    assert(lists.versions() === Seq(0L, 1L, 2L))
+    assert(lists.asOf(0L).count() === 36L)
+    assert(lists.asOf(1L).count() === 48L)
+    assert(lists.read().count() === 60L)
+    // head content equals the one-shot add-after-train index (s14's shape)
+    val oneShotRoot = java.nio.file.Files.createTempDirectory("graft-stream-ivf-ref")
+      .resolve("idx").toString
+    graft.llm.Similarity.buildIvfIndex(emb(vecs.filter(_._1 < 36)), oneShotRoot,
+      nlist = 8, dim = dim)
+    graft.llm.Similarity.appendIvfIndex(emb(vecs.filter(_._1 >= 36)), oneShotRoot)
+    def content(p: String) = new graft.operators.CommitTable(s, s"$p/lists", "cid")
+      .read().select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(content(idx) === content(oneShotRoot))
+    // and the indexed query runs end-to-end over the streamed head
+    val q = graft.llm.Similarity.ivfTopKIndexed(s, idx, numQueries = 8, k = 3, nprobe = 3)
+    assert(q.count() > 0)
+  }
 }
