@@ -942,11 +942,19 @@ object Dedup {
     val dupH = win.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h")
     val dupOcc = win.join(dupH, Seq("h"), "left_semi")
-    // canonical occurrence per hash = smallest (doc_id, s); the rest are cut
-    val cut = dupOcc.withColumn("rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("h").orderBy("doc_id", "s")))
-      .filter(col("rn") > 1)
+    // canonical occurrence per hash = smallest (doc_id, s); the rest are
+    // cut. Deliberately NOT a per-h rank window (the round-11 documented
+    // skew residual): a corpus-wide hot window — one phrase duplicated
+    // millions of times — would concentrate its whole occurrence list in
+    // ONE partition for the window sort. A min-of-struct aggregate is
+    // map-side combined (each partition ships one candidate per h, however
+    // hot), and the cut test becomes an h-keyed equi-join that AQE's
+    // skew-join splitting handles; same rows survive by construction
+    // (non-min ≡ rn > 1).
+    val canon = dupOcc.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("s"))).as("c"))
+    val cut = dupOcc.join(canon, "h")
+      .filter(col("doc_id") =!= col("c.doc_id") || col("s") =!= col("c.s"))
     val removed = cut
       .select(col("doc_id"), explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
       .distinct()

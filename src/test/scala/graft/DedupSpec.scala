@@ -225,4 +225,29 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
     assert(got === ((17L, 8L, "x1 x2 x3 x4 x5 x6 x7 x8 z")))
   }
+
+  test("spanScrub: planted corpus-wide hot window — one survivor, no rank-window skew path") {
+    // the round-11 documented residual: ONE phrase duplicated across the
+    // whole corpus. The canonical pick must be a map-side-combined
+    // min-aggregate (each partition ships one candidate per h), never a
+    // per-h rank window that would sort the hot h's entire occurrence
+    // list in one partition.
+    val hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val docs = docsDF((1L to 80L).map(i => i -> s"$hot u${i}a u${i}b u${i}c"))
+    val scrub = Dedup.spanScrub(docs, k = 8)
+    val got = scrub.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 keeps the canonical copy; every other doc loses exactly the 8
+    // hot positions and keeps its unique filler
+    assert(got(1L) === ((11L, 0L, s"$hot u1a u1b u1c")))
+    (2L to 80L).foreach { i =>
+      assert(got(i) === ((11L, 8L, s"u${i}a u${i}b u${i}c")), s"doc $i")
+    }
+    // plan audit: no Window operator anywhere in the scrub plan — the
+    // canonical pick is aggregate+join, which partial-aggregates under
+    // skew and lets AQE split the join
+    val plan = scrub.queryExecution.executedPlan.toString
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window ["),
+      "spanScrub must not rank-window the hot hash:\n" + plan)
+  }
 }
