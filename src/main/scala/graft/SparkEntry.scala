@@ -2602,6 +2602,27 @@ object SparkEntry {
       // keeps its text, every other occurrence's positions are cut, docs
       // reassembled from surviving tokens in order
       Dedup.spanScrub(Tables.documents(s, dir))),
+    "d19_dedup_index" -> ((s, dir) => {
+      // PERSISTED dedup index (r12 — the s19 discipline applied to d3's
+      // MinHash machinery): the historical corpus's band signatures +
+      // hashed shingle universe live as commit-log tables; a daily shard
+      // probes its bands against the committed bucket relation (never
+      // shard x shard), verifies survivors by exact Jaccard with the
+      // old side semi-pruned to colliding docs, and the historical text
+      // is never re-tokenized. Built half/half via build+append (bands
+      // are per-document, so append == full rebuild); the probe side is
+      // the odd doc_ids.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-dedupidx-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val docs = Tables.documents(s, dir)
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 4 === 0), idx)
+      Dedup.appendDedupIndex(docs.filter(col("doc_id") % 4 === 2), idx)
+      Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 =!= 0), idx)
+    }),
     "d16_neardup_keepers" -> ((s, dir) => // the ingestion-order near-dup
       // KEEPER rule: keep a doc iff it claims >= 1 of its 32 MinHash band
       // signatures (claim = per-band min doc_id) — the streaming-feasible
@@ -4298,6 +4319,10 @@ object SparkEntry {
     "d16_neardup_keepers" -> Dedup.nearDupKeepersSql(),
     "d17_span_dedup" -> Dedup.spanDedupSql(),
     "d18_span_scrub" -> Dedup.spanScrubSql(),
+    "d19_dedup_index" -> // the full mirrored pipeline (seeded params,
+      // banding, exact verify) with the candidate join restricted to
+      // (historical evens) x (probed odds) — d3's no-assumed-recall rule
+      Dedup.dedupAgainstIndexSql(oldFilter = "% 2 = 0", newFilter = "% 2 = 1"),
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
     "d10_edit_distance" -> Dedup.lshEditDistancesSql(),
     "d11_containment" -> Dedup.containmentPairsSql(),

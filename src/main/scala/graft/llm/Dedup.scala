@@ -154,6 +154,136 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Builds a PERSISTED MinHash dedup index under `indexRoot` — the
+    * "dedup today's shard against the historical corpus" production shape
+    * (the s12/s19 commit-log-index discipline applied to d3's machinery):
+    * two tables, `bands/` (doc_id, band, h0, h1 — the LSH bucket relation,
+    * clustered by h0 so a probe's bucket join prunes files) and
+    * `shingles/` (doc_id, 60-bit hashed distinct shingles — the verify
+    * universe, doc-clustered). Returns the committed bands version.
+    *
+    * Scale shape: one corpus scan for signatures (numHashes flat
+    * min-aggregates, map-side combined), one shuffle per table write;
+    * nothing corpus-sized on the driver. The historical corpus is
+    * re-tokenized NEVER again — a daily probe touches only its own shard
+    * plus the banded bucket relation.
+    */
+  def buildDedupIndex(docs: DataFrame, indexRoot: String,
+                      numHashes: Int = 64, rowsPerBand: Int = 2): Long = {
+    val spark = docs.sparkSession
+    val (sh, bands) = minHashBands(docs, numHashes, rowsPerBand)
+    val hsh = sh.select(col("doc_id"), Hashing.hash60(col("shingle")).as("shingle"))
+      .distinct()
+    new graft.operators.CommitTable(spark, s"$indexRoot/shingles", "doc_id")
+      .overwrite(hsh.repartition(col("doc_id")))
+    new graft.operators.CommitTable(spark, s"$indexRoot/bands", "h0")
+      .overwrite(bands.repartition(col("h0")))
+  }
+
+  /** Incrementally admits an accepted shard into the persisted dedup
+    * index: one atomic append per table, no pass over the existing corpus
+    * (caller contract: doc_ids disjoint from every earlier commit —
+    * the appendIvfIndex discipline). MinHash signatures are per-document,
+    * so an appended index EQUALS a full rebuild over the union. */
+  def appendDedupIndex(docsNew: DataFrame, indexRoot: String,
+                       numHashes: Int = 64, rowsPerBand: Int = 2): Long = {
+    val spark = docsNew.sparkSession
+    val (sh, bands) = minHashBands(docsNew, numHashes, rowsPerBand)
+    val hsh = sh.select(col("doc_id"), Hashing.hash60(col("shingle")).as("shingle"))
+      .distinct()
+    new graft.operators.CommitTable(spark, s"$indexRoot/shingles", "doc_id")
+      .append(hsh.repartition(col("doc_id")))
+    new graft.operators.CommitTable(spark, s"$indexRoot/bands", "h0")
+      .append(bands.repartition(col("h0")))
+  }
+
+  /** Probes a NEW shard against the persisted dedup index: the shard's
+    * band signatures equi-join the committed bucket relation (never
+    * shard×shard, never corpus×corpus), and the survivors are verified by
+    * exact Jaccard — new-side sets from the shard's own shingles,
+    * old-side sets from the committed shingle table SEMI-JOIN-PRUNED to
+    * candidate doc_ids before the (doc-sized) set aggregation, so the
+    * historical corpus contributes only the docs that actually collided.
+    * Returns `(doc_new, doc_old, inter, union_sz, jaccard_1000)` — the
+    * incoming documents that near-duplicate historical content, ordered.
+    * Oracle: [[dedupAgainstIndexSql]] mirrors the ENTIRE pipeline (d3's
+    * discipline: seeded params, banding, verify — not assumed-perfect
+    * recall).
+    */
+  def dedupAgainstIndex(docsNew: DataFrame, indexRoot: String,
+                        thresholdMille: Int = 500, numHashes: Int = 64,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val spark = docsNew.sparkSession
+    val (shNew, bandsNew) = minHashBands(docsNew, numHashes, rowsPerBand)
+    val idxBands = new graft.operators.CommitTable(spark, s"$indexRoot/bands", "h0").read()
+    val candidates = bandsNew.as("x")
+      .join(idxBands.as("y"),
+        col("x.band") === col("y.band") && col("x.h0") === col("y.h0") &&
+          col("x.h1") === col("y.h1"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
+      .distinct()
+      .localCheckpoint(true) // read three times: two sig joins + the semi-prune
+    val t = thresholdMille.toLong
+    val sigsNew = shNew
+      .select(col("doc_id"), Hashing.hash60(col("shingle")).as("shingle"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("shingle"))).as("sig"))
+    val idxShingles = new graft.operators.CommitTable(spark, s"$indexRoot/shingles", "doc_id")
+      .read()
+    val sigsOld = idxShingles
+      .join(candidates.select(col("doc_old").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("shingle"))).as("sig"))
+    candidates
+      .join(sigsNew.select(col("doc_id").as("doc_new"), col("sig").as("siga")), "doc_new")
+      .join(sigsOld.select(col("doc_id").as("doc_old"), col("sig").as("sigb")), "doc_old")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(col("siga"), col("sigb")))
+      .select(col("doc_new"), col("doc_old"), col("inter"),
+        (size(col("siga")) + size(col("sigb")) - col("inter")).cast("long").as("union_sz"))
+      .filter(col("inter") * 1000L >= lit(t) * col("union_sz"))
+      .withColumn("jaccard_1000", expr("inter * 1000 div union_sz"))
+      .orderBy("doc_new", "doc_old")
+  }
+
+  /** DuckDB mirror of [[dedupAgainstIndex]] over a side-split corpus:
+    * signatures/bands for every doc from the same seeded pipeline as
+    * [[minHashLshPairsSql]], the candidate join restricted to
+    * (old side) × (new side), same exact-Jaccard verify. */
+  def dedupAgainstIndexSql(oldFilter: String, newFilter: String,
+                           thresholdMille: Int = 500, numHashes: Int = 64,
+                           rowsPerBand: Int = 2): String = {
+    require(rowsPerBand == 2, "banding below assumes r=2, like the operator")
+    val P = Hashing.MinHashP
+    val params = Hashing.minHashParams(numHashes)
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $P) AS m$i"
+    }.mkString(",\n|               ")
+    val bandStructs = (0 until numHashes / rowsPerBand).map(j =>
+      s"{'band': $j, 'h0': m${2 * j}, 'h1': m${2 * j + 1}}").mkString(", ")
+    s"""WITH ${TextOps.shinglesSql()},
+       |hx AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % $P AS x FROM sh),
+       |sigs AS (SELECT doc_id,
+       |               $minCols
+       |        FROM hx GROUP BY doc_id),
+       |bands AS (SELECT doc_id, u['band'] AS band, u['h0'] AS h0, u['h1'] AS h1
+       |          FROM sigs, UNNEST([$bandStructs]) AS t(u)),
+       |cand AS (SELECT DISTINCT y.doc_id AS doc_new, x.doc_id AS doc_old
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.h0 = y.h0 AND x.h1 = y.h1
+       |         WHERE (x.doc_id $oldFilter) AND (y.doc_id $newFilter)),
+       |hsh AS (SELECT DISTINCT doc_id, ${Hashing.hash60Sql("shingle")} AS shingle FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hsh GROUP BY 1),
+       |inter AS (SELECT c.doc_new, c.doc_old, COUNT(*) AS inter
+       |          FROM cand c
+       |          JOIN hsh a ON a.doc_id = c.doc_new
+       |          JOIN hsh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+       |          GROUP BY 1, 2)
+       |SELECT doc_new, doc_old, inter, sa.sz + sb.sz - inter AS union_sz,
+       |       inter * 1000 // (sa.sz + sb.sz - inter) AS jaccard_1000
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_new JOIN sizes sb ON sb.doc_id = doc_old
+       |WHERE inter * 1000 >= $thresholdMille * (sa.sz + sb.sz - inter)
+       |ORDER BY doc_new, doc_old""".stripMargin
+  }
+
   /** Exact near-dup pairs by 3-gram-shingle Jaccard ≥ threshold (in
     * thousandths, so the cut is integer-exact in both engines):
     * `(doc_a, doc_b, inter, union_sz, jaccard_1000)`.

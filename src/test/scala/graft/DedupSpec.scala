@@ -1,6 +1,7 @@
 package graft
 
 import graft.llm.Dedup
+import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkSpec {
 
@@ -224,6 +225,40 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.spanScrub(docs, k = 8).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
     assert(got === ((17L, 8L, "x1 x2 x3 x4 x5 x6 x7 x8 z")))
+  }
+
+  test("persisted dedup index: probe equals the cross-side slice of the batch operator; append == rebuild") {
+    // synthetic corpus with planted cross-side near-dups: evens are the
+    // historical corpus, odds the incoming shard; odd 2k+1 near-duplicates
+    // even 2k for k % 3 == 0
+    val docs = (0L until 40L).map { i =>
+      val base = (0 until 12).map(j => s"w${(i / 2 * 7 + j) % 50}").mkString(" ")
+      if (i % 2 == 1 && (i / 2) % 3 == 0) (i, base) // near-dup of i-1 (same text)
+      else (i, base + s" u$i a$i b$i")
+    }
+    val d = docsDF(docs)
+    val root = java.nio.file.Files.createTempDirectory("graft-dedupidx-spec").toString
+    val v0 = Dedup.buildDedupIndex(d.filter(col("doc_id") % 4 === 0), root)
+    assert(v0 === 0L)
+    Dedup.appendDedupIndex(d.filter(col("doc_id") % 4 === 2), root)
+    val probe = Dedup.dedupAgainstIndex(d.filter(col("doc_id") % 2 =!= 0), root)
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    // reference: the batch pair operator over the union, restricted to
+    // cross-side pairs (the even side listed as doc_old)
+    val all = Dedup.minHashLshPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .collect {
+        case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (b, a, j)
+        case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (a, b, j)
+      }.sortBy(p => (p._1, p._2)).toSeq
+    assert(got === all)
+    assert(got.nonEmpty, "planted cross-side near-dups must surface")
+    // the committed index is the probe's historical input: every file the
+    // probe reads beyond the shard itself lives under the index root
+    val files = probe.inputFiles
+    assert(files.nonEmpty && files.forall(f => f.contains("bands") || f.contains("shingles")),
+      s"probe must read committed index tables only, saw ${files.mkString(", ")}")
   }
 
   test("spanScrub: planted corpus-wide hot window — one survivor, no rank-window skew path") {
