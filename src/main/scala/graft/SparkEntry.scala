@@ -2419,6 +2419,32 @@ object SparkEntry {
       })
       Similarity.ivfTopKIndexed(s, idx)
     }),
+    "st19_stream_bm25" -> ((s, dir) => {
+      // streamed SPARSE-index maintenance (st18's loop on the BM25
+      // index): documents land in a commit-log table over three
+      // versions; the change stream builds the postings index from the
+      // v0 snapshot and appends each later insert feed — and because
+      // BM25 has no trained component, the streamed head EQUALS a full
+      // rebuild, so the query shares t37's inline oracle exactly.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sbm25-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("docs").toString
+      val t = new graft.operators.CommitTable(s, tp, "doc_id")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      t.overwrite(docs.filter(col("doc_id") % 3 === 0))
+      t.append(docs.filter(col("doc_id") % 3 === 1))
+      t.append(docs.filter(col("doc_id") % 3 === 2))
+      val idx = root.resolve("idx").toString
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
+        if (v == 0L) graft.llm.Retrieval.buildBm25Index(batch, idx)
+        else graft.llm.Retrieval.appendBm25Index(batch, idx)
+      })
+      graft.llm.Retrieval.bm25TopKIndexed(s, idx, Bm25QueryTerms, k = 15)
+    }),
     "st16_stream_log_source" -> ((s, dir) => {
       // streaming SOURCE over the commit log (st15's read half, Delta's
       // streaming-source shape): three committed versions, then a REAL
@@ -2849,6 +2875,23 @@ object SparkEntry {
       Similarity.buildPqIndex(emb.filter(col("vec_id") < 250), idx)
       Similarity.appendPqIndex(emb.filter(col("vec_id") >= 250), idx)
       Similarity.pqTopKIndexed(emb, idx)
+    }),
+    "s22_ivfpq_append" -> ((s, dir) => {
+      // IVFPQ add-after-train: BOTH committed codebooks (coarse + sub-
+      // quantizer) stay fixed; the appended shard is coarse-assigned and
+      // PQ-encoded in one pass, landing as ONE atomic lists commit. The
+      // mirror restricts both codebooks' training view to the vec_id<250
+      // prefix while codes/assignment cover the corpus.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-ivfpqapp-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 250), idx)
+      Similarity.appendIvfPqIndex(emb.filter(col("vec_id") >= 250), idx)
+      Similarity.ivfPqTopKIndexed(emb, idx)
     }),
     "s19_bm25_indexed" -> ((s, dir) => {
       // persisted SPARSE-retrieval index (round-11 verdict gap #1 — the
@@ -4362,6 +4405,9 @@ object SparkEntry {
       // assignment + per-subspace codes + integer ADC inside the probed
       // lists + exact re-rank, mirrored end-to-end
       Similarity.ivfPqTopKSql(),
+    "s22_ivfpq_append" -> // both codebooks trained on the prefix, codes +
+      // assignment over the full corpus — the composed add-after-train
+      Similarity.ivfPqTopKSql(trainFilter = "vec_id < 250"),
     "s21_pq_append" -> // build on the vec_id<250 prefix, append the rest:
       // the prefix holds the ksub lowest vec_ids, so the committed
       // sub-codebooks EQUAL a full-corpus build's and the appended index
@@ -4870,7 +4916,8 @@ object SparkEntry {
              |GROUP BY d.source ORDER BY d.source""".stripMargin)
     }
     val bm25Oracle: Map[String, String] =
-      if (!(want("t37_bm25") || want("p8_hybrid_rrf") || want("s19_bm25_indexed"))) Map.empty else {
+      if (!(want("t37_bm25") || want("p8_hybrid_rrf") || want("s19_bm25_indexed")
+          || want("st19_stream_bm25"))) Map.empty else {
         val texts = graft.Tables.documents(spark, sfDir)
           .select(col("text")).collect().map(_.getString(0)).toSeq
         val idf = SequentialCorpus.bm25Idf(texts, Bm25QueryTerms)
@@ -4879,6 +4926,8 @@ object SparkEntry {
           // the committed index is bit-identical to the inline operator
           // (no trained component; shared scoring tail) — same oracle
           "s19_bm25_indexed" -> graft.llm.Retrieval.bm25TopKSql(idf, k = 15),
+          // streamed maintenance head == full rebuild (same property)
+          "st19_stream_bm25" -> graft.llm.Retrieval.bm25TopKSql(idf, k = 15),
           "p8_hybrid_rrf" ->
             // the same two ranked lists (BM25 mirror + dense cosine
             // mirror) fused with the identical integer RRF arithmetic

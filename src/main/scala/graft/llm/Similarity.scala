@@ -840,26 +840,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Incrementally extends a persisted IVF×PQ index with NEW vectors —
+    * the composed index's add-after-train refresh: BOTH committed
+    * codebooks stay FIXED, the new shard is coarse-assigned and
+    * PQ-encoded in one pass, and the new (vec_id, cid, codes) rows land
+    * as ONE atomic append on the lists table. No retraining, no pass
+    * over the existing corpus; callers own drift policy as with
+    * [[appendIvfIndex]].
+    */
+  def appendIvfPqIndex(embNew: DataFrame, indexRoot: String, dim: Int = 64): Long = {
+    val spark = embNew.sparkSession
+    val centroids = readIvfCodebook(spark, indexRoot)
+    val cb = readPqCodebook(spark, s"$indexRoot/pqcodebook")
+    require(dim % cb.length == 0, s"dim $dim must split into m=${cb.length} equal subspaces")
+    val v = ivfVectors(embNew)
+    val assigned = v.select(col("vec_id") +: col("e") +: ivfCentroidScores(centroids): _*)
+      .withColumn("cid", ivfArgmaxCid(centroids.length))
+    val lists = pqEncode(assigned, cb, dim / cb.length, carry = Seq("cid"))
+      .repartition(col("cid"))
+    new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").append(lists)
+  }
+
   /** DuckDB mirror of the full IVF×PQ pipeline — [[ivfTopKSql]]'s k-means
     * training/assignment/probe-selection composed with [[pqTopKSql]]'s
     * codes/LUT/integer-ADC, then the shared exact re-rank: same seeds,
     * same quantized centroid refinement, same argmin encodings, same
-    * integer ADC sums and tie-breaks.
+    * integer ADC sums and tie-breaks. `trainFilter` restricts BOTH
+    * codebooks' training view (seeds + refinement means) to a prefix —
+    * the add-after-train mirror, like [[ivfTopKSql]]'s.
     */
   def ivfPqTopKSql(numQueries: Int = 20, k: Int = 5,
                    nlist: Int = 16, nprobe: Int = 4,
                    m: Int = 8, ksub: Int = 16, candFactor: Int = 3,
-                   dim: Int = 64): String = {
+                   dim: Int = 64, trainFilter: String = "TRUE"): String = {
     val dsub = dim / m
     def sub(e: String) = s"list_slice($e, j.j * $dsub + 1, j.j * $dsub + $dsub)"
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
        |                 sqrt(list_dot_product(e, e)) AS cn
-       |          FROM (SELECT * FROM v ORDER BY vec_id LIMIT $nlist)),
+       |          FROM (SELECT * FROM v WHERE $trainFilter ORDER BY vec_id LIMIT $nlist)),
        |scores0 AS (SELECT n.vec_id, n.e, n.nrm, cent0.cid,
        |                   list_dot_product(n.e, cent0.ce) / (n.nrm * cent0.cn) AS s
-       |            FROM n CROSS JOIN cent0),
+       |            FROM n CROSS JOIN cent0 WHERE $trainFilter),
        |assign0 AS (SELECT vec_id, e, cid FROM (
        |              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
        |              FROM scores0) WHERE rn = 1),
@@ -881,7 +904,7 @@ object Similarity {
        |             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
        |             FROM scores WHERE vec_id < $numQueries) WHERE rn <= $nprobe),
        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e
-       |          FROM v ORDER BY vec_id LIMIT $ksub),
+       |          FROM (SELECT * FROM v WHERE $trainFilter ORDER BY vec_id LIMIT $ksub)),
        |codes AS (
        |  SELECT vec_id, j, c AS code FROM (
        |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn

@@ -340,6 +340,32 @@ class SimilaritySpec extends SparkSpec {
       "ivfPqTopKIndexed must not checkpoint the raw vector table:\n" + planStr)
   }
 
+  test("appendIvfPqIndex: fixed codebooks, one atomic lists commit, content equals a prefix-trained build") {
+    val rng = new scala.util.Random(67)
+    val dim = 16
+    val all = (0L until 60L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val (train, extra) = all.splitAt(36)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpqapp-spec").toString
+    Similarity.buildIvfPqIndex(embDF(train), root, nlist = 8, iters = 1, m = 4, ksub = 8, dim = dim)
+    val v1 = Similarity.appendIvfPqIndex(embDF(extra), root, dim = dim)
+    assert(v1 === 1L) // ONE atomic append commit
+    val lists = new graft.operators.CommitTable(spark, s"$root/lists", "cid").read()
+    assert(lists.count() === 60L)
+    assert(lists.columns.toSeq === Seq("vec_id", "cid", "codes"))
+    // the appended rows carry codes/assignments from the COMMITTED
+    // codebooks: re-deriving them fresh against the same codebooks in a
+    // second append to a cloned index yields identical rows
+    val root2 = java.nio.file.Files.createTempDirectory("graft-ivfpqapp2-spec").toString
+    Similarity.buildIvfPqIndex(embDF(train), root2, nlist = 8, iters = 1, m = 4, ksub = 8, dim = dim)
+    Similarity.appendIvfPqIndex(embDF(extra), root2, dim = dim)
+    def content(p: String) = new graft.operators.CommitTable(spark, s"$p/lists", "cid")
+      .read().collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+    assert(content(root) === content(root2))
+    // indexed query runs end-to-end over the appended index
+    assert(Similarity.ivfPqTopKIndexed(embDF(all), root,
+      numQueries = 10, k = 3, nprobe = 3, dim = dim).count() > 0)
+  }
+
   test("appendPqIndex: fixed-codebook encode lands as one atomic commit; round trip matches inline") {
     val rng = new scala.util.Random(53)
     val dim = 16

@@ -601,4 +601,36 @@ class StreamingSpec extends SparkSpec {
     val q = graft.llm.Similarity.ivfTopKIndexed(s, idx, numQueries = 8, k = 3, nprobe = 3)
     assert(q.count() > 0)
   }
+
+  test("streaming BM25 maintenance: per-commit postings versions, head equals inline over the union") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 45L).map { i =>
+      val words = (0 until (4 + (i % 6).toInt)).map(j => s"w${(i * 11 + j * 3) % 13}")
+      (i, (if (i % 5 == 0) "rare " else "") + words.mkString(" "))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-bm25")
+    val tp = root.resolve("docs").toString
+    val t = new graft.operators.CommitTable(s, tp, "doc_id")
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    t.overwrite(df(docs.filter(_._1 % 3 == 0)))
+    t.append(df(docs.filter(_._1 % 3 == 1)))
+    t.append(df(docs.filter(_._1 % 3 == 2)))
+    val idx = root.resolve("idx").toString
+    graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+      val batch = cdf.filter(org.apache.spark.sql.functions.col("change_type") === "insert")
+        .drop("change_type")
+      if (v == 0L) graft.llm.Retrieval.buildBm25Index(batch, idx)
+      else graft.llm.Retrieval.appendBm25Index(batch, idx)
+    })
+    val postings = new graft.operators.CommitTable(s, s"$idx/postings", "th")
+    assert(postings.versions() === Seq(0L, 1L, 2L))
+    val q = Seq("rare", "w0", "w5")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // no trained component: the streamed head EQUALS the inline operator
+    // over the full union, bit-for-bit
+    assert(rows(graft.llm.Retrieval.bm25TopKIndexed(s, idx, q, k = 45)) ===
+      rows(graft.llm.Retrieval.bm25TopK(df(docs), q, k = 45)))
+  }
 }
