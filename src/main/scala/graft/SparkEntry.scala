@@ -2267,6 +2267,16 @@ object SparkEntry {
           sum("n_new").over(w).as("cum_users"))
         .orderBy("day")
     }),
+    "e34_event_pattern" -> ((s, dir) => // CEP pattern counts (the
+      // MATCH_RECOGNIZE / Flink-CEP shape): greedy non-overlapping
+      // view->click->purchase subsequence occurrences per user over the
+      // time-ordered stream — one key-aggregate, then a codegen'd
+      // automaton fold, row-local; oracle = independent sequential
+      // automaton VALUES (not SQL-window-expressible: consumed-event
+      // state is a fold)
+      graft.operators.Sessionization.eventPatternCounts(
+        EventStreams.normalized(Tables.events(s, dir))
+          .select("user_id", "ts_us", "event_id", "event_type"))),
     "e9_sessionized" -> ((s, dir) => {
       // row-level sessionization (gaps-and-islands): every event stamped
       // with its per-user session number — the enrichment form feature
@@ -4974,6 +4984,19 @@ object SparkEntry {
         // the ORDER-3 mirror: same output contract, independent backoff walk
         "t41_ngram_ppl" -> pplValues(ng))
     }
+    val cepOracle: Map[String, String] = if (!want("e34_event_pattern")) Map.empty else {
+      val evs = EventStreams.normalized(graft.Tables.events(spark, sfDir))
+        .select(col("user_id").cast("long"), col("ts_us").cast("long"),
+          col("event_id").cast("long"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      val rows = graft.operators.SequentialEvents.patternCounts(
+        evs, Seq("view", "click", "purchase"))
+      Map("e34_event_pattern" ->
+        s"""SELECT CAST(u AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n_events,
+           |CAST(m AS BIGINT) AS n_matches
+           |FROM (VALUES ${rows.map { case (u, n, m) => s"($u, $n, $m)" }.mkString(", ")}) AS t(u, n, m)
+           |ORDER BY user_id""".stripMargin)
+    }
     val ssspOracle: Map[String, String] = if (!want("g45_sssp_fixpoint")) Map.empty else {
       val d = SequentialModel
         .dijkstra(DerivedGraphs.longHaulSeq(spark, sfDir), start = 0L).toSeq.sorted
@@ -4983,7 +5006,7 @@ object SparkEntry {
            |ORDER BY vertex""".stripMargin)
     }
     (graphOracles ++ vecOracles ++ bpeOracles ++ dsirOracle ++ logRegOracle ++ ssspOracle ++
-      bm25Oracle ++ ccnetOracle ++ Map(
+      cepOracle ++ bm25Oracle ++ ccnetOracle ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line

@@ -119,6 +119,54 @@ object Sessionization {
     * timestamp comparison in a mixed-unit gap would be wrong. Same
     * enforcement as `TemporalJoins.requireIntegralTime`.
     */
+  /** Complex-event-processing pattern counts — the MATCH_RECOGNIZE /
+    * Flink-CEP shape relational engines bolt on for "A followed by B
+    * followed by C" questions: per key, count the GREEDY NON-OVERLAPPING
+    * occurrences of `pattern` as a SUBSEQUENCE of the key's time-ordered
+    * event-type stream (skip-till-next-match: unrelated events between
+    * stages are ignored; each event is consumed by at most one
+    * occurrence; after a completion the automaton resets). Greedy
+    * left-to-right is the canonical deterministic choice — it maximizes
+    * the disjoint-occurrence count for subsequence patterns.
+    *
+    * Input `events` needs `(user_id, ts_us, event_id, event_type)`;
+    * returns `(user_id, n_events, n_matches)` for every key, ordered.
+    *
+    * Scale shape: ONE key-aggregate collecting each key's (ts, id, type)
+    * stream, then the automaton runs as a codegen'd `aggregate` lambda
+    * over the array-sorted stream — row-local, no second shuffle, no
+    * driver involvement. Per-key state is the key's own event list (the
+    * e26/EWMA residual shape — the honest cost of an order-dependent
+    * fold; shard by (key, epoch) past ~10⁴ events/key). Not
+    * SQL-window-expressible (the consumed-event constraint is a fold),
+    * so the oracle is an independent sequential automaton's VALUES —
+    * the g45/t38 discipline.
+    */
+  def eventPatternCounts(events: DataFrame,
+                         pattern: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(pattern.nonEmpty, "eventPatternCounts: pattern must be non-empty")
+    val n = pattern.length
+    val pat = typedLit(pattern)
+    val acc0 = struct(lit(0).as("stage"), lit(0L).as("cnt"))
+    events
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts_us"), col("event_id"), col("event_type"))).as("evs"))
+      .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+        aggregate(
+          transform(array_sort(col("evs")), e => e.getField("event_type")),
+          acc0,
+          (acc, t) => {
+            val stage = acc.getField("stage")
+            val cnt = acc.getField("cnt")
+            val hit = t === element_at(pat, stage + 1)
+            val nextStage = when(hit && stage === n - 1, 0)
+              .when(hit, stage + 1).otherwise(stage)
+            val nextCnt = when(hit && stage === n - 1, cnt + 1L).otherwise(cnt)
+            struct(nextStage.as("stage"), nextCnt.as("cnt"))
+          }).getField("cnt").as("n_matches"))
+      .orderBy("user_id")
+  }
+
   private def requireIntegralTime(df: DataFrame, c: String, what: String): Unit = {
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {

@@ -150,6 +150,43 @@ class SessionizationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("eventPatternCounts: greedy non-overlap automaton — resets, skips, and mirror equality") {
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(Long, Long, Long, String)]) =
+      rows.toDF("user_id", "ts_us", "event_id", "event_type")
+    def run(rows: Seq[(Long, Long, Long, String)]) =
+      Sessionization.eventPatternCounts(df(rows), Seq("a", "b", "c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user 1: a b c a b c -> 2 matches; user 2: a a b b c -> 1 (greedy
+    // consumes the FIRST a, extra symbols skipped); user 3: c b a -> 0
+    // (order matters); user 4: a b -> 0 (incomplete)
+    val rows = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "a"), (1L, 5L, 5L, "b"), (1L, 6L, 6L, "c"),
+      (2L, 1L, 7L, "a"), (2L, 2L, 8L, "a"), (2L, 3L, 9L, "b"),
+      (2L, 4L, 10L, "b"), (2L, 5L, 11L, "c"),
+      (3L, 1L, 12L, "c"), (3L, 2L, 13L, "b"), (3L, 3L, 14L, "a"),
+      (4L, 1L, 15L, "a"), (4L, 2L, 16L, "b"))
+    assert(run(rows) === Seq((1L, 6L, 2L), (2L, 5L, 1L), (3L, 3L, 0L), (4L, 2L, 0L)))
+    // NON-overlap: a b a c b c = 1 by greedy consumption (second 'a'
+    // advances nothing while stage awaits 'c'... it is skipped), then the
+    // trailing 'b c' has no 'a' left — asserts consumed-event semantics
+    val tricky = Seq(
+      (9L, 1L, 20L, "a"), (9L, 2L, 21L, "b"), (9L, 3L, 22L, "a"),
+      (9L, 4L, 23L, "c"), (9L, 5L, 24L, "b"), (9L, 6L, 25L, "c"))
+    assert(run(tricky) === Seq((9L, 6L, 1L)))
+    // out-of-order input: ordering is by (ts_us, event_id), not input order
+    val shuffled = rows.reverse
+    assert(run(shuffled) === run(rows))
+    // the independent sequential mirror agrees on a pseudo-random stream
+    val rng = new scala.util.Random(5)
+    val rand = (0 until 400).map(i =>
+      ((i % 7).toLong, rng.nextInt(50).toLong, i.toLong, Seq("a", "b", "c", "x")(rng.nextInt(4))))
+    assert(run(rand) ===
+      graft.operators.SequentialEvents.patternCounts(rand, Seq("a", "b", "c")))
+  }
+
   test("contract violations are rejected up front") {
     val df = evDF(Seq((1L, 0L, 1L)))
     intercept[IllegalArgumentException](
