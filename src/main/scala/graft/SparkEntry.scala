@@ -2961,6 +2961,13 @@ object SparkEntry {
       // path) vs the exact distinct count it estimates — the incremental
       // COUNT(DISTINCT) surface exact aggregation can't maintain at 100 TB
       Sketches.kmvDistinctShingles(Tables.documents(s, dir))),
+    "t42_kmv_setops" -> ((s, dir) => // KMV sketch SET OPERATIONS (theta
+      // algebra): per-source k-minima over the hashed shingle universe,
+      // then pairwise union/intersection/Jaccard estimates from the
+      // SKETCHES alone — the mergeable answer to "how much do two crawl
+      // sources overlap" whose per-source state is k longs; the pair
+      // join runs over the sources-sized sketch table, never the corpus
+      Sketches.kmvSetOps(Tables.documents(s, dir))),
     "t17_dup_coverage" -> ((s, dir) => // corpus-level contamination: share
       // of each doc's shingles appearing ANYWHERE else — the stitched-
       // from-fragments signal pairwise dedup never surfaces
@@ -4467,6 +4474,9 @@ object SparkEntry {
     "t13_repetition" -> TextOps.repetitionStatsSql,
     "t27_token_entropy" -> TextOps.tokenEntropySql,
     "t14_kmv_distinct" -> Sketches.kmvDistinctShinglesSql(),
+    "t42_kmv_setops" -> // the identical union/intersect sketch algebra in
+      // HUGEINT over ranked-window per-source sketches
+      Sketches.kmvSetOpsSql(),
     "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
     "t20_countmin_hh" -> Sketches.countMinHeavyHittersSql(),
     "t21_bigram_logprob" -> TextOps.bigramLogProbSql,

@@ -168,6 +168,95 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("token"))
   }
 
+  /** KMV sketch SET OPERATIONS (Beyer et al. 2007; the DataSketches theta
+    * algebra): per-source k-minimum-values sketches over the hashed
+    * shingle universe, then every source PAIR gets |A∪B| and |A∩B|
+    * estimates — from the sketches alone, never from the raw sets. This
+    * is the mergeable-summary answer to "how much do two crawl sources
+    * overlap?" at 100 TB: the per-source state is k longs, the pair
+    * algebra is array arithmetic on those sketches, and yesterday's
+    * sketches merge with today's by re-minning.
+    *
+    * Estimators (all integer/decimal-exact, so the mirror matches
+    * bit-for-bit): the union sketch is the k smallest of the two minima
+    * sets (≡ the k smallest of A∪B's hashes — each side's sketch
+    * contains every value that could qualify); with `keff = min(k, m)`
+    * and `kth` the keff-th union minimum,
+    * `union_est = (k−1)·2⁶⁰ div kth` (or exact when the union fills
+    * under k), `inter_num = |K ∩ A ∩ B|` over the union's kept set K,
+    * `jaccard_e6 = inter_num·1e6 div keff`, and
+    * `inter_est = inter_num·union_est div keff`.
+    *
+    * Returns `(src_a, src_b, m_union, union_est, inter_num, inter_est,
+    * jaccard_e6)` for every `src_a < src_b`, ordered. The pair join is a
+    * source-count-sized nested loop over the SKETCH table (never the
+    * corpus) — the one place a non-equi join is the right plan, because
+    * the relation is |sources| rows by contract.
+    */
+  def kmvSetOps(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k > 1, s"KMV needs k > 1 (the estimator uses k-1), got $k")
+    val kmv = udaf(new Aggregators.MinKLongs(k))
+    val pow60 = "CAST(1152921504606846976 AS DECIMAL(38,0))" // 2^60
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sk = docs
+      .repartition(par)
+      .select(col("source"), explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("shingle"))
+      .select(col("source"), Hashing.hash60(col("shingle")).as("h"))
+      .distinct()
+      .groupBy("source").agg(kmv(col("h")).as("mins"))
+      .localCheckpoint(true) // both sides of the sources-sized pair join
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.mins").as("ma"), col("b.mins").as("mb"))
+      .withColumn("u", slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+      .withColumn("keff", size(col("u")).cast("long"))
+      .withColumn("kth", element_at(col("u"), size(col("u"))))
+      .withColumn("union_est",
+        when(col("keff") < k, col("keff")).otherwise(
+          expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * $pow60 div kth").cast("long")))
+      .withColumn("inter_num",
+        size(array_intersect(col("u"), array_intersect(col("ma"), col("mb")))).cast("long"))
+      .select(col("src_a"), col("src_b"), col("keff").as("m_union"), col("union_est"),
+        col("inter_num"),
+        expr("inter_num * union_est div keff").as("inter_est"),
+        expr("inter_num * 1000000 div keff").as("jaccard_e6"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** DuckDB mirror of [[kmvSetOps]]: per-source ranked-window sketches,
+    * the identical union/intersect/estimate algebra in HUGEINT.
+    */
+  def kmvSetOpsSql(k: Int = 64): String =
+    s"""WITH t AS (SELECT source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+       |           FROM documents),
+       |sh AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM t, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+       |h AS (SELECT DISTINCT source, ${Hashing.hash60Sql("shingle")} AS h FROM sh),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+       |ksel AS (SELECT source, h FROM r WHERE rn <= $k),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |          FROM (SELECT DISTINCT source FROM ksel) a
+       |          JOIN (SELECT DISTINCT source FROM ksel) b ON a.source < b.source),
+       |uni AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |        FROM (SELECT DISTINCT p.sa, p.sb, x.h
+       |              FROM pairs p JOIN ksel x ON x.source = p.sa OR x.source = p.sb)),
+       |agg AS (SELECT sa, sb,
+       |               MAX(CASE WHEN rn <= $k THEN rn END)::BIGINT AS keff,
+       |               MAX(CASE WHEN rn <= $k THEN h END) AS kth,
+       |               SUM(CASE WHEN rn <= $k
+       |                         AND EXISTS (SELECT 1 FROM ksel a WHERE a.source = uni.sa AND a.h = uni.h)
+       |                         AND EXISTS (SELECT 1 FROM ksel b WHERE b.source = uni.sb AND b.h = uni.h)
+       |                        THEN 1 ELSE 0 END)::BIGINT AS inter_num
+       |        FROM uni GROUP BY sa, sb),
+       |est AS (SELECT sa, sb, keff, kth, inter_num,
+       |               (CASE WHEN keff < $k THEN keff
+       |                     ELSE ((${k - 1}::HUGEINT * 1152921504606846976::HUGEINT) // kth) END)::BIGINT AS union_est
+       |        FROM agg)
+       |SELECT sa AS src_a, sb AS src_b, keff AS m_union, union_est, inter_num,
+       |       ((inter_num::HUGEINT * union_est::HUGEINT) // keff)::BIGINT AS inter_est,
+       |       ((inter_num::HUGEINT * 1000000::HUGEINT) // keff)::BIGINT AS jaccard_e6
+       |FROM est ORDER BY src_a, src_b""".stripMargin
+
   /** DuckDB mirror of [[kmvDistinctShingles]]: min-k per group via a ranked
     * window (the oracle may afford the full distinct set; the Spark side is
     * the O(k)-state path being checked).

@@ -88,6 +88,43 @@ class SketchesSpec extends SparkSpec {
       s"est=$estBg exact=$exactBg outside 4·RSE")
   }
 
+  test("kmvSetOps: under-full pairs exact; overlapping sources estimate within KMV error") {
+    val s = spark
+    import s.implicits._
+    // sources A and B share half their docs' text; C is disjoint.
+    val shared = (0 until 30).map(i => (0 until 10).map(j => s"s${(i * 13 + j) % 211} c$i d$j").mkString(" "))
+    val aOnly = (0 until 30).map(i => (0 until 10).map(j => s"a${(i * 17 + j) % 211} e$i f$j").mkString(" "))
+    val bOnly = (0 until 30).map(i => (0 until 10).map(j => s"b${(i * 19 + j) % 211} g$i h$j").mkString(" "))
+    val docs = (shared.zipWithIndex.map { case (t, i) => (i.toLong, t, "A") } ++
+      shared.zipWithIndex.map { case (t, i) => (100L + i, t, "B") } ++
+      aOnly.zipWithIndex.map { case (t, i) => (200L + i, t, "A") } ++
+      bOnly.zipWithIndex.map { case (t, i) => (300L + i, t, "B") } ++
+      Seq((400L, "zeta eta theta iota kappa lambda", "C"),
+        (401L, "mu nu xi omicron pi rho sigma", "D")))
+      .toDF("doc_id", "text", "source")
+    val k = 64
+    val got = Sketches.kmvSetOps(docs, k).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // exact sets for reference
+    def shingleSet(src: String) = docs.filter(col("source") === src)
+      .select(explode(graft.llm.TextOps.shingles3(graft.llm.TextOps.tokens(col("text")))))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (sa, sb) = (shingleSet("A"), shingleSet("B"))
+    val rse = 1.0 / math.sqrt(k - 2)
+    val (_, unionEst, interNum, interEst, _) = got(("A", "B"))
+    assert(interNum > 0L, "overlapping sources must intersect in the sketch")
+    assert(math.abs(unionEst.toDouble / (sa ++ sb).size - 1.0) < 4 * rse)
+    assert(math.abs(interEst.toDouble / (sa & sb).size - 1.0) < 6 * rse,
+      s"interEst=$interEst exact=${(sa & sb).size}")
+    // disjoint big pair: no sketch intersection
+    val (_, _, inAC, ieAC, jAC) = got(("A", "C"))
+    assert(inAC === 0L && ieAC === 0L && jAC === 0L)
+    // C and D are both tiny and disjoint: the pair is under-full -> exact
+    val (mCD, uCD, inCD, _, _) = got(("C", "D"))
+    assert(mCD < k && uCD === (shingleSet("C") ++ shingleSet("D")).size.toLong && inCD === 0L)
+  }
+
   test("countMinHeavyHitters matches a sequential grid replay; est dominates exact") {
     val s = spark
     import s.implicits._
