@@ -183,6 +183,14 @@ object SparkEntry {
       // walk corpus, never the edge table
       Traversals.deepWalkPairs(DerivedGraphs.big(s, dir), numSteps = 4,
         startMod = 100L, window = 2)),
+    "g62_node2vec_walks" -> ((s, dir) => // SECOND-order biased walks
+      // (Grover-Leskovec p/q): next hop weighted by the predecessor
+      // (return / distance-1 / distance-2 classes), picked by
+      // deterministic cumulative-interval weighted sampling the mirror
+      // replays bit-for-bit; frontier x degree expansion per step is the
+      // honest node2vec cost (alias-table shape, derandomized)
+      Traversals.node2vecWalks(DerivedGraphs.big(s, dir), numSteps = 4,
+        startMod = 100L)),
     "g32_betweenness" -> ((s, dir) => // seed-sampled Brandes betweenness
       // (the most-requested centrality after degree/PageRank): forward
       // per-level BFS frontiers carrying exact BIGINT path counts, then
@@ -3372,6 +3380,8 @@ object SparkEntry {
     "g59_deepwalk_pairs" ->
       Traversals.deepWalkPairsSql(DerivedGraphs.bigSql, numSteps = 4,
         startMod = 100L, window = 2),
+    "g62_node2vec_walks" ->
+      Traversals.node2vecWalksSql(DerivedGraphs.bigSql, numSteps = 4, startMod = 100L),
     "g22_bipartite" -> Analytics.bipartiteCheckSql(DerivedGraphs.smallSql),
     "g31_motif" -> Motifs.findSql(DerivedGraphs.smallSql, "(a)-(b); (b)-(c); (c)-(a)",
       extraWhere = "a < b AND a < c", orderBy = "a, b, c"),

@@ -364,6 +364,131 @@ object Traversals {
     } finally ranked.unpersist(blocking = false)
   }
 
+  /** node2vec SECOND-ORDER biased walks (Grover & Leskovec 2016) — the
+    * upgrade over [[randomWalks]]' first-order uniform steps: the next
+    * hop is weighted by where the walk CAME from. From `v` with
+    * predecessor `u`, neighbor `x` carries integer milli-weight
+    *
+    *   `1000000 div pE3`  if x = u            (the return parameter p),
+    *   `1000`             if edge (u, x) exists (distance-1 "BFS-ish"),
+    *   `1000000 div qE3`  otherwise            (distance-2 "DFS-ish", q);
+    *
+    * the pick is DETERMINISTIC weighted sampling: neighbors ranked by dst
+    * carry cumulative weights, and the seeded 60-bit hash of
+    * `(start, step, vertex, prev)` mod the total selects the unique
+    * neighbor whose cumulative interval contains it — exactly the
+    * alias-table draw, derandomized so the DuckDB mirror replays it
+    * bit-for-bit. The first hop (no predecessor) is uniform, salted
+    * differently from g21's walks. Walks follow OUT-edges and stop at
+    * sinks (documented divergence from the paper's undirected setting).
+    *
+    * Returns `(start, step, vertex)` for starts ≡ 0 mod `startMod`.
+    *
+    * Scale shape: per step, the frontier (one row per live walk) joins
+    * the out-adjacency — a frontier×degree expansion, the honest
+    * node2vec cost (production systems pay the same through alias
+    * tables) — then one per-walk window computes the cumulative pick;
+    * the edge relation partitions once and is reused by every step, and
+    * the "common neighbor" test is an equi-join against the same
+    * relation, never an all-pairs construct.
+    */
+  def node2vecWalks(edges: DataFrame, numSteps: Int = 4, startMod: Long = 20L,
+                    pE3: Long = 4000L, qE3: Long = 250L): DataFrame = {
+    require(numSteps >= 1, s"node2vecWalks needs numSteps >= 1, got $numSteps")
+    require(startMod >= 1, s"startMod must be positive, got $startMod")
+    require(pE3 >= 1 && pE3 <= 1000000L && qE3 >= 1 && qE3 <= 1000000L,
+      s"pE3/qE3 must be in [1, 1e6] so every weight stays >= 1, got $pE3/$qE3")
+    val wRet = 1000000L / pE3
+    val wFar = 1000000L / qE3
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val ranked = e.select(col("src"), col("dst"),
+        row_number().over(bySrc.orderBy("dst")).as("rn"),
+        count(lit(1)).over(bySrc).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w0 = ranked.select(col("src").as("start")).distinct()
+        .filter(col("start") % startMod === 0)
+        .select(col("start"), lit(0L).as("step"), col("start").as("vertex"),
+          lit(null).cast("long").as("prev"))
+        .localCheckpoint(true)
+      // first hop: uniform over out-neighbors (no predecessor to bias by)
+      val pick1 = graft.functions.Hashing.hash60(concat(
+        col("start").cast("string"), lit("_n2v1_"), col("vertex").cast("string")))
+      var cur = w0.join(ranked, w0("vertex") === ranked("src") &&
+          ranked("rn") === pick1 % ranked("deg") + 1)
+        .select(col("start"), lit(1L).as("step"), col("dst").as("vertex"),
+          w0("vertex").as("prev"))
+        .localCheckpoint(true)
+      val steps = scala.collection.mutable.ArrayBuffer(w0, cur)
+      val common = e.select(col("src").as("p_src"), col("dst").as("p_dst"))
+      for (t <- 2 to numSteps) {
+        val opts = cur.join(ranked, cur("vertex") === ranked("src"))
+          .join(common,
+            cur("prev") === col("p_src") && ranked("dst") === col("p_dst"), "left_outer")
+          .select(col("start"), cur("vertex").as("v"), col("prev"), col("dst"),
+            when(col("dst") === col("prev"), wRet)
+              .when(col("p_src").isNotNull, 1000L)
+              .otherwise(wFar).as("w"))
+        val byWalk = org.apache.spark.sql.expressions.Window.partitionBy("start")
+        val r = graft.functions.Hashing.hash60(concat(
+          col("start").cast("string"), lit(s"_n2v${t}_"),
+          col("v").cast("string"), lit("_"), col("prev").cast("string")))
+        cur = opts
+          .withColumn("cw", sum(col("w")).over(byWalk.orderBy("dst")))
+          .withColumn("tot", sum(col("w")).over(byWalk))
+          .withColumn("r", r % col("tot"))
+          .filter(col("r") >= col("cw") - col("w") && col("r") < col("cw"))
+          .select(col("start"), lit(t.toLong).as("step"), col("dst").as("vertex"),
+            col("v").as("prev"))
+          .localCheckpoint(true) // truncate the per-step lineage
+        steps += cur
+      }
+      steps.map(_.select("start", "step", "vertex")).reduce(_ union _)
+        .orderBy("start", "step")
+    } finally ranked.unpersist(blocking = false)
+  }
+
+  /** DuckDB mirror of [[node2vecWalks]]: the step loop unrolled as
+    * chained CTEs — identical ranked adjacency, uniform first hop,
+    * per-step bias weights, cumulative-interval pick, and md5 hash.
+    */
+  def node2vecWalksSql(edgeSql: String, numSteps: Int = 4, startMod: Long = 20L,
+                       pE3: Long = 4000L, qE3: Long = 250L): String = {
+    require(numSteps >= 1 && startMod >= 1)
+    require(pE3 >= 1 && pE3 <= 1000000L && qE3 >= 1 && qE3 <= 1000000L)
+    val wRet = 1000000L / pE3
+    val wFar = 1000000L / qE3
+    val b = new StringBuilder
+    b ++= s"WITH e AS (SELECT DISTINCT src, dst FROM ($edgeSql) t),\n"
+    b ++= "ranked AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,\n"
+    b ++= "                  COUNT(*) OVER (PARTITION BY src) AS deg FROM e),\n"
+    b ++= s"w0 AS (SELECT DISTINCT src AS start, CAST(0 AS BIGINT) AS step, src AS vertex,\n"
+    b ++= s"              CAST(NULL AS BIGINT) AS prev FROM e WHERE src % $startMod = 0)"
+    val h1 = graft.functions.Hashing.hash60Sql("w.start::VARCHAR || '_n2v1_' || w.vertex::VARCHAR")
+    b ++= s",\nw1 AS (SELECT w.start, CAST(1 AS BIGINT) AS step, r.dst AS vertex, w.vertex AS prev\n"
+    b ++= s"       FROM w0 w JOIN ranked r ON r.src = w.vertex AND r.rn = ($h1) % r.deg + 1)"
+    for (t <- 2 to numSteps) {
+      val h = graft.functions.Hashing.hash60Sql(
+        s"start::VARCHAR || '_n2v${t}_' || v::VARCHAR || '_' || prev::VARCHAR")
+      b ++= s""",
+         |opt$t AS (SELECT w.start, w.vertex AS v, w.prev, r.dst,
+         |            CASE WHEN r.dst = w.prev THEN $wRet
+         |                 WHEN EXISTS (SELECT 1 FROM e pe WHERE pe.src = w.prev AND pe.dst = r.dst) THEN 1000
+         |                 ELSE $wFar END AS w
+         |          FROM w${t - 1} w JOIN ranked r ON r.src = w.vertex),
+         |cum$t AS (SELECT *, SUM(w) OVER (PARTITION BY start ORDER BY dst) AS cw,
+         |                 SUM(w) OVER (PARTITION BY start) AS tot FROM opt$t),
+         |w$t AS (SELECT start, CAST($t AS BIGINT) AS step, dst AS vertex, v AS prev
+         |        FROM cum$t WHERE ($h) % tot >= cw - w AND ($h) % tot < cw)""".stripMargin
+    }
+    b ++= "\nSELECT start, step, vertex FROM ("
+    b ++= (0 to numSteps).map(t => s"SELECT start, step, vertex FROM w$t").mkString(" UNION ALL ")
+    b ++= ") u ORDER BY start, step"
+    b.toString
+  }
+
   /** DuckDB mirror of [[randomWalks]]: the step loop unrolled as chained
     * CTEs over the identical ranked adjacency and md5 hash.
     */

@@ -154,6 +154,79 @@ class TraversalsSpec extends SparkSpec {
     }
   }
 
+  /** Sequential replay of node2vecWalks' biased rule — own adjacency, own
+    * cumulative-interval arithmetic, same md5 hash contract. */
+  private def replayN2v(edges: Seq[(Long, Long)], numSteps: Int, startMod: Long,
+                        pE3: Long, qE3: Long): Set[(Long, Long, Long)] = {
+    val wRet = 1000000L / pE3
+    val wFar = 1000000L / qE3
+    val eSet = edges.toSet
+    val adj = SequentialOracles.adjacency(edges)
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (start <- adj.keySet.filter(_ % startMod == 0).toSeq.sorted) {
+      out += ((start, 0L, start))
+      adj.get(start).filter(_.nonEmpty).foreach { ns0 =>
+        var prev = start
+        var v = ns0((SequentialOracles.hash60(s"${start}_n2v1_$start") % ns0.size).toInt)
+        out += ((start, 1L, v))
+        var t = 2
+        var alive = true
+        while (t <= numSteps && alive) {
+          adj.get(v).filter(_.nonEmpty) match {
+            case Some(ns) =>
+              val opts = ns.sorted.map { x =>
+                val w = if (x == prev) wRet
+                        else if (eSet.contains((prev, x))) 1000L else wFar
+                (x, w)
+              }
+              val tot = opts.map(_._2).sum
+              val r = SequentialOracles.hash60(s"${start}_n2v${t}_${v}_$prev") % tot
+              var cum = 0L
+              var picked = -1L
+              opts.foreach { case (x, w) =>
+                if (picked < 0) { cum += w; if (r < cum) picked = x }
+              }
+              prev = v; v = picked
+              out += ((start, t.toLong, v))
+            case None => alive = false
+          }
+          t += 1
+        }
+      }
+    }
+    out.toSet
+  }
+
+  test("node2vecWalks replays the biased pick; p suppresses and amplifies returns") {
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (2L, 4L), (3L, 1L),
+      (4L, 0L), (4L, 5L), (6L, 5L), (2L, 6L), (1L, 0L), (2L, 0L), (5L, 4L))
+    def run(pE3: Long, qE3: Long) =
+      Traversals.node2vecWalks(edgesDF(g), numSteps = 5, startMod = 2L, pE3 = pE3, qE3 = qE3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // bit-equality with the independent sequential replay at two (p, q) settings
+    assert(run(4000L, 250L) === replayN2v(g, 5, 2L, 4000L, 250L))
+    assert(run(250L, 4000L) === replayN2v(g, 5, 2L, 250L, 4000L))
+    // every consecutive hop is a real edge
+    val adj = SequentialOracles.adjacency(g)
+    run(4000L, 250L).groupBy(_._1).foreach { case (_, rows) =>
+      rows.toSeq.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(adj(a).contains(b), s"$a -> $b is not an edge")
+        case _ => ()
+      }
+    }
+    // directional bias: immediate 2-step returns (v -> x -> v) should be
+    // no more frequent under high p (return-averse) than under low p
+    def returns(rows: Set[(Long, Long, Long)]): Int =
+      rows.groupBy(_._1).values.map { ws =>
+        val seq = ws.toSeq.sortBy(_._2).map(_._3)
+        seq.sliding(3).count { case Seq(a, _, c) => a == c; case _ => false }
+      }.sum
+    assert(returns(run(1000000L, 250L)) <= returns(run(1L, 250L)),
+      "return-averse p must not produce more immediate returns than return-seeking p")
+    intercept[IllegalArgumentException](
+      Traversals.node2vecWalks(edgesDF(g), pE3 = 0L))
+  }
+
   test("weightedSssp: the hop bound trades path length for cost") {
     val s = spark
     import s.implicits._
