@@ -170,6 +170,13 @@ object SparkEntry {
       // it's noise; same capped wedge machinery, full-degree denominator
       Analytics.neighborJaccard(DerivedGraphs.small(s, dir), minCommon = 2,
         capPercentile = Some(95))),
+    "g63_pagerank_converged" -> ((s, dir) => // delta-converged PageRank
+      // (the production stopping rule): per-round integer-nano
+      // contribution quantization + 1e-6 rank grid make the
+      // DATA-DEPENDENT stopping decision engine-exact — both engines
+      // stop on the same round by construction; oracle = an independent
+      // sequential power iteration applying the identical rule
+      Analytics.pageRankConverged(DerivedGraphs.small(s, dir))),
     "g21_random_walks" -> ((s, dir) => // node2vec/DeepWalk sampling
       // primitive: per-start deterministic walks whose next-hop is an
       // md5-derived function of (start, step, vertex) — reproducible
@@ -4669,7 +4676,8 @@ object SparkEntry {
         "g23_partitioned_dfs", "g27_ktruss", "g28_topo_layers", "g32_betweenness",
         "g36_modularity", "g41_louvain_sweep", "g42_spanning_forest",
         "g44_louvain_full", "g47_mis", "g48_coloring", "g49_densest",
-        "g50_matching", "g51_coreness", "g52_hyperball", "g57_distance_profile")
+        "g50_matching", "g51_coreness", "g52_hyperball", "g57_distance_profile",
+        "g63_pagerank_converged")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -4681,7 +4689,17 @@ object SparkEntry {
       val core = SequentialModel.kCore(edges, k = 3).toSeq.sorted
       val lpa = SequentialModel.labelPropagation(edges, numIter = 5).toSeq.sorted
       val preVals = pre.zipWithIndex.map { case (v, i) => s"($v, $i)" }.mkString(", ")
+      val prc = SequentialModel.pageRankConverged(edges, tolE6 = 100L, maxIter = 60)
       Map(
+        "g63_pagerank_converged" -> (
+          if (prc.isEmpty)
+            """SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS pr_e6,
+              |CAST(NULL AS BIGINT) AS n_iter WHERE 1 = 0""".stripMargin
+          else
+            s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(p AS BIGINT) AS pr_e6,
+               |CAST(i AS BIGINT) AS n_iter
+               |FROM (VALUES ${prc.map { case (v, p, i) => s"($v, $p, $i)" }.mkString(", ")}) AS t(v, p, i)
+               |ORDER BY vertex""".stripMargin),
         "g15_label_propagation" -> (
         if (lpa.isEmpty)
           "SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS label WHERE 1 = 0"

@@ -164,6 +164,68 @@ object Analytics {
     prLoop(edges, numIter, init = lit(1.0), base = lit(0.15), weightCol = Some(weightCol))
   }
 
+  /** DELTA-CONVERGED PageRank — the production stopping rule ([[pageRank]]
+    * runs a fixed iteration count; real deployments iterate until the
+    * ranks stop moving): power iteration with per-round convergence
+    * detection, stopping when `max_v |pr'(v) − pr(v)| · 1e6 ≤ tolE6` or at
+    * `maxIter`. Returns `(vertex, pr_e6, n_iter)` — rank in exact integer
+    * micro-units plus the (data-dependent) iteration count, which the
+    * oracle must therefore DERIVE, not assume: the mirror is an
+    * independent sequential power iteration applying the identical rule.
+    *
+    * Exactness contract (what makes a data-dependent STOPPING DECISION
+    * safe across engines): per-edge contributions quantize to integer
+    * nanos BEFORE the inbound sum (order-free exact longs — the s9/k-means
+    * discipline), each round's ranks re-quantize to the 1e-6 grid, and the
+    * delta test compares grid values in integer micro-units — so both
+    * engines iterate from EXACTLY equal state and stop on the same round
+    * by construction, never by last-ulp luck.
+    *
+    * Scale shape: identical to [[pageRank]]'s loop (edge relation
+    * partitioned once; per round one vertex-sized shuffle) plus ONE 1-row
+    * max-delta aggregate per round to the driver — the convergence check
+    * is a long per iteration, not data.
+    */
+  def pageRankConverged(edges: DataFrame, tolE6: Long = 100L, maxIter: Int = 60): DataFrame = {
+    require(tolE6 >= 1, s"pageRankConverged: tolE6 must be >= 1, got $tolE6")
+    require(maxIter >= 1, s"pageRankConverged: maxIter must be >= 1, got $maxIter")
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = vertices(e).localCheckpoint(true)
+      val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      val weighted = e.join(outdeg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        var ranks = v.withColumn("pr", lit(1.0)).localCheckpoint(true)
+        var iters = 0
+        var deltaE6 = Long.MaxValue
+        while (iters < maxIter && deltaE6 > tolE6) {
+          val inbound = weighted.join(ranks, weighted("src") === ranks("vertex"))
+            .groupBy(col("dst").as("vertex"))
+            .agg(sum(round(col("pr") * col("w") * lit(1e9)).cast("long")).as("m_nano"))
+          val next = v.join(inbound, Seq("vertex"), "left_outer")
+            .select(col("vertex"), graft.functions.Num.round6(
+              lit(0.15) + lit(0.85) * (coalesce(col("m_nano"), lit(0L)) / lit(1e9))).as("pr"))
+            .localCheckpoint(true)
+          deltaE6 = next.as("n").join(ranks.select(col("vertex"), col("pr").as("opr")), "vertex")
+            .agg(max(abs(round((col("pr") - col("opr")) * lit(1e6)).cast("long"))))
+            .head().getLong(0) // ONE long per round, by design
+          ranks = next
+          iters += 1
+        }
+        ranks.select(col("vertex"),
+            round(col("pr") * lit(1e6)).cast("long").as("pr_e6"),
+            lit(iters.toLong).as("n_iter"))
+          .orderBy("vertex")
+      } finally weighted.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Shared power-iteration loop: rank' = base + 0.85 · Σ inbound rank·w,
     * with per-edge contribution w = weight / Σ_out weight (uniform 1/deg
     * when no weight column). Edges deduped — in the weighted branch the

@@ -513,6 +513,39 @@ object SequentialModel {
     (0 to tMax).map(t => (t.toLong, sums(t), if (t == effT) 1L else 0L))
   }
 
+  /** Sequential mirror of `Analytics.pageRankConverged` — own adjacency,
+    * own loop, the shared exactness contract restated: per-edge
+    * contributions half-up-quantized to integer nanos before summing,
+    * ranks re-quantized to the 1e-6 grid each round (HALF_UP like Spark's
+    * `round`, signed zero normalized), stop when the max integer
+    * micro-delta reaches `tolE6` or at `maxIter`. Returns
+    * `(vertex, pr_e6, n_iter)` sorted.
+    */
+  def pageRankConverged(edges: Seq[(Long, Long)], tolE6: Long = 100L,
+                        maxIter: Int = 60): Seq[(Long, Long, Long)] = {
+    val dedup = edges.distinct
+    val vs = (dedup.map(_._1) ++ dedup.map(_._2)).distinct.sorted
+    val out = dedup.groupBy(_._1).map { case (s, es) => s -> es.size }
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def grid6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    var pr: Map[Long, Double] = vs.map(_ -> 1.0).toMap
+    var iters = 0L
+    var delta = Long.MaxValue
+    while (iters < maxIter && delta > tolE6) {
+      val mNano = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      dedup.foreach { case (s, d) =>
+        mNano(d) += halfUp(pr(s) * (1.0 / out(s)) * 1e9)
+      }
+      val next = vs.map(v => v -> grid6(0.15 + 0.85 * (mNano(v) / 1e9))).toMap
+      delta = vs.map(v => math.abs(halfUp((next(v) - pr(v)) * 1e6))).max
+      pr = next
+      iters += 1
+    }
+    vs.map(v => (v, halfUp(pr(v) * 1e6), iters))
+  }
+
   /** Sequential mirror of the batch densest-subgraph peeling (ε = 1/10):
     * per round drop every vertex with `10·deg·|V| ≤ 22·|E|`, track the best
     * `E/V` snapshot by cross-multiplication (first round wins ties).

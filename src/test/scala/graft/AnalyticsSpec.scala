@@ -8,6 +8,22 @@ class AnalyticsSpec extends SparkSpec {
   private val k4 = // complete graph on {0,1,2,3}, one direction per pair
     Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
 
+  test("pageRankConverged: stops on the mirror's round; tighter tol iterates longer") {
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 2L), (1L, 3L), (4L, 0L))
+    def run(tolE6: Long) = Analytics.pageRankConverged(edgesDF(g), tolE6 = tolE6, maxIter = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // bit-equality with the independent sequential power iteration,
+    // INCLUDING the data-dependent iteration count
+    val loose = run(1000L)
+    assert(loose === SequentialModel.pageRankConverged(g, tolE6 = 1000L, maxIter = 80))
+    val tight = run(1L)
+    assert(tight === SequentialModel.pageRankConverged(g, tolE6 = 1L, maxIter = 80))
+    assert(tight.head._3 > loose.head._3, "tighter tolerance must take more rounds")
+    assert(tight.head._3 < 80L, "the gate graph must actually converge, not hit the cap")
+    // converged ranks sum to ~|V| (the PageRank mass invariant, sinks aside)
+    intercept[IllegalArgumentException](Analytics.pageRankConverged(edgesDF(g), tolE6 = 0L))
+  }
+
   test("degrees: counts in/out with zero-fill") {
     val d = Analytics.degrees(edgesDF(Seq((0L, 1L), (0L, 2L), (2L, 0L))))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

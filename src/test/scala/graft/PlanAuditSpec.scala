@@ -37,6 +37,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s19: the indexed BM25 scoring scan pushes the term IN-filter into the committed postings") {
+    // build a small committed index, then audit the query's scan: the
+    // t IN (...) predicate must reach the parquet reader (string min/max
+    // row-group pruning is what makes a 3-term query NOT a corpus scan)
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25audit").toString
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 30L).map(i => (i, s"alpha w${i % 7} beta w${i % 5}")).toDF("doc_id", "text")
+    graft.llm.Retrieval.buildBm25Index(docs, root)
+    staticPlan(graft.llm.Retrieval.bm25TopKIndexed(spark, root, Seq("alpha", "w3"), k = 5)) { plan =>
+      val scans = plan.collectWithSubqueries { case sc: FileSourceScanExec => sc }
+      val postings = scans.filter(_.metadata("Location").contains("postings"))
+      assert(postings.nonEmpty, s"no committed postings scan found:\n$plan")
+      assert(postings.exists(_.metadata("PushedFilters").contains("In(t,")),
+        s"term filter not pushed: ${postings.map(_.metadata("PushedFilters")).mkString(" | ")}")
+    }
+  }
+
   test("s9: the k-means assignment scan runs on the native dot kernel, not interpreted HOFs") {
     // numIter = 0 isolates the assignment plan (no per-round jobs)
     staticPlan(graft.llm.Similarity.kMeans(Tables.embeddings(spark, sf), k = 2, numIter = 0)) { plan =>
