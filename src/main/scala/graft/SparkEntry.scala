@@ -2746,6 +2746,31 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.llm.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
     }),
+    "p10_rag_indexed" -> ((s, dir) => {
+      // the PRODUCTION RAG query path end-to-end: BOTH retriever legs run
+      // against PERSISTED commit-log indexes (s19's postings + s12's IVF
+      // lists), so query time pays zero training jobs, zero corpus-stats
+      // jobs, and no raw-corpus tokenization — then the two committed-
+      // index result lists fuse by exact-integer RRF. This is the gate
+      // that binds the whole round-12 index family into one user-facing
+      // pipeline.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-ragidx-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val bmIdx = root.resolve("bm25").toString
+      val ivfIdx = root.resolve("ivf").toString
+      graft.llm.Retrieval.buildBm25Index(Tables.documents(s, dir), bmIdx)
+      Similarity.buildIvfIndex(Tables.embeddings(s, dir), ivfIdx)
+      val sparse = graft.llm.Retrieval.bm25TopKIndexed(s, bmIdx, Bm25QueryTerms, k = 15)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("score_e6"), col("doc_id"))))
+        .select("doc_id", "rank")
+      val dense = Similarity.ivfTopKIndexed(s, ivfIdx, numQueries = 1, k = 15)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.llm.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+    }),
     "s2_ann_lsh" -> ((s, dir) => // approximate vs EXACT top-k, but fully
       // deterministic given the seeded hyperplanes — so the oracle mirrors
       // the LSH pipeline itself; recall vs exact is asserted in
@@ -4965,7 +4990,7 @@ object SparkEntry {
     }
     val bm25Oracle: Map[String, String] =
       if (!(want("t37_bm25") || want("p8_hybrid_rrf") || want("s19_bm25_indexed")
-          || want("st19_stream_bm25"))) Map.empty else {
+          || want("st19_stream_bm25") || want("p10_rag_indexed"))) Map.empty else {
         val texts = graft.Tables.documents(spark, sfDir)
           .select(col("text")).collect().map(_.getString(0)).toSeq
         val idf = SequentialCorpus.bm25Idf(texts, Bm25QueryTerms)
@@ -4976,6 +5001,19 @@ object SparkEntry {
           "s19_bm25_indexed" -> graft.llm.Retrieval.bm25TopKSql(idf, k = 15),
           // streamed maintenance head == full rebuild (same property)
           "st19_stream_bm25" -> graft.llm.Retrieval.bm25TopKSql(idf, k = 15),
+          "p10_rag_indexed" ->
+            // the same fused pipeline with the dense leg mirrored by the
+            // IVF pipeline (the committed index is bit-identical to
+            // ivfTopK, whose mirror this is)
+            s"""WITH sp AS (SELECT doc_id,
+               |            row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+               |            FROM (${graft.llm.Retrieval.bm25TopKSql(idf, k = 15)}) bm),
+               |de AS (SELECT neighbor_id AS doc_id, rank
+               |       FROM (${Similarity.ivfTopKSql(numQueries = 1, k = 15)}) iv),
+               |u AS (SELECT doc_id, rank FROM sp UNION ALL SELECT doc_id, rank FROM de),
+               |f AS (SELECT doc_id, SUM(1000000 // (60 + rank))::BIGINT AS rrf_e6
+               |      FROM u GROUP BY doc_id)
+               |SELECT doc_id, rrf_e6 FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin,
           "p8_hybrid_rrf" ->
             // the same two ranked lists (BM25 mirror + dense cosine
             // mirror) fused with the identical integer RRF arithmetic
