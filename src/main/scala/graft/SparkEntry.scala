@@ -1422,6 +1422,29 @@ object SparkEntry {
           .select(lit(ts).as("ts_probe"), col("n_rows"), col("sum_key"))
       }.reduce(_ unionByName _).orderBy("ts_probe")
     }),
+    "f22_log_delete" -> ((s, dir) => {
+      // DELETE WHERE as a FILE-GRANULAR CoW commit (the Delta/Iceberg
+      // row-level-delete shape): the orders table lands range-clustered
+      // so per-file key stats are tight; the delete rewrites ONLY the
+      // files whose stats intersect the predicate — the rest carry
+      // forward as log references (file granularity is spec-asserted;
+      // this gate binds the content contract + history intactness).
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-logdel-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "o_orderkey")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      t.overwrite(ord.repartitionByRange(8, col("o_orderkey")))
+      t.deleteRange(1000L, 5000L)
+      val head = t.read().agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"))
+      val v0 = t.asOf(0L).agg(count(lit(1)).as("n0"), sum("o_orderkey").as("s0"))
+      head.crossJoin(v0) // 1-row x 1-row scalar attach
+        .select(col("n_rows"), col("sum_key"), col("n0"), col("s0"))
+    }),
     "f16_log_restore" -> ((s, dir) => {
       // RESTORE as a metadata-only commit: v0 = keys < 10, v1 = overwrite
       // with the complement, v2 = restore(0) — the head re-references v0's
@@ -3746,6 +3769,11 @@ object SparkEntry {
         |              (9999, 20, 1000000)) AS p(ts_probe, lo, hi)
         |WHERE n_nationkey BETWEEN lo AND hi
         |GROUP BY p.ts_probe ORDER BY ts_probe""".stripMargin,
+    "f22_log_delete" -> // head excludes the deleted key range; v0 intact
+      """SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS n_rows,
+        |       (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS sum_key,
+        |       (SELECT COUNT(*) FROM orders) AS n0,
+        |       (SELECT SUM(o_orderkey)::BIGINT FROM orders) AS s0""".stripMargin,
     "f16_log_restore" -> // the restored head (version 2) carries exactly
       // v0's snapshot
       """SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,

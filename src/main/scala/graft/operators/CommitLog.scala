@@ -309,6 +309,34 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
       keepPrevious = false, op = "merge", expectedBase = Some(base))
   }
 
+  /** `DELETE WHERE statsCol BETWEEN lo AND hi` as a FILE-GRANULAR
+    * copy-on-write commit — the Delta/Iceberg row-level-delete shape the
+    * whole-table CoW paths (merge/overwrite) don't give: files whose
+    * per-file `[lo, hi]` stats DON'T intersect the predicate carry
+    * forward as log entries — never read, never rewritten — and only the
+    * intersecting files are read, filtered, and rewritten. At 100 TB a
+    * delete of one day's keys from a range-clustered table rewrites that
+    * day's files alone. Optimistic like [[merge]]: a head moved since the
+    * base snapshot rejects the commit. Returns the new version (or the
+    * current head when no file intersects — a provable no-op commits
+    * nothing). Old versions stay readable via [[asOf]].
+    */
+  def deleteRange(lo: Long, hi: Long): Long = {
+    require(lo <= hi, s"deleteRange: lo $lo must be <= hi $hi")
+    val base = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val adds = addsOf(base).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (touched, untouched) = adds.partition { case (_, flo, fhi, _) => fhi >= lo && flo <= hi }
+    if (touched.isEmpty) return base
+    val rewritten = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(_._1).toIndexedSeq: _*)
+      .filter(!(col(statsCol).cast("long") >= lo && col(statsCol).cast("long") <= hi))
+    commitVersion(rewritten, keepPrevious = false, op = "delete",
+      expectedBase = Some(base),
+      carriedExplicit = Some(untouched.map { case (p, l, h, n) => (storedForm(p), l, h, n) }.toSeq))
+  }
+
   /** Replace the table contents with `df` as a new version (old versions
     * stay readable via [[asOf]]).
     */
@@ -383,7 +411,8 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
   private def commitVersion(df: DataFrame, keepPrevious: Boolean, op: String,
                             expectedBase: Option[Long] = None,
                             audit: Option[DataFrame => Seq[(String, Long)]] = None,
-                            tsMillis: Option[Long] = None): Long = {
+                            tsMillis: Option[Long] = None,
+                            carriedExplicit: Option[Seq[(String, Long, Long, Long)]] = None): Long = {
     // resolve the head ONCE: the carried file list derives from version-1 of
     // the version this writer attempts, so base snapshot and attempt are
     // always consistent — a commit landing in between makes the publish
@@ -417,11 +446,11 @@ class CommitTable(spark: SparkSession, path: String, statsCol: String) {
           max(col(statsCol).cast("long")).as("hi"), count(lit(1)).as("n"))
         .collect()
         .map(r => (relativize(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
-      val carried: Seq[(String, Long, Long, Long)] =
+      val carried: Seq[(String, Long, Long, Long)] = carriedExplicit.getOrElse(
         if (keepPrevious && prev.nonEmpty)
           addsOf(prev.get).collect().map(r =>
             (storedForm(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-        else Seq.empty
+        else Seq.empty)
       publish(version, op, carried ++ stats.toSeq, tsMillis)
     } catch {
       case e: Throwable =>

@@ -31,6 +31,31 @@ class CommitLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.asOf(7L))
   }
 
+  test("deleteRange: file-granular CoW — untouched files carry by reference, history intact") {
+    val t = freshTable()
+    // three appends -> three disjoint key-range file sets
+    t.overwrite(kv(1L -> "a", 2L -> "b"))          // [1, 2]
+    t.append(kv(10L -> "j", 11L -> "k"))           // [10, 11]
+    t.append(kv(20L -> "x", 21L -> "y"))           // [20, 21]
+    val before = t.read().inputFiles.toSet
+    val v = t.deleteRange(10L, 10L)
+    assert(v === 3L)
+    assert(rows(t.read()) === Set(1L -> "a", 2L -> "b", 11L -> "k", 20L -> "x", 21L -> "y"))
+    val after = t.read().inputFiles.toSet
+    // untouched files ([1,2] and [20,21]) are THE SAME physical files,
+    // carried by log reference — never rewritten
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty, "untouched files must carry forward by reference")
+    // the touched file ([10,11]) was rewritten (or dropped): its old path
+    // is gone from the head
+    assert(before.diff(after).nonEmpty, "the intersecting file must be rewritten")
+    // pre-delete history is intact
+    assert(rows(t.asOf(2L)).size === 6)
+    // a provably-no-op delete commits nothing
+    assert(t.deleteRange(100L, 200L) === v)
+    assert(t.versions().last === v)
+  }
+
   test("compaction is a commit: content identical, fewer files, old versions still readable") {
     val t = freshTable()
     t.overwrite(kv((1L to 20L).map(i => i -> s"r$i"): _*).repartition(8))
