@@ -170,6 +170,12 @@ object SparkEntry {
       // it's noise; same capped wedge machinery, full-degree denominator
       Analytics.neighborJaccard(DerivedGraphs.small(s, dir), minCommon = 2,
         capPercentile = Some(95))),
+    "g64_katz" -> ((s, dir) => // Katz centrality, delta-converged: the
+      // attenuation-walk centrality completing the family — unlike
+      // PageRank it does not out-degree-normalize; same engine-exact
+      // stopping contract as g63 (nano contributions, 1e-6 grid,
+      // integer micro-delta), oracle = independent sequential fixpoint
+      Analytics.katzConverged(DerivedGraphs.small(s, dir))),
     "g63_pagerank_converged" -> ((s, dir) => // delta-converged PageRank
       // (the production stopping rule): per-round integer-nano
       // contribution quantization + 1e-6 rank grid make the
@@ -4730,7 +4736,7 @@ object SparkEntry {
         "g36_modularity", "g41_louvain_sweep", "g42_spanning_forest",
         "g44_louvain_full", "g47_mis", "g48_coloring", "g49_densest",
         "g50_matching", "g51_coreness", "g52_hyperball", "g57_distance_profile",
-        "g63_pagerank_converged")
+        "g63_pagerank_converged", "g64_katz")
     // the sequential models walk the whole derived graph — skip them when a
     // dev-loop SPARK_GRAFT_ONLY run selects none of their queries (the
     // driver's gate runs unfiltered, so this never narrows the real gate)
@@ -4743,7 +4749,17 @@ object SparkEntry {
       val lpa = SequentialModel.labelPropagation(edges, numIter = 5).toSeq.sorted
       val preVals = pre.zipWithIndex.map { case (v, i) => s"($v, $i)" }.mkString(", ")
       val prc = SequentialModel.pageRankConverged(edges, tolE6 = 100L, maxIter = 60)
+      val ktz = SequentialModel.katzConverged(edges, alphaE3 = 50L, tolE6 = 100L, maxIter = 60)
       Map(
+        "g64_katz" -> (
+          if (ktz.isEmpty)
+            """SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS katz_e6,
+              |CAST(NULL AS BIGINT) AS n_iter WHERE 1 = 0""".stripMargin
+          else
+            s"""SELECT CAST(v AS BIGINT) AS vertex, CAST(p AS BIGINT) AS katz_e6,
+               |CAST(i AS BIGINT) AS n_iter
+               |FROM (VALUES ${ktz.map { case (v, p, i) => s"($v, $p, $i)" }.mkString(", ")}) AS t(v, p, i)
+               |ORDER BY vertex""".stripMargin),
         "g63_pagerank_converged" -> (
           if (prc.isEmpty)
             """SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS pr_e6,

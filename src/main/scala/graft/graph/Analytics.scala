@@ -226,6 +226,56 @@ object Analytics {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Katz centrality, delta-converged — the attenuation-based centrality
+    * that counts ALL inbound walks damped by length (`x = Σ_k α^k (Aᵀ)^k 1`,
+    * via the fixpoint `x' = 1 + α·Aᵀx`), completing the centrality family
+    * (degree/closeness/harmonic/betweenness/PageRank) with the classic
+    * eigenvector-style member that, unlike PageRank, does NOT normalize by
+    * out-degree — a hub passes its full influence down every edge.
+    * `alphaE3` is the attenuation in thousandths (must keep `α < 1/λ_max`
+    * for convergence; the `maxIter` cap bounds a divergent choice loudly
+    * rather than looping forever — `n_iter = maxIter` in the output IS the
+    * non-convergence signal). Same engine-exactness contract as
+    * [[pageRankConverged]]: per-edge contributions quantize to integer
+    * nanos pre-sum, scores re-quantize to the 1e-6 grid per round, stop on
+    * an integer micro-delta — the mirror stops on the identical round.
+    * Returns `(vertex, katz_e6, n_iter)`.
+    */
+  def katzConverged(edges: DataFrame, alphaE3: Long = 50L, tolE6: Long = 100L,
+                    maxIter: Int = 60): DataFrame = {
+    require(alphaE3 >= 1 && alphaE3 < 1000, s"katzConverged: alphaE3 must be in [1, 999], got $alphaE3")
+    require(tolE6 >= 1, s"katzConverged: tolE6 must be >= 1, got $tolE6")
+    require(maxIter >= 1, s"katzConverged: maxIter must be >= 1, got $maxIter")
+    val alpha = alphaE3 / 1000.0
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = vertices(e).localCheckpoint(true)
+      var x = v.withColumn("x", lit(1.0)).localCheckpoint(true)
+      var iters = 0
+      var deltaE6 = Long.MaxValue
+      while (iters < maxIter && deltaE6 > tolE6) {
+        val inbound = e.join(x, e("src") === x("vertex"))
+          .groupBy(col("dst").as("vertex"))
+          .agg(sum(round(col("x") * lit(alpha) * lit(1e9)).cast("long")).as("m_nano"))
+        val next = v.join(inbound, Seq("vertex"), "left_outer")
+          .select(col("vertex"), graft.functions.Num.round6(
+            lit(1.0) + coalesce(col("m_nano"), lit(0L)) / lit(1e9)).as("x"))
+          .localCheckpoint(true)
+        deltaE6 = next.as("n").join(x.select(col("vertex"), col("x").as("ox")), "vertex")
+          .agg(max(abs(round((col("x") - col("ox")) * lit(1e6)).cast("long"))))
+          .head().getLong(0)
+        x = next
+        iters += 1
+      }
+      x.select(col("vertex"), round(col("x") * lit(1e6)).cast("long").as("katz_e6"),
+          lit(iters.toLong).as("n_iter"))
+        .orderBy("vertex")
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Shared power-iteration loop: rank' = base + 0.85 · Σ inbound rank·w,
     * with per-edge contribution w = weight / Σ_out weight (uniform 1/deg
     * when no weight column). Edges deduped — in the weighted branch the

@@ -546,6 +546,32 @@ object SequentialModel {
     vs.map(v => (v, halfUp(pr(v) * 1e6), iters))
   }
 
+  /** Sequential mirror of `Analytics.katzConverged` — own loop, shared
+    * exactness contract (nano-quantized contributions, 1e-6 grid,
+    * integer micro-delta stop). Returns `(vertex, katz_e6, n_iter)`. */
+  def katzConverged(edges: Seq[(Long, Long)], alphaE3: Long = 50L,
+                    tolE6: Long = 100L, maxIter: Int = 60): Seq[(Long, Long, Long)] = {
+    val alpha = alphaE3 / 1000.0
+    val dedup = edges.distinct
+    val vs = (dedup.map(_._1) ++ dedup.map(_._2)).distinct.sorted
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def grid6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    var xr: Map[Long, Double] = vs.map(_ -> 1.0).toMap
+    var iters = 0L
+    var delta = Long.MaxValue
+    while (iters < maxIter && delta > tolE6) {
+      val mNano = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      dedup.foreach { case (s, d) => mNano(d) += halfUp(xr(s) * alpha * 1e9) }
+      val next = vs.map(v => v -> grid6(1.0 + mNano(v) / 1e9)).toMap
+      delta = vs.map(v => math.abs(halfUp((next(v) - xr(v)) * 1e6))).max
+      xr = next
+      iters += 1
+    }
+    vs.map(v => (v, halfUp(xr(v) * 1e6), iters))
+  }
+
   /** Sequential mirror of the batch densest-subgraph peeling (ε = 1/10):
     * per round drop every vertex with `10·deg·|V| ≤ 22·|E|`, track the best
     * `E/V` snapshot by cross-multiplication (first round wins ties).

@@ -24,6 +24,20 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Analytics.pageRankConverged(edgesDF(g), tolE6 = 0L))
   }
 
+  test("katzConverged: mirror equality; hubs pass full (unnormalized) influence") {
+    // star INTO vertex 9 plus a chain: Katz must rank 9 above everything
+    val g = Seq((0L, 9L), (1L, 9L), (2L, 9L), (3L, 9L), (9L, 4L), (4L, 5L))
+    val got = Analytics.katzConverged(edgesDF(g), alphaE3 = 100L, tolE6 = 1L, maxIter = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === SequentialModel.katzConverged(g, alphaE3 = 100L, tolE6 = 1L, maxIter = 80))
+    val byV = got.map(r => r._1 -> r._2).toMap
+    assert(byV(9L) === got.map(_._2).max, "the in-star center must carry the top Katz score")
+    // unlike PageRank there is no out-degree split: 4 inherits 9's full
+    // attenuated mass, so katz(4) > katz(5) > katz(0)
+    assert(byV(4L) > byV(5L) && byV(5L) > byV(0L))
+    intercept[IllegalArgumentException](Analytics.katzConverged(edgesDF(g), alphaE3 = 1000L))
+  }
+
   test("degrees: counts in/out with zero-fill") {
     val d = Analytics.degrees(edgesDF(Seq((0L, 1L), (0L, 2L), (2L, 0L))))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
