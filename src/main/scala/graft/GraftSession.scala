@@ -78,7 +78,12 @@ object GraftSession {
           "graph_pagerank" -> graft.plans.GraphTvfs.pagerank,
           "graph_cc" -> graft.plans.GraphTvfs.cc,
           "graph_shortest_path" -> graft.plans.GraphTvfs.shortestPath,
-          "graph_motif" -> graft.plans.GraphTvfs.motif
+          "graph_motif" -> graft.plans.GraphTvfs.motif,
+          // the storage layer's SQL surface: commit-log tables readable
+          // (head / VERSION AS OF / log-stats-pruned range) from pure SQL
+          "log_table" -> graft.plans.LogTvfs.read,
+          "log_table_at" -> graft.plans.LogTvfs.asOf,
+          "log_table_range" -> graft.plans.LogTvfs.range
         ).foreach { case (name, builder) =>
           ext.injectTableFunction((
             FunctionIdentifier(name),

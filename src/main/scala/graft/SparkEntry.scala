@@ -1428,6 +1428,33 @@ object SparkEntry {
           .select(lit(ts).as("ts_probe"), col("n_rows"), col("sum_key"))
       }.reduce(_ unionByName _).orderBy("ts_probe")
     }),
+    "q42_sql_log" -> ((s, dir) => {
+      // the storage layer's SQL surface (the q33/q39 TVF move applied to
+      // the commit log): head read, VERSION AS OF, and a log-stats-
+      // pruned range scan — all through spark.sql, over a table built
+      // with the Scala API. Outer aggregates compose over the TVF plans.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sqllog-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      t.overwrite(nat.filter(col("n_nationkey") < 10).repartition(2))
+      t.append(nat.filter(col("n_nationkey") >= 10).repartition(2))
+      s.sql(
+        s"""SELECT 'head' AS snap, COUNT(*) AS n, SUM(n_nationkey) AS sum_key
+           |FROM log_table('$tp', 'n_nationkey')
+           |UNION ALL
+           |SELECT 'ranged', COUNT(*), SUM(n_nationkey)
+           |FROM log_table_range('$tp', 'n_nationkey', 5, 14)
+           |UNION ALL
+           |SELECT 'v0', COUNT(*), SUM(n_nationkey)
+           |FROM log_table_at('$tp', 'n_nationkey', 0)
+           |ORDER BY snap""".stripMargin)
+    }),
     "f22_log_delete" -> ((s, dir) => {
       // DELETE WHERE as a FILE-GRANULAR CoW commit (the Delta/Iceberg
       // row-level-delete shape): the orders table lands range-clustered
@@ -3775,6 +3802,13 @@ object SparkEntry {
         |              (9999, 20, 1000000)) AS p(ts_probe, lo, hi)
         |WHERE n_nationkey BETWEEN lo AND hi
         |GROUP BY p.ts_probe ORDER BY ts_probe""".stripMargin,
+    "q42_sql_log" -> // each snapshot derived straight from the source
+      """SELECT 'head' AS snap, COUNT(*) AS n, SUM(n_nationkey)::BIGINT AS sum_key FROM nation
+        |UNION ALL
+        |SELECT 'ranged', COUNT(*), SUM(n_nationkey)::BIGINT FROM nation WHERE n_nationkey BETWEEN 5 AND 14
+        |UNION ALL
+        |SELECT 'v0', COUNT(*), SUM(n_nationkey)::BIGINT FROM nation WHERE n_nationkey < 10
+        |ORDER BY snap""".stripMargin,
     "f22_log_delete" -> // head excludes the deleted key range; v0 intact
       """SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS n_rows,
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS sum_key,

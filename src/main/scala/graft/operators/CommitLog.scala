@@ -41,7 +41,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * .json` under an explicit schema — driver-cheap here, and at millions of
   * files the same read distributes.
   */
-class CommitTable(spark: SparkSession, path: String, statsCol: String) {
+class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
 
   private val logDir = new Path(path, "_log")
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

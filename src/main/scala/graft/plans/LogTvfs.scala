@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.CommitTable
+
+/** SQL table-valued-function surface for the COMMIT-LOG storage layer —
+  * the [[GraphTvfs]] move applied to tables: without these, every
+  * commit-log table (and every persisted index built on them) is
+  * Scala-API-only, while Delta/Iceberg users expect `VERSION AS OF` to be
+  * one SQL clause away. Registered through the same
+  * `SparkSessionExtensions.injectTableFunction` hook:
+  *
+  * {{{
+  *   SELECT * FROM log_table('<table path>', '<stats col>')
+  *   SELECT * FROM log_table_at('<table path>', '<stats col>', 3)
+  *   SELECT * FROM log_table_range('<table path>', '<stats col>', 10, 99)
+  * }}}
+  *
+  * The returned plan is the committed parquet scan's plan, so outer
+  * filters/projections push into it and compose with Catalyst normally
+  * (`log_table_range` additionally file-prunes FROM THE LOG's per-file
+  * stats before the scan is even planned). Arguments must be literals —
+  * the log resolution happens at analysis, like the graph TVFs.
+  */
+object LogTvfs {
+
+  private def arg(args: Seq[Expression], i: Int, fn: String): Any = {
+    require(i < args.length, s"$fn: missing argument ${i + 1}")
+    val e = args(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
+    e.eval()
+  }
+
+  private def stringArg(args: Seq[Expression], i: Int, fn: String): String =
+    arg(args, i, fn) match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string, got $other")
+    }
+
+  private def longArg(args: Seq[Expression], i: Int, fn: String): Long =
+    arg(args, i, fn) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer, got $other")
+    }
+
+  /** `log_table(path, stats_col)` → the head version's content. */
+  def read(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, "log_table(path, stats_col) takes 2 arguments")
+    new CommitTable(SparkSession.active, stringArg(args, 0, "log_table"),
+        stringArg(args, 1, "log_table"))
+      .read().queryExecution.analyzed
+  }
+
+  /** `log_table_at(path, stats_col, version)` → `VERSION AS OF`. */
+  def asOf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3, "log_table_at(path, stats_col, version) takes 3 arguments")
+    new CommitTable(SparkSession.active, stringArg(args, 0, "log_table_at"),
+        stringArg(args, 1, "log_table_at"))
+      .asOf(longArg(args, 2, "log_table_at")).queryExecution.analyzed
+  }
+
+  /** `log_table_range(path, stats_col, lo, hi)` → the head's rows with
+    * `stats_col` in `[lo, hi]`, file-pruned from the log's per-file stats
+    * before planning (only intersecting files reach the reader). */
+  def range(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4, "log_table_range(path, stats_col, lo, hi) takes 4 arguments")
+    new CommitTable(SparkSession.active, stringArg(args, 0, "log_table_range"),
+        stringArg(args, 1, "log_table_range"))
+      .prunedRead(longArg(args, 2, "log_table_range"), longArg(args, 3, "log_table_range"))
+      .queryExecution.analyzed
+  }
+}

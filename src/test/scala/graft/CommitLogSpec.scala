@@ -56,6 +56,29 @@ class CommitLogSpec extends SparkSpec {
     assert(t.versions().last === v)
   }
 
+  test("log TVFs: SQL head/asOf/range reads equal the Scala API; range prunes files from the log") {
+    val t = freshTable()
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    t.append(kv(10L -> "j", 20L -> "x"))
+    val tp = t.path
+    def sql1(q: String) = spark.sql(q).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sql1(s"SELECT k, v FROM log_table('$tp', 'k')") === rows(t.read()))
+    assert(sql1(s"SELECT k, v FROM log_table_at('$tp', 'k', 0)") === rows(t.asOf(0L)))
+    assert(sql1(s"SELECT k, v FROM log_table_range('$tp', 'k', 10, 15)") === Set(10L -> "j"))
+    // the range TVF plans from the log's per-file stats: the v0 file
+    // ([1, 2]) must not even be listed as an input
+    val planned = spark.sql(s"SELECT k, v FROM log_table_range('$tp', 'k', 10, 15)")
+    assert(planned.inputFiles.nonEmpty &&
+      planned.inputFiles.toSet === t.prunedRead(10L, 15L).inputFiles.toSet)
+    assert(planned.inputFiles.length < t.read().inputFiles.length,
+      "log-stats pruning must exclude the non-intersecting file")
+    // outer predicates compose over the TVF plan
+    assert(spark.sql(s"SELECT COUNT(*) FROM log_table('$tp', 'k') WHERE k >= 10")
+      .head().getLong(0) === 2L)
+    val e1 = intercept[Exception](spark.sql(s"SELECT * FROM log_table('$tp')").collect())
+    assert(e1.getMessage.contains("2 arguments"))
+  }
+
   test("compaction is a commit: content identical, fewer files, old versions still readable") {
     val t = freshTable()
     t.overwrite(kv((1L to 20L).map(i => i -> s"r$i"): _*).repartition(8))
