@@ -3377,6 +3377,13 @@ object SparkEntry {
       // (and md5) all differ — m4's exact-byte pass cannot; oracle
       // derives the hash bits from the pixel-generating formula
       MediaOps.perceptualDedup(Tables.documents(s, dir))),
+    "m10_audio_resample" -> ((s, dir) => // sample-rate conversion
+      // (16 kHz -> 12 kHz, L/M = 3/4) by integer-exact linear
+      // interpolation over the DECODED s16 payload — the speech-pipeline
+      // house-rate normalization; row-local HOF algebra, offset trick
+      // keeps the one division non-negative so both engines' integer
+      // division agrees on signed audio
+      MediaOps.audioResample(Tables.documents(s, dir))),
     "m7_audio_frames" -> ((s, dir) => // audio modality: REAL little-endian
       // s16 PCM decoded back from the binary payload, then 16-sample
       // frames reduced with codegen'd array algebra — energy, adjacent
@@ -3739,6 +3746,7 @@ object SparkEntry {
     "m4_media_dedup" -> MediaOps.mediaDedupSql(),
     "m5_perceptual_dedup" -> MediaOps.perceptualDedupSql,
     "m7_audio_frames" -> MediaOps.audioFramesSql(),
+    "m10_audio_resample" -> MediaOps.audioResampleSql(),
     "t25_html_strip" -> TextOps.htmlStripSql,
     "t26_adaptive_stopwords" -> TextOps.adaptiveStopwordsSql(),
     "st12_stream_sessions" -> EventStreams.sessionCountsSql(),

@@ -724,6 +724,71 @@ object MediaOps {
       .orderBy("media_id", "frame")
   }
 
+  /** Sample-rate conversion by rational ratio L/M with LINEAR
+    * interpolation, integer-exact (m10): output sample j sits at source
+    * position `j·M/L`, carried as the exact pair `(i, frac) =
+    * (j·M div L, j·M mod L)`, and interpolates
+    * `y = (x_i·(L−frac) + x_{i+1}·frac) / L` — computed with a +32768
+    * offset so the division numerator is NON-NEGATIVE (Spark's `div`
+    * truncates toward zero, DuckDB's `//` floors; on non-negative
+    * operands they agree, so the offset is what makes the mirror
+    * bit-exact on signed audio). The defaults downsample 16 kHz → 12 kHz
+    * (L=3, M=4) — the 100 TB speech-pipeline normalization step (every
+    * ASR/TTS corpus pass resamples to one house rate).
+    *
+    * The engine path decodes the REAL s16 PCM payload ([[decodePcm]])
+    * and runs the interpolation as codegen'd higher-order array algebra
+    * — entirely row-local, no shuffle touches samples; the final
+    * per-clip reduction is the only aggregation. Returns
+    * `(media_id, n_in, n_out, sum_y, min_y, max_y)`.
+    */
+  def audioResample(docs: DataFrame, l: Int = 3, m: Int = 4): DataFrame = {
+    require(l >= 1 && m >= 1, s"audioResample: ratio must be positive, got $l/$m")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val decoded = syntheticPcm(docs)
+      .map(r => (r.media_id, decodePcm(r.content)))
+      .toDF("media_id", "samples")
+    decoded
+      .select(col("media_id"),
+        expr("CAST(size(samples) AS BIGINT)").as("n_in"),
+        expr(
+          s"""transform(sequence(0, CAST(((size(samples) - 1) * $l) div $m AS INT)), j ->
+             |  ((CAST(element_at(samples, CAST((j * $m) div $l AS INT) + 1) AS BIGINT) + 32768)
+             |     * ($l - (j * $m) % $l)
+             |   + (CAST(element_at(samples,
+             |        least(CAST((j * $m) div $l AS INT) + 2, size(samples))) AS BIGINT) + 32768)
+             |     * ((j * $m) % $l)
+             |  ) div $l - 32768)""".stripMargin).as("y"))
+      .select(col("media_id"), col("n_in"),
+        expr("CAST(size(y) AS BIGINT)").as("n_out"),
+        expr("aggregate(y, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_y"),
+        expr("CAST(array_min(y) AS BIGINT)").as("min_y"),
+        expr("CAST(array_max(y) AS BIGINT)").as("max_y"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB mirror of [[audioResample]]: regenerates both interpolation
+    * endpoints directly from the closed-form sample formula (no arrays
+    * needed — x_i is a function of (id, i)) and restates the identical
+    * offset integer arithmetic.
+    */
+  def audioResampleSql(l: Int = 3, m: Int = 4): String = {
+    def pcm(idx: String) =
+      s"""(CASE WHEN (($idx) // 16) % 4 = 3 THEN ((d.doc_id + ($idx)) % 121) - 60
+         |      ELSE ((d.doc_id*31 + ($idx)*($idx)*17 + 7*($idx)) % 65536) - 32768 END)""".stripMargin
+    s"""WITH y AS (
+       |  SELECT d.doc_id AS media_id, (64 + d.doc_id % 64)::BIGINT AS n_in,
+       |     ((${pcm(s"(j.j * $m) // $l")} + 32768) * ($l - (j.j * $m) % $l)
+       |      + (${pcm(s"least((j.j * $m) // $l + 1, (64 + d.doc_id % 64) - 1)")} + 32768)
+       |        * ((j.j * $m) % $l)) // $l - 32768 AS y
+       |  FROM documents d,
+       |       (SELECT unnest(generate_series(0, (((64 + d.doc_id % 64) - 1) * $l // $m)::INT)) AS j) j)
+       |SELECT media_id, n_in, COUNT(*)::BIGINT AS n_out, SUM(y)::BIGINT AS sum_y,
+       |       MIN(y)::BIGINT AS min_y, MAX(y)::BIGINT AS max_y
+       |FROM y GROUP BY 1, 2 ORDER BY media_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[audioFrames]]: regenerates the PCM from the
     * sample formula (bypassing the binary codec — the encode/decode round
     * trip is suite-asserted separately) and reduces the same frames with

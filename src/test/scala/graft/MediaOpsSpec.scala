@@ -207,6 +207,39 @@ class MediaOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](MediaOps.encodePcm(Array(40000)))
   }
 
+  /** Independent restatement of the synthetic sample formula. */
+  private def pcmRef(id: Long, i: Int): Int =
+    if ((i / 16) % 4 == 3) ((id + i) % 121).toInt - 60
+    else ((id * 31 + i.toLong * i * 17 + 7L * i) % 65536).toInt - 32768
+
+  test("audioResample: identity ratio preserves the signal; 3/4 matches a brute-force interp") {
+    val idy = MediaOps.audioResample(docs, l = 1, m = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    idy.foreach { case (_, nIn, nOut, _) => assert(nOut === nIn) }
+    val raw = docs.collect().map(_.getLong(0)).map { id =>
+      val n = (64 + id % 64).toInt
+      id -> Array.tabulate(n)(i => pcmRef(id, i))
+    }.toMap
+    idy.foreach { case (id, _, _, sumY) =>
+      assert(sumY === raw(id).map(_.toLong).sum, s"identity resample changed clip $id")
+    }
+    val got = MediaOps.audioResample(docs, l = 3, m = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    got.foreach { case (id, nOut, sumY, minY, maxY) =>
+      val x = raw(id)
+      val n = x.length
+      val ys = (0 to ((n - 1) * 3) / 4).map { j =>
+        val i = (j * 4) / 3
+        val f = (j * 4) % 3
+        val ip = math.min(i + 1, n - 1)
+        ((x(i) + 32768L) * (3 - f) + (x(ip) + 32768L) * f) / 3 - 32768L
+      }
+      assert(nOut === ys.size.toLong, s"clip $id n_out")
+      assert(sumY === ys.sum && minY === ys.min && maxY === ys.max, s"clip $id aggregates")
+    }
+    intercept[IllegalArgumentException](MediaOps.audioResample(docs, l = 0))
+  }
+
   test("audioFrames computes energy, zero crossings and silence on a known clip") {
     // doc_id 0 → 64 samples, 4 frames; frame 3 is the quiet segment:
     // samples (0+i)%121-60 for i=48..63 → |s| ≤ 60 < 256 → silent
