@@ -175,7 +175,11 @@ object SparkEntry {
       // PageRank it does not out-degree-normalize; same engine-exact
       // stopping contract as g63 (nano contributions, 1e-6 grid,
       // integer micro-delta), oracle = independent sequential fixpoint
-      Analytics.katzConverged(DerivedGraphs.small(s, dir))),
+      // alphaE3 = 10: the gate graph's max out-degree at bench scale is
+      // ~39, so alpha*maxdeg <= 0.39 < 1 guarantees convergence (0.05
+      // diverged at sf0.1 — deterministically and mirror-equal, but a
+      // converged gate is the semantics worth binding)
+      Analytics.katzConverged(DerivedGraphs.small(s, dir), alphaE3 = 10L)),
     "g63_pagerank_converged" -> ((s, dir) => // delta-converged PageRank
       // (the production stopping rule): per-round integer-nano
       // contribution quantization + 1e-6 rank grid make the
@@ -4791,7 +4795,7 @@ object SparkEntry {
       val lpa = SequentialModel.labelPropagation(edges, numIter = 5).toSeq.sorted
       val preVals = pre.zipWithIndex.map { case (v, i) => s"($v, $i)" }.mkString(", ")
       val prc = SequentialModel.pageRankConverged(edges, tolE6 = 100L, maxIter = 60)
-      val ktz = SequentialModel.katzConverged(edges, alphaE3 = 50L, tolE6 = 100L, maxIter = 60)
+      val ktz = SequentialModel.katzConverged(edges, alphaE3 = 10L, tolE6 = 100L, maxIter = 60)
       Map(
         "g64_katz" -> (
           if (ktz.isEmpty)
