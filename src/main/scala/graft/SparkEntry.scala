@@ -2504,6 +2504,23 @@ object SparkEntry {
       })
       Similarity.ivfTopKIndexed(s, idx)
     }),
+    "st20_stream_cep" -> ((s, dir) => {
+      // streaming CEP: e34's automaton as mapGroupsWithState custom
+      // state (O(keys) registers, never event history) — run here in
+      // batch mode (each group folds once from empty state, the st4
+      // discipline binding the exact code path), so the result equals
+      // e34's and shares its independent sequential-automaton oracle;
+      // the genuine cross-micro-batch increment is asserted over split
+      // ordered MemoryStream feeds in StreamingSpec.
+      import s.implicits._
+      val ev = EventStreams.normalized(Tables.events(s, dir))
+        .select(col("user_id").cast("long").as("user_id"), col("ts_us"),
+          col("event_id").cast("long").as("event_id"), col("event_type"))
+        .as[EventStreams.CepEvent]
+      EventStreams.streamingPatternCounts(ev).toDF()
+        .select(col("user_id"), col("n_events"), col("n_matches"))
+        .orderBy("user_id")
+    }),
     "st19_stream_bm25" -> ((s, dir) => {
       // streamed SPARSE-index maintenance (st18's loop on the BM25
       // index): documents land in a commit-log table over three
@@ -5150,18 +5167,21 @@ object SparkEntry {
         // the ORDER-3 mirror: same output contract, independent backoff walk
         "t41_ngram_ppl" -> pplValues(ng))
     }
-    val cepOracle: Map[String, String] = if (!want("e34_event_pattern")) Map.empty else {
+    val cepOracle: Map[String, String] = if (!(want("e34_event_pattern") || want("st20_stream_cep"))) Map.empty else {
       val evs = EventStreams.normalized(graft.Tables.events(spark, sfDir))
         .select(col("user_id").cast("long"), col("ts_us").cast("long"),
           col("event_id").cast("long"), col("event_type"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
       val rows = graft.operators.SequentialEvents.patternCounts(
         evs, Seq("view", "click", "purchase"))
-      Map("e34_event_pattern" ->
+      val sqlText =
         s"""SELECT CAST(u AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n_events,
            |CAST(m AS BIGINT) AS n_matches
            |FROM (VALUES ${rows.map { case (u, n, m) => s"($u, $n, $m)" }.mkString(", ")}) AS t(u, n, m)
-           |ORDER BY user_id""".stripMargin)
+           |ORDER BY user_id""".stripMargin
+      // the streaming-state fold from empty state equals the batch
+      // automaton, so both gates share the one independent mirror
+      Map("e34_event_pattern" -> sqlText, "st20_stream_cep" -> sqlText)
     }
     val ssspOracle: Map[String, String] = if (!want("g45_sssp_fixpoint")) Map.empty else {
       val d = SequentialModel

@@ -261,6 +261,53 @@ object EventStreams {
     */
   final case class BoundedState(running: UserRunning, max_ts: Long)
 
+  final case class CepEvent(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class CepState(user_id: Long, stage: Int, n_events: Long, n_matches: Long)
+
+  /** STREAMING CEP — e34's greedy skip-till-next-match automaton
+    * ([[graft.operators.Sessionization.eventPatternCounts]]) carried as
+    * `mapGroupsWithState` custom state, which is where pattern matching
+    * over unbounded streams actually lives (Flink CEP's home turf): per
+    * key the state is just `(stage, n_events, n_matches)` — the automaton
+    * register, not the event history — so state size is O(keys), never
+    * O(events). Within each micro-batch the group's rows sort by
+    * `(ts_us, event_id)` and fold from the carried stage; the feed
+    * contract is the split-ordered-feed discipline every order-dependent
+    * stateful op here uses (each micro-batch wholly follows the previous
+    * in event order — st12's sessionization contract), and under that
+    * contract the accumulated result is EXACTLY the batch automaton's.
+    *
+    * Runs in BOTH modes (the st4 discipline): on a batch Dataset each
+    * group folds once from empty state — which is how the
+    * `st20_stream_cep` gate binds this exact code path to e34's
+    * independent sequential-automaton oracle; the genuine cross-batch
+    * increment is asserted over split MemoryStream feeds in
+    * StreamingSpec.
+    */
+  def streamingPatternCounts(events: Dataset[CepEvent],
+                             pattern: Seq[String] = Seq("view", "click", "purchase")): Dataset[CepState] = {
+    require(pattern.nonEmpty, "streamingPatternCounts: pattern must be non-empty")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CepState, CepState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CepEvent], state: GroupState[CepState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val prev = state.getOption.getOrElse(CepState(uid, 0, 0L, 0L))
+          var stage = prev.stage
+          var cnt = prev.n_matches
+          sorted.foreach { e =>
+            if (e.event_type == pattern(stage)) {
+              stage += 1
+              if (stage == pattern.length) { cnt += 1; stage = 0 }
+            }
+          }
+          val next = CepState(uid, stage, prev.n_events + sorted.size, cnt)
+          state.update(next)
+          next
+      }
+  }
+
   /** `mapGroupsWithState` running per-user aggregate — the custom-state
     * escape hatch for logic windowed aggs can't express. State is one small
     * case class per active user. A production deployment bounds state growth

@@ -524,6 +524,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming CEP: automaton state carries across micro-batches; accumulated == batch") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.EventStreams.CepEvent
+    // a pattern occurrence SPLIT across the batch boundary: 'a b' lands in
+    // batch 1, the completing 'c' in batch 2 — only carried stage state
+    // can count it
+    val all = Seq(
+      CepEvent(1L, 1L, 1L, "a"), CepEvent(1L, 2L, 2L, "b"),
+      CepEvent(2L, 3L, 3L, "a"), CepEvent(2L, 4L, 4L, "b"), CepEvent(2L, 5L, 5L, "c"),
+      // --- batch boundary (ts >= 10) ---
+      CepEvent(1L, 10L, 6L, "c"), CepEvent(1L, 11L, 7L, "a"),
+      CepEvent(2L, 12L, 8L, "x"),
+      CepEvent(1L, 13L, 9L, "b"), CepEvent(1L, 14L, 10L, "c"))
+    val (b1, b2) = all.partition(_.ts_us < 10L)
+    val mem = MemoryStream[CepEvent](s)
+    val got = runIncremental(
+      graft.streaming.EventStreams.streamingPatternCounts(
+        mem.toDS(), Seq("a", "b", "c")).toDF(), "t_cep", OutputMode.Update()) { q =>
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    }.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // final state per user = the row with the highest n_events (monotone)
+    val fin = got.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    // user 1: a b | c a b c -> 2 completions, one SPLIT across the boundary
+    assert(fin(1L) === ((1L, 0, 6L, 2L)), s"got ${fin(1L)}")
+    // user 2: completed in batch 1; batch 2's 'x' advances nothing
+    assert(fin(2L) === ((2L, 0, 4L, 1L)), s"got ${fin(2L)}")
+    // accumulated streaming state == one-shot batch fold
+    val batch = graft.streaming.EventStreams.streamingPatternCounts(
+      s.createDataset(all), Seq("a", "b", "c"))
+      .collect().map(st => st.user_id -> ((st.user_id, st.stage, st.n_events, st.n_matches))).toMap
+    assert(fin === batch)
+  }
+
   test("streaming commit-log sink: one atomic version per micro-batch, history monotone") {
     val s = spark
     import s.implicits._
