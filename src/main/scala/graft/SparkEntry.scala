@@ -2504,6 +2504,34 @@ object SparkEntry {
       })
       Similarity.ivfTopKIndexed(s, idx)
     }),
+    "st21_stream_dedup_idx" -> ((s, dir) => {
+      // streamed DEDUP-index maintenance — the st18/st19 loop completing
+      // the index family: the historical corpus lands in a commit-log
+      // table over three versions, the change stream builds the MinHash
+      // index from the v0 snapshot and appends each later insert feed
+      // (per-document signatures => streamed head == full rebuild), and
+      // the daily shard probes the streamed head. Same halves as d19, so
+      // the probe shares its side-restricted mirror.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sdedup-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("docs").toString
+      val t = new graft.operators.CommitTable(s, tp, "doc_id")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      t.overwrite(docs.filter(col("doc_id") % 8 === 0))
+      t.append(docs.filter(col("doc_id") % 8 === 2))
+      t.append(docs.filter(col("doc_id") % 2 === 0
+        && col("doc_id") % 8 =!= 0 && col("doc_id") % 8 =!= 2))
+      val idx = root.resolve("idx").toString
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
+        if (v == 0L) Dedup.buildDedupIndex(batch, idx)
+        else Dedup.appendDedupIndex(batch, idx)
+      })
+      Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 =!= 0), idx)
+    }),
     "st20_stream_cep" -> ((s, dir) => {
       // streaming CEP: e34's automaton as mapGroupsWithState custom
       // state (O(keys) registers, never event history) — run here in
@@ -4518,6 +4546,10 @@ object SparkEntry {
     "d16_neardup_keepers" -> Dedup.nearDupKeepersSql(),
     "d17_span_dedup" -> Dedup.spanDedupSql(),
     "d18_span_scrub" -> Dedup.spanScrubSql(),
+    "st21_stream_dedup_idx" -> // streamed head == full rebuild over the
+      // evens (per-document signatures), so the probe shares d19's
+      // side-restricted mirror
+      Dedup.dedupAgainstIndexSql(oldFilter = "% 2 = 0", newFilter = "% 2 = 1"),
     "d19_dedup_index" -> // the full mirrored pipeline (seeded params,
       // banding, exact verify) with the candidate join restricted to
       // (historical evens) x (probed odds) — d3's no-assumed-recall rule
