@@ -261,6 +261,39 @@ class DedupSpec extends SparkSpec {
       s"probe must read committed index tables only, saw ${files.mkString(", ")}")
   }
 
+  test("persisted dedup index property: probe == cross-side batch slice on random corpora") {
+    // three random corpora with heavy shingle sharing (small vocab) — the
+    // hostile case for banding consistency across the index split
+    for (seed <- Seq(3, 17, 91)) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val docs = (1L to 30L).map(i =>
+        i -> Seq.fill(5 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      val d = docsDF(docs)
+      val root = java.nio.file.Files.createTempDirectory(s"graft-dedupidx-prop$seed").toString
+      Dedup.buildDedupIndex(d.filter(col("doc_id") % 2 === 0), root)
+      val probe = Dedup.dedupAgainstIndex(d.filter(col("doc_id") % 2 =!= 0), root)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+      val expected = Dedup.minHashLshPairs(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+        .collect {
+          case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (b, a, j)
+          case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (a, b, j)
+        }.sortBy(p => (p._1, p._2)).toSeq
+      assert(probe === expected, s"seed $seed diverged")
+    }
+  }
+
+  test("d19 probe plan: candidates come from an equi join — no cartesian, no nested loop") {
+    val docs = docsDF((1L to 20L).map(i => i -> s"w${i % 3} w${i % 5} w${i % 7} pad$i x y"))
+    val root = java.nio.file.Files.createTempDirectory("graft-dedupidx-plan").toString
+    Dedup.buildDedupIndex(docs.filter(col("doc_id") % 2 === 0), root)
+    val probe = Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 =!= 0), root)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the band probe must stay an equi join:\n" + plan)
+  }
+
   test("spanScrub: planted corpus-wide hot window — one survivor, no rank-window skew path") {
     // the round-11 documented residual: ONE phrase duplicated across the
     // whole corpus. The canonical pick must be a map-side-combined

@@ -181,6 +181,27 @@ class RetrievalSpec extends SparkSpec {
     assert(s0.length === 1 && s0.head.getLong(0) === h1.size.toLong)
   }
 
+  test("persisted BM25 property: any append split order equals the inline operator") {
+    // three-way split committed in two different orders — no trained
+    // component means every history must converge to the same index
+    val corpus = (1L to 45L).map { i =>
+      val words = (0 until (3 + (i % 8).toInt)).map(j => s"w${(i * 19 + j * 3) % 11}")
+      (i, (if (i % 6 == 0) "rare " else "") + words.mkString(" "))
+    }
+    val q = Seq("rare", "w2", "w7")
+    def rows(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inline = rows(Retrieval.bm25TopK(docs(corpus), q, k = 45))
+    val parts = Seq(
+      corpus.filter(_._1 % 3 == 0), corpus.filter(_._1 % 3 == 1), corpus.filter(_._1 % 3 == 2))
+    for ((order, tag) <- Seq(Seq(0, 1, 2) -> "fwd", Seq(2, 0, 1) -> "rot")) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-bm25prop-$tag").toString
+      Retrieval.buildBm25Index(docs(parts(order.head)), root)
+      order.tail.foreach(p => Retrieval.appendBm25Index(docs(parts(p)), root))
+      assert(rows(Retrieval.bm25TopKIndexed(spark, root, q, k = 45)) === inline,
+        s"split order $tag diverged from the inline operator")
+    }
+  }
+
   test("input guards reject bad queries loudly") {
     val d = docs(Seq((1L, "a b")))
     intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq.empty))
