@@ -3106,6 +3106,13 @@ object SparkEntry {
       // path) vs the exact distinct count it estimates — the incremental
       // COUNT(DISTINCT) surface exact aggregation can't maintain at 100 TB
       Sketches.kmvDistinctShingles(Tables.documents(s, dir))),
+    "t43_zipf_fit" -> ((s, dir) => // Zipf rank-frequency fit per lang
+      // (the natural-language-vs-templated-junk corpus-card statistic):
+      // distributed exact-integer counts/totals/top-N, then the OLS fit
+      // over nano-quantized logs runs on the driver's bounded
+      // langs x topN collect in BigInt; oracle = fully independent
+      // sequential mirror through the shared contract formula
+      graft.llm.TextOps.zipfStats(Tables.documents(s, dir))),
     "t42_kmv_setops" -> ((s, dir) => // KMV sketch SET OPERATIONS (theta
       // algebra): per-source k-minima over the hashed shingle universe,
       // then pairwise union/intersection/Jaccard estimates from the
@@ -5199,6 +5206,17 @@ object SparkEntry {
         // the ORDER-3 mirror: same output contract, independent backoff walk
         "t41_ngram_ppl" -> pplValues(ng))
     }
+    val zipfOracle: Map[String, String] = if (!want("t43_zipf_fit")) Map.empty else {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val rows = SequentialCorpus.zipfStats(docs)
+      Map("t43_zipf_fit" ->
+        s"""SELECT CAST(l AS VARCHAR) AS lang, CAST(n AS BIGINT) AS n_tokens,
+           |CAST(v AS BIGINT) AS vocab, CAST(nf AS BIGINT) AS n_fit, CAST(sl AS BIGINT) AS slope_e6
+           |FROM (VALUES ${rows.map { case (l, n, v, nf, sl) => s"('$l', $n, $v, $nf, $sl)" }.mkString(", ")}) AS t(l, n, v, nf, sl)
+           |ORDER BY lang""".stripMargin)
+    }
     val cepOracle: Map[String, String] = if (!(want("e34_event_pattern") || want("st20_stream_cep"))) Map.empty else {
       val evs = EventStreams.normalized(graft.Tables.events(spark, sfDir))
         .select(col("user_id").cast("long"), col("ts_us").cast("long"),
@@ -5224,7 +5242,7 @@ object SparkEntry {
            |ORDER BY vertex""".stripMargin)
     }
     (graphOracles ++ vecOracles ++ bpeOracles ++ dsirOracle ++ logRegOracle ++ ssspOracle ++
-      cepOracle ++ bm25Oracle ++ ccnetOracle ++ Map(
+      cepOracle ++ zipfOracle ++ bm25Oracle ++ ccnetOracle ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line

@@ -492,6 +492,25 @@ object SequentialCorpus {
     }.sortBy(_._1)
   }
 
+  /** Zipf-fit mirror of `TextOps.zipfStats` — own tokenizer, own counts,
+    * own `(freq desc, token)` ranking, the shared `zipfSlopeE6` contract
+    * formula from independently derived ranks. `docs` rows are
+    * `(doc_id, text, lang)`; returns `(lang, n_tokens, vocab, n_fit,
+    * slope_e6)` sorted by lang.
+    */
+  def zipfStats(docs: Seq[(Long, String, String)],
+                topN: Int = 100): Seq[(String, Long, Long, Long, Long)] = {
+    docs.groupBy(_._3).toSeq.map { case (lang, rows) =>
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      rows.foreach { case (_, text, _) => tokenize(text).foreach(counts(_) += 1L) }
+      val nTokens = counts.values.sum
+      val vocab = counts.size.toLong
+      val top = counts.toSeq.sortBy { case (t, f) => (-f, t) }.take(topN)
+      val rf = top.zipWithIndex.map { case ((_, f), i) => (i + 1, f) }
+      (lang, nTokens, vocab, rf.size.toLong, graft.llm.TextOps.zipfSlopeE6(rf))
+    }.sortBy(_._1)
+  }
+
   /** LM language-ID mirror of `Perplexity.lmLangId` — own tokenizer, own
     * md5 hash, own per-language count maps, the contract's smoothed
     * micro-quantized NLLs, arg-min with lexicographic tie-break and

@@ -699,6 +699,75 @@ object TextOps {
        |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token FROM documents)
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** Zipf rank–frequency fit per language — the corpus-card statistic
+    * that tells you whether a slice looks like natural language (slope
+    * ≈ −1 on log-log rank/frequency) or like templated/synthetic junk
+    * (flat or cliff-shaped): per lang, the OLS slope of
+    * `(ln rank, ln freq)` over the top-`topN` token frequencies, plus
+    * the exact token and vocabulary totals.
+    *
+    * Determinism contract: the heavy work (token counts, totals, the
+    * per-lang top-N under a `(freq desc, token)` total order) is
+    * distributed and exact-integer; the FIT runs on the DRIVER over the
+    * collected ≤ langs·topN rows (bounded by contract — the s9 codebook
+    * discipline), with each `ln` micro-quantized to integer nanos and
+    * the OLS closed form evaluated in BigInt, so `slope_e6` is the exact
+    * same integer the sequential mirror derives from its own counts.
+    * Returns `(lang, n_tokens, vocab, n_fit, slope_e6)` ordered by lang.
+    *
+    * Scale shape: one token-keyed count (map-side combined), one
+    * lang-keyed rollup, one WindowGroupLimit top-N — nothing
+    * corpus-sized collected; the fit input is topN rows per language by
+    * construction.
+    */
+  def zipfStats(docs: DataFrame, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"zipfStats: need topN >= 2 to fit a slope, got $topN")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+      .localCheckpoint(true) // totals + top-N both read it
+    val totals = tf.groupBy("lang")
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("f").desc, col("tok"))
+    val top = tf.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
+      .select("lang", "r", "f")
+      .collect() // ≤ langs·topN rows, by contract
+      .map(row => (row.getString(0), row.getInt(1), row.getLong(2)))
+    val slopes = top.groupBy(_._1).map { case (lang, rows) =>
+      lang -> zipfSlopeE6(rows.map { case (_, r, f) => (r, f) }.toSeq)
+    }
+    val nFit = top.groupBy(_._1).map { case (l, rs) => (l, rs.length.toLong) }
+    val fitDf = broadcast(slopes.toSeq.map { case (l, s) => (l, nFit(l), s) }
+      .toDF("lang", "n_fit", "slope_e6"))
+    totals.join(fitDf, "lang")
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("n_fit"), col("slope_e6"))
+      .orderBy("lang")
+  }
+
+  /** The shared Zipf-fit contract formula: OLS slope of nano-quantized
+    * `(ln rank, ln freq)` in exact BigInt, emitted in micro-units —
+    * `slope_e6 = (n·Σxy − Σx·Σy) · 1e6 div (n·Σxx − Σx²)` with
+    * `x = rint(1e9·ln r)`, `y = rint(1e9·ln f)`. Restated verbatim by
+    * the sequential mirror from its own independently-derived ranks.
+    */
+  def zipfSlopeE6(rankFreq: Seq[(Int, Long)]): Long = {
+    require(rankFreq.size >= 2, "zipf fit needs >= 2 points")
+    val pts = rankFreq.map { case (r, f) =>
+      (BigInt(math.rint(1e9 * math.log(r.toDouble)).toLong),
+        BigInt(math.rint(1e9 * math.log(f.toDouble)).toLong))
+    }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val den = n * sxx - sx * sx
+    require(den != 0, "zipf fit: degenerate rank axis")
+    ((n * sxy - sx * sy) * BigInt(1000000) / den).toLong
+  }
+
   // ----- PII scrubbing (t22) -------------------------------------------
 
   /** Email/phone patterns shared by both engines. Java regex and RE2 agree

@@ -10,6 +10,31 @@ class TextOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("zipfStats: a planted power law fits slope ~ -1; mirror equality on a random corpus") {
+    val s = spark
+    import s.implicits._
+    // token i appears floor(600/i) times -> rank-frequency is Zipf(1)
+    val zipfText = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"tok$i")).mkString(" ")
+    val planted = Seq((1L, zipfText, "en")).toDF("doc_id", "text", "lang")
+    val got = TextOps.zipfStats(planted, topN = 30).head()
+    val slope = got.getLong(4)
+    assert(math.abs(slope + 1000000L) < 60000L,
+      s"planted Zipf(1) corpus must fit slope ~ -1e6, got $slope")
+    assert(got.getLong(1) === (1 to 30).map(600 / _).sum.toLong)
+    assert(got.getLong(2) === 30L && got.getLong(3) === 30L)
+    // mirror equality on a messier random corpus, several languages
+    val rng = new scala.util.Random(23)
+    val rand = (1L to 40L).map { i =>
+      val lang = Seq("en", "de", "fr")((i % 3).toInt)
+      (i, Seq.fill(10 + rng.nextInt(30))(s"w${rng.nextInt(25)}").mkString(" "), lang)
+    }
+    val randDf = rand.toDF("doc_id", "text", "lang")
+    val eng = TextOps.zipfStats(randDf, topN = 15).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(eng === graft.llm.SequentialCorpus.zipfStats(rand, topN = 15))
+    intercept[IllegalArgumentException](TextOps.zipfStats(planted, topN = 1))
+  }
+
   test("textStats: token/char counts, TTR, punct and stopword ratios on a known text") {
     val r = TextOps.textStats(docsDF(Seq(1L -> "Hello, hello world!  42"))).head
     // tokens: hello, hello, world, 42
