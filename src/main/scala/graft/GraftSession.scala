@@ -83,7 +83,11 @@ object GraftSession {
           // (head / VERSION AS OF / log-stats-pruned range) from pure SQL
           "log_table" -> graft.plans.LogTvfs.read,
           "log_table_at" -> graft.plans.LogTvfs.asOf,
-          "log_table_range" -> graft.plans.LogTvfs.range
+          "log_table_range" -> graft.plans.LogTvfs.range,
+          // ...and WRITABLE from pure SQL: the statement commits at
+          // analysis and returns the resulting head (LogTvfs's contract)
+          "log_delete" -> graft.plans.LogTvfs.delete,
+          "log_merge" -> graft.plans.LogTvfs.mergeFrom
         ).foreach { case (name, builder) =>
           ext.injectTableFunction((
             FunctionIdentifier(name),

@@ -1459,6 +1459,36 @@ object SparkEntry {
            |FROM log_table_at('$tp', 'n_nationkey', 0)
            |ORDER BY snap""".stripMargin)
     }),
+    "q43_sql_write" -> ((s, dir) => {
+      // the SQL WRITE surface (round-12 Next #7 — q42 made commit-log
+      // tables SQL-readable; a SQL-only user still could not write):
+      // after the Scala-API setup commit, every WRITE here is a pure SQL
+      // statement — log_merge upserts a registered source view (the
+      // MERGE INTO shape), log_delete removes a key range file-granularly
+      // — and the final read goes back through log_table. The statements
+      // commit at analysis (the graph-TVF execution contract, documented
+      // on LogTvfs); SQL-vs-Scala-API equality is spec-asserted in
+      // CommitLogSpec.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sqlwrite-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir)
+      t.overwrite(ord.select(col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v")).repartitionByRange(8, col("k")))
+      ord.filter(col("o_orderkey") % 10 === 0)
+        .select((col("o_orderkey") + 1).cast("long").as("k"),
+          (col("o_custkey") + 7).cast("long").as("v"))
+        .createOrReplaceTempView("q43_src")
+      s.sql(s"SELECT COUNT(*) FROM log_merge('$tp', 'k', 'q43_src', 'k')").collect()
+      s.sql(s"SELECT COUNT(*) FROM log_delete('$tp', 'k', 1000, 5000)").collect()
+      s.sql(
+        s"""SELECT COUNT(*) AS n_rows, SUM(k) AS sum_k, SUM(v) AS sum_v
+           |FROM log_table('$tp', 'k')""".stripMargin)
+    }),
     "f22_log_delete" -> ((s, dir) => {
       // DELETE WHERE as a FILE-GRANULAR CoW commit (the Delta/Iceberg
       // row-level-delete shape): the orders table lands range-clustered
@@ -2504,6 +2534,37 @@ object SparkEntry {
       })
       Similarity.ivfTopKIndexed(s, idx)
     }),
+    "st22_stream_index_optimize" -> ((s, dir) => {
+      // the MAINTENANCE step the streamed-index loop was missing
+      // (round-12 verdict gap #4): st18's change-feed appends commit once
+      // per micro-batch and accrete small files; here the full production
+      // loop runs — stream appends, then OPTIMIZE (clustered compaction:
+      // the lists fold into few RANGE-partitioned-by-cid files, so probe
+      // file-pruning survives), then query. Content is byte-identical
+      // through the compaction commit (file-count drop + asOf history
+      // asserted in CommitLogSpec/StreamingSpec), so the probe shares
+      // st18's train-on-prefix oracle.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sivfopt-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("emb").toString
+      val t = new graft.operators.CommitTable(s, tp, "vec_id")
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      t.overwrite(emb.filter(col("vec_id") < 250))
+      t.append(emb.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 0))
+      t.append(emb.filter(col("vec_id") >= 250 && col("vec_id") % 2 =!= 0))
+      val idx = root.resolve("idx").toString
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
+        if (v == 0L) Similarity.buildIvfIndex(batch, idx)
+        else Similarity.appendIvfIndex(batch, idx)
+      })
+      new graft.operators.CommitTable(s, s"$idx/lists", "cid")
+        .compactClustered("cid", targetFiles = 4)
+      Similarity.ivfTopKIndexed(s, idx)
+    }),
     "st21_stream_dedup_idx" -> ((s, dir) => {
       // streamed DEDUP-index maintenance — the st18/st19 loop completing
       // the index family: the historical corpus lands in a commit-log
@@ -2965,6 +3026,25 @@ object SparkEntry {
       Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
       Similarity.ivfTopKIndexed(s, idx)
     }),
+    "s23_ivf_filtered" -> ((s, dir) => {
+      // FILTERED ANN over the persisted index (round-12 verdict gap #1 —
+      // production vector search is almost always predicated: "top-k
+      // similar AND lang = 'en' AND date > X"): the FAISS IDSelector
+      // shape, a predicate over the committed list rows applied INSIDE
+      // the probed lists BEFORE ranking — over-fetch + post-filter would
+      // break the k contract under a selective filter; this path keeps
+      // it. Same build configuration as s12, so the oracle is s3's
+      // mirror with the same candidate predicate.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-ivfflt-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
+      Similarity.ivfTopKIndexed(s, idx,
+        predicate = Some(col("vec_id") % 7 === 3))
+    }),
     "s13_pq_persisted" -> ((s, dir) => {
       // persisted PQ: the CODES (m bytes/vector — the corpus-sized
       // artifact s7 re-derives every call) land as a commit-log table
@@ -3270,6 +3350,28 @@ object SparkEntry {
       // vs 4 broadcast literal tables, zero shuffles); oracle = fully
       // independent sequential mirror with its own backoff recursion
       graft.llm.Perplexity.ngramScore(Tables.documents(s, dir))),
+    "t44_ngram5_ppl" -> ((s, dir) => // ORDER-5 CCNet parity (round-12
+      // Next #5 — the published CCNet recipe scores with a 5-gram
+      // KenLM): t41's hashed stupid-backoff chain extended to order 5,
+      // same row-local scoring shape (one when-chain per token against
+      // 6 broadcast literal tables); oracle = the independent recursive
+      // order-N mirror
+      graft.llm.Perplexity.ngramScore(Tables.documents(s, dir), order = 5)),
+    "t45_quantile_sketch" -> ((s, dir) => {
+      // ADAPTIVE mergeable quantile sketch (round-12 Next #6 — the
+      // adaptive-accuracy sketch t15's fixed grid names as the real
+      // thing): nested hash-Bernoulli levels, retention a pure function
+      // of uid — so the merge law is EXACT, and this gate RUNS it: the
+      // sketch is built from two disjoint halves and MERGED, while the
+      // DuckDB mirror builds one sketch directly over the whole table;
+      // hash-equality of the two IS merge(a,b) == sketch(a ∪ b).
+      val base = Tables.orders(s, dir).select(col("o_orderkey").as("uid"),
+        floor(col("o_totalprice")).cast("long").as("val"))
+      val sk = graft.llm.Sketches.mergeQuantileSketches(
+        graft.llm.Sketches.adaptiveQuantileSketch(base.filter(col("uid") % 2 === 0)),
+        graft.llm.Sketches.adaptiveQuantileSketch(base.filter(col("uid") % 2 =!= 0)))
+      graft.llm.Sketches.sketchQuantiles(sk, Seq(250000L, 500000L, 900000L))
+    }),
     "t36_sentence_stats" -> ((s, dir) => // sentence segmentation stats
       // ([.!?]+ splits, trimmed, empties dropped): discourse-shape
       // quality signals the flat token ratios can't see; row-local array
@@ -3873,6 +3975,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'v0', COUNT(*), SUM(n_nationkey)::BIGINT FROM nation WHERE n_nationkey < 10
         |ORDER BY snap""".stripMargin,
+    "q43_sql_write" -> // the merge+delete change set restated relationally:
+      // upserts replace matching base keys, then the key range drops out
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
+        |src AS (SELECT o_orderkey + 1 AS k, o_custkey + 7 AS v FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM src)
+        |           UNION ALL SELECT k, v FROM src),
+        |final AS (SELECT k, v FROM merged WHERE k < 1000 OR k > 5000)
+        |SELECT COUNT(*) AS n_rows, SUM(k)::BIGINT AS sum_k, SUM(v)::BIGINT AS sum_v
+        |FROM final""".stripMargin,
     "f22_log_delete" -> // head excludes the deleted key range; v0 intact
       """SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS n_rows,
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS sum_key,
@@ -4585,6 +4696,9 @@ object SparkEntry {
       // bit-for-bit (same training configuration, parquet round-trips
       // doubles exactly), so the persisted path shares s3's full mirror
       Similarity.ivfTopKSql(),
+    "s23_ivf_filtered" -> // the IDSelector predicate restricts CANDIDATES
+      // inside the probed lists on both engines; queries are unfiltered
+      Similarity.ivfTopKSql(candFilter = "vec_id % 7 = 3"),
     "s13_pq_persisted" -> // committed codes reproduce pqTopK bit-for-bit
       Similarity.pqTopKSql(),
     "s14_ivf_append" -> // train on the vec_id<250 prefix, assign ALL:
@@ -4595,6 +4709,10 @@ object SparkEntry {
       // add-after-train index at the head (same v0 training prefix,
       // fixed-codebook assignment per discovered version), so the query
       // shares its train-on-prefix mirror
+      Similarity.ivfTopKSql(trainFilter = "vec_id < 250"),
+    "st22_stream_index_optimize" -> // the clustered compaction commit is
+      // content-preserving, so the post-OPTIMIZE probe still matches
+      // st18's streamed add-after-train mirror
       Similarity.ivfTopKSql(trainFilter = "vec_id < 250"),
     "s20_ivfpq" -> // the composed FAISS-IVFPQ pipeline: coarse k-means
       // assignment + per-subspace codes + integer ADC inside the probed
@@ -4655,6 +4773,10 @@ object SparkEntry {
     "t42_kmv_setops" -> // the identical union/intersect sketch algebra in
       // HUGEINT over ranked-window per-source sketches
       Sketches.kmvSetOpsSql(),
+    "t45_quantile_sketch" -> // the mirror builds ONE sketch over the whole
+      // table; the gate merges two half-sketches — equality is the exact
+      // merge law
+      Sketches.adaptiveQuantilesSql(),
     "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
     "t20_countmin_hh" -> Sketches.countMinHeavyHittersSql(),
     "t21_bigram_logprob" -> TextOps.bigramLogProbSql,
@@ -5174,7 +5296,7 @@ object SparkEntry {
                |SELECT doc_id, rrf_e6 FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin)
           .filter { case (kk, _) => want(kk) }
       }
-    val ccnetOracle: Map[String, String] = if (!(want("t38_ccnet_ppl") || want("t40_lm_langid") || want("t41_ngram_ppl"))) Map.empty else {
+    val ccnetOracle: Map[String, String] = if (!(want("t38_ccnet_ppl") || want("t40_lm_langid") || want("t41_ngram_ppl") || want("t44_ngram5_ppl"))) Map.empty else {
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("long"), col("text"), col("lang"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
@@ -5201,10 +5323,13 @@ object SparkEntry {
              |ORDER BY doc_id""".stripMargin
       val sc = if (want("t38_ccnet_ppl")) SequentialCorpus.ccnetScores(docs) else Nil
       val ng = if (want("t41_ngram_ppl")) SequentialCorpus.ngramScores(docs) else Nil
+      val ng5 = if (want("t44_ngram5_ppl")) SequentialCorpus.ngramScoresN(docs, 5) else Nil
       li ++ Map(
         "t38_ccnet_ppl" -> pplValues(sc),
         // the ORDER-3 mirror: same output contract, independent backoff walk
-        "t41_ngram_ppl" -> pplValues(ng))
+        "t41_ngram_ppl" -> pplValues(ng),
+        // the ORDER-5 mirror: the same recursive walk generalized
+        "t44_ngram5_ppl" -> pplValues(ng5))
     }
     val zipfOracle: Map[String, String] = if (!want("t43_zipf_fit")) Map.empty else {
       val docs = graft.Tables.documents(spark, sfDir)
@@ -5214,7 +5339,7 @@ object SparkEntry {
       Map("t43_zipf_fit" ->
         s"""SELECT CAST(l AS VARCHAR) AS lang, CAST(n AS BIGINT) AS n_tokens,
            |CAST(v AS BIGINT) AS vocab, CAST(nf AS BIGINT) AS n_fit, CAST(sl AS BIGINT) AS slope_e6
-           |FROM (VALUES ${rows.map { case (l, n, v, nf, sl) => s"('$l', $n, $v, $nf, $sl)" }.mkString(", ")}) AS t(l, n, v, nf, sl)
+           |FROM (VALUES ${rows.map { case (l, n, v, nf, sl) => s"('$l', $n, $v, $nf, ${sl.map(_.toString).getOrElse("NULL")})" }.mkString(", ")}) AS t(l, n, v, nf, sl)
            |ORDER BY lang""".stripMargin)
     }
     val cepOracle: Map[String, String] = if (!(want("e34_event_pattern") || want("st20_stream_cep"))) Map.empty else {

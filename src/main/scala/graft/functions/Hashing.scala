@@ -25,6 +25,18 @@ object Hashing {
   /** SQL fragment computing [[hash60]] in DuckDB over expression `x`. */
   def hash60Sql(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
+  /** Driver-side twin of [[hash60]] (same md5-prefix formula, evaluated on
+    * a plain String): lets the PLANNER know a term's hash before any job
+    * runs — e.g. to file-prune a th-clustered postings table from the
+    * commit log's per-file stats ([[graft.llm.Retrieval.bm25TopKIndexed]]).
+    */
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Mersenne prime 2^31 - 1: modulus for MinHash's universal-hash family
     * `h(x) = (a*x + b) mod P`. With x reduced mod P first, `a*x` stays below
     * 2^62 — no Long overflow, in either engine.

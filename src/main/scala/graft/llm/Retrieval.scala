@@ -156,15 +156,26 @@ object Retrieval {
       .overwrite(postings)
   }
 
-  /** `(t, doc_id, dl, tf, th)` postings rows, term-clustered. `th` is the
-    * term's 60-bit hash — the commit log's per-file stats column (the log
-    * records long min/max per file; parquet's own string min/max on `t`
-    * additionally serves the query's `t IN (...)` pushdown). */
-  private def bm25Postings(base: DataFrame): DataFrame = base
-    .select(col("doc_id"), col("dl"), explode(col("ws")).as("t"))
-    .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-    .withColumn("th", Hashing.hash60(col("t")))
-    .repartition(col("t"))
+  /** `(t, doc_id, dl, tf, th)` postings rows, RANGE-clustered by the term
+    * hash `th` (ties broken by `t`): each parquet file covers a narrow
+    * `[min th, max th]` window, so the commit log's per-file long stats on
+    * `th` genuinely skip files for a point lookup — a hash-partitioned
+    * layout would scatter every file's th span across the full range and
+    * the stats would never prune. Within a file, rows are term-runs (the
+    * th sort), so parquet's own min/max on `t` additionally serves the
+    * residual `t = ...` predicate. */
+  private def bm25Postings(base: DataFrame): DataFrame = {
+    // EXPLICIT partition count: an AQE-coalescible exchange (no count)
+    // would fold a small build into one file and no stats window could
+    // prune; the session's shuffle-partition setting is the deployment's
+    // chosen write width
+    val n = base.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    base
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("t"))
+      .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("th", Hashing.hash60(col("t")))
+      .repartitionByRange(n, col("th"), col("t"))
+  }
 
   /** Incrementally extends a persisted BM25 index with NEW documents
     * (caller contract: doc_ids disjoint from every earlier commit, the
@@ -190,12 +201,16 @@ object Retrieval {
 
   /** Queries a persisted BM25 index with ZERO corpus-stats jobs: corpus
     * size and total length come from summing the (commit-count-sized)
-    * stats table, df(t) from counting the TERM-PRUNED postings read, and
-    * scoring streams that same pruned read — the raw document table is not
-    * an input at all (inputFiles-asserted in RetrievalSpec: every file the
-    * query touches lives under the committed index). Bit-identical to
-    * [[bm25TopK]] over the same corpus (shared [[scoreTf]] tail + identical
-    * df/idf derivation), so it shares t37's oracle.
+    * stats table; the postings read is FILE-PRUNED FROM THE LOG before any
+    * job is planned — each query term's [[Hashing.hash60]] is computed on
+    * the driver and only files whose committed `[min th, max th]` stats
+    * cover it are handed to the reader (the th-range-clustered layout
+    * [[bm25Postings]] writes makes those windows narrow; pruning is
+    * inputFiles-asserted in RetrievalSpec). df(t) then counts that same
+    * pruned read (≤ |q| driver rows), scoring streams it, and the raw
+    * document table is not an input at all. Bit-identical to [[bm25TopK]]
+    * over the same corpus (shared [[scoreTf]] tail + identical df/idf
+    * derivation), so it shares t37's oracle.
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                       queryTerms: Seq[String], k: Int = 10,
@@ -213,8 +228,15 @@ object Retrieval {
     val n = statsRow.getLong(0)
     val sumDl = statsRow.getLong(1)
     require(n > 0, "bm25TopKIndexed: committed index covers no non-empty documents")
-    val pruned = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
-      .read().filter(col("t").isin(queryTerms: _*))
+    // per-term log-stats point lookups: hash60(term) is known on the driver,
+    // so each term reads ONLY the files whose committed th-window covers its
+    // hash; the residual t = term filter covers hash collisions inside a
+    // window. Terms are disjoint filters, so the union has no duplicates.
+    val postings = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
+    val pruned = queryTerms.map { t =>
+        val h = Hashing.hash60(t)
+        postings.prunedRead(h, h).filter(col("t") === t)
+      }.reduce(_ unionByName _)
     // df(t) = posting count of t, read off the SAME pruned scan that feeds
     // scoring — ≤ |q| rows to the driver, by contract
     val dfMap: Map[String, Long] = pruned

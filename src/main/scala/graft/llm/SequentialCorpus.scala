@@ -492,6 +492,54 @@ object SequentialCorpus {
     }.sortBy(_._1)
   }
 
+  /** Order-N stupid-backoff mirror (t44's oracle at `order = 5`): the
+    * same contract as [[ngramScores]] generalized to any order, restated
+    * as a plain RECURSIVE backoff walk over slice-built grams — a
+    * deliberately different code shape from the engine's flattened
+    * when-chain over hashed broadcast arrays.
+    */
+  def ngramScoresN(docs: Seq[(Long, String, String)], order: Int,
+                   refLang: String = "en", buckets: Int = 1024,
+                   headE6: Long = 760000L,
+                   tailE6: Long = 830000L): Seq[(Long, Long, Long, String)] = {
+    require(order >= 2, s"ngram mirror: order must be >= 2, got $order")
+    def h(s: String): Int = (hash60(s) % buckets).toInt
+    val cnt = Array.fill(order + 1)(
+      scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L))
+    val perDoc = docs.map { case (id, text, lang) =>
+      val ws = tokenize(text)
+      if (lang == refLang) ws.indices.foreach { i =>
+        (1 to order).foreach { o =>
+          if (i >= o - 1) cnt(o)(h(ws.slice(i - o + 1, i + 1).mkString(" "))) += 1
+        }
+      }
+      (id, ws)
+    }
+    val tot1 = cnt(1).values.sum
+    require(tot1 > 0, s"ngram mirror: no tokens in reference slice lang=$refLang")
+    val B = graft.llm.Perplexity.StupidBackoffE6
+    def lc(c: Long): Long = math.rint(1e6 * math.log(c.toDouble)).toLong
+    def nlp1(b: Int): Long = math.rint(-1e6 * math.log((c1N(b) + 1.0) / (tot1 + buckets))).toLong
+    def c1N(b: Int): Long = cnt(1)(b)
+    perDoc.collect { case (id, ws) if ws.nonEmpty =>
+      val nll = ws.indices.foldLeft(0L) { (acc, i) =>
+        val start = math.min(i + 1, order)
+        def walk(o: Int): Long =
+          if (o == 1) (start - 1).toLong * B + nlp1(h(ws(i)))
+          else {
+            val cg = if (i >= o - 1) cnt(o)(h(ws.slice(i - o + 1, i + 1).mkString(" "))) else 0L
+            val cc = if (i >= o - 1) cnt(o - 1)(h(ws.slice(i - o + 1, i).mkString(" "))) else 0L
+            if (cg > 0 && cc > 0) (start - o).toLong * B + lc(cc) - lc(cg)
+            else walk(o - 1)
+          }
+        acc + walk(order)
+      }
+      val npt = nll / ws.size
+      val bucket = if (npt < headE6) "head" else if (npt < tailE6) "middle" else "tail"
+      (id, ws.size.toLong, npt, bucket)
+    }.sortBy(_._1)
+  }
+
   /** Zipf-fit mirror of `TextOps.zipfStats` — own tokenizer, own counts,
     * own `(freq desc, token)` ranking, the shared `zipfSlopeE6` contract
     * formula from independently derived ranks. `docs` rows are
@@ -499,7 +547,7 @@ object SequentialCorpus {
     * slope_e6)` sorted by lang.
     */
   def zipfStats(docs: Seq[(Long, String, String)],
-                topN: Int = 100): Seq[(String, Long, Long, Long, Long)] = {
+                topN: Int = 100): Seq[(String, Long, Long, Long, Option[Long])] = {
     docs.groupBy(_._3).toSeq.map { case (lang, rows) =>
       val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
       rows.foreach { case (_, text, _) => tokenize(text).foreach(counts(_) += 1L) }
@@ -507,7 +555,9 @@ object SequentialCorpus {
       val vocab = counts.size.toLong
       val top = counts.toSeq.sortBy { case (t, f) => (-f, t) }.take(topN)
       val rf = top.zipWithIndex.map { case ((_, f), i) => (i + 1, f) }
-      (lang, nTokens, vocab, rf.size.toLong, graft.llm.TextOps.zipfSlopeE6(rf))
+      // a single rank point can't be fitted: NULL slope, never a throw
+      val slope = if (rf.size >= 2) Some(graft.llm.TextOps.zipfSlopeE6(rf)) else None
+      (lang, nTokens, vocab, rf.size.toLong, slope)
     }.sortBy(_._1)
   }
 

@@ -533,6 +533,17 @@ object Similarity {
     ivfProbe(assignments, centroids, numQueries, k, nprobe)
   }
 
+  /** Explicit write width for index lists tables: an AQE-coalescible
+    * exchange (no explicit count) folds a small build into ONE file, and
+    * then the commit log's per-file cid stats can never prune a probe.
+    * The session's shuffle-partition setting is the deployment's chosen
+    * width; the RANGE clustering on (cid, vec_id) gives each file a
+    * narrow [min cid, max cid] stats window — a hash exchange would
+    * scatter every file's window across the full cid range and the
+    * stats could never cut the file list. */
+  private def listWriteWidth(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** (vec_id, e, nrm) projection every IVF path starts from. */
   private def ivfVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -593,9 +604,14 @@ object Similarity {
 
   /** Probe phase shared by [[ivfTopK]] and [[ivfTopKIndexed]]: each query
     * fans out to its nprobe best lists, exact re-rank inside them.
-    * `assignments` must carry (vec_id, e, nrm, cid). */
+    * `assignments` must carry (vec_id, e, nrm, cid). `keep` (the FAISS
+    * IDSelector shape) filters CANDIDATES inside the probed lists BEFORE
+    * ranking — so the full k survives an arbitrarily selective predicate
+    * (post-filtering a top-k would not); queries are never filtered. */
   private def ivfProbe(assignments: DataFrame, centroids: Array[Array[Double]],
-                       numQueries: Int, k: Int, nprobe: Int): DataFrame = {
+                       numQueries: Int, k: Int, nprobe: Int,
+                       keep: Option[Column] = None,
+                       candidates: Option[DataFrame] = None): DataFrame = {
     val sortedCids = {
       // array_sort on (score, cid) structs ascending; take the top slice
       val scored = (0 until centroids.length).map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
@@ -609,7 +625,9 @@ object Similarity {
     // materialize the (bounded: numQueries × nprobe × N/nlist) candidate
     // set once — the window sort below would otherwise re-plan the join
     // subtree through every AQE stage
-    val scoredPairs = broadcast(queries).join(assignments, col("probe_cid") === col("cid"))
+    val candSrc = candidates.getOrElse(assignments)
+    val candKept = keep.fold(candSrc)(candSrc.filter)
+    val scoredPairs = broadcast(queries).join(candKept, col("probe_cid") === col("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
       .select("query_id", "vec_id", "cos")
@@ -652,7 +670,7 @@ object Similarity {
     val lists = v.select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
       .withColumn("cid", ivfArgmaxCid(centroids.length))
       .select("vec_id", "e", "nrm", "cid")
-      .repartition(col("cid"))
+      .repartitionByRange(listWriteWidth(spark), col("cid"), col("vec_id"))
     new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
       .overwrite(lists)
   }
@@ -663,12 +681,52 @@ object Similarity {
     * committed parquet, and the rest is exactly [[ivfTopK]]'s probe phase —
     * so results are bit-identical to a fresh `ivfTopK` at the same build
     * configuration (asserted in SimilaritySpec) and the oracle is shared.
+    *
+    * `predicate` (round-12 verdict gap #1 — production vector search is
+    * almost always predicated) is the FAISS IDSelector shape: a filter
+    * over the committed list rows (vec_id / cid are the stored columns),
+    * applied INSIDE the probed lists before ranking, so the result still
+    * carries k rows per query under a selective filter where over-fetch +
+    * post-filter would come up short. Attribute predicates join their
+    * attribute table onto vec_id first and pass the resulting id set (an
+    * `isin`/join-pruned column works the same way). File pruning is
+    * unchanged: only probed lists' files are read (cid stats), and the
+    * predicate pushes into that scan.
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
-                     numQueries: Int = 20, k: Int = 5, nprobe: Int = 4): DataFrame = {
+                     numQueries: Int = 20, k: Int = 5, nprobe: Int = 4,
+                     predicate: Option[Column] = None): DataFrame = {
     val centroids = readIvfCodebook(spark, indexRoot)
-    val assignments = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").read()
-    ivfProbe(assignments, centroids, numQueries, k, nprobe)
+    val table = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
+    val assignments = table.read()
+    val (cids, cand) = probedLists(table, assignments, centroids, numQueries, nprobe)
+    ivfProbe(assignments, centroids, numQueries, k, nprobe,
+      keep = predicate, candidates = Some(cand.filter(col("cid").isin(cids: _*))))
+  }
+
+  /** The candidate-side read of a probed index query, CUT AT THE FILE
+    * LIST: the queries' probe cids are computed first (one scan of the
+    * query rows, collecting ≤ numQueries·nprobe ints by contract — the
+    * codebook-read discipline), and the lists table is then re-opened
+    * through [[graft.operators.CommitTable.prunedReadIn]], so files whose
+    * committed [min cid, max cid] stats cover no probed list NEVER reach
+    * the reader (the range-clustered layout keeps those windows narrow).
+    * A broadcast join alone cannot do this — join keys prune rows, not
+    * files. Exposed `private[graft]` so the spec asserts the cut on the
+    * very scan the operator uses. */
+  private[graft] def probedLists(table: graft.operators.CommitTable,
+                                 assignments: DataFrame,
+                                 centroids: Array[Array[Double]],
+                                 numQueries: Int, nprobe: Int): (Seq[Long], DataFrame) = {
+    val sortedCids = {
+      val scored = centroids.indices.map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
+      slice(reverse(array_sort(array(scored: _*))), 1, nprobe).getField("cid")
+    }
+    val cids = assignments.filter(col("vec_id") < numQueries)
+      .select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
+      .select(explode(sortedCids).as("cid")).distinct()
+      .collect().map(_.getInt(0).toLong).toSeq.sorted
+    (cids, table.prunedReadIn(cids))
   }
 
   /** The committed codebook head: nlist × dim by the IVF contract — a
@@ -697,7 +755,7 @@ object Similarity {
     val lists = v.select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
       .withColumn("cid", ivfArgmaxCid(centroids.length))
       .select("vec_id", "e", "nrm", "cid")
-      .repartition(col("cid"))
+      .repartitionByRange(listWriteWidth(spark), col("cid"), col("vec_id"))
     new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").append(lists)
   }
 
@@ -774,7 +832,7 @@ object Similarity {
     val assigned = v.select(col("vec_id") +: col("e") +: ivfCentroidScores(centroids): _*)
       .withColumn("cid", ivfArgmaxCid(centroids.length))
     val lists = pqEncode(assigned, cb, dsub, carry = Seq("cid"))
-      .repartition(col("cid"))
+      .repartitionByRange(listWriteWidth(spark), col("cid"), col("vec_id"))
     new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
       .overwrite(lists)
   }
@@ -787,10 +845,15 @@ object Similarity {
     * through a broadcast candidate join (the s13 discipline: the float
     * table is never materialized). `(query_id, neighbor_id, rank,
     * cos_1e6)`, oracle = [[ivfPqTopKSql]]'s full composed mirror.
+    *
+    * `predicate` is [[ivfTopKIndexed]]'s IDSelector shape applied to the
+    * committed code rows (vec_id / cid) BEFORE the ADC ranking — so all
+    * k·candFactor ADC slots go to predicate-passing candidates and the
+    * exact re-rank still returns k rows under a selective filter.
     */
   def ivfPqTopKIndexed(emb: DataFrame, indexRoot: String, numQueries: Int = 20,
                        k: Int = 5, nprobe: Int = 4, candFactor: Int = 3,
-                       dim: Int = 64): DataFrame = {
+                       dim: Int = 64, predicate: Option[Column] = None): DataFrame = {
     val spark = emb.sparkSession
     val centroids = readIvfCodebook(spark, indexRoot)
     val cb = readPqCodebook(spark, s"$indexRoot/pqcodebook")
@@ -798,7 +861,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
     val dsub = dim / m
     val kEff = cb(0).length
-    val lists = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").read()
+    val listsTable = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
     val v = ivfVectors(emb) // LAZY: query slice + broadcast-probed re-rank only
     // query side: nprobe best lists (ivfProbe's selection) + the ADC LUT
     val sortedCids = {
@@ -821,9 +884,18 @@ object Similarity {
       element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val cw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    // the probed-cid set is ≤ numQueries·nprobe ints by contract: collect
+    // it and CUT THE FILE LIST from the log's per-file cid stats before
+    // any code row is read (probedLists' discipline — a broadcast join
+    // prunes rows, never files)
+    val probeCidSeq = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0).toLong).toSeq.sorted
+    val lists = listsTable.prunedReadIn(probeCidSeq)
+      .filter(col("cid").isin(probeCidSeq: _*))
     // each vector lives in exactly ONE list and probe cids are distinct, so
     // every (query, vec) pair surfaces at most once — no dedup needed
-    val cand = lists.join(broadcast(probes), col("cid") === col("probe_cid"))
+    val keptLists = predicate.fold(lists)(lists.filter)
+    val cand = keptLists.join(broadcast(probes), col("cid") === col("probe_cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adcCol)
       .withColumn("crank", row_number().over(cw))
@@ -857,7 +929,7 @@ object Similarity {
     val assigned = v.select(col("vec_id") +: col("e") +: ivfCentroidScores(centroids): _*)
       .withColumn("cid", ivfArgmaxCid(centroids.length))
     val lists = pqEncode(assigned, cb, dim / cb.length, carry = Seq("cid"))
-      .repartition(col("cid"))
+      .repartitionByRange(listWriteWidth(spark), col("cid"), col("vec_id"))
     new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").append(lists)
   }
 
@@ -1183,11 +1255,15 @@ object Similarity {
     * to the HIGHER centroid id, matching Spark's max-of-structs ordering),
     * same per-dimension-mean update floored to the 1e-6 grain the operator
     * quantizes at, same empty-cluster keep-raw-seed rule (COALESCE), same
-    * nprobe probe-list selection, same exact re-rank.
+    * nprobe probe-list selection, same exact re-rank. `candFilter`
+    * mirrors the engine's IDSelector predicate: a boolean SQL expression
+    * written over the bare `vec_id`, applied to CANDIDATES inside the
+    * probed lists before ranking (qualified onto the candidate side here).
     */
   def ivfTopKSql(numQueries: Int = 20, k: Int = 5,
                  nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
-                 trainFilter: String = "TRUE"): String =
+                 trainFilter: String = "TRUE",
+                 candFilter: String = "TRUE"): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
@@ -1218,7 +1294,8 @@ object Similarity {
        |             FROM scores WHERE vec_id < $numQueries) WHERE rn <= $nprobe),
        |pairs AS (SELECT p.query_id, a.vec_id,
        |                 list_dot_product(a.e, p.qe) / (a.nrm * p.qn) AS cos
-       |          FROM probes p JOIN assign a ON a.cid = p.probe_cid AND a.vec_id <> p.query_id),
+       |          FROM probes p JOIN assign a ON a.cid = p.probe_cid AND a.vec_id <> p.query_id
+       |          WHERE ${candFilter.replace("vec_id", "a.vec_id")}),
        |r AS (SELECT query_id, vec_id,
        |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
        |             cos

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{Aggregators, Hashing}
 
@@ -117,6 +117,129 @@ object Sketches {
        |  (MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * $binWidth)::BIGINT AS p50_edge,
        |  (MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END) * $binWidth)::BIGINT AS p90_edge
        |FROM cum GROUP BY prio ORDER BY prio""".stripMargin
+
+  // ----- adaptive mergeable quantile sketch (t45) -----------------------
+
+  /** Builds the ADAPTIVE mergeable quantile sketch over `(uid, val)` rows —
+    * the adaptive-accuracy sketch [[histogramQuantiles]]'s own doc comment
+    * names as the production form (its fixed grid has unbounded error on
+    * skewed ranges; this sketch's rank error is O(1/√k) regardless of the
+    * value distribution).
+    *
+    * Construction (Flajolet 1990 "On adaptive sampling" / Wegman's nested
+    * Bernoulli levels, applied to rank estimation): each row's retention
+    * is decided SOLELY by its uid's hash — `z(uid)` = trailing-zero count
+    * of [[Hashing.hash60]], and the sketch keeps rows with `z >= level`
+    * (a 2^-level hash-Bernoulli sample, each carrying weight 2^level),
+    * where `level` is the smallest value whose retained count fits the
+    * budget `k`. KLL/t-digest reach the same adaptive accuracy with a
+    * compactor hierarchy, but their retained set depends on arrival/merge
+    * ORDER — not oracle-checkable and `merge(a,b) != sketch(a∪b)` in
+    * general. The nested-hash-level form trades a constant factor of
+    * accuracy for three properties this engine's contract wants:
+    * order-independence (retention is a pure function of uid),
+    * determinism (DuckDB restates the whole pipeline bit-for-bit), and an
+    * EXACT merge law — `{z >= l}` is nested in `{z >= l'}` for `l >= l'`,
+    * so re-leveling the union of two sketches yields EXACTLY the sketch
+    * of the unioned input ([[mergeQuantileSketches]], spec-asserted).
+    *
+    * Scale shape: one scan to the ≤ 61-row z-histogram (map-side
+    * combined; the driver picks the level from it), one filtered scan for
+    * the retained rows. Nothing corpus-sized is collected, sorted, or
+    * checkpointed; when n <= k the level is 0 and the sketch is the exact
+    * multiset. Returns `(val, z, level)` rows (≤ k by construction).
+    */
+  def adaptiveQuantileSketch(rows: DataFrame, k: Int = 256): DataFrame = {
+    require(k > 0, s"adaptiveQuantileSketch: k must be positive, got $k")
+    val base = rows.select(col("val").cast("long").as("val"),
+      zTrailing(Hashing.hash60(col("uid").cast("string"))).as("z"))
+    val zCounts = base.groupBy("z").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq // ≤ 61 rows
+    val level = chooseLevel(zCounts, k, floorLevel = 0)
+    base.filter(col("z") >= level).withColumn("level", lit(level))
+  }
+
+  /** Merges two sketches into EXACTLY the sketch of the unioned input:
+    * unions the retained rows, re-picks the level from the union's
+    * z-histogram starting at the inputs' max level (below it the true
+    * counts provably exceeded k — that is why each sketch's own level was
+    * where it was), and re-filters. Associative and commutative; the
+    * daily-increment story of t14's KMV for quantiles.
+    */
+  def mergeQuantileSketches(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    require(k > 0, s"mergeQuantileSketches: k must be positive, got $k")
+    val u = a.select("val", "z", "level").unionByName(b.select("val", "z", "level"))
+    val parts = u.groupBy("z").agg(count(lit(1)).as("c"), max("level").as("ml"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq // ≤ 61 rows
+    val floorLevel = if (parts.isEmpty) 0 else parts.map(_._3).max
+    val level = chooseLevel(parts.map(p => (p._1, p._2)), k, floorLevel)
+    u.select("val", "z").filter(col("z") >= level).withColumn("level", lit(level))
+  }
+
+  /** Quantile readout from a sketch: for each requested ppm rank the
+    * estimate is the retained value at weighted rank `ceil(q·n_ret)`
+    * (constant weights make the weighted rank a plain row rank; the
+    * integer form `rn·1e6 >= q_ppm·n_ret` avoids the division). Returns
+    * `(q_ppm, level, n_ret, n_est, est_val)` ordered by q_ppm —
+    * `n_est = n_ret·2^level` is the sketch's own size estimate of the
+    * underlying multiset. The sort is over ≤ k retained rows by contract.
+    */
+  def sketchQuantiles(sketch: DataFrame, qPpms: Seq[Long]): DataFrame = {
+    require(qPpms.nonEmpty && qPpms.forall(q => q > 0 && q <= 1000000L),
+      s"sketchQuantiles: q_ppm values must be in (0, 1e6], got $qPpms")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sketch
+      .withColumn("rn", row_number().over(Window.orderBy("val", "z")))
+      .withColumn("n_ret", count(lit(1)).over(Window.partitionBy()))
+    ranked.crossJoin(broadcast(qPpms.toDF("q_ppm")))
+      .groupBy("q_ppm")
+      .agg(max(col("level")).cast("long").as("level"),
+        max(col("n_ret")).as("n_ret"),
+        min(when(col("rn") * 1000000L >= col("q_ppm") * col("n_ret"), col("val"))).as("est_val"))
+      .select(col("q_ppm"), col("level"), col("n_ret"),
+        expr("n_ret * CAST(power(2, level) AS BIGINT)").as("n_est"), col("est_val"))
+      .orderBy("q_ppm")
+  }
+
+  /** Trailing-zero count of a 60-bit hash, codegen'd from built-ins:
+    * `h & -h` isolates the lowest set bit (2^z), so `bit_count(2^z - 1)`
+    * counts exactly z ones; h = 0 yields bit_count(-1) = 64, capped to
+    * 60. The identical expression runs in DuckDB. */
+  private def zTrailing(h: Column): Column =
+    least(bit_count(h.bitwiseAND(-h) - 1), lit(60)).cast("int")
+
+  /** Smallest level >= floorLevel whose `z >= level` population fits k.
+    * The z-histogram is ≤ 61 rows by construction — a driver decision,
+    * like the IVF codebook. */
+  private def chooseLevel(zCounts: Seq[(Int, Long)], k: Int, floorLevel: Int): Int =
+    (floorLevel to 60).find(l => zCounts.collect { case (z, c) if z >= l => c }.sum <= k)
+      .getOrElse(throw new IllegalStateException(
+        "adaptive sketch: no level <= 60 fits the budget — k too small for the corpus"))
+
+  /** DuckDB mirror of the full sketch pipeline over `orders`
+    * (uid = o_orderkey, val = floor(o_totalprice)): same hash, same
+    * trailing-zero levels, same smallest-fitting-level rule, same integer
+    * rank readout. The gate builds its sketch from two MERGED halves; the
+    * mirror builds one directly — their equality IS the exact-merge law.
+    */
+  def adaptiveQuantilesSql(k: Int = 256, qPpms: Seq[Long] = Seq(250000L, 500000L, 900000L)): String =
+    s"""WITH v AS (SELECT o_orderkey AS uid, CAST(floor(o_totalprice) AS BIGINT) AS val FROM orders),
+       |hz AS (SELECT val, LEAST(bit_count((hh & -hh) - 1), 60) AS z
+       |       FROM (SELECT val, ${Hashing.hash60Sql("CAST(uid AS VARCHAR)")} AS hh FROM v)),
+       |lv AS (SELECT MIN(t.l) AS level FROM range(0, 61) t(l)
+       |       WHERE (SELECT COUNT(*) FROM hz WHERE hz.z >= t.l) <= $k),
+       |ret AS (SELECT hz.val, hz.z, lv.level FROM hz, lv WHERE hz.z >= lv.level),
+       |rk AS (SELECT val, level, row_number() OVER (ORDER BY val, z) AS rn,
+       |              COUNT(*) OVER () AS n_ret
+       |       FROM ret),
+       |q AS (SELECT UNNEST([${qPpms.mkString(", ")}]) AS q_ppm)
+       |SELECT CAST(q_ppm AS BIGINT) AS q_ppm, CAST(MAX(level) AS BIGINT) AS level,
+       |       CAST(MAX(n_ret) AS BIGINT) AS n_ret,
+       |       CAST(MAX(n_ret) * CAST(power(2, MAX(level)) AS BIGINT) AS BIGINT) AS n_est,
+       |       MIN(CASE WHEN rn * 1000000 >= q_ppm * n_ret THEN val END) AS est_val
+       |FROM rk CROSS JOIN q GROUP BY q_ppm ORDER BY q_ppm""".stripMargin
 
   /** Count-Min sketch frequency estimation (Cormode & Muthukrishnan 2005)
     * with heavy-hitter readout: a depth×width counter grid where row i

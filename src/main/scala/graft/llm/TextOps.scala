@@ -713,6 +713,10 @@ object TextOps {
     * discipline), with each `ln` micro-quantized to integer nanos and
     * the OLS closed form evaluated in BigInt, so `slope_e6` is the exact
     * same integer the sequential mirror derives from its own counts.
+    * A language whose top-N collapses to a single rank point (vocab 1)
+    * cannot be fitted: its `slope_e6` is NULL and `n_fit` reports the
+    * point count — the fit is skipped, never thrown, so one degenerate
+    * slice can't fail the whole corpus card.
     * Returns `(lang, n_tokens, vocab, n_fit, slope_e6)` ordered by lang.
     *
     * Scale shape: one token-keyed count (map-side combined), one
@@ -736,7 +740,8 @@ object TextOps {
       .collect() // ≤ langs·topN rows, by contract
       .map(row => (row.getString(0), row.getInt(1), row.getLong(2)))
     val slopes = top.groupBy(_._1).map { case (lang, rows) =>
-      lang -> zipfSlopeE6(rows.map { case (_, r, f) => (r, f) }.toSeq)
+      val pts = rows.map { case (_, r, f) => (r, f) }.toSeq
+      lang -> (if (pts.size >= 2) Some(zipfSlopeE6(pts)) else None)
     }
     val nFit = top.groupBy(_._1).map { case (l, rs) => (l, rs.length.toLong) }
     val fitDf = broadcast(slopes.toSeq.map { case (l, s) => (l, nFit(l), s) }

@@ -157,6 +157,23 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
       .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
+  /** Point-set variant of [[prunedRead]]: only files whose `[lo, hi]`
+    * stats window CONTAINS at least one of `points` are handed to the
+    * reader. No residual predicate is applied — callers own their exact
+    * filter (e.g. `cid IN (...)`); this method's job is the file-list
+    * cut. The probe-side read of every cid-clustered index table
+    * ([[graft.llm.Similarity.ivfTopKIndexed]] and friends). */
+  def prunedReadIn(points: Seq[Long]): DataFrame = {
+    val v = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val pts = points.distinct
+    val files = addsOf(v).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect { case (p, lo, hi) if pts.exists(x => lo <= x && x <= hi) => p }
+    if (files.isEmpty) emptyLike()
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   private def emptyLike(): DataFrame = {
     // schema from any committed file list; a table with zero commits has no
     // schema to offer
@@ -329,9 +346,15 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val (touched, untouched) = adds.partition { case (_, flo, fhi, _) => fhi >= lo && flo <= hi }
     if (touched.isEmpty) return base
+    // null-safe KEEP predicate (Delta semantics): a NULL key row matches no
+    // range predicate, so it must SURVIVE the delete — `!(k >= lo && k <= hi)`
+    // would evaluate to NULL for it and silently drop it from rewritten
+    // files while identical rows in carried files survive (row fate would
+    // depend on file placement)
+    val k = col(statsCol).cast("long")
     val rewritten = spark.read.option("mergeSchema", "true")
       .parquet(touched.map(_._1).toIndexedSeq: _*)
-      .filter(!(col(statsCol).cast("long") >= lo && col(statsCol).cast("long") <= hi))
+      .filter(k.isNull || k < lo || k > hi)
     commitVersion(rewritten, keepPrevious = false, op = "delete",
       expectedBase = Some(base),
       carriedExplicit = Some(untouched.map { case (p, l, h, n) => (storedForm(p), l, h, n) }.toSeq))
@@ -352,6 +375,23 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
   def compact(targetFiles: Int = 4): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     commitVersion(read().repartition(targetFiles), keepPrevious = false, op = "compact")
+  }
+
+  /** Clustered compaction — the OPTIMIZE shape for INDEX tables whose
+    * query path file-prunes on a key ([[compact]]'s round-robin rewrite
+    * would scatter every key across every output file and kill that
+    * pruning): rewrites the head into `targetFiles` RANGE-partitioned
+    * files on `clusterCol`, so each output file covers a narrow key
+    * window and the log's per-file stats keep skipping. This is the
+    * maintenance step a streamed index needs — one commit per micro-batch
+    * accretes small files; a periodic clustered compaction folds them
+    * back to a few well-clustered ones while old versions (and their
+    * original files) stay readable via [[asOf]].
+    */
+  def compactClustered(clusterCol: String, targetFiles: Int = 4): Long = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    commitVersion(read().repartitionByRange(targetFiles, col(clusterCol)),
+      keepPrevious = false, op = "compact")
   }
 
   /** OPTIMIZE ZORDER as a commit (the Delta `OPTIMIZE … ZORDER BY` shape):

@@ -75,4 +75,46 @@ object LogTvfs {
       .prunedRead(longArg(args, 2, "log_table_range"), longArg(args, 3, "log_table_range"))
       .queryExecution.analyzed
   }
+
+  // ----- SQL WRITE statements (round-12 Next #7) -------------------------
+  //
+  // MERGE/DELETE existed as Scala operators while a SQL-only user could
+  // only READ commit-log tables (q42). These TVFs bridge the write surface
+  // under the same analysis-time-execution contract the graph TVFs
+  // document: the commit happens when the statement is ANALYZED (i.e. at
+  // `spark.sql(...)`), and the returned relation is the resulting head —
+  // so `SELECT ... FROM log_delete(...)` both performs the delete and
+  // reads back the table it produced. Statements are idempotent where the
+  // underlying operator is (a no-op delete commits nothing); re-running a
+  // merge re-commits the same content as a new version, exactly like
+  // re-running the Scala call.
+
+  /** `log_delete(path, stats_col, lo, hi)` — file-granular
+    * `DELETE WHERE stats_col BETWEEN lo AND hi` ([[CommitTable.deleteRange]]:
+    * non-intersecting files carry by reference, NULL-key rows survive),
+    * committed at analysis; returns the post-delete head content. */
+  def delete(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4, "log_delete(path, stats_col, lo, hi) takes 4 arguments")
+    val t = new CommitTable(SparkSession.active, stringArg(args, 0, "log_delete"),
+      stringArg(args, 1, "log_delete"))
+    t.deleteRange(longArg(args, 2, "log_delete"), longArg(args, 3, "log_delete"))
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_merge(path, stats_col, source_view, keys_csv)` — MERGE INTO the
+    * commit-log table from a registered view/table (upsert by the
+    * comma-separated key columns; [[CommitTable.merge]]'s optimistic
+    * concurrency applies), committed at analysis; returns the post-merge
+    * head content. */
+  def mergeFrom(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4, "log_merge(path, stats_col, source_view, keys_csv) takes 4 arguments")
+    val spark = SparkSession.active
+    val t = new CommitTable(spark, stringArg(args, 0, "log_merge"),
+      stringArg(args, 1, "log_merge"))
+    val source = spark.table(stringArg(args, 2, "log_merge"))
+    val keys = stringArg(args, 3, "log_merge").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "log_merge: keys_csv must name at least one key column")
+    t.merge(source, keys)
+    t.read().queryExecution.analyzed
+  }
 }

@@ -79,6 +79,40 @@ class CommitLogSpec extends SparkSpec {
     assert(e1.getMessage.contains("2 arguments"))
   }
 
+  test("SQL write TVFs: log_merge and log_delete equal the Scala API on the same change set") {
+    val s = spark
+    import s.implicits._
+    // twin tables, identical base commit
+    val base = Seq(1L -> "a", 2L -> "b", 10L -> "j", 20L -> "x")
+    val (tScala, tSql) = (freshTable(), freshTable())
+    tScala.overwrite(kv(base: _*))
+    tSql.overwrite(kv(base: _*))
+    val src = Seq((2L, "B2"), (30L, "new")).toDF("k", "v")
+
+    // Scala path
+    tScala.merge(src, Seq("k"))
+    tScala.deleteRange(10L, 20L)
+
+    // SQL path: same change set as statements
+    src.createOrReplaceTempView("clog_sql_src")
+    spark.sql(s"SELECT COUNT(*) FROM log_merge('${tSql.path}', 'k', 'clog_sql_src', 'k')").collect()
+    val afterDelete = spark.sql(s"SELECT k, v FROM log_delete('${tSql.path}', 'k', 10, 20)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val expect = Set(1L -> "a", 2L -> "B2", 30L -> "new")
+    assert(rows(tScala.read()) === expect)
+    assert(afterDelete === expect, "log_delete must return the post-delete head")
+    assert(rows(tSql.read()) === rows(tScala.read()),
+      "SQL statements must produce the same table as the Scala API")
+    // both histories versioned identically: base, merge, delete
+    assert(tSql.versions() === tScala.versions())
+    assert(rows(tSql.asOf(1L)) === rows(tScala.asOf(1L)), "post-merge snapshots must match")
+    // a no-op SQL delete commits nothing
+    val vBefore = tSql.latestVersion().get
+    spark.sql(s"SELECT COUNT(*) FROM log_delete('${tSql.path}', 'k', 500, 600)").collect()
+    assert(tSql.latestVersion().get === vBefore)
+  }
+
   test("compaction is a commit: content identical, fewer files, old versions still readable") {
     val t = freshTable()
     t.overwrite(kv((1L to 20L).map(i => i -> s"r$i"): _*).repartition(8))
@@ -91,6 +125,45 @@ class CommitLogSpec extends SparkSpec {
     assert(rows(t.read()) === (1L to 30L).map(i => i -> s"r$i").toSet)
     // time travel across the rewrite: version 0's original files still resolve
     assert(rows(t.asOf(0L)) === (1L to 20L).map(i => i -> s"r$i").toSet)
+  }
+
+  test("compactClustered: small files fold into few RANGE-clustered ones; stats pruning survives") {
+    val t = freshTable()
+    // a streamed index's shape: many per-batch commits, interleaved ranges
+    t.overwrite(kv((1L to 20L).map(i => i -> s"r$i"): _*).repartition(6))
+    t.append(kv((21L to 40L).map(i => i -> s"r$i"): _*).repartition(6))
+    t.append(kv((41L to 60L).map(i => i -> s"r$i"): _*).repartition(6))
+    val before = t.read().inputFiles.length
+    val v = t.compactClustered("k", targetFiles = 3)
+    assert(v === 3L)
+    val after = t.read().inputFiles.length
+    assert(after <= 3 && after < before, s"expected <= 3 files after OPTIMIZE, saw $after (was $before)")
+    // content byte-identical, history intact
+    assert(rows(t.read()) === (1L to 60L).map(i => i -> s"r$i").toSet)
+    assert(rows(t.asOf(1L)) === (1L to 40L).map(i => i -> s"r$i").toSet)
+    // THE point of the clustered rewrite: each output file covers a narrow
+    // key window, so log-stats pruning still bites after compaction (a
+    // round-robin compact would scatter [1, 60] across every file)
+    val pruned = t.prunedRead(5L, 10L)
+    assert(pruned.inputFiles.length < after,
+      s"clustered layout must let stats prune: ${pruned.inputFiles.length} of $after files")
+    assert(rows(pruned) === (5L to 10L).map(i => i -> s"r$i").toSet)
+  }
+
+  test("deleteRange keeps NULL-key rows: row fate never depends on file placement") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable()
+    // one file holds a NULL key INSIDE the delete-touched range file; a
+    // second (untouched) file holds another NULL row — Delta semantics: a
+    // range predicate matches no NULL, so BOTH must survive the delete
+    t.overwrite(Seq((Some(10L), "a"), (Some(11L), "b"), (None, "n1"))
+      .toDF("k", "v").coalesce(1))
+    t.append(Seq((Some(100L), "x"), (None, "n2")).toDF("k", "v").coalesce(1))
+    t.deleteRange(10L, 10L)
+    val got = t.read().collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    assert(got === Set((Some(11L), "b"), (None, "n1"), (Some(100L), "x"), (None, "n2")),
+      s"NULL rows must survive a range delete wherever they live, got $got")
   }
 
   test("prunedRead plans from log stats: non-overlapping files never listed") {

@@ -112,6 +112,45 @@ class PerplexitySpec extends SparkSpec {
     assert(uni(10L) === uni(11L), "unigram control: shuffle must NOT change t38's score")
   }
 
+  test("order-5 ngramScore matches the recursive order-N mirror; order-3 path unchanged") {
+    val rows = (1L to 60L).map { i =>
+      val lang = Seq("en", "en", "en", "de", "fr")((i % 5).toInt)
+      val words = (0 until (5 + (i % 7).toInt)).map(j => s"tok${(i * 13 + j * 5) % 9}")
+      (i, words.mkString(" "), lang)
+    } :+ (61L, "", "en")
+    def runN(o: Int) = Perplexity.ngramScore(docs(rows), order = o)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(runN(5) === SequentialCorpus.ngramScoresN(rows, 5))
+    // the generalized chain at order 3 reproduces the original operator AND
+    // the original order-3 mirror — the t41 contract is untouched
+    assert(runN(3) === SequentialCorpus.ngramScores(rows))
+    assert(SequentialCorpus.ngramScoresN(rows, 3) === SequentialCorpus.ngramScores(rows))
+  }
+
+  test("order-5 model separates in-distribution from off-distribution text") {
+    // reference = one repeated 6-gram phrase; doc 10 repeats it in order
+    // (seen 5-grams all the way), doc 11 shuffles the same unigrams, doc
+    // 12 is fully unseen — NLL must order 10 < 11 < 12 at order 5
+    val phrase = "the cat sat on the mat"
+    val ref = (1L to 8L).map(i => (i, phrase, "en"))
+    val rows = ref ++ Seq(
+      (10L, phrase, "xx"),
+      (11L, "mat the on sat cat the", "xx"),
+      (12L, "qq rr ss tt uu vv", "xx"))
+    val byId = Perplexity.ngramScore(docs(rows), order = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(10L) < byId(11L),
+      s"in-distribution (seen 5-grams) must beat shuffled: ${byId(10L)} vs ${byId(11L)}")
+    assert(byId(11L) < byId(12L),
+      s"seen-unigram text must beat fully unseen text: ${byId(11L)} vs ${byId(12L)}")
+    // order 5 discriminates in-order text HARDER than order 3 does: the
+    // margin between ordered and shuffled must grow with the order
+    val by3 = Perplexity.ngramScore(docs(rows), order = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(11L) - byId(10L) > by3(11L) - by3(10L),
+      "the order-5 margin must exceed the order-3 margin on word order")
+  }
+
   test("ngramScore guards: empty reference slice and inverted thresholds are loud") {
     intercept[IllegalArgumentException](
       Perplexity.ngramScore(docs(Seq((1L, "a b", "de"))), refLang = "en").collect())
@@ -119,6 +158,8 @@ class PerplexitySpec extends SparkSpec {
       Perplexity.ngramScore(docs(Seq((1L, "a b", "en"))), headE6 = 10L, tailE6 = 5L))
     intercept[IllegalArgumentException](
       Perplexity.ngramScore(docs(Seq((1L, "a b", "en"))), buckets = 0))
+    intercept[IllegalArgumentException](
+      Perplexity.ngramScore(docs(Seq((1L, "a b", "en"))), order = 1))
   }
 
   test("guards: empty reference slice and inverted thresholds are loud") {

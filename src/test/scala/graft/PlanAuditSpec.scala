@@ -37,10 +37,11 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("s19: the indexed BM25 scoring scan pushes the term IN-filter into the committed postings") {
-    // build a small committed index, then audit the query's scan: the
-    // t IN (...) predicate must reach the parquet reader (string min/max
-    // row-group pruning is what makes a 3-term query NOT a corpus scan)
+  test("s19: the indexed BM25 scoring scans push per-term filters into log-pruned postings reads") {
+    // build a small committed index, then audit the query's scans: each
+    // term reads its own log-stats-pruned file list (r13 — the hash is
+    // known on the driver) and its t = term predicate must still reach
+    // the parquet reader (row-group pruning inside the surviving files)
     val root = java.nio.file.Files.createTempDirectory("graft-bm25audit").toString
     val s = spark
     import s.implicits._
@@ -50,7 +51,7 @@ class PlanAuditSpec extends SparkSpec {
       val scans = plan.collectWithSubqueries { case sc: FileSourceScanExec => sc }
       val postings = scans.filter(_.metadata("Location").contains("postings"))
       assert(postings.nonEmpty, s"no committed postings scan found:\n$plan")
-      assert(postings.exists(_.metadata("PushedFilters").contains("In(t,")),
+      assert(postings.exists(_.metadata("PushedFilters").contains("EqualTo(t,")),
         s"term filter not pushed: ${postings.map(_.metadata("PushedFilters")).mkString(" | ")}")
     }
   }

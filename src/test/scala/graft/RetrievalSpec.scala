@@ -147,6 +147,15 @@ class RetrievalSpec extends SparkSpec {
     val files = indexed.inputFiles
     assert(files.nonEmpty && files.forall(_.contains("postings")),
       s"indexed query must read committed postings only, saw ${files.mkString(", ")}")
+    // the log's per-file th stats PRUNE the postings read: the layout is
+    // range-clustered by term hash, so a one-term point lookup must touch
+    // strictly fewer committed files than the table holds
+    val allFiles = new graft.operators.CommitTable(spark, s"$root/postings", "th")
+      .read().inputFiles.toSet
+    val oneTerm = Retrieval.bm25TopKIndexed(spark, root, Seq("rare"), k = 60).inputFiles.toSet
+    assert(allFiles.size > 1, s"pruning test needs a multi-file table, saw ${allFiles.size}")
+    assert(oneTerm.nonEmpty && oneTerm.subsetOf(allFiles) && oneTerm.size < allFiles.size,
+      s"log-stats pruning must skip unprobed files: touched ${oneTerm.size} of ${allFiles.size}")
     // the driver-side stats read is commit-count-sized: ≤ 3 jobs (log
     // collect + 1-row aggregate + slack) — the s12 job-count discipline
     val sc = spark.sparkContext

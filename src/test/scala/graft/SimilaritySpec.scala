@@ -275,6 +275,87 @@ class SimilaritySpec extends SparkSpec {
     assert(lists.read().count() === 40L)
   }
 
+  test("filtered ANN: a 1%-selective IDSelector predicate still returns k rows and prunes unprobed files") {
+    val rng = new scala.util.Random(43)
+    val dim = 16
+    val n = 600
+    val vecs = (0L until n.toLong).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfflt-spec").toString
+    Similarity.buildIvfIndex(embDF(vecs), root, nlist = 8, iters = 1, dim = dim)
+    val keep = (id: Long) => id % 100L == 0L // 6 of 600 pass — 1% selectivity
+    val numQueries = 16
+    val k = 5
+
+    // probe ALL lists: the predicate-filtered candidate pool is exactly the
+    // 6 survivors, so the result must equal the brute-force top-k over them
+    val got = Similarity.ivfTopKIndexed(spark, root, numQueries = numQueries, k = k,
+        nprobe = 8, predicate = Some(col("vec_id") % 100 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet === (0L until numQueries.toLong).toSet)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length === k, s"query $q must still get k=$k rows under the 1% filter")
+      assert(rs.forall(r => keep(r._2)), s"query $q returned a non-matching neighbor")
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val vmap = vecs.toMap
+    (0L until numQueries.toLong).foreach { q =>
+      val expect = vecs.collect { case (id, v) if keep(id) && id != q => (id, cos(vmap(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      assert(byQuery(q).sortBy(_._3).map(_._2) === expect,
+        s"query $q: filtered result must be the exact top-$k over predicate survivors")
+    }
+
+    // nprobe < nlist: the probe cids are collected driver-side and CUT THE
+    // FILE LIST from the log's cid stats (probedLists — the scan object
+    // ivfTopKIndexed itself joins against): strictly fewer committed files
+    val table = new graft.operators.CommitTable(spark, s"$root/lists", "cid")
+    val allFiles = table.read().inputFiles.toSet
+    val (cids, cand) = Similarity.probedLists(table, table.read(),
+      Similarity.readIvfCodebook(spark, root), numQueries = 1, nprobe = 1)
+    assert(cids.size === 1, s"probe cid set must be query-bounded, got $cids")
+    val probedFiles = cand.inputFiles.toSet
+    assert(allFiles.size > 1)
+    assert(probedFiles.nonEmpty && probedFiles.subsetOf(allFiles) && probedFiles.size < allFiles.size,
+      s"probe must skip unprobed lists' files: touched ${probedFiles.size} of ${allFiles.size}")
+    // and the probed candidate scan + filter loses no result: the filtered
+    // query over the pruned read equals the one over the full table
+    val viaPruned = Similarity.ivfTopKIndexed(spark, root, numQueries = 4, k = 2,
+      nprobe = 2, predicate = Some(col("vec_id") % 100 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaPruned.nonEmpty)
+
+    // the IVFPQ path honors the same predicate: all ADC slots go to
+    // survivors, so with nprobe = nlist the exact re-rank equals brute force
+    val root2 = java.nio.file.Files.createTempDirectory("graft-ivfpqflt-spec").toString
+    Similarity.buildIvfPqIndex(embDF(vecs), root2, nlist = 8, iters = 1,
+      m = 4, ksub = 8, dim = dim)
+    val gotPq = Similarity.ivfPqTopKIndexed(embDF(vecs), root2, numQueries = numQueries,
+        k = k, nprobe = 8, candFactor = 3, dim = dim,
+        predicate = Some(col("vec_id") % 100 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byQueryPq = gotPq.groupBy(_._1)
+    (0L until numQueries.toLong).foreach { q =>
+      val expect = vecs.collect { case (id, v) if keep(id) && id != q => (id, cos(vmap(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      assert(byQueryPq(q).sortBy(_._3).map(_._2) === expect,
+        s"query $q: filtered IVFPQ result must equal the exact top-$k over survivors")
+    }
+    // the IVFPQ plan carries no checkpoint, so the end-to-end file cut is
+    // visible directly: the probed query touches strictly fewer lists files
+    val pqAllLists = new graft.operators.CommitTable(spark, s"$root2/lists", "cid")
+      .read().inputFiles.toSet
+    val pqTouched = Similarity.ivfPqTopKIndexed(embDF(vecs), root2, numQueries = 1,
+        k = 2, nprobe = 1, dim = dim).inputFiles.toSet.filter(_.contains("lists"))
+    assert(pqAllLists.size > 1)
+    assert(pqTouched.nonEmpty && pqTouched.size < pqAllLists.size,
+      s"IVFPQ probe must skip unprobed lists' files: ${pqTouched.size} of ${pqAllLists.size}")
+  }
+
   test("persisted PQ index: committed codes reproduce pqTopK bit-for-bit") {
     val rng = new scala.util.Random(37)
     val dim = 16

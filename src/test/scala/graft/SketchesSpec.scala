@@ -160,4 +160,66 @@ class SketchesSpec extends SparkSpec {
       assert(cms >= exact, s"CMS must never underestimate ($t: $cms < $exact)")
     }
   }
+
+  private def uv(rows: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("uid", "val")
+  }
+
+  private def sketchRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+  test("adaptiveQuantileSketch: merge(a, b) == sketch(a ∪ b) EXACTLY, any split, associative") {
+    val rng = new scala.util.Random(53)
+    val all = (1L to 3000L).map(i => (i, math.abs(rng.nextLong()) % 1000000L))
+    val direct = sketchRows(Sketches.adaptiveQuantileSketch(uv(all), k = 64))
+    // uneven split
+    val (a, b) = all.partition(_._1 % 3 == 0)
+    val merged = Sketches.mergeQuantileSketches(
+      Sketches.adaptiveQuantileSketch(uv(a), k = 64),
+      Sketches.adaptiveQuantileSketch(uv(b), k = 64), k = 64)
+    assert(sketchRows(merged) === direct, "merge must equal the direct sketch row-for-row")
+    // three-way associative composition
+    val parts = Seq(all.filter(_._1 % 3 == 0), all.filter(_._1 % 3 == 1), all.filter(_._1 % 3 == 2))
+    val chained = parts.map(p => Sketches.adaptiveQuantileSketch(uv(p), k = 64))
+      .reduce((x, y) => Sketches.mergeQuantileSketches(x, y, k = 64))
+    assert(sketchRows(chained) === direct, "chained merge must equal the direct sketch")
+    // order-independence: retention is a pure function of uid
+    assert(sketchRows(Sketches.adaptiveQuantileSketch(uv(rng.shuffle(all)), k = 64)) === direct)
+  }
+
+  test("adaptiveQuantileSketch: rank error stays within the sampling bound; exact when n <= k") {
+    val rng = new scala.util.Random(59)
+    val n = 5000
+    val all = (1L to n.toLong).map(i => (i, math.abs(rng.nextLong()) % 10000000L))
+    val sorted = all.map(_._2).sorted
+    val k = 512
+    val qs = Seq(250000L, 500000L, 900000L)
+    val got = Sketches.sketchQuantiles(
+        Sketches.adaptiveQuantileSketch(uv(all), k = k), qs)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    qs.foreach { q =>
+      val est = got(q)
+      // true rank of the estimate (how many values are <= it)
+      val trueRank = sorted.count(_ <= est).toDouble / n
+      val err = math.abs(trueRank - q.toDouble / 1e6)
+      // uniform hash-sample of ~k/2..k rows: rank error O(1/sqrt(k)); the
+      // constant is generous but the bound is real (deterministic here —
+      // fixed seed, fixed hash)
+      assert(err <= 4.0 / math.sqrt(k.toDouble),
+        s"q=$q: rank error $err exceeds bound ${4.0 / math.sqrt(k.toDouble)}")
+    }
+    // n <= k: level 0, the sketch is the exact multiset, quantiles exact
+    val small = (1L to 100L).map(i => (i, i * 10L))
+    val exact = Sketches.sketchQuantiles(
+        Sketches.adaptiveQuantileSketch(uv(small), k = 256), Seq(500000L, 900000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    exact.foreach { case (q, level, nRet, nEst, est) =>
+      assert(level === 0L && nRet === 100L && nEst === 100L)
+      val target = math.ceil(q.toDouble / 1e6 * 100).toInt
+      assert(est === small(target - 1)._2, s"q=$q must be the exact order statistic")
+    }
+  }
 }

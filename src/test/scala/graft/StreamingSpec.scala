@@ -634,7 +634,24 @@ class StreamingSpec extends SparkSpec {
     assert(content(idx) === content(oneShotRoot))
     // and the indexed query runs end-to-end over the streamed head
     val q = graft.llm.Similarity.ivfTopKIndexed(s, idx, numQueries = 8, k = 3, nprobe = 3)
-    assert(q.count() > 0)
+    def qRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val preOptimize = qRows(q)
+    assert(preOptimize.nonEmpty)
+
+    // OPTIMIZE composed into the loop (the maintenance the per-batch
+    // commits need): clustered compaction folds the accreted small files,
+    // the probe is bit-identical, and the pre-compaction history and its
+    // original files remain readable
+    val filesBefore = lists.read().inputFiles.length
+    val vOpt = lists.compactClustered("cid", targetFiles = 2)
+    assert(vOpt === 3L)
+    assert(lists.read().inputFiles.length < filesBefore,
+      s"OPTIMIZE must shrink the file count, was $filesBefore")
+    assert(qRows(graft.llm.Similarity.ivfTopKIndexed(s, idx, numQueries = 8, k = 3, nprobe = 3))
+      === preOptimize, "probe results must be bit-identical through the compaction commit")
+    assert(lists.asOf(2L).count() === 60L && lists.asOf(0L).count() === 36L,
+      "asOf history must survive the compaction rewrite")
   }
 
   test("streaming BM25 maintenance: per-commit postings versions, head equals inline over the union") {

@@ -30,9 +30,17 @@ class TextOpsSpec extends SparkSpec {
     }
     val randDf = rand.toDF("doc_id", "text", "lang")
     val eng = TextOps.zipfStats(randDf, topN = 15).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
     assert(eng === graft.llm.SequentialCorpus.zipfStats(rand, topN = 15))
     intercept[IllegalArgumentException](TextOps.zipfStats(planted, topN = 1))
+    // a degenerate slice (single rank point) yields NULL slope, not a throw
+    val degen = Seq((1L, "solo solo solo", "xx"), (2L, zipfText, "en")).toDF("doc_id", "text", "lang")
+    val dRows = TextOps.zipfStats(degen, topN = 30).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(dRows("xx") === ((1L, None)), "one-rank slice must fit to NULL, not fail the query")
+    assert(dRows("en")._2.isDefined)
   }
 
   test("textStats: token/char counts, TTR, punct and stopword ratios on a known text") {
