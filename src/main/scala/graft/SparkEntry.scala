@@ -3357,6 +3357,44 @@ object SparkEntry {
       // 6 broadcast literal tables); oracle = the independent recursive
       // order-N mirror
       graft.llm.Perplexity.ngramScore(Tables.documents(s, dir), order = 5)),
+    "t46_grouped_quantiles" -> ((s, dir) =>
+      // per-GROUP adaptive quantiles with NO driver collect anywhere:
+      // each group's sketch level comes from a closed form over its
+      // z-histogram (window + aggregate), so group count is unbounded —
+      // the per-slice corpus-card quantile the fixed-grid t15 and the
+      // global t45 both stop short of
+      graft.llm.Sketches.groupedAdaptiveQuantiles(
+        Tables.orders(s, dir).select(col("o_orderpriority").as("grp"),
+          col("o_orderkey").as("uid"),
+          floor(col("o_totalprice")).cast("long").as("val")))),
+    "st23_stream_quantiles" -> ((s, dir) => {
+      // streamed SKETCH maintenance: t45's adaptive quantile sketch kept
+      // fresh by the change feed — per discovered commit the insert
+      // feed's own sketch merges into the committed head (one overwrite
+      // commit per version), and the EXACT merge law makes the streamed
+      // head provably identical to a one-shot build over the union, so
+      // the readout shares t45's direct-build mirror verbatim.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-squant-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("rows").toString
+      val t = new graft.operators.CommitTable(s, tp, "uid")
+      val base = Tables.orders(s, dir).select(col("o_orderkey").as("uid"),
+        floor(col("o_totalprice")).cast("long").as("val"))
+      t.overwrite(base.filter(col("uid") % 3 === 0))
+      t.append(base.filter(col("uid") % 3 === 1))
+      t.append(base.filter(col("uid") % 3 === 2))
+      val skT = new graft.operators.CommitTable(s, root.resolve("sketch").toString, "z")
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
+        val bs = graft.llm.Sketches.adaptiveQuantileSketch(batch)
+        if (v == 0L) skT.overwrite(bs)
+        else skT.overwrite(graft.llm.Sketches.mergeQuantileSketches(skT.read(), bs))
+      })
+      graft.llm.Sketches.sketchQuantiles(skT.read(), Seq(250000L, 500000L, 900000L))
+    }),
     "t45_quantile_sketch" -> ((s, dir) => {
       // ADAPTIVE mergeable quantile sketch (round-12 Next #6 — the
       // adaptive-accuracy sketch t15's fixed grid names as the real
@@ -4776,6 +4814,10 @@ object SparkEntry {
     "t45_quantile_sketch" -> // the mirror builds ONE sketch over the whole
       // table; the gate merges two half-sketches — equality is the exact
       // merge law
+      Sketches.adaptiveQuantilesSql(),
+    "t46_grouped_quantiles" -> Sketches.groupedAdaptiveQuantilesSql(),
+    "st23_stream_quantiles" -> // three streamed commits' sketches merged
+      // per version == one direct build (the exact merge law again)
       Sketches.adaptiveQuantilesSql(),
     "t15_histogram_quantiles" -> Sketches.histogramQuantilesSql(),
     "t20_countmin_hh" -> Sketches.countMinHeavyHittersSql(),

@@ -203,6 +203,81 @@ object Sketches {
       .orderBy("q_ppm")
   }
 
+  /** Per-GROUP adaptive quantile sketch + readout in ONE fully
+    * distributed pass — the grouped form of [[adaptiveQuantileSketch]]
+    * with NO driver collect anywhere: each group's level comes from a
+    * closed form over its z-histogram (`level = max(z + 1 where
+    * cum(z..60) > k)`, 0 when the whole group fits — the same smallest-
+    * fitting-level rule, computed as a window + aggregate instead of a
+    * driver loop), joined back on the group key. Rank readout as in
+    * [[sketchQuantiles]]. Returns
+    * `(grp, q_ppm, level, n_ret, n_est, est_val)` ordered by (grp,
+    * q_ppm). Input columns: `(grp, uid, val)`.
+    *
+    * Scale shape: one groups×61-sized aggregate (map-side combined), one
+    * grp-keyed join to cut the retained rows, one grp-windowed rank over
+    * ≤ k rows per group. Group count is unbounded — nothing here is
+    * driver-sized, which is exactly what the ungrouped path's ≤ 61-row
+    * collect could not offer per group.
+    */
+  def groupedAdaptiveQuantiles(rows: DataFrame, k: Int = 128,
+                               qPpms: Seq[Long] = Seq(500000L, 900000L)): DataFrame = {
+    require(k > 0, s"groupedAdaptiveQuantiles: k must be positive, got $k")
+    require(qPpms.nonEmpty && qPpms.forall(q => q > 0 && q <= 1000000L),
+      s"groupedAdaptiveQuantiles: q_ppm values must be in (0, 1e6], got $qPpms")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.select(col("grp"), col("val").cast("long").as("val"),
+      zTrailing(Hashing.hash60(col("uid").cast("string"))).as("z"))
+    val zc = base.groupBy("grp", "z").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("grp").orderBy(col("z").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val levels = zc.withColumn("cum", sum("c").over(cumW))
+      .groupBy("grp")
+      .agg(coalesce(max(when(col("cum") > k, col("z") + 1)), lit(0)).cast("int").as("level"))
+    val retained = base.join(levels, "grp").filter(col("z") >= col("level"))
+    val rkW = Window.partitionBy("grp").orderBy("val", "z")
+    val ranked = retained
+      .withColumn("rn", row_number().over(rkW))
+      .withColumn("n_ret", count(lit(1)).over(Window.partitionBy("grp")))
+    ranked.crossJoin(broadcast(qPpms.toDF("q_ppm")))
+      .groupBy("grp", "q_ppm")
+      .agg(max(col("level")).cast("long").as("level"),
+        max(col("n_ret")).as("n_ret"),
+        min(when(col("rn") * 1000000L >= col("q_ppm") * col("n_ret"), col("val"))).as("est_val"))
+      .select(col("grp"), col("q_ppm"), col("level"), col("n_ret"),
+        expr("n_ret * CAST(power(2, level) AS BIGINT)").as("n_est"), col("est_val"))
+      .orderBy("grp", "q_ppm")
+  }
+
+  /** DuckDB mirror of [[groupedAdaptiveQuantiles]] over `orders`
+    * (grp = o_orderpriority, uid = o_orderkey, val = floor(o_totalprice)):
+    * same hash/levels, same closed-form per-group level, same readout.
+    */
+  def groupedAdaptiveQuantilesSql(k: Int = 128,
+                                  qPpms: Seq[Long] = Seq(500000L, 900000L)): String =
+    s"""WITH v AS (SELECT o_orderpriority AS grp, o_orderkey AS uid,
+       |                  CAST(floor(o_totalprice) AS BIGINT) AS val FROM orders),
+       |hz AS (SELECT grp, val, LEAST(bit_count((hh & -hh) - 1), 60) AS z
+       |       FROM (SELECT grp, val, ${Hashing.hash60Sql("CAST(uid AS VARCHAR)")} AS hh FROM v)),
+       |zc AS (SELECT grp, z, COUNT(*) AS c FROM hz GROUP BY grp, z),
+       |cm AS (SELECT grp, z, SUM(c) OVER (PARTITION BY grp ORDER BY z DESC) AS cum FROM zc),
+       |lv AS (SELECT grp, COALESCE(MAX(CASE WHEN cum > $k THEN z + 1 END), 0) AS level
+       |       FROM cm GROUP BY grp),
+       |ret AS (SELECT hz.grp, hz.val, hz.z, lv.level FROM hz JOIN lv ON hz.grp = lv.grp
+       |        WHERE hz.z >= lv.level),
+       |rk AS (SELECT grp, val, level,
+       |              row_number() OVER (PARTITION BY grp ORDER BY val, z) AS rn,
+       |              COUNT(*) OVER (PARTITION BY grp) AS n_ret
+       |       FROM ret),
+       |q AS (SELECT UNNEST([${qPpms.mkString(", ")}]) AS q_ppm)
+       |SELECT grp, CAST(q_ppm AS BIGINT) AS q_ppm, CAST(MAX(level) AS BIGINT) AS level,
+       |       CAST(MAX(n_ret) AS BIGINT) AS n_ret,
+       |       CAST(MAX(n_ret) * CAST(power(2, MAX(level)) AS BIGINT) AS BIGINT) AS n_est,
+       |       MIN(CASE WHEN rn * 1000000 >= q_ppm * n_ret THEN val END) AS est_val
+       |FROM rk CROSS JOIN q GROUP BY grp, q_ppm ORDER BY grp, q_ppm""".stripMargin
+
   /** Trailing-zero count of a 60-bit hash, codegen'd from built-ins:
     * `h & -h` isolates the lowest set bit (2^z), so `bit_count(2^z - 1)`
     * counts exactly z ones; h = 0 yields bit_count(-1) = 64, capped to

@@ -190,6 +190,39 @@ class SketchesSpec extends SparkSpec {
     assert(sketchRows(Sketches.adaptiveQuantileSketch(uv(rng.shuffle(all)), k = 64)) === direct)
   }
 
+  test("groupedAdaptiveQuantiles: distributed closed-form level == the driver path, groups isolated") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(61)
+    val rows = (1L to 4000L).map(i =>
+      (Seq("A", "B", "C")((i % 3).toInt), i, math.abs(rng.nextLong()) % 1000000L))
+    val df = rows.toDF("grp", "uid", "val")
+    val k = 64
+    val qs = Seq(500000L, 900000L)
+    val got = Sketches.groupedAdaptiveQuantiles(df, k = k, qPpms = qs)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // per group, the fully distributed path must equal the ungrouped
+    // operator (whose level comes from the driver-side chooseLevel walk)
+    Seq("A", "B", "C").foreach { g =>
+      val solo = rows.filter(_._1 == g).map(t => (t._2, t._3))
+      val expect = Sketches.sketchQuantiles(
+          Sketches.adaptiveQuantileSketch(uv(solo), k = k), qs)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      qs.foreach { q =>
+        assert(got((g, q)) === expect(q),
+          s"group $g q=$q: grouped path diverged from the per-slice ungrouped sketch")
+      }
+    }
+    // a group that fits the budget is exact (level 0) even when others spill
+    val mixed = ((1L to 2000L).map(i => ("big", i, i)) ++ (1L to 40L).map(i => ("tiny", 10000L + i, i * 5L)))
+      .toDF("grp", "uid", "val")
+    val tiny = Sketches.groupedAdaptiveQuantiles(mixed, k = 64, qPpms = Seq(500000L))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(tiny("tiny") === ((0L, 40L, 100L)), "an under-budget group must be exact at level 0")
+    assert(tiny("big")._1 > 0L, "the spilling group must have risen above level 0")
+  }
+
   test("adaptiveQuantileSketch: rank error stays within the sampling bound; exact when n <= k") {
     val rng = new scala.util.Random(59)
     val n = 5000

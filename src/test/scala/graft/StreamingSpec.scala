@@ -654,6 +654,40 @@ class StreamingSpec extends SparkSpec {
       "asOf history must survive the compaction rewrite")
   }
 
+  test("streamed quantile-sketch maintenance: per-commit merge, head equals a one-shot direct build") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(83)
+    val all = (1L to 3000L).map(i => (i, math.abs(rng.nextLong()) % 500000L))
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-quant")
+    val tp = root.resolve("rows").toString
+    val t = new graft.operators.CommitTable(s, tp, "uid")
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("uid", "val")
+    t.overwrite(df(all.filter(_._1 % 3 == 0)))
+    t.append(df(all.filter(_._1 % 3 == 1)))
+    t.append(df(all.filter(_._1 % 3 == 2)))
+    val skT = new graft.operators.CommitTable(s, root.resolve("sketch").toString, "z")
+    graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+      val batch = cdf.filter(org.apache.spark.sql.functions.col("change_type") === "insert")
+        .drop("change_type")
+      val bs = graft.llm.Sketches.adaptiveQuantileSketch(batch, k = 64)
+      if (v == 0L) skT.overwrite(bs)
+      else skT.overwrite(graft.llm.Sketches.mergeQuantileSketches(skT.read(), bs, k = 64))
+    })
+    // one sketch version per discovered commit
+    assert(skT.versions() === Seq(0L, 1L, 2L))
+    // the EXACT merge law, through real commits: streamed head == direct
+    def skRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(x => (x._1, x._2)).toSeq
+    val direct = graft.llm.Sketches.adaptiveQuantileSketch(df(all), k = 64)
+    assert(skRows(skT.read()) === skRows(direct),
+      "streamed-merged sketch head must equal the one-shot build row-for-row")
+    // and so do the quantile readouts
+    val qs = Seq(250000L, 900000L)
+    assert(graft.llm.Sketches.sketchQuantiles(skT.read(), qs).collect().toSeq.map(_.toSeq)
+      === graft.llm.Sketches.sketchQuantiles(direct, qs).collect().toSeq.map(_.toSeq))
+  }
+
   test("streaming BM25 maintenance: per-commit postings versions, head equals inline over the union") {
     val s = spark
     import s.implicits._
