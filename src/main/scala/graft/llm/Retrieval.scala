@@ -164,18 +164,11 @@ object Retrieval {
     * the stats would never prune. Within a file, rows are term-runs (the
     * th sort), so parquet's own min/max on `t` additionally serves the
     * residual `t = ...` predicate. */
-  private def bm25Postings(base: DataFrame): DataFrame = {
-    // EXPLICIT partition count: an AQE-coalescible exchange (no count)
-    // would fold a small build into one file and no stats window could
-    // prune; the session's shuffle-partition setting is the deployment's
-    // chosen write width
-    val n = base.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    base
-      .select(col("doc_id"), col("dl"), explode(col("ws")).as("t"))
-      .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .withColumn("th", Hashing.hash60(col("t")))
-      .repartitionByRange(n, col("th"), col("t"))
-  }
+  private def bm25Postings(base: DataFrame): DataFrame = base
+    .select(col("doc_id"), col("dl"), explode(col("ws")).as("t"))
+    .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    .withColumn("th", Hashing.hash60(col("t")))
+    .repartitionByRange(col("th"), col("t"))
 
   /** Incrementally extends a persisted BM25 index with NEW documents
     * (caller contract: doc_ids disjoint from every earlier commit, the

@@ -533,17 +533,6 @@ object Similarity {
     ivfProbe(assignments, centroids, numQueries, k, nprobe)
   }
 
-  /** Explicit write width for index lists tables: an AQE-coalescible
-    * exchange (no explicit count) folds a small build into ONE file, and
-    * then the commit log's per-file cid stats can never prune a probe.
-    * The session's shuffle-partition setting is the deployment's chosen
-    * width; the RANGE clustering on (cid, vec_id) gives each file a
-    * narrow [min cid, max cid] stats window — a hash exchange would
-    * scatter every file's window across the full cid range and the
-    * stats could never cut the file list. */
-  private def listWriteWidth(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.get("spark.sql.shuffle.partitions").toInt
-
   /** (vec_id, e, nrm) projection every IVF path starts from. */
   private def ivfVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -670,7 +659,7 @@ object Similarity {
     val lists = v.select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
       .withColumn("cid", ivfArgmaxCid(centroids.length))
       .select("vec_id", "e", "nrm", "cid")
-      .repartitionByRange(listWriteWidth(spark), col("cid"), col("vec_id"))
+      .repartitionByRange(col("cid"), col("vec_id"))
     new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
       .overwrite(lists)
   }
@@ -755,7 +744,7 @@ object Similarity {
     val lists = v.select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
       .withColumn("cid", ivfArgmaxCid(centroids.length))
       .select("vec_id", "e", "nrm", "cid")
-      .repartitionByRange(listWriteWidth(spark), col("cid"), col("vec_id"))
+      .repartitionByRange(col("cid"), col("vec_id"))
     new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").append(lists)
   }
 
@@ -832,7 +821,7 @@ object Similarity {
     val assigned = v.select(col("vec_id") +: col("e") +: ivfCentroidScores(centroids): _*)
       .withColumn("cid", ivfArgmaxCid(centroids.length))
     val lists = pqEncode(assigned, cb, dsub, carry = Seq("cid"))
-      .repartitionByRange(listWriteWidth(spark), col("cid"), col("vec_id"))
+      .repartitionByRange(col("cid"), col("vec_id"))
     new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
       .overwrite(lists)
   }
@@ -929,7 +918,7 @@ object Similarity {
     val assigned = v.select(col("vec_id") +: col("e") +: ivfCentroidScores(centroids): _*)
       .withColumn("cid", ivfArgmaxCid(centroids.length))
     val lists = pqEncode(assigned, cb, dim / cb.length, carry = Seq("cid"))
-      .repartitionByRange(listWriteWidth(spark), col("cid"), col("vec_id"))
+      .repartitionByRange(col("cid"), col("vec_id"))
     new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").append(lists)
   }
 

@@ -135,7 +135,12 @@ class RetrievalSpec extends SparkSpec {
     val q = Seq("rare", "w0", "w5")
     val root = java.nio.file.Files.createTempDirectory("graft-bm25idx-spec").toString
 
-    val v0 = Retrieval.buildBm25Index(docs(corpus), root)
+    // production-scale builds write many range-clustered files; at this
+    // corpus size AQE rightly coalesces to one — disable it for the build
+    // so the pruning asserts below see a multi-file layout
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val v0 = try Retrieval.buildBm25Index(docs(corpus), root)
+      finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     assert(v0 === 0L)
     val indexed = Retrieval.bm25TopKIndexed(spark, root, q, k = 60)
     val inline = Retrieval.bm25TopK(docs(corpus), q, k = 60)

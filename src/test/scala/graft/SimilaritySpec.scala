@@ -281,7 +281,11 @@ class SimilaritySpec extends SparkSpec {
     val n = 600
     val vecs = (0L until n.toLong).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
     val root = java.nio.file.Files.createTempDirectory("graft-ivfflt-spec").toString
-    Similarity.buildIvfIndex(embDF(vecs), root, nlist = 8, iters = 1, dim = dim)
+    // multi-file range-clustered layout for the pruning asserts (AQE
+    // rightly coalesces a build this small to one file otherwise)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Similarity.buildIvfIndex(embDF(vecs), root, nlist = 8, iters = 1, dim = dim)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     val keep = (id: Long) => id % 100L == 0L // 6 of 600 pass — 1% selectivity
     val numQueries = 16
     val k = 5
@@ -332,8 +336,10 @@ class SimilaritySpec extends SparkSpec {
     // the IVFPQ path honors the same predicate: all ADC slots go to
     // survivors, so with nprobe = nlist the exact re-rank equals brute force
     val root2 = java.nio.file.Files.createTempDirectory("graft-ivfpqflt-spec").toString
-    Similarity.buildIvfPqIndex(embDF(vecs), root2, nlist = 8, iters = 1,
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Similarity.buildIvfPqIndex(embDF(vecs), root2, nlist = 8, iters = 1,
       m = 4, ksub = 8, dim = dim)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     val gotPq = Similarity.ivfPqTopKIndexed(embDF(vecs), root2, numQueries = numQueries,
         k = k, nprobe = 8, candFactor = 3, dim = dim,
         predicate = Some(col("vec_id") % 100 === 0))
