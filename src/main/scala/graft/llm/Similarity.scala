@@ -600,13 +600,16 @@ object Similarity {
   private def ivfProbe(assignments: DataFrame, centroids: Array[Array[Double]],
                        numQueries: Int, k: Int, nprobe: Int,
                        keep: Option[Column] = None,
-                       candidates: Option[DataFrame] = None): DataFrame = {
+                       candidates: Option[DataFrame] = None,
+                       querySource: Option[DataFrame] = None): DataFrame = {
     val sortedCids = {
       // array_sort on (score, cid) structs ascending; take the top slice
       val scored = (0 until centroids.length).map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
       slice(reverse(array_sort(array(scored: _*))), 1, nprobe).getField("cid")
     }
-    val queries = assignments.filter(col("vec_id") < numQueries)
+    // querySource (the indexed path) carries pre-materialized query rows
+    // so the query side never rescans the table the candidates come from
+    val queries = querySource.getOrElse(assignments).filter(col("vec_id") < numQueries)
       .select(Seq(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")) ++
         ivfCentroidScores(centroids): _*)
       .withColumn("probe_cid", explode(sortedCids))
@@ -688,30 +691,39 @@ object Similarity {
     val centroids = readIvfCodebook(spark, indexRoot)
     val table = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
     val assignments = table.read()
-    val (cids, cand) = probedLists(table, assignments, centroids, numQueries, nprobe)
+    // ONE scan finds the query rows (numQueries rows by contract — tiny,
+    // eagerly materialized); the probed-cid collect and the probe join's
+    // query side both reuse it, so the only other table read is the
+    // file-pruned candidate scan. A production deployment whose query
+    // vectors arrive externally skips even this scan — it substitutes its
+    // own querySource and keeps the identical probe.
+    val queries = assignments.filter(col("vec_id") < numQueries)
+      .select("vec_id", "e", "nrm").localCheckpoint(true)
+    val (cids, cand) = probedLists(table, queries, centroids, numQueries, nprobe)
     ivfProbe(assignments, centroids, numQueries, k, nprobe,
-      keep = predicate, candidates = Some(cand.filter(col("cid").isin(cids: _*))))
+      keep = predicate, candidates = Some(cand.filter(col("cid").isin(cids: _*))),
+      querySource = Some(queries))
   }
 
   /** The candidate-side read of a probed index query, CUT AT THE FILE
-    * LIST: the queries' probe cids are computed first (one scan of the
-    * query rows, collecting ≤ numQueries·nprobe ints by contract — the
-    * codebook-read discipline), and the lists table is then re-opened
-    * through [[graft.operators.CommitTable.prunedReadIn]], so files whose
-    * committed [min cid, max cid] stats cover no probed list NEVER reach
-    * the reader (the range-clustered layout keeps those windows narrow).
-    * A broadcast join alone cannot do this — join keys prune rows, not
-    * files. Exposed `private[graft]` so the spec asserts the cut on the
-    * very scan the operator uses. */
+    * LIST: the queries' probe cids are computed from the (materialized,
+    * numQueries-row) query frame — collecting ≤ numQueries·nprobe ints by
+    * contract, the codebook-read discipline — and the lists table is then
+    * re-opened through [[graft.operators.CommitTable.prunedReadIn]], so
+    * files whose committed [min cid, max cid] stats cover no probed list
+    * NEVER reach the reader (the range-clustered layout keeps those
+    * windows narrow). A broadcast join alone cannot do this — join keys
+    * prune rows, not files. Exposed `private[graft]` so the spec asserts
+    * the cut on the very scan the operator uses. */
   private[graft] def probedLists(table: graft.operators.CommitTable,
-                                 assignments: DataFrame,
+                                 queries: DataFrame,
                                  centroids: Array[Array[Double]],
                                  numQueries: Int, nprobe: Int): (Seq[Long], DataFrame) = {
     val sortedCids = {
       val scored = centroids.indices.map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
       slice(reverse(array_sort(array(scored: _*))), 1, nprobe).getField("cid")
     }
-    val cids = assignments.filter(col("vec_id") < numQueries)
+    val cids = queries.filter(col("vec_id") < numQueries)
       .select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
       .select(explode(sortedCids).as("cid")).distinct()
       .collect().map(_.getInt(0).toLong).toSeq.sorted
@@ -863,6 +875,9 @@ object Similarity {
       array((0 until kEff).map(c =>
         floor(dot(subv(col("qe"), j), element_at(cmat, c + 1)) * 1e6).cast("long")): _*)
     }: _*)
+    // numQueries rows by contract; each downstream use re-reads the raw
+    // table with the vec_id filter pushed down (kept UNmaterialized — the
+    // spec's no-ExistingRDD guard holds the whole plan to real scans)
     val q = v.filter(col("vec_id") < numQueries)
       .select(Seq(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn")) ++
         ivfCentroidScores(centroids): _*)
