@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Num
 import graft.graph.{Analytics, DerivedGraphs, GraphCatalog, Motifs, SequentialModel, Traversals}
-import graft.llm.{Dedup, MediaOps, Packing, Sampling, SequentialCorpus, Similarity, Sketches, TextOps}
+import graft.llm.{Dedup, KnnGraph, MediaOps, Packing, Sampling, SequentialCorpus, Similarity, Sketches, TextOps}
 import graft.operators.{MergeInto, Partitioning, Sessionization, SnapshotDiff, TemporalJoins, Validation}
 import graft.sources.{MatrixFormat, TableFormats}
 import graft.streaming.{BoundedReplay, EventStreams}
@@ -3045,6 +3045,29 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(s, idx,
         predicate = Some(col("vec_id") % 7 === 3))
     }),
+    "s24_knn_graph" -> ((s, dir) => // NN-Descent k-NN graph (Dong et al.
+      // 2011) — the graph-based index family's construction half: id-ring
+      // init, then per round every vertex introduces its (capped)
+      // forward+reverse neighbors to each other and keeps its k best.
+      // Linear candidate volume per round (n·(2k)²), nothing all-pairs;
+      // the deterministic dataflow form is replayed CTE-for-CTE by the
+      // DuckDB mirror.
+      KnnGraph.knnGraph(Tables.embeddings(s, dir))),
+    "s25_graph_ann" -> ((s, dir) => {
+      // graph-routed ANN over the COMMITTED index (the DiskANN/Vamana
+      // query shape): vectors/graph/entry land as three commit-log
+      // tables at build time; a search is `hops` rounds of file-pruned
+      // point reads (frontier adjacency + candidate vectors), never a
+      // corpus scan. The mirror replays build + beam loop end-to-end.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-knngidx-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), idx)
+      KnnGraph.knnGraphSearch(s, idx)
+    }),
     "s13_pq_persisted" -> ((s, dir) => {
       // persisted PQ: the CODES (m bytes/vector — the corpus-sized
       // artifact s7 re-derives every call) land as a commit-log table
@@ -4737,6 +4760,13 @@ object SparkEntry {
     "s23_ivf_filtered" -> // the IDSelector predicate restricts CANDIDATES
       // inside the probed lists on both engines; queries are unfiltered
       Similarity.ivfTopKSql(candFilter = "vec_id % 7 = 3"),
+    "s24_knn_graph" -> // the identical NN-Descent dataflow as generated
+      // CTE rounds — bit-equality, not a recall bound
+      KnnGraph.knnGraphSql(),
+    "s25_graph_ann" -> // build CTEs at the build config + the beam loop
+      // as generated hop blocks; the commit round trip is
+      // content-preserving, so committed search == fresh-graph search
+      KnnGraph.knnGraphSearchSql(),
     "s13_pq_persisted" -> // committed codes reproduce pqTopK bit-for-bit
       Similarity.pqTopKSql(),
     "s14_ivf_append" -> // train on the vec_id<250 prefix, assign ALL:

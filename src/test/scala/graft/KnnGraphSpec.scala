@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.KnnGraph
+
+/** NN-Descent k-NN graph + routed graph-ANN search ([[graft.llm.KnnGraph]]).
+  *
+  * The gate (s24/s25) asserts bit-equality against the DuckDB replay of the
+  * identical dataflow; this suite owns what equality cannot show — that the
+  * construction CONVERGES toward the exact k-NN graph on data with real
+  * neighborhood structure (the synthetic corpus's embeddings are isotropic
+  * noise, where the neighbor-of-neighbor premise carries no signal), that
+  * the routed search recalls true neighbors, and that the committed index's
+  * point reads genuinely cut the file list.
+  */
+class KnnGraphSpec extends SparkSpec {
+
+  private def embDF(rows: Seq[(Long, Array[Float])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+  }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  private def exactTopK(vecs: Seq[(Long, Array[Float])], k: Int): Map[Long, Seq[Long]] = {
+    val m = vecs.toMap
+    vecs.map { case (id, v) =>
+      id -> vecs.collect { case (o, w) if o != id => (o, cos(v, w)) }
+        .sortBy { case (o, c) => (-c, o) }.take(k).map(_._1)
+    }.toMap
+  }
+
+  /** 10 moderately-overlapping Gaussian clusters, cluster membership
+    * deliberately decorrelated from ids (shuffled) — the regime graph-ANN
+    * methods are built for. */
+  private def clustered(n: Int = 120, dim: Int = 16, spread: Double = 1.0,
+                        seed: Int = 7): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    val centers = Array.fill(10, dim)(rng.nextGaussian() * 2)
+    val pts = (0 until n).map { i =>
+      centers(i % 10).map(c => (c + rng.nextGaussian() * spread).toFloat)
+    }
+    rng.shuffle(pts.indices.toList).zip(pts).map { case (id, v) => (id.toLong, v) }
+      .sortBy(_._1)
+  }
+
+  test("knnGraph: k rows per vertex, ranked, no self loops, deterministic") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i => i -> Array.fill(8)(rng.nextGaussian().toFloat))
+    val k = 4
+    val got = KnnGraph.knnGraph(embDF(vecs), k = k, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.keySet === (0L until 60L).toSet, "every vertex gets a neighbor list")
+    bySrc.foreach { case (s, rows) =>
+      assert(rows.length === k, s"vertex $s must carry k=$k edges")
+      assert(rows.map(_._3).sorted === (1L to k.toLong), s"vertex $s ranks must be 1..$k")
+      assert(!rows.exists(_._2 == s), s"vertex $s must not self-link")
+      assert(rows.map(_._2).distinct.length === k, s"vertex $s neighbors must be distinct")
+      // ranks follow (cos desc, id asc)
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(r => (-r._4, r._2)) === byRank.map(r => (-r._4, r._2)).sorted,
+        s"vertex $s rank order must follow (cos desc, id)")
+    }
+    val again = KnnGraph.knnGraph(embDF(vecs), k = k, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.sorted === again.sorted, "construction must be deterministic")
+  }
+
+  test("NN-Descent converges: recall over the exact k-NN graph rises from ring init past 0.9") {
+    val vecs = clustered(spread = 0.4)
+    val k = 6
+    val exact = exactTopK(vecs, k)
+    def recall(rounds: Int): Double = {
+      val got = KnnGraph.knnGraph(embDF(vecs), k = k, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      vecs.map { case (id, _) =>
+        got(id).intersect(exact(id).toSet).size.toDouble / k
+      }.sum / vecs.size
+    }
+    val r0 = recall(0); val r2 = recall(2); val r4 = recall(4)
+    assert(r0 < 0.2, s"id-ring init must start uninformed, got $r0")
+    assert(r2 > r0, s"local joins must improve recall: ring $r0 -> round2 $r2")
+    assert(r4 >= 0.9, s"round-4 recall must clear 0.9, got $r4")
+  }
+
+  test("routed search: k rows per query, self excluded, scores exact, recall clears the floor") {
+    val vecs = clustered(spread = 1.0)
+    val vmap = vecs.toMap
+    val root = java.nio.file.Files.createTempDirectory("graft-knng-spec").toString
+    KnnGraph.buildKnnGraphIndex(embDF(vecs), root, k = 6, rounds = 4)
+    val numQueries = 20; val k = 5
+    val got = KnnGraph.knnGraphSearch(spark, root, numQueries = numQueries, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === (0L until numQueries.toLong).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === k, s"query $q must return k=$k rows")
+      assert(!rows.exists(_._2 == q), s"query $q must exclude itself")
+      rows.foreach { case (_, nbr, _, c6) =>
+        assert(c6 === math.floor(cos(vmap(q), vmap(nbr)) * 1e6).toLong,
+          s"returned score for ($q, $nbr) must be the exact cosine")
+      }
+    }
+    val exact = exactTopK(vecs, k)
+    val rec = (0L until numQueries.toLong).map { q =>
+      byQ(q).map(_._2).toSet.intersect(exact(q).toSet).size.toDouble / k
+    }.sum / numQueries
+    assert(rec >= 0.5, s"multi-entry routed search recall@$k must clear 0.5, got $rec")
+    val again = KnnGraph.knnGraphSearch(spark, root, numQueries = numQueries, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.sorted === again.sorted, "search must be deterministic")
+  }
+
+  test("committed index point reads cut the file list (adjacency AND vector side)") {
+    val vecs = clustered(n = 200, spread = 0.8, seed = 13)
+    val root = java.nio.file.Files.createTempDirectory("graft-knng-prune").toString
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try KnnGraph.buildKnnGraphIndex(embDF(vecs), root, k = 4, rounds = 2)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val graph = new graft.operators.CommitTable(spark, s"$root/graph", "src")
+    val vtab = new graft.operators.CommitTable(spark, s"$root/vectors", "vec_id")
+    val gAll = graph.read().inputFiles.toSet
+    val vAll = vtab.read().inputFiles.toSet
+    assert(gAll.size > 1 && vAll.size > 1,
+      s"layout must be multi-file for the cut to be observable (graph ${gAll.size}, vectors ${vAll.size})")
+    val gCut = graph.prunedReadIn(Seq(0L)).inputFiles.toSet
+    val vCut = vtab.prunedReadIn(Seq(0L)).inputFiles.toSet
+    assert(gCut.nonEmpty && gCut.size < gAll.size,
+      s"a 1-vertex adjacency fetch must skip files: ${gCut.size} of ${gAll.size}")
+    assert(vCut.nonEmpty && vCut.size < vAll.size,
+      s"a 1-vector fetch must skip files: ${vCut.size} of ${vAll.size}")
+  }
+
+  test("sparse ids: ring init degrades gracefully, entries snap to existing ids") {
+    val rng = new scala.util.Random(23)
+    // ids 0, 3, 6, ... 87 — every ring slot between them is missing
+    val vecs = (0 until 30).map(i => (i * 3L) -> Array.fill(8)(rng.nextGaussian().toFloat))
+    val graphRows = KnnGraph.knnGraph(embDF(vecs), k = 3, rounds = 2).collect()
+    val ids = vecs.map(_._1).toSet
+    assert(graphRows.forall(r => ids(r.getLong(0)) && ids(r.getLong(1))),
+      "graph must only reference existing ids")
+    assert(graphRows.map(_.getLong(0)).toSet === ids, "every vertex keeps a neighbor list")
+    val root = java.nio.file.Files.createTempDirectory("graft-knng-sparse").toString
+    KnnGraph.buildKnnGraphIndex(embDF(vecs), root, k = 3, rounds = 2, numEntries = 4)
+    val entries = new graft.operators.CommitTable(spark, s"$root/entries", "eid")
+      .read().collect().map(_.getLong(0)).toSet
+    assert(entries.nonEmpty && entries.subsetOf(ids), s"entries $entries must be existing ids")
+    val res = KnnGraph.knnGraphSearch(spark, root, numQueries = 1, k = 2)
+    val rows = res.collect()
+    assert(rows.length === 2 && rows.forall(r => ids(r.getLong(1))),
+      "search over sparse ids must return k existing neighbors")
+  }
+}
