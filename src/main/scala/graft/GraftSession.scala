@@ -87,7 +87,12 @@ object GraftSession {
           // ...and WRITABLE from pure SQL: the statement commits at
           // analysis and returns the resulting head (LogTvfs's contract)
           "log_delete" -> graft.plans.LogTvfs.delete,
-          "log_merge" -> graft.plans.LogTvfs.mergeFrom
+          "log_merge" -> graft.plans.LogTvfs.mergeFrom,
+          // ...and the persisted-index probes queryable from pure SQL
+          // (the pgvector-shaped surface) — see IndexTvfs
+          "ann_topk" -> graft.plans.IndexTvfs.annTopK,
+          "graph_ann" -> graft.plans.IndexTvfs.graphAnn,
+          "bm25_topk" -> graft.plans.IndexTvfs.bm25TopK
         ).foreach { case (name, builder) =>
           ext.injectTableFunction((
             FunctionIdentifier(name),

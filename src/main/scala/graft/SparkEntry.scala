@@ -1489,6 +1489,37 @@ object SparkEntry {
         s"""SELECT COUNT(*) AS n_rows, SUM(k) AS sum_k, SUM(v) AS sum_v
            |FROM log_table('$tp', 'k')""".stripMargin)
     }),
+    "q44_sql_ann" -> ((s, dir) => {
+      // SQL-only VECTOR SEARCH (the pgvector shape — q42/q43 made the
+      // storage layer SQL-complete; the persisted indexes built on it
+      // were still Scala-only at query time): the IVF index builds via
+      // the Scala API at s12's configuration, then the probe runs as a
+      // pure SQL statement through the ann_topk TVF — the returned plan
+      // IS ivfTopKIndexed's (file-pruned probed lists, zero training
+      // jobs), so it shares s3's full mirror bit-for-bit.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sqlann-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
+      s.sql(s"SELECT * FROM ann_topk('$idx', 20, 5, 4)")
+    }),
+    "q45_sql_graph_ann" -> ((s, dir) => {
+      // SQL-only GRAPH-ROUTED vector search: s25's committed k-NN-graph
+      // index queried through the graph_ann TVF — the routed walk (hops
+      // rounds of file-pruned point reads) runs at analysis and the
+      // statement returns its frame, sharing s25's end-to-end mirror.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sqlgann-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), idx)
+      s.sql(s"SELECT * FROM graph_ann('$idx', 20, 5, 8, 3)")
+    }),
     "f22_log_delete" -> ((s, dir) => {
       // DELETE WHERE as a FILE-GRANULAR CoW commit (the Delta/Iceberg
       // row-level-delete shape): the orders table lands range-clustered
@@ -2593,6 +2624,38 @@ object SparkEntry {
       })
       Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 =!= 0), idx)
     }),
+    "st24_stream_graph_idx" -> ((s, dir) => {
+      // streamed GRAPH-index maintenance — the st18/st19/st21/st23 loop
+      // closing over the last index family member: embeddings land in a
+      // commit-log table over three versions, the change stream builds
+      // the k-NN graph index from the v0 snapshot and runs the
+      // FreshDiskANN search-then-link append for each later insert feed
+      // (batch 2 links against build ∪ batch 1 — the committed state at
+      // its turn), then the production maintenance step compacts the
+      // append-accreted graph files (content-preserving, st22's
+      // machinery) before the final routed walk. The mirror replays the
+      // same two-batch append chain.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sknng-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("emb").toString
+      val t = new graft.operators.CommitTable(s, tp, "vec_id")
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      t.overwrite(emb.filter(col("vec_id") >= 100))
+      t.append(emb.filter(col("vec_id") >= 50 && col("vec_id") < 100))
+      t.append(emb.filter(col("vec_id") < 50))
+      val idx = root.resolve("idx").toString
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
+        if (v == 0L) KnnGraph.buildKnnGraphIndex(batch, idx)
+        else KnnGraph.appendKnnGraphIndex(batch, idx)
+      })
+      new graft.operators.CommitTable(s, s"$idx/graph", "src")
+        .compactClustered("src", targetFiles = 4)
+      KnnGraph.knnGraphSearch(s, idx)
+    }),
     "st20_stream_cep" -> ((s, dir) => {
       // streaming CEP: e34's automaton as mapGroupsWithState custom
       // state (O(keys) registers, never event history) — run here in
@@ -3066,6 +3129,25 @@ object SparkEntry {
       java.nio.file.Files.createDirectories(root)
       val idx = root.resolve("idx").toString
       KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), idx)
+      KnnGraph.knnGraphSearch(s, idx)
+    }),
+    "s26_graph_append" -> ((s, dir) => {
+      // search-then-link incremental insert (the FreshDiskANN shape):
+      // the index builds on the vec_id >= 100 corpus, the first 100
+      // vectors arrive as an append batch — each is linked to what a
+      // routed search finds for it, and REVERSE edges make the batch
+      // reachable — then the standard query walk runs over the extended
+      // index. Queries (< 20) are themselves appended nodes, so the
+      // gate only passes if the append's reverse-edge semantics hold.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-knnapp-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val emb = Tables.embeddings(s, dir)
+      KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), idx)
+      KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
       KnnGraph.knnGraphSearch(s, idx)
     }),
     "s13_pq_persisted" -> ((s, dir) => {
@@ -4045,6 +4127,12 @@ object SparkEntry {
         |final AS (SELECT k, v FROM merged WHERE k < 1000 OR k > 5000)
         |SELECT COUNT(*) AS n_rows, SUM(k)::BIGINT AS sum_k, SUM(v)::BIGINT AS sum_v
         |FROM final""".stripMargin,
+    "q44_sql_ann" -> // the ann_topk TVF returns ivfTopKIndexed's plan,
+      // which reproduces ivfTopK bit-for-bit — s3's full mirror
+      Similarity.ivfTopKSql(),
+    "q45_sql_graph_ann" -> // the graph_ann TVF returns knnGraphSearch's
+      // plan over the committed index — s25's end-to-end mirror
+      KnnGraph.knnGraphSearchSql(),
     "f22_log_delete" -> // head excludes the deleted key range; v0 intact
       """SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS n_rows,
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS sum_key,
@@ -4767,6 +4855,15 @@ object SparkEntry {
       // as generated hop blocks; the commit round trip is
       // content-preserving, so committed search == fresh-graph search
       KnnGraph.knnGraphSearchSql(),
+    "s26_graph_append" -> // build on the >= 100 corpus, the append's
+      // search-then-link loop for the < 100 batch (scored against BUILD
+      // vectors — the committed state the engine's append sees), then
+      // the final walk over graph ∪ forward ∪ reverse edges
+      KnnGraph.knnGraphAppendSearchSql(),
+    "st24_stream_graph_idx" -> // the same append chain replayed batch by
+      // batch: [50,100) links against the build state, [0,50) against
+      // build ∪ first batch; the compaction commit is content-preserving
+      KnnGraph.knnGraphAppendSearchSql(batches = Seq((50L, 100L), (0L, 50L))),
     "s13_pq_persisted" -> // committed codes reproduce pqTopK bit-for-bit
       Similarity.pqTopKSql(),
     "s14_ivf_append" -> // train on the vec_id<250 prefix, assign ALL:

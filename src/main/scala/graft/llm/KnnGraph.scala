@@ -143,35 +143,36 @@ object KnnGraph {
   /** The construction's CTE chain (shared by the graph mirror and the
     * search mirror): returns `(cteBody, finalEdgesCte)` — `cteBody` starts
     * after `WITH ` and ends with a trailing comma. */
-  private def graphCtes(k: Int, rounds: Int): (String, String) = {
+  private def graphCtes(k: Int, rounds: Int,
+                        baseFilter: String = "TRUE"): (String, String) = {
     val sb = new StringBuilder
     sb.append(
-      s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-         |cnt AS (SELECT max(vec_id) + 1 AS modn FROM n),
-         |ring AS (SELECT DISTINCT a.vec_id AS src, (a.vec_id + u.j) % cnt.modn AS dst
+      s"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE $baseFilter),
+         |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |cnt AS MATERIALIZED (SELECT max(vec_id) + 1 AS modn FROM n),
+         |ring AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, (a.vec_id + u.j) % cnt.modn AS dst
          |         FROM n a, cnt, UNNEST(range(1, ${k + 1})) AS u(j)
          |         WHERE (a.vec_id + u.j) % cnt.modn <> a.vec_id),
-         |e0 AS (SELECT r.src, r.dst,
+         |e0 AS MATERIALIZED (SELECT r.src, r.dst,
          |              list_dot_product(sa.e, sb.e) / (sa.nrm * sb.nrm) AS cos
          |       FROM ring r JOIN n sa ON sa.vec_id = r.src JOIN n sb ON sb.vec_id = r.dst),
          |""".stripMargin)
     var prev = "e0"
     for (r <- 1 to rounds) {
       sb.append(
-        s"""b$r AS (SELECT DISTINCT pvt, mem, cos FROM (
+        s"""b$r AS MATERIALIZED (SELECT DISTINCT pvt, mem, cos FROM (
            |  SELECT src AS pvt, dst AS mem, cos FROM $prev
            |  UNION ALL SELECT dst, src, cos FROM $prev)),
-           |bc$r AS (SELECT pvt, mem FROM (
+           |bc$r AS MATERIALIZED (SELECT pvt, mem FROM (
            |  SELECT pvt, mem,
            |         row_number() OVER (PARTITION BY pvt ORDER BY cos DESC, mem) AS rn
            |  FROM b$r) WHERE rn <= ${2 * k}),
-           |pr$r AS (SELECT DISTINCT x.mem AS src, y.mem AS dst
+           |pr$r AS MATERIALIZED (SELECT DISTINCT x.mem AS src, y.mem AS dst
            |  FROM bc$r x JOIN bc$r y ON x.pvt = y.pvt AND x.mem < y.mem),
-           |s$r AS (SELECT pr.src, pr.dst,
+           |s$r AS MATERIALIZED (SELECT pr.src, pr.dst,
            |               list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm) AS cos
            |  FROM pr$r pr JOIN n va ON va.vec_id = pr.src JOIN n vb ON vb.vec_id = pr.dst),
-           |e$r AS (SELECT src, dst, cos FROM (
+           |e$r AS MATERIALIZED (SELECT src, dst, cos FROM (
            |  SELECT src, dst, cos,
            |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
            |  FROM (SELECT DISTINCT src, dst, cos FROM (
@@ -193,7 +194,7 @@ object KnnGraph {
   def knnGraphSql(k: Int = 6, rounds: Int = 2): String = {
     val (ctes, fin) = graphCtes(k, rounds)
     s"""WITH $ctes
-       |r AS (SELECT src, dst, cos,
+       |r AS MATERIALIZED (SELECT src, dst, cos,
        |             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
        |      FROM $fin)
        |SELECT src AS src_id, dst AS nbr_id, rank::BIGINT AS rank,
@@ -287,14 +288,33 @@ object KnnGraph {
                      beam: Int = 8, hops: Int = 3): DataFrame = {
     require(beam >= k, s"knnGraphSearch: beam $beam must be >= k $k")
     val vecs = new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
-    val graph = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
-    val entryIds = new graft.operators.CommitTable(spark, s"$indexRoot/entries", "eid")
-      .read().collect().map(_.getLong(0)).toSeq.sorted // ≤ numEntries by contract
     // query vectors: a file-pruned point read of the contract ids
     val queries = vecs.prunedReadIn(0L until numQueries.toLong)
       .filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
       .localCheckpoint(true)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    routedVisited(spark, indexRoot, queries, beam, hops)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The shared beam loop: all `(query_id, vec_id, cos)` rows VISITED by
+    * the multi-entry routed walk for an arbitrary materialized query frame
+    * `(query_id, qe, qn)` — [[knnGraphSearch]] ranks these into results;
+    * [[appendKnnGraphIndex]] turns them into new adjacency. Every
+    * driver collect in the loop is bounded by the search contract
+    * (frontier ≤ queries·beam ids, candidates ≤ queries·beam·k ids). */
+  private def routedVisited(spark: SparkSession, indexRoot: String,
+                            queries: DataFrame, beam: Int, hops: Int): DataFrame = {
+    val vecs = new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
+    val graph = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
+    val entryIds = new graft.operators.CommitTable(spark, s"$indexRoot/entries", "eid")
+      .read().collect().map(_.getLong(0)).toSeq.sorted // ≤ numEntries by contract
     def scoreIds(cand: DataFrame, ids: Seq[Long]): DataFrame =
       cand.join(vecs.prunedReadIn(ids).filter(col("vec_id").isin(ids: _*))
             .select("vec_id", "e", "nrm"), "vec_id")
@@ -307,25 +327,63 @@ object KnnGraph {
     var beamDf = topPerQuery(visited, beam)
     for (_ <- 1 to hops) {
       val frontier = beamDf.select("vec_id").distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted // ≤ numQueries·beam by contract
+        .collect().map(_.getLong(0)).toSeq.sorted
       val nbrs = graph.prunedReadIn(frontier).filter(col("src").isin(frontier: _*))
         .select(col("src"), col("dst"))
       val cand = beamDf.select(col("query_id"), col("vec_id").as("src"))
         .join(nbrs, "src")
         .select(col("query_id"), col("dst").as("vec_id")).distinct()
       val candIds = cand.select("vec_id").distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted // ≤ numQueries·beam·k by contract
+        .collect().map(_.getLong(0)).toSeq.sorted
       visited = visited.union(scoreIds(cand, candIds)).distinct()
         .localCheckpoint(true)
       beamDf = topPerQuery(visited, beam)
     }
+    visited
+  }
+
+  /** Incrementally extends a committed graph index with NEW vectors — the
+    * search-then-link insert of a streaming graph index (Singh et al.
+    * 2021, "FreshDiskANN": an inserted point is connected to the
+    * neighbors a routed search finds for it, and those neighbors gain
+    * reverse edges to the new point so it is REACHABLE by later walks).
+    * Caller contract: new ids are disjoint from every committed id (the
+    * [[Similarity.appendIvfIndex]] discipline). Per batch:
+    *  1. each new vector runs the standard multi-entry routed search
+    *     against the COMMITTED graph (`linkK` results kept);
+    *  2. forward edges (new → found) AND reverse edges (found → new) land
+    *     as ONE atomic append on the graph table — reverse edges are what
+    *     make the new points discoverable without a rebuild;
+    *  3. the new vector rows land as one atomic append on the vectors
+    *     table. The entries table is untouched (the entry set stays a
+    *     valid spread of the id span; a drifted span is a rebuild signal).
+    * Returns the committed graph version.
+    *
+    * Deliberate divergences, documented: touched existing vertices' lists
+    * GROW past k (FreshDiskANN re-prunes them; here the periodic rebuild
+    * re-normalizes — the routed walk only reads more candidate rows in the
+    * meantime), and intra-batch edges between two NEW points appear only
+    * at the next rebuild (a daily shard against a large corpus rarely
+    * self-neighbors; the spec pins the semantics either way).
+    */
+  def appendKnnGraphIndex(embNew: DataFrame, indexRoot: String,
+                          linkK: Int = 6, beam: Int = 8, hops: Int = 3): Long = {
+    val spark = embNew.sparkSession
+    val vNew = vectors(embNew).localCheckpoint(true)
+    val newQueries = vNew
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .localCheckpoint(true)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    visited.filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
-      .orderBy("query_id", "rank")
+    val linked = routedVisited(spark, indexRoot, newQueries, beam, hops)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= linkK)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    val forward = linked.select(col("query_id").as("src"), col("vec_id").as("dst"), col("cos"))
+    val reverse = linked.select(col("vec_id").as("src"), col("query_id").as("dst"), col("cos"))
+    new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
+      .append(vNew.repartitionByRange(col("vec_id")))
+    new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
+      .append(forward.union(reverse).repartitionByRange(col("src"), col("dst")))
   }
 
   /** DuckDB mirror of [[buildKnnGraphIndex]] + [[knnGraphSearch]]: the
@@ -344,42 +402,151 @@ object KnnGraph {
     val sb = new StringBuilder
     sb.append(ctes)
     sb.append(
-      s"""span AS (SELECT min(vec_id) AS lo, max(vec_id) + 1 AS hi FROM n),
-         |ecand AS (SELECT span.lo + (u.i * (span.hi - span.lo)) // $numEntries AS c
+      s"""span AS MATERIALIZED (SELECT min(vec_id) AS lo, max(vec_id) + 1 AS hi FROM n),
+         |ecand AS MATERIALIZED (SELECT span.lo + (u.i * (span.hi - span.lo)) // $numEntries AS c
          |          FROM span, UNNEST(range(0, $numEntries)) AS u(i)),
-         |entries AS (SELECT DISTINCT eid FROM (
+         |entries AS MATERIALIZED (SELECT DISTINCT eid FROM (
          |  SELECT min(n.vec_id) AS eid FROM ecand JOIN n ON n.vec_id >= ecand.c GROUP BY ecand.c)),
-         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < $numQueries),
-         |vis0 AS (SELECT q.query_id, i.vec_id,
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < $numQueries),
+         |vis0 AS MATERIALIZED (SELECT q.query_id, i.vec_id,
          |                list_dot_product(i.e, q.qe) / (i.nrm * q.qn) AS cos
          |         FROM q CROSS JOIN entries JOIN n i ON i.vec_id = entries.eid),
-         |beam0 AS (SELECT query_id, vec_id, cos FROM (
+         |beam0 AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
          |  SELECT query_id, vec_id, cos,
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
          |  FROM vis0) WHERE rn <= $beam),
          |""".stripMargin)
     for (h <- 1 to hops) {
       sb.append(
-        s"""cand$h AS (SELECT DISTINCT b.query_id, g.dst AS vec_id
+        s"""cand$h AS MATERIALIZED (SELECT DISTINCT b.query_id, g.dst AS vec_id
            |  FROM beam${h - 1} b JOIN $fin g ON g.src = b.vec_id),
-           |sc$h AS (SELECT c.query_id, c.vec_id,
+           |sc$h AS MATERIALIZED (SELECT c.query_id, c.vec_id,
            |                list_dot_product(i.e, q.qe) / (i.nrm * q.qn) AS cos
            |  FROM cand$h c JOIN n i ON i.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
-           |vis$h AS (SELECT DISTINCT query_id, vec_id, cos FROM (
+           |vis$h AS MATERIALIZED (SELECT DISTINCT query_id, vec_id, cos FROM (
            |  SELECT query_id, vec_id, cos FROM vis${h - 1}
            |  UNION ALL SELECT query_id, vec_id, cos FROM sc$h)),
-           |beam$h AS (SELECT query_id, vec_id, cos FROM (
+           |beam$h AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
            |  SELECT query_id, vec_id, cos,
            |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
            |  FROM vis$h) WHERE rn <= $beam),
            |""".stripMargin)
     }
     s"""WITH ${sb.toString}
-       |fin AS (SELECT query_id, vec_id, cos,
+       |fin AS MATERIALIZED (SELECT query_id, vec_id, cos,
        |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
        |        FROM vis$hops WHERE vec_id <> query_id)
        |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
        |       floor(cos * 1e6)::BIGINT AS cos_1e6
        |FROM fin WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** A generated beam-loop block over adjacency CTE `graphCte`, scoring
+    * against vector CTE `vecCte`, starting from `vis0Cte`; CTE names are
+    * prefixed with `tag` so two loops coexist in one statement. Returns
+    * the final visited CTE's name. */
+  private def beamLoopCtes(sb: StringBuilder, tag: String, graphCte: String,
+                           vecCte: String, vis0Cte: String,
+                           beam: Int, hops: Int): String = {
+    sb.append(
+      s"""${tag}beam0 AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM $vis0Cte) WHERE rn <= $beam),
+         |""".stripMargin)
+    for (h <- 1 to hops) {
+      sb.append(
+        s"""${tag}cand$h AS MATERIALIZED (SELECT DISTINCT b.query_id, g.dst AS vec_id
+           |  FROM ${tag}beam${h - 1} b JOIN $graphCte g ON g.src = b.vec_id),
+           |${tag}sc$h AS MATERIALIZED (SELECT c.query_id, c.vec_id,
+           |                list_dot_product(i.e, q.qe) / (i.nrm * q.qn) AS cos
+           |  FROM ${tag}cand$h c JOIN $vecCte i ON i.vec_id = c.vec_id
+           |  JOIN ${tag}q q ON q.query_id = c.query_id),
+           |${tag}vis$h AS MATERIALIZED (SELECT DISTINCT query_id, vec_id, cos FROM (
+           |  SELECT query_id, vec_id, cos FROM ${if (h == 1) vis0Cte else s"${tag}vis${h - 1}"}
+           |  UNION ALL SELECT query_id, vec_id, cos FROM ${tag}sc$h)),
+           |${tag}beam$h AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
+           |  SELECT query_id, vec_id, cos,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+           |  FROM ${tag}vis$h) WHERE rn <= $beam),
+           |""".stripMargin)
+    }
+    s"${tag}vis$hops"
+  }
+
+  /** DuckDB mirror of build-on-subset + [[appendKnnGraphIndex]] per batch
+    * + [[knnGraphSearch]] end-to-end: the graph CTEs restricted to the
+    * BUILD corpus (every id outside all `batches`), the entry set over
+    * that corpus, then one generated beam loop PER BATCH — batch i's
+    * search-then-link scores against exactly the vectors committed before
+    * it (build ∪ batches 1..i−1, the state the engine's i-th append sees)
+    * over the graph extended by every earlier batch's forward+reverse
+    * links — and a final query walk over the fully extended graph scoring
+    * against ALL vectors. `batches` are `[lo, hi)` id ranges in append
+    * order; the default single batch is s26's configuration. */
+  def knnGraphAppendSearchSql(batches: Seq[(Long, Long)] = Seq((0L, 100L)),
+                              numQueries: Int = 20,
+                              k: Int = 5, beam: Int = 8, hops: Int = 3,
+                              buildK: Int = 6, rounds: Int = 2,
+                              numEntries: Int = 16, linkK: Int = 6): String = {
+    require(batches.nonEmpty, "knnGraphAppendSearchSql: need at least one batch")
+    val buildFilter = batches
+      .map { case (lo, hi) => s"NOT (vec_id >= $lo AND vec_id < $hi)" }
+      .mkString(" AND ")
+    val (ctes, fin) = graphCtes(buildK, rounds, buildFilter)
+    val sb = new StringBuilder
+    sb.append(ctes)
+    sb.append(
+      s"""span AS MATERIALIZED (SELECT min(vec_id) AS lo, max(vec_id) + 1 AS hi FROM n),
+         |ecand AS MATERIALIZED (SELECT span.lo + (u.i * (span.hi - span.lo)) // $numEntries AS c
+         |          FROM span, UNNEST(range(0, $numEntries)) AS u(i)),
+         |entries AS MATERIALIZED (SELECT DISTINCT eid FROM (
+         |  SELECT min(n.vec_id) AS eid FROM ecand JOIN n ON n.vec_id >= ecand.c GROUP BY ecand.c)),
+         |vall AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |nall AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM vall),
+         |nv0 AS MATERIALIZED (SELECT vec_id, e, nrm FROM n),
+         |g0 AS MATERIALIZED (SELECT src, dst, cos FROM $fin),
+         |""".stripMargin)
+    var graphCte = "g0"
+    var vecCte = "nv0"
+    batches.zipWithIndex.foreach { case ((lo, hi), bi) =>
+      val i = bi + 1
+      sb.append(
+        s"""a${i}q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM nall
+           |  WHERE vec_id >= $lo AND vec_id < $hi),
+           |a${i}vis0 AS MATERIALIZED (SELECT q.query_id, i.vec_id,
+           |                 list_dot_product(i.e, q.qe) / (i.nrm * q.qn) AS cos
+           |          FROM a${i}q q CROSS JOIN entries JOIN $vecCte i ON i.vec_id = entries.eid),
+           |""".stripMargin)
+      val aFinal = beamLoopCtes(sb, s"a$i", graphCte, vecCte, s"a${i}vis0", beam, hops)
+      sb.append(
+        s"""a${i}link AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
+           |  SELECT query_id, vec_id, cos,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+           |  FROM $aFinal) WHERE rn <= $linkK),
+           |g$i AS MATERIALIZED (SELECT src, dst, cos FROM $graphCte
+           |          UNION ALL SELECT query_id, vec_id, cos FROM a${i}link
+           |          UNION ALL SELECT vec_id, query_id, cos FROM a${i}link),
+           |nv$i AS MATERIALIZED (SELECT vec_id, e, nrm FROM $vecCte
+           |          UNION ALL SELECT vec_id, e, nrm FROM nall
+           |          WHERE vec_id >= $lo AND vec_id < $hi),
+           |""".stripMargin)
+      graphCte = s"g$i"
+      vecCte = s"nv$i"
+    }
+    sb.append(
+      s"""fq AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM nall WHERE vec_id < $numQueries),
+         |fvis0 AS MATERIALIZED (SELECT fq.query_id, i.vec_id,
+         |                 list_dot_product(i.e, fq.qe) / (i.nrm * fq.qn) AS cos
+         |          FROM fq CROSS JOIN entries JOIN nall i ON i.vec_id = entries.eid),
+         |""".stripMargin)
+    val fFinal = beamLoopCtes(sb, "f", graphCte, "nall", "fvis0", beam, hops)
+    s"""WITH ${sb.toString}
+       |rfin AS MATERIALIZED (SELECT query_id, vec_id, cos,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |        FROM $fFinal WHERE vec_id <> query_id)
+       |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+       |       floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM rfin WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 }

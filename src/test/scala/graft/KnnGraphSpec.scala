@@ -118,6 +118,11 @@ class KnnGraphSpec extends SparkSpec {
     val again = KnnGraph.knnGraphSearch(spark, root, numQueries = numQueries, k = k)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got.sorted === again.sorted, "search must be deterministic")
+    // the SQL TVF surface returns the identical frame (IndexTvfs contract)
+    val viaSql = spark.sql(s"SELECT * FROM graph_ann('$root', $numQueries, $k, 8, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaSql.sorted === got.sorted,
+      "graph_ann TVF must equal the Scala API row-for-row")
   }
 
   test("committed index point reads cut the file list (adjacency AND vector side)") {
@@ -138,6 +143,57 @@ class KnnGraphSpec extends SparkSpec {
       s"a 1-vertex adjacency fetch must skip files: ${gCut.size} of ${gAll.size}")
     assert(vCut.nonEmpty && vCut.size < vAll.size,
       s"a 1-vector fetch must skip files: ${vCut.size} of ${vAll.size}")
+  }
+
+  test("append: search-then-link makes new points reachable via reverse edges") {
+    val vecs = clustered(n = 150, spread = 0.6, seed = 31)
+    val (batch, base) = vecs.partition(_._1 < 30)
+    val root = java.nio.file.Files.createTempDirectory("graft-knng-append").toString
+    KnnGraph.buildKnnGraphIndex(embDF(base), root, k = 6, rounds = 3)
+    val graphT = new graft.operators.CommitTable(spark, s"$root/graph", "src")
+    val vecsT = new graft.operators.CommitTable(spark, s"$root/vectors", "vec_id")
+    val (gv0, vv0) = (graphT.latestVersion().get, vecsT.latestVersion().get)
+    val linkK = 6
+    KnnGraph.appendKnnGraphIndex(embDF(batch), root, linkK = linkK)
+    // exactly ONE new commit per table — the append is atomic
+    assert(graphT.latestVersion().get === gv0 + 1, "graph append must be one commit")
+    assert(vecsT.latestVersion().get === vv0 + 1, "vectors append must be one commit")
+    // vectors table now carries the full corpus
+    val allIds = vecsT.read().select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(allIds === vecs.map(_._1).toSet, "post-append vectors must cover build + batch")
+    // every batch point got exactly linkK forward edges into the BUILD
+    // corpus, and the same rows reversed (found -> new)
+    val edges = graphT.read().select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchIds = batch.map(_._1).toSet
+    val fwd = edges.filter(e => batchIds(e._1)).groupBy(_._1)
+    assert(fwd.keySet === batchIds, "every appended point must carry forward links")
+    fwd.foreach { case (id, es) =>
+      assert(es.length === linkK, s"appended $id must carry linkK=$linkK forward edges")
+      assert(es.forall(e => !batchIds(e._2)),
+        s"appended $id must link into the committed corpus only (intra-batch deferred to rebuild)")
+    }
+    val revSet = edges.filter(e => batchIds(e._2)).map(e => (e._2, e._1)).toSet
+    assert(fwd.values.flatten.toSet === revSet,
+      "reverse edges must mirror the forward links exactly")
+    // the post-append walk actually SURFACES appended points: queries are
+    // clustered with batch members, so top-k over the extended index must
+    // recall batch neighbors it could never reach pre-append
+    val vmap = vecs.toMap
+    val got = KnnGraph.knnGraphSearch(spark, root, numQueries = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    got.foreach { case (q, nbr, c6) =>
+      assert(c6 === math.floor(cos(vmap(q), vmap(nbr)) * 1e6).toLong,
+        s"post-append score ($q, $nbr) must be the exact cosine")
+    }
+    assert(got.exists { case (_, nbr, _) => batchIds(nbr) && true },
+      "post-append search must surface at least one appended neighbor")
+    val exact = exactTopK(vecs, 5)
+    val byQ = got.groupBy(_._1)
+    val rec = (0L until 20L).map { q =>
+      byQ(q).map(_._2).toSet.intersect(exact(q).toSet).size.toDouble / 5
+    }.sum / 20
+    assert(rec >= 0.5, s"post-append routed recall@5 must clear 0.5, got $rec")
   }
 
   test("sparse ids: ring init degrades gracefully, entries snap to existing ids") {

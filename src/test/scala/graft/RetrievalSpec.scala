@@ -147,6 +147,10 @@ class RetrievalSpec extends SparkSpec {
     def rows(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     // bit-identical to the inline operator (shared scoring tail, same df)
     assert(rows(indexed) === rows(inline))
+    // the SQL TVF surface returns the identical frame (IndexTvfs contract)
+    val viaSql = spark.sql(s"SELECT * FROM bm25_topk('$root', '${q.mkString(",")}', 60)")
+    assert(viaSql.collect().toSeq === indexed.collect().toSeq,
+      "bm25_topk TVF must equal the Scala API row-for-row")
     // zero corpus jobs at query time: every file the indexed query reads
     // lives under the committed index — the raw documents are NOT an input
     val files = indexed.inputFiles

@@ -266,6 +266,10 @@ class SimilaritySpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rows(indexed) === rows(inline))
+    // the SQL TVF surface returns the identical frame (IndexTvfs contract)
+    val viaSql = spark.sql(s"SELECT * FROM ann_topk('$root', 16, 3, 3)")
+    assert(rows(viaSql) === rows(indexed),
+      "ann_topk TVF must equal the Scala API row-for-row")
 
     // refresh = one new atomic commit; the previous index stays readable
     val v1 = Similarity.buildIvfIndex(embDF(vecs.take(40)), root, nlist = 8, iters = 1, dim = dim)

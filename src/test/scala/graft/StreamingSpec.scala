@@ -654,6 +654,71 @@ class StreamingSpec extends SparkSpec {
       "asOf history must survive the compaction rewrite")
   }
 
+  test("streamed graph-index maintenance: per-commit append, head equals direct API calls, OPTIMIZE preserves search") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(97)
+    val dim = 12
+    val vecs = (0L until 90L).map(i => (i, Seq.fill(dim)(rng.nextGaussian().toFloat)))
+    def emb(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val build = vecs.filter(_._1 >= 30)
+    val b1 = vecs.filter(v => v._1 >= 15 && v._1 < 30)
+    val b2 = vecs.filter(_._1 < 15)
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-knng")
+    val tp = root.resolve("emb").toString
+    val t = new graft.operators.CommitTable(s, tp, "vec_id")
+    t.overwrite(emb(build)); t.append(emb(b1)); t.append(emb(b2))
+    val idx = root.resolve("idx").toString
+    graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+      val batch = cdf.filter(org.apache.spark.sql.functions.col("change_type") === "insert")
+        .drop("change_type")
+      if (v == 0L) graft.llm.KnnGraph.buildKnnGraphIndex(batch, idx, k = 4, rounds = 2)
+      else graft.llm.KnnGraph.appendKnnGraphIndex(batch, idx, linkK = 4)
+    })
+    // one atomic graph version per discovered commit: build + 2 appends
+    val graph = new graft.operators.CommitTable(s, s"$idx/graph", "src")
+    assert(graph.versions() === Seq(0L, 1L, 2L))
+    // the streamed head equals running the Scala calls directly — the
+    // change-feed plumbing adds nothing to the append semantics
+    val refRoot = java.nio.file.Files.createTempDirectory("graft-stream-knng-ref")
+      .resolve("idx").toString
+    graft.llm.KnnGraph.buildKnnGraphIndex(emb(build), refRoot, k = 4, rounds = 2)
+    graft.llm.KnnGraph.appendKnnGraphIndex(emb(b1), refRoot, linkK = 4)
+    graft.llm.KnnGraph.appendKnnGraphIndex(emb(b2), refRoot, linkK = 4)
+    def edges(p: String) = new graft.operators.CommitTable(s, s"$p/graph", "src")
+      .read().select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(edges(idx) === edges(refRoot))
+    // batch 1 linked only into the build corpus AT ITS OWN COMMIT (the
+    // asOf(1) snapshot); at the head its vertices also carry REVERSE
+    // edges from batch 2 (which searched the state AFTER the first
+    // append) — but never intra-batch links
+    val b1Ids = b1.map(_._1).toSet; val b2Ids = b2.map(_._1).toSet
+    val e1 = graph.asOf(1L).select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(e1.filter(x => b1Ids(x._1)).forall(x => x._2 >= 30),
+      "at version 1 the first batch must link into the build corpus only")
+    val e = edges(idx)
+    assert(e.filter(x => b1Ids(x._1)).forall(x => !b1Ids(x._2)),
+      "first batch must never link intra-batch")
+    assert(e.filter(x => b2Ids(x._1)).forall(x => !b2Ids(x._2)),
+      "second batch must never link intra-batch")
+    // search end-to-end over the streamed head, bit-identical through
+    // OPTIMIZE; history and file count behave like every other index
+    def qRows() = graft.llm.KnnGraph.knnGraphSearch(s, idx, numQueries = 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val preOptimize = qRows()
+    assert(preOptimize.nonEmpty)
+    val filesBefore = graph.read().inputFiles.length
+    val vOpt = graph.compactClustered("src", targetFiles = 2)
+    assert(vOpt === 3L)
+    assert(graph.read().inputFiles.length < filesBefore,
+      s"OPTIMIZE must shrink the file count, was $filesBefore")
+    assert(qRows() === preOptimize,
+      "search must be bit-identical through the compaction commit")
+    assert(graph.asOf(0L).count() < graph.asOf(2L).count(),
+      "asOf history must survive the compaction rewrite")
+  }
+
   test("streamed quantile-sketch maintenance: per-commit merge, head equals a one-shot direct build") {
     val s = spark
     import s.implicits._
