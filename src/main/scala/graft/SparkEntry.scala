@@ -3150,6 +3150,70 @@ object SparkEntry {
       KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
       KnnGraph.knnGraphSearch(s, idx)
     }),
+    "s27_ivf_delete" -> ((s, dir) => {
+      // the DELETE half of the index lifecycle (FAISS remove_ids as the
+      // delete-list shape): one O(deleted) tombstone commit makes the
+      // range vanish from probes immediately; consolidation drops the
+      // physical rows. Because the exclusion is a pure row filter on the
+      // committed lists, BOTH phases equal the one filtered mirror — the
+      // gate row carries them side by side to prove it.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-ivfdel-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildIvfIndex(emb, idx)
+      Similarity.deleteFromIvfIndex(
+        emb.filter(col("vec_id") >= 120 && col("vec_id") < 180).select("vec_id"), idx)
+      val pre = Similarity.ivfTopKIndexed(s, idx)
+        .withColumn("phase", lit("tombstoned"))
+      Similarity.consolidateIvfIndex(s, idx)
+      val post = Similarity.ivfTopKIndexed(s, idx)
+        .withColumn("phase", lit("consolidated"))
+      pre.unionByName(post)
+    }),
+    "s28_graph_delete" -> ((s, dir) => {
+      // FreshDiskANN delete-consolidation on the committed graph index:
+      // tombstone the range (deleted vertices keep NAVIGATING but leave
+      // results), then consolidate — surviving in-neighbors of each
+      // deleted vertex inherit its surviving out-neighbors (one-hop
+      // repair), vectors/entries rewrite without the range — and run the
+      // standard walk. The mirror replays build + repair + walk.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-knndel-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val emb = Tables.embeddings(s, dir)
+      KnnGraph.buildKnnGraphIndex(emb, idx)
+      KnnGraph.deleteFromKnnGraphIndex(
+        emb.filter(col("vec_id") >= 120 && col("vec_id") < 180).select("vec_id"), idx)
+      KnnGraph.consolidateKnnGraphIndex(s, idx)
+      KnnGraph.knnGraphSearch(s, idx)
+    }),
+    "s29_bm25_delete" -> ((s, dir) => {
+      // Lucene-shaped document deletes on the committed BM25 index:
+      // tombstoned docs leave results and the query terms' df at once
+      // (corpus n/sum_dl stay stale until the merge — the documented
+      // Lucene semantics, spec-pinned); consolidation re-derives exact
+      // survivor stats, making the index bit-identical to a rebuild on
+      // the survivors — which IS the mirror here.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-bm25del-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val docs = Tables.documents(s, dir)
+      graft.llm.Retrieval.buildBm25Index(docs, idx)
+      graft.llm.Retrieval.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), idx)
+      graft.llm.Retrieval.consolidateBm25Index(s, idx)
+      graft.llm.Retrieval.bm25TopKIndexed(s, idx, Bm25QueryTerms, k = 15)
+    }),
     "s13_pq_persisted" -> ((s, dir) => {
       // persisted PQ: the CODES (m bytes/vector — the corpus-sized
       // artifact s7 re-derives every call) land as a commit-log table
@@ -4864,6 +4928,17 @@ object SparkEntry {
       // batch: [50,100) links against the build state, [0,50) against
       // build ∪ first batch; the compaction commit is content-preserving
       KnnGraph.knnGraphAppendSearchSql(batches = Seq((50L, 100L), (0L, 50L))),
+    "s27_ivf_delete" -> // the delete-list exclusion is a pure row filter
+      // on the committed lists, so the tombstoned AND consolidated phases
+      // both equal s3's mirror with the deleted range cut from candidates
+      s"""WITH rbase AS MATERIALIZED (
+         |${Similarity.ivfTopKSql(candFilter = "NOT (vec_id >= 120 AND vec_id < 180)")})
+         |SELECT query_id, neighbor_id, rank, cos_1e6, p.phase
+         |FROM rbase CROSS JOIN (VALUES ('tombstoned'), ('consolidated')) p(phase)""".stripMargin,
+    "s28_graph_delete" -> // build CTEs + the consolidation's one-hop
+      // repair (kept ∪ capped in×out patch, entries re-snapped) + the
+      // standard walk over survivors — the post-consolidation search
+      KnnGraph.knnGraphDeleteSearchSql("vec_id >= 120 AND vec_id < 180"),
     "s13_pq_persisted" -> // committed codes reproduce pqTopK bit-for-bit
       Similarity.pqTopKSql(),
     "s14_ivf_append" -> // train on the vec_id<250 prefix, assign ALL:
@@ -5427,11 +5502,21 @@ object SparkEntry {
     }
     val bm25Oracle: Map[String, String] =
       if (!(want("t37_bm25") || want("p8_hybrid_rrf") || want("s19_bm25_indexed")
-          || want("st19_stream_bm25") || want("p10_rag_indexed"))) Map.empty else {
+          || want("st19_stream_bm25") || want("p10_rag_indexed")
+          || want("s29_bm25_delete"))) Map.empty else {
         val texts = graft.Tables.documents(spark, sfDir)
           .select(col("text")).collect().map(_.getString(0)).toSeq
         val idf = SequentialCorpus.bm25Idf(texts, Bm25QueryTerms)
+        // the post-consolidation index IS a rebuild over the survivors, so
+        // the s29 mirror is t37's pipeline restricted to them — idf
+        // re-derived from survivor texts by the independent mirror
+        val survTexts = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 7 =!= 3)
+          .select(col("text")).collect().map(_.getString(0)).toSeq
+        val idfSurv = SequentialCorpus.bm25Idf(survTexts, Bm25QueryTerms)
         Map(
+          "s29_bm25_delete" -> graft.llm.Retrieval.bm25TopKSql(idfSurv, k = 15,
+            docFilter = "doc_id % 7 <> 3"),
           "t37_bm25" -> graft.llm.Retrieval.bm25TopKSql(idf, k = 15),
           // the committed index is bit-identical to the inline operator
           // (no trained component; shared scoring tail) — same oracle

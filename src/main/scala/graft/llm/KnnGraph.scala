@@ -288,13 +288,22 @@ object KnnGraph {
                      beam: Int = 8, hops: Int = 3): DataFrame = {
     require(beam >= k, s"knnGraphSearch: beam $beam must be >= k $k")
     val vecs = new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
-    // query vectors: a file-pruned point read of the contract ids
-    val queries = vecs.prunedReadIn(0L until numQueries.toLong)
-      .filter(col("vec_id") < numQueries)
+    // query vectors: a file-pruned point read of the contract ids; a
+    // tombstoned id cannot query (it has left the index)
+    val queries = Tombstones.exclude(
+        vecs.prunedReadIn(0L until numQueries.toLong)
+          .filter(col("vec_id") < numQueries),
+        indexRoot, "vec_id", "vec_id")
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
       .localCheckpoint(true)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    routedVisited(spark, indexRoot, queries, beam, hops)
+    // tombstone-aware under the FreshDiskANN DeleteList contract: deleted
+    // vertices still NAVIGATE (the walk scores them into the beam and uses
+    // their adjacency — severing them before [[consolidateKnnGraphIndex]]
+    // patches routes would punch reachability holes) but can never enter
+    // RESULTS; consolidation later removes them physically
+    Tombstones.exclude(routedVisited(spark, indexRoot, queries, beam, hops),
+        indexRoot, "vec_id", "vec_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -374,7 +383,12 @@ object KnnGraph {
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
       .localCheckpoint(true)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    val linked = routedVisited(spark, indexRoot, newQueries, beam, hops)
+    // deleted vertices may still navigate the link search (the search
+    // contract) but a NEW point never links TO one — FreshDiskANN's insert
+    // filters its candidate list against the DeleteList
+    val linked = Tombstones.exclude(
+        routedVisited(spark, indexRoot, newQueries, beam, hops),
+        indexRoot, "vec_id", "vec_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= linkK)
       .select(col("query_id"), col("vec_id"), col("cos"))
@@ -384,6 +398,91 @@ object KnnGraph {
       .append(vNew.repartitionByRange(col("vec_id")))
     new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
       .append(forward.union(reverse).repartitionByRange(col("src"), col("dst")))
+  }
+
+  /** Removes vectors from a committed graph index — FreshDiskANN's
+    * DeleteList (Singh et al. 2021): one atomic O(deleted) tombstone
+    * commit; nothing in the graph or vectors tables is read or rewritten.
+    * Deleted vertices leave RESULTS (and new points' link candidates)
+    * immediately but keep NAVIGATING — their adjacency still carries walks
+    * across the graph — until [[consolidateKnnGraphIndex]] re-routes
+    * around them and drops them physically. Severing them eagerly would
+    * punch reachability holes in every path that crossed them.
+    */
+  def deleteFromKnnGraphIndex(ids: DataFrame, indexRoot: String): Long =
+    Tombstones.delete(ids, indexRoot, "vec_id")
+
+  /** FreshDiskANN's DELETE CONSOLIDATION, as one deterministic dataflow:
+    * for each deleted vertex d, every surviving in-neighbor of d is
+    * offered d's surviving out-neighbors as replacement edges (the paper's
+    * local repair: routes that crossed d now skip it), deduplicated,
+    * capped at `patchK` per source by (cos desc, dst) with cosines
+    * recomputed from the surviving vectors; then
+    *  - `graph/` rewrites as surviving edges ∪ patch (one range-clustered
+    *    overwrite commit — file pruning survives),
+    *  - `vectors/` rewrites without the deleted rows,
+    *  - `entries/` re-snaps: a deleted entry vertex is replaced by the
+    *    smallest surviving id at or above it (the build's snapping rule;
+    *    falls back to the smallest surviving id), and
+    *  - the delete list clears.
+    * Documented divergence (shared with the paper's batch consolidation):
+    * the repair is ONE hop — a path through two ADJACENT deleted vertices
+    * is not re-stitched; the periodic full rebuild re-normalizes. Returns
+    * the new graph version; no-op (current head) when nothing is
+    * tombstoned. Requires at least one surviving vector.
+    */
+  def consolidateKnnGraphIndex(spark: SparkSession, indexRoot: String,
+                               patchK: Int = 6): Long = {
+    val graph = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
+    if (Tombstones.read(spark, indexRoot, "vec_id").forall(_.isEmpty))
+      return graph.latestVersion().getOrElse(
+        throw new IllegalStateException(s"no committed graph at $indexRoot"))
+    val vecs = new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
+    val entries = new graft.operators.CommitTable(spark, s"$indexRoot/entries", "eid")
+    val del = broadcast(Tombstones.read(spark, indexRoot, "vec_id").get
+      .withColumnRenamed("vec_id", "d"))
+    val g = graph.read().select("src", "dst", "cos").localCheckpoint(true)
+    // one-hop repair pairs: (surviving in-neighbor of d) × (surviving
+    // out-neighbor of d) — per-d fan-in × fan-out, bounded by the graph's
+    // degree contract (lists are k-capped at build; appends grow them only
+    // until the next rebuild)
+    val into = Tombstones.exclude(
+      g.join(del, g("dst") === col("d")).select(col("src"), col("d")),
+      indexRoot, "vec_id", "src")
+    val outof = Tombstones.exclude(
+      g.join(del, g("src") === col("d")).select(col("d"), col("dst")),
+      indexRoot, "vec_id", "dst")
+    val kept = Tombstones.exclude(
+      Tombstones.exclude(g, indexRoot, "vec_id", "src"),
+      indexRoot, "vec_id", "dst").localCheckpoint(true)
+    val patchPairs = into.join(outof, "d")
+      .select("src", "dst").filter(col("src") =!= col("dst")).distinct()
+      .join(kept.select("src", "dst").distinct(), Seq("src", "dst"), "left_anti")
+    val vKept = Tombstones.exclude(vecs.read(), indexRoot, "vec_id", "vec_id")
+      .select("vec_id", "e", "nrm").localCheckpoint(true)
+    val a = vKept.select(col("vec_id").as("src"), col("e").as("se"), col("nrm").as("sn"))
+    val b = vKept.select(col("vec_id").as("dst"), col("e").as("de"), col("nrm").as("dn"))
+    val wp = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val patch = patchPairs.join(a, "src").join(b, "dst")
+      .withColumn("cos", dot(col("se"), col("de")) / (col("sn") * col("dn")))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= patchK)
+      .select("src", "dst", "cos")
+    val v = graph.overwrite(kept.select("src", "dst", "cos").unionByName(patch)
+      .repartitionByRange(col("src"), col("dst")))
+    vecs.overwrite(vKept.repartitionByRange(col("vec_id")))
+    // entry re-snap: numEntries-bounded broadcast against the survivors
+    val minSurvRow = vKept.agg(min(col("vec_id"))).head()
+    require(!minSurvRow.isNullAt(0),
+      s"consolidateKnnGraphIndex: every vector at $indexRoot is tombstoned — rebuild instead")
+    val minSurv = minSurvRow.getLong(0)
+    val e0 = entries.read().select("eid")
+    val snapped = vKept.select(col("vec_id")).join(broadcast(e0), col("vec_id") >= col("eid"))
+      .groupBy("eid").agg(min(col("vec_id")).as("s"))
+    val newEntries = e0.join(snapped, Seq("eid"), "left")
+      .select(coalesce(col("s"), lit(minSurv)).as("eid")).distinct()
+    entries.overwrite(newEntries.coalesce(1))
+    Tombstones.clear(spark, indexRoot, "vec_id")
+    v
   }
 
   /** DuckDB mirror of [[buildKnnGraphIndex]] + [[knnGraphSearch]]: the
@@ -541,6 +640,74 @@ object KnnGraph {
          |          FROM fq CROSS JOIN entries JOIN nall i ON i.vec_id = entries.eid),
          |""".stripMargin)
     val fFinal = beamLoopCtes(sb, "f", graphCte, "nall", "fvis0", beam, hops)
+    s"""WITH ${sb.toString}
+       |rfin AS MATERIALIZED (SELECT query_id, vec_id, cos,
+       |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |        FROM $fFinal WHERE vec_id <> query_id)
+       |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+       |       floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM rfin WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[buildKnnGraphIndex]] + [[deleteFromKnnGraphIndex]]
+    * + [[consolidateKnnGraphIndex]] + [[knnGraphSearch]]: the build CTEs
+    * over the full corpus, then the consolidation's one-hop repair
+    * replayed relationally — kept = edges with neither endpoint deleted
+    * (`delFilter` is the "is deleted" predicate over vec_id); patch =
+    * (surviving in-neighbor × surviving out-neighbor) per deleted vertex,
+    * self-pairs and already-kept pairs removed, cosines recomputed from
+    * the survivors, capped at `patchK` per source by (cos desc, dst);
+    * entries re-snapped to the smallest surviving id at or above each
+    * build entry — then the standard beam walk over the patched graph
+    * scoring survivors only. The commit round trips are
+    * content-preserving, so this IS the post-consolidation search. */
+  def knnGraphDeleteSearchSql(delFilter: String,
+                              numQueries: Int = 20,
+                              k: Int = 5, beam: Int = 8, hops: Int = 3,
+                              buildK: Int = 6, rounds: Int = 2,
+                              numEntries: Int = 16, patchK: Int = 6): String = {
+    val (ctes, fin) = graphCtes(buildK, rounds)
+    val sb = new StringBuilder
+    sb.append(ctes)
+    sb.append(
+      s"""span AS MATERIALIZED (SELECT min(vec_id) AS lo, max(vec_id) + 1 AS hi FROM n),
+         |ecand AS MATERIALIZED (SELECT span.lo + (u.i * (span.hi - span.lo)) // $numEntries AS c
+         |          FROM span, UNNEST(range(0, $numEntries)) AS u(i)),
+         |entries0 AS MATERIALIZED (SELECT DISTINCT eid FROM (
+         |  SELECT min(n.vec_id) AS eid FROM ecand JOIN n ON n.vec_id >= ecand.c GROUP BY ecand.c)),
+         |del AS MATERIALIZED (SELECT vec_id AS d FROM n WHERE $delFilter),
+         |sn AS MATERIALIZED (SELECT vec_id, e, nrm FROM n WHERE NOT ($delFilter)),
+         |g0 AS MATERIALIZED (SELECT src, dst, cos FROM $fin),
+         |kept AS MATERIALIZED (SELECT g.src, g.dst, g.cos FROM g0 g
+         |  WHERE g.src NOT IN (SELECT d FROM del) AND g.dst NOT IN (SELECT d FROM del)),
+         |pinto AS MATERIALIZED (SELECT g.src, g.dst AS d FROM g0 g
+         |  WHERE g.dst IN (SELECT d FROM del) AND g.src NOT IN (SELECT d FROM del)),
+         |poutof AS MATERIALIZED (SELECT g.src AS d, g.dst FROM g0 g
+         |  WHERE g.src IN (SELECT d FROM del) AND g.dst NOT IN (SELECT d FROM del)),
+         |ppairs AS MATERIALIZED (SELECT DISTINCT i.src, o.dst
+         |  FROM pinto i JOIN poutof o ON i.d = o.d
+         |  WHERE i.src <> o.dst
+         |    AND NOT EXISTS (SELECT 1 FROM kept kk WHERE kk.src = i.src AND kk.dst = o.dst)),
+         |patch AS MATERIALIZED (SELECT src, dst, cos FROM (
+         |  SELECT p.src, p.dst,
+         |         list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos,
+         |         row_number() OVER (PARTITION BY p.src
+         |           ORDER BY list_dot_product(a.e, b.e) / (a.nrm * b.nrm) DESC, p.dst) AS rn
+         |  FROM ppairs p JOIN sn a ON a.vec_id = p.src JOIN sn b ON b.vec_id = p.dst)
+         |  WHERE rn <= $patchK),
+         |pg AS MATERIALIZED (SELECT src, dst, cos FROM kept
+         |  UNION ALL SELECT src, dst, cos FROM patch),
+         |entries AS MATERIALIZED (SELECT DISTINCT coalesce(
+         |    (SELECT min(s2.vec_id) FROM sn s2 WHERE s2.vec_id >= e.eid),
+         |    (SELECT min(s3.vec_id) FROM sn s3)) AS eid
+         |  FROM entries0 e),
+         |fq AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM sn
+         |  WHERE vec_id < $numQueries),
+         |fvis0 AS MATERIALIZED (SELECT fq.query_id, i.vec_id,
+         |                 list_dot_product(i.e, fq.qe) / (i.nrm * fq.qn) AS cos
+         |          FROM fq CROSS JOIN entries JOIN sn i ON i.vec_id = entries.eid),
+         |""".stripMargin)
+    val fFinal = beamLoopCtes(sb, "f", "pg", "sn", "fvis0", beam, hops)
     s"""WITH ${sb.toString}
        |rfin AS MATERIALIZED (SELECT query_id, vec_id, cos,
        |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank

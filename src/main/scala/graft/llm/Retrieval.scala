@@ -192,6 +192,43 @@ object Retrieval {
       .append(bm25Postings(base))
   }
 
+  /** Removes documents from a persisted BM25 index — the Lucene
+    * delete-by-id shape ([[Tombstones]]): one atomic O(deleted) commit,
+    * no postings file read or rewritten. Deleted docs leave RESULTS and
+    * the query terms' df immediately; the corpus stats (n, sum_dl) stay
+    * stale until [[consolidateBm25Index]] — Lucene's documented
+    * deleted-docs scoring semantics.
+    */
+  def deleteFromBm25Index(ids: DataFrame, indexRoot: String): Long =
+    Tombstones.delete(ids, indexRoot, "doc_id")
+
+  /** The segment-merge step: physically drops tombstoned docs' postings
+    * (one th-range-clustered rewrite, so term file-pruning survives) and
+    * RE-DERIVES the corpus stats exactly from the surviving postings —
+    * after this commit the index is bit-identical to a fresh
+    * [[buildBm25Index]] over the surviving documents (spec-asserted),
+    * including n/sum_dl. Clears the delete list. Returns the new postings
+    * version; no-op (current head) when nothing is tombstoned.
+    */
+  def consolidateBm25Index(spark: org.apache.spark.sql.SparkSession,
+                           indexRoot: String): Long = {
+    val postings = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
+    if (Tombstones.read(spark, indexRoot, "doc_id").forall(_.isEmpty))
+      return postings.latestVersion().getOrElse(
+        throw new IllegalStateException(s"no committed postings at $indexRoot"))
+    val kept = Tombstones.exclude(postings.read(), indexRoot, "doc_id", "doc_id")
+      .localCheckpoint(true) // feeds BOTH the stats re-derivation and the rewrite
+    // exact survivor stats: each doc contributes its dl once (postings
+    // carry dl per row; distinct collapses the per-term duplication)
+    val stats = kept.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_docs")
+      .overwrite(stats.coalesce(1))
+    val v = postings.overwrite(kept.repartitionByRange(col("th"), col("t")))
+    Tombstones.clear(spark, indexRoot, "doc_id")
+    v
+  }
+
   /** Queries a persisted BM25 index with ZERO corpus-stats jobs: corpus
     * size and total length come from summing the (commit-count-sized)
     * stats table; the postings read is FILE-PRUNED FROM THE LOG before any
@@ -226,10 +263,19 @@ object Retrieval {
     // hash; the residual t = term filter covers hash collisions inside a
     // window. Terms are disjoint filters, so the union has no duplicates.
     val postings = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
-    val pruned = queryTerms.map { t =>
+    // tombstone-aware under the LUCENE deleted-docs contract: a doc on the
+    // delete list ([[deleteFromBm25Index]]) never surfaces in results and
+    // never counts toward the query terms' df (both derive from this
+    // anti-joined read) — but the corpus-wide n/sum_dl above come from the
+    // stats table and stay STALE until [[consolidateBm25Index]], exactly
+    // as Lucene scores against pre-merge segment statistics. Consolidation
+    // restores rebuild-exact state (spec-asserted).
+    val pruned = Tombstones.exclude(
+      queryTerms.map { t =>
         val h = Hashing.hash60(t)
         postings.prunedRead(h, h).filter(col("t") === t)
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _),
+      indexRoot, "doc_id", "doc_id")
     // df(t) = posting count of t, read off the SAME pruned scan that feeds
     // scoring — ≤ |q| rows to the driver, by contract
     val dfMap: Map[String, Long] = pruned
@@ -275,13 +321,14 @@ object Retrieval {
     * counts, the shared [[idfE6]] contract formula).
     */
   def bm25TopKSql(idf: Seq[(String, Long)], k: Int = 10,
-                  k1E3: Long = 1200L, bE3: Long = 750L): String = {
+                  k1E3: Long = 1200L, bE3: Long = 750L,
+                  docFilter: String = "TRUE"): String = {
     require(idf.nonEmpty, "bm25TopKSql: idf table must be non-empty")
     val inList = idf.map { case (t, _) => s"'$t'" }.mkString(", ")
     val values = idf.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws
-       |  FROM documents),
+       |  FROM documents WHERE $docFilter),
        |base AS (SELECT doc_id, ws, len(ws)::BIGINT AS dl FROM toks WHERE len(ws) > 0),
        |stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS sum_dl FROM base),
        |idf AS (SELECT t, idf_e6::BIGINT AS idf_e6 FROM (VALUES $values) AS v(t, idf_e6)),

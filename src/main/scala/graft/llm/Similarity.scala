@@ -690,7 +690,13 @@ object Similarity {
                      predicate: Option[Column] = None): DataFrame = {
     val centroids = readIvfCodebook(spark, indexRoot)
     val table = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
-    val assignments = table.read()
+    // tombstone-aware: deleted vectors ([[deleteFromIvfIndex]]) leave the
+    // index logically the moment their delete list commits — the anti-join
+    // keeps them out of queries and candidates alike; the physical rows go
+    // at the next [[consolidateIvfIndex]]. Because the exclusion is a pure
+    // row filter on the list rows, the probe result is BIT-IDENTICAL
+    // before and after consolidation (gate-asserted in s27).
+    val assignments = Tombstones.exclude(table.read(), indexRoot, "vec_id", "vec_id")
     // ONE scan finds the query rows (numQueries rows by contract — tiny,
     // eagerly materialized); the probed-cid collect and the probe join's
     // query side both reuse it, so the only other table read is the
@@ -700,8 +706,10 @@ object Similarity {
     val queries = assignments.filter(col("vec_id") < numQueries)
       .select("vec_id", "e", "nrm").localCheckpoint(true)
     val (cids, cand) = probedLists(table, queries, centroids, numQueries, nprobe)
+    val candKept = Tombstones.exclude(cand.filter(col("cid").isin(cids: _*)),
+      indexRoot, "vec_id", "vec_id")
     ivfProbe(assignments, centroids, numQueries, k, nprobe,
-      keep = predicate, candidates = Some(cand.filter(col("cid").isin(cids: _*))),
+      keep = predicate, candidates = Some(candKept),
       querySource = Some(queries))
   }
 
@@ -758,6 +766,38 @@ object Similarity {
       .select("vec_id", "e", "nrm", "cid")
       .repartitionByRange(col("cid"), col("vec_id"))
     new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").append(lists)
+  }
+
+  /** Removes vectors from a persisted IVF index — FAISS `remove_ids`
+    * re-expressed as the delete-list shape ([[Tombstones]]): one atomic
+    * O(deleted) tombstone commit, no list file read or rewritten. Queries
+    * exclude the ids immediately; [[consolidateIvfIndex]] later drops the
+    * physical rows. The trained codebook is untouched (FAISS semantics:
+    * removal never retrains — rebuild when the surviving distribution
+    * drifts).
+    */
+  def deleteFromIvfIndex(ids: DataFrame, indexRoot: String): Long =
+    Tombstones.delete(ids, indexRoot, "vec_id")
+
+  /** Physically drops tombstoned vectors from the lists table — the
+    * Lucene segment-merge step of the delete lifecycle: one filtered
+    * range-clustered rewrite commit (probe file-pruning survives, the
+    * [[graft.operators.CommitTable.compactClustered]] discipline), then
+    * the delete list clears. Because [[ivfTopKIndexed]]'s exclusion is a
+    * pure row filter, probes are bit-identical across this commit; old
+    * versions (with the deleted rows) stay readable via asOf. Returns the
+    * new lists version. No-op (current head) when nothing is tombstoned.
+    */
+  def consolidateIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexRoot: String): Long = {
+    val lists = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
+    if (Tombstones.read(spark, indexRoot, "vec_id").forall(_.isEmpty))
+      return lists.latestVersion().getOrElse(
+        throw new IllegalStateException(s"no committed lists at $indexRoot"))
+    val kept = Tombstones.exclude(lists.read(), indexRoot, "vec_id", "vec_id")
+    val v = lists.overwrite(kept.repartitionByRange(col("cid"), col("vec_id")))
+    Tombstones.clear(spark, indexRoot, "vec_id")
+    v
   }
 
   /** The committed PQ sub-codebook head at `tablePath`: m × ksub by
@@ -894,8 +934,13 @@ object Similarity {
     // prunes rows, never files)
     val probeCidSeq = probes.select("probe_cid").distinct()
       .collect().map(_.getInt(0).toLong).toSeq.sorted
-    val lists = listsTable.prunedReadIn(probeCidSeq)
-      .filter(col("cid").isin(probeCidSeq: _*))
+    // tombstone-aware like [[ivfTopKIndexed]]: deleted code rows are
+    // anti-joined out of the probed lists; [[consolidateIvfIndex]] (the
+    // lists layout is shared) later drops them physically
+    val lists = Tombstones.exclude(
+      listsTable.prunedReadIn(probeCidSeq)
+        .filter(col("cid").isin(probeCidSeq: _*)),
+      indexRoot, "vec_id", "vec_id")
     // each vector lives in exactly ONE list and probe cids are distinct, so
     // every (query, vec) pair surfaces at most once — no dedup needed
     val keptLists = predicate.fold(lists)(lists.filter)

@@ -196,6 +196,56 @@ class KnnGraphSpec extends SparkSpec {
     assert(rec >= 0.5, s"post-append routed recall@5 must clear 0.5, got $rec")
   }
 
+  test("delete lifecycle: tombstoned vertices navigate but never surface; consolidation repairs routes and re-snaps entries") {
+    val vecs = clustered(spread = 1.0, seed = 11)
+    val root = java.nio.file.Files.createTempDirectory("graft-knndel-spec").toString
+    KnnGraph.buildKnnGraphIndex(embDF(vecs), root, k = 6, rounds = 4)
+    val numQueries = 20; val k = 5
+    def rows() = KnnGraph.knnGraphSearch(spark, root, numQueries = numQueries, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val delIds = (40L until 70L).toSet // disjoint from the query ids
+    val graph = new graft.operators.CommitTable(spark, s"$root/graph", "src")
+    val vectors = new graft.operators.CommitTable(spark, s"$root/vectors", "vec_id")
+    val graphHead = graph.latestVersion().get
+    KnnGraph.deleteFromKnnGraphIndex(
+      embDF(vecs.filter(v => delIds(v._1))).select("vec_id"), root)
+    assert(graph.latestVersion().get === graphHead,
+      "the delete must be one tombstone commit — no graph rewrite")
+    // pre-consolidation: deleted ids navigate (FreshDiskANN DeleteList) but
+    // never enter results; the k contract holds
+    val pre = rows()
+    assert(pre.forall(r => !delIds(r._2)), "tombstoned ids must leave results at once")
+    assert(pre.groupBy(_._1).forall(_._2.size == k), "k rows per query must survive")
+    // consolidation: one-hop repair, physical drop, entries re-snapped
+    KnnGraph.consolidateKnnGraphIndex(spark, root)
+    val edges = graph.read().select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.forall { case (s, d) => !delIds(s) && !delIds(d) },
+      "no edge may touch a deleted vertex after consolidation")
+    assert(vectors.read().collect().map(_.getLong(0)).forall(id => !delIds(id)),
+      "deleted vector rows must be gone after consolidation")
+    val entryIds = new graft.operators.CommitTable(spark, s"$root/entries", "eid")
+      .read().collect().map(_.getLong(0)).toSet
+    assert(entryIds.forall(id => !delIds(id)), "entries must re-snap off deleted vertices")
+    // search still serves k results per query with exact scores and a sane
+    // recall floor over the SURVIVING exact top-k
+    val post = rows()
+    assert(post.groupBy(_._1).forall(_._2.size == k))
+    assert(post.forall(r => !delIds(r._2)))
+    val vmap = vecs.toMap
+    post.foreach { case (q, nbr, _, c6) =>
+      assert(c6 === math.floor(cos(vmap(q), vmap(nbr)) * 1e6).toLong)
+    }
+    val exact = exactTopK(vecs.filter(v => !delIds(v._1)), k)
+    val rec = (0L until numQueries.toLong).map { q =>
+      post.filter(_._1 == q).map(_._2).toSet.intersect(exact(q).toSet).size.toDouble / k
+    }.sum / numQueries
+    assert(rec >= 0.5, s"post-consolidation recall@$k must clear 0.5, got $rec")
+    // consolidating again is a no-op (delete list cleared)
+    val v = graph.latestVersion().get
+    assert(KnnGraph.consolidateKnnGraphIndex(spark, root) === v)
+  }
+
   test("sparse ids: ring init degrades gracefully, entries snap to existing ids") {
     val rng = new scala.util.Random(23)
     // ids 0, 3, 6, ... 87 — every ring slot between them is missing

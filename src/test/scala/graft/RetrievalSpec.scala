@@ -220,6 +220,61 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("BM25 delete lifecycle: Lucene semantics before the merge, rebuild-exact after it") {
+    val corpus = (1L to 40L).map { i =>
+      val words = (0 until (3 + (i % 7).toInt)).map(j => s"w${(i * 11 + j * 3) % 9}")
+      (i, (if (i % 5 == 0) "rare " else "") + words.mkString(" "))
+    }
+    val q = Seq("rare", "w0", "w4")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25del-spec").toString
+    Retrieval.buildBm25Index(docs(corpus), root)
+    def rows(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val delIds = corpus.map(_._1).filter(_ % 4 == 0).toSet
+    val postings = new graft.operators.CommitTable(spark, s"$root/postings", "th")
+    val postingsHead = postings.latestVersion().get
+    Retrieval.deleteFromBm25Index(
+      docs(corpus.filter(d => delIds(d._1))).select("doc_id"), root)
+    assert(postings.latestVersion().get === postingsHead,
+      "the delete must be one tombstone commit — no postings rewrite")
+    // pre-merge Lucene semantics: deleted docs never surface, df excludes
+    // them, but corpus n/sum_dl are the STALE committed stats — restate the
+    // exact expected scores with the sequential mirror under that rule
+    val pre = rows(Retrieval.bm25TopKIndexed(spark, root, q, k = 40))
+    assert(pre.nonEmpty && pre.forall(r => !delIds(r._1)))
+    val survivors = corpus.filter(d => !delIds(d._1))
+    val toksAll = corpus.map { case (id, t) =>
+      (id, t.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty))
+    }.filter(_._2.nonEmpty)
+    val staleN = toksAll.size.toLong
+    val staleSumDl = toksAll.map(_._2.size.toLong).sum
+    val survToks = toksAll.filter(d => !delIds(d._1))
+    val idf = q.map(t => t -> Retrieval.idfE6(staleN, survToks.count(_._2.contains(t)).toLong)).toMap
+    val expectedPre = survToks.flatMap { case (id, ws) =>
+      val dl = ws.size.toLong
+      val normE3 = 250L + 750L * dl * staleN / staleSumDl
+      val sE12 = q.map { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0) 0L
+        else idf(t) * (tf * 2200L * 1000000000L / (tf * 1000000L + 1200L * normE3))
+      }.sum
+      if (q.exists(ws.contains)) Some((id, sE12 / 1000000L)) else None
+    }.sortBy { case (id, s) => (-s, id) }
+    assert(pre === expectedPre,
+      "pre-merge scores must use survivor df with STALE corpus stats (the Lucene rule)")
+    // consolidation restores rebuild-exact state
+    Retrieval.consolidateBm25Index(spark, root)
+    val post = rows(Retrieval.bm25TopKIndexed(spark, root, q, k = 40))
+    val rebuiltRoot = java.nio.file.Files.createTempDirectory("graft-bm25del-rb").toString
+    Retrieval.buildBm25Index(docs(survivors), rebuiltRoot)
+    assert(post === rows(Retrieval.bm25TopKIndexed(spark, rebuiltRoot, q, k = 40)),
+      "the consolidated index must be bit-identical to a rebuild on the survivors")
+    assert(post === rows(Retrieval.bm25TopK(docs(survivors), q, k = 40)),
+      "...and to the inline operator over the survivors")
+    // delete list cleared → consolidating again is a no-op
+    val v = postings.latestVersion().get
+    assert(Retrieval.consolidateBm25Index(spark, root) === v)
+  }
+
   test("input guards reject bad queries loudly") {
     val d = docs(Seq((1L, "a b")))
     intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq.empty))

@@ -279,6 +279,48 @@ class SimilaritySpec extends SparkSpec {
     assert(lists.read().count() === 40L)
   }
 
+  test("IVF delete lifecycle: tombstoned ids leave probes at once; consolidation is physical, bit-identical, and idempotent") {
+    val rng = new scala.util.Random(57)
+    val dim = 16
+    val vecs = (0L until 60L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfdel-spec").toString
+    Similarity.buildIvfIndex(embDF(vecs), root, nlist = 8, iters = 1, dim = dim)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def q() = rows(Similarity.ivfTopKIndexed(spark, root, numQueries = 8, k = 3, nprobe = 8))
+    val baseline = q()
+    val delIds = (30L until 45L).toSet
+    // the delete is ONE tombstone commit — no lists version moves
+    val lists = new graft.operators.CommitTable(spark, s"$root/lists", "cid")
+    val listsHead = lists.latestVersion().get
+    Similarity.deleteFromIvfIndex(
+      embDF(vecs.filter(v => delIds(v._1))).select("vec_id"), root)
+    assert(lists.latestVersion().get === listsHead, "delete must not rewrite the lists")
+    val pre = q()
+    assert(pre.forall(r => !delIds(r._2)), "tombstoned ids must leave results immediately")
+    assert(pre.map(_._1).distinct.size === 8 && pre.size === 24,
+      "the k contract must survive the delete")
+    assert(pre !== baseline, "the 25%-selective delete must change some top-3 list")
+    // the IVFPQ probe shares the exclusion (same lists layout)
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft-ivfpqdel-spec").toString
+    Similarity.buildIvfPqIndex(embDF(vecs), pqRoot, nlist = 8, m = 4, iters = 1, dim = dim)
+    Similarity.deleteFromIvfIndex(
+      embDF(vecs.filter(v => delIds(v._1))).select("vec_id"), pqRoot)
+    val pq = Similarity.ivfPqTopKIndexed(embDF(vecs), pqRoot, numQueries = 8, k = 3,
+      nprobe = 8, dim = dim).collect().map(_.getLong(1))
+    assert(pq.nonEmpty && pq.forall(id => !delIds(id)),
+      "IVFPQ probes must honor the delete list too")
+    // consolidation: physical drop, probe bit-identical, delete list cleared
+    val nBefore = lists.read().count()
+    val v = Similarity.consolidateIvfIndex(spark, root)
+    assert(lists.read().count() === nBefore - delIds.size)
+    assert(q() === pre, "the probe must be bit-identical through consolidation")
+    assert(Similarity.consolidateIvfIndex(spark, root) === v,
+      "consolidating an empty delete list must be a no-op")
+    // time travel: the pre-delete index (with the rows) stays readable
+    assert(lists.asOf(listsHead).count() === 60L)
+  }
+
   test("filtered ANN: a 1%-selective IDSelector predicate still returns k rows and prunes unprobed files") {
     val rng = new scala.util.Random(43)
     val dim = 16
