@@ -2656,6 +2656,36 @@ object SparkEntry {
         .compactClustered("src", targetFiles = 4)
       KnnGraph.knnGraphSearch(s, idx)
     }),
+    "st25_stream_index_delete" -> ((s, dir) => {
+      // the delete lifecycle STREAMED: a real DELETE WHERE commit on the
+      // source table (f22's file-granular CoW) flows through the change
+      // feed as 'delete' rows, which the maintenance loop turns into one
+      // tombstone commit on the index (s27's O(deleted) shape) — then the
+      // production consolidation physically drops them before the probe.
+      // Mixed feeds compose: 'insert' rows would take the st18 append
+      // path in the same lambda.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sidxdel-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("emb").toString
+      val t = new graft.operators.CommitTable(s, tp, "vec_id")
+      t.overwrite(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      t.deleteRange(120L, 179L)
+      val idx = root.resolve("idx").toString
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        val ins = cdf.filter(col("change_type") === "insert").drop("change_type")
+        val del = cdf.filter(col("change_type") === "delete").drop("change_type")
+        if (v == 0L) Similarity.buildIvfIndex(ins, idx)
+        else {
+          if (!del.isEmpty) Similarity.deleteFromIvfIndex(del.select("vec_id"), idx)
+          if (!ins.isEmpty) Similarity.appendIvfIndex(ins, idx)
+        }
+      })
+      Similarity.consolidateIvfIndex(s, idx)
+      Similarity.ivfTopKIndexed(s, idx)
+    }),
     "st20_stream_cep" -> ((s, dir) => {
       // streaming CEP: e34's automaton as mapGroupsWithState custom
       // state (O(keys) registers, never event history) — run here in
@@ -3149,6 +3179,23 @@ object SparkEntry {
       KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), idx)
       KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
       KnnGraph.knnGraphSearch(s, idx)
+    }),
+    "s30_graph_filtered" -> ((s, dir) => {
+      // FILTERED graph ANN (s23's IDSelector role for the graph family,
+      // the ACORN post-filtering shape): navigation stays unfiltered —
+      // the walk routes through non-matching vertices — and the
+      // predicate gates results only, so a selective filter still
+      // returns ranked matches (widened beam feeds it enough visited
+      // candidates; the spec pins the k contract).
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-knnflt-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), idx)
+      KnnGraph.knnGraphSearch(s, idx, beam = 16,
+        predicate = Some(col("vec_id") % 3 === 1))
     }),
     "s27_ivf_delete" -> ((s, dir) => {
       // the DELETE half of the index lifecycle (FAISS remove_ids as the
@@ -4939,6 +4986,12 @@ object SparkEntry {
       // repair (kept ∪ capped in×out patch, entries re-snapped) + the
       // standard walk over survivors — the post-consolidation search
       KnnGraph.knnGraphDeleteSearchSql("vec_id >= 120 AND vec_id < 180"),
+    "s30_graph_filtered" -> // unfiltered navigation, predicate on the
+      // final ranking only — both engines gate the same visited set
+      KnnGraph.knnGraphSearchSql(beam = 16, resFilter = "vec_id % 3 = 1"),
+    "st25_stream_index_delete" -> // the streamed tombstone + consolidation
+      // equals s27's filtered mirror (deleteRange BETWEEN is inclusive)
+      Similarity.ivfTopKSql(candFilter = "NOT (vec_id BETWEEN 120 AND 179)"),
     "s13_pq_persisted" -> // committed codes reproduce pqTopK bit-for-bit
       Similarity.pqTopKSql(),
     "s14_ivf_append" -> // train on the vec_id<250 prefix, assign ALL:

@@ -285,7 +285,8 @@ object KnnGraph {
     */
   def knnGraphSearch(spark: SparkSession, indexRoot: String,
                      numQueries: Int = 20, k: Int = 5,
-                     beam: Int = 8, hops: Int = 3): DataFrame = {
+                     beam: Int = 8, hops: Int = 3,
+                     predicate: Option[Column] = None): DataFrame = {
     require(beam >= k, s"knnGraphSearch: beam $beam must be >= k $k")
     val vecs = new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
     // query vectors: a file-pruned point read of the contract ids; a
@@ -302,8 +303,20 @@ object KnnGraph {
     // their adjacency — severing them before [[consolidateKnnGraphIndex]]
     // patches routes would punch reachability holes) but can never enter
     // RESULTS; consolidation later removes them physically
-    Tombstones.exclude(routedVisited(spark, indexRoot, queries, beam, hops),
-        indexRoot, "vec_id", "vec_id")
+    // `predicate` is the graph family's filtered-ANN surface (s23's
+    // IDSelector role): navigation stays UNFILTERED — the walk scores and
+    // routes through non-matching vertices, the ACORN post-filtering
+    // shape (Patel et al. 2024) — and the predicate gates RESULTS only,
+    // over the visited rows' (vec_id) column (attribute predicates join
+    // their id set first, the ivfTopKIndexed discipline). Under a highly
+    // selective predicate recall needs a wider beam — the walk must visit
+    // enough matching vertices to fill k — which the spec demonstrates;
+    // ACORN-γ's expanded neighbor lists are the published scale-up when
+    // beam widening stops paying.
+    val visited = Tombstones.exclude(
+      routedVisited(spark, indexRoot, queries, beam, hops),
+      indexRoot, "vec_id", "vec_id")
+    predicate.fold(visited)(visited.filter)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -496,7 +509,8 @@ object KnnGraph {
   def knnGraphSearchSql(numQueries: Int = 20, k: Int = 5,
                         beam: Int = 8, hops: Int = 3,
                         buildK: Int = 6, rounds: Int = 2,
-                        numEntries: Int = 16): String = {
+                        numEntries: Int = 16,
+                        resFilter: String = "TRUE"): String = {
     val (ctes, fin) = graphCtes(buildK, rounds)
     val sb = new StringBuilder
     sb.append(ctes)
@@ -534,7 +548,7 @@ object KnnGraph {
     s"""WITH ${sb.toString}
        |fin AS MATERIALIZED (SELECT query_id, vec_id, cos,
        |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-       |        FROM vis$hops WHERE vec_id <> query_id)
+       |        FROM vis$hops WHERE vec_id <> query_id AND ($resFilter))
        |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
        |       floor(cos * 1e6)::BIGINT AS cos_1e6
        |FROM fin WHERE rank <= $k ORDER BY query_id, rank""".stripMargin

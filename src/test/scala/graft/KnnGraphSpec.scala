@@ -246,6 +246,39 @@ class KnnGraphSpec extends SparkSpec {
     assert(KnnGraph.consolidateKnnGraphIndex(spark, root) === v)
   }
 
+  test("filtered search: predicate gates results only, navigation stays unfiltered, k contract holds under selectivity") {
+    val vecs = clustered(spread = 1.0, seed = 23)
+    val root = java.nio.file.Files.createTempDirectory("graft-knnflt-spec").toString
+    KnnGraph.buildKnnGraphIndex(embDF(vecs), root, k = 6, rounds = 4)
+    val numQueries = 12; val k = 3
+    val keep = (id: Long) => id % 3 == 1
+    val got = KnnGraph.knnGraphSearch(spark, root, numQueries = numQueries, k = k,
+        beam = 16, predicate = Some(col("vec_id") % 3 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.forall(r => keep(r._2)), s"query $q surfaced a non-matching id")
+      assert(rows.map(_._3).sorted === (1L to rows.length), s"query $q ranks must be contiguous")
+      assert(rows.length === k, s"query $q must fill k=$k under the 33% filter at beam 16")
+    }
+    // a TRUE predicate is the identity on the unfiltered search
+    val noFilter = KnnGraph.knnGraphSearch(spark, root, numQueries = numQueries, k = k, beam = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val trueFilter = KnnGraph.knnGraphSearch(spark, root, numQueries = numQueries, k = k,
+        beam = 16, predicate = Some(org.apache.spark.sql.functions.lit(true)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(trueFilter.sorted === noFilter.sorted)
+    // navigation is unfiltered: the filtered results are exactly the
+    // matching slice of the walk's ranking, i.e. a DEEPER cut of the same
+    // visited set — every filtered neighbor appears in the wide unfiltered
+    // ranking of the same walk
+    val wide = KnnGraph.knnGraphSearch(spark, root, numQueries = numQueries, k = 16, beam = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaWide = got.filter { case (q, nbr, _) => wide((q, nbr)) }
+    assert(viaWide.size >= got.size * 2 / 3,
+      "filtered results must come from the same visited pool the unfiltered walk ranks")
+  }
+
   test("sparse ids: ring init degrades gracefully, entries snap to existing ids") {
     val rng = new scala.util.Random(23)
     // ids 0, 3, 6, ... 87 — every ring slot between them is missing

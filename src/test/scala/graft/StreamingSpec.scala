@@ -719,6 +719,54 @@ class StreamingSpec extends SparkSpec {
       "asOf history must survive the compaction rewrite")
   }
 
+  test("streamed index deletes: a mixed insert+delete feed maintains the index exactly like direct API calls") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(71)
+    val dim = 12
+    val vecs = (0L until 80L).map(i => (i, Seq.fill(dim)(rng.nextGaussian().toFloat)))
+    def emb(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-sidxdel-spec")
+    val tp = root.resolve("emb").toString
+    val t = new graft.operators.CommitTable(s, tp, "vec_id")
+    t.overwrite(emb(vecs.filter(_._1 < 60)))   // v0: build corpus
+    t.append(emb(vecs.filter(_._1 >= 60)))     // v1: insert feed
+    t.deleteRange(20L, 39L)                    // v2: delete feed
+    val idx = root.resolve("idx").toString
+    graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+      val ins = cdf.filter(org.apache.spark.sql.functions.col("change_type") === "insert")
+        .drop("change_type")
+      val del = cdf.filter(org.apache.spark.sql.functions.col("change_type") === "delete")
+        .drop("change_type")
+      if (v == 0L) graft.llm.Similarity.buildIvfIndex(ins, idx, nlist = 8, dim = dim)
+      else {
+        if (!del.isEmpty) graft.llm.Similarity.deleteFromIvfIndex(del.select("vec_id"), idx)
+        if (!ins.isEmpty) graft.llm.Similarity.appendIvfIndex(ins, idx)
+      }
+    })
+    // the streamed head equals running the API calls directly
+    val refIdx = java.nio.file.Files.createTempDirectory("graft-sidxdel-ref")
+      .resolve("idx").toString
+    graft.llm.Similarity.buildIvfIndex(emb(vecs.filter(_._1 < 60)), refIdx, nlist = 8, dim = dim)
+    graft.llm.Similarity.appendIvfIndex(emb(vecs.filter(_._1 >= 60)), refIdx)
+    graft.llm.Similarity.deleteFromIvfIndex(
+      emb(vecs.filter(v => v._1 >= 20 && v._1 <= 39)).select("vec_id"), refIdx)
+    def probe(p: String) = graft.llm.Similarity
+      .ivfTopKIndexed(s, p, numQueries = 10, k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val streamed = probe(idx)
+    assert(streamed === probe(refIdx),
+      "streamed maintenance must equal the direct API sequence")
+    assert(streamed.forall(r => r._2 < 20L || r._2 > 39L),
+      "deleted ids must be gone from the streamed head")
+    // consolidation on the streamed index: physical drop, probe unchanged
+    graft.llm.Similarity.consolidateIvfIndex(s, idx)
+    assert(probe(idx) === streamed,
+      "the probe must be bit-identical through consolidation")
+    val lists = new graft.operators.CommitTable(s, s"$idx/lists", "cid")
+    assert(lists.read().count() === 60L, "80 vectors - 20 deletes must remain")
+  }
+
   test("streamed quantile-sketch maintenance: per-commit merge, head equals a one-shot direct build") {
     val s = spark
     import s.implicits._
