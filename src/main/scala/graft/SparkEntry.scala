@@ -3180,6 +3180,29 @@ object SparkEntry {
       KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
       KnnGraph.knnGraphSearch(s, idx)
     }),
+    "s31_ivf_drift" -> ((s, dir) => {
+      // codebook-drift monitoring (the instrument behind appendIvfIndex's
+      // "caller owns drift policy"): per committed list, the index's
+      // population + quantization residual beside a NEW shard's under the
+      // same fixed codebook — exact integers, so rebuild thresholds are
+      // plain arithmetic over this frame.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-ivfdrift-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 100), idx)
+      Similarity.ivfDriftStats(emb.filter(col("vec_id") < 100), idx)
+    }),
+    "s32_recall_eval" -> ((s, dir) => {
+      // recall@k evaluation (the ann-benchmarks protocol as an operator):
+      // the IVF probe scored per query against the exact scan — the
+      // quality dial every index deployment monitors, in exact integers.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.recallAtK(Similarity.ivfTopK(emb), Similarity.cosineTopK(emb))
+    }),
     "s30_graph_filtered" -> ((s, dir) => {
       // FILTERED graph ANN (s23's IDSelector role for the graph family,
       // the ACORN post-filtering shape): navigation stays unfiltered —
@@ -4989,6 +5012,21 @@ object SparkEntry {
     "s30_graph_filtered" -> // unfiltered navigation, predicate on the
       // final ranking only — both engines gate the same visited set
       KnnGraph.knnGraphSearchSql(beam = 16, resFilter = "vec_id % 3 = 1"),
+    "s31_ivf_drift" -> // train on the build corpus, assign both sides
+      // with the committed codebook, aggregate residuals per list
+      Similarity.ivfDriftSql(trainFilter = "vec_id >= 100",
+        idxFilter = "vec_id >= 100", shardFilter = "vec_id < 100"),
+    "s32_recall_eval" -> // both ranked pipelines joined per query — the
+      // recall arithmetic restated in the same integer units
+      s"""WITH a AS (${Similarity.ivfTopKSql()}),
+         |e AS (${Similarity.cosineTopKSql()})
+         |SELECT e.query_id,
+         |       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |       COUNT(*)::BIGINT AS n_exact,
+         |       (SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |          * 1000000 // COUNT(*))::BIGINT AS recall_e6
+         |FROM e LEFT JOIN a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "st25_stream_index_delete" -> // the streamed tombstone + consolidation
       // equals s27's filtered mirror (deleteRange BETWEEN is inclusive)
       Similarity.ivfTopKSql(candFilter = "NOT (vec_id BETWEEN 120 AND 179)"),

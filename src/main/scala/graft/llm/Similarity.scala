@@ -800,6 +800,90 @@ object Similarity {
     v
   }
 
+  /** Codebook DRIFT statistics for a new shard against a committed IVF
+    * index — the monitoring half of [[appendIvfIndex]]'s "caller owns
+    * centroid-drift policy" contract, which until now had no instrument.
+    * Per list cid: the committed index's population and summed
+    * quantization residual beside the SHARD's population and residual
+    * under the SAME fixed codebook, where a row's residual is
+    * `floor((1 − cos(v, assigned centroid)) · 1e6)` — exact integers, so
+    * the frame is oracle-comparable and threshold policies (rebuild when
+    * the shard's mean residual or assignment distribution diverges —
+    * χ²/JS over the `n_*` columns, e32's machinery) are caller-side
+    * arithmetic. One pass over the shard + one over the committed lists
+    * (both a groupBy(cid) map-side combine); the codebook read is
+    * driver-small; tombstoned rows are excluded like every probe.
+    */
+  def ivfDriftStats(embShard: DataFrame, indexRoot: String): DataFrame = {
+    val spark = embShard.sparkSession
+    val centroids = readIvfCodebook(spark, indexRoot)
+    val nlist = centroids.length
+    def assigned(v: DataFrame): DataFrame =
+      v.select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
+        .withColumn("cid", ivfArgmaxCid(nlist))
+        .withColumn("best", greatest((0 until nlist).map(i => col(s"c$i")): _*))
+        .select(col("cid"),
+          floor((lit(1.0) - col("best")) * 1e6).cast("long").as("res_e6"))
+    val idxRows = Tombstones.exclude(
+        new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").read(),
+        indexRoot, "vec_id", "vec_id")
+      .select("vec_id", "e", "nrm") // re-assignment reproduces the stored cid
+    val idxAgg = assigned(idxRows).groupBy("cid")
+      .agg(count(lit(1)).as("n_index"), sum(col("res_e6")).as("sum_res_index_e6"))
+    val shardAgg = assigned(ivfVectors(embShard)).groupBy("cid")
+      .agg(count(lit(1)).as("n_shard"), sum(col("res_e6")).as("sum_res_shard_e6"))
+    idxAgg.join(shardAgg, Seq("cid"), "full")
+      .select(col("cid").cast("long").as("cid"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("sum_res_index_e6"), lit(0L)).as("sum_res_index_e6"),
+        coalesce(col("n_shard"), lit(0L)).as("n_shard"),
+        coalesce(col("sum_res_shard_e6"), lit(0L)).as("sum_res_shard_e6"))
+      .orderBy("cid")
+  }
+
+  /** DuckDB mirror of [[ivfDriftStats]]: the shared training/assignment
+    * CTEs at the build configuration, then the two per-list aggregates —
+    * `idxFilter` selects the indexed corpus (the build input), `shardFilter`
+    * the monitored shard; residuals use the assign CTE's own winning `s`. */
+  def ivfDriftSql(trainFilter: String, idxFilter: String, shardFilter: String,
+                  nlist: Int = 16, dim: Int = 64): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim, trainFilter)}
+       |idxa AS (SELECT cid, COUNT(*)::BIGINT AS n_index,
+       |                SUM(floor((1.0 - s) * 1e6)::BIGINT)::BIGINT AS sum_res_index_e6
+       |         FROM assign WHERE $idxFilter GROUP BY cid),
+       |sha AS (SELECT cid, COUNT(*)::BIGINT AS n_shard,
+       |               SUM(floor((1.0 - s) * 1e6)::BIGINT)::BIGINT AS sum_res_shard_e6
+       |        FROM assign WHERE $shardFilter GROUP BY cid)
+       |SELECT COALESCE(i.cid, sh.cid)::BIGINT AS cid,
+       |       COALESCE(i.n_index, 0)::BIGINT AS n_index,
+       |       COALESCE(i.sum_res_index_e6, 0)::BIGINT AS sum_res_index_e6,
+       |       COALESCE(sh.n_shard, 0)::BIGINT AS n_shard,
+       |       COALESCE(sh.sum_res_shard_e6, 0)::BIGINT AS sum_res_shard_e6
+       |FROM idxa i FULL JOIN sha sh ON i.cid = sh.cid
+       |ORDER BY cid""".stripMargin
+
+  /** recall@k of an approximate ranked result against an exact one — the
+    * index-quality evaluation every ANN deployment runs (the ann-benchmarks
+    * protocol): per query, the fraction of the EXACT top-k the approximate
+    * list recovered, in exact integer micro-units
+    * (`n_hit · 1e6 div n_exact`). Inputs are any two frames carrying
+    * `(query_id, neighbor_id)` — compose it over [[ivfTopK]] vs
+    * [[cosineTopK]], the graph walk vs brute force, or two index
+    * generations. Result-list-sized join + one aggregate; nothing
+    * corpus-sized.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"), col("n_exact"),
+        expr("n_hit * 1000000 div n_exact").as("recall_e6"))
+      .orderBy("query_id")
+
   /** The committed PQ sub-codebook head at `tablePath`: m × ksub by
     * the PQ contract — a driver-small metadata read (the s12 codebook
     * discipline). */
@@ -1309,11 +1393,12 @@ object Similarity {
     * written over the bare `vec_id`, applied to CANDIDATES inside the
     * probed lists before ranking (qualified onto the candidate side here).
     */
-  def ivfTopKSql(numQueries: Int = 20, k: Int = 5,
-                 nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
-                 trainFilter: String = "TRUE",
-                 candFilter: String = "TRUE"): String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** The shared training + assignment CTE prefix of the IVF mirrors: `v`,
+    * `n`, the seeded/refined `cent`, the full `scores`, and the winning
+    * `assign` (vec_id, e, nrm, cid, s) — `s` kept so drift mirrors can
+    * read the assigned-centroid cosine. Ends with a trailing comma. */
+  private def ivfAssignCtes(nlist: Int, dim: Int, trainFilter: String): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
        |                 sqrt(list_dot_product(e, e)) AS cn
@@ -1335,10 +1420,16 @@ object Similarity {
        |scores AS (SELECT n.vec_id, n.e, n.nrm, cent.cid,
        |                  list_dot_product(n.e, cent.ce) / (n.nrm * cent.cn) AS s
        |           FROM n CROSS JOIN cent),
-       |assign AS (SELECT vec_id, e, nrm, cid FROM (
+       |assign AS (SELECT vec_id, e, nrm, cid, s FROM (
        |             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
        |             FROM scores) WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS probe_cid FROM (
+       |""".stripMargin
+
+  def ivfTopKSql(numQueries: Int = 20, k: Int = 5,
+                 nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+                 trainFilter: String = "TRUE",
+                 candFilter: String = "TRUE"): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim, trainFilter)}probes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS probe_cid FROM (
        |             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
        |             FROM scores WHERE vec_id < $numQueries) WHERE rn <= $nprobe),
        |pairs AS (SELECT p.query_id, a.vec_id,

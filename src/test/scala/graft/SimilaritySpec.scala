@@ -321,6 +321,57 @@ class SimilaritySpec extends SparkSpec {
     assert(lists.asOf(listsHead).count() === 60L)
   }
 
+  test("ivfDriftStats: in-distribution shard sits at index residual levels, a shifted shard stands out, deletes drop from the index side") {
+    val rng = new scala.util.Random(83)
+    val dim = 8
+    // index corpus: two tight blobs
+    def blob(base: Float, n: Int, from: Long) =
+      (0 until n).map(i => (from + i, Array.fill(dim)(base + rng.nextGaussian().toFloat * 0.1f)))
+    val corpus = blob(1f, 30, 100L) ++ blob(-1f, 30, 130L)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfdrift-spec").toString
+    Similarity.buildIvfIndex(embDF(corpus), root, nlist = 4, iters = 1, dim = dim)
+    def stats(shard: Seq[(Long, Array[Float])]) =
+      Similarity.ivfDriftStats(embDF(shard), root).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val inDist = stats(blob(1f, 20, 0L))    // same distribution as blob 1
+    assert(inDist.map(_._2).sum === 60L, "n_index must cover the committed corpus")
+    assert(inDist.map(_._4).sum === 20L, "n_shard must cover the shard")
+    def meanRes(rows: Seq[(Long, Long, Long, Long, Long)], n: Seq[(Long, Long, Long, Long, Long)] => Long,
+                s: Seq[(Long, Long, Long, Long, Long)] => Long) =
+      if (n(rows) == 0) 0.0 else s(rows).toDouble / n(rows)
+    val idxMean = meanRes(inDist, _.map(_._2).sum, _.map(_._3).sum)
+    val inMean = meanRes(inDist, _.map(_._4).sum, _.map(_._5).sum)
+    // a shard drawn from the trained distribution quantizes about as well
+    // as the index itself
+    assert(inMean <= idxMean * 3 + 1000,
+      s"in-distribution shard mean residual $inMean must sit near index level $idxMean")
+    // a shifted shard (orthogonal-ish direction) quantizes far worse
+    val shifted = (0 until 20).map { i =>
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat * 0.1f)
+      v(0) = 3f; v(1) = -3f // off both blob axes
+      (i.toLong, v)
+    }
+    val outMean = meanRes(stats(shifted), _.map(_._4).sum, _.map(_._5).sum)
+    assert(outMean > inMean * 3,
+      s"shifted shard mean residual $outMean must dwarf in-distribution $inMean")
+    // tombstoned index rows leave the index side of the monitor
+    Similarity.deleteFromIvfIndex(embDF(corpus.take(10)).select("vec_id"), root)
+    assert(stats(blob(1f, 20, 0L)).map(_._2).sum === 50L)
+  }
+
+  test("recallAtK: exact integer recall per query; self-comparison is 1e6; misses count against the exact set") {
+    val s = spark
+    import s.implicits._
+    def ranked(rows: Seq[(Long, Long)]) = rows.toDF("query_id", "neighbor_id")
+    val exact = ranked(Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 20L), (1L, 21L), (1L, 22L)))
+    val approx = ranked(Seq((0L, 10L), (0L, 12L), (0L, 99L), (1L, 77L), (1L, 78L), (1L, 79L)))
+    val got = Similarity.recallAtK(approx, exact).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 2L, 3L, 666666L), (1L, 0L, 3L, 0L)))
+    val self = Similarity.recallAtK(exact, exact).collect().map(_.getLong(3)).toSeq
+    assert(self === Seq(1000000L, 1000000L))
+  }
+
   test("filtered ANN: a 1%-selective IDSelector predicate still returns k rows and prunes unprobed files") {
     val rng = new scala.util.Random(43)
     val dim = 16
