@@ -3180,6 +3180,24 @@ object SparkEntry {
       KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
       KnnGraph.knnGraphSearch(s, idx)
     }),
+    "s33_pq_graph_ann" -> ((s, dir) => {
+      // the DiskANN query loop PROPER (memory/disk split included): the
+      // committed graph walked with exact-integer PQ-ADC navigation —
+      // code rows (m bytes/vector) are the only corpus-sized reads — and
+      // full-precision vectors touched ONLY for the final k·candFactor
+      // exact re-rank. The mirror replays seeds/codes/LUT and every hop's
+      // integer ADC bit-for-bit.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-pqgann-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val emb = Tables.embeddings(s, dir)
+      KnnGraph.buildKnnGraphIndex(emb, idx)
+      KnnGraph.addPqToKnnGraphIndex(emb, idx)
+      KnnGraph.pqGraphSearch(s, idx)
+    }),
     "s31_ivf_drift" -> ((s, dir) => {
       // codebook-drift monitoring (the instrument behind appendIvfIndex's
       // "caller owns drift policy"): per committed list, the index's
@@ -5012,6 +5030,10 @@ object SparkEntry {
     "s30_graph_filtered" -> // unfiltered navigation, predicate on the
       // final ranking only — both engines gate the same visited set
       KnnGraph.knnGraphSearchSql(beam = 16, resFilter = "vec_id % 3 = 1"),
+    "s33_pq_graph_ann" -> // build + PQ CTEs + the ADC-navigated beam loop
+      // as generated hop blocks (integer navigation replays exactly),
+      // then the exact re-rank of the ADC-best k·candFactor
+      KnnGraph.pqGraphSearchSql(),
     "s31_ivf_drift" -> // train on the build corpus, assign both sides
       // with the committed codebook, aggregate residuals per list
       Similarity.ivfDriftSql(trainFilter = "vec_id >= 100",

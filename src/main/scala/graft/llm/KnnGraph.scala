@@ -413,6 +413,126 @@ object KnnGraph {
       .append(forward.union(reverse).repartitionByRange(col("src"), col("dst")))
   }
 
+  /** Extends a committed graph index ([[buildKnnGraphIndex]]'s layout)
+    * with the PQ artifacts the DISKANN QUERY LOOP navigates by — the
+    * paper's actual memory/disk split (Subramanya et al., NeurIPS 2019):
+    * compressed codes guide the whole walk (they fit in RAM at a scale
+    * where raw vectors cannot), and full-precision vectors are touched
+    * ONLY for the final re-rank. Two more commit-log tables under the
+    * same root: `pqcodebook/` (m × ksub sub-centroids, driver-small) and
+    * `codes/` (m one-byte codes per vector, vec_id-range-clustered so the
+    * walk's point reads file-prune). Returns the committed codes version.
+    */
+  def addPqToKnnGraphIndex(emb: DataFrame, indexRoot: String,
+                           m: Int = 8, ksub: Int = 16, dim: Int = 64): Long = {
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val v = vectors(emb).localCheckpoint(true)
+    val cb = Similarity.pqCodebook(v, m, ksub, dsub)
+    val cbDf = (for { j <- 0 until m; c <- cb(j).indices }
+      yield (j, c, cb(j)(c).toSeq)).toDF("j", "c", "sub")
+    new graft.operators.CommitTable(spark, s"$indexRoot/pqcodebook", "j")
+      .overwrite(cbDf.coalesce(1))
+    new graft.operators.CommitTable(spark, s"$indexRoot/codes", "vec_id")
+      .overwrite(Similarity.pqEncode(v, cb, dsub)
+        .repartitionByRange(col("vec_id")))
+  }
+
+  /** The DiskANN query loop proper, batched: beam search over the
+    * committed graph where EVERY navigation step scores candidates by the
+    * exact-integer ADC sum over the committed PQ codes — the raw float
+    * vectors never feed the walk — and only the final `k·candFactor`
+    * ADC-best visited candidates pay an exact cosine re-rank (one
+    * file-pruned point read of the vectors table). IO per hop: frontier
+    * adjacency + candidate CODE rows (m bytes/vector — the 32× narrower
+    * artifact), both through
+    * [[graft.operators.CommitTable.prunedReadIn]]; per query the whole
+    * search reads O(beam · hops) code rows + O(k · candFactor) vector
+    * rows, the paper's SSD-budget shape. ADC sums are longs (the LUT is
+    * `floor(dot·1e6)` integers), so navigation is bit-deterministic and
+    * the DuckDB mirror replays it exactly; ties break by vec_id. Beams
+    * seed from the committed entry set like [[knnGraphSearch]].
+    */
+  def pqGraphSearch(spark: SparkSession, indexRoot: String,
+                    numQueries: Int = 20, k: Int = 5,
+                    beam: Int = 8, hops: Int = 3, candFactor: Int = 3,
+                    dim: Int = 64): DataFrame = {
+    require(beam >= k, s"pqGraphSearch: beam $beam must be >= k $k")
+    val vecs = new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
+    val codesT = new graft.operators.CommitTable(spark, s"$indexRoot/codes", "vec_id")
+    val graph = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
+    val cb = Similarity.readPqCodebook(spark, s"$indexRoot/pqcodebook")
+    val m = cb.length
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val dsub = dim / m
+    val kEff = cb(0).length
+    val entryIds = new graft.operators.CommitTable(spark, s"$indexRoot/entries", "eid")
+      .read().collect().map(_.getLong(0)).toSeq.sorted // ≤ numEntries by contract
+    val lutCol = array((0 until m).map { j =>
+      val cmat = typedLit(cb(j).map(_.toSeq).toSeq)
+      array((0 until kEff).map(c =>
+        floor(dot(Similarity.pqSubv(col("qe"), j, dsub), element_at(cmat, c + 1)) * 1e6)
+          .cast("long")): _*)
+    }: _*)
+    val queries = vecs.prunedReadIn(0L until numQueries.toLong)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .withColumn("lut", lutCol)
+      .localCheckpoint(true)
+    val adcCol = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    def scoreIdsAdc(cand: DataFrame, ids: Seq[Long]): DataFrame =
+      cand.join(codesT.prunedReadIn(ids).filter(col("vec_id").isin(ids: _*))
+            .select("vec_id", "codes"), "vec_id")
+        .join(broadcast(queries.select("query_id", "lut")), "query_id")
+        .select(col("query_id"), col("vec_id"), adcCol.as("adc"))
+    def topAdc(scored: DataFrame, limit: Int): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+        .select("query_id", "vec_id", "adc")
+    }
+    val entryCand = queries.select(col("query_id"))
+      .withColumn("vec_id", explode(lit(entryIds.toArray)))
+    var visited = scoreIdsAdc(entryCand, entryIds).localCheckpoint(true)
+    var beamDf = topAdc(visited, beam)
+    for (_ <- 1 to hops) {
+      val frontier = beamDf.select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val nbrs = graph.prunedReadIn(frontier).filter(col("src").isin(frontier: _*))
+        .select(col("src"), col("dst"))
+      val cand = beamDf.select(col("query_id"), col("vec_id").as("src"))
+        .join(nbrs, "src")
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+      val candIds = cand.select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      visited = visited.union(scoreIdsAdc(cand, candIds)).distinct()
+        .localCheckpoint(true)
+      beamDf = topAdc(visited, beam)
+    }
+    // exact re-rank of the ADC-best k·candFactor visited (self excluded) —
+    // the ONLY touch of full-precision vectors in the whole query
+    val cw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    val cands = visited.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= k * candFactor)
+      .select("query_id", "vec_id")
+    val candIds = cands.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted // ≤ numQueries·k·candFactor by contract
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    cands.join(vecs.prunedReadIn(candIds).filter(col("vec_id").isin(candIds: _*))
+          .select("vec_id", "e", "nrm"), "vec_id")
+      .join(broadcast(queries.select("query_id", "qe", "qn")), "query_id")
+      .withColumn("cos", dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Removes vectors from a committed graph index — FreshDiskANN's
     * DeleteList (Singh et al. 2021): one atomic O(deleted) tombstone
     * commit; nothing in the graph or vectors tables is read or rewritten.
@@ -661,6 +781,90 @@ object KnnGraph {
        |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
        |       floor(cos * 1e6)::BIGINT AS cos_1e6
        |FROM rfin WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[buildKnnGraphIndex]] + [[addPqToKnnGraphIndex]] +
+    * [[pqGraphSearch]]: the build CTEs, the PQ seed/encode/LUT CTEs
+    * (verbatim [[Similarity.pqTopKSql]] shapes), then the beam loop with
+    * ADC scoring — every hop scores candidates by the same exact-integer
+    * sum over the code table — and the final exact re-rank of the
+    * ADC-best `k·candFactor`. Navigation is integer arithmetic end to
+    * end, so the walk replays bit-for-bit.
+    */
+  def pqGraphSearchSql(numQueries: Int = 20, k: Int = 5,
+                       beam: Int = 8, hops: Int = 3,
+                       buildK: Int = 6, rounds: Int = 2,
+                       numEntries: Int = 16, m: Int = 8, ksub: Int = 16,
+                       candFactor: Int = 3, dim: Int = 64): String = {
+    val dsub = dim / m
+    def sub(e: String) = s"list_slice($e, j.j * $dsub + 1, j.j * $dsub + $dsub)"
+    val (ctes, fin) = graphCtes(buildK, rounds)
+    val sb = new StringBuilder
+    sb.append(ctes)
+    sb.append(
+      s"""span AS MATERIALIZED (SELECT min(vec_id) AS lo, max(vec_id) + 1 AS hi FROM n),
+         |ecand AS MATERIALIZED (SELECT span.lo + (u.i * (span.hi - span.lo)) // $numEntries AS c
+         |          FROM span, UNNEST(range(0, $numEntries)) AS u(i)),
+         |entries AS MATERIALIZED (SELECT DISTINCT eid FROM (
+         |  SELECT min(n.vec_id) AS eid FROM ecand JOIN n ON n.vec_id >= ecand.c GROUP BY ecand.c)),
+         |seeds AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e
+         |          FROM v ORDER BY vec_id LIMIT $ksub),
+         |pcodes AS MATERIALIZED (
+         |  SELECT vec_id, j, c AS code FROM (
+         |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+         |    FROM (SELECT v.vec_id, j.j AS j, s.c AS c,
+         |            list_dot_product(${sub("s.e")}, ${sub("s.e")})
+         |            - 2 * list_dot_product(${sub("v.e")}, ${sub("s.e")}) AS d
+         |          FROM v, range(0, $m) AS j(j), seeds s))
+         |  WHERE rn = 1),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+         |  WHERE vec_id < $numQueries),
+         |lut AS MATERIALIZED (SELECT q.query_id, j.j AS j, s.c AS c,
+         |          floor(list_dot_product(${sub("q.qe")}, ${sub("s.e")}) * 1e6)::BIGINT AS p
+         |        FROM q, range(0, $m) AS j(j), seeds s),
+         |cand0 AS MATERIALIZED (SELECT q.query_id, entries.eid AS vec_id
+         |  FROM q CROSS JOIN entries),
+         |vis0 AS MATERIALIZED (SELECT c.query_id, c.vec_id, SUM(l.p)::BIGINT AS adc
+         |  FROM cand0 c JOIN pcodes cd ON cd.vec_id = c.vec_id
+         |  JOIN lut l ON l.query_id = c.query_id AND l.j = cd.j AND l.c = cd.code
+         |  GROUP BY 1, 2),
+         |beam0 AS MATERIALIZED (SELECT query_id, vec_id, adc FROM (
+         |  SELECT query_id, vec_id, adc,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+         |  FROM vis0) WHERE rn <= $beam),
+         |""".stripMargin)
+    for (h <- 1 to hops) {
+      sb.append(
+        s"""cand$h AS MATERIALIZED (SELECT DISTINCT b.query_id, g.dst AS vec_id
+           |  FROM beam${h - 1} b JOIN $fin g ON g.src = b.vec_id),
+           |sc$h AS MATERIALIZED (SELECT c.query_id, c.vec_id, SUM(l.p)::BIGINT AS adc
+           |  FROM cand$h c JOIN pcodes cd ON cd.vec_id = c.vec_id
+           |  JOIN lut l ON l.query_id = c.query_id AND l.j = cd.j AND l.c = cd.code
+           |  GROUP BY 1, 2),
+           |vis$h AS MATERIALIZED (SELECT DISTINCT query_id, vec_id, adc FROM (
+           |  SELECT query_id, vec_id, adc FROM vis${h - 1}
+           |  UNION ALL SELECT query_id, vec_id, adc FROM sc$h)),
+           |beam$h AS MATERIALIZED (SELECT query_id, vec_id, adc FROM (
+           |  SELECT query_id, vec_id, adc,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+           |  FROM vis$h) WHERE rn <= $beam),
+           |""".stripMargin)
+    }
+    s"""WITH ${sb.toString}
+       |cr AS MATERIALIZED (SELECT query_id, vec_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS crank
+       |      FROM vis$hops WHERE vec_id <> query_id),
+       |x AS MATERIALIZED (SELECT cr.query_id, cr.vec_id,
+       |        list_dot_product(cv.e, q.qe) / (cv.nrm * q.qn) AS cos
+       |      FROM cr JOIN n cv ON cv.vec_id = cr.vec_id
+       |             JOIN q ON q.query_id = cr.query_id
+       |      WHERE cr.crank <= ${k * candFactor}),
+       |f AS MATERIALIZED (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |      FROM x)
+       |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+       |       floor(cos * 1e6)::BIGINT AS cos_1e6
+       |FROM f WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB mirror of [[buildKnnGraphIndex]] + [[deleteFromKnnGraphIndex]]

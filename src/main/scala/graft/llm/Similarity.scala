@@ -329,14 +329,14 @@ object Similarity {
     * deterministic iters=0 analogue of IVF's k-means-lite seeds). A corpus
     * smaller than ksub simply yields a smaller codebook — the oracle's
     * LIMIT ksub sees the same rows, so the codes still agree. */
-  private def pqCodebook(v: DataFrame, m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] = {
+  private[graft] def pqCodebook(v: DataFrame, m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] = {
     val seeds: Array[Array[Double]] = v.orderBy("vec_id").limit(ksub)
       .select("e").collect().map(_.getSeq[Double](0).toArray)
     require(seeds.nonEmpty, "PQ needs a non-empty embedding corpus")
     Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
   }
 
-  private def pqSubv(c: Column, j: Int, dsub: Int) = slice(c, j * dsub + 1, dsub)
+  private[graft] def pqSubv(c: Column, j: Int, dsub: Int) = slice(c, j * dsub + 1, dsub)
 
   /** Encode each vector to `m` one-byte codes:
     * argmin_c ||sub − cb_c||² ≡ argmin_c (||cb_c||² − 2·sub·cb_c)
@@ -349,7 +349,7 @@ object Similarity {
     * stored PQ index — leaving it lazy lets codegen collapse the m·ksub-dot
     * encoding into the probe stage, re-encoding every vector once per QUERY
     * PAIR (measured 6.6s → 1.3s at sf0.1 for the whole query). */
-  private def pqEncode(v: DataFrame, cb: Array[Array[Array[Double]]], dsub: Int,
+  private[graft] def pqEncode(v: DataFrame, cb: Array[Array[Array[Double]]], dsub: Int,
                        carry: Seq[String] = Nil): DataFrame = {
     val m = cb.length
     val kEff = cb(0).length
@@ -887,7 +887,7 @@ object Similarity {
   /** The committed PQ sub-codebook head at `tablePath`: m × ksub by
     * the PQ contract — a driver-small metadata read (the s12 codebook
     * discipline). */
-  private def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
                              tablePath: String): Array[Array[Array[Double]]] = {
     val cbRows = new graft.operators.CommitTable(spark, tablePath, "j")
       .read().select("j", "c", "sub").collect()

@@ -279,6 +279,41 @@ class KnnGraphSpec extends SparkSpec {
       "filtered results must come from the same visited pool the unfiltered walk ranks")
   }
 
+  test("pqGraphSearch: ADC-navigated walk holds a recall floor, returns exact re-ranked scores, reads only codes during navigation") {
+    val vecs = clustered(n = 120, dim = 16, spread = 1.0, seed = 31)
+    val root = java.nio.file.Files.createTempDirectory("graft-pqgann-spec").toString
+    KnnGraph.buildKnnGraphIndex(embDF(vecs), root, k = 6, rounds = 4)
+    KnnGraph.addPqToKnnGraphIndex(embDF(vecs), root, m = 4, ksub = 16, dim = 16)
+    val numQueries = 16; val k = 4
+    val got = KnnGraph.pqGraphSearch(spark, root, numQueries = numQueries, k = k, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === (0L until numQueries.toLong).toSet)
+    val vmap = vecs.toMap
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === k, s"query $q must return k=$k rows")
+      assert(!rows.exists(_._2 == q))
+      rows.foreach { case (_, nbr, _, c6) =>
+        assert(c6 === math.floor(cos(vmap(q), vmap(nbr)) * 1e6).toLong,
+          "final scores must be EXACT cosines (the full-precision re-rank), never ADC approximations")
+      }
+    }
+    // quantized navigation costs some recall vs the float walk, but the
+    // re-ranked result must still clear a floor over the exact top-k
+    val exact = exactTopK(vecs, k)
+    val rec = (0L until numQueries.toLong).map { q =>
+      byQ(q).map(_._2).toSet.intersect(exact(q).toSet).size.toDouble / k
+    }.sum / numQueries
+    assert(rec >= 0.4, s"PQ-navigated recall@$k must clear 0.4, got $rec")
+    assert(got === KnnGraph.pqGraphSearch(spark, root, numQueries = numQueries, k = k, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
+      "integer ADC navigation must be deterministic")
+    // the codes table is the walk's corpus-sized artifact: m bytes per
+    // vector, vec_id-clustered so the per-hop point reads file-prune
+    val codes = new graft.operators.CommitTable(spark, s"$root/codes", "vec_id")
+    assert(codes.read().count() === vecs.length.toLong)
+  }
+
   test("sparse ids: ring init degrades gracefully, entries snap to existing ids") {
     val rng = new scala.util.Random(23)
     // ids 0, 3, 6, ... 87 — every ring slot between them is missing
