@@ -3180,6 +3180,25 @@ object SparkEntry {
       KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
       KnnGraph.knnGraphSearch(s, idx)
     }),
+    "s34_index_versions" -> ((s, dir) => {
+      // ATOMIC MULTI-TABLE INDEX VERSIONS (the catalog-commit shape): a
+      // graph index is three commit-log tables; build/append pin their
+      // member heads as ONE manifest commit, so a reader never mixes new
+      // vectors with the pre-append graph — and the whole index time
+      // travels as a unit: the head search sees the appended state, the
+      // v0 search replays the build-only index exactly.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-idxver-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val emb = Tables.embeddings(s, dir)
+      KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") < 300), idx)   // index v0
+      KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") >= 300), idx) // index v1
+      KnnGraph.knnGraphSearch(s, idx).withColumn("phase", lit("head"))
+        .unionByName(KnnGraph.knnGraphSearchAt(s, idx, 0L).withColumn("phase", lit("v0")))
+    }),
     "s33_pq_graph_ann" -> ((s, dir) => {
       // the DiskANN query loop PROPER (memory/disk split included): the
       // committed graph walked with exact-integer PQ-ADC navigation —
@@ -5030,6 +5049,14 @@ object SparkEntry {
     "s30_graph_filtered" -> // unfiltered navigation, predicate on the
       // final ranking only — both engines gate the same visited set
       KnnGraph.knnGraphSearchSql(beam = 16, resFilter = "vec_id % 3 = 1"),
+    "s34_index_versions" -> // head = the append mirror over the extended
+      // graph; v0 = the build-only mirror restricted to the build corpus —
+      // that the manifest snapshot reproduces it IS the atomicity claim
+      s"""WITH h AS (${KnnGraph.knnGraphAppendSearchSql(batches = Seq((300L, 500L)))}),
+         |z AS (${KnnGraph.knnGraphSearchSql(baseFilter = "vec_id < 300")})
+         |SELECT query_id, neighbor_id, rank, cos_1e6, 'head' AS phase FROM h
+         |UNION ALL
+         |SELECT query_id, neighbor_id, rank, cos_1e6, 'v0' AS phase FROM z""".stripMargin,
     "s33_pq_graph_ann" -> // build + PQ CTEs + the ADC-navigated beam loop
       // as generated hop blocks (integer navigation replays exactly),
       // then the exact re-rank of the ADC-best k·candFactor

@@ -246,8 +246,13 @@ object KnnGraph {
     new graft.operators.CommitTable(spark, s"$indexRoot/entries", "eid")
       .overwrite(entries.coalesce(1))
     val edges = knnGraphEdges(emb, k, rounds)
-    new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
+    val gv = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
       .overwrite(edges.repartitionByRange(col("src"), col("dst")))
+    // pin the three member heads as ONE atomic index version (the
+    // catalog-commit shape) — [[knnGraphSearchAt]] resolves through it
+    graft.operators.IndexManifest.commit(spark, indexRoot,
+      Seq("vectors", "graph", "entries"))
+    gv
   }
 
   /** Top-`beam` rows per query by (cos desc, id asc). */
@@ -325,6 +330,37 @@ object KnnGraph {
       .orderBy("query_id", "rank")
   }
 
+  /** [[knnGraphSearch]] AT a committed INDEX VERSION — the whole-index
+    * time travel the per-table asOf cannot give: `indexVersion` resolves
+    * through [[graft.operators.IndexManifest]] to one CONSISTENT pinned
+    * set of member-table versions (vectors/graph/entries as they stood
+    * together), so a query against "yesterday's index" never mixes
+    * yesterday's graph with today's vectors. Same walk, same IO contract
+    * (the versioned point reads prune files off the pinned commit's
+    * stats). Tombstones are a head-state overlay by design — they apply
+    * to live serving, not to historical replay — so this path reads the
+    * pinned tables as committed.
+    */
+  def knnGraphSearchAt(spark: SparkSession, indexRoot: String, indexVersion: Long,
+                       numQueries: Int = 20, k: Int = 5,
+                       beam: Int = 8, hops: Int = 3): DataFrame = {
+    require(beam >= k, s"knnGraphSearchAt: beam $beam must be >= k $k")
+    val at = graft.operators.IndexManifest.resolve(spark, indexRoot, Some(indexVersion))
+    val vecs = new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
+    val queries = vecs.prunedReadIn(0L until numQueries.toLong, at.get("vectors"))
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    routedVisited(spark, indexRoot, queries, beam, hops, at)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The shared beam loop: all `(query_id, vec_id, cos)` rows VISITED by
     * the multi-entry routed walk for an arbitrary materialized query frame
     * `(query_id, qe, qn)` — [[knnGraphSearch]] ranks these into results;
@@ -332,13 +368,16 @@ object KnnGraph {
     * driver collect in the loop is bounded by the search contract
     * (frontier ≤ queries·beam ids, candidates ≤ queries·beam·k ids). */
   private def routedVisited(spark: SparkSession, indexRoot: String,
-                            queries: DataFrame, beam: Int, hops: Int): DataFrame = {
+                            queries: DataFrame, beam: Int, hops: Int,
+                            at: Map[String, Long] = Map.empty): DataFrame = {
     val vecs = new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
     val graph = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
-    val entryIds = new graft.operators.CommitTable(spark, s"$indexRoot/entries", "eid")
-      .read().collect().map(_.getLong(0)).toSeq.sorted // ≤ numEntries by contract
+    val entT = new graft.operators.CommitTable(spark, s"$indexRoot/entries", "eid")
+    val entryIds = at.get("entries").map(entT.asOf).getOrElse(entT.read())
+      .collect().map(_.getLong(0)).toSeq.sorted // ≤ numEntries by contract
     def scoreIds(cand: DataFrame, ids: Seq[Long]): DataFrame =
-      cand.join(vecs.prunedReadIn(ids).filter(col("vec_id").isin(ids: _*))
+      cand.join(vecs.prunedReadIn(ids, at.get("vectors"))
+            .filter(col("vec_id").isin(ids: _*))
             .select("vec_id", "e", "nrm"), "vec_id")
         .join(broadcast(queries), "query_id")
         .select(col("query_id"), col("vec_id"),
@@ -350,7 +389,8 @@ object KnnGraph {
     for (_ <- 1 to hops) {
       val frontier = beamDf.select("vec_id").distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
-      val nbrs = graph.prunedReadIn(frontier).filter(col("src").isin(frontier: _*))
+      val nbrs = graph.prunedReadIn(frontier, at.get("graph"))
+        .filter(col("src").isin(frontier: _*))
         .select(col("src"), col("dst"))
       val cand = beamDf.select(col("query_id"), col("vec_id").as("src"))
         .join(nbrs, "src")
@@ -409,8 +449,13 @@ object KnnGraph {
     val reverse = linked.select(col("vec_id").as("src"), col("query_id").as("dst"), col("cos"))
     new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
       .append(vNew.repartitionByRange(col("vec_id")))
-    new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
+    val gv = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
       .append(forward.union(reverse).repartitionByRange(col("src"), col("dst")))
+    // one new index version pinning BOTH member appends — a manifest
+    // reader never sees the new vectors without their reverse edges
+    graft.operators.IndexManifest.commit(spark, indexRoot,
+      Seq("vectors", "graph", "entries"))
+    gv
   }
 
   /** Extends a committed graph index ([[buildKnnGraphIndex]]'s layout)
@@ -435,9 +480,12 @@ object KnnGraph {
       yield (j, c, cb(j)(c).toSeq)).toDF("j", "c", "sub")
     new graft.operators.CommitTable(spark, s"$indexRoot/pqcodebook", "j")
       .overwrite(cbDf.coalesce(1))
-    new graft.operators.CommitTable(spark, s"$indexRoot/codes", "vec_id")
+    val cv = new graft.operators.CommitTable(spark, s"$indexRoot/codes", "vec_id")
       .overwrite(Similarity.pqEncode(v, cb, dsub)
         .repartitionByRange(col("vec_id")))
+    graft.operators.IndexManifest.commit(spark, indexRoot,
+      Seq("vectors", "graph", "entries", "pqcodebook", "codes"))
+    cv
   }
 
   /** The DiskANN query loop proper, batched: beam search over the
@@ -615,6 +663,8 @@ object KnnGraph {
       .select(coalesce(col("s"), lit(minSurv)).as("eid")).distinct()
     entries.overwrite(newEntries.coalesce(1))
     Tombstones.clear(spark, indexRoot, "vec_id")
+    graft.operators.IndexManifest.commit(spark, indexRoot,
+      Seq("vectors", "graph", "entries"))
     v
   }
 
@@ -630,8 +680,9 @@ object KnnGraph {
                         beam: Int = 8, hops: Int = 3,
                         buildK: Int = 6, rounds: Int = 2,
                         numEntries: Int = 16,
-                        resFilter: String = "TRUE"): String = {
-    val (ctes, fin) = graphCtes(buildK, rounds)
+                        resFilter: String = "TRUE",
+                        baseFilter: String = "TRUE"): String = {
+    val (ctes, fin) = graphCtes(buildK, rounds, baseFilter)
     val sb = new StringBuilder
     sb.append(ctes)
     sb.append(

@@ -146,9 +146,9 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
     * reader (observable via `.inputFiles`); the residual predicate covers
     * boundary files. f10's manifest skipping, resolved from the log.
     */
-  def prunedRead(lo: Long, hi: Long): DataFrame = {
-    val v = latestVersion().getOrElse(
-      throw new IllegalStateException(s"no commits at $path"))
+  def prunedRead(lo: Long, hi: Long, atVersion: Option[Long] = None): DataFrame = {
+    val v = atVersion.getOrElse(latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path")))
     val files = addsOf(v)
       .filter(col("hi") >= lo && col("lo") <= hi)
       .select("path").collect().map(_.getString(0))
@@ -163,9 +163,9 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
     * filter (e.g. `cid IN (...)`); this method's job is the file-list
     * cut. The probe-side read of every cid-clustered index table
     * ([[graft.llm.Similarity.ivfTopKIndexed]] and friends). */
-  def prunedReadIn(points: Seq[Long]): DataFrame = {
-    val v = latestVersion().getOrElse(
-      throw new IllegalStateException(s"no commits at $path"))
+  def prunedReadIn(points: Seq[Long], atVersion: Option[Long] = None): DataFrame = {
+    val v = atVersion.getOrElse(latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path")))
     val pts = points.distinct
     val files = addsOf(v).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -314,6 +314,37 @@ class KnnGraphSpec extends SparkSpec {
     assert(codes.read().count() === vecs.length.toLong)
   }
 
+  test("index manifest: one atomic version per build/append, whole-index time travel replays the pre-append search") {
+    val vecs = clustered(n = 120, dim = 16, spread = 1.0, seed = 41)
+    val root = java.nio.file.Files.createTempDirectory("graft-idxver-spec").toString
+    KnnGraph.buildKnnGraphIndex(embDF(vecs.filter(_._1 < 90)), root, k = 6, rounds = 3)
+    import graft.operators.{CommitTable, IndexManifest}
+    assert(IndexManifest.versions(spark, root) === Seq(0L))
+    val pin0 = IndexManifest.resolve(spark, root, Some(0L))
+    assert(pin0 === Map("vectors" -> 0L, "graph" -> 0L, "entries" -> 0L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val preAppend = rows(KnnGraph.knnGraphSearch(spark, root, numQueries = 10, k = 3))
+    KnnGraph.appendKnnGraphIndex(embDF(vecs.filter(_._1 >= 90)), root)
+    // the append pinned both member appends as ONE new index version
+    assert(IndexManifest.versions(spark, root) === Seq(0L, 1L))
+    val pin1 = IndexManifest.resolve(spark, root, Some(1L))
+    assert(pin1 === Map("vectors" -> 1L, "graph" -> 1L, "entries" -> 0L))
+    assert(pin1("vectors") ===
+      new CommitTable(spark, s"$root/vectors", "vec_id").latestVersion().get)
+    // whole-index time travel: the v0 search IS the pre-append search
+    assert(rows(KnnGraph.knnGraphSearchAt(spark, root, 0L, numQueries = 10, k = 3))
+      === preAppend, "searchAt(0) must replay the build-only index exactly")
+    // ...and the head version reproduces the live search
+    assert(rows(KnnGraph.knnGraphSearchAt(spark, root, 1L, numQueries = 10, k = 3))
+      === rows(KnnGraph.knnGraphSearch(spark, root, numQueries = 10, k = 3)))
+    // consolidation commits its own index version too
+    KnnGraph.deleteFromKnnGraphIndex(embDF(vecs.filter(v => v._1 >= 100 && v._1 < 110))
+      .select("vec_id"), root)
+    KnnGraph.consolidateKnnGraphIndex(spark, root)
+    assert(IndexManifest.versions(spark, root) === Seq(0L, 1L, 2L))
+  }
+
   test("sparse ids: ring init degrades gracefully, entries snap to existing ids") {
     val rng = new scala.util.Random(23)
     // ids 0, 3, 6, ... 87 — every ring slot between them is missing
