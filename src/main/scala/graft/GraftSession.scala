@@ -92,7 +92,12 @@ object GraftSession {
           // (the pgvector-shaped surface) — see IndexTvfs
           "ann_topk" -> graft.plans.IndexTvfs.annTopK,
           "graph_ann" -> graft.plans.IndexTvfs.graphAnn,
-          "bm25_topk" -> graft.plans.IndexTvfs.bm25TopK
+          "bm25_topk" -> graft.plans.IndexTvfs.bm25TopK,
+          // ...including VERSION AS OF (whole-index time travel through
+          // the IndexManifest's pinned member sets)
+          "ann_topk_at" -> graft.plans.IndexTvfs.annTopKAt,
+          "graph_ann_at" -> graft.plans.IndexTvfs.graphAnnAt,
+          "bm25_topk_at" -> graft.plans.IndexTvfs.bm25TopKAt
         ).foreach { case (name, builder) =>
           ext.injectTableFunction((
             FunctionIdentifier(name),

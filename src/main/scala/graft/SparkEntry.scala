@@ -3180,6 +3180,45 @@ object SparkEntry {
       KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
       KnnGraph.knnGraphSearch(s, idx)
     }),
+    "s35_ivf_versions" -> ((s, dir) => {
+      // the manifest adopted by the IVF family (its build commits
+      // centroids then lists — a racing reader could score new lists
+      // against an old codebook): head probe sees the appended index,
+      // the v0 probe replays the build-only index through one pinned
+      // member set.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-ivfver-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), idx)   // index v0
+      Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 300), idx) // index v1
+      Similarity.ivfTopKIndexed(s, idx).withColumn("phase", lit("head"))
+        .unionByName(Similarity.ivfTopKIndexedAt(s, idx, 0L).withColumn("phase", lit("v0")))
+    }),
+    "s36_bm25_versions" -> ((s, dir) => {
+      // ...and by the BM25 family, where the race is sharpest: an append
+      // commits postings and the stats delta separately, so an unpinned
+      // reader could score new postings against the OLD n/sum_dl. Head
+      // query == the full-corpus scorer; the v0 query == the build-half
+      // index exactly.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-bm25ver-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val docs = Tables.documents(s, dir)
+      graft.llm.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), idx)
+      graft.llm.Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 =!= 0), idx)
+      graft.llm.Retrieval.bm25TopKIndexed(s, idx, Bm25QueryTerms, k = 15)
+        .withColumn("phase", lit("head"))
+        .unionByName(graft.llm.Retrieval
+          .bm25TopKIndexedAt(s, idx, 0L, Bm25QueryTerms, k = 15)
+          .withColumn("phase", lit("v0")))
+    }),
     "s34_index_versions" -> ((s, dir) => {
       // ATOMIC MULTI-TABLE INDEX VERSIONS (the catalog-commit shape): a
       // graph index is three commit-log tables; build/append pin their
@@ -5057,6 +5096,13 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank, cos_1e6, 'head' AS phase FROM h
          |UNION ALL
          |SELECT query_id, neighbor_id, rank, cos_1e6, 'v0' AS phase FROM z""".stripMargin,
+    "s35_ivf_versions" -> // head = train-on-prefix assign-all (the append
+      // mirror); v0 = the whole pipeline restricted to the build corpus
+      s"""WITH h AS (${Similarity.ivfTopKSql(trainFilter = "vec_id < 300")}),
+         |z AS (${Similarity.ivfTopKSql(baseFilter = "vec_id < 300")})
+         |SELECT query_id, neighbor_id, rank, cos_1e6, 'head' AS phase FROM h
+         |UNION ALL
+         |SELECT query_id, neighbor_id, rank, cos_1e6, 'v0' AS phase FROM z""".stripMargin,
     "s33_pq_graph_ann" -> // build + PQ CTEs + the ADC-navigated beam loop
       // as generated hop blocks (integer navigation replays exactly),
       // then the exact re-rank of the ADC-best k·candFactor
@@ -5643,7 +5689,7 @@ object SparkEntry {
     val bm25Oracle: Map[String, String] =
       if (!(want("t37_bm25") || want("p8_hybrid_rrf") || want("s19_bm25_indexed")
           || want("st19_stream_bm25") || want("p10_rag_indexed")
-          || want("s29_bm25_delete"))) Map.empty else {
+          || want("s29_bm25_delete") || want("s36_bm25_versions"))) Map.empty else {
         val texts = graft.Tables.documents(spark, sfDir)
           .select(col("text")).collect().map(_.getString(0)).toSeq
         val idf = SequentialCorpus.bm25Idf(texts, Bm25QueryTerms)
@@ -5654,9 +5700,21 @@ object SparkEntry {
           .filter(col("doc_id") % 7 =!= 3)
           .select(col("text")).collect().map(_.getString(0)).toSeq
         val idfSurv = SequentialCorpus.bm25Idf(survTexts, Bm25QueryTerms)
+        // the v0 (build-half) index == a standalone index over even docs
+        val evenTexts = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("text")).collect().map(_.getString(0)).toSeq
+        val idfEven = SequentialCorpus.bm25Idf(evenTexts, Bm25QueryTerms)
         Map(
           "s29_bm25_delete" -> graft.llm.Retrieval.bm25TopKSql(idfSurv, k = 15,
             docFilter = "doc_id % 7 <> 3"),
+          "s36_bm25_versions" ->
+            s"""WITH h AS (${graft.llm.Retrieval.bm25TopKSql(idf, k = 15)}),
+               |z AS (${graft.llm.Retrieval.bm25TopKSql(idfEven, k = 15,
+                          docFilter = "doc_id % 2 = 0")})
+               |SELECT doc_id, score_e6, 'head' AS phase FROM h
+               |UNION ALL
+               |SELECT doc_id, score_e6, 'v0' AS phase FROM z""".stripMargin,
           "t37_bm25" -> graft.llm.Retrieval.bm25TopKSql(idf, k = 15),
           // the committed index is bit-identical to the inline operator
           // (no trained component; shared scoring tail) — same oracle

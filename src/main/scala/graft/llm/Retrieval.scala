@@ -152,8 +152,13 @@ object Retrieval {
     new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_docs")
       .overwrite(stats.coalesce(1))
     val postings = bm25Postings(base)
-    new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
+    val pv = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
       .overwrite(postings)
+    // pin postings + stats as ONE atomic index version — an append commits
+    // them separately, and a reader racing it would otherwise score the
+    // new postings against the OLD n/sum_dl (see IndexManifest)
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
+    pv
   }
 
   /** `(t, doc_id, dl, tf, th)` postings rows, RANGE-clustered by the term
@@ -188,8 +193,10 @@ object Retrieval {
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_docs")
       .append(stats.coalesce(1))
-    new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
+    val pv = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
       .append(bm25Postings(base))
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
+    pv
   }
 
   /** Removes documents from a persisted BM25 index — the Lucene
@@ -226,6 +233,7 @@ object Retrieval {
       .overwrite(stats.coalesce(1))
     val v = postings.overwrite(kept.repartitionByRange(col("th"), col("t")))
     Tombstones.clear(spark, indexRoot, "doc_id")
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
     v
   }
 
@@ -278,6 +286,38 @@ object Retrieval {
       indexRoot, "doc_id", "doc_id")
     // df(t) = posting count of t, read off the SAME pruned scan that feeds
     // scoring — ≤ |q| rows to the driver, by contract
+    val dfMap: Map[String, Long] = pruned
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = queryTerms.map(t => (t, idfE6(n, dfMap.getOrElse(t, 0L))))
+    val idfDf = broadcast(idf.toDF("t", "idf_e6"))
+    scoreTf(pruned.select("doc_id", "dl", "t", "tf"), idfDf, n, sumDl, k, k1E3, bE3)
+  }
+
+  /** [[bm25TopKIndexed]] AT a committed INDEX VERSION — whole-index time
+    * travel through [[graft.operators.IndexManifest]]: `indexVersion`
+    * pins postings AND corpus stats as they stood together, so a
+    * historical query never scores one commit's postings against
+    * another's n/sum_dl. Tombstones are a live-serving overlay and do not
+    * apply to replay.
+    */
+  def bm25TopKIndexedAt(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                        indexVersion: Long, queryTerms: Seq[String], k: Int = 10,
+                        k1E3: Long = 1200L, bE3: Long = 750L): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKIndexedAt: queryTerms must be non-empty")
+    import spark.implicits._
+    val at = graft.operators.IndexManifest.resolve(spark, indexRoot, Some(indexVersion))
+    val statsT = new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_docs")
+    val statsRow = at.get("stats").map(statsT.asOf).getOrElse(statsT.read())
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
+    val n = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    require(n > 0, "bm25TopKIndexedAt: pinned index covers no non-empty documents")
+    val postings = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
+    val pruned = queryTerms.map { t =>
+        val h = Hashing.hash60(t)
+        postings.prunedRead(h, h, at.get("postings")).filter(col("t") === t)
+      }.reduce(_ unionByName _)
     val dfMap: Map[String, Long] = pruned
       .groupBy("t").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -663,8 +663,13 @@ object Similarity {
       .withColumn("cid", ivfArgmaxCid(centroids.length))
       .select("vec_id", "e", "nrm", "cid")
       .repartitionByRange(col("cid"), col("vec_id"))
-    new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
+    val lv = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
       .overwrite(lists)
+    // pin codebook + lists as ONE atomic index version (a reader must
+    // never score new lists against an old codebook) — the catalog-commit
+    // shape, see [[graft.operators.IndexManifest]]
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("centroids", "lists"))
+    lv
   }
 
   /** Queries a persisted IVF index WITHOUT recomputing it: the codebook is
@@ -726,7 +731,8 @@ object Similarity {
   private[graft] def probedLists(table: graft.operators.CommitTable,
                                  queries: DataFrame,
                                  centroids: Array[Array[Double]],
-                                 numQueries: Int, nprobe: Int): (Seq[Long], DataFrame) = {
+                                 numQueries: Int, nprobe: Int,
+                                 atVersion: Option[Long] = None): (Seq[Long], DataFrame) = {
     val sortedCids = {
       val scored = centroids.indices.map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
       slice(reverse(array_sort(array(scored: _*))), 1, nprobe).getField("cid")
@@ -735,17 +741,42 @@ object Similarity {
       .select(col("vec_id") +: col("e") +: col("nrm") +: ivfCentroidScores(centroids): _*)
       .select(explode(sortedCids).as("cid")).distinct()
       .collect().map(_.getInt(0).toLong).toSeq.sorted
-    (cids, table.prunedReadIn(cids))
+    (cids, table.prunedReadIn(cids, atVersion))
+  }
+
+  /** [[ivfTopKIndexed]] AT a committed INDEX VERSION — whole-index time
+    * travel through [[graft.operators.IndexManifest]]: `indexVersion`
+    * pins codebook AND lists as they stood together, so a historical
+    * probe never scores an old commit's lists against a newer codebook.
+    * Tombstones are a live-serving overlay and do not apply to replay
+    * (the graph family's [[KnnGraph.knnGraphSearchAt]] contract).
+    */
+  def ivfTopKIndexedAt(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                       indexVersion: Long, numQueries: Int = 20, k: Int = 5,
+                       nprobe: Int = 4): DataFrame = {
+    val at = graft.operators.IndexManifest.resolve(spark, indexRoot, Some(indexVersion))
+    val centroids = readIvfCodebook(spark, indexRoot, at.get("centroids"))
+    val table = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
+    val assignments = at.get("lists").map(table.asOf).getOrElse(table.read())
+    val queries = assignments.filter(col("vec_id") < numQueries)
+      .select("vec_id", "e", "nrm").localCheckpoint(true)
+    val (cids, cand) = probedLists(table, queries, centroids, numQueries, nprobe,
+      at.get("lists"))
+    ivfProbe(assignments, centroids, numQueries, k, nprobe,
+      candidates = Some(cand.filter(col("cid").isin(cids: _*))),
+      querySource = Some(queries))
   }
 
   /** The committed codebook head: nlist × dim by the IVF contract — a
     * driver-small metadata read that CANNOT train (the corpus is not an
     * input); job-count-asserted in SimilaritySpec. */
-  def readIvfCodebook(spark: org.apache.spark.sql.SparkSession, indexRoot: String): Array[Array[Double]] =
-    new graft.operators.CommitTable(spark, s"$indexRoot/centroids", "cid")
-      .read().select("cid", "centroid").collect()
+  def readIvfCodebook(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                      atVersion: Option[Long] = None): Array[Array[Double]] = {
+    val t = new graft.operators.CommitTable(spark, s"$indexRoot/centroids", "cid")
+    atVersion.map(t.asOf).getOrElse(t.read()).select("cid", "centroid").collect()
       .sortBy(_.getInt(0)) // nlist rows — driver sort skips the range-sample job
       .map(_.getSeq[Double](1).toArray)
+  }
 
   /** Incrementally extends a persisted IVF index with NEW vectors — the
     * production refresh shape (FAISS add-after-train): the committed
@@ -765,7 +796,9 @@ object Similarity {
       .withColumn("cid", ivfArgmaxCid(centroids.length))
       .select("vec_id", "e", "nrm", "cid")
       .repartitionByRange(col("cid"), col("vec_id"))
-    new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").append(lists)
+    val lv = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid").append(lists)
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("centroids", "lists"))
+    lv
   }
 
   /** Removes vectors from a persisted IVF index — FAISS `remove_ids`
@@ -797,6 +830,7 @@ object Similarity {
     val kept = Tombstones.exclude(lists.read(), indexRoot, "vec_id", "vec_id")
     val v = lists.overwrite(kept.repartitionByRange(col("cid"), col("vec_id")))
     Tombstones.clear(spark, indexRoot, "vec_id")
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("centroids", "lists"))
     v
   }
 
@@ -1397,8 +1431,9 @@ object Similarity {
     * `n`, the seeded/refined `cent`, the full `scores`, and the winning
     * `assign` (vec_id, e, nrm, cid, s) — `s` kept so drift mirrors can
     * read the assigned-centroid cosine. Ends with a trailing comma. */
-  private def ivfAssignCtes(nlist: Int, dim: Int, trainFilter: String): String =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  private def ivfAssignCtes(nlist: Int, dim: Int, trainFilter: String,
+                            baseFilter: String = "TRUE"): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE $baseFilter),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
        |                 sqrt(list_dot_product(e, e)) AS cn
@@ -1428,8 +1463,9 @@ object Similarity {
   def ivfTopKSql(numQueries: Int = 20, k: Int = 5,
                  nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
                  trainFilter: String = "TRUE",
-                 candFilter: String = "TRUE"): String =
-    s"""WITH ${ivfAssignCtes(nlist, dim, trainFilter)}probes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS probe_cid FROM (
+                 candFilter: String = "TRUE",
+                 baseFilter: String = "TRUE"): String =
+    s"""WITH ${ivfAssignCtes(nlist, dim, trainFilter, baseFilter)}probes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid AS probe_cid FROM (
        |             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
        |             FROM scores WHERE vec_id < $numQueries) WHERE rn <= $nprobe),
        |pairs AS (SELECT p.query_id, a.vec_id,

@@ -87,4 +87,42 @@ object IndexTvfs {
         stringArg(args, 0, "bm25_topk"), terms, intArg(args, 2, "bm25_topk"))
       .queryExecution.analyzed
   }
+
+  // ---- the VERSION AS OF variants: whole-index time travel from SQL
+  // (the IndexManifest surface — each pins a consistent member-table set)
+
+  /** `ann_topk_at(index_root, index_version, num_queries, k, nprobe)`. */
+  def annTopKAt(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5,
+      "ann_topk_at(index_root, index_version, num_queries, k, nprobe) takes 5 arguments")
+    graft.llm.Similarity.ivfTopKIndexedAt(SparkSession.active,
+        stringArg(args, 0, "ann_topk_at"), intArg(args, 1, "ann_topk_at").toLong,
+        intArg(args, 2, "ann_topk_at"), intArg(args, 3, "ann_topk_at"),
+        intArg(args, 4, "ann_topk_at"))
+      .queryExecution.analyzed
+  }
+
+  /** `graph_ann_at(index_root, index_version, num_queries, k, beam, hops)`. */
+  def graphAnnAt(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6,
+      "graph_ann_at(index_root, index_version, num_queries, k, beam, hops) takes 6 arguments")
+    graft.llm.KnnGraph.knnGraphSearchAt(SparkSession.active,
+        stringArg(args, 0, "graph_ann_at"), intArg(args, 1, "graph_ann_at").toLong,
+        intArg(args, 2, "graph_ann_at"), intArg(args, 3, "graph_ann_at"),
+        intArg(args, 4, "graph_ann_at"), intArg(args, 5, "graph_ann_at"))
+      .queryExecution.analyzed
+  }
+
+  /** `bm25_topk_at(index_root, index_version, terms_csv, k)`. */
+  def bm25TopKAt(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      "bm25_topk_at(index_root, index_version, terms_csv, k) takes 4 arguments")
+    val terms = stringArg(args, 2, "bm25_topk_at").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "bm25_topk_at: terms_csv must name at least one term")
+    graft.llm.Retrieval.bm25TopKIndexedAt(SparkSession.active,
+        stringArg(args, 0, "bm25_topk_at"), intArg(args, 1, "bm25_topk_at").toLong,
+        terms, intArg(args, 3, "bm25_topk_at"))
+      .queryExecution.analyzed
+  }
 }

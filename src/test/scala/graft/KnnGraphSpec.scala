@@ -338,6 +338,9 @@ class KnnGraphSpec extends SparkSpec {
     // ...and the head version reproduces the live search
     assert(rows(KnnGraph.knnGraphSearchAt(spark, root, 1L, numQueries = 10, k = 3))
       === rows(KnnGraph.knnGraphSearch(spark, root, numQueries = 10, k = 3)))
+    // the SQL VERSION AS OF surface returns the identical frame
+    assert(rows(spark.sql(s"SELECT * FROM graph_ann_at('$root', 0, 10, 3, 8, 3)"))
+      === preAppend, "graph_ann_at TVF must equal knnGraphSearchAt row-for-row")
     // consolidation commits its own index version too
     KnnGraph.deleteFromKnnGraphIndex(embDF(vecs.filter(v => v._1 >= 100 && v._1 < 110))
       .select("vec_id"), root)

@@ -275,6 +275,38 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.consolidateBm25Index(spark, root) === v)
   }
 
+  test("BM25 index versions: the manifest pins postings WITH their stats; the v0 query is the build-half index exactly") {
+    val corpus = (1L to 50L).map { i =>
+      val words = (0 until (3 + (i % 6).toInt)).map(j => s"w${(i * 13 + j * 7) % 11}")
+      (i, (if (i % 3 == 0) "rare " else "") + words.mkString(" "))
+    }
+    val q = Seq("rare", "w0", "w6")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25ver-spec").toString
+    val half = corpus.filter(_._1 % 2 == 0)
+    Retrieval.buildBm25Index(docs(half), root)
+    import graft.operators.IndexManifest
+    assert(IndexManifest.versions(spark, root) === Seq(0L))
+    def rows(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val preAppend = rows(Retrieval.bm25TopKIndexed(spark, root, q, k = 50))
+    Retrieval.appendBm25Index(docs(corpus.filter(_._1 % 2 != 0)), root)
+    // the append pinned the new postings AND the stats delta together —
+    // the exact pair an unpinned racing reader could tear apart
+    assert(IndexManifest.resolve(spark, root, Some(1L))
+      === Map("postings" -> 1L, "stats" -> 1L))
+    assert(rows(Retrieval.bm25TopKIndexedAt(spark, root, 0L, q, k = 50)) === preAppend,
+      "the v0 query must replay the build-half index exactly")
+    assert(rows(Retrieval.bm25TopKIndexedAt(spark, root, 1L, q, k = 50))
+      === rows(Retrieval.bm25TopKIndexed(spark, root, q, k = 50)))
+    // ...and equals a standalone index built on the same half (no trained
+    // component: pinned state ≡ rebuild)
+    val rb = java.nio.file.Files.createTempDirectory("graft-bm25ver-rb").toString
+    Retrieval.buildBm25Index(docs(half), rb)
+    assert(preAppend === rows(Retrieval.bm25TopKIndexed(spark, rb, q, k = 50)))
+    // the SQL VERSION AS OF surface returns the identical frame
+    assert(rows(spark.sql(s"SELECT * FROM bm25_topk_at('$root', 0, '${q.mkString(",")}', 50)"))
+      === preAppend)
+  }
+
   test("input guards reject bad queries loudly") {
     val d = docs(Seq((1L, "a b")))
     intercept[IllegalArgumentException](Retrieval.bm25TopK(d, Seq.empty))

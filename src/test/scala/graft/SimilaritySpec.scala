@@ -279,6 +279,32 @@ class SimilaritySpec extends SparkSpec {
     assert(lists.read().count() === 40L)
   }
 
+  test("IVF index versions: one manifest commit per build/append, probes time-travel as a pinned unit") {
+    val rng = new scala.util.Random(67)
+    val dim = 16
+    val vecs = (0L until 60L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfver-spec").toString
+    Similarity.buildIvfIndex(embDF(vecs.filter(_._1 < 45)), root, nlist = 8, iters = 1, dim = dim)
+    import graft.operators.IndexManifest
+    assert(IndexManifest.versions(spark, root) === Seq(0L))
+    assert(IndexManifest.resolve(spark, root, Some(0L))
+      === Map("centroids" -> 0L, "lists" -> 0L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val preAppend = rows(Similarity.ivfTopKIndexed(spark, root, numQueries = 8, k = 3, nprobe = 4))
+    Similarity.appendIvfIndex(embDF(vecs.filter(_._1 >= 45)), root)
+    assert(IndexManifest.versions(spark, root) === Seq(0L, 1L))
+    assert(IndexManifest.resolve(spark, root, Some(1L))
+      === Map("centroids" -> 0L, "lists" -> 1L),
+      "the append must pin the UNCHANGED codebook beside the new lists")
+    assert(rows(Similarity.ivfTopKIndexedAt(spark, root, 0L, numQueries = 8, k = 3, nprobe = 4))
+      === preAppend, "the v0 probe must replay the build-only index exactly")
+    assert(rows(Similarity.ivfTopKIndexedAt(spark, root, 1L, numQueries = 8, k = 3, nprobe = 4))
+      === rows(Similarity.ivfTopKIndexed(spark, root, numQueries = 8, k = 3, nprobe = 4)))
+    // the SQL VERSION AS OF surface returns the identical frame
+    assert(rows(spark.sql(s"SELECT * FROM ann_topk_at('$root', 0, 8, 3, 4)")) === preAppend)
+  }
+
   test("IVF delete lifecycle: tombstoned ids leave probes at once; consolidation is physical, bit-identical, and idempotent") {
     val rng = new scala.util.Random(57)
     val dim = 16
