@@ -2656,6 +2656,35 @@ object SparkEntry {
         .compactClustered("src", targetFiles = 4)
       KnnGraph.knnGraphSearch(s, idx)
     }),
+    "st26_stream_ann_serve" -> ((s, dir) => {
+      // STREAMED SERVING over a committed index (the inverse of st18's
+      // streamed maintenance): query vectors arrive as commits on a
+      // request table, the change feed probes each batch against the
+      // committed IVF index through the EXTERNAL-queries entry
+      // (ivfSearchFor — zero training/corpus jobs per batch) and appends
+      // results to a serving log; the accumulated log equals the
+      // one-shot batch probe, so it shares s3's mirror.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sannserve-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val emb = Tables.embeddings(s, dir)
+      val idx = root.resolve("idx").toString
+      Similarity.buildIvfIndex(emb, idx)
+      val qp = root.resolve("q").toString
+      val qt = new graft.operators.CommitTable(s, qp, "vec_id")
+      val q = emb.select("vec_id", "embedding").filter(col("vec_id") < 20)
+      qt.overwrite(q.filter(col("vec_id") < 10))
+      qt.append(q.filter(col("vec_id") >= 10))
+      val serveT = new graft.operators.CommitTable(s, root.resolve("serve").toString, "query_id")
+      graft.streaming.CommitLogStream.followChanges(s, qt, qp, (v, cdf) => {
+        val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
+        val res = Similarity.ivfSearchFor(s, idx, batch)
+        if (v == 0L) serveT.overwrite(res) else serveT.append(res)
+      })
+      serveT.read().orderBy("query_id", "rank")
+    }),
     "st25_stream_index_delete" -> ((s, dir) => {
       // the delete lifecycle STREAMED: a real DELETE WHERE commit on the
       // source table (f22's file-granular CoW) flows through the change
@@ -5125,6 +5154,9 @@ object SparkEntry {
     "st25_stream_index_delete" -> // the streamed tombstone + consolidation
       // equals s27's filtered mirror (deleteRange BETWEEN is inclusive)
       Similarity.ivfTopKSql(candFilter = "NOT (vec_id BETWEEN 120 AND 179)"),
+    "st26_stream_ann_serve" -> // the accumulated serving log equals the
+      // one-shot batch probe — s3's mirror verbatim
+      Similarity.ivfTopKSql(),
     "s13_pq_persisted" -> // committed codes reproduce pqTopK bit-for-bit
       Similarity.pqTopKSql(),
     "s14_ivf_append" -> // train on the vec_id<250 prefix, assign ALL:

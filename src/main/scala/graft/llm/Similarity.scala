@@ -718,6 +718,29 @@ object Similarity {
       querySource = Some(queries))
   }
 
+  /** The PRODUCTION SERVING entry of the persisted IVF index: probes for
+    * EXTERNAL query vectors (`(vec_id, embedding)` rows that need not be
+    * corpus members — the shape [[ivfTopKIndexed]]'s docs promise). Zero
+    * training jobs, zero corpus-stats jobs, and no self-scan at all: the
+    * ONLY table read is the file-pruned probed-lists scan. Identical
+    * probe semantics to [[ivfTopKIndexed]] (tombstone-aware, optional
+    * IDSelector predicate, self-pairs excluded by id), so a corpus-member
+    * query frame reproduces it bit-for-bit (spec-asserted) and streamed
+    * serving (st26) shares the batch oracle.
+    */
+  def ivfSearchFor(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                   queryVecs: DataFrame, k: Int = 5, nprobe: Int = 4,
+                   predicate: Option[Column] = None): DataFrame = {
+    val centroids = readIvfCodebook(spark, indexRoot)
+    val table = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
+    val queries = ivfVectors(queryVecs).localCheckpoint(true)
+    val (cids, cand) = probedLists(table, queries, centroids, Int.MaxValue, nprobe)
+    val candKept = Tombstones.exclude(cand.filter(col("cid").isin(cids: _*)),
+      indexRoot, "vec_id", "vec_id")
+    ivfProbe(candKept, centroids, Int.MaxValue, k, nprobe,
+      keep = predicate, candidates = Some(candKept), querySource = Some(queries))
+  }
+
   /** The candidate-side read of a probed index query, CUT AT THE FILE
     * LIST: the queries' probe cids are computed from the (materialized,
     * numQueries-row) query frame — collecting ≤ numQueries·nprobe ints by

@@ -305,6 +305,36 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(spark.sql(s"SELECT * FROM ann_topk_at('$root', 0, 8, 3, 4)")) === preAppend)
   }
 
+  test("ivfSearchFor: external query vectors probe the committed index; member queries reproduce ivfTopKIndexed exactly") {
+    val rng = new scala.util.Random(91)
+    val dim = 16
+    val vecs = (0L until 48L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfserve-spec").toString
+    Similarity.buildIvfIndex(embDF(vecs), root, nlist = 8, iters = 1, dim = dim)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // corpus-member queries: the serving entry == the self-scan entry
+    val members = embDF(vecs.filter(_._1 < 12))
+    assert(rows(Similarity.ivfSearchFor(spark, root, members, k = 3, nprobe = 4))
+      === rows(Similarity.ivfTopKIndexed(spark, root, numQueries = 12, k = 3, nprobe = 4)))
+    // truly EXTERNAL queries (ids beyond the corpus, vectors never
+    // indexed): k results each, exact cosines against the stored vectors
+    val ext = (1000L until 1004L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val got = rows(Similarity.ivfSearchFor(spark, root, embDF(ext), k = 3, nprobe = 8))
+    assert(got.map(_._1).distinct.sorted === (1000L until 1004L))
+    assert(got.size === 12, "every external query must return k rows")
+    val vmap = vecs.toMap; val emap = ext.toMap
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- ad.indices) { d += ad(i) * bd(i); na += ad(i) * ad(i); nb += bd(i) * bd(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (q, nbr, _, c6) =>
+      assert(c6 === math.floor(cosLocal(emap(q), vmap(nbr)) * 1e6).toLong)
+    }
+  }
+
   test("IVF delete lifecycle: tombstoned ids leave probes at once; consolidation is physical, bit-identical, and idempotent") {
     val rng = new scala.util.Random(57)
     val dim = 16
