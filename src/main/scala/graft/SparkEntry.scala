@@ -2962,6 +2962,22 @@ object SparkEntry {
       Dedup.appendDedupIndex(docs.filter(col("doc_id") % 4 === 2), idx)
       Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 =!= 0), idx)
     }),
+    "d20_dedup_index_at" -> ((s, dir) => {
+      // the dedup index version-pinned (the family-wide manifest): the
+      // same build+append chain, probed AT index version 0 — the shard
+      // sees ONLY the build batch's historical corpus, exactly the
+      // pre-append index (shingles and bands pinned together).
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-dedupat-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      val docs = Tables.documents(s, dir)
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 4 === 0), idx)
+      Dedup.appendDedupIndex(docs.filter(col("doc_id") % 4 === 2), idx)
+      Dedup.dedupAgainstIndexAt(docs.filter(col("doc_id") % 2 =!= 0), idx, 0L)
+    }),
     "d16_neardup_keepers" -> ((s, dir) => // the ingestion-order near-dup
       // KEEPER rule: keep a doc iff it claims >= 1 of its 32 MinHash band
       // signatures (claim = per-band min doc_id) — the streaming-feasible
@@ -5060,6 +5076,9 @@ object SparkEntry {
       // banding, exact verify) with the candidate join restricted to
       // (historical evens) x (probed odds) — d3's no-assumed-recall rule
       Dedup.dedupAgainstIndexSql(oldFilter = "% 2 = 0", newFilter = "% 2 = 1"),
+    "d20_dedup_index_at" -> // the v0 pin restricts the historical side to
+      // the BUILD batch alone — the pre-append index exactly
+      Dedup.dedupAgainstIndexSql(oldFilter = "% 4 = 0", newFilter = "% 2 = 1"),
     "d9_semantic_dedup" -> Similarity.semanticDupClustersSql(),
     "d10_edit_distance" -> Dedup.lshEditDistancesSql(),
     "d11_containment" -> Dedup.containmentPairsSql(),

@@ -176,8 +176,13 @@ object Dedup {
       .distinct()
     new graft.operators.CommitTable(spark, s"$indexRoot/shingles", "doc_id")
       .overwrite(hsh.repartition(col("doc_id")))
-    new graft.operators.CommitTable(spark, s"$indexRoot/bands", "h0")
+    val bv = new graft.operators.CommitTable(spark, s"$indexRoot/bands", "h0")
       .overwrite(bands.repartition(col("h0")))
+    // pin shingles + bands as ONE atomic index version (a probe must
+    // never verify against a shingle table the bands haven't caught up
+    // with) — the family-wide IndexManifest discipline
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("shingles", "bands"))
+    bv
   }
 
   /** Incrementally admits an accepted shard into the persisted dedup
@@ -193,8 +198,10 @@ object Dedup {
       .distinct()
     new graft.operators.CommitTable(spark, s"$indexRoot/shingles", "doc_id")
       .append(hsh.repartition(col("doc_id")))
-    new graft.operators.CommitTable(spark, s"$indexRoot/bands", "h0")
+    val bv = new graft.operators.CommitTable(spark, s"$indexRoot/bands", "h0")
       .append(bands.repartition(col("h0")))
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("shingles", "bands"))
+    bv
   }
 
   /** Probes a NEW shard against the persisted dedup index: the shard's
@@ -212,10 +219,29 @@ object Dedup {
     */
   def dedupAgainstIndex(docsNew: DataFrame, indexRoot: String,
                         thresholdMille: Int = 500, numHashes: Int = 64,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        rowsPerBand: Int = 2): DataFrame =
+    dedupAgainstIndexPinned(docsNew, indexRoot, Map.empty,
+      thresholdMille, numHashes, rowsPerBand)
+
+  /** [[dedupAgainstIndex]] AT a committed INDEX VERSION (whole-index time
+    * travel through [[graft.operators.IndexManifest]]): probe yesterday's
+    * admitted corpus exactly — bands and shingles as they stood together.
+    */
+  def dedupAgainstIndexAt(docsNew: DataFrame, indexRoot: String, indexVersion: Long,
+                          thresholdMille: Int = 500, numHashes: Int = 64,
+                          rowsPerBand: Int = 2): DataFrame =
+    dedupAgainstIndexPinned(docsNew, indexRoot,
+      graft.operators.IndexManifest.resolve(docsNew.sparkSession, indexRoot, Some(indexVersion)),
+      thresholdMille, numHashes, rowsPerBand)
+
+  private def dedupAgainstIndexPinned(docsNew: DataFrame, indexRoot: String,
+                                      at: Map[String, Long],
+                                      thresholdMille: Int, numHashes: Int,
+                                      rowsPerBand: Int): DataFrame = {
     val spark = docsNew.sparkSession
     val (shNew, bandsNew) = minHashBands(docsNew, numHashes, rowsPerBand)
-    val idxBands = new graft.operators.CommitTable(spark, s"$indexRoot/bands", "h0").read()
+    val bandsT = new graft.operators.CommitTable(spark, s"$indexRoot/bands", "h0")
+    val idxBands = at.get("bands").map(bandsT.asOf).getOrElse(bandsT.read())
     val candidates = bandsNew.as("x")
       .join(idxBands.as("y"),
         col("x.band") === col("y.band") && col("x.h0") === col("y.h0") &&
@@ -227,8 +253,8 @@ object Dedup {
     val sigsNew = shNew
       .select(col("doc_id"), Hashing.hash60(col("shingle")).as("shingle"))
       .groupBy("doc_id").agg(sort_array(collect_set(col("shingle"))).as("sig"))
-    val idxShingles = new graft.operators.CommitTable(spark, s"$indexRoot/shingles", "doc_id")
-      .read()
+    val shinglesT = new graft.operators.CommitTable(spark, s"$indexRoot/shingles", "doc_id")
+    val idxShingles = at.get("shingles").map(shinglesT.asOf).getOrElse(shinglesT.read())
     val sigsOld = idxShingles
       .join(candidates.select(col("doc_old").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(sort_array(collect_set(col("shingle"))).as("sig"))

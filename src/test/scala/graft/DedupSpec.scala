@@ -259,6 +259,19 @@ class DedupSpec extends SparkSpec {
     val files = probe.inputFiles
     assert(files.nonEmpty && files.forall(f => f.contains("bands") || f.contains("shingles")),
       s"probe must read committed index tables only, saw ${files.mkString(", ")}")
+    // the manifest pinned shingles+bands together per build/append, and the
+    // v0 probe replays the build-only (doc_id % 4 == 0) index exactly
+    import graft.operators.IndexManifest
+    assert(IndexManifest.versions(spark, root) === Seq(0L, 1L))
+    assert(IndexManifest.resolve(spark, root, Some(1L))
+      === Map("shingles" -> 1L, "bands" -> 1L))
+    val at0 = Dedup.dedupAgainstIndexAt(d.filter(col("doc_id") % 2 =!= 0), root, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(at0 === all.filter(_._2 % 4 == 0),
+      "the v0 probe must see only the build-batch historical docs")
+    val at1 = Dedup.dedupAgainstIndexAt(d.filter(col("doc_id") % 2 =!= 0), root, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(at1 === got, "the head pin must equal the live probe")
   }
 
   test("persisted dedup index property: probe == cross-side batch slice on random corpora") {
