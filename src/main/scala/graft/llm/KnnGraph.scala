@@ -330,6 +330,31 @@ object KnnGraph {
       .orderBy("query_id", "rank")
   }
 
+  /** The graph index's EXTERNAL-queries serving entry
+    * ([[Similarity.ivfSearchFor]]'s role): routed search for arbitrary
+    * query vectors (`(vec_id, embedding)` rows that need not be corpus
+    * members). Same walk, same IO contract, same tombstone semantics —
+    * a corpus-member query frame reproduces [[knnGraphSearch]]
+    * bit-for-bit (spec-asserted); external ids simply never hit the
+    * self-exclusion. */
+  def knnGraphSearchFor(spark: SparkSession, indexRoot: String,
+                        queryVecs: DataFrame, k: Int = 5,
+                        beam: Int = 8, hops: Int = 3): DataFrame = {
+    require(beam >= k, s"knnGraphSearchFor: beam $beam must be >= k $k")
+    val queries = vectors(queryVecs)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    Tombstones.exclude(routedVisited(spark, indexRoot, queries, beam, hops),
+        indexRoot, "vec_id", "vec_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_1e6"))
+      .orderBy("query_id", "rank")
+  }
+
   /** [[knnGraphSearch]] AT a committed INDEX VERSION — the whole-index
     * time travel the per-table asOf cannot give: `indexVersion` resolves
     * through [[graft.operators.IndexManifest]] to one CONSISTENT pinned

@@ -348,6 +348,27 @@ class KnnGraphSpec extends SparkSpec {
     assert(IndexManifest.versions(spark, root) === Seq(0L, 1L, 2L))
   }
 
+  test("knnGraphSearchFor: external query vectors walk the committed graph; member queries reproduce knnGraphSearch exactly") {
+    val vecs = clustered(n = 100, dim = 16, spread = 1.0, seed = 53)
+    val root = java.nio.file.Files.createTempDirectory("graft-knnserve-spec").toString
+    KnnGraph.buildKnnGraphIndex(embDF(vecs), root, k = 6, rounds = 3)
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val members = embDF(vecs.filter(_._1 < 10))
+    assert(rows(KnnGraph.knnGraphSearchFor(spark, root, members, k = 3))
+      === rows(KnnGraph.knnGraphSearch(spark, root, numQueries = 10, k = 3)))
+    // truly external vectors: k rows each with exact cosines
+    val rng = new scala.util.Random(5)
+    val ext = (2000L until 2003L).map(i => i -> Array.fill(16)(rng.nextGaussian().toFloat))
+    val got = rows(KnnGraph.knnGraphSearchFor(spark, root, embDF(ext), k = 3))
+    assert(got.map(_._1).distinct.sorted === (2000L until 2003L))
+    assert(got.size === 9)
+    val vmap = vecs.toMap; val emap = ext.toMap
+    got.foreach { case (q, nbr, _, c6) =>
+      assert(c6 === math.floor(cos(emap(q), vmap(nbr)) * 1e6).toLong)
+    }
+  }
+
   test("sparse ids: ring init degrades gracefully, entries snap to existing ids") {
     val rng = new scala.util.Random(23)
     // ids 0, 3, 6, ... 87 — every ring slot between them is missing
