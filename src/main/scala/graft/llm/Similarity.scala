@@ -598,7 +598,7 @@ object Similarity {
     * ranking — so the full k survives an arbitrarily selective predicate
     * (post-filtering a top-k would not); queries are never filtered. */
   private def ivfProbe(assignments: DataFrame, centroids: Array[Array[Double]],
-                       numQueries: Int, k: Int, nprobe: Int,
+                       numQueries: Long, k: Int, nprobe: Int,
                        keep: Option[Column] = None,
                        candidates: Option[DataFrame] = None,
                        querySource: Option[DataFrame] = None): DataFrame = {
@@ -734,10 +734,12 @@ object Similarity {
     val centroids = readIvfCodebook(spark, indexRoot)
     val table = new graft.operators.CommitTable(spark, s"$indexRoot/lists", "cid")
     val queries = ivfVectors(queryVecs).localCheckpoint(true)
-    val (cids, cand) = probedLists(table, queries, centroids, Int.MaxValue, nprobe)
+    // Long.MaxValue: external ids are arbitrary longs — an Int ceiling
+    // would silently drop queries with vec_id >= 2^31
+    val (cids, cand) = probedLists(table, queries, centroids, Long.MaxValue, nprobe)
     val candKept = Tombstones.exclude(cand.filter(col("cid").isin(cids: _*)),
       indexRoot, "vec_id", "vec_id")
-    ivfProbe(candKept, centroids, Int.MaxValue, k, nprobe,
+    ivfProbe(candKept, centroids, Long.MaxValue, k, nprobe,
       keep = predicate, candidates = Some(candKept), querySource = Some(queries))
   }
 
@@ -754,7 +756,7 @@ object Similarity {
   private[graft] def probedLists(table: graft.operators.CommitTable,
                                  queries: DataFrame,
                                  centroids: Array[Array[Double]],
-                                 numQueries: Int, nprobe: Int,
+                                 numQueries: Long, nprobe: Int,
                                  atVersion: Option[Long] = None): (Seq[Long], DataFrame) = {
     val sortedCids = {
       val scored = centroids.indices.map(i => struct(col(s"c$i").as("s"), lit(i).as("cid")))
