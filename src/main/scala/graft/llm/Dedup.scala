@@ -285,7 +285,7 @@ object Dedup {
     }.mkString(",\n|               ")
     val bandStructs = (0 until numHashes / rowsPerBand).map(j =>
       s"{'band': $j, 'h0': m${2 * j}, 'h1': m${2 * j + 1}}").mkString(", ")
-    s"""WITH ${TextOps.shinglesSql()},
+    s"""WITH ${TextOps.shinglesSql(src)},
        |hx AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % $P AS x FROM sh),
        |sigs AS (SELECT doc_id,
        |               $minCols
@@ -516,7 +516,7 @@ object Dedup {
   /** DuckDB mirror of [[nearDupKeepers]]: the same seeded signature/band
     * derivation as [[minHashLshPairsSql]], then per-band MIN claims rolled
     * up per claimant. */
-  def nearDupKeepersSql(numHashes: Int = 64): String = {
+  def nearDupKeepersSql(numHashes: Int = 64, src: String = "documents"): String = {
     val P = Hashing.MinHashP
     val params = Hashing.minHashParams(numHashes)
     val minCols = params.zipWithIndex.map { case ((a, b), i) =>
@@ -524,7 +524,7 @@ object Dedup {
     }.mkString(",\n|               ")
     val bandStructs = (0 until numHashes / 2).map(j =>
       s"{'band': $j, 'h0': m${2 * j}, 'h1': m${2 * j + 1}}").mkString(", ")
-    s"""WITH ${TextOps.shinglesSql()},
+    s"""WITH ${TextOps.shinglesSql(src)},
        |hx AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % $P AS x FROM sh),
        |sigs AS (SELECT doc_id,
        |               $minCols
@@ -616,7 +616,7 @@ object Dedup {
     }.mkString(",\n|               ")
     val bandStructs = (0 until numHashes / rowsPerBand).map(j =>
       s"{'band': $j, 'h0': m${2 * j}, 'h1': m${2 * j + 1}}").mkString(", ")
-    s"""WITH ${TextOps.shinglesSql()},
+    s"""WITH ${TextOps.shinglesSql(src)},
        |hx AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % $P AS x FROM sh),
        |sigs AS (SELECT doc_id,
        |               $minCols
@@ -684,7 +684,7 @@ object Dedup {
     }.mkString(",\n|               ")
     val bandStructs = (0 until numHashes / rowsPerBand).map(j =>
       s"{'band': $j, 'h0': m${2 * j}, 'h1': m${2 * j + 1}}").mkString(", ")
-    s"""WITH ${TextOps.shinglesSql()},
+    s"""WITH ${TextOps.shinglesSql(src)},
        |hx AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % $P AS x FROM sh),
        |sigs AS (SELECT doc_id,
        |               $minCols
@@ -1134,9 +1134,9 @@ object Dedup {
   /** DuckDB mirror of [[spanScrub]]: same windows/hash/canonical-rank
     * rule, reassembly via position-ordered string_agg.
     */
-  def spanScrubSql(k: Int = 8): String =
+  def spanScrubSql(k: Int = 8, src: String = "documents"): String =
     s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ws
-       |              FROM documents),
+       |              FROM $src),
        |base AS (SELECT doc_id, ws, len(ws)::BIGINT AS n_tokens FROM toks WHERE len(ws) >= 1),
        |win AS (SELECT doc_id, i AS s,
        |               ${Hashing.hash60Sql(s"array_to_string(ws[(i+1):(i+$k)], ' ')")} AS h
