@@ -88,6 +88,7 @@ object GraftSession {
           // analysis and returns the resulting head (LogTvfs's contract)
           "log_delete" -> graft.plans.LogTvfs.delete,
           "log_merge" -> graft.plans.LogTvfs.mergeFrom,
+          "log_update" -> graft.plans.LogTvfs.update,
           // ...and the persisted-index probes queryable from pure SQL
           // (the pgvector-shaped surface) — see IndexTvfs
           "ann_topk" -> graft.plans.IndexTvfs.annTopK,

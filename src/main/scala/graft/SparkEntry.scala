@@ -1520,6 +1520,31 @@ object SparkEntry {
       KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), idx)
       s.sql(s"SELECT * FROM graph_ann('$idx', 20, 5, 8, 3)")
     }),
+    "q46_sql_update" -> ((s, dir) => {
+      // file-granular UPDATE, the third DML statement (q43 gave SQL users
+      // MERGE + DELETE): the orders-derived table lands range-clustered,
+      // log_update rewrites ONLY files whose key stats intersect
+      // [1000, 5000] — matching rows get v = v * 2 + 1, everything else
+      // (including whole non-intersecting files, carried by reference)
+      // survives byte-identically. File granularity and the NULL-key
+      // rewrite-unchanged rule are spec-asserted in CommitLogSpec; this
+      // gate binds the content contract end-to-end through pure SQL.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sqlupd-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      t.overwrite(Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("v"))
+        .repartitionByRange(8, col("k")))
+      s.sql(s"SELECT COUNT(*) FROM log_update('$tp', 'k', 1000, 5000, 'v', 'v * 2 + 1')").collect()
+      s.sql(
+        s"""SELECT COUNT(*) AS n_rows, SUM(k) AS sum_k, SUM(v) AS sum_v
+           |FROM log_table('$tp', 'k')""".stripMargin)
+    }),
     "f22_log_delete" -> ((s, dir) => {
       // DELETE WHERE as a FILE-GRANULAR CoW commit (the Delta/Iceberg
       // row-level-delete shape): the orders table lands range-clustered
@@ -4382,6 +4407,14 @@ object SparkEntry {
         |final AS (SELECT k, v FROM merged WHERE k < 1000 OR k > 5000)
         |SELECT COUNT(*) AS n_rows, SUM(k)::BIGINT AS sum_k, SUM(v)::BIGINT AS sum_v
         |FROM final""".stripMargin,
+    "q46_sql_update" -> // the update restated relationally: matching keys
+      // double v and add one, everything else unchanged
+      """WITH upd AS (SELECT o_orderkey AS k,
+        |       CASE WHEN o_orderkey BETWEEN 1000 AND 5000
+        |            THEN o_custkey * 2 + 1 ELSE o_custkey END AS v
+        |       FROM orders)
+        |SELECT COUNT(*) AS n_rows, SUM(k)::BIGINT AS sum_k, SUM(v)::BIGINT AS sum_v
+        |FROM upd""".stripMargin,
     "q44_sql_ann" -> // the ann_topk TVF returns ivfTopKIndexed's plan,
       // which reproduces ivfTopK bit-for-bit — s3's full mirror
       Similarity.ivfTopKSql(),

@@ -276,7 +276,8 @@ object Dedup {
     * (old side) × (new side), same exact-Jaccard verify. */
   def dedupAgainstIndexSql(oldFilter: String, newFilter: String,
                            thresholdMille: Int = 500, numHashes: Int = 64,
-                           rowsPerBand: Int = 2): String = {
+                           rowsPerBand: Int = 2,
+                           src: String = "documents"): String = {
     require(rowsPerBand == 2, "banding below assumes r=2, like the operator")
     val P = Hashing.MinHashP
     val params = Hashing.minHashParams(numHashes)
@@ -607,7 +608,8 @@ object Dedup {
     * construction, so the gate now tests the operator's real semantics.
     */
   def minHashLshPairsSql(thresholdMille: Int = 500, numHashes: Int = 64,
-                         rowsPerBand: Int = 2): String = {
+                         rowsPerBand: Int = 2,
+                         src: String = "documents"): String = {
     require(rowsPerBand == 2, "banding below assumes r=2, like the operator")
     val P = Hashing.MinHashP
     val params = Hashing.minHashParams(numHashes)
@@ -675,7 +677,8 @@ object Dedup {
     * with the train×eval candidate join.
     */
   def fuzzyDecontaminateSql(evalMod: Int = 29, thresholdMille: Int = 500,
-                            numHashes: Int = 64, rowsPerBand: Int = 2): String = {
+                            numHashes: Int = 64, rowsPerBand: Int = 2,
+                            src: String = "documents"): String = {
     require(rowsPerBand == 2, "banding below assumes r=2, like the operator")
     val P = Hashing.MinHashP
     val params = Hashing.minHashParams(numHashes)

@@ -335,8 +335,12 @@ object KnnGraph {
     * query vectors (`(vec_id, embedding)` rows that need not be corpus
     * members). Same walk, same IO contract, same tombstone semantics —
     * a corpus-member query frame reproduces [[knnGraphSearch]]
-    * bit-for-bit (spec-asserted); external ids simply never hit the
-    * self-exclusion. */
+    * bit-for-bit (spec-asserted). Id contract: a query id EQUAL to a
+    * corpus vec_id is treated as that member (the probe self-excludes by
+    * id equality, so that corpus vector leaves the query's top-k) —
+    * callers wanting pure-external semantics must use ids disjoint from
+    * the committed id space, e.g. negative ids (r13 advice: id collisions
+    * are indistinguishable from membership without a separate key space). */
   def knnGraphSearchFor(spark: SparkSession, indexRoot: String,
                         queryVecs: DataFrame, k: Int = 5,
                         beam: Int = 8, hops: Int = 3): DataFrame = {
@@ -549,8 +553,12 @@ object KnnGraph {
         floor(dot(Similarity.pqSubv(col("qe"), j, dsub), element_at(cmat, c + 1)) * 1e6)
           .cast("long")): _*)
     }: _*)
-    val queries = vecs.prunedReadIn(0L until numQueries.toLong)
-      .filter(col("vec_id") < numQueries)
+    // same DeleteList semantics as [[knnGraphSearch]] (r13 advice): a
+    // tombstoned id cannot QUERY (it has left the index) ...
+    val queries = Tombstones.exclude(
+        vecs.prunedReadIn(0L until numQueries.toLong)
+          .filter(col("vec_id") < numQueries),
+        indexRoot, "vec_id", "vec_id")
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
       .withColumn("lut", lutCol)
       .localCheckpoint(true)
@@ -586,9 +594,13 @@ object KnnGraph {
       beamDf = topAdc(visited, beam)
     }
     // exact re-rank of the ADC-best k·candFactor visited (self excluded) —
-    // the ONLY touch of full-precision vectors in the whole query
+    // the ONLY touch of full-precision vectors in the whole query.
+    // ... and a tombstoned id keeps NAVIGATING (the ADC walk above routes
+    // through its adjacency) but can never enter RESULTS — excluded here
+    // before the candidate cut, matching knnGraphSearch's DeleteList gate
     val cw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
-    val cands = visited.filter(col("vec_id") =!= col("query_id"))
+    val cands = Tombstones.exclude(visited, indexRoot, "vec_id", "vec_id")
+      .filter(col("vec_id") =!= col("query_id"))
       .withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= k * candFactor)
       .select("query_id", "vec_id")
@@ -666,6 +678,14 @@ object KnnGraph {
       .join(kept.select("src", "dst").distinct(), Seq("src", "dst"), "left_anti")
     val vKept = Tombstones.exclude(vecs.read(), indexRoot, "vec_id", "vec_id")
       .select("vec_id", "e", "nrm").localCheckpoint(true)
+    // validate the degenerate case BEFORE the first overwrite commit: a
+    // fully tombstoned index must fail without mutating any head (r13
+    // advice — failing after the graph/vectors overwrites left a broken
+    // half-consolidated index with stale entries and uncleared tombstones)
+    val minSurvRow = vKept.agg(min(col("vec_id"))).head()
+    require(!minSurvRow.isNullAt(0),
+      s"consolidateKnnGraphIndex: every vector at $indexRoot is tombstoned — rebuild instead")
+    val minSurv = minSurvRow.getLong(0)
     val a = vKept.select(col("vec_id").as("src"), col("e").as("se"), col("nrm").as("sn"))
     val b = vKept.select(col("vec_id").as("dst"), col("e").as("de"), col("nrm").as("dn"))
     val wp = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
@@ -677,10 +697,6 @@ object KnnGraph {
       .repartitionByRange(col("src"), col("dst")))
     vecs.overwrite(vKept.repartitionByRange(col("vec_id")))
     // entry re-snap: numEntries-bounded broadcast against the survivors
-    val minSurvRow = vKept.agg(min(col("vec_id"))).head()
-    require(!minSurvRow.isNullAt(0),
-      s"consolidateKnnGraphIndex: every vector at $indexRoot is tombstoned — rebuild instead")
-    val minSurv = minSurvRow.getLong(0)
     val e0 = entries.read().select("eid")
     val snapped = vKept.select(col("vec_id")).join(broadcast(e0), col("vec_id") >= col("eid"))
       .groupBy("eid").agg(min(col("vec_id")).as("s"))

@@ -261,8 +261,18 @@ object Retrieval {
     require(k1E3 >= 0 && bE3 >= 0 && bE3 <= 1000,
       s"bm25TopKIndexed: k1E3 must be >= 0 and bE3 in [0, 1000], got k1E3=$k1E3 bE3=$bE3")
     import spark.implicits._
-    val statsRow = new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_docs")
-      .read().agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
+    // resolve postings + stats through the manifest HEAD — one CONSISTENT
+    // pinned pair. [[appendBm25Index]] commits the stats delta before the
+    // postings append, so raw table heads can transiently pair the new
+    // n/sum_dl with the old postings for a racing reader; the manifest is
+    // the single atomic-last commit that closes that window (r13 advice).
+    // An index root predating the manifest falls back to raw heads.
+    val at: Map[String, Long] =
+      try graft.operators.IndexManifest.resolve(spark, indexRoot)
+      catch { case _: IllegalStateException => Map.empty }
+    val statsT = new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_docs")
+    val statsRow = at.get("stats").map(statsT.asOf).getOrElse(statsT.read())
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
     val n = statsRow.getLong(0)
     val sumDl = statsRow.getLong(1)
     require(n > 0, "bm25TopKIndexed: committed index covers no non-empty documents")
@@ -281,7 +291,7 @@ object Retrieval {
     val pruned = Tombstones.exclude(
       queryTerms.map { t =>
         val h = Hashing.hash60(t)
-        postings.prunedRead(h, h).filter(col("t") === t)
+        postings.prunedRead(h, h, at.get("postings")).filter(col("t") === t)
       }.reduce(_ unionByName _),
       indexRoot, "doc_id", "doc_id")
     // df(t) = posting count of t, read off the SAME pruned scan that feeds

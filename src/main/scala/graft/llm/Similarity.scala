@@ -726,7 +726,10 @@ object Similarity {
     * probe semantics to [[ivfTopKIndexed]] (tombstone-aware, optional
     * IDSelector predicate, self-pairs excluded by id), so a corpus-member
     * query frame reproduces it bit-for-bit (spec-asserted) and streamed
-    * serving (st26) shares the batch oracle.
+    * serving (st26) shares the batch oracle. Id contract: a query id
+    * EQUAL to a corpus vec_id is treated as that member (self-excluded
+    * from its own top-k); callers wanting pure-external semantics must
+    * use ids disjoint from the committed id space, e.g. negative ids.
     */
   def ivfSearchFor(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                    queryVecs: DataFrame, k: Int = 5, nprobe: Int = 4,

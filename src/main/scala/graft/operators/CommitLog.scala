@@ -153,7 +153,10 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
       .filter(col("hi") >= lo && col("lo") <= hi)
       .select("path").collect().map(_.getString(0))
     if (files.isEmpty) emptyLike()
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    // mergeSchema for the same reason as [[asOf]]: the selected file list
+    // may span schema-evolved commits, and without it Spark samples one
+    // footer and can silently drop a later-added column (r13 advice)
+    else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
       .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -171,7 +174,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .collect { case (p, lo, hi) if pts.exists(x => lo <= x && x <= hi) => p }
     if (files.isEmpty) emptyLike()
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    // mergeSchema: see [[prunedRead]] — schema-evolved file lists
+    else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
   }
 
   private def emptyLike(): DataFrame = {
@@ -356,6 +360,44 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
       .parquet(touched.map(_._1).toIndexedSeq: _*)
       .filter(k.isNull || k < lo || k > hi)
     commitVersion(rewritten, keepPrevious = false, op = "delete",
+      expectedBase = Some(base),
+      carriedExplicit = Some(untouched.map { case (p, l, h, n) => (storedForm(p), l, h, n) }.toSeq))
+  }
+
+  /** `UPDATE SET setCol = setExpr WHERE statsCol BETWEEN lo AND hi` as a
+    * FILE-GRANULAR copy-on-write commit — the third DML statement of the
+    * Delta/Iceberg triad ([[merge]] = MERGE INTO, [[deleteRange]] =
+    * DELETE WHERE): files whose per-file `[lo, hi]` stats don't intersect
+    * the predicate carry forward as log entries — never read, never
+    * rewritten — and only the intersecting files are read and rewritten
+    * with `setExpr` (an arbitrary SQL expression over the row, cast back
+    * to the column's committed type so the schema never drifts between
+    * rewritten and carried files) applied to MATCHING rows; non-matching
+    * rows in touched files rewrite byte-identically. NULL-key rows match
+    * no range predicate, so they rewrite unchanged (the [[deleteRange]]
+    * null-safety discipline). Optimistic like [[merge]]: a head moved
+    * since the base snapshot rejects the commit. Returns the new version
+    * (current head when no file intersects — a provable no-op commits
+    * nothing).
+    */
+  def updateRange(lo: Long, hi: Long, setCol: String, setExprSql: String): Long = {
+    require(lo <= hi, s"updateRange: lo $lo must be <= hi $hi")
+    val base = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val adds = addsOf(base).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (touched, untouched) = adds.partition { case (_, flo, fhi, _) => fhi >= lo && flo <= hi }
+    if (touched.isEmpty) return base
+    val src = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(_._1).toIndexedSeq: _*)
+    require(src.columns.contains(setCol),
+      s"updateRange: column $setCol not in table schema ${src.columns.mkString(", ")}")
+    val k = col(statsCol).cast("long")
+    val rewritten = src.withColumn(setCol,
+      when(k.isNotNull && k >= lo && k <= hi,
+        expr(setExprSql).cast(src.schema(setCol).dataType))
+        .otherwise(col(setCol)))
+    commitVersion(rewritten, keepPrevious = false, op = "update",
       expectedBase = Some(base),
       carriedExplicit = Some(untouched.map { case (p, l, h, n) => (storedForm(p), l, h, n) }.toSeq))
   }

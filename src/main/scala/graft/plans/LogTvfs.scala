@@ -101,6 +101,23 @@ object LogTvfs {
     t.read().queryExecution.analyzed
   }
 
+  /** `log_update(path, stats_col, lo, hi, set_col, set_expr)` —
+    * file-granular `UPDATE SET set_col = set_expr WHERE stats_col BETWEEN
+    * lo AND hi` ([[CommitTable.updateRange]]: non-intersecting files carry
+    * by reference, NULL-key rows rewrite unchanged, the expression casts
+    * back to the column's committed type), committed at analysis; returns
+    * the post-update head content. Completes the SQL DML triad with
+    * [[mergeFrom]] and [[delete]]. */
+  def update(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6,
+      "log_update(path, stats_col, lo, hi, set_col, set_expr) takes 6 arguments")
+    val t = new CommitTable(SparkSession.active, stringArg(args, 0, "log_update"),
+      stringArg(args, 1, "log_update"))
+    t.updateRange(longArg(args, 2, "log_update"), longArg(args, 3, "log_update"),
+      stringArg(args, 4, "log_update"), stringArg(args, 5, "log_update"))
+    t.read().queryExecution.analyzed
+  }
+
   /** `log_merge(path, stats_col, source_view, keys_csv)` — MERGE INTO the
     * commit-log table from a registered view/table (upsert by the
     * comma-separated key columns; [[CommitTable.merge]]'s optimistic

@@ -166,6 +166,45 @@ class CommitLogSpec extends SparkSpec {
       s"NULL rows must survive a range delete wherever they live, got $got")
   }
 
+  test("updateRange: file-granular CoW UPDATE — carried files untouched, NULL keys unchanged, SQL == Scala") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable()
+    // three commits -> three disjoint key-range file sets; the middle file
+    // also holds a NULL-key row (a range predicate matches no NULL, so it
+    // must rewrite UNCHANGED even though its file is touched)
+    t.overwrite(Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "v").coalesce(1))
+    t.append(Seq((Some(10L), "j"), (Some(11L), "k"), (Option.empty[Long], "n1")).toDF("k", "v").coalesce(1))
+    t.append(Seq((Some(20L), "x")).toDF("k", "v").coalesce(1))
+    val before = t.read().inputFiles.toSet
+    val v = t.updateRange(10L, 11L, "v", "upper(v)")
+    assert(v === 3L)
+    val got = t.read().collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    assert(got === Set((Some(1L), "a"), (Some(2L), "b"), (Some(10L), "J"),
+      (Some(11L), "K"), (None, "n1"), (Some(20L), "x")),
+      s"only in-range rows update; NULL-key and out-of-range rows survive unchanged, got $got")
+    val after = t.read().inputFiles.toSet
+    assert(before.intersect(after).nonEmpty, "non-intersecting files must carry by reference")
+    assert(before.diff(after).nonEmpty, "the intersecting file must be rewritten")
+    // pre-update history intact; a provably-no-op update commits nothing
+    assert(t.asOf(2L).filter("k = 10").head().getString(1) === "j")
+    assert(t.updateRange(500L, 600L, "v", "upper(v)") === v)
+    // unknown set column fails loudly without committing
+    intercept[IllegalArgumentException](t.updateRange(10L, 11L, "nope", "1"))
+    assert(t.latestVersion().get === v)
+    // the SQL statement path commits the identical change set
+    val t2 = freshTable()
+    t2.overwrite(Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "v").coalesce(1))
+    t2.append(Seq((Some(10L), "j"), (Some(11L), "k"), (Option.empty[Long], "n1")).toDF("k", "v").coalesce(1))
+    t2.append(Seq((Some(20L), "x")).toDF("k", "v").coalesce(1))
+    val viaSql = spark.sql(
+        s"SELECT k, v FROM log_update('${t2.path}', 'k', 10, 11, 'v', 'upper(v)')")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    assert(viaSql === got, "log_update must return the post-update head")
+    assert(t2.versions() === t.versions())
+  }
+
   test("prunedRead plans from log stats: non-overlapping files never listed") {
     val t = freshTable()
     // three appends with disjoint key ranges -> disjoint per-file stats
