@@ -1568,6 +1568,31 @@ object SparkEntry {
       head.crossJoin(v0) // 1-row x 1-row scalar attach
         .select(col("n_rows"), col("sum_key"), col("n0"), col("s0"))
     }),
+    "f23_bloom_pruning" -> ((s, dir) => {
+      // per-file BLOOM FILTERS (the Delta/Iceberg bloom-index shape):
+      // odd and even orderkeys land as SEPARATE commits whose key windows
+      // fully overlap — min/max stats can never prune a point lookup on
+      // this layout — then buildBloom commits a 8192-bit fingerprint per
+      // file into the _bloom sidecar and the SAME prunedReadIn point read
+      // every persisted index uses skips proven-absent files (the
+      // file-count cut is spec-asserted in CommitLogSpec; this gate binds
+      // the content contract: bloom-pruned reads lose no row).
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-bloom-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.filter(col("k") % 2 === 1).repartitionByRange(4, col("k")))
+      t.append(ord.filter(col("k") % 2 === 0).repartitionByRange(4, col("k")))
+      t.buildBloom()
+      val probes = Seq(1L, 2L, 7L, 32L, 33L, 100L, 101L, 999L)
+      t.prunedReadIn(probes).filter(col("k").isin(probes: _*))
+        .agg(count(lit(1)).as("n_hit"), sum("k").as("sum_k"), sum("v").as("sum_v"))
+    }),
     "f16_log_restore" -> ((s, dir) => {
       // RESTORE as a metadata-only commit: v0 = keys < 10, v1 = overwrite
       // with the complement, v2 = restore(0) — the head re-references v0's
@@ -3268,6 +3293,13 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(s, idx).withColumn("phase", lit("head"))
         .unionByName(Similarity.ivfTopKIndexedAt(s, idx, 0L).withColumn("phase", lit("v0")))
     }),
+    "s37_maxsim" -> ((s, dir) => // ColBERT-style late-interaction MaxSim
+      // re-ranking (sum over query tokens of the max dot against document
+      // tokens) over deterministic hashed-projection token embeddings —
+      // the dense-retrieval granularity between one pooled vector (s1)
+      // and full cross-attention; every similarity integer-exact, the
+      // type-grid dot table broadcast, per-query cost linear in corpus
+      graft.llm.Retrieval.maxSimTopK(Tables.documents(s, dir))),
     "s36_bm25_versions" -> ((s, dir) => {
       // ...and by the BM25 family, where the race is sharpest: an append
       // commits postings and the stats delta separately, so an unpinned
@@ -3585,6 +3617,14 @@ object SparkEntry {
       // sources overlap" whose per-source state is k longs; the pair
       // join runs over the sources-sized sketch table, never the corpus
       Sketches.kmvSetOps(Tables.documents(s, dir))),
+    "t47_hll_distinct" -> ((s, dir) => // HyperLogLog distinct-token sketch
+      // per language — the FIXED-size (256-register) counterpart of t14's
+      // KMV: register state merges by pairwise MAX across daily increments
+      // (spec-asserted), the estimator is the published bias-corrected
+      // harmonic form with alpha as an exact rational and the
+      // linear-counting branch read from a driver-interpolated table, so
+      // every emitted column is integer-exact in both engines
+      Sketches.hllDistinctTokens(Tables.documents(s, dir))),
     "t17_dup_coverage" -> ((s, dir) => // corpus-level contamination: share
       // of each doc's shingles appearing ANYWHERE else — the stitched-
       // from-fragments signal pairwise dedup never surfaces
@@ -3779,6 +3819,34 @@ object SparkEntry {
         else skT.overwrite(graft.llm.Sketches.mergeQuantileSketches(skT.read(), bs))
       })
       graft.llm.Sketches.sketchQuantiles(skT.read(), Seq(250000L, 500000L, 900000L))
+    }),
+    "st27_stream_hll" -> ((s, dir) => {
+      // streamed HLL maintenance: t47's fixed-size register sketch kept
+      // fresh by the change feed — per discovered commit the insert
+      // batch's own 256-register state merges into the committed head by
+      // pairwise MAX (one overwrite commit per version), and the exact
+      // merge law makes the streamed head provably identical to a
+      // one-shot build over the union, so the readout shares t47's
+      // direct-build mirror verbatim (the st23 loop, for cardinality).
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-shll-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("docs").toString
+      val t = new graft.operators.CommitTable(s, tp, "doc_id")
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      t.overwrite(base.filter(col("doc_id") % 3 === 0))
+      t.append(base.filter(col("doc_id") % 3 === 1))
+      t.append(base.filter(col("doc_id") % 3 === 2))
+      val regT = new graft.operators.CommitTable(s, root.resolve("regs").toString, "j")
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
+        val bs = graft.llm.Sketches.hllRegisters(batch)
+        if (v == 0L) regT.overwrite(bs)
+        else regT.overwrite(graft.llm.Sketches.mergeHllRegisters(regT.read(), bs))
+      })
+      graft.llm.Sketches.hllWithExact(t.read(), regT.read())
     }),
     "t45_quantile_sketch" -> ((s, dir) => {
       // ADAPTIVE mergeable quantile sketch (round-12 Next #6 — the
@@ -4426,6 +4494,10 @@ object SparkEntry {
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS sum_key,
         |       (SELECT COUNT(*) FROM orders) AS n0,
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders) AS s0""".stripMargin,
+    "f23_bloom_pruning" -> // the bloom only cuts the FILE list; content is
+      // the plain point-set filter
+      """SELECT COUNT(*) AS n_hit, SUM(o_orderkey)::BIGINT AS sum_k, SUM(o_custkey)::BIGINT AS sum_v
+        |FROM orders WHERE o_orderkey IN (1, 2, 7, 32, 33, 100, 101, 999)""".stripMargin,
     "f16_log_restore" -> // the restored head (version 2) carries exactly
       // v0's snapshot
       """SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,
@@ -5125,6 +5197,9 @@ object SparkEntry {
          |) c WHERE c.vec_id = e.vec_id AND c.keeper <> c.vec_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_cosine_topk" -> Similarity.cosineTopKSql(),
+    "s37_maxsim" -> // same tokenizer / lowest-hash query truncation /
+      // hashed-projection grid / max-sum algebra
+      graft.llm.Retrieval.maxSimTopKSql(),
     "s17_hard_negatives" -> Similarity.hardNegativesSql(),
     "s18_mrl_rerank" -> Similarity.mrlTopKSql(),
     "g60_rich_club" -> Analytics.richClubSql(DerivedGraphs.smallSql),
@@ -5288,6 +5363,13 @@ object SparkEntry {
       // merge law
       Sketches.adaptiveQuantilesSql(),
     "t46_grouped_quantiles" -> Sketches.groupedAdaptiveQuantilesSql(),
+    "t47_hll_distinct" -> // same hash split / rho / register algebra /
+      // rational-alpha division / interpolated ln table
+      Sketches.hllDistinctTokensSql(),
+    "st27_stream_hll" -> // t47's direct-build mirror verbatim — that the
+      // streamed register head matches it IS the merge law through real
+      // commits
+      Sketches.hllDistinctTokensSql(),
     "st23_stream_quantiles" -> // three streamed commits' sketches merged
       // per version == one direct build (the exact merge law again)
       Sketches.adaptiveQuantilesSql(),

@@ -365,6 +365,105 @@ object Retrieval {
       .limit(k)
   }
 
+  // ----- late-interaction retrieval (s37) ---------------------------------
+
+  /** ColBERT-style late-interaction MaxSim retrieval (Khattab & Zaharia
+    * 2020, SIGIR): score(q, d) = Σ over q's token embeddings of the MAX
+    * dot product against d's token embeddings — finer-grained than one
+    * pooled vector per document (a query term can match ITS best document
+    * term independently of the rest), coarser than full cross-attention.
+    * Token embeddings here are deterministic hashed random projections
+    * (the feature-hashing trick): dimension i of token t is
+    * `hash60(t || ':' || i) mod 2001 − 1000`, so every similarity is pure
+    * integer arithmetic and the DuckDB mirror replays the whole pipeline
+    * bit-for-bit — the [[bm25TopK]] determinism discipline extended to
+    * dense scoring. Queries are the first `numQueries` docs, each
+    * truncated to its `qLen` lowest-hash distinct tokens (ColBERT's fixed
+    * 32-token query encoder budget, made deterministic).
+    *
+    * Scale shape: MaxSim depends only on token TYPES, so the dot products
+    * live on a (query-token-types × corpus-token-types) grid — query side
+    * ≤ numQueries·qLen rows, BROADCAST — and the per-document max/sum is
+    * one aggregate over the token-incidence join, linear in corpus size
+    * per query (the s1 brute-force-baseline contract). Production serving
+    * restricts the scored documents to an ANN candidate set first (the
+    * published two-stage shape); this exact full-corpus form is that
+    * re-ranker and the gate's oracle-checkable baseline.
+    * `(query_id, doc_id, rank, score)`, self-pairs excluded.
+    */
+  def maxSimTopK(docs: DataFrame, numQueries: Int = 5, k: Int = 5,
+                 qLen: Int = 32, dim: Int = 8): DataFrame = {
+    require(numQueries > 0 && k > 0 && qLen > 0 && dim > 0,
+      s"maxSimTopK: bad numQueries=$numQueries k=$k qLen=$qLen dim=$dim")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+    val toks = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+      .localCheckpoint(true) // feeds the query cut, the type grid, and the incidence join
+    val wq = Window.partitionBy("query_id").orderBy(col("h"), col("tok"))
+    val qtoks = toks.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"), col("tok"),
+        Hashing.hash60(col("tok")).as("h"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= qLen)
+      .select("query_id", "tok")
+      .localCheckpoint(true) // ≤ numQueries·qLen rows by contract
+    def vecVal(t: Column, i: Int): Column =
+      Hashing.hash60(concat(t, lit(s":$i"))) % 2001L - 1000L
+    val dotCol = (0 until dim).map(i =>
+      vecVal(col("qt"), i) * vecVal(col("dt"), i)).reduce(_ + _)
+    // the type grid: query-token types (broadcast) × corpus-token types
+    val pairDots = broadcast(qtoks.select(col("tok").as("qt")).distinct())
+      .crossJoin(toks.select(col("tok").as("dt")).distinct())
+      .select(col("qt"), col("dt"), dotCol.as("dot"))
+    val wk = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+    toks.select(col("doc_id"), col("tok").as("dt"))
+      .join(pairDots, "dt")
+      .join(broadcast(qtoks.select(col("query_id"), col("tok").as("qt"))), "qt")
+      .groupBy("query_id", "doc_id", "qt").agg(max("dot").as("mx"))
+      .groupBy("query_id", "doc_id").agg(sum("mx").as("score"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of [[maxSimTopK]] — same tokenizer, same lowest-hash
+    * query truncation, same hashed-projection grid, same max/sum algebra.
+    */
+  def maxSimTopKSql(numQueries: Int = 5, k: Int = 5,
+                    qLen: Int = 32, dim: Int = 8): String = {
+    def vecVal(x: String, i: Int) =
+      s"(${Hashing.hash60Sql(s"$x || ':$i'")} % 2001 - 1000)"
+    val dotExpr = (0 until dim).map(i =>
+      s"${vecVal("qt", i)} * ${vecVal("dt", i)}").mkString(" + ")
+    s"""WITH toks0 AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+       |               FROM documents),
+       |toks AS (SELECT DISTINCT doc_id, tok FROM toks0),
+       |qt0 AS (SELECT doc_id AS query_id, tok, ${Hashing.hash60Sql("tok")} AS h
+       |        FROM toks WHERE doc_id < $numQueries),
+       |qtoks AS (SELECT query_id, tok FROM (
+       |            SELECT query_id, tok,
+       |                   row_number() OVER (PARTITION BY query_id ORDER BY h, tok) AS rn
+       |            FROM qt0) WHERE rn <= $qLen),
+       |pair AS (SELECT qt, dt, ($dotExpr)::BIGINT AS dot
+       |         FROM (SELECT DISTINCT tok AS qt FROM qtoks)
+       |         CROSS JOIN (SELECT DISTINCT tok AS dt FROM toks)),
+       |permax AS (SELECT q.query_id, i.doc_id, p.qt, MAX(p.dot) AS mx
+       |           FROM toks i JOIN pair p ON p.dt = i.tok
+       |           JOIN qtoks q ON q.tok = p.qt
+       |           GROUP BY 1, 2, 3),
+       |score AS (SELECT query_id, doc_id, SUM(mx)::BIGINT AS score
+       |          FROM permax WHERE doc_id <> query_id GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, score,
+       |                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |           FROM score)
+       |SELECT query_id, doc_id, rank::BIGINT AS rank, score
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB mirror of [[bm25TopK]]: static SQL over the same tokenizer and
     * integer arithmetic, with the idf table supplied as VALUES — derived
     * INDEPENDENTLY by [[SequentialCorpus.bm25Idf]] (own tokenizer, own df

@@ -476,6 +476,141 @@ object Sketches {
        |  exact_distinct::BIGINT AS exact_distinct
        |FROM a ORDER BY lang""".stripMargin
 
+  // ----- HyperLogLog distinct sketch (t47) -------------------------------
+
+  /** HLL register width: the 60-bit hash splits into an 8-bit register
+    * index (m = 256 registers) and a 52-bit suffix whose leading-zero rank
+    * feeds the register. */
+  private val HllM = 256
+
+  /** alpha_256 as the EXACT rational of the published bias constant
+    * (Flajolet et al. 2007: alpha_m = 0.7213 / (1 + 1.079/m) for m >= 128):
+    * 0.7213/(1 + 1.079/256) = 7213·256000 / (10000·257079) = num/den after
+    * scaling — kept rational so the estimator is one integral division in
+    * both engines, never a float. */
+  private val HllAlphaNum = 1846528L  // 7213 * 256
+  private val HllAlphaDen = 2570790L  // 257079 * 10
+
+  /** Linear-counting table, driver-computed ONCE and interpolated into BOTH
+    * pipelines (the [[Hashing.minHashParams]] discipline): entry V (1-based)
+    * is floor(m · ln(m/V) · 1e6) — only 256 possible inputs exist, so the
+    * transcendental never evaluates inside either engine and the gate stays
+    * bit-deterministic. */
+  private val HllLcTab: IndexedSeq[Long] =
+    (1 to HllM).map(v => math.floor(HllM * math.log(HllM.toDouble / v) * 1e6).toLong)
+
+  /** Per-language HLL registers over distinct tokens: `(lang, j, mj)` where
+    * j = hash60 % 256 and mj = max over the group's hashes of
+    * rho(hash div 256) (rho = leading-zero rank of the 52-bit suffix,
+    * derived integer-exactly from the binary-string length both engines'
+    * `bin()` gives; a zero suffix ranks 53). Registers are the WHOLE sketch
+    * state — two sketches merge by pairwise register MAX (spec-asserted
+    * merge(a,b) == sketch(a ∪ b)), which is what makes HLL the
+    * approx_count_distinct shape every production engine ships: 256 bytes
+    * per group, re-addable across daily increments like t14's KMV but at
+    * FIXED size regardless of k. */
+  def hllRegisters(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .repartition(par)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("lang"), Hashing.hash60(col("tok")).as("h"))
+      // HLL is duplicate-insensitive (max-agg); the pre-distinct mirrors
+      // t14's measured win — the production sketch-only path feeds raw
+      // values straight into the max without it
+      .distinct()
+      .withColumn("j", expr("h % 256"))
+      .withColumn("w", expr("h DIV 256"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+      .groupBy("lang", "j").agg(max("rho").as("mj"))
+  }
+
+  /** Folds committed registers into the per-language estimate:
+    * `(lang, v_zero, s_scaled, est_e6)` — v_zero = empty registers,
+    * s_scaled = sum over ALL m registers of 2^(40 − min(mj, 40)) (the
+    * indicator sum Z^-1, carried scaled by 2^40 so it is one BIGINT), and
+    * est_e6 = the bias-corrected estimate ·1e6: the small-range branch
+    * (raw ≤ 2.5m with empty registers — Flajolet's linear counting) reads
+    * [[HllLcTab]], the normal branch is the alpha-rational floor division
+    * in DECIMAL(38,0). Every column integer-exact in both engines. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val pow40 = 1L << 40
+    val num = BigInt(HllAlphaNum) * HllM * HllM * pow40 * 1000000L // ~1.3e29 < 10^38
+    val rawE6 = s"CAST($num AS DECIMAL(38,0)) div (CAST($HllAlphaDen AS DECIMAL(38,0)) * s_scaled)"
+    regs
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - least(mj, 40) AS INT))")).as("s_hit"))
+      .withColumn("v_zero", lit(HllM.toLong) - col("n_hit"))
+      .withColumn("s_scaled", col("s_hit") + col("v_zero") * lit(pow40))
+      .withColumn("est_e6",
+        when(col("v_zero") > 0 && expr(rawE6) <= lit(640000000L),
+          element_at(typedLit(HllLcTab), col("v_zero").cast("int")))
+          // BIGINT output: est·1e6 fits a long up to ~9.2e12 distinct —
+          // beyond any group cardinality a 60-bit-hash sketch can resolve
+          .otherwise(expr(rawE6)).cast("long"))
+      .select("lang", "v_zero", "s_scaled", "est_e6")
+  }
+
+  /** Pairwise-register-MAX merge — [[hllRegisters]]' merge law
+    * (merge(a, b) == sketch(a ∪ b), spec-asserted), which is what lets
+    * daily increments maintain the corpus-wide sketch without rescans. */
+  def mergeHllRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("lang", "j").agg(max("mj").as("mj"))
+
+  /** [[hllEstimate]]'s readout joined with the exact distinct-token count
+    * over `docs` as the error witness (the t14 discipline — production
+    * drops the exact column and keeps the 256-byte state).
+    * `(lang, v_zero, s_scaled, est_e6, exact_distinct)`. */
+  def hllWithExact(docs: DataFrame, regs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val exact = docs
+      .repartition(par)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+    hllEstimate(regs)
+      .join(broadcast(exact), "lang") // langs-sized
+      .select("lang", "v_zero", "s_scaled", "est_e6", "exact_distinct")
+      .orderBy("lang")
+  }
+
+  /** The t47 gate: [[hllRegisters]] → [[hllEstimate]] + exact witness. */
+  def hllDistinctTokens(docs: DataFrame): DataFrame =
+    hllWithExact(docs, hllRegisters(docs))
+
+  /** DuckDB mirror of [[hllDistinctTokens]] — same hash split, same
+    * bin()-derived rho, same scaled register sum, same rational-alpha
+    * division, same interpolated linear-counting table. */
+  def hllDistinctTokensSql(): String = {
+    val pow40 = 1L << 40
+    val num = BigInt(HllAlphaNum) * HllM * HllM * pow40 * 1000000L
+    val raw = s"(CAST('$num' AS HUGEINT) // ($HllAlphaDen::HUGEINT * s_scaled))"
+    val lcList = HllLcTab.mkString("[", ", ", "]")
+    s"""WITH toks0 AS (SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+       |               FROM documents),
+       |toks AS (SELECT DISTINCT lang, tok FROM toks0),
+       |hx AS (SELECT lang, ${Hashing.hash60Sql("tok")} AS h FROM toks),
+       |rj AS (SELECT lang, h % 256 AS j,
+       |              CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+       |       FROM hx),
+       |regs AS (SELECT lang, j, MAX(rho) AS mj FROM rj GROUP BY 1, 2),
+       |ag AS (SELECT lang, COUNT(*) AS n_hit,
+       |              SUM(1::BIGINT << CAST(40 - LEAST(mj, 40) AS INT))::BIGINT AS s_hit
+       |       FROM regs GROUP BY 1),
+       |ex AS (SELECT lang, COUNT(*)::BIGINT AS exact_distinct FROM toks GROUP BY 1),
+       |fin AS (SELECT ag.lang, (256 - n_hit)::BIGINT AS v_zero,
+       |               (s_hit + (256 - n_hit) * ${pow40}::BIGINT)::BIGINT AS s_scaled,
+       |               exact_distinct
+       |        FROM ag JOIN ex ON ag.lang = ex.lang)
+       |SELECT lang, v_zero, s_scaled,
+       |       (CASE WHEN v_zero > 0 AND $raw <= 640000000 THEN ($lcList)[v_zero]
+       |             ELSE $raw END)::BIGINT AS est_e6,
+       |       exact_distinct
+       |FROM fin ORDER BY lang""".stripMargin
+  }
+
   /** DuckDB mirror of [[countMinHeavyHitters]]: the identical grid (same
     * (a,b) parameters inlined as VALUES) and min-of-counters readout.
     */

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -170,12 +170,114 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
     val v = atVersion.getOrElse(latestVersion().getOrElse(
       throw new IllegalStateException(s"no commits at $path")))
     val pts = points.distinct
-    val files = addsOf(v).collect()
+    val statFiles = addsOf(v).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .collect { case (p, lo, hi) if pts.exists(x => lo <= x && x <= hi) => p }
+    // second cut: per-file Bloom filters (when built — [[buildBloom]])
+    // prove point ABSENCE inside files whose stats window covers a probe
+    val files = bloomPrune(statFiles, pts)
     if (files.isEmpty) emptyLike()
     // mergeSchema: see [[prunedRead]] — schema-evolved file lists
     else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+  }
+
+  // ----- per-file Bloom filters (f23) -------------------------------------
+  //
+  // The log's min/max stats prune RANGES; they are blind to point lookups
+  // over files whose key windows overlap (interleaved appends, post-merge
+  // layouts). A per-file Bloom filter is the Delta/Iceberg answer: a
+  // fixed 8192-bit fingerprint per file that PROVES absence for a point —
+  // false positives only cost an extra file read, false negatives cannot
+  // happen (every non-NULL key sets all K bits; a NULL key registers
+  // nothing and can never equal a probe point). Files are immutable, so a
+  // bloom is a forever-valid per-file fact: the `_bloom` sidecar (itself a
+  // commit-log table, atomic and versioned) accumulates `(file, word,
+  // bits)` rows keyed by the globally-unique file NAME, and carried files
+  // never recompute. Vacuum cannot touch it (it only reclaims
+  // `d<ver>-<nonce>` data directories).
+
+  private def bloomTable = new CommitTable(spark, s"$path/_bloom", "word")
+  private val BloomBits = 8192L // 2^13 bits = 128 words per file
+  private val BloomK = 4
+
+  /** Kirsch–Mitzenmacher double hashing off ONE 60-bit fingerprint (the
+    * engine's md5-derived [[graft.functions.Hashing.hash60]] of the key's
+    * decimal form — overflow-free under ANSI arithmetic, and the driver
+    * twin is bit-identical by construction): probe i sits at
+    * (h₁ + i·h₂) mod 8192 with h₁ the low 13 bits and h₂ the next 13,
+    * forced odd. */
+  private def bloomPos(h: Long, i: Int): Long =
+    (h % BloomBits + i * (((h >> 13) % BloomBits) | 1L)) % BloomBits
+  private def bloomPosExpr(h: Column, i: Int): Column =
+    pmod(pmod(h, lit(BloomBits)) +
+      lit(i.toLong) * pmod(shiftright(h, 13), lit(BloomBits)).bitwiseOR(lit(1L)),
+      lit(BloomBits))
+
+  private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Computes per-file Bloom filters over `statsCol` for every file of
+    * `atVersion` (head by default) that lacks one, and commits them to the
+    * `_bloom` sidecar. One scan of exactly the new files (grouped by
+    * [[org.apache.spark.sql.functions.input_file_name]]); ≤ 128 words per
+    * file reach the sidecar, nothing corpus-sized reaches the driver. An
+    * explicit maintenance action like [[compact]] — run it after appends
+    * whose key ranges interleave, then [[prunedReadIn]] point reads skip
+    * proven-absent files automatically. Returns the count of newly
+    * indexed files (0 when every file already carries a bloom). */
+  def buildBloom(atVersion: Option[Long] = None): Long = {
+    val v = atVersion.orElse(latestVersion()).getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val files = addsOf(v).select("path").collect().map(_.getString(0))
+    val bt = bloomTable
+    val have: Set[String] =
+      if (bt.latestVersion().isEmpty) Set.empty
+      else bt.read().select("file").distinct().collect().map(_.getString(0)).toSet
+    val todo = files.filterNot(f => have.contains(fileName(f)))
+    if (todo.isEmpty) return 0L
+    val src = spark.read.option("mergeSchema", "true").parquet(todo.toIndexedSeq: _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+        col(statsCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .select(col("file"),
+        graft.functions.Hashing.hash60(col("x").cast("string")).as("h"))
+    val words = src
+      .select(col("file"),
+        explode(array((0 until BloomK).map(i => bloomPosExpr(col("h"), i)): _*)).as("pos"))
+      .distinct() // map-side combine collapses repeated keys before the shuffle
+      .select(col("file"), expr("pos DIV 64").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("file", "word").agg(expr("bit_or(bit)").as("bits"))
+      .select("file", "word", "bits")
+    if (bt.latestVersion().isEmpty) bt.overwrite(words.coalesce(1))
+    else bt.append(words.coalesce(1))
+    todo.length.toLong
+  }
+
+  /** Drops candidate files whose committed Bloom filter proves NO probe
+    * point is present. Files without a bloom (or tables without the
+    * sidecar) always survive — the filter only ever strengthens the
+    * stats cut, never weakens it. Driver cost: candidate-files × 128
+    * sidecar rows, the [[addsOf]] scale. */
+  private def bloomPrune(files: Array[String], pts: Seq[Long]): Array[String] = {
+    if (files.isEmpty || pts.isEmpty) return files
+    if (!fs.exists(new Path(s"$path/_bloom/_log"))) return files
+    val bt = bloomTable
+    if (bt.latestVersion().isEmpty) return files
+    val names = files.map(fileName)
+    val blooms: Map[String, Map[Long, Long]] = bt.read()
+      .filter(col("file").isin(names.toIndexedSeq: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (f, rs) => f -> rs.map(t => t._2 -> t._3).toMap }
+    val probes = pts.distinct
+      .map(x => graft.functions.Hashing.hash60(x.toString))
+      .map(h => (0 until BloomK).map(i => bloomPos(h, i)))
+    files.filter { f =>
+      blooms.get(fileName(f)) match {
+        case None => true
+        case Some(words) => probes.exists(ps => ps.forall(p =>
+          (words.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0L))
+      }
+    }
   }
 
   private def emptyLike(): DataFrame = {

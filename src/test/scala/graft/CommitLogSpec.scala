@@ -220,6 +220,44 @@ class CommitLogSpec extends SparkSpec {
     assert(t.prunedRead(5000L, 6000L).collect().isEmpty)
   }
 
+  test("buildBloom: point reads skip stats-covered files the bloom proves empty; no-bloom files survive") {
+    val t = freshTable()
+    // two files with fully OVERLAPPING key windows ([1,99] vs [2,100]) but
+    // disjoint point sets — min/max stats can never prune a point lookup
+    // here; only the bloom can
+    val odds = (1L to 99L by 2).map(i => i -> s"o$i")
+    val evens = (2L to 100L by 2).map(i => i -> s"e$i")
+    t.overwrite(kv(odds: _*).coalesce(1))
+    t.append(kv(evens: _*).coalesce(1))
+    // without blooms: the stats cut keeps both files for any in-range point
+    assert(t.prunedReadIn(Seq(2L)).inputFiles.length === 2)
+    assert(t.buildBloom() === 2L, "both head files lack blooms")
+    val evenRead = t.prunedReadIn(Seq(2L))
+    assert(evenRead.inputFiles.length === 1,
+      "the bloom must prove the odd file cannot contain key 2")
+    assert(rows(evenRead.filter("k = 2")) === Set(2L -> "e2"))
+    val oddRead = t.prunedReadIn(Seq(3L))
+    assert(oddRead.inputFiles.length === 1)
+    assert(rows(oddRead.filter("k = 3")) === Set(3L -> "o3"))
+    // multi-point probes keep every file ANY point may hit
+    assert(t.prunedReadIn(Seq(2L, 3L)).inputFiles.length === 2)
+    // a proven-absent point yields the empty frame, schema intact
+    assert(t.prunedReadIn(Seq(101L)).isEmpty)
+    // blooms are per-file facts: a post-bloom append's file has none and
+    // always survives; rebuilding indexes only the new file
+    t.append(kv(150L -> "late").coalesce(1))
+    assert(rows(t.prunedReadIn(Seq(150L)).filter("k = 150")) === Set(150L -> "late"))
+    assert(t.buildBloom() === 1L, "only the new file needs indexing")
+    assert(t.buildBloom() === 0L, "idempotent once every file carries a bloom")
+    // NULL keys register nothing and can never be proven present — but the
+    // file carrying them still serves ITS real keys
+    val s = spark
+    import s.implicits._
+    t.append(Seq((Some(200L), "x"), (Option.empty[Long], "n")).toDF("k", "v").coalesce(1))
+    t.buildBloom()
+    assert(rows(t.prunedReadIn(Seq(200L)).filter("k = 200")) === Set(200L -> "x"))
+  }
+
   test("changesBetween: multiset CDF through the log") {
     val t = freshTable()
     t.overwrite(kv(1L -> "a", 2L -> "b", 2L -> "b")) // duplicate row x2

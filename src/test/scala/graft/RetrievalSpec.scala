@@ -127,6 +127,36 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), k = 0))
   }
 
+  test("maxSimTopK: self excluded, duplicate docs tie, superset monotone, deterministic") {
+    // queries = docs 0..1; docs 10 and 11 are identical (must tie on every
+    // query); doc 13 = doc 12 + one extra token (MaxSim is a per-query-token
+    // MAX over the doc's tokens, so a token superset can never score lower)
+    val corpus = Seq(
+      0L -> "alpha beta gamma delta",
+      1L -> "epsilon zeta eta theta",
+      10L -> "alpha beta kappa",
+      11L -> "alpha beta kappa",
+      12L -> "gamma delta sigma",
+      13L -> "gamma delta sigma omega")
+    val got = Retrieval.maxSimTopK(docs(corpus), numQueries = 2, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L))
+    byQ.foreach { case (q, rs) =>
+      assert(!rs.exists(_._2 == q), s"query $q must exclude itself")
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length), s"ranks contiguous for $q")
+    }
+    val scores = got.map(t => (t._1, t._2) -> t._4).toMap
+    assert(scores((0L, 10L)) === scores((0L, 11L)), "identical docs must tie")
+    assert(scores((1L, 10L)) === scores((1L, 11L)), "identical docs must tie on every query")
+    assert(scores((0L, 13L)) >= scores((0L, 12L)), "a token superset can never score lower")
+    assert(scores((1L, 13L)) >= scores((1L, 12L)))
+    // deterministic end to end
+    val again = Retrieval.maxSimTopK(docs(corpus), numQueries = 2, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("persisted BM25 index: indexed query is bit-identical, reads only the index, appends atomically") {
     val corpus = (1L to 60L).map { i =>
       val words = (0 until (3 + (i % 9).toInt)).map(j => s"w${(i * 17 + j * 5) % 13}")

@@ -125,6 +125,38 @@ class SketchesSpec extends SparkSpec {
     assert(mCD < k && uCD === (shingleSet("C") ++ shingleSet("D")).size.toLong && inCD === 0L)
   }
 
+  test("hllRegisters: merge(a, b) by register MAX == sketch(a ∪ b); estimate within HLL error") {
+    val s = spark
+    import s.implicits._
+    // two disjoint daily slices of one corpus, plus a shared doc (merging
+    // must be duplicate-insensitive)
+    val dayA = (0 until 40).map(i =>
+      (i.toLong, (0 until 15).map(j => s"a${(i * 31 + j * 7) % 1499} u$i v$j").mkString(" "), "en"))
+    val dayB = (0 until 40).map(i =>
+      (100L + i, (0 until 15).map(j => s"b${(i * 29 + j * 11) % 1499} p$i q$j").mkString(" "), "en"))
+    val shared = Seq((200L, "alpha beta gamma delta epsilon", "en"))
+    val a = (dayA ++ shared).toDF("doc_id", "text", "lang")
+    val b = (dayB ++ shared).toDF("doc_id", "text", "lang")
+    val union = (dayA ++ dayB ++ shared).toDF("doc_id", "text", "lang")
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val (ra, rb, ru) = (regMap(a), regMap(b), regMap(union))
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))).toMap
+    assert(merged === ru, "pairwise register MAX must equal the union-corpus sketch")
+    // estimate accuracy: HLL relative standard error ≈ 1.04/sqrt(m)
+    val est = Sketches.hllDistinctTokens(union).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val (estE6, exact) = est("en")
+    val rse = 1.04 / math.sqrt(256.0)
+    assert(math.abs(estE6.toDouble / 1e6 / exact - 1.0) < 4 * rse,
+      s"est=${estE6 / 1e6} exact=$exact outside 4·RSE")
+    // duplicate-insensitivity: doubling every doc leaves the sketch unchanged
+    val doubled = (dayA ++ dayB ++ shared ++ dayA).toDF("doc_id", "text", "lang")
+    assert(regMap(doubled) === ru, "HLL state must ignore duplicates")
+  }
+
   test("countMinHeavyHitters matches a sequential grid replay; est dominates exact") {
     val s = spark
     import s.implicits._

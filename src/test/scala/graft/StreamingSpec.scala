@@ -801,6 +801,42 @@ class StreamingSpec extends SparkSpec {
       === graft.llm.Sketches.sketchQuantiles(direct, qs).collect().toSeq.map(_.toSeq))
   }
 
+  test("streamed HLL maintenance: per-commit register merge, head equals a one-shot direct build") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 90L).map { i =>
+      val words = (0 until (5 + (i % 4).toInt)).map(j => s"w${(i * 13 + j * 7) % 211}")
+      (i, words.mkString(" "), if (i % 2 == 0) "en" else "de")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-hll")
+    val tp = root.resolve("docs").toString
+    val t = new graft.operators.CommitTable(s, tp, "doc_id")
+    def df(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "text", "lang")
+    t.overwrite(df(docs.filter(_._1 % 3 == 0)))
+    t.append(df(docs.filter(_._1 % 3 == 1)))
+    t.append(df(docs.filter(_._1 % 3 == 2)))
+    val regT = new graft.operators.CommitTable(s, root.resolve("regs").toString, "j")
+    graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+      val batch = cdf.filter(org.apache.spark.sql.functions.col("change_type") === "insert")
+        .drop("change_type")
+      val bs = graft.llm.Sketches.hllRegisters(batch)
+      if (v == 0L) regT.overwrite(bs)
+      else regT.overwrite(graft.llm.Sketches.mergeHllRegisters(regT.read(), bs))
+    })
+    // one register version per discovered commit
+    assert(regT.versions() === Seq(0L, 1L, 2L))
+    // the merge law through real commits: streamed register head == direct
+    def regRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val direct = graft.llm.Sketches.hllRegisters(df(docs))
+    assert(regRows(regT.read()) === regRows(direct),
+      "streamed-merged register head must equal the one-shot build row-for-row")
+    // and so does the full readout (estimate + exact witness)
+    assert(graft.llm.Sketches.hllWithExact(t.read(), regT.read()).collect().toSeq.map(_.toSeq)
+      === graft.llm.Sketches.hllDistinctTokens(df(docs)).collect().toSeq.map(_.toSeq))
+  }
+
   test("streaming BM25 maintenance: per-commit postings versions, head equals inline over the union") {
     val s = spark
     import s.implicits._
