@@ -89,6 +89,7 @@ object GraftSession {
           "log_delete" -> graft.plans.LogTvfs.delete,
           "log_merge" -> graft.plans.LogTvfs.mergeFrom,
           "log_update" -> graft.plans.LogTvfs.update,
+          "log_optimize" -> graft.plans.LogTvfs.optimize,
           // ...and the persisted-index probes queryable from pure SQL
           // (the pgvector-shaped surface) — see IndexTvfs
           "ann_topk" -> graft.plans.IndexTvfs.annTopK,

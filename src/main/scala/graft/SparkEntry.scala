@@ -1568,6 +1568,30 @@ object SparkEntry {
       head.crossJoin(v0) // 1-row x 1-row scalar attach
         .select(col("n_rows"), col("sum_key"), col("n0"), col("s0"))
     }),
+    "q47_sql_optimize" -> ((s, dir) => {
+      // the OPTIMIZE maintenance statement for SQL-only users (q43/q46
+      // gave them DML; streamed appends still accreted per-batch small
+      // files only the Scala API could fold): three interleaved appends,
+      // then one pure-SQL log_optimize folds them into range-clustered
+      // files — content byte-identical (this gate), file count + stats
+      // pruning survival spec-asserted in CommitLogSpec.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sqlopt-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.filter(col("k") % 3 === 0).repartition(6))
+      t.append(ord.filter(col("k") % 3 === 1).repartition(6))
+      t.append(ord.filter(col("k") % 3 === 2).repartition(6))
+      s.sql(
+        s"""SELECT COUNT(*) AS n_rows, SUM(k) AS sum_k, SUM(v) AS sum_v
+           |FROM log_optimize('$tp', 'k', 'k', 4)""".stripMargin)
+    }),
     "f23_bloom_pruning" -> ((s, dir) => {
       // per-file BLOOM FILTERS (the Delta/Iceberg bloom-index shape):
       // odd and even orderkeys land as SEPARATE commits whose key windows
@@ -3086,6 +3110,15 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_ids"))
         .orderBy("split")
     }),
+    "p11_maxp_retrieval" -> ((s, dir) => // BM25-MaxP passage retrieval
+      // (Dai & Callan 2019, the long-document RAG recipe): overlapping
+      // token windows each BM25-scored as their own unit against
+      // passage-level corpus stats, a document's score = MAX over its
+      // passages — one on-topic passage surfaces a long document that
+      // whole-document length normalization would bury; returns the best
+      // passage id too (what a RAG pipeline actually retrieves)
+      graft.llm.Retrieval.maxPassageTopK(
+        Tables.documents(s, dir), Bm25QueryTerms, k = 15)),
     "p8_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: t37's sparse BM25 list + a dense cosine list
       // fused by reciprocal-rank fusion (exact integer micro-units) —
@@ -4494,6 +4527,11 @@ object SparkEntry {
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS sum_key,
         |       (SELECT COUNT(*) FROM orders) AS n0,
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders) AS s0""".stripMargin,
+    "q47_sql_optimize" -> // OPTIMIZE is a layout maintenance commit —
+      // content is byte-identical to the source rows
+      """SELECT COUNT(*) AS n_rows, SUM(o_orderkey)::BIGINT AS sum_k,
+        |       SUM(o_custkey)::BIGINT AS sum_v
+        |FROM orders""".stripMargin,
     "f23_bloom_pruning" -> // the bloom only cuts the FILE list; content is
       // the plain point-set filter
       """SELECT COUNT(*) AS n_hit, SUM(o_orderkey)::BIGINT AS sum_k, SUM(o_custkey)::BIGINT AS sum_v
@@ -5852,6 +5890,17 @@ object SparkEntry {
              |WHERE dw.w > 0
              |GROUP BY d.source ORDER BY d.source""".stripMargin)
     }
+    val maxpOracle: Map[String, String] =
+      if (!want("p11_maxp_retrieval")) Map.empty else {
+        val texts = graft.Tables.documents(spark, sfDir)
+          .select(col("text")).collect().map(_.getString(0)).toSeq
+        // chunk-level idf derived INDEPENDENTLY (own tokenizer, own
+        // sliding windows, own chunk dfs — the t37 discipline at passage
+        // granularity)
+        val idfCh = SequentialCorpus.bm25ChunkIdf(texts, Bm25QueryTerms)
+        Map("p11_maxp_retrieval" ->
+          graft.llm.Retrieval.maxPassageTopKSql(idfCh, k = 15))
+      }
     val bm25Oracle: Map[String, String] =
       if (!(want("t37_bm25") || want("p8_hybrid_rrf") || want("s19_bm25_indexed")
           || want("st19_stream_bm25") || want("p10_rag_indexed")
@@ -5985,7 +6034,7 @@ object SparkEntry {
            |ORDER BY vertex""".stripMargin)
     }
     (graphOracles ++ vecOracles ++ bpeOracles ++ dsirOracle ++ logRegOracle ++ ssspOracle ++
-      cepOracle ++ zipfOracle ++ bm25Oracle ++ ccnetOracle ++ Map(
+      cepOracle ++ zipfOracle ++ bm25Oracle ++ maxpOracle ++ ccnetOracle ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line

@@ -65,6 +65,31 @@ object Aggregators {
     * hashes ([[graft.functions.Hashing.hash60]]), exact when fewer than k
     * values were seen (see [[graft.llm.Sketches]]).
     */
+  /** Elementwise maximum of equal-length long arrays — the MaxSim rollup
+    * ([[graft.llm.Retrieval.maxSimTopK]]): the per-group state is ONE
+    * Q-long buffer through the partial/merge path, so the per-document
+    * max never shuffles the |tokens| × Q row expansion a
+    * posexplode/groupBy formulation would (measured 209s → seconds at
+    * sf0.1). Empty buffer = identity; mixed lengths fail loudly.
+    */
+  final class ElemMaxLongs extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
+    private def mx(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        require(a.length == b.length,
+          s"ElemMaxLongs: mixed array lengths ${a.length} vs ${b.length}")
+        Vector.tabulate(a.length)(i => math.max(a(i), b(i)))
+      }
+    def zero: Seq[Long] = Vector.empty
+    def reduce(buf: Seq[Long], x: Seq[Long]): Seq[Long] = mx(buf, x)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = mx(a, b)
+    def finish(buf: Seq[Long]): Seq[Long] = buf
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+  }
+
   final class MinKLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     require(k > 0, "k must be positive")
 

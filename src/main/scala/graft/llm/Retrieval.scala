@@ -365,6 +365,114 @@ object Retrieval {
       .limit(k)
   }
 
+  // ----- passage retrieval: BM25-MaxP (p11) --------------------------------
+
+  /** BM25-MaxP passage retrieval (Dai & Callan 2019, "Deeper Text
+    * Understanding for IR with Contextual Neural Language Modeling" — the
+    * passage-scoring recipe that carried into every long-document RAG
+    * stack): long documents are split into overlapping token windows
+    * ([[TextOps.chunkTokens]]' contract), each PASSAGE is BM25-scored as
+    * its own unit against passage-level corpus stats (n = chunk count,
+    * dl = chunk length, df over chunks), and a document's score is the
+    * MAX over its passages — so one on-topic passage surfaces a long
+    * document that whole-document length normalization would bury.
+    * Returns `(doc_id, best_chunk, score_e6)` top-k by (score desc,
+    * doc_id); best_chunk is the smallest chunk_id attaining the max (the
+    * passage a RAG pipeline would actually retrieve).
+    *
+    * Determinism/scale contract: [[bm25TopK]]'s — driver-quantized idf
+    * literals over exact chunk dfs (≤ |q| rows collected), integer
+    * scoring, map-side-combined aggregates; the chunk explosion is
+    * row-local (n/stride rows per doc, the t12 shape).
+    */
+  def maxPassageTopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+                     chunkK: Int = 30, stride: Int = 20,
+                     k1E3: Long = 1200L, bE3: Long = 750L): DataFrame = {
+    require(queryTerms.nonEmpty, "maxPassageTopK: queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "maxPassageTopK: queryTerms must be distinct")
+    require(k > 0, s"maxPassageTopK: k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = TextOps.chunkTokens(docs, chunkK, stride)
+      .select(col("doc_id"), col("chunk_id"),
+        TextOps.tokens(col("chunk_text")).as("ws"),
+        col("n_chunk_tokens").as("dl"))
+      .localCheckpoint(true) // stats, df, and tf passes all read it
+    val statsRow = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head()
+    val n = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    require(n > 0, "maxPassageTopK: corpus has no non-empty chunks")
+    val qlit = typedLit(queryTerms)
+    val dfMap: Map[String, Long] = base
+      .select(explode(array_intersect(array_distinct(col("ws")), qlit)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = queryTerms.map(t => (t, idfE6(n, dfMap.getOrElse(t, 0L))))
+    val idfDf = broadcast(idf.toDF("t", "idf_e6"))
+    val tf = base
+      .select(col("doc_id"), col("chunk_id"), col("dl"),
+        explode(filter(col("ws"), w => w.isin(queryTerms: _*))).as("t"))
+      .groupBy("doc_id", "chunk_id", "dl", "t").agg(count(lit(1)).as("tf"))
+    val perChunk = tf.join(idfDf, "t")
+      .withColumn("norm_e3",
+        lit(1000L - bE3) + expr(s"$bE3 * dl * $n div $sumDl"))
+      .withColumn("ratio_e6",
+        expr(s"tf * ${k1E3 + 1000L} * 1000000000 div (tf * 1000000 + $k1E3 * norm_e3)"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(sum(col("idf_e6") * col("ratio_e6")).as("s_e12"))
+      .select(col("doc_id"), col("chunk_id"), expr("s_e12 div 1000000").as("score_e6"))
+    // MaxP: per doc, the max passage score; best_chunk = smallest chunk_id
+    // attaining it (max over (score, -chunk_id) structs — integer-exact)
+    perChunk
+      .groupBy("doc_id")
+      .agg(max(struct(col("score_e6"), (-col("chunk_id")).as("neg"))).as("best"))
+      .select(col("doc_id"), (-col("best.neg")).as("best_chunk"),
+        col("best.score_e6").as("score_e6"))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[maxPassageTopK]]: the t12 chunk CTEs + the t37
+    * integer BM25 arithmetic at chunk granularity + the same max-struct
+    * doc rollup, with the idf table supplied as VALUES — derived
+    * INDEPENDENTLY by [[SequentialCorpus.bm25ChunkIdf]] (own tokenizer,
+    * own sliding windows, own chunk dfs, the shared [[idfE6]] formula).
+    */
+  def maxPassageTopKSql(idf: Seq[(String, Long)], k: Int = 10,
+                        chunkK: Int = 30, stride: Int = 20,
+                        k1E3: Long = 1200L, bE3: Long = 750L): String = {
+    require(idf.nonEmpty, "maxPassageTopKSql: idf table must be non-empty")
+    val inList = idf.map { case (t, _) => s"'$t'" }.mkString(", ")
+    val values = idf.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+       |b AS (SELECT doc_id, ws, len(ws)::BIGINT AS n,
+       |             (greatest(len(ws) - $chunkK, 0) + $stride - 1) // $stride + 1 AS n_chunks
+       |      FROM t WHERE len(ws) > 0),
+       |c AS (SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, ws FROM b),
+       |ch AS (SELECT doc_id, chunk_id,
+       |              ws[chunk_id * $stride + 1 : chunk_id * $stride + $chunkK] AS cw
+       |       FROM c),
+       |base AS (SELECT doc_id, chunk_id, cw, len(cw)::BIGINT AS dl FROM ch WHERE len(cw) > 0),
+       |stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS sum_dl FROM base),
+       |idf AS (SELECT t, idf_e6::BIGINT AS idf_e6 FROM (VALUES $values) AS v(t, idf_e6)),
+       |tf AS (SELECT doc_id, chunk_id, dl, u.t, COUNT(*)::BIGINT AS tf
+       |       FROM base, UNNEST(cw) AS u(t) WHERE u.t IN ($inList)
+       |       GROUP BY 1, 2, 3, 4),
+       |scored AS (SELECT doc_id, chunk_id,
+       |                  SUM(idf_e6 * (tf * ${k1E3 + 1000L} * 1000000000 //
+       |                      (tf * 1000000 + $k1E3 * ((1000 - $bE3) + $bE3 * dl * n // sum_dl))))::BIGINT AS s_e12
+       |           FROM tf JOIN idf USING (t) CROSS JOIN stats
+       |           GROUP BY doc_id, chunk_id),
+       |pc AS (SELECT doc_id, chunk_id, s_e12 // 1000000 AS score_e6 FROM scored),
+       |best AS (SELECT doc_id, chunk_id AS best_chunk, score_e6,
+       |                row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY score_e6 DESC, chunk_id) AS rn
+       |         FROM pc)
+       |SELECT doc_id, best_chunk, score_e6
+       |FROM best WHERE rn = 1
+       |ORDER BY score_e6 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   // ----- late-interaction retrieval (s37) ---------------------------------
 
   /** ColBERT-style late-interaction MaxSim retrieval (Khattab & Zaharia
@@ -381,48 +489,71 @@ object Retrieval {
     * truncated to its `qLen` lowest-hash distinct tokens (ColBERT's fixed
     * 32-token query encoder budget, made deterministic).
     *
-    * Scale shape: MaxSim depends only on token TYPES, so the dot products
-    * live on a (query-token-types × corpus-token-types) grid — query side
-    * ≤ numQueries·qLen rows, BROADCAST — and the per-document max/sum is
-    * one aggregate over the token-incidence join, linear in corpus size
-    * per query (the s1 brute-force-baseline contract). Production serving
-    * restricts the scored documents to an ANN candidate set first (the
-    * published two-stage shape); this exact full-corpus form is that
-    * re-ranker and the gate's oracle-checkable baseline.
-    * `(query_id, doc_id, rank, score)`, self-pairs excluded.
+    * Scale shape: MaxSim depends only on token TYPES, and the query side
+    * is ≤ numQueries·qLen tokens BY CONTRACT — so the query projection
+    * matrix is DRIVER-computed literals (the idf-literal discipline), each
+    * corpus token row derives its Q-long dot vector against that literal
+    * matrix in one codegen'd expression, and the per-document max is ONE
+    * elementwise-array aggregate ([[graft.functions.Aggregators.ElemMaxLongs]],
+    * Q longs of state per document, map-side combined) over the
+    * token-incidence frame — never a |tokens| × Q row expansion (the
+    * first-cut join/groupBy formulation measured 209s at sf0.1; this
+    * shape is linear in corpus tokens, the s1 brute-force-baseline
+    * contract). Production serving restricts the scored documents to an
+    * ANN candidate set first (the published two-stage shape); this exact
+    * full-corpus form is that re-ranker and the gate's oracle-checkable
+    * baseline. `(query_id, doc_id, rank, score)`, self-pairs excluded.
     */
   def maxSimTopK(docs: DataFrame, numQueries: Int = 5, k: Int = 5,
                  qLen: Int = 32, dim: Int = 8): DataFrame = {
     require(numQueries > 0 && k > 0 && qLen > 0 && dim > 0,
       s"maxSimTopK: bad numQueries=$numQueries k=$k qLen=$qLen dim=$dim")
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.Column
+    val spark = docs.sparkSession
     val toks = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(TextOps.tokens(col("text"))).as("tok"))
       .distinct()
-      .localCheckpoint(true) // feeds the query cut, the type grid, and the incidence join
+      .localCheckpoint(true) // feeds the query cut and the incidence rollup
     val wq = Window.partitionBy("query_id").orderBy(col("h"), col("tok"))
-    val qtoks = toks.filter(col("doc_id") < numQueries)
+    // ≤ numQueries·qLen rows by contract — driver-collected like the BM25
+    // idf literals, so the query-side projections become plan constants
+    val qtokRows: Seq[(Long, String)] = toks.filter(col("doc_id") < numQueries)
       .select(col("doc_id").as("query_id"), col("tok"),
         Hashing.hash60(col("tok")).as("h"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= qLen)
       .select("query_id", "tok")
-      .localCheckpoint(true) // ≤ numQueries·qLen rows by contract
-    def vecVal(t: Column, i: Int): Column =
-      Hashing.hash60(concat(t, lit(s":$i"))) % 2001L - 1000L
-    val dotCol = (0 until dim).map(i =>
-      vecVal(col("qt"), i) * vecVal(col("dt"), i)).reduce(_ + _)
-    // the type grid: query-token types (broadcast) × corpus-token types
-    val pairDots = broadcast(qtoks.select(col("tok").as("qt")).distinct())
-      .crossJoin(toks.select(col("tok").as("dt")).distinct())
-      .select(col("qt"), col("dt"), dotCol.as("dot"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    require(qtokRows.nonEmpty, "maxSimTopK: no query document has tokens")
+    val qts: IndexedSeq[String] = qtokRows.map(_._2).distinct.sorted.toIndexedSeq
+    val qIdx: Map[String, Int] = qts.zipWithIndex.toMap
+    // the query projection matrix, driver-computed (same hash formula the
+    // mirror replays): qv(i)(j) = hash60(qt_i ':' j) mod 2001 - 1000
+    val qv: IndexedSeq[IndexedSeq[Long]] = qts.map(t =>
+      (0 until dim).map(j => Hashing.hash60(s"$t:$j") % 2001L - 1000L))
+    // per corpus-token row: its own dim projections (dim md5s), then the
+    // Q-long dot vector against the literal query matrix — pure codegen
+    val dval = array((0 until dim).map(j =>
+      Hashing.hash60(concat(col("tok"), lit(s":$j"))) % 2001L - 1000L): _*)
+    val dotsCol = array(qts.indices.map(i =>
+      (0 until dim).map(j => lit(qv(i)(j)) * element_at(col("dv"), j + 1)).reduce(_ + _)): _*)
+    val em = udaf(new graft.functions.Aggregators.ElemMaxLongs,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    // ONE aggregate over the incidence frame: per document, the
+    // elementwise max dot per query-token type (Q longs of state)
+    val perDoc = toks
+      .withColumn("dv", dval)
+      .withColumn("dots", dotsCol)
+      .groupBy("doc_id").agg(em(col("dots")).as("mx"))
+      .localCheckpoint(true) // corpus-doc-count rows; every query branch reads it
+    // per query: sum of ITS token slots — literal index lists
+    val byQuery: Seq[(Long, Seq[Int])] = qtokRows.groupBy(_._1).view
+      .mapValues(_.map(t => qIdx(t._2)).toSeq).toSeq.sortBy(_._1)
     val wk = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
-    toks.select(col("doc_id"), col("tok").as("dt"))
-      .join(pairDots, "dt")
-      .join(broadcast(qtoks.select(col("query_id"), col("tok").as("qt"))), "qt")
-      .groupBy("query_id", "doc_id", "qt").agg(max("dot").as("mx"))
-      .groupBy("query_id", "doc_id").agg(sum("mx").as("score"))
+    byQuery.map { case (q, idxs) =>
+      perDoc.select(lit(q).as("query_id"), col("doc_id"),
+        idxs.map(i => element_at(col("mx"), i + 1)).reduce(_ + _).as("score"))
+    }.reduce(_ unionByName _)
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(wk).cast("long"))
       .filter(col("rank") <= k)

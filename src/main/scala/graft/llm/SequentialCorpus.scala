@@ -412,6 +412,26 @@ object SequentialCorpus {
     queryTerms.map(t => (t, graft.llm.Retrieval.idfE6(n, df(t))))
   }
 
+  /** Independent CHUNK-level BM25 idf table; mirror of
+    * `Retrieval.maxPassageTopK`'s driver half — own tokenizer, own sliding
+    * windows (the `TextOps.chunkTokens` contract restated as plain loops:
+    * `ceil(max(n-k, 0)/stride) + 1` starts, window c = tokens
+    * [c·stride, c·stride+k)), document frequencies counted over CHUNKS,
+    * the shared `Retrieval.idfE6` contract formula. */
+  def bm25ChunkIdf(texts: Seq[String], queryTerms: Seq[String],
+                   k: Int = 30, stride: Int = 20): Seq[(String, Long)] = {
+    val chunks = texts.map(tokenize).filter(_.nonEmpty).flatMap { ts =>
+      val nChunks = ((math.max(ts.size - k, 0) + stride - 1) / stride) + 1
+      (0 until nChunks).map(c => ts.slice(c * stride, c * stride + k))
+    }
+    val n = chunks.size.toLong
+    require(n > 0, "bm25 chunk mirror: corpus has no non-empty chunks")
+    val q = queryTerms.toSet
+    val df = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    chunks.foreach(ts => ts.toSet.intersect(q).foreach(t => df(t) += 1))
+    queryTerms.map(t => (t, graft.llm.Retrieval.idfE6(n, df(t))))
+  }
+
   /** CCNet-style hashed-unigram perplexity scores; mirror of
     * `Perplexity.ccnetScore` — own tokenizer, own md5 hash, own reference
     * counts, the contract's Laplace-smoothed micro-quantized log-prob and

@@ -118,6 +118,23 @@ object LogTvfs {
     t.read().queryExecution.analyzed
   }
 
+  /** `log_optimize(path, stats_col, cluster_col, target_files)` — the
+    * OPTIMIZE maintenance statement ([[CommitTable.compactClustered]]):
+    * folds small files into `target_files` RANGE-clustered ones so the
+    * log's per-file stats keep pruning, content byte-identical, old
+    * versions readable; committed at analysis, returns the compacted head.
+    * The statement a SQL-only user runs after streamed appends accrete
+    * per-batch files (the st22 loop). */
+  def optimize(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      "log_optimize(path, stats_col, cluster_col, target_files) takes 4 arguments")
+    val t = new CommitTable(SparkSession.active, stringArg(args, 0, "log_optimize"),
+      stringArg(args, 1, "log_optimize"))
+    t.compactClustered(stringArg(args, 2, "log_optimize"),
+      longArg(args, 3, "log_optimize").toInt)
+    t.read().queryExecution.analyzed
+  }
+
   /** `log_merge(path, stats_col, source_view, keys_csv)` — MERGE INTO the
     * commit-log table from a registered view/table (upsert by the
     * comma-separated key columns; [[CommitTable.merge]]'s optimistic

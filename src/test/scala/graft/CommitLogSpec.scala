@@ -148,6 +148,18 @@ class CommitLogSpec extends SparkSpec {
     assert(pruned.inputFiles.length < after,
       s"clustered layout must let stats prune: ${pruned.inputFiles.length} of $after files")
     assert(rows(pruned) === (5L to 10L).map(i => i -> s"r$i").toSet)
+    // the SQL OPTIMIZE statement commits the identical maintenance step
+    val t2 = freshTable()
+    t2.overwrite(kv((1L to 20L).map(i => i -> s"r$i"): _*).repartition(6))
+    t2.append(kv((21L to 40L).map(i => i -> s"r$i"): _*).repartition(6))
+    t2.append(kv((41L to 60L).map(i => i -> s"r$i"): _*).repartition(6))
+    val viaSql = spark.sql(s"SELECT k, v FROM log_optimize('${t2.path}', 'k', 'k', 3)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql === (1L to 60L).map(i => i -> s"r$i").toSet,
+      "log_optimize must return the compacted head's content")
+    assert(t2.read().inputFiles.length <= 3 && t2.versions() === t.versions())
+    assert(t2.prunedRead(5L, 10L).inputFiles.length < t2.read().inputFiles.length,
+      "stats pruning must survive the SQL OPTIMIZE")
   }
 
   test("deleteRange keeps NULL-key rows: row fate never depends on file placement") {

@@ -127,6 +127,34 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), k = 0))
   }
 
+  test("maxPassageTopK: a concentrated passage beats the same terms spread thin (the MaxP property)") {
+    val filler1 = (0 until 200).map(i => s"f$i").mkString(" ")
+    val filler2 = (0 until 100).map(i => s"g$i").mkString(" ")
+    // doc 1: all three query terms ADJACENT mid-document — one window holds
+    // them all. doc 2: the same three terms, one per far-apart region —
+    // no window holds more than one. Whole-document BM25 sees identical
+    // tf/dl for both; MaxP must prefer the concentrated passage.
+    val corpus = Seq(
+      1L -> s"$filler1 dup spark merge $filler1",
+      2L -> s"dup $filler1 spark $filler2 merge $filler1",
+      3L -> "unrelated words only here")
+    val got = Retrieval.maxPassageTopK(docs(corpus), Seq("dup", "spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byDoc.contains(1L) && byDoc.contains(2L))
+    assert(!byDoc.contains(3L), "docs with no query term never score")
+    assert(byDoc(1L)._2 > byDoc(2L)._2,
+      s"concentrated passage must outscore spread terms, got $byDoc")
+    assert(got.head._1 === 1L, "doc 1 must rank first")
+    // the reported best chunk of doc 1 is a REAL window index (>= 0) —
+    // the smallest chunk attaining the max by contract
+    assert(byDoc(1L)._1 >= 0L)
+    // deterministic end to end
+    val again = Retrieval.maxPassageTopK(docs(corpus), Seq("dup", "spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("maxSimTopK: self excluded, duplicate docs tie, superset monotone, deterministic") {
     // queries = docs 0..1; docs 10 and 11 are identical (must tie on every
     // query); doc 13 = doc 12 + one extra token (MaxSim is a per-query-token

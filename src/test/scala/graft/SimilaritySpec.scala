@@ -271,6 +271,14 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(viaSql) === rows(indexed),
       "ann_topk TVF must equal the Scala API row-for-row")
 
+    // per-file BLOOM filters compose with the real probe path: indexing
+    // the lists table never changes probe results (blooms only cut the
+    // file list, and only where absence is PROVEN)
+    val lists0 = new graft.operators.CommitTable(spark, s"$root/lists", "cid")
+    assert(lists0.buildBloom() > 0L)
+    assert(rows(Similarity.ivfTopKIndexed(spark, root, numQueries = 16, k = 3, nprobe = 3))
+      === rows(indexed), "bloom-pruned probe must be bit-identical")
+
     // refresh = one new atomic commit; the previous index stays readable
     val v1 = Similarity.buildIvfIndex(embDF(vecs.take(40)), root, nlist = 8, iters = 1, dim = dim)
     assert(v1 === 1L)
