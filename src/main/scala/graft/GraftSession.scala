@@ -90,9 +90,12 @@ object GraftSession {
           "log_merge" -> graft.plans.LogTvfs.mergeFrom,
           "log_update" -> graft.plans.LogTvfs.update,
           "log_optimize" -> graft.plans.LogTvfs.optimize,
+          "log_vacuum" -> graft.plans.LogTvfs.vacuum,
           // ...and the persisted-index probes queryable from pure SQL
           // (the pgvector-shaped surface) — see IndexTvfs
           "ann_topk" -> graft.plans.IndexTvfs.annTopK,
+          "ann_topk_filtered" -> graft.plans.IndexTvfs.annTopKFiltered,
+          "log_history" -> graft.plans.LogTvfs.history,
           "graph_ann" -> graft.plans.IndexTvfs.graphAnn,
           "bm25_topk" -> graft.plans.IndexTvfs.bm25TopK,
           // ...including VERSION AS OF (whole-index time travel through

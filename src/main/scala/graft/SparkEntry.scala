@@ -1568,6 +1568,66 @@ object SparkEntry {
       head.crossJoin(v0) // 1-row x 1-row scalar attach
         .select(col("n_rows"), col("sum_key"), col("n0"), col("s0"))
     }),
+    "q50_sql_vacuum" -> ((s, dir) => {
+      // the retention statement from pure SQL (q47 gave OPTIMIZE; VACUUM
+      // is its pair): v0 becomes unreferenced by the overwrite, log_vacuum
+      // reclaims its directory while the HEAD content is untouched —
+      // vacuum trims time travel, never data (directory reclaim +
+      // in-flight/retention guards are spec-asserted in CommitLogSpec).
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sqlvac-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.filter(col("k") % 2 === 0))
+      t.overwrite(ord.filter(col("k") % 2 === 1).repartitionByRange(4, col("k")))
+      s.sql(
+        s"""SELECT COUNT(*) AS n_rows, SUM(k) AS sum_k, SUM(v) AS sum_v
+           |FROM log_vacuum('$tp', 'k', 1)""".stripMargin)
+    }),
+    "q48_sql_history" -> ((s, dir) => {
+      // DESCRIBE HISTORY from pure SQL: a SQL-only user could read AT a
+      // version (q42) and write new ones (q43/q46) but could not DISCOVER
+      // the versions — log_history lists them with op + rowcount, read
+      // distributed off the log files in ONE scan (never per-version
+      // jobs). ts is wall-clock, so the gate projects the deterministic
+      // columns; ts monotonicity is spec-asserted in CommitLogSpec.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sqlhist-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.repartitionByRange(4, col("k")))
+      t.deleteRange(1000L, 5000L)
+      t.append(ord.filter(col("k") > 7000L).repartitionByRange(2, col("k")))
+      s.sql(
+        s"""SELECT version, op, n_rows FROM log_history('$tp', 'k')
+           |ORDER BY version""".stripMargin)
+    }),
+    "q49_sql_filtered_ann" -> ((s, dir) => {
+      // FILTERED vector search from pure SQL (s23 was Scala-only): the
+      // IDSelector predicate lands inside the probed lists BEFORE ranking
+      // through the ann_topk_filtered TVF, so k survives the filter where
+      // WHERE over ann_topk(...) would post-cut; shares s23's mirror.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sqlfann-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val idx = root.resolve("idx").toString
+      Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
+      s.sql(s"SELECT * FROM ann_topk_filtered('$idx', 20, 5, 4, 'vec_id % 7 = 3')")
+    }),
     "q47_sql_optimize" -> ((s, dir) => {
       // the OPTIMIZE maintenance statement for SQL-only users (q43/q46
       // gave them DML; streamed appends still accreted per-batch small
@@ -4527,6 +4587,24 @@ object SparkEntry {
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS sum_key,
         |       (SELECT COUNT(*) FROM orders) AS n0,
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders) AS s0""".stripMargin,
+    "q50_sql_vacuum" -> // vacuum reclaims history, never head content:
+      // the surviving snapshot is the second overwrite's rows
+      """SELECT COUNT(*) AS n_rows, SUM(o_orderkey)::BIGINT AS sum_k,
+        |       SUM(o_custkey)::BIGINT AS sum_v
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "q48_sql_history" -> // version list restated: overwrite carries every
+      // source row, the delete drops the key range, the append adds the
+      // high-key slice on top of the post-delete head
+      """WITH n0 AS (SELECT COUNT(*)::BIGINT AS c FROM orders),
+        |n1 AS (SELECT COUNT(*)::BIGINT AS c FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000),
+        |n2 AS (SELECT COUNT(*)::BIGINT AS c FROM orders WHERE o_orderkey > 7000)
+        |SELECT 0::BIGINT AS version, 'overwrite' AS op, (SELECT c FROM n0) AS n_rows
+        |UNION ALL SELECT 1, 'delete', (SELECT c FROM n1)
+        |UNION ALL SELECT 2, 'append', (SELECT c FROM n1) + (SELECT c FROM n2)
+        |ORDER BY version""".stripMargin,
+    "q49_sql_filtered_ann" -> // the TVF returns ivfTopKIndexed's filtered
+      // plan — s23's mirror verbatim
+      Similarity.ivfTopKSql(candFilter = "vec_id % 7 = 3"),
     "q47_sql_optimize" -> // OPTIMIZE is a layout maintenance commit —
       // content is byte-identical to the source rows
       """SELECT COUNT(*) AS n_rows, SUM(o_orderkey)::BIGINT AS sum_k,

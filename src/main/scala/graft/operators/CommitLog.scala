@@ -95,6 +95,29 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String) {
     else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
   }
 
+  /** DESCRIBE HISTORY — one row per committed version: `(version, ts, op,
+    * n_files, n_rows)`, derived from the log files themselves in ONE
+    * distributed read (log-sized; never a loop of per-version jobs, so a
+    * 100k-commit table's history is one small scan). `ts` is the commit
+    * header's adjusted wall-clock (NULL for pre-timestamp logs); `n_files`
+    * / `n_rows` sum the version's active add-entries.
+    */
+  def history(): DataFrame = {
+    val vs = versions()
+    if (vs.isEmpty) throw new IllegalStateException(s"no commits at $path")
+    val acts = spark.read.schema(actionSchema)
+      .json(vs.map(v => logFile(v).toString): _*)
+    val heads = acts.filter(col("type") === "commit")
+      .select(col("version"), col("ts"), col("op"))
+    val adds = acts.filter(col("type") === "add")
+      .groupBy("version").agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"))
+    heads.join(adds, Seq("version"), "left")
+      .select(col("version"), col("ts"), col("op"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      .orderBy("version")
+  }
+
   /** Read the latest committed version. */
   def read(): DataFrame = {
     val v = latestVersion().getOrElse(

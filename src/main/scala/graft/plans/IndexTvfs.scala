@@ -63,6 +63,25 @@ object IndexTvfs {
       .queryExecution.analyzed
   }
 
+  /** `ann_topk_filtered(index_root, num_queries, k, nprobe, predicate)` —
+    * FILTERED vector search from pure SQL (s23's FAISS-IDSelector shape
+    * was Scala-only): `predicate` is a SQL expression over the committed
+    * list rows' columns (`vec_id`, `cid`) applied INSIDE the probed lists
+    * BEFORE ranking, so k survives a selective filter where an outer
+    * WHERE over `ann_topk(...)` would post-filter the already-cut top-k
+    * and come up short. Queries are never filtered. */
+  def annTopKFiltered(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5,
+      "ann_topk_filtered(index_root, num_queries, k, nprobe, predicate) takes 5 arguments")
+    val pred = org.apache.spark.sql.functions.expr(
+      stringArg(args, 4, "ann_topk_filtered"))
+    graft.llm.Similarity.ivfTopKIndexed(SparkSession.active,
+        stringArg(args, 0, "ann_topk_filtered"), intArg(args, 1, "ann_topk_filtered"),
+        intArg(args, 2, "ann_topk_filtered"), intArg(args, 3, "ann_topk_filtered"),
+        predicate = Some(pred))
+      .queryExecution.analyzed
+  }
+
   /** `graph_ann(index_root, num_queries, k, beam, hops)` → the committed
     * k-NN-graph index's routed walk ([[graft.llm.KnnGraph.knnGraphSearch]]). */
   def graphAnn(args: Seq[Expression]): LogicalPlan = {

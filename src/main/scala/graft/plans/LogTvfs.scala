@@ -101,6 +101,18 @@ object LogTvfs {
     t.read().queryExecution.analyzed
   }
 
+  /** `log_history(path, stats_col)` — DESCRIBE HISTORY for commit-log
+    * tables: one row per committed version `(version, ts, op, n_files,
+    * n_rows)`, read distributed off the log files themselves (log-sized).
+    * Without it a SQL-only user can read AT a version (`log_table_at`)
+    * but cannot DISCOVER which versions exist or what committed them. */
+  def history(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, "log_history(path, stats_col) takes 2 arguments")
+    new CommitTable(SparkSession.active, stringArg(args, 0, "log_history"),
+        stringArg(args, 1, "log_history"))
+      .history().queryExecution.analyzed
+  }
+
   /** `log_update(path, stats_col, lo, hi, set_col, set_expr)` —
     * file-granular `UPDATE SET set_col = set_expr WHERE stats_col BETWEEN
     * lo AND hi` ([[CommitTable.updateRange]]: non-intersecting files carry
@@ -132,6 +144,20 @@ object LogTvfs {
       stringArg(args, 1, "log_optimize"))
     t.compactClustered(stringArg(args, 2, "log_optimize"),
       longArg(args, 3, "log_optimize").toInt)
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_vacuum(path, stats_col, keep_last)` — the retention statement
+    * ([[CommitTable.vacuum]]): physically reclaims data directories no
+    * version in the kept tail references (head content untouched — this
+    * trims TIME TRAVEL, not data), then returns the head. With
+    * [[optimize]] it completes the SQL maintenance pair every lakehouse
+    * ships (OPTIMIZE + VACUUM). */
+  def vacuum(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3, "log_vacuum(path, stats_col, keep_last) takes 3 arguments")
+    val t = new CommitTable(SparkSession.active, stringArg(args, 0, "log_vacuum"),
+      stringArg(args, 1, "log_vacuum"))
+    t.vacuum(keepLast = longArg(args, 2, "log_vacuum").toInt)
     t.read().queryExecution.analyzed
   }
 

@@ -232,6 +232,26 @@ class CommitLogSpec extends SparkSpec {
     assert(t.prunedRead(5000L, 6000L).collect().isEmpty)
   }
 
+  test("history: one row per version with op/rowcount, monotone ts, SQL TVF equal") {
+    val t = freshTable()
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    t.append(kv(10L -> "j"))
+    t.deleteRange(10L, 10L)
+    val h = t.history().collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(h.map(x => (x._1, x._2, x._4)).toSeq ===
+      Seq((0L, "overwrite", 2L), (1L, "append", 3L), (2L, "delete", 2L)))
+    assert(h.forall(_._3 >= 1L), "every version lists at least one active file")
+    // commit timestamps are monotone non-decreasing in version order
+    val ts = t.history().collect().map(_.getLong(1))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b },
+      s"history ts must be monotone, got ${ts.toSeq}")
+    // the SQL TVF returns the same frame
+    val viaSql = spark.sql(s"SELECT version, op, n_files, n_rows FROM log_history('${t.path}', 'k')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(viaSql.toSeq === h.map(x => (x._1, x._2, x._3, x._4)).toSeq)
+  }
+
   test("buildBloom: point reads skip stats-covered files the bloom proves empty; no-bloom files survive") {
     val t = freshTable()
     // two files with fully OVERLAPPING key windows ([1,99] vs [2,100]) but
@@ -320,6 +340,14 @@ class CommitLogSpec extends SparkSpec {
     intercept[Exception](t.asOf(0L).collect())
     // idempotent: nothing left to reclaim
     assert(t.vacuum(keepLast = 1) === 0L)
+    // the SQL statement path: same reclaim + returns the untouched head
+    val t2 = freshTable()
+    t2.overwrite(kv(1L -> "a"))
+    t2.overwrite(kv(9L -> "z"))
+    val viaSql = spark.sql(s"SELECT k, v FROM log_vacuum('${t2.path}', 'k', 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql === Set(9L -> "z"), "log_vacuum must return the head content")
+    intercept[Exception](t2.asOf(0L).collect())
   }
 
   test("merge rejects a lost update: head moved between snapshot read and commit") {
