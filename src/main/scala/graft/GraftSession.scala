@@ -96,6 +96,9 @@ object GraftSession {
           "ann_topk" -> graft.plans.IndexTvfs.annTopK,
           "ann_topk_filtered" -> graft.plans.IndexTvfs.annTopKFiltered,
           "log_history" -> graft.plans.LogTvfs.history,
+          // named catalog over paths: register once, then every log/index
+          // TVF accepts the NAME instead of (path, stats_col)
+          "log_register" -> graft.plans.LogTvfs.register,
           "graph_ann" -> graft.plans.IndexTvfs.graphAnn,
           "bm25_topk" -> graft.plans.IndexTvfs.bm25TopK,
           // ...including VERSION AS OF (whole-index time travel through

@@ -1496,14 +1496,10 @@ object SparkEntry {
       // the Scala API at s12's configuration, then the probe runs as a
       // pure SQL statement through the ann_topk TVF — the returned plan
       // IS ivfTopKIndexed's (file-pruned probed lists, zero training
-      // jobs), so it shares s3's full mirror bit-for-bit.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-sqlann-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
-      Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
+      // jobs), so it shares s3's full mirror bit-for-bit. Same memoized
+      // build artifact as s12; the TVF probe is read-only.
+      val idx = IndexCache.template(s"ivf|$dir|full")(
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), _))
       s.sql(s"SELECT * FROM ann_topk('$idx', 20, 5, 4)")
     }),
     "q45_sql_graph_ann" -> ((s, dir) => {
@@ -1511,13 +1507,9 @@ object SparkEntry {
       // index queried through the graph_ann TVF — the routed walk (hops
       // rounds of file-pruned point reads) runs at analysis and the
       // statement returns its frame, sharing s25's end-to-end mirror.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-sqlgann-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
-      KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), idx)
+      // Same memoized build artifact as s25; the TVF probe is read-only.
+      val idx = IndexCache.template(s"knng|$dir|full")(
+        KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), _))
       s.sql(s"SELECT * FROM graph_ann('$idx', 20, 5, 8, 3)")
     }),
     "q46_sql_update" -> ((s, dir) => {
@@ -1619,14 +1611,37 @@ object SparkEntry {
       // IDSelector predicate lands inside the probed lists BEFORE ranking
       // through the ann_topk_filtered TVF, so k survives the filter where
       // WHERE over ann_topk(...) would post-cut; shares s23's mirror.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-sqlfann-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
-      Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
+      // Same memoized build artifact as s12; the TVF probe is read-only.
+      val idx = IndexCache.template(s"ivf|$dir|full")(
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), _))
       s.sql(s"SELECT * FROM ann_topk_filtered('$idx', 20, 5, 4, 'vec_id % 7 = 3')")
+    }),
+    "q51_named_catalog" -> ((s, dir) => {
+      // NAMED CATALOG over paths (r14 verdict #5 — every TVF took raw
+      // filesystem path literals; one typo = a path error at analysis):
+      // log_register binds a name once, then reads, writes, history and
+      // index probes all run BY NAME — no path appears in any later
+      // statement. The unknown-name analysis error (with the known-name
+      // list) is spec-asserted in CommitLogSpec.
+      val root = IndexCache.freshRoot("namedcat")
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.repartitionByRange(4, col("k")))
+      s.sql(s"SELECT * FROM log_register('q51_sales', '$tp', 'k')").collect()
+      s.sql("SELECT COUNT(*) FROM log_delete('q51_sales', 1000, 5000)").collect()
+      s.sql(
+        """SELECT 'head' AS snap, COUNT(*) AS n, SUM(k) AS sum_k
+          |FROM log_table('q51_sales')
+          |UNION ALL
+          |SELECT 'ranged', COUNT(*), SUM(k)
+          |FROM log_table_range('q51_sales', 6000, 9000)
+          |UNION ALL
+          |SELECT 'v0', COUNT(*), SUM(k)
+          |FROM log_table_at('q51_sales', 0)
+          |ORDER BY snap""".stripMargin)
     }),
     "q47_sql_optimize" -> ((s, dir) => {
       // the OPTIMIZE maintenance statement for SQL-only users (q43/q46
@@ -1676,6 +1691,51 @@ object SparkEntry {
       val probes = Seq(1L, 2L, 7L, 32L, 33L, 100L, 101L, 999L)
       t.prunedReadIn(probes).filter(col("k").isin(probes: _*))
         .agg(count(lit(1)).as("n_hit"), sum("k").as("sum_k"), sum("v").as("sum_v"))
+    }),
+    "f24_log_checkpoint" -> ((s, dir) => {
+      // DELTA LOG ENTRIES + PERIODIC CHECKPOINT (the Delta log shape —
+      // r14 verdict #3: snapshot-complete-only logs are O(versions ×
+      // files) at streamed-commit cadence): appends write O(batch)
+      // entries, every 3rd version is snapshot-complete, file-granular
+      // DML lands as adds+removes — and head/asOf resolve identically
+      // through and ACROSS the checkpoint boundary (the log-bytes and
+      // entry-form contracts are spec-asserted in CommitLogSpec; this
+      // gate binds content at every version of the chain).
+      val root = IndexCache.freshRoot("ckptlog")
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString,
+        "n_nationkey", checkpointEvery = 3)
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      val k = col("n_nationkey")
+      t.overwrite(nat.filter(k < 5))                 // v0 snapshot
+      t.append(nat.filter(k >= 5 && k < 10))         // v1 delta
+      t.append(nat.filter(k >= 10 && k < 15))        // v2 delta
+      t.append(nat.filter(k >= 15 && k < 20))        // v3 CHECKPOINT
+      t.deleteRange(7L, 12L)                         // v4 delta: adds + removes
+      t.append(nat.filter(k >= 20))                  // v5 delta
+      (1L to 5L).map { v =>
+        t.asOf(v).agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_key"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_key"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+    "f25_multicol_stats" -> ((s, dir) => {
+      // MULTI-COLUMN per-file stats (r14 verdict #4 — Delta/Iceberg
+      // record stats for the leading N columns; one stats column means a
+      // second predicate column gets zero skipping): the table declares
+      // o_custkey as an extra stats column and lands custkey-clustered,
+      // so prunedReadOn cuts files on the SECOND column while the
+      // primary (o_orderkey) log stats stay intact. The file-cut is
+      // inputFiles-asserted in CommitLogSpec; this gate binds content.
+      val root = IndexCache.freshRoot("xstats")
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString,
+        "o_orderkey", extraStatsCols = Seq("o_custkey"))
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+      t.overwrite(ord.repartitionByRange(8, col("o_custkey")))
+      t.prunedReadOn("o_custkey", 100L, 400L)
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"),
+          sum("o_custkey").as("sum_cust"))
     }),
     "f16_log_restore" -> ((s, dir) => {
       // RESTORE as a metadata-only commit: v0 = keys < 10, v1 = overwrite
@@ -2804,8 +2864,10 @@ object SparkEntry {
       TempDirs.deleteRecursively(root)
       java.nio.file.Files.createDirectories(root)
       val emb = Tables.embeddings(s, dir)
-      val idx = root.resolve("idx").toString
-      Similarity.buildIvfIndex(emb, idx)
+      // the committed index being SERVED is s12's memoized artifact
+      // (read-only here — ivfSearchFor runs zero corpus/training jobs)
+      val idx = IndexCache.template(s"ivf|$dir|full")(
+        Similarity.buildIvfIndex(emb, _))
       val qp = root.resolve("q").toString
       val qt = new graft.operators.CommitTable(s, qp, "vec_id")
       val q = emb.select("vec_id", "embedding").filter(col("vec_id") < 20)
@@ -3085,15 +3147,13 @@ object SparkEntry {
       // is never re-tokenized. Built half/half via build+append (bands
       // are per-document, so append == full rebuild); the probe side is
       // the odd doc_ids.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-dedupidx-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // Build+append chain memoized (d20 shares it); the probe is
+      // read-only against the committed bucket relation.
       val docs = Tables.documents(s, dir)
-      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 4 === 0), idx)
-      Dedup.appendDedupIndex(docs.filter(col("doc_id") % 4 === 2), idx)
+      val idx = IndexCache.template(s"dedup|$dir|split") { p =>
+        Dedup.buildDedupIndex(docs.filter(col("doc_id") % 4 === 0), p)
+        Dedup.appendDedupIndex(docs.filter(col("doc_id") % 4 === 2), p)
+      }
       Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 =!= 0), idx)
     }),
     "d20_dedup_index_at" -> ((s, dir) => {
@@ -3101,15 +3161,13 @@ object SparkEntry {
       // same build+append chain, probed AT index version 0 — the shard
       // sees ONLY the build batch's historical corpus, exactly the
       // pre-append index (shingles and bands pinned together).
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-dedupat-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // Shares d19's memoized template; the version-pinned probe is
+      // read-only through the manifest.
       val docs = Tables.documents(s, dir)
-      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 4 === 0), idx)
-      Dedup.appendDedupIndex(docs.filter(col("doc_id") % 4 === 2), idx)
+      val idx = IndexCache.template(s"dedup|$dir|split") { p =>
+        Dedup.buildDedupIndex(docs.filter(col("doc_id") % 4 === 0), p)
+        Dedup.appendDedupIndex(docs.filter(col("doc_id") % 4 === 2), p)
+      }
       Dedup.dedupAgainstIndexAt(docs.filter(col("doc_id") % 2 =!= 0), idx, 0L)
     }),
     "d16_neardup_keepers" -> ((s, dir) => // the ingestion-order near-dup
@@ -3179,6 +3237,22 @@ object SparkEntry {
       // passage id too (what a RAG pipeline actually retrieves)
       graft.llm.Retrieval.maxPassageTopK(
         Tables.documents(s, dir), Bm25QueryTerms, k = 15)),
+    "p12_maxp_indexed" -> ((s, dir) => {
+      // the PERSISTED passage-level index (r14 verdict #7 — p11
+      // recomputed chunk stats per query; production RAG retrieves
+      // passages from a committed index): chunk-granular postings +
+      // stats as commit-log tables, built half/half via build+append to
+      // bind the incremental-refresh path, then queried with zero corpus
+      // jobs — bit-identical to p11's inline operator, sharing its
+      // independent chunk-idf oracle. Build chain memoized (template);
+      // the committed probe is read-only.
+      val docs = Tables.documents(s, dir)
+      val idx = IndexCache.template(s"maxp|$dir|split") { p =>
+        graft.llm.Retrieval.buildPassageIndex(docs.filter(col("doc_id") % 2 === 0), p)
+        graft.llm.Retrieval.appendPassageIndex(docs.filter(col("doc_id") % 2 =!= 0), p)
+      }
+      graft.llm.Retrieval.maxPassageTopKIndexed(s, idx, Bm25QueryTerms, k = 15)
+    }),
     "p8_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: t37's sparse BM25 list + a dense cosine list
       // fused by reciprocal-rank fusion (exact integer micro-units) —
@@ -3201,15 +3275,12 @@ object SparkEntry {
       // index result lists fuse by exact-integer RRF. This is the gate
       // that binds the whole round-12 index family into one user-facing
       // pipeline.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ragidx-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val bmIdx = root.resolve("bm25").toString
-      val ivfIdx = root.resolve("ivf").toString
-      graft.llm.Retrieval.buildBm25Index(Tables.documents(s, dir), bmIdx)
-      Similarity.buildIvfIndex(Tables.embeddings(s, dir), ivfIdx)
+      // Both legs' builds are memoized templates (s29 clones the BM25
+      // one, s12 shares the IVF one); the fused query path is read-only.
+      val bmIdx = IndexCache.template(s"bm25|$dir|full")(
+        graft.llm.Retrieval.buildBm25Index(Tables.documents(s, dir), _))
+      val ivfIdx = IndexCache.template(s"ivf|$dir|full")(
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), _))
       val sparse = graft.llm.Retrieval.bm25TopKIndexed(s, bmIdx, Bm25QueryTerms, k = 15)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(desc("score_e6"), col("doc_id"))))
@@ -3297,14 +3368,10 @@ object SparkEntry {
       // unprobed lists); the query path reads the COMMITTED index and runs
       // zero k-means jobs (listener-asserted in SimilaritySpec). Same
       // build configuration as s3, so the persisted round trip reproduces
-      // ivfTopK bit-for-bit and shares its oracle.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ivfidx-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
-      Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
+      // ivfTopK bit-for-bit and shares its oracle. Deterministic build →
+      // process-wide template (IndexCache); probe read-only per execution.
+      val idx = IndexCache.template(s"ivf|$dir|full")(
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), _))
       Similarity.ivfTopKIndexed(s, idx)
     }),
     "s23_ivf_filtered" -> ((s, dir) => {
@@ -3314,15 +3381,10 @@ object SparkEntry {
       // shape, a predicate over the committed list rows applied INSIDE
       // the probed lists BEFORE ranking — over-fetch + post-filter would
       // break the k contract under a selective filter; this path keeps
-      // it. Same build configuration as s12, so the oracle is s3's
-      // mirror with the same candidate predicate.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ivfflt-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
-      Similarity.buildIvfIndex(Tables.embeddings(s, dir), idx)
+      // it. Same build configuration as s12 (shared memoized template),
+      // so the oracle is s3's mirror with the same candidate predicate.
+      val idx = IndexCache.template(s"ivf|$dir|full")(
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), _))
       Similarity.ivfTopKIndexed(s, idx,
         predicate = Some(col("vec_id") % 7 === 3))
     }),
@@ -3340,13 +3402,10 @@ object SparkEntry {
       // tables at build time; a search is `hops` rounds of file-pruned
       // point reads (frontier adjacency + candidate vectors), never a
       // corpus scan. The mirror replays build + beam loop end-to-end.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-knngidx-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
-      KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), idx)
+      // The deterministic build is a process-wide template (IndexCache —
+      // round-14 verdict #1); the search runs per execution, read-only.
+      val idx = IndexCache.template(s"knng|$dir|full")(
+        KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), _))
       KnnGraph.knnGraphSearch(s, idx)
     }),
     "s26_graph_append" -> ((s, dir) => {
@@ -3357,14 +3416,11 @@ object SparkEntry {
       // reachable — then the standard query walk runs over the extended
       // index. Queries (< 20) are themselves appended nodes, so the
       // gate only passes if the append's reverse-edge semantics hold.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-knnapp-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // Build is a memoized template; the append MUTATES, so it runs on
+      // a private copy per execution (IndexCache isolation contract).
       val emb = Tables.embeddings(s, dir)
-      KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), idx)
+      val idx = IndexCache.privateCopy(s"knng|$dir|ge100", "knnapp")(
+        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), _))
       KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
       KnnGraph.knnGraphSearch(s, idx)
     }),
@@ -3373,18 +3429,54 @@ object SparkEntry {
       // centroids then lists — a racing reader could score new lists
       // against an old codebook): head probe sees the appended index,
       // the v0 probe replays the build-only index through one pinned
-      // member set.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ivfver-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // member set. Build memoized; append mutates → private copy.
       val emb = Tables.embeddings(s, dir)
-      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), idx)   // index v0
+      val idx = IndexCache.privateCopy(s"ivf|$dir|lt300", "ivfver")(
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), _))   // index v0
       Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 300), idx) // index v1
       Similarity.ivfTopKIndexed(s, idx).withColumn("phase", lit("head"))
         .unionByName(Similarity.ivfTopKIndexedAt(s, idx, 0L).withColumn("phase", lit("v0")))
+    }),
+    "s38_lifecycle_recall" -> ((s, dir) => {
+      // ANN QUALITY UNDER CHURN (r14 verdict #8 — recall floors were
+      // mostly asserted at build time; this gate runs the recall
+      // instrument AFTER the full lifecycle): build on the tail corpus →
+      // search-then-link append → tombstone delete → consolidate (one-hop
+      // repair) → OPTIMIZE (clustered graph compaction) → routed walk,
+      // then recall@k per query against the exact scan over the SURVIVING
+      // corpus. The contract is two exact-integer floors (the
+      // ann-benchmarks protocol's shape): per query n_hit·10 ≥ n_exact·4
+      // (recall ≥ 40% — churn legitimately costs the tail: one query's
+      // exact neighbors stay at 2/5 under ANY beam/hops once its links
+      // route through the deleted range; measured plateau at sf0.01),
+      // and FLEET-wide Σn_hit·10 ≥ Σn_exact·7 (mean recall ≥ 70%;
+      // measured 80% with 10pp margin). If churn degrades the repaired
+      // graph below either floor, rows flip and the gate hash-fails.
+      // linkK/beam widened vs the defaults — the append and the
+      // post-churn walk are where quality is bought back (FreshDiskANN's
+      // own knob). Build memoized (s26's template); every lifecycle
+      // mutation runs on a private copy per execution.
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.privateCopy(s"knng|$dir|ge100", "lifecycle")(
+        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), _))
+      KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx, linkK = 10)
+      KnnGraph.deleteFromKnnGraphIndex(
+        emb.filter(col("vec_id") >= 150 && col("vec_id") < 200).select("vec_id"), idx)
+      KnnGraph.consolidateKnnGraphIndex(s, idx)
+      new graft.operators.CommitTable(s, s"$idx/graph", "src")
+        .compactClustered("src", targetFiles = 4)
+      val approx = KnnGraph.knnGraphSearch(s, idx, beam = 32, hops = 4)
+      val exact = Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 150 || col("vec_id") >= 200))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Similarity.recallAtK(approx, exact)
+        .select(col("query_id"),
+          (col("n_hit") * 10 >= col("n_exact") * 4).as("ge_floor"),
+          (sum(col("n_hit") * 10).over(wAll) >= sum(col("n_exact") * 7).over(wAll))
+            .as("fleet_ge_mean"))
+        .orderBy("query_id")
     }),
     "s37_maxsim" -> ((s, dir) => // ColBERT-style late-interaction MaxSim
       // re-ranking (sum over query tokens of the max dot against document
@@ -3399,15 +3491,13 @@ object SparkEntry {
       // reader could score new postings against the OLD n/sum_dl. Head
       // query == the full-corpus scorer; the v0 query == the build-half
       // index exactly.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-bm25ver-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // Same build+append chain as s19 → shared memoized template; both
+      // probes (head and manifest-pinned v0) are read-only.
       val docs = Tables.documents(s, dir)
-      graft.llm.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), idx)
-      graft.llm.Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 =!= 0), idx)
+      val idx = IndexCache.template(s"bm25|$dir|split") { p =>
+        graft.llm.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), p)
+        graft.llm.Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 =!= 0), p)
+      }
       graft.llm.Retrieval.bm25TopKIndexed(s, idx, Bm25QueryTerms, k = 15)
         .withColumn("phase", lit("head"))
         .unionByName(graft.llm.Retrieval
@@ -3420,15 +3510,11 @@ object SparkEntry {
       // member heads as ONE manifest commit, so a reader never mixes new
       // vectors with the pre-append graph — and the whole index time
       // travels as a unit: the head search sees the appended state, the
-      // v0 search replays the build-only index exactly.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-idxver-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // v0 search replays the build-only index exactly. Build memoized
+      // (template), append mutates → private copy per execution.
       val emb = Tables.embeddings(s, dir)
-      KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") < 300), idx)   // index v0
+      val idx = IndexCache.privateCopy(s"knng|$dir|lt300", "idxver")(
+        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") < 300), _))  // index v0
       KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") >= 300), idx) // index v1
       KnnGraph.knnGraphSearch(s, idx).withColumn("phase", lit("head"))
         .unionByName(KnnGraph.knnGraphSearchAt(s, idx, 0L).withColumn("phase", lit("v0")))
@@ -3439,16 +3525,14 @@ object SparkEntry {
       // code rows (m bytes/vector) are the only corpus-sized reads — and
       // full-precision vectors touched ONLY for the final k·candFactor
       // exact re-rank. The mirror replays seeds/codes/LUT and every hop's
-      // integer ADC bit-for-bit.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-pqgann-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // integer ADC bit-for-bit. Build + PQ-add are both deterministic
+      // artifact construction → one memoized template; the ADC walk
+      // itself runs per execution, read-only.
       val emb = Tables.embeddings(s, dir)
-      KnnGraph.buildKnnGraphIndex(emb, idx)
-      KnnGraph.addPqToKnnGraphIndex(emb, idx)
+      val idx = IndexCache.template(s"knngpq|$dir|full") { p =>
+        KnnGraph.buildKnnGraphIndex(emb, p)
+        KnnGraph.addPqToKnnGraphIndex(emb, p)
+      }
       KnnGraph.pqGraphSearch(s, idx)
     }),
     "s31_ivf_drift" -> ((s, dir) => {
@@ -3456,15 +3540,11 @@ object SparkEntry {
       // "caller owns drift policy"): per committed list, the index's
       // population + quantization residual beside a NEW shard's under the
       // same fixed codebook — exact integers, so rebuild thresholds are
-      // plain arithmetic over this frame.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ivfdrift-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // plain arithmetic over this frame. Memoized build; the drift
+      // instrument only READS the index.
       val emb = Tables.embeddings(s, dir)
-      Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 100), idx)
+      val idx = IndexCache.template(s"ivf|$dir|ge100")(
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 100), _))
       Similarity.ivfDriftStats(emb.filter(col("vec_id") < 100), idx)
     }),
     "s32_recall_eval" -> ((s, dir) => {
@@ -3480,14 +3560,10 @@ object SparkEntry {
       // the walk routes through non-matching vertices — and the
       // predicate gates results only, so a selective filter still
       // returns ranked matches (widened beam feeds it enough visited
-      // candidates; the spec pins the k contract).
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-knnflt-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
-      KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), idx)
+      // candidates; the spec pins the k contract). Shared memoized
+      // build (same artifact as s25); the filtered walk is read-only.
+      val idx = IndexCache.template(s"knng|$dir|full")(
+        KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir), _))
       KnnGraph.knnGraphSearch(s, idx, beam = 16,
         predicate = Some(col("vec_id") % 3 === 1))
     }),
@@ -3497,15 +3573,11 @@ object SparkEntry {
       // range vanish from probes immediately; consolidation drops the
       // physical rows. Because the exclusion is a pure row filter on the
       // committed lists, BOTH phases equal the one filtered mirror — the
-      // gate row carries them side by side to prove it.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ivfdel-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // gate row carries them side by side to prove it. Shared memoized
+      // build; tombstone + consolidate mutate → private copy.
       val emb = Tables.embeddings(s, dir)
-      Similarity.buildIvfIndex(emb, idx)
+      val idx = IndexCache.privateCopy(s"ivf|$dir|full", "ivfdel")(
+        Similarity.buildIvfIndex(emb, _))
       Similarity.deleteFromIvfIndex(
         emb.filter(col("vec_id") >= 120 && col("vec_id") < 180).select("vec_id"), idx)
       val pre = Similarity.ivfTopKIndexed(s, idx)
@@ -3522,14 +3594,11 @@ object SparkEntry {
       // deleted vertex inherit its surviving out-neighbors (one-hop
       // repair), vectors/entries rewrite without the range — and run the
       // standard walk. The mirror replays build + repair + walk.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-knndel-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // Shared memoized build; tombstone + consolidate mutate → private
+      // copy per execution.
       val emb = Tables.embeddings(s, dir)
-      KnnGraph.buildKnnGraphIndex(emb, idx)
+      val idx = IndexCache.privateCopy(s"knng|$dir|full", "knndel")(
+        KnnGraph.buildKnnGraphIndex(emb, _))
       KnnGraph.deleteFromKnnGraphIndex(
         emb.filter(col("vec_id") >= 120 && col("vec_id") < 180).select("vec_id"), idx)
       KnnGraph.consolidateKnnGraphIndex(s, idx)
@@ -3542,14 +3611,11 @@ object SparkEntry {
       // Lucene semantics, spec-pinned); consolidation re-derives exact
       // survivor stats, making the index bit-identical to a rebuild on
       // the survivors — which IS the mirror here.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-bm25del-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // Full-corpus build memoized (p10 shares the artifact); delete +
+      // consolidate mutate → private copy per execution.
       val docs = Tables.documents(s, dir)
-      graft.llm.Retrieval.buildBm25Index(docs, idx)
+      val idx = IndexCache.privateCopy(s"bm25|$dir|full", "bm25del")(
+        graft.llm.Retrieval.buildBm25Index(docs, _))
       graft.llm.Retrieval.deleteFromBm25Index(
         docs.filter(col("doc_id") % 7 === 3).select("doc_id"), idx)
       graft.llm.Retrieval.consolidateBm25Index(s, idx)
@@ -3561,14 +3627,10 @@ object SparkEntry {
       // next to the codebook; the query streams committed codes and
       // never re-encodes — only the k·candFactor re-rank candidates
       // touch raw floats. Same build configuration as s7, so the round
-      // trip is bit-identical and shares its oracle.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-pqidx-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
-      Similarity.buildPqIndex(Tables.embeddings(s, dir), idx)
+      // trip is bit-identical and shares its oracle. Memoized build;
+      // the code-streaming probe is read-only.
+      val idx = IndexCache.template(s"pq|$dir|full")(
+        Similarity.buildPqIndex(Tables.embeddings(s, dir), _))
       Similarity.pqTopKIndexed(Tables.embeddings(s, dir), idx)
     }),
     "s14_ivf_append" -> ((s, dir) => {
@@ -3577,14 +3639,10 @@ object SparkEntry {
       // against the FIXED committed codebook — no retraining pass, no
       // touch of the existing lists; the oracle mirrors the same
       // train-on-prefix/assign-all split via ivfTopKSql's trainFilter.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ivfapp-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // Prefix build memoized; the append mutates → private copy.
       val emb = Tables.embeddings(s, dir)
-      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250), idx)
+      val idx = IndexCache.privateCopy(s"ivf|$dir|lt250", "ivfapp")(
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250), _))
       Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), idx)
       Similarity.ivfTopKIndexed(s, idx)
     }),
@@ -3594,14 +3652,9 @@ object SparkEntry {
       // a lists table holding ONLY (vec_id, cid, codes), cid-clustered;
       // a query probes nprobe lists, integer-ADCs their codes, and pays
       // exact cosines for just k·candFactor survivors. Raw vectors:
-      // never materialized, never shuffled.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ivfpq-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
-      Similarity.buildIvfPqIndex(Tables.embeddings(s, dir), idx)
+      // never materialized, never shuffled. Memoized build; read-only probe.
+      val idx = IndexCache.template(s"ivfpq|$dir|full")(
+        Similarity.buildIvfPqIndex(Tables.embeddings(s, dir), _))
       Similarity.ivfPqTopKIndexed(Tables.embeddings(s, dir), idx)
     }),
     "s21_pq_append" -> ((s, dir) => {
@@ -3610,14 +3663,10 @@ object SparkEntry {
       // shard encodes in one pass and lands as ONE atomic commit. The
       // vec_id<250 training prefix contains the ksub lowest ids, so the
       // codebooks equal a full build's and s7's oracle applies unchanged.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-pqapp-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // Prefix build memoized; the append mutates → private copy.
       val emb = Tables.embeddings(s, dir)
-      Similarity.buildPqIndex(emb.filter(col("vec_id") < 250), idx)
+      val idx = IndexCache.privateCopy(s"pq|$dir|lt250", "pqapp")(
+        Similarity.buildPqIndex(emb.filter(col("vec_id") < 250), _))
       Similarity.appendPqIndex(emb.filter(col("vec_id") >= 250), idx)
       Similarity.pqTopKIndexed(emb, idx)
     }),
@@ -3627,14 +3676,10 @@ object SparkEntry {
       // PQ-encoded in one pass, landing as ONE atomic lists commit. The
       // mirror restricts both codebooks' training view to the vec_id<250
       // prefix while codes/assignment cover the corpus.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-ivfpqapp-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // Prefix build memoized; the append mutates → private copy.
       val emb = Tables.embeddings(s, dir)
-      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 250), idx)
+      val idx = IndexCache.privateCopy(s"ivfpq|$dir|lt250", "ivfpqapp")(
+        Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 250), _))
       Similarity.appendIvfPqIndex(emb.filter(col("vec_id") >= 250), idx)
       Similarity.ivfPqTopKIndexed(emb, idx)
     }),
@@ -3648,16 +3693,14 @@ object SparkEntry {
       // RetrievalSpec). Built on a half/half build+append split to bind
       // the incremental-refresh path to the gate; BM25 has no trained
       // component, so the result is bit-identical to t37's inline
-      // operator and shares its oracle.
-      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-bm25idx-${ProcessHandle.current().pid()}"))
-      TempDirs.deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val idx = root.resolve("idx").toString
+      // operator and shares its oracle. The build+append CHAIN is the
+      // deterministic artifact (memoized; s36 shares it); the committed
+      // probe is read-only.
       val docs = Tables.documents(s, dir)
-      graft.llm.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), idx)
-      graft.llm.Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 =!= 0), idx)
+      val idx = IndexCache.template(s"bm25|$dir|split") { p =>
+        graft.llm.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), p)
+        graft.llm.Retrieval.appendBm25Index(docs.filter(col("doc_id") % 2 =!= 0), p)
+      }
       graft.llm.Retrieval.bm25TopKIndexed(s, idx, Bm25QueryTerms, k = 15)
     }),
 
@@ -4587,6 +4630,40 @@ object SparkEntry {
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000) AS sum_key,
         |       (SELECT COUNT(*) FROM orders) AS n0,
         |       (SELECT SUM(o_orderkey)::BIGINT FROM orders) AS s0""".stripMargin,
+    "f24_log_checkpoint" -> // each version's snapshot restated from nation:
+      // v1..v3 accumulate 5-key slices, v4 deletes keys 7..12, v5 appends
+      // the tail — resolution through delta entries + the v3 checkpoint
+      // must reproduce exactly these states
+      """WITH s AS (SELECT n_nationkey::BIGINT AS k FROM nation)
+        |SELECT 1::BIGINT AS version, COUNT(*) AS n_rows, SUM(k)::BIGINT AS sum_key FROM s WHERE k < 10
+        |UNION ALL SELECT 2, COUNT(*), SUM(k)::BIGINT FROM s WHERE k < 15
+        |UNION ALL SELECT 3, COUNT(*), SUM(k)::BIGINT FROM s WHERE k < 20
+        |UNION ALL SELECT 4, COUNT(*), SUM(k)::BIGINT FROM s WHERE k < 20 AND k NOT BETWEEN 7 AND 12
+        |UNION ALL SELECT 5, COUNT(*), SUM(k)::BIGINT FROM s WHERE k NOT BETWEEN 7 AND 12
+        |ORDER BY version""".stripMargin,
+    "f25_multicol_stats" -> // the second-column range read: file pruning is
+      // a plan property (spec-asserted); content equals the plain filter
+      """SELECT COUNT(*) AS n_rows, SUM(o_orderkey)::BIGINT AS sum_key,
+        |       SUM(o_custkey)::BIGINT AS sum_cust
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 400""".stripMargin,
+    "s38_lifecycle_recall" -> // the contract row: every query's post-churn
+      // recall@5 must clear the exact-integer 40% per-query floor AND the
+      // fleet mean must clear 70% — the Spark side computes recall from
+      // the lifecycle-mutated index vs the exact scan; any query below
+      // either floor flips its row and hash-fails
+      """SELECT range::BIGINT AS query_id, true AS ge_floor, true AS fleet_ge_mean
+        |FROM range(0, 20) ORDER BY query_id""".stripMargin,
+    "q51_named_catalog" -> // by-name reads after the by-name delete: head
+      // excludes [1000, 5000], the range read cuts [6000, 9000] of the
+      // head, v0 is the full projection
+      """SELECT 'head' AS snap, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_k
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000
+        |UNION ALL
+        |SELECT 'ranged', COUNT(*), SUM(o_orderkey)::BIGINT
+        |FROM orders WHERE o_orderkey BETWEEN 6000 AND 9000
+        |UNION ALL
+        |SELECT 'v0', COUNT(*), SUM(o_orderkey)::BIGINT FROM orders
+        |ORDER BY snap""".stripMargin,
     "q50_sql_vacuum" -> // vacuum reclaims history, never head content:
       // the surviving snapshot is the second overwrite's rows
       """SELECT COUNT(*) AS n_rows, SUM(o_orderkey)::BIGINT AS sum_k,
@@ -5969,15 +6046,17 @@ object SparkEntry {
              |GROUP BY d.source ORDER BY d.source""".stripMargin)
     }
     val maxpOracle: Map[String, String] =
-      if (!want("p11_maxp_retrieval")) Map.empty else {
+      if (!(want("p11_maxp_retrieval") || want("p12_maxp_indexed"))) Map.empty else {
         val texts = graft.Tables.documents(spark, sfDir)
           .select(col("text")).collect().map(_.getString(0)).toSeq
         // chunk-level idf derived INDEPENDENTLY (own tokenizer, own
         // sliding windows, own chunk dfs — the t37 discipline at passage
         // granularity)
         val idfCh = SequentialCorpus.bm25ChunkIdf(texts, Bm25QueryTerms)
-        Map("p11_maxp_retrieval" ->
-          graft.llm.Retrieval.maxPassageTopKSql(idfCh, k = 15))
+        val sql = graft.llm.Retrieval.maxPassageTopKSql(idfCh, k = 15)
+        // the committed passage index is bit-identical to the inline
+        // operator (no trained component; shared integer scoring tail)
+        Map("p11_maxp_retrieval" -> sql, "p12_maxp_indexed" -> sql)
       }
     val bm25Oracle: Map[String, String] =
       if (!(want("t37_bm25") || want("p8_hybrid_rrf") || want("s19_bm25_indexed")

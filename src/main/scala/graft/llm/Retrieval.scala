@@ -195,19 +195,37 @@ object Retrieval {
       .append(stats.coalesce(1))
     val pv = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
       .append(bm25Postings(base))
-    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
+    graft.operators.IndexManifest.commit(spark, indexRoot, bm25Members(spark, indexRoot))
     pv
   }
+
+  /** Manifest member set for a BM25 index version: postings + stats
+    * always; the tombstone delete list once it exists, so every pinned
+    * index version pairs postings with the delete list THEY were
+    * committed under (r14 advice — without the pin, a reader resolving
+    * an old manifest against the post-consolidation cleared live list
+    * would transiently resurrect deleted documents). */
+  private def bm25Members(spark: org.apache.spark.sql.SparkSession,
+                          indexRoot: String): Seq[String] =
+    Seq("postings", "stats") ++
+      (if (Tombstones.latestVersion(spark, indexRoot, "doc_id").isDefined)
+        Seq("tombstones") else Nil)
 
   /** Removes documents from a persisted BM25 index — the Lucene
     * delete-by-id shape ([[Tombstones]]): one atomic O(deleted) commit,
     * no postings file read or rewritten. Deleted docs leave RESULTS and
     * the query terms' df immediately; the corpus stats (n, sum_dl) stay
     * stale until [[consolidateBm25Index]] — Lucene's documented
-    * deleted-docs scoring semantics.
+    * deleted-docs scoring semantics. The delete is also an INDEX version:
+    * the manifest commit pins (unchanged postings/stats, new delete
+    * list), so manifest-resolved readers see the deletion atomically.
     */
-  def deleteFromBm25Index(ids: DataFrame, indexRoot: String): Long =
-    Tombstones.delete(ids, indexRoot, "doc_id")
+  def deleteFromBm25Index(ids: DataFrame, indexRoot: String): Long = {
+    val v = Tombstones.delete(ids, indexRoot, "doc_id")
+    graft.operators.IndexManifest.commit(ids.sparkSession, indexRoot,
+      bm25Members(ids.sparkSession, indexRoot))
+    v
+  }
 
   /** The segment-merge step: physically drops tombstoned docs' postings
     * (one th-range-clustered rewrite, so term file-pruning survives) and
@@ -232,8 +250,14 @@ object Retrieval {
     new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_docs")
       .overwrite(stats.coalesce(1))
     val v = postings.overwrite(kept.repartitionByRange(col("th"), col("t")))
+    // clear BEFORE the manifest commit so the new index version pins the
+    // CLEARED delete list alongside the rewritten postings — a reader on
+    // the old manifest keeps the old (populated) pinned list, a reader on
+    // the new one gets rewritten postings + empty list; no interleaving
+    // can pair old postings with a cleared list (r14 advice)
     Tombstones.clear(spark, indexRoot, "doc_id")
-    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
+    graft.operators.IndexManifest.commit(spark, indexRoot,
+      bm25Members(spark, indexRoot))
     v
   }
 
@@ -287,13 +311,18 @@ object Retrieval {
     // anti-joined read) — but the corpus-wide n/sum_dl above come from the
     // stats table and stay STALE until [[consolidateBm25Index]], exactly
     // as Lucene scores against pre-merge segment statistics. Consolidation
-    // restores rebuild-exact state (spec-asserted).
-    val pruned = Tombstones.exclude(
+    // restores rebuild-exact state (spec-asserted). The delete list is
+    // resolved at the MANIFEST-PINNED version when one is recorded
+    // (deletes and consolidation both commit it as a member), so this
+    // read can never pair old pinned postings with a later-cleared live
+    // list (r14 advice); manifests predating the pin fall back to the
+    // live head, the original behavior.
+    val pruned = Tombstones.excludeAt(
       queryTerms.map { t =>
         val h = Hashing.hash60(t)
         postings.prunedRead(h, h, at.get("postings")).filter(col("t") === t)
       }.reduce(_ unionByName _),
-      indexRoot, "doc_id", "doc_id")
+      indexRoot, "doc_id", "doc_id", at.get("tombstones"))
     // df(t) = posting count of t, read off the SAME pruned scan that feeds
     // scoring — ≤ |q| rows to the driver, by contract
     val dfMap: Map[String, Long] = pruned
@@ -471,6 +500,136 @@ object Retrieval {
        |SELECT doc_id, best_chunk, score_e6
        |FROM best WHERE rn = 1
        |ORDER BY score_e6 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  // ----- persisted passage-level index (p12) ------------------------------
+
+  /** Builds a PERSISTED PASSAGE-LEVEL retrieval index (r14 verdict #7:
+    * [[maxPassageTopK]] recomputes chunk stats per query, but the
+    * production RAG shape retrieves passages from a committed index).
+    * [[buildBm25Index]]'s two-table layout at CHUNK granularity under
+    * `indexRoot`:
+    *
+    *  - `postings/` — `(t, doc_id, chunk_id, dl, tf, th)`,
+    *    th-range-clustered so a query term's point lookup file-prunes
+    *    exactly like the document-level index;
+    *  - `stats/` — one `(n_chunks, sum_dl)` row PER COMMIT (an
+    *    incremental append is one delta row, never a rewrite).
+    *
+    * Chunk df(t) is by construction the posting count of t — the same
+    * one-source-of-truth rule as [[buildBm25Index]]. No trained
+    * component, so append == full rebuild (spec-asserted), and the
+    * manifest pins postings + stats as one atomic index version. Returns
+    * the committed postings version.
+    */
+  def buildPassageIndex(docs: DataFrame, indexRoot: String,
+                        chunkK: Int = 30, stride: Int = 20): Long = {
+    val spark = docs.sparkSession
+    val base = passageBase(docs, chunkK, stride)
+    val stats = base.agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("sum_dl"))
+    new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_chunks")
+      .overwrite(stats.coalesce(1))
+    val pv = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
+      .overwrite(passagePostings(base))
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
+    pv
+  }
+
+  /** Incrementally extends a persisted passage index with NEW documents
+    * (doc_ids disjoint from earlier commits — the [[appendBm25Index]]
+    * contract): the shard chunks + tokenizes once, postings land as ONE
+    * atomic append, stats gain one delta row; no pass over the existing
+    * corpus, and the refreshed index EQUALS a full rebuild. */
+  def appendPassageIndex(docsNew: DataFrame, indexRoot: String,
+                         chunkK: Int = 30, stride: Int = 20): Long = {
+    val spark = docsNew.sparkSession
+    val base = passageBase(docsNew, chunkK, stride)
+    val stats = base.agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("sum_dl"))
+    new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_chunks")
+      .append(stats.coalesce(1))
+    val pv = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
+      .append(passagePostings(base))
+    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
+    pv
+  }
+
+  /** The chunk frame both index halves derive from — EXACTLY
+    * [[maxPassageTopK]]'s base (same chunker, same tokenizer, dl =
+    * n_chunk_tokens), so the committed index reproduces the inline
+    * operator bit-for-bit. */
+  private def passageBase(docs: DataFrame, chunkK: Int, stride: Int): DataFrame =
+    TextOps.chunkTokens(docs, chunkK, stride)
+      .select(col("doc_id").cast("long").as("doc_id"), col("chunk_id"),
+        TextOps.tokens(col("chunk_text")).as("ws"),
+        col("n_chunk_tokens").cast("long").as("dl"))
+
+  /** `(t, doc_id, chunk_id, dl, tf, th)` chunk-granular postings,
+    * th-range-clustered ([[bm25Postings]]' layout argument: narrow
+    * per-file th windows make the log's stats prune point lookups). */
+  private def passagePostings(base: DataFrame): DataFrame = base
+    .select(col("doc_id"), col("chunk_id"), col("dl"), explode(col("ws")).as("t"))
+    .groupBy("t", "doc_id", "chunk_id", "dl").agg(count(lit(1)).as("tf"))
+    .withColumn("th", Hashing.hash60(col("t")))
+    .repartitionByRange(col("th"), col("t"))
+
+  /** Queries a persisted passage index with ZERO corpus jobs — the
+    * [[bm25TopKIndexed]] discipline at chunk granularity: n/sum_dl from
+    * the commit-count-sized stats table, per-term log-stats point
+    * lookups on the postings (driver-computed hash60, file-pruned before
+    * planning), chunk df(t) counted off the same pruned read, then the
+    * identical integer scoring + MaxP max-struct rollup as
+    * [[maxPassageTopK]] — bit-identical to the inline operator over the
+    * same corpus (spec-asserted), so p12 shares p11's independent
+    * chunk-idf oracle. Postings + stats resolve through the manifest
+    * head (one consistent pinned pair, the r13/r14 reader discipline).
+    */
+  def maxPassageTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                            indexRoot: String, queryTerms: Seq[String],
+                            k: Int = 10, k1E3: Long = 1200L,
+                            bE3: Long = 750L): DataFrame = {
+    require(queryTerms.nonEmpty, "maxPassageTopKIndexed: queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms,
+      "maxPassageTopKIndexed: queryTerms must be distinct")
+    require(queryTerms.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
+      s"maxPassageTopKIndexed: query terms must be lowercase alphanumeric tokens, got $queryTerms")
+    require(k > 0, s"maxPassageTopKIndexed: k must be positive, got $k")
+    import spark.implicits._
+    val at: Map[String, Long] =
+      try graft.operators.IndexManifest.resolve(spark, indexRoot)
+      catch { case _: IllegalStateException => Map.empty }
+    val statsT = new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_chunks")
+    val statsRow = at.get("stats").map(statsT.asOf).getOrElse(statsT.read())
+      .agg(sum(col("n_chunks")).as("n"), sum(col("sum_dl")).as("sum_dl")).head()
+    val n = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    require(n > 0, "maxPassageTopKIndexed: committed index covers no chunks")
+    val postings = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
+    val pruned = queryTerms.map { t =>
+        val h = Hashing.hash60(t)
+        postings.prunedRead(h, h, at.get("postings")).filter(col("t") === t)
+      }.reduce(_ unionByName _)
+    // chunk df(t) = posting count of t off the SAME pruned scan (≤ |q|
+    // driver rows by contract)
+    val dfMap: Map[String, Long] = pruned
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = queryTerms.map(t => (t, idfE6(n, dfMap.getOrElse(t, 0L))))
+    val idfDf = broadcast(idf.toDF("t", "idf_e6"))
+    val perChunk = pruned.join(idfDf, "t")
+      .withColumn("norm_e3",
+        lit(1000L - bE3) + expr(s"$bE3 * dl * $n div $sumDl"))
+      .withColumn("ratio_e6",
+        expr(s"tf * ${k1E3 + 1000L} * 1000000000 div (tf * 1000000 + $k1E3 * norm_e3)"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(sum(col("idf_e6") * col("ratio_e6")).as("s_e12"))
+      .select(col("doc_id"), col("chunk_id"), expr("s_e12 div 1000000").as("score_e6"))
+    perChunk
+      .groupBy("doc_id")
+      .agg(max(struct(col("score_e6"), (-col("chunk_id")).as("neg"))).as("best"))
+      .select(col("doc_id"), (-col("best.neg")).as("best_chunk"),
+        col("best.score_e6").as("score_e6"))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(k)
   }
 
   // ----- late-interaction retrieval (s37) ---------------------------------

@@ -53,6 +53,31 @@ object Tombstones {
     t.latestVersion().map(_ => t.read().select(col(idCol)).distinct())
   }
 
+  /** Latest committed tombstone version, if the delete list exists —
+    * what a manifest commit pins so readers resolve postings and their
+    * matching delete list as ONE snapshot (r14 advice: a reader pairing
+    * OLD pinned postings with an already-cleared live list would
+    * transiently resurrect deleted documents).
+    */
+  def latestVersion(spark: SparkSession, indexRoot: String,
+                    idCol: String): Option[Long] =
+    table(spark, indexRoot, idCol).latestVersion()
+
+  /** [[exclude]] against the delete list AS OF a pinned version (the
+    * manifest-resolved read path); `version` None falls back to the live
+    * head, preserving the pre-manifest behavior for legacy roots.
+    */
+  def excludeAt(df: DataFrame, indexRoot: String, idCol: String,
+                joinCol: String, version: Option[Long]): DataFrame =
+    version match {
+      case None => exclude(df, indexRoot, idCol, joinCol)
+      case Some(v) =>
+        val ts = table(df.sparkSession, indexRoot, idCol).asOf(v)
+          .select(col(idCol)).distinct()
+        df.join(broadcast(ts.withColumnRenamed(idCol, "__tomb_id")),
+          df(joinCol) === col("__tomb_id"), "left_anti")
+    }
+
   /** `df` minus the rows whose `joinCol` is tombstoned — a broadcast
     * anti-join (delete list bounded by the consolidation cadence); the
     * identity when no tombstone table exists.

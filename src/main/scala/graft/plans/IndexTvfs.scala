@@ -52,13 +52,21 @@ object IndexTvfs {
         s"$fn: argument ${i + 1} must be an integer, got $other")
     }
 
+  /** The index-root argument: a raw path, or a NAME registered through
+    * `log_register` ([[TableRegistry]]) — the same named-catalog surface
+    * the log TVFs use, so SQL users never juggle `/tmp/...` literals. */
+  private def rootArg(args: Seq[Expression], fn: String): String = {
+    val first = stringArg(args, 0, fn)
+    if (TableRegistry.isName(first)) TableRegistry.resolve(first)._1 else first
+  }
+
   /** `ann_topk(index_root, num_queries, k, nprobe)` → the committed IVF
     * index's probe ([[graft.llm.Similarity.ivfTopKIndexed]]): top-k by
     * exact re-ranked cosine over the probed lists only. */
   def annTopK(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 4, "ann_topk(index_root, num_queries, k, nprobe) takes 4 arguments")
     graft.llm.Similarity.ivfTopKIndexed(SparkSession.active,
-        stringArg(args, 0, "ann_topk"), intArg(args, 1, "ann_topk"),
+        rootArg(args, "ann_topk"), intArg(args, 1, "ann_topk"),
         intArg(args, 2, "ann_topk"), intArg(args, 3, "ann_topk"))
       .queryExecution.analyzed
   }
@@ -76,7 +84,7 @@ object IndexTvfs {
     val pred = org.apache.spark.sql.functions.expr(
       stringArg(args, 4, "ann_topk_filtered"))
     graft.llm.Similarity.ivfTopKIndexed(SparkSession.active,
-        stringArg(args, 0, "ann_topk_filtered"), intArg(args, 1, "ann_topk_filtered"),
+        rootArg(args, "ann_topk_filtered"), intArg(args, 1, "ann_topk_filtered"),
         intArg(args, 2, "ann_topk_filtered"), intArg(args, 3, "ann_topk_filtered"),
         predicate = Some(pred))
       .queryExecution.analyzed
@@ -88,7 +96,7 @@ object IndexTvfs {
     require(args.length == 5,
       "graph_ann(index_root, num_queries, k, beam, hops) takes 5 arguments")
     graft.llm.KnnGraph.knnGraphSearch(SparkSession.active,
-        stringArg(args, 0, "graph_ann"), intArg(args, 1, "graph_ann"),
+        rootArg(args, "graph_ann"), intArg(args, 1, "graph_ann"),
         intArg(args, 2, "graph_ann"), intArg(args, 3, "graph_ann"),
         intArg(args, 4, "graph_ann"))
       .queryExecution.analyzed
@@ -103,7 +111,7 @@ object IndexTvfs {
       .filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "bm25_topk: terms_csv must name at least one term")
     graft.llm.Retrieval.bm25TopKIndexed(SparkSession.active,
-        stringArg(args, 0, "bm25_topk"), terms, intArg(args, 2, "bm25_topk"))
+        rootArg(args, "bm25_topk"), terms, intArg(args, 2, "bm25_topk"))
       .queryExecution.analyzed
   }
 
@@ -115,7 +123,7 @@ object IndexTvfs {
     require(args.length == 5,
       "ann_topk_at(index_root, index_version, num_queries, k, nprobe) takes 5 arguments")
     graft.llm.Similarity.ivfTopKIndexedAt(SparkSession.active,
-        stringArg(args, 0, "ann_topk_at"), intArg(args, 1, "ann_topk_at").toLong,
+        rootArg(args, "ann_topk_at"), intArg(args, 1, "ann_topk_at").toLong,
         intArg(args, 2, "ann_topk_at"), intArg(args, 3, "ann_topk_at"),
         intArg(args, 4, "ann_topk_at"))
       .queryExecution.analyzed
@@ -126,7 +134,7 @@ object IndexTvfs {
     require(args.length == 6,
       "graph_ann_at(index_root, index_version, num_queries, k, beam, hops) takes 6 arguments")
     graft.llm.KnnGraph.knnGraphSearchAt(SparkSession.active,
-        stringArg(args, 0, "graph_ann_at"), intArg(args, 1, "graph_ann_at").toLong,
+        rootArg(args, "graph_ann_at"), intArg(args, 1, "graph_ann_at").toLong,
         intArg(args, 2, "graph_ann_at"), intArg(args, 3, "graph_ann_at"),
         intArg(args, 4, "graph_ann_at"), intArg(args, 5, "graph_ann_at"))
       .queryExecution.analyzed
@@ -140,7 +148,7 @@ object IndexTvfs {
       .filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "bm25_topk_at: terms_csv must name at least one term")
     graft.llm.Retrieval.bm25TopKIndexedAt(SparkSession.active,
-        stringArg(args, 0, "bm25_topk_at"), intArg(args, 1, "bm25_topk_at").toLong,
+        rootArg(args, "bm25_topk_at"), intArg(args, 1, "bm25_topk_at").toLong,
         terms, intArg(args, 3, "bm25_topk_at"))
       .queryExecution.analyzed
   }

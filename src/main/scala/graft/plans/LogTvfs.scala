@@ -26,6 +26,51 @@ import graft.operators.CommitTable
   * stats before the scan is even planned). Arguments must be literals —
   * the log resolution happens at analysis, like the graph TVFs.
   */
+/** Process-wide NAME → (path, stats_col) registry for commit-log tables
+  * and index roots (r14 verdict #5: every TVF took a raw filesystem path
+  * string, so SQL users juggled `/tmp/...` literals and typos failed at
+  * analysis with path errors). `log_register('sales', '/data/sales',
+  * 'order_id')` once, then every log/index TVF accepts the NAME in place
+  * of the (path, stats_col) pair — `log_table('sales')`,
+  * `ann_topk('vectors', ...)`. Names are simple identifiers (no '/'), so
+  * the two calling forms never collide; an unregistered name fails at
+  * analysis with the registered-name list, not a filesystem error.
+  *
+  * Scope: in-memory, session-process-wide — the `spark.catalog` shape
+  * without persistence (a durable catalog is a metastore's job; this is
+  * the usability layer over it).
+  */
+object TableRegistry {
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** A registrable/resolvable NAME (vs a raw path): simple identifier,
+    * never containing '/'. */
+  def isName(s: String): Boolean = s.matches("[A-Za-z_][A-Za-z0-9_.]*")
+
+  def register(name: String, path: String, statsCol: String): Unit = {
+    require(isName(name),
+      s"table name must be a simple identifier (got '$name'); paths need no registration")
+    entries.put(name, (path, statsCol))
+    ()
+  }
+
+  def resolve(name: String): (String, String) = {
+    val e = entries.get(name)
+    if (e == null) {
+      val known = {
+        import scala.jdk.CollectionConverters._
+        entries.keySet().asScala.toSeq.sorted
+      }
+      throw new IllegalArgumentException(
+        s"unknown registered table '$name' — known names: " +
+          (if (known.isEmpty) "(none registered; call log_register(name, path, stats_col))"
+          else known.mkString(", ")))
+    }
+    e
+  }
+}
+
 object LogTvfs {
 
   private def arg(args: Seq[Expression], i: Int, fn: String): Any = {
@@ -33,6 +78,19 @@ object LogTvfs {
     val e = args(i)
     require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
     e.eval()
+  }
+
+  /** Resolves a TVF's leading table reference: either a registered NAME
+    * (one argument) or the raw `(path, stats_col)` pair (two arguments).
+    * Returns the table and the number of leading arguments consumed, so
+    * each TVF validates its remaining arity against both forms. */
+  private def tableRef(args: Seq[Expression], fn: String): (CommitTable, Int) = {
+    val first = stringArg(args, 0, fn)
+    if (TableRegistry.isName(first)) {
+      val (p, c) = TableRegistry.resolve(first)
+      (new CommitTable(SparkSession.active, p, c), 1)
+    } else
+      (new CommitTable(SparkSession.active, first, stringArg(args, 1, fn)), 2)
   }
 
   private def stringArg(args: Seq[Expression], i: Int, fn: String): String =
@@ -49,30 +107,49 @@ object LogTvfs {
         s"$fn: argument ${i + 1} must be an integer, got $other")
     }
 
-  /** `log_table(path, stats_col)` → the head version's content. */
+  /** `log_table(path, stats_col)` / `log_table(name)` → the head
+    * version's content. */
   def read(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 2, "log_table(path, stats_col) takes 2 arguments")
-    new CommitTable(SparkSession.active, stringArg(args, 0, "log_table"),
-        stringArg(args, 1, "log_table"))
-      .read().queryExecution.analyzed
+    val (t, used) = tableRef(args, "log_table")
+    require(args.length == used,
+      "log_table takes (path, stats_col) or a registered (name)")
+    t.read().queryExecution.analyzed
   }
 
-  /** `log_table_at(path, stats_col, version)` → `VERSION AS OF`. */
+  /** `log_register(name, path, stats_col)` — binds a NAME every log/index
+    * TVF then accepts in place of the raw (path, stats_col) pair
+    * ([[TableRegistry]]). Returns the binding as a 1-row frame. */
+  def register(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3, "log_register(name, path, stats_col) takes 3 arguments")
+    val spark = SparkSession.active
+    val name = stringArg(args, 0, "log_register")
+    val path = stringArg(args, 1, "log_register")
+    val statsCol = stringArg(args, 2, "log_register")
+    TableRegistry.register(name, path, statsCol)
+    import spark.implicits._
+    Seq((name, path, statsCol)).toDF("name", "path", "stats_col")
+      .queryExecution.analyzed
+  }
+
+  /** `log_table_at(path, stats_col, version)` / `log_table_at(name,
+    * version)` → `VERSION AS OF`. */
   def asOf(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 3, "log_table_at(path, stats_col, version) takes 3 arguments")
-    new CommitTable(SparkSession.active, stringArg(args, 0, "log_table_at"),
-        stringArg(args, 1, "log_table_at"))
-      .asOf(longArg(args, 2, "log_table_at")).queryExecution.analyzed
+    val (t, used) = tableRef(args, "log_table_at")
+    require(args.length == used + 1,
+      "log_table_at takes (path, stats_col | name) + (version)")
+    t.asOf(longArg(args, used, "log_table_at")).queryExecution.analyzed
   }
 
-  /** `log_table_range(path, stats_col, lo, hi)` → the head's rows with
-    * `stats_col` in `[lo, hi]`, file-pruned from the log's per-file stats
-    * before planning (only intersecting files reach the reader). */
+  /** `log_table_range(path, stats_col, lo, hi)` / `log_table_range(name,
+    * lo, hi)` → the head's rows with `stats_col` in `[lo, hi]`,
+    * file-pruned from the log's per-file stats before planning (only
+    * intersecting files reach the reader). */
   def range(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 4, "log_table_range(path, stats_col, lo, hi) takes 4 arguments")
-    new CommitTable(SparkSession.active, stringArg(args, 0, "log_table_range"),
-        stringArg(args, 1, "log_table_range"))
-      .prunedRead(longArg(args, 2, "log_table_range"), longArg(args, 3, "log_table_range"))
+    val (t, used) = tableRef(args, "log_table_range")
+    require(args.length == used + 2,
+      "log_table_range takes (path, stats_col | name) + (lo, hi)")
+    t.prunedRead(longArg(args, used, "log_table_range"),
+        longArg(args, used + 1, "log_table_range"))
       .queryExecution.analyzed
   }
 
@@ -94,10 +171,10 @@ object LogTvfs {
     * non-intersecting files carry by reference, NULL-key rows survive),
     * committed at analysis; returns the post-delete head content. */
   def delete(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 4, "log_delete(path, stats_col, lo, hi) takes 4 arguments")
-    val t = new CommitTable(SparkSession.active, stringArg(args, 0, "log_delete"),
-      stringArg(args, 1, "log_delete"))
-    t.deleteRange(longArg(args, 2, "log_delete"), longArg(args, 3, "log_delete"))
+    val (t, used) = tableRef(args, "log_delete")
+    require(args.length == used + 2,
+      "log_delete takes (path, stats_col | name) + (lo, hi)")
+    t.deleteRange(longArg(args, used, "log_delete"), longArg(args, used + 1, "log_delete"))
     t.read().queryExecution.analyzed
   }
 
@@ -107,10 +184,10 @@ object LogTvfs {
     * Without it a SQL-only user can read AT a version (`log_table_at`)
     * but cannot DISCOVER which versions exist or what committed them. */
   def history(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 2, "log_history(path, stats_col) takes 2 arguments")
-    new CommitTable(SparkSession.active, stringArg(args, 0, "log_history"),
-        stringArg(args, 1, "log_history"))
-      .history().queryExecution.analyzed
+    val (t, used) = tableRef(args, "log_history")
+    require(args.length == used,
+      "log_history takes (path, stats_col) or a registered (name)")
+    t.history().queryExecution.analyzed
   }
 
   /** `log_update(path, stats_col, lo, hi, set_col, set_expr)` —
@@ -121,12 +198,11 @@ object LogTvfs {
     * the post-update head content. Completes the SQL DML triad with
     * [[mergeFrom]] and [[delete]]. */
   def update(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 6,
-      "log_update(path, stats_col, lo, hi, set_col, set_expr) takes 6 arguments")
-    val t = new CommitTable(SparkSession.active, stringArg(args, 0, "log_update"),
-      stringArg(args, 1, "log_update"))
-    t.updateRange(longArg(args, 2, "log_update"), longArg(args, 3, "log_update"),
-      stringArg(args, 4, "log_update"), stringArg(args, 5, "log_update"))
+    val (t, used) = tableRef(args, "log_update")
+    require(args.length == used + 4,
+      "log_update takes (path, stats_col | name) + (lo, hi, set_col, set_expr)")
+    t.updateRange(longArg(args, used, "log_update"), longArg(args, used + 1, "log_update"),
+      stringArg(args, used + 2, "log_update"), stringArg(args, used + 3, "log_update"))
     t.read().queryExecution.analyzed
   }
 
@@ -138,12 +214,11 @@ object LogTvfs {
     * The statement a SQL-only user runs after streamed appends accrete
     * per-batch files (the st22 loop). */
   def optimize(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 4,
-      "log_optimize(path, stats_col, cluster_col, target_files) takes 4 arguments")
-    val t = new CommitTable(SparkSession.active, stringArg(args, 0, "log_optimize"),
-      stringArg(args, 1, "log_optimize"))
-    t.compactClustered(stringArg(args, 2, "log_optimize"),
-      longArg(args, 3, "log_optimize").toInt)
+    val (t, used) = tableRef(args, "log_optimize")
+    require(args.length == used + 2,
+      "log_optimize takes (path, stats_col | name) + (cluster_col, target_files)")
+    t.compactClustered(stringArg(args, used, "log_optimize"),
+      longArg(args, used + 1, "log_optimize").toInt)
     t.read().queryExecution.analyzed
   }
 
@@ -154,10 +229,10 @@ object LogTvfs {
     * [[optimize]] it completes the SQL maintenance pair every lakehouse
     * ships (OPTIMIZE + VACUUM). */
   def vacuum(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 3, "log_vacuum(path, stats_col, keep_last) takes 3 arguments")
-    val t = new CommitTable(SparkSession.active, stringArg(args, 0, "log_vacuum"),
-      stringArg(args, 1, "log_vacuum"))
-    t.vacuum(keepLast = longArg(args, 2, "log_vacuum").toInt)
+    val (t, used) = tableRef(args, "log_vacuum")
+    require(args.length == used + 1,
+      "log_vacuum takes (path, stats_col | name) + (keep_last)")
+    t.vacuum(keepLast = longArg(args, used, "log_vacuum").toInt)
     t.read().queryExecution.analyzed
   }
 
@@ -167,12 +242,13 @@ object LogTvfs {
     * concurrency applies), committed at analysis; returns the post-merge
     * head content. */
   def mergeFrom(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 4, "log_merge(path, stats_col, source_view, keys_csv) takes 4 arguments")
     val spark = SparkSession.active
-    val t = new CommitTable(spark, stringArg(args, 0, "log_merge"),
-      stringArg(args, 1, "log_merge"))
-    val source = spark.table(stringArg(args, 2, "log_merge"))
-    val keys = stringArg(args, 3, "log_merge").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val (t, used) = tableRef(args, "log_merge")
+    require(args.length == used + 2,
+      "log_merge takes (path, stats_col | name) + (source_view, keys_csv)")
+    val source = spark.table(stringArg(args, used, "log_merge"))
+    val keys = stringArg(args, used + 1, "log_merge")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(keys.nonEmpty, "log_merge: keys_csv must name at least one key column")
     t.merge(source, keys)
     t.read().queryExecution.analyzed

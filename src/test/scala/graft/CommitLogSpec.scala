@@ -17,6 +17,150 @@ class CommitLogSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
+  test("delta log entries: appends write O(batch) log bytes, checkpoints + rewrites are snapshot-complete, every version resolves (r14 verdict #3)") {
+    val dir = Files.createTempDirectory("graft-clog-ckpt").toString
+    val t = new CommitTable(spark, dir, "k", checkpointEvery = 4)
+    def logText(v: Long) =
+      new String(Files.readAllBytes(java.nio.file.Paths.get(
+        dir, "_log", f"$v%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+    def logLines(v: Long) = logText(v).split("\n").length
+    t.overwrite(kv(1L -> "a", 2L -> "b").coalesce(1))            // v0 snapshot (1 file)
+    t.append(kv(10L -> "j").coalesce(1))                         // v1 delta
+    t.append(kv(20L -> "x").coalesce(1))                         // v2 delta
+    t.append(kv(30L -> "y").coalesce(1))                         // v3 delta
+    t.append(kv(40L -> "z").coalesce(1))                         // v4 CHECKPOINT
+    t.append(kv(50L -> "w").coalesce(1))                         // v5 delta
+    // delta appends list ONLY the new file: header + 1 add line — the
+    // O(changed files) log-cost contract; the snapshot-complete-only form
+    // would list every active file in every entry (O(versions x files))
+    assert(logLines(1L) === 2 && logLines(2L) === 2 && logLines(5L) === 2,
+      s"append entries must be delta-sized, got ${logLines(1L)}/${logLines(2L)}/${logLines(5L)} lines")
+    assert(logText(1L).contains("\"delta\": true"))
+    // the checkpoint re-lists all 5 active files (header + 5 adds), so a
+    // reader at v4+ never walks past it
+    assert(!logText(4L).contains("\"delta\": true"))
+    assert(logLines(4L) === 6, s"checkpoint must be snapshot-complete, got ${logLines(4L)} lines")
+    // every version resolves exactly, through and across the boundary
+    assert(rows(t.asOf(0L)) === Set(1L -> "a", 2L -> "b"))
+    assert(rows(t.asOf(3L)) === Set(1L -> "a", 2L -> "b", 10L -> "j", 20L -> "x", 30L -> "y"))
+    assert(rows(t.asOf(5L)).size === 7)
+    // file-granular DML as a delta: adds the rewritten file, REMOVES the
+    // touched one; untouched files never re-listed
+    val v6 = t.deleteRange(10L, 10L)
+    assert(v6 === 6L)
+    assert(logText(6L).contains("\"delta\": true") && logText(6L).contains("\"remove\""))
+    assert(rows(t.read()) === Set(1L -> "a", 2L -> "b", 20L -> "x", 30L -> "y",
+      40L -> "z", 50L -> "w"))
+    assert(rows(t.asOf(5L)).size === 7, "pre-delete version intact through the delta chain")
+    // a whole-table rewrite resets the chain (snapshot-complete by nature)
+    t.overwrite(kv(7L -> "s").coalesce(1))                       // v7 snapshot
+    assert(!logText(7L).contains("\"delta\": true"))
+    assert(rows(t.read()) === Set(7L -> "s"))
+    // restore re-lists state: also snapshot-complete, old versions readable
+    t.restore(3L)                                                 // v8 (ckpt anyway)
+    assert(rows(t.read()) === rows(t.asOf(3L)))
+    // history reports ACTIVE totals per version (not delta add-sums)
+    val hist = t.history().collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(hist(1L) === 3L && hist(5L) === 7L && hist(6L) === 6L && hist(8L) === 5L,
+      s"history n_rows must be active totals, got $hist")
+    // CDF across the checkpoint boundary
+    val cdf = t.changesBetween(3L, 5L).collect()
+      .map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(cdf === Set(("insert", 40L), ("insert", 50L)))
+    // vacuum still reference-counts correctly over resolved lists
+    assert(t.vacuum(keepLast = 2) > 0L)
+    assert(rows(t.read()) === rows(t.asOf(3L)))
+  }
+
+  test("concurrent appends auto-rebase: both racers land as consecutive versions with union content (r14 verdict #6)") {
+    val dir = Files.createTempDirectory("graft-clog-rebase").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a"))
+    val interloper = new CommitTable(spark, dir, "k")
+    var calls = 0
+    val racing = new CommitTable(spark, dir, "k") {
+      override protected def nextVersion(): Long = {
+        calls += 1
+        val v = super.nextVersion()
+        // first attempt: another writer lands AFTER this resolution — the
+        // atomic rename loses; the rebase retry re-resolves and wins
+        if (calls == 1) interloper.append(kv(2L -> "i"))
+        v
+      }
+    }
+    val got = racing.append(kv(3L -> "r"))
+    assert(calls === 2, "the first attempt must lose the rename race and rebase")
+    assert(got === 2L, "the rebased append lands at the next version")
+    val fresh = new CommitTable(spark, dir, "k")
+    assert(fresh.versions() === Seq(0L, 1L, 2L))
+    assert(rows(fresh.read()) === Set(1L -> "a", 2L -> "i", 3L -> "r"),
+      "BOTH racing appends must land (commutative conflict resolution)")
+    // read-modify-write stays single-winner: the merge conflict test below
+    // pins that contract unchanged
+  }
+
+  test("multi-column file stats: prunedReadOn cuts files on a second column; no-stats files always survive (r14 verdict #4)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-clog-xs").toString
+    val t = new CommitTable(spark, dir, "k", extraStatsCols = Seq("v2"))
+    def f(ps: (Long, Long)*) = ps.toDF("k", "v2")
+    // two files whose k-windows fully OVERLAP but whose v2-windows are
+    // disjoint — only the second column's stats can cut here
+    t.overwrite(f(1L -> 100L, 50L -> 120L, 99L -> 110L).coalesce(1))
+    t.append(f(2L -> 900L, 51L -> 950L, 98L -> 920L).coalesce(1))
+    val lowRead = t.prunedReadOn("v2", 100L, 200L)
+    assert(lowRead.inputFiles.length === 1,
+      "the high-v2 file must be cut by its committed v2 stats")
+    assert(lowRead.select("k").collect().map(_.getLong(0)).toSet === Set(1L, 50L, 99L))
+    // the primary column delegates to prunedRead (both files overlap on k)
+    assert(t.prunedReadOn("k", 1L, 99L).inputFiles.length === 2)
+    // a file whose v2 slice is all NULL records no v2 stats and always
+    // survives the cut — pruning only ever strengthens
+    t.append(Seq((60L, Option.empty[Long]), (61L, Option.empty[Long]))
+      .toDF("k", "v2").coalesce(1))
+    assert(t.prunedReadOn("v2", 100L, 200L).inputFiles.length === 2,
+      "a no-stats file must survive")
+    assert(t.prunedReadOn("v2", 100L, 200L).select("k").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 50L, 99L),
+      "...and the residual predicate still filters its rows")
+    // stats survive a carry: delete an unrelated k-range, then prune again
+    t.deleteRange(98L, 99L)
+    val after = t.prunedReadOn("v2", 900L, 1000L)
+    assert(after.select("k").collect().map(_.getLong(0)).toSet === Set(2L, 51L),
+      "carried and rewritten files keep their extra-column stats")
+  }
+
+  test("named catalog: log TVFs resolve registered names; unknown names fail loudly with the known-name list (r14 verdict #5)") {
+    val dir = Files.createTempDirectory("graft-clog-named").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    t.append(kv(10L -> "j"))
+    spark.sql(s"SELECT * FROM log_register('spec_named', '$dir', 'k')").collect()
+    // read, time travel, range and history — all by name, no path literals
+    assert(spark.sql("SELECT COUNT(*) FROM log_table('spec_named')")
+      .head.getLong(0) === 3L)
+    assert(spark.sql("SELECT COUNT(*) FROM log_table_at('spec_named', 0)")
+      .head.getLong(0) === 2L)
+    assert(spark.sql("SELECT k FROM log_table_range('spec_named', 10, 99)")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L))
+    assert(spark.sql("SELECT COUNT(*) FROM log_history('spec_named')")
+      .head.getLong(0) === 2L)
+    // raw (path, stats_col) form keeps working unchanged
+    assert(spark.sql(s"SELECT COUNT(*) FROM log_table('$dir', 'k')")
+      .head.getLong(0) === 3L)
+    // unknown names fail at analysis with the registered-name list — not
+    // a filesystem error from a typo'd "path"
+    val e = intercept[Throwable](
+      spark.sql("SELECT * FROM log_table('spec_no_such')").collect())
+    def messages(x: Throwable): String =
+      if (x == null) "" else x.toString + messages(x.getCause)
+    assert(messages(e).contains("unknown registered table 'spec_no_such'"),
+      s"expected the unknown-name error, got: ${messages(e)}")
+    assert(messages(e).contains("spec_named"),
+      "the error must list the known names")
+  }
+
   test("append/overwrite version the table; asOf resolves any committed version") {
     val t = freshTable()
     assert(t.versions().isEmpty && t.latestVersion().isEmpty)
@@ -75,8 +219,10 @@ class CommitLogSpec extends SparkSpec {
     // outer predicates compose over the TVF plan
     assert(spark.sql(s"SELECT COUNT(*) FROM log_table('$tp', 'k') WHERE k >= 10")
       .head().getLong(0) === 2L)
+    // a raw path with no stats_col is missing its second argument (a
+    // registered NAME is the only 1-arg form)
     val e1 = intercept[Exception](spark.sql(s"SELECT * FROM log_table('$tp')").collect())
-    assert(e1.getMessage.contains("2 arguments"))
+    assert(e1.getMessage.contains("missing argument 2"))
   }
 
   test("SQL write TVFs: log_merge and log_delete equal the Scala API on the same change set") {
@@ -288,6 +434,44 @@ class CommitLogSpec extends SparkSpec {
     t.append(Seq((Some(200L), "x"), (Option.empty[Long], "n")).toDF("k", "v").coalesce(1))
     t.buildBloom()
     assert(rows(t.prunedReadIn(Seq(200L)).filter("k = 200")) === Set(200L -> "x"))
+  }
+
+  test("buildBloom: sentinel rows make all-NULL-key files idempotent; filters size from rowcount; beyond-capacity files are marked, not filtered (r14 advice)") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable()
+    // file whose statsCol is ENTIRELY absent from bloom words (all-NULL
+    // keys registered nothing pre-fix, so the file re-scanned forever)
+    t.overwrite(kv(1L -> "a").coalesce(1))
+    t.append(Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("k", "v").coalesce(1))
+    assert(t.buildBloom() === 2L)
+    assert(t.buildBloom() === 0L,
+      "all-NULL-key files must enter the sidecar via their sentinel row")
+    // an all-NULL file is PRUNABLE for any point probe (NULL never equals
+    // a probe), while the keyed file still serves its key
+    assert(t.prunedReadIn(Seq(1L)).inputFiles.length === 1)
+    // filter bits scale with the file's committed rowcount: a 3000-row
+    // file gets a 65536-bit filter (16·n rounded up to a power of two),
+    // which still prunes — at the old fixed 8192 bits it would saturate
+    val t2 = freshTable()
+    t2.overwrite(kv((1L to 6000L by 2).map(i => i -> s"o$i"): _*).coalesce(1))
+    t2.append(kv((2L to 6000L by 2).map(i => i -> s"e$i"): _*).coalesce(1))
+    assert(t2.buildBloom() === 2L)
+    assert(t2.prunedReadIn(Seq(2L)).inputFiles.length === 1,
+      "a 3000-key file must still prune point probes (sized filter)")
+    assert(rows(t2.prunedReadIn(Seq(2L)).filter("k = 2")) === Set(2L -> "e2"))
+    // beyond the 2^18-bit cap (n > 16384) no filter is built: the file is
+    // marked done (idempotent) and always survives pruning — honest
+    // no-filter beats a silently saturated one
+    val t3 = freshTable()
+    t3.overwrite(kv((1L to 40001L by 2).map(i => i -> "x"): _*).coalesce(1))
+    t3.append(kv(2L -> "e").coalesce(1))
+    assert(t3.buildBloom() === 2L)
+    assert(t3.buildBloom() === 0L, "oversized files must be marked done")
+    assert(t3.prunedReadIn(Seq(3L)).inputFiles.length >= 1,
+      "a beyond-capacity file always survives (never filtered out)")
+    assert(rows(t3.prunedReadIn(Seq(3L)).filter("k = 3")) === Set(3L -> "x"))
   }
 
   test("changesBetween: multiset CDF through the log") {

@@ -333,6 +333,93 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.consolidateBm25Index(spark, root) === v)
   }
 
+  test("passage index: the committed probe is bit-identical to inline MaxP; append == rebuild; raw docs are never an input") {
+    // docs long enough to produce several overlapping 30-token windows
+    val corpus = (1L to 24L).map { i =>
+      val words = (0 until (35 + (i % 4).toInt * 20)).map(j => s"w${(i * 17 + j * 5) % 13}")
+      (i, (if (i % 4 == 0) "rare " else "") + words.mkString(" "))
+    }
+    val q = Seq("rare", "w0", "w7")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inline = rows(Retrieval.maxPassageTopK(docs(corpus), q, k = 24))
+    assert(inline.nonEmpty)
+    // build+append split — the incremental path must equal the one-shot.
+    // Production-scale builds write many range-clustered files; at this
+    // corpus size AQE rightly coalesces to one — disable it for the build
+    // so the pruning asserts below see a multi-file layout (the doc-level
+    // index test's discipline).
+    val root = java.nio.file.Files.createTempDirectory("graft-maxp-idx").toString
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      Retrieval.buildPassageIndex(docs(corpus.filter(_._1 % 2 == 0)), root)
+      Retrieval.appendPassageIndex(docs(corpus.filter(_._1 % 2 != 0)), root)
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val viaIndex = Retrieval.maxPassageTopKIndexed(spark, root, q, k = 24)
+    assert(rows(viaIndex) === inline,
+      "the committed passage index must reproduce the inline operator bit-for-bit")
+    // rebuild equality (no trained component)
+    val rb = java.nio.file.Files.createTempDirectory("graft-maxp-rb").toString
+    Retrieval.buildPassageIndex(docs(corpus), rb)
+    assert(rows(Retrieval.maxPassageTopKIndexed(spark, rb, q, k = 24)) === inline)
+    // index-only IO: every scanned file lives under the index root —
+    // the raw documents table is not an input at query time
+    val scanned = viaIndex.inputFiles
+    assert(scanned.nonEmpty && scanned.forall(_.contains(root)),
+      s"query must read only the committed index, got ${scanned.mkString(", ")}")
+    // file pruning bites: a ONE-term point lookup reads a strict subset
+    // of the committed postings files (th-range-clustered layout)
+    val allPostings = new graft.operators.CommitTable(spark, s"$root/postings", "th")
+      .read().inputFiles.toSet
+    assert(scanned.toSet.subsetOf(allPostings))
+    assert(allPostings.size > 1, s"pruning test needs a multi-file table, saw ${allPostings.size}")
+    val oneTerm = Retrieval.maxPassageTopKIndexed(spark, root, Seq("rare"), k = 24)
+      .inputFiles.toSet
+    assert(oneTerm.nonEmpty && oneTerm.subsetOf(allPostings) && oneTerm.size < allPostings.size,
+      s"per-term point lookups must file-prune: touched ${oneTerm.size} of ${allPostings.size}")
+  }
+
+  test("BM25 tombstones are manifest members: an old pinned version can never pair its postings with a later-cleared delete list (r14 advice)") {
+    val corpus = (1L to 30L).map { i =>
+      (i, (0 until (3 + (i % 5).toInt)).map(j => s"w${(i * 7 + j) % 8}").mkString(" "))
+    }
+    val q = Seq("w0", "w3")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25tomb-spec").toString
+    Retrieval.buildBm25Index(docs(corpus), root)
+    val delIds = corpus.map(_._1).filter(_ % 3 == 0).toSet
+    Retrieval.deleteFromBm25Index(
+      docs(corpus.filter(d => delIds(d._1))).select("doc_id"), root)
+    import graft.operators.IndexManifest
+    // the delete is itself an index version pinning the delete list
+    val atDelete = IndexManifest.versions(spark, root).last
+    val pinned = IndexManifest.resolve(spark, root, Some(atDelete))
+    assert(pinned.contains("tombstones"),
+      s"post-delete manifest must pin the delete list, got $pinned")
+    // simulate the racing reader: it resolved the manifest BEFORE the
+    // consolidation, then consolidation rewrites postings and CLEARS the
+    // live delete list; the reader's pinned tombstone version must still
+    // carry the deleted ids, so its view never resurrects them
+    Retrieval.consolidateBm25Index(spark, root)
+    val postings = new graft.operators.CommitTable(spark, s"$root/postings", "th")
+    val stale = graft.llm.Tombstones.excludeAt(
+      postings.asOf(pinned("postings")), root, "doc_id", "doc_id",
+      pinned.get("tombstones"))
+    val staleIds = stale.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(staleIds.intersect(delIds).isEmpty,
+      "old pinned postings + pinned delete list must still exclude deleted docs")
+    // the live list IS cleared — without the pin this exact read resurrected
+    val live = graft.llm.Tombstones.read(spark, root, "doc_id")
+    assert(live.forall(_.isEmpty), "consolidation clears the live delete list")
+    // and the new head pins the CLEARED list next to the rewritten postings
+    val headPin = IndexManifest.resolve(spark, root)
+    assert(headPin.contains("tombstones"))
+    val headRows = rows2(Retrieval.bm25TopKIndexed(spark, root, q, k = 30))
+    assert(headRows.nonEmpty && headRows.forall(r => !delIds(r._1)))
+  }
+
+  private def rows2(df: DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
   test("BM25 index versions: the manifest pins postings WITH their stats; the v0 query is the build-half index exactly") {
     val corpus = (1L to 50L).map { i =>
       val words = (0 until (3 + (i % 6).toInt)).map(j => s"w${(i * 13 + j * 7) % 11}")
