@@ -844,6 +844,125 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     }
   }
 
+  /** Per-file stats via one Spark aggregate over the staged files — the
+    * general-type path ([[footerStats]] is the fast path): one row per
+    * written FILE, primary + declared extra columns in the same pass. */
+  private def sparkStats(dataDir: Path): Seq[Rec] = {
+    val extraAggs = extraStatsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__lo_$c"), max(col(c).cast("long")).as(s"__hi_$c")))
+    val aggs = Seq(min(col(statsCol).cast("long")).as("lo"),
+      max(col(statsCol).cast("long")).as("hi"), count(lit(1)).as("n")) ++ extraAggs
+    spark.read.parquet(dataDir.toString)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        // xs encodes "col=lo:hi;..." — columns whose file slice is
+        // all-NULL are omitted (no stats ⇒ the file always survives
+        // that column's cut)
+        val xs = extraStatsCols.zipWithIndex.flatMap { case (c, i) =>
+          val (loI, hiI) = (4 + 2 * i, 5 + 2 * i)
+          if (r.isNullAt(loI) || r.isNullAt(hiI)) None
+          else Some(s"$c=${r.getLong(loI)}:${r.getLong(hiI)}")
+        }.mkString(";")
+        // a file whose PRIMARY statsCol slice is all-NULL has no key
+        // window: record the whole range, so it survives every stats
+        // cut (conservative-correct — NULL keys match no range
+        // predicate, and range DML's keep-predicates preserve them)
+        val (lo, hi) =
+          if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
+          else (r.getLong(1), r.getLong(2))
+        (relativize(r.getString(0)), lo, hi, r.getLong(3),
+          if (xs.isEmpty) null else xs)
+      }.toSeq
+  }
+
+  /** Per-file stats read from the staged files' parquet FOOTERS on the
+    * driver — ZERO Spark jobs (the Iceberg stats-collection shape: the
+    * footer already records exact min/max/null-count per row group for
+    * every column, so re-scanning rows to recompute them was one whole
+    * extra job per commit — and at streamed-commit cadence that job IS
+    * the per-commit constant SCALING.md measures at ~0.5s). Driver cost
+    * is one footer read per staged file, the same order as the directory
+    * listing the commit already does.
+    *
+    * Exactness contract: returns Some ONLY when every stats column is a
+    * signed INT32/INT64 leaf in every staged file and every row group
+    * records statistics — integer footer min/max are exact (never
+    * truncated, unlike binary stats), so the result is bit-equal to the
+    * `cast("long")` Spark aggregate it replaces. Any other physical or
+    * logical type (dates, decimals, strings…), a missing column chunk,
+    * or unrecorded statistics → None, and the caller takes [[sparkStats]].
+    * Zero-row staged files are skipped, matching the Spark aggregate
+    * (no group ⇒ no add entry).
+    */
+  private def footerStats(dataDir: Path): Option[Seq[Rec]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val cols = statsCol +: extraStatsCols
+    val files = fs.listStatus(dataDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    try {
+      val recs = files.flatMap { fst =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+            fst, spark.sparkContext.hadoopConfiguration))
+        val md = try reader.getFooter finally reader.close()
+        val schema = md.getFileMetaData.getSchema
+        // every stats column must be a signed-integer leaf of THIS file
+        cols.foreach { c =>
+          require(schema.containsField(c), s"no column $c")
+          val t = schema.getType(Seq(c): _*)
+          require(t.isPrimitive, s"$c is not a leaf")
+          val p = t.asPrimitiveType()
+          require(p.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
+            p.getPrimitiveTypeName == PrimitiveTypeName.INT32, s"$c is not an int leaf")
+          p.getLogicalTypeAnnotation match {
+            case null => ()
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+              require(i.isSigned, s"$c is unsigned")
+            case other => throw new IllegalArgumentException(s"$c has $other")
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val blocks = md.getBlocks.asScala.toSeq
+        val n = blocks.map(_.getRowCount).sum
+        if (n == 0L) None
+        else {
+          // (lo, hi) per column, None when the file's slice is all-NULL
+          val ranges: Seq[Option[(Long, Long)]] = cols.map { c =>
+            var lo = Long.MaxValue; var hi = Long.MinValue; var nonNull = 0L
+            blocks.foreach { b =>
+              val cc = b.getColumns.asScala.find(_.getPath.toDotString == c)
+                .getOrElse(throw new IllegalArgumentException(s"no chunk for $c"))
+              val st = cc.getStatistics
+              require(st != null && st.isNumNullsSet, s"no statistics for $c")
+              val nn = b.getRowCount - st.getNumNulls
+              if (nn > 0) {
+                require(st.hasNonNullValue, s"no min/max for $c")
+                lo = math.min(lo, st.genericGetMin.asInstanceOf[Number].longValue)
+                hi = math.max(hi, st.genericGetMax.asInstanceOf[Number].longValue)
+                nonNull += nn
+              }
+            }
+            if (nonNull == 0L) None else Some((lo, hi))
+          }
+          val (plo, phi) = ranges.head.getOrElse((Long.MinValue, Long.MaxValue))
+          val xs = extraStatsCols.zip(ranges.tail).flatMap {
+            case (c, Some((l, h))) => Some(s"$c=$l:$h")
+            case _ => None
+          }.mkString(";")
+          Some((relativize(fst.getPath.toString), plo, phi, n,
+            if (xs.isEmpty) null else xs))
+        }
+      }
+      Some(recs.toSeq)
+    } catch {
+      case scala.util.control.NonFatal(_) => None // general-type fallback
+    }
+  }
+
   private def commitVersion(df: DataFrame, keepPrevious: Boolean, op: String,
                             expectedBase: Option[Long] = None,
                             audit: Option[DataFrame => Seq[(String, Long)]] = None,
@@ -875,35 +994,11 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
         val report = a(spark.read.parquet(dataDir.toString))
         if (report.exists(_._2 > 0)) throw new AuditFailedException(report)
       }
-      // per-file stats for the log (one row per written FILE), primary +
-      // declared extra columns in the SAME one-pass aggregate
-      val extraAggs = extraStatsCols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"__lo_$c"), max(col(c).cast("long")).as(s"__hi_$c")))
-      val aggs = Seq(min(col(statsCol).cast("long")).as("lo"),
-        max(col(statsCol).cast("long")).as("hi"), count(lit(1)).as("n")) ++ extraAggs
-      val stats: Seq[Rec] = spark.read.parquet(dataDir.toString)
-        .groupBy(input_file_name().as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          // xs encodes "col=lo:hi;..." — columns whose file slice is
-          // all-NULL are omitted (no stats ⇒ the file always survives
-          // that column's cut)
-          val xs = extraStatsCols.zipWithIndex.flatMap { case (c, i) =>
-            val (loI, hiI) = (4 + 2 * i, 5 + 2 * i)
-            if (r.isNullAt(loI) || r.isNullAt(hiI)) None
-            else Some(s"$c=${r.getLong(loI)}:${r.getLong(hiI)}")
-          }.mkString(";")
-          // a file whose PRIMARY statsCol slice is all-NULL has no key
-          // window: record the whole range, so it survives every stats
-          // cut (conservative-correct — NULL keys match no range
-          // predicate, and range DML's keep-predicates preserve them)
-          val (lo, hi) =
-            if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
-            else (r.getLong(1), r.getLong(2))
-          (relativize(r.getString(0)), lo, hi, r.getLong(3),
-            if (xs.isEmpty) null else xs)
-        }.toSeq
+      // per-file stats for the log: read from the staged files' parquet
+      // FOOTERS when every stats column is a signed-integer leaf — zero
+      // Spark jobs (the Iceberg shape; see [[footerStats]]) — else one
+      // Spark aggregate over the staged files (the general-type path)
+      val stats: Seq[Rec] = footerStats(dataDir).getOrElse(sparkStats(dataDir))
       // entry form: snapshot-complete at version 0, every checkpointEvery-th
       // version (the periodic checkpoint), and for whole-table rewrites
       // (overwrite/merge/compact — a full change IS a snapshot); DELTA for

@@ -474,6 +474,59 @@ class CommitLogSpec extends SparkSpec {
     assert(rows(t3.prunedReadIn(Seq(3L)).filter("k = 3")) === Set(3L -> "x"))
   }
 
+  test("footer stats: commits read per-file stats from parquet footers — bit-equal to the Spark-aggregate path, zero stats jobs") {
+    val s = spark
+    import s.implicits._
+    // integer table → footer fast path; the SAME values as doubles →
+    // general-type fallback (sparkStats). cast("long") of x.0 doubles
+    // equals the integer stats, so the two tables' log entries must
+    // record IDENTICAL (lo, hi, n, xs) — the bit-equality contract.
+    val dirI = Files.createTempDirectory("graft-clog-ftr-i").toString
+    val dirD = Files.createTempDirectory("graft-clog-ftr-d").toString
+    val tI = new CommitTable(spark, dirI, "k", extraStatsCols = Seq("v2"))
+    val tD = new CommitTable(spark, dirD, "k", extraStatsCols = Seq("v2"))
+    val rowsMixed = Seq((1L, Option(5L)), (-7L, Option.empty[Long]), (9L, Option(-2L)))
+    tI.overwrite(rowsMixed.toDF("k", "v2").coalesce(1))
+    tD.overwrite(rowsMixed.map { case (k, v) => (k.toDouble, v.map(_.toDouble)) }
+      .toDF("k", "v2").coalesce(1))
+    def statsOf(dir: String): Seq[(Long, Long, Long, String)] = {
+      val txt = new String(Files.readAllBytes(java.nio.file.Paths.get(
+        dir, "_log", f"${0L}%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+      txt.split("\n").filter(_.contains("\"add\"")).toSeq.map { l =>
+        def f(k: String) = (s""""$k": (-?\\d+)""").r.findFirstMatchIn(l).map(_.group(1).toLong)
+        val xs = """"xs": "([^"]*)"""".r.findFirstMatchIn(l).map(_.group(1)).orNull
+        (f("lo").get, f("hi").get, f("n").get, xs)
+      }
+    }
+    assert(statsOf(dirI) === Seq((-7L, 9L, 3L, "v2=-2:5")),
+      s"footer-path stats wrong: ${statsOf(dirI)}")
+    assert(statsOf(dirI) === statsOf(dirD),
+      "footer fast path and Spark-aggregate fallback must record identical stats")
+    // all-NULL slices: primary gets the whole-range window, extra is omitted
+    tI.append(Seq((Option.empty[Long], Option.empty[Long])).toDF("k", "v2").coalesce(1))
+    val nullAdd = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      dirI, "_log", f"${1L}%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.contains("\"add\"")).head
+    assert(nullAdd.contains(s""""lo": ${Long.MinValue}""") &&
+      nullAdd.contains(s""""hi": ${Long.MaxValue}""") && !nullAdd.contains("\"xs\""))
+    // the stats job is GONE: an append is exactly the data-write job
+    val sc = spark.sparkContext
+    sc.setJobGroup("footer-append", "append without a stats job")
+    tI.append(Seq((100L, Option(1L))).toDF("k", "v2").coalesce(1))
+    sc.clearJobGroup()
+    var prev = -1
+    var jobs = sc.statusTracker.getJobIdsForGroup("footer-append").length
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (jobs != prev && System.nanoTime() < deadline) {
+      prev = jobs; Thread.sleep(200)
+      jobs = sc.statusTracker.getJobIdsForGroup("footer-append").length
+    }
+    assert(jobs <= 1, s"append must run only the write job, saw $jobs")
+    // pruning still plans off the committed stats
+    assert(tI.prunedRead(100L, 200L).inputFiles.length === 2,
+      "the keyed file and the conservative all-NULL file survive the cut")
+  }
+
   test("changesBetween: multiset CDF through the log") {
     val t = freshTable()
     t.overwrite(kv(1L -> "a", 2L -> "b", 2L -> "b")) // duplicate row x2
