@@ -68,7 +68,20 @@ object Bench {
     def dropCachedBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 
-    names.foreach { name =>
+    // Min-of-N reps makes a FULL warmup redundant: reps 2..N of every
+    // query are warm by construction, so the minimum never sees cold
+    // codegen. What warmup still buys is shared-infrastructure JIT (the
+    // codegen compiler, parquet readers, GraphX, StreamExecution) — one
+    // representative query per name-prefix family plus a few infra-heavy
+    // paths covers that at a fraction of the wall cost (the full 326-query
+    // warmup was ~5 min of the driver's fixed bench budget, r14's rc=124).
+    val warmNames = {
+      val firstPerFamily = names.groupBy(_.takeWhile(!_.isDigit)).values.map(_.head)
+      (firstPerFamily ++ Seq("st11_stream_smoke", "s25_graph_ann",
+        "d19_dedup_index", "g1_bfs_levels", "p12_maxp_indexed").filter(names.contains))
+        .toSeq.distinct.sorted
+    }
+    warmNames.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case NonFatal(e) => System.err.println(s"[bench/warmup] $name: ${e.getMessage}") }
       finally dropCachedBlocks()
