@@ -84,6 +84,9 @@ object GraftSession {
           "log_table" -> graft.plans.LogTvfs.read,
           "log_table_at" -> graft.plans.LogTvfs.asOf,
           "log_table_range" -> graft.plans.LogTvfs.range,
+          // multi-column stats cut + the CDF surface (Delta table_changes)
+          "log_table_range_on" -> graft.plans.LogTvfs.rangeOn,
+          "log_changes" -> graft.plans.LogTvfs.changes,
           // ...and WRITABLE from pure SQL: the statement commits at
           // analysis and returns the resulting head (LogTvfs's contract)
           "log_delete" -> graft.plans.LogTvfs.delete,

@@ -1643,6 +1643,34 @@ object SparkEntry {
           |FROM log_table_at('q51_sales', 0)
           |ORDER BY snap""".stripMargin)
     }),
+    "q52_sql_changes" -> ((s, dir) => {
+      // the CDF SQL surface (Delta's table_changes) + the multi-column
+      // stats cut BY NAME: one register call (with the extra stats
+      // column declared), then the change feed across a delete + an
+      // append and a second-column range read all run as statements.
+      // The file-cut on the extra column is spec-asserted; this gate
+      // binds the row-level multiset CDF and the residual-filtered
+      // range content.
+      val root = IndexCache.freshRoot("sqlcdf")
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k", extraStatsCols = Seq("v"))
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.repartitionByRange(4, col("k"))) // v0
+      t.deleteRange(1000L, 5000L)                      // v1: CDF deletes
+      t.append(Tables.nation(s, dir).select(           // v2: CDF inserts
+        (col("n_nationkey").cast("long") + 20000000L).as("k"),
+        col("n_regionkey").cast("long").as("v")))
+      s.sql(s"SELECT * FROM log_register('q52_cdf', '$tp', 'k', 'v')").collect()
+      s.sql(
+        """SELECT 'cdf' AS part, change_type AS tag, COUNT(*) AS n, SUM(k) AS sum_k
+          |FROM log_changes('q52_cdf', 0, 2) GROUP BY 1, 2
+          |UNION ALL
+          |SELECT 'rng', 'vcut', COUNT(*), SUM(k)
+          |FROM log_table_range_on('q52_cdf', 'v', 100, 400)
+          |ORDER BY part, tag""".stripMargin)
+    }),
     "q47_sql_optimize" -> ((s, dir) => {
       // the OPTIMIZE maintenance statement for SQL-only users (q43/q46
       // gave them DML; streamed appends still accreted per-batch small
@@ -3253,6 +3281,25 @@ object SparkEntry {
       }
       graft.llm.Retrieval.maxPassageTopKIndexed(s, idx, Bm25QueryTerms, k = 15)
     }),
+    "p13_passage_delete" -> ((s, dir) => {
+      // the passage-index DELETE lifecycle (p12's index under churn —
+      // the s29 shape at chunk granularity): tombstone delete is one
+      // O(deleted) commit pinned as an index version; consolidation
+      // drops the docs' chunk postings and re-derives exact survivor
+      // stats, making the index bit-identical to a rebuild on the
+      // survivors — which IS the mirror (p11's SQL over the surviving
+      // corpus, idf re-derived independently on the survivors). The
+      // pre-merge Lucene stale-stats semantics is spec-pinned in
+      // RetrievalSpec. Full-corpus build memoized; delete + consolidate
+      // mutate → private copy per execution.
+      val docs = Tables.documents(s, dir)
+      val idx = IndexCache.privateCopy(s"maxp|$dir|full", "maxpdel")(
+        graft.llm.Retrieval.buildPassageIndex(docs, _))
+      graft.llm.Retrieval.deleteFromPassageIndex(
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"), idx)
+      graft.llm.Retrieval.consolidatePassageIndex(s, idx)
+      graft.llm.Retrieval.maxPassageTopKIndexed(s, idx, Bm25QueryTerms, k = 15)
+    }),
     "p8_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: t37's sparse BM25 list + a dense cosine list
       // fused by reciprocal-rank fusion (exact integer micro-units) —
@@ -4653,6 +4700,20 @@ object SparkEntry {
       // either floor flips its row and hash-fails
       """SELECT range::BIGINT AS query_id, true AS ge_floor, true AS fleet_ge_mean
         |FROM range(0, 20) ORDER BY query_id""".stripMargin,
+    "q52_sql_changes" -> // the multiset CDF restated: the delete range's
+      // rows as 'delete', the appended nation-derived rows as 'insert',
+      // and the second-column range read over the post-delete head
+      """SELECT 'cdf' AS part, 'delete' AS tag, COUNT(*) AS n,
+        |       SUM(o_orderkey)::BIGINT AS sum_k
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |UNION ALL
+        |SELECT 'cdf', 'insert', COUNT(*), SUM(n_nationkey + 20000000)::BIGINT
+        |FROM nation
+        |UNION ALL
+        |SELECT 'rng', 'vcut', COUNT(*), SUM(o_orderkey)::BIGINT
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400 AND o_orderkey NOT BETWEEN 1000 AND 5000
+        |ORDER BY part, tag""".stripMargin,
     "q51_named_catalog" -> // by-name reads after the by-name delete: head
       // excludes [1000, 5000], the range read cuts [6000, 9000] of the
       // head, v0 is the full projection
@@ -6058,6 +6119,17 @@ object SparkEntry {
         // operator (no trained component; shared integer scoring tail)
         Map("p11_maxp_retrieval" -> sql, "p12_maxp_indexed" -> sql)
       }
+    val maxpDelOracle: Map[String, String] =
+      if (!want("p13_passage_delete")) Map.empty else {
+        // post-consolidation == a rebuild on the SURVIVORS: idf re-derived
+        // independently on the surviving corpus, same independent chunker
+        val texts = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 5 =!= 2)
+          .select(col("text")).collect().map(_.getString(0)).toSeq
+        val idfCh = SequentialCorpus.bm25ChunkIdf(texts, Bm25QueryTerms)
+        Map("p13_passage_delete" -> graft.llm.Retrieval.maxPassageTopKSql(
+          idfCh, k = 15, docFilter = "doc_id % 5 <> 2"))
+      }
     val bm25Oracle: Map[String, String] =
       if (!(want("t37_bm25") || want("p8_hybrid_rrf") || want("s19_bm25_indexed")
           || want("st19_stream_bm25") || want("p10_rag_indexed")
@@ -6191,7 +6263,7 @@ object SparkEntry {
            |ORDER BY vertex""".stripMargin)
     }
     (graphOracles ++ vecOracles ++ bpeOracles ++ dsirOracle ++ logRegOracle ++ ssspOracle ++
-      cepOracle ++ zipfOracle ++ bm25Oracle ++ maxpOracle ++ ccnetOracle ++ Map(
+      cepOracle ++ zipfOracle ++ bm25Oracle ++ maxpOracle ++ maxpDelOracle ++ ccnetOracle ++ Map(
       "f1_jsonl_roundtrip" ->
         s"""SELECT l_returnflag, COUNT(*) AS n, SUM(qty_c)::BIGINT AS sum_qty_c,
            |       SUM(l_orderkey)::BIGINT AS sum_okey, MAX(line_no) AS max_line

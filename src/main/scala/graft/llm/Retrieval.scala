@@ -469,11 +469,12 @@ object Retrieval {
     */
   def maxPassageTopKSql(idf: Seq[(String, Long)], k: Int = 10,
                         chunkK: Int = 30, stride: Int = 20,
-                        k1E3: Long = 1200L, bE3: Long = 750L): String = {
+                        k1E3: Long = 1200L, bE3: Long = 750L,
+                        docFilter: String = "TRUE"): String = {
     require(idf.nonEmpty, "maxPassageTopKSql: idf table must be non-empty")
     val inList = idf.map { case (t, _) => s"'$t'" }.mkString(", ")
     val values = idf.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
-    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents WHERE $docFilter),
        |b AS (SELECT doc_id, ws, len(ws)::BIGINT AS n,
        |             (greatest(len(ws) - $chunkK, 0) + $stride - 1) // $stride + 1 AS n_chunks
        |      FROM t WHERE len(ws) > 0),
@@ -583,6 +584,52 @@ object Retrieval {
     * chunk-idf oracle. Postings + stats resolve through the manifest
     * head (one consistent pinned pair, the r13/r14 reader discipline).
     */
+  /** Removes documents (ALL their chunks) from a persisted passage index —
+    * [[deleteFromBm25Index]]'s semantics at chunk granularity: one atomic
+    * O(deleted) tombstone commit, no postings file touched; deleted docs'
+    * passages leave RESULTS and the per-term chunk df immediately, the
+    * corpus stats (n_chunks, sum_dl) stay stale until
+    * [[consolidatePassageIndex]] — Lucene's deleted-docs scoring rule.
+    * The delete is also an INDEX version: the manifest pins (unchanged
+    * postings/stats, new delete list), so manifest-resolved readers see
+    * the deletion atomically and old pinned versions keep THEIR list. */
+  def deleteFromPassageIndex(ids: DataFrame, indexRoot: String): Long = {
+    val v = Tombstones.delete(ids, indexRoot, "doc_id")
+    graft.operators.IndexManifest.commit(ids.sparkSession, indexRoot,
+      bm25Members(ids.sparkSession, indexRoot))
+    v
+  }
+
+  /** The passage-index segment merge ([[consolidateBm25Index]]'s shape):
+    * physically drops tombstoned docs' chunk postings (one
+    * th-range-clustered rewrite, term file-pruning survives) and
+    * re-derives exact survivor stats — after this commit the index is
+    * bit-identical to a fresh [[buildPassageIndex]] over the surviving
+    * documents (spec-asserted). Clears the delete list; no-op when
+    * nothing is tombstoned. */
+  def consolidatePassageIndex(spark: org.apache.spark.sql.SparkSession,
+                              indexRoot: String): Long = {
+    val postings = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
+    if (Tombstones.read(spark, indexRoot, "doc_id").forall(_.isEmpty))
+      return postings.latestVersion().getOrElse(
+        throw new IllegalStateException(s"no committed postings at $indexRoot"))
+    val kept = Tombstones.exclude(postings.read(), indexRoot, "doc_id", "doc_id")
+      .localCheckpoint(true) // feeds BOTH the stats re-derivation and the rewrite
+    // exact survivor stats: each CHUNK contributes its dl once (postings
+    // carry dl per row; the (doc, chunk) distinct collapses per-term rows)
+    val stats = kept.select("doc_id", "chunk_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_chunks"), sum(col("dl")).as("sum_dl"))
+    new graft.operators.CommitTable(spark, s"$indexRoot/stats", "n_chunks")
+      .overwrite(stats.coalesce(1))
+    val v = postings.overwrite(kept.repartitionByRange(col("th"), col("t")))
+    // cleared list pinned WITH the rewritten postings (the BM25 ordering
+    // argument — no reader can pair old postings with a cleared list)
+    Tombstones.clear(spark, indexRoot, "doc_id")
+    graft.operators.IndexManifest.commit(spark, indexRoot,
+      bm25Members(spark, indexRoot))
+    v
+  }
+
   def maxPassageTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                             indexRoot: String, queryTerms: Seq[String],
                             k: Int = 10, k1E3: Long = 1200L,
@@ -604,10 +651,16 @@ object Retrieval {
     val sumDl = statsRow.getLong(1)
     require(n > 0, "maxPassageTopKIndexed: committed index covers no chunks")
     val postings = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
-    val pruned = queryTerms.map { t =>
+    // tombstone-aware under the Lucene deleted-docs rule (the
+    // bm25TopKIndexed discipline): deleted docs' chunks leave results and
+    // df immediately, corpus stats stay stale until consolidation; the
+    // delete list resolves at the MANIFEST-pinned version when recorded
+    val pruned = Tombstones.excludeAt(
+      queryTerms.map { t =>
         val h = Hashing.hash60(t)
         postings.prunedRead(h, h, at.get("postings")).filter(col("t") === t)
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _),
+      indexRoot, "doc_id", "doc_id", at.get("tombstones"))
     // chunk df(t) = posting count of t off the SAME pruned scan (≤ |q|
     // driver rows by contract)
     val dfMap: Map[String, Long] = pruned

@@ -42,20 +42,27 @@ import graft.operators.CommitTable
   */
 object TableRegistry {
   private val entries =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Seq[String])]()
 
   /** A registrable/resolvable NAME (vs a raw path): simple identifier,
     * never containing '/'. */
   def isName(s: String): Boolean = s.matches("[A-Za-z_][A-Za-z0-9_.]*")
 
-  def register(name: String, path: String, statsCol: String): Unit = {
+  def register(name: String, path: String, statsCol: String,
+               extraStatsCols: Seq[String] = Nil): Unit = {
     require(isName(name),
       s"table name must be a simple identifier (got '$name'); paths need no registration")
-    entries.put(name, (path, statsCol))
+    entries.put(name, (path, statsCol, extraStatsCols))
     ()
   }
 
   def resolve(name: String): (String, String) = {
+    val (p, c, _) = resolveFull(name); (p, c)
+  }
+
+  /** The full binding incl. declared extra stats columns — what by-name
+    * DML needs so its commits keep recording multi-column stats. */
+  def resolveFull(name: String): (String, String, Seq[String]) = {
     val e = entries.get(name)
     if (e == null) {
       val known = {
@@ -87,8 +94,10 @@ object LogTvfs {
   private def tableRef(args: Seq[Expression], fn: String): (CommitTable, Int) = {
     val first = stringArg(args, 0, fn)
     if (TableRegistry.isName(first)) {
-      val (p, c) = TableRegistry.resolve(first)
-      (new CommitTable(SparkSession.active, p, c), 1)
+      // the full binding, so by-name DML keeps recording the registered
+      // extra-column stats in its rewrite commits
+      val (p, c, xs) = TableRegistry.resolveFull(first)
+      (new CommitTable(SparkSession.active, p, c, extraStatsCols = xs), 1)
     } else
       (new CommitTable(SparkSession.active, first, stringArg(args, 1, fn)), 2)
   }
@@ -116,18 +125,27 @@ object LogTvfs {
     t.read().queryExecution.analyzed
   }
 
-  /** `log_register(name, path, stats_col)` — binds a NAME every log/index
-    * TVF then accepts in place of the raw (path, stats_col) pair
-    * ([[TableRegistry]]). Returns the binding as a 1-row frame. */
+  /** `log_register(name, path, stats_col[, extra_cols_csv])` — binds a
+    * NAME every log/index TVF then accepts in place of the raw (path,
+    * stats_col) pair ([[TableRegistry]]). The optional 4th argument
+    * declares extra stats columns (CSV), so by-name DML keeps recording
+    * multi-column stats and [[rangeOn]] can cut on them. Returns the
+    * binding as a 1-row frame. */
   def register(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 3, "log_register(name, path, stats_col) takes 3 arguments")
+    require(args.length == 3 || args.length == 4,
+      "log_register(name, path, stats_col[, extra_cols_csv]) takes 3-4 arguments")
     val spark = SparkSession.active
     val name = stringArg(args, 0, "log_register")
     val path = stringArg(args, 1, "log_register")
     val statsCol = stringArg(args, 2, "log_register")
-    TableRegistry.register(name, path, statsCol)
+    val extra =
+      if (args.length < 4) Nil
+      else stringArg(args, 3, "log_register").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+    TableRegistry.register(name, path, statsCol, extra)
     import spark.implicits._
-    Seq((name, path, statsCol)).toDF("name", "path", "stats_col")
+    Seq((name, path, statsCol, extra.mkString(",")))
+      .toDF("name", "path", "stats_col", "extra_stats_cols")
       .queryExecution.analyzed
   }
 
@@ -150,6 +168,36 @@ object LogTvfs {
       "log_table_range takes (path, stats_col | name) + (lo, hi)")
     t.prunedRead(longArg(args, used, "log_table_range"),
         longArg(args, used + 1, "log_table_range"))
+      .queryExecution.analyzed
+  }
+
+  /** `log_table_range_on(path, stats_col | name, col, lo, hi)` — the
+    * multi-column pruning surface ([[CommitTable.prunedReadOn]]): rows
+    * with `col` in `[lo, hi]`, file-cut from the log's committed
+    * extra-column stats (files with no recorded stats for `col` always
+    * survive; the residual predicate filters their rows). `col` may also
+    * be the primary stats column, which delegates to the range read. */
+  def rangeOn(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_table_range_on")
+    require(args.length == used + 3,
+      "log_table_range_on takes (path, stats_col | name) + (col, lo, hi)")
+    t.prunedReadOn(stringArg(args, used, "log_table_range_on"),
+        longArg(args, used + 1, "log_table_range_on"),
+        longArg(args, used + 2, "log_table_range_on"))
+      .queryExecution.analyzed
+  }
+
+  /** `log_changes(path, stats_col | name, from_v, to_v)` — the CDF
+    * surface (Delta's `table_changes()`): multiset row-level
+    * insert/delete changes between two committed versions
+    * ([[CommitTable.changesBetween]]), resolved through the log (incl.
+    * across delta-entry/checkpoint boundaries). */
+  def changes(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_changes")
+    require(args.length == used + 2,
+      "log_changes takes (path, stats_col | name) + (from_v, to_v)")
+    t.changesBetween(longArg(args, used, "log_changes"),
+        longArg(args, used + 1, "log_changes"))
       .queryExecution.analyzed
   }
 

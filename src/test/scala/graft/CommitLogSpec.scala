@@ -129,6 +129,13 @@ class CommitLogSpec extends SparkSpec {
     val after = t.prunedReadOn("v2", 900L, 1000L)
     assert(after.select("k").collect().map(_.getLong(0)).toSet === Set(2L, 51L),
       "carried and rewritten files keep their extra-column stats")
+    // the SQL surface: register WITH the extra column, then the by-name
+    // range-on TVF plans the same file cut
+    spark.sql(s"SELECT * FROM log_register('spec_xs', '$dir', 'k', 'v2')").collect()
+    val viaSql = spark.sql("SELECT k FROM log_table_range_on('spec_xs', 'v2', 900, 1000)")
+    assert(viaSql.collect().map(_.getLong(0)).toSet === Set(2L, 51L))
+    assert(viaSql.inputFiles.toSet === after.inputFiles.toSet,
+      "the TVF must hand the planner the same extra-column file cut")
   }
 
   test("named catalog: log TVFs resolve registered names; unknown names fail loudly with the known-name list (r14 verdict #5)") {
@@ -146,6 +153,10 @@ class CommitLogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(10L))
     assert(spark.sql("SELECT COUNT(*) FROM log_history('spec_named')")
       .head.getLong(0) === 2L)
+    // the CDF surface by name: v0 -> v1 inserted exactly the appended row
+    val cdf = spark.sql("SELECT k, change_type FROM log_changes('spec_named', 0, 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cdf === Set((10L, "insert")))
     // raw (path, stats_col) form keeps working unchanged
     assert(spark.sql(s"SELECT COUNT(*) FROM log_table('$dir', 'k')")
       .head.getLong(0) === 3L)

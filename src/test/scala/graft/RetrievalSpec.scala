@@ -379,6 +379,44 @@ class RetrievalSpec extends SparkSpec {
       s"per-term point lookups must file-prune: touched ${oneTerm.size} of ${allPostings.size}")
   }
 
+  test("passage-index delete lifecycle: tombstone commit, deleted docs leave results immediately, consolidation == rebuild on survivors") {
+    val corpus = (1L to 24L).map { i =>
+      val words = (0 until (35 + (i % 4).toInt * 20)).map(j => s"w${(i * 17 + j * 5) % 13}")
+      (i, (if (i % 4 == 0) "rare " else "") + words.mkString(" "))
+    }
+    val q = Seq("rare", "w0", "w7")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-maxpdel-spec").toString
+    Retrieval.buildPassageIndex(docs(corpus), root)
+    val delIds = corpus.map(_._1).filter(_ % 3 == 0).toSet
+    val postings = new graft.operators.CommitTable(spark, s"$root/postings", "th")
+    val postingsHead = postings.latestVersion().get
+    Retrieval.deleteFromPassageIndex(
+      docs(corpus.filter(d => delIds(d._1))).select("doc_id"), root)
+    assert(postings.latestVersion().get === postingsHead,
+      "the delete must be one tombstone commit — no postings rewrite")
+    // the delete IS an index version pinning the delete list
+    val pinned = graft.operators.IndexManifest.resolve(spark, root)
+    assert(pinned.contains("tombstones"))
+    // pre-merge Lucene rule: deleted docs' passages never surface (stale
+    // n_chunks/sum_dl — the arithmetic contract is the BM25 lifecycle
+    // test's; this pins the chunk-granular exclusion)
+    val pre = rows(Retrieval.maxPassageTopKIndexed(spark, root, q, k = 24))
+    assert(pre.nonEmpty && pre.forall(r => !delIds(r._1)))
+    // post-merge: bit-identical to a fresh build on the survivors
+    Retrieval.consolidatePassageIndex(spark, root)
+    assert(graft.llm.Tombstones.read(spark, root, "doc_id").forall(_.isEmpty))
+    val post = rows(Retrieval.maxPassageTopKIndexed(spark, root, q, k = 24))
+    val rb = java.nio.file.Files.createTempDirectory("graft-maxpdel-rb").toString
+    Retrieval.buildPassageIndex(docs(corpus.filter(d => !delIds(d._1))), rb)
+    assert(post === rows(Retrieval.maxPassageTopKIndexed(spark, rb, q, k = 24)),
+      "consolidation must leave the index rebuild-exact on the survivors")
+    // idempotent: nothing tombstoned → no-op at the current head
+    val v = postings.latestVersion().get
+    assert(Retrieval.consolidatePassageIndex(spark, root) === v)
+  }
+
   test("BM25 tombstones are manifest members: an old pinned version can never pair its postings with a later-cleared delete list (r14 advice)") {
     val corpus = (1L to 30L).map { i =>
       (i, (0 until (3 + (i % 5).toInt)).map(j => s"w${(i * 7 + j) % 8}").mkString(" "))
