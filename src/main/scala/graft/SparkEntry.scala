@@ -3496,23 +3496,29 @@ object SparkEntry {
       // (recall ≥ 40% — churn legitimately costs the tail: one query's
       // exact neighbors stay at 2/5 under ANY beam/hops once its links
       // route through the deleted range; measured plateau at sf0.01),
-      // and FLEET-wide Σn_hit·10 ≥ Σn_exact·7 (mean recall ≥ 70%;
-      // measured 80% with 10pp margin). If churn degrades the repaired
-      // graph below either floor, rows flip and the gate hash-fails.
-      // linkK/beam widened vs the defaults — the append and the
-      // post-churn walk are where quality is bought back (FreshDiskANN's
-      // own knob). Build memoized (s26's template); every lifecycle
-      // mutation runs on a private copy per execution.
+      // and FLEET-wide Σn_hit·10 ≥ Σn_exact·7 (mean recall ≥ 70%). If
+      // churn degrades the repaired graph below either floor, rows flip
+      // and the gate hash-fails. The gate pins the SCALED configuration
+      // (build degree k=10/rounds=3, linkK=12, beam=64/hops=5): the
+      // cheap k=6 default that the plan-correctness gates use goes
+      // recall-blind as the corpus grows (sf0.1 sweep: 8/20 queries
+      // under 40%, mean 31% — a too-sparse graph cannot be walked back
+      // to quality), while degree and beam scaled with corpus hold both
+      // floors at BOTH gate scales (sf0.01 AND sf0.1 measured; DiskANN's
+      // published configs make the same degree-vs-recall trade). Build
+      // memoized under its own key; every lifecycle mutation runs on a
+      // private copy per execution.
       val emb = Tables.embeddings(s, dir)
-      val idx = IndexCache.privateCopy(s"knng|$dir|ge100", "lifecycle")(
-        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), _))
-      KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx, linkK = 10)
+      val idx = IndexCache.privateCopy(s"knng|$dir|ge100|k10r3", "lifecycle")(
+        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), _,
+          k = 10, rounds = 3))
+      KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx, linkK = 12)
       KnnGraph.deleteFromKnnGraphIndex(
         emb.filter(col("vec_id") >= 150 && col("vec_id") < 200).select("vec_id"), idx)
       KnnGraph.consolidateKnnGraphIndex(s, idx)
       new graft.operators.CommitTable(s, s"$idx/graph", "src")
         .compactClustered("src", targetFiles = 4)
-      val approx = KnnGraph.knnGraphSearch(s, idx, beam = 32, hops = 4)
+      val approx = KnnGraph.knnGraphSearch(s, idx, beam = 64, hops = 5)
       val exact = Similarity.cosineTopK(
         emb.filter(col("vec_id") < 150 || col("vec_id") >= 200))
       val wAll = org.apache.spark.sql.expressions.Window
