@@ -504,19 +504,46 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     * insert. This is q28's snapshot-diff semantics bound to the commit log:
     * the versions are real committed file lists, not a version column.
     *
-    * Scale shape: one hash-repartition of each side (Spark plans exceptAll
-    * as an aggregate over the union, map-side combined); the diff never
-    * materializes either snapshot beyond the shuffle. Pruning note: a
-    * production CDF would first drop files the two commits SHARE (same
-    * path in both add lists touch nothing) — that file-list intersection
-    * is log-sized and free; rows here are diffed directly because
-    * compaction rewrites paths while preserving content.
+    * Scale shape: the diff touches ONLY the files the two versions do NOT
+    * share. Files are immutable, so a path in both add lists contributes
+    * identical row counts to both sides and cancels EXACTLY in the
+    * multiset algebra (`max(count_after − count_before, 0)` per row is
+    * unchanged by dropping equal contributions) — the file-list
+    * intersection is log-sized driver arithmetic, and the row diff is
+    * O(changed data), never O(table). An append step's CDF is therefore a
+    * plain read of its new files (no shuffle at all); file-granular DML
+    * diffs rewritten-vs-removed files; only a window crossing a
+    * compaction (same content, new paths) pays a changed-file-sized
+    * `exceptAll`, whose cross-side duplicates then cancel row-wise.
     */
   def changesBetween(from: Long, to: Long): DataFrame = {
-    val before = asOf(from)
-    val after = asOf(to)
-    after.exceptAll(before).withColumn("change_type", lit("insert"))
-      .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
+    val beforeFiles = addsOf(from).select("path").collect().map(_.getString(0)).toSet
+    val afterFiles = addsOf(to).select("path").collect().map(_.getString(0)).toSet
+    val beforeOnly = (beforeFiles -- afterFiles).toSeq.sorted
+    val afterOnly = (afterFiles -- beforeFiles).toSeq.sorted
+    def readFiles(ps: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(ps: _*)
+    if (beforeOnly.isEmpty && afterOnly.isEmpty)
+      emptyLike().withColumn("change_type", lit("insert"))
+    else if (beforeOnly.isEmpty)
+      readFiles(afterOnly).withColumn("change_type", lit("insert"))
+    else if (afterOnly.isEmpty)
+      readFiles(beforeOnly).withColumn("change_type", lit("delete"))
+    else {
+      val b = readFiles(beforeOnly)
+      val a = readFiles(afterOnly)
+      if (a.schema != b.schema) {
+        // cross-version schema evolution: subset reads can see narrower
+        // schemas than the table-wide union — diff the full snapshots
+        // (the pre-r15 path, correct for any schema history)
+        val before = asOf(from)
+        val after = asOf(to)
+        after.exceptAll(before).withColumn("change_type", lit("insert"))
+          .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
+      } else
+        a.exceptAll(b).withColumn("change_type", lit("insert"))
+          .unionByName(b.exceptAll(a).withColumn("change_type", lit("delete")))
+    }
   }
 
   /** Append `df` as a new version: previous file list + the new files —

@@ -552,6 +552,24 @@ class CommitLogSpec extends SparkSpec {
     assert(t.changesBetween(1L, 1L).collect().isEmpty)
     t.compact(targetFiles = 1)
     assert(t.changesBetween(1L, 2L).collect().isEmpty)
+    // an APPEND step's CDF is a plain read of the new files — shared
+    // files cancel in the log-sized file-list intersection, so neither
+    // the old snapshot nor an exceptAll shuffle is in the plan (the
+    // O(changed data) contract; at a streamed table's cadence the CDF of
+    // each micro-batch must never re-read the table)
+    t.append(kv(9L -> "z").coalesce(1))
+    val cdf = t.changesBetween(2L, 3L)
+    assert(cdf.collect().map(r => (r.getString(2), r.getLong(0))).toSeq === Seq(("insert", 9L)))
+    assert(cdf.inputFiles.length === 1, "append CDF must read only the appended files")
+    assert(!cdf.queryExecution.executedPlan.toString.contains("Except"),
+      "append CDF must not plan a multiset diff at all")
+    // duplicate rows across SHARED and changed files still cancel exactly:
+    // v3 has one (9,z); appending another copy diffs to exactly one insert
+    t.append(kv(9L -> "z").coalesce(1))
+    assert(t.changesBetween(3L, 4L).collect()
+      .map(r => (r.getString(2), r.getLong(0))).toSeq === Seq(("insert", 9L)))
+    // and the multi-step window still nets out content: 2 -> 4 is two inserts
+    assert(t.changesBetween(2L, 4L).collect().count(_.getString(2) == "insert") === 2)
   }
 
   test("merge commits an upsert as a new version; pre-merge history intact") {
