@@ -3572,6 +3572,24 @@ object SparkEntry {
       KnnGraph.knnGraphSearch(s, idx).withColumn("phase", lit("head"))
         .unionByName(KnnGraph.knnGraphSearchAt(s, idx, 0L).withColumn("phase", lit("v0")))
     }),
+    "s39_index_vacuum" -> ((s, dir) => {
+      // INDEX-LEVEL RETENTION closing the lifecycle (s34's index under a
+      // storage budget): a per-member-table vacuum cannot know which
+      // member versions an older INDEX version pins — vacuumIndex
+      // resolves the kept manifest versions to their exact member pins
+      // and reclaims everything else, so the kept window keeps replaying
+      // and the head search is untouched. Same build+append chain as
+      // s34; after vacuumIndex(keep = 1) the head search must still
+      // equal the append mirror bit-for-bit — which IS this gate's
+      // oracle. The pinned-window protection and the reclaim count are
+      // spec-asserted in KnnGraphSpec.
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.privateCopy(s"knng|$dir|lt300", "idxvac")(
+        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") < 300), _))  // index v0
+      KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") >= 300), idx) // index v1
+      graft.operators.IndexManifest.vacuumIndex(s, idx, keepLastIndexVersions = 1)
+      KnnGraph.knnGraphSearch(s, idx)
+    }),
     "s33_pq_graph_ann" -> ((s, dir) => {
       // the DiskANN query loop PROPER (memory/disk split included): the
       // committed graph walked with exact-integer PQ-ADC navigation —
@@ -5504,6 +5522,10 @@ object SparkEntry {
     "s30_graph_filtered" -> // unfiltered navigation, predicate on the
       // final ranking only — both engines gate the same visited set
       KnnGraph.knnGraphSearchSql(beam = 16, resFilter = "vec_id % 3 = 1"),
+    "s39_index_vacuum" -> // the post-vacuum head search must still equal
+      // the append mirror bit-for-bit — retention reclaimed ONLY what no
+      // kept index version references
+      KnnGraph.knnGraphAppendSearchSql(batches = Seq((300L, 500L))),
     "s34_index_versions" -> // head = the append mirror over the extended
       // graph; v0 = the build-only mirror restricted to the build corpus —
       // that the manifest snapshot reproduces it IS the atomicity claim

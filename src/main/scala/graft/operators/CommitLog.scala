@@ -626,10 +626,21 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     */
   def vacuum(keepLast: Int = 2, retainMillis: Long = 0L): Long = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    vacuumKeeping(versions().takeRight(keepLast).toSet, retainMillis)
+  }
+
+  /** [[vacuum]] with an EXPLICIT keep set — what index-level retention
+    * needs ([[IndexManifest.vacuumIndex]]): the versions a manifest pins
+    * are arbitrary, not a suffix, so "keep the last N" cannot express
+    * "keep what any retained index version references". The head must be
+    * in the keep set (reclaiming the head's files bricks the table). */
+  def vacuumKeeping(keepVersions: Set[Long], retainMillis: Long = 0L): Long = {
     require(retainMillis >= 0, s"retainMillis must be >= 0, got $retainMillis")
     val vs = versions()
     val head = vs.lastOption.getOrElse(-1L)
-    val keep = vs.takeRight(keepLast)
+    require(vs.isEmpty || keepVersions.contains(head),
+      s"vacuumKeeping at $path must keep the head version $head")
+    val keep = vs.filter(keepVersions)
     val referencedDirs = keep.flatMap { v =>
       addsOf(v).select("path").collect().flatMap { r =>
         // foreign (shallow-cloned) references live under ANOTHER table's

@@ -53,4 +53,44 @@ object IndexManifest {
   /** Committed index versions, ascending. */
   def versions(spark: SparkSession, indexRoot: String): Seq[Long] =
     table(spark, indexRoot).versions()
+
+  /** INDEX-LEVEL retention — the step a per-member-table vacuum cannot do
+    * safely: `memberTable.vacuum(keepLast = N)` keeps a version SUFFIX of
+    * that one table, but an older INDEX version may pin an older member
+    * version, so the per-table call would reclaim files a retained index
+    * snapshot still references and silently break index time travel.
+    * This resolves the kept manifest versions (last
+    * `keepLastIndexVersions`) to the exact member-version set each pins,
+    * then vacuums every member with THAT keep set (plus its own head —
+    * a member committed ahead of a crash-orphaned manifest stays
+    * readable), and finally vacuums the manifest itself. After the call,
+    * every kept index version replays exactly; everything older is
+    * reclaimed. Driver cost: kept-versions × member-count manifest reads
+    * + one directory listing per member — never a data read. Returns the
+    * number of reclaimed data directories across all member tables.
+    */
+  def vacuumIndex(spark: SparkSession, indexRoot: String,
+                  keepLastIndexVersions: Int = 2,
+                  retainMillis: Long = 0L): Long = {
+    require(keepLastIndexVersions >= 1,
+      s"keepLastIndexVersions must be >= 1, got $keepLastIndexVersions")
+    val mt = table(spark, indexRoot)
+    val vs = mt.versions()
+    require(vs.nonEmpty, s"no committed index versions at $indexRoot")
+    val keptIdx = vs.takeRight(keepLastIndexVersions)
+    val pins = scala.collection.mutable.Map.empty[String, Set[Long]]
+    keptIdx.foreach { v =>
+      resolve(spark, indexRoot, Some(v)).foreach { case (t, mv) =>
+        pins(t) = pins.getOrElse(t, Set.empty) + mv
+      }
+    }
+    var reclaimed = 0L
+    pins.toSeq.sortBy(_._1).foreach { case (t, mvs) =>
+      val ct = new CommitTable(spark, s"$indexRoot/$t", "v")
+      ct.latestVersion().foreach { h =>
+        reclaimed += ct.vacuumKeeping(mvs + h, retainMillis)
+      }
+    }
+    reclaimed + mt.vacuumKeeping(keptIdx.toSet, retainMillis)
+  }
 }

@@ -348,6 +348,41 @@ class KnnGraphSpec extends SparkSpec {
     assert(IndexManifest.versions(spark, root) === Seq(0L, 1L, 2L))
   }
 
+  test("vacuumIndex: kept index versions keep replaying (pins protected across members); dropping the window reclaims, head untouched") {
+    val vecs = clustered(n = 120, dim = 16, spread = 1.0, seed = 43)
+    val root = java.nio.file.Files.createTempDirectory("graft-idxvac-spec").toString
+    KnnGraph.buildKnnGraphIndex(embDF(vecs.filter(_._1 < 90)), root, k = 6, rounds = 3)
+    KnnGraph.appendKnnGraphIndex(embDF(vecs.filter(_._1 >= 90)), root)
+    import graft.operators.IndexManifest
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val v0Search = rows(KnnGraph.knnGraphSearchAt(spark, root, 0L, numQueries = 10, k = 3))
+    val headSearch = rows(KnnGraph.knnGraphSearch(spark, root, numQueries = 10, k = 3))
+    // keep = 2: index v0's member pins survive even though every member
+    // table has a NEWER head — the per-table suffix vacuum could not
+    // express this keep set; both kept versions must replay exactly
+    assert(IndexManifest.vacuumIndex(spark, root, keepLastIndexVersions = 2) === 0L,
+      "append-only history keeps every data directory while both versions are retained")
+    assert(rows(KnnGraph.knnGraphSearchAt(spark, root, 0L, numQueries = 10, k = 3)) === v0Search)
+    assert(rows(KnnGraph.knnGraphSearch(spark, root, numQueries = 10, k = 3)) === headSearch)
+    // a rewrite (consolidation) makes old member versions RECLAIMABLE:
+    // delete + consolidate, then retain only the head index version
+    KnnGraph.deleteFromKnnGraphIndex(
+      embDF(vecs.filter(v => v._1 >= 100 && v._1 < 110)).select("vec_id"), root)
+    KnnGraph.consolidateKnnGraphIndex(spark, root)
+    val postChurn = rows(KnnGraph.knnGraphSearch(spark, root, numQueries = 10, k = 3))
+    val reclaimed = IndexManifest.vacuumIndex(spark, root, keepLastIndexVersions = 1)
+    assert(reclaimed > 0L,
+      "pre-rewrite member data unreferenced by the kept index version must be reclaimed")
+    assert(rows(KnnGraph.knnGraphSearch(spark, root, numQueries = 10, k = 3)) === postChurn,
+      "the head search must be byte-identical after retention")
+    // the dropped window is genuinely gone: v0's member files were
+    // reclaimed, so replaying it now fails instead of reading garbage
+    intercept[Exception] {
+      KnnGraph.knnGraphSearchAt(spark, root, 0L, numQueries = 10, k = 3).collect()
+    }
+  }
+
   test("knnGraphSearchFor: external query vectors walk the committed graph; member queries reproduce knnGraphSearch exactly") {
     val vecs = clustered(n = 100, dim = 16, spread = 1.0, seed = 53)
     val root = java.nio.file.Files.createTempDirectory("graft-knnserve-spec").toString
