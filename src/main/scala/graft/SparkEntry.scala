@@ -2779,12 +2779,18 @@ object SparkEntry {
       t.overwrite(emb.filter(col("vec_id") < 250))
       t.append(emb.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 0))
       t.append(emb.filter(col("vec_id") >= 250 && col("vec_id") % 2 =!= 0))
-      val idx = root.resolve("idx").toString
+      // v0's snapshot build resolves through the memoized lt250 template
+      // (bit-identical by the IndexCache determinism contract); the change
+      // stream attaches at startingVersion = 1 — the production shape for
+      // adding streamed maintenance to an EXISTING index (replaying v0's
+      // snapshot through the feed would be a corpus-sized job before the
+      // first real increment). Appends mutate → private copy.
+      val idx = IndexCache.privateCopy(s"ivf|$dir|lt250", "sivfidx")(p =>
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250), p))
       graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
         val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
-        if (v == 0L) Similarity.buildIvfIndex(batch, idx)
-        else Similarity.appendIvfIndex(batch, idx)
-      })
+        Similarity.appendIvfIndex(batch, idx)
+      }, startingVersion = 1L)
       Similarity.ivfTopKIndexed(s, idx)
     }),
     "st22_stream_index_optimize" -> ((s, dir) => {
@@ -2808,12 +2814,14 @@ object SparkEntry {
       t.overwrite(emb.filter(col("vec_id") < 250))
       t.append(emb.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 0))
       t.append(emb.filter(col("vec_id") >= 250 && col("vec_id") % 2 =!= 0))
-      val idx = root.resolve("idx").toString
+      // st18's memoized-template + startingVersion=1 attach (see there);
+      // this row's own surface is the OPTIMIZE step after the stream.
+      val idx = IndexCache.privateCopy(s"ivf|$dir|lt250", "sivfoptidx")(p =>
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") < 250), p))
       graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
         val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
-        if (v == 0L) Similarity.buildIvfIndex(batch, idx)
-        else Similarity.appendIvfIndex(batch, idx)
-      })
+        Similarity.appendIvfIndex(batch, idx)
+      }, startingVersion = 1L)
       new graft.operators.CommitTable(s, s"$idx/lists", "cid")
         .compactClustered("cid", targetFiles = 4)
       Similarity.ivfTopKIndexed(s, idx)
@@ -2838,12 +2846,14 @@ object SparkEntry {
       t.append(docs.filter(col("doc_id") % 8 === 2))
       t.append(docs.filter(col("doc_id") % 2 === 0
         && col("doc_id") % 8 =!= 0 && col("doc_id") % 8 =!= 2))
-      val idx = root.resolve("idx").toString
+      // v0 build = memoized template; stream attaches at v1 (st18's
+      // startingVersion discipline). Appends mutate → private copy.
+      val idx = IndexCache.privateCopy(s"dedup|$dir|mod8eq0", "sdedupidx")(p =>
+        Dedup.buildDedupIndex(docs.filter(col("doc_id") % 8 === 0), p))
       graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
         val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
-        if (v == 0L) Dedup.buildDedupIndex(batch, idx)
-        else Dedup.appendDedupIndex(batch, idx)
-      })
+        Dedup.appendDedupIndex(batch, idx)
+      }, startingVersion = 1L)
       Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 =!= 0), idx)
     }),
     "st24_stream_graph_idx" -> ((s, dir) => {
@@ -2868,12 +2878,17 @@ object SparkEntry {
       t.overwrite(emb.filter(col("vec_id") >= 100))
       t.append(emb.filter(col("vec_id") >= 50 && col("vec_id") < 100))
       t.append(emb.filter(col("vec_id") < 50))
-      val idx = root.resolve("idx").toString
+      // v0 build = s26's memoized ge100 template (bit-identical by the
+      // IndexCache determinism contract); the stream attaches at v1 so
+      // each append batch links against the committed state at its turn
+      // (batch 2 against build ∪ batch 1, exactly as before). Appends
+      // mutate → private copy per execution.
+      val idx = IndexCache.privateCopy(s"knng|$dir|ge100", "sknngidx")(p =>
+        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), p))
       graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
         val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
-        if (v == 0L) KnnGraph.buildKnnGraphIndex(batch, idx)
-        else KnnGraph.appendKnnGraphIndex(batch, idx)
-      })
+        KnnGraph.appendKnnGraphIndex(batch, idx)
+      }, startingVersion = 1L)
       new graft.operators.CommitTable(s, s"$idx/graph", "src")
         .compactClustered("src", targetFiles = 4)
       KnnGraph.knnGraphSearch(s, idx)
@@ -2926,16 +2941,17 @@ object SparkEntry {
       val t = new graft.operators.CommitTable(s, tp, "vec_id")
       t.overwrite(Tables.embeddings(s, dir).select("vec_id", "embedding"))
       t.deleteRange(120L, 179L)
-      val idx = root.resolve("idx").toString
+      // v0 build = the shared full-corpus template; the stream attaches
+      // at v1 (st18's startingVersion discipline), where the DELETE WHERE
+      // commit arrives as 'delete' rows. Mutates → private copy.
+      val idx = IndexCache.privateCopy(s"ivf|$dir|full", "sidxdelidx")(p =>
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), p))
       graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
         val ins = cdf.filter(col("change_type") === "insert").drop("change_type")
         val del = cdf.filter(col("change_type") === "delete").drop("change_type")
-        if (v == 0L) Similarity.buildIvfIndex(ins, idx)
-        else {
-          if (!del.isEmpty) Similarity.deleteFromIvfIndex(del.select("vec_id"), idx)
-          if (!ins.isEmpty) Similarity.appendIvfIndex(ins, idx)
-        }
-      })
+        if (!del.isEmpty) Similarity.deleteFromIvfIndex(del.select("vec_id"), idx)
+        if (!ins.isEmpty) Similarity.appendIvfIndex(ins, idx)
+      }, startingVersion = 1L)
       Similarity.consolidateIvfIndex(s, idx)
       Similarity.ivfTopKIndexed(s, idx)
     }),
@@ -2974,12 +2990,14 @@ object SparkEntry {
       t.overwrite(docs.filter(col("doc_id") % 3 === 0))
       t.append(docs.filter(col("doc_id") % 3 === 1))
       t.append(docs.filter(col("doc_id") % 3 === 2))
-      val idx = root.resolve("idx").toString
+      // v0 build = memoized template; stream attaches at v1 (st18's
+      // startingVersion discipline). Appends mutate → private copy.
+      val idx = IndexCache.privateCopy(s"bm25|$dir|mod3eq0", "sbm25idx")(p =>
+        graft.llm.Retrieval.buildBm25Index(docs.filter(col("doc_id") % 3 === 0), p))
       graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
         val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
-        if (v == 0L) graft.llm.Retrieval.buildBm25Index(batch, idx)
-        else graft.llm.Retrieval.appendBm25Index(batch, idx)
-      })
+        graft.llm.Retrieval.appendBm25Index(batch, idx)
+      }, startingVersion = 1L)
       graft.llm.Retrieval.bm25TopKIndexed(s, idx, Bm25QueryTerms, k = 15)
     }),
     "st16_stream_log_source" -> ((s, dir) => {
@@ -3476,11 +3494,13 @@ object SparkEntry {
       // centroids then lists — a racing reader could score new lists
       // against an old codebook): head probe sees the appended index,
       // the v0 probe replays the build-only index through one pinned
-      // member set. Build memoized; append mutates → private copy.
+      // member set. Build+append chain memoized (s19/s36's split-template
+      // shape); both probes are read-only, so they share the template.
       val emb = Tables.embeddings(s, dir)
-      val idx = IndexCache.privateCopy(s"ivf|$dir|lt300", "ivfver")(
-        Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), _))   // index v0
-      Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 300), idx) // index v1
+      val idx = IndexCache.template(s"ivf|$dir|lt300+ge300") { p =>
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") < 300), p)   // index v0
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 300), p) // index v1
+      }
       Similarity.ivfTopKIndexed(s, idx).withColumn("phase", lit("head"))
         .unionByName(Similarity.ivfTopKIndexedAt(s, idx, 0L).withColumn("phase", lit("v0")))
     }),
@@ -3563,12 +3583,14 @@ object SparkEntry {
       // member heads as ONE manifest commit, so a reader never mixes new
       // vectors with the pre-append graph — and the whole index time
       // travels as a unit: the head search sees the appended state, the
-      // v0 search replays the build-only index exactly. Build memoized
-      // (template), append mutates → private copy per execution.
+      // v0 search replays the build-only index exactly. Build+append
+      // chain memoized like s19/s36's split template (both halves are
+      // deterministic); BOTH probes here are read-only, so they share it.
       val emb = Tables.embeddings(s, dir)
-      val idx = IndexCache.privateCopy(s"knng|$dir|lt300", "idxver")(
-        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") < 300), _))  // index v0
-      KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") >= 300), idx) // index v1
+      val idx = IndexCache.template(s"knng|$dir|lt300+ge300") { p =>
+        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") < 300), p)   // index v0
+        KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") >= 300), p) // index v1
+      }
       KnnGraph.knnGraphSearch(s, idx).withColumn("phase", lit("head"))
         .unionByName(KnnGraph.knnGraphSearchAt(s, idx, 0L).withColumn("phase", lit("v0")))
     }),
@@ -3584,9 +3606,11 @@ object SparkEntry {
       // oracle. The pinned-window protection and the reclaim count are
       // spec-asserted in KnnGraphSpec.
       val emb = Tables.embeddings(s, dir)
-      val idx = IndexCache.privateCopy(s"knng|$dir|lt300", "idxvac")(
-        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") < 300), _))  // index v0
-      KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") >= 300), idx) // index v1
+      // s34's chain template; the vacuum MUTATES → private copy.
+      val idx = IndexCache.privateCopy(s"knng|$dir|lt300+ge300", "idxvac") { p =>
+        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") < 300), p)   // index v0
+        KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") >= 300), p) // index v1
+      }
       graft.operators.IndexManifest.vacuumIndex(s, idx, keepLastIndexVersions = 1)
       KnnGraph.knnGraphSearch(s, idx)
     }),

@@ -38,15 +38,25 @@ object CommitLogStream {
     * snapshot tagged all-`insert`. Processes everything available, then
     * stops (bounded-follow harness shape; a production deployment runs
     * the same query with a checkpoint location and no stop).
+    *
+    * `startingVersion` is Delta's CDF streaming option of the same name:
+    * versions below it are discovered but NOT applied — the consumer
+    * declares it already holds the table's state as of
+    * `startingVersion - 1` (a bootstrapped index, a snapshot-loaded
+    * replica) and wants only the catch-up feed. At 100 TB this is the
+    * only sane way to attach maintenance to an existing table: replaying
+    * v0's full snapshot through the change feed would be a corpus-sized
+    * job before the first real increment.
     */
   def followChanges(spark: SparkSession, table: CommitTable, tablePath: String,
-                    apply: (Long, DataFrame) => Unit): Unit = {
+                    apply: (Long, DataFrame) => Unit,
+                    startingVersion: Long = 0L): Unit = {
     val src = spark.readStream.text(tablePath + "/_log")
     val q = src.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
       val versions = b
         .filter(col("value").contains("\"type\": \"commit\""))
         .select(regexp_extract(col("value"), "\"version\": (\\d+)", 1).cast("long").as("v"))
-        .collect().map(_.getLong(0)).sorted
+        .collect().map(_.getLong(0)).sorted.filter(_ >= startingVersion)
       versions.foreach { v =>
         val cdf =
           if (v == 0L) table.asOf(0L).withColumn("change_type", lit("insert"))
