@@ -597,6 +597,36 @@ class StreamingSpec extends SparkSpec {
     assert(acc(2L) === Set((9L, "z", "insert"), (1L, "a", "delete"), (3L, "c", "delete")))
   }
 
+  test("streaming commit-log source: startingVersion skips the bootstrap snapshot, catch-up feed only") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-clogsv")
+    val tp = root.resolve("tbl").toString
+    val t = new graft.operators.CommitTable(s, tp, "k")
+    def kv(pairs: (Long, String)*) = pairs.toDF("k", "v")
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    t.append(kv(3L -> "c"))
+    t.overwrite(kv(2L -> "b", 9L -> "z"))
+    // the consumer declares it already holds the state as of v0 (a
+    // bootstrapped index): only the catch-up feed is applied, and the
+    // applied versions carry exactly the same change sets the full
+    // replay would have delivered for them
+    val acc = scala.collection.mutable.Map.empty[Long, Set[(Long, String, String)]]
+    graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+      acc(v) = cdf.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    }, startingVersion = 1L)
+    assert(acc.keySet === Set(1L, 2L))
+    assert(acc(1L) === Set((3L, "c", "insert")))
+    assert(acc(2L) === Set((9L, "z", "insert"), (1L, "a", "delete"), (3L, "c", "delete")))
+    // attaching past the head applies nothing (a fresh consumer of a
+    // fully-consumed table)
+    val none = scala.collection.mutable.Map.empty[Long, Long]
+    graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+      none(v) = cdf.count()
+    }, startingVersion = 3L)
+    assert(none.isEmpty)
+  }
+
   test("streaming IVF maintenance: one lists version per discovered commit, head equals one-shot append") {
     val s = spark
     import s.implicits._
