@@ -529,70 +529,67 @@ object Analytics {
     * pipeline stages): everything in layer L can run once layers < L are
     * done, and `max(layer)` is the critical-path length. `(vertex, layer)`.
     *
-    * Iterative max-DP fixpoint (BSP, like [[kCore]]'s waves): per round
-    * each vertex raises its layer to `1 + max(layer(pred))`; converges in
-    * `depth` rounds on a DAG. The input must BE a DAG — acyclicity is the
-    * caller's contract (at scale verifying it is its own computation);
-    * on a cycle the recurrence would climb forever, so the loop is capped
-    * at `maxRounds` and FAILS LOUDLY there instead of spinning — the cap
-    * is a cycle detector of last resort, not a tuning knob.
+    * Pregel max-DP fixpoint (the [[greedyColoring]] substrate argument:
+    * the round count is the DAG DEPTH — ~50 on the gate graph — and a
+    * DataFrame loop pays plan/checkpoint/convergence-job overhead per
+    * materialized round, while the layer relation each step consumes is
+    * referenced twice, so chaining k steps per materialization grows the
+    * plan TREE 2^k-fold; Pregel pays one message exchange per superstep
+    * over RDDs with no Catalyst replanning and detects quiescence for
+    * free). Per superstep each vertex raises its layer to
+    * `1 + max(layer(pred))` and re-announces only when it rose —
+    * converges in `depth` supersteps on a DAG, messages are
+    * vertex-sized, edges partitioned once ([[PartitionStrategy.EdgePartition2D]],
+    * the BFS residency story).
     *
-    * Scale: per round one join of the vertex-sized layer relation into
-    * the edge list + a max-aggregate — the BFS/SSSP residency story
-    * (edges traversed once per round, only vertex-sized state exchanges),
-    * checkpointed so lineage stays flat. Not CTE-expressible without
-    * enumerating every path (exponential); the gate uses a VALUES oracle
-    * from [[SequentialModel.topoLayers]], the g8/g14 discipline.
+    * The input must BE a DAG — acyclicity is the caller's contract (at
+    * scale verifying it is its own computation); on a cycle the
+    * recurrence would climb forever, so iterations are capped at
+    * `maxRounds × stepsPerRound` total DP steps (the pre-Pregel budget,
+    * kept for call-site compatibility) and a one-pass post-run fixpoint
+    * check — any edge still able to raise its head — FAILS LOUDLY
+    * instead of returning a silently-truncated layering. Not
+    * CTE-expressible without enumerating every path (exponential); the
+    * gate uses a VALUES oracle from [[SequentialModel.topoLayers]], the
+    * g8/g14 discipline.
     */
   def topoLayers(edges: DataFrame, maxRounds: Int = 200,
                  stepsPerRound: Int = 4): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(stepsPerRound >= 1, s"stepsPerRound must be >= 1, got $stepsPerRound")
-    // edge relation hash-partitioned by src ONCE; the layer relation is
-    // kept hash-partitioned by vertex through every round (localCheckpoint
-    // preserves outputPartitioning), so each DP step pays exactly ONE
-    // exchange — the unavoidable edge→dst message shuffle. The pred-join
-    // reuses e's layout and the merge-join reuses the groupBy's: the BFS
-    // residency discipline (partition the big relation once, ship only
-    // vertex-sized state) applied to a DP fixpoint.
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src"))
+    val edgeRdd = e.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val g = XGraph.fromEdges(edgeRdd, 0L,
+        StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    val budget = maxRounds.toLong * stepsPerRound
+    val run = org.apache.spark.graphx.Pregel(
+      g, 0L, maxIterations = budget.min(Int.MaxValue.toLong).toInt,
+      activeDirection = org.apache.spark.graphx.EdgeDirection.Out)(
+      vprog = (_, layer, msg) => math.max(layer, msg),
+      sendMsg = t =>
+        if (t.srcAttr + 1L > t.dstAttr) Iterator((t.dstId, t.srcAttr + 1L))
+        else Iterator.empty,
+      mergeMsg = math.max)
+    // loud cycle detection: at the true fixpoint no edge can raise its
+    // head; if the iteration cap stopped a still-climbing recurrence the
+    // input had a cycle (or the budget was absurdly small for its depth)
+    val unstable = run.triplets.filter(t => t.srcAttr + 1L > t.dstAttr).count()
+    val out = run.vertices.map { case (v, l) => (v, l) }.toDF("vertex", "layer")
       .localCheckpoint(true)
-    val verts = e.select(col("src").as("vertex")).union(e.select(col("dst").as("vertex")))
-      .distinct()
-    // one DP step: every vertex raises to 1 + max(layer(pred)); monotone,
-    // so composing it `stepsPerRound` times per MATERIALIZATION preserves
-    // the fixpoint while dividing the materialized-round count (each
-    // materialization is a fixed job-latency cost locally and a stage
-    // barrier + lineage cut on a cluster)
-    def step(ls: DataFrame): DataFrame = {
-      val cand = e.join(ls.withColumnRenamed("vertex", "src"), "src")
-        .groupBy(col("dst").as("vertex")).agg(max(col("layer") + 1).as("cand"))
-      ls.join(cand, Seq("vertex"), "left_outer")
-        .select(col("vertex"),
-          greatest(col("layer"), coalesce(col("cand"), lit(0L))).as("layer"))
-    }
-    var layers = verts.withColumn("layer", lit(0L))
-      .repartition(col("vertex")).localCheckpoint(true)
-    // Σ layer is monotone non-decreasing and bounded on a DAG -> fixpoint
-    var sig = 0L
-    var converged = layers.isEmpty
-    var round = 0
-    while (!converged) {
-      round += 1
-      require(round <= maxRounds,
-        s"topoLayers did not converge in $maxRounds rounds (× $stepsPerRound steps) — " +
-          "the input graph almost certainly has a cycle")
-      layers = Iterator.iterate(layers)(step).drop(stepsPerRound).next()
-        .localCheckpoint(true)
-      val s = layers.agg(sum("layer")).head.getLong(0)
-      converged = s == sig
-      sig = s
-    }
-    layers.orderBy("vertex")
+    run.unpersistVertices(blocking = false)
+    run.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    require(unstable == 0L,
+      s"topoLayers did not converge in $budget DP steps ($unstable edges still " +
+        "raising) — the input graph almost certainly has a cycle")
+    out.orderBy("vertex")
   }
 
   /** k-truss (k ≥ 3): the maximal subgraph in which every EDGE closes at
