@@ -93,7 +93,10 @@ object GraftSession {
           "log_merge" -> graft.plans.LogTvfs.mergeFrom,
           "log_update" -> graft.plans.LogTvfs.update,
           "log_optimize" -> graft.plans.LogTvfs.optimize,
+          "log_optimize_zorder" -> graft.plans.LogTvfs.optimizeZorder,
           "log_vacuum" -> graft.plans.LogTvfs.vacuum,
+          // catalog introspection: one row per registered name
+          "log_tables" -> graft.plans.LogTvfs.tables,
           // ...and the persisted-index probes queryable from pure SQL
           // (the pgvector-shaped surface) — see IndexTvfs
           "ann_topk" -> graft.plans.IndexTvfs.annTopK,

@@ -1671,6 +1671,39 @@ object SparkEntry {
           |FROM log_table_range_on('q52_cdf', 'v', 100, 400)
           |ORDER BY part, tag""".stripMargin)
     }),
+    "q53_sql_zorder" -> ((s, dir) => {
+      // OPTIMIZE ZORDER from pure SQL (Delta's `OPTIMIZE … ZORDER BY`)
+      // plus catalog introspection (the SHOW TABLES shape): f17's
+      // layout-only Morton-clustered rewrite is now one statement by
+      // registered name, and the post-zorder second-dimension range read
+      // (the f25 cut single-column clustering can't give) runs as the
+      // next statement. log_tables() proves the registry row; content
+      // identity through the rewrite is the gate (both-dimension file
+      // cuts spec-asserted in CommitLogSpec).
+      val root = IndexCache.freshRoot("sqlzorder")
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "x", extraStatsCols = Seq("y"))
+      // the k%4 slice: the gate binds the statement surface + catalog row,
+      // not rewrite volume (f17 gates the zorder commit on the full table)
+      val li = Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0).select(
+        (col("l_orderkey") % 1024).cast("long").as("x"),
+        (col("l_partkey") % 1024).cast("long").as("y"),
+        col("l_quantity").cast("long").as("q"))
+      t.overwrite(li.repartition(4))
+      s.sql(s"SELECT * FROM log_register('q53_zt', '$tp', 'x', 'y')").collect()
+      s.sql("SELECT COUNT(*) FROM log_optimize_zorder('q53_zt', 'x', 'y')").collect()
+      s.sql(
+        """SELECT 'catalog' AS snap, n, 0 AS sum_x, 0 AS sum_y, 0 AS sum_q
+          |FROM (SELECT COUNT(*) AS n FROM log_tables() WHERE name = 'q53_zt'
+          |      AND stats_col = 'x' AND extra_stats_cols = 'y')
+          |UNION ALL
+          |SELECT 'head', COUNT(*), SUM(x), SUM(y), SUM(q)
+          |FROM log_table('q53_zt')
+          |UNION ALL
+          |SELECT 'ywindow', COUNT(*), SUM(x), SUM(y), SUM(q)
+          |FROM log_table_range_on('q53_zt', 'y', 100, 199)
+          |ORDER BY snap""".stripMargin)
+    }),
     "q47_sql_optimize" -> ((s, dir) => {
       // the OPTIMIZE maintenance statement for SQL-only users (q43/q46
       // gave them DML; streamed appends still accreted per-batch small
@@ -4762,6 +4795,20 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 400 AND o_orderkey NOT BETWEEN 1000 AND 5000
         |ORDER BY part, tag""".stripMargin,
+    "q53_sql_zorder" -> // the zorder commit is layout-only, so head ==
+      // the derivation and the y-window read == a plain filter; the
+      // catalog row is the single registered binding
+      """WITH d AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y,
+        |                  l_quantity::BIGINT AS q FROM lineitem
+        |           WHERE l_orderkey % 4 = 0)
+        |SELECT 'catalog' AS snap, CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sum_x,
+        |       CAST(0 AS BIGINT) AS sum_y, CAST(0 AS BIGINT) AS sum_q
+        |UNION ALL
+        |SELECT 'head', COUNT(*), SUM(x)::BIGINT, SUM(y)::BIGINT, SUM(q)::BIGINT FROM d
+        |UNION ALL
+        |SELECT 'ywindow', COUNT(*), SUM(x)::BIGINT, SUM(y)::BIGINT, SUM(q)::BIGINT
+        |FROM d WHERE y BETWEEN 100 AND 199
+        |ORDER BY snap""".stripMargin,
     "q51_named_catalog" -> // by-name reads after the by-name delete: head
       // excludes [1000, 5000], the range read cuts [6000, 9000] of the
       // head, v0 is the full projection

@@ -60,6 +60,15 @@ object TableRegistry {
     val (p, c, _) = resolveFull(name); (p, c)
   }
 
+  /** Every registration, sorted by name — the SHOW TABLES listing
+    * ([[LogTvfs.tables]]). */
+  def listAll: Seq[(String, String, String, Seq[String])] = {
+    import scala.jdk.CollectionConverters._
+    entries.entrySet().asScala.toSeq
+      .map(e => (e.getKey, e.getValue._1, e.getValue._2, e.getValue._3))
+      .sortBy(_._1)
+  }
+
   /** The full binding incl. declared extra stats columns — what by-name
     * DML needs so its commits keep recording multi-column stats. */
   def resolveFull(name: String): (String, String, Seq[String]) = {
@@ -268,6 +277,47 @@ object LogTvfs {
     t.compactClustered(stringArg(args, used, "log_optimize"),
       longArg(args, used + 1, "log_optimize").toInt)
     t.read().queryExecution.analyzed
+  }
+
+  /** `log_optimize_zorder(path, stats_col | name, x_col, y_col)` — the
+    * Delta `OPTIMIZE … ZORDER BY (x, y)` statement
+    * ([[CommitTable.optimizeZorder]]): one layout-only commit rewriting
+    * the head Morton-interleaved and range-clustered on the Z value, so
+    * per-file stats windows are narrow on BOTH dimensions and range
+    * reads on EITHER column file-cut (single-column clustering keeps one
+    * dimension scattered across every file — the reason lakehouses ship
+    * ZORDER at all). Content byte-identical, old versions readable;
+    * returns the re-clustered head. */
+  def optimizeZorder(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_optimize_zorder")
+    require(args.length == used + 2,
+      "log_optimize_zorder takes (path, stats_col | name) + (x_col, y_col)")
+    t.optimizeZorder(stringArg(args, used, "log_optimize_zorder"),
+      stringArg(args, used + 1, "log_optimize_zorder"))
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_tables()` — the SHOW TABLES statement over the session
+    * registry: one row per [[TableRegistry.register]] binding
+    * `(name, path, stats_col, extra_stats_cols)`. Registry-sized local
+    * relation (never touches any table's data or log). */
+  def tables(args: Seq[Expression]): LogicalPlan = {
+    require(args.isEmpty, "log_tables takes no arguments")
+    val spark = SparkSession.active
+    import scala.jdk.CollectionConverters._
+    val rows = TableRegistry.listAll.map { case (n, p, c, xs) =>
+      org.apache.spark.sql.Row(n, p, c, xs.mkString(","))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("stats_col",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("extra_stats_cols",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema).queryExecution.analyzed
   }
 
   /** `log_vacuum(path, stats_col, keep_last)` — the retention statement

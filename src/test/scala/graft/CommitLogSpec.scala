@@ -772,6 +772,35 @@ class CommitLogSpec extends SparkSpec {
     assert(after < 8, s"zorder layout should prune files, still reading $after of 8")
   }
 
+  test("log_optimize_zorder TVF: statement form equals the Scala API; log_tables lists the binding") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-tvf").toString
+    val t = new CommitTable(spark, dir, "x", extraStatsCols = Seq("y"))
+    val rnd = new scala.util.Random(29)
+    val data = (1 to 4000).map(_ => (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    t.overwrite(data.toDF("x", "y").repartition(8))
+    s.sql(s"SELECT * FROM log_register('zorder_tvf_t', '$dir', 'x', 'y')").collect()
+    // the catalog lists exactly this binding (filtered — the registry is
+    // process-wide and other suites register too)
+    val cat = s.sql(
+      "SELECT path, stats_col, extra_stats_cols FROM log_tables() WHERE name = 'zorder_tvf_t'")
+      .collect()
+    assert(cat.length === 1)
+    assert(cat.head.getString(0) === dir)
+    assert(cat.head.getString(1) === "x")
+    assert(cat.head.getString(2) === "y")
+    // the statement commits the same layout-only rewrite the Scala API does
+    assert(s.sql("SELECT COUNT(*) FROM log_optimize_zorder('zorder_tvf_t', 'x', 'y')")
+      .head().getLong(0) === 4000L)
+    assert(t.latestVersion() === Some(1L))
+    assert(t.read().collect().map(r => (r.getLong(0), r.getLong(1))).sorted === data.sorted)
+    // ...and BOTH dimensions file-cut after it: the primary via the log's
+    // stats pruning, the declared extra column via prunedReadOn
+    assert(t.prunedRead(0L, 63L).inputFiles.length < 8)
+    assert(t.prunedReadOn("y", 0L, 63L).inputFiles.length < 8)
+  }
+
   test("vacuum protects restore-re-referenced directories; vacuumed versions refuse to restore") {
     val t = freshTable()
     t.overwrite(kv(1L -> "a"))
