@@ -2763,6 +2763,33 @@ object SparkEntry {
         .select(lit(t.versions().length.toLong).as("n_versions"),
           col("n_rows"), col("sum_event"), col("sum_user"))
     }),
+    "st28_stream_exactly_once" -> ((s, dir) => {
+      // EXACTLY-ONCE streaming ingest under re-delivery (Delta's
+      // txnAppId/txnVersion): foreachBatch is AT-LEAST-ONCE — a sink
+      // that committed but crashed before the source checkpoint gets the
+      // SAME batch (same id) again — so the sink records (appId,
+      // batchId) in the commit header and appendIdempotent recognizes
+      // the replay and skips it. Here EVERY batch is delivered twice
+      // (the worst case); the head must carry the one-shot content and
+      // exactly one version per micro-batch, which is precisely what the
+      // gate's n_versions/n_rows/sums bind (a double-applied batch
+      // doubles all three). st15 is the marker-free baseline.
+      val root = IndexCache.freshRoot("sxonce")
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "event_id")
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("event_type"))
+      BoundedReplay.runForeachBatchIds(ev, "st28_sink", (b, id) => {
+        val first = t.appendIdempotent(b, "st28_app", id)
+        val retry = t.appendIdempotent(b, "st28_app", id) // re-delivery
+        require(first.nonEmpty && retry.isEmpty,
+          s"batch $id: first=$first retry=$retry — idempotence contract broken")
+      })
+      t.read().agg(count(lit(1)).as("n_rows"),
+          sum("event_id").as("sum_event"), sum("user_id").as("sum_user"))
+        .select(lit(t.versions().length.toLong).as("n_versions"),
+          col("n_rows"), col("sum_event"), col("sum_user"))
+    }),
     "st17_streaming_view" -> ((s, dir) => {
       // STREAMING MATERIALIZED VIEW: st16's commit-log change stream
       // DRIVING g46's incremental degree maintenance — the end-to-end
@@ -5495,6 +5522,12 @@ object SparkEntry {
       // assumed but ENFORCED: BoundedReplay asserts the staged file count
       // equals sourceFiles, so an input too small to fill 4 partitions
       // fails loudly instead of silently shifting this constant
+      """SELECT 4::BIGINT AS n_versions, COUNT(*) AS n_rows,
+        |       SUM(event_id)::BIGINT AS sum_event, SUM(user_id)::BIGINT AS sum_user
+        |FROM events""".stripMargin,
+    "st28_stream_exactly_once" -> // double-delivered batches, single-shot
+      // head: any replayed append that lands doubles n_rows and the sums
+      // and adds versions — the marker keeps all four at st15's values
       """SELECT 4::BIGINT AS n_versions, COUNT(*) AS n_rows,
         |       SUM(event_id)::BIGINT AS sum_event, SUM(user_id)::BIGINT AS sum_user
         |FROM events""".stripMargin,

@@ -80,7 +80,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     StructField("lo", LongType), StructField("hi", LongType),
     StructField("n", LongType), StructField("xs", StringType),
     StructField("delta", org.apache.spark.sql.types.BooleanType),
-    StructField("nf", LongType), StructField("nr", LongType)))
+    StructField("nf", LongType), StructField("nr", LongType),
+    StructField("txnApp", StringType), StructField("txnV", LongType)))
 
   private def logFile(v: Long) = new Path(logDir, f"$v%020d.json")
 
@@ -557,6 +558,43 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     rebaseOnConflict(5)(
       commitVersion(df, keepPrevious = true, op = "append", tsMillis = tsMillis))
 
+  /** Idempotent append for AT-LEAST-ONCE producers (Delta's
+    * `txnAppId`/`txnVersion` options): the commit header records
+    * `(appId, txnV)`, and an append whose `txnV` is at or below the
+    * app's latest recorded transaction is recognized as a RE-DELIVERY
+    * and skipped (returns None; a fresh commit returns Some(version)).
+    * This is what makes a `foreachBatch` streaming sink exactly-once —
+    * the engine re-runs a batch whose sink committed but whose source
+    * checkpoint didn't, and without the transaction marker the retry
+    * would double the batch's rows.
+    *
+    * Contract (Delta's): one writer per `appId` at a time — streaming
+    * queries guarantee it (a query run retries batches sequentially);
+    * monotonic `txnV` per app (micro-batch ids are). The check is one
+    * log-sized scan ([[txnVersion]]), never a table read.
+    */
+  def appendIdempotent(df: DataFrame, appId: String, txnV: Long,
+                       tsMillis: Option[Long] = None): Option[Long] = {
+    require(appId.nonEmpty, "appendIdempotent: appId must be non-empty")
+    if (txnVersion(appId).exists(_ >= txnV)) None
+    else Some(rebaseOnConflict(5)(commitVersion(df, keepPrevious = true,
+      op = "append", tsMillis = tsMillis, txn = Some((appId, txnV)))))
+  }
+
+  /** The latest transaction version recorded for `appId` across all
+    * commit headers (None if the app never committed). Log-sized
+    * distributed scan, the [[history]] discipline — headers ride every
+    * version file's first line, so no data file is touched. */
+  def txnVersion(appId: String): Option[Long] = {
+    val vs = versions()
+    if (vs.isEmpty) return None
+    val acts = spark.read.schema(actionSchema)
+      .json(vs.map(v => logFile(v).toString): _*)
+    val r = acts.filter(col("type") === "commit" && col("txnApp") === appId)
+      .agg(max(col("txnV"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   /** Re-runs `body` on a lost optimistic-concurrency race, up to
     * `attemptsLeft` total attempts — ONLY for commutative commits
     * (appends); read-modify-write commits surface the conflict because
@@ -1005,7 +1043,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
                             expectedBase: Option[Long] = None,
                             audit: Option[DataFrame => Seq[(String, Long)]] = None,
                             tsMillis: Option[Long] = None,
-                            carriedExplicit: Option[Seq[Rec]] = None): Long = {
+                            carriedExplicit: Option[Seq[Rec]] = None,
+                            txn: Option[(String, Long)] = None): Long = {
     // resolve the head ONCE: the carried file list derives from version-1 of
     // the version this writer attempts, so base snapshot and attempt are
     // always consistent — a commit landing in between makes the publish
@@ -1049,20 +1088,23 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
           if (keepPrevious && prev.nonEmpty) collectAdds(prev.get) else Seq.empty)
         val adds = carried ++ stats
         publish(version, op, adds, removes = Nil, delta = false,
-          counters = (adds.length.toLong, adds.map(_._4).sum), tsMillis = tsMillis)
+          counters = (adds.length.toLong, adds.map(_._4).sum), tsMillis = tsMillis,
+          txn = txn)
       } else if (carriedExplicit.isDefined) {
         val carried = carriedExplicit.get
         val carriedPaths = carried.map(_._1).toSet
         val removes = collectAdds(prev.get).map(_._1).filterNot(carriedPaths)
         publish(version, op, stats, removes, delta = true,
           counters = (carried.length.toLong + stats.length,
-            carried.map(_._4).sum + stats.map(_._4).sum), tsMillis = tsMillis)
+            carried.map(_._4).sum + stats.map(_._4).sum), tsMillis = tsMillis,
+          txn = txn)
       } else {
         // plain append: the delta entry needs NO resolution of the previous
         // file list at all — counters roll forward from the head's header
         val (pf, pr) = activeTotals(prev.get)
         publish(version, op, stats, removes = Nil, delta = true,
-          counters = (pf + stats.length, pr + stats.map(_._4).sum), tsMillis = tsMillis)
+          counters = (pf + stats.length, pr + stats.map(_._4).sum), tsMillis = tsMillis,
+          txn = txn)
       }
     } catch {
       case e: Throwable =>
@@ -1083,7 +1125,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
                       removes: Seq[String] = Nil,
                       delta: Boolean = false,
                       counters: (Long, Long) = (-1L, -1L),
-                      tsMillis: Option[Long] = None): Long = {
+                      tsMillis: Option[Long] = None,
+                      txn: Option[(String, Long)] = None): Long = {
     // Delta's monotonicity rule: a commit whose clock reads at-or-before
     // its predecessor is recorded as predecessor + 1 ms, so timestamp
     // time travel always resolves versions in version order. Pre-timestamp
@@ -1097,7 +1140,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val (nf, nr) = counters
     val head = s"""{"type": "commit", "version": $version, "op": ${jsonStr(op)}, "ts": $ts""" +
       (if (delta) """, "delta": true""" else "") +
-      (if (nf >= 0) s""", "nf": $nf, "nr": $nr""" else "") + "}"
+      (if (nf >= 0) s""", "nf": $nf, "nr": $nr""" else "") +
+      txn.map { case (a, v) => s""", "txnApp": ${jsonStr(a)}, "txnV": $v""" }.getOrElse("") + "}"
     val lines = head +:
       (adds.map { case (p, lo, hi, n, xs) =>
         s"""{"type": "add", "version": $version, "path": ${jsonStr(p)}, "lo": $lo, "hi": $hi, "n": $n""" +

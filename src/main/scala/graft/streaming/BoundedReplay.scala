@@ -86,4 +86,25 @@ object BoundedReplay {
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** [[runForeachBatch]] with the engine's micro-batch id handed to
+    * `apply` — what an exactly-once sink keys its transaction marker on
+    * (batch ids are monotonic per query and STABLE across retries, which
+    * is the whole point). */
+  def runForeachBatchIds(batch: DataFrame, name: String,
+                         apply: (DataFrame, Long) => Unit,
+                         sourceFiles: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val dir = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-replayfbi-$name-${ProcessHandle.current().pid()}"))
+    batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
+    assertStagedFiles(dir, sourceFiles)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => apply(b, id) }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -801,6 +801,32 @@ class CommitLogSpec extends SparkSpec {
     assert(t.prunedReadOn("y", 0L, 63L).inputFiles.length < 8)
   }
 
+  test("appendIdempotent: re-delivery skipped, per-app markers independent, resolves across checkpoints") {
+    val t = new CommitTable(spark,
+      Files.createTempDirectory("graft-clog-txn").toString, "k", checkpointEvery = 4)
+    assert(t.appendIdempotent(kv(1L -> "a"), "app1", 0L) === Some(0L))
+    // the same transaction re-delivered: skipped — no version, no rows
+    assert(t.appendIdempotent(kv(1L -> "a"), "app1", 0L) === None)
+    // an OLDER transaction arriving late is also a replay
+    assert(t.appendIdempotent(kv(9L -> "x"), "app1", -1L) === None)
+    assert(t.appendIdempotent(kv(2L -> "b"), "app1", 1L) === Some(1L))
+    // a different app keeps its own sequence
+    assert(t.appendIdempotent(kv(3L -> "c"), "app2", 0L) === Some(2L))
+    assert(t.txnVersion("app1") === Some(1L))
+    assert(t.txnVersion("app2") === Some(0L))
+    assert(t.txnVersion("nobody") === None)
+    // marker-free commits in between don't disturb the sequences...
+    t.append(kv(4L -> "d"))
+    // ...and markers resolve across checkpoint-entry versions (v4 and v8
+    // are snapshot-complete at checkpointEvery = 4)
+    (2L to 6L).foreach { v =>
+      assert(t.appendIdempotent(kv(100L + v -> "e"), "app1", v) === Some(v + 2L))
+    }
+    assert(t.appendIdempotent(kv(999L -> "z"), "app1", 6L) === None)
+    assert(t.txnVersion("app1") === Some(6L))
+    assert(t.read().count() === 9L)
+  }
+
   test("vacuum protects restore-re-referenced directories; vacuumed versions refuse to restore") {
     val t = freshTable()
     t.overwrite(kv(1L -> "a"))
