@@ -841,6 +841,46 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       keepPrevious = false, op = "compact")
   }
 
+  /** OPTIMIZE to a target file SIZE — the production knob (Delta and
+    * Iceberg bin-pack toward ~1 GB files): a fixed file COUNT is
+    * meaningless across scales, while "files of about `targetBytes`" is
+    * the invariant that keeps scan parallelism, footer overhead, and
+    * stats-window width balanced at ANY table size. Resolves the head's
+    * total data bytes from the filesystem's file list (file-count-sized
+    * driver metadata — no data read) and folds into
+    * `ceil(total / targetBytes)` cluster-ranged files via
+    * [[compactClustered]]. Sizing is by pre-rewrite bytes (the standard
+    * bin-packing estimate; re-compression skew is bounded for
+    * like-encoded rewrites). */
+  def compactClusteredToSize(clusterCol: String, targetBytes: Long): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val v = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val total = addsOf(v).select("path").collect()
+      .map(r => fs.getFileStatus(new Path(r.getString(0))).getLen).sum
+    val target = math.max(1L, (total + targetBytes - 1) / targetBytes)
+    require(target <= Int.MaxValue.toLong,
+      s"compactClusteredToSize: $total bytes / $targetBytes per file needs $target files")
+    compactClustered(clusterCol, target.toInt)
+  }
+
+  /** Time-based retention (Delta's `VACUUM … RETAIN n HOURS`, resolved to
+    * versions): keep every version whose commit timestamp falls within
+    * `horizonMillis` of `nowMillis` — plus the head, always — and reclaim
+    * data directories nothing kept references. Timestamps come from
+    * commit headers (driver-side, version-count-sized — the [[commitTs]]
+    * discipline); versions from a pre-timestamp log count as expired.
+    * Returns the number of directories removed. */
+  def vacuumRetain(horizonMillis: Long,
+                   nowMillis: Long = System.currentTimeMillis()): Long = {
+    require(horizonMillis >= 0, s"horizonMillis must be >= 0, got $horizonMillis")
+    val vs = versions()
+    val cutoff = nowMillis - horizonMillis
+    val keep = vs.filter(v =>
+      scala.util.Try(commitTs(v)).toOption.exists(_ >= cutoff)).toSet ++ vs.lastOption
+    vacuumKeeping(keep)
+  }
+
   /** OPTIMIZE ZORDER as a commit (the Delta `OPTIMIZE … ZORDER BY` shape):
     * rewrite the current content Z-curve-clustered on `(xCol, yCol)` —
     * every output file covers a small RECTANGLE of the key space, so

@@ -827,6 +827,47 @@ class CommitLogSpec extends SparkSpec {
     assert(t.read().count() === 9L)
   }
 
+  test("vacuumRetain: versions inside the horizon survive, expired unreferenced directories go") {
+    val t = freshTable()
+    t.overwrite(kv(1L -> "a"), tsMillis = Some(1000L))  // v0 — expired
+    t.overwrite(kv(2L -> "b"), tsMillis = Some(2000L))  // v1 — kept by ts
+    t.append(kv(3L -> "c"), tsMillis = Some(3000L))     // v2 — head
+    // cutoff = 3500 - 1500 = 2000: v1 and v2 are in-horizon, v0 expired
+    assert(t.vacuumRetain(horizonMillis = 1500L, nowMillis = 3500L) === 1L)
+    // head and the kept version still read; the expired overwrite doesn't
+    assert(rows(t.read()) === Set(2L -> "b", 3L -> "c"))
+    assert(rows(t.asOf(1L)) === Set(2L -> "b"))
+    intercept[Exception](t.asOf(0L).collect())
+    // the head survives even when EVERYTHING is past the horizon
+    assert(t.vacuumRetain(horizonMillis = 0L, nowMillis = 100000L) === 0L)
+    assert(rows(t.read()) === Set(2L -> "b", 3L -> "c"))
+  }
+
+  test("compactClusteredToSize: output file count derives from total bytes, content identical") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-clog-sizeopt").toString
+    val t = new CommitTable(spark, dir, "k")
+    val data = (1L to 4000L).map(k => (k, s"v$k"))
+    t.overwrite(data.toDF("k", "v").repartition(8))
+    val totalBytes = {
+      val d = new java.io.File(dir)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(d)
+    }
+    // a budget of ~half the table folds to 2 files; content is unchanged
+    t.compactClusteredToSize("k", targetBytes = (totalBytes + 1) / 2)
+    assert(t.read().inputFiles.length === 2)
+    assert(t.read().collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      === data.sorted)
+    // a budget above the table folds to ONE file, never zero
+    t.compactClusteredToSize("k", targetBytes = Long.MaxValue / 4)
+    assert(t.read().inputFiles.length === 1)
+    assert(t.read().count() === 4000L)
+  }
+
   test("vacuum protects restore-re-referenced directories; vacuumed versions refuse to restore") {
     val t = freshTable()
     t.overwrite(kv(1L -> "a"))
