@@ -94,7 +94,9 @@ object GraftSession {
           "log_update" -> graft.plans.LogTvfs.update,
           "log_optimize" -> graft.plans.LogTvfs.optimize,
           "log_optimize_zorder" -> graft.plans.LogTvfs.optimizeZorder,
+          "log_optimize_size" -> graft.plans.LogTvfs.optimizeSize,
           "log_vacuum" -> graft.plans.LogTvfs.vacuum,
+          "log_vacuum_retain" -> graft.plans.LogTvfs.vacuumRetain,
           // catalog introspection: one row per registered name
           "log_tables" -> graft.plans.LogTvfs.tables,
           // ...and the persisted-index probes queryable from pure SQL

@@ -297,6 +297,32 @@ object LogTvfs {
     t.read().queryExecution.analyzed
   }
 
+  /** `log_optimize_size(path, stats_col | name, cluster_col,
+    * target_bytes)` — [[CommitTable.compactClusteredToSize]] as a
+    * statement: bin-pack the head toward files of about `target_bytes`
+    * (the Delta/Iceberg ~1 GB knob — the file-count form stays as
+    * `log_optimize` for index-shaped tables that pin their layout). */
+  def optimizeSize(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_optimize_size")
+    require(args.length == used + 2,
+      "log_optimize_size takes (path, stats_col | name) + (cluster_col, target_bytes)")
+    t.compactClusteredToSize(stringArg(args, used, "log_optimize_size"),
+      longArg(args, used + 1, "log_optimize_size"))
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_vacuum_retain(path, stats_col | name, horizon_ms)` — time-based
+    * retention ([[CommitTable.vacuumRetain]], Delta's `VACUUM … RETAIN`):
+    * reclaims directories referenced only by versions older than the
+    * horizon; the head always survives. Returns the head. */
+  def vacuumRetain(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_vacuum_retain")
+    require(args.length == used + 1,
+      "log_vacuum_retain takes (path, stats_col | name) + (horizon_ms)")
+    t.vacuumRetain(longArg(args, used, "log_vacuum_retain"))
+    t.read().queryExecution.analyzed
+  }
+
   /** `log_tables()` — the SHOW TABLES statement over the session
     * registry: one row per [[TableRegistry.register]] binding
     * `(name, path, stats_col, extra_stats_cols)`. Registry-sized local

@@ -868,6 +868,26 @@ class CommitLogSpec extends SparkSpec {
     assert(t.read().count() === 4000L)
   }
 
+  test("log_optimize_size and log_vacuum_retain TVFs: statement forms run the maintenance ops by name") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-clog-mtvf").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite((1L to 2000L).map(k => (k, s"v$k")).toDF("k", "v").repartition(8),
+      tsMillis = Some(1000L))
+    s.sql(s"SELECT * FROM log_register('mtvf_t', '$dir', 'k')").collect()
+    // size-targeted OPTIMIZE folds 8 small files into one oversized budget
+    assert(s.sql("SELECT COUNT(*) FROM log_optimize_size('mtvf_t', 'k', 1073741824)")
+      .head().getLong(0) === 2000L)
+    assert(t.read().inputFiles.length === 1)
+    // the rewrite is a fresh commit (recent ts): retention reclaims only
+    // the expired original layout's directory, head content untouched
+    assert(s.sql("SELECT COUNT(*) FROM log_vacuum_retain('mtvf_t', 60000)")
+      .head().getLong(0) === 2000L)
+    assert(t.read().count() === 2000L)
+    intercept[Exception](t.asOf(0L).collect())
+  }
+
   test("vacuum protects restore-re-referenced directories; vacuumed versions refuse to restore") {
     val t = freshTable()
     t.overwrite(kv(1L -> "a"))
