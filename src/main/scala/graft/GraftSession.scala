@@ -83,6 +83,8 @@ object GraftSession {
           // (head / VERSION AS OF / log-stats-pruned range) from pure SQL
           "log_table" -> graft.plans.LogTvfs.read,
           "log_table_at" -> graft.plans.LogTvfs.asOf,
+          "log_table_at_ts" -> graft.plans.LogTvfs.asOfTs,
+          "log_restore" -> graft.plans.LogTvfs.restore,
           "log_table_range" -> graft.plans.LogTvfs.range,
           // multi-column stats cut + the CDF surface (Delta table_changes)
           "log_table_range_on" -> graft.plans.LogTvfs.rangeOn,

@@ -297,6 +297,31 @@ object LogTvfs {
     t.read().queryExecution.analyzed
   }
 
+  /** `log_table_at_ts(path, stats_col | name, ts_millis)` — timestamp
+    * time travel ([[CommitTable.asOfTimestamp]], Delta's `TIMESTAMP AS
+    * OF`): resolves the last version committed at or before the
+    * timestamp (header timestamps are monotone by the publish-time
+    * adjustment) and returns that snapshot's scan. */
+  def asOfTs(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_table_at_ts")
+    require(args.length == used + 1,
+      "log_table_at_ts takes (path, stats_col | name) + (ts_millis)")
+    t.asOfTimestamp(longArg(args, used, "log_table_at_ts")).queryExecution.analyzed
+  }
+
+  /** `log_restore(path, stats_col | name, version)` — RESTORE TABLE …
+    * VERSION AS OF as a statement ([[CommitTable.restore]]): commits a
+    * new head whose file list IS the target version's (re-publish, no
+    * data rewrite — the restored-to files are re-referenced and vacuum
+    * protects them); returns the restored head. */
+  def restore(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_restore")
+    require(args.length == used + 1,
+      "log_restore takes (path, stats_col | name) + (version)")
+    t.restore(longArg(args, used, "log_restore"))
+    t.read().queryExecution.analyzed
+  }
+
   /** `log_optimize_size(path, stats_col | name, cluster_col,
     * target_bytes)` — [[CommitTable.compactClusteredToSize]] as a
     * statement: bin-pack the head toward files of about `target_bytes`

@@ -868,6 +868,25 @@ class CommitLogSpec extends SparkSpec {
     assert(t.read().count() === 4000L)
   }
 
+  test("log_table_at_ts and log_restore TVFs: timestamp travel and restore as by-name statements") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-clog-rtvf").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a"), tsMillis = Some(1000L))
+    t.overwrite(kv(2L -> "b", 3L -> "c"), tsMillis = Some(2000L))
+    s.sql(s"SELECT * FROM log_register('rtvf_t', '$dir', 'k')").collect()
+    // timestamp travel: between the commits resolves v0, at/after v1
+    assert(s.sql("SELECT k, v FROM log_table_at_ts('rtvf_t', 1500)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet === Set(1L -> "a"))
+    assert(s.sql("SELECT COUNT(*) FROM log_table_at_ts('rtvf_t', 2000)")
+      .head().getLong(0) === 2L)
+    // restore commits a new head carrying v0's content; history grows
+    assert(s.sql("SELECT k, v FROM log_restore('rtvf_t', 0)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet === Set(1L -> "a"))
+    assert(t.latestVersion() === Some(2L))
+    assert(rows(t.asOf(1L)) === Set(2L -> "b", 3L -> "c"))
+  }
+
   test("log_optimize_size and log_vacuum_retain TVFs: statement forms run the maintenance ops by name") {
     val s = spark
     import s.implicits._
