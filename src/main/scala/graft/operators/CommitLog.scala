@@ -114,6 +114,21 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   private def isDeltaEntry(version: Long): Boolean =
     headerLine(version).contains("\"delta\": true")
 
+  /** Reject versions written under a log protocol this reader doesn't
+    * know (the Delta protocol-action contract): a future writer that adds
+    * a feature the resolution below can't interpret bumps `proto` in its
+    * headers, and an old reader FAILS LOUDLY here instead of silently
+    * mis-resolving the file list — format evolution must degrade to an
+    * error, never to wrong data. Pre-`proto` headers are protocol 1. */
+  private def checkProtocol(version: Long): Unit = {
+    val m = """"proto": (\d+)""".r.findFirstMatchIn(headerLine(version))
+    val p = m.map(_.group(1).toLong).getOrElse(1L)
+    require(p <= CommitTable.SupportedProtocol,
+      s"version $version at $path was written with log protocol $p; this reader " +
+        s"supports <= ${CommitTable.SupportedProtocol} — upgrade the library, do not " +
+        "bypass (newer actions may change how the file list resolves)")
+  }
+
   /** Nearest snapshot-complete version at or below `v` — the resolution
     * base. ≤ `checkpointEvery` − 1 header probes by the commit rule
     * (version 0 is always snapshot-complete). */
@@ -135,6 +150,7 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   private def addsOf(version: Long): DataFrame = {
     val f = logFile(version)
     require(fs.exists(f), s"version $version is not committed at $path")
+    checkProtocol(version)
     // stored paths are table-relative, EXCEPT shallow-clone entries which
     // reference another table's files absolutely (the Delta shallow-clone
     // shape) and pass through unprefixed
@@ -821,7 +837,12 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     */
   def compact(targetFiles: Int = 4): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    commitVersion(read().repartition(targetFiles), keepPrevious = false, op = "compact")
+    // content-preserving of WHATEVER head it reads, so a lost race with a
+    // concurrent writer is safe to retry — read() re-resolves inside the
+    // by-name body, so the retry compacts the NEW head (Delta's rule:
+    // maintenance never conflicts with appends, it just goes again)
+    rebaseOnConflict(3)(
+      commitVersion(read().repartition(targetFiles), keepPrevious = false, op = "compact"))
   }
 
   /** Clustered compaction — the OPTIMIZE shape for INDEX tables whose
@@ -837,8 +858,10 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     */
   def compactClustered(clusterCol: String, targetFiles: Int = 4): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    commitVersion(read().repartitionByRange(targetFiles, col(clusterCol)),
-      keepPrevious = false, op = "compact")
+    // auto-retry on a lost race, re-reading the new head ([[compact]])
+    rebaseOnConflict(3)(
+      commitVersion(read().repartitionByRange(targetFiles, col(clusterCol)),
+        keepPrevious = false, op = "compact"))
   }
 
   /** OPTIMIZE to a target file SIZE — the production knob (Delta and
@@ -894,12 +917,15 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   def optimizeZorder(xCol: String, yCol: String, bits: Int = 10,
                      targetFiles: Int = 8): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    val clustered = read()
-      .withColumn("__z", expr(Partitioning.zorderExpr(xCol, yCol, bits)))
-      .repartitionByRange(targetFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-    commitVersion(clustered, keepPrevious = false, op = "zorder")
+    // auto-retry on a lost race, re-reading the new head ([[compact]])
+    rebaseOnConflict(3) {
+      val clustered = read()
+        .withColumn("__z", expr(Partitioning.zorderExpr(xCol, yCol, bits)))
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+      commitVersion(clustered, keepPrevious = false, op = "zorder")
+    }
   }
 
   private def jsonStr(s: String): String =
@@ -1178,7 +1204,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val ts = math.max(tsMillis.getOrElse(System.currentTimeMillis()),
       prevTs.map(_ + 1L).getOrElse(Long.MinValue))
     val (nf, nr) = counters
-    val head = s"""{"type": "commit", "version": $version, "op": ${jsonStr(op)}, "ts": $ts""" +
+    val head = s"""{"type": "commit", "version": $version, "op": ${jsonStr(op)}""" +
+      s""", "proto": ${CommitTable.SupportedProtocol}, "ts": $ts""" +
       (if (delta) """, "delta": true""" else "") +
       (if (nf >= 0) s""", "nf": $nf, "nr": $nr""" else "") +
       txn.map { case (a, v) => s""", "txnApp": ${jsonStr(a)}, "txnV": $v""" }.getOrElse("") + "}"
@@ -1266,6 +1293,11 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
 }
 
 object CommitTable {
+
+  /** The log protocol this build reads AND writes (stamped into every
+    * commit header; absent = 1). Bump when an action is added that older
+    * resolution logic would silently mis-read — see `checkProtocol`. */
+  private[operators] val SupportedProtocol: Long = 1L
 
   /** Delta windows whose log bytes fit here fold on the driver (the Delta
     * JVM-log-replay shape — zero cluster jobs for resolution); larger

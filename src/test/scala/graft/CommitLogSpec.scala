@@ -907,6 +907,48 @@ class CommitLogSpec extends SparkSpec {
     intercept[Exception](t.asOf(0L).collect())
   }
 
+  test("log protocol guard: a version from a newer writer fails loudly instead of mis-resolving") {
+    val dir = Files.createTempDirectory("graft-clog-proto").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a"))
+    // simulate a future writer publishing an action set this build can't
+    // interpret: version 1 lands with a bumped protocol marker
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_log", "%020d.json".format(1)),
+      """{"type": "commit", "version": 1, "op": "future", "proto": 99, "ts": 99999}""")
+    val e = intercept[IllegalArgumentException](t.read().collect())
+    assert(e.getMessage.contains("protocol 99"))
+    // versions this build wrote keep reading — the guard is per-version
+    assert(rows(t.asOf(0L)) === Set(1L -> "a"))
+  }
+
+  test("maintenance commits auto-retry a lost race: the retried compaction reads the NEW head") {
+    val dir = Files.createTempDirectory("graft-clog-optrace").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 100L).map(k => k -> s"v$k"): _*))
+    val interloper = new CommitTable(spark, dir, "k")
+    var calls = 0
+    val racing = new CommitTable(spark, dir, "k") {
+      override protected def nextVersion(): Long = {
+        calls += 1
+        val v = super.nextVersion()
+        // first attempt: an append lands after this resolution, the
+        // compaction's rename loses; the retry must re-read the head so
+        // the interleaved row is IN the rewrite (a stale-snapshot retry
+        // would silently erase it — the lost update)
+        if (calls == 1) interloper.append(kv(200L -> "i"))
+        v
+      }
+    }
+    assert(racing.compactClustered("k", targetFiles = 2) === 2L)
+    assert(calls === 2, "the first attempt must lose the rename race and retry")
+    val fresh = new CommitTable(spark, dir, "k")
+    assert(fresh.read().count() === 101L)
+    assert(rows(fresh.read()).contains(200L -> "i"),
+      "the retried compaction must carry the interleaved append's row")
+    assert(fresh.read().inputFiles.length === 2)
+  }
+
   test("vacuum protects restore-re-referenced directories; vacuumed versions refuse to restore") {
     val t = freshTable()
     t.overwrite(kv(1L -> "a"))
