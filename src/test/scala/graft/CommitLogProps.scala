@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.operators.CommitTable
+
+/** ScalaCheck properties for the commit log's round-15 write-side
+  * contracts, vs driver-side models — the TemporalJoinsProps discipline
+  * applied to storage semantics:
+  *
+  *  - idempotent transactional appends ([[CommitTable.appendIdempotent]]):
+  *    over ANY interleaving of fresh and replayed `(appId, txnV)` markers,
+  *    exactly the model-fresh batches land — content, version count, and
+  *    per-app markers all match the driver fold;
+  *  - time-based retention ([[CommitTable.vacuumRetain]]): after a vacuum
+  *    at an arbitrary horizon, a version reads iff it is in-horizon or is
+  *    the head; kept content is bit-identical to what was committed.
+  */
+object CommitLogProps extends Properties("CommitLog") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withMaxDiscardRatio(10)
+
+  private def spark = TestSpark.spark
+
+  // (app, txnV) streams with deliberately tiny ranges so replays, stale
+  // late arrivals, and cross-app interleavings all occur
+  private val genOps: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(0, 8)
+    ops <- Gen.listOfN(n, for {
+      app <- Gen.oneOf("app_a", "app_b")
+      v <- Gen.choose(0L, 4L)
+    } yield (app, v))
+  } yield ops
+
+  property("appendIdempotent == driver model over random (app, txnV) interleavings") =
+    Prop.forAll(genOps) { ops =>
+      val s = spark
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft-txnprop").toString
+      // checkpointEvery = 3 so marker resolution crosses checkpoint entries
+      val t = new CommitTable(s, dir, "k", checkpointEvery = 3)
+      val model = scala.collection.mutable.Map.empty[String, Long]
+      var landed = 0
+      var expect = Set.empty[Long]
+      val perCall = ops.zipWithIndex.map { case ((app, v), i) =>
+        val rows = Seq(i * 10L + 1, i * 10L + 2)
+        val got = t.appendIdempotent(rows.map(k => (k, s"r$k")).toDF("k", "v"), app, v)
+        val fresh = model.get(app).forall(_ < v)
+        if (fresh) { model(app) = v; landed += 1; expect ++= rows }
+        got.isDefined == fresh
+      }
+      val contentOk =
+        if (landed == 0) t.latestVersion().isEmpty
+        else t.read().collect().map(_.getLong(0)).toSet == expect &&
+          t.versions().length == landed
+      val markersOk = Seq("app_a", "app_b", "app_never")
+        .forall(a => t.txnVersion(a) == model.get(a))
+      perCall.forall(identity) && contentOk && markersOk
+    }
+
+  property("vacuumRetain: a version reads iff in-horizon or head; kept content intact") =
+    Prop.forAll(Gen.choose(1, 5), Gen.choose(0L, 8000L)) { (nv, horizon) =>
+      val s = spark
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft-retainprop").toString
+      val t = new CommitTable(s, dir, "k")
+      // overwrites: every version owns its directory, so an expired
+      // non-head version is exactly a reclaimed one (no carried files)
+      (0 until nv).foreach { i =>
+        t.overwrite(Seq((i.toLong, s"v$i")).toDF("k", "v"),
+          tsMillis = Some(1000L * (i + 1)))
+      }
+      val now = 10000L
+      t.vacuumRetain(horizon, now)
+      val cutoff = now - horizon
+      (0 until nv).forall { i =>
+        val kept = 1000L * (i + 1) >= cutoff || i == nv - 1
+        if (kept)
+          t.asOf(i.toLong).collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+            Seq((i.toLong, s"v$i"))
+        else scala.util.Try(t.asOf(i.toLong).collect()).isFailure
+      }
+    }
+}
