@@ -40,7 +40,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val strictReps = sys.env.get("SPARK_GRAFT_STRICT_REPS").contains("1")
-    val spark = GraftSession.builder(master = s"local[$cpus]", cores = cpus).getOrCreate()
+    val spark = GraftSession.create(master = s"local[$cpus]", cores = cpus)
     spark.sparkContext.setLogLevel("WARN")
 
     // dev-loop subset, Verify's SPARK_GRAFT_ONLY discipline (the driver

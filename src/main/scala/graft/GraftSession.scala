@@ -145,6 +145,30 @@ object GraftSession {
           sys.props.getOrElse("java.io.tmpdir", "/tmp"),
           s"graft-warehouse-${ProcessHandle.current().pid()}")).toString)
       .config("spark.ui.enabled", "false")
+      // deep Pregel fixpoints (SSSP past hundreds of hops, runaway inputs
+      // hitting an iteration cap) grow RDD lineage per superstep until
+      // task serialization stack-overflows; GraphX cuts it itself every N
+      // supersteps when this is set — the checkpoint dir is wired in
+      // [[create]] (a SparkContext property, not a conf). 100 so the
+      // gate-depth runs (BFS ~10, SSSP ~25, coloring ~100 supersteps) pay
+      // at most one reliable checkpoint while anything runaway-deep still
+      // gets its lineage cut well before serialization blows
+      .config("spark.graphx.pregel.checkpointInterval", "100")
 
-  def local(): SparkSession = builder().getOrCreate()
+  /** [[builder]].getOrCreate() + the context-level wiring a builder conf
+    * can't express: the CHECKPOINT DIRECTORY the Pregel interval needs —
+    * Spark's PeriodicCheckpointer silently skips when no dir is set
+    * (verified against the shipped bytecode), so a bare builder stays
+    * safe, and sessions created here actually get the lineage cuts. */
+  def create(master: String = "local[*]", cores: String = "32"): SparkSession = {
+    val spark = builder(master, cores).getOrCreate()
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(TempDirs.deleteOnExit(
+        java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-ckpt-${ProcessHandle.current().pid()}")).toString)
+    spark
+  }
+
+  def local(): SparkSession = create()
 }

@@ -15,7 +15,7 @@ object Verify {
     // exports came back as two phantom "not a parquet file" error rows.
     sys.props("graft.export.dir") = outDir.stripSuffix("/") + ".exports"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = GraftSession.builder(master = s"local[$cpus]", cores = cpus).getOrCreate()
+    val spark = GraftSession.create(master = s"local[$cpus]", cores = cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-loop subset (comma-separated query names); the driver never sets

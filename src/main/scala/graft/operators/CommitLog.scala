@@ -99,14 +99,36 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   /** First line of a version's log entry (driver read — header probes are
     * log-metadata work, never cluster jobs; Delta reads log headers the
     * same way). */
+  // committed log entries are IMMUTABLE (rename-without-overwrite publish;
+  // vacuum reclaims data dirs, never log files), so header lines cache
+  // forever — one filesystem read per (instance, version), which is what
+  // keeps snapshotBase's delta-chain walk and the protocol check free of
+  // repeat I/O
+  private val headerCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, String]()
+
+  /** The first line of `version`'s log entry — read once, cached, and
+    * PROTOCOL-CHECKED: every consumer of header information (delta
+    * resolution, counters, timestamps, txn markers) funnels through here,
+    * so a version written under a newer log protocol fails loudly at the
+    * first touch instead of being silently mis-interpreted. */
   private def headerLine(version: Long): String = {
+    val cached = headerCache.get(version)
+    if (cached != null) return cached
     val f = logFile(version)
     require(fs.exists(f), s"version $version is not committed at $path")
     val in = fs.open(f)
-    try Option(new java.io.BufferedReader(
+    val h = try Option(new java.io.BufferedReader(
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
       .readLine()).getOrElse("")
     finally in.close()
+    val p = """"proto": (\d+)""".r.findFirstMatchIn(h).map(_.group(1).toLong).getOrElse(1L)
+    require(p <= CommitTable.SupportedProtocol,
+      s"version $version at $path was written with log protocol $p; this reader " +
+        s"supports <= ${CommitTable.SupportedProtocol} — upgrade the library, do not " +
+        "bypass (newer actions may change how the file list resolves)")
+    headerCache.put(version, h)
+    h
   }
 
   /** Whether `version`'s entry is a DELTA against its predecessor (absent
@@ -117,17 +139,14 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   /** Reject versions written under a log protocol this reader doesn't
     * know (the Delta protocol-action contract): a future writer that adds
     * a feature the resolution below can't interpret bumps `proto` in its
-    * headers, and an old reader FAILS LOUDLY here instead of silently
+    * headers, and an old reader FAILS LOUDLY instead of silently
     * mis-resolving the file list — format evolution must degrade to an
-    * error, never to wrong data. Pre-`proto` headers are protocol 1. */
-  private def checkProtocol(version: Long): Unit = {
-    val m = """"proto": (\d+)""".r.findFirstMatchIn(headerLine(version))
-    val p = m.map(_.group(1).toLong).getOrElse(1L)
-    require(p <= CommitTable.SupportedProtocol,
-      s"version $version at $path was written with log protocol $p; this reader " +
-        s"supports <= ${CommitTable.SupportedProtocol} — upgrade the library, do not " +
-        "bypass (newer actions may change how the file list resolves)")
-  }
+    * error, never to wrong data. Pre-`proto` headers are protocol 1.
+    * The check itself lives in [[headerLine]] (every header consumer
+    * funnels through it, so delta-window members, counter reads, and
+    * timestamp probes are all covered); this wrapper exists for call
+    * sites that need the validation WITHOUT using the header content. */
+  private def checkProtocol(version: Long): Unit = { headerLine(version); () }
 
   /** Nearest snapshot-complete version at or below `v` — the resolution
     * base. ≤ `checkpointEvery` − 1 header probes by the commit rule
@@ -157,6 +176,10 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     def absPath(c: Column): Column =
       when(c.startsWith("/"), c).otherwise(concat(lit(path + "/"), c))
     val base = snapshotBase(version)
+    // the walk validated (via headerLine) every version it probed; the
+    // base itself is only probed when the walk reached it through
+    // isDeltaEntry — cover the v0-base case explicitly (cached, free)
+    checkProtocol(base)
     if (base == version)
       spark.read.schema(actionSchema).json(f.toString)
         .filter(col("type") === "add")
@@ -240,17 +263,11 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     * log rather than inventing one.
     */
   def commitTs(version: Long): Long = {
-    val f = logFile(version)
-    require(fs.exists(f), s"version $version is not committed at $path")
     // the header is the first line of a file this layer wrote itself —
     // parsed on the driver (timestamp resolution is log-sized metadata
     // work and must not launch cluster jobs; Delta reads log headers the
-    // same way)
-    val in = fs.open(f)
-    val first = try new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)).readLine()
-    finally in.close()
-    val m = """"ts": (-?\d+)""".r.findFirstMatchIn(Option(first).getOrElse(""))
+    // same way); [[headerLine]] caches it and protocol-checks it
+    val m = """"ts": (-?\d+)""".r.findFirstMatchIn(headerLine(version))
     require(m.isDefined, s"version $version at $path has no commit timestamp")
     m.get.group(1).toLong
   }
@@ -598,17 +615,22 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   }
 
   /** The latest transaction version recorded for `appId` across all
-    * commit headers (None if the app never committed). Log-sized
-    * distributed scan, the [[history]] discipline — headers ride every
-    * version file's first line, so no data file is touched. */
+    * commit headers (None if the app never committed). Version-count-sized
+    * DRIVER scan of header lines — the [[commitTs]] discipline: markers
+    * ride only first lines, so launching a cluster job over every log
+    * file's full action list (adds/removes included) would make each
+    * exactly-once micro-batch pay O(total log bytes); header lines are
+    * immutable and cached, so a long-lived sink pays one filesystem read
+    * per NEW version, not per batch. */
   def txnVersion(appId: String): Option[Long] = {
-    val vs = versions()
-    if (vs.isEmpty) return None
-    val acts = spark.read.schema(actionSchema)
-      .json(vs.map(v => logFile(v).toString): _*)
-    val r = acts.filter(col("type") === "commit" && col("txnApp") === appId)
-      .agg(max(col("txnV"))).head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
+    val marker = s""""txnApp": ${jsonStr(appId)}, "txnV": """
+    versions().flatMap { v =>
+      val h = headerLine(v)
+      val i = h.indexOf(marker)
+      if (i < 0) None
+      else Some(h.substring(i + marker.length)
+        .takeWhile(c => c == '-' || c.isDigit).toLong)
+    }.reduceOption(_ max _)
   }
 
   /** Re-runs `body` on a lost optimistic-concurrency race, up to
@@ -877,14 +899,21 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     * like-encoded rewrites). */
   def compactClusteredToSize(clusterCol: String, targetBytes: Long): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val v = latestVersion().getOrElse(
-      throw new IllegalStateException(s"no commits at $path"))
-    val total = addsOf(v).select("path").collect()
-      .map(r => fs.getFileStatus(new Path(r.getString(0))).getLen).sum
-    val target = math.max(1L, (total + targetBytes - 1) / targetBytes)
-    require(target <= Int.MaxValue.toLong,
-      s"compactClusteredToSize: $total bytes / $targetBytes per file needs $target files")
-    compactClustered(clusterCol, target.toInt)
+    // measurement INSIDE the retry scope: a lost race re-measures the new
+    // head, so the retried rewrite is sized for what it actually compacts
+    // (sizing from the pre-race head would let a racing large append blow
+    // every output file past the budget — the op's one invariant)
+    rebaseOnConflict(3) {
+      val v = latestVersion().getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      val total = addsOf(v).select("path").collect()
+        .map(r => fs.getFileStatus(new Path(r.getString(0))).getLen).sum
+      val target = math.max(1L, (total + targetBytes - 1) / targetBytes)
+      require(target <= Int.MaxValue.toLong,
+        s"compactClusteredToSize: $total bytes / $targetBytes per file needs $target files")
+      commitVersion(read().repartitionByRange(target.toInt, col(clusterCol)),
+        keepPrevious = false, op = "compact")
+    }
   }
 
   /** Time-based retention (Delta's `VACUUM … RETAIN n HOURS`, resolved to

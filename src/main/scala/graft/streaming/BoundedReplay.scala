@@ -53,21 +53,37 @@ object BoundedReplay {
     * every transform, so a hit IS the same input; a plan that
     * canonicalizes differently (other sf dir, other projection) simply
     * stages its own directory. Read-only after staging — every consumer
-    * is a streaming SOURCE over it. */
+    * is a streaming SOURCE over it.
+    *
+    * Memoization is REFUSED when the plan's identity doesn't pin the
+    * data: a `LocalRelation` (driver-literal rows — its toString shows
+    * attributes, never data, so two different row sets print alike) or a
+    * truncated tree render (`maxToStringFields` elides attribute lists)
+    * stages a fresh directory every call — correctness over the cache.
+    * The full schema JSON rides the key too, closing projection variants
+    * a truncation could alias. */
   private def stageMemoized(batch: DataFrame, name: String,
                             sourceFiles: Int): java.nio.file.Path = {
-    val canonical = batch.queryExecution.analyzed.canonicalized.toString
-    val h = java.util.UUID.nameUUIDFromBytes(
-      (canonical + "|" + sourceFiles).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .toString.take(8)
-    stagedDirs.computeIfAbsent(s"$name|$sourceFiles|$h", _ => {
-      val dir = TempDirs.deleteOnExit(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft-replay-$name-$h-${ProcessHandle.current().pid()}"))
+    def stage(dir: java.nio.file.Path): java.nio.file.Path = {
       batch.repartition(sourceFiles).write.mode("overwrite").parquet(dir.toString)
       assertStagedFiles(dir, sourceFiles)
       dir
-    })
+    }
+    val plan = batch.queryExecution.analyzed.canonicalized
+    val canonical = plan.toString
+    val planPinsData = !plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) &&
+      !canonical.contains("more fields")
+    val h = java.util.UUID.nameUUIDFromBytes(
+      (canonical + "|" + batch.schema.json + "|" + sourceFiles)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+    def freshDir(tag: String) = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-replay-$name-$tag-${ProcessHandle.current().pid()}"))
+    if (!planPinsData)
+      stage(freshDir(java.util.UUID.randomUUID().toString.take(8)))
+    else
+      stagedDirs.computeIfAbsent(s"$name|$sourceFiles|$h", _ => stage(freshDir(h)))
   }
 
   /** Run `transform(stream)` over `batch` replayed as a file-source stream;

@@ -18,7 +18,7 @@ object Profile {
       case Array() => SparkEntry.queries.keys.toSeq.sorted
       case xs => xs.toSeq
     }
-    val spark = GraftSession.builder(master = "local[8]", cores = "8").getOrCreate()
+    val spark = GraftSession.create(master = "local[8]", cores = "8")
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val t0 = System.nanoTime()

@@ -920,6 +920,16 @@ class CommitLogSpec extends SparkSpec {
     assert(e.getMessage.contains("protocol 99"))
     // versions this build wrote keep reading — the guard is per-version
     assert(rows(t.asOf(0L)) === Set(1L -> "a"))
+    // ...and a future-protocol version INSIDE a delta resolution window is
+    // caught too: v2 is an innocent delta, but resolving it walks the
+    // chain back through v1 and must refuse there — a fold that silently
+    // dropped v1's unknown actions would return a wrong file list
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_log", "%020d.json".format(2)),
+      """{"type": "commit", "version": 2, "op": "append", "proto": 1, "ts": 99999, "delta": true, "nf": 1, "nr": 1}""")
+    val e2 = intercept[IllegalArgumentException](
+      new CommitTable(spark, dir, "k").read().collect())
+    assert(e2.getMessage.contains("protocol 99"))
   }
 
   test("maintenance commits auto-retry a lost race: the retried compaction reads the NEW head") {

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder(master = "local[4]", cores = "4").getOrCreate()
+    val s = GraftSession.create(master = "local[4]", cores = "4")
     s.sparkContext.setLogLevel("ERROR")
     s
   }
