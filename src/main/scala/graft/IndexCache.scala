@@ -49,7 +49,13 @@ object IndexCache {
     * index — mutators go through [[privateCopy]]. */
   def template(key: String)(build: String => Unit): String =
     templates.computeIfAbsent(key, _ => {
-      val tag = "tpl-" + key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+      // the tag must be injective in the key: a readable truncated tail
+      // alone can collide (two keys sharing an 80-char sanitized suffix
+      // would freshRoot-WIPE each other's live template), so a hash of
+      // the FULL key rides in front of it
+      val h = java.util.UUID.nameUUIDFromBytes(
+        key.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+      val tag = s"tpl-$h-" + key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
       val idx = freshRoot(tag).resolve("idx").toString
       build(idx)
       idx

@@ -156,8 +156,10 @@ object Retrieval {
       .overwrite(postings)
     // pin postings + stats as ONE atomic index version — an append commits
     // them separately, and a reader racing it would otherwise score the
-    // new postings against the OLD n/sum_dl (see IndexManifest)
-    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
+    // new postings against the OLD n/sum_dl (see IndexManifest); member
+    // set via bm25Members so a pre-existing delete list on this root
+    // stays pinned (a rebuild does not silently un-pin tombstones)
+    graft.operators.IndexManifest.commit(spark, indexRoot, bm25Members(spark, indexRoot))
     pv
   }
 
@@ -532,7 +534,7 @@ object Retrieval {
       .overwrite(stats.coalesce(1))
     val pv = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
       .overwrite(passagePostings(base))
-    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
+    graft.operators.IndexManifest.commit(spark, indexRoot, bm25Members(spark, indexRoot))
     pv
   }
 
@@ -550,7 +552,12 @@ object Retrieval {
       .append(stats.coalesce(1))
     val pv = new graft.operators.CommitTable(spark, s"$indexRoot/postings", "th")
       .append(passagePostings(base))
-    graft.operators.IndexManifest.commit(spark, indexRoot, Seq("postings", "stats"))
+    // bm25Members, NOT a hardcoded pair: after deleteFromPassageIndex has
+    // pinned a tombstone member, an append that dropped it would hand
+    // manifest-resolved readers the LIVE delete list — which a racing
+    // consolidation clears, transiently resurrecting deleted documents
+    // (the r14 BM25 bug, at passage granularity)
+    graft.operators.IndexManifest.commit(spark, indexRoot, bm25Members(spark, indexRoot))
     pv
   }
 

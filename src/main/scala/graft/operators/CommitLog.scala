@@ -551,32 +551,39 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     * `exceptAll`, whose cross-side duplicates then cancel row-wise.
     */
   def changesBetween(from: Long, to: Long): DataFrame = {
+    // Delta's table_changes rejects a reversed range too: silently
+    // swapping the window would return deletes tagged 'insert' and
+    // corrupt any CDC replica that applies them
+    require(from <= to, s"changesBetween: from ($from) must be <= to ($to)")
     val beforeFiles = addsOf(from).select("path").collect().map(_.getString(0)).toSet
     val afterFiles = addsOf(to).select("path").collect().map(_.getString(0)).toSet
     val beforeOnly = (beforeFiles -- afterFiles).toSeq.sorted
     val afterOnly = (afterFiles -- beforeFiles).toSeq.sorted
-    def readFiles(ps: Seq[String]): DataFrame =
-      spark.read.option("mergeSchema", "true").parquet(ps: _*)
     if (beforeOnly.isEmpty && afterOnly.isEmpty)
-      emptyLike().withColumn("change_type", lit("insert"))
-    else if (beforeOnly.isEmpty)
-      readFiles(afterOnly).withColumn("change_type", lit("insert"))
+      return emptyLike().withColumn("change_type", lit("insert"))
+    // ONE window-union schema for every branch (schema evolution inside
+    // the window): each side is aligned to it with NULL-fill, the asOf
+    // merge semantics — so insert and delete halves always union, and a
+    // single-sided window never emits a narrower schema than the mixed
+    // one would (the diff itself stays O(changed files), never O(table))
+    val ref = spark.read.option("mergeSchema", "true")
+      .parquet((beforeOnly ++ afterOnly): _*).schema
+    def aligned(ps: Seq[String]): DataFrame = {
+      val df = spark.read.option("mergeSchema", "true").parquet(ps: _*)
+      ref.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(ref.fieldNames.map(col).toSeq: _*)
+    }
+    if (beforeOnly.isEmpty)
+      aligned(afterOnly).withColumn("change_type", lit("insert"))
     else if (afterOnly.isEmpty)
-      readFiles(beforeOnly).withColumn("change_type", lit("delete"))
+      aligned(beforeOnly).withColumn("change_type", lit("delete"))
     else {
-      val b = readFiles(beforeOnly)
-      val a = readFiles(afterOnly)
-      if (a.schema != b.schema) {
-        // cross-version schema evolution: subset reads can see narrower
-        // schemas than the table-wide union — diff the full snapshots
-        // (the pre-r15 path, correct for any schema history)
-        val before = asOf(from)
-        val after = asOf(to)
-        after.exceptAll(before).withColumn("change_type", lit("insert"))
-          .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
-      } else
-        a.exceptAll(b).withColumn("change_type", lit("insert"))
-          .unionByName(b.exceptAll(a).withColumn("change_type", lit("delete")))
+      val b = aligned(beforeOnly)
+      val a = aligned(afterOnly)
+      a.exceptAll(b).withColumn("change_type", lit("insert"))
+        .unionByName(b.exceptAll(a).withColumn("change_type", lit("delete")))
     }
   }
 

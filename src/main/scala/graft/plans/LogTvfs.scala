@@ -81,7 +81,9 @@ object TableRegistry {
       throw new IllegalArgumentException(
         s"unknown registered table '$name' — known names: " +
           (if (known.isEmpty) "(none registered; call log_register(name, path, stats_col))"
-          else known.mkString(", ")))
+          else known.mkString(", ")) +
+          "; a slash-free first argument is always resolved as a NAME — " +
+          "for a relative filesystem path, write it with a '/' (e.g. './" + name + "')")
     }
     e
   }

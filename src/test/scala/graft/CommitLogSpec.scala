@@ -907,6 +907,34 @@ class CommitLogSpec extends SparkSpec {
     intercept[Exception](t.asOf(0L).collect())
   }
 
+  test("changesBetween: reversed range rejected; schema-evolving window aligns both halves to the union schema") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-clog-cdfschema").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a", 2L -> "b"))
+    // a reversed window would swap insert/delete labels — reject it loudly
+    val e = intercept[IllegalArgumentException](t.changesBetween(1L, 0L))
+    assert(e.getMessage.contains("must be <="))
+    // widen on overwrite: the window mixes (k,v) before-files with
+    // (k,v,w) after-files; both halves must come back under the UNION
+    // schema (old rows null-filled), not a per-branch shape
+    t.overwrite(Seq((2L, "b", 10L), (3L, "c", 20L)).toDF("k", "v", "w"))
+    val cdf = t.changesBetween(0L, 1L)
+    assert(cdf.columns.toSeq === Seq("k", "v", "w", "change_type"))
+    val rows = cdf.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3))).toSet
+    assert(rows === Set((1L, "a", -1L, "delete"), (2L, "b", -1L, "delete"),
+      (2L, "b", 10L, "insert"), (3L, "c", 20L, "insert")))
+    // single-sided windows carry the same union-alignment contract: an
+    // APPEND of widened files yields an insert-only feed under the
+    // window's union schema
+    t.append(Seq((4L, "d", 30L)).toDF("k", "v", "w"))
+    val ins = t.changesBetween(1L, 2L)
+    assert(ins.columns.contains("w"))
+    assert(ins.collect().map(r => (r.getLong(0), r.getString(3))).toSet === Set(4L -> "insert"))
+  }
+
   test("log protocol guard: a version from a newer writer fails loudly instead of mis-resolving") {
     val dir = Files.createTempDirectory("graft-clog-proto").toString
     val t = new CommitTable(spark, dir, "k")

@@ -417,6 +417,33 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.consolidatePassageIndex(spark, root) === v)
   }
 
+  test("passage append after a delete keeps the tombstone member pinned (append must not fall back to the live list)") {
+    val corpus = (1L to 20L).map { i =>
+      (i, (0 until 30).map(j => s"w${(i * 11 + j * 3) % 9}").mkString(" "))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-maxpapp-spec").toString
+    Retrieval.buildPassageIndex(docs(corpus), root)
+    val delIds = Set(3L, 6L, 9L)
+    Retrieval.deleteFromPassageIndex(
+      docs(corpus.filter(d => delIds(d._1))).select("doc_id"), root)
+    // the append commits a NEW index version; dropping the tombstones
+    // member here (the reviewed bug) would hand every manifest-resolved
+    // reader the LIVE delete list — which a racing consolidation clears
+    Retrieval.appendPassageIndex(docs(Seq((100L,
+      (0 until 30).map(j => s"w${j % 9}").mkString(" ")))), root)
+    import graft.operators.IndexManifest
+    val atAppend = IndexManifest.versions(spark, root).last
+    assert(IndexManifest.resolve(spark, root, Some(atAppend)).contains("tombstones"),
+      "post-append manifest must keep the delete-list pin")
+    val q = Seq("w0", "w3")
+    def ids(df: DataFrame) = df.collect().map(_.getLong(0)).toSet
+    val pre = ids(Retrieval.maxPassageTopKIndexed(spark, root, q, k = 30))
+    assert(pre.contains(100L) && pre.intersect(delIds).isEmpty)
+    Retrieval.consolidatePassageIndex(spark, root)
+    val post = ids(Retrieval.maxPassageTopKIndexed(spark, root, q, k = 30))
+    assert(post.contains(100L) && post.intersect(delIds).isEmpty)
+  }
+
   test("BM25 tombstones are manifest members: an old pinned version can never pair its postings with a later-cleared delete list (r14 advice)") {
     val corpus = (1L to 30L).map { i =>
       (i, (0 until (3 + (i % 5).toInt)).map(j => s"w${(i * 7 + j) % 8}").mkString(" "))
