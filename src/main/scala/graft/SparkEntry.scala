@@ -1798,6 +1798,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"),
           sum("o_custkey").as("sum_cust"))
     }),
+    "f26_invariants" -> ((s, dir) => {
+      // SCHEMA-ON-WRITE + DECLARED INVARIANTS (r15 verdict Next #3 —
+      // without a table-level declaration, one mistyped producer silently
+      // widens a 100 TB table): after setInvariants, a clean append
+      // commits, a CHECK-violating batch aborts atomically (head,
+      // history, and disk untouched — disk-cleanliness spec-asserted in
+      // InvariantsSpec), and a schema-drifted batch (undeclared column /
+      // type drift / missing NOT NULL) rejects BEFORE staging. Output =
+      // the rejection flags + the head's aggregates, which must equal
+      // the two CLEAN batches alone.
+      val root = IndexCache.freshRoot("invgate")
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.filter(col("k") <= 5000))                       // v0
+      t.setInvariants("k BIGINT, v BIGINT",
+        checks = Seq("k_nonneg" -> "k >= 0"), notNull = Seq("k", "v"))// v1
+      t.append(ord.filter(col("k") > 5000))                           // v2
+      def rejected(body: => Long): Long =
+        try { body; 0L }
+        catch { case _: graft.operators.InvariantViolationException => 1L }
+      val checkRej = rejected(t.append(
+        ord.filter(col("k") % 97 === 0).withColumn("k", -(col("k") + 1))))
+      val driftRej = rejected(t.append(
+        ord.limit(5).withColumn("wrong", lit("x"))))
+      val nnRej = rejected(t.append(ord.limit(5).drop("v")))
+      t.read().agg(count(lit(1)).as("rows_"), sum("k").as("sk"), sum("v").as("sv"))
+        .select(explode(array(
+          struct(lit("check_rejected").as("metric"), lit(checkRej).as("value")),
+          struct(lit("drift_rejected").as("metric"), lit(driftRej).as("value")),
+          struct(lit("head_rows").as("metric"), col("rows_").as("value")),
+          struct(lit("head_sum_k").as("metric"), col("sk").as("value")),
+          struct(lit("head_sum_v").as("metric"), col("sv").as("value")),
+          struct(lit("head_version").as("metric"),
+            lit(t.latestVersion().getOrElse(-1L)).as("value")),
+          struct(lit("notnull_rejected").as("metric"), lit(nnRej).as("value")))).as("m"))
+        .select(col("m.metric").as("metric"), col("m.value").as("value"))
+        .orderBy("metric")
+    }),
     "f16_log_restore" -> ((s, dir) => {
       // RESTORE as a metadata-only commit: v0 = keys < 10, v1 = overwrite
       // with the complement, v2 = restore(0) — the head re-references v0's
@@ -4796,6 +4836,16 @@ object SparkEntry {
         |UNION ALL SELECT 4, COUNT(*), SUM(k)::BIGINT FROM s WHERE k < 20 AND k NOT BETWEEN 7 AND 12
         |UNION ALL SELECT 5, COUNT(*), SUM(k)::BIGINT FROM s WHERE k NOT BETWEEN 7 AND 12
         |ORDER BY version""".stripMargin,
+    "f26_invariants" -> // every rejection flag is 1; the head holds exactly
+      // the two clean batches = all of orders at head_version 2
+      """SELECT 'check_rejected' AS metric, 1::BIGINT AS value
+        |UNION ALL SELECT 'drift_rejected', 1
+        |UNION ALL SELECT 'head_rows', (SELECT COUNT(*) FROM orders)
+        |UNION ALL SELECT 'head_sum_k', (SELECT SUM(o_orderkey)::BIGINT FROM orders)
+        |UNION ALL SELECT 'head_sum_v', (SELECT SUM(o_custkey)::BIGINT FROM orders)
+        |UNION ALL SELECT 'head_version', 2
+        |UNION ALL SELECT 'notnull_rejected', 1
+        |ORDER BY metric""".stripMargin,
     "f25_multicol_stats" -> // the second-column range read: file pruning is
       // a plan property (spec-asserted); content equals the plain filter
       """SELECT COUNT(*) AS n_rows, SUM(o_orderkey)::BIGINT AS sum_key,

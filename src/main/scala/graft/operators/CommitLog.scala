@@ -597,10 +597,18 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     * files and commute, so on a lost rename race the writer re-resolves
     * the head and retries (bounded) — Delta's automatic conflict
     * resolution for AddFile-only commits; both racers land, as
-    * consecutive versions with union content. */
-  def append(df: DataFrame, tsMillis: Option[Long] = None): Long =
+    * consecutive versions with union content.
+    *
+    * With DECLARED invariants ([[setInvariants]]) the append is
+    * schema-on-write enforced and its row rules run against the staged
+    * batch; `mergeSchema = true` opts INTO widening evolution (the
+    * declared schema grows by the batch's new columns) — without
+    * invariants, evolve-on-append stays the default (f21), unchanged. */
+  def append(df: DataFrame, tsMillis: Option[Long] = None,
+             mergeSchema: Boolean = false): Long =
     rebaseOnConflict(5)(
-      commitVersion(df, keepPrevious = true, op = "append", tsMillis = tsMillis))
+      commitVersion(df, keepPrevious = true, op = "append", tsMillis = tsMillis,
+        mergeSchema = mergeSchema))
 
   /** Idempotent append for AT-LEAST-ONCE producers (Delta's
     * `txnAppId`/`txnVersion` options): the commit header records
@@ -857,10 +865,150 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   }
 
   /** Replace the table contents with `df` as a new version (old versions
-    * stay readable via [[asOf]]).
+    * stay readable via [[asOf]]). Declared invariants are enforced like
+    * [[append]]'s; `mergeSchema` opts into widening evolution.
     */
-  def overwrite(df: DataFrame, tsMillis: Option[Long] = None): Long =
-    commitVersion(df, keepPrevious = false, op = "overwrite", tsMillis = tsMillis)
+  def overwrite(df: DataFrame, tsMillis: Option[Long] = None,
+                mergeSchema: Boolean = false): Long =
+    commitVersion(df, keepPrevious = false, op = "overwrite", tsMillis = tsMillis,
+      mergeSchema = mergeSchema)
+
+  // ----- schema-on-write + declared invariants (f26) ----------------------
+  //
+  // Without a declaration, `append` accepts ANY batch schema
+  // (evolve-on-append, f21) and audit rules are per-call opt-in
+  // (`appendAudited`) — which at the 100 TB design point means one
+  // mistyped producer silently widens the table and nothing re-checks the
+  // next writer (r15 verdict Next #3). Delta's answer is table-DECLARED
+  // metadata every writer enforces: schema-on-write (a batch whose
+  // columns/types drift is rejected unless the writer explicitly opts
+  // into mergeSchema evolution) and CHECK/NOT NULL invariants (validated
+  // against each staged batch inside the same write-audit-publish gate,
+  // so a violating batch aborts with head and history untouched). The
+  // declaration rides in the commit HEADER (`inv`, a nested JSON
+  // document) and is CARRIED FORWARD by every subsequent commit — one
+  // cached header read resolves the effective declaration, never a walk.
+
+  /** Declare the table's expected schema and row invariants as a
+    * METADATA-ONLY commit (zero data rewritten; op `set-invariants`).
+    * From this commit on, every data-writing commit (append, idempotent /
+    * audited append, merge, range DML, overwrite) enforces:
+    *  - schema-on-write: batch columns must exist in the declared schema
+    *    with the declared type; undeclared columns and type drift reject
+    *    the write (unless the writer passes `mergeSchema = true`, which
+    *    widens the declaration by the batch's new columns — evolution
+    *    becomes an explicit choice, Delta's contract);
+    *  - NOT NULL columns must be present in the batch and non-null;
+    *  - CHECK rules (named SQL predicates over the row) must hold; a rule
+    *    evaluating to NULL counts as a violation ([[Validation.rowChecks]]'s
+    *    engine-wide semantics — stricter than SQL's UNKNOWN-passes).
+    * Existing table content is validated first (the Delta ADD CONSTRAINT
+    * scan) unless `validateExisting = false`; a declaration the current
+    * head already violates is rejected with the violation report.
+    * Single-winner like every read-modify-write commit: a head moved
+    * since validation surfaces the conflict.
+    */
+  def setInvariants(schemaDdl: String, checks: Seq[(String, String)] = Nil,
+                    notNull: Seq[String] = Nil,
+                    validateExisting: Boolean = true): Long = {
+    val declared = StructType.fromDDL(schemaDdl)
+    notNull.foreach(c => require(declared.fieldNames.contains(c),
+      s"setInvariants: NOT NULL column $c is not in the declared schema"))
+    checks.foreach { case (n, _) => require(n.matches("[A-Za-z0-9_]+"),
+      s"setInvariants: check name must be a simple identifier, got '$n'") }
+    val head = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val iv = TableInvariants(declared.toDDL, checks, notNull)
+    if (validateExisting) {
+      checkSchemaOnWrite(asOf(head).schema, iv, mergeSchema = false)
+      rowRulesOf(iv).foreach { rules =>
+        val report = Validation.rowChecks(alignToDeclared(asOf(head), declared), rules)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        if (report.exists(_._2 > 0)) throw new InvariantViolationException(report)
+      }
+    }
+    val version = nextVersion()
+    if (version != head + 1)
+      throw new java.util.ConcurrentModificationException(
+        s"table $path moved from version $head since invariants were validated")
+    val (nf, nr) = activeTotals(head)
+    // entry form follows the checkpoint rule like any commit: a delta
+    // entry with ZERO file actions at non-checkpoint versions (resolution
+    // folds straight past it), snapshot-complete at checkpoint versions
+    // (the walk-length bound stays intact)
+    if (version % checkpointEvery == 0)
+      publish(version, "set-invariants", collectAdds(head), removes = Nil,
+        delta = false, counters = (nf, nr), inv = Some(CommitTable.encodeInv(iv)))
+    else
+      publish(version, "set-invariants", Nil, removes = Nil, delta = true,
+        counters = (nf, nr), inv = Some(CommitTable.encodeInv(iv)))
+  }
+
+  /** The declaration in force at `version`'s commit (carried forward by
+    * every commit since the [[setInvariants]] that introduced it); None
+    * for undeclared tables. One cached header read. */
+  def invariantsAt(version: Long): Option[TableInvariants] =
+    CommitTable.decodeInv(headerLine(version))
+
+  /** The declaration in force at the head. */
+  def invariants(): Option[TableInvariants] =
+    latestVersion().flatMap(invariantsAt)
+
+  private def rowRulesOf(iv: TableInvariants): Option[Seq[Validation.RowRule]] = {
+    val rules = iv.notNull.map(c => Validation.RowRule(s"not_null_$c", col(c).isNotNull)) ++
+      iv.checks.map { case (n, e) => Validation.RowRule(s"check_$n", expr(e)) }
+    if (rules.isEmpty) None else Some(rules)
+  }
+
+  /** NULL-fills declared columns absent from `df` so CHECK rules always
+    * evaluate (a rule over a column the batch omitted sees NULL — and
+    * NULL-eval counts as a violation, so omission never smuggles rows
+    * past a rule). */
+  private def alignToDeclared(df: DataFrame, declared: StructType): DataFrame =
+    declared.fields.foldLeft(df)((d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType)))
+
+  /** Schema-on-write: every batch column must be declared with the same
+    * type; NOT NULL columns must be present. `mergeSchema` admits NEW
+    * columns (widening) but never type drift. Violations carry a
+    * rule-count-sized report, one entry per offending column. */
+  private def checkSchemaOnWrite(batch: StructType, iv: TableInvariants,
+                                 mergeSchema: Boolean): Unit = {
+    val declared = StructType.fromDDL(iv.schemaDdl)
+    val types = declared.fields.map(f => f.name -> f.dataType).toMap
+    val undeclared =
+      if (mergeSchema) Nil
+      else batch.fields.toSeq.collect {
+        case f if !types.contains(f.name) => (s"undeclared_column_${f.name}", 1L) }
+    val drifted = batch.fields.toSeq.collect {
+      case f if types.get(f.name).exists(_ != f.dataType) =>
+        (s"type_drift_${f.name}", 1L) }
+    val missing = iv.notNull.collect {
+      case c if !batch.fieldNames.contains(c) => (s"missing_not_null_${c}", 1L) }
+    val report = undeclared ++ drifted ++ missing
+    if (report.nonEmpty) throw new InvariantViolationException(report)
+  }
+
+  /** The invariant declaration a NEW commit must carry in its header:
+    * the predecessor's, widened by the batch's new columns when the
+    * writer opted into mergeSchema. */
+  private def stampedInv(prevInv: Option[TableInvariants], batch: StructType,
+                         mergeSchema: Boolean): Option[String] =
+    prevInv.map { iv =>
+      if (!mergeSchema) CommitTable.encodeInv(iv)
+      else {
+        val declared = StructType.fromDDL(iv.schemaDdl)
+        val known = declared.fieldNames.toSet
+        // widened columns declare NULLABLE regardless of the batch's own
+        // nullability — earlier files lack the column entirely (read as
+        // NULL), and NOT NULL is the `notNull` list's job, not the DDL's
+        val widened = StructType(declared.fields ++
+          batch.fields.filterNot(f => known.contains(f.name))
+            .map(_.copy(nullable = true)))
+        CommitTable.encodeInv(iv.copy(schemaDdl = widened.toDDL))
+      }
+    }
 
   /** Compaction as a COMMIT: rewrite the current content into
     * `targetFiles` row-balanced files and commit the new list as the next
@@ -1150,7 +1298,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
                             audit: Option[DataFrame => Seq[(String, Long)]] = None,
                             tsMillis: Option[Long] = None,
                             carriedExplicit: Option[Seq[Rec]] = None,
-                            txn: Option[(String, Long)] = None): Long = {
+                            txn: Option[(String, Long)] = None,
+                            mergeSchema: Boolean = false): Long = {
     // resolve the head ONCE: the carried file list derives from version-1 of
     // the version this writer attempts, so base snapshot and attempt are
     // always consistent — a commit landing in between makes the publish
@@ -1166,11 +1315,32 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
           s"table $path moved from version $b to ${version - 1} since the merge base was read")
     }
     val prev = if (version > 0 && fs.exists(logFile(version - 1))) Some(version - 1) else None
+    // declared invariants (f26): schema-on-write rejects BEFORE staging
+    // (driver-only schema compare — no data written for a drifted batch);
+    // the stamped declaration carries forward into this commit's header
+    val prevInv = prev.flatMap(invariantsAt)
+    prevInv.foreach(iv => checkSchemaOnWrite(df.schema, iv, mergeSchema))
+    val inv = stampedInv(prevInv, df.schema, mergeSchema)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"d$version-$nonce"
     val dataDir = new Path(path, rel)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     try {
+      // declared row invariants run against the batch AS WRITTEN, inside
+      // the same write-audit-publish gate as opt-in audits: a violation
+      // aborts via the shared cleanup path, head and history untouched
+      prevInv.foreach { ivd =>
+        rowRulesOf(ivd).foreach { rules =>
+          val staged = alignToDeclared(
+            spark.read.option("mergeSchema", "true").parquet(dataDir.toString),
+            StructType.fromDDL(ivd.schemaDdl))
+          // a zero-row staged batch (a DML rewrite that filtered every
+          // row out) has NULL counters — no rows, no violations
+          val report = Validation.rowChecks(staged, rules).collect()
+            .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
+          if (report.exists(_._2 > 0)) throw new InvariantViolationException(report)
+        }
+      }
       // WAP audit gate: run the rules against the STAGED files before any
       // log entry exists; a violation aborts via the shared cleanup path
       audit.foreach { a =>
@@ -1195,7 +1365,7 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
         val adds = carried ++ stats
         publish(version, op, adds, removes = Nil, delta = false,
           counters = (adds.length.toLong, adds.map(_._4).sum), tsMillis = tsMillis,
-          txn = txn)
+          txn = txn, inv = inv)
       } else if (carriedExplicit.isDefined) {
         val carried = carriedExplicit.get
         val carriedPaths = carried.map(_._1).toSet
@@ -1203,14 +1373,14 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
         publish(version, op, stats, removes, delta = true,
           counters = (carried.length.toLong + stats.length,
             carried.map(_._4).sum + stats.map(_._4).sum), tsMillis = tsMillis,
-          txn = txn)
+          txn = txn, inv = inv)
       } else {
         // plain append: the delta entry needs NO resolution of the previous
         // file list at all — counters roll forward from the head's header
         val (pf, pr) = activeTotals(prev.get)
         publish(version, op, stats, removes = Nil, delta = true,
           counters = (pf + stats.length, pr + stats.map(_._4).sum), tsMillis = tsMillis,
-          txn = txn)
+          txn = txn, inv = inv)
       }
     } catch {
       case e: Throwable =>
@@ -1232,7 +1402,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
                       delta: Boolean = false,
                       counters: (Long, Long) = (-1L, -1L),
                       tsMillis: Option[Long] = None,
-                      txn: Option[(String, Long)] = None): Long = {
+                      txn: Option[(String, Long)] = None,
+                      inv: Option[String] = None): Long = {
     // Delta's monotonicity rule: a commit whose clock reads at-or-before
     // its predecessor is recorded as predecessor + 1 ms, so timestamp
     // time travel always resolves versions in version order. Pre-timestamp
@@ -1248,7 +1419,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       s""", "proto": ${CommitTable.SupportedProtocol}, "ts": $ts""" +
       (if (delta) """, "delta": true""" else "") +
       (if (nf >= 0) s""", "nf": $nf, "nr": $nr""" else "") +
-      txn.map { case (a, v) => s""", "txnApp": ${jsonStr(a)}, "txnV": $v""" }.getOrElse("") + "}"
+      txn.map { case (a, v) => s""", "txnApp": ${jsonStr(a)}, "txnV": $v""" }.getOrElse("") +
+      inv.map(j => s""", "inv": ${jsonStr(j)}""").getOrElse("") + "}"
     val lines = head +:
       (adds.map { case (p, lo, hi, n, xs) =>
         s"""{"type": "add", "version": $version, "path": ${jsonStr(p)}, "lo": $lo, "hi": $hi, "n": $n""" +
@@ -1290,9 +1462,13 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
         s"restore($toVersion) at $path: file $p was vacuumed — version no longer restorable")
     }
     // snapshot-complete by nature (it re-lists the restored state), which
-    // also resets the delta-resolution chain at this version
+    // also resets the delta-resolution chain at this version. The CURRENT
+    // declaration carries forward — restore rolls back DATA, not the
+    // table's declared contract (restored content was validated when the
+    // declaration landed, or predates it and reads as-is)
     publish(version, "restore", adds,
-      counters = (adds.length.toLong, adds.map(_._4).sum))
+      counters = (adds.length.toLong, adds.map(_._4).sum),
+      inv = invariantsAt(version - 1).map(CommitTable.encodeInv))
   }
 
   private def resolveStored(p: String): Path =
@@ -1361,6 +1537,36 @@ object CommitTable {
         (part.substring(eq + 1, cl).toLong, part.substring(cl + 1).toLong))
     }.toMap
 
+  /** Header-borne invariant declaration ↔ its nested-JSON encoding (the
+    * header is one JSON object; the declaration is a JSON document
+    * carried as an escaped string field `inv`, Jackson both ways). */
+  private[operators] def encodeInv(iv: TableInvariants): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("schema", iv.schemaDdl)
+    val cs = root.putArray("checks")
+    iv.checks.foreach { case (n, e) =>
+      val o = cs.addObject(); o.put("name", n); o.put("expr", e); () }
+    val nn = root.putArray("notNull")
+    iv.notNull.foreach(nn.add)
+    m.writeValueAsString(root)
+  }
+
+  private[operators] def decodeInv(headerLine: String): Option[TableInvariants] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val head = m.readTree(headerLine)
+    if (!head.hasNonNull("inv")) None
+    else {
+      val node = m.readTree(head.get("inv").asText())
+      import scala.jdk.CollectionConverters._
+      Some(TableInvariants(
+        node.get("schema").asText(),
+        node.get("checks").elements().asScala
+          .map(c => (c.get("name").asText(), c.get("expr").asText())).toSeq,
+        node.get("notNull").elements().asScala.map(_.asText()).toSeq))
+    }
+  }
+
   private[operators] def driverFold(
       entries: Seq[String]): Seq[(String, Long, Long, Long, String)] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1388,4 +1594,20 @@ object CommitTable {
   */
 private final class AuditFailedException(val report: Seq[(String, Long)])
   extends RuntimeException(s"WAP audit failed: " +
+    report.filter(_._2 > 0).map { case (n, c) => s"$n=$c" }.mkString(", "))
+
+/** A table's DECLARED write contract ([[CommitTable.setInvariants]]):
+  * expected schema (DDL form), named CHECK predicates, NOT NULL columns.
+  * Rides in every commit header from declaration on. */
+final case class TableInvariants(schemaDdl: String,
+                                 checks: Seq[(String, String)],
+                                 notNull: Seq[String])
+
+/** A write rejected by the table's declared invariants — schema-on-write
+  * (undeclared/type-drifted/missing-NOT-NULL columns, one report entry
+  * each) or row rules (entry = violation count over the staged batch).
+  * The staged data is already cleaned up; head and history are untouched.
+  */
+final class InvariantViolationException(val report: Seq[(String, Long)])
+  extends RuntimeException("table invariants violated: " +
     report.filter(_._2 > 0).map { case (n, c) => s"$n=$c" }.mkString(", "))
