@@ -1798,6 +1798,80 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"),
           sum("o_custkey").as("sum_cust"))
     }),
+    "f28_column_mapping" -> ((s, dir) => {
+      // COLUMN MAPPING (r15 verdict Next #5 — schema evolution was
+      // widen-only; rename/drop meant rewriting every file): RENAME and
+      // DROP are metadata-only commits (zero_rewrite compares inputFiles
+      // before/after both), the head reads the new surface, the
+      // pre-rename version keeps its old names verbatim, and a write
+      // AFTER the rename uses the logical name while landing under the
+      // stable physical file names. Collision/retire semantics and DML
+      // composition are spec-asserted in ColumnMappingSpec.
+      val root = IndexCache.freshRoot("cmapgate")
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "n_nationkey")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      t.overwrite(nat.filter(col("n_nationkey") < 10))                // v0
+      val files0 = t.read().inputFiles.toSet
+      t.renameColumn("n_name", "nation_name")                         // v1
+      t.dropColumn("n_regionkey")                                     // v2
+      val zeroRewrite = if (t.read().inputFiles.toSet == files0) 1L else 0L
+      // write after rename: logical names in, physically-stable files out
+      t.append(nat.filter(col("n_nationkey") >= 10)
+        .withColumnRenamed("n_name", "nation_name").drop("n_regionkey")) // v3
+      val headCols = t.read().columns.mkString(",")
+      val v0Cols = t.asOf(0L).columns.mkString(",")
+      val headAgg = t.read().agg(count(lit(1)),
+        sum(length(col("nation_name")))).head()
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("head_cols", headCols),
+        ("head_name_len", headAgg.getLong(1).toString),
+        ("head_rows", headAgg.getLong(0).toString),
+        ("v0_cols", v0Cols),
+        ("zero_rewrite", zeroRewrite.toString)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
+    "f27_deletion_vectors" -> ((s, dir) => {
+      // DELETION VECTORS (r15 verdict Next #4 — deleteRange rewrites
+      // every predicate-intersecting file, so row-granular deletes pay
+      // file-granular IO): the DV delete commits O(deleted) sidecar
+      // bytes with ZERO data-file rewrites (zero_rewrite compares the
+      // head's inputFiles set before/after), reads are exact through
+      // the vector, v0 time-travels to the full content, and OPTIMIZE
+      // materializes the deletes and clears the stamp (dv_cleared) with
+      // identical content (opt_* == head_*). Orphan-safety, CDF
+      // fallback, and DML composition are spec-asserted in
+      // DeletionVectorSpec.
+      val root = IndexCache.freshRoot("dvgate")
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.repartitionByRange(6, col("k")))            // v0
+      val files0 = t.read().inputFiles.toSet
+      t.deleteRangeDV(1000L, 5000L)                               // v1
+      val files1 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+      val zeroRewrite = if (files1 == files0) 1L else 0L
+      val headAgg = t.read().agg(count(lit(1)), sum("k")).head()
+      val v0Rows = t.asOf(0L).count()
+      t.compactClustered("k", 2)                                  // v2: OPTIMIZE
+      val cleared = if (t.dvOutstanding() == 0L) 1L else 0L
+      val optAgg = t.read().agg(count(lit(1)), sum("k")).head()
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("dv_cleared", cleared),
+        ("head_rows", headAgg.getLong(0)),
+        ("head_sum_k", headAgg.getLong(1)),
+        ("opt_rows", optAgg.getLong(0)),
+        ("opt_sum_k", optAgg.getLong(1)),
+        ("v0_rows", v0Rows),
+        ("zero_rewrite", zeroRewrite)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
     "f26_invariants" -> ((s, dir) => {
       // SCHEMA-ON-WRITE + DECLARED INVARIANTS (r15 verdict Next #3 —
       // without a table-level declaration, one mistyped producer silently
@@ -4836,6 +4910,32 @@ object SparkEntry {
         |UNION ALL SELECT 4, COUNT(*), SUM(k)::BIGINT FROM s WHERE k < 20 AND k NOT BETWEEN 7 AND 12
         |UNION ALL SELECT 5, COUNT(*), SUM(k)::BIGINT FROM s WHERE k NOT BETWEEN 7 AND 12
         |ORDER BY version""".stripMargin,
+    "f28_column_mapping" -> // the renamed/dropped surface restated: the
+      // head is (key, renamed name) over all of nation, v0 keeps the
+      // original three columns, and the structural flag is 1
+      """SELECT 'head_cols' AS metric, 'n_nationkey,nation_name' AS value
+        |UNION ALL SELECT 'head_name_len',
+        |  (SELECT SUM(LENGTH(n_name))::BIGINT FROM nation)::VARCHAR
+        |UNION ALL SELECT 'head_rows', (SELECT COUNT(*) FROM nation)::VARCHAR
+        |UNION ALL SELECT 'v0_cols', 'n_nationkey,n_name,n_regionkey'
+        |UNION ALL SELECT 'zero_rewrite', '1'
+        |ORDER BY metric""".stripMargin,
+    "f27_deletion_vectors" -> // the DV delete's content flags restated:
+      // head and post-OPTIMIZE both exclude the deleted range, v0 keeps
+      // everything, and the structural flags (zero rewrites, stamp
+      // cleared) must be 1
+      """SELECT 'dv_cleared' AS metric, 1::BIGINT AS value
+        |UNION ALL SELECT 'head_rows',
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000)
+        |UNION ALL SELECT 'head_sum_k',
+        |  (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000)
+        |UNION ALL SELECT 'opt_rows',
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000)
+        |UNION ALL SELECT 'opt_sum_k',
+        |  (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000)
+        |UNION ALL SELECT 'v0_rows', (SELECT COUNT(*) FROM orders)
+        |UNION ALL SELECT 'zero_rewrite', 1
+        |ORDER BY metric""".stripMargin,
     "f26_invariants" -> // every rejection flag is 1; the head holds exactly
       // the two clean batches = all of orders at head_version 2
       """SELECT 'check_rejected' AS metric, 1::BIGINT AS value

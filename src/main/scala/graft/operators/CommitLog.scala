@@ -224,8 +224,10 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // union schema with NULLs where a file predates a column; without it
     // Spark plans from one sampled footer and silently DROPS columns the
     // sample lacks. Cost is one footer read per file — log-sized.
-    if (files.isEmpty) emptyLike()
-    else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+    if (files.isEmpty) applyCmap(emptyLike(), cmapAt(version))
+    else applyCmap(applyDv(
+      spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*),
+      dvVersionAt(version)), cmapAt(version))
   }
 
   /** DESCRIBE HISTORY — one row per committed version: `(version, ts, op,
@@ -309,8 +311,11 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // mergeSchema for the same reason as [[asOf]]: the selected file list
     // may span schema-evolved commits, and without it Spark samples one
     // footer and can silently drop a later-added column (r13 advice)
-    else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
-      .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+    // residual filter on the PHYSICAL key, then the logical projection
+    else applyCmap(applyDv(
+        spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*),
+        dvVersionAt(v))
+      .filter(col(statsCol) >= lo && col(statsCol) <= hi), cmapAt(v))
   }
 
   /** Point-set variant of [[prunedRead]]: only files whose `[lo, hi]`
@@ -331,7 +336,9 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val files = bloomPrune(statFiles, pts)
     if (files.isEmpty) emptyLike()
     // mergeSchema: see [[prunedRead]] — schema-evolved file lists
-    else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+    else applyCmap(applyDv(
+      spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*),
+      dvVersionAt(v)), cmapAt(v))
   }
 
   /** [[prunedRead]] on ANY declared stats column (r14 verdict #4 — with
@@ -359,8 +366,10 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       }
     }
     if (files.isEmpty) emptyLike()
-    else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
-      .filter(col(colName) >= lo && col(colName) <= hi)
+    else applyCmap(applyDv(
+        spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*),
+        dvVersionAt(v))
+      .filter(col(colName) >= lo && col(colName) <= hi), cmapAt(v))
   }
 
   // ----- per-file Bloom filters (f23) -------------------------------------
@@ -522,6 +531,248 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     }
   }
 
+  // ----- deletion vectors (f27) -------------------------------------------
+  //
+  // deleteRange/updateRange rewrite every predicate-intersecting FILE —
+  // row-granular deletes pay file-granular IO (r15 verdict Next #4). The
+  // Delta answer is a DELETION VECTOR: mark deleted row POSITIONS in a
+  // sidecar, let every read anti-join them out, and defer the physical
+  // rewrite to OPTIMIZE. Here the sidecar is the engine's own medicine —
+  // `_dv/`, a commit-log table of `(file, pos)` rows (file = globally
+  // unique staged-file NAME, pos = parquet row index via
+  // `_metadata.row_index`) — and each main-table commit's header stamps
+  // the EXACT sidecar version it owns (`dvv`), carried forward by every
+  // non-rewriting commit. Resolution is therefore one cached header
+  // read, and a sidecar version that never got stamped (a writer that
+  // crashed between sidecar write and main publish, or lost the race)
+  // is INERT forever: each DV delete snapshots old-stamped ∪ new as a
+  // fresh sidecar OVERWRITE from the STAMPED version, never from the
+  // sidecar head, so orphans are never built upon. A full rewrite
+  // (overwrite/merge/compact/zorder) reads through the DV — deletes
+  // materialize — and resets the stamp; CoW range DML keeps it (its
+  // carried files still need their vectors; entries for rewritten file
+  // names go inert with the names). Cost shape: DELETE commits
+  // O(deleted-so-far) sidecar bytes + one log entry, ZERO data-file
+  // rewrites; reads pay one broadcast-sized anti-join while vectors are
+  // outstanding and nothing at all once OPTIMIZE folds them in.
+
+  private def dvTable = new CommitTable(spark, s"$path/_dv", "pos")
+
+  /** The `_dv` sidecar version in force at `version` (header `dvv`,
+    * carried forward since the [[deleteRangeDV]] that stamped it); None
+    * = no outstanding deletion vectors. */
+  def dvVersionAt(version: Long): Option[Long] =
+    """"dvv": (\d+)""".r.findFirstMatchIn(headerLine(version)).map(_.group(1).toLong)
+
+  /** Outstanding deleted-row count at the head (0 = none): the
+    * OPTIMIZE-scheduling instrument. */
+  def dvOutstanding(): Long =
+    latestVersion().flatMap(dvVersionAt)
+      .map(v => dvTable.asOf(v).count()).getOrElse(0L)
+
+  /** Anti-joins the stamped deletion vector out of a freshly-scanned
+    * DataFrame (must be called on the raw scan — `_metadata` is a
+    * scan-relation column). No stamp ⇒ the input passes through
+    * untouched, so DV-free tables pay nothing. */
+  private def applyDv(df: DataFrame, dvv: Option[Long]): DataFrame = dvv match {
+    case None => df
+    case Some(v) =>
+      val dv = dvTable.asOf(v).select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      df.withColumn("__file", element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", col("_metadata.row_index"))
+        // O(outstanding-deletes)-sized build side; AQE broadcasts it
+        .join(dv, col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+          "left_anti")
+        .drop("__file", "__pos")
+  }
+
+  /** `DELETE WHERE statsCol BETWEEN lo AND hi` as a DELETION-VECTOR
+    * commit — O(deleted) bytes, ZERO data-file rewrites (the head's file
+    * list is unchanged; only row positions are marked): computes the
+    * matching `(file, pos)` positions from exactly the stats-intersecting
+    * files (already-deleted rows excluded — the read applies the current
+    * vector), snapshots stamped ∪ new into the `_dv` sidecar, and
+    * publishes a metadata-only main commit stamping the new sidecar
+    * version. NULL-safe like [[deleteRange]] (NULL keys match no range).
+    * Single-winner (read-modify-write of row state); a lost race leaves
+    * only an inert, never-stamped sidecar version. Old versions time-
+    * travel exactly (each header stamps its own vector state). Rewrites
+    * are deferred to [[compact]]/[[compactClustered]]/[[optimizeZorder]],
+    * which materialize the deletes and clear the stamp.
+    */
+  def deleteRangeDV(lo: Long, hi: Long): Long = {
+    require(lo <= hi, s"deleteRangeDV: lo $lo must be <= hi $hi")
+    val base = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val stamped = dvVersionAt(base)
+    val touched = addsOf(base).filter(col("hi") >= lo && col("lo") <= hi)
+      .select("path").collect().map(_.getString(0))
+    if (touched.isEmpty) return base
+    val k = col(statsCol).cast("long")
+    val newPos = applyDv(
+        spark.read.option("mergeSchema", "true").parquet(touched.toIndexedSeq: _*),
+        stamped)
+      .filter(k.isNotNull && k >= lo && k <= hi)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
+        col("_metadata.row_index").as("pos"))
+    val dvT = dvTable
+    val content = stamped match {
+      case Some(v) => dvT.asOf(v).select("file", "pos").unionByName(newPos)
+      case None => newPos
+    }
+    val nDeleted = newPos.count()
+    if (nDeleted == 0L) return base // provable no-op commits nothing
+    val dvv = dvT.overwrite(content.coalesce(1))
+    val (nf, nr) = activeTotals(base)
+    val version = nextVersion()
+    if (version != base + 1)
+      throw new java.util.ConcurrentModificationException(
+        s"table $path moved from version $base since the DV delete was computed")
+    if (version % checkpointEvery == 0)
+      publish(version, "delete-dv", collectAdds(base), removes = Nil,
+        delta = false, counters = (nf, nr - nDeleted),
+        inv = invariantsAt(base).map(CommitTable.encodeInv), dv = Some(dvv),
+        cmap = cmapAt(base).map(CommitTable.encodeCmap))
+    else
+      publish(version, "delete-dv", Nil, removes = Nil, delta = true,
+        counters = (nf, nr - nDeleted),
+        inv = invariantsAt(base).map(CommitTable.encodeInv), dv = Some(dvv),
+        cmap = cmapAt(base).map(CommitTable.encodeCmap))
+  }
+
+  // ----- column mapping (f28) ---------------------------------------------
+  //
+  // RENAME/DROP COLUMN as METADATA-ONLY commits (r15 verdict Next #5 —
+  // schema evolution was widen-only; renaming or dropping a column meant
+  // rewriting every data file): the commit header carries a
+  // logical→physical name map (`cmap`, carried forward like `inv`/`dvv`).
+  // Data files ALWAYS store physical names — the names at first write —
+  // so a rename touches one log entry and zero data bytes; reads project
+  // physical→logical through the map of the version being read, so old
+  // versions keep their old names verbatim. Writes take LOGICAL columns
+  // (the [[commitVersion]] contract) and stage physically, keeping every
+  // file uniform. DROP retires the physical slot: the name can never be
+  // re-bound (old files still hold its data, and resurrecting it through
+  // a fresh logical column would leak deleted-column values — Delta
+  // solves this with column ids; the retired list is the equivalent).
+  // The storage keys stay PHYSICAL by contract: `statsCol`,
+  // `extraStatsCols`, and the pruning API address the physical layer
+  // (they are the table's clustering identity, not its read surface).
+
+  /** The head's logical→physical column map (None = identity surface,
+    * no renames/drops ever). */
+  def columnMapping(): Option[Seq[(String, String)]] =
+    latestVersion().flatMap(v => CommitTable.decodeCmap(headerLine(v))).map(_.cols)
+
+  private def cmapAt(version: Long): Option[ColumnMap] =
+    CommitTable.decodeCmap(headerLine(version))
+
+  /** Projects a physically-named scan to `version`'s logical surface.
+    * Map entries whose physical column is absent from the scan (a column
+    * added in a later version) are skipped — matching the mergeSchema
+    * surface. No map ⇒ pass-through. */
+  private def applyCmap(df: DataFrame, cm: Option[ColumnMap]): DataFrame = cm match {
+    case None => df
+    case Some(m) =>
+      val have = df.columns.toSet
+      df.select(m.cols.collect {
+        case (l, p) if have.contains(p) => col(p).as(l) }: _*)
+  }
+
+  /** The map in force before a metadata edit: the committed one, or the
+    * identity map synthesized from the head's PHYSICAL schema. */
+  private def cmapOrIdentity(head: Long): ColumnMap =
+    cmapAt(head).getOrElse {
+      val files = addsOf(head).select("path").collect().map(_.getString(0))
+      require(files.nonEmpty, s"cannot derive a column map for empty table $path")
+      val phys = spark.read.option("mergeSchema", "true")
+        .parquet(files.toIndexedSeq: _*).schema.fieldNames.toSeq
+      ColumnMap(phys.map(c => (c, c)), Nil)
+    }
+
+  /** RENAME COLUMN as a metadata-only commit: zero data rewritten, old
+    * versions keep the old name, the head reads (and writes) the new
+    * one. A declared-invariant schema and NOT NULL list are renamed
+    * mechanically; a CHECK expression referencing the old name must be
+    * redeclared first (SQL text cannot be rewritten reliably). */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"renameColumn: bad column name '$newName'")
+    val head = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val cm = cmapOrIdentity(head)
+    require(cm.cols.exists(_._1 == oldName),
+      s"renameColumn: unknown column $oldName (have ${cm.cols.map(_._1).mkString(", ")})")
+    require(!cm.cols.exists(_._1 == newName),
+      s"renameColumn: column $newName already exists")
+    val updated = cm.copy(cols = cm.cols.map {
+      case (l, p) if l == oldName => (newName, p)
+      case lp => lp
+    })
+    publishMetadataEdit(head, "rename-column", Some(updated),
+      renameInInv(invariantsAt(head), oldName, Some(newName)))
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the physical slot retires
+    * (old versions keep reading it; the name can never be re-bound).
+    * The stats column's logical cannot drop — it is the table's
+    * clustering identity. */
+  def dropColumn(name: String): Long = {
+    val head = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val cm = cmapOrIdentity(head)
+    val entry = cm.cols.find(_._1 == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn: unknown column $name (have ${cm.cols.map(_._1).mkString(", ")})"))
+    require(entry._2 != statsCol,
+      s"dropColumn: $name is the table's stats/clustering column — not droppable")
+    val updated = ColumnMap(cm.cols.filterNot(_._1 == name), cm.retired :+ entry._2)
+    publishMetadataEdit(head, "drop-column", Some(updated),
+      renameInInv(invariantsAt(head), name, None))
+  }
+
+  /** Renames (`to = Some`) or drops (`to = None`) a column inside the
+    * declared invariants; CHECK expressions referencing the column must
+    * be redeclared by the caller — silently keeping them would enforce a
+    * rule against a name that no longer resolves. */
+  private def renameInInv(iv: Option[TableInvariants], from: String,
+                          to: Option[String]): Option[TableInvariants] =
+    iv.map { i =>
+      val word = ("""\b""" + java.util.regex.Pattern.quote(from) + """\b""").r
+      i.checks.foreach { case (n, e) =>
+        require(word.findFirstIn(e).isEmpty,
+          s"column $from is referenced by CHECK $n ('$e') — redeclare invariants first")
+      }
+      val declared = StructType.fromDDL(i.schemaDdl)
+      val newFields = declared.fields.flatMap { f =>
+        if (f.name != from) Some(f)
+        else to.map(n => f.copy(name = n))
+      }
+      i.copy(schemaDdl = StructType(newFields).toDDL,
+        notNull = i.notNull.flatMap(c => if (c != from) Some(c) else to.toSeq))
+    }
+
+  /** Shared metadata-only publish for column edits: delta entry with
+    * zero file actions (snapshot-complete at checkpoint versions),
+    * counters rolled forward, every stamp carried. Single-winner. */
+  private def publishMetadataEdit(head: Long, op: String,
+                                  cmap: Option[ColumnMap],
+                                  inv: Option[TableInvariants]): Long = {
+    val version = nextVersion()
+    if (version != head + 1)
+      throw new java.util.ConcurrentModificationException(
+        s"table $path moved from version $head during $op")
+    val (nf, nr) = activeTotals(head)
+    val invJson = inv.map(CommitTable.encodeInv)
+    val cmapJson = cmap.map(CommitTable.encodeCmap)
+    if (version % checkpointEvery == 0)
+      publish(version, op, collectAdds(head), removes = Nil, delta = false,
+        counters = (nf, nr), inv = invJson, dv = dvVersionAt(head), cmap = cmapJson)
+    else
+      publish(version, op, Nil, removes = Nil, delta = true,
+        counters = (nf, nr), inv = invJson, dv = dvVersionAt(head), cmap = cmapJson)
+  }
+
   private def emptyLike(): DataFrame = {
     // schema from any committed file list; a table with zero commits has no
     // schema to offer
@@ -559,12 +810,36 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // swapping the window would return deletes tagged 'insert' and
     // corrupt any CDC replica that applies them
     require(from <= to, s"changesBetween: from ($from) must be <= to ($to)")
+    val dvFrom = dvVersionAt(from)
+    val dvTo = dvVersionAt(to)
+    // a window whose DELETION-VECTOR stamp moved changes row content
+    // inside files both versions SHARE, so the shared-file cancellation
+    // below no longer holds — the honest fallback is the full multiset
+    // diff of the two DV-applied snapshots (O(window content); DV churn
+    // windows are the rare case, and OPTIMIZE resets the stamp). Equal
+    // stamps keep the O(changed files) path: identical files carry
+    // identical vectors and still cancel exactly.
+    if (dvFrom != dvTo) {
+      val b0 = asOf(from)
+      val a0 = asOf(to)
+      val allCols = (b0.columns ++ a0.columns).distinct.toSeq
+      def pad(df: DataFrame, other: DataFrame): DataFrame =
+        allCols.foldLeft(df)((d, c) =>
+          if (d.columns.contains(c)) d
+          else d.withColumn(c, lit(null).cast(other.schema(c).dataType)))
+          .select(allCols.map(col): _*)
+      val b = pad(b0, a0)
+      val a = pad(a0, b0)
+      return a.exceptAll(b).withColumn("change_type", lit("insert"))
+        .unionByName(b.exceptAll(a).withColumn("change_type", lit("delete")))
+    }
     val beforeFiles = addsOf(from).select("path").collect().map(_.getString(0)).toSet
     val afterFiles = addsOf(to).select("path").collect().map(_.getString(0)).toSet
     val beforeOnly = (beforeFiles -- afterFiles).toSeq.sorted
     val afterOnly = (afterFiles -- beforeFiles).toSeq.sorted
+    val cmapTo = cmapAt(to)
     if (beforeOnly.isEmpty && afterOnly.isEmpty)
-      return emptyLike().withColumn("change_type", lit("insert"))
+      return applyCmap(emptyLike(), cmapTo).withColumn("change_type", lit("insert"))
     // ONE window-union schema for every branch (schema evolution inside
     // the window): each side is aligned to it with NULL-fill, the asOf
     // merge semantics — so insert and delete halves always union, and a
@@ -573,11 +848,18 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val ref = spark.read.option("mergeSchema", "true")
       .parquet((beforeOnly ++ afterOnly): _*).schema
     def aligned(ps: Seq[String]): DataFrame = {
-      val df = spark.read.option("mergeSchema", "true").parquet(ps: _*)
-      ref.fields.foldLeft(df) { (d, f) =>
+      // equal-stamp windows: the shared vector applies to both sides'
+      // changed-file reads (dvFrom == dvTo here by the branch above)
+      val df = applyDv(
+        spark.read.option("mergeSchema", "true").parquet(ps: _*), dvFrom)
+      // both sides align to the window-union PHYSICAL schema, then
+      // project through the TO version's map — one consistent logical
+      // surface for the whole diff (rename-only windows still cancel
+      // shared files: the cut happened at the file-list level above)
+      applyCmap(ref.fields.foldLeft(df) { (d, f) =>
         if (d.columns.contains(f.name)) d
         else d.withColumn(f.name, lit(null).cast(f.dataType))
-      }.select(ref.fieldNames.map(col).toSeq: _*)
+      }.select(ref.fieldNames.map(col).toSeq: _*), cmapTo)
     }
     if (beforeOnly.isEmpty)
       aligned(afterOnly).withColumn("change_type", lit("insert"))
@@ -816,9 +1098,14 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // files while identical rows in carried files survive (row fate would
     // depend on file placement)
     val k = col(statsCol).cast("long")
-    val rewritten = spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(_._1).toIndexedSeq: _*)
-      .filter(k.isNull || k < lo || k > hi)
+    // outstanding deletion vectors apply to the rewritten slice (a CoW
+    // rewrite must not resurrect DV-deleted rows); carried files keep the
+    // stamp, which commitVersion rolls forward
+    // logical view (the commitVersion contract): DV applied, physical
+    // key filter, then project — staging maps back to physical names
+    val rewritten = applyCmap(applyDv(spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(_._1).toIndexedSeq: _*), dvVersionAt(base))
+      .filter(k.isNull || k < lo || k > hi), cmapAt(base))
     commitVersion(rewritten, keepPrevious = false, op = "delete",
       expectedBase = Some(base),
       carriedExplicit = Some(untouched.map { case (p, l, h, n, xs) =>
@@ -849,11 +1136,18 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       r.getLong(2), r.getLong(3), if (r.isNullAt(4)) null else r.getString(4)))
     val (touched, untouched) = adds.partition { case (_, flo, fhi, _, _) => fhi >= lo && flo <= hi }
     if (touched.isEmpty) return base
-    val src = spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(_._1).toIndexedSeq: _*)
+    // DV-deleted rows must not resurrect in the rewritten files
+    // ([[deleteRange]]); the rewrite is built on the LOGICAL view (the
+    // commitVersion contract) — `setCol`/`setExprSql` address logical
+    // names, and the key predicate uses the stats column's LOGICAL name
+    // (same physical values; the stats column is never droppable)
+    val cm = cmapAt(base)
+    val src = applyCmap(applyDv(spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(_._1).toIndexedSeq: _*), dvVersionAt(base)), cm)
     require(src.columns.contains(setCol),
       s"updateRange: column $setCol not in table schema ${src.columns.mkString(", ")}")
-    val k = col(statsCol).cast("long")
+    val logicalKey = cm.flatMap(_.cols.find(_._2 == statsCol).map(_._1)).getOrElse(statsCol)
+    val k = col(logicalKey).cast("long")
     val rewritten = src.withColumn(setCol,
       when(k.isNotNull && k >= lo && k <= hi,
         expr(setExprSql).cast(src.schema(setCol).dataType))
@@ -938,10 +1232,12 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // (the walk-length bound stays intact)
     if (version % checkpointEvery == 0)
       publish(version, "set-invariants", collectAdds(head), removes = Nil,
-        delta = false, counters = (nf, nr), inv = Some(CommitTable.encodeInv(iv)))
+        delta = false, counters = (nf, nr), inv = Some(CommitTable.encodeInv(iv)),
+        dv = dvVersionAt(head), cmap = cmapAt(head).map(CommitTable.encodeCmap))
     else
       publish(version, "set-invariants", Nil, removes = Nil, delta = true,
-        counters = (nf, nr), inv = Some(CommitTable.encodeInv(iv)))
+        counters = (nf, nr), inv = Some(CommitTable.encodeInv(iv)),
+        dv = dvVersionAt(head), cmap = cmapAt(head).map(CommitTable.encodeCmap))
   }
 
   /** The declaration in force at `version`'s commit (carried forward by
@@ -1321,10 +1617,37 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val prevInv = prev.flatMap(invariantsAt)
     prevInv.foreach(iv => checkSchemaOnWrite(df.schema, iv, mergeSchema))
     val inv = stampedInv(prevInv, df.schema, mergeSchema)
+    // deletion-vector stamp: a FULL rewrite reads through the vector (its
+    // input df already excludes deleted rows) and so MATERIALIZES the
+    // deletes — the stamp resets; appends and CoW range DML keep carried
+    // files' vectors live and roll the stamp forward
+    val fullRewriteEarly = !keepPrevious && carriedExplicit.isEmpty
+    val dvCarry: Option[Long] =
+      if (fullRewriteEarly) None else prev.flatMap(dvVersionAt)
+    // column mapping (f28): df carries LOGICAL names; staging writes the
+    // stable PHYSICAL names so every data file is uniform across renames.
+    // New logical columns extend the map identity — unless the name
+    // collides with a used or RETIRED physical slot, where a silent bind
+    // would resurrect a dropped column's old values
+    val prevCmap = prev.flatMap(cmapAt)
+    val cmapCarry: Option[ColumnMap] = prevCmap.map { cm =>
+      val known = cm.cols.map(_._1).toSet
+      val usedPhys = cm.cols.map(_._2).toSet ++ cm.retired
+      val extra = df.columns.filterNot(known)
+      extra.foreach(c => if (usedPhys.contains(c)) throw new IllegalArgumentException(
+        s"column $c collides with a used/retired physical slot of $path — choose a different name"))
+      cm.copy(cols = cm.cols ++ extra.map(c => (c, c)))
+    }
+    val dfPhys = cmapCarry match {
+      case None => df
+      case Some(cm) =>
+        val m = cm.cols.toMap
+        df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))).toSeq: _*)
+    }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"d$version-$nonce"
     val dataDir = new Path(path, rel)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    dfPhys.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     try {
       // declared row invariants run against the batch AS WRITTEN, inside
       // the same write-audit-publish gate as opt-in audits: a violation
@@ -1332,7 +1655,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       prevInv.foreach { ivd =>
         rowRulesOf(ivd).foreach { rules =>
           val staged = alignToDeclared(
-            spark.read.option("mergeSchema", "true").parquet(dataDir.toString),
+            applyCmap(spark.read.option("mergeSchema", "true").parquet(dataDir.toString),
+              cmapCarry),
             StructType.fromDDL(ivd.schemaDdl))
           // a zero-row staged batch (a DML rewrite that filtered every
           // row out) has NULL counters — no rows, no violations
@@ -1344,7 +1668,7 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       // WAP audit gate: run the rules against the STAGED files before any
       // log entry exists; a violation aborts via the shared cleanup path
       audit.foreach { a =>
-        val report = a(spark.read.parquet(dataDir.toString))
+        val report = a(applyCmap(spark.read.parquet(dataDir.toString), cmapCarry))
         if (report.exists(_._2 > 0)) throw new AuditFailedException(report)
       }
       // per-file stats for the log: read from the staged files' parquet
@@ -1365,7 +1689,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
         val adds = carried ++ stats
         publish(version, op, adds, removes = Nil, delta = false,
           counters = (adds.length.toLong, adds.map(_._4).sum), tsMillis = tsMillis,
-          txn = txn, inv = inv)
+          txn = txn, inv = inv, dv = dvCarry,
+          cmap = cmapCarry.map(CommitTable.encodeCmap))
       } else if (carriedExplicit.isDefined) {
         val carried = carriedExplicit.get
         val carriedPaths = carried.map(_._1).toSet
@@ -1373,14 +1698,16 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
         publish(version, op, stats, removes, delta = true,
           counters = (carried.length.toLong + stats.length,
             carried.map(_._4).sum + stats.map(_._4).sum), tsMillis = tsMillis,
-          txn = txn, inv = inv)
+          txn = txn, inv = inv, dv = dvCarry,
+          cmap = cmapCarry.map(CommitTable.encodeCmap))
       } else {
         // plain append: the delta entry needs NO resolution of the previous
         // file list at all — counters roll forward from the head's header
         val (pf, pr) = activeTotals(prev.get)
         publish(version, op, stats, removes = Nil, delta = true,
           counters = (pf + stats.length, pr + stats.map(_._4).sum), tsMillis = tsMillis,
-          txn = txn, inv = inv)
+          txn = txn, inv = inv, dv = dvCarry,
+          cmap = cmapCarry.map(CommitTable.encodeCmap))
       }
     } catch {
       case e: Throwable =>
@@ -1403,7 +1730,9 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
                       counters: (Long, Long) = (-1L, -1L),
                       tsMillis: Option[Long] = None,
                       txn: Option[(String, Long)] = None,
-                      inv: Option[String] = None): Long = {
+                      inv: Option[String] = None,
+                      dv: Option[Long] = None,
+                      cmap: Option[String] = None): Long = {
     // Delta's monotonicity rule: a commit whose clock reads at-or-before
     // its predecessor is recorded as predecessor + 1 ms, so timestamp
     // time travel always resolves versions in version order. Pre-timestamp
@@ -1420,7 +1749,9 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       (if (delta) """, "delta": true""" else "") +
       (if (nf >= 0) s""", "nf": $nf, "nr": $nr""" else "") +
       txn.map { case (a, v) => s""", "txnApp": ${jsonStr(a)}, "txnV": $v""" }.getOrElse("") +
-      inv.map(j => s""", "inv": ${jsonStr(j)}""").getOrElse("") + "}"
+      inv.map(j => s""", "inv": ${jsonStr(j)}""").getOrElse("") +
+      dv.map(v => s""", "dvv": $v""").getOrElse("") +
+      cmap.map(j => s""", "cmap": ${jsonStr(j)}""").getOrElse("") + "}"
     val lines = head +:
       (adds.map { case (p, lo, hi, n, xs) =>
         s"""{"type": "add", "version": $version, "path": ${jsonStr(p)}, "lo": $lo, "hi": $hi, "n": $n""" +
@@ -1466,9 +1797,15 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // declaration carries forward — restore rolls back DATA, not the
     // table's declared contract (restored content was validated when the
     // declaration landed, or predates it and reads as-is)
+    // counters from the restored version's own header: its nr already
+    // nets out any deletion vector in force there
+    // metadata (declaration, deletion vector, column map) travels WITH
+    // the restored version — Delta's RESTORE restores table metadata too
     publish(version, "restore", adds,
-      counters = (adds.length.toLong, adds.map(_._4).sum),
-      inv = invariantsAt(version - 1).map(CommitTable.encodeInv))
+      counters = activeTotals(toVersion),
+      inv = invariantsAt(toVersion).map(CommitTable.encodeInv),
+      dv = dvVersionAt(toVersion),
+      cmap = cmapAt(toVersion).map(CommitTable.encodeCmap))
   }
 
   private def resolveStored(p: String): Path =
@@ -1494,6 +1831,13 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val src = new CommitTable(spark, sourcePath, statsCol)
     val v = src.latestVersion().getOrElse(
       throw new IllegalStateException(s"no commits at $sourcePath to clone"))
+    // a clone re-references FILES; an outstanding deletion vector lives in
+    // the source's OWN sidecar, which the clone does not share — cloning
+    // would silently resurrect the deleted rows. OPTIMIZE materializes
+    // the vector, then the head is cloneable (Delta gates DV'd shallow
+    // clones the same way).
+    require(src.dvVersionAt(v).isEmpty,
+      s"shallowClone($sourcePath): source head has outstanding deletion vectors — run OPTIMIZE (compact) on the source first")
     val adds = src.addsOf(v).collect().map(r =>
       (new Path(r.getString(0)).toUri.getPath, r.getLong(1), r.getLong(2), r.getLong(3),
         if (r.isNullAt(4)) null else r.getString(4))).toSeq
@@ -1501,9 +1845,13 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       require(fs.exists(new Path(p)),
         s"shallowClone($sourcePath): file $p was vacuumed — source head not cloneable")
     }
-    // absolute by construction; storedForm keeps them absolute downstream
+    // absolute by construction; storedForm keeps them absolute downstream.
+    // The clone copies the source's declaration and column map (its read
+    // surface and write contract), like Delta's CLONE
     publish(nextVersion(), "clone", adds,
-      counters = (adds.length.toLong, adds.map(_._4).sum), tsMillis = tsMillis)
+      counters = (adds.length.toLong, adds.map(_._4).sum), tsMillis = tsMillis,
+      inv = src.invariantsAt(v).map(CommitTable.encodeInv),
+      cmap = src.cmapAt(v).map(CommitTable.encodeCmap))
   }
 }
 
@@ -1536,6 +1884,33 @@ object CommitTable {
       (part.substring(0, eq),
         (part.substring(eq + 1, cl).toLong, part.substring(cl + 1).toLong))
     }.toMap
+
+  /** Header-borne column map ↔ nested-JSON (`cmap` field): ordered
+    * logical→physical entries + retired physical slots. */
+  private[operators] def encodeCmap(cm: ColumnMap): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val cs = root.putArray("m")
+    cm.cols.foreach { case (l, p) =>
+      val e = cs.addArray(); e.add(l); e.add(p); () }
+    val r = root.putArray("r")
+    cm.retired.foreach(r.add)
+    m.writeValueAsString(root)
+  }
+
+  private[operators] def decodeCmap(headerLine: String): Option[ColumnMap] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val head = m.readTree(headerLine)
+    if (!head.hasNonNull("cmap")) None
+    else {
+      val node = m.readTree(head.get("cmap").asText())
+      import scala.jdk.CollectionConverters._
+      Some(ColumnMap(
+        node.get("m").elements().asScala
+          .map(e => (e.get(0).asText(), e.get(1).asText())).toSeq,
+        node.get("r").elements().asScala.map(_.asText()).toSeq))
+    }
+  }
 
   /** Header-borne invariant declaration ↔ its nested-JSON encoding (the
     * header is one JSON object; the declaration is a JSON document
@@ -1602,6 +1977,12 @@ private final class AuditFailedException(val report: Seq[(String, Long)])
 final case class TableInvariants(schemaDdl: String,
                                  checks: Seq[(String, String)],
                                  notNull: Seq[String])
+
+/** A table's logical→physical column map ([[CommitTable.renameColumn]] /
+  * [[CommitTable.dropColumn]]): `cols` is the ordered read surface
+  * (logical name → stable physical file-column name); `retired` lists
+  * physical slots of dropped columns, never re-bindable. */
+final case class ColumnMap(cols: Seq[(String, String)], retired: Seq[String])
 
 /** A write rejected by the table's declared invariants — schema-on-write
   * (undeclared/type-drifted/missing-NOT-NULL columns, one report entry

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.CommitTable
+
+/** Deletion vectors for tables (f27, r15 verdict Next #4): DELETE as an
+  * O(deleted) sidecar commit with ZERO data-file rewrites, exact reads
+  * through every path, time travel per-version, and OPTIMIZE as the
+  * materialization point — the s27/s28 tombstone discipline applied to
+  * tables.
+  */
+class DeletionVectorSpec extends SparkSpec {
+
+  private def kv(pairs: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("k").collect().map(_.getLong(0)).toSet
+
+  test("DV delete: zero data-file rewrites, exact reads, per-version time travel, honest counters") {
+    val dir = Files.createTempDirectory("graft-dv").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 10L).map(i => i -> i * 10L): _*).repartition(3)) // v0
+    val filesBefore = t.read().inputFiles.toSet
+    val v1 = t.deleteRangeDV(3L, 5L)
+    assert(v1 === 1L)
+    // ZERO data-file rewrites: the head references exactly the same files
+    val headFiles = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+    assert(headFiles === filesBefore,
+      "a DV delete must not add, remove, or rewrite any data file")
+    // exact content
+    assert(keys(t.read()) === Set(1L, 2L, 6L, 7L, 8L, 9L, 10L))
+    assert(t.dvOutstanding() === 3L)
+    // pre-delete version reads the full content (stamp is per-version)
+    assert(keys(t.asOf(0L)) === (1L to 10L).toSet)
+    // counters net out the vector
+    val hist = t.history().collect().map(r => (r.getLong(0), r.getString(2), r.getLong(4))).toList
+    assert(hist.contains((1L, "delete-dv", 7L)), s"history must net DV rows, got $hist")
+    // a second DV delete accumulates (monotone), first delete still applied
+    t.deleteRangeDV(8L, 8L)
+    assert(keys(t.read()) === Set(1L, 2L, 6L, 7L, 9L, 10L))
+    assert(t.dvOutstanding() === 4L)
+    // pruned read paths honor the vector too
+    assert(keys(t.prunedRead(1L, 10L)) === Set(1L, 2L, 6L, 7L, 9L, 10L))
+    assert(keys(t.prunedReadIn(Seq(3L, 6L)).filter(col("k").isin(3L, 6L))) === Set(6L))
+    // deleting an already-DV'd range is a provable no-op: no new commit
+    val head = t.latestVersion().get
+    assert(t.deleteRangeDV(3L, 5L) === head)
+  }
+
+  test("OPTIMIZE materializes the vector: stamp clears, content exact, consolidation rebuild-exact") {
+    val dir = Files.createTempDirectory("graft-dv-opt").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 20L).map(i => i -> i): _*).repartition(4))
+    t.deleteRangeDV(5L, 14L)
+    assert(t.dvOutstanding() === 10L)
+    t.compactClustered("k", 2)
+    assert(t.dvOutstanding() === 0L, "a full rewrite materializes the deletes")
+    assert(keys(t.read()) === ((1L to 4L) ++ (15L to 20L)).toSet)
+    // appends AFTER materialization are vector-free and cheap again
+    t.append(kv(100L -> 100L))
+    assert(keys(t.read()) === ((1L to 4L) ++ (15L to 20L) :+ 100L).toSet)
+  }
+
+  test("DV composes with appends, CoW DML, merge, and restore") {
+    val dir = Files.createTempDirectory("graft-dv-mix").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 8L).map(i => i -> i): _*).repartition(2)) // v0
+    t.deleteRangeDV(2L, 3L)                                         // v1
+    // append rolls the stamp forward: old deletes stay applied
+    t.append(kv(21L -> 21L, 22L -> 22L))                            // v2
+    assert(keys(t.read()) === Set(1L, 4L, 5L, 6L, 7L, 8L, 21L, 22L))
+    // CoW deleteRange keeps the stamp and never resurrects DV'd rows
+    t.deleteRange(21L, 21L)                                          // v3
+    assert(keys(t.read()) === Set(1L, 4L, 5L, 6L, 7L, 8L, 22L))
+    // updateRange on a DV'd key range: only live rows rewrite
+    t.updateRange(4L, 5L, "v", "v * 100")                            // v4
+    assert(t.read().filter(col("k") === 4L).select("v").head().getLong(0) === 400L)
+    assert(keys(t.read()) === Set(1L, 4L, 5L, 6L, 7L, 8L, 22L))
+    // merge materializes (full rewrite): stamp resets
+    t.merge(kv(50L -> 50L), Seq("k"))                                // v5
+    assert(t.dvOutstanding() === 0L)
+    assert(keys(t.read()) === Set(1L, 4L, 5L, 6L, 7L, 8L, 22L, 50L))
+    // restore to the DV'd v2 restores its vector state with the data
+    t.restore(2L)
+    assert(keys(t.read()) === Set(1L, 4L, 5L, 6L, 7L, 8L, 21L, 22L))
+    assert(t.dvOutstanding() === 2L)
+  }
+
+  test("CDF across a DV boundary is exact (honest full-diff fallback); equal-stamp windows keep the file-diff path") {
+    val dir = Files.createTempDirectory("graft-dv-cdf").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 6L).map(i => i -> i): _*).coalesce(1)) // v0
+    t.deleteRangeDV(2L, 3L)                                      // v1
+    t.append(kv(7L -> 7L).coalesce(1))                           // v2
+    // window crossing the DV commit: deletes surface as 'delete'
+    val cdf01 = t.changesBetween(0L, 1L).collect()
+      .map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(cdf01 === Set(("delete", 2L), ("delete", 3L)))
+    // window with EQUAL stamps on both ends: pure file-diff, insert only
+    val cdf12 = t.changesBetween(1L, 2L).collect()
+      .map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(cdf12 === Set(("insert", 7L)))
+    // full window mixes both
+    val cdf02 = t.changesBetween(0L, 2L).collect()
+      .map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(cdf02 === Set(("delete", 2L), ("delete", 3L), ("insert", 7L)))
+  }
+
+  test("a DV'd source head refuses shallow clone until OPTIMIZE") {
+    val dir = Files.createTempDirectory("graft-dv-clone").toString
+    val t = new CommitTable(spark, dir + "/src", "k")
+    t.overwrite(kv(1L -> 1L, 2L -> 2L))
+    t.deleteRangeDV(1L, 1L)
+    val cl = new CommitTable(spark, dir + "/clone", "k")
+    val e = intercept[IllegalArgumentException](cl.shallowCloneFrom(dir + "/src"))
+    assert(e.getMessage.contains("deletion vectors"))
+    t.compact(1)
+    cl.shallowCloneFrom(dir + "/src")
+    assert(keys(cl.read()) === Set(2L))
+  }
+
+  test("orphaned sidecar versions are inert: a lost race never poisons later deletes") {
+    val dir = Files.createTempDirectory("graft-dv-orphan").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 6L).map(i => i -> i): _*))
+    // a racer loses AFTER its sidecar write: simulate by planting a stale
+    // head so the main publish conflicts
+    val stale = new CommitTable(spark, dir, "k") {
+      override protected def nextVersion(): Long = 0L // head is already 0 → attempts v0
+    }
+    intercept[java.util.ConcurrentModificationException](stale.deleteRangeDV(5L, 6L))
+    // the loser's sidecar overwrite exists but was never stamped — a
+    // later DV delete snapshots from the STAMPED version (none), so the
+    // orphan's rows are NOT deleted
+    t.deleteRangeDV(2L, 2L)
+    assert(keys(t.read()) === Set(1L, 3L, 4L, 5L, 6L),
+      "orphaned sidecar content must never leak into the live vector")
+  }
+}
