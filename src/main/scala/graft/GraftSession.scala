@@ -99,6 +99,13 @@ object GraftSession {
           "log_optimize_size" -> graft.plans.LogTvfs.optimizeSize,
           "log_vacuum" -> graft.plans.LogTvfs.vacuum,
           "log_vacuum_retain" -> graft.plans.LogTvfs.vacuumRetain,
+          // round-16 metadata planes, SQL-complete (the q43 discipline:
+          // every Scala table op gets its statement form)
+          "log_delete_dv" -> graft.plans.LogTvfs.deleteDv,
+          "log_rename_column" -> graft.plans.LogTvfs.renameColumn,
+          "log_drop_column" -> graft.plans.LogTvfs.dropColumn,
+          "log_set_invariants" -> graft.plans.LogTvfs.setInvariantsTvf,
+          "log_detail" -> graft.plans.LogTvfs.detail,
           // catalog introspection: one row per registered name
           "log_tables" -> graft.plans.LogTvfs.tables,
           // ...and the persisted-index probes queryable from pure SQL
@@ -152,8 +159,11 @@ object GraftSession {
       // [[create]] (a SparkContext property, not a conf). 100 so the
       // gate-depth runs (BFS ~10, SSSP ~25, coloring ~100 supersteps) pay
       // at most one reliable checkpoint while anything runaway-deep still
-      // gets its lineage cut well before serialization blows
-      .config("spark.graphx.pregel.checkpointInterval", "100")
+      // gets its lineage cut well before serialization blows. Env
+      // override exists for interleaved A/Bs of the cut's fixed cost on
+      // small graphs (r15 verdict Next #7) — not a production knob
+      .config("spark.graphx.pregel.checkpointInterval",
+        sys.env.getOrElse("GRAFT_PREGEL_CKPT", "100"))
 
   /** [[builder]].getOrCreate() + the context-level wiring a builder conf
     * can't express: the CHECKPOINT DIRECTORY the Pregel interval needs —
@@ -167,6 +177,10 @@ object GraftSession {
         java.nio.file.Paths.get(
           sys.props.getOrElse("java.io.tmpdir", "/tmp"),
           s"graft-ckpt-${ProcessHandle.current().pid()}")).toString)
+    // durable named catalog (r15 verdict Next #2): with `graft.catalog
+    // .root` configured, bindings committed by EARLIER sessions resolve
+    // here from init on — log_register survives restarts
+    graft.plans.TableRegistry.loadPersisted(spark)
     spark
   }
 

@@ -1616,6 +1616,73 @@ object SparkEntry {
         Similarity.buildIvfIndex(Tables.embeddings(s, dir), _))
       s.sql(s"SELECT * FROM ann_topk_filtered('$idx', 20, 5, 4, 'vec_id % 7 = 3')")
     }),
+    "q55_sql_metadata" -> ((s, dir) => {
+      // SQL parity for the round-16 metadata planes (the q43 discipline:
+      // every Scala table op gets a statement form): one register, then
+      // ADD CONSTRAINT, a deletion-vector DELETE, RENAME COLUMN, and
+      // DESCRIBE DETAIL all run as pure SQL — no Scala API in any
+      // statement after setup. The head reads through the vector under
+      // the renamed surface; v0 keeps the original names and full
+      // content; the detail row counts the (unrewritten) files.
+      val root = IndexCache.freshRoot("sqlmeta")
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.repartitionByRange(4, col("k")))              // v0
+      s.sql(s"SELECT * FROM log_register('q55_sales', '$tp', 'k')").collect()
+      s.sql("""SELECT COUNT(*) FROM log_set_invariants('q55_sales',
+              |'k BIGINT, v BIGINT', 'k', 'k_nonneg', 'k >= 0')""".stripMargin).collect()
+      s.sql("SELECT COUNT(*) FROM log_delete_dv('q55_sales', 1000, 5000)").collect()
+      s.sql("SELECT COUNT(*) FROM log_rename_column('q55_sales', 'v', 'amount')").collect()
+      s.sql(
+        """SELECT 'detail' AS snap, COUNT(*) AS n, CAST(0 AS BIGINT) AS sum_k,
+          |       CAST(0 AS BIGINT) AS sum_v
+          |FROM log_detail('q55_sales')
+          |UNION ALL
+          |SELECT 'head', COUNT(*), SUM(k), SUM(amount)
+          |FROM log_table('q55_sales')
+          |UNION ALL
+          |SELECT 'v0', COUNT(*), SUM(k), SUM(v)
+          |FROM log_table_at('q55_sales', 0)
+          |ORDER BY snap""".stripMargin)
+    }),
+    "q54_persistent_catalog" -> ((s, dir) => {
+      // PERSISTENT NAMED CATALOG (r15 verdict Next #2 — TableRegistry
+      // was process-memory, so q51's by-name usability vanished with the
+      // session): with graft.catalog.root configured, log_register also
+      // COMMITS the binding to a commit-log table of bindings (the
+      // engine's own storage layer); a fresh session loads them at init.
+      // Simulated restart: the in-memory map is cleared outright, then
+      // loadPersisted (exactly what GraftSession.create runs) restores
+      // resolution and the by-name read returns the table — while an
+      // unknown name still fails at analysis (flag).
+      val root = IndexCache.freshRoot("pcat")
+      val tp = root.resolve("tbl").toString
+      s.conf.set("graft.catalog.root", root.resolve("cat").toString)
+      try {
+        val t = new graft.operators.CommitTable(s, tp, "k")
+        val ord = Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("v"))
+        t.overwrite(ord.repartitionByRange(4, col("k")))
+        s.sql(s"SELECT * FROM log_register('q54_sales', '$tp', 'k')").collect()
+        // the "restart": memory gone, committed catalog survives
+        graft.plans.TableRegistry.clearMemory()
+        val loaded = graft.plans.TableRegistry.loadPersisted(s).toLong
+        val unknownStillFails =
+          try { s.sql("SELECT * FROM log_table('q54_nope')").collect(); 0L }
+          catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("unknown registered table") => 1L }
+        s.sql(
+          s"""SELECT 'head' AS snap, COUNT(*) AS n, SUM(k) AS sum_k
+             |FROM log_table('q54_sales')
+             |UNION ALL
+             |SELECT 'meta', $loaded, $unknownStillFails
+             |ORDER BY snap""".stripMargin)
+      } finally s.conf.unset("graft.catalog.root")
+    }),
     "q51_named_catalog" -> ((s, dir) => {
       // NAMED CATALOG over paths (r14 verdict #5 — every TVF took raw
       // filesystem path literals; one typo = a path error at analysis):
@@ -3856,6 +3923,46 @@ object SparkEntry {
         .withColumn("phase", lit("consolidated"))
       pre.unionByName(post)
     }),
+    "s40_graph_link_health" -> ((s, dir) => {
+      // GRAPH-INDEX STALENESS INSTRUMENT (r15 verdict Next #6 — IVF has
+      // ivfDriftStats; the graph family had nothing saying when churn
+      // warrants the periodic rebuild its docs defer to): link-health
+      // stats move EXACTLY with the lifecycle — clean at build, append
+      // share rises on search-then-link inserts (log metadata only),
+      // tombstoned-neighbor shares rise monotonically with each delete
+      // batch, and consolidation clears every counter. Numeric
+      // monotonicity is spec-asserted in KnnGraphSpec; this gate binds
+      // the lifecycle contract. Build memoized (s26's template); every
+      // mutation runs on a private copy.
+      val emb = Tables.embeddings(s, dir)
+      val idx = IndexCache.privateCopy(s"knng|$dir|ge100", "knnhealth")(
+        KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), _))
+      def snap() = KnnGraph.knnGraphLinkStats(s, idx).head()
+      def shares(r: org.apache.spark.sql.Row) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val fresh = shares(snap())
+      KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
+      val appended = shares(snap())
+      KnnGraph.deleteFromKnnGraphIndex(
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 240).select("vec_id"), idx)
+      val del1 = shares(snap())
+      KnnGraph.deleteFromKnnGraphIndex(
+        emb.filter(col("vec_id") >= 240 && col("vec_id") < 280).select("vec_id"), idx)
+      val del2 = shares(snap())
+      KnnGraph.consolidateKnnGraphIndex(s, idx)
+      val healed = shares(snap())
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("s1_fresh_clean", fresh == ((0L, 0L, 0L, 0L))),
+        ("s2_append_rises", appended._4 > 0L && appended._1 == 0L &&
+          appended._2 == 0L && appended._3 == 0L),
+        ("s3_delete_rises", del1._1 > 0L && del1._2 > 0L && del1._4 == appended._4),
+        ("s4_monotone_under_churn", del2._1 > del1._1 && del2._2 > del1._2 &&
+          del2._3 >= del1._3),
+        ("s5_consolidate_clears", healed == ((0L, 0L, 0L, 0L)))
+      ).toDF("probe", "holds").orderBy("probe")
+    }),
     "s28_graph_delete" -> ((s, dir) => {
       // FreshDiskANN delete-consolidation on the committed graph index:
       // tombstone the range (deleted vertices keep NAVIGATING but leave
@@ -4985,6 +5092,34 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'ywindow', COUNT(*), SUM(x)::BIGINT, SUM(y)::BIGINT, SUM(q)::BIGINT
         |FROM d WHERE y BETWEEN 100 AND 199
+        |ORDER BY snap""".stripMargin,
+    "s40_graph_link_health" -> // the lifecycle contract: every stage flag
+      // must hold — clean build, append-only rise, delete rise with
+      // append share unchanged, strict monotone growth under the second
+      // delete batch, and a fully-cleared instrument after consolidation
+      """SELECT probe, holds FROM (VALUES
+        |  ('s1_fresh_clean', true), ('s2_append_rises', true),
+        |  ('s3_delete_rises', true), ('s4_monotone_under_churn', true),
+        |  ('s5_consolidate_clears', true)) AS t(probe, holds)
+        |ORDER BY probe""".stripMargin,
+    "q55_sql_metadata" -> // the statement chain restated: the head is the
+      // DV-deleted content under the renamed column, v0 is everything
+      // under original names, detail counts the 4 original (unrewritten)
+      // files — a DV delete and a rename add none
+      """SELECT 'detail' AS snap, 4::BIGINT AS n, 0::BIGINT AS sum_k, 0::BIGINT AS sum_v
+        |UNION ALL
+        |SELECT 'head', COUNT(*), SUM(o_orderkey)::BIGINT, SUM(o_custkey)::BIGINT
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 5000
+        |UNION ALL
+        |SELECT 'v0', COUNT(*), SUM(o_orderkey)::BIGINT, SUM(o_custkey)::BIGINT
+        |FROM orders
+        |ORDER BY snap""".stripMargin,
+    "q54_persistent_catalog" -> // the post-"restart" by-name read is the
+      // full table; meta row = (1 binding loaded, unknown-name error
+      // preserved)
+      """SELECT 'head' AS snap, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS sum_k
+        |FROM orders
+        |UNION ALL SELECT 'meta', 1, 1
         |ORDER BY snap""".stripMargin,
     "q51_named_catalog" -> // by-name reads after the by-name delete: head
       // excludes [1000, 5000], the range read cuts [6000, 9000] of the

@@ -618,6 +618,92 @@ object KnnGraph {
       .orderBy("query_id", "rank")
   }
 
+  /** LINK-HEALTH instrument for a committed graph index (s40, r15
+    * verdict Next #6): the IVF family has `ivfDriftStats`, but the graph
+    * family had nothing telling a caller when accumulated append/delete
+    * churn warrants the periodic full rebuild its docs defer to (the
+    * 40%-recall-plateau symptom s38 measures). One row of integer-exact
+    * aggregates:
+    *  - `n_edges`, `n_vertices` — live adjacency size;
+    *  - `tomb_out_share_1e6` — share of edges whose SOURCE is tombstoned
+    *    (dead vertices still navigating, FreshDiskANN's DeleteList debt);
+    *  - `tomb_in_share_1e6` — share of LIVE vertices' out-edges pointing
+    *    AT tombstoned vertices (wasted beam slots per hop);
+    *  - `stale_vertices_1e6` — share of live vertices with ≥ half their
+    *    out-list tombstoned (the vertices whose neighborhoods one-hop
+    *    repair will degrade — the rebuild trigger);
+    *  - `append_edge_share_1e6` — share of edge ROWS committed by
+    *    appends since the last full graph rewrite (build/consolidation),
+    *    from LOG METADATA alone: a file's staging version rides in its
+    *    `d<version>-` directory name and its rowcount in the log stats,
+    *    so this half costs zero data reads. Search-then-link appends
+    *    grow out-lists past the build's degree cap and skip the build's
+    *    NN-Descent refinement — a high share means walk quality drifts
+    *    from the build contract.
+    * Cost: ONE pass over the graph table (a src-grouped aggregate that
+    * rides the table's own src clustering) + log-sized driver metadata.
+    * All shares are floor(x·1e6) integers — deterministic, mirror-able.
+    * Monotone under churn by construction (each append/delete only adds
+    * to its numerator until consolidation clears both).
+    */
+  def knnGraphLinkStats(spark: SparkSession, indexRoot: String): DataFrame = {
+    import spark.implicits._
+    val graph = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
+    // append share — log metadata only
+    val hist = graph.history().select("version", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val metaOps = Set("set-invariants", "delete-dv", "rename-column", "drop-column")
+    val lastRebuild = hist.collect {
+      case (v, op) if op != "append" && !metaOps(op) => v }.max
+    val fileRows = graph.fileStats().select("path", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def stagedVersion(p: String): Long = {
+      val dir = p.split('/').takeRight(2).head // d<version>-<nonce>
+      dir.substring(1, dir.indexOf('-')).toLong
+    }
+    val totalRows = fileRows.map(_._2).sum
+    val appendRows = fileRows.collect {
+      case (p, n) if stagedVersion(p) > lastRebuild => n }.sum
+    val appendShare =
+      if (totalRows == 0L) 0L else appendRows * 1000000L / totalRows
+    // tombstone shares — one src-grouped pass over the adjacency
+    val del = Tombstones.read(spark, indexRoot, "vec_id")
+      .map(_.select(col("vec_id").as("__t")))
+      .getOrElse(Seq.empty[Long].toDF("__t"))
+    val g = graph.read().select("src", "dst")
+    val marked = g
+      .join(broadcast(del.select(col("__t").as("__ts"))),
+        col("src") === col("__ts"), "left")
+      .join(broadcast(del.select(col("__t").as("__td"))),
+        col("dst") === col("__td"), "left")
+      .select(col("src"), col("__ts").isNotNull.as("s_t"),
+        col("__td").isNotNull.as("d_t"))
+    val perSrc = marked.groupBy("src")
+      .agg(first(col("s_t")).as("s_t"), count(lit(1)).as("deg"),
+        sum(when(col("d_t"), 1L).otherwise(0L)).as("tomb_out"))
+    perSrc.agg(
+        sum(col("deg")).as("edges"),
+        count(lit(1)).as("verts"),
+        sum(when(col("s_t"), col("deg")).otherwise(0L)).as("dead_src_edges"),
+        sum(when(!col("s_t"), col("tomb_out")).otherwise(0L)).as("live_tomb_out"),
+        sum(when(!col("s_t"), col("deg")).otherwise(0L)).as("live_deg"),
+        sum(when(!col("s_t") && col("tomb_out") * 2 >= col("deg"), 1L)
+          .otherwise(0L)).as("stale"),
+        sum(when(!col("s_t"), 1L).otherwise(0L)).as("live_verts"))
+      .select(
+        col("edges").as("n_edges"),
+        col("verts").as("n_vertices"),
+        // integral `div` (Column `/` is double division — inexact past
+        // 2^53, and shares must be integer-exact at any scale)
+        expr("(dead_src_edges * 1000000) div greatest(edges, 1)")
+          .as("tomb_out_share_1e6"),
+        expr("(live_tomb_out * 1000000) div greatest(live_deg, 1)")
+          .as("tomb_in_share_1e6"),
+        expr("(stale * 1000000) div greatest(live_verts, 1)")
+          .as("stale_vertices_1e6"),
+        lit(appendShare).as("append_edge_share_1e6"))
+  }
+
   /** Removes vectors from a committed graph index — FreshDiskANN's
     * DeleteList (Singh et al. 2021): one atomic O(deleted) tombstone
     * commit; nothing in the graph or vectors tables is read or rewritten.

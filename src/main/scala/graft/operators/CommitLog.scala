@@ -215,6 +215,18 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     finally in.close()
   }
 
+  /** The resolved per-file log stats of a committed version — the
+    * DESCRIBE DETAIL file surface: `(path, lo, hi, n, xs)` with absolute
+    * paths. Log-sized metadata (one resolution, zero data reads); what
+    * instruments like [[graft.llm.KnnGraph.knnGraphLinkStats]] derive
+    * commit-provenance shares from (a file's staging version rides in
+    * its `d<version>-<nonce>/` directory name). */
+  def fileStats(atVersion: Option[Long] = None): DataFrame = {
+    val v = atVersion.orElse(latestVersion()).getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    addsOf(v)
+  }
+
   /** Read the table AS OF `version`: exactly that commit's file list. */
   def asOf(version: Long): DataFrame = {
     val files = addsOf(version).select("path").collect().map(_.getString(0))

@@ -48,11 +48,80 @@ object TableRegistry {
     * never containing '/'. */
   def isName(s: String): Boolean = s.matches("[A-Za-z_][A-Za-z0-9_.]*")
 
+  // ----- durability (r15 verdict Next #2) ---------------------------------
+  //
+  // The in-memory map alone meant `log_register` bindings vanished with
+  // the session — the q51 usability win did not survive a restart. The
+  // fix is the repo's own medicine: when `graft.catalog.root` is
+  // configured, every registration ALSO commits to a commit-log table of
+  // bindings at `<root>/_catalog` (atomic, versioned, multi-writer-safe —
+  // the same primitive every data table uses), and session init
+  // ([[graft.GraftSession.create]]) loads the committed bindings back
+  // into memory. Unconfigured sessions keep today's memory-only behavior
+  // (a scratch session should not need a catalog directory).
+
+  private val CatalogRootConf = "graft.catalog.root"
+
+  private def catalogRoot(spark: SparkSession): Option[String] =
+    spark.conf.getOption(CatalogRootConf).filter(_.nonEmpty)
+
+  private def catalogTable(spark: SparkSession, root: String) =
+    new graft.operators.CommitTable(spark, s"$root/_catalog", "key")
+
+  /** Commits one binding to the configured catalog table (upsert by
+    * name — re-registering a name replaces its binding, exactly like the
+    * memory map). `key` is the name's 60-bit hash: the table's stats
+    * column, so a huge catalog's point lookups could file-prune. */
+  private def persist(spark: SparkSession, root: String, name: String,
+                      path: String, statsCol: String, extra: Seq[String]): Unit = {
+    import spark.implicits._
+    val row = Seq((graft.functions.Hashing.hash60(name), name, path, statsCol,
+      extra.mkString(","))).toDF("key", "name", "path", "stats_col", "extra")
+    val t = catalogTable(spark, root)
+    if (t.latestVersion().isEmpty) t.overwrite(row.coalesce(1))
+    else t.merge(row.coalesce(1), Seq("name"))
+  }
+
+  /** Loads every committed binding from the configured catalog root into
+    * the in-memory map (what [[graft.GraftSession.create]] runs at init,
+    * and what makes a FRESH session resolve names registered by an
+    * earlier one). Returns the number of bindings loaded; 0 when no root
+    * is configured or nothing was ever registered. Memory entries of the
+    * same name are overwritten — the committed catalog is the durable
+    * truth. */
+  def loadPersisted(spark: SparkSession): Int = catalogRoot(spark) match {
+    case None => 0
+    case Some(root) =>
+      val logDir = new org.apache.hadoop.fs.Path(s"$root/_catalog/_log")
+      val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(logDir)) 0
+      else {
+        val rows = catalogTable(spark, root).read()
+          .select("name", "path", "stats_col", "extra").collect()
+        rows.foreach { r =>
+          val extra = Option(r.getString(3)).filter(_.nonEmpty)
+            .map(_.split(",").toSeq).getOrElse(Nil)
+          entries.put(r.getString(0), (r.getString(1), r.getString(2), extra))
+        }
+        rows.length
+      }
+  }
+
+  /** Test/gate hook: drops the in-memory map (simulating a fresh
+    * process) WITHOUT touching any committed catalog. */
+  def clearMemory(): Unit = entries.clear()
+
   def register(name: String, path: String, statsCol: String,
                extraStatsCols: Seq[String] = Nil): Unit = {
     require(isName(name),
       s"table name must be a simple identifier (got '$name'); paths need no registration")
     entries.put(name, (path, statsCol, extraStatsCols))
+    // durable half: committed through the engine's own storage layer
+    // when a catalog root is configured (no-op otherwise)
+    SparkSession.getActiveSession.foreach { spark =>
+      catalogRoot(spark).foreach(root =>
+        persist(spark, root, name, path, statsCol, extraStatsCols))
+    }
     ()
   }
 
@@ -336,6 +405,79 @@ object LogTvfs {
     t.compactClusteredToSize(stringArg(args, used, "log_optimize_size"),
       longArg(args, used + 1, "log_optimize_size"))
     t.read().queryExecution.analyzed
+  }
+
+  /** `log_delete_dv(path, stats_col | name, lo, hi)` — DELETE as a
+    * DELETION-VECTOR commit ([[CommitTable.deleteRangeDV]]): O(deleted)
+    * sidecar bytes, zero data-file rewrites; reads anti-join the vector
+    * until an OPTIMIZE statement materializes it. The SQL half of f27:
+    * without it, the cheap delete is Scala-only while `log_delete` pays
+    * the CoW rewrite. Returns the post-delete head content. */
+  def deleteDv(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_delete_dv")
+    require(args.length == used + 2,
+      "log_delete_dv takes (path, stats_col | name) + (lo, hi)")
+    t.deleteRangeDV(longArg(args, used, "log_delete_dv"),
+      longArg(args, used + 1, "log_delete_dv"))
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_rename_column(path, stats_col | name, old, new)` — ALTER TABLE
+    * RENAME COLUMN as a metadata-only statement
+    * ([[CommitTable.renameColumn]]): zero data rewritten, old versions
+    * keep old names. Returns the renamed head content. */
+  def renameColumn(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_rename_column")
+    require(args.length == used + 2,
+      "log_rename_column takes (path, stats_col | name) + (old, new)")
+    t.renameColumn(stringArg(args, used, "log_rename_column"),
+      stringArg(args, used + 1, "log_rename_column"))
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_drop_column(path, stats_col | name, col)` — ALTER TABLE DROP
+    * COLUMN as a metadata-only statement ([[CommitTable.dropColumn]]):
+    * the physical slot retires; old versions keep reading it. Returns
+    * the post-drop head content. */
+  def dropColumn(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_drop_column")
+    require(args.length == used + 1,
+      "log_drop_column takes (path, stats_col | name) + (col)")
+    t.dropColumn(stringArg(args, used, "log_drop_column"))
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_set_invariants(path, stats_col | name, schema_ddl,
+    * not_null_csv[, check_name, check_expr]...)` — the ALTER TABLE ADD
+    * CONSTRAINT surface ([[CommitTable.setInvariants]]): declares
+    * schema-on-write + NOT NULL + named CHECK rules every writer then
+    * enforces; existing content is validated first (a violating
+    * declaration fails the statement and commits nothing). Returns the
+    * head content (unchanged — the declaration is metadata-only). */
+  def setInvariantsTvf(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_set_invariants")
+    require(args.length >= used + 2 && (args.length - used) % 2 == 0,
+      "log_set_invariants takes (path, stats_col | name) + (schema_ddl, not_null_csv[, check_name, check_expr]...)")
+    val ddl = stringArg(args, used, "log_set_invariants")
+    val notNull = stringArg(args, used + 1, "log_set_invariants")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val checks = ((used + 2) until args.length by 2).map(i =>
+      (stringArg(args, i, "log_set_invariants"),
+        stringArg(args, i + 1, "log_set_invariants")))
+    t.setInvariants(ddl, checks, notNull)
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_detail(path, stats_col | name[, version])` — DESCRIBE DETAIL's
+    * file surface ([[CommitTable.fileStats]]): one row per active file
+    * `(path, lo, hi, n, xs)`, resolved from the log (zero data reads).
+    * What a SQL user inspects before choosing an OPTIMIZE target. */
+  def detail(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_detail")
+    require(args.length == used || args.length == used + 1,
+      "log_detail takes (path, stats_col | name) + optional (version)")
+    val v = if (args.length == used + 1) Some(longArg(args, used, "log_detail")) else None
+    t.fileStats(v).queryExecution.analyzed
   }
 
   /** `log_vacuum_retain(path, stats_col | name, horizon_ms)` — time-based

@@ -423,4 +423,44 @@ class KnnGraphSpec extends SparkSpec {
     assert(rows.length === 2 && rows.forall(r => ids(r.getLong(1))),
       "search over sparse ids must return k existing neighbors")
   }
+
+  test("link-health stats move monotonically under churn and clear on consolidation (s40)") {
+    val vecs = clustered(120, dim = 16, seed = 11)
+    val root = java.nio.file.Files.createTempDirectory("graft-knn-health").toString
+    val idx = s"$root/idx"
+    KnnGraph.buildKnnGraphIndex(embDF(vecs.filter(_._1 >= 20)), idx, k = 4, rounds = 2)
+    def snap(): (Long, Long, Long, Long, Long, Long) = {
+      val r = KnnGraph.knnGraphLinkStats(spark, idx).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    val fresh = snap()
+    assert(fresh._3 === 0L && fresh._4 === 0L && fresh._5 === 0L && fresh._6 === 0L,
+      s"a fresh build must read clean, got $fresh")
+
+    // append: append-edge share rises (log metadata), tombstones stay 0
+    KnnGraph.appendKnnGraphIndex(embDF(vecs.filter(_._1 < 20)), idx, linkK = 4)
+    val appended = snap()
+    assert(appended._6 > 0L && appended._4 === 0L,
+      s"append must raise ONLY the append share, got $appended")
+    assert(appended._1 > fresh._1, "append adds edges")
+
+    // deletes: tombstone shares rise STRICTLY with each batch
+    def del(lo: Long, hi: Long) = KnnGraph.deleteFromKnnGraphIndex(
+      embDF(vecs).filter(col("vec_id") >= lo && col("vec_id") < hi).select("vec_id"), idx)
+    del(40L, 60L)
+    val d1 = snap()
+    assert(d1._3 > 0L && d1._4 > 0L, s"first delete must register, got $d1")
+    assert(d1._6 === appended._6, "tombstoning is O(deleted) — no file churn, append share fixed")
+    del(60L, 80L)
+    val d2 = snap()
+    assert(d2._3 > d1._3 && d2._4 > d1._4,
+      s"the instrument must be MONOTONE under churn: $d1 -> $d2")
+    assert(d2._5 >= d1._5, "stale-vertex share never decreases under deletes")
+
+    // consolidation clears every counter (the rebuild trigger resets)
+    KnnGraph.consolidateKnnGraphIndex(spark, idx, patchK = 4)
+    val healed = snap()
+    assert(healed._3 === 0L && healed._4 === 0L && healed._5 === 0L && healed._6 === 0L,
+      s"consolidation must clear the instrument, got $healed")
+  }
 }
