@@ -1054,7 +1054,24 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       }
       .map(_.getPath.getName)
     doomed.foreach(d => fs.delete(new Path(path, d), true))
-    doomed.length.toLong
+    // deletion-vector sidecar retention rides the same pass: a `_dv`
+    // snapshot version is garbage once NO kept main version stamps it
+    // (each DV commit writes a fresh snapshot, so old/orphaned sidecar
+    // versions accumulate until exactly this reclaim). The sidecar's own
+    // head stays by the vacuum contract; reclaimed versions were only
+    // reachable through main versions this vacuum just expired.
+    val dvReclaimed =
+      if (!fs.exists(new Path(s"$path/_dv/_log"))) 0L
+      else {
+        val dvT = dvTable
+        dvT.latestVersion() match {
+          case None => 0L
+          case Some(dvHead) =>
+            val stamped = keep.flatMap(dvVersionAt).toSet + dvHead
+            dvT.vacuumKeeping(stamped, retainMillis)
+        }
+      }
+    doomed.length.toLong + dvReclaimed
   }
 
   /** MERGE a change-set into the LATEST version and commit the result as a

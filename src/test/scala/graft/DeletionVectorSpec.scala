@@ -142,4 +142,37 @@ class DeletionVectorSpec extends SparkSpec {
     assert(keys(t.read()) === Set(1L, 3L, 4L, 5L, 6L),
       "orphaned sidecar content must never leak into the live vector")
   }
+
+  test("vacuum reclaims sidecar snapshots no kept main version stamps") {
+    val dir = Files.createTempDirectory("graft-dv-vac").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 10L).map(i => i -> i): _*))  // v0
+    t.deleteRangeDV(1L, 1L)                            // v1 -> dv snapshot 0
+    t.deleteRangeDV(2L, 2L)                            // v2 -> dv snapshot 1
+    t.deleteRangeDV(3L, 3L)                            // v3 -> dv snapshot 2
+    def dvDirs() = new java.io.File(s"$dir/_dv").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("d"))
+    assert(dvDirs() === 3)
+    // keep the last two main versions: only their stamped snapshots (1, 2)
+    // and the sidecar head survive
+    val reclaimed = t.vacuum(keepLast = 2)
+    assert(reclaimed >= 1L, "the unstamped sidecar snapshot must be reclaimed")
+    assert(dvDirs() === 2)
+    // the kept versions still read exactly through their vectors
+    assert(keys(t.asOf(2L)) === (3L to 10L).toSet)
+    assert(keys(t.read()) === (4L to 10L).toSet)
+  }
+
+  test("idempotent appends enforce declared invariants (streaming-sink write path)") {
+    val dir = Files.createTempDirectory("graft-dv-idem").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> 1L))
+    t.setInvariants("k BIGINT, v BIGINT", checks = Seq("v_pos" -> "v > 0"))
+    assert(t.appendIdempotent(kv(2L -> 2L), "app", 1L).isDefined)
+    intercept[graft.operators.InvariantViolationException](
+      t.appendIdempotent(kv(3L -> -3L), "app", 2L))
+    // the failed txn did NOT record its marker: the retry with clean data lands
+    assert(t.appendIdempotent(kv(3L -> 3L), "app", 2L).isDefined)
+    assert(keys(t.read()) === Set(1L, 2L, 3L))
+  }
 }
