@@ -102,6 +102,7 @@ object GraftSession {
           // round-16 metadata planes, SQL-complete (the q43 discipline:
           // every Scala table op gets its statement form)
           "log_delete_dv" -> graft.plans.LogTvfs.deleteDv,
+          "log_delete_where_dv" -> graft.plans.LogTvfs.deleteWhereDv,
           "log_rename_column" -> graft.plans.LogTvfs.renameColumn,
           "log_drop_column" -> graft.plans.LogTvfs.dropColumn,
           "log_set_invariants" -> graft.plans.LogTvfs.setInvariantsTvf,

@@ -627,29 +627,7 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       .filter(k.isNotNull && k >= lo && k <= hi)
       .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
         col("_metadata.row_index").as("pos"))
-    val dvT = dvTable
-    val content = stamped match {
-      case Some(v) => dvT.asOf(v).select("file", "pos").unionByName(newPos)
-      case None => newPos
-    }
-    val nDeleted = newPos.count()
-    if (nDeleted == 0L) return base // provable no-op commits nothing
-    val dvv = dvT.overwrite(content.coalesce(1))
-    val (nf, nr) = activeTotals(base)
-    val version = nextVersion()
-    if (version != base + 1)
-      throw new java.util.ConcurrentModificationException(
-        s"table $path moved from version $base since the DV delete was computed")
-    if (version % checkpointEvery == 0)
-      publish(version, "delete-dv", collectAdds(base), removes = Nil,
-        delta = false, counters = (nf, nr - nDeleted),
-        inv = invariantsAt(base).map(CommitTable.encodeInv), dv = Some(dvv),
-        cmap = cmapAt(base).map(CommitTable.encodeCmap))
-    else
-      publish(version, "delete-dv", Nil, removes = Nil, delta = true,
-        counters = (nf, nr - nDeleted),
-        inv = invariantsAt(base).map(CommitTable.encodeInv), dv = Some(dvv),
-        cmap = cmapAt(base).map(CommitTable.encodeCmap))
+    commitDvSnapshot(base, stamped, cmapAt(base), newPos)
   }
 
   // ----- column mapping (f28) ---------------------------------------------
@@ -677,7 +655,7 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     latestVersion().flatMap(v => CommitTable.decodeCmap(headerLine(v))).map(_.cols)
 
   private def cmapAt(version: Long): Option[ColumnMap] =
-    CommitTable.decodeCmap(headerLine(version))
+    cmapCache.computeIfAbsent(version, v => CommitTable.decodeCmap(headerLine(v)))
 
   /** Projects a physically-named scan to `version`'s logical surface.
     * Map entries whose physical column is absent from the scan (a column
@@ -783,6 +761,75 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     else
       publish(version, op, Nil, removes = Nil, delta = true,
         counters = (nf, nr), inv = invJson, dv = dvVersionAt(head), cmap = cmapJson)
+  }
+
+  /** `DELETE WHERE <predicate>` as a deletion-vector commit — the
+    * arbitrary-predicate form of [[deleteRangeDV]] (Delta's DELETE takes
+    * any row predicate): one scan of the head finds matching positions
+    * (an arbitrary predicate cannot stats-prune — the same scan Delta
+    * pays), the commit is still O(deleted) sidecar bytes with zero
+    * data-file rewrites. The predicate evaluates over the LOGICAL
+    * surface (post column-map); NULL evaluations match nothing (SQL
+    * DELETE semantics). Same orphan-safe stamping and single-winner
+    * conflict rules as the range form.
+    */
+  def deleteWhereDV(predicateSql: String): Long = {
+    val base = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val stamped = dvVersionAt(base)
+    val files = addsOf(base).select("path").collect().map(_.getString(0))
+    if (files.isEmpty) return base
+    val cm = cmapAt(base)
+    val scan = applyDv(
+      spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*),
+      stamped)
+    // position columns ride BESIDE the logical projection (applyCmap
+    // would drop them): project the map's entries explicitly, keep
+    // file/pos, then evaluate the predicate on the logical names
+    // collision-proof internal names (a table may own columns named
+    // `file`/`pos`); renamed to the sidecar schema at the very end
+    val posCols = Seq(
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("__dvf"),
+      col("_metadata.row_index").as("__dvp"))
+    val logical = cm match {
+      case None => scan.select(posCols ++ scan.columns.map(c => col(c)): _*)
+      case Some(m) =>
+        val have = scan.columns.toSet
+        scan.select(posCols ++ m.cols.collect {
+          case (l, p) if have.contains(p) => col(p).as(l) }: _*)
+    }
+    val newPos = logical.filter(expr(predicateSql))
+      .select(col("__dvf").as("file"), col("__dvp").as("pos"))
+    commitDvSnapshot(base, stamped, cm, newPos)
+  }
+
+  /** Shared tail of the DV DELETE forms: snapshot stamped ∪ new into the
+    * sidecar, publish the metadata-only main commit stamping it. */
+  private def commitDvSnapshot(base: Long, stamped: Option[Long],
+                               cm: Option[ColumnMap], newPos: DataFrame): Long = {
+    val nDeleted = newPos.count()
+    if (nDeleted == 0L) return base // provable no-op commits nothing
+    val dvT = dvTable
+    val content = stamped match {
+      case Some(v) => dvT.asOf(v).select("file", "pos").unionByName(newPos)
+      case None => newPos
+    }
+    val dvv = dvT.overwrite(content.coalesce(1))
+    val (nf, nr) = activeTotals(base)
+    val version = nextVersion()
+    if (version != base + 1)
+      throw new java.util.ConcurrentModificationException(
+        s"table $path moved from version $base since the DV delete was computed")
+    if (version % checkpointEvery == 0)
+      publish(version, "delete-dv", collectAdds(base), removes = Nil,
+        delta = false, counters = (nf, nr - nDeleted),
+        inv = invariantsAt(base).map(CommitTable.encodeInv), dv = Some(dvv),
+        cmap = cm.map(CommitTable.encodeCmap))
+    else
+      publish(version, "delete-dv", Nil, removes = Nil, delta = true,
+        counters = (nf, nr - nDeleted),
+        inv = invariantsAt(base).map(CommitTable.encodeInv), dv = Some(dvv),
+        cmap = cm.map(CommitTable.encodeCmap))
   }
 
   private def emptyLike(): DataFrame = {
@@ -1273,7 +1320,15 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     * every commit since the [[setInvariants]] that introduced it); None
     * for undeclared tables. One cached header read. */
   def invariantsAt(version: Long): Option[TableInvariants] =
-    CommitTable.decodeInv(headerLine(version))
+    invCache.computeIfAbsent(version, v => CommitTable.decodeInv(headerLine(v)))
+
+  // headers are immutable, so decoded declarations/maps cache forever —
+  // the headerLine discipline applied to the Jackson parse itself (asOf
+  // resolves these per read; commit-heavy loops do it per commit)
+  private val invCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[TableInvariants]]()
+  private val cmapCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[ColumnMap]]()
 
   /** The declaration in force at the head. */
   def invariants(): Option[TableInvariants] =
@@ -1886,6 +1941,11 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
 
 object CommitTable {
 
+  /** Shared Jackson mapper for header-borne metadata (thread-safe for
+    * read/write use after construction; building one per decode showed
+    * up as per-read overhead on commit-heavy loops). */
+  private val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** The log protocol this build reads AND writes (stamped into every
     * commit header; absent = 1). Bump when an action is added that older
     * resolution logic would silently mis-read — see `checkProtocol`. */
@@ -1917,7 +1977,7 @@ object CommitTable {
   /** Header-borne column map ↔ nested-JSON (`cmap` field): ordered
     * logical→physical entries + retired physical slots. */
   private[operators] def encodeCmap(cm: ColumnMap): String = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = Mapper
     val root = m.createObjectNode()
     val cs = root.putArray("m")
     cm.cols.foreach { case (l, p) =>
@@ -1928,7 +1988,7 @@ object CommitTable {
   }
 
   private[operators] def decodeCmap(headerLine: String): Option[ColumnMap] = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = Mapper
     val head = m.readTree(headerLine)
     if (!head.hasNonNull("cmap")) None
     else {
@@ -1945,7 +2005,7 @@ object CommitTable {
     * header is one JSON object; the declaration is a JSON document
     * carried as an escaped string field `inv`, Jackson both ways). */
   private[operators] def encodeInv(iv: TableInvariants): String = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = Mapper
     val root = m.createObjectNode()
     root.put("schema", iv.schemaDdl)
     val cs = root.putArray("checks")
@@ -1957,7 +2017,7 @@ object CommitTable {
   }
 
   private[operators] def decodeInv(headerLine: String): Option[TableInvariants] = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = Mapper
     val head = m.readTree(headerLine)
     if (!head.hasNonNull("inv")) None
     else {
@@ -1973,7 +2033,7 @@ object CommitTable {
 
   private[operators] def driverFold(
       entries: Seq[String]): Seq[(String, Long, Long, Long, String)] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mapper = Mapper
     val active = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, Long, Long, Long, String)]
     for (text <- entries; line <- text.split("\n") if line.nonEmpty) {

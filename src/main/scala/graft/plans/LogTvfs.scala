@@ -422,6 +422,20 @@ object LogTvfs {
     t.read().queryExecution.analyzed
   }
 
+  /** `log_delete_where_dv(path, stats_col | name, predicate_sql)` — the
+    * arbitrary-predicate DELETE as a deletion-vector commit
+    * ([[CommitTable.deleteWhereDV]]): one scan finds matching positions
+    * (any-predicate deletes cannot stats-prune — the same scan Delta
+    * pays), the commit is O(deleted) with zero rewrites. Returns the
+    * post-delete head content. */
+  def deleteWhereDv(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_delete_where_dv")
+    require(args.length == used + 1,
+      "log_delete_where_dv takes (path, stats_col | name) + (predicate_sql)")
+    t.deleteWhereDV(stringArg(args, used, "log_delete_where_dv"))
+    t.read().queryExecution.analyzed
+  }
+
   /** `log_rename_column(path, stats_col | name, old, new)` — ALTER TABLE
     * RENAME COLUMN as a metadata-only statement
     * ([[CommitTable.renameColumn]]): zero data rewritten, old versions

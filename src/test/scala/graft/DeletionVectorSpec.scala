@@ -175,4 +175,31 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.appendIdempotent(kv(3L -> 3L), "app", 2L).isDefined)
     assert(keys(t.read()) === Set(1L, 2L, 3L))
   }
+
+  test("predicate-form DV delete: arbitrary predicate over the logical surface, O(deleted) commit, SQL statement form") {
+    val dir = Files.createTempDirectory("graft-dv-where").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 12L).map(i => i -> i * 10L): _*).repartition(3))
+    val files0 = t.read().inputFiles.toSet
+    // predicate touches the NON-key column — no stats cut possible, and
+    // exactly what deleteRangeDV cannot express
+    t.deleteWhereDV("v % 30 = 0")
+    assert(t.read().inputFiles.toSet.filterNot(_.contains("/_dv/")) === files0,
+      "a predicate DV delete must rewrite nothing")
+    assert(keys(t.read()) === Set(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L))
+    // composes with an existing vector and with a RENAMED surface
+    t.renameColumn("v", "amount")
+    t.deleteWhereDV("amount = 10")
+    assert(keys(t.read()) === Set(2L, 4L, 5L, 7L, 8L, 10L, 11L))
+    // no-op predicate commits nothing
+    val head = t.latestVersion().get
+    assert(t.deleteWhereDV("amount < 0") === head)
+    // the SQL statement form over a registered name
+    graft.plans.TableRegistry.register("dv_where_spec", dir, "k")
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM log_delete_where_dv('dv_where_spec', 'k >= 10')")
+      .head().getLong(0)
+    assert(n === 5L)
+    assert(keys(t.read()) === Set(2L, 4L, 5L, 7L, 8L))
+  }
 }
