@@ -84,4 +84,60 @@ object CommitLogProps extends Properties("CommitLog") {
         else scala.util.Try(t.asOf(i.toLong).collect()).isFailure
       }
     }
+
+  // DV deletes vs a driver-side set model: over ANY sequence of range /
+  // predicate DV deletes (overlapping, repeated, empty) interleaved with
+  // an OPTIMIZE, every read — head, asOf of every version, prunedRead —
+  // equals the model's surviving keys, and data files never rewrite
+  // outside the OPTIMIZE.
+  private val genDvOps: Gen[List[(Int, Long, Long)]] = for {
+    n <- Gen.choose(0, 6)
+    ops <- Gen.listOfN(n, for {
+      kind <- Gen.oneOf(0, 0, 1, 2) // 0 = range DV, 1 = predicate DV, 2 = optimize
+      lo <- Gen.choose(1L, 30L)
+      w <- Gen.choose(0L, 10L)
+    } yield (kind, lo, lo + w))
+  } yield ops
+
+  property("deletion vectors match the set model at every version; files rewrite only on OPTIMIZE") =
+    Prop.forAll(genDvOps) { ops =>
+      val sp = spark
+      import sp.implicits._
+      val dir = Files.createTempDirectory("graft-prop-dv").toString
+      val t = new CommitTable(sp, dir, "k")
+      val all = (1L to 30L).map(i => (i, i * 7L))
+      t.overwrite(all.toDF("k", "v").repartition(3))
+      var live = all.map(_._1).toSet
+      var filesAtLastRewrite = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+      val perVersion = scala.collection.mutable.Map(0L -> live)
+      var ok = true
+      ops.foreach { case (kind, lo, hi) =>
+        val before = t.latestVersion().get
+        kind match {
+          case 0 =>
+            t.deleteRangeDV(lo, hi)
+            live = live.filterNot(k => k >= lo && k <= hi)
+          case 1 =>
+            t.deleteWhereDV(s"v >= ${lo * 7} AND v <= ${hi * 7}")
+            live = live.filterNot(k => k * 7 >= lo * 7 && k * 7 <= hi * 7)
+          case 2 =>
+            t.compactClustered("k", 2)
+            live = live // content-preserving
+        }
+        val after = t.latestVersion().get
+        perVersion(after) = live
+        val files = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+        if (kind == 2) filesAtLastRewrite = files
+        else if (after != before) // a committed DV delete must not touch data files
+          ok &&= files == filesAtLastRewrite
+        ok &&= t.read().select("k").collect().map(_.getLong(0)).toSet == live
+        ok &&= t.prunedRead(1L, 30L).select("k").collect().map(_.getLong(0)).toSet == live
+      }
+      // every recorded version still reads its own snapshot (time travel
+      // through arbitrary DV histories)
+      perVersion.foreach { case (v, expect) =>
+        ok &&= t.asOf(v).select("k").collect().map(_.getLong(0)).toSet == expect
+      }
+      ok
+    }
 }
