@@ -140,4 +140,65 @@ object CommitLogProps extends Properties("CommitLog") {
       }
       ok
     }
+
+  // Column mapping vs a driver-side surface model: over ANY sequence of
+  // renames, drops, appends (with fresh columns), and compactions, the
+  // head's columns equal the model surface, every value projects through
+  // correctly (spot-checked via a stable key aggregate), and every
+  // recorded version still reads under ITS OWN historical names.
+  private val genCmapOps: Gen[List[Int]] =
+    Gen.choose(0, 7).flatMap(n => Gen.listOfN(n, Gen.oneOf(0, 1, 2, 3)))
+
+  property("column mapping matches the surface model at every version over random histories") =
+    Prop.forAll(genCmapOps) { ops =>
+      val sp = spark
+      import sp.implicits._
+      val dir = Files.createTempDirectory("graft-prop-cmap").toString
+      val t = new CommitTable(sp, dir, "k")
+      t.overwrite((1L to 10L).map(i => (i, i * 3L)).toDF("k", "c0"))
+      // model: ordered logical surface + retired physicals + next ids
+      var surface = Vector("k", "c0")
+      var renamed = 0
+      var added = 0
+      var nextKey = 11L
+      val perVersion = scala.collection.mutable.Map(0L -> surface)
+      var ok = true
+      ops.foreach { op =>
+        op match {
+          case 0 => // rename a non-key column if any
+            surface.find(_ != "k") match {
+              case Some(c) =>
+                renamed += 1
+                val nn = s"r$renamed"
+                t.renameColumn(c, nn)
+                surface = surface.map(x => if (x == c) nn else x)
+              case None => ()
+            }
+          case 1 => // drop a non-key column if any
+            surface.find(_ != "k") match {
+              case Some(c) =>
+                t.dropColumn(c)
+                surface = surface.filterNot(_ == c)
+              case None => ()
+            }
+          case 2 => // append a row batch carrying a FRESH column
+            added += 1
+            val nn = s"a$added"
+            val batch = Seq((nextKey, 99L)).toDF("k", nn)
+            nextKey += 1
+            t.append(batch)
+            surface = surface :+ nn
+          case 3 => t.compact(1)
+        }
+        perVersion(t.latestVersion().get) = surface
+        ok &&= t.read().columns.toSeq == surface.toSeq
+      }
+      // historical surfaces hold verbatim
+      perVersion.foreach { case (v, expect) =>
+        ok &&= t.asOf(v).columns.toSeq == expect.toSeq
+      }
+      // the physical truth never drifted: the key aggregate is invariant
+      val expectKeys = (1L until nextKey).sum
+      ok && t.read().agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) == expectKeys
+    }
 }
