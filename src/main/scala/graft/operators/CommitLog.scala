@@ -127,13 +127,21 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       .readLine()).getOrElse("")
     finally in.close()
     val p = """"proto": (\d+)""".r.findFirstMatchIn(h).map(_.group(1).toLong).getOrElse(1L)
-    require(p <= CommitTable.SupportedProtocol,
+    require(p <= supportedProtocol,
       s"version $version at $path was written with log protocol $p; this reader " +
-        s"supports <= ${CommitTable.SupportedProtocol} — upgrade the library, do not " +
+        s"supports <= $supportedProtocol — upgrade the library, do not " +
         "bypass (newer actions may change how the file list resolves)")
     headerCache.put(version, h)
     h
   }
+
+  /** The highest log protocol THIS reader instance understands — the
+    * value [[headerLine]]'s guard enforces. Production readers take the
+    * build's [[CommitTable.SupportedProtocol]]; overridable so a spec can
+    * impersonate an OLD reader deterministically and prove that a
+    * feature-stamped version fails loudly instead of silently dropping
+    * the stamp (returning deleted rows / physical column names). */
+  protected def supportedProtocol: Long = CommitTable.SupportedProtocol
 
   /** Whether `version`'s entry is a DELTA against its predecessor (absent
     * marker = snapshot-complete, which also covers pre-checkpoint logs). */
@@ -184,12 +192,25 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // base itself is only probed when the walk reached it through
     // isDeltaEntry — cover the v0-base case explicitly (cached, free)
     checkProtocol(base)
-    if (base == version)
-      spark.read.schema(actionSchema).json(f.toString)
-        .filter(col("type") === "add")
-        .select(absPath(col("path")).as("path"),
-          col("lo"), col("hi"), col("n"), col("xs"))
-    else {
+    if (base == version) {
+      // snapshot-complete entries under the driver-fold byte cap parse on
+      // the driver like delta windows do — resolution is log-metadata
+      // work, and skipping the cluster job here removes a per-call
+      // constant from EVERY asOf/pruned read on small-log tables (the
+      // commit-heavy index/streaming loops); big snapshots keep the
+      // distributed read
+      if (fs.getFileStatus(f).getLen <= CommitTable.DriverFoldBytes) {
+        val recs = CommitTable.driverFold(Seq(readFully(f)))
+        import spark.implicits._
+        recs.toDF("path", "lo", "hi", "n", "xs")
+          .select(absPath(col("path")).as("path"),
+            col("lo"), col("hi"), col("n"), col("xs"))
+      } else
+        spark.read.schema(actionSchema).json(f.toString)
+          .filter(col("type") === "add")
+          .select(absPath(col("path")).as("path"),
+            col("lo"), col("hi"), col("n"), col("xs"))
+    } else {
       val window = (base to version).map(logFile)
       val bytes = window.map(p => fs.getFileStatus(p).getLen).sum
       if (bytes <= CommitTable.DriverFoldBytes) {
@@ -255,6 +276,16 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   def history(): DataFrame = {
     val vs = versions()
     if (vs.isEmpty) throw new IllegalStateException(s"no commits at $path")
+    // logs under the driver-fold byte cap parse on the driver (the
+    // addsOf discipline): history is log-metadata work, and instruments
+    // that snapshot it repeatedly (link-health, OPTIMIZE scheduling)
+    // shouldn't pay a cluster job per probe on a small log
+    val bytes = vs.map(v => fs.getFileStatus(logFile(v)).getLen).sum
+    if (bytes <= CommitTable.DriverFoldBytes) {
+      import spark.implicits._
+      return CommitTable.driverHistory(vs.map(v => readFully(logFile(v))))
+        .toDF("version", "ts", "op", "n_files", "n_rows")
+    }
     val acts = spark.read.schema(actionSchema)
       .json(vs.map(v => logFile(v).toString): _*)
     val heads = acts.filter(col("type") === "commit")
@@ -319,7 +350,10 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val files = addsOf(v)
       .filter(col("hi") >= lo && col("lo") <= hi)
       .select("path").collect().map(_.getString(0))
-    if (files.isEmpty) emptyLike()
+    // the all-files-pruned branch projects to the SAME logical surface
+    // as the non-empty one (post-rename, an un-mapped empty result would
+    // expose old physical/dropped names and break unions on the new name)
+    if (files.isEmpty) applyCmap(emptyLike(), cmapAt(v))
     // mergeSchema for the same reason as [[asOf]]: the selected file list
     // may span schema-evolved commits, and without it Spark samples one
     // footer and can silently drop a later-added column (r13 advice)
@@ -346,7 +380,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // second cut: per-file Bloom filters (when built — [[buildBloom]])
     // prove point ABSENCE inside files whose stats window covers a probe
     val files = bloomPrune(statFiles, pts)
-    if (files.isEmpty) emptyLike()
+    // empty branch projects through the column map like [[prunedRead]]
+    if (files.isEmpty) applyCmap(emptyLike(), cmapAt(v))
     // mergeSchema: see [[prunedRead]] — schema-evolved file lists
     else applyCmap(applyDv(
       spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*),
@@ -377,7 +412,8 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
         case _ => Some(r.getString(0)) // intersecting, or no stats → must read
       }
     }
-    if (files.isEmpty) emptyLike()
+    // empty branch projects through the column map like [[prunedRead]]
+    if (files.isEmpty) applyCmap(emptyLike(), cmapAt(v))
     else applyCmap(applyDv(
         spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*),
         dvVersionAt(v))
@@ -576,11 +612,33 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   def dvVersionAt(version: Long): Option[Long] =
     """"dvv": (\d+)""".r.findFirstMatchIn(headerLine(version)).map(_.group(1).toLong)
 
+  /** Rows of sidecar snapshot `dvv` whose file NAME is in `names` —
+    * the LIVE deleted-row count over a given active file set. Sidecar
+    * entries for names no longer active (a CoW rewrite replaced the
+    * file, carrying the stamp) are inert and must not count: they would
+    * overstate [[dvOutstanding]] (triggering needless OPTIMIZE runs) and
+    * understate rolled-forward `n_rows` counters. The per-file grouped
+    * collect is O(distinct files carrying deletes) — sidecar-sized,
+    * never data-sized. */
+  private def dvNetCount(dvv: Long, names: Set[String]): Long =
+    dvTable.asOf(dvv).groupBy("file").count().collect()
+      .filter(r => names.contains(r.getString(0))).map(_.getLong(1)).sum
+
   /** Outstanding deleted-row count at the head (0 = none): the
-    * OPTIMIZE-scheduling instrument. */
+    * OPTIMIZE-scheduling instrument. Counts only vector entries whose
+    * file is still ACTIVE at the head — entries made inert by CoW
+    * rewrites (the rewrite materialized their deletes under a new file
+    * name) no longer schedule compactions. */
   def dvOutstanding(): Long =
-    latestVersion().flatMap(dvVersionAt)
-      .map(v => dvTable.asOf(v).count()).getOrElse(0L)
+    latestVersion().map { head =>
+      dvVersionAt(head) match {
+        case None => 0L
+        case Some(v) =>
+          val active = addsOf(head).select("path").collect()
+            .map(r => fileName(r.getString(0))).toSet
+          dvNetCount(v, active)
+      }
+    }.getOrElse(0L)
 
   /** Anti-joins the stamped deletion vector out of a freshly-scanned
     * DataFrame (must be called on the raw scan — `_metadata` is a
@@ -832,6 +890,72 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
         cmap = cm.map(CommitTable.encodeCmap))
   }
 
+  /** `UPDATE SET setCol = setExprSql WHERE <predicate>` as a
+    * DELETION-VECTOR commit (r16 verdict Next #3 — [[updateRange]]
+    * rewrites every predicate-intersecting FILE; Delta's modern UPDATE
+    * is DV-mark the old rows + append the updated ones): one scan of the
+    * head finds the matching rows, their positions are marked in the
+    * `_dv` sidecar and the transformed rows staged as NEW files, both
+    * published in ONE atomic commit — O(changed rows) data written,
+    * ZERO existing data files rewritten. The predicate and `setExprSql`
+    * evaluate over the LOGICAL surface (post column-map); NULL predicate
+    * evaluations match nothing (SQL UPDATE semantics); the set
+    * expression casts back to the column's committed type so the schema
+    * never drifts. Declared invariants run against the staged updated
+    * rows inside the commit gate. Single-winner like every
+    * read-modify-write commit; a lost race leaves only an inert sidecar
+    * version and a cleaned staging directory. Old versions time-travel
+    * exactly; OPTIMIZE materializes the marks like any DV commit.
+    */
+  def updateWhereDV(predicateSql: String, setCol: String, setExprSql: String): Long = {
+    val base = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val stamped = dvVersionAt(base)
+    val files = addsOf(base).select("path").collect().map(_.getString(0))
+    if (files.isEmpty) return base
+    val cm = cmapAt(base)
+    val scan = applyDv(
+      spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*),
+      stamped)
+    // position columns ride BESIDE the logical projection (the
+    // [[deleteWhereDV]] shape — applyCmap would drop them)
+    val posCols = Seq(
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("__dvf"),
+      col("_metadata.row_index").as("__dvp"))
+    val logical = cm match {
+      case None => scan.select(posCols ++ scan.columns.map(c => col(c)): _*)
+      case Some(m) =>
+        val have = scan.columns.toSet
+        scan.select(posCols ++ m.cols.collect {
+          case (l, p) if have.contains(p) => col(p).as(l) }: _*)
+    }
+    require(logical.columns.contains(setCol),
+      s"updateWhereDV: column $setCol not in table schema " +
+        logical.columns.filterNot(_.startsWith("__dv")).mkString(", "))
+    val matched = logical.filter(expr(predicateSql))
+    val newPos = matched.select(col("__dvf").as("file"), col("__dvp").as("pos"))
+    val nMatched = newPos.count()
+    if (nMatched == 0L) return base // provable no-op commits nothing
+    val dvT = dvTable
+    val content = stamped match {
+      case Some(v) => dvT.asOf(v).select("file", "pos").unionByName(newPos)
+      case None => newPos
+    }
+    val dvv = dvT.overwrite(content.coalesce(1))
+    // the updated replacement rows (logical surface; commitVersion maps
+    // back to physical names for staging). Lazy re-evaluation inside the
+    // staging write is deterministic: it scans the base's file list
+    // through the base's STAMPED vector, both fixed — the sidecar head
+    // moving above plays no part.
+    val updated = matched
+      .withColumn(setCol, expr(setExprSql).cast(logical.schema(setCol).dataType))
+      .drop("__dvf", "__dvp")
+    // one atomic commit: append the updated rows, stamp the NEW sidecar
+    // version, net the marked rows out of the rolled-forward counters
+    commitVersion(updated, keepPrevious = true, op = "update-dv",
+      expectedBase = Some(base), dvOverride = Some(dvv), nrDelta = -nMatched)
+  }
+
   private def emptyLike(): DataFrame = {
     // schema from any committed file list; a table with zero commits has no
     // schema to offer
@@ -873,25 +997,16 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val dvTo = dvVersionAt(to)
     // a window whose DELETION-VECTOR stamp moved changes row content
     // inside files both versions SHARE, so the shared-file cancellation
-    // below no longer holds — the honest fallback is the full multiset
-    // diff of the two DV-applied snapshots (O(window content); DV churn
-    // windows are the rare case, and OPTIMIZE resets the stamp). Equal
-    // stamps keep the O(changed files) path: identical files carry
-    // identical vectors and still cancel exactly.
-    if (dvFrom != dvTo) {
-      val b0 = asOf(from)
-      val a0 = asOf(to)
-      val allCols = (b0.columns ++ a0.columns).distinct.toSeq
-      def pad(df: DataFrame, other: DataFrame): DataFrame =
-        allCols.foldLeft(df)((d, c) =>
-          if (d.columns.contains(c)) d
-          else d.withColumn(c, lit(null).cast(other.schema(c).dataType)))
-          .select(allCols.map(col): _*)
-      val b = pad(b0, a0)
-      val a = pad(a0, b0)
-      return a.exceptAll(b).withColumn("change_type", lit("insert"))
-        .unionByName(b.exceptAll(a).withColumn("change_type", lit("delete")))
-    }
+    // below no longer holds. But a DV commit changes NOTHING except
+    // sidecar positions — the exact changed rows are recoverable from
+    // the sidecar DELTA joined back to their files: O(deleted in the
+    // window), never O(window content). [[changesAcrossDv]] composes
+    // that position-delta with the ordinary file diff for mixed windows
+    // (r16 verdict Next #2 — the previous full-snapshot exceptAll
+    // fallback made one DV delete on a 100 TB source diff the whole
+    // table in every streamed-maintenance loop). Equal stamps keep this
+    // path: identical files carry identical vectors and cancel exactly.
+    if (dvFrom != dvTo) return changesAcrossDv(from, to, dvFrom, dvTo)
     val beforeFiles = addsOf(from).select("path").collect().map(_.getString(0)).toSet
     val afterFiles = addsOf(to).select("path").collect().map(_.getString(0)).toSet
     val beforeOnly = (beforeFiles -- afterFiles).toSeq.sorted
@@ -929,6 +1044,106 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       val a = aligned(afterOnly)
       a.exceptAll(b).withColumn("change_type", lit("insert"))
         .unionByName(b.exceptAll(a).withColumn("change_type", lit("delete")))
+    }
+  }
+
+  /** [[changesBetween]] for windows whose deletion-vector stamp MOVED —
+    * the sidecar-delta CDF (r16 verdict Next #2): instead of a full
+    * multiset diff of the two snapshots, the changed rows are composed
+    * from
+    *  - the sidecar POSITION delta restricted to files both versions
+    *    share: positions in `to`'s vector but not `from`'s are deletes,
+    *    the reverse (a RESTORE to an older stamp) are inserts — each
+    *    fetched by reading ONLY the files the delta names and
+    *    position-joining against the delta (O(deleted in window));
+    *  - the ordinary file-list diff: before-only files (read through
+    *    `from`'s vector) are delete candidates, after-only files (read
+    *    through `to`'s vector) insert candidates — exactly the
+    *    equal-stamp path's halves;
+    * then net-cancelled against each other, which reproduces the full
+    * diff's multiset semantics EXACTLY: with A' (content at `to`) =
+    * B' − d + i over the composed delete/insert multisets, the net
+    * inserts are (i − d)⁺ = i.exceptAll(d) and deletes (d − i)⁺ —
+    * O(changed rows), never O(window content). Every part is projected
+    * through the TO version's column map over the window-union physical
+    * schema, so unchanged rows cancel across a RENAME in the same
+    * window (physical identity is shared; the old fallback NULL-padded
+    * disjoint logical surfaces and reported the whole table as
+    * delete+insert — r16 advice #5).
+    */
+  private def changesAcrossDv(from: Long, to: Long, dvFrom: Option[Long],
+                              dvTo: Option[Long]): DataFrame = {
+    val cmapTo = cmapAt(to)
+    val beforeAdds = addsOf(from).select("path").collect().map(_.getString(0))
+    val afterAdds = addsOf(to).select("path").collect().map(_.getString(0))
+    val beforeFiles = beforeAdds.toSet
+    val afterFiles = afterAdds.toSet
+    val beforeOnly = (beforeFiles -- afterFiles).toSeq.sorted
+    val afterOnly = (afterFiles -- beforeFiles).toSeq.sorted
+    val sharedNames = (beforeFiles & afterFiles).map(fileName)
+    // sidecar snapshots as position sets (a missing stamp = empty set —
+    // a full rewrite reset it, or a restore predates the first vector)
+    val dvT = dvTable
+    val someV = dvFrom.orElse(dvTo).get // branch precondition: stamps differ
+    def vecOf(v: Option[Long]): DataFrame = v match {
+      case Some(x) => dvT.asOf(x).select("file", "pos")
+      case None => dvT.asOf(someV).select("file", "pos").limit(0)
+    }
+    val vb = vecOf(dvFrom)
+    val va = vecOf(dvTo)
+    val delPos = va.exceptAll(vb) // marked since `from` → deletes
+    val insPos = vb.exceptAll(va) // unmarked since `from` (restore) → inserts
+    // the delta's distinct file names (O(changed) driver list), cut to
+    // SHARED files: positions in non-shared files are inert (the file
+    // left the active list — its whole content rides the file-diff
+    // halves) or covered by the after-only read's own vector
+    val byName = afterAdds.map(p => fileName(p) -> p).toMap
+    def touchedPaths(pos: DataFrame): Seq[String] =
+      pos.select("file").distinct().collect().map(_.getString(0))
+        .filter(sharedNames).toSeq.sorted.map(byName)
+    val delTouched = touchedPaths(delPos)
+    val insTouched = touchedPaths(insPos)
+    val allRead = beforeOnly ++ afterOnly ++ (delTouched ++ insTouched).distinct
+    if (allRead.isEmpty)
+      return applyCmap(emptyLike(), cmapTo).withColumn("change_type", lit("insert"))
+    // one window-union physical schema for every part ([[changesBetween]]'s
+    // alignment discipline), then the TO version's logical projection
+    val ref = spark.read.option("mergeSchema", "true").parquet(allRead: _*).schema
+    def align(df: DataFrame): DataFrame =
+      applyCmap(ref.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(ref.fieldNames.map(col).toSeq: _*), cmapTo)
+    // rows at the delta's positions: read ONLY the named shared files,
+    // position-semi-join the sidecar delta (O(deleted)-sized build side;
+    // basenames are globally unique, so no cross-file collisions)
+    def posRows(paths: Seq[String], pos: DataFrame): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(align(
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          .withColumn("__f", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__p", col("_metadata.row_index"))
+          .join(pos.select(col("file").as("__f"), col("pos").as("__p")),
+            Seq("__f", "__p"), "left_semi")
+          .drop("__f", "__p")))
+    def fileRows(paths: Seq[String], dvv: Option[Long]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(align(applyDv(
+        spark.read.option("mergeSchema", "true").parquet(paths: _*), dvv)))
+    val deletes = Seq(posRows(delTouched, delPos), fileRows(beforeOnly, dvFrom))
+      .flatten.reduceOption(_ unionByName _)
+    val inserts = Seq(posRows(insTouched, insPos), fileRows(afterOnly, dvTo))
+      .flatten.reduceOption(_ unionByName _)
+    (deletes, inserts) match {
+      case (None, None) =>
+        applyCmap(emptyLike(), cmapTo).withColumn("change_type", lit("insert"))
+      case (Some(d), None) => d.withColumn("change_type", lit("delete"))
+      case (None, Some(i)) => i.withColumn("change_type", lit("insert"))
+      case (Some(d), Some(i)) =>
+        // net cancellation — a row deleted via the vector and re-appended
+        // in the same window nets to no change, exactly as the full diff
+        i.exceptAll(d).withColumn("change_type", lit("insert"))
+          .unionByName(d.exceptAll(i).withColumn("change_type", lit("delete")))
     }
   }
 
@@ -1679,7 +1894,9 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
                             tsMillis: Option[Long] = None,
                             carriedExplicit: Option[Seq[Rec]] = None,
                             txn: Option[(String, Long)] = None,
-                            mergeSchema: Boolean = false): Long = {
+                            mergeSchema: Boolean = false,
+                            dvOverride: Option[Long] = None,
+                            nrDelta: Long = 0L): Long = {
     // resolve the head ONCE: the carried file list derives from version-1 of
     // the version this writer attempts, so base snapshot and attempt are
     // always consistent — a commit landing in between makes the publish
@@ -1706,8 +1923,11 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // deletes — the stamp resets; appends and CoW range DML keep carried
     // files' vectors live and roll the stamp forward
     val fullRewriteEarly = !keepPrevious && carriedExplicit.isEmpty
+    // dvOverride: a DV-writing commit ([[updateWhereDV]]) stamps the
+    // sidecar version it just published instead of carrying the base's
     val dvCarry: Option[Long] =
-      if (fullRewriteEarly) None else prev.flatMap(dvVersionAt)
+      if (dvOverride.isDefined) dvOverride
+      else if (fullRewriteEarly) None else prev.flatMap(dvVersionAt)
     // column mapping (f28): df carries LOGICAL names; staging writes the
     // stable PHYSICAL names so every data file is uniform across renames.
     // New logical columns extend the map identity — unless the name
@@ -1767,12 +1987,24 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       // (rewritten adds + removed files)
       val isCkpt = version % checkpointEvery == 0
       val fullRewrite = !keepPrevious && carriedExplicit.isEmpty
+      // active-row counters: per-file rowcounts are RAW (pre-deletion-
+      // vector), so when a vector is outstanding, recomputed totals must
+      // net out its live entries — without this a checkpointed append or
+      // CoW range DML after a delete-dv commit silently resurrects the
+      // deleted rows in history().n_rows (restricting to the new active
+      // names keeps entries inert files made stale from re-subtracting)
+      def netOfDv(rawNr: Long, names: => Set[String]): Long = dvCarry match {
+        case Some(v) => rawNr - dvNetCount(v, names)
+        case None => rawNr
+      }
       if (isCkpt || fullRewrite || prev.isEmpty) {
         val carried = carriedExplicit.getOrElse(
           if (keepPrevious && prev.nonEmpty) collectAdds(prev.get) else Seq.empty)
         val adds = carried ++ stats
         publish(version, op, adds, removes = Nil, delta = false,
-          counters = (adds.length.toLong, adds.map(_._4).sum), tsMillis = tsMillis,
+          counters = (adds.length.toLong,
+            netOfDv(adds.map(_._4).sum, adds.map(a => fileName(a._1)).toSet)),
+          tsMillis = tsMillis,
           txn = txn, inv = inv, dv = dvCarry,
           cmap = cmapCarry.map(CommitTable.encodeCmap))
       } else if (carriedExplicit.isDefined) {
@@ -1781,15 +2013,20 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
         val removes = collectAdds(prev.get).map(_._1).filterNot(carriedPaths)
         publish(version, op, stats, removes, delta = true,
           counters = (carried.length.toLong + stats.length,
-            carried.map(_._4).sum + stats.map(_._4).sum), tsMillis = tsMillis,
+            netOfDv(carried.map(_._4).sum + stats.map(_._4).sum,
+              (carried ++ stats).map(a => fileName(a._1)).toSet)),
+          tsMillis = tsMillis,
           txn = txn, inv = inv, dv = dvCarry,
           cmap = cmapCarry.map(CommitTable.encodeCmap))
       } else {
         // plain append: the delta entry needs NO resolution of the previous
         // file list at all — counters roll forward from the head's header
+        // (already net of any outstanding vector); nrDelta lets a DV-
+        // writing commit ([[updateWhereDV]]) net its newly-marked rows
         val (pf, pr) = activeTotals(prev.get)
         publish(version, op, stats, removes = Nil, delta = true,
-          counters = (pf + stats.length, pr + stats.map(_._4).sum), tsMillis = tsMillis,
+          counters = (pf + stats.length, pr + stats.map(_._4).sum + nrDelta),
+          tsMillis = tsMillis,
           txn = txn, inv = inv, dv = dvCarry,
           cmap = cmapCarry.map(CommitTable.encodeCmap))
       }
@@ -1828,8 +2065,11 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val ts = math.max(tsMillis.getOrElse(System.currentTimeMillis()),
       prevTs.map(_ + 1L).getOrElse(Long.MinValue))
     val (nf, nr) = counters
+    // conditional protocol stamp: only feature-bearing commits bump, so
+    // legacy tables stay protocol 1 forever (see SupportedProtocol docs)
+    val proto = CommitTable.protocolFor(inv, dv, cmap)
     val head = s"""{"type": "commit", "version": $version, "op": ${jsonStr(op)}""" +
-      s""", "proto": ${CommitTable.SupportedProtocol}, "ts": $ts""" +
+      s""", "proto": $proto, "ts": $ts""" +
       (if (delta) """, "delta": true""" else "") +
       (if (nf >= 0) s""", "nf": $nf, "nr": $nr""" else "") +
       txn.map { case (a, v) => s""", "txnApp": ${jsonStr(a)}, "txnV": $v""" }.getOrElse("") +
@@ -1875,6 +2115,20 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     adds.foreach { case (p, _, _, _, _) =>
       require(fs.exists(resolveStored(p)),
         s"restore($toVersion) at $path: file $p was vacuumed — version no longer restorable")
+    }
+    // the restored head re-stamps toVersion's DELETION-VECTOR snapshot,
+    // so that snapshot's sidecar files must still exist too: vacuum
+    // reclaims `_dv` snapshots no KEPT main version stamps, while the
+    // data dirs can survive via sharing with kept versions — without
+    // this check the restore could commit a head whose every read then
+    // fails on missing sidecar parquet (violating the fails-loudly-
+    // before-committing contract above)
+    dvVersionAt(toVersion).foreach { dvv =>
+      val dvT = dvTable
+      dvT.addsOf(dvv).select("path").collect().map(_.getString(0)).foreach(p =>
+        require(fs.exists(new Path(p)),
+          s"restore($toVersion) at $path: deletion-vector snapshot $dvv file $p " +
+            "was vacuumed — version no longer restorable"))
     }
     // snapshot-complete by nature (it re-lists the restored state), which
     // also resets the delta-resolution chain at this version. The CURRENT
@@ -1946,10 +2200,27 @@ object CommitTable {
     * up as per-read overhead on commit-heavy loops). */
   private val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** The log protocol this build reads AND writes (stamped into every
-    * commit header; absent = 1). Bump when an action is added that older
-    * resolution logic would silently mis-read — see `checkProtocol`. */
-  private[operators] val SupportedProtocol: Long = 1L
+  /** The highest log protocol this build READS. Writes stamp the
+    * protocol CONDITIONALLY per commit ([[CommitTable.publish]]): a
+    * commit carrying none of the reader-affecting metadata planes writes
+    * protocol 1 (legacy tables never bump — any old reader keeps
+    * working), while a commit stamping a deletion vector (`dvv`), a
+    * column map (`cmap`), or a declared-invariants document (`inv`)
+    * writes protocol 2 — a protocol-1 reader resolves such a version's
+    * FILE LIST fine but silently returns deleted rows, physical column
+    * names, or unenforced writes, which is exactly the "older resolution
+    * logic would silently mis-read" case the header contract reserves
+    * the bump for (Delta classifies DVs and column mapping as
+    * reader-protocol table features for the same reason). Bump again
+    * when a new action/stamp is added that older readers would silently
+    * mis-read — see `checkProtocol`. */
+  private[operators] val SupportedProtocol: Long = 2L
+
+  /** The protocol a commit header must carry for an old reader to fail
+    * loudly: 2 iff any reader-affecting metadata plane is stamped. */
+  private[operators] def protocolFor(inv: Option[String], dv: Option[Long],
+                                     cmap: Option[String]): Long =
+    if (inv.isDefined || dv.isDefined || cmap.isDefined) 2L else 1L
 
   /** Delta windows whose log bytes fit here fold on the driver (the Delta
     * JVM-log-replay shape — zero cluster jobs for resolution); larger
@@ -2029,6 +2300,37 @@ object CommitTable {
           .map(c => (c.get("name").asText(), c.get("expr").asText())).toSeq,
         node.get("notNull").elements().asScala.map(_.asText()).toSeq))
     }
+  }
+
+  /** Driver-side [[CommitTable.history]] over raw log-entry texts (one
+    * per version): applies the same header-counter-else-add-sum
+    * semantics as the distributed read — `(version, ts, op, n_files,
+    * n_rows)`, ascending by version, `ts` None for pre-timestamp logs.
+    */
+  private[operators] def driverHistory(
+      entries: Seq[String]): Seq[(Long, Option[Long], String, Long, Long)] = {
+    val mapper = Mapper
+    entries.map { text =>
+      var version = -1L; var ts: Option[Long] = None; var op = ""
+      var nf: Option[Long] = None; var nr: Option[Long] = None
+      var aFiles = 0L; var aRows = 0L
+      for (line <- text.split("\n") if line.nonEmpty) {
+        val node = mapper.readTree(line)
+        node.get("type").asText() match {
+          case "commit" =>
+            version = node.get("version").asLong()
+            if (node.hasNonNull("ts")) ts = Some(node.get("ts").asLong())
+            op = node.get("op").asText()
+            if (node.hasNonNull("nf")) nf = Some(node.get("nf").asLong())
+            if (node.hasNonNull("nr")) nr = Some(node.get("nr").asLong())
+          case "add" =>
+            aFiles += 1L
+            aRows += node.get("n").asLong()
+          case _ => ()
+        }
+      }
+      (version, ts, op, nf.getOrElse(aFiles), nr.getOrElse(aRows))
+    }.sortBy(_._1)
   }
 
   private[operators] def driverFold(

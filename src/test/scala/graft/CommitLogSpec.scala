@@ -960,6 +960,33 @@ class CommitLogSpec extends SparkSpec {
     assert(e2.getMessage.contains("protocol 99"))
   }
 
+  test("metadata planes bump the log protocol conditionally: old readers fail loudly on stamped versions, legacy tables stay protocol 1") {
+    val dir = Files.createTempDirectory("graft-clog-proto-cond").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> "a", 2L -> "b"))   // v0: no metadata planes
+    t.append(kv(3L -> "c"))                 // v1: still none
+    // a reader from a PRE-r16 build (protocol 1) — legacy tables keep
+    // working forever, because plane-free commits never bump
+    def oldReader() = new CommitTable(spark, dir, "k") {
+      override protected def supportedProtocol: Long = 1L
+    }
+    assert(rows(oldReader().read()) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // a DV delete stamps a reader-affecting plane → protocol 2: the old
+    // reader must FAIL LOUDLY here — resolving the file list fine and
+    // ignoring the stamp would silently return the deleted row
+    t.deleteRangeDV(2L, 2L)                 // v2: dvv stamped
+    val e = intercept[IllegalArgumentException](oldReader().read().collect())
+    assert(e.getMessage.contains("protocol 2"), e.getMessage)
+    // the guard is per-version: pre-stamp versions still read
+    assert(rows(oldReader().asOf(1L)) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // the current build reads through the plane normally
+    assert(rows(t.read()) === Set(1L -> "a", 3L -> "c"))
+    // OPTIMIZE materializes the vector and carries no plane → the commit
+    // drops back to protocol 1 and old readers work again
+    t.compact(1)                            // v3
+    assert(rows(oldReader().read()) === Set(1L -> "a", 3L -> "c"))
+  }
+
   test("maintenance commits auto-retry a lost race: the retried compaction reads the NEW head") {
     val dir = Files.createTempDirectory("graft-clog-optrace").toString
     val t = new CommitTable(spark, dir, "k")

@@ -92,7 +92,7 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.dvOutstanding() === 2L)
   }
 
-  test("CDF across a DV boundary is exact (honest full-diff fallback); equal-stamp windows keep the file-diff path") {
+  test("CDF across a DV boundary is exact (sidecar-delta composition); equal-stamp windows keep the file-diff path") {
     val dir = Files.createTempDirectory("graft-dv-cdf").toString
     val t = new CommitTable(spark, dir, "k")
     t.overwrite(kv((1L to 6L).map(i => i -> i): _*).coalesce(1)) // v0
@@ -201,5 +201,151 @@ class DeletionVectorSpec extends SparkSpec {
       .head().getLong(0)
     assert(n === 5L)
     assert(keys(t.read()) === Set(2L, 4L, 5L, 7L, 8L))
+  }
+
+  test("counters stay net of the vector through checkpointed appends and CoW DML (r16 advice)") {
+    val dir = Files.createTempDirectory("graft-dv-ctr").toString
+    // checkpointEvery = 2 so the very next append after the DV delete is
+    // a snapshot-complete recompute — the branch that used to resurrect
+    // the deleted rows in history().n_rows
+    val t = new CommitTable(spark, dir, "k", checkpointEvery = 2)
+    t.overwrite(kv((1L to 10L).map(i => i -> i): _*).repartition(2)) // v0: 10
+    t.deleteRangeDV(1L, 4L)                                          // v1: 6
+    t.append(kv(11L -> 11L))                                         // v2: CHECKPOINT
+    def nRows(v: Long): Long = t.history().collect()
+      .find(_.getLong(0) == v).get.getLong(4)
+    assert(nRows(2L) === 7L,
+      "a checkpointed append after a DV delete must not resurrect deleted rows in n_rows")
+    assert(t.read().count() === nRows(2L))
+    // CoW range DML (carriedExplicit recompute) nets the vector too
+    t.deleteRange(11L, 11L)                                          // v3
+    assert(nRows(3L) === 6L)
+    assert(t.read().count() === 6L)
+    // and the vector's later deletes subtract from the NET base
+    t.deleteRangeDV(5L, 5L)                                          // v4 (checkpoint)
+    assert(nRows(4L) === 5L)
+    assert(t.read().count() === 5L)
+  }
+
+  test("dvOutstanding counts only vector entries over still-active files (r16 advice)") {
+    val dir = Files.createTempDirectory("graft-dv-inert").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 10L).map(i => i -> i): _*)
+      .repartitionByRange(2, col("k")))                  // file A ~1-5, file B ~6-10
+    t.deleteRangeDV(2L, 3L)                              // 2 marks in file A
+    t.deleteRangeDV(7L, 7L)                              // 1 mark in file B
+    assert(t.dvOutstanding() === 3L)
+    // CoW delete rewrites file A (stats intersect), carrying the stamp:
+    // file A's vector entries go INERT with the name — they must stop
+    // counting, or the instrument schedules OPTIMIZE on a clean table
+    t.deleteRange(1L, 5L)
+    assert(keys(t.read()) === Set(6L, 8L, 9L, 10L))
+    assert(t.dvOutstanding() === 1L,
+      "entries over rewritten (inert) file names must not count as outstanding")
+  }
+
+  test("CDF across a DV delete is O(deleted): reads only the sidecar and the touched files") {
+    val dir = Files.createTempDirectory("graft-dv-cdfio").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 100L).map(i => i -> i): _*)
+      .repartitionByRange(4, col("k")))                  // 4 key-clustered files
+    t.deleteWhereDV("k IN (10, 11)")                     // marks in ONE file
+    val cdf = t.changesBetween(0L, 1L)
+    assert(cdf.collect().map(r => (r.getString(2), r.getLong(0))).toSet ===
+      Set(("delete", 10L), ("delete", 11L)))
+    // the plan reads ONLY the one touched data file (plus the sidecar) —
+    // the r16 full-snapshot fallback read all four
+    val dataFiles = cdf.inputFiles.filterNot(_.contains("/_dv/")).toSet
+    assert(dataFiles.size === 1,
+      s"a DV-window CDF must read only the delta's files, got ${dataFiles.size}: $dataFiles")
+  }
+
+  test("CDF across a DV delete composed with a RENAME cancels unchanged rows; restore windows resurrect as inserts") {
+    val dir = Files.createTempDirectory("graft-dv-cdfmix").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 6L).map(i => i -> i): _*).coalesce(1)) // v0
+    t.deleteRangeDV(2L, 3L)                                      // v1
+    t.renameColumn("v", "val")                                   // v2
+    // v0 → v2 crosses BOTH the vector and the rename: the feed must be
+    // the two deleted rows under the TO surface — not the whole table as
+    // delete+insert (the r16 fallback's NULL-padding failure mode)
+    val cdf = t.changesBetween(0L, 2L)
+    assert(cdf.columns.toSet === Set("k", "val", "change_type"))
+    assert(cdf.collect().map(r => (r.getString(2), r.getLong(0))).toSet ===
+      Set(("delete", 2L), ("delete", 3L)))
+    // a RESTORE to the pre-delete stamp resurrects the rows: the sidecar
+    // delta runs in reverse and surfaces them as inserts
+    t.restore(0L)                                                // v3
+    val cdfR = t.changesBetween(1L, 3L)
+    assert(cdfR.collect().map(r => (r.getString(2), r.getLong(0))).toSet ===
+      Set(("insert", 2L), ("insert", 3L)))
+    // ...and a mixed window (DV delta + an appended file) composes
+    t.deleteRangeDV(4L, 4L)                                      // v4
+    t.append(kv(7L -> 7L).coalesce(1))                           // v5
+    val cdfM = t.changesBetween(3L, 5L)
+    assert(cdfM.collect().map(r => (r.getString(2), r.getLong(0))).toSet ===
+      Set(("delete", 4L), ("insert", 7L)))
+  }
+
+  test("updateWhereDV: mark + append in one commit — zero rewrites, equal to the CoW update, honest counters") {
+    val dir = Files.createTempDirectory("graft-dv-upd").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 10L).map(i => i -> i * 10L): _*)
+      .repartitionByRange(2, col("k")))                          // v0
+    val files0 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+    assert(t.updateWhereDV("k BETWEEN 3 AND 5", "v", "v + 1") === 1L)
+    // ZERO existing files rewritten: every base file still referenced,
+    // the changed rows arrive as NEW files only
+    val files1 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+    assert(files0.subsetOf(files1), "updateWhereDV must not rewrite base files")
+    assert((files1 -- files0).nonEmpty, "the updated rows land as new files")
+    // content equals the file-granular CoW update on a twin table
+    val dir2 = Files.createTempDirectory("graft-dv-upd2").toString
+    val t2 = new CommitTable(spark, dir2, "k")
+    t2.overwrite(kv((1L to 10L).map(i => i -> i * 10L): _*)
+      .repartitionByRange(2, col("k")))
+    t2.updateRange(3L, 5L, "v", "v + 1")
+    val got = t.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = t2.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // counters honest (the marked rows are replaced, not added)
+    val h = t.history().collect().find(_.getLong(0) == 1L).get
+    assert(h.getString(2) === "update-dv")
+    assert(h.getLong(4) === 10L)
+    // time travel: v0 keeps the pre-update values
+    assert(t.asOf(0L).filter(col("k") === 3L).select("v").head().getLong(0) === 30L)
+    // composes with the renamed surface and a later DV delete
+    t.renameColumn("v", "val")
+    t.updateWhereDV("k = 6", "val", "val * 2")
+    assert(t.read().filter(col("k") === 6L).select("val").head().getLong(0) === 120L)
+    t.deleteRangeDV(1L, 1L)
+    assert(t.read().count() === 9L)
+    // OPTIMIZE materializes marks and appended rows into a clean layout
+    t.compactClustered("k", 2)
+    assert(t.dvOutstanding() === 0L)
+    assert(t.read().count() === 9L)
+    assert(t.read().filter(col("k") === 4L).select("val").head().getLong(0) === 41L)
+    // no-op predicate commits nothing
+    val head = t.latestVersion().get
+    assert(t.updateWhereDV("k < 0", "val", "val") === head)
+  }
+
+  test("restore refuses a version whose DV sidecar snapshot was vacuumed (r16 advice)") {
+    val dir = Files.createTempDirectory("graft-dv-resvac").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 6L).map(i => i -> i): _*).coalesce(1)) // v0
+    t.deleteRangeDV(2L, 2L)                                      // v1 → dv snapshot 0
+    t.deleteRangeDV(3L, 3L)                                      // v2 → dv snapshot 1
+    // keep only the head: v1's DATA dir survives (shared with the head's
+    // file list) but its dv snapshot 0 is reclaimed — exactly the case
+    // where restore(1) would commit a head whose every read then fails
+    t.vacuum(keepLast = 1)
+    val e = intercept[IllegalArgumentException](t.restore(1L))
+    assert(e.getMessage.contains("deletion-vector"),
+      s"restore must fail loudly BEFORE committing, got: ${e.getMessage}")
+    // nothing was committed; the table stays healthy and restorable
+    assert(keys(t.read()) === Set(1L, 4L, 5L, 6L))
+    t.restore(2L)
+    assert(keys(t.read()) === Set(1L, 4L, 5L, 6L))
   }
 }
