@@ -103,6 +103,8 @@ object GraftSession {
           // every Scala table op gets its statement form)
           "log_delete_dv" -> graft.plans.LogTvfs.deleteDv,
           "log_delete_where_dv" -> graft.plans.LogTvfs.deleteWhereDv,
+          // round-17: the DV-backed UPDATE (mark + append, one commit)
+          "log_update_where_dv" -> graft.plans.LogTvfs.updateWhereDv,
           "log_rename_column" -> graft.plans.LogTvfs.renameColumn,
           "log_drop_column" -> graft.plans.LogTvfs.dropColumn,
           "log_set_invariants" -> graft.plans.LogTvfs.setInvariantsTvf,
@@ -117,6 +119,7 @@ object GraftSession {
           // named catalog over paths: register once, then every log/index
           // TVF accepts the NAME instead of (path, stats_col)
           "log_register" -> graft.plans.LogTvfs.register,
+          "log_unregister" -> graft.plans.LogTvfs.unregister,
           "graph_ann" -> graft.plans.IndexTvfs.graphAnn,
           "bm25_topk" -> graft.plans.IndexTvfs.bm25TopK,
           // ...including VERSION AS OF (whole-index time travel through
