@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro source/sink over the CORE Avro container-file API (r16 verdict
+  * Next #6 — CSV/JSONL/ORC/text/matrix were covered in
+  * [[TableFormats]]; Avro is the remaining commodity interchange format
+  * real ingest pipelines hand you, and this build ships the `avro` core
+  * jars without the `spark-avro` connector, so the format is bound here
+  * directly through public `org.apache.avro` classes).
+  *
+  * Shape:
+  *  - WRITE: one Avro OBJECT CONTAINER FILE per input partition, written
+  *    inside the task (temp-name + rename, so a killed task never leaves
+  *    a half-visible part file), snappy-block-compressed. The Spark→Avro
+  *    schema mapping is explicit and validated up front — an unsupported
+  *    column type fails the WRITE with the column name, never a task.
+  *  - READ: the schema comes from the FIRST file's embedded header (one
+  *    driver read — Avro files are self-describing), then every file is
+  *    decoded in its own task. Parallelism is FILE-granular: at the
+  *    100 TB design point ingest directories hold many files of bounded
+  *    size (the upstream writer's rotation), so per-file tasks saturate
+  *    the cluster; Avro's sync markers would allow sub-file splits, and
+  *    that is the documented upgrade path if single giant files appear.
+  *
+  * Type coverage (both directions): BOOLEAN/INT/BIGINT/FLOAT/DOUBLE/
+  * STRING/BINARY, DATE (int/date), TIMESTAMP (long/timestamp-micros),
+  * and ARRAY of any of those — enough for every engine table incl. the
+  * `embeddings` vectors. Nullable columns map to `["null", T]` unions.
+  */
+object AvroTables {
+
+  // ----- schema mapping ----------------------------------------------------
+
+  private def avroTypeOf(dt: DataType, col: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case DateType =>
+      org.apache.avro.LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case ArrayType(elem, containsNull) =>
+      val e = avroTypeOf(elem, col)
+      Schema.createArray(if (containsNull) nullable(e) else e)
+    case other => throw new IllegalArgumentException(
+      s"AvroTables: column $col has unsupported type ${other.simpleString} " +
+        "(supported: boolean/int/bigint/float/double/string/binary/date/timestamp/array)")
+  }
+
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), s))
+
+  /** The Avro record schema for a Spark schema (validated up front). */
+  def toAvroSchema(schema: StructType, name: String = "graft_record"): Schema = {
+    val fields = schema.fields.map { f =>
+      val t = avroTypeOf(f.dataType, f.name)
+      new Schema.Field(f.name, if (f.nullable) nullable(t) else t, null, null)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  /** The Spark schema of an Avro record schema (the read-side inverse). */
+  def toSparkSchema(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD,
+      s"AvroTables: top-level Avro schema must be a record, got ${schema.getType}")
+    StructType(schema.getFields.asScala.map { f =>
+      val (t, nullable) = unwrap(f.schema(), f.name())
+      StructField(f.name(), t, nullable)
+    }.toSeq)
+  }
+
+  private def unwrap(s: Schema, col: String): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val parts = s.getTypes.asScala
+      val nonNull = parts.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.length == 1,
+        s"AvroTables: column $col has a non-nullable union — unsupported")
+      (unwrap(nonNull.head, col)._1, parts.length != nonNull.length)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT =>
+      if (s.getLogicalType != null && s.getLogicalType.getName == "date")
+        (DateType, false) else (IntegerType, false)
+    case Schema.Type.LONG =>
+      if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-micros")
+        (TimestampType, false) else (LongType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (e, n) = unwrap(s.getElementType, col)
+      (ArrayType(e, containsNull = n), false)
+    case other => throw new IllegalArgumentException(
+      s"AvroTables: column $col has unsupported Avro type $other")
+  }
+
+  // ----- value conversion (runs inside tasks) ------------------------------
+
+  private def toAvroValue(v: Any, dt: DataType, elemSchema: Schema): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: Array[Byte], BinaryType) => ByteBuffer.wrap(x)
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+    case (t: java.sql.Timestamp, TimestampType) =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+      val arr = resolveNonNull(elemSchema)
+      val inner = arr.getElementType
+      val out = new GenericData.Array[Any](seq.length, arr)
+      seq.foreach(e => out.add(toAvroValue(e, et, inner)))
+      out
+    case (x, _) => x // primitives pass through (Int/Long/Float/Double/String/Boolean)
+  }
+
+  /** A union's non-null branch (the field schema as written by
+    * [[toAvroSchema]] for nullable columns); non-unions pass through. */
+  private def resolveNonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (b: ByteBuffer, BinaryType) =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (d: Integer, DateType) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+    case (t: java.lang.Long, TimestampType) =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(t, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(t, 1000000L) * 1000L).toInt)
+      ts
+    case (a: java.util.Collection[_], ArrayType(et, _)) =>
+      a.asScala.map(e => fromAvroValue(e, et)).toSeq
+    case (x, _) => x
+  }
+
+  // ----- write --------------------------------------------------------------
+
+  /** Writes `df` as snappy-compressed Avro container files under `dir`
+    * (one per non-empty partition; temp-name + rename inside the task).
+    * Returns the number of files written. The directory must not already
+    * hold part files (ErrorIfExists semantics, like the other sinks). */
+  def write(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    require(!fs.exists(dirPath) || fs.listStatus(dirPath).isEmpty,
+      s"AvroTables.write: $dir already exists and is non-empty")
+    fs.mkdirs(dirPath)
+    val sparkSchema = df.schema
+    val schemaJson = toAvroSchema(sparkSchema).toString // validates types up front
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+        val schema = new Schema.Parser().parse(schemaJson)
+        val fieldSchemas = schema.getFields.asScala.map(_.schema()).toArray
+        val conf = new Configuration()
+        val tfs = new Path(dir).getFileSystem(conf)
+        val tmp = new Path(dir, f".tmp-part-$pid%05d-$attempt.avro")
+        val out = tfs.create(tmp, true)
+        val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        writer.setCodec(CodecFactory.snappyCodec())
+        writer.create(schema, out)
+        try {
+          it.foreach { row =>
+            val rec = new GenericData.Record(schema)
+            var i = 0
+            while (i < sparkSchema.length) {
+              rec.put(i, toAvroValue(row.get(i), sparkSchema(i).dataType, fieldSchemas(i)))
+              i += 1
+            }
+            writer.append(rec)
+          }
+        } finally writer.close() // closes the stream too
+        // rename-into-place: a retried/killed attempt's temp file is
+        // invisible to the reader's *.avro listing and harmless
+        tfs.rename(tmp, new Path(dir, f"part-$pid%05d.avro"))
+        ()
+      }
+    }
+    fs.listStatus(dirPath).count(_.getPath.getName.endsWith(".avro")).toLong
+  }
+
+  // ----- read ---------------------------------------------------------------
+
+  /** Reads an Avro container-file directory: schema from the first
+    * file's embedded header (one driver read), one decode task per file.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"AvroTables.read: no .avro files under $dir")
+    val header = new DataFileReader(
+      new FsInput(new Path(files.head), conf), new GenericDatumReader[GenericRecord]())
+    val avroSchema = try header.getSchema finally header.close()
+    val sparkSchema = toSparkSchema(avroSchema)
+    val fieldTypes = sparkSchema.fields.map(_.dataType)
+    val n = sparkSchema.length
+    val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length)
+      .flatMap { f =>
+        val reader = new DataFileReader(
+          new FsInput(new Path(f), new Configuration()),
+          new GenericDatumReader[GenericRecord]())
+        // a closing iterator: streams records without materializing the
+        // file, releases the handle at exhaustion
+        new Iterator[Row] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            if (closed) false
+            else if (reader.hasNext) true
+            else { reader.close(); closed = true; false }
+          }
+          override def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq((0 until n).map(i => fromAvroValue(rec.get(i), fieldTypes(i))))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+}

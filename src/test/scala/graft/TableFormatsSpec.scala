@@ -54,4 +54,73 @@ class TableFormatsSpec extends SparkSpec {
     val e = TableFormats.readEdgeCsv(spark, p)
     assert(vertexLevels(graph.Traversals.bfs(e, 0L)) === Seq((0L, 0), (1L, 1), (2L, 2)))
   }
+
+  test("avro round-trip: full type coverage incl. nulls, binary, arrays, date, timestamp") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val p = tmp("avro_types")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i", IntegerType),
+      StructField("d", DoubleType),
+      StructField("f", FloatType),
+      StructField("s", StringType),
+      StructField("b", BooleanType),
+      StructField("bin", BinaryType),
+      StructField("dt", DateType),
+      StructField("ts", TimestampType),
+      StructField("vec", ArrayType(FloatType, containsNull = false)),
+      StructField("tags", ArrayType(StringType, containsNull = true))))
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456")
+    val rows = Seq(
+      Row(1L, 7, 2.5d, 1.5f, "a", true, Array[Byte](1, 2, 3),
+        java.sql.Date.valueOf("2024-06-01"), ts,
+        Seq(0.1f, 0.2f), Seq("x", null)),
+      Row(2L, null, null, null, null, null, null, null, null,
+        Seq.empty[Float], null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val n = graft.sources.AvroTables.write(df, p)
+    assert(n === 2L, "one container file per non-empty partition")
+    val back = graft.sources.AvroTables.read(spark, p)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      schema.map(f => (f.name, f.dataType)))
+    val got = back.collect().sortBy(_.getLong(0))
+    assert(got.length === 2)
+    val r1 = got.head
+    assert(r1.getInt(1) === 7 && r1.getString(4) === "a" && r1.getBoolean(5))
+    assert(r1.getAs[Array[Byte]]("bin").toSeq === Seq[Byte](1, 2, 3))
+    assert(r1.getAs[java.sql.Date]("dt") === java.sql.Date.valueOf("2024-06-01"))
+    assert(r1.getAs[java.sql.Timestamp]("ts") === ts,
+      "timestamp-micros must round-trip to the microsecond")
+    assert(r1.getAs[Seq[Float]]("vec") === Seq(0.1f, 0.2f))
+    assert(r1.getAs[Seq[String]]("tags") === Seq("x", null))
+    val r2 = got(1)
+    assert((1 to 8).forall(r2.isNullAt), "nullable columns round-trip NULL")
+    assert(r2.getAs[Seq[Float]]("vec") === Seq.empty, "empty array stays [] — not NULL")
+    assert(r2.isNullAt(10), "a NULL array column stays NULL")
+    // unsupported column types fail the WRITE up front with the column name
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(java.math.BigDecimal.ONE)), 1),
+      StructType(Seq(StructField("dec", DecimalType(10, 2)))))
+    val e = intercept[IllegalArgumentException](
+      graft.sources.AvroTables.write(bad, tmp("avro_bad")))
+    assert(e.getMessage.contains("dec"))
+  }
+
+  test("avro read schema comes from the container header; empty partitions write no file") {
+    val s = spark
+    import s.implicits._
+    val p = tmp("avro_hdr")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(8)
+    val n = graft.sources.AvroTables.write(df, p)
+    assert(n <= 2L, "empty partitions must not produce files")
+    val back = graft.sources.AvroTables.read(spark, p)
+    assert(back.columns.toSeq === Seq("k", "v"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set(1L -> "a", 2L -> "b"))
+    // writing into a non-empty directory is refused (ErrorIfExists)
+    intercept[IllegalArgumentException](
+      graft.sources.AvroTables.write(df, p))
+  }
 }
