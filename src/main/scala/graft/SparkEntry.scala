@@ -1648,6 +1648,56 @@ object SparkEntry {
           |FROM log_table_at('q55_sales', 0)
           |ORDER BY snap""".stripMargin)
     }),
+    "q56_catalog_lifecycle" -> ((s, dir) => {
+      // CATALOG LIFECYCLE completion (r16 verdict Next #7 — log_register
+      // persisted, but a renamed/retired table left a dangling binding
+      // forever): log_unregister removes the binding from the session
+      // AND the persisted catalog (one more catalog commit), the name
+      // fails at analysis afterwards, STAYS gone across a simulated
+      // restart (clearMemory + loadPersisted — the removal is durable),
+      // and is immediately re-registrable to a NEW root that resolves.
+      val root = IndexCache.freshRoot("catlc")
+      val tp = root.resolve("tbl").toString
+      val tp2 = root.resolve("tbl2").toString
+      s.conf.set("graft.catalog.root", root.resolve("cat").toString)
+      try {
+        val ord = Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("v"))
+        new graft.operators.CommitTable(s, tp, "k").overwrite(ord)
+        s.sql(s"SELECT * FROM log_register('q56_t', '$tp', 'k')").collect()
+        val headRows = s.sql("SELECT COUNT(*) AS n FROM log_table('q56_t')")
+          .head().getLong(0)
+        s.sql("SELECT * FROM log_unregister('q56_t')").collect()
+        def unknownFails(): Long =
+          try { s.sql("SELECT * FROM log_table('q56_t')").collect(); 0L }
+          catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("unknown registered table") => 1L }
+        val goneNow = unknownFails()
+        // simulated restart: the REMOVAL must be as durable as the
+        // registration was (q54's discipline, inverted)
+        graft.plans.TableRegistry.clearMemory()
+        graft.plans.TableRegistry.loadPersisted(s)
+        val goneAfterRestart = unknownFails()
+        // the name is immediately re-bindable — to a NEW root
+        new graft.operators.CommitTable(s, tp2, "k")
+          .overwrite(ord.filter(col("k") < 100))
+        s.sql(s"SELECT * FROM log_register('q56_t', '$tp2', 'k')").collect()
+        val rereadRows = s.sql("SELECT COUNT(*) AS n FROM log_table('q56_t')")
+          .head().getLong(0)
+        val s2 = s
+        import s2.implicits._
+        Seq(
+          ("gone_after_restart", goneAfterRestart),
+          ("gone_after_unregister", goneNow),
+          ("head_rows", headRows),
+          ("reread_rows", rereadRows)
+        ).toDF("metric", "value").orderBy("metric")
+      } finally {
+        s.conf.unset("graft.catalog.root")
+        graft.plans.TableRegistry.unregister("q56_t")
+      }
+    }),
     "q54_persistent_catalog" -> ((s, dir) => {
       // PERSISTENT NAMED CATALOG (r15 verdict Next #2 — TableRegistry
       // was process-memory, so q51's by-name usability vanished with the
@@ -1864,6 +1914,116 @@ object SparkEntry {
       t.prunedReadOn("o_custkey", 100L, 400L)
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"),
           sum("o_custkey").as("sum_cust"))
+    }),
+    "f29_avro_roundtrip" -> ((s, dir) => {
+      // AVRO interchange (r16 verdict Next #6 — CSV/JSONL/ORC were
+      // covered; Avro is the remaining commodity ingest format): a
+      // lineitem projection crosses long/double/string/date columns
+      // through snappy Avro container files written with the core Avro
+      // API (one file per partition, temp+rename), is re-read
+      // SCHEMA-FIRST from the embedded header, and aggregates back to
+      // the parquet source's numbers. floor() keeps the double column's
+      // aggregate integer-exact across engines.
+      val root = IndexCache.freshRoot("avro")
+      val out = root.resolve("li").toString
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey").cast("long").as("okey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice").cast("double").as("price"),
+        col("l_returnflag").as("flag"),
+        col("l_shipdate").cast("timestamp").as("ship"))
+      graft.sources.AvroTables.write(li.repartition(4), out)
+      val back = graft.sources.AvroTables.read(s, out)
+      back.groupBy("flag").agg(
+          count(lit(1)).as("n"),
+          sum("qty").as("sum_qty"),
+          sum(floor(col("price")).cast("long")).as("sum_fprice"),
+          countDistinct("ship").as("n_ship"))
+        .orderBy("flag")
+    }),
+    "f30_dv_cdf" -> ((s, dir) => {
+      // DV-DELTA CDF (r16 verdict Next #2 — a change window whose
+      // deletion-vector stamp moved used to fall back to the FULL
+      // multiset diff of the two snapshots): the feed is now composed
+      // from the sidecar position delta joined back to its files —
+      // O(deleted), never O(window content). Structural flags:
+      // only_touched proves the plan read exactly ONE of the four
+      // key-clustered data files (the one holding the deleted keys —
+      // asserted via inputFiles), and equals_full_diff proves content
+      // identity with the independent snapshot diff computed inline.
+      val root = IndexCache.freshRoot("dvcdf")
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.repartitionByRange(4, col("k")))          // v0
+      // low keys sit inside the FIRST range file at every scale factor
+      // (orders keys are dense 0..N-1, so quartile boundaries scale)
+      t.deleteWhereDV("k BETWEEN 10 AND 60")                    // v1 (one file's keys)
+      val cdf = t.changesBetween(0L, 1L)
+      val dataRead = cdf.inputFiles.filterNot(_.contains("/_dv/")).toSet
+      val headFiles = t.asOf(0L).inputFiles.toSet
+      val onlyTouched =
+        if (dataRead.size == 1 && dataRead.subsetOf(headFiles)) 1L else 0L
+      // independent content check: the full snapshot diff (the old
+      // fallback's semantics, recomputed from the two committed reads)
+      val dels = cdf.filter(col("change_type") === "delete").drop("change_type")
+      val full = t.asOf(0L).exceptAll(t.asOf(1L))
+      val equalsFull =
+        if (dels.exceptAll(full).isEmpty && full.exceptAll(dels).isEmpty) 1L else 0L
+      val agg = dels.agg(count(lit(1)), sum("k")).head()
+      val nIns = cdf.filter(col("change_type") === "insert").count()
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("cdf_deletes_n", agg.getLong(0)),
+        ("cdf_inserts_n", nIns),
+        ("cdf_sum_k", agg.getLong(1)),
+        ("equals_full_diff", equalsFull),
+        ("only_touched", onlyTouched)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
+    "f31_update_dv" -> ((s, dir) => {
+      // DV-BACKED UPDATE (r16 verdict Next #3 — updateRange rewrites
+      // every predicate-intersecting FILE; the modern Delta UPDATE is
+      // DV-mark + append in one commit): zero_rewrite proves every base
+      // file is still referenced and the changed rows landed as NEW
+      // files only; cow_equal proves the head equals the file-granular
+      // CoW update on a twin table; the second update runs as the pure
+      // SQL statement form. v0 time-travels to the original values.
+      val root = IndexCache.freshRoot("dvupd")
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.repartitionByRange(4, col("k")))          // v0
+      val files0 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+      t.updateWhereDV("k BETWEEN 100 AND 300", "v", "v + 1000000") // v1
+      val files1 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+      val zeroRewrite =
+        if (files0.subsetOf(files1) && (files1 -- files0).nonEmpty) 1L else 0L
+      // twin CoW update — head content must be identical
+      val t2 = new graft.operators.CommitTable(s, root.resolve("cow").toString, "k")
+      t2.overwrite(ord.repartitionByRange(4, col("k")))
+      t2.updateRange(100L, 300L, "v", "v + 1000000")
+      val a = t.read(); val b = t2.read()
+      val cowEqual = if (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) 1L else 0L
+      // SQL statement form for the second update
+      s.sql(s"SELECT * FROM log_register('f31_t', '$tp', 'k')").collect()
+      s.sql("""SELECT COUNT(*) FROM log_update_where_dv('f31_t',
+              |'k BETWEEN 400 AND 450', 'v', 'v + 7')""".stripMargin).collect()
+      val headAgg = t.read().agg(count(lit(1)), sum("v")).head()
+      val v0Agg = t.asOf(0L).agg(sum("v")).head()
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("cow_equal", cowEqual),
+        ("head_rows", headAgg.getLong(0)),
+        ("head_sum_v", headAgg.getLong(1)),
+        ("v0_sum_v", v0Agg.getLong(0)),
+        ("zero_rewrite", zeroRewrite)
+      ).toDF("metric", "value").orderBy("metric")
     }),
     "f28_column_mapping" -> ((s, dir) => {
       // COLUMN MAPPING (r15 verdict Next #5 — schema evolution was
@@ -3186,6 +3346,37 @@ object SparkEntry {
       // at v1 (st18's startingVersion discipline), where the DELETE WHERE
       // commit arrives as 'delete' rows. Mutates → private copy.
       val idx = IndexCache.privateCopy(s"ivf|$dir|full", "sidxdelidx")(p =>
+        Similarity.buildIvfIndex(Tables.embeddings(s, dir), p))
+      graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+        val ins = cdf.filter(col("change_type") === "insert").drop("change_type")
+        val del = cdf.filter(col("change_type") === "delete").drop("change_type")
+        if (!del.isEmpty) Similarity.deleteFromIvfIndex(del.select("vec_id"), idx)
+        if (!ins.isEmpty) Similarity.appendIvfIndex(ins, idx)
+      }, startingVersion = 1L)
+      Similarity.consolidateIvfIndex(s, idx)
+      Similarity.ivfTopKIndexed(s, idx)
+    }),
+    "st29_stream_dv_delete" -> ((s, dir) => {
+      // st25's streamed delete lifecycle driven by a DELETION-VECTOR
+      // commit instead of the CoW rewrite (r16 verdict Next #4): the
+      // deleteWhereDV commit changes no data file, so the change feed
+      // for its version resolves through the SIDECAR-DELTA CDF —
+      // O(deleted) rows read from exactly the touched files, never a
+      // full-table diff (the shape f30 asserts structurally) — and the
+      // maintenance loop turns it into the same index tombstones +
+      // consolidation. Result equals st25's (and s27's mirror): the
+      // delete path into the index must not depend on HOW the source
+      // deleted.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-sdvdel-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("emb").toString
+      val t = new graft.operators.CommitTable(s, tp, "vec_id")
+      t.overwrite(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      t.deleteWhereDV("vec_id BETWEEN 120 AND 179")
+      val idx = IndexCache.privateCopy(s"ivf|$dir|full", "sdvdelidx")(p =>
         Similarity.buildIvfIndex(Tables.embeddings(s, dir), p))
       graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
         val ins = cdf.filter(col("change_type") === "insert").drop("change_type")
@@ -5017,6 +5208,42 @@ object SparkEntry {
         |UNION ALL SELECT 4, COUNT(*), SUM(k)::BIGINT FROM s WHERE k < 20 AND k NOT BETWEEN 7 AND 12
         |UNION ALL SELECT 5, COUNT(*), SUM(k)::BIGINT FROM s WHERE k NOT BETWEEN 7 AND 12
         |ORDER BY version""".stripMargin,
+    "f29_avro_roundtrip" -> // the Avro roundtrip must land back on the
+      // parquet source's numbers: per-flag counts, long sums, the
+      // floor'd double sum (integer-exact both sides), and the distinct
+      // timestamp count
+      """SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |       SUM(l_quantity)::BIGINT AS sum_qty,
+        |       SUM(FLOOR(l_extendedprice))::BIGINT AS sum_fprice,
+        |       COUNT(DISTINCT l_shipdate)::BIGINT AS n_ship
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f30_dv_cdf" -> // the sidecar-delta feed restated: exactly the
+      // deleted key range as 'delete' rows, zero inserts, and both
+      // structural flags (content == independent full diff; plan read
+      // only the touched file) must be 1
+      """SELECT 'cdf_deletes_n' AS metric,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 10 AND 60)::BIGINT AS value
+        |UNION ALL SELECT 'cdf_inserts_n', 0
+        |UNION ALL SELECT 'cdf_sum_k',
+        |  (SELECT SUM(o_orderkey)::BIGINT FROM orders WHERE o_orderkey BETWEEN 10 AND 60)
+        |UNION ALL SELECT 'equals_full_diff', 1
+        |UNION ALL SELECT 'only_touched', 1
+        |ORDER BY metric""".stripMargin,
+    "f31_update_dv" -> // the DV update restated: row count unchanged,
+      // the head's sum reflects BOTH updates (+1e6 per key in the Scala
+      // range, +7 per key in the SQL-statement range), v0 keeps the
+      // original sum, and the structural flags (no base file rewritten;
+      // equal to the CoW update) must be 1
+      """SELECT 'cow_equal' AS metric, 1::BIGINT AS value
+        |UNION ALL SELECT 'head_rows', (SELECT COUNT(*) FROM orders)
+        |UNION ALL SELECT 'head_sum_v',
+        |  (SELECT SUM(o_custkey)::BIGINT
+        |     + 1000000 * COUNT(*) FILTER (WHERE o_orderkey BETWEEN 100 AND 300)
+        |     + 7 * COUNT(*) FILTER (WHERE o_orderkey BETWEEN 400 AND 450)
+        |   FROM orders)
+        |UNION ALL SELECT 'v0_sum_v', (SELECT SUM(o_custkey)::BIGINT FROM orders)
+        |UNION ALL SELECT 'zero_rewrite', 1
+        |ORDER BY metric""".stripMargin,
     "f28_column_mapping" -> // the renamed/dropped surface restated: the
       // head is (key, renamed name) over all of nation, v0 keeps the
       // original three columns, and the structural flag is 1
@@ -5114,6 +5341,16 @@ object SparkEntry {
         |SELECT 'v0', COUNT(*), SUM(o_orderkey)::BIGINT, SUM(o_custkey)::BIGINT
         |FROM orders
         |ORDER BY snap""".stripMargin,
+    "q56_catalog_lifecycle" -> // the lifecycle restated: the original
+      // by-name read is all of orders; both gone-flags are 1 (the
+      // removal binds immediately AND survives the restart); the
+      // re-registered name resolves the NEW root's k < 100 slice
+      """SELECT 'gone_after_restart' AS metric, 1::BIGINT AS value
+        |UNION ALL SELECT 'gone_after_unregister', 1
+        |UNION ALL SELECT 'head_rows', (SELECT COUNT(*) FROM orders)
+        |UNION ALL SELECT 'reread_rows',
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey < 100)
+        |ORDER BY metric""".stripMargin,
     "q54_persistent_catalog" -> // the post-"restart" by-name read is the
       // full table; meta row = (1 binding loaded, unknown-name error
       // preserved)
@@ -5951,6 +6188,10 @@ object SparkEntry {
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "st25_stream_index_delete" -> // the streamed tombstone + consolidation
       // equals s27's filtered mirror (deleteRange BETWEEN is inclusive)
+      Similarity.ivfTopKSql(candFilter = "NOT (vec_id BETWEEN 120 AND 179)"),
+    "st29_stream_dv_delete" -> // the DV-delete-driven stream must land on
+      // the SAME index state as st25's CoW-driven one — the mirror is
+      // identical by design (delete mechanics must not leak downstream)
       Similarity.ivfTopKSql(candFilter = "NOT (vec_id BETWEEN 120 AND 179)"),
     "st26_stream_ann_serve" -> // the accumulated serving log equals the
       // one-shot batch probe — s3's mirror verbatim
