@@ -63,6 +63,15 @@ object IndexCache {
 
   /** A private, independently mutable copy of `key`'s template under a
     * fresh `tag` root (wiped per call, so bench reps are deterministic).
+    *
+    * Files are HARDLINKED, not byte-copied (r16 verdict Next #5 — the
+    * graph-index gate family paid a full filesystem copy per mutating
+    * stage): committed data/log files are IMMUTABLE by the commit-log
+    * contract (rename-without-overwrite publish; appends stage NEW
+    * files; vacuum unlinks — which on a hardlinked copy removes only the
+    * copy's own link), so sharing the bytes is exactly as independent as
+    * copying them. Cross-device/unsupported filesystems fall back to a
+    * real copy per file.
     */
   def privateCopy(key: String, tag: String)(build: String => Unit): String = {
     val tpl = Paths.get(template(key)(build))
@@ -75,7 +84,11 @@ object IndexCache {
         if (Files.isDirectory(p)) Files.createDirectories(t)
         else {
           Files.createDirectories(t.getParent)
-          Files.copy(p, t)
+          try Files.createLink(t, p)
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(p, t)
+          }
         }
       }
     } finally walk.close()
