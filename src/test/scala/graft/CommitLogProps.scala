@@ -201,4 +201,74 @@ object CommitLogProps extends Properties("CommitLog") {
       val expectKeys = (1L until nextKey).sum
       ok && t.read().agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) == expectKeys
     }
+
+  // Change-feed coherence over random histories (the CDC correctness
+  // law): for ANY committed version pair i <= j, applying the feed to
+  // the older snapshot reproduces the newer one as a MULTISET —
+  // asOf(i) − deletes(i,j) + inserts(i,j) == asOf(j), with deletes
+  // always contained in asOf(i) (a feed may never delete a row the
+  // consumer doesn't hold). Histories mix appends, DV range/predicate
+  // deletes, DV updates, CoW deletes, compactions, and restores, so the
+  // windows cross every resolution shape: equal-stamp file diffs, pure
+  // sidecar deltas, mixed delta+file windows, restore-REVERSED stamps
+  // (inserts from the sidecar), and stamp-clearing rewrites.
+  private val genCdfOps: Gen[List[(Int, Long, Long)]] = for {
+    n <- Gen.choose(1, 5)
+    ops <- Gen.listOfN(n, for {
+      kind <- Gen.oneOf(0, 1, 2, 3, 4, 5, 6)
+      lo <- Gen.choose(1L, 35L)
+      w <- Gen.choose(0L, 8L)
+    } yield (kind, lo, lo + w))
+  } yield ops
+
+  property("change feed reconstructs every version pair over random DV/CoW/restore histories") =
+    Prop.forAll(genCdfOps, Gen.choose(0, Int.MaxValue)) { (ops, seed) =>
+      val sp = spark
+      import sp.implicits._
+      val dir = Files.createTempDirectory("graft-prop-cdf").toString
+      // checkpointEvery = 3: windows cross checkpoint entries too
+      val t = new CommitTable(sp, dir, "k", checkpointEvery = 3)
+      t.overwrite((1L to 30L).map(i => (i, i * 7L)).toDF("k", "v").repartition(3))
+      var nextKey = 100L
+      ops.foreach { case (kind, lo, hi) =>
+        kind match {
+          case 0 =>
+            t.append(Seq((nextKey, nextKey * 7L),
+              (nextKey + 1L, (nextKey + 1L) * 7L)).toDF("k", "v"))
+            nextKey += 2L
+          case 1 => t.deleteRangeDV(lo, hi)
+          case 2 => t.deleteWhereDV(s"v >= ${lo * 7} AND v <= ${hi * 7}")
+          case 3 => t.updateWhereDV(s"k >= $lo AND k <= $hi", "v", "v + 100000")
+          case 4 => t.deleteRange(lo, hi)
+          case 5 => t.compact(2)
+          case 6 =>
+            val vs = t.versions()
+            t.restore(vs((lo % vs.length).toInt))
+        }
+      }
+      def multiset(rows: Array[(Long, Long)]): Map[(Long, Long), Int] =
+        rows.groupBy(identity).view.mapValues(_.length).toMap
+      def snap(v: Long): Map[(Long, Long), Int] = multiset(
+        t.asOf(v).select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))))
+      val vs = t.versions().toVector
+      val rnd = new scala.util.Random(seed)
+      val pairs = ((0L, vs.last) +: Vector.fill(3) {
+        val a = vs(rnd.nextInt(vs.length)); val b = vs(rnd.nextInt(vs.length))
+        (a min b, a max b)
+      }).distinct
+      pairs.forall { case (i, j) =>
+        val feed = t.changesBetween(i, j)
+          .select("k", "v", "change_type").collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+        val ins = multiset(feed.collect { case (kv, "insert") => kv })
+        val del = multiset(feed.collect { case (kv, "delete") => kv })
+        val base = snap(i)
+        val containment = del.forall { case (kv, n) => base.getOrElse(kv, 0) >= n }
+        val applied = (base.keySet ++ ins.keySet).flatMap { kv =>
+          val n = base.getOrElse(kv, 0) - del.getOrElse(kv, 0) + ins.getOrElse(kv, 0)
+          if (n > 0) Some(kv -> n) else None
+        }.toMap
+        containment && applied == snap(j)
+      }
+    }
 }
