@@ -103,8 +103,10 @@ object GraftSession {
           // every Scala table op gets its statement form)
           "log_delete_dv" -> graft.plans.LogTvfs.deleteDv,
           "log_delete_where_dv" -> graft.plans.LogTvfs.deleteWhereDv,
-          // round-17: the DV-backed UPDATE (mark + append, one commit)
+          // round-17: the DV-backed UPDATE and MERGE (mark + append,
+          // one commit — O(changed) writes, zero file rewrites)
           "log_update_where_dv" -> graft.plans.LogTvfs.updateWhereDv,
+          "log_merge_dv" -> graft.plans.LogTvfs.mergeDvFrom,
           "log_rename_column" -> graft.plans.LogTvfs.renameColumn,
           "log_drop_column" -> graft.plans.LogTvfs.dropColumn,
           "log_set_invariants" -> graft.plans.LogTvfs.setInvariantsTvf,

@@ -2025,6 +2025,56 @@ object SparkEntry {
         ("zero_rewrite", zeroRewrite)
       ).toDF("metric", "value").orderBy("metric")
     }),
+    "f32_merge_dv" -> ((s, dir) => {
+      // DV-BACKED MERGE (r17 — merge()'s scale note deferred the
+      // O(changed) upsert): matched target rows are DV-marked and the
+      // change-set appended in ONE atomic commit — O(|change-set|)
+      // written, zero existing files rewritten (zero_rewrite), content
+      // equal to the full join-based merge on a twin table
+      // (merge_equal). The change-set mixes all three MERGE actions:
+      // updates, flag-marked deletes, and fresh-key inserts; a second
+      // upsert-only merge runs as the pure SQL statement.
+      val root = IndexCache.freshRoot("dvmerge")
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.repartitionByRange(4, col("k")))          // v0
+      val files0 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+      val s2 = s
+      import s2.implicits._
+      val src = ord.filter(col("k").between(100, 199))
+          .withColumn("v", lit(-1L)).withColumn("__del", lit(false))
+        .unionByName(ord.filter(col("k").between(200, 299))
+          .withColumn("__del", lit(true)))
+        .unionByName((0L until 50L).map(i => (1000000L + i, 777L, false))
+          .toDF("k", "v", "__del"))
+      t.mergeDV(src, Seq("k"), deleteCol = Some("__del"))        // v1
+      val files1 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+      val zeroRewrite =
+        if (files0.subsetOf(files1) && (files1 -- files0).nonEmpty) 1L else 0L
+      // twin: the full join-based merge must produce identical content
+      val t2 = new graft.operators.CommitTable(s, root.resolve("cow").toString, "k")
+      t2.overwrite(ord.repartitionByRange(4, col("k")))
+      t2.merge(src, Seq("k"), deleteCol = Some("__del"))
+      val a = t.read(); val b = t2.read()
+      val mergeEqual = if (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) 1L else 0L
+      // SQL statement leg: an upsert-only merge by registered name
+      s.sql(s"SELECT * FROM log_register('f32_t', '$tp', 'k')").collect()
+      ord.filter(col("k").between(400, 420)).withColumn("v", lit(-2L))
+        .createOrReplaceTempView("f32_src")
+      s.sql("SELECT COUNT(*) FROM log_merge_dv('f32_t', 'f32_src', 'k')").collect()
+      val headAgg = t.read().agg(count(lit(1)), sum("v")).head()
+      val v0Rows = t.asOf(0L).count()
+      Seq(
+        ("head_rows", headAgg.getLong(0)),
+        ("head_sum_v", headAgg.getLong(1)),
+        ("merge_equal", mergeEqual),
+        ("v0_rows", v0Rows),
+        ("zero_rewrite", zeroRewrite)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
     "f28_column_mapping" -> ((s, dir) => {
       // COLUMN MAPPING (r15 verdict Next #5 — schema evolution was
       // widen-only; rename/drop meant rewriting every file): RENAME and
@@ -5242,6 +5292,25 @@ object SparkEntry {
         |     + 7 * COUNT(*) FILTER (WHERE o_orderkey BETWEEN 400 AND 450)
         |   FROM orders)
         |UNION ALL SELECT 'v0_sum_v', (SELECT SUM(o_custkey)::BIGINT FROM orders)
+        |UNION ALL SELECT 'zero_rewrite', 1
+        |ORDER BY metric""".stripMargin,
+    "f32_merge_dv" -> // the DV merge restated: rows = orders minus the
+      // deleted range plus the 50 inserts (the SQL upsert adds none —
+      // its keys exist); sum reflects updates to -1, the deleted
+      // range's removal, the inserts' 777s, and the SQL upsert's -2s;
+      // both structural flags must be 1
+      """SELECT 'head_rows' AS metric,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 200 AND 299)::BIGINT + 50 AS value
+        |UNION ALL SELECT 'head_sum_v',
+        |  (SELECT SUM(o_custkey)::BIGINT FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 100 AND 299
+        |     AND o_orderkey NOT BETWEEN 400 AND 420)
+        |  + (SELECT -1 * COUNT(*) FROM orders WHERE o_orderkey BETWEEN 100 AND 199)
+        |  + (SELECT -2 * COUNT(*) FROM orders WHERE o_orderkey BETWEEN 400 AND 420)
+        |  + 50 * 777
+        |UNION ALL SELECT 'merge_equal', 1
+        |UNION ALL SELECT 'v0_rows', (SELECT COUNT(*) FROM orders)
         |UNION ALL SELECT 'zero_rewrite', 1
         |ORDER BY metric""".stripMargin,
     "f28_column_mapping" -> // the renamed/dropped surface restated: the

@@ -907,53 +907,150 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     * version and a cleaned staging directory. Old versions time-travel
     * exactly; OPTIMIZE materializes the marks like any DV commit.
     */
-  def updateWhereDV(predicateSql: String, setCol: String, setExprSql: String): Long = {
+  def updateWhereDV(predicateSql: String, setCol: String, setExprSql: String): Long =
+    updateWhereDV(predicateSql, Seq(setCol -> setExprSql))
+
+  /** Multi-assignment form of [[updateWhereDV]] (SQL UPDATE sets any
+    * number of columns): every assignment's expression is evaluated
+    * against the PRE-update row (standard UPDATE semantics — `SET a = b,
+    * b = a` swaps), each cast back to its column's committed type. */
+  def updateWhereDV(predicateSql: String,
+                    assignments: Seq[(String, String)]): Long = {
+    require(assignments.nonEmpty, "updateWhereDV: at least one assignment")
+    require(assignments.map(_._1).distinct.length == assignments.length,
+      s"updateWhereDV: duplicate assignment targets in ${assignments.map(_._1)}")
     val base = latestVersion().getOrElse(
       throw new IllegalStateException(s"no commits at $path"))
     val stamped = dvVersionAt(base)
     val files = addsOf(base).select("path").collect().map(_.getString(0))
     if (files.isEmpty) return base
-    val cm = cmapAt(base)
+    val logical = logicalWithPositions(files, stamped, cmapAt(base))
+    assignments.foreach { case (c, _) =>
+      require(logical.columns.contains(c),
+        s"updateWhereDV: column $c not in table schema " +
+          logical.columns.filterNot(_.startsWith("__dv")).mkString(", "))
+    }
+    val matched = logical.filter(expr(predicateSql))
+    val newPos = matched.select(col("__dvf").as("file"), col("__dvp").as("pos"))
+    val nMatched = newPos.count()
+    if (nMatched == 0L) return base // provable no-op commits nothing
+    val dvv = snapshotDvWith(stamped, newPos)
+    // the updated replacement rows (logical surface; commitVersion maps
+    // back to physical names for staging). All assignments evaluate over
+    // the PRE-update row in one projection. Lazy re-evaluation inside
+    // the staging write is deterministic: it scans the base's file list
+    // through the base's STAMPED vector, both fixed — the sidecar head
+    // moving above plays no part.
+    val setMap = assignments.toMap
+    val updated = matched.select(matched.columns.collect {
+      case c if setMap.contains(c) =>
+        expr(setMap(c)).cast(logical.schema(c).dataType).as(c)
+      case c if !c.startsWith("__dv") => col(c)
+    }.toIndexedSeq: _*)
+    // one atomic commit: append the updated rows, stamp the NEW sidecar
+    // version, net the marked rows out of the rolled-forward counters
+    commitVersion(updated, keepPrevious = true, op = "update-dv",
+      expectedBase = Some(base), dvOverride = Some(dvv), nrDelta = -nMatched)
+  }
+
+  /** MERGE INTO as a DELETION-VECTOR commit — the O(changed) upsert
+    * [[merge]]'s scale note defers to: every target row whose key
+    * matches the change-set is DV-MARKED (replaced or deleted — either
+    * way it leaves the live content), and the change-set's surviving
+    * rows (non-deletes) are APPENDED, all in ONE atomic commit. Data
+    * written is O(|source|); ZERO existing data files are rewritten —
+    * at 100 TB an upsert of one day's changes costs one day's rows, not
+    * a table rewrite ([[merge]] writes the full merged snapshot;
+    * [[MergeInto.mergeCow]] rewrites touched partitions).
+    *
+    * Source contract is [[MergeInto.merge]]'s: columns = the target's
+    * LOGICAL surface (+ the optional BOOLEAN `deleteCol`), key-unique,
+    * non-null keys. Matched-row multiplicity: all matched target rows
+    * are marked and the source row lands ONCE — for key-unique targets
+    * (the merge contract's shape) this is byte-equivalent to
+    * [[MergeInto.merge]]; a target holding duplicate keys collapses
+    * them into the single source row (SCD-1 resolution) where the
+    * join-based merge would emit one copy per duplicate.
+    * Single-winner (read-modify-write); no-op change-sets commit
+    * nothing; OPTIMIZE materializes marks as usual.
+    */
+  def mergeDV(source: DataFrame, keys: Seq[String],
+              deleteCol: Option[String] = None): Long = {
+    require(keys.nonEmpty, "mergeDV needs at least one key column")
+    val base = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val stamped = dvVersionAt(base)
+    val files = addsOf(base).select("path").collect().map(_.getString(0))
+    if (files.isEmpty) {
+      // nothing to match against: the merge degenerates to an append of
+      // the change-set's survivors (deletes have nothing to delete)
+      val inserts = deleteCol match {
+        case Some(d) => source.filter(!coalesce(col(d), lit(false))).drop(d)
+        case None => source
+      }
+      if (inserts.isEmpty) return base
+      return commitVersion(inserts, keepPrevious = true, op = "merge-dv",
+        expectedBase = Some(base))
+    }
+    val logical = logicalWithPositions(files, stamped, cmapAt(base))
+    val targetCols = logical.columns.filterNot(_.startsWith("__dv"))
+    val expectedSrc = (targetCols ++ deleteCol).sorted
+    require(source.columns.sorted.sameElements(expectedSrc),
+      s"mergeDV: source columns ${source.columns.sorted.mkString(",")} must be " +
+        s"the target's plus the delete flag: ${expectedSrc.mkString(",")}")
+    require(keys.forall(targetCols.contains),
+      s"mergeDV: keys ${keys.mkString(",")} must be target columns " +
+        targetCols.mkString(","))
+    // matched target positions: one semi-join against the (small by
+    // contract) change-set's keys — broadcast shape, no target rewrite
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val newPos = logical.join(broadcast(srcKeys), keys, "left_semi")
+      .select(col("__dvf").as("file"), col("__dvp").as("pos"))
+    val nMatched = newPos.count()
+    val inserts = deleteCol match {
+      case Some(d) => source.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None => source
+    }
+    val nInserts = inserts.count()
+    if (nMatched == 0L && nInserts == 0L) return base // provable no-op
+    // sidecar snapshot only when rows were actually marked; an
+    // insert-only merge carries the stamp untouched
+    val dvv = if (nMatched == 0L) stamped
+              else Some(snapshotDvWith(stamped, newPos))
+    commitVersion(inserts, keepPrevious = true, op = "merge-dv",
+      expectedBase = Some(base), dvOverride = dvv, nrDelta = -nMatched)
+  }
+
+  /** The head scan with sidecar position columns (`__dvf`, `__dvp`)
+    * riding BESIDE the logical projection (applyCmap would drop them) —
+    * the shared front half of every DV-writing DML form. */
+  private def logicalWithPositions(files: Array[String], stamped: Option[Long],
+                                   cm: Option[ColumnMap]): DataFrame = {
     val scan = applyDv(
       spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*),
       stamped)
-    // position columns ride BESIDE the logical projection (the
-    // [[deleteWhereDV]] shape — applyCmap would drop them)
     val posCols = Seq(
       element_at(split(col("_metadata.file_path"), "/"), -1).as("__dvf"),
       col("_metadata.row_index").as("__dvp"))
-    val logical = cm match {
+    cm match {
       case None => scan.select(posCols ++ scan.columns.map(c => col(c)): _*)
       case Some(m) =>
         val have = scan.columns.toSet
         scan.select(posCols ++ m.cols.collect {
           case (l, p) if have.contains(p) => col(p).as(l) }: _*)
     }
-    require(logical.columns.contains(setCol),
-      s"updateWhereDV: column $setCol not in table schema " +
-        logical.columns.filterNot(_.startsWith("__dv")).mkString(", "))
-    val matched = logical.filter(expr(predicateSql))
-    val newPos = matched.select(col("__dvf").as("file"), col("__dvp").as("pos"))
-    val nMatched = newPos.count()
-    if (nMatched == 0L) return base // provable no-op commits nothing
+  }
+
+  /** Overwrites the sidecar with stamped ∪ `newPos`, returning the new
+    * sidecar version (the orphan-safe snapshot discipline: always built
+    * from the STAMPED version, never the sidecar head). */
+  private def snapshotDvWith(stamped: Option[Long], newPos: DataFrame): Long = {
     val dvT = dvTable
     val content = stamped match {
       case Some(v) => dvT.asOf(v).select("file", "pos").unionByName(newPos)
       case None => newPos
     }
-    val dvv = dvT.overwrite(content.coalesce(1))
-    // the updated replacement rows (logical surface; commitVersion maps
-    // back to physical names for staging). Lazy re-evaluation inside the
-    // staging write is deterministic: it scans the base's file list
-    // through the base's STAMPED vector, both fixed — the sidecar head
-    // moving above plays no part.
-    val updated = matched
-      .withColumn(setCol, expr(setExprSql).cast(logical.schema(setCol).dataType))
-      .drop("__dvf", "__dvp")
-    // one atomic commit: append the updated rows, stamp the NEW sidecar
-    // version, net the marked rows out of the rolled-forward counters
-    commitVersion(updated, keepPrevious = true, op = "update-dv",
-      expectedBase = Some(base), dvOverride = Some(dvv), nrDelta = -nMatched)
+    dvT.overwrite(content.coalesce(1))
   }
 
   private def emptyLike(): DataFrame = {

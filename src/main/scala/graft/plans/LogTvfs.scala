@@ -472,11 +472,32 @@ object LogTvfs {
     * form). Returns the post-update head content. */
   def updateWhereDv(args: Seq[Expression]): LogicalPlan = {
     val (t, used) = tableRef(args, "log_update_where_dv")
-    require(args.length == used + 3,
-      "log_update_where_dv takes (path, stats_col | name) + (predicate_sql, set_col, set_expr)")
-    t.updateWhereDV(stringArg(args, used, "log_update_where_dv"),
-      stringArg(args, used + 1, "log_update_where_dv"),
-      stringArg(args, used + 2, "log_update_where_dv"))
+    require(args.length >= used + 3 && (args.length - used - 1) % 2 == 0,
+      "log_update_where_dv takes (path, stats_col | name) + (predicate_sql[, set_col, set_expr]...)")
+    val pred = stringArg(args, used, "log_update_where_dv")
+    val assigns = ((used + 1) until args.length by 2).map(i =>
+      (stringArg(args, i, "log_update_where_dv"),
+        stringArg(args, i + 1, "log_update_where_dv")))
+    t.updateWhereDV(pred, assigns)
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_merge_dv(path, stats_col | name, source_view, keys_csv)` —
+    * MERGE INTO as a deletion-vector commit ([[CommitTable.mergeDV]]):
+    * matched target rows are DV-marked and the change-set appended in
+    * one atomic commit — O(|change-set|) written, zero files rewritten
+    * (`log_merge` stays as the full-snapshot CoW form). Returns the
+    * post-merge head content. */
+  def mergeDvFrom(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val (t, used) = tableRef(args, "log_merge_dv")
+    require(args.length == used + 2,
+      "log_merge_dv takes (path, stats_col | name) + (source_view, keys_csv)")
+    val source = spark.table(stringArg(args, used, "log_merge_dv"))
+    val keys = stringArg(args, used + 1, "log_merge_dv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "log_merge_dv: keys_csv must name at least one key column")
+    t.mergeDV(source, keys)
     t.read().queryExecution.analyzed
   }
 

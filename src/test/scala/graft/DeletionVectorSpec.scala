@@ -330,6 +330,69 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.updateWhereDV("k < 0", "val", "val") === head)
   }
 
+  test("mergeDV: upsert + delete + insert in one commit — zero rewrites, equal to the join merge") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-dv-mrg").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 10L).map(i => i -> i * 10L): _*)
+      .repartitionByRange(2, col("k")))                          // v0
+    val files0 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+    // all three MERGE actions in one change-set
+    val src = Seq((3L, 999L, false), (5L, 0L, true), (20L, 200L, false))
+      .toDF("k", "v", "__del")
+    t.mergeDV(src, Seq("k"), deleteCol = Some("__del"))          // v1
+    val files1 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
+    assert(files0.subsetOf(files1) && (files1 -- files0).nonEmpty,
+      "mergeDV must append new files and rewrite none")
+    // content equals the join-based merge on a twin
+    val t2 = new CommitTable(spark, dir + "-twin", "k")
+    t2.overwrite(kv((1L to 10L).map(i => i -> i * 10L): _*)
+      .repartitionByRange(2, col("k")))
+    t2.merge(src, Seq("k"), deleteCol = Some("__del"))
+    def rows(tt: CommitTable) = tt.read().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(t) === rows(t2))
+    assert(rows(t) === ((1L to 10L).filterNot(k => k == 3 || k == 5)
+      .map(k => (k, k * 10L)).toSet + ((3L, 999L)) + ((20L, 200L))))
+    // counters honest: 10 - 2 matched + 2 survivors = 10
+    val h = t.history().collect().find(_.getLong(0) == 1L).get
+    assert(h.getString(2) === "merge-dv" && h.getLong(4) === 10L)
+    // time travel: v0 intact
+    assert(keys(t.asOf(0L)) === (1L to 10L).toSet)
+    // insert-only merge: no mark, the stamp carries UNTOUCHED
+    val dvvBefore = t.dvVersionAt(t.latestVersion().get)
+    t.mergeDV(Seq((30L, 300L)).toDF("k", "v"), Seq("k"))         // v2
+    assert(t.dvVersionAt(t.latestVersion().get) === dvvBefore,
+      "an insert-only merge must not write a new sidecar snapshot")
+    assert(keys(t.read()).contains(30L))
+    // no-op change-set commits nothing
+    val head = t.latestVersion().get
+    assert(t.mergeDV(Seq.empty[(Long, Long)].toDF("k", "v"), Seq("k")) === head)
+    // OPTIMIZE materializes
+    t.compactClustered("k", 2)
+    assert(t.dvOutstanding() === 0L)
+    assert(rows(t) === ((1L to 10L).filterNot(k => k == 3 || k == 5)
+      .map(k => (k, k * 10L)).toSet + ((3L, 999L)) + ((20L, 200L)) + ((30L, 300L))))
+  }
+
+  test("updateWhereDV multi-assignment evaluates every expression against the PRE-update row") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-dv-updm").toString
+    val t = new CommitTable(spark, dir, "k")
+    Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("k", "a", "b").createOrReplaceTempView("dvm_src")
+    t.overwrite(spark.table("dvm_src"))
+    // SET a = b, b = a — swaps only under pre-update semantics
+    t.updateWhereDV("k <= 2", Seq("a" -> "b", "b" -> "a"))
+    val got = t.read().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 100L, 10L), (2L, 200L, 20L), (3L, 30L, 300L)))
+    // duplicate targets rejected
+    intercept[IllegalArgumentException](
+      t.updateWhereDV("k = 3", Seq("a" -> "1", "a" -> "2")))
+  }
+
   test("restore refuses a version whose DV sidecar snapshot was vacuumed (r16 advice)") {
     val dir = Files.createTempDirectory("graft-dv-resvac").toString
     val t = new CommitTable(spark, dir, "k")
