@@ -1941,6 +1941,90 @@ object SparkEntry {
           countDistinct("ship").as("n_ship"))
         .orderBy("flag")
     }),
+    "f33_dv_append_delta" -> ((s, dir) => {
+      // APPEND-DELTA DV SIDECARS (r17 verdict Next #1 — every DV commit
+      // used to rewrite the FULL outstanding position set as one
+      // coalesce(1) file, O(total churn) per commit on one core): after
+      // a big delete (901 keys), a small delete (10 keys) must stage
+      // ONLY its own 10 positions in its sidecar link
+      // (second_delta_rows — measured from the sidecar version's own
+      // staged files), the per-window CDF must surface exactly the
+      // window's link (cdf_w2_n), resolution must union the chain
+      // exactly (head_rows/head_sum_k/outstanding), and consolidateDv
+      // must fold the chain with identical content (consolidated_rows).
+      val root = IndexCache.freshRoot("dvdelta")
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.repartitionByRange(4, col("k")))            // v0
+      t.deleteRangeDV(0L, 900L)                                   // v1: 901 marks
+      t.deleteRangeDV(1000L, 1009L)                               // v2: 10 marks
+      // O(new) assert: the second sidecar link's OWN staged files hold
+      // exactly the 10 newly-marked positions, not the accumulated 911
+      val dvv2 = t.dvVersionAt(2L).get
+      val dvFiles = new java.io.File(s"$tp/_dv").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(s"d$dvv2-"))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(_.getPath)
+      val secondDeltaRows =
+        if (dvFiles.isEmpty) 0L else s.read.parquet(dvFiles.toIndexedSeq: _*).count()
+      val cdfW2 = t.changesBetween(1L, 2L)
+        .filter(col("change_type") === "delete").count()
+      val headAgg = t.read().agg(count(lit(1)), sum("k")).head()
+      val outstanding = t.dvOutstanding()
+      t.consolidateDv()                                           // v3: fold
+      val consolidatedRows = t.read().count()
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("cdf_w2_n", cdfW2),
+        ("consolidated_rows", consolidatedRows),
+        ("head_rows", headAgg.getLong(0)),
+        ("head_sum_k", headAgg.getLong(1)),
+        ("outstanding", outstanding),
+        ("second_delta_rows", secondDeltaRows)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
+    "f34_merge_evolve" -> ((s, dir) => {
+      // MERGE WITH SCHEMA EVOLUTION (r17 verdict Next #6 — mergeDV
+      // required source columns == target's exactly; widening existed on
+      // append but not merge): a change-set carrying a NEW column widens
+      // the target in the same atomic DV-merge commit — updated and
+      // inserted rows carry the column, pre-merge rows read it as NULL
+      // (null_tag_rows), v0 keeps the two-column surface (v0_cols), and
+      // a DECLARED schema widens through the same gate (inv_widened).
+      val root = IndexCache.freshRoot("mrgevo")
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.filter(col("k") <= 999).repartitionByRange(2, col("k"))) // v0
+      t.setInvariants("k BIGINT, v BIGINT", notNull = Seq("k"))                // v1
+      val s2 = s
+      import s2.implicits._
+      val src = ord.filter(col("k").between(100, 199))
+          .withColumn("v", lit(-1L)).withColumn("tag", lit("u"))
+        .unionByName((0L until 20L).map(i => (100000L + i, 777L, "i"))
+          .toDF("k", "v", "tag"))
+      t.mergeDV(src, Seq("k"), evolveSchema = true)                            // v2
+      val head = t.read()
+      val agg = head.agg(count(lit(1)), sum("v"),
+        sum(when(col("tag").isNull, 1L).otherwise(0L)),
+        sum(when(col("tag").isNotNull, 1L).otherwise(0L))).head()
+      val invWidened =
+        if (t.invariants().exists(_.schemaDdl.contains("tag"))) 1L else 0L
+      Seq(
+        ("head_cols", head.columns.sorted.mkString(",")),
+        ("head_rows", agg.getLong(0).toString),
+        ("head_sum_v", agg.getLong(1).toString),
+        ("inv_widened", invWidened.toString),
+        ("null_tag_rows", agg.getLong(2).toString),
+        ("tagged_rows", agg.getLong(3).toString),
+        ("v0_cols", t.asOf(0L).columns.sorted.mkString(","))
+      ).toDF("metric", "value").orderBy("metric")
+    }),
     "f30_dv_cdf" -> ((s, dir) => {
       // DV-DELTA CDF (r16 verdict Next #2 — a change window whose
       // deletion-vector stamp moved used to fall back to the FULL
@@ -2033,7 +2117,11 @@ object SparkEntry {
       // equal to the full join-based merge on a twin table
       // (merge_equal). The change-set mixes all three MERGE actions:
       // updates, flag-marked deletes, and fresh-key inserts; a second
-      // upsert-only merge runs as the pure SQL statement.
+      // upsert-only merge runs as the pure SQL statement. Content
+      // equality with the join-based merge on a twin table is
+      // spec-asserted (DeletionVectorSpec "equal to the join merge") —
+      // the gate keeps the zero-rewrite + head-content asserts
+      // (r17 verdict Next #2: the twin merge doubled the gate's cost).
       val root = IndexCache.freshRoot("dvmerge")
       val tp = root.resolve("tbl").toString
       val t = new graft.operators.CommitTable(s, tp, "k")
@@ -2054,12 +2142,6 @@ object SparkEntry {
       val files1 = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
       val zeroRewrite =
         if (files0.subsetOf(files1) && (files1 -- files0).nonEmpty) 1L else 0L
-      // twin: the full join-based merge must produce identical content
-      val t2 = new graft.operators.CommitTable(s, root.resolve("cow").toString, "k")
-      t2.overwrite(ord.repartitionByRange(4, col("k")))
-      t2.merge(src, Seq("k"), deleteCol = Some("__del"))
-      val a = t.read(); val b = t2.read()
-      val mergeEqual = if (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) 1L else 0L
       // SQL statement leg: an upsert-only merge by registered name
       s.sql(s"SELECT * FROM log_register('f32_t', '$tp', 'k')").collect()
       ord.filter(col("k").between(400, 420)).withColumn("v", lit(-2L))
@@ -2070,7 +2152,6 @@ object SparkEntry {
       Seq(
         ("head_rows", headAgg.getLong(0)),
         ("head_sum_v", headAgg.getLong(1)),
-        ("merge_equal", mergeEqual),
         ("v0_rows", v0Rows),
         ("zero_rewrite", zeroRewrite)
       ).toDF("metric", "value").orderBy("metric")
@@ -5267,6 +5348,45 @@ object SparkEntry {
         |       SUM(FLOOR(l_extendedprice))::BIGINT AS sum_fprice,
         |       COUNT(DISTINCT l_shipdate)::BIGINT AS n_ship
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f33_dv_append_delta" -> // the append-delta sidecar restated: the
+      // second delete's link stages exactly its own 10 positions, the
+      // window CDF surfaces exactly those 10, resolution and the
+      // consolidation fold both land on orders minus the two ranges
+      """SELECT 'cdf_w2_n' AS metric,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1000 AND 1009)::BIGINT AS value
+        |UNION ALL SELECT 'consolidated_rows',
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 0 AND 900 AND o_orderkey NOT BETWEEN 1000 AND 1009)
+        |UNION ALL SELECT 'head_rows',
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 0 AND 900 AND o_orderkey NOT BETWEEN 1000 AND 1009)
+        |UNION ALL SELECT 'head_sum_k',
+        |  (SELECT SUM(o_orderkey)::BIGINT FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 0 AND 900 AND o_orderkey NOT BETWEEN 1000 AND 1009)
+        |UNION ALL SELECT 'outstanding',
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderkey BETWEEN 0 AND 900 OR o_orderkey BETWEEN 1000 AND 1009)
+        |UNION ALL SELECT 'second_delta_rows',
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1000 AND 1009)
+        |ORDER BY metric""".stripMargin,
+    "f34_merge_evolve" -> // the evolving merge restated: 1000 base rows
+      // + 20 inserts; the new column is NULL exactly on the 900
+      // untouched rows and set on the 100 updates + 20 inserts; the sum
+      // nets the updates to -1 each and adds the inserts' 777s; the
+      // declared schema widened
+      """SELECT 'head_cols' AS metric, 'k,tag,v' AS value
+        |UNION ALL SELECT 'head_rows',
+        |  ((SELECT COUNT(*) FROM orders WHERE o_orderkey <= 999) + 20)::VARCHAR
+        |UNION ALL SELECT 'head_sum_v',
+        |  ((SELECT SUM(o_custkey) FROM orders
+        |    WHERE o_orderkey <= 999 AND o_orderkey NOT BETWEEN 100 AND 199)
+        |   - 100 + 777 * 20)::BIGINT::VARCHAR
+        |UNION ALL SELECT 'inv_widened', '1'
+        |UNION ALL SELECT 'null_tag_rows',
+        |  ((SELECT COUNT(*) FROM orders WHERE o_orderkey <= 999) - 100)::VARCHAR
+        |UNION ALL SELECT 'tagged_rows', '120'
+        |UNION ALL SELECT 'v0_cols', 'k,v'
+        |ORDER BY metric""".stripMargin,
     "f30_dv_cdf" -> // the sidecar-delta feed restated: exactly the
       // deleted key range as 'delete' rows, zero inserts, and both
       // structural flags (content == independent full diff; plan read
@@ -5298,7 +5418,8 @@ object SparkEntry {
       // deleted range plus the 50 inserts (the SQL upsert adds none —
       // its keys exist); sum reflects updates to -1, the deleted
       // range's removal, the inserts' 777s, and the SQL upsert's -2s;
-      // both structural flags must be 1
+      // the structural flag must be 1 (twin-merge equality is
+      // spec-asserted in DeletionVectorSpec)
       """SELECT 'head_rows' AS metric,
         |  (SELECT COUNT(*) FROM orders
         |   WHERE o_orderkey NOT BETWEEN 200 AND 299)::BIGINT + 50 AS value
@@ -5309,7 +5430,6 @@ object SparkEntry {
         |  + (SELECT -1 * COUNT(*) FROM orders WHERE o_orderkey BETWEEN 100 AND 199)
         |  + (SELECT -2 * COUNT(*) FROM orders WHERE o_orderkey BETWEEN 400 AND 420)
         |  + 50 * 777
-        |UNION ALL SELECT 'merge_equal', 1
         |UNION ALL SELECT 'v0_rows', (SELECT COUNT(*) FROM orders)
         |UNION ALL SELECT 'zero_rewrite', 1
         |ORDER BY metric""".stripMargin,

@@ -256,6 +256,20 @@ object KnnGraph {
   }
 
   /** Top-`beam` rows per query by (cos desc, id asc). */
+  /** Exact id-membership cut as a BROADCAST SEMI-JOIN against the (by
+    * contract driver-bounded) id list — never `isin(ids: _*)`: a literal
+    * in-list embeds every id into the plan, so a large query batch's
+    * frontier (queries·beam ids) inflates analysis/codegen per hop,
+    * while the semi-join's plan is constant-size and its build side is
+    * the same driver list shipped once (r17 verdict Next #4). The file
+    * cut stays [[graft.operators.CommitTable.prunedReadIn]]'s job; this
+    * is the row-exact residual. */
+  private def idSemi(spark: SparkSession, df: DataFrame, idCol: String,
+                     ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    df.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+  }
+
   private def topPerQuery(scored: DataFrame, limit: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
@@ -405,8 +419,7 @@ object KnnGraph {
     val entryIds = at.get("entries").map(entT.asOf).getOrElse(entT.read())
       .collect().map(_.getLong(0)).toSeq.sorted // ≤ numEntries by contract
     def scoreIds(cand: DataFrame, ids: Seq[Long]): DataFrame =
-      cand.join(vecs.prunedReadIn(ids, at.get("vectors"))
-            .filter(col("vec_id").isin(ids: _*))
+      cand.join(idSemi(spark, vecs.prunedReadIn(ids, at.get("vectors")), "vec_id", ids)
             .select("vec_id", "e", "nrm"), "vec_id")
         .join(broadcast(queries), "query_id")
         .select(col("query_id"), col("vec_id"),
@@ -418,8 +431,8 @@ object KnnGraph {
     for (_ <- 1 to hops) {
       val frontier = beamDf.select("vec_id").distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
-      val nbrs = graph.prunedReadIn(frontier, at.get("graph"))
-        .filter(col("src").isin(frontier: _*))
+      val nbrs = idSemi(spark, graph.prunedReadIn(frontier, at.get("graph")),
+          "src", frontier)
         .select(col("src"), col("dst"))
       val cand = beamDf.select(col("query_id"), col("vec_id").as("src"))
         .join(nbrs, "src")
@@ -566,7 +579,7 @@ object KnnGraph {
       element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     def scoreIdsAdc(cand: DataFrame, ids: Seq[Long]): DataFrame =
-      cand.join(codesT.prunedReadIn(ids).filter(col("vec_id").isin(ids: _*))
+      cand.join(idSemi(spark, codesT.prunedReadIn(ids), "vec_id", ids)
             .select("vec_id", "codes"), "vec_id")
         .join(broadcast(queries.select("query_id", "lut")), "query_id")
         .select(col("query_id"), col("vec_id"), adcCol.as("adc"))
@@ -582,7 +595,7 @@ object KnnGraph {
     for (_ <- 1 to hops) {
       val frontier = beamDf.select("vec_id").distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
-      val nbrs = graph.prunedReadIn(frontier).filter(col("src").isin(frontier: _*))
+      val nbrs = idSemi(spark, graph.prunedReadIn(frontier), "src", frontier)
         .select(col("src"), col("dst"))
       val cand = beamDf.select(col("query_id"), col("vec_id").as("src"))
         .join(nbrs, "src")
@@ -607,7 +620,7 @@ object KnnGraph {
     val candIds = cands.select("vec_id").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // ≤ numQueries·k·candFactor by contract
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    cands.join(vecs.prunedReadIn(candIds).filter(col("vec_id").isin(candIds: _*))
+    cands.join(idSemi(spark, vecs.prunedReadIn(candIds), "vec_id", candIds)
           .select("vec_id", "e", "nrm"), "vec_id")
       .join(broadcast(queries.select("query_id", "qe", "qn")), "query_id")
       .withColumn("cos", dot(col("e"), col("qe")) / (col("nrm") * col("qn")))

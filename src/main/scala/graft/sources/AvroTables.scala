@@ -27,12 +27,14 @@ import org.apache.spark.sql.types._
   *    schema mapping is explicit and validated up front — an unsupported
   *    column type fails the WRITE with the column name, never a task.
   *  - READ: the schema comes from the FIRST file's embedded header (one
-  *    driver read — Avro files are self-describing), then every file is
-  *    decoded in its own task. Parallelism is FILE-granular: at the
-  *    100 TB design point ingest directories hold many files of bounded
-  *    size (the upstream writer's rotation), so per-file tasks saturate
-  *    the cluster; Avro's sync markers would allow sub-file splits, and
-  *    that is the documented upgrade path if single giant files appear.
+  *    driver read — Avro files are self-describing), then the files are
+  *    split on SYNC MARKERS into byte-range tasks (r17 verdict Next #5
+  *    — parallelism was file-granular, so one giant Avro file from an
+  *    upstream writer serialized to one task): each task seeks to the
+  *    first sync point at-or-after its range start and decodes blocks
+  *    until past its range end — the standard Hadoop Avro split
+  *    discipline, exact because every record belongs to exactly one
+  *    post-sync block. Files smaller than the split size stay one task.
   *
   * Type coverage (both directions): BOOLEAN/INT/BIGINT/FLOAT/DOUBLE/
   * STRING/BINARY, DATE (int/date), TIMESTAMP (long/timestamp-micros),
@@ -153,11 +155,22 @@ object AvroTables {
 
   // ----- write --------------------------------------------------------------
 
+  /** A published Avro part file: `part-*.avro`, never dot-prefixed.
+    * In-flight temp names both carry a non-`.avro` suffix AND a dot
+    * prefix, so a killed/failed/speculative attempt's truncated file can
+    * never satisfy this predicate — the reader and the write-count must
+    * share it (r17 advice: temp files ending in `.avro` were visible to
+    * both, so a dead attempt's half-written container decoded as data). */
+  private def isPartFile(name: String): Boolean =
+    name.endsWith(".avro") && !name.startsWith(".")
+
   /** Writes `df` as snappy-compressed Avro container files under `dir`
     * (one per non-empty partition; temp-name + rename inside the task).
     * Returns the number of files written. The directory must not already
-    * hold part files (ErrorIfExists semantics, like the other sinks). */
-  def write(df: DataFrame, dir: String): Long = {
+    * hold part files (ErrorIfExists semantics, like the other sinks).
+    * `syncInterval` sets the Avro block size in bytes (0 = library
+    * default ~64 KiB) — smaller blocks mean finer read splits. */
+  def write(df: DataFrame, dir: String, syncInterval: Int = 0): Long = {
     val spark = df.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirPath = new Path(dir)
@@ -174,10 +187,13 @@ object AvroTables {
         val fieldSchemas = schema.getFields.asScala.map(_.schema()).toArray
         val conf = new Configuration()
         val tfs = new Path(dir).getFileSystem(conf)
-        val tmp = new Path(dir, f".tmp-part-$pid%05d-$attempt.avro")
+        // temp name is NOT a part file by [[isPartFile]] (dot prefix +
+        // `.inprogress` suffix): invisible to readers however it dies
+        val tmp = new Path(dir, f".tmp-part-$pid%05d-$attempt.avro.inprogress")
         val out = tfs.create(tmp, true)
         val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         writer.setCodec(CodecFactory.snappyCodec())
+        if (syncInterval > 0) writer.setSyncInterval(syncInterval)
         writer.create(schema, out)
         try {
           it.foreach { row =>
@@ -190,45 +206,78 @@ object AvroTables {
             writer.append(rec)
           }
         } finally writer.close() // closes the stream too
-        // rename-into-place: a retried/killed attempt's temp file is
-        // invisible to the reader's *.avro listing and harmless
-        tfs.rename(tmp, new Path(dir, f"part-$pid%05d.avro"))
+        // rename-into-place, CHECKED (r17 advice: an unchecked failed
+        // rename silently dropped the partition): a failed rename whose
+        // destination exists means another attempt of THIS partition
+        // already published (speculation/retry — same deterministic
+        // content), so this attempt discards its temp and succeeds;
+        // any other failure fails the task loudly
+        val dest = new Path(dir, f"part-$pid%05d.avro")
+        if (!tfs.rename(tmp, dest)) {
+          val alreadyPublished = tfs.exists(dest)
+          tfs.delete(tmp, false)
+          if (!alreadyPublished) throw new java.io.IOException(
+            s"AvroTables.write: failed to publish $tmp -> $dest")
+        }
         ()
       }
     }
-    fs.listStatus(dirPath).count(_.getPath.getName.endsWith(".avro")).toLong
+    fs.listStatus(dirPath).count(s => isPartFile(s.getPath.getName)).toLong
   }
 
   // ----- read ---------------------------------------------------------------
 
   /** Reads an Avro container-file directory: schema from the first
-    * file's embedded header (one driver read), one decode task per file.
+    * file's embedded header (one driver read); files larger than
+    * `splitBytes` split into byte-range tasks on SYNC MARKERS — each
+    * task seeks to the first sync point at-or-after its range start and
+    * decodes blocks until past its range end (the Hadoop
+    * AvroRecordReader discipline: a record belongs to exactly one
+    * post-sync block, so ranges partition the records exactly). One
+    * giant container file from an upstream writer therefore fans out to
+    * `ceil(len / splitBytes)` tasks instead of serializing to one
+    * (r17 verdict Next #5). `splitBytes <= 0` takes the session's
+    * `spark.sql.files.maxPartitionBytes` — the same knob the parquet
+    * scans are sized with.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, splitBytes: Long = -1L): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
     val files = fs.listStatus(new Path(dir))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-      .map(_.getPath.toString).sorted
+      .filter(s => s.isFile && isPartFile(s.getPath.getName))
+      .sortBy(_.getPath.getName)
     require(files.nonEmpty, s"AvroTables.read: no .avro files under $dir")
     val header = new DataFileReader(
-      new FsInput(new Path(files.head), conf), new GenericDatumReader[GenericRecord]())
+      new FsInput(files.head.getPath, conf), new GenericDatumReader[GenericRecord]())
     val avroSchema = try header.getSchema finally header.close()
     val sparkSchema = toSparkSchema(avroSchema)
     val fieldTypes = sparkSchema.fields.map(_.dataType)
     val n = sparkSchema.length
-    val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length)
-      .flatMap { f =>
+    val split = if (splitBytes > 0L) splitBytes
+      else spark.sessionState.conf.filesMaxPartitionBytes
+    // (path, rangeStart, rangeEnd) splits — driver arithmetic over the
+    // listing; files at or under the split size stay whole
+    val splits = files.toIndexedSeq.flatMap { st =>
+      val len = st.getLen
+      val p = st.getPath.toString
+      if (len <= split) Seq((p, 0L, len))
+      else (0L until len by split).map(s => (p, s, math.min(s + split, len)))
+    }
+    val rdd = spark.sparkContext.parallelize(splits, splits.length)
+      .flatMap { case (f, start, end) =>
         val reader = new DataFileReader(
           new FsInput(new Path(f), new Configuration()),
           new GenericDatumReader[GenericRecord]())
+        // claim the blocks whose sync marker sits in [start, end): seek
+        // to the first sync at-or-after start, stop once past end
+        reader.sync(start)
         // a closing iterator: streams records without materializing the
-        // file, releases the handle at exhaustion
+        // range, releases the handle at exhaustion
         new Iterator[Row] {
           private var closed = false
           override def hasNext: Boolean = {
             if (closed) false
-            else if (reader.hasNext) true
+            else if (reader.hasNext && !reader.pastSync(end)) true
             else { reader.close(); closed = true; false }
           }
           override def next(): Row = {

@@ -971,19 +971,33 @@ class CommitLogSpec extends SparkSpec {
       override protected def supportedProtocol: Long = 1L
     }
     assert(rows(oldReader().read()) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
-    // a DV delete stamps a reader-affecting plane → protocol 2: the old
-    // reader must FAIL LOUDLY here — resolving the file list fine and
-    // ignoring the stamp would silently return the deleted row
-    t.deleteRangeDV(2L, 2L)                 // v2: dvv stamped
+    // a DV delete stamps a DELTA-encoded sidecar version → protocol 3:
+    // both the protocol-1 reader AND a protocol-2 (snapshot-sidecar era)
+    // reader must FAIL LOUDLY here — a protocol-2 reader resolves the
+    // sidecar with overwrite semantics and would silently over-delete
+    // past an orphaned append
+    def r17Reader() = new CommitTable(spark, dir, "k") {
+      override protected def supportedProtocol: Long = 2L
+    }
+    t.deleteRangeDV(2L, 2L)                 // v2: delta dvv stamped
     val e = intercept[IllegalArgumentException](oldReader().read().collect())
-    assert(e.getMessage.contains("protocol 2"), e.getMessage)
+    assert(e.getMessage.contains("protocol 3"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](r17Reader().read().collect())
+    assert(e2.getMessage.contains("protocol 3"), e2.getMessage)
     // the guard is per-version: pre-stamp versions still read
     assert(rows(oldReader().asOf(1L)) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
     // the current build reads through the plane normally
     assert(rows(t.read()) === Set(1L -> "a", 3L -> "c"))
+    // consolidation folds the chain to a SNAPSHOT sidecar version — the
+    // stamp drops back to protocol 2, exactly what a snapshot-era reader
+    // resolves correctly
+    t.consolidateDv()                       // v3: snapshot dvv stamped
+    assert(rows(r17Reader().read()) === Set(1L -> "a", 3L -> "c"))
+    val e3 = intercept[IllegalArgumentException](oldReader().read().collect())
+    assert(e3.getMessage.contains("protocol 2"), e3.getMessage)
     // OPTIMIZE materializes the vector and carries no plane → the commit
     // drops back to protocol 1 and old readers work again
-    t.compact(1)                            // v3
+    t.compact(1)                            // v4
     assert(rows(oldReader().read()) === Set(1L -> "a", 3L -> "c"))
   }
 

@@ -143,24 +143,32 @@ class DeletionVectorSpec extends SparkSpec {
       "orphaned sidecar content must never leak into the live vector")
   }
 
-  test("vacuum reclaims sidecar snapshots no kept main version stamps") {
+  test("vacuum keeps chain members of kept stamps; consolidation makes delta links reclaimable") {
     val dir = Files.createTempDirectory("graft-dv-vac").toString
     val t = new CommitTable(spark, dir, "k")
     t.overwrite(kv((1L to 10L).map(i => i -> i): _*))  // v0
-    t.deleteRangeDV(1L, 1L)                            // v1 -> dv snapshot 0
-    t.deleteRangeDV(2L, 2L)                            // v2 -> dv snapshot 1
-    t.deleteRangeDV(3L, 3L)                            // v3 -> dv snapshot 2
+    t.deleteRangeDV(1L, 1L)                            // v1 -> dv 0 (chain start)
+    t.deleteRangeDV(2L, 2L)                            // v2 -> dv 1 (0 → 1)
+    t.deleteRangeDV(3L, 3L)                            // v3 -> dv 2 (0 → 1 → 2)
     def dvDirs() = new java.io.File(s"$dir/_dv").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("d"))
     assert(dvDirs() === 3)
-    // keep the last two main versions: only their stamped snapshots (1, 2)
-    // and the sidecar head survive
-    val reclaimed = t.vacuum(keepLast = 2)
-    assert(reclaimed >= 1L, "the unstamped sidecar snapshot must be reclaimed")
-    assert(dvDirs() === 2)
-    // the kept versions still read exactly through their vectors
+    // keep the last two main versions (stamps dv 1 and dv 2): delta link
+    // dv 0 is a CHAIN MEMBER of both kept stamps — its directory is
+    // referenced through their carried file lists and must survive
+    assert(t.vacuum(keepLast = 2) === 0L)
+    assert(dvDirs() === 3)
     assert(keys(t.asOf(2L)) === (3L to 10L).toSet)
+    // consolidation folds the chain to ONE snapshot version and restamps;
+    // vacuuming to the head alone then reclaims every delta link
+    t.consolidateDv()                                  // v4 -> dv 3 (snapshot)
+    val reclaimed = t.vacuum(keepLast = 1)
+    assert(reclaimed >= 3L, "all three delta links must be reclaimed after the fold")
+    assert(dvDirs() === 1)
     assert(keys(t.read()) === (4L to 10L).toSet)
+    // the consolidated stamp keeps composing: a further delete chains on it
+    t.deleteRangeDV(4L, 4L)
+    assert(keys(t.read()) === (5L to 10L).toSet)
   }
 
   test("idempotent appends enforce declared invariants (streaming-sink write path)") {
@@ -393,22 +401,158 @@ class DeletionVectorSpec extends SparkSpec {
       t.updateWhereDV("k = 3", Seq("a" -> "1", "a" -> "2")))
   }
 
-  test("restore refuses a version whose DV sidecar snapshot was vacuumed (r16 advice)") {
+  test("restore refuses a version whose DV sidecar files were vacuumed (r16 advice)") {
     val dir = Files.createTempDirectory("graft-dv-resvac").toString
     val t = new CommitTable(spark, dir, "k")
     t.overwrite(kv((1L to 6L).map(i => i -> i): _*).coalesce(1)) // v0
-    t.deleteRangeDV(2L, 2L)                                      // v1 → dv snapshot 0
-    t.deleteRangeDV(3L, 3L)                                      // v2 → dv snapshot 1
+    t.deleteRangeDV(2L, 2L)                                      // v1 → dv 0 (delta)
+    t.deleteRangeDV(3L, 3L)                                      // v2 → dv 1 (0 → 1)
+    t.consolidateDv()                                            // v3 → dv 2 (snapshot)
     // keep only the head: v1's DATA dir survives (shared with the head's
-    // file list) but its dv snapshot 0 is reclaimed — exactly the case
-    // where restore(1) would commit a head whose every read then fails
+    // file list) but the delta links dv 0/1 are reclaimed (only the
+    // consolidated snapshot is stamped by a kept version) — exactly the
+    // case where restore(1) would commit a head whose every read fails
     t.vacuum(keepLast = 1)
     val e = intercept[IllegalArgumentException](t.restore(1L))
     assert(e.getMessage.contains("deletion-vector"),
       s"restore must fail loudly BEFORE committing, got: ${e.getMessage}")
     // nothing was committed; the table stays healthy and restorable
     assert(keys(t.read()) === Set(1L, 4L, 5L, 6L))
-    t.restore(2L)
+    t.restore(3L)
     assert(keys(t.read()) === Set(1L, 4L, 5L, 6L))
+  }
+
+  test("DV commits append O(newly deleted) sidecar bytes on a churn-heavy table (r17 verdict Next #1)") {
+    val dir = Files.createTempDirectory("graft-dv-onew").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 2000L).map(i => i -> i): _*)
+      .repartitionByRange(4, col("k")))                // v0
+    t.deleteRangeDV(1L, 1000L)                         // v1 → dv 0: 1000 marks
+    t.deleteRangeDV(1500L, 1501L)                      // v2 → dv 1: 2 marks
+    // the second sidecar commit must stage ONLY its own 2 positions —
+    // the old snapshot discipline rewrote all 1002 into one file
+    def stagedRows(dvVer: Long): Long = {
+      val files = new java.io.File(s"$dir/_dv").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(s"d$dvVer-"))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(_.getPath.toString)
+      if (files.isEmpty) 0L
+      else spark.read.parquet(files.toIndexedSeq: _*).count()
+    }
+    assert(stagedRows(0L) === 1000L)
+    assert(stagedRows(1L) === 2L,
+      "a small DV delete must append only its own positions, not the accumulated set")
+    // resolution unions the chain exactly
+    assert(t.read().count() === 998L)
+    assert(t.dvOutstanding() === 1002L)
+    assert(keys(t.read().filter(col("k") < 1003L)) === Set(1001L, 1002L))
+    // and the per-window CDF reads only the window's appended link
+    val cdf = t.changesBetween(1L, 2L)
+    assert(cdf.collect().map(r => (r.getString(2), r.getLong(0))).toSet ===
+      Set(("delete", 1500L), ("delete", 1501L)))
+  }
+
+  test("consolidateDv folds a long chain to one snapshot with identical content; no-op without a stamp") {
+    val dir = Files.createTempDirectory("graft-dv-consol").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 30L).map(i => i -> i): _*).repartition(3)) // v0
+    // no stamp → no-op
+    assert(t.consolidateDv() === 0L)
+    (1L to 6L).foreach(i => t.deleteRangeDV(i * 3, i * 3))          // v1..v6
+    val before = keys(t.read())
+    assert(before === (1L to 30L).toSet -- (1L to 6L).map(_ * 3L).toSet)
+    val v = t.consolidateDv()                                        // v7
+    assert(v === 7L)
+    assert(keys(t.read()) === before, "the fold must not change content")
+    assert(t.dvOutstanding() === 6L)
+    // an immediate second fold is a no-op (already one snapshot)
+    assert(t.consolidateDv() === v)
+    // time travel through pre-fold versions still resolves their chains
+    assert(keys(t.asOf(3L)) === (1L to 30L).toSet -- Set(3L, 6L, 9L))
+    // further deletes chain on the consolidated snapshot base
+    t.deleteRangeDV(1L, 1L)                                          // v8
+    assert(keys(t.read()) === before - 1L)
+    assert(t.dvOutstanding() === 7L)
+  }
+
+  test("mergeDV pure-delete change-set publishes metadata-only (r17 advice)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-dv-pdel").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 10L).map(i => i -> i * 10L): _*).coalesce(1)) // v0
+    val src = Seq((3L, 0L, true), (7L, 0L, true)).toDF("k", "v", "__del")
+    val v = t.mergeDV(src, Seq("k"), deleteCol = Some("__del"))        // v1
+    assert(v === 1L)
+    assert(keys(t.read()) === (1L to 10L).toSet -- Set(3L, 7L))
+    // metadata-only: NO data directory was staged for v1
+    val v1Dirs = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("d1-"))
+    assert(v1Dirs === 0, "a pure-delete merge must not stage an empty data directory")
+    // counters honest
+    val h = t.history().collect().find(_.getLong(0) == 1L).get
+    assert(h.getString(2) === "merge-dv" && h.getLong(4) === 8L)
+  }
+
+  test("mergeDV fails loudly on duplicate-key targets; allowDuplicateTargets opts into the SCD-1 collapse (r17 verdict Next #3)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-dv-dup").toString
+    val t = new CommitTable(spark, dir, "k")
+    // target holds TWO rows for k = 5
+    t.overwrite(kv((1L to 6L).map(i => i -> i * 10L) :+ (5L -> 555L): _*))
+    val src = Seq((5L, -1L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](t.mergeDV(src, Seq("k")))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    assert(t.latestVersion() === Some(0L), "the failed merge must not commit")
+    // non-matching duplicate keys are fine — uniqueness is probed over
+    // the MATCHED keys only
+    t.mergeDV(Seq((2L, -2L)).toDF("k", "v"), Seq("k"))                // v1
+    assert(t.read().filter(col("k") === 2L).select("v").head().getLong(0) === -2L)
+    assert(t.read().filter(col("k") === 5L).count() === 2L)
+    // the explicit opt-in collapses the duplicates to the one source row
+    t.mergeDV(src, Seq("k"), allowDuplicateTargets = true)            // v2
+    assert(t.read().filter(col("k") === 5L).collect().map(_.getLong(1)).toSeq === Seq(-1L))
+  }
+
+  test("mergeDV WITH SCHEMA EVOLUTION: new source columns widen the target atomically, NULL-backfilled (r17 verdict Next #6)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-dv-evo").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 4L).map(i => i -> i * 10L): _*).coalesce(1))  // v0
+    val src = Seq((2L, -2L, "up"), (9L, 90L, "new")).toDF("k", "v", "tag")
+    // without the opt-in, the widened source rejects loudly
+    val e = intercept[IllegalArgumentException](t.mergeDV(src, Seq("k")))
+    assert(e.getMessage.contains("evolveSchema"), e.getMessage)
+    t.mergeDV(src, Seq("k"), evolveSchema = true)                       // v1
+    val head = t.read()
+    assert(head.columns.toSet === Set("k", "v", "tag"))
+    val byK = head.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(byK(2L) === ((-2L, "up")))
+    assert(byK(9L) === ((90L, "new")))
+    assert(byK(1L) === ((10L, null)), "pre-merge rows read the new column as NULL")
+    // v0 keeps its original two-column surface
+    assert(t.asOf(0L).columns.toSet === Set("k", "v"))
+    // a DECLARED schema widens through the same gate (f26 semantics)
+    val t2 = new CommitTable(spark, dir + "-inv", "k")
+    t2.overwrite(kv(1L -> 10L))
+    t2.setInvariants("k BIGINT, v BIGINT", notNull = Seq("k"))
+    t2.mergeDV(Seq((1L, -1L, "x")).toDF("k", "v", "tag"), Seq("k"), evolveSchema = true)
+    assert(t2.read().columns.toSet === Set("k", "v", "tag"))
+    assert(t2.invariants().get.schemaDdl.contains("tag"))
+  }
+
+  test("DV DML rejects predicates and assignments naming internal position columns (r17 advice)") {
+    val dir = Files.createTempDirectory("graft-dv-int").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv(1L -> 10L, 2L -> 20L))
+    intercept[IllegalArgumentException](t.deleteWhereDV("__dvp = 0"))
+    intercept[IllegalArgumentException](t.updateWhereDV("__dvf = 'x'", "v", "1"))
+    intercept[IllegalArgumentException](t.updateWhereDV("k = 1", "v", "__dvp + 1"))
+    intercept[IllegalArgumentException](t.updateWhereDV("k = 1", "__dvp", "1"))
+    assert(t.latestVersion() === Some(0L), "rejections must not commit")
+    assert(keys(t.read()) === Set(1L, 2L))
   }
 }

@@ -314,6 +314,35 @@ class KnnGraphSpec extends SparkSpec {
     assert(codes.read().count() === vecs.length.toLong)
   }
 
+  test("beam frontiers never embed as literal in-lists: plans stay constant-size under large query batches (r17 verdict Next #4)") {
+    val vecs = clustered(n = 120, dim = 16, spread = 1.0, seed = 33)
+    val root = java.nio.file.Files.createTempDirectory("graft-gann-inlist").toString
+    KnnGraph.buildKnnGraphIndex(embDF(vecs), root, k = 6, rounds = 3)
+    KnnGraph.addPqToKnnGraphIndex(embDF(vecs), root, m = 4, ksub = 16, dim = 16)
+    // frontier/candidate membership must be a broadcast semi-join, never
+    // `isin(ids: _*)` — a literal list is O(queries·beam) PLAN size per
+    // hop. The walk localCheckpoints each hop, so inspect every stage:
+    // collect In/InSet sizes from the final plan of both search paths
+    // (the last stage joins the largest id list of the whole walk).
+    def maxInList(df: org.apache.spark.sql.DataFrame): Int = {
+      val sizes = df.queryExecution.optimizedPlan.flatMap(p =>
+        p.expressions.flatMap(_.collect {
+          case in: org.apache.spark.sql.catalyst.expressions.In => in.list.size
+          case s: org.apache.spark.sql.catalyst.expressions.InSet => s.hset.size
+        }))
+      if (sizes.isEmpty) 0 else sizes.max
+    }
+    val float = KnnGraph.knnGraphSearch(spark, root, numQueries = 24, k = 4)
+    val pq = KnnGraph.pqGraphSearch(spark, root, numQueries = 24, k = 4, dim = 16)
+    assert(maxInList(float) <= 8,
+      s"float-path plan embeds a literal id list of ${maxInList(float)}")
+    assert(maxInList(pq) <= 8,
+      s"PQ-path plan embeds a literal id list of ${maxInList(pq)}")
+    // and the results are still the exact contract (k rows per query)
+    assert(float.collect().length === 24 * 4)
+    assert(pq.collect().length === 24 * 4)
+  }
+
   test("index manifest: one atomic version per build/append, whole-index time travel replays the pre-append search") {
     val vecs = clustered(n = 120, dim = 16, spread = 1.0, seed = 41)
     val root = java.nio.file.Files.createTempDirectory("graft-idxver-spec").toString

@@ -123,4 +123,47 @@ class TableFormatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.sources.AvroTables.write(df, p))
   }
+
+  test("avro sync-marker splits: one multi-block file reads as many tasks, exactly once (r17 verdict Next #5)") {
+    val s = spark
+    import s.implicits._
+    val p = tmp("avro_split")
+    // ONE container file with many small blocks (syncInterval floors at
+    // 32 bytes in the Avro writer; long string payloads force rotation)
+    val df = (0L until 5000L).map(i => (i, s"payload-$i-" + "x" * 40))
+      .toDF("k", "v").coalesce(1)
+    assert(graft.sources.AvroTables.write(df, p, syncInterval = 1024) === 1L)
+    // small splitBytes fans the single file out to MANY byte-range tasks
+    val back = graft.sources.AvroTables.read(spark, p, splitBytes = 16 * 1024)
+    assert(back.rdd.getNumPartitions > 1,
+      s"a multi-block file must split past one task, got ${back.rdd.getNumPartitions}")
+    // exactly-once across range boundaries: every record once, none lost
+    assert(back.count() === 5000L)
+    assert(back.select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 5000L).toSeq)
+    // whole-file reads (default split) agree
+    val whole = graft.sources.AvroTables.read(spark, p)
+    assert(whole.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      back.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("avro dead-attempt temp files are invisible to readers and the write count (r17 advice)") {
+    val s = spark
+    import s.implicits._
+    val p = tmp("avro_tmpdbr")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+    assert(graft.sources.AvroTables.write(df, p) === 1L)
+    // plant a TRUNCATED in-flight temp (what a killed attempt leaves) and
+    // a foreign dot-file: neither may reach the reader or future listings
+    val fs = new java.io.File(p)
+    java.nio.file.Files.write(
+      new java.io.File(fs, ".tmp-part-00007-99.avro.inprogress").toPath,
+      Array[Byte](0x4f, 0x62, 0x6a, 0x01)) // 'Obj1' magic, then truncated
+    java.nio.file.Files.write(
+      new java.io.File(fs, ".hidden.avro").toPath, Array[Byte](1, 2, 3))
+    val back = graft.sources.AvroTables.read(spark, p)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set(1L -> "a", 2L -> "b"),
+      "a truncated dead-attempt file must never decode as data")
+  }
 }
