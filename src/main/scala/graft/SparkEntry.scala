@@ -3487,6 +3487,60 @@ object SparkEntry {
       Similarity.consolidateIvfIndex(s, idx)
       Similarity.ivfTopKIndexed(s, idx)
     }),
+    "st30_landing_ingest" -> ((s, dir) => {
+      // DIRECTORY-TAIL STREAMING INGEST (r17 verdict Next #8 — the raw
+      // landing zone had to be batch-loaded before the table-to-table
+      // change feeds took over): a DSv2 MicroBatchStream tails a landing
+      // directory of JSONL files with an O(1) file-name-watermark offset,
+      // feeding appendIdempotent in foreachBatch — end-to-end
+      // exactly-once. Two files land, a REAL StreamExecution consumes
+      // them; a third lands and a SECOND query run restarts from the
+      // checkpoint (offsets restart-safe — only the new file is read,
+      // nothing re-ingests); the committed table must equal the batch
+      // load of all three slices, duplicates impossible.
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-landing-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      val land = root.resolve("land")
+      java.nio.file.Files.createDirectories(land)
+      val ckpt = root.resolve("ckpt").toString
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      def landFile(name: String, lo: Long, hi: Long): Unit = {
+        // the shipper discipline the source documents: upload dot-prefixed,
+        // rename into place — a half-written file is never offered
+        val lines = ord.filter(col("k").between(lo, hi)).orderBy("k")
+          .toJSON.collect().mkString("\n")
+        val tmp = land.resolve(s".$name.inprogress")
+        java.nio.file.Files.write(tmp, lines.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, land.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      def runOnce(): Unit = {
+        val src = s.readStream.format("graft.sources.LandingZoneStream")
+          .option("format", "jsonl").option("ddl", "k BIGINT, v BIGINT")
+          .load(land.toString)
+        val q = src.writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            t.appendIdempotent(b, "landing", id); () }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      landFile("f00001.jsonl", 0L, 199L)
+      landFile("f00002.jsonl", 200L, 399L)
+      runOnce()
+      landFile("f00003.jsonl", 400L, 499L)
+      runOnce() // restart from the checkpoint: only the new file
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          sum("k").as("sum_k"),
+          sum("v").as("sum_v"))
+        .select(lit(1L).as("one"), col("n_rows"), col("sum_k"), col("sum_v"))
+    }),
     "st29_stream_dv_delete" -> ((s, dir) => {
       // st25's streamed delete lifecycle driven by a DELETION-VECTOR
       // commit instead of the CoW rewrite (r16 verdict Next #4): the
@@ -6378,6 +6432,12 @@ object SparkEntry {
     "st25_stream_index_delete" -> // the streamed tombstone + consolidation
       // equals s27's filtered mirror (deleteRange BETWEEN is inclusive)
       Similarity.ivfTopKSql(candFilter = "NOT (vec_id BETWEEN 120 AND 179)"),
+    "st30_landing_ingest" -> // the streamed landing ingest must equal the
+      // batch load of the three staged slices (keys 0..499), exactly
+      // once across the restart — any replay doubles the sums
+      """SELECT 1::BIGINT AS one, COUNT(*) AS n_rows,
+        |       SUM(o_orderkey)::BIGINT AS sum_k, SUM(o_custkey)::BIGINT AS sum_v
+        |FROM orders WHERE o_orderkey <= 499""".stripMargin,
     "st29_stream_dv_delete" -> // the DV-delete-driven stream must land on
       // the SAME index state as st25's CoW-driven one — the mirror is
       // identical by design (delete mechanics must not leak downstream)
