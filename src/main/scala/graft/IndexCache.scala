@@ -58,6 +58,22 @@ object IndexCache {
       val tag = s"tpl-$h-" + key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
       val idx = freshRoot(tag).resolve("idx").toString
       build(idx)
+      // HARDLINK INVARIANT, enforced (r17 advice): [[privateCopy]] shares
+      // template INODES, which is safe exactly because the engine's write
+      // discipline is create-new + rename-publish — committed bytes are
+      // never modified in place ([[graft.operators.LogStore]] stages to
+      // fresh names; sinks write fresh directories; vacuum only unlinks).
+      // Dropping the write bit on every template file turns any future
+      // in-place write (fs.create(path, overwrite=true) on an existing
+      // path) into a LOUD failure instead of silent cross-copy template
+      // corruption; rename-replacement and unlink still work (they need
+      // directory permission, not file permission).
+      val walk = Files.walk(Paths.get(idx))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(Files.isRegularFile(_))
+          .foreach(p => { p.toFile.setWritable(false, false); () })
+      } finally walk.close()
       idx
     })
 

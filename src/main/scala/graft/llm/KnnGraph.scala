@@ -659,7 +659,8 @@ object KnnGraph {
     * Monotone under churn by construction (each append/delete only adds
     * to its numerator until consolidation clears both).
     */
-  def knnGraphLinkStats(spark: SparkSession, indexRoot: String): DataFrame = {
+  def knnGraphLinkStats(spark: SparkSession, indexRoot: String,
+                        adjacency: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val graph = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
     // append share — log metadata only
@@ -683,7 +684,14 @@ object KnnGraph {
     val del = Tombstones.read(spark, indexRoot, "vec_id")
       .map(_.select(col("vec_id").as("__t")))
       .getOrElse(Seq.empty[Long].toDF("__t"))
-    val g = graph.read().select("src", "dst")
+    // monitoring loops probing repeatedly between TOMBSTONE-ONLY
+    // mutations may pass a materialized `(src, dst)` frame — deletes
+    // commit tombstones and never touch the graph table, so the
+    // adjacency is provably identical across such probes and re-scanning
+    // it per probe is pure waste (r17 verdict Next #2, the s40 trim).
+    // Callers own the staleness contract: pass None after anything that
+    // rewrites adjacency (build, append, consolidate, OPTIMIZE).
+    val g = adjacency.getOrElse(graph.read().select("src", "dst"))
     val marked = g
       .join(broadcast(del.select(col("__t").as("__ts"))),
         col("src") === col("__ts"), "left")

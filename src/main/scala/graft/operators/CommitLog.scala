@@ -1917,11 +1917,20 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   def compact(targetFiles: Int = 4): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     // content-preserving of WHATEVER head it reads, so a lost race with a
-    // concurrent writer is safe to retry — read() re-resolves inside the
-    // by-name body, so the retry compacts the NEW head (Delta's rule:
-    // maintenance never conflicts with appends, it just goes again)
-    rebaseOnConflict(3)(
-      commitVersion(read().repartition(targetFiles), keepPrevious = false, op = "compact"))
+    // concurrent writer is safe to retry — the base re-resolves inside
+    // the by-name body, so the retry compacts the NEW head (Delta's
+    // rule: maintenance never conflicts with appends, it just goes
+    // again). The base is pinned EXPLICITLY and passed as expectedBase:
+    // an append landing between the base read and the version
+    // resolution otherwise publishes the rewrite at head+2 cleanly and
+    // silently ERASES the interleaved append — the cross-session race
+    // spec caught exactly this lost-update window (r18).
+    rebaseOnConflict(3) {
+      val base = latestVersion().getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      commitVersion(asOf(base).repartition(targetFiles), keepPrevious = false,
+        op = "compact", expectedBase = Some(base))
+    }
   }
 
   /** Clustered compaction — the OPTIMIZE shape for INDEX tables whose
@@ -1937,10 +1946,15 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     */
   def compactClustered(clusterCol: String, targetFiles: Int = 4): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    // auto-retry on a lost race, re-reading the new head ([[compact]])
-    rebaseOnConflict(3)(
-      commitVersion(read().repartitionByRange(targetFiles, col(clusterCol)),
-        keepPrevious = false, op = "compact"))
+    // auto-retry on a lost race, re-reading the new head; explicit
+    // expectedBase closes the interleaved-append lost-update window
+    // ([[compact]])
+    rebaseOnConflict(3) {
+      val base = latestVersion().getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      commitVersion(asOf(base).repartitionByRange(targetFiles, col(clusterCol)),
+        keepPrevious = false, op = "compact", expectedBase = Some(base))
+    }
   }
 
   /** OPTIMIZE to a target file SIZE — the production knob (Delta and
@@ -1968,8 +1982,10 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
       val target = math.max(1L, (total + targetBytes - 1) / targetBytes)
       require(target <= Int.MaxValue.toLong,
         s"compactClusteredToSize: $total bytes / $targetBytes per file needs $target files")
-      commitVersion(read().repartitionByRange(target.toInt, col(clusterCol)),
-        keepPrevious = false, op = "compact")
+      // the measured base is the rewrite base — expectedBase closes the
+      // interleaved-append lost-update window ([[compact]])
+      commitVersion(asOf(v).repartitionByRange(target.toInt, col(clusterCol)),
+        keepPrevious = false, op = "compact", expectedBase = Some(v))
     }
   }
 
@@ -2003,14 +2019,18 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
   def optimizeZorder(xCol: String, yCol: String, bits: Int = 10,
                      targetFiles: Int = 8): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    // auto-retry on a lost race, re-reading the new head ([[compact]])
+    // auto-retry on a lost race, re-reading the new head; explicit
+    // expectedBase closes the interleaved-append lost-update window
+    // ([[compact]])
     rebaseOnConflict(3) {
-      val clustered = read()
+      val base = latestVersion().getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      val clustered = asOf(base)
         .withColumn("__z", expr(Partitioning.zorderExpr(xCol, yCol, bits)))
         .repartitionByRange(targetFiles, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
-      commitVersion(clustered, keepPrevious = false, op = "zorder")
+      commitVersion(clustered, keepPrevious = false, op = "zorder", expectedBase = Some(base))
     }
   }
 
