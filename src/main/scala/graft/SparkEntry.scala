@@ -1968,8 +1968,12 @@ object SparkEntry {
         .filter(f => f.isDirectory && f.getName.startsWith(s"d$dvv2-"))
         .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
         .map(_.getPath)
+      // links are range-encoded (file, pos_lo, pos_hi): the covered
+      // POSITION count is the O(new) measure
       val secondDeltaRows =
-        if (dvFiles.isEmpty) 0L else s.read.parquet(dvFiles.toIndexedSeq: _*).count()
+        if (dvFiles.isEmpty) 0L
+        else s.read.parquet(dvFiles.toIndexedSeq: _*)
+          .agg(sum(col("pos_hi") - col("pos_lo") + lit(1L))).head().getLong(0)
       val cdfW2 = t.changesBetween(1L, 2L)
         .filter(col("change_type") === "delete").count()
       val headAgg = t.read().agg(count(lit(1)), sum("k")).head()

@@ -661,13 +661,49 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
 
   /** The positions literally APPENDED at sidecar version `v` — its own
     * staged files (named `d<v>-<nonce>/…` at commit time), regardless of
-    * whether `v`'s log entry is delta or checkpoint-snapshot form. */
+    * whether `v`'s log entry is delta or checkpoint-snapshot form.
+    * Range-encoded links expand back to `(file, pos)` rows here. */
   private def dvDeltaContent(v: Long): DataFrame = {
     val own = dvTable.addsOf(v).select("path").collect().map(_.getString(0))
       .filter(_.contains(s"/d$v-"))
     if (own.isEmpty) emptyDvPositions()
-    else spark.read.parquet(own.toIndexedSeq: _*).select("file", "pos")
+    else expandDvRanges(spark.read.parquet(own.toIndexedSeq: _*))
   }
+
+  /** Largest run one range row may cover: bounds the read-side
+    * `sequence()` array (a 1B-position run expands through 8K-element
+    * arrays, never one giant row) while keeping a contiguous delete's
+    * sidecar ~4 decimal orders smaller than row-per-position. */
+  private val DvMaxRun = 8192L
+
+  /** DML marks CONTIGUOUS position runs (range deletes on clustered
+    * tables, whole-file updates), so delta links store `(file, pos_lo,
+    * pos_hi)` RANGE rows — the r17 verdict's range-encoding option: a
+    * contiguous M-position delete commits O(M / 8192) sidecar rows
+    * instead of M. Scattered predicates degenerate to singleton rows
+    * (pos_lo = pos_hi) — parquet RLE keeps that near the plain-row
+    * cost. Runs are found per file by the pos − row_number fold and
+    * split at [[DvMaxRun]]-aligned block boundaries (within one run and
+    * one block, positions stay consecutive, so every grouped row is a
+    * true run). */
+  private def compressDvRuns(pos: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy("pos")
+    pos.select(col("file"), col("pos").cast("long").as("pos"))
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("file"), col("__grp"), expr(s"pos DIV $DvMaxRun").as("__blk"))
+      .agg(min("pos").as("pos_lo"), max("pos").as("pos_hi"))
+      .select("file", "pos_lo", "pos_hi")
+  }
+
+  /** `(file, pos)` rows of a sidecar part, whatever its encoding:
+    * point-encoded parts (legacy links, consolidated snapshots — the
+    * protocol-2-readable form) pass through; range-encoded links expand
+    * via bounded `sequence()` arrays. */
+  private def expandDvRanges(df: DataFrame): DataFrame =
+    if (df.columns.contains("pos")) df.select("file", "pos")
+    else df.select(col("file"),
+      explode(expr("sequence(pos_lo, pos_hi)")).as("pos"))
 
   /** The in-force `(file, pos)` set of stamp `dvv`: the chain's snapshot
     * base (if any) unioned with each member's literal appended content.
@@ -1201,17 +1237,25 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     }
   }
 
+  // the same sidecar path under the RANGE write schema (`pos_lo` is the
+  // stats column of range-encoded link files; the point-encoded
+  // consolidation snapshots keep writing through [[dvTable]]) — stats
+  // columns are a write-time property, resolution never prunes on them
+  private lazy val dvDeltaTable = new CommitTable(spark, s"$path/_dv", "pos_lo")
+
   /** Appends ONLY the newly-marked positions as a new sidecar chain link
     * whose op marker records the STAMPED tip it extends (never the
     * sidecar head — the orphan-safety discipline, now structural: an
-    * unstamped version is simply never any chain's member). O(newly
-    * deleted) bytes per commit regardless of churn history (r17 verdict
-    * Next #1). Auto-rebases like any append: concurrent sidecar links
-    * commute at the sidecar level; the MAIN publish stays single-winner. */
+    * unstamped version is simply never any chain's member), RANGE-
+    * compressed ([[compressDvRuns]] — a contiguous delete's link is
+    * O(positions / 8192) rows). O(newly deleted) bytes per commit
+    * regardless of churn history (r17 verdict Next #1). Auto-rebases
+    * like any append: concurrent sidecar links commute at the sidecar
+    * level; the MAIN publish stays single-winner. */
   private def appendDvDelta(stamped: Option[Long], newPos: DataFrame): Long =
     rebaseOnConflict(5)(
-      dvTable.commitVersion(newPos.coalesce(1), keepPrevious = true,
-        op = s"dv-delta:${stamped.getOrElse(-1L)}"))
+      dvDeltaTable.commitVersion(compressDvRuns(newPos).coalesce(1),
+        keepPrevious = true, op = s"dv-delta:${stamped.getOrElse(-1L)}"))
 
   /** Folds the head's stamped DV chain back to ONE self-complete sidecar
     * snapshot version and re-stamps it in a metadata-only main commit —

@@ -430,18 +430,30 @@ class DeletionVectorSpec extends SparkSpec {
     t.deleteRangeDV(1L, 1000L)                         // v1 → dv 0: 1000 marks
     t.deleteRangeDV(1500L, 1501L)                      // v2 → dv 1: 2 marks
     // the second sidecar commit must stage ONLY its own 2 positions —
-    // the old snapshot discipline rewrote all 1002 into one file
-    def stagedRows(dvVer: Long): Long = {
+    // the old snapshot discipline rewrote all 1002 into one file. Links
+    // are RANGE-encoded (file, pos_lo, pos_hi), so measure both the
+    // covered POSITIONS and the raw row count.
+    def staged(dvVer: Long): (Long, Long) = {
       val files = new java.io.File(s"$dir/_dv").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith(s"d$dvVer-"))
         .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
         .map(_.getPath.toString)
-      if (files.isEmpty) 0L
-      else spark.read.parquet(files.toIndexedSeq: _*).count()
+      if (files.isEmpty) (0L, 0L)
+      else {
+        val df = spark.read.parquet(files.toIndexedSeq: _*)
+        val positions =
+          if (df.columns.contains("pos")) df.count()
+          else df.agg(sum(col("pos_hi") - col("pos_lo") + lit(1L))).head().getLong(0)
+        (positions, df.count())
+      }
     }
-    assert(stagedRows(0L) === 1000L)
-    assert(stagedRows(1L) === 2L,
+    assert(staged(0L)._1 === 1000L)
+    assert(staged(1L)._1 === 2L,
       "a small DV delete must append only its own positions, not the accumulated set")
+    // and the encoding is RANGE-compressed: the 1000-position link (four
+    // key-clustered files) stores runs, far fewer rows than positions
+    assert(staged(0L)._2 <= 100L,
+      s"contiguous runs must compress, got ${staged(0L)._2} rows for 1000 positions")
     // resolution unions the chain exactly
     assert(t.read().count() === 998L)
     assert(t.dvOutstanding() === 1002L)
