@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -130,14 +130,23 @@ private[sources] class LandingTable(path: String, fmt: String, tschema: StructTy
   override def schema(): StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // admission control: bound each micro-batch to N newly arrived files
+    // (the built-in sources' maxFilesPerTrigger) — at ingest scale a
+    // backlog otherwise lands as ONE giant catch-up batch
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tschema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new LandingMicroBatch(path, fmt, tschema)
+          new LandingMicroBatch(path, fmt, tschema, maxFiles)
       }
     }
+  }
 }
 
 /** The watermark offset: the largest landing file NAME included so far
@@ -159,8 +168,9 @@ private[sources] object LandingOffset {
 }
 
 private[sources] class LandingMicroBatch(path: String, fmt: String,
-                                         schema: StructType)
-    extends MicroBatchStream {
+                                         schema: StructType,
+                                         maxFiles: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val hadoopConf = new SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
@@ -175,10 +185,32 @@ private[sources] class LandingMicroBatch(path: String, fmt: String,
 
   override def initialOffset(): Offset = LandingOffset("")
 
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** Rate-limited offset advance: at most `maxFiles` NEW files per
+    * micro-batch (a backlog drains over several batches instead of one
+    * giant catch-up batch — each still exactly-once, the watermark just
+    * advances in steps). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[LandingOffset].watermark
+    val fresh = listEligible().filter(_ > lo)
+    val take = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    if (take.isEmpty) start else LandingOffset(take.last)
+  }
+
+  /** The un-limited head, for lag metrics (how far ingest is behind). */
+  override def reportLatestOffset(): Offset = {
     val names = listEligible()
     if (names.isEmpty) LandingOffset("") else LandingOffset(names.last)
   }
+
+  // the admission-control variant above is the one the engine drives;
+  // this legacy form is unreachable but must exist on the interface
+  override def latestOffset(): Offset = reportLatestOffset()
 
   override def deserializeOffset(json: String): Offset = LandingOffset.fromJson(json)
 

@@ -76,6 +76,26 @@ class LandingZoneSpec extends SparkSpec {
     assert(lines.last.contains("f00040.jsonl"))
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch: a backlog drains in steps, exactly once") {
+    val root = Files.createTempDirectory("graft-landing-rate")
+    val land = root.resolve("land"); Files.createDirectories(land)
+    (1 to 7).foreach(i => landJsonl(land, f"f$i%05d.jsonl", Seq(s"""{"k":$i,"v":"x"}""")))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val src = spark.readStream.format("graft.sources.LandingZoneStream")
+      .option("format", "jsonl").option("ddl", "k BIGINT, v STRING")
+      .option("maxFilesPerTrigger", "3")
+      .load(land.toString)
+    val q = src.writeStream.option("checkpointLocation", root.resolve("ck").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.synchronized { batches += b.count() }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val drained = batches.filter(_ > 0L)
+    assert(drained.sum === 7L, s"every file exactly once, got $batches")
+    assert(drained.forall(_ <= 3L), s"each batch must hold <= 3 files' rows, got $batches")
+    assert(drained.length >= 3, s"a 7-file backlog at 3/trigger needs >= 3 batches, got $batches")
+  }
+
   test("avro landing leg: schema from the container header, rows decode exactly") {
     val s = spark
     import s.implicits._
