@@ -107,6 +107,10 @@ object GraftSession {
           // one commit — O(changed) writes, zero file rewrites)
           "log_update_where_dv" -> graft.plans.LogTvfs.updateWhereDv,
           "log_merge_dv" -> graft.plans.LogTvfs.mergeDvFrom,
+          // round-18: selective DV materialization (REORG … APPLY (PURGE))
+          // and incremental OPTIMIZE (small files only)
+          "log_purge_dv" -> graft.plans.LogTvfs.purgeDv,
+          "log_optimize_small" -> graft.plans.LogTvfs.optimizeSmall,
           "log_rename_column" -> graft.plans.LogTvfs.renameColumn,
           "log_drop_column" -> graft.plans.LogTvfs.dropColumn,
           "log_set_invariants" -> graft.plans.LogTvfs.setInvariantsTvf,

@@ -2029,6 +2029,98 @@ object SparkEntry {
         ("v0_cols", t.asOf(0L).columns.sorted.mkString(","))
       ).toDF("metric", "value").orderBy("metric")
     }),
+    "f35_purge_dv" -> ((s, dir) => {
+      // SELECTIVE DV MATERIALIZATION (Delta's REORG TABLE … APPLY
+      // (PURGE), r18): between "leave vectors outstanding" (every read
+      // pays the anti-join) and a full OPTIMIZE rewrite sits the
+      // targeted purge — rewrite ONLY delete-dense files. Four
+      // single-file commits; a dense delete (~83% of file A) and a
+      // sparse one (~8% of file B); purgeDv(0.5) must rewrite ONLY
+      // file A (carried_untouched, rewritten_files), keep content
+      // exact (head_rows/head_sum_k), and trim the stamp to B's
+      // surviving entries (outstanding_mid). The SQL statement
+      // log_purge_dv(…, 0) then purges B too and CLEARS the plane
+      // (outstanding_full, full_equal).
+      val root = IndexCache.freshRoot("dvpurge")
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.filter(col("k") <= 1200).coalesce(1))                  // v0: A
+      t.append(ord.filter(col("k") > 1200 && col("k") <= 2400).coalesce(1))  // v1: B
+      t.append(ord.filter(col("k") > 2400 && col("k") <= 3600).coalesce(1))  // v2: C
+      t.append(ord.filter(col("k") > 3600).coalesce(1))                      // v3: D
+      t.deleteRangeDV(0L, 1000L)                                             // v4: dense in A
+      t.deleteRangeDV(1300L, 1400L)                                          // v5: sparse in B
+      val before = t.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+      t.purgeDv(0.5)                                                         // v6: A only
+      val after = t.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+      val carriedOk = if ((before & after).size == 3) 1L else 0L
+      val rewritten = (after -- before).size.toLong
+      val outstandingMid = t.dvOutstanding()
+      val headAgg = t.read().agg(count(lit(1)), sum("k")).head()
+      // SQL statement form carries the full purge
+      val sqlRows = s.sql(s"SELECT COUNT(*) AS n FROM log_purge_dv('$tp', 'k', 0)")
+        .head().getLong(0)
+      val outstandingFull = t.dvOutstanding()
+      val fullEqual = if (sqlRows == headAgg.getLong(0)) 1L else 0L
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("carried_untouched", carriedOk),
+        ("full_equal", fullEqual),
+        ("head_rows", headAgg.getLong(0)),
+        ("head_sum_k", headAgg.getLong(1)),
+        ("outstanding_full", outstandingFull),
+        ("outstanding_mid", outstandingMid),
+        ("rewritten_files", rewritten)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
+    "f36_compact_small" -> ((s, dir) => {
+      // INCREMENTAL OPTIMIZE (r18 — the real Delta/Iceberg semantics:
+      // files already at target size are NEVER rewritten; compact/
+      // compactClustered rewrite the whole head, which at 100 TB means
+      // rewriting cold petabytes to fold a few streamed megabytes): one
+      // large commit + four tiny streamed-shaped appends; the SQL
+      // statement log_optimize_small folds ONLY the four small files
+      // into one (carried_large, folded_new, head_files), content exact
+      // (head_rows/head_sum_k = the whole orders table), and a lone
+      // sub-threshold file is left alone (noop_ok).
+      val root = IndexCache.freshRoot("smallopt")
+      val tp = root.resolve("tbl").toString
+      val t = new graft.operators.CommitTable(s, tp, "k")
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("v"))
+      t.overwrite(ord.filter(col("k") > 4000).coalesce(1))                  // v0: large
+      t.append(ord.filter(col("k") <= 1000).coalesce(1))                    // v1: small
+      t.append(ord.filter(col("k") > 1000 && col("k") <= 2000).coalesce(1)) // v2: small
+      t.append(ord.filter(col("k") > 2000 && col("k") <= 3000).coalesce(1)) // v3: small
+      t.append(ord.filter(col("k") > 3000 && col("k") <= 4000).coalesce(1)) // v4: small
+      val before = t.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+      val sqlRows = s.sql(
+        s"SELECT COUNT(*) AS n FROM log_optimize_small('$tp', 'k', 'k', 65536)") // v5
+        .head().getLong(0)
+      val after = t.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+      val carriedOk = if ((before & after).size == 1) 1L else 0L
+      val foldedNew = (after -- before).size.toLong
+      // the fresh fold output sits under the small threshold but is
+      // ALONE — a second pass must not churn it
+      val noopOk = if (t.compactSmall("k", 65536L) == 5L) 1L else 0L
+      val headAgg = t.read().agg(count(lit(1)), sum("k")).head()
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("carried_large", carriedOk),
+        ("folded_new", foldedNew),
+        ("head_files", after.size.toLong),
+        ("head_rows", headAgg.getLong(0)),
+        ("head_sum_k", headAgg.getLong(1)),
+        ("noop_ok", noopOk),
+        ("sql_rows", sqlRows)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
     "f30_dv_cdf" -> ((s, dir) => {
       // DV-DELTA CDF (r16 verdict Next #2 — a change window whose
       // deletion-vector stamp moved used to fall back to the FULL
@@ -5467,6 +5559,40 @@ object SparkEntry {
         |  ((SELECT COUNT(*) FROM orders WHERE o_orderkey <= 999) - 100)::VARCHAR
         |UNION ALL SELECT 'tagged_rows', '120'
         |UNION ALL SELECT 'v0_cols', 'k,v'
+        |ORDER BY metric""".stripMargin,
+    "f35_purge_dv" -> // the selective purge restated: content after both
+      // deletes (never changed by purging), the sparse file's surviving
+      // mark count at the mid point, zero outstanding after the full
+      // SQL purge, and the structural flags (3 clean files carried,
+      // exactly 1 rewritten, SQL head equals the Scala head) all 1
+      """SELECT 'carried_untouched' AS metric, 1::BIGINT AS value
+        |UNION ALL SELECT 'full_equal', 1
+        |UNION ALL SELECT 'head_rows',
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 0 AND 1000
+        |     AND o_orderkey NOT BETWEEN 1300 AND 1400)
+        |UNION ALL SELECT 'head_sum_k',
+        |  (SELECT SUM(o_orderkey)::BIGINT FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 0 AND 1000
+        |     AND o_orderkey NOT BETWEEN 1300 AND 1400)
+        |UNION ALL SELECT 'outstanding_full', 0
+        |UNION ALL SELECT 'outstanding_mid',
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1300 AND 1400)
+        |UNION ALL SELECT 'rewritten_files', 1
+        |ORDER BY metric""".stripMargin,
+    "f36_compact_small" -> // the incremental OPTIMIZE restated: content
+      // is the WHOLE orders table before and after (a layout-only
+      // maintenance op), the head holds exactly 2 files (the untouched
+      // large one + the one fold of the four small ones), and the
+      // structural flags (large carried, one new file, lone-small
+      // no-op) all 1
+      """SELECT 'carried_large' AS metric, 1::BIGINT AS value
+        |UNION ALL SELECT 'folded_new', 1
+        |UNION ALL SELECT 'head_files', 2
+        |UNION ALL SELECT 'head_rows', (SELECT COUNT(*) FROM orders)
+        |UNION ALL SELECT 'head_sum_k', (SELECT SUM(o_orderkey)::BIGINT FROM orders)
+        |UNION ALL SELECT 'noop_ok', 1
+        |UNION ALL SELECT 'sql_rows', (SELECT COUNT(*) FROM orders)
         |ORDER BY metric""".stripMargin,
     "f30_dv_cdf" -> // the sidecar-delta feed restated: exactly the
       // deleted key range as 'delete' rows, zero inserts, and both

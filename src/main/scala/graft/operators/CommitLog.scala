@@ -1101,7 +1101,7 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // one atomic commit: append the updated rows, stamp the NEW sidecar
     // version, net the marked rows out of the rolled-forward counters
     commitVersion(updated, keepPrevious = true, op = "update-dv",
-      expectedBase = Some(base), dvOverride = Some(dvv), nrDelta = -nMatched)
+      expectedBase = Some(base), dvOverride = Some(Some(dvv)), nrDelta = -nMatched)
   }
 
   /** MERGE INTO as a DELETION-VECTOR commit — the O(changed) upsert
@@ -1205,7 +1205,7 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     val dvv = if (nMatched == 0L) stamped
               else Some(appendDvDelta(stamped, newPos))
     commitVersion(inserts, keepPrevious = true, op = "merge-dv",
-      expectedBase = Some(base), dvOverride = dvv, nrDelta = -nMatched,
+      expectedBase = Some(base), dvOverride = Some(dvv), nrDelta = -nMatched,
       mergeSchema = evolveSchema)
   }
 
@@ -1251,11 +1251,34 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     * O(positions / 8192) rows). O(newly deleted) bytes per commit
     * regardless of churn history (r17 verdict Next #1). Auto-rebases
     * like any append: concurrent sidecar links commute at the sidecar
-    * level; the MAIN publish stays single-winner. */
-  private def appendDvDelta(stamped: Option[Long], newPos: DataFrame): Long =
-    rebaseOnConflict(5)(
-      dvDeltaTable.commitVersion(compressDvRuns(newPos).coalesce(1),
-        keepPrevious = true, op = s"dv-delta:${stamped.getOrElse(-1L)}"))
+    * level; the MAIN publish stays single-winner.
+    *
+    * BOUNDED CHAIN (r18): when the stamped tip's chain has reached
+    * `checkpointEvery` links, this commit writes a self-complete
+    * SNAPSHOT version (prior in-force set ∪ new positions,
+    * point-encoded) instead of a delta link — the sidecar's automatic
+    * checkpoint, same amortized discipline as the main log's every-Nth
+    * snapshot entry: chain length (and so per-scan resolution reads)
+    * stays ≤ `checkpointEvery` + 1 forever, at an O(outstanding) fold
+    * paid once per `checkpointEvery` DV commits, not per commit. The
+    * fold drops the reader protocol back to 2 for the folded stamp
+    * (snapshot sidecars resolve with overwrite semantics); a CDF window
+    * CROSSING the fold loses the literal-chain-suffix path and takes
+    * the documented full-set-diff fallback — the same trade a main-log
+    * checkpoint makes, bounded to one window per `checkpointEvery`
+    * commits. [[consolidateDv]] stays the explicit any-time fold. */
+  private def appendDvDelta(stamped: Option[Long], newPos: DataFrame): Long = {
+    val chainLen = stamped.map(s => dvChain(s)._2.length).getOrElse(0)
+    if (chainLen >= checkpointEvery)
+      rebaseOnConflict(5)(dvTable.overwrite(
+        dvPositionsAt(stamped.get)
+          .unionByName(newPos.select(col("file"), col("pos").cast("long").as("pos")))
+          .coalesce(1)))
+    else
+      rebaseOnConflict(5)(
+        dvDeltaTable.commitVersion(compressDvRuns(newPos).coalesce(1),
+          keepPrevious = true, op = s"dv-delta:${stamped.getOrElse(-1L)}"))
+  }
 
   /** Folds the head's stamped DV chain back to ONE self-complete sidecar
     * snapshot version and re-stamps it in a metadata-only main commit —
@@ -1287,6 +1310,101 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
           delta = false, counters = activeTotals(head),
           inv = invariantsAt(head).map(CommitTable.encodeInv), dv = Some(dvv),
           cmap = cmapAt(head).map(CommitTable.encodeCmap))
+    }
+  }
+
+  /** Selective DV MATERIALIZATION (Delta's `REORG TABLE … APPLY
+    * (PURGE)`): rewrites ONLY the active files whose deleted-row
+    * fraction is at least `minDeletedFraction` (0.0 = every file
+    * carrying a live delete), carries every clean file untouched, and
+    * re-stamps the sidecar with just the surviving entries — the
+    * targeted maintenance between "leave vectors outstanding" (reads
+    * keep paying the anti-join) and a full [[compact]] (which rewrites
+    * the WHOLE table to fold a few dirty files). Cost is O(dirty files
+    * read+rewritten) + O(surviving entries re-snapshotted), never
+    * O(table) — at 100 TB a churn-heavy table purges its handful of
+    * delete-dense files without touching the cold petabytes. A purge
+    * that rewrites every vectored file CLEARS the stamp entirely (the
+    * DV plane resets; the reader protocol drops with it); a file whose
+    * rows are ALL deleted is simply dropped, with no empty staging.
+    * Old versions time-travel exactly (their stamps still resolve the
+    * original files, which remain on disk until vacuum). Single-winner
+    * with auto-rebase; the base is pinned so an interleaved append can
+    * never be erased ([[compact]]'s lost-update discipline). Returns
+    * the new version, or the head when no file crosses the threshold.
+    */
+  def purgeDv(minDeletedFraction: Double = 0.0): Long = {
+    require(minDeletedFraction >= 0.0 && minDeletedFraction <= 1.0,
+      s"purgeDv: minDeletedFraction must be in [0, 1], got $minDeletedFraction")
+    rebaseOnConflict(3) {
+      val base = latestVersion().getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      dvVersionAt(base) match {
+        case None => base
+        case Some(stamped) =>
+          val recs = collectAdds(base)
+          val activeNames = recs.map(r => fileName(r._1)).toSet
+          // per-file LIVE deleted counts: entries on inactive names are
+          // inert (a prior CoW rewrite already materialized them) and
+          // must neither select a file nor survive into the new stamp.
+          // Sidecar-sized driver metadata, like every file-list collect.
+          val del = dvPositionsAt(stamped).groupBy("file").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+            .filter { case (f, _) => activeNames.contains(f) }
+          val (dirty, clean) = recs.partition { r =>
+            val d = del.getOrElse(fileName(r._1), 0L)
+            d > 0L && d.toDouble >= minDeletedFraction * r._4
+          }
+          if (dirty.isEmpty) base
+          else {
+            val dirtyNames = dirty.map(r => fileName(r._1)).toSet
+            // surviving entries (live, on files NOT rewritten) fold to
+            // one point-encoded snapshot — protocol-2-readable, and the
+            // trimmed stamp no longer resolves the rewritten files'
+            // (now inert) positions on every scan
+            val survivorNames = del.keys.filterNot(dirtyNames).toSeq
+            val newStamp: Option[Long] =
+              if (survivorNames.isEmpty) None
+              else Some(dvTable.overwrite(dvPositionsAt(stamped)
+                .filter(col("file").isin(survivorNames: _*)).coalesce(1)))
+            val survivorCount = survivorNames.map(del).sum
+            val dirtyLive = dirty.map(r => r._4 - del(fileName(r._1))).sum
+            def absPath(stored: String): String =
+              if (stored.startsWith("/")) stored else s"$path/$stored"
+            if (dirtyLive == 0L) {
+              // every row of every dirty file is deleted: the commit
+              // just drops the files — no empty staging (r17 advice:
+              // never rely on an empty batch producing add records)
+              val version = nextVersion()
+              if (version != base + 1)
+                throw new java.util.ConcurrentModificationException(
+                  s"table $path moved from version $base during purge-dv")
+              val counters = (clean.length.toLong, clean.map(_._4).sum - survivorCount)
+              if (version % checkpointEvery == 0)
+                publish(version, "purge-dv", clean, removes = Nil,
+                  delta = false, counters = counters,
+                  inv = invariantsAt(base).map(CommitTable.encodeInv),
+                  dv = newStamp, cmap = cmapAt(base).map(CommitTable.encodeCmap))
+              else
+                publish(version, "purge-dv", Nil, removes = dirty.map(_._1),
+                  delta = true, counters = counters,
+                  inv = invariantsAt(base).map(CommitTable.encodeInv),
+                  dv = newStamp, cmap = cmapAt(base).map(CommitTable.encodeCmap))
+            } else {
+              // the dirty files' LIVE rows, read through the stamped
+              // vector (their deletes materialize in the rewrite) and
+              // projected to the logical surface; commitVersion stages
+              // them physically and records the dropped originals
+              val rewritten = applyCmap(
+                applyDv(spark.read.option("mergeSchema", "true")
+                  .parquet(dirty.map(r => absPath(r._1)): _*), Some(stamped)),
+                cmapAt(base))
+              commitVersion(rewritten, keepPrevious = false, op = "purge-dv",
+                expectedBase = Some(base), carriedExplicit = Some(clean),
+                dvOverride = Some(newStamp))
+            }
+          }
+      }
     }
   }
 
@@ -2033,6 +2151,55 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     }
   }
 
+  /** INCREMENTAL OPTIMIZE — bin-pack ONLY the small files (the real
+    * Delta/Iceberg OPTIMIZE semantics: files already at target size are
+    * never rewritten): active files smaller than `smallBytes` (default
+    * `targetBytes` / 2) fold into ~`targetBytes` range-clustered output
+    * files; every at-size file carries untouched as a log entry. Cost is
+    * O(small-file bytes), never O(table) — the maintenance a streamed
+    * table needs at 100 TB, where per-batch commits accrete small files
+    * beside large compacted ones and a full [[compactClusteredToSize]]
+    * would rewrite the cold petabytes to fold a few megabytes. Needs at
+    * least TWO sub-threshold files to act (a lone small file gains
+    * nothing from a rewrite); returns the head unchanged otherwise.
+    * Outstanding deletion vectors apply to the rewritten slice (its
+    * deletes materialize, their sidecar entries go inert with the
+    * dropped names); carried files keep the stamp live — exactly the
+    * CoW range-DML discipline. Single-winner with auto-rebase; the base
+    * is pinned ([[compact]]'s lost-update rule). */
+  def compactSmall(clusterCol: String, targetBytes: Long,
+                   smallBytes: Long = -1L): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val small = if (smallBytes > 0) smallBytes else math.max(1L, targetBytes / 2)
+    rebaseOnConflict(3) {
+      val base = latestVersion().getOrElse(
+        throw new IllegalStateException(s"no commits at $path"))
+      val adds = addsOf(base).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), if (r.isNullAt(4)) null else r.getString(4)))
+      // on-disk sizes from the file list — file-count-sized driver
+      // metadata, no data read (the compactClusteredToSize discipline)
+      val sized = adds.map(r => (r, fs.getFileStatus(new Path(r._1)).getLen))
+      val (smallSized, bigSized) = sized.partition(_._2 < small)
+      val (smalls, bigs) = (smallSized.map(_._1), bigSized.map(_._1))
+      if (smalls.length < 2) base
+      else {
+        val total = smallSized.map(_._2).sum
+        val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes)
+        require(nOut <= Int.MaxValue.toLong,
+          s"compactSmall: $total bytes / $targetBytes per file needs $nOut files")
+        val rewritten = applyCmap(applyDv(
+            spark.read.option("mergeSchema", "true")
+              .parquet(smalls.map(_._1).toIndexedSeq: _*),
+            dvVersionAt(base)), cmapAt(base))
+          .repartitionByRange(nOut.toInt, col(clusterCol))
+        commitVersion(rewritten, keepPrevious = false, op = "compact",
+          expectedBase = Some(base),
+          carriedExplicit = Some(bigs.map { case (p, l, h, n, xs) =>
+            (storedForm(p), l, h, n, xs) }.toSeq))
+      }
+    }
+  }
+
   /** Time-based retention (Delta's `VACUUM … RETAIN n HOURS`, resolved to
     * versions): keep every version whose commit timestamp falls within
     * `horizonMillis` of `nowMillis` — plus the head, always — and reclaim
@@ -2262,7 +2429,7 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
                             carriedExplicit: Option[Seq[Rec]] = None,
                             txn: Option[(String, Long)] = None,
                             mergeSchema: Boolean = false,
-                            dvOverride: Option[Long] = None,
+                            dvOverride: Option[Option[Long]] = None,
                             nrDelta: Long = 0L): Long = {
     // resolve the head ONCE: the carried file list derives from version-1 of
     // the version this writer attempts, so base snapshot and attempt are
@@ -2291,10 +2458,11 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     // files' vectors live and roll the stamp forward
     val fullRewriteEarly = !keepPrevious && carriedExplicit.isEmpty
     // dvOverride: a DV-writing commit ([[updateWhereDV]]) stamps the
-    // sidecar version it just published instead of carrying the base's
-    val dvCarry: Option[Long] =
-      if (dvOverride.isDefined) dvOverride
-      else if (fullRewriteEarly) None else prev.flatMap(dvVersionAt)
+    // sidecar version it just published instead of carrying the base's;
+    // Some(None) clears the stamp explicitly ([[purgeDv]] after
+    // rewriting every vectored file)
+    val dvCarry: Option[Long] = dvOverride.getOrElse(
+      if (fullRewriteEarly) None else prev.flatMap(dvVersionAt))
     // column mapping (f28): df carries LOGICAL names; staging writes the
     // stable PHYSICAL names so every data file is uniform across renames.
     // New logical columns extend the map identity — unless the name

@@ -434,6 +434,22 @@ object LogTvfs {
     t.read().queryExecution.analyzed
   }
 
+  /** `log_optimize_small(path, stats_col | name, cluster_col,
+    * target_bytes)` — INCREMENTAL OPTIMIZE ([[CommitTable.compactSmall]],
+    * the real Delta/Iceberg semantics: at-size files are never
+    * rewritten): bin-packs only the sub-threshold files into
+    * ~`target_bytes` range-clustered ones, carrying large files
+    * untouched — O(small-file bytes), never O(table). Returns the
+    * post-compaction head content. */
+  def optimizeSmall(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_optimize_small")
+    require(args.length == used + 2,
+      "log_optimize_small takes (path, stats_col | name) + (cluster_col, target_bytes)")
+    t.compactSmall(stringArg(args, used, "log_optimize_small"),
+      longArg(args, used + 1, "log_optimize_small"))
+    t.read().queryExecution.analyzed
+  }
+
   /** `log_delete_dv(path, stats_col | name, lo, hi)` — DELETE as a
     * DELETION-VECTOR commit ([[CommitTable.deleteRangeDV]]): O(deleted)
     * sidecar bytes, zero data-file rewrites; reads anti-join the vector
@@ -479,6 +495,26 @@ object LogTvfs {
       (stringArg(args, i, "log_update_where_dv"),
         stringArg(args, i + 1, "log_update_where_dv")))
     t.updateWhereDV(pred, assigns)
+    t.read().queryExecution.analyzed
+  }
+
+  /** `log_purge_dv(path, stats_col | name, min_deleted_pct)` — Delta's
+    * `REORG TABLE … APPLY (PURGE)` as a statement
+    * ([[CommitTable.purgeDv]]): rewrites ONLY the files whose deleted-row
+    * fraction is at least `min_deleted_pct` percent (0 = every file
+    * carrying a live delete), carries clean files untouched, trims the
+    * sidecar to the surviving entries — and clears the stamp entirely
+    * when nothing survives. The targeted maintenance between leaving
+    * vectors outstanding and a full `log_optimize` rewrite. Returns the
+    * post-purge head content. */
+  def purgeDv(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_purge_dv")
+    require(args.length == used + 1,
+      "log_purge_dv takes (path, stats_col | name) + (min_deleted_pct)")
+    val pct = longArg(args, used, "log_purge_dv")
+    require(pct >= 0L && pct <= 100L,
+      s"log_purge_dv: min_deleted_pct must be in [0, 100], got $pct")
+    t.purgeDv(pct / 100.0)
     t.read().queryExecution.analyzed
   }
 

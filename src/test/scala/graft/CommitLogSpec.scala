@@ -1174,4 +1174,45 @@ class CommitLogSpec extends SparkSpec {
     // so timestamp resolution stays version-ordered throughout
     assert(rows(t.asOfTimestamp(5001L)) === Set(1L -> "a", 2L -> "b"))
   }
+
+  test("compactSmall bin-packs ONLY sub-threshold files; at-size files carry untouched; DV entries materialize and go inert (r18)") {
+    val dir = Files.createTempDirectory("graft-clog-small").toString
+    val t = new CommitTable(spark, dir, "k")
+    val s = spark
+    import s.implicits._
+    val big = (1L to 20000L).map(i => i -> s"payload-$i").toDF("k", "v")
+    t.overwrite(big.coalesce(1))                               // v0: one at-size file
+    t.append(kv(30001L -> "a").coalesce(1))                    // v1: small
+    t.append(kv(30002L -> "b").coalesce(1))                    // v2: small
+    t.append(kv(30003L -> "c").coalesce(1))                    // v3: small
+    t.deleteRangeDV(30002L, 30002L)                            // v4: mark inside a small file
+    val before = t.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+    assert(before.size === 4)
+    val v = t.compactSmall("k", 32768L, smallBytes = 16384L)   // v5: folds the 3 smalls
+    assert(v === 5L)
+    val after = t.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+    val carried = before & after
+    assert(carried.size === 1 && carried.head.contains("/d0-"),
+      "the at-size file must carry untouched")
+    assert((after -- before).size === 1, "small files must fold into one")
+    // content exact; the small-file DV delete MATERIALIZED in the fold
+    assert(rows(t.read()) === ((1L to 20000L).map(i => i -> s"payload-$i").toSet
+      + (30001L -> "a") + (30003L -> "c")))
+    // …and its sidecar entry went inert with the dropped file name
+    assert(t.dvOutstanding() === 0L)
+    // counters honest through the carried+rewritten mix
+    val h5 = t.history().collect().find(_.getLong(0) == 5L).get
+    assert(h5.getString(2) === "compact" && h5.getLong(4) === 20002L)
+    // a lone sub-threshold file (the fresh fold output) is NOT rewritten
+    assert(t.compactSmall("k", 32768L, smallBytes = 16384L) === 5L)
+    // SQL statement form folds a second accretion round
+    t.append(kv(40001L -> "d").coalesce(1))                    // v6
+    t.append(kv(40002L -> "e").coalesce(1))                    // v7
+    val n = spark.sql(
+      s"SELECT COUNT(*) AS n FROM log_optimize_small('$dir', 'k', 'k', 32768)")
+      .head().getLong(0)
+    assert(n === 20004L)
+    assert(t.latestVersion() === Some(8L))
+    assert(t.read().inputFiles.count(!_.contains("/_dv/")) === 2)
+  }
 }

@@ -567,4 +567,106 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.latestVersion() === Some(0L), "rejections must not commit")
     assert(keys(t.read()) === Set(1L, 2L))
   }
+
+  test("DV chain auto-folds at checkpointEvery links: content exact, fold is a point-encoded snapshot, protocol drops (r18)") {
+    val dir = Files.createTempDirectory("graft-dv-fold").toString
+    val t = new CommitTable(spark, dir, "k", checkpointEvery = 3)
+    t.overwrite(kv((1L to 40L).map(i => i -> i): _*).repartition(2)) // v0
+    // fold threshold 3: deletes 4 and 8 land with a 3-link chain and
+    // write SNAPSHOT sidecar versions instead of a fourth link
+    (1L to 8L).foreach(i => t.deleteRangeDV(i, i))                   // v1..v8
+    assert(keys(t.read()) === (9L to 40L).toSet)
+    assert(t.dvOutstanding() === 8L)
+    def header(v: Long): String = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_log", f"$v%020d.json")).get(0)
+    def dvvOf(v: Long): Long =
+      """"dvv": (\d+)""".r.findFirstMatchIn(header(v)).get.group(1).toLong
+    def staged(dvv: Long): (Long, Set[String]) = {
+      val files = new java.io.File(s"$dir/_dv").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(s"d$dvv-"))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(_.getPath.toString)
+      val df = spark.read.parquet(files.toIndexedSeq: _*)
+      (df.count(), df.columns.toSet)
+    }
+    // a below-threshold commit stages only its own (range-encoded) link
+    val (n3, cols3) = staged(dvvOf(3L))
+    assert(n3 === 1L && cols3.contains("pos_lo"))
+    // the fold stages the accumulated in-force set, POINT-encoded (the
+    // protocol-2-readable snapshot form)
+    val (n4, cols4) = staged(dvvOf(4L))
+    assert(n4 === 4L, "the fold must hold the accumulated set")
+    assert(cols4.contains("pos") && !cols4.contains("pos_lo"))
+    // reader protocol: delta-chained stamps are 3, folded stamps drop to 2
+    assert(header(3L).contains("\"proto\": 3"), header(3L))
+    assert(header(4L).contains("\"proto\": 2"), header(4L))
+    assert(header(7L).contains("\"proto\": 3"), header(7L))
+    assert(header(8L).contains("\"proto\": 2"), header(8L))
+    // time travel through pre-fold versions still resolves their chains
+    assert(keys(t.asOf(2L)) === (3L to 40L).toSet)
+    assert(keys(t.asOf(4L)) === (5L to 40L).toSet)
+  }
+
+  test("purgeDv rewrites ONLY delete-dense files, trims the stamp, clears it on a full purge (r18)") {
+    val dir = Files.createTempDirectory("graft-dv-purge").toString
+    val t = new CommitTable(spark, dir, "k")
+    // four EXACT single-file commits (25 keys each)
+    t.overwrite(kv((1L to 25L).map(i => i -> i * 10L): _*).coalesce(1))   // v0: A
+    t.append(kv((26L to 50L).map(i => i -> i * 10L): _*).coalesce(1))     // v1: B
+    t.append(kv((51L to 75L).map(i => i -> i * 10L): _*).coalesce(1))     // v2: C
+    t.append(kv((76L to 100L).map(i => i -> i * 10L): _*).coalesce(1))    // v3: D
+    t.deleteRangeDV(1L, 20L)    // v4: A is 80% deleted
+    t.deleteRangeDV(30L, 31L)   // v5: B is 8% deleted
+    val before = t.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+    val expected = ((21L to 100L).toSet -- Set(30L, 31L))
+    // threshold 0.5: only the dense file rewrites
+    val v6 = t.purgeDv(0.5)
+    assert(v6 === 6L)
+    assert(keys(t.read()) === expected, "purge must never change content")
+    val after = t.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+    assert((before & after).size === 3, "clean files must carry untouched")
+    assert((before -- after).size === 1 && (after -- before).size === 1,
+      "exactly the one dirty file is dropped and rewritten")
+    // the trimmed stamp holds ONLY the sparse file's two surviving entries
+    assert(t.dvOutstanding() === 2L)
+    // counters honest: 78 live rows
+    val h6 = t.history().collect().find(_.getLong(0) == 6L).get
+    assert(h6.getString(2) === "purge-dv" && h6.getLong(4) === 78L)
+    // nothing crosses a 90% threshold now → provable no-op, no commit
+    assert(t.purgeDv(0.9) === 6L)
+    // full purge rewrites the remaining dirty file and CLEARS the stamp
+    val v7 = t.purgeDv()
+    assert(v7 === 7L)
+    assert(t.dvOutstanding() === 0L)
+    assert(keys(t.read()) === expected)
+    val head7 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_log", f"${7L}%020d.json")).get(0)
+    assert(!head7.contains("\"dvv\""), "a full purge must clear the stamp")
+    // time travel: pre-purge versions still resolve through their stamps
+    assert(keys(t.asOf(5L)) === expected)
+    assert(keys(t.asOf(4L)) === ((21L to 100L).toSet))
+    // no stamp at all → no-op
+    assert(t.purgeDv() === 7L)
+  }
+
+  test("purgeDv drops a fully-deleted file without staging data (r18)") {
+    val dir = Files.createTempDirectory("graft-dv-purgedrop").toString
+    val t = new CommitTable(spark, dir, "k")
+    t.overwrite(kv((1L to 10L).map(i => i -> i): _*).coalesce(1))   // v0
+    t.append(kv((11L to 20L).map(i => i -> i): _*).coalesce(1))     // v1
+    t.append(kv((21L to 30L).map(i => i -> i): _*).coalesce(1))     // v2
+    t.deleteRangeDV(1L, 10L)                                        // v3: file 1 fully dead
+    val v4 = t.purgeDv()
+    assert(v4 === 4L)
+    assert(keys(t.read()) === (11L to 30L).toSet)
+    assert(t.dvOutstanding() === 0L)
+    // metadata-only: NO data directory staged for the purge version
+    val v4Dirs = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("d4-"))
+    assert(v4Dirs === 0, "a fully-deleted file must drop without empty staging")
+    assert(t.read().inputFiles.count(!_.contains("/_dv/")) === 2)
+    // counters honest after the drop
+    val h4 = t.history().collect().find(_.getLong(0) == 4L).get
+    assert(h4.getString(2) === "purge-dv" && h4.getLong(4) === 20L)
+  }
 }
