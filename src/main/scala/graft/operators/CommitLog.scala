@@ -705,16 +705,71 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     else df.select(col("file"),
       explode(expr("sequence(pos_lo, pos_hi)")).as("pos"))
 
+  /** Sidecar planes whose chain files total at most this many on-disk
+    * bytes fold onto the DRIVER once per stamp per session (the
+    * [[addsOf]]/[[CommitTable.DriverFoldBytes]] discipline): their
+    * in-force set embeds as a cached LOCAL relation, so every
+    * subsequent scan of the DV'd table skips the per-action sidecar
+    * file jobs entirely — without it a chain of N links costs N small
+    * parquet reads on EVERY Spark action touching the table (the r18
+    * bench showed DV-heavy gates 2-3× slower from exactly this).
+    * Bigger planes (a 1B-position table) keep the distributed union and
+    * never materialize on the driver. Range rows are collected
+    * UNEXPANDED (the compressed form), so the cap bounds driver memory
+    * by on-disk bytes, not positions. */
+  private val DvDriverFoldBytes = 4L << 20
+
+  /** Stamps are immutable once committed, so the resolved in-force set
+    * caches per sidecar version for the session's lifetime. */
+  private val dvPosCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+
   /** The in-force `(file, pos)` set of stamp `dvv`: the chain's snapshot
     * base (if any) unioned with each member's literal appended content.
     * Orphaned sidecar versions are never chain members, so they never
-    * contribute. */
-  private def dvPositionsAt(dvv: Long): DataFrame = {
-    val (base, deltas) = dvChain(dvv)
-    val parts = base.map(b => dvTable.asOf(b).select("file", "pos")).toSeq ++
-      deltas.map(dvDeltaContent)
-    parts.reduce(_ unionByName _)
-  }
+    * contribute. Small planes resolve through the driver-fold cache;
+    * large ones stay distributed. */
+  private def dvPositionsAt(dvv: Long): DataFrame =
+    dvPosCache.computeIfAbsent(dvv, { _ =>
+      val (base, deltas) = dvChain(dvv)
+      val baseFiles = base.toSeq.flatMap(b =>
+        dvTable.addsOf(b).select("path").collect().map(_.getString(0)))
+      val deltaFiles = deltas.flatMap(v =>
+        dvTable.addsOf(v).select("path").collect().map(_.getString(0))
+          .filter(_.contains(s"/d$v-")))
+      val allFiles = baseFiles ++ deltaFiles
+      if (allFiles.isEmpty) emptyDvPositions()
+      else {
+        val bytes = allFiles.map(p => fs.getFileStatus(new Path(p)).getLen).sum
+        if (bytes <= DvDriverFoldBytes) {
+          // one mergeSchema read spans point- and range-encoded parts;
+          // normalize to ranges, collect COMPRESSED, embed locally
+          val raw = spark.read.option("mergeSchema", "true")
+            .parquet(allFiles.toIndexedSeq: _*)
+          val cols = raw.columns.toSet
+          val norm =
+            if (!cols.contains("pos"))
+              raw.select(col("file"), col("pos_lo"), col("pos_hi"))
+            else if (!cols.contains("pos_lo"))
+              raw.select(col("file"), col("pos").cast("long").as("pos_lo"),
+                col("pos").cast("long").as("pos_hi"))
+            else raw.select(col("file"),
+              coalesce(col("pos_lo"), col("pos").cast("long")).as("pos_lo"),
+              coalesce(col("pos_hi"), col("pos").cast("long")).as("pos_hi"))
+          val collected = norm.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          import spark.implicits._
+          spark.createDataset(collected.toIndexedSeq)
+            .toDF("file", "pos_lo", "pos_hi")
+            .select(col("file"),
+              explode(expr("sequence(pos_lo, pos_hi)")).as("pos"))
+        } else {
+          val parts = base.map(b => dvTable.asOf(b).select("file", "pos")).toSeq ++
+            deltas.map(dvDeltaContent)
+          parts.reduce(_ unionByName _)
+        }
+      }
+    })
 
   private def emptyDvPositions(): DataFrame = {
     import spark.implicits._

@@ -87,13 +87,18 @@ object CommitLogProps extends Properties("CommitLog") {
 
   // DV deletes vs a driver-side set model: over ANY sequence of range /
   // predicate DV deletes (overlapping, repeated, empty) interleaved with
-  // an OPTIMIZE, every read — head, asOf of every version, prunedRead —
-  // equals the model's surviving keys, and data files never rewrite
-  // outside the OPTIMIZE.
+  // an OPTIMIZE and a random-threshold PURGE (r18), every read — head,
+  // asOf of every version, prunedRead — equals the model's surviving
+  // keys, and data files never rewrite outside OPTIMIZE/purge. The
+  // table runs checkpointEvery = 3, so longer delete runs cross the
+  // sidecar's AUTO-FOLD boundary (a chain of 3 links folds to a
+  // snapshot inside the history) and time travel resolves through
+  // pre-fold chains.
   private val genDvOps: Gen[List[(Int, Long, Long)]] = for {
-    n <- Gen.choose(0, 6)
+    n <- Gen.choose(0, 8)
     ops <- Gen.listOfN(n, for {
-      kind <- Gen.oneOf(0, 0, 1, 2) // 0 = range DV, 1 = predicate DV, 2 = optimize
+      // 0 = range DV, 1 = predicate DV, 2 = optimize, 3 = purge
+      kind <- Gen.oneOf(0, 0, 0, 1, 2, 3)
       lo <- Gen.choose(1L, 30L)
       w <- Gen.choose(0L, 10L)
     } yield (kind, lo, lo + w))
@@ -104,7 +109,9 @@ object CommitLogProps extends Properties("CommitLog") {
       val sp = spark
       import sp.implicits._
       val dir = Files.createTempDirectory("graft-prop-dv").toString
-      val t = new CommitTable(sp, dir, "k")
+      // checkpointEvery = 3 doubles as the sidecar auto-fold bound: ≥4
+      // consecutive DV deletes exercise the fold inside the history
+      val t = new CommitTable(sp, dir, "k", checkpointEvery = 3)
       val all = (1L to 30L).map(i => (i, i * 7L))
       t.overwrite(all.toDF("k", "v").repartition(3))
       var live = all.map(_._1).toSet
@@ -123,11 +130,16 @@ object CommitLogProps extends Properties("CommitLog") {
           case 2 =>
             t.compactClustered("k", 2)
             live = live // content-preserving
+          case 3 =>
+            // content-preserving like OPTIMIZE, but rewrites only the
+            // files whose deleted fraction crosses the random threshold
+            t.purgeDv((lo % 11L) / 10.0)
+            live = live
         }
         val after = t.latestVersion().get
         perVersion(after) = live
         val files = t.read().inputFiles.toSet.filterNot(_.contains("/_dv/"))
-        if (kind == 2) filesAtLastRewrite = files
+        if (kind == 2 || kind == 3) filesAtLastRewrite = files
         else if (after != before) // a committed DV delete must not touch data files
           ok &&= files == filesAtLastRewrite
         ok &&= t.read().select("k").collect().map(_.getLong(0)).toSet == live
