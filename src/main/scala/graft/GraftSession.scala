@@ -111,6 +111,7 @@ object GraftSession {
           // and incremental OPTIMIZE (small files only)
           "log_purge_dv" -> graft.plans.LogTvfs.purgeDv,
           "log_optimize_small" -> graft.plans.LogTvfs.optimizeSmall,
+          "log_maintain" -> graft.plans.LogTvfs.maintain,
           "log_rename_column" -> graft.plans.LogTvfs.renameColumn,
           "log_drop_column" -> graft.plans.LogTvfs.dropColumn,
           "log_set_invariants" -> graft.plans.LogTvfs.setInvariantsTvf,

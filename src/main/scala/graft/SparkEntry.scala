@@ -2121,6 +2121,42 @@ object SparkEntry {
         ("sql_rows", sqlRows)
       ).toDF("metric", "value").orderBy("metric")
     }),
+    "f37_maintain" -> ((s, dir) => {
+      // ONE-CALL MAINTENANCE POLICY (r18 — the Delta auto-compaction
+      // shape): the health instruments (dvOutstanding, file-list sizes)
+      // decide which TARGETED ops the head needs and only those run —
+      // a healthy head commits NOTHING (healthy_noop/noop_after), a
+      // churned one purges its delete-dense file and folds its small
+      // ones in order (ops_ok), landing on one file with exact content.
+      // Nation-sized on purpose: the policy's cost is the instruments'.
+      val root = IndexCache.freshRoot("maint")
+      val t = new graft.operators.CommitTable(s, root.resolve("tbl").toString, "k")
+      val nat = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("k"), col("n_name").as("v"))
+      val k = col("k")
+      t.overwrite(nat.filter(k < 5).coalesce(1))               // v0
+      val healthyNoop = if (t.maintain("k", 1L << 20) == Nil) 1L else 0L
+      t.append(nat.filter(k >= 5 && k < 10).coalesce(1))       // v1
+      t.append(nat.filter(k >= 10 && k < 15).coalesce(1))      // v2
+      t.append(nat.filter(k >= 15 && k < 20).coalesce(1))      // v3
+      t.append(nat.filter(k >= 20).coalesce(1))                // v4
+      t.deleteRangeDV(5L, 9L)                                  // v5: v1's file 100% dead
+      val ops = t.maintain("k", 1L << 20)
+      val opsOk = if (ops == Seq("purge-dv", "compact-small")) 1L else 0L
+      val noopAfter = if (t.maintain("k", 1L << 20) == Nil) 1L else 0L
+      val headAgg = t.read().agg(count(lit(1)), sum("k")).head()
+      val headFiles = t.read().inputFiles.count(!_.contains("/_dv/")).toLong
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("head_files", headFiles),
+        ("head_rows", headAgg.getLong(0)),
+        ("head_sum_k", headAgg.getLong(1)),
+        ("healthy_noop", healthyNoop),
+        ("noop_after", noopAfter),
+        ("ops_ok", opsOk)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
     "f30_dv_cdf" -> ((s, dir) => {
       // DV-DELTA CDF (r16 verdict Next #2 — a change window whose
       // deletion-vector stamp moved used to fall back to the FULL
@@ -5593,6 +5629,20 @@ object SparkEntry {
         |UNION ALL SELECT 'head_sum_k', (SELECT SUM(o_orderkey)::BIGINT FROM orders)
         |UNION ALL SELECT 'noop_ok', 1
         |UNION ALL SELECT 'sql_rows', (SELECT COUNT(*) FROM orders)
+        |ORDER BY metric""".stripMargin,
+    "f37_maintain" -> // the policy restated: one file after the churned
+      // maintenance, content = nation minus the purged key range, and
+      // every structural flag (healthy no-op, purge→fold order, no-op
+      // after) must be 1
+      """SELECT 'head_files' AS metric, 1::BIGINT AS value
+        |UNION ALL SELECT 'head_rows',
+        |  (SELECT COUNT(*) FROM nation WHERE n_nationkey NOT BETWEEN 5 AND 9)
+        |UNION ALL SELECT 'head_sum_k',
+        |  (SELECT SUM(n_nationkey)::BIGINT FROM nation
+        |   WHERE n_nationkey NOT BETWEEN 5 AND 9)
+        |UNION ALL SELECT 'healthy_noop', 1
+        |UNION ALL SELECT 'noop_after', 1
+        |UNION ALL SELECT 'ops_ok', 1
         |ORDER BY metric""".stripMargin,
     "f30_dv_cdf" -> // the sidecar-delta feed restated: exactly the
       // deleted key range as 'delete' rows, zero inserts, and both

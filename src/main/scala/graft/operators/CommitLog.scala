@@ -2255,6 +2255,39 @@ class CommitTable(spark: SparkSession, val path: String, statsCol: String,
     }
   }
 
+  /** One-call MAINTENANCE POLICY (the Delta auto-compaction shape): the
+    * health instruments ([[dvOutstanding]], the file-list sizes) decide
+    * which TARGETED ops the head actually needs, and only those run —
+    * [[purgeDv]] when outstanding deletes exist and any file crosses
+    * `purgeAt`, then [[compactSmall]] when at least `smallFilesAt`
+    * sub-threshold files accreted. Each action is the O(dirty) op,
+    * never a full rewrite, so calling this after every ingest cycle is
+    * safe at any scale — a healthy head runs NOTHING and commits
+    * nothing. Returns the ops that committed, in order. The explicit
+    * knobs ([[compactClusteredToSize]], [[optimizeZorder]],
+    * [[consolidateDv]], [[vacuumRetain]]) stay for layout changes and
+    * retention, which a policy must not guess at. */
+  def maintain(clusterCol: String, targetBytes: Long,
+               purgeAt: Double = 0.3, smallFilesAt: Int = 4): Seq[String] = {
+    require(smallFilesAt >= 2, s"smallFilesAt must be >= 2, got $smallFilesAt")
+    val ran = scala.collection.mutable.ListBuffer.empty[String]
+    if (dvOutstanding() > 0L) {
+      val before = latestVersion()
+      if (Some(purgeDv(purgeAt)) != before) ran += "purge-dv"
+    }
+    val small = math.max(1L, targetBytes / 2)
+    val head = latestVersion().getOrElse(
+      throw new IllegalStateException(s"no commits at $path"))
+    val nSmall = addsOf(head).select("path").collect().map(_.getString(0))
+      .count(p => fs.getFileStatus(new Path(p)).getLen < small)
+    if (nSmall >= smallFilesAt) {
+      val before = latestVersion()
+      if (Some(compactSmall(clusterCol, targetBytes, small)) != before)
+        ran += "compact-small"
+    }
+    ran.toList
+  }
+
   /** Time-based retention (Delta's `VACUUM … RETAIN n HOURS`, resolved to
     * versions): keep every version whose commit timestamp falls within
     * `horizonMillis` of `nowMillis` — plus the head, always — and reclaim

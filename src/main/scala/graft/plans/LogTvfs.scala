@@ -450,6 +450,21 @@ object LogTvfs {
     t.read().queryExecution.analyzed
   }
 
+  /** `log_maintain(path, stats_col | name, cluster_col, target_bytes)`
+    * — the one-call maintenance policy ([[CommitTable.maintain]]): the
+    * health instruments decide which targeted ops the head needs
+    * (purge of delete-dense files, bin-pack of accreted small files)
+    * and only those run; a healthy head commits nothing. Returns the
+    * post-maintenance head content. */
+  def maintain(args: Seq[Expression]): LogicalPlan = {
+    val (t, used) = tableRef(args, "log_maintain")
+    require(args.length == used + 2,
+      "log_maintain takes (path, stats_col | name) + (cluster_col, target_bytes)")
+    t.maintain(stringArg(args, used, "log_maintain"),
+      longArg(args, used + 1, "log_maintain"))
+    t.read().queryExecution.analyzed
+  }
+
   /** `log_delete_dv(path, stats_col | name, lo, hi)` — DELETE as a
     * DELETION-VECTOR commit ([[CommitTable.deleteRangeDV]]): O(deleted)
     * sidecar bytes, zero data-file rewrites; reads anti-join the vector

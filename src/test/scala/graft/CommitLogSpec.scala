@@ -1215,4 +1215,35 @@ class CommitLogSpec extends SparkSpec {
     assert(t.latestVersion() === Some(8L))
     assert(t.read().inputFiles.count(!_.contains("/_dv/")) === 2)
   }
+
+  test("maintain runs only the targeted ops the head needs; a healthy head commits nothing (r18)") {
+    val dir = Files.createTempDirectory("graft-clog-maint").toString
+    val t = new CommitTable(spark, dir, "k")
+    val s = spark
+    import s.implicits._
+    val big = (1L to 20000L).map(i => i -> s"payload-$i").toDF("k", "v")
+    t.overwrite(big.coalesce(1))                                // v0: at-size
+    // healthy head: nothing runs, nothing commits
+    assert(t.maintain("k", 32768L) === Nil)
+    assert(t.latestVersion() === Some(0L))
+    // churn: five small appends, one then fully DV-deleted
+    (1L to 5L).foreach(i => t.append(kv(30000L + i -> s"x$i").coalesce(1))) // v1..v5
+    t.deleteRangeDV(30001L, 30001L)                             // v6: v1's file 100% deleted
+    val ops = t.maintain("k", 32768L)
+    assert(ops === Seq("purge-dv", "compact-small"), ops.toString)
+    assert(t.dvOutstanding() === 0L)
+    assert(t.read().inputFiles.count(!_.contains("/_dv/")) === 2,
+      "the at-size file + one fold of the small survivors")
+    assert(rows(t.read()) === ((1L to 20000L).map(i => i -> s"payload-$i").toSet
+      ++ (2L to 5L).map(i => (30000L + i) -> s"x$i")))
+    // now healthy again (the lone fold output is small but alone)
+    assert(t.maintain("k", 32768L) === Nil)
+    // SQL statement form on a re-churned head
+    (1L to 4L).foreach(i => t.append(kv(40000L + i -> s"y$i").coalesce(1)))
+    val n = spark.sql(
+      s"SELECT COUNT(*) AS n FROM log_maintain('$dir', 'k', 'k', 32768)")
+      .head().getLong(0)
+    assert(n === 20008L)
+    assert(t.read().inputFiles.count(!_.contains("/_dv/")) === 2)
+  }
 }
