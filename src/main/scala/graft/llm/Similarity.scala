@@ -1252,8 +1252,22 @@ object Similarity {
     val buckets = v.select(col("vec_id") +: sigCols: _*)
       .select(col("vec_id"), explode(bandArr).as("k"))
       .select(col("vec_id"), col("k.band").as("band"), col("k.sig").as("sig"))
-    val cand = buckets.as("x")
-      .join(buckets.as("y"), col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+    // The bucket self-join fans out to ~|candidate pairs| rows and feeds the
+    // pair-distinct's partial aggregate; a small single-file corpus scan
+    // arrives as ONE partition, which runs that whole midsection on one core
+    // (guide §2.5 input skew — measured 3.2 s serial for the 2.1M-row
+    // emission at sf0.1). Repartition the ids-only bucket rows by the join
+    // key before the self-join: the emission is spread across bucket-key
+    // partitions, the join is co-partitioned (no broadcast assumption — at
+    // corpus scale neither side fits), and the width tracks the cluster.
+    // Explicit N, not AQE-coalesced: the shuffled bytes are tiny but the
+    // join OUTPUT fans out ~64x, which AQE's input-size coalescing is blind
+    // to and would fold back to one partition.
+    val spread = buckets.repartition(
+      v.sparkSession.sparkContext.defaultParallelism, col("band"), col("sig"))
+    val cand = spread.as("x")
+      .join(spread.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()

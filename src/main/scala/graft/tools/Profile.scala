@@ -1,34 +1,60 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry}
+import graft._
+import org.apache.spark.scheduler._
+import scala.collection.concurrent.TrieMap
+import java.util.concurrent.atomic.AtomicLong
 
-/** Plan/timing inspector (dev tool, not driver contract): runs named
-  * SparkEntry queries against an sf dir, printing wall time and, with
-  * `-explain`, the formatted physical plan — the `.explain` audit loop the
-  * scale rubric asks for.
-  *
-  * Usage: `runMain graft.tools.Profile <sfDir> [-explain] [name...]`
-  * (no names = all queries).
+/** Optimization-round profiler: `runMain graft.tools.Profile <q>[,<q>...]`.
+  * For each declared query: warm it once, then time a second run and print
+  * the per-stage wall/task breakdown (submission→completion, so scheduler
+  * gaps show up as wall minus stage sum). Not driver contract.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val explain = args.contains("-explain")
-    val names = args.drop(1).filterNot(_ == "-explain") match {
-      case Array() => SparkEntry.queries.keys.toSeq.sorted
-      case xs => xs.toSeq
-    }
-    val spark = GraftSession.create(master = "local[8]", cores = "8")
+    require(args.nonEmpty, "usage: Profile <query>[,query...]")
+    val names = args.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val spark = GraftSession.create(master = "local[32]", cores = "32")
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { name =>
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (explain) {
-        println(s"==== $name ====")
-        df.explain("formatted")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val byStage = TrieMap.empty[String, (AtomicLong, AtomicLong, AtomicLong, AtomicLong)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val key = s.stageInfo.name.takeWhile(_ != '(').trim
+        val slot = byStage.getOrElseUpdate(key,
+          (new AtomicLong(0), new AtomicLong(0), new AtomicLong(0), new AtomicLong(0)))
+        val dur = for {
+          st <- s.stageInfo.submissionTime
+          en <- s.stageInfo.completionTime
+        } yield en - st
+        slot._1.addAndGet(dur.getOrElse(0L)); slot._2.incrementAndGet()
+        slot._3.addAndGet(s.stageInfo.numTasks)
+        slot._4.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
       }
-      val n = df.count()
-      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    })
+    names.foreach { name =>
+      def run(): Long = {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val n = df.write.format("noop").mode("overwrite").save()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        0L
+      }
+      spark.sparkContext.setJobDescription(s"profile:$name:warm")
+      run()
+      Thread.sleep(200)
+      byStage.clear()
+      spark.sparkContext.setJobDescription(s"profile:$name")
+      val t0 = System.nanoTime()
+      run()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val stageSum = byStage.values.map(_._1.get).sum / 1000.0
+      println(f"[profile] ===== $name wall=$wall%.2fs stageSum=$stageSum%.2fs gap=${wall - stageSum}%.2fs")
+      byStage.toSeq.sortBy(-_._2._1.get).take(12).foreach { case (nm, (ms, c, tk, rt)) =>
+        println(f"[profile]   ${ms.get / 1000.0}%6.2fs stages=${c.get}%-3d tasks=${tk.get}%-5d taskTime=${rt.get / 1000.0}%7.2fs  $nm")
+      }
     }
     spark.stop()
   }
