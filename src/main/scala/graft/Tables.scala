@@ -13,6 +13,20 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Re-spread an under-partitioned batch frame across the cluster before
+    * CPU-heavy per-row work (tokenization, hashing, regex): a single-file /
+    * single-row-group parquet scan arrives as ONE unsplittable partition,
+    * which would serialize everything up to the first exchange on one core
+    * (guide §2.5 input skew). CONDITIONAL, so it is scale-honest: on a real
+    * multi-file corpus the scan is already wider than the cluster and this
+    * is the identity — no corpus-wide round-robin shuffle is ever added at
+    * 100 TB. (`.rdd` only plans the frame, it runs nothing.)
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (!df.isStreaming && df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   def region(s: SparkSession, d: String)    = table(s, d, "region")
   def nation(s: SparkSession, d: String)    = table(s, d, "nation")
   def customer(s: SparkSession, d: String)  = table(s, d, "customer")

@@ -22,12 +22,20 @@ object TextOps {
 
   /** Distinct word 3-gram shingles of a token array (the unit of near-dup
     * detection); empty for docs with < 3 tokens.
+    *
+    * `toks` is LET-BOUND once per row via a single-element `transform`
+    * (higher-order functions are interpreted, and an expression referenced
+    * inside a lambda body is re-evaluated PER ELEMENT — with the usual
+    * `tokens(col("text"))` argument that meant ~3·n_shingles full regex
+    * tokenizations per document; measured 4x on the shingle stage at
+    * sf0.1). Inside the lambda `ws` is a lambda variable: O(1) per read.
     */
   def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+    element_at(transform(array(toks), ws =>
+      when(size(ws) >= 3,
+        array_distinct(transform(sequence(lit(1), size(ws) - 2), i =>
+          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+        .otherwise(array().cast("array<string>"))), 1)
 
   /** Distinct character n-grams of the lowercased text (the tokenizer-free
     * near-dup unit — works on scripts with no word boundaries); empty for
@@ -37,10 +45,13 @@ object TextOps {
     */
   def charNgrams(text: Column, n: Int): Column = {
     require(n > 0, s"n-gram length must be positive, got $n")
-    val t = lower(text)
-    when(length(t) >= n,
-      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // lower(text) let-bound once per row (the shingles3 discipline): a
+    // lambda-body reference is re-evaluated per element, which would
+    // lowercase the whole text once per n-gram position — O(len²)/doc
+    element_at(transform(array(lower(text)), t =>
+      when(length(t) >= n,
+        array_distinct(transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
+        .otherwise(array().cast("array<string>"))), 1)
   }
 
   /** DuckDB fragment: one row per (doc_id, distinct char n-gram); CTE name
@@ -80,16 +91,20 @@ object TextOps {
     * len_text, ttr_1000, punct_1000, stop_1000)`.
     */
   def textStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
+    // token array bound ONCE per row (four consumers below would each
+    // re-run the regex tokenizer — HOFs are interpreted, no codegen CSE),
+    // and the per-row regex work spread off the single-file scan partition
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("ws"))
+      .select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_token_chars"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      size(array_distinct(col("ws"))).cast("long").as("n_distinct_tokens"),
+      aggregate(col("ws"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_chars"),
       length(col("text")).cast("long").as("len_text"),
       (length(col("text")) -
         length(regexp_replace(col("text"), PunctClass, ""))).cast("long").as("n_punct"),
-      size(filter(toks, t => t.isin(stopwords: _*))).cast("long").as("n_stop"))
+      size(filter(col("ws"), t => t.isin(stopwords: _*))).cast("long").as("n_stop"))
       // `div` = integral division (Spark `/` on longs yields DOUBLE)
       .withColumn("ttr_1000",
         when(col("n_tokens") > 0, expr("n_distinct_tokens * 1000 div n_tokens")).otherwise(lit(0L)))

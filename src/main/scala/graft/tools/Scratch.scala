@@ -1,10 +1,8 @@
 package graft.tools
 
 import graft._
-import org.apache.spark.scheduler._
+import graft.llm.TextOps
 import org.apache.spark.sql.functions._
-import scala.collection.concurrent.TrieMap
-import java.util.concurrent.atomic.AtomicLong
 
 /** Throwaway measurement scratchpad for the optimization round (not driver
   * contract; edited per experiment, run via `runMain graft.tools.Scratch`).
@@ -14,33 +12,39 @@ object Scratch {
     val spark = GraftSession.create(master = "local[32]", cores = "32")
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    val byStage = TrieMap.empty[String, (AtomicLong, AtomicLong, AtomicLong)] // name -> (ms, count, tasks)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        val key = s.stageInfo.name.takeWhile(_ != '(').trim
-        val slot = byStage.getOrElseUpdate(key, (new AtomicLong(0), new AtomicLong(0), new AtomicLong(0)))
-        val dur = for {
-          st <- s.stageInfo.submissionTime
-          en <- s.stageInfo.completionTime
-        } yield en - st
-        slot._1.addAndGet(dur.getOrElse(0L)); slot._2.incrementAndGet()
-        slot._3.addAndGet(s.stageInfo.numTasks)
-      }
-    })
-    val emb = Tables.embeddings(spark, dir)
-    def run(): Long = graft.llm.Similarity.cosineDupPairs(emb).count()
-    run() // warm
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    Thread.sleep(300)
-    byStage.clear()
-    val t0 = System.nanoTime()
-    val n = run()
-    val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300)
-    println(f"[scratch] d5 warm wall=$wall%.2fs rows=$n")
-    byStage.toSeq.sortBy(-_._2._1.get).foreach { case (nm, (ms, c, tk)) =>
-      println(f"[scratch] stage $nm%-55s total=${ms.get / 1000.0}%6.2fs stages=${c.get} tasks=${tk.get}")
+    def time(label: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scratch] $label%-40s ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
     }
+    val docs = Tables.documents(spark, dir)
+    val par = spark.sparkContext.defaultParallelism
+
+    // A: current shape — tokens() nested inside shingles3's lambda
+    val a = docs.repartition(par)
+      .select(col("doc_id"),
+        explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("shingle"))
+    time("nested tokens in lambda")(a.count())
+
+    // B: tokens bound to a column first, shingles3 over the attribute
+    val b = docs.repartition(par)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(TextOps.shingles3(col("ws"))).as("shingle"))
+    time("pre-bound tokens column")(b.count())
+
+    // C: charNgrams current (lower(text) inside lambda) vs pre-bound
+    val c1 = docs.repartition(par)
+      .select(col("doc_id"), explode(TextOps.charNgrams(col("text"), 6)).as("g"))
+    time("charNgrams nested")(c1.count())
+    val c2 = docs.repartition(par)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), explode(
+        when(length(col("t")) >= 6,
+          array_distinct(transform(sequence(lit(1), length(col("t")) - 5),
+            i => col("t").substr(i, lit(6)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    time("charNgrams pre-bound")(c2.count())
     spark.stop()
   }
 }
