@@ -157,8 +157,14 @@ object Bench {
     val lineNoQueries: String =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir",""" +
         s""""failed":${failed.size},"reps":$reps,"rep_failures":$repFailures}"""
+    // r18 verdict Next #1: at 349 queries the 1.0s threshold still overflowed
+    // the window (126 rows, ~3100 chars) and the ladder fell through to
+    // totals-only, blinding the driver's per-query/scaling machinery for a
+    // whole round. Higher rungs (2/3/5s) keep the slowest rows — the ones the
+    // per-round comparison needs — always visible (46 rows ≈ 1245 chars at
+    // 2.0s on the r18 map).
     val stdoutLine = (Seq(line(3, true), line(3, false), line(2, false), line(1, false)) ++
-      Seq(0.1, 0.3, 1.0).map(lineThresh) :+ lineNoQueries)
+      Seq(0.1, 0.3, 1.0, 2.0, 3.0, 5.0).map(lineThresh) :+ lineNoQueries)
       .find(_.length <= budget).getOrElse(lineNoQueries)
 
     val fullJson =
