@@ -20,11 +20,29 @@ object Tables {
     * (guide §2.5 input skew). CONDITIONAL, so it is scale-honest: on a real
     * multi-file corpus the scan is already wider than the cluster and this
     * is the identity — no corpus-wide round-robin shuffle is ever added at
-    * 100 TB. (`.rdd` only plans the frame, it runs nothing.)
+    * 100 TB.
+    *
+    * The `.rdd` partition-count probe is free ONLY on shuffle-free plans:
+    * under AQE a plan with an upstream exchange would MATERIALIZE its
+    * intermediate stages at probe time and the work would be thrown away
+    * (r18 advice). The probe is therefore gated on the optimized plan
+    * being a pure scan pipeline (leaf/project/filter chain); anything
+    * wider returns the frame untouched — such plans have already crossed
+    * an exchange, so the single-partition input-skew problem this helper
+    * exists for cannot occur.
     */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanOnly(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case u: UnaryNode if u.isInstanceOf[Project] || u.isInstanceOf[Filter] =>
+        scanOnly(u.child)
+      case _ => false
+    }
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (!df.isStreaming && df.rdd.getNumPartitions < par) df.repartition(par) else df
+    if (!df.isStreaming && scanOnly(df.queryExecution.optimizedPlan) &&
+      df.rdd.getNumPartitions < par) df.repartition(par)
+    else df
   }
 
   def region(s: SparkSession, d: String)    = table(s, d, "region")

@@ -729,10 +729,19 @@ object Retrieval {
       s"maxSimTopK: bad numQueries=$numQueries k=$k qLen=$qLen dim=$dim")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
+    // explicit-N repartition by doc_id before the checkpoint: the distinct's
+    // output is only a few MB, so AQE coalesces it to ONE partition — and the
+    // downstream per-token projection (dim md5s + Q·dim dot terms per row,
+    // the row's dominant compute) would run single-threaded (measured: 5.7s
+    // in 1 task of a 6.6s row at sf0.1 — guide §2.5 input skew; AQE is blind
+    // to compute-heavy downstream expressions). Hash-partitioning on doc_id
+    // also lets the per-document aggregate below reuse the partitioning
+    // instead of adding its own exchange (§2.4).
     val toks = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(TextOps.tokens(col("text"))).as("tok"))
       .distinct()
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .localCheckpoint(true) // feeds the query cut and the incidence rollup
     val wq = Window.partitionBy("query_id").orderBy(col("h"), col("tok"))
     // ≤ numQueries·qLen rows by contract — driver-collected like the BM25
@@ -764,15 +773,20 @@ object Retrieval {
       .withColumn("dv", dval)
       .withColumn("dots", dotsCol)
       .groupBy("doc_id").agg(em(col("dots")).as("mx"))
-      .localCheckpoint(true) // corpus-doc-count rows; every query branch reads it
-    // per query: sum of ITS token slots — literal index lists
-    val byQuery: Seq[(Long, Seq[Int])] = qtokRows.groupBy(_._1).view
-      .mapValues(_.map(t => qIdx(t._2)).toSeq).toSeq.sortBy(_._1)
+    // per query: sum of ITS token slots. The (query_id, slot) membership is
+    // DATA (a broadcast frame), not plan structure: melt each document's mx
+    // array once (posexplode) and sum the matching slots per (query, doc)
+    // in one aggregate — one plan branch whatever the query count, where
+    // the previous per-query unrolled Union grew the plan (and its
+    // codegen) O(#queries) (r18 verdict Next #4; guide §3 / §7.2 on plan
+    // size). Long addition is associative-commutative, so the grouped sum
+    // is bit-identical to the unrolled literal chain it replaces.
+    import spark.implicits._
+    val slots = qtokRows.map { case (q, t) => (q, qIdx(t)) }.toDF("query_id", "slot")
     val wk = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
-    byQuery.map { case (q, idxs) =>
-      perDoc.select(lit(q).as("query_id"), col("doc_id"),
-        idxs.map(i => element_at(col("mx"), i + 1)).reduce(_ + _).as("score"))
-    }.reduce(_ unionByName _)
+    perDoc.select(col("doc_id"), posexplode(col("mx")).as(Seq("slot", "mxv")))
+      .join(broadcast(slots), "slot")
+      .groupBy("query_id", "doc_id").agg(sum(col("mxv")).as("score"))
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(wk).cast("long"))
       .filter(col("rank") <= k)

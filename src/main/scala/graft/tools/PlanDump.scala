@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import graft._
 
 /** Writes `.explain("formatted")` for the named declared queries to
-  * `plans/r18/<query>_<suffix>.txt` — the optimization round's evidence
+  * `plans/r19/<query>_<suffix>.txt` — the optimization round's evidence
   * files (the judge checks plan claims against these).
   *
   * Usage: `runMain graft.tools.PlanDump <suffix> <query>[,<query>...]`
@@ -20,13 +20,13 @@ object PlanDump {
     val spark = GraftSession.create(master = "local[8]", cores = "8")
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    Files.createDirectories(Paths.get("plans/r18"))
+    Files.createDirectories(Paths.get("plans/r19"))
     names.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      Files.writeString(Paths.get(s"plans/r18/${q}_$suffix.txt"), txt)
-      println(s"[plandump] wrote plans/r18/${q}_$suffix.txt (${txt.length} chars)")
+      Files.writeString(Paths.get(s"plans/r19/${q}_$suffix.txt"), txt)
+      println(s"[plandump] wrote plans/r19/${q}_$suffix.txt (${txt.length} chars)")
     }
     spark.stop()
   }

@@ -37,19 +37,23 @@ object Profile {
     names.foreach { name =>
       def run(): Long = {
         val df = SparkEntry.queries(name)(spark, dir)
-        val n = df.write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         0L
       }
       spark.sparkContext.setJobDescription(s"profile:$name:warm")
       run()
-      Thread.sleep(200)
+      // drain late listener events deterministically before clearing, so
+      // warm-run stages are never attributed to the timed run (r18 advice)
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
       byStage.clear()
       spark.sparkContext.setJobDescription(s"profile:$name")
       val t0 = System.nanoTime()
       run()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200)
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
       val stageSum = byStage.values.map(_._1.get).sum / 1000.0
       println(f"[profile] ===== $name wall=$wall%.2fs stageSum=$stageSum%.2fs gap=${wall - stageSum}%.2fs")
       byStage.toSeq.sortBy(-_._2._1.get).take(12).foreach { case (nm, (ms, c, tk, rt)) =>
