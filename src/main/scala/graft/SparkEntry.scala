@@ -241,9 +241,14 @@ object SparkEntry {
       // same greedy join chain — "b within 3 hops of a, b points at c,
       // and a does NOT point at c directly" (the multi-hop-only
       // recommendation shape); closure built once (hi-1 checkpointed
-      // join rounds), selectivity predicate pushed into the chain
-      Motifs.find(DerivedGraphs.small(s, dir), "(a)-[1..3]-(b); (b)-(c); !(a)-(c)")
-        .filter(col("a") % 25 === 0)
+      // join rounds). The selectivity predicate on `a` is DECLARED to
+      // find (r19: the closure's eager checkpoint is an optimizer
+      // barrier, so an outer .filter could never reach the closure
+      // build — the restrict contract seeds it with only the wanted
+      // sources; find(e,p,restrict) ≡ find(e,p).filter(...) by the
+      // MotifsSpec property)
+      Motifs.find(DerivedGraphs.small(s, dir), "(a)-[1..3]-(b); (b)-(c); !(a)-(c)",
+          restrict = Map("a" -> (_ % 25 === 0)))
         .orderBy("a", "b", "c")),
     "g22_bipartite" -> ((s, dir) => // 2-colorability per component via
       // parity-BFS fixpoint: a vertex reachable from its component root

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph motif / pattern matching — the general "find (a)→(b)→(c) where
@@ -146,8 +146,18 @@ object Motifs {
     * and the frontier is eagerly checkpointed so round L's plan never
     * re-derives rounds 1..L-1. Early exit when a frontier drains.
     */
-  private def distanceWindow(e: DataFrame, lo: Int, hi: Int): DataFrame = {
-    var seen = e.select(col("src").as("s"), col("dst").as("d"))
+  private def distanceWindow(e: DataFrame, lo: Int, hi: Int,
+                             seedPred: Option[Column => Column] = None): DataFrame = {
+    // seed restriction (the [[find]] `restrict` pushdown): paths START only
+    // at sources the caller wants bound, but WALK the full edge relation —
+    // the closure rows for restricted sources are exactly the unrestricted
+    // closure's rows with that src, so downstream joins see identical
+    // bindings. Without this the eager checkpoint below is an optimizer
+    // barrier: a selective predicate on the source variable could never
+    // push into the closure build and every round would pay the full
+    // all-sources frontier (measured 25x waste on g43).
+    val base = seedPred.fold(e)(p => e.filter(p(col("src"))))
+    var seen = base.select(col("src").as("s"), col("dst").as("d"))
       .withColumn("dist", lit(1)).localCheckpoint(true)
     var frontier = seen.select("s", "d")
     var l = 2
@@ -173,22 +183,48 @@ object Motifs {
   /** Match `pattern` against the directed edge relation `edges` (columns
     * `src`, `dst`; deduped internally). See object doc for semantics and
     * plan shape.
+    *
+    * `restrict` declares per-variable predicates the MATCH must satisfy:
+    * `find(e, p, Map("a" -> (_ % 25 === 0)))` equals
+    * `find(e, p).filter(col("a") % 25 === 0)` row for row (the filters are
+    * applied to the result inside this method — the equivalence is the
+    * contract, property-asserted in MotifsSpec). Declaring them here
+    * additionally lets the engine SEED a variable-length term's closure
+    * build with only the restricted sources: the closure is eagerly
+    * checkpointed (an optimizer barrier), so an outer filter can never
+    * reach it through Catalyst pushdown, and on a selective predicate the
+    * all-sources closure is almost entirely thrown-away work (guide §1.2
+    * "don't compute things you throw away"; measured 25x on g43).
     */
-  def find(edges: DataFrame, pattern: String): DataFrame = {
+  def find(edges: DataFrame, pattern: String,
+           restrict: Map[String, Column => Column] = Map.empty): DataFrame = {
     val terms = parse(pattern)
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
-    // one closure per DISTINCT range, shared by every term that uses it
-    val closures = scala.collection.mutable.Map.empty[(Int, Int), DataFrame]
-    def relFor(t: EdgeTerm): DataFrame = t.range match {
+    val vars = terms.flatMap(t => Seq(t.src, t.dst)).toSet
+    restrict.keys.foreach(v => require(vars(v),
+      s"restrict names variable $v not in pattern (${vars.toSeq.sorted.mkString(", ")})"))
+    // one closure per DISTINCT (range, seed) — the unseeded closure stays
+    // shared by every term using the range; a seeded build is keyed by the
+    // variable it seeds for
+    val closures = scala.collection.mutable.Map.empty[(Int, Int, Option[String]), DataFrame]
+    def relFor(t: EdgeTerm, seedVar: Option[String]): DataFrame = t.range match {
       case None => e
-      case Some((lo, hi)) => closures.getOrElseUpdate((lo, hi), distanceWindow(e, lo, hi))
+      case Some((lo, hi)) =>
+        closures.getOrElseUpdate((lo, hi, seedVar),
+          distanceWindow(e, lo, hi, seedVar.flatMap(restrict.get)))
     }
     var bound = Vector.empty[String]
     var result: DataFrame = null
     joinOrder(terms).foreach { case (t @ EdgeTerm(s, d, _, _), i) =>
-      val ei = relFor(t).select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
+      // seed a range term's closure when its src variable is restricted and
+      // not yet bound (first binding — the seed then produces exactly the
+      // bindings the final filter keeps); already-bound vars are constrained
+      // by the join equality, so the shared unseeded closure serves them
+      val seedVar = if (t.range.isDefined && !t.negated &&
+        !bound.contains(s) && restrict.contains(s)) Some(s) else None
+      val ei = relFor(t, seedVar).select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
       if (result == null) {
         result =
           if (s == d)
@@ -213,11 +249,15 @@ object Motifs {
     // join on the full pair — a pure filter that cannot grow the result
     // (against the closure for a negated variable-length term)
     terms.zipWithIndex.filter(_._1.negated).foreach { case (t @ EdgeTerm(s, d, _, _), i) =>
-      val ei = relFor(t).select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
+      val ei = relFor(t, None).select(col("src").as(s"__m${i}_s"), col("dst").as(s"__m${i}_d"))
       result = result.join(ei,
         col(s) === col(s"__m${i}_s") && col(d) === col(s"__m${i}_d"), "left_anti")
     }
-    result.select(outputVars(terms).map(col): _*)
+    // the declared restrictions apply to the RESULT regardless of which
+    // (if any) closure builds they seeded — find(e, p, r) must equal
+    // find(e, p).filter(r) whatever the join order did
+    val out = result.select(outputVars(terms).map(col): _*)
+    restrict.foldLeft(out) { case (r, (v, p)) => r.filter(p(col(v))) }
   }
 
   /** DuckDB mirror of [[find]]: the same deduped edge CTE joined once per

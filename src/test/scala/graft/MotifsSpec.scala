@@ -154,6 +154,32 @@ class MotifsSpec extends SparkSpec {
       assert(run(edges, p) === bruteFind(edges, p), s"pattern $p diverged")
   }
 
+  test("restrict pushdown equals post-filter on random graphs (seeded closure included)") {
+    // the r19 contract: find(e, p, Map(v -> pred)) must equal
+    // find(e, p).filter(pred(col(v))) row for row — including when the
+    // restriction seeds a variable-length term's closure build (g43's
+    // shape) and when the restricted variable is NOT the closure's source
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(47)
+    val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    for (p <- Seq(
+      "(a)-[1..3]-(b); (b)-(c); !(a)-(c)", // g43: restriction seeds the closure
+      "(a)-(b); (b)-[1..2]-(c)",           // restricted var bound before the range term
+      "(a)-(b); (b)-(c)")) {               // plain terms only
+      val restricted = Motifs.find(edgesDF(edges), p,
+          restrict = Map("a" -> (_ % 3 === 0)))
+        .collect().map(_.toSeq).toSet
+      val filtered = Motifs.find(edgesDF(edges), p)
+        .filter(col("a") % 3 === 0)
+        .collect().map(_.toSeq).toSet
+      assert(restricted === filtered, s"pattern $p diverged under restrict")
+      assert(restricted.nonEmpty || filtered.isEmpty) // guard against vacuous pass
+    }
+    // restricting a variable not in the pattern fails loudly
+    intercept[IllegalArgumentException](
+      Motifs.find(edgesDF(edges), "(a)-(b)", restrict = Map("z" -> (_ > 0))))
+  }
+
   test("findSql mirrors find on the triangle pattern via DuckDB-shaped SQL run in Spark") {
     // Spark can execute the generated ANSI join chain too — cross-check the
     // mirror's semantics without DuckDB: same rows as the DataFrame plan
