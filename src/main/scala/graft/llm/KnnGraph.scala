@@ -601,34 +601,38 @@ object KnnGraph {
     val adcCol = (0 until m).map(j =>
       element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    def scoreIdsAdc(cand: DataFrame, ids: Seq[Long]): DataFrame =
+    // driver-held walk state, the [[routedVisited]] discipline (r19): the
+    // ADC walk's frames are bounded by the same search contract, each hop
+    // is exactly the two file-pruned point reads (frontier adjacency +
+    // candidate CODE rows), and navigation stays the same exact-integer
+    // ADC sums — pure longs, so the local dedup/ranking is trivially
+    // bit-identical to the DataFrame distinct/window it replaces
+    import spark.implicits._
+    def scoreIdsAdc(cand: DataFrame, ids: Seq[Long]): Seq[(Long, Long, Long)] =
       cand.join(idSemi(spark, codesT.prunedReadIn(ids), "vec_id", ids)
             .select("vec_id", "codes"), "vec_id")
         .join(broadcast(queries.select("query_id", "lut")), "query_id")
         .select(col("query_id"), col("vec_id"), adcCol.as("adc"))
-    def topAdc(scored: DataFrame, limit: Int): DataFrame = {
-      val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
-        .select("query_id", "vec_id", "adc")
-    }
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def beamRowsAdc(vis: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+      vis.groupBy(_._1).valuesIterator.flatMap(
+        _.sortBy(t => (-t._3, t._2)).take(beam)).toSeq
     val entryCand = queries.select(col("query_id"))
       .withColumn("vec_id", explode(lit(entryIds.toArray)))
-    var visited = scoreIdsAdc(entryCand, entryIds).localCheckpoint(true)
-    var beamDf = topAdc(visited, beam)
+    var visitedL: Seq[(Long, Long, Long)] = scoreIdsAdc(entryCand, entryIds).distinct
     for (_ <- 1 to hops) {
-      val frontier = beamDf.select("vec_id").distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted
+      val bm = beamRowsAdc(visitedL)
+      val frontier = bm.map(_._2).distinct.sorted
       val nbrs = idSemi(spark, graph.prunedReadIn(frontier), "src", frontier)
         .select(col("src"), col("dst"))
-      val cand = beamDf.select(col("query_id"), col("vec_id").as("src"))
-        .join(nbrs, "src")
-        .select(col("query_id"), col("dst").as("vec_id")).distinct()
-      val candIds = cand.select("vec_id").distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted
-      visited = visited.union(scoreIdsAdc(cand, candIds)).distinct()
-        .localCheckpoint(true)
-      beamDf = topAdc(visited, beam)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val bySrc = nbrs.groupBy(_._1)
+      val cand = bm.flatMap { case (q, v, _) =>
+        bySrc.getOrElse(v, Array.empty[(Long, Long)]).map(e => (q, e._2)) }.distinct
+      val candIds = cand.map(_._2).distinct.sorted
+      visitedL = (visitedL ++ scoreIdsAdc(cand.toDF("query_id", "vec_id"), candIds)).distinct
     }
+    val visited = visitedL.toDF("query_id", "vec_id", "adc")
     // exact re-rank of the ADC-best k·candFactor visited (self excluded) —
     // the ONLY touch of full-precision vectors in the whole query.
     // ... and a tombstoned id keeps NAVIGATING (the ADC walk above routes
