@@ -160,11 +160,22 @@ object IncrementalViews {
   }
 
   def maintainedTriangles(t: CommitTable, fromVersion: Long, toVersion: Long): DataFrame = {
-    val base = Analytics.triangleCounts(t.asOf(fromVersion))
+    // the three shared inputs checkpoint ONCE (r19): the base count, the
+    // old-side probe and the new-side probe each re-reference their edge
+    // snapshot and the delta several times (sym unions, semi-joins), and
+    // without a cut the final plan inlines the whole commit-log read per
+    // reference — measured 601 physical operators / 130 parquet scans at
+    // g53, where ANALYSIS + codegen time (driver) dwarfed the data work
+    // (guide §7.3 planning cost; §3 "materialise an intermediate to
+    // truncate the plan")
+    val eOld = t.asOf(fromVersion).select(col("src"), col("dst")).localCheckpoint(true)
+    val eNew = t.asOf(toVersion).select(col("src"), col("dst")).localCheckpoint(true)
     val delta = und(t.changesBetween(fromVersion, toVersion).select("src", "dst"))
-    val dOld = triangleDeltaCounts(t.asOf(fromVersion), delta)
+      .localCheckpoint(true)
+    val base = Analytics.triangleCounts(eOld)
+    val dOld = triangleDeltaCounts(eOld, delta)
       .select(col("vertex"), col("n").as("n_old"))
-    val dNew = triangleDeltaCounts(t.asOf(toVersion), delta)
+    val dNew = triangleDeltaCounts(eNew, delta)
       .select(col("vertex"), col("n").as("n_new"))
     base.join(dNew, Seq("vertex"), "full_outer")
       .join(dOld, Seq("vertex"), "full_outer")

@@ -2,53 +2,55 @@ package graft.tools
 
 import graft._
 import graft.llm.KnnGraph
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Throwaway measurement scratchpad for the optimization round (not driver
   * contract; edited per experiment, run via `runMain graft.tools.Scratch`).
   *
-  * Current experiment: phase attribution inside the graph-index lifecycle
-  * rows (s40 / s26 / s28 / st24) — which stage of the lifecycle owns the
-  * wall time at sf0.1.
+  * Current experiment: phase attribution inside st24_stream_graph_idx —
+  * which part of the streamed graph-index maintenance owns the wall time.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create(master = "local[32]", cores = "32")
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
+    val s = spark
     def phase[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[scratch] $label%-36s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       r
     }
-    val emb = Tables.embeddings(spark, dir)
-    // warm the template once so the copy below is the only build cost
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     IndexCache.template(s"knng|$dir|ge100")(
-      KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), _))
+      KnnGraph.buildKnnGraphIndex(Tables.embeddings(s, dir)
+        .filter(col("vec_id") >= 100), _))
     for (rep <- 1 to 2) {
-      println(s"[scratch] ---- rep $rep (s40 shape)")
+      println(s"[scratch] ---- rep $rep (st24 shape)")
+      val root = TempDirs.deleteOnExit(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-scr24-${ProcessHandle.current().pid()}"))
+      TempDirs.deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val tp = root.resolve("emb").toString
+      val t = new graft.operators.CommitTable(s, tp, "vec_id")
+      phase("emb overwrite v0")(t.overwrite(emb.filter(col("vec_id") >= 100)))
+      phase("emb append v1")(t.append(emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)))
+      phase("emb append v2")(t.append(emb.filter(col("vec_id") < 50)))
       val idx = phase("privateCopy")(
-        IndexCache.privateCopy(s"knng|$dir|ge100", "scr40")(
-          KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), _)))
-      phase("snap fresh")(KnnGraph.knnGraphLinkStats(spark, idx).head())
-      phase("append 100")(
-        KnnGraph.appendKnnGraphIndex(emb.filter(col("vec_id") < 100), idx))
-      val adj = phase("adj checkpoint")(
-        new graft.operators.CommitTable(spark, s"$idx/graph", "src")
-          .read().select("src", "dst").localCheckpoint(true))
-      val v1 = phase("delete 1")(KnnGraph.deleteFromKnnGraphIndex(
-        emb.filter(col("vec_id") >= 200 && col("vec_id") < 240).select("vec_id"), idx))
-      val v2 = phase("delete 2")(KnnGraph.deleteFromKnnGraphIndex(
-        emb.filter(col("vec_id") >= 240 && col("vec_id") < 280).select("vec_id"), idx))
-      import spark.implicits._
-      phase("fused 3-state stats")(
-        KnnGraph.knnGraphLinkStatsStates(spark, idx, adj, Seq(
-          Seq.empty[Long].toDF("vec_id"),
-          graft.llm.Tombstones.readAt(spark, idx, "vec_id", v1),
-          graft.llm.Tombstones.readAt(spark, idx, "vec_id", v2))))
-      phase("consolidate")(KnnGraph.consolidateKnnGraphIndex(spark, idx))
-      phase("snap healed")(KnnGraph.knnGraphLinkStats(spark, idx).head())
+        IndexCache.privateCopy(s"knng|$dir|ge100", "scr24idx")(p =>
+          KnnGraph.buildKnnGraphIndex(emb.filter(col("vec_id") >= 100), p)))
+      phase("stream 2 appends")(
+        graft.streaming.CommitLogStream.followChanges(s, t, tp, (v, cdf) => {
+          val batch = cdf.filter(col("change_type") === "insert").drop("change_type")
+          phase(s"  append batch v$v")(KnnGraph.appendKnnGraphIndex(batch, idx))
+        }, startingVersion = 1L))
+      phase("compactClustered")(
+        new graft.operators.CommitTable(s, s"$idx/graph", "src")
+          .compactClustered("src", targetFiles = 4))
+      phase("search + collect")(KnnGraph.knnGraphSearch(s, idx).collect())
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
